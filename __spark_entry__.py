@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H-Q3-shaped: filter + join +
+groupBy + agg + orderBy) at sf0.001.  ``queries()`` / ``oracle_sql()``
+surface every operator registered in
+:mod:`datafusion_iceberg_spark.registry` — one entry per operator from
+SURVEY.md §2, each with DuckDB oracle SQL where SQL-expressible.
 """
 
 from __future__ import annotations
@@ -13,26 +13,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datafusion_iceberg_spark import registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    registry.load_all_modules()
+    return registry.QUERIES["q3_shipping_priority"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    registry.load_all_modules()
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (omitted for non-SQL-expressible
+    ops — minhash/simhash/LSH bucketing, binary mapInPandas plumbing —
+    which get the driver's rows-only check)."""
+    registry.load_all_modules()
+    return dict(registry.ORACLES)

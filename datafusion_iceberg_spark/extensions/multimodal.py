@@ -1,0 +1,130 @@
+"""Multimodal column plumbing (BASELINE.json north_star).
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata
+structs.  The Spark-side machinery here is real — schema, partition-
+preserving ``mapInPandas`` pipelines, Arrow batch shapes — while the
+actual media decode is stubbed (no image/audio libs in this container):
+``decode_image_batch`` raises ``NotImplementedError`` unless the
+deterministic fake decoder is requested (SURVEY.md §2B extension table).
+
+In production the fake decoder is replaced by e.g. PIL/ffmpeg calls inside
+the same ``mapInPandas`` iterator; nothing else changes — batches stream
+through Arrow, memory stays bounded by ``maxRecordsPerBatch``, and the
+decode parallelizes with the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.registry import register
+from datafusion_iceberg_spark.tables import load_table
+
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, n_bytes int, width int, height int, "
+    "mean_byte double, checksum string"
+)
+
+REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic fake payload: binary column derived from the
+    doc text (stands in for image bytes) + typed metadata struct — the
+    exact schema a binaryFile/Iceberg scan of real media would produce."""
+    return docs.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("content"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            F.length(F.unhex(F.md5("text"))).alias("n_bytes"),
+            (F.col("n_chars") % 64 + 1).cast("int").alias("width_hint"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_batch(
+    batches: Iterator[pd.DataFrame], use_fake_decoder: bool = True
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary in → feature rows out, one Arrow batch at
+    a time (never materializes the partition)."""
+    for pdf in batches:
+        if not use_fake_decoder:
+            if not REAL_DECODERS_AVAILABLE:
+                raise NotImplementedError(
+                    "real image decode requires PIL/ffmpeg — not in this "
+                    "container; pass use_fake_decoder=True"
+                )
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": [m["media_type"] for m in pdf["meta"]],
+                "n_bytes": [len(b) for b in pdf["content"]],
+                # deterministic fake "decode": dimensions & stats from bytes
+                "width": [b[0] % 64 + 1 for b in pdf["content"]],
+                "height": [b[1] % 64 + 1 for b in pdf["content"]],
+                "mean_byte": [sum(b) / len(b) for b in pdf["content"]],
+                "checksum": [b.hex()[:8] for b in pdf["content"]],
+            }
+        )
+        yield out
+
+
+@register("mm_decode_features")  # binary plumbing → rows-only check
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary column → mapInPandas decode → typed features.  Rows-only
+    driver check; tests/test_multimodal.py asserts the features equal a
+    pure-Python recomputation."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    feats = media.mapInPandas(decode_image_batch, schema=MEDIA_SCHEMA)
+    return feats.orderBy("doc_id")
+
+
+@register(
+    "mm_metadata_stats",
+    oracle="""
+    SELECT CAST(n_chars % 64 + 1 AS INTEGER) AS width_hint,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(octet_length(from_hex(md5(text))) AS BIGINT)) AS BIGINT)
+             AS total_bytes
+    FROM documents
+    GROUP BY 1 ORDER BY width_hint
+    """,
+)
+def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation over the media table — the common 'plan a
+    decode job from metadata' query; never touches payload bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return (
+        media.groupBy(F.col("meta.width_hint").alias("width_hint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("meta.n_bytes").cast("long")).alias("total_bytes"),
+        )
+        .orderBy("width_hint")
+    )
+
+
+@register("mm_frame_sample")  # binary plumbing → rows-only check
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape for video columns: explode a deterministic
+    frame index per media row (every k-th 'frame'), carrying the byte
+    offsets a real demuxer would seek to."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+    return (
+        media.select(
+            "doc_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.explode(F.expr("sequence(0, meta.n_bytes - 1, 4)")).alias("frame_offset"),
+        )
+        .withColumn("frame_id", (F.col("frame_offset") / 4).cast("int"))
+        .orderBy("doc_id", "frame_id")
+    )

@@ -1,0 +1,218 @@
+"""Text-analysis operators (BASELINE.json north_star): token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure-columnar (split / higher-order array functions / md5) — no Python
+in the row path, so these run at full codegen speed over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.registry import register
+from datafusion_iceberg_spark.tables import load_table
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "y", "los", "de"),
+}
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
+           LENGTH(text) AS n_chars_computed,
+           n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("n_unique_tokens"),
+        F.size(
+            F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe_ish"),
+        F.length("text").alias("n_chars_computed"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           ROUND(len(list_filter(string_split(text, ' '),
+                                 t -> t IN ('the', 'a', 'of', 'and', 'to')))
+                 * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(len(list_distinct(string_split(text, ' ')))
+                 * 1.0 / len(string_split(text, ' ')), 6) AS ttr,
+           ROUND(LENGTH(text) * 1.0 / len(string_split(text, ' ')), 6) AS avg_tok_len,
+           CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 1000
+                 AND len(list_distinct(string_split(text, ' ')))
+                     * 1.0 / len(string_split(text, ' ')) > 0.05
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword-ratio / type-token-ratio quality gate (the
+    Gopher-rules shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    n_stop = F.expr(f"size(filter(split(text, ' '), t -> t IN ({sw})))")
+    ttr = F.size(F.array_distinct(toks)) / n_toks
+    return docs.select(
+        "doc_id",
+        F.round(n_stop / n_toks, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(F.length("text") / n_toks, 6).alias("avg_tok_len"),
+        F.when((n_toks.between(10, 1000)) & (ttr > 0.05), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    ).orderBy("doc_id")
+
+
+def _lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+
+
+def _lang_hits_spark(lang: str) -> F.Column:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return F.expr(f"size(filter(split(text, ' '), t -> t IN ({words})))")
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_lang_hits('en')} AS hits_en,
+               {_lang_hits('de')} AS hits_de,
+               {_lang_hits('fr')} AS hits_fr,
+               {_lang_hits('es')} AS hits_es
+        FROM documents
+    ),
+    pred AS (
+        SELECT doc_id, lang,
+               CASE WHEN hits_de > hits_en AND hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+                    WHEN hits_fr > hits_en AND hits_fr > hits_de AND hits_fr >= hits_es THEN 'fr'
+                    WHEN hits_es > hits_en AND hits_es > hits_de AND hits_es > hits_fr THEN 'es'
+                    ELSE 'en' END AS pred_lang
+        FROM scored
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n
+    FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic; output = confusion matrix
+    against the labeled ``lang`` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        _lang_hits_spark("en").alias("hits_en"),
+        _lang_hits_spark("de").alias("hits_de"),
+        _lang_hits_spark("fr").alias("hits_fr"),
+        _lang_hits_spark("es").alias("hits_es"),
+    )
+    h = {k: F.col(f"hits_{k}") for k in ("en", "de", "fr", "es")}
+    pred = scored.withColumn(
+        "pred_lang",
+        F.when(
+            (h["de"] > h["en"]) & (h["de"] >= h["fr"]) & (h["de"] >= h["es"]), "de"
+        )
+        .when((h["fr"] > h["en"]) & (h["fr"] > h["de"]) & (h["fr"] >= h["es"]), "fr")
+        .when((h["es"] > h["en"]) & (h["es"] > h["de"]) & (h["es"] > h["fr"]), "es")
+        .otherwise("en"),
+    )
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS vocab_fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive vocabulary fingerprint (sorted distinct tokens →
+    md5) — survives token reordering, the cheap shingle-free near-dup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+        ).alias("vocab_fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_winnow_fingerprint",
+    oracle="""
+    SELECT doc_id, MIN(md5(substr(text, CAST(i AS INTEGER), 16))) AS winnow_fp
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, GREATEST(LENGTH(text) - 15, 1))) AS i
+        FROM documents
+    )
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window fingerprint (winnowing, window = whole doc): min
+    hash over all 16-char character shingles — columnar, no explode
+    shuffle (transform + array_min stay map-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.array_min(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 15, 1)),"
+                " i -> md5(substring(text, i, 16)))"
+            )
+        ).alias("winnow_fp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_frequencies",
+    oracle="""
+    SELECT tok, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY freq DESC, tok LIMIT 50
+    """,
+)
+def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency (the vocabulary-building scan): explode →
+    two-phase hash agg (partial map-side combine keeps the shuffle at
+    |vocab|, not |tokens|)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "tok")
+        .limit(50)
+    )

@@ -1,0 +1,224 @@
+"""Scalar function banks (SURVEY.md §2B: string / math / datetime /
+conditional) — the DataFusion 14 scalar surface re-expressed with
+``pyspark.sql.functions`` (JVM-side, whole-stage-codegen'd; no Python in
+the hot path).
+
+Oracle notes: transcendentals (sin/cos/exp/ln/atan2) are rounded to 6
+decimals on both sides — JVM libm and DuckDB's C libm can differ in the
+last ulp.  IEEE-exact ops (abs/ceil/floor/sqrt/sign) compare unrounded.
+DuckDB's ``regexp_replace`` is first-match-only by default, so the oracle
+passes the ``'g'`` flag to match Spark's replace-all semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.registry import register
+from datafusion_iceberg_spark.tables import load_table
+
+
+@register(
+    "fn_string_bank",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS up_name,
+           LOWER(p_brand) AS low_brand,
+           LENGTH(p_name) AS name_len,
+           SUBSTR(p_name, 1, 8) AS name_prefix,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_name, ' ', '_') AS snake_name,
+           LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           REVERSE(p_brand) AS rev_brand,
+           STRPOS(p_name, 'a') AS first_a,
+           SPLIT_PART(p_type, ' ', 1) AS type_head,
+           TRIM('  ' || p_brand || '  ') AS trimmed,
+           MD5(p_name) AS name_md5,
+           SHA256(p_name) AS name_sha256
+    FROM part ORDER BY p_partkey
+    """,
+)
+def fn_string_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("low_brand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse("p_brand").alias("rev_brand"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_name", 256).alias("name_sha256"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "fn_regexp_bank",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS starred,
+           CASE WHEN regexp_matches(p_type, '^Type[13]') THEN 1 ELSE 0 END AS is_type13
+    FROM part ORDER BY p_partkey
+    """,
+)
+def fn_regexp_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", r"[aeiou]", "*").alias("starred"),
+        F.when(F.col("p_type").rlike(r"^Type[13]"), 1).otherwise(0).alias("is_type13"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "fn_math_bank",
+    oracle="""
+    SELECT s_suppkey,
+           ABS(s_acctbal - 5000) AS abs_centered,
+           CEIL(s_acctbal) AS ceil_bal,
+           FLOOR(s_acctbal) AS floor_bal,
+           ROUND(s_acctbal, 1) AS round_bal,
+           SQRT(ABS(s_acctbal)) AS sqrt_bal,
+           SIGN(s_acctbal - 5000) AS sign_centered,
+           CAST(s_suppkey % 7 AS BIGINT) AS mod7,
+           ROUND(EXP(s_suppkey * 0.1), 6) AS exp_k,
+           ROUND(LN(s_suppkey + 1.0), 6) AS ln_k,
+           ROUND(LOG10(s_suppkey + 1.0), 6) AS log10_k,
+           ROUND(LOG2(s_suppkey + 1.0), 6) AS log2_k,
+           ROUND(POW(s_suppkey, 2.5), 6) AS pow_k,
+           ROUND(SIN(s_suppkey * 0.5), 6) AS sin_k,
+           ROUND(COS(s_suppkey * 0.5), 6) AS cos_k,
+           ROUND(ATAN2(s_suppkey * 1.0, 3.0), 6) AS atan2_k,
+           GREATEST(s_acctbal, 5000.0) AS hi,
+           LEAST(s_acctbal, 5000.0) AS lo
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def fn_math_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        F.abs(F.col("s_acctbal") - 5000).alias("abs_centered"),
+        F.ceil("s_acctbal").alias("ceil_bal"),
+        F.floor("s_acctbal").alias("floor_bal"),
+        F.round("s_acctbal", 1).alias("round_bal"),
+        F.sqrt(F.abs("s_acctbal")).alias("sqrt_bal"),
+        F.signum(F.col("s_acctbal") - 5000).alias("sign_centered"),
+        (k % 7).cast("long").alias("mod7"),
+        F.round(F.exp(k * 0.1), 6).alias("exp_k"),
+        F.round(F.log(k + 1.0), 6).alias("ln_k"),
+        F.round(F.log10(k + 1.0), 6).alias("log10_k"),
+        F.round(F.log2(k + 1.0), 6).alias("log2_k"),
+        F.round(F.pow(k, 2.5), 6).alias("pow_k"),
+        F.round(F.sin(k * 0.5), 6).alias("sin_k"),
+        F.round(F.cos(k * 0.5), 6).alias("cos_k"),
+        F.round(F.atan2(k * 1.0, F.lit(3.0)), 6).alias("atan2_k"),
+        F.greatest("s_acctbal", F.lit(5000.0)).alias("hi"),
+        F.least("s_acctbal", F.lit(5000.0)).alias("lo"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "fn_datetime_bank",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mon,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS dom,
+           CAST(EXTRACT(HOUR FROM o_orderdate) AS INTEGER) AS hr,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day_start,
+           CAST(o_orderdate AS DATE) AS odate,
+           o_orderdate + INTERVAL 30 DAY AS plus30,
+           o_orderdate - INTERVAL 1 HOUR AS minus1h,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
+             AS days_since_epoch_start,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
+    FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+    """,
+)
+def fn_datetime_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.hour("o_orderdate").alias("hr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_trunc("day", "o_orderdate").alias("day_start"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+        (F.col("o_orderdate") + F.expr("INTERVAL '30' DAY")).alias("plus30"),
+        (F.col("o_orderdate") - F.expr("INTERVAL '1' HOUR")).alias("minus1h"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("days_since_epoch_start"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_monthly_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1 ORDER BY order_month
+    """,
+)
+def fn_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc rollup — at scale this is the partition-pruning friendly
+    shape (month aligns with typical time-partitioning)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+@register(
+    "fn_conditional_bank",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           CASE c_mktsegment WHEN 'MACHINERY' THEN 1 WHEN 'AUTOMOBILE' THEN 2 ELSE 0 END
+             AS seg_code,
+           CAST(c_acctbal > 0 AS INTEGER) AS is_positive,
+           IF(c_acctbal > 5000, 'high', 'low') AS bal_band
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def fn_conditional_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.when(F.col("c_mktsegment") == "MACHINERY", 1)
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", 2)
+        .otherwise(0)
+        .alias("seg_code"),
+        (F.col("c_acctbal") > 0).cast("int").alias("is_positive"),
+        F.when(F.col("c_acctbal") > 5000, "high").otherwise("low").alias("bal_band"),
+    ).orderBy("c_custkey")

@@ -1,0 +1,734 @@
+"""Relational operator surface: scans, filters, joins, aggregates,
+subqueries — the query capability the reference exposes by delegating to
+DataFusion 14 (SURVEY.md §2B; reference evidence: stock ``SessionContext``
+usage at datafusion_iceberg/src/table.rs:325-332 and
+datafusion_iceberg_catalog_rest/src/catalog.rs:110-117).
+
+Spark-first notes (100 TB design):
+
+- Every query is declarative (DataFrame / Spark SQL) so Catalyst does
+  predicate pushdown, column pruning, and join planning; nothing here
+  hand-schedules execution.
+- Dimension tables (region/nation/supplier/part/customer) are broadcast —
+  explicitly where the DataFrame API is used, and via
+  ``spark.sql.autoBroadcastJoinThreshold`` for SQL text.  Fact-fact joins
+  (lineitem ⋈ orders) shuffle on the join key; AQE handles skew.
+- Float-sum determinism: money aggregates use
+  ``CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)`` — the decimal sum is
+  order-insensitive and exact, so Spark and DuckDB agree bitwise; a raw
+  double sum would differ in the last ulps depending on partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.registry import register
+from datafusion_iceberg_spark.tables import load_table, sql_query
+
+
+def dsum(expr: str, alias: str) -> str:
+    """Order-insensitive, engine-portable money sum (see module docstring)."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) AS {alias}"
+
+
+def davg(expr: str, alias: str) -> str:
+    """avg = exact decimal sum / count — identical IEEE division in both
+    engines (DuckDB's AVG returns DOUBLE with its own summation order,
+    which would not be bitwise-stable)."""
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def register_sql(name: str, spark_sql: str, oracle: str | None = None) -> None:
+    """Register a query whose Spark SQL text is (usually) also valid DuckDB
+    SQL — one definition, two engines."""
+
+    @register(name, oracle if oracle is not None else spark_sql)
+    def _q(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
+        return sql_query(spark, sf_dir, _sql)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytical queries (adapted to the driver's star schema;
+# o_orderdate / l_shipdate are timestamps in this warehouse)
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum('l_quantity', 'sum_qty')},
+           {dsum('l_extendedprice', 'sum_base_price')},
+           {dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {davg('l_quantity', 'avg_qty')},
+           {davg('l_extendedprice', 'avg_price')},
+           {davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+
+register_sql(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+
+register_sql(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name,
+           {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'REGION#1'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+
+register_sql(
+    "q6_revenue_forecast",
+    f"""
+    SELECT {dsum('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+
+register_sql(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           {dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+register_sql(
+    "q18_large_volume_customer",
+    f"""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           {dsum('l_quantity', 'sum_qty')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+
+register_sql(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+
+register_sql(
+    "q14_promo_effect",
+    f"""
+    SELECT {dsum("CASE WHEN p_type = 'STANDARD' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'promo_revenue')},
+           {dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+    """,
+)
+
+register_sql(
+    "q17_small_quantity_revenue",
+    f"""
+    SELECT {dsum('l_extendedprice', 'total_ext_price')}, COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.8 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l_partkey
+      )
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Join bank — every join type end-to-end (DataFrame API; Catalyst plans the
+# physical join: broadcast for the dims, sort-merge/shuffle-hash otherwise)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_basic",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def join_inner_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT o_orderkey, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey IS NOT NULL
+    ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "right")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey", "c_name")
+        .orderBy("o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, s_suppkey
+    FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+    ORDER BY n_nationkey NULLS FIRST, s_suppkey NULLS FIRST
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        nation.join(supplier, nation.n_nationkey == supplier.s_nationkey, "full_outer")
+        .select("n_nationkey", "n_name", "s_suppkey")
+        .orderBy(
+            F.col("n_nationkey").asc_nulls_first(), F.col("s_suppkey").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 100000)
+    ORDER BY c_custkey
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return region.crossJoin(nation).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@register(
+    "join_non_equi",
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS n_richer_customers
+    FROM supplier JOIN customer ON c_acctbal > s_acctbal
+    GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+)
+def join_non_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join → Spark executes as broadcast-nested-loop; at 100 TB this
+    must bucketize the range key first (see operators/asof.py for the
+    banded pattern)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        F.broadcast(supplier)
+        .join(customer, customer.c_acctbal > supplier.s_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_customers"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "join_multi_key",
+    oracle="""
+    SELECT COUNT(*) AS n_pairs
+    FROM lineitem JOIN supplier
+      ON l_suppkey = s_suppkey AND l_linenumber = CAST(s_nationkey AS INTEGER)
+    """,
+)
+def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cond = (lineitem.l_suppkey == supplier.s_suppkey) & (
+        lineitem.l_linenumber == supplier.s_nationkey.cast("int")
+    )
+    return lineitem.join(F.broadcast(supplier), cond).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation bank
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_basic_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_basic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dec = F.sum(F.col("o_totalprice").cast("decimal(30,8)")).cast("double")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec.alias("sum_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            (dec / F.count("o_totalprice")).alias("avg_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_stddev_variance",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+           ROUND(STDDEV_POP(l_quantity), 6) AS sdp_qty,
+           ROUND(VAR_POP(l_quantity), 6) AS varp_qty
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def agg_stddev_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("sdp_qty"),
+            F.round(F.var_pop("l_quantity"), 6).alias("varp_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "agg_corr_covar",
+    oracle="""
+    SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return lineitem.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey, list_sort(list(n_name)) AS nations
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg with deterministic order (collect_list order is undefined
+    under parallelism → always sort_array before comparing/consuming)."""
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+register_sql(
+    "agg_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+
+register_sql(
+    "agg_rollup",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+
+register_sql(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+
+register_sql(
+    "agg_having",
+    f"""
+    SELECT l_partkey, COUNT(*) AS n_lines, {dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) > 35
+    ORDER BY l_partkey
+    """,
+)
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's exact `percentile` uses the same linear-interpolation
+    definition as DuckDB's quantile_cont."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_approx_count_distinct")  # sketch-based → rows-only check
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch — engine-specific estimates, so no value oracle; the
+    scale path for COUNT(DISTINCT) at 100 TB (no exact shuffle-dedup)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register("agg_percentile_approx")  # sketch-based → rows-only check
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_linestatus")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median")
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / sort / limit / distinct
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "filter_predicates",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'P')
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_orderdate IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+)
+
+register_sql(
+    "filter_case_when",
+    """
+    SELECT CASE WHEN o_totalprice >= 150000 THEN 'big'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+)
+
+register_sql(
+    "sort_multi_key_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey
+    LIMIT 30 OFFSET 10
+    """,
+)
+
+
+@register(
+    "distinct_pairs",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort+limit → Catalyst rewrites to TakeOrderedAndProject (no global
+    sort shuffle; each task keeps a k-heap) — the 100 TB-safe top-k."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "subquery_scalar",
+    """
+    SELECT c_custkey, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer)
+    ORDER BY c_custkey
+    """,
+)
+
+register_sql(
+    "subquery_in",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      AND o_orderstatus = 'F'
+    ORDER BY o_orderkey LIMIT 100
+    """,
+)
+
+register_sql(
+    "subquery_not_in",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+    ORDER BY s_suppkey
+    """,
+)
+
+register_sql(
+    "subquery_correlated_scalar",
+    """
+    SELECT p_partkey, p_retailprice
+    FROM part
+    WHERE p_retailprice > (
+        SELECT AVG(p2.p_retailprice) + 200 FROM part p2 WHERE p2.p_brand = p_brand
+    )
+    ORDER BY p_partkey
+    """,
+)

@@ -1,0 +1,279 @@
+"""Window-function surface (SURVEY.md §2B — ranking, analytic, frames).
+
+Determinism note: window outputs are only oracle-comparable when the ORDER
+BY inside the window is total (ties broken by a unique key) *or* the
+function is order-key-determined (rank/dense_rank/percent_rank/cume_dist
+depend only on the key values, so ties are safe).  Every query here obeys
+that rule — the same discipline keeps results stable across cluster
+re-runs at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.registry import register
+from datafusion_iceberg_spark.tables import load_table
+from datafusion_iceberg_spark.operators.relational import register_sql
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — the canonical window pattern; at 100 TB prefer this
+    over groupBy+collect+sort (single shuffle on the partition key, no
+    driver materialization)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@register(
+    "window_ranking_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS drnk,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity), 9) AS prnk,
+           ROUND(CUME_DIST() OVER (PARTITION BY l_returnflag ORDER BY l_quantity), 9) AS cdist
+    FROM lineitem
+    WHERE l_orderkey < 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def window_ranking_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/percent_rank/cume_dist over tied keys — deterministic
+    because these depend only on the order-key values."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    w = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    return lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 9).alias("prnk"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           LAG(o_totalprice, 2, -1.0) OVER w AS prev2_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.lag("o_totalprice", 2, -1.0).over(w).alias("prev2_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative aggregate with an explicit ROWS frame; decimal-sum inside
+    the frame for cross-engine bitwise equality."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_sliding_rows_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_sum_3
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_sliding_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+        .over(w)
+        .cast("double")
+        .alias("moving_sum_3"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT s_suppkey, s_acctbal,
+           COUNT(*) OVER (ORDER BY s_acctbal
+                          RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)
+             AS n_within_500
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric key — frame membership is value-defined,
+    so ties are safe."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    # PySpark's Window.rangeBetween only takes long offsets; fractional
+    # RANGE bounds go through the SQL window expression.
+    return supplier.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.expr(
+            "COUNT(*) OVER (ORDER BY s_acctbal"
+            " RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)"
+        ).alias("n_within_500"),
+    ).orderBy("s_suppkey")
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey", F.ntile(4).over(w).alias("quartile")
+    ).orderBy("c_custkey")
+
+
+@register(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# Sessionization: gap>threshold cumulative-flag pattern (batch analogue of
+# streaming session windows; see streaming/ for the session_window version).
+register_sql(
+    "window_sessionization",
+    """
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                  + INTERVAL '30' MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    oracle="""
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                  + INTERVAL 30 MINUTE
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)

@@ -1,0 +1,61 @@
+"""Query registry: one named entry per implemented operator.
+
+Each operator from SURVEY.md §2 registers a builder ``(spark, sf_dir) ->
+DataFrame`` plus (when SQL-expressible) an equivalent ANSI-SQL string that
+DuckDB can execute over the same parquet tables.  The driver hash-compares
+the two at sf0.01; our local tests do the same at sf0.001.
+
+Registration is decorator-based so the query and its oracle live side by
+side at the definition site::
+
+    @register("q1_pricing_summary", oracle=\"\"\"SELECT ...\"\"\")
+    def q1(spark, sf_dir):
+        ...
+        return df
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query builder and (optionally) its DuckDB oracle SQL.
+
+    Queries without an oracle get the driver's weaker rows-only check
+    (reserved for genuinely non-SQL-expressible ops: approx sketches,
+    stateful streaming, iterative algorithms).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle.strip()
+        return fn
+
+    return deco
+
+
+def load_all_modules() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import datafusion_iceberg_spark.operators.relational  # noqa: F401
+    import datafusion_iceberg_spark.operators.windows  # noqa: F401
+    import datafusion_iceberg_spark.operators.setops  # noqa: F401
+    import datafusion_iceberg_spark.operators.asof  # noqa: F401
+    import datafusion_iceberg_spark.functions.scalar  # noqa: F401
+    import datafusion_iceberg_spark.functions.json_ops  # noqa: F401
+    import datafusion_iceberg_spark.extensions.dedup  # noqa: F401
+    import datafusion_iceberg_spark.extensions.similarity  # noqa: F401
+    import datafusion_iceberg_spark.extensions.text  # noqa: F401
+    import datafusion_iceberg_spark.extensions.multimodal  # noqa: F401
+    import datafusion_iceberg_spark.iceberg.queries  # noqa: F401

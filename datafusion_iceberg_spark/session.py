@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for the harness (local[N]) and, by the same
+knobs, for a real cluster.
+
+The settings mirror what a 1000-executor deployment would want: AQE on
+(runtime re-plan, skew-join splitting, partition coalescing), shuffle
+partitions sized to parallelism rather than the 200 default, Arrow enabled
+for the Pandas-UDF path, and UTC session time so results are
+timezone-stable against any oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we also (re)apply to driver-provided sessions.
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Parquet scan: keep pushdown on (it is the default; pinned for clarity).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    # rejects; read as long and convert in tables.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def cpus() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "datafusion_iceberg_spark") -> SparkSession:
+    n = cpus()
+    b = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_runtime_confs(spark: SparkSession) -> None:
+    """Best-effort apply of runtime-settable confs to an externally built
+    session (the driver hands us its own SparkSession)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass

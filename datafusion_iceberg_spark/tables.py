@@ -1,0 +1,67 @@
+"""Test-warehouse access: load the driver's parquet tables and register them
+as temp views so queries can be written in either the DataFrame or SQL API.
+
+At 100 TB these reads would be Iceberg tables resolved through
+``datafusion_iceberg_spark.iceberg``; the parquet files here stand in for
+the data-file layer of that stack (same reader path:
+``spark.read.parquet``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ns-precision timestamps arrive as long (nanosAsLong); truncate to
+        # Spark's native microsecond timestamps with integer division (DIV —
+        # a double division would lose precision above 2^53 ns).  DuckDB
+        # performs the same ns→us truncation, so oracles agree.
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLES) -> None:
+    """Register each table as a temp view named after itself (lazy, cheap —
+    just a schema read; no data scan until an action)."""
+    apply_runtime_confs(spark)
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def sql_query(spark: SparkSession, sf_dir: str, sql: str, names=TABLES) -> DataFrame:
+    """Register views then run a SQL query — the standard builder body."""
+    register_views(spark, sf_dir, names)
+    return spark.sql(sql)
