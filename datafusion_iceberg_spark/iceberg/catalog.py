@@ -1,0 +1,156 @@
+"""Warehouse catalog: namespaces → tables/views, with an eager in-memory
+mirror (SURVEY.md §2A A13-A16; reference:
+datafusion_iceberg_catalog_rest/src/{catalog,schema,mirror}.rs).
+
+Layout: ``<warehouse>/<namespace>/<table>/metadata/...`` — the same shape
+as the reference fixture's ``warehouse/nyc/taxis``.
+
+The mirror is built eagerly at construction like ``Mirror::new``
+(mirror.rs:23-53), but **mutations are synchronous** — the reference
+spawns register/drop futures on a LocalPool it never polls, silently
+dropping the remote write (bug #3, SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datafusion_iceberg_spark.iceberg.table import IcebergTable
+from datafusion_iceberg_spark.iceberg.view import IcebergView
+from datafusion_iceberg_spark.iceberg.writer import IcebergWriter
+
+Relation = Union[IcebergTable, IcebergView]
+
+
+class Catalog:
+    """Filesystem-warehouse catalog with a dict mirror."""
+
+    def __init__(self, warehouse: str, name: str = "iceberg"):
+        self.warehouse = os.path.abspath(warehouse)
+        self.name = name
+        os.makedirs(self.warehouse, exist_ok=True)
+        self._mirror: dict[str, Relation] = {}
+        self._load_mirror()
+
+    # -- mirror build (A15) -------------------------------------------------
+
+    def _load_mirror(self) -> None:
+        self._mirror.clear()
+        for ns in self.namespaces():
+            ns_dir = os.path.join(self.warehouse, ns)
+            for entry in sorted(os.listdir(ns_dir)):
+                root = os.path.join(ns_dir, entry)
+                if not os.path.isdir(os.path.join(root, "metadata")):
+                    continue
+                key = f"{ns}.{entry}"
+                try:
+                    if IcebergView.is_view(root):
+                        self._mirror[key] = IcebergView.load(root)
+                    else:
+                        self._mirror[key] = IcebergTable.load(root)
+                except (FileNotFoundError, ValueError, KeyError):
+                    continue  # half-written table: skip, stay consistent
+
+    # -- namespace ops (A13/A14) --------------------------------------------
+
+    def namespaces(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def create_namespace(self, ns: str) -> None:
+        os.makedirs(os.path.join(self.warehouse, ns), exist_ok=True)
+
+    def table_names(self, ns: Optional[str] = None) -> list[str]:
+        keys = sorted(self._mirror)
+        if ns is None:
+            return keys
+        return [k for k in keys if k.startswith(ns + ".")]
+
+    def table_exists(self, ident: str) -> bool:
+        return ident in self._mirror
+
+    def load(self, ident: str) -> Relation:
+        return self._mirror[ident]
+
+    # -- table lifecycle (A16, synchronous) ---------------------------------
+
+    def create_table(
+        self,
+        ident: str,
+        schema: T.StructType,
+        partition_by: Optional[list[str]] = None,
+    ) -> IcebergWriter:
+        ns, name = ident.split(".", 1)
+        self.create_namespace(ns)
+        root = os.path.join(self.warehouse, ns, name)
+        writer = IcebergWriter(root, schema, partition_by)
+        writer.create()
+        self._mirror[ident] = IcebergTable.load(root)
+        return writer
+
+    def writer(self, ident: str) -> IcebergWriter:
+        table = self._mirror[ident]
+        assert isinstance(table, IcebergTable)
+        meta = table.metadata
+        part_cols = meta.partition_column_names()
+        return IcebergWriter(meta.root, meta.struct_type(), part_cols)
+
+    def append(self, ident: str, spark: SparkSession, df: DataFrame) -> int:
+        snap = self.writer(ident).append(spark, df)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)  # refresh snapshot view
+        return snap
+
+    def create_view(self, ident: str, sql: str) -> IcebergView:
+        ns, name = ident.split(".", 1)
+        self.create_namespace(ns)
+        root = os.path.join(self.warehouse, ns, name)
+        view = IcebergView.create(root, sql)
+        self._mirror[ident] = view
+        return view
+
+    def drop(self, ident: str) -> None:
+        """Synchronous drop: mirror AND storage, atomically from the
+        caller's perspective (contrast mirror.rs:146-184 where the storage
+        call is spawned and never polled)."""
+        rel = self._mirror.pop(ident)
+        root = rel.metadata.root if isinstance(rel, IcebergTable) else rel.root
+        shutil.rmtree(root, ignore_errors=True)
+
+    # -- Spark integration --------------------------------------------------
+
+    def attach(self, spark: SparkSession, snapshot_id: Optional[int] = None) -> None:
+        """Register every relation as a temp view ``<ns>_<table>`` (and the
+        bare table name when unambiguous) so SQL can address the catalog —
+        the flattened-name analogue of 3-part resolution
+        (catalog.rs:114-117)."""
+        bare_counts: dict[str, int] = {}
+        for key in self._mirror:
+            bare = key.split(".", 1)[1]
+            bare_counts[bare] = bare_counts.get(bare, 0) + 1
+        # tables first, then views (a view's SQL may reference the tables)
+        items = sorted(
+            self._mirror.items(), key=lambda kv: isinstance(kv[1], IcebergView)
+        )
+        for key, rel in items:
+            ns, bare = key.split(".", 1)
+            df = (
+                rel.to_df(spark)
+                if isinstance(rel, IcebergTable)
+                else rel.to_df(spark)
+            )
+            df.createOrReplaceTempView(f"{ns}_{bare}")
+            if bare_counts[bare] == 1:
+                df.createOrReplaceTempView(bare)
+
+    def sql(self, spark: SparkSession, query: str) -> DataFrame:
+        self.attach(spark)
+        return spark.sql(query)

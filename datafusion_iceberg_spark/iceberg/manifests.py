@@ -1,0 +1,135 @@
+"""Manifest-list and manifest decoding → DataFile records.
+
+Rebuilds the manifest-consumption half of ``iceberg-rs`` the reference
+leans on (SURVEY.md §1.1 "Manifest list / Manifest / DataFile"; consumed
+at datafusion_iceberg/src/pruning_statistics.rs:49-70, 155-195 and
+table.rs:149-161).  All stats maps are normalized to ``{field_id: bytes}``
+— keyed by Iceberg field ID per the spec (not column position; reference
+bug, SURVEY.md §4.4 #1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from datafusion_iceberg_spark.iceberg.avro import read_avro_file
+
+
+@dataclass
+class PartitionSummary:
+    """One entry of a manifest-list 'partitions' array: value range of one
+    partition field across the whole manifest."""
+
+    contains_null: bool
+    contains_nan: Optional[bool]
+    lower_bound: Optional[bytes]
+    upper_bound: Optional[bytes]
+
+
+@dataclass
+class ManifestFile:
+    """One manifest-list row."""
+
+    path: str
+    length: int
+    partition_spec_id: int
+    added_snapshot_id: Optional[int]
+    added_files_count: int
+    existing_files_count: int
+    deleted_files_count: int
+    added_rows_count: Optional[int]
+    existing_rows_count: Optional[int]
+    partitions: list[PartitionSummary] = field(default_factory=list)
+    content: int = 0  # 0=data, 1=deletes (v2)
+
+
+@dataclass
+class DataFile:
+    """One manifest entry's data_file, stats keyed by field ID."""
+
+    path: str
+    file_format: str
+    partition: dict[str, Any]
+    record_count: int
+    file_size_in_bytes: int
+    value_counts: dict[int, int] = field(default_factory=dict)
+    null_value_counts: dict[int, int] = field(default_factory=dict)
+    nan_value_counts: dict[int, int] = field(default_factory=dict)
+    lower_bounds: dict[int, bytes] = field(default_factory=dict)
+    upper_bounds: dict[int, bytes] = field(default_factory=dict)
+    status: int = 1  # manifest-entry status: 0=existing 1=added 2=deleted
+
+
+def _as_int_map(v: Any) -> dict[int, Any]:
+    """Iceberg writes stats maps either as real Avro maps or as arrays of
+    {key, value} records (the k/v-array encoding); accept both."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return {int(k): val for k, val in v.items()}
+    return {int(e["key"]): e["value"] for e in v}
+
+
+def read_manifest_list(path: str) -> list[ManifestFile]:
+    _, records = read_avro_file(path)
+    out = []
+    for r in records:
+        out.append(
+            ManifestFile(
+                path=r["manifest_path"],
+                length=r.get("manifest_length", 0),
+                partition_spec_id=r.get("partition_spec_id", 0),
+                added_snapshot_id=r.get("added_snapshot_id"),
+                added_files_count=r.get("added_data_files_count")
+                or r.get("added_files_count")
+                or 0,
+                existing_files_count=r.get("existing_data_files_count")
+                or r.get("existing_files_count")
+                or 0,
+                deleted_files_count=r.get("deleted_data_files_count")
+                or r.get("deleted_files_count")
+                or 0,
+                added_rows_count=r.get("added_rows_count"),
+                existing_rows_count=r.get("existing_rows_count"),
+                partitions=[
+                    PartitionSummary(
+                        contains_null=p.get("contains_null", False),
+                        contains_nan=p.get("contains_nan"),
+                        lower_bound=p.get("lower_bound"),
+                        upper_bound=p.get("upper_bound"),
+                    )
+                    for p in (r.get("partitions") or [])
+                ],
+                content=r.get("content", 0) or 0,
+            )
+        )
+    return out
+
+
+def read_manifest(path: str) -> list[DataFile]:
+    """Manifest entries; deleted entries (status=2) are dropped — a live
+    scan must not read files removed by the snapshot."""
+    _, records = read_avro_file(path)
+    out = []
+    for r in records:
+        df = r["data_file"]
+        status = r.get("status", 1)
+        if status == 2:
+            continue
+        out.append(
+            DataFile(
+                path=df["file_path"],
+                file_format=str(df.get("file_format", "PARQUET")),
+                partition=dict(df.get("partition") or {}),
+                record_count=df.get("record_count", 0),
+                file_size_in_bytes=df.get("file_size_in_bytes", 0),
+                value_counts=_as_int_map(df.get("value_counts")),
+                null_value_counts=_as_int_map(df.get("null_value_counts")),
+                nan_value_counts=_as_int_map(df.get("nan_value_counts")),
+                lower_bounds=_as_int_map(df.get("lower_bounds")),
+                upper_bounds=_as_int_map(df.get("upper_bounds")),
+                status=status,
+            )
+        )
+    return out

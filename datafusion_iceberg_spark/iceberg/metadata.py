@@ -1,0 +1,269 @@
+"""Iceberg table-metadata model: ``v*.metadata.json`` parsing, schema ↔
+Spark ``StructType`` conversion, snapshot selection (incl. time travel).
+
+Replaces the metadata half of the reference's ``iceberg-rs`` dependency
+(SURVEY.md §2A A12; schema conversion call sites
+datafusion_iceberg/src/table.rs:81-87).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# Schema conversion (A12: iceberg_to_arrow_schema analogue)
+# --------------------------------------------------------------------------
+
+_PRIMITIVE_TO_SPARK: dict[str, T.DataType] = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "time": T.LongType(),  # micros since midnight (Spark has no TimeType)
+    "timestamp": T.TimestampNTZType(),
+    "timestamptz": T.TimestampType(),
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+
+def iceberg_type_to_spark(t: Any) -> T.DataType:
+    if isinstance(t, str):
+        if t in _PRIMITIVE_TO_SPARK:
+            return _PRIMITIVE_TO_SPARK[t]
+        if t.startswith("decimal"):
+            p, s = t[t.index("(") + 1 : t.rindex(")")].split(",")
+            return T.DecimalType(int(p), int(s))
+        if t.startswith("fixed"):
+            return T.BinaryType()
+        raise ValueError(f"unsupported iceberg type {t!r}")
+    tt = t["type"]
+    if tt == "struct":
+        return T.StructType(
+            [
+                T.StructField(
+                    f["name"], iceberg_type_to_spark(f["type"]), not f.get("required")
+                )
+                for f in t["fields"]
+            ]
+        )
+    if tt == "list":
+        return T.ArrayType(
+            iceberg_type_to_spark(t["element"]), not t.get("element-required")
+        )
+    if tt == "map":
+        return T.MapType(
+            iceberg_type_to_spark(t["key"]),
+            iceberg_type_to_spark(t["value"]),
+            not t.get("value-required"),
+        )
+    raise ValueError(f"unsupported iceberg type {t!r}")
+
+
+def spark_type_to_iceberg(dt: T.DataType) -> Any:
+    for name, st in _PRIMITIVE_TO_SPARK.items():
+        if dt == st and name not in ("time", "uuid"):
+            return name
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.IntegerType):
+        return "int"
+    if isinstance(dt, T.ShortType) or isinstance(dt, T.ByteType):
+        return "int"
+    if isinstance(dt, T.ArrayType):
+        raise NotImplementedError("nested list schemas in writer: TODO")
+    raise ValueError(f"unsupported spark type {dt!r}")
+
+
+def schema_to_struct_type(schema_json: dict) -> T.StructType:
+    """Iceberg schema JSON → Spark StructType (field order preserved)."""
+    return T.StructType(
+        [
+            T.StructField(
+                f["name"], iceberg_type_to_spark(f["type"]), not f.get("required")
+            )
+            for f in schema_json["fields"]
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# Table metadata
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class PartitionField:
+    name: str
+    transform: str
+    source_id: int
+    field_id: int
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    timestamp_ms: int
+    manifest_list: str
+    summary: dict
+    schema_id: Optional[int] = None
+
+
+@dataclass
+class TableMetadata:
+    """Parsed v*.metadata.json (format versions 1 and 2)."""
+
+    raw: dict
+    root: str  # actual table root directory on disk
+    location: str  # location recorded in metadata (may differ from root)
+
+    format_version: int = field(init=False)
+    table_uuid: str = field(init=False)
+    last_column_id: int = field(init=False)
+    current_schema: dict = field(init=False)
+    partition_fields: list[PartitionField] = field(init=False)
+    snapshots: list[Snapshot] = field(init=False)
+    current_snapshot_id: Optional[int] = field(init=False)
+    properties: dict = field(init=False)
+
+    def __post_init__(self) -> None:
+        raw = self.raw
+        self.format_version = raw["format-version"]
+        self.table_uuid = raw.get("table-uuid", "")
+        self.last_column_id = raw.get("last-column-id", 0)
+        schemas = raw.get("schemas")
+        if schemas:
+            sid = raw.get("current-schema-id", schemas[-1].get("schema-id", 0))
+            self.current_schema = next(
+                s for s in schemas if s.get("schema-id", 0) == sid
+            )
+        else:
+            self.current_schema = raw["schema"]
+        specs = raw.get("partition-specs")
+        if specs:
+            spec_id = raw.get("default-spec-id", 0)
+            spec = next(s for s in specs if s.get("spec-id", 0) == spec_id)
+            fields = spec["fields"]
+        else:
+            fields = raw.get("partition-spec", [])
+        self.partition_fields = [
+            PartitionField(
+                f["name"], f["transform"], f["source-id"], f.get("field-id", 1000 + i)
+            )
+            for i, f in enumerate(fields)
+        ]
+        self.snapshots = [
+            Snapshot(
+                s["snapshot-id"],
+                s["timestamp-ms"],
+                s["manifest-list"],
+                s.get("summary", {}),
+                s.get("schema-id"),
+            )
+            for s in raw.get("snapshots", [])
+        ]
+        cur = raw.get("current-snapshot-id")
+        self.current_snapshot_id = None if cur in (None, -1) else cur
+        self.properties = raw.get("properties", {})
+
+    # -- schema helpers ---------------------------------------------------
+
+    def struct_type(self) -> T.StructType:
+        return schema_to_struct_type(self.current_schema)
+
+    def field_ids_by_name(self) -> dict[str, int]:
+        return {f["name"]: f["id"] for f in self.current_schema["fields"]}
+
+    def types_by_field_id(self) -> dict[int, Any]:
+        return {f["id"]: f["type"] for f in self.current_schema["fields"]}
+
+    def partition_column_names(self) -> list[str]:
+        by_id = {f["id"]: f["name"] for f in self.current_schema["fields"]}
+        return [by_id.get(pf.source_id, pf.name) for pf in self.partition_fields]
+
+    # -- snapshot selection (time travel) ---------------------------------
+
+    def snapshot(
+        self,
+        snapshot_id: Optional[int] = None,
+        as_of_timestamp_ms: Optional[int] = None,
+    ) -> Optional[Snapshot]:
+        """Current snapshot, or an explicit one (VERSION AS OF), or the
+        latest at/before a timestamp (TIMESTAMP AS OF).  The reference is
+        pinned to the current snapshot (SURVEY.md §2C) — this is the
+        nearly-free generalization the snapshot-parameterized reader buys."""
+        if snapshot_id is not None:
+            for s in self.snapshots:
+                if s.snapshot_id == snapshot_id:
+                    return s
+            raise KeyError(f"snapshot {snapshot_id} not found")
+        if as_of_timestamp_ms is not None:
+            eligible = [s for s in self.snapshots if s.timestamp_ms <= as_of_timestamp_ms]
+            if not eligible:
+                return None
+            return max(eligible, key=lambda s: s.timestamp_ms)
+        if self.current_snapshot_id is None:
+            return None
+        return next(
+            s for s in self.snapshots if s.snapshot_id == self.current_snapshot_id
+        )
+
+    # -- path relocation ---------------------------------------------------
+
+    def localize(self, path: str) -> str:
+        """Map a path recorded in metadata (absolute in the writing env,
+        e.g. '/home/iceberg/warehouse/...') onto the actual on-disk root —
+        the job the reference does with its synthetic per-table object-store
+        URL (table.rs:116-126)."""
+        loc = self.location.rstrip("/")
+        for scheme in ("file://", "s3a://", "s3://"):
+            if path.startswith(scheme):
+                path = path[len(scheme) :]
+            if loc.startswith(scheme):
+                loc = loc[len(scheme) :]
+        if path.startswith(loc + "/"):
+            return os.path.join(self.root, path[len(loc) + 1 :])
+        if path.startswith(loc):
+            return self.root
+        return path  # already local / relative
+
+
+def load_table_metadata(root: str) -> TableMetadata:
+    """Load the latest metadata version from ``<root>/metadata/``:
+    version-hint.text if present, else the highest v*.metadata.json, else
+    the lexicographically-last *.metadata.json (Java naming)."""
+    meta_dir = os.path.join(root, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    path = None
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            v = fh.read().strip()
+        cand = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if os.path.exists(cand):
+            path = cand
+    if path is None:
+        versioned = glob.glob(os.path.join(meta_dir, "v*.metadata.json"))
+        if versioned:
+            path = max(
+                versioned,
+                key=lambda p: int(
+                    os.path.basename(p).split(".")[0].lstrip("v") or -1
+                ),
+            )
+    if path is None:
+        anymeta = sorted(glob.glob(os.path.join(meta_dir, "*.metadata.json")))
+        if not anymeta:
+            raise FileNotFoundError(f"no metadata json under {meta_dir}")
+        path = anymeta[-1]
+    with open(path) as fh:
+        raw = json.load(fh)
+    return TableMetadata(raw=raw, root=root, location=raw.get("location", root))

@@ -1,0 +1,264 @@
+"""Two-level statistics pruning (SURVEY.md §2A A2-A5) — the reference's
+``PruningStatistics`` machinery (datafusion_iceberg/src/
+pruning_statistics.rs:34-196) rebuilt as a conservative driver-side
+interval evaluator.
+
+Design invariants (mirroring the reference's, minus its bugs):
+
+- **Conservative**: a predicate evaluates to "maybe" whenever bounds are
+  missing or the operator is unsupported ⇒ the file is KEPT.  Correctness
+  never depends on pruning — Spark re-applies the full filter after the
+  scan (reference: filters forwarded to ParquetExec, table.rs:291-293).
+- **Field-ID keyed**: bounds are looked up by Iceberg field ID via the
+  schema (reference bug #1, SURVEY.md §4.4).
+- Runs on the driver *before* any DataFrame exists, so no Catalyst rule
+  is involved — this is metadata pruning, one level above the row-group
+  pruning Spark's parquet reader does on its own.
+
+Predicates are a tiny tuple AST (also convertible to a Spark SQL string
+for re-filtering)::
+
+    ("and", p, q) ("or", p, q) ("not", p)
+    ("=" | "!=" | "<" | "<=" | ">" | ">=", col, value)
+    ("in", col, [v, ...])  ("between", col, lo, hi)
+    ("isnull", col)  ("notnull", col)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from datafusion_iceberg_spark.iceberg.manifests import DataFile, ManifestFile
+from datafusion_iceberg_spark.iceberg.metadata import TableMetadata
+from datafusion_iceberg_spark.iceberg.stats import decode_stat
+
+Pred = tuple
+
+
+class ColumnStats:
+    """Decoded (lower, upper, null_count, value_count) for one column of
+    one container (file or manifest-partition-summary)."""
+
+    __slots__ = ("lower", "upper", "null_count", "value_count")
+
+    def __init__(self, lower, upper, null_count, value_count):
+        self.lower = lower
+        self.upper = upper
+        self.null_count = null_count
+        self.value_count = value_count
+
+
+MAYBE = None  # three-valued logic: True=always, False=never, None=maybe
+
+
+def _cmp_maybe(op: str, st: ColumnStats, v: Any) -> Optional[bool]:
+    """Can `col <op> v` be true for any row given [lower, upper]?"""
+    lo, hi = st.lower, st.upper
+    if v is None:
+        return False  # comparisons with NULL match nothing
+    try:
+        if op == "=":
+            if lo is not None and lo > v:
+                return False
+            if hi is not None and hi < v:
+                return False
+            return MAYBE
+        if op == "<":
+            if lo is not None and lo >= v:
+                return False
+            return MAYBE
+        if op == "<=":
+            if lo is not None and lo > v:
+                return False
+            return MAYBE
+        if op == ">":
+            if hi is not None and hi <= v:
+                return False
+            return MAYBE
+        if op == ">=":
+            if hi is not None and hi < v:
+                return False
+            return MAYBE
+        if op == "!=":
+            # only prunable when the file is a single constant == v
+            if lo is not None and hi is not None and lo == hi == v:
+                if not st.null_count:
+                    return False
+            return MAYBE
+    except TypeError:
+        return MAYBE  # incomparable types (e.g. decoded None) → keep
+    return MAYBE
+
+
+def evaluate(pred: Pred, stats: dict[str, ColumnStats]) -> Optional[bool]:
+    """Three-valued 'can any row match?'.  False ⇒ container provably
+    empty for the predicate ⇒ safe to skip."""
+    op = pred[0]
+    if op == "and":
+        results = [evaluate(p, stats) for p in pred[1:]]
+        if any(r is False for r in results):
+            return False
+        if all(r is True for r in results):
+            return True
+        return MAYBE
+    if op == "or":
+        results = [evaluate(p, stats) for p in pred[1:]]
+        if any(r is not False for r in results):
+            return MAYBE if not all(r is True for r in results) else True
+        return False
+    if op == "not":
+        inner = pred[1]
+        if inner[0] == "isnull":
+            return evaluate(("notnull", inner[1]), stats)
+        if inner[0] == "notnull":
+            return evaluate(("isnull", inner[1]), stats)
+        return MAYBE  # conservative: cannot invert interval logic safely
+    col = pred[1]
+    st = stats.get(col)
+    if st is None:
+        return MAYBE  # no stats for this column → keep
+    if op == "isnull":
+        if st.null_count == 0 and st.null_count is not None:
+            return False
+        return MAYBE
+    if op == "notnull":
+        if (
+            st.null_count is not None
+            and st.value_count is not None
+            and st.null_count == st.value_count
+        ):
+            return False
+        return MAYBE
+    if op == "in":
+        results = [_cmp_maybe("=", st, v) for v in pred[2]]
+        if all(r is False for r in results):
+            return False
+        return MAYBE
+    if op == "between":
+        lo_ok = _cmp_maybe(">=", st, pred[2])
+        hi_ok = _cmp_maybe("<=", st, pred[3])
+        if lo_ok is False or hi_ok is False:
+            return False
+        return MAYBE
+    if op in ("=", "!=", "<", "<=", ">", ">="):
+        return _cmp_maybe(op, st, pred[2])
+    return MAYBE  # unknown operator → keep (conservative)
+
+
+def pred_to_sql(pred: Pred) -> str:
+    """Render the tuple AST as a Spark SQL boolean expression (for the
+    exactness re-filter after pruning)."""
+
+    def lit(v: Any) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if hasattr(v, "isoformat"):
+            s = v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+            kind = "TIMESTAMP" if hasattr(v, "hour") else "DATE"
+            return f"{kind} '{s}'"
+        return repr(v)
+
+    op = pred[0]
+    if op in ("and", "or"):
+        return "(" + f" {op.upper()} ".join(pred_to_sql(p) for p in pred[1:]) + ")"
+    if op == "not":
+        return f"(NOT {pred_to_sql(pred[1])})"
+    col = f"`{pred[1]}`"
+    if op == "isnull":
+        return f"({col} IS NULL)"
+    if op == "notnull":
+        return f"({col} IS NOT NULL)"
+    if op == "in":
+        return f"({col} IN (" + ", ".join(lit(v) for v in pred[2]) + "))"
+    if op == "between":
+        return f"({col} BETWEEN {lit(pred[2])} AND {lit(pred[3])})"
+    return f"({col} {op} {lit(pred[2])})"
+
+
+def referenced_columns(pred: Pred) -> set[str]:
+    op = pred[0]
+    if op in ("and", "or", "not"):
+        out: set[str] = set()
+        for p in pred[1:]:
+            out |= referenced_columns(p)
+        return out
+    return {pred[1]}
+
+
+# --------------------------------------------------------------------------
+# Level 1: manifest pruning via partition summaries  (A2)
+# --------------------------------------------------------------------------
+
+
+def prune_manifests(
+    manifests: list[ManifestFile], pred: Optional[Pred], meta: TableMetadata
+) -> list[ManifestFile]:
+    """Keep manifests whose partition-summary ranges may satisfy pred.
+    Summaries are positional per partition-spec field; values decode with
+    the *source column's* type (reference consumes the same summaries at
+    pruning_statistics.rs:49-70 but looks types up by position — we key by
+    source field ID)."""
+    if pred is None:
+        return manifests
+    types_by_id = meta.types_by_field_id()
+    part_cols = meta.partition_column_names()
+    kept = []
+    for mf in manifests:
+        stats: dict[str, ColumnStats] = {}
+        for i, pf in enumerate(meta.partition_fields):
+            if i >= len(mf.partitions) or pf.transform != "identity":
+                continue  # no summary / non-identity transform → no stats
+            ps = mf.partitions[i]
+            t = types_by_id.get(pf.source_id)
+            if t is None or not isinstance(t, str):
+                continue
+            stats[part_cols[i]] = ColumnStats(
+                decode_stat(t, ps.lower_bound),
+                decode_stat(t, ps.upper_bound),
+                0 if not ps.contains_null else None,
+                None,
+            )
+        if evaluate(pred, stats) is not False:
+            kept.append(mf)
+    return kept
+
+
+# --------------------------------------------------------------------------
+# Level 2: data-file pruning via per-column bounds  (A3 + A4)
+# --------------------------------------------------------------------------
+
+
+def prune_data_files(
+    files: list[DataFile], pred: Optional[Pred], meta: TableMetadata
+) -> list[DataFile]:
+    """Keep data files whose per-column [lower, upper] / null counts may
+    satisfy pred.  Bounds maps are keyed by field ID (spec) and looked up
+    through the name→ID schema mapping."""
+    if pred is None:
+        return files
+    ids_by_name = meta.field_ids_by_name()
+    types_by_id = meta.types_by_field_id()
+    cols = referenced_columns(pred)
+    kept = []
+    for f in files:
+        stats: dict[str, ColumnStats] = {}
+        for name in cols:
+            fid = ids_by_name.get(name)
+            if fid is None:
+                continue
+            t = types_by_id.get(fid)
+            if not isinstance(t, str):
+                continue
+            stats[name] = ColumnStats(
+                decode_stat(t, f.lower_bounds.get(fid)),
+                decode_stat(t, f.upper_bounds.get(fid)),
+                f.null_value_counts.get(fid),
+                f.value_counts.get(fid),
+            )
+        if evaluate(pred, stats) is not False:
+            kept.append(f)
+    return kept

@@ -1,7 +1,219 @@
-"""Iceberg round-trip queries for the driver oracle.
+"""Iceberg round-trip queries for the driver oracle (SURVEY.md §3 E1-E3).
 
-Filled in by the Iceberg phase (metadata reader + scan + write path):
-each query materializes an Iceberg table from the sf_dir parquet, reads it
-back through :class:`IcebergTable`, and runs SQL — oracled against plain
-SQL over the original parquet.
+Each query materializes (once per sf_dir, cached) an Iceberg warehouse
+under ``.scratch/`` from the driver's parquet, then answers through the
+Iceberg stack — metadata JSON → manifest Avro → pruning → Spark scan —
+so the correctness gate exercises the rebuilt §2A machinery end-to-end.
+Oracles run plain SQL over the original parquet: if the Iceberg layer
+drops/duplicates/retypes anything, the hash comparison fails.
 """
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.iceberg.catalog import Catalog
+from datafusion_iceberg_spark.iceberg.table import IcebergTable
+from datafusion_iceberg_spark.registry import register
+from datafusion_iceberg_spark.tables import load_table
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+
+_lock = threading.Lock()
+_warehouses: dict[str, "IcebergFixture"] = {}
+
+
+class IcebergFixture:
+    """One warehouse per sf_dir: orders (partitioned, 2 snapshots split by
+    orderkey parity — snapshot 1 = even keys only) + nation + a view."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        self.root = os.path.join(SCRATCH, f"wh_{tag}")
+        marker = os.path.join(self.root, "_COMPLETE")
+        self.catalog: Catalog
+        if os.path.exists(marker):
+            self.catalog = Catalog(self.root)
+        else:
+            import shutil
+
+            shutil.rmtree(self.root, ignore_errors=True)
+            cat = Catalog(self.root)
+            orders = load_table(spark, sf_dir, "orders")
+            even = orders.filter(F.col("o_orderkey") % 2 == 0)
+            odd = orders.filter(F.col("o_orderkey") % 2 != 0)
+            cat.create_table(
+                "sales.orders", orders.schema, partition_by=["o_orderstatus"]
+            )
+            self.snap1 = cat.append("sales.orders", spark, even)
+            self.snap2 = cat.append("sales.orders", spark, odd)
+            nation = load_table(spark, sf_dir, "nation")
+            cat.create_table("ref.nation", nation.schema)
+            cat.append("ref.nation", spark, nation)
+            cat.create_view(
+                "sales.orders_by_status",
+                "SELECT o_orderstatus, COUNT(*) AS n_orders,"
+                " CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue"
+                " FROM sales_orders GROUP BY o_orderstatus",
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+            self.catalog = cat
+        table = self.catalog.load("sales.orders")
+        assert isinstance(table, IcebergTable)
+        self.orders = table
+        snaps = sorted(
+            self.orders.metadata.snapshots, key=lambda s: s.timestamp_ms
+        )
+        self.snap1 = snaps[0].snapshot_id
+        self.snap2 = snaps[-1].snapshot_id
+
+
+def fixture(spark: SparkSession, sf_dir: str) -> IcebergFixture:
+    with _lock:
+        fx = _warehouses.get(sf_dir)
+        if fx is None:
+            fx = IcebergFixture(spark, sf_dir)
+            _warehouses[sf_dir] = fx
+        return fx
+
+
+@register(
+    "iceberg_scan_agg",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: SQL over a registered Iceberg table (metadata → manifests →
+    parquet scan → Catalyst agg)."""
+    fx = fixture(spark, sf_dir)
+    fx.orders.to_df(spark).createOrReplaceTempView("ice_orders")
+    return spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n_orders,"
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue"
+        " FROM ice_orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+
+
+@register(
+    "iceberg_partition_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+    ORDER BY o_orderkey
+    """,
+)
+def iceberg_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: manifest-level pruning on the partition column — only files in
+    partition F are opened (asserted in tests); result stays exact via the
+    re-filter."""
+    fx = fixture(spark, sf_dir)
+    pred = ("and", ("=", "o_orderstatus", "F"), (">", "o_totalprice", 100000))
+    return (
+        fx.orders.to_df(spark, filters=pred)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "iceberg_stats_pruned_scan",
+    oracle="""
+    SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
+    """,
+)
+def iceberg_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4: file-level pruning via per-column bounds decoded from
+    manifest entry stats (field-ID keyed)."""
+    fx = fixture(spark, sf_dir)
+    pred = ("between", "o_orderkey", 100, 2000)
+    return fx.orders.to_df(spark, filters=pred).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "iceberg_time_travel",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-parameterized read (VERSION AS OF): snapshot 1 contains
+    exactly the even orderkeys; the oracle reconstructs that subset."""
+    fx = fixture(spark, sf_dir)
+    return fx.orders.to_df(spark, snapshot_id=fx.snap1).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
+    "iceberg_view_query",
+    oracle="""
+    SELECT o_orderstatus, n_orders, revenue FROM (
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_orderstatus
+    ) ORDER BY o_orderstatus
+    """,
+)
+def iceberg_view_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: query an Iceberg *view* — stored SQL re-planned at scan time
+    against the current session (view body references the iceberg table's
+    temp view)."""
+    fx = fixture(spark, sf_dir)
+    fx.catalog.attach(spark)
+    return spark.sql(
+        "SELECT o_orderstatus, n_orders, revenue FROM sales_orders_by_status"
+        " ORDER BY o_orderstatus"
+    )
+
+
+@register(
+    "iceberg_catalog_join",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_orders
+    FROM orders JOIN nation ON o_custkey % 25 = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def iceberg_catalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: multi-table catalog resolution — two namespaces (sales, ref)
+    joined through the mirror's flattened names."""
+    fx = fixture(spark, sf_dir)
+    return fx.catalog.sql(
+        spark,
+        "SELECT n_name, COUNT(*) AS n_orders"
+        " FROM sales_orders JOIN ref_nation ON o_custkey % 25 = n_nationkey"
+        " GROUP BY n_name ORDER BY n_name",
+    )
+
+
+@register(
+    "iceberg_metadata_stats",
+    oracle="SELECT COUNT(*) AS num_rows FROM orders",
+)
+def iceberg_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: table statistics answered purely from manifest metadata — no
+    data scan at all (num_rows from added_rows_count; reference bug #2
+    summed file counts)."""
+    fx = fixture(spark, sf_dir)
+    stats = fx.orders.statistics()
+    return spark.createDataFrame(
+        [(stats["num_rows"],)], "num_rows bigint"
+    )

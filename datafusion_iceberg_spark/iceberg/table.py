@@ -1,0 +1,219 @@
+"""IcebergTable — the Spark analogue of the reference's
+``DataFusionTable`` scan path (SURVEY.md §2A A1, A6-A10;
+datafusion_iceberg/src/table.rs:94-296): metadata → snapshot →
+manifest-list → manifests → two-level pruning → file list →
+``spark.read.parquet``.
+
+Division of labor at 100 TB: everything in this file is *driver-side
+metadata work* over a few thousand manifest rows; the data path
+(parquet scan, filters, shuffles) is pure Catalyst/Tungsten across the
+executors.  Pruning here skips whole files without opening them; Spark's
+parquet reader then re-prunes surviving files at row-group granularity
+from their footers — the same two tiers the reference has
+(PruningPredicate, then ParquetExec row-group pruning).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.iceberg.manifests import (
+    DataFile,
+    read_manifest,
+    read_manifest_list,
+)
+from datafusion_iceberg_spark.iceberg.metadata import (
+    TableMetadata,
+    iceberg_type_to_spark,
+    load_table_metadata,
+)
+from datafusion_iceberg_spark.iceberg.pruning import (
+    Pred,
+    pred_to_sql,
+    prune_data_files,
+    prune_manifests,
+)
+from datafusion_iceberg_spark.iceberg.stats import decode_stat
+
+
+class IcebergTable:
+    """Read path for one Iceberg table rooted at a local/posix directory."""
+
+    def __init__(self, metadata: TableMetadata):
+        self.metadata = metadata
+
+    @classmethod
+    def load(cls, root: str) -> "IcebergTable":
+        """Analogue of Table::load_file_system_table (table.rs:319-323)."""
+        return cls(load_table_metadata(root))
+
+    # -- file planning ------------------------------------------------------
+
+    def manifests(
+        self,
+        snapshot_id: Optional[int] = None,
+        as_of_timestamp_ms: Optional[int] = None,
+    ):
+        snap = self.metadata.snapshot(snapshot_id, as_of_timestamp_ms)
+        if snap is None:
+            return []
+        path = self.metadata.localize(snap.manifest_list)
+        return [m for m in read_manifest_list(path) if m.content == 0]
+
+    def files(
+        self,
+        filters: Optional[Pred] = None,
+        snapshot_id: Optional[int] = None,
+        as_of_timestamp_ms: Optional[int] = None,
+    ) -> list[DataFile]:
+        """List live data files for a snapshot with two-level pruning:
+        manifest partition summaries first (skips whole manifests without
+        reading them — table.rs:136-138), then per-file column bounds
+        (table.rs:143-145)."""
+        manifests = self.manifests(snapshot_id, as_of_timestamp_ms)
+        manifests = prune_manifests(manifests, filters, self.metadata)
+        files: list[DataFile] = []
+        for mf in manifests:
+            files.extend(read_manifest(self.metadata.localize(mf.path)))
+        return prune_data_files(files, filters, self.metadata)
+
+    # -- statistics (A10, with reference bug #2 fixed) ---------------------
+
+    def statistics(
+        self, snapshot_id: Optional[int] = None
+    ) -> dict[str, Any]:
+        """num_rows/total_bytes from manifest-list row counts.  Uses
+        ``added_rows_count + existing_rows_count`` — NOT file counts
+        (reference bug: statistics.rs:29-31 sums added_files_count into
+        num_rows)."""
+        num_rows = 0
+        total_files = 0
+        rows_known = True
+        for mf in self.manifests(snapshot_id):
+            total_files += mf.added_files_count + mf.existing_files_count
+            if mf.added_rows_count is None:
+                rows_known = False
+            else:
+                num_rows += (mf.added_rows_count or 0) + (mf.existing_rows_count or 0)
+        return {
+            "num_rows": num_rows if rows_known else None,
+            "num_files": total_files,
+            "is_exact": rows_known,
+        }
+
+    # -- scan (A1) ----------------------------------------------------------
+
+    def to_df(
+        self,
+        spark: SparkSession,
+        filters: Optional[Pred] = None,
+        snapshot_id: Optional[int] = None,
+        as_of_timestamp_ms: Optional[int] = None,
+        columns: Optional[list[str]] = None,
+    ) -> DataFrame:
+        """Plan the scan: pruned file list → ``spark.read.parquet`` with the
+        table schema → exact re-filter → optional projection.
+
+        Pruning is only a file-skip; the full predicate is re-applied by
+        Spark (and pushed into the parquet reader by Catalyst), so results
+        are exact even when stats were missing or wrong — the same
+        correctness contract as the reference (filters forwarded to the
+        physical plan, table.rs:291-293).
+        """
+        meta = self.metadata
+        files = self.files(filters, snapshot_id, as_of_timestamp_ms)
+        st = meta.struct_type()
+        if not files:
+            return spark.createDataFrame([], st)
+
+        paths = [meta.localize(f.path) for f in files]
+        part_cols = meta.partition_column_names()
+
+        # Identity-transform partition values normally also exist inside
+        # the data files (fixture and our writer both do this).  If a file
+        # schema omits them, attach from manifest partition_values with
+        # native types (reference bug #4: it stringifies them).
+        missing_part_cols = [c for c in part_cols if not _file_has_column(paths[0], c)]
+        if missing_part_cols:
+            df = _read_groups_with_partition_values(
+                spark, meta, files, missing_part_cols
+            )
+        else:
+            read_schema = st
+            df = spark.read.schema(read_schema).parquet(*paths)
+
+        if filters is not None:
+            df = df.filter(pred_to_sql(filters))
+        if columns:
+            df = df.select(*columns)
+        return df
+
+
+def _file_has_column(path: str, col: str) -> bool:
+    try:
+        import pyarrow.parquet as pq
+
+        return col in pq.read_schema(path).names
+    except Exception:
+        return True  # assume present; read will surface real errors
+
+
+def _read_groups_with_partition_values(
+    spark: SparkSession,
+    meta: TableMetadata,
+    files: list[DataFile],
+    missing: list[str],
+) -> DataFrame:
+    """Group files by partition tuple (A6) and attach the missing partition
+    columns as typed literals per group — the Spark rendering of the
+    reference's schema-split + projection remap (table.rs:232-279), with
+    Catalyst's name resolution replacing the positional remapping."""
+    types_by_id = meta.types_by_field_id()
+    ids_by_name = meta.field_ids_by_name()
+    st = meta.struct_type()
+    read_fields = [f for f in st.fields if f.name not in missing]
+    from pyspark.sql import types as T
+
+    read_schema = T.StructType(read_fields)
+
+    groups: dict[tuple, list[str]] = {}
+    part_values: dict[tuple, dict[str, Any]] = {}
+    for f in files:
+        key = tuple(sorted(f.partition.items()))
+        groups.setdefault(key, []).append(meta.localize(f.path))
+        part_values[key] = f.partition
+
+    parts = []
+    for key, paths in groups.items():
+        df = spark.read.schema(read_schema).parquet(*paths)
+        for col in missing:
+            raw = part_values[key].get(col)
+            spark_t = iceberg_type_to_spark(types_by_id[ids_by_name[col]])
+            # manifest partition values for identity transforms are already
+            # typed python scalars from Avro decoding; cast pins the type
+            df = df.withColumn(col, F.lit(raw).cast(spark_t))
+        parts.append(df.select(*[f.name for f in st.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def min_max_by_field(table: IcebergTable, field_name: str):
+    """Decoded (min, max) across live files for one column — metadata-only
+    answer, no data scan (useful for tests and planning)."""
+    meta = table.metadata
+    fid = meta.field_ids_by_name()[field_name]
+    t = meta.types_by_field_id()[fid]
+    los, his = [], []
+    for f in table.files():
+        lo = decode_stat(t, f.lower_bounds.get(fid))
+        hi = decode_stat(t, f.upper_bounds.get(fid))
+        if lo is not None:
+            los.append(lo)
+        if hi is not None:
+            his.append(hi)
+    return (min(los) if los else None, max(his) if his else None)

@@ -1,0 +1,157 @@
+"""Iceberg views: stored SQL + declared schema, expanded at query time
+(SURVEY.md §2A A11; reference: view branch of scan,
+datafusion_iceberg/src/table.rs:102-112, creation at table.rs:392-403).
+
+The reference re-parses the stored SQL against the current session at
+every scan; ``View.to_df`` does exactly that with ``spark.sql`` —
+Catalyst then optimizes outer query + view body as one tree, the same
+inlining ``ViewTable`` performs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as uuidlib
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergView:
+    """View metadata (Iceberg view-spec shaped, format-version 1)."""
+
+    def __init__(self, raw: dict, root: str):
+        self.raw = raw
+        self.root = root
+
+    # -- creation -----------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        root: str,
+        sql: str,
+        schema_json: Optional[dict] = None,
+        dialect: str = "spark",
+    ) -> "IcebergView":
+        """Persist view metadata (analogue of ViewBuilder::
+        new_filesystem_view().commit(), table.rs:392-403)."""
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        now = int(time.time() * 1000)
+        raw = {
+            "view-uuid": str(uuidlib.uuid4()),
+            "format-version": 1,
+            "location": root,
+            "current-version-id": 1,
+            "versions": [
+                {
+                    "version-id": 1,
+                    "timestamp-ms": now,
+                    "schema-id": 0,
+                    "summary": {"operation": "create"},
+                    "representations": [
+                        {"type": "sql", "sql": sql, "dialect": dialect}
+                    ],
+                    "default-namespace": [],
+                }
+            ],
+            "version-log": [{"timestamp-ms": now, "version-id": 1}],
+            "schemas": [schema_json] if schema_json else [],
+            "properties": {},
+        }
+        view = cls(raw, root)
+        view._commit(1)
+        return view
+
+    def replace(self, sql: str, dialect: str = "spark") -> None:
+        """New view version with updated SQL (versioned like snapshots)."""
+        now = int(time.time() * 1000)
+        vid = self.raw["current-version-id"] + 1
+        self.raw["versions"].append(
+            {
+                "version-id": vid,
+                "timestamp-ms": now,
+                "schema-id": 0,
+                "summary": {"operation": "replace"},
+                "representations": [{"type": "sql", "sql": sql, "dialect": dialect}],
+                "default-namespace": [],
+            }
+        )
+        self.raw["current-version-id"] = vid
+        self.raw["version-log"].append({"timestamp-ms": now, "version-id": vid})
+        self._commit(self._current_metadata_version() + 1)
+
+    def _current_metadata_version(self) -> int:
+        import glob
+
+        vs = glob.glob(os.path.join(self.root, "metadata", "v*.metadata.json"))
+        return max(
+            (int(os.path.basename(p).split(".")[0][1:]) for p in vs), default=0
+        )
+
+    def _commit(self, version: int) -> None:
+        meta_dir = os.path.join(self.root, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        tmp = os.path.join(meta_dir, f".v{version}.metadata.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(self.raw, fh, indent=1)
+        os.rename(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
+        with open(os.path.join(meta_dir, ".hint.tmp"), "w") as fh:
+            fh.write(str(version))
+        os.rename(
+            os.path.join(meta_dir, ".hint.tmp"),
+            os.path.join(meta_dir, "version-hint.text"),
+        )
+
+    # -- loading ------------------------------------------------------------
+
+    @classmethod
+    def load(cls, root: str) -> "IcebergView":
+        import glob
+
+        meta_dir = os.path.join(root, "metadata")
+        hint = os.path.join(meta_dir, "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as fh:
+                v = int(fh.read().strip())
+            path = os.path.join(meta_dir, f"v{v}.metadata.json")
+        else:
+            path = sorted(glob.glob(os.path.join(meta_dir, "v*.metadata.json")))[-1]
+        with open(path) as fh:
+            return cls(json.load(fh), root)
+
+    @staticmethod
+    def is_view(root: str) -> bool:
+        import glob
+
+        for p in glob.glob(os.path.join(root, "metadata", "v*.metadata.json")):
+            try:
+                with open(p) as fh:
+                    return "view-uuid" in json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                continue
+        return False
+
+    # -- expansion (A11) ----------------------------------------------------
+
+    def sql(self, dialect: str = "spark") -> str:
+        vid = self.raw["current-version-id"]
+        version = next(
+            v for v in self.raw["versions"] if v["version-id"] == vid
+        )
+        reps = version["representations"]
+        for r in reps:
+            if r["type"] == "sql" and r.get("dialect", "spark") == dialect:
+                return r["sql"]
+        for r in reps:  # any SQL representation as fallback
+            if r["type"] == "sql":
+                return r["sql"]
+        raise ValueError("view has no SQL representation")
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """Re-plan the stored SQL against the current session state —
+        the reference's scan-time DFParser + statement_to_plan
+        (table.rs:106-108) is Catalyst's job here."""
+        return spark.sql(self.sql())

@@ -1,0 +1,529 @@
+"""Iceberg write path (SURVEY.md §7 phase 6 — beyond reference parity,
+which is read-only per §2C): create table, append Spark DataFrames,
+commit snapshots atomically.
+
+Layout written (Iceberg v1):
+
+    <root>/metadata/v{N}.metadata.json      table metadata, snapshot log
+    <root>/metadata/version-hint.text       latest version pointer
+    <root>/metadata/snap-{id}.avro          manifest list
+    <root>/metadata/{uuid}-m{i}.avro        manifest
+    <root>/data/[<part>=<val>/]*.parquet    data files (written by Spark)
+
+Scale notes: data files are written by executors
+(``df.write.parquet``) — the driver only lists the output directory and
+reads parquet *footers* (pyarrow) to build per-file stats, so commit cost
+scales with file count, not data size.  Stats bounds are encoded with
+Iceberg single-value serialization keyed by field ID.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+import uuid as uuidlib
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datafusion_iceberg_spark.iceberg.avro import write_avro_file
+from datafusion_iceberg_spark.iceberg.metadata import spark_type_to_iceberg
+from datafusion_iceberg_spark.iceberg.stats import encode_stat
+
+# --- Avro schemas for manifest + manifest list (Iceberg v1 spec layout,
+# required fields only — our reader and the spec's optional-field rules
+# both tolerate the omissions) ---------------------------------------------
+
+
+def _nullable(t: Any) -> list:
+    return ["null", t]
+
+
+def _manifest_schema(partition_fields: list[dict]) -> dict:
+    part_record = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": f["name"], "type": _nullable(f["avro_type"]), "default": None}
+            for f in partition_fields
+        ],
+    }
+    int_long_map = {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": "k_v_long",
+            "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "long"},
+            ],
+        },
+        "logicalType": "map",
+    }
+    int_bytes_map = {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": "k_v_bytes",
+            "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": "bytes"},
+            ],
+        },
+        "logicalType": "map",
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "partition", "type": part_record},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+            {"name": "block_size_in_bytes", "type": "long"},
+            {"name": "value_counts", "type": _nullable(int_long_map), "default": None},
+            {
+                "name": "null_value_counts",
+                "type": _nullable(
+                    {**int_long_map, "items": {**int_long_map["items"], "name": "k_v_long2"}}
+                ),
+                "default": None,
+            },
+            {"name": "lower_bounds", "type": _nullable(int_bytes_map), "default": None},
+            {
+                "name": "upper_bounds",
+                "type": _nullable(
+                    {**int_bytes_map, "items": {**int_bytes_map["items"], "name": "k_v_bytes2"}}
+                ),
+                "default": None,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": _nullable("long"), "default": None},
+            {"name": "data_file", "type": data_file},
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": _nullable("long"), "default": None},
+        {"name": "added_data_files_count", "type": _nullable("int"), "default": None},
+        {"name": "existing_data_files_count", "type": _nullable("int"), "default": None},
+        {"name": "deleted_data_files_count", "type": _nullable("int"), "default": None},
+        {
+            "name": "partitions",
+            "type": _nullable(
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean"},
+                            {"name": "contains_nan", "type": _nullable("boolean"), "default": None},
+                            {"name": "lower_bound", "type": _nullable("bytes"), "default": None},
+                            {"name": "upper_bound", "type": _nullable("bytes"), "default": None},
+                        ],
+                    },
+                }
+            ),
+            "default": None,
+        },
+        {"name": "added_rows_count", "type": _nullable("long"), "default": None},
+        {"name": "existing_rows_count", "type": _nullable("long"), "default": None},
+        {"name": "deleted_rows_count", "type": _nullable("long"), "default": None},
+    ],
+}
+
+_SPARK_TO_AVRO = {
+    "long": "long",
+    "int": "int",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "date": {"type": "int", "logicalType": "date"},
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+}
+
+
+class IcebergWriter:
+    """Create/append/commit for one table root."""
+
+    def __init__(
+        self,
+        root: str,
+        schema: T.StructType,
+        partition_by: Optional[list[str]] = None,
+    ):
+        self.root = os.path.abspath(root)
+        self.schema = schema
+        self.partition_by = partition_by or []
+        self.field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+        self.iceberg_types = {
+            f.name: spark_type_to_iceberg(f.dataType) for f in schema.fields
+        }
+
+    # -- metadata helpers ---------------------------------------------------
+
+    def _schema_json(self) -> dict:
+        return {
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {
+                    "id": self.field_ids[f.name],
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": self.iceberg_types[f.name],
+                }
+                for f in self.schema.fields
+            ],
+        }
+
+    def _spec_json(self) -> dict:
+        return {
+            "spec-id": 0,
+            "fields": [
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": self.field_ids[c],
+                    "field-id": 1000 + i,
+                }
+                for i, c in enumerate(self.partition_by)
+            ],
+        }
+
+    def _current_version(self) -> int:
+        hint = os.path.join(self.root, "metadata", "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as fh:
+                return int(fh.read().strip())
+        vs = glob.glob(os.path.join(self.root, "metadata", "v*.metadata.json"))
+        return max(
+            (int(os.path.basename(p).split(".")[0][1:]) for p in vs), default=-1
+        )
+
+    def _load_current(self) -> dict:
+        v = self._current_version()
+        with open(os.path.join(self.root, "metadata", f"v{v}.metadata.json")) as fh:
+            return json.load(fh)
+
+    def _commit_metadata(self, meta: dict) -> None:
+        v = self._current_version() + 1
+        meta_dir = os.path.join(self.root, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        tmp = os.path.join(meta_dir, f".v{v}.metadata.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.rename(tmp, os.path.join(meta_dir, f"v{v}.metadata.json"))
+        # version-hint last: readers see the new version only after the
+        # metadata file is fully in place (single-FS atomic commit)
+        hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(v))
+        os.rename(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+
+    # -- public API ---------------------------------------------------------
+
+    def create(self, properties: Optional[dict] = None) -> None:
+        """v0 metadata: empty table, no snapshot (fixture analogue:
+        v0.metadata.json with current-snapshot-id -1)."""
+        if self._current_version() >= 0:
+            raise FileExistsError(f"table already exists at {self.root}")
+        meta = {
+            "format-version": 1,
+            "table-uuid": str(uuidlib.uuid4()),
+            "location": self.root,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": len(self.schema.fields),
+            "schema": self._schema_json(),
+            "current-schema-id": 0,
+            "schemas": [self._schema_json()],
+            "partition-spec": self._spec_json()["fields"],
+            "default-spec-id": 0,
+            "partition-specs": [self._spec_json()],
+            "last-partition-id": 1000 + max(len(self.partition_by) - 1, 0),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": properties or {},
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        self._commit_metadata(meta)
+
+    def append(self, spark: SparkSession, df: DataFrame) -> int:
+        """Write df as parquet data files + commit an append snapshot.
+        Returns the new snapshot id."""
+        snap_id = int(time.time() * 1000) * 1000 + (int.from_bytes(os.urandom(2), "big") % 1000)
+        data_dir = os.path.join(self.root, "data", f"snap-{snap_id}")
+        writer = df.select(*[f.name for f in self.schema.fields]).write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(data_dir)
+
+        files = self._collect_file_stats(data_dir)
+        if not files:
+            raise ValueError("append produced no data files")
+
+        meta_dir = os.path.join(self.root, "metadata")
+        man_uuid = str(uuidlib.uuid4())
+        manifest_path = os.path.join(meta_dir, f"{man_uuid}-m0.avro")
+        part_fields = [
+            {
+                "name": c,
+                "avro_type": _SPARK_TO_AVRO.get(self.iceberg_types[c], "string"),
+            }
+            for c in self.partition_by
+        ]
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": f["path"],
+                    "file_format": "PARQUET",
+                    "partition": f["partition"],
+                    "record_count": f["record_count"],
+                    "file_size_in_bytes": f["file_size"],
+                    "block_size_in_bytes": 67108864,
+                    "value_counts": [
+                        {"key": k, "value": v} for k, v in f["value_counts"].items()
+                    ],
+                    "null_value_counts": [
+                        {"key": k, "value": v} for k, v in f["null_counts"].items()
+                    ],
+                    "lower_bounds": [
+                        {"key": k, "value": v} for k, v in f["lower_bounds"].items()
+                    ],
+                    "upper_bounds": [
+                        {"key": k, "value": v} for k, v in f["upper_bounds"].items()
+                    ],
+                },
+            }
+            for f in files
+        ]
+        write_avro_file(manifest_path, _manifest_schema(part_fields), entries)
+
+        # manifest-list partition summaries from per-file partition values
+        summaries = []
+        for i, c in enumerate(self.partition_by):
+            fid = self.field_ids[c]
+            t = self.iceberg_types[c]
+            vals = [f["partition"][c] for f in files if f["partition"].get(c) is not None]
+            summaries.append(
+                {
+                    "contains_null": any(
+                        f["partition"].get(c) is None for f in files
+                    ),
+                    "contains_nan": False,
+                    "lower_bound": encode_stat(t, min(vals)) if vals else None,
+                    "upper_bound": encode_stat(t, max(vals)) if vals else None,
+                }
+            )
+        total_rows = sum(f["record_count"] for f in files)
+        manifest_list_path = os.path.join(
+            meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
+        )
+        meta = self._load_current()
+        # An append snapshot's manifest list = all previous live manifests
+        # + the new one (Iceberg spec: the list is the complete snapshot).
+        carried = []
+        prev_id = meta.get("current-snapshot-id")
+        if prev_id not in (None, -1):
+            prev_snap = next(
+                s for s in meta["snapshots"] if s["snapshot-id"] == prev_id
+            )
+            from datafusion_iceberg_spark.iceberg.manifests import (
+                read_manifest_list,
+            )
+
+            for mf in read_manifest_list(prev_snap["manifest-list"]):
+                carried.append(
+                    {
+                        "manifest_path": mf.path,
+                        "manifest_length": mf.length,
+                        "partition_spec_id": mf.partition_spec_id,
+                        "added_snapshot_id": mf.added_snapshot_id,
+                        "added_data_files_count": mf.added_files_count,
+                        "existing_data_files_count": mf.existing_files_count,
+                        "deleted_data_files_count": mf.deleted_files_count,
+                        "partitions": [
+                            {
+                                "contains_null": p.contains_null,
+                                "contains_nan": p.contains_nan,
+                                "lower_bound": p.lower_bound,
+                                "upper_bound": p.upper_bound,
+                            }
+                            for p in mf.partitions
+                        ]
+                        or None,
+                        "added_rows_count": mf.added_rows_count,
+                        "existing_rows_count": mf.existing_rows_count,
+                        "deleted_rows_count": 0,
+                    }
+                )
+        write_avro_file(
+            manifest_list_path,
+            _MANIFEST_LIST_SCHEMA,
+            carried
+            + [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": snap_id,
+                    "added_data_files_count": len(files),
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                    "partitions": summaries,
+                    "added_rows_count": total_rows,  # rows, not file count
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            ],
+        )
+        now = int(time.time() * 1000)
+        prev_total = 0
+        if meta.get("snapshots"):
+            prev_total = int(
+                meta["snapshots"][-1]["summary"].get("total-records", 0)
+            )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "timestamp-ms": now,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(len(files)),
+                "added-records": str(total_rows),
+                "total-records": str(prev_total + total_rows),
+                "total-data-files": str(
+                    sum(1 for _ in files)
+                    + sum(
+                        int(s["summary"].get("total-data-files", 0))
+                        for s in meta.get("snapshots", [])[-1:]
+                    )
+                ),
+            },
+            "manifest-list": manifest_list_path,
+            "schema-id": 0,
+        }
+        meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+        meta["current-snapshot-id"] = snap_id
+        meta["last-updated-ms"] = now
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now, "snapshot-id": snap_id}
+        ]
+        self._commit_metadata(meta)
+        return snap_id
+
+    # -- stats collection ---------------------------------------------------
+
+    def _collect_file_stats(self, data_dir: str) -> list[dict]:
+        """Walk written parquet files; derive per-file column stats from
+        footers (row-group min/max/null aggregated per file)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for path in sorted(
+            glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+        ):
+            rel = os.path.relpath(path, data_dir)
+            partition: dict[str, Any] = {}
+            for seg in rel.split(os.sep)[:-1]:
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    partition[k] = self._parse_partition_value(k, v)
+            md = pq.ParquetFile(path).metadata
+            lowers: dict[int, bytes] = {}
+            uppers: dict[int, bytes] = {}
+            nulls: dict[int, int] = {}
+            values: dict[int, int] = {}
+            mins: dict[str, Any] = {}
+            maxs: dict[str, Any] = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema.split(".")[0]
+                    fid = self.field_ids.get(name)
+                    if fid is None:
+                        continue
+                    values[fid] = values.get(fid, 0) + col.num_values
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    if st.null_count is not None:
+                        nulls[fid] = nulls.get(fid, 0) + st.null_count
+                    if st.has_min_max:
+                        mn, mx = st.min, st.max
+                        if name not in mins or mn < mins[name]:
+                            mins[name] = mn
+                        if name not in maxs or mx > maxs[name]:
+                            maxs[name] = mx
+            for name, mn in mins.items():
+                fid = self.field_ids[name]
+                enc = encode_stat(self.iceberg_types[name], mn)
+                if enc is not None:
+                    lowers[fid] = enc
+            for name, mx in maxs.items():
+                fid = self.field_ids[name]
+                enc = encode_stat(self.iceberg_types[name], mx)
+                if enc is not None:
+                    uppers[fid] = enc
+            # partition values count toward stats too (identity transform:
+            # value is constant per file even though absent from the file)
+            for k, v in partition.items():
+                fid = self.field_ids.get(k)
+                if fid is not None and v is not None:
+                    enc = encode_stat(self.iceberg_types[k], v)
+                    if enc is not None:
+                        lowers.setdefault(fid, enc)
+                        uppers.setdefault(fid, enc)
+                    values.setdefault(fid, md.num_rows)
+                    nulls.setdefault(fid, 0)
+            out.append(
+                {
+                    "path": path,
+                    "partition": partition,
+                    "record_count": md.num_rows,
+                    "file_size": os.path.getsize(path),
+                    "lower_bounds": lowers,
+                    "upper_bounds": uppers,
+                    "null_counts": nulls,
+                    "value_counts": values,
+                }
+            )
+        return out
+
+    def _parse_partition_value(self, col: str, raw: str) -> Any:
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        t = self.iceberg_types.get(col, "string")
+        if t in ("int", "long"):
+            return int(raw)
+        if t in ("float", "double"):
+            return float(raw)
+        if t == "boolean":
+            return raw.lower() == "true"
+        from urllib.parse import unquote
+
+        return unquote(raw)

@@ -1,0 +1,266 @@
+"""Iceberg layer tests.
+
+Tier 1 (SURVEY.md §5 item 3a): metadata reader against the reference's
+committed nyc/taxis fixture (read-only at /root/reference) — 4 files,
+typed partition values {1,2}, stats keyed by field ID.
+Tier 2: pruning kernel cases (predicate × bounds → keep/skip; unknown ⇒
+keep) + the three reference bugs of SURVEY.md §4.4 as regressions on OUR
+code.  Tier 3: write→read round-trip, time travel, views, catalog.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_iceberg_spark.iceberg.avro import read_avro_file, write_avro_file
+from datafusion_iceberg_spark.iceberg.catalog import Catalog
+from datafusion_iceberg_spark.iceberg.pruning import ColumnStats, evaluate
+from datafusion_iceberg_spark.iceberg.table import IcebergTable
+from datafusion_iceberg_spark.iceberg.view import IcebergView
+
+FIXTURE = "/root/reference/datafusion_iceberg/tests/home/iceberg/warehouse/nyc/taxis"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURE), reason="reference fixture unavailable"
+)
+
+SCRATCH = "/root/repo/.scratch"
+
+
+@pytest.fixture()
+def scratch(tmp_path_factory):
+    d = tmp_path_factory.mktemp("iceberg")
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Tier 1: fixture metadata reader
+# ---------------------------------------------------------------------------
+
+
+def test_fixture_file_listing():
+    t = IcebergTable.load(FIXTURE)
+    files = t.files()
+    assert len(files) == 4
+    assert sorted(f.partition["vendor_id"] for f in files) == [1, 1, 2, 2]
+    assert all(f.record_count == 1 for f in files)
+    # stats maps keyed by 1-based field ID (not 0-based position)
+    for f in files:
+        assert set(f.lower_bounds) == {1, 2, 3, 4, 5}
+
+
+def test_fixture_partition_values_native_types():
+    """Reference bug #4 regression: partition values must stay native-typed
+    (the reference JSON-stringifies them → GROUP BY groups on '1' not 1)."""
+    t = IcebergTable.load(FIXTURE)
+    for f in t.files():
+        assert isinstance(f.partition["vendor_id"], int)
+
+
+def test_fixture_statistics_rows_not_files():
+    """Reference bug #2 regression: num_rows from added_rows_count, not
+    added_files_count."""
+    t = IcebergTable.load(FIXTURE)
+    stats = t.statistics()
+    assert stats == {"num_rows": 4, "num_files": 4, "is_exact": True}
+
+
+def test_fixture_pruning_by_field_id():
+    """Reference bug #1 regression: bounds lookups keyed by field ID.
+    trip_distance is field 3 (position 2); a positional lookup would fetch
+    trip_id's bounds and never prune on distance."""
+    t = IcebergTable.load(FIXTURE)
+    assert len(t.files(filters=("=", "vendor_id", 1))) == 2
+    assert len(t.files(filters=("=", "vendor_id", 99))) == 0
+    assert len(t.files(filters=(">", "trip_distance", 3.0))) == 1
+    assert len(t.files(filters=(">", "trip_distance", 100.0))) == 0
+    # conservative: unknown column/operator keeps everything
+    assert len(t.files(filters=("=", "no_such_column", 7))) == 4
+
+
+def test_fixture_scan_end_to_end(spark):
+    """The reference's own test query (table.rs:329-335): GROUP BY
+    vendor_id, MIN(trip_distance) → 1.8 (vendor 1), 0.9 (vendor 2)."""
+    t = IcebergTable.load(FIXTURE)
+    df = t.to_df(spark)
+    df.createOrReplaceTempView("nyc_taxis")
+    rows = spark.sql(
+        "SELECT vendor_id, MIN(trip_distance) AS min_trip_distance "
+        "FROM nyc_taxis GROUP BY vendor_id ORDER BY vendor_id"
+    ).collect()
+    assert [r.vendor_id for r in rows] == [1, 2]
+    assert abs(rows[0].min_trip_distance - 1.8) < 1e-6
+    assert abs(rows[1].min_trip_distance - 0.9) < 1e-6
+
+
+def test_fixture_scan_with_pruning_filter(spark):
+    t = IcebergTable.load(FIXTURE)
+    df = t.to_df(spark, filters=("=", "vendor_id", 1))
+    rows = df.collect()
+    assert len(rows) == 2
+    assert all(r.vendor_id == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Tier 2: pruning kernel unit cases
+# ---------------------------------------------------------------------------
+
+
+def _st(lo, hi, nulls=0, count=10):
+    return {"x": ColumnStats(lo, hi, nulls, count)}
+
+
+@pytest.mark.parametrize(
+    "pred,stats,expect_skip",
+    [
+        (("=", "x", 5), _st(1, 3), True),
+        (("=", "x", 2), _st(1, 3), False),
+        (("<", "x", 1), _st(1, 3), True),
+        (("<=", "x", 1), _st(1, 3), False),
+        ((">", "x", 3), _st(1, 3), True),
+        ((">=", "x", 3), _st(1, 3), False),
+        (("between", "x", 4, 9), _st(1, 3), True),
+        (("between", "x", 3, 9), _st(1, 3), False),
+        (("in", "x", [4, 5]), _st(1, 3), True),
+        (("in", "x", [3, 5]), _st(1, 3), False),
+        (("isnull", "x"), _st(1, 3, nulls=0), True),
+        (("isnull", "x"), _st(1, 3, nulls=2), False),
+        (("notnull", "x"), _st(None, None, nulls=10, count=10), True),
+        (("and", ("=", "x", 2), (">", "x", 5)), _st(1, 3), True),
+        (("or", ("=", "x", 9), (">", "x", 2)), _st(1, 3), False),
+        # unknown bounds ⇒ keep (conservative)
+        (("=", "x", 5), _st(None, None), False),
+        (("=", "y", 5), _st(1, 3), False),  # no stats for column
+    ],
+)
+def test_pruning_kernel(pred, stats, expect_skip):
+    assert (evaluate(pred, stats) is False) == expect_skip
+
+
+def test_avro_roundtrip(scratch):
+    schema = {
+        "type": "record",
+        "name": "rec",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"], "default": None},
+            {"name": "c", "type": {"type": "array", "items": "double"}},
+            {"name": "d", "type": {"type": "map", "values": "bytes"}},
+        ],
+    }
+    records = [
+        {"a": -3, "b": None, "c": [1.5, -2.25], "d": {"k": b"\x01\x02"}},
+        {"a": 2**62, "b": "héllo", "c": [], "d": {}},
+    ]
+    path = os.path.join(scratch, "t.avro")
+    write_avro_file(path, schema, records)
+    _, back = read_avro_file(path)
+    assert back == records
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: write path round-trip, time travel, views, catalog
+# ---------------------------------------------------------------------------
+
+
+def test_roundtrip_partitioned(spark, sf_dir, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    cat.create_table("ns.li", src.schema, partition_by=["l_returnflag"])
+    cat.append("ns.li", spark, src)
+
+    table = cat.load("ns.li")
+    assert isinstance(table, IcebergTable)
+    df = table.to_df(spark)
+    assert df.count() == src.count()
+    # partition column readable & native-typed
+    got = dict(
+        df.groupBy("l_returnflag").count().collect()
+    )
+    want = dict(src.groupBy("l_returnflag").count().collect())
+    assert {r: c for r, c in got.items()} == {r: c for r, c in want.items()}
+
+    # partition pruning skips files
+    all_files = table.files()
+    pruned = table.files(filters=("=", "l_returnflag", "R"))
+    assert 0 < len(pruned) < len(all_files)
+
+    # file-level stats pruning on a non-partition column
+    pruned2 = table.files(filters=(">", "l_orderkey", 10**12))
+    assert len(pruned2) == 0
+
+    # filtered scan is exact (pruning + re-filter)
+    n_filtered = table.to_df(
+        spark, filters=("=", "l_returnflag", "R")
+    ).count()
+    assert n_filtered == src.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_time_travel(spark, sf_dir, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    first = orders.filter(F.col("o_orderkey") % 2 == 0)
+    second = orders.filter(F.col("o_orderkey") % 2 != 0)
+    cat.create_table("ns.ord", first.schema)
+    s1 = cat.append("ns.ord", spark, first)
+    s2 = cat.append("ns.ord", spark, second)
+    table = cat.load("ns.ord")
+    assert isinstance(table, IcebergTable)
+    assert table.to_df(spark, snapshot_id=s1).count() == first.count()
+    assert table.to_df(spark, snapshot_id=s2).count() == orders.count()
+    assert table.to_df(spark).count() == orders.count()
+    # statistics reflect the current snapshot exactly (rows, not files)
+    assert table.statistics()["num_rows"] == orders.count()
+    # timestamp travel: as of snapshot-1 commit time
+    snap1 = table.metadata.snapshot(snapshot_id=s1)
+    assert (
+        table.to_df(spark, as_of_timestamp_ms=snap1.timestamp_ms).count()
+        == first.count()
+    )
+
+
+def test_view_roundtrip(spark, sf_dir, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.create_table("ns.nation", nation.schema)
+    cat.append("ns.nation", spark, nation)
+    cat.create_view(
+        "ns.nation_counts",
+        "SELECT n_regionkey, COUNT(*) AS n FROM ns_nation GROUP BY n_regionkey",
+    )
+    # reload catalog from disk: view + table must both mirror back
+    cat2 = Catalog(os.path.join(scratch, "wh"))
+    assert cat2.table_exists("ns.nation_counts")
+    view = cat2.load("ns.nation_counts")
+    assert isinstance(view, IcebergView)
+    rows = cat2.sql(
+        spark, "SELECT * FROM ns_nation_counts ORDER BY n_regionkey"
+    ).collect()
+    want = dict(nation.groupBy("n_regionkey").count().collect())
+    assert {r.n_regionkey: r.n for r in rows} == want
+
+
+def test_catalog_lifecycle(spark, sf_dir, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    cat.create_table("a.region", region.schema)
+    cat.append("a.region", spark, region)
+    assert cat.namespaces() == ["a"]
+    assert cat.table_names() == ["a.region"]
+    assert cat.table_exists("a.region")
+    # synchronous drop (reference bug #3: its drop future is never polled)
+    cat.drop("a.region")
+    assert not cat.table_exists("a.region")
+    cat2 = Catalog(os.path.join(scratch, "wh"))
+    assert cat2.table_names() == []  # storage agrees with the mirror
