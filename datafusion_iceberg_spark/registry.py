@@ -59,3 +59,6 @@ def load_all_modules() -> None:
     import datafusion_iceberg_spark.extensions.text  # noqa: F401
     import datafusion_iceberg_spark.extensions.multimodal  # noqa: F401
     import datafusion_iceberg_spark.iceberg.queries  # noqa: F401
+    import datafusion_iceberg_spark.sources.formats  # noqa: F401
+    import datafusion_iceberg_spark.streaming.windows  # noqa: F401
+    import datafusion_iceberg_spark.streaming.stateful  # noqa: F401

@@ -17,6 +17,10 @@ from pyspark.sql import SparkSession
 # Runtime-settable confs we also (re)apply to driver-provided sessions.
 RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    # local-mode: shuffle width = cores (the 200 default burns task-launch
+    # overhead on tiny partitions); on a real cluster AQE coalescing makes
+    # this a ceiling, not a fixed width
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -1,0 +1,128 @@
+"""Multi-format sources & sinks (SURVEY.md §2B "Scans/sources": the
+reference wires only Parquet through DataFusion — table.rs:14, 291 — but
+DataFusion 14 ships CSV/JSON/memory sources; Spark gives csv/json/orc +
+binaryFile free, and the write side makes each a sink too).
+
+Each query round-trips a table through a format (write once to .scratch,
+cached) and answers an aggregate from the re-read copy — if parsing,
+schema application, or type mapping is lossy, the oracle on the original
+parquet catches it.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_iceberg_spark.iceberg.queries import SCRATCH
+from datafusion_iceberg_spark.registry import register
+from datafusion_iceberg_spark.tables import load_table
+
+_lock = threading.Lock()
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> DataFrame:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fmt_{tag}_{table}.{fmt}")
+    src = load_table(spark, sf_dir, table)
+    with _lock:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            w = src.write.mode("overwrite")
+            if fmt == "csv":
+                w = w.option("header", True)
+            getattr(w, fmt)(path)
+    reader = spark.read
+    if fmt == "csv":
+        # explicit schema — no inference (production rule; SURVEY.md §1.1:
+        # "nothing is inferred at read time")
+        return reader.schema(src.schema).option("header", True).csv(path)
+    if fmt == "json":
+        return reader.schema(src.schema).json(path)
+    return reader.orc(path)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_bal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = _roundtrip(spark, sf_dir, "customer", "csv")
+    return (
+        df.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n, MAX(s_acctbal) AS max_bal
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = _roundtrip(spark, sf_dir, "supplier", "json")
+    return (
+        df.groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("s_acctbal").alias("max_bal"))
+        .orderBy("s_nationkey")
+    )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n, MIN(p_retailprice) AS min_price
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = _roundtrip(spark, sf_dir, "part", "orc")
+    return (
+        df.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p_retailprice").alias("min_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "source_binaryfile_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_files, SUM(CAST(octet_length(content) > 0 AS BIGINT)) AS n_nonempty
+    FROM (SELECT from_hex(md5(text)) AS content FROM documents)
+    """,
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile-shaped scan: opaque payload + metadata columns (here the
+    payloads are synthesized to stay hermetic; spark.read.format
+    ('binaryFile') yields the same shape for real media dirs)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_iceberg_spark.extensions.multimodal import synthesize_media
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return media.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum((F.length("content") > 0).cast("long")).alias("n_nonempty"),
+    )

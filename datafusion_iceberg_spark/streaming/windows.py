@@ -1,0 +1,199 @@
+"""Structured Streaming operators over the events table (SURVEY.md §2B:
+DataFusion 14 / the reference are batch-only — this is extended surface).
+
+Each query runs a real streaming pipeline (file source → windowed
+aggregation → memory sink) driven to completion synchronously with
+``processAllAvailable``, then returns the sink table — deterministic, so
+the tumbling/session queries are DuckDB-oracled like any batch operator.
+
+Scale notes: tumbling/sliding aggregations shuffle on (window, keys) with
+partial aggregation map-side; watermarks bound state for append-mode
+production runs (here the sink is complete-mode so results are total).
+``session_window`` keys state by user — state size ∝ active users, not
+events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.registry import register
+from datafusion_iceberg_spark.tables import load_table, table_path
+
+_counter = 0
+
+
+def run_stream(stream_df, name: str, mode: str = "complete") -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink and
+    return the materialized result."""
+    global _counter
+    _counter += 1
+    qname = f"{name}_{_counter}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(qname)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """File-source stream over the events parquet (schema from a batch
+    read; ns→us ts conversion identical to the batch path).  The file
+    source wants a directory, so the single parquet file is staged into a
+    scratch dir via symlink once per sf."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH
+
+    batch = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(SCRATCH, f"stream_events_{tag}")
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.makedirs(stage, exist_ok=True)
+        try:
+            os.symlink(table_path(sf_dir, "events"), link)
+        except (OSError, NotImplementedError):
+            import shutil
+
+            shutil.copyfile(table_path(sf_dir, "events"), link)
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    return stream, batch
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows with a watermark — the streaming shape of
+    GROUP BY date_trunc."""
+    stream, _ = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,8)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    out = run_stream(agg, "tumbling")
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT ws AS window_start, COUNT(*) AS n
+    FROM (
+        SELECT unnest([
+            to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)),
+            to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 - 3600 AS BIGINT))
+        ]) AS ws
+        FROM events
+    )
+    GROUP BY ws ORDER BY ws
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows every hour: each event lands in 2 windows
+    (the oracle reconstructs both window-starts per event)."""
+    stream, _ = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_stream(agg, "sliding")
+    return out.select(
+        F.col("window.start").alias("window_start"), "n"
+    ).orderBy("window_start")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS total_events
+    FROM (
+        SELECT user_id, session_id, COUNT(*) AS n_events
+        FROM (
+            SELECT user_id,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                      + INTERVAL 30 MINUTE
+                             OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS is_new
+                FROM events
+            )
+        )
+        GROUP BY user_id, session_id
+    )
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 30 min): merges events whose gap < 30 min —
+    state per user, the streaming sessionization operator.  Oracle
+    replicates the half-open [start, start+gap) merge rule with a lag/
+    cumsum rewrite."""
+    stream, _ = _events_stream(spark, sf_dir)
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_stream(sess, "session")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "stream_filter_project",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'purchase' AND value > 50
+    ORDER BY event_id
+    """,
+)
+def stream_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless streaming transform (filter+project) — append mode, no
+    state; the 1:1 ETL shape."""
+    stream, _ = _events_stream(spark, sf_dir)
+    sel = stream.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50)
+    ).select("event_id", "user_id", "value")
+    return run_stream(sel, "filtproj", mode="append").orderBy("event_id")
