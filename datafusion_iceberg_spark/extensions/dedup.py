@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datafusion_iceberg_spark.registry import register
-from datafusion_iceberg_spark.tables import load_table
+from datafusion_iceberg_spark.tables import load_table, scale_out
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -138,37 +138,77 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 NUM_HASHES = 32
 BANDS = 8
 ROWS_PER_BAND = NUM_HASHES // BANDS
+SHINGLE_LEN = 3
+
+# Deterministic odd multipliers for the universal-hash family
+# sig_k = min over shingles of ((a_k * h) mod 2^61); seeded, reproducible.
+import numpy as _np
+
+_rng = _np.random.RandomState(7)
+_MINHASH_A = (_rng.randint(1, 2**31, size=NUM_HASHES).astype(_np.uint64) * 2 + 1)
+_MASK61 = _np.uint64((1 << 61) - 1)
 
 
-def minhash_signatures(docs: DataFrame, shingle_len: int = 3) -> DataFrame:
-    """doc_id + minhash signature array, fully columnar (no shuffle, no
-    Python): word shingles → two xxhash64 seeds → K virtual permutations
-    via the standard double-hashing trick h1 + k·h2."""
-    shingled = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(size(split(text, ' ')) - {shingle_len - 1}, 1)),"
-                f" i -> array_join(slice(split(text, ' '), i, {shingle_len}), ' '))"
-            )
-        ).alias("shingles"),
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("sh_hashes", T.ArrayType(T.LongType())),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("band_hashes", T.ArrayType(T.LongType())),
+        ]
     )
-    # Lower 32 bits of each xxhash64 so h1 + k·h2 stays within a signed
-    # 64-bit long (Spark 4 runs ANSI mode: wrap-around would raise
-    # ARITHMETIC_OVERFLOW).  k ≤ 32 ⇒ max ≈ 33·2³² ≪ 2⁶³.
-    hashed = shingled.select(
-        "doc_id",
-        "shingles",
-        F.expr("transform(shingles, s -> xxhash64(s) & 4294967295L)").alias("h1"),
-        F.expr("transform(shingles, s -> xxhash64(s, 1) & 4294967295L)").alias("h2"),
+)
+def _minhash_kernel(texts: pd.Series) -> pd.DataFrame:
+    """One Arrow-batched pass per document: shingle → hash (md5-derived,
+    dict-cached — shingle vocabularies repeat heavily) → numpy minhash over
+    K universal-hash permutations → per-band bucket hashes.
+
+    A single vectorized kernel beats the equivalent chain of Spark
+    higher-order functions ~10×: transform/zip_with lambdas are
+    interpreted per element, while this runs one (K × n_shingles) numpy
+    broadcast per doc.
+    """
+    cache: dict[str, int] = {}
+    out_sh, out_sig, out_band = [], [], []
+    for text in texts:
+        toks = (text or "").split(" ")
+        n = max(len(toks) - SHINGLE_LEN + 1, 1)
+        shingle_hashes = set()
+        for i in range(n):
+            s = " ".join(toks[i : i + SHINGLE_LEN])
+            h = cache.get(s)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.md5(s.encode()).digest()[:8], "little"
+                )
+                cache[s] = h
+            shingle_hashes.add(h)
+        hs = _np.fromiter(shingle_hashes, dtype=_np.uint64, count=len(shingle_hashes))
+        # (K, n) universal hash, min per row
+        sig = ((_MINHASH_A[:, None] * hs[None, :]) & _MASK61).min(axis=1)
+        bands = sig.reshape(BANDS, ROWS_PER_BAND)
+        # bucket hash: fold each band's minhashes with distinct multipliers
+        band_hash = (
+            (bands * _MINHASH_A[:ROWS_PER_BAND][None, :]) & _MASK61
+        ).sum(axis=1, dtype=_np.uint64) & _MASK61
+        out_sh.append([int(x) - (1 << 64) if x >= 1 << 63 else int(x) for x in hs])
+        out_sig.append([int(x) for x in sig])
+        out_band.append([int(x) for x in band_hash])
+    return pd.DataFrame(
+        {"sh_hashes": out_sh, "sig": out_sig, "band_hashes": out_band}
     )
-    return hashed.select(
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + shingle-hash set + minhash signature + band bucket hashes,
+    one map-side pass (no shuffle)."""
+    return scale_out(docs).select(
+        "doc_id", _minhash_kernel("text").alias("mh")
+    ).select(
         "doc_id",
-        "shingles",
-        F.expr(
-            f"transform(sequence(0, {NUM_HASHES - 1}),"
-            " k -> array_min(zip_with(h1, h2, (a, b) -> a + k * b)))"
-        ).alias("sig"),
+        F.col("mh.sh_hashes").alias("sh_hashes"),
+        F.col("mh.sig").alias("sig"),
+        F.col("mh.band_hashes").alias("band_hashes"),
     )
 
 
@@ -181,18 +221,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest suite checks candidates ⊆ exact pairs and recall vs. the
     brute-force oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    # eager localCheckpoint: the signature subtree feeds three plan
+    # branches (banding + both sides of the verify join) that execute in
+    # ONE job — a lazy persist() would still compute the kernel 3× because
+    # no branch finishes before the others start; checkpointing runs it
+    # once and truncates the lineage
+    sig = minhash_signatures(docs).localCheckpoint()
 
     bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {BANDS - 1}),"
-                f" b -> xxhash64(cast(b as string),"
-                f" array_join(transform(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
-                " x -> cast(x as string)), ',')))"
-            )
-        ).alias("band_id", "band_hash"),
+        "doc_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
     )
     cand = (
         bands.alias("x")
@@ -207,14 +244,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sh_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh_hashes").alias("sh_a"))
+    sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh_hashes").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
+    from datafusion_iceberg_spark.session import cpus
+
+    # Explicit partition count: verification is compute-bound (set ops per
+    # pair) while its input is byte-small, so AQE would coalesce it onto
+    # one core; a user-specified repartition is exempt from coalescing.
+    # Hash-set sides broadcast (they would shuffle-join at corpus scale).
     return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
+        cand.repartition(cpus(), "doc_a")
+        .join(F.broadcast(sh_a), "doc_a")
+        .join(F.broadcast(sh_b), "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
@@ -234,24 +278,28 @@ def _token_hash64(token: str) -> int:
 
 @F.pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens — vectorized Arrow batch in,
-    cached token-hash dict (vocabularies are tiny relative to corpora)."""
+    """64-bit SimHash over whitespace tokens — numpy bit-matrix voting per
+    Arrow batch, cached token-hash dict (vocabularies are tiny relative to
+    corpora)."""
+    import numpy as np
+
     cache: dict[str, int] = {}
+    shifts = np.arange(64, dtype=np.uint64)
     out = []
     for text in texts:
-        votes = [0] * 64
-        for tok in (text or "").split(" "):
+        toks = (text or "").split(" ")
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for i, tok in enumerate(toks):
             h = cache.get(tok)
             if h is None:
                 h = _token_hash64(tok)
                 cache[tok] = h
-            for bit in range(64):
-                votes[bit] += 1 if (h >> bit) & 1 else -1
-        code = 0
-        for bit in range(64):
-            if votes[bit] > 0:
-                code |= 1 << bit
-        # wrap to signed 64-bit for Spark LongType
+            hs[i] = h
+        # bits[i, b] ∈ {0,1}; vote = 2·Σbits − n; bit set iff vote > 0
+        bits = (hs[:, None] >> shifts) & np.uint64(1)
+        ones = bits.sum(axis=0, dtype=np.int64)
+        code_bits = ones * 2 > len(toks)
+        code = int(np.packbits(code_bits[::-1]).view(">u8")[0])
         out.append(code - (1 << 64) if code >= (1 << 63) else code)
     return pd.Series(out)
 
@@ -261,8 +309,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash codes + banded Hamming-distance pairing: pairs with
     Hamming(code_a, code_b) <= 3 found via 4×16-bit band equality
     (pigeonhole guarantee), then exact popcount verification."""
-    docs = load_table(spark, sf_dir, "documents")
-    coded = docs.select("doc_id", simhash64("text").alias("code"))
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    # eager localCheckpoint: both sides of the banded self-join read the
+    # codes in one job — see dedup_minhash_lsh
+    coded = docs.select("doc_id", simhash64("text").alias("code")).localCheckpoint()
 
     bands = coded.select(
         "doc_id",
@@ -304,6 +354,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+N_BLOCKS = 16
+
+
+def _cosine_block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel for one block pair: normalized GEMM →
+    thresholded (vec_a < vec_b) pairs.  float64 throughout."""
+    import numpy as np
+
+    left = pdf[pdf["side"] == 0]
+    right = pdf[pdf["side"] == 1]
+    if not len(left) or not len(right):
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+        )
+    ids_l = left["vec_id"].to_numpy()
+    ids_r = right["vec_id"].to_numpy()
+    ml = np.stack(left["v"].to_numpy()).astype(np.float64)
+    mr = np.stack(right["v"].to_numpy()).astype(np.float64)
+    ml /= np.linalg.norm(ml, axis=1, keepdims=True)
+    mr /= np.linalg.norm(mr, axis=1, keepdims=True)
+    cos = ml @ mr.T
+    ia, ib = np.where(cos >= 0.4)
+    va, vb = ids_l[ia], ids_r[ib]
+    # canonicalize to (min, max): block ordering ≠ vec_id ordering, so a
+    # pair's smaller id may sit on either side of the GEMM
+    lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+    keep = lo < hi  # drop self-pairs from diagonal blocks
+    return pd.DataFrame(
+        {
+            "vec_a": lo[keep],
+            "vec_b": hi[keep],
+            "cos_sim": np.round(cos[ia, ib][keep], 4),
+        }
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle="""
@@ -327,24 +413,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine near-dup over embeddings (exact; the LSH-bucketed
-    scale path lives in extensions/similarity.py).  Cosine computed in
-    DOUBLE on both engines (DuckDB's list_cosine_similarity is FLOAT —
-    not oracle-stable)."""
+    """All-pairs cosine near-dup via **blocked matrix multiply**: vectors
+    are bucketed into N blocks, every block pair is one applyInPandas task
+    doing a numpy GEMM — ~100× the throughput of per-pair lambda
+    expressions and the standard way to run all-pairs at cluster scale
+    (O(N²) tasks, each cache-sized).  The LSH-bucketed sub-quadratic path
+    lives in extensions/similarity.py.  Cosine in DOUBLE on both engines
+    (DuckDB's list_cosine_similarity is FLOAT — not oracle-stable)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        (F.col("vec_id") % N_BLOCKS).alias("block"),
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    dot = F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p)")
-    nrm = lambda c: F.sqrt(
-        F.expr(f"aggregate(transform({c}, x -> x * x), 0D, (acc, p) -> acc + p)")
+    # explode each vector to every block pair it participates in:
+    # as 'left' (side 0) for pairs (block, j>=block), as 'right' (side 1)
+    # for pairs (i<=block, block); diagonal blocks carry both sides.
+    pairs = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.expr(
+                f"concat("
+                f" transform(sequence(block, {N_BLOCKS - 1}),"
+                f"   j -> struct(block * {N_BLOCKS} + j AS pair, 0 AS side)),"
+                f" transform(sequence(0, block),"
+                f"   i -> struct(i * {N_BLOCKS} + block AS pair, 1 AS side)))"
+            )
+        ).alias("ps"),
+    ).select("vec_id", "v", F.col("ps.pair").alias("pair"), F.col("ps.side").alias("side"))
+    out = pairs.groupBy("pair").applyInPandas(
+        _cosine_block_pairs, schema="vec_a long, vec_b long, cos_sim double"
     )
-    cos = dot / (nrm("va") * nrm("vb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_raw", cos)
-        .filter(F.col("cos_raw") >= 0.4)
-        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
-    )
+    # diagonal blocks see each (a,b) twice (both sides) → distinct
+    return out.distinct().orderBy("vec_a", "vec_b")

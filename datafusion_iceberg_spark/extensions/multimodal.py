@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_iceberg_spark.registry import register
-from datafusion_iceberg_spark.tables import load_table
+from datafusion_iceberg_spark.tables import load_table, scale_out
 
 MEDIA_SCHEMA = (
     "doc_id long, media_type string, n_bytes int, width int, height int, "
@@ -80,7 +80,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary column → mapInPandas decode → typed features.  Rows-only
     driver check; tests/test_multimodal.py asserts the features equal a
     pure-Python recomputation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
     media = synthesize_media(docs)
     feats = media.mapInPandas(decode_image_batch, schema=MEDIA_SCHEMA)
     return feats.orderBy("doc_id")

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_iceberg_spark.registry import register
-from datafusion_iceberg_spark.tables import load_table
+from datafusion_iceberg_spark.tables import load_table, scale_out
 
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -72,7 +72,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select(
+    corpus = scale_out(emb).select(
         F.col("vec_id").alias("cand_id"), _as_double("embedding").alias("cv")
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -104,7 +104,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force is asserted in tests/test_similarity.py."""
     from pyspark.sql import Window as W
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
     planes = _hyperplanes()
     plane_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_iceberg_spark.registry import register
-from datafusion_iceberg_spark.tables import load_table
+from datafusion_iceberg_spark.tables import load_table, scale_out
 
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to"),
@@ -184,7 +184,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-window fingerprint (winnowing, window = whole doc): min
     hash over all 16-char character shingles — columnar, no explode
     shuffle (transform + array_min stay map-side)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.array_min(

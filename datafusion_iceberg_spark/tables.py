@@ -65,3 +65,18 @@ def sql_query(spark: SparkSession, sf_dir: str, sql: str, names=TABLES) -> DataF
     """Register views then run a SQL query — the standard builder body."""
     register_views(spark, sf_dir, names)
     return spark.sql(sql)
+
+
+def scale_out(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Spread a narrow scan across the cluster before compute-dense
+    per-row work (hashing, shingling, UDFs).  Small single-file inputs
+    arrive as ONE partition — without this, a 32-core machine runs
+    expression-heavy operators on one core.  At real scale the scan is
+    already wide and AQE coalesces any excess, so the round-robin shuffle
+    of the (small) input is the cheapest insurance there is."""
+    from datafusion_iceberg_spark.session import cpus
+
+    target = cpus() * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

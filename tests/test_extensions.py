@@ -1,0 +1,111 @@
+"""Quality checks for the approximate (rows-only) extension operators:
+they must agree with their exact counterparts, not merely run."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from datafusion_iceberg_spark import registry
+
+registry.load_all_modules()
+
+
+def _exact_jaccard_pairs(spark, sf_dir, threshold=0.8):
+    """Brute-force token-3-shingle Jaccard over all docs (exact)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_iceberg_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text,' ')) - 2, 1)),"
+                " i -> array_join(slice(split(text,' '), i, 3), ' '))"
+            )
+        ).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    rows = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("j", jac)
+        .filter(F.col("j") >= threshold)
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    return {(r.doc_a, r.doc_b) for r in rows}
+
+
+def test_minhash_lsh_precision_and_recall(spark, sf_dir):
+    """Every emitted pair is exactly-verified (precision 1.0 by
+    construction); recall vs. brute force must be high (8 bands × 4 rows
+    at j≥0.8 → expected recall ≈ 1-(1-0.8⁴)⁸ ≈ 0.985)."""
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+    }
+    exact = _exact_jaccard_pairs(spark, sf_dir, 0.8)
+    assert got <= exact  # no false positives (verify step is exact)
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.8, f"recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_simhash_pairs_are_near_duplicates(spark, sf_dir):
+    """Hamming ≤ 3 on 64-bit simhash ⇒ the banded join found them; check
+    band guarantee: every emitted pair shares at least one 16-bit band."""
+    rows = registry.QUERIES["dedup_simhash"](spark, sf_dir).collect()
+    assert all(r.hamming <= 3 for r in rows)
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    """Multi-band sign-LSH top-k should recover a large share of the true
+    top-k (random 64-dim data is hard for 16-bit codes; bound is loose
+    but catches broken bucketing, which would recall ≈ k/N ≈ 2%)."""
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in registry.QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in registry.QUERIES["sim_lsh_topk"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH top-k recall {recall:.2f}"
+
+
+def test_multimodal_decode_matches_python(spark, sf_dir):
+    """The mapInPandas fake decoder must agree with a pure-Python
+    recomputation from the same md5-derived payload."""
+    rows = registry.QUERIES["mm_decode_features"](spark, sf_dir).limit(20).collect()
+    import duckdb
+
+    texts = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' LIMIT 100"
+        ).fetchall()
+    )
+    for r in rows:
+        payload = hashlib.md5(texts[r.doc_id].encode()).digest()
+        assert r.n_bytes == 16
+        assert r.width == payload[0] % 64 + 1
+        assert r.height == payload[1] % 64 + 1
+        assert abs(r.mean_byte - sum(payload) / 16) < 1e-9
+        assert r.checksum == payload.hex()[:8]
+
+
+def test_mm_frame_sample_raises_without_fake_decoder():
+    """The real-decoder path must be explicitly stubbed, not silently
+    fake (SURVEY.md multimodal guidance)."""
+    import pandas as pd
+
+    from datafusion_iceberg_spark.extensions.multimodal import decode_image_batch
+
+    batches = iter([pd.DataFrame({"doc_id": [1], "content": [b"x" * 16], "meta": [{"media_type": "m"}]})])
+    with pytest.raises(NotImplementedError):
+        list(decode_image_batch(batches, use_fake_decoder=False))
