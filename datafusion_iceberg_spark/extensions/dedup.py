@@ -149,19 +149,12 @@ _MINHASH_A = (_rng.randint(1, 2**31, size=NUM_HASHES).astype(_np.uint64) * 2 + 1
 _MASK61 = _np.uint64((1 << 61) - 1)
 
 
-@F.pandas_udf(
-    T.StructType(
-        [
-            T.StructField("sh_hashes", T.ArrayType(T.LongType())),
-            T.StructField("sig", T.ArrayType(T.LongType())),
-            T.StructField("band_hashes", T.ArrayType(T.LongType())),
-        ]
-    )
-)
-def _minhash_kernel(texts: pd.Series) -> pd.DataFrame:
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _minhash_bands(texts: pd.Series) -> pd.Series:
     """One Arrow-batched pass per document: shingle → hash (md5-derived,
     dict-cached — shingle vocabularies repeat heavily) → numpy minhash over
-    K universal-hash permutations → per-band bucket hashes.
+    K universal-hash permutations → BANDS bucket hashes (8 longs/doc; the
+    signature itself never leaves the worker).
 
     A single vectorized kernel beats the equivalent chain of Spark
     higher-order functions ~10×: transform/zip_with lambdas are
@@ -169,7 +162,7 @@ def _minhash_kernel(texts: pd.Series) -> pd.DataFrame:
     broadcast per doc.
     """
     cache: dict[str, int] = {}
-    out_sh, out_sig, out_band = [], [], []
+    out = []
     for text in texts:
         toks = (text or "").split(" ")
         n = max(len(toks) - SHINGLE_LEN + 1, 1)
@@ -191,44 +184,47 @@ def _minhash_kernel(texts: pd.Series) -> pd.DataFrame:
         band_hash = (
             (bands * _MINHASH_A[:ROWS_PER_BAND][None, :]) & _MASK61
         ).sum(axis=1, dtype=_np.uint64) & _MASK61
-        out_sh.append([int(x) - (1 << 64) if x >= 1 << 63 else int(x) for x in hs])
-        out_sig.append([int(x) for x in sig])
-        out_band.append([int(x) for x in band_hash])
-    return pd.DataFrame(
-        {"sh_hashes": out_sh, "sig": out_sig, "band_hashes": out_band}
+        out.append([int(x) for x in band_hash])
+    return pd.Series(out)
+
+
+def minhash_band_hashes(docs: DataFrame) -> DataFrame:
+    """doc_id + LSH band bucket hashes, one map-side pass (no shuffle)."""
+    return scale_out(docs).select(
+        "doc_id", _minhash_bands("text").alias("band_hashes")
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + shingle-hash set + minhash signature + band bucket hashes,
-    one map-side pass (no shuffle)."""
-    return scale_out(docs).select(
-        "doc_id", _minhash_kernel("text").alias("mh")
-    ).select(
-        "doc_id",
-        F.col("mh.sh_hashes").alias("sh_hashes"),
-        F.col("mh.sig").alias("sig"),
-        F.col("mh.band_hashes").alias("band_hashes"),
+def _shingles(col: str) -> str:
+    """Word-3-shingle set as a SQL expression over a text column (also the
+    test oracle's definition)."""
+    return (
+        "array_distinct(transform("
+        f" sequence(1, greatest(size(split({col}, ' ')) - {SHINGLE_LEN - 1}, 1)),"
+        f" i -> array_join(slice(split({col}, ' '), i, {SHINGLE_LEN}), ' ')))"
     )
 
 
 @register("dedup_minhash_lsh")  # hash-family specific → rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature → LSH banding → candidate pairs → exact Jaccard
-    verification on candidates only.  Returns verified near-dup pairs
-    (jaccard >= 0.8).  Deterministic (xxhash64 is seeded), but the hash
+    verification by re-shingling ONLY the candidate texts.  Returns
+    verified near-dup pairs (jaccard >= 0.8).  Deterministic, but the hash
     family is not expressible in DuckDB → rows-only driver check; the
     pytest suite checks candidates ⊆ exact pairs and recall vs. the
-    brute-force oracle."""
-    docs = load_table(spark, sf_dir, "documents")
-    # eager localCheckpoint: the signature subtree feeds three plan
-    # branches (banding + both sides of the verify join) that execute in
-    # ONE job — a lazy persist() would still compute the kernel 3× because
-    # no branch finishes before the others start; checkpointing runs it
-    # once and truncates the lineage
-    sig = minhash_signatures(docs).localCheckpoint()
+    brute-force oracle.
 
-    bands = sig.select(
+    Scale shape: the kernel ships 8 longs per doc (not shingle sets); the
+    candidate set — orders of magnitude smaller than the corpus — is
+    broadcast against the streaming documents table to fetch pair texts,
+    so no corpus-sized shuffle exists anywhere in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    # eager localCheckpoint: the banded self-join reads the kernel output
+    # on both sides of one job — a lazy persist() would run the kernel
+    # twice because neither branch finishes before the other starts
+    coded = minhash_band_hashes(docs).localCheckpoint()
+
+    bands = coded.select(
         "doc_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
     )
     cand = (
@@ -244,21 +240,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh_hashes").alias("sh_a"))
-    sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh_hashes").alias("sh_b"))
+    # exact verification: broadcast the (tiny) candidate list into two
+    # map-side joins that fetch raw pair texts, THEN shingle — post-join,
+    # so the shingle expression runs on candidate rows only, never on the
+    # full corpus (Catalyst does not push projections through joins, which
+    # is exactly right here)
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    from datafusion_iceberg_spark.session import cpus
-
-    # Explicit partition count: verification is compute-bound (set ops per
-    # pair) while its input is byte-small, so AQE would coalesce it onto
-    # one core; a user-specified repartition is exempt from coalescing.
-    # Hash-set sides broadcast (they would shuffle-join at corpus scale).
     return (
-        cand.repartition(cpus(), "doc_a")
-        .join(F.broadcast(sh_a), "doc_a")
-        .join(F.broadcast(sh_b), "doc_b")
+        F.broadcast(cand)
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("sh_a", F.expr(_shingles("text_a")))
+        .withColumn("sh_b", F.expr(_shingles("text_b")))
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")

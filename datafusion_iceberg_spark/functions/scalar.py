@@ -175,7 +175,7 @@ def fn_datetime_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
     FROM orders
     GROUP BY 1 ORDER BY order_month
     """,

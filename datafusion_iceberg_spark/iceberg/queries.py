@@ -57,7 +57,7 @@ class IcebergFixture:
             cat.create_view(
                 "sales.orders_by_status",
                 "SELECT o_orderstatus, COUNT(*) AS n_orders,"
-                " CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue"
+                " CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue"
                 " FROM sales_orders GROUP BY o_orderstatus",
             )
             with open(marker, "w") as fh:
@@ -86,7 +86,7 @@ def fixture(spark: SparkSession, sf_dir: str) -> IcebergFixture:
     "iceberg_scan_agg",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )
@@ -97,7 +97,7 @@ def iceberg_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx.orders.to_df(spark).createOrReplaceTempView("ice_orders")
     return spark.sql(
         "SELECT o_orderstatus, COUNT(*) AS n_orders,"
-        " CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue"
+        " CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue"
         " FROM ice_orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
     )
 
@@ -146,7 +146,7 @@ def iceberg_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "iceberg_time_travel",
     oracle="""
     SELECT COUNT(*) AS n_rows,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
     FROM orders WHERE o_orderkey % 2 = 0
     """,
 )
@@ -167,7 +167,7 @@ def iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, n_orders, revenue FROM (
         SELECT o_orderstatus, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
         FROM orders GROUP BY o_orderstatus
     ) ORDER BY o_orderstatus
     """,

@@ -13,10 +13,10 @@ Spark-first notes (100 TB design):
   explicitly where the DataFrame API is used, and via
   ``spark.sql.autoBroadcastJoinThreshold`` for SQL text.  Fact-fact joins
   (lineitem ⋈ orders) shuffle on the join key; AQE handles skew.
-- Float-sum determinism: money aggregates use
-  ``CAST(SUM(CAST(x AS DECIMAL(30,8))) AS DOUBLE)`` — the decimal sum is
-  order-insensitive and exact, so Spark and DuckDB agree bitwise; a raw
-  double sum would differ in the last ulps depending on partitioning.
+- Float-sum determinism: money aggregates use the fixed-point form of
+  :func:`_fixed_point_sum` — an exact integer sum in a decimal carrier, so
+  Spark and DuckDB agree bitwise; a raw double sum would differ in the
+  last ulps depending on partitioning.
 """
 
 from __future__ import annotations
@@ -28,19 +28,37 @@ from datafusion_iceberg_spark.registry import register
 from datafusion_iceberg_spark.tables import load_table, sql_query
 
 
+_MONEY_SCALE = 1_000_000  # 6 dp: covers products of three 2-dp factors
+
+
+def _fixed_point_sum(expr: str) -> str:
+    """Exact fixed-point money sum, engine-portable and fast.
+
+    double → FLOOR(x*1e6 + 0.5) (the true value has ≤6 dp and double
+    error ≪ 0.5 ulp of 1e-6, so this recovers the exact scaled integer)
+    → BIGINT → DECIMAL(18,0) → SUM in int128.  Deliberately avoids
+    Spark's double→decimal cast, whose per-row Double.toString →
+    BigDecimal path dominated q1's profile (~2.5× whole-query cost);
+    long→decimal casts stay on the integer fast path.  The decimal
+    carrier means no overflow at any scale (vs. a raw BIGINT sum, which
+    overflows around 1e7 rows/group at 6-dp scaling of 1e5 values)."""
+    return (
+        f"CAST(SUM(CAST(CAST(FLOOR(({expr}) * {_MONEY_SCALE} + 0.5) AS BIGINT)"
+        f" AS DECIMAL(18,0))) AS DOUBLE)"
+    )
+
+
 def dsum(expr: str, alias: str) -> str:
-    """Order-insensitive, engine-portable money sum (see module docstring)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE) AS {alias}"
+    """Order-insensitive, engine-portable money sum (see module docstring
+    and :func:`_fixed_point_sum`)."""
+    return f"{_fixed_point_sum(expr)} / {_MONEY_SCALE} AS {alias}"
 
 
 def davg(expr: str, alias: str) -> str:
-    """avg = exact decimal sum / count — identical IEEE division in both
-    engines (DuckDB's AVG returns DOUBLE with its own summation order,
-    which would not be bitwise-stable)."""
-    return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(30,8))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
-    )
+    """avg = exact fixed-point sum / count — identical IEEE division in
+    both engines (DuckDB's AVG returns DOUBLE with its own summation
+    order, which would not be bitwise-stable)."""
+    return f"{_fixed_point_sum(expr)} / {_MONEY_SCALE} / COUNT({expr}) AS {alias}"
 
 
 def register_sql(name: str, spark_sql: str, oracle: str | None = None) -> None:
@@ -215,7 +233,7 @@ register_sql(
     "join_inner_basic",
     oracle="""
     SELECT n_name, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_acctbal
+           CAST(SUM(CAST(CAST(FLOOR((c_acctbal) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS total_acctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name ORDER BY n_name
     """,
@@ -398,10 +416,10 @@ def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS sum_price,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 / COUNT(o_totalprice) AS avg_price
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
 )

@@ -102,9 +102,9 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+           CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS DECIMAL(18,0)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
              AS running_total,
            COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
@@ -121,13 +121,13 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    scaled = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast(
+        "decimal(18,0)"
+    )
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-        .over(w)
-        .cast("double")
-        .alias("running_total"),
+        (F.sum(scaled).over(w).cast("double") / 100).alias("running_total"),
         F.count(F.lit(1)).over(w).alias("running_n"),
     ).orderBy("o_custkey", "o_orderkey")
 
@@ -136,9 +136,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_sliding_rows_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+           CAST(SUM(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS DECIMAL(18,0)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
              AS moving_sum_3
     FROM orders
     ORDER BY o_custkey, o_orderkey
@@ -151,13 +151,13 @@ def window_sliding_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(-2, W.currentRow)
     )
+    scaled = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").cast(
+        "decimal(18,0)"
+    )
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(30,8)"))
-        .over(w)
-        .cast("double")
-        .alias("moving_sum_3"),
+        (F.sum(scaled).over(w).cast("double") / 100).alias("moving_sum_3"),
     ).orderBy("o_custkey", "o_orderkey")
 
 

@@ -46,6 +46,11 @@ def get_spark(app_name: str = "datafusion_iceberg_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # Wide C2 compiler pool: loading the Arrow/Python runner floods the
+        # JIT queue, and freshly generated whole-stage-codegen classes run
+        # interpreted (10-20× slower) until the queue drains.  Measured on
+        # local[32]: q1 tail latency 63s → 9s worst case.
+        .config("spark.driver.extraJavaOptions", "-XX:CICompilerCount=20")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():

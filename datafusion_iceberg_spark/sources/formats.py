@@ -47,7 +47,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, table: str, fmt: str) -> DataFr
     "source_csv_roundtrip",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) AS total_bal
+           CAST(SUM(CAST(CAST(FLOOR((c_acctbal) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS total_bal
     FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
 )

@@ -78,7 +78,7 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
            event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+           CAST(SUM(CAST(CAST(FLOOR((value) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS total_value
     FROM events
     GROUP BY 1, 2 ORDER BY window_start, event_type
     """,
