@@ -70,14 +70,14 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
 
-    # Two full passes, min per query: steady-state latency.  The JVM JIT
+    # Three full passes, min per query: steady-state latency.  The JVM JIT
     # recompiles codegen classes unpredictably after classloading events
     # (see session.py CICompilerCount note); a cold sample can be 5× the
-    # settled time and measures the JIT, not the query.  A full second
-    # pass — rather than back-to-back repeats — gives the compile queue a
-    # whole pass worth of settle time.
+    # settled time and measures the JIT, not the query.  Full passes —
+    # rather than back-to-back repeats — give the compile queue a whole
+    # pass worth of settle time; the first pass is effectively a rehearsal.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             fn = registry.QUERIES[name]
             t0 = time.perf_counter()

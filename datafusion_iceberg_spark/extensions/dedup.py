@@ -219,25 +219,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast against the streaming documents table to fetch pair texts,
     so no corpus-sized shuffle exists anywhere in the plan."""
     docs = load_table(spark, sf_dir, "documents")
-    # eager localCheckpoint: the banded self-join reads the kernel output
-    # on both sides of one job — a lazy persist() would run the kernel
-    # twice because neither branch finishes before the other starts
-    coded = minhash_band_hashes(docs).localCheckpoint()
-
-    bands = coded.select(
+    bands = minhash_band_hashes(docs).select(
         "doc_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
     )
+    # pair generation by bucket aggregation, not self-join: ONE shuffle on
+    # (band_id, band_hash), and the signature kernel subtree is consumed
+    # exactly once (a self-join would execute it twice or need a
+    # checkpoint).  Buckets are near-dup clusters — tiny by construction —
+    # but cap pair expansion at 1000 docs/bucket so a degenerate bucket
+    # (e.g. a corpus full of empty documents) cannot go quadratic.
     cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= 1000))
         .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ids) - 2),"
+                    " i -> transform(sequence(i + 1, size(ids) - 1),"
+                    " j -> struct(ids[i] AS doc_a, ids[j] AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # exact verification: broadcast the (tiny) candidate list into two
@@ -307,9 +311,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming(code_a, code_b) <= 3 found via 4×16-bit band equality
     (pigeonhole guarantee), then exact popcount verification."""
     docs = scale_out(load_table(spark, sf_dir, "documents"))
-    # eager localCheckpoint: both sides of the banded self-join read the
-    # codes in one job — see dedup_minhash_lsh
-    coded = docs.select("doc_id", simhash64("text").alias("code")).localCheckpoint()
+    coded = docs.select("doc_id", simhash64("text").alias("code"))
 
     bands = coded.select(
         "doc_id",
@@ -321,20 +323,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_val"),
     )
+    # bucket aggregation instead of self-join: one shuffle, kernel subtree
+    # consumed once (see dedup_minhash_lsh); sort_array orders structs by
+    # doc_id, so expansion yields doc_a < doc_b; 1000-doc cap bounds a
+    # degenerate bucket (e.g. identical boilerplate docs) to linear work
     cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_val") == F.col("y.band_val"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "code"))).alias("xs"))
+        .filter((F.size("xs") > 1) & (F.size("xs") <= 1000))
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("x.code").alias("code_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.col("y.code").alias("code_b"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(xs) - 2),"
+                    " i -> transform(sequence(i + 1, size(xs) - 1),"
+                    " j -> struct(xs[i].doc_id AS doc_a, xs[i].code AS code_a,"
+                    "             xs[j].doc_id AS doc_b, xs[j].code AS code_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.*")
         .distinct()
     )
     hamming = F.bit_count(F.expr("code_a").bitwiseXOR(F.expr("code_b")))
