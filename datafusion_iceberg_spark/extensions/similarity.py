@@ -197,3 +197,132 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.3)
         .agg(F.count(F.lit(1)).alias("n_similar_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the partition-and-probe scale path
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+N_PROBE = 4
+_CENT_LO, _CENT_HI = N_QUERIES, N_QUERIES + N_CENTROIDS - 1  # inclusive ids
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ev GROUP BY vec_id),
+    cdots AS (
+        SELECT a.vec_id AS vid, c.vec_id AS cent_id, SUM(a.v * c.v) AS dot
+        FROM ev a JOIN ev c ON a.i = c.i
+        WHERE c.vec_id BETWEEN {_CENT_LO} AND {_CENT_HI}
+        GROUP BY 1, 2
+    ),
+    ccos AS (
+        SELECT vid, cent_id,
+               ROUND(dot / (na.nrm * nc.nrm), 6) AS ccos
+        FROM cdots
+        JOIN norms na ON na.vec_id = vid
+        JOIN norms nc ON nc.vec_id = cent_id
+    ),
+    assign AS (
+        SELECT vid, cent_id FROM (
+            SELECT vid, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vid
+                                      ORDER BY ccos DESC, cent_id) AS rn
+            FROM ccos
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT vid AS query_id, cent_id FROM (
+            SELECT vid, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vid
+                                      ORDER BY ccos DESC, cent_id) AS rn
+            FROM ccos WHERE vid < {N_QUERIES}
+        ) WHERE rn <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vid AS cand_id
+        FROM probe p JOIN assign a USING (cent_id)
+        WHERE a.vid <> p.query_id
+    ),
+    rdots AS (
+        SELECT cand.query_id, cand.cand_id, SUM(q.v * c.v) AS dot
+        FROM cand
+        JOIN ev q ON q.vec_id = cand.query_id
+        JOIN ev c ON c.vec_id = cand.cand_id AND q.i = c.i
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, cand_id, ROUND(dot / (nq.nrm * nc.nrm), 4) AS cos_sim
+        FROM rdots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, cos_sim, rnk FROM (
+        SELECT query_id, cand_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k: corpus vectors are assigned to
+    their nearest of {N_CENTROIDS} centroids (one scan, centroids
+    broadcast), each query probes its {N_PROBE} nearest centroid lists,
+    and exact cosine re-ranks within the probed lists only — searching
+    ~{N_PROBE}/{N_CENTROIDS} of the corpus.  At 100 TB the assignment is
+    the partitioning key of the stored index (write once, probe forever);
+    centroids here are deterministically seeded from the corpus (ids
+    {_CENT_LO}..{_CENT_HI}) — the k-means refinement loop is an offline
+    index-build concern, orthogonal to the query plan.
+
+    The DuckDB oracle replays the SAME algorithm, so this approximate
+    operator still gets the strong hash check (assignment ties broken by
+    rounded cosine + centroid id on both engines)."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cent = emb.filter(
+        (F.col("vec_id") >= _CENT_LO) & (F.col("vec_id") <= _CENT_HI)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+
+    # one corpus scan × broadcast centroids: cosine to every centroid
+    ccos = (
+        emb.withColumnRenamed("v", "qv")
+        .join(F.broadcast(cent))
+        .withColumn("ccos", F.round(F.expr(DOT) / (F.expr(NORM_Q) * F.expr(NORM_C)), 6))
+        .select("vec_id", "qv", "cent_id", "ccos")
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cent_id")
+    ranked = ccos.withColumn("rn", F.row_number().over(wv))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("cv"), "cent_id"
+    )
+    probe = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), "qv", "cent_id")
+
+    cand = (
+        F.broadcast(probe)
+        .join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    scored = cand.withColumn(
+        "cos_sim", F.round(F.expr(DOT) / (F.expr(NORM_Q) * F.expr(NORM_C)), 4)
+    ).select("query_id", "cand_id", "cos_sim")
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
+    )

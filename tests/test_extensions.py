@@ -109,3 +109,18 @@ def test_mm_frame_sample_raises_without_fake_decoder():
     batches = iter([pd.DataFrame({"doc_id": [1], "content": [b"x" * 16], "meta": [{"media_type": "m"}]})])
     with pytest.raises(NotImplementedError):
         list(decode_image_batch(batches, use_fake_decoder=False))
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    """IVF probing 4/16 clusters should beat random-subset recall (~25%)
+    by a wide margin because neighbors concentrate in nearby clusters."""
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in registry.QUERIES["sim_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.cand_id)
+        for r in registry.QUERIES["sim_ivf_topk"](spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF top-k recall {recall:.2f}"
