@@ -750,3 +750,238 @@ register_sql(
     ORDER BY p_partkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H-shaped surface (adapted to this star schema — no partsupp
+# table, so supplier↔part relationships go through lineitem; adaptations
+# noted per query).  These exercise the subquery/decorrelation machinery
+# DataFusion 14 ships (SURVEY.md §2B: scalar subqueries, IN/EXISTS,
+# disjunctive pushdown) end-to-end over our scan.
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "q2_min_acctbal_supplier",
+    """
+    SELECT DISTINCT p_partkey, p_name, s_name, s_acctbal
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size = 10
+      AND s_acctbal = (
+        SELECT MIN(s2.s_acctbal)
+        FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+        WHERE l2.l_partkey = p_partkey
+      )
+    ORDER BY s_acctbal, p_partkey
+    LIMIT 100
+    """,
+)
+
+register_sql(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year, {dsum('volume', 'revenue')}
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+
+register_sql(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           {dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END", 'nation_volume')},
+           {dsum('volume', 'total_volume')}
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n1.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+
+register_sql(
+    "q9_product_type_profit",
+    f"""
+    SELECT nation, o_year, {dsum('amount', 'sum_profit')}
+    FROM (
+        SELECT n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+               l_extendedprice * (1 - l_discount) AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%5%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+
+register_sql(
+    "q12_priority_class_counts",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+
+register_sql(
+    "q13_customer_order_histogram",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+
+register_sql(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no, {dsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+
+register_sql(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 10, 20, 30, 40, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+
+register_sql(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT {dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+
+register_sql(
+    "q20_qty_threshold_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE '%7%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 100
+      )
+    ORDER BY s_name
+    """,
+)
+
+register_sql(
+    "q21_sole_returnflag_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+
+register_sql(
+    "q22_dormant_customers",
+    """
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                AS DECIMAL(18,0))) AS DOUBLE) / 100 AS totacctbal
+    FROM customer
+    WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c_acctbal > (
+        SELECT AVG(c_acctbal) FROM customer
+        WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
