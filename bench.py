@@ -21,13 +21,18 @@ HEADLINE = [
     "q6_revenue_forecast",
     "q10_returned_items",
     "q18_large_volume_customer",
+    "q7_volume_shipping",
+    "q19_disjunctive_revenue",
     "window_topk_per_group",
     "join_asof",
     "join_range_banded",
+    "join_skew_salted",
     "agg_cube",
     "dedup_exact_hash",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "sim_topk_bruteforce",
+    "sim_ivf_topk",
     "text_token_frequencies",
     "json_from_json_agg",
 ]

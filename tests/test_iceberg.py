@@ -264,3 +264,105 @@ def test_catalog_lifecycle(spark, sf_dir, scratch):
     assert not cat.table_exists("a.region")
     cat2 = Catalog(os.path.join(scratch, "wh"))
     assert cat2.table_names() == []  # storage agrees with the mirror
+
+
+# ---------------------------------------------------------------------------
+# Tier 2b: pruning conservatism — property-based
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+_vals = st.integers(min_value=-20, max_value=20)
+
+
+def _leaf(col):
+    return st.one_of(
+        st.tuples(st.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+                  st.just(col), _vals),
+        st.tuples(st.just("between"), st.just(col), _vals, _vals),
+        st.tuples(st.just("in"), st.just(col),
+                  st.lists(_vals, min_size=1, max_size=4)),
+        st.tuples(st.just("isnull"), st.just(col)),
+        st.tuples(st.just("notnull"), st.just(col)),
+    )
+
+
+def _pred(col):
+    return st.recursive(
+        _leaf(col),
+        lambda kids: st.one_of(
+            st.tuples(st.just("and"), kids, kids),
+            st.tuples(st.just("or"), kids, kids),
+            st.tuples(st.just("not"), kids),
+        ),
+        max_leaves=6,
+    )
+
+
+def _row_eval(pred, v):
+    """Ground truth: evaluate the predicate on a single row value (None =
+    SQL NULL), SQL three-valued logic collapsed to 'row matches'."""
+    op = pred[0]
+    if op == "and":
+        return _row_eval(pred[1], v) and _row_eval(pred[2], v)
+    if op == "or":
+        return _row_eval(pred[1], v) or _row_eval(pred[2], v)
+    if op == "not":
+        # NULL comparisons are UNKNOWN, and NOT UNKNOWN is still not-match;
+        # approximate ground truth: a NULL row only matches isnull leaves,
+        # so NOT over a NULL-row sub-predicate stays False unless the sub
+        # is a non-matching isnull/notnull tree.  Evaluate strictly:
+        return not _row_eval(pred[1], v)
+    if op == "isnull":
+        return v is None
+    if op == "notnull":
+        return v is not None
+    if v is None:
+        return False
+    if op == "=":
+        return v == pred[2]
+    if op == "!=":
+        return v != pred[2]
+    if op == "<":
+        return v < pred[2]
+    if op == "<=":
+        return v <= pred[2]
+    if op == ">":
+        return v > pred[2]
+    if op == ">=":
+        return v >= pred[2]
+    if op == "between":
+        return pred[2] <= v <= pred[3]
+    if op == "in":
+        return v in pred[2]
+    raise AssertionError(op)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pred=_pred("x"),
+    rows=st.lists(st.one_of(st.none(), _vals), min_size=1, max_size=8),
+)
+def test_pruning_never_skips_matching_file(pred, rows):
+    """THE pruning invariant (SURVEY.md §4.1): evaluate(pred, stats)
+    may return False (skip) ONLY IF no row in the file matches.  'not'
+    over NULL rows uses SQL semantics in the kernel but two-valued
+    ground truth here, so restrict the check to the sound direction."""
+    non_null = [r for r in rows if r is not None]
+    stats = {
+        "x": ColumnStats(
+            min(non_null) if non_null else None,
+            max(non_null) if non_null else None,
+            len(rows) - len(non_null),
+            len(rows),
+        )
+    }
+    verdict = evaluate(pred, stats)
+    if verdict is False:  # kernel says: no row can match — prove it
+        matching = [r for r in rows if _row_eval(pred, r)]
+        assert not matching, (
+            f"pruned a file with matching rows {matching}: pred={pred}, "
+            f"stats=({stats['x'].lower},{stats['x'].upper},"
+            f"{stats['x'].null_count},{stats['x'].value_count})"
+        )
