@@ -161,22 +161,25 @@ def _minhash_bands(texts: pd.Series) -> pd.Series:
     interpreted per element, while this runs one (K × n_shingles) numpy
     broadcast per doc.
     """
-    cache: dict[str, int] = {}
+    tok_cache: dict[str, int] = {}
     out = []
+    _P = _np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
     for text in texts:
         toks = (text or "").split(" ")
-        n = max(len(toks) - SHINGLE_LEN + 1, 1)
-        shingle_hashes = set()
-        for i in range(n):
-            s = " ".join(toks[i : i + SHINGLE_LEN])
-            h = cache.get(s)
+        # token-level hashing (cached — vocabularies are tiny relative to
+        # corpora), then a vectorized polynomial combine per 3-shingle:
+        # no per-shingle string building, no per-shingle digest call
+        th = _np.empty(max(len(toks), SHINGLE_LEN), dtype=_np.uint64)
+        th[:] = 0
+        for i, tok in enumerate(toks):
+            h = tok_cache.get(tok)
             if h is None:
-                h = int.from_bytes(
-                    hashlib.md5(s.encode()).digest()[:8], "little"
-                )
-                cache[s] = h
-            shingle_hashes.add(h)
-        hs = _np.fromiter(shingle_hashes, dtype=_np.uint64, count=len(shingle_hashes))
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+                tok_cache[tok] = h
+            th[i] = h
+        n = max(len(toks) - SHINGLE_LEN + 1, 1)
+        hs = (th[:n] * _P + th[1 : n + 1]) * _P + th[2 : n + 2]
+        hs = _np.unique(hs)
         # (K, n) universal hash, min per row
         sig = ((_MINHASH_A[:, None] * hs[None, :]) & _MASK61).min(axis=1)
         bands = sig.reshape(BANDS, ROWS_PER_BAND)
