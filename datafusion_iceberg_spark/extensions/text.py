@@ -216,3 +216,65 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "tok")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite pipeline: the end-to-end corpus-cleaning shape
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH gated AS (
+        SELECT doc_id, source, text,
+               len(string_split(text, ' ')) AS ntoks,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS ttr
+        FROM documents
+        WHERE lang = 'en'
+    ),
+    q AS (
+        SELECT * FROM gated WHERE ntoks BETWEEN 10 AND 1000 AND ttr > 0.05
+    ),
+    dedup AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                                     ORDER BY doc_id) AS rn
+        FROM q
+    )
+    SELECT source, COUNT(*) AS n_docs_kept, SUM(ntoks) AS n_tokens_kept
+    FROM dedup WHERE rn = 1
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data cleaning pipeline as ONE declarative plan:
+    language gate → quality gate (token count + type-token ratio) → exact
+    near-normalized dedup (first doc_id wins) → per-source yield stats.
+    Each stage is a narrow projection/filter except the dedup window
+    (one shuffle on the content hash) and the final aggregate — i.e. the
+    whole pipeline costs two shuffles at any corpus size, with every gate
+    pushed before the first shuffle."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    gated = docs.filter(F.col("lang") == "en").select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(toks).alias("ntoks"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("ttr"),
+    )
+    q = gated.filter(F.col("ntoks").between(10, 1000) & (F.col("ttr") > 0.05))
+    w = W.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    kept = q.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("ntoks").alias("n_tokens_kept"),
+        )
+        .orderBy("source")
+    )
