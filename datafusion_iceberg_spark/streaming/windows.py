@@ -197,3 +197,51 @@ def stream_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase") & (F.col("value") > 50)
     ).select("event_id", "user_id", "value")
     return run_stream(sel, "filtproj", mode="append").orderBy("event_id")
+
+
+@register(
+    "stream_stream_interval_join",
+    oracle="""
+    SELECT c.user_id, COUNT(*) AS n_attributed
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an attribution window: every purchase
+    within one hour after a click by the same user.  Both sides carry
+    watermarks and the join condition time-bounds both streams, so join
+    state is bounded (Spark drops click state once the purchase-side
+    watermark passes click_ts + 1 h) — the property that lets this run
+    forever on an unbounded stream.  Inner joins emit eagerly on match,
+    so driving the file source to completion yields the full result; the
+    aggregation over the sink runs batch-side."""
+    clicks, _ = _events_stream(spark, sf_dir)
+    purchases, _ = _events_stream(spark, sf_dir)
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 day")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 day")
+    )
+    joined = c.join(
+        p,
+        F.expr(
+            "p_user = c_user AND p_ts >= c_ts"
+            " AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+    )
+    sink = run_stream(joined, "stream_interval_join", mode="append")
+    return (
+        sink.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .orderBy("user_id")
+    )
