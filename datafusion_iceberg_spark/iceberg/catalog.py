@@ -109,6 +109,18 @@ class Catalog:
         self._mirror[ident] = IcebergTable.load(root)  # refresh snapshot view
         return snap
 
+    def compact(
+        self, ident: str, spark: SparkSession, target_file_bytes: int = 128 << 20
+    ) -> int:
+        """Small-file compaction: rewrite current data files to target size
+        in a replace snapshot (writer.compact), then refresh the mirror —
+        mutation + mirror update stay in lockstep (the reference leaves
+        its mirror stale on writes, SURVEY.md §4.4 bug #3)."""
+        snap = self.writer(ident).compact(spark, target_file_bytes)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
     def create_view(self, ident: str, sql: str) -> IcebergView:
         ns, name = ident.split(".", 1)
         self.create_namespace(ns)

@@ -270,9 +270,17 @@ class IcebergWriter:
         }
         self._commit_metadata(meta)
 
-    def append(self, spark: SparkSession, df: DataFrame) -> int:
+    def append(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        _carry: bool = True,
+        _operation: str = "append",
+    ) -> int:
         """Write df as parquet data files + commit an append snapshot.
-        Returns the new snapshot id."""
+        Returns the new snapshot id.  With ``_carry=False`` the new
+        manifest REPLACES all previous ones (a rewrite snapshot — used by
+        :meth:`compact`)."""
         snap_id = int(time.time() * 1000) * 1000 + (int.from_bytes(os.urandom(2), "big") % 1000)
         data_dir = os.path.join(self.root, "data", f"snap-{snap_id}")
         writer = df.select(*[f.name for f in self.schema.fields]).write.mode("overwrite")
@@ -348,6 +356,8 @@ class IcebergWriter:
         # + the new one (Iceberg spec: the list is the complete snapshot).
         carried = []
         prev_id = meta.get("current-snapshot-id")
+        if not _carry:
+            prev_id = None
         if prev_id not in (None, -1):
             prev_snap = next(
                 s for s in meta["snapshots"] if s["snapshot-id"] == prev_id
@@ -403,25 +413,23 @@ class IcebergWriter:
         )
         now = int(time.time() * 1000)
         prev_total = 0
-        if meta.get("snapshots"):
+        prev_files = 0
+        if _carry and meta.get("snapshots"):
             prev_total = int(
                 meta["snapshots"][-1]["summary"].get("total-records", 0)
+            )
+            prev_files = int(
+                meta["snapshots"][-1]["summary"].get("total-data-files", 0)
             )
         snapshot = {
             "snapshot-id": snap_id,
             "timestamp-ms": now,
             "summary": {
-                "operation": "append",
+                "operation": _operation,
                 "added-data-files": str(len(files)),
                 "added-records": str(total_rows),
                 "total-records": str(prev_total + total_rows),
-                "total-data-files": str(
-                    sum(1 for _ in files)
-                    + sum(
-                        int(s["summary"].get("total-data-files", 0))
-                        for s in meta.get("snapshots", [])[-1:]
-                    )
-                ),
+                "total-data-files": str(len(files) + prev_files),
             },
             "manifest-list": manifest_list_path,
             "schema-id": 0,
@@ -434,6 +442,36 @@ class IcebergWriter:
         ]
         self._commit_metadata(meta)
         return snap_id
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Rewrite the table's current data files into ~target-sized files
+        and commit a replace snapshot — the small-file maintenance every
+        append-heavy 100 TB table needs (file count, not data size, is
+        what drives scan-planning and commit cost; see module docstring).
+
+        The rewrite is a single distributed job: scan current snapshot →
+        ``repartition`` to ceil(total_bytes / target) → write; the old
+        files stay on disk for time travel (snapshots are immutable), the
+        new snapshot's manifest list simply stops referencing them."""
+        import math
+
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        table = IcebergTable.load(self.root)
+        files = table.files()
+        total_bytes = sum(f.file_size_in_bytes for f in files)
+        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+        df = table.to_df(spark)
+        if self.partition_by:
+            # keep partition dirs intact; spread within partitions
+            df = df.repartition(n_out, *self.partition_by)
+        else:
+            df = df.repartition(n_out)
+        return self.append(spark, df, _carry=False, _operation="replace")
 
     # -- stats collection ---------------------------------------------------
 

@@ -366,3 +366,61 @@ def test_pruning_never_skips_matching_file(pred, rows):
             f"stats=({stats['x'].lower},{stats['x'].upper},"
             f"{stats['x'].null_count},{stats['x'].value_count})"
         )
+
+
+def test_compaction_replace_snapshot(spark, sf_dir, scratch):
+    """compact(): many small files → few target-sized files in a replace
+    snapshot; rows identical; old snapshot still time-travelable; an
+    incremental read across the compaction sees the rewritten file set."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cat.create_table("ns.oc", orders.schema)
+    # two appends, deliberately fragmented (8 files each)
+    s1 = cat.append("ns.oc", spark, orders.repartition(8))
+    s2 = cat.append("ns.oc", spark, orders.repartition(8))
+    table = cat.load("ns.oc")
+    assert isinstance(table, IcebergTable)
+    n_before = len(table.files())
+    assert n_before == 16
+
+    s3 = cat.compact("ns.oc", spark, target_file_bytes=1 << 30)
+    table = cat.load("ns.oc")
+    files_after = table.files()
+    assert len(files_after) < n_before
+    assert table.to_df(spark).count() == 2 * orders.count()
+    # stats survive the rewrite (rows, not files — reference bug #2)
+    assert table.statistics()["num_rows"] == 2 * orders.count()
+    # time travel to the pre-compaction snapshot still works
+    assert table.to_df(spark, snapshot_id=s2).count() == 2 * orders.count()
+    assert table.to_df(spark, snapshot_id=s1).count() == orders.count()
+    # snapshot summary records the operation
+    assert table.metadata.snapshot(snapshot_id=s3).summary["operation"] == "replace"
+
+
+def test_incremental_read(spark, sf_dir, scratch):
+    """incremental_df(from, to): exactly the rows appended in between,
+    planned from metadata only."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    a = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b = orders.filter(F.col("o_orderkey") % 3 == 1)
+    c = orders.filter(F.col("o_orderkey") % 3 == 2)
+    cat.create_table("ns.inc", orders.schema)
+    s1 = cat.append("ns.inc", spark, a)
+    s2 = cat.append("ns.inc", spark, b)
+    s3 = cat.append("ns.inc", spark, c)
+    table = cat.load("ns.inc")
+    assert isinstance(table, IcebergTable)
+    assert table.incremental_df(spark, s1, s2).count() == b.count()
+    assert table.incremental_df(spark, s2, s3).count() == c.count()
+    assert table.incremental_df(spark, s1).count() == b.count() + c.count()
+    assert table.incremental_df(spark, s3).count() == 0
+    # filters prune the added-file scan too
+    got = table.incremental_df(
+        spark, s1, s2, filters=(">", "o_orderkey", 100)
+    ).count()
+    assert got == b.filter(F.col("o_orderkey") > 100).count()
