@@ -109,6 +109,13 @@ class Catalog:
         self._mirror[ident] = IcebergTable.load(root)  # refresh snapshot view
         return snap
 
+    def add_column(self, ident: str, name: str, dtype) -> int:
+        """ADD COLUMN evolution (writer.add_column) + mirror refresh."""
+        fid = self.writer(ident).add_column(name, dtype)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return fid
+
     def compact(
         self, ident: str, spark: SparkSession, target_file_bytes: int = 128 << 20
     ) -> int:

@@ -443,6 +443,51 @@ class IcebergWriter:
         self._commit_metadata(meta)
         return snap_id
 
+    def add_column(self, name: str, dtype: T.DataType) -> int:
+        """ADD COLUMN schema evolution: commit a new schema version whose
+        field list is the current schema plus one optional column at the
+        end.  Existing data files lack the column; the scan reads with the
+        current schema, so old rows surface as NULL — no rewrite, no
+        downtime (the metadata commit IS the migration).  Returns the new
+        field id.
+
+        Only additive evolution is supported: appended columns keep the
+        invariant field-id == position+1 that this writer's stats encoding
+        relies on; RENAME/DROP would need id-keyed column mapping in the
+        scan (see PERF_NOTES.md next-round candidates)."""
+        if name in self.field_ids:
+            raise ValueError(f"column already exists: {name}")
+        meta = self._load_current()
+        new_id = int(meta["last-column-id"]) + 1
+        cur_id = meta.get("current-schema-id", 0)
+        cur = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_id
+        )
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(s.get("schema-id", 0) for s in meta["schemas"]) + 1,
+            "fields": cur["fields"]
+            + [
+                {
+                    "id": new_id,
+                    "name": name,
+                    "required": False,
+                    "type": spark_type_to_iceberg(dtype),
+                }
+            ],
+        }
+        meta["schemas"] = meta["schemas"] + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["schema"] = new_schema  # v1 single-schema compat
+        meta["last-column-id"] = new_id
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(meta)
+        # keep this writer usable for subsequent appends
+        self.schema = self.schema.add(T.StructField(name, dtype, True))
+        self.field_ids[name] = new_id
+        self.iceberg_types[name] = spark_type_to_iceberg(dtype)
+        return new_id
+
     def compact(
         self,
         spark: SparkSession,

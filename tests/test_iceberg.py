@@ -424,3 +424,37 @@ def test_incremental_read(spark, sf_dir, scratch):
         spark, s1, s2, filters=(">", "o_orderkey", 100)
     ).count()
     assert got == b.filter(F.col("o_orderkey") > 100).count()
+
+
+def test_schema_evolution_add_column(spark, sf_dir, scratch):
+    """ADD COLUMN: metadata-only migration — old files read as NULL for
+    the new column, new appends carry it, stats prune on it."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    cat.create_table("ns.ev", nation.schema)
+    cat.append("ns.ev", spark, nation)
+
+    fid = cat.add_column("ns.ev", "population", T.LongType())
+    assert fid == 3  # appended column keeps id == position+1
+
+    table = cat.load("ns.ev")
+    assert isinstance(table, IcebergTable)
+    df = table.to_df(spark)
+    assert "population" in df.columns
+    assert df.filter(F.col("population").isNull()).count() == nation.count()
+
+    enriched = nation.withColumn(
+        "population", (F.col("n_nationkey") + 1) * 1000
+    )
+    cat.append("ns.ev", spark, enriched)
+    table = cat.load("ns.ev")
+    df2 = table.to_df(spark)
+    assert df2.count() == 2 * nation.count()
+    assert df2.filter(F.col("population").isNotNull()).count() == nation.count()
+    # new column's stats drive file pruning: old files have no bounds for
+    # field 3 (conservative keep); a predicate beyond the new bounds skips
+    # the new files
+    pruned = table.files(filters=(">", "population", 10**9))
+    assert len(pruned) < len(table.files())
