@@ -217,3 +217,105 @@ def iceberg_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(stats["num_rows"],)], "num_rows bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Maintenance-path queries: incremental reads and compaction
+# ---------------------------------------------------------------------------
+
+_maint_warehouses: dict[str, Catalog] = {}
+
+
+def _maint_fixture(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Separate warehouse exercising the maintenance ops: orders appended
+    in two fragmented snapshots (8 files each), then compacted."""
+    with _lock:
+        cat = _maint_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_maint")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            even = orders.filter(F.col("o_orderkey") % 2 == 0)
+            odd = orders.filter(F.col("o_orderkey") % 2 != 0)
+            cat.create_table("maint.orders", orders.schema)
+            cat.append("maint.orders", spark, even.repartition(8))
+            cat.append("maint.orders", spark, odd.repartition(8))
+            cat.compact("maint.orders", spark, target_file_bytes=256 << 20)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _maint_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_incremental_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders WHERE o_orderkey % 2 <> 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog read: rows added between snapshot 1 (even orderkeys) and
+    snapshot 2 (odd appended) — planned as a metadata-only file-set diff,
+    scanning just the added files."""
+    fx = fixture(spark, sf_dir)
+    inc = fx.orders.incremental_df(spark, fx.snap1, fx.snap2)
+    return (
+        inc.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "iceberg_compacted_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction invariance: 16 fragmented files rewritten into a replace
+    snapshot; the scan over the compacted table must hash-match the
+    original parquet exactly."""
+    cat = _maint_fixture(spark, sf_dir)
+    table = cat.load("maint.orders")
+    assert isinstance(table, IcebergTable)
+    df = table.to_df(spark)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

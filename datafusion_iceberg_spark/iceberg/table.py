@@ -123,8 +123,18 @@ class IcebergTable:
         correctness contract as the reference (filters forwarded to the
         physical plan, table.rs:291-293).
         """
-        meta = self.metadata
         files = self.files(filters, snapshot_id, as_of_timestamp_ms)
+        df = self._scan_files(spark, files, filters)
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def _scan_files(
+        self, spark: SparkSession, files: list[DataFile], filters: Optional[Pred]
+    ) -> DataFrame:
+        """files → DataFrame with partition values attached and the exact
+        filter re-applied (shared by full and incremental scans)."""
+        meta = self.metadata
         st = meta.struct_type()
         if not files:
             return spark.createDataFrame([], st)
@@ -142,13 +152,10 @@ class IcebergTable:
                 spark, meta, files, missing_part_cols
             )
         else:
-            read_schema = st
-            df = spark.read.schema(read_schema).parquet(*paths)
+            df = spark.read.schema(st).parquet(*paths)
 
         if filters is not None:
             df = df.filter(pred_to_sql(filters))
-        if columns:
-            df = df.select(*columns)
         return df
 
     # -- incremental read (beyond reference parity, like the write path) ---
@@ -170,17 +177,10 @@ class IcebergTable:
 
         Planning cost is metadata-only (two manifest walks on the driver);
         the scan reads just the added files."""
-        meta = self.metadata
         old = {f.path for f in self.files(filters, snapshot_id=from_snapshot_id)}
         new = self.files(filters, snapshot_id=to_snapshot_id)
         added = [f for f in new if f.path not in old]
-        if not added:
-            return spark.createDataFrame([], meta.struct_type())
-        paths = [meta.localize(f.path) for f in added]
-        df = spark.read.schema(meta.struct_type()).parquet(*paths)
-        if filters is not None:
-            df = df.filter(pred_to_sql(filters))
-        return df
+        return self._scan_files(spark, added, filters)
 
 
 def _file_has_column(path: str, col: str) -> bool:
