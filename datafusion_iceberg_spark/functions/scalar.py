@@ -12,6 +12,8 @@ passes the ``'g'`` flag to match Spark's replace-all semantics.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -222,3 +224,70 @@ def fn_conditional_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") > 0).cast("int").alias("is_positive"),
         F.when(F.col("c_acctbal") > 5000, "high").otherwise("low").alias("bal_band"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# UDF / UDTF surface (SURVEY.md §2B last row: DataFusion 14 supports UDF
+# registration; the reference registers none — we expose the Spark path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udf_registered_sql",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(c_acctbal * 1.1 + LEAST(c_acctbal, 0) * 0.4, 6) AS adjusted
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def udf_registered_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Pandas UDF registered into the SQL function registry
+    and invoked from SQL text — the full user-function path.  The kernel
+    is vectorized (one numpy expression per batch); row-at-a-time
+    ``F.udf`` is deliberately NOT used (10-100× slower, SURVEY.md
+    'UDFs are the slow path')."""
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as SF
+
+    @SF.pandas_udf(T.DoubleType())
+    def credit_adjust(bal: pd.Series) -> pd.Series:
+        # penalize negative balances: vectorized, no Python-per-row
+        return (bal * 1.1 + bal.clip(upper=0) * 0.4).round(6)
+
+    spark.udf.register("credit_adjust", credit_adjust)
+    from datafusion_iceberg_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT c_custkey, credit_adjust(c_acctbal) AS adjusted"
+        " FROM customer ORDER BY c_custkey"
+    )
+
+
+@register(
+    "udtf_posexplode_tokens",
+    oracle="""
+    SELECT doc_id, tok_pos - 1 AS tok_pos, tok
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS tok_pos
+        FROM documents
+    )
+    WHERE doc_id < 50
+    ORDER BY doc_id, tok_pos
+    """,
+)
+def udtf_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating function: one row per (doc, position, token) via
+    posexplode — the lateral-view/UDTF row the reference reaches through
+    DataFusion's unnest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("tok_pos", "tok"),
+        )
+        .orderBy("doc_id", "tok_pos")
+    )

@@ -65,3 +65,71 @@ def stream_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream(updated, "stateful", mode="update").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup — the training-pipeline op as a stateful stream
+# ---------------------------------------------------------------------------
+
+DEDUP_OUTPUT = "user_id bigint, event_type string, n_kept bigint"
+DEDUP_STATE = "seen array<string>"
+
+
+def _dedup_user_events(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keep the first occurrence of each (event_type) per user; state =
+    the set of types already seen.  The template for streaming exact
+    dedup: state is the seen-key set (bounded by a TTL in production —
+    GroupStateTimeout.ProcessingTimeTimeout — so memory is O(recent keys),
+    here unbounded because the drive-to-completion harness is finite)."""
+    (user_id,) = key
+    seen = set(state.get[0]) if state.exists else set()
+    kept: dict[str, int] = {}
+    for pdf in pdfs:
+        for et in pdf["event_type"]:
+            if et not in seen:
+                seen.add(et)
+                kept[et] = kept.get(et, 0) + 1
+    state.update((sorted(seen),))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(kept),
+            "event_type": list(kept),
+            "n_kept": list(kept.values()),
+        }
+    )
+
+
+@register(
+    "stream_dedup_stateful",
+    oracle="""
+    SELECT user_id, COUNT(DISTINCT event_type) AS n_first_seen
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via explicit GroupState: each user's stream
+    keeps only first-seen event types.  Driven to completion, the number
+    of kept rows per user equals COUNT(DISTINCT event_type) — the oracle
+    the batch engine can check."""
+    stream, _ = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.select("user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _dedup_user_events,
+            outputStructType=DEDUP_OUTPUT,
+            stateStructType=DEDUP_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink = run_stream(deduped, "stream_dedup", mode="update")
+    # countDistinct, not count(*): with a multi-file source a user's group
+    # can emit in several micro-batches and the update sink keeps all rows
+    return (
+        sink.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_first_seen"))
+        .orderBy("user_id")
+    )

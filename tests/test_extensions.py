@@ -124,3 +124,38 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF top-k recall {recall:.2f}"
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir, duck):
+    """HLL++ at rsd=0.01 must land within a few percent of the exact
+    distinct count (rows-only driver check -> accuracy gated here)."""
+    approx = {
+        r.l_returnflag: r.approx_orders
+        for r in registry.QUERIES["agg_approx_count_distinct"](spark, sf_dir).collect()
+    }
+    exact = dict(
+        duck.sql(
+            "SELECT l_returnflag, COUNT(DISTINCT l_orderkey) FROM lineitem"
+            " GROUP BY l_returnflag"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        rel = abs(est - exact[k]) / exact[k]
+        assert rel < 0.05, f"{k}: approx {est} vs exact {exact[k]} ({rel:.1%})"
+
+
+def test_percentile_approx_bound(spark, sf_dir, duck):
+    """approx median (accuracy=10000) must sit between the exact 45th and
+    55th percentiles."""
+    approx = {
+        r.l_linestatus: r.approx_median
+        for r in registry.QUERIES["agg_percentile_approx"](spark, sf_dir).collect()
+    }
+    for k, est in approx.items():
+        lo, hi = duck.sql(
+            "SELECT quantile_cont(l_extendedprice, 0.45),"
+            " quantile_cont(l_extendedprice, 0.55)"
+            f" FROM lineitem WHERE l_linestatus = '{k}'"
+        ).fetchone()
+        assert lo <= est <= hi, f"{k}: {est} outside [{lo}, {hi}]"
