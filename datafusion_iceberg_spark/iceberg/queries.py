@@ -319,3 +319,68 @@ def iceberg_compacted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "iceberg_schema_evolution_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(o_priority_rank) AS n_with_rank
+    FROM (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 2 <> 0
+                    THEN CAST(LENGTH(o_orderpriority) AS BIGINT) END
+                 AS o_priority_rank
+        FROM orders
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADD COLUMN evolution through the scan: snapshot 1 (even orderkeys)
+    written BEFORE the column existed reads as NULL, snapshot 2 (odd)
+    carries values — the metadata-only migration the write path commits.
+    Oracle reconstructs the same null pattern from the source parquet."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_evo")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_orderpriority"
+            )
+            even = orders.filter(F.col("o_orderkey") % 2 == 0)
+            odd = orders.filter(F.col("o_orderkey") % 2 != 0)
+            cat.create_table("evo.orders", even.schema)
+            cat.append("evo.orders", spark, even)
+            from pyspark.sql import types as T
+
+            cat.add_column("evo.orders", "o_priority_rank", T.LongType())
+            cat.append(
+                "evo.orders",
+                spark,
+                odd.withColumn(
+                    "o_priority_rank",
+                    F.length("o_orderpriority").cast("long"),
+                ),
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("evo.orders")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("o_priority_rank").alias("n_with_rank"),
+        )
+        .orderBy("o_orderstatus")
+    )

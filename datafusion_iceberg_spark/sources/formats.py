@@ -15,6 +15,7 @@ import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from datafusion_iceberg_spark.iceberg.queries import SCRATCH
 from datafusion_iceberg_spark.registry import register
@@ -125,4 +126,56 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.agg(
         F.count(F.lit(1)).alias("n_files"),
         F.sum((F.length("content") > 0).cast("long")).alias("n_nonempty"),
+    )
+
+
+@register(
+    "source_avro_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source via the pure-Python codec that also decodes Iceberg
+    manifests (iceberg/avro.py — deflate codec, unions, nested records):
+    write the table to an Avro file on the driver, read it back, hand the
+    rows to Spark.  Driver-side by design: the same codec path a
+    spark-avro package would run executor-side; at 100 TB the Avro inputs
+    are manifest-sized metadata, not data files, so driver decoding is
+    the real deployment shape (SURVEY.md §2A manifest handling)."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.avro import (
+        read_avro_file,
+        write_avro_file,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(SCRATCH, f"fmt_{tag}_nation.avro")
+    with _lock:
+        if not os.path.exists(path):
+            os.makedirs(SCRATCH, exist_ok=True)
+            schema = {
+                "type": "record",
+                "name": "nation",
+                "fields": [
+                    {"name": "n_nationkey", "type": "long"},
+                    {"name": "n_name", "type": "string"},
+                    {"name": "n_regionkey", "type": "long"},
+                ],
+            }
+            rows = [r.asDict() for r in nation.collect()]
+            write_avro_file(path, schema, rows)
+    _, records = read_avro_file(path)
+    df = spark.createDataFrame(records, schema=nation.schema)
+    return (
+        df.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
     )
