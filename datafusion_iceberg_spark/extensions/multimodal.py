@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import hashlib
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -127,4 +129,72 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("frame_id", (F.col("frame_offset") / 4).cast("int"))
         .orderBy("doc_id", "frame_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal → similarity composition: embed binary payloads, then ANN
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 16
+
+
+def embed_media_batch(
+    batches: Iterator[pd.DataFrame], use_fake_encoder: bool = True
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary payload → unit-norm embedding.  The fake
+    encoder derives EMB_DIM floats deterministically from the payload
+    bytes (a real deployment swaps in an ONNX/CLIP encoder here — same
+    signature, same batch shape, same downstream plan)."""
+    import numpy as np
+
+    for pdf in batches:
+        if not use_fake_encoder and not REAL_DECODERS_AVAILABLE:
+            raise NotImplementedError(
+                "real media encoder not available in this container;"
+                " pass use_fake_encoder=True"
+            )
+        mats = []
+        for b in pdf["content"]:
+            raw = np.frombuffer(
+                hashlib.sha256(bytes(b)).digest(), dtype=np.uint8
+            )[:EMB_DIM].astype(np.float64)
+            v = raw - raw.mean()
+            n = np.linalg.norm(v)
+            mats.append((v / n if n else v).tolist())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": mats})
+
+
+@register("mm_embed_similarity_topk")  # encoder-specific → rows-only check
+def mm_embed_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal retrieval pipeline end to end: synthesize media →
+    mapInPandas encode (Arrow-batched) → brute-force cosine top-5 of the
+    first 3 docs against the corpus.  One corpus scan, query side
+    broadcast — the same plan shape as extensions/similarity.py, fed by
+    the binary-column path instead of a stored embedding column.
+    tests/test_extensions.py checks the results against a pure-Python
+    recomputation."""
+    from pyspark.sql import Window as W
+
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    media = synthesize_media(docs)
+    emb = media.mapInPandas(
+        embed_media_batch, schema="doc_id long, embedding array<double>"
+    )
+    q = emb.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("doc_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    dot = F.expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .withColumn("cos_sim", F.round(dot, 6))  # unit vectors: dot = cosine
+        .select("query_id", "cand_id", "cos_sim")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("query_id", "rnk")
     )

@@ -159,3 +159,42 @@ def test_percentile_approx_bound(spark, sf_dir, duck):
             f" FROM lineitem WHERE l_linestatus = '{k}'"
         ).fetchone()
         assert lo <= est <= hi, f"{k}: {est} outside [{lo}, {hi}]"
+
+
+def test_mm_embed_similarity_matches_python(spark, sf_dir):
+    """The multimodal retrieval pipeline must agree with a pure-Python
+    recomputation (payload -> sha256 embedding -> cosine top-5)."""
+    import hashlib as hl
+
+    import numpy as np
+    import duckdb
+
+    rows = registry.QUERIES["mm_embed_similarity_topk"](spark, sf_dir).collect()
+    texts = dict(
+        duckdb.sql(f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
+    )
+    from datafusion_iceberg_spark.extensions.multimodal import EMB_DIM
+
+    def embed(text):
+        payload = hl.md5(text.encode()).digest()
+        raw = np.frombuffer(hl.sha256(payload).digest(), dtype=np.uint8)[
+            :EMB_DIM
+        ].astype(np.float64)
+        v = raw - raw.mean()
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    vecs = {d: embed(t) for d, t in texts.items()}
+    for qid in {r.query_id for r in rows}:
+        sims = sorted(
+            ((round(float(vecs[qid] @ v), 6), -d) for d, v in vecs.items() if d != qid),
+            reverse=True,
+        )[:5]
+        want = [(-d, s) for s, d in sims]
+        got = [
+            (r.cand_id, r.cos_sim)
+            for r in sorted(
+                (r for r in rows if r.query_id == qid), key=lambda r: r.rnk
+            )
+        ]
+        assert got == want, f"query {qid}: {got} != {want}"
