@@ -291,3 +291,38 @@ def udtf_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "tok_pos")
     )
+
+
+@register(
+    "fn_array_bank",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_toks,
+           array_to_string(list_sort(string_split(text, ' ')[1:2]), '|') AS first2_sorted,
+           CAST(list_contains(string_split(text, ' '), 'the') AS INTEGER) AS has_the,
+           string_split(text, ' ')[-1] AS last_tok,
+           array_to_string(list_reverse(string_split(text, ' '))[1:1], '|') AS rev_head
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def fn_array_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function bank (construct/slice/sort/contains/element_at/
+    reverse) — the collection surface over tokenized text.  DuckDB list
+    functions differ in name and 1-based indexing, hence the separate
+    oracle text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (
+        docs.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_toks"),
+            F.array_join(F.sort_array(F.slice(toks, 1, 2)), "|").alias(
+                "first2_sorted"
+            ),
+            F.array_contains(toks, "the").cast("int").alias("has_the"),
+            F.element_at(toks, -1).alias("last_tok"),
+            F.array_join(F.slice(F.reverse(toks), 1, 1), "|").alias("rev_head"),
+        )
+        .orderBy("doc_id")
+    )
