@@ -610,3 +610,63 @@ class IcebergWriter:
         from urllib.parse import unquote
 
         return unquote(raw)
+
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire all but the newest ``keep_last`` snapshots: trim the
+        snapshot list/log in a new metadata version, then delete data and
+        manifest files referenced ONLY by expired snapshots — the storage
+        reclamation that pairs with :meth:`compact` (a replace snapshot
+        leaves the old files for time travel; expiration is the explicit,
+        separate decision to give that history up, mirroring Iceberg's
+        own expire_snapshots maintenance action).
+
+        Returns counts: {"expired_snapshots", "deleted_files"}."""
+        from datafusion_iceberg_spark.iceberg.manifests import (
+            read_manifest,
+            read_manifest_list,
+        )
+        from datafusion_iceberg_spark.iceberg.metadata import TableMetadata
+
+        meta = self._load_current()
+        snaps = sorted(meta.get("snapshots", []), key=lambda s: s["timestamp-ms"])
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if len(snaps) <= keep_last:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+
+        def _referenced(snapshot_dicts):
+            tm = TableMetadata(meta, self.root, meta.get("location", self.root))
+            data, manifests = set(), set()
+            for s in snapshot_dicts:
+                ml = tm.localize(s["manifest-list"])
+                manifests.add(ml)
+                for mf in read_manifest_list(ml):
+                    mp = tm.localize(mf.path)
+                    manifests.add(mp)
+                    for f in read_manifest(mp):
+                        data.add(tm.localize(f.path))
+            return data, manifests
+
+        keep_data, keep_manifests = _referenced(kept)
+        drop_data, drop_manifests = _referenced(expired)
+
+        # commit trimmed metadata FIRST (readers move off the expired
+        # snapshots before any file disappears), then delete orphans
+        kept_ids = {s["snapshot-id"] for s in kept}
+        meta["snapshots"] = kept
+        meta["snapshot-log"] = [
+            e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in kept_ids
+        ]
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(meta)
+
+        deleted = 0
+        for path in (drop_data - keep_data) | (drop_manifests - keep_manifests):
+            try:
+                os.remove(path)
+                deleted += 1
+            except FileNotFoundError:
+                pass
+        return {"expired_snapshots": len(expired), "deleted_files": deleted}

@@ -162,9 +162,9 @@ register_sql(
     """,
 )
 
-register_sql(
+@register(
     "q18_large_volume_customer",
-    f"""
+    oracle=f"""
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
            {dsum('l_quantity', 'sum_qty')}
     FROM customer
@@ -179,6 +179,46 @@ register_sql(
     LIMIT 25
     """,
 )
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan formulation of the IN-grouped-HAVING shape: the oracle's
+    SQL scans lineitem twice (subquery + outer re-aggregate); since
+    o_orderkey is unique in orders, the outer GROUP BY re-derives exactly
+    the subquery's per-order sum — so compute BOTH the filter sum and the
+    output sum in ONE lineitem aggregation and join it to orders/customer
+    (broadcast: the >150 survivors are few).  Halves the fact-table I/O
+    at any scale."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("raw_qty"),
+            (
+                F.sum(
+                    F.floor(F.col("l_quantity") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("sum_qty"),
+        )
+        .filter(F.col("raw_qty") > 150)
+        .drop("raw_qty")
+    )
+    return (
+        orders.join(
+            F.broadcast(per_order),
+            orders.o_orderkey == per_order.l_orderkey,
+        )
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
 
 register_sql(
     "q4_order_priority",

@@ -458,3 +458,32 @@ def test_schema_evolution_add_column(spark, sf_dir, scratch):
     # the new files
     pruned = table.files(filters=(">", "population", 10**9))
     assert len(pruned) < len(table.files())
+
+
+def test_expire_snapshots(spark, sf_dir, scratch):
+    """expire_snapshots: old history dropped from metadata, files owned
+    only by expired snapshots deleted, current snapshot intact."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.create_table("ns.exp", nation.schema)
+    cat.append("ns.exp", spark, nation)
+    cat.append("ns.exp", spark, nation)
+    cat.compact("ns.exp", spark)  # replace snapshot: rewrites all files
+
+    table = cat.load("ns.exp")
+    assert isinstance(table, IcebergTable)
+    assert len(table.metadata.snapshots) == 3
+    n_rows = table.to_df(spark).count()
+
+    result = cat.writer("ns.exp").expire_snapshots(keep_last=1)
+    assert result["expired_snapshots"] == 2
+    # the two append snapshots' files are unreferenced by the compacted
+    # snapshot -> physically deleted
+    assert result["deleted_files"] > 0
+
+    table = IcebergTable.load(table.metadata.root)
+    assert len(table.metadata.snapshots) == 1
+    assert table.to_df(spark).count() == n_rows
+    # expired history no longer addressable
+    with pytest.raises(Exception):
+        table.files(snapshot_id=-12345)
