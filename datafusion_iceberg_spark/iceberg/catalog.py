@@ -100,8 +100,9 @@ class Catalog:
         table = self._mirror[ident]
         assert isinstance(table, IcebergTable)
         meta = table.metadata
-        part_cols = meta.partition_column_names()
-        return IcebergWriter(meta.root, meta.struct_type(), part_cols)
+        return IcebergWriter(
+            meta.root, meta.struct_type(), meta.partition_spec_entries()
+        )
 
     def append(self, ident: str, spark: SparkSession, df: DataFrame) -> int:
         snap = self.writer(ident).append(spark, df)

@@ -190,6 +190,26 @@ class TableMetadata:
         by_id = {f["id"]: f["name"] for f in self.current_schema["fields"]}
         return [by_id.get(pf.source_id, pf.name) for pf in self.partition_fields]
 
+    def partition_spec_entries(self) -> list[str]:
+        """Writer-format spec strings ('col', 'day(col)', 'bucket(8, col)',
+        'truncate(4, col)') reconstructed from the default spec — so a
+        writer rebuilt from metadata keeps the transforms."""
+        import re
+
+        out = []
+        for col, pf in zip(self.partition_column_names(), self.partition_fields):
+            t = pf.transform
+            if t == "identity":
+                out.append(col)
+            elif t in ("day", "month", "year", "hour"):
+                out.append(f"{t}({col})")
+            else:
+                m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", t)
+                if not m:
+                    raise ValueError(f"unsupported transform in spec: {t}")
+                out.append(f"{m.group(1)}({m.group(2)}, {col})")
+        return out
+
     # -- snapshot selection (time travel) ---------------------------------
 
     def snapshot(

@@ -94,6 +94,8 @@ def evaluate(pred: Pred, stats: dict[str, ColumnStats]) -> Optional[bool]:
     """Three-valued 'can any row match?'.  False ⇒ container provably
     empty for the predicate ⇒ safe to skip."""
     op = pred[0]
+    if op == "maybe":  # sentinel from transform rewriting: always keep
+        return MAYBE
     if op == "and":
         results = [evaluate(p, stats) for p in pred[1:]]
         if any(r is False for r in results):
@@ -204,25 +206,43 @@ def prune_manifests(
     source field ID)."""
     if pred is None:
         return manifests
+    from datafusion_iceberg_spark.iceberg.transforms import (
+        result_iceberg_type,
+        rewrite_pred,
+    )
+
     types_by_id = meta.types_by_field_id()
     part_cols = meta.partition_column_names()
+
+    # Non-identity transforms: summaries live in the transformed domain,
+    # so rewrite the predicate's leaves on those source columns once
+    # (conservative — unsupported leaves become keep-always).
+    eff_pred = pred
+    transformed: dict[int, str] = {}
+    for i, pf in enumerate(meta.partition_fields):
+        if pf.transform != "identity":
+            transformed[i] = pf.transform
+            eff_pred = rewrite_pred(eff_pred, part_cols[i], pf.transform)
+
     kept = []
     for mf in manifests:
         stats: dict[str, ColumnStats] = {}
         for i, pf in enumerate(meta.partition_fields):
-            if i >= len(mf.partitions) or pf.transform != "identity":
-                continue  # no summary / non-identity transform → no stats
+            if i >= len(mf.partitions):
+                continue  # no summary for this field → no stats
             ps = mf.partitions[i]
             t = types_by_id.get(pf.source_id)
             if t is None or not isinstance(t, str):
                 continue
+            if i in transformed:
+                t = result_iceberg_type(pf.transform, t)
             stats[part_cols[i]] = ColumnStats(
                 decode_stat(t, ps.lower_bound),
                 decode_stat(t, ps.upper_bound),
                 0 if not ps.contains_null else None,
                 None,
             )
-        if evaluate(pred, stats) is not False:
+        if evaluate(eff_pred, stats) is not False:
             kept.append(mf)
     return kept
 
@@ -240,9 +260,26 @@ def prune_data_files(
     through the name→ID schema mapping."""
     if pred is None:
         return files
+    from datafusion_iceberg_spark.iceberg.transforms import rewrite_pred
+
     ids_by_name = meta.field_ids_by_name()
     types_by_id = meta.types_by_field_id()
     cols = referenced_columns(pred)
+
+    # Non-identity partition transforms: each file carries its exact
+    # partition tuple, so evaluate the transformed-domain predicate
+    # against point stats (lower == upper == the file's partition value).
+    # This is a SECOND, independent pass — the raw predicate keeps using
+    # raw footer bounds; mixing the two domains in one stats dict would
+    # be unsound.
+    part_cols = meta.partition_column_names()
+    tf_pred = pred
+    tf_fields = []  # (source_col_name, partition_field_name)
+    for i, pf in enumerate(meta.partition_fields):
+        if pf.transform != "identity":
+            tf_pred = rewrite_pred(tf_pred, part_cols[i], pf.transform)
+            tf_fields.append((part_cols[i], pf.name))
+
     kept = []
     for f in files:
         stats: dict[str, ColumnStats] = {}
@@ -259,6 +296,15 @@ def prune_data_files(
                 f.null_value_counts.get(fid),
                 f.value_counts.get(fid),
             )
-        if evaluate(pred, stats) is not False:
-            kept.append(f)
+        if evaluate(pred, stats) is False:
+            continue
+        if tf_fields:
+            tf_stats = {
+                src: ColumnStats(pv, pv, 0, None)
+                for src, fname in tf_fields
+                if (pv := f.partition.get(fname)) is not None
+            }
+            if evaluate(tf_pred, tf_stats) is False:
+                continue
+        kept.append(f)
     return kept

@@ -171,13 +171,27 @@ class IcebergWriter:
         schema: T.StructType,
         partition_by: Optional[list[str]] = None,
     ):
+        from datafusion_iceberg_spark.iceberg.transforms import parse_spec_entry
+
         self.root = os.path.abspath(root)
         self.schema = schema
-        self.partition_by = partition_by or []
+        # spec entries: 'col' | 'day(col)' | 'month(col)' | 'year(col)' |
+        # 'hour(col)' | 'bucket(N, col)' | 'truncate(W, col)'
+        self.spec_entries = [parse_spec_entry(e) for e in (partition_by or [])]
+        # partition_by = the DIRECTORY columns (derived names for
+        # non-identity transforms; the source column name for identity)
+        self.partition_by = [fname for _, _, fname in self.spec_entries]
         self.field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
         self.iceberg_types = {
             f.name: spark_type_to_iceberg(f.dataType) for f in schema.fields
         }
+
+    def _part_result_type(self, source: str, transform: str) -> str:
+        from datafusion_iceberg_spark.iceberg.transforms import (
+            result_iceberg_type,
+        )
+
+        return result_iceberg_type(transform, self.iceberg_types[source])
 
     # -- metadata helpers ---------------------------------------------------
 
@@ -201,12 +215,12 @@ class IcebergWriter:
             "spec-id": 0,
             "fields": [
                 {
-                    "name": c,
-                    "transform": "identity",
-                    "source-id": self.field_ids[c],
+                    "name": fname,
+                    "transform": transform,
+                    "source-id": self.field_ids[source],
                     "field-id": 1000 + i,
                 }
-                for i, c in enumerate(self.partition_by)
+                for i, (source, transform, fname) in enumerate(self.spec_entries)
             ],
         }
 
@@ -281,9 +295,18 @@ class IcebergWriter:
         Returns the new snapshot id.  With ``_carry=False`` the new
         manifest REPLACES all previous ones (a rewrite snapshot — used by
         :meth:`compact`)."""
+        from datafusion_iceberg_spark.iceberg.transforms import spark_expr
+
         snap_id = int(time.time() * 1000) * 1000 + (int.from_bytes(os.urandom(2), "big") % 1000)
         data_dir = os.path.join(self.root, "data", f"snap-{snap_id}")
-        writer = df.select(*[f.name for f in self.schema.fields]).write.mode("overwrite")
+        out = df.select(*[f.name for f in self.schema.fields])
+        # non-identity transforms: materialize the derived partition column
+        # (it lands in the directory layout only — partitionBy drops it
+        # from the data files, same as identity)
+        for source, transform, fname in self.spec_entries:
+            if transform != "identity":
+                out = out.withColumn(fname, spark_expr(transform, source))
+        writer = out.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(data_dir)
@@ -297,10 +320,12 @@ class IcebergWriter:
         manifest_path = os.path.join(meta_dir, f"{man_uuid}-m0.avro")
         part_fields = [
             {
-                "name": c,
-                "avro_type": _SPARK_TO_AVRO.get(self.iceberg_types[c], "string"),
+                "name": fname,
+                "avro_type": _SPARK_TO_AVRO.get(
+                    self._part_result_type(source, transform), "string"
+                ),
             }
-            for c in self.partition_by
+            for source, transform, fname in self.spec_entries
         ]
         entries = [
             {
@@ -332,10 +357,11 @@ class IcebergWriter:
         write_avro_file(manifest_path, _manifest_schema(part_fields), entries)
 
         # manifest-list partition summaries from per-file partition values
+        # (bounds encode with the TRANSFORM's result type — the domain the
+        # pruning rewrite compares against)
         summaries = []
-        for i, c in enumerate(self.partition_by):
-            fid = self.field_ids[c]
-            t = self.iceberg_types[c]
+        for source, transform, c in self.spec_entries:
+            t = self._part_result_type(source, transform)
             vals = [f["partition"][c] for f in files if f["partition"].get(c) is not None]
             summaries.append(
                 {
@@ -511,9 +537,10 @@ class IcebergWriter:
         total_bytes = sum(f.file_size_in_bytes for f in files)
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
         df = table.to_df(spark)
-        if self.partition_by:
+        if self.spec_entries:
             # keep partition dirs intact; spread within partitions
-            df = df.repartition(n_out, *self.partition_by)
+            # (repartition on SOURCE columns — derived ones are not in df)
+            df = df.repartition(n_out, *[s for s, _, _ in self.spec_entries])
         else:
             df = df.repartition(n_out)
         return self.append(spark, df, _carry=False, _operation="replace")
@@ -600,7 +627,14 @@ class IcebergWriter:
     def _parse_partition_value(self, col: str, raw: str) -> Any:
         if raw == "__HIVE_DEFAULT_PARTITION__":
             return None
-        t = self.iceberg_types.get(col, "string")
+        t = self.iceberg_types.get(col)
+        if t is None:  # derived partition column → the transform's type
+            for source, transform, fname in self.spec_entries:
+                if fname == col:
+                    t = self._part_result_type(source, transform)
+                    break
+            else:
+                t = "string"
         if t in ("int", "long"):
             return int(raw)
         if t in ("float", "double"):

@@ -487,3 +487,89 @@ def test_expire_snapshots(spark, sf_dir, scratch):
     # expired history no longer addressable
     with pytest.raises(Exception):
         table.files(snapshot_id=-12345)
+
+
+def test_partition_transform_day(spark, sf_dir, scratch):
+    """day(ts) partitioning: manifest pruning on a raw-ts predicate must
+    skip via the transformed-domain summaries, and the scan stays exact."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").alias("ts"),
+        "user_id",
+        "value",
+    )
+    cat.create_table("ns.ev_day", events.schema, partition_by=["day(ts)"])
+    cat.append("ns.ev_day", spark, events)
+    table = cat.load("ns.ev_day")
+    assert isinstance(table, IcebergTable)
+
+    spec = table.metadata.partition_fields[0]
+    assert spec.transform == "day"
+    assert table.metadata.partition_spec_entries() == ["day(ts)"]
+
+    # full scan exact
+    assert table.to_df(spark).count() == events.count()
+
+    # manifest pruning in the transformed domain: a one-day window must
+    # not keep every manifest... at minimum the predicate is exact
+    from datetime import datetime
+
+    lo = datetime(2024, 1, 1, 0, 0, 0)
+    pred = ("<", "ts", lo)
+    want = events.filter(F.col("ts") < F.lit(lo)).count()
+    assert table.to_df(spark, filters=pred).count() == want
+
+    # a predicate before the table's time range prunes ALL files
+    early = ("<", "ts", datetime(1999, 1, 1))
+    assert len(table.files(filters=early)) == 0
+    assert table.to_df(spark, filters=early).count() == 0
+
+
+def test_partition_transform_bucket(spark, sf_dir, scratch):
+    """bucket(8, o_orderkey): equality predicates prune to one bucket's
+    files; results stay exact; round-trip through catalog.writer keeps
+    the transform."""
+    from datafusion_iceberg_spark.iceberg.transforms import bucket_value
+
+    cat = Catalog(os.path.join(scratch, "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cat.create_table(
+        "ns.ord_bkt", orders.schema, partition_by=["bucket(8, o_orderkey)"]
+    )
+    cat.append("ns.ord_bkt", spark, orders)
+    table = cat.load("ns.ord_bkt")
+    assert isinstance(table, IcebergTable)
+
+    all_files = table.files()
+    buckets = {f.partition["o_orderkey_bucket"] for f in all_files}
+    assert buckets == set(range(8))  # murmur3 spreads keys over all buckets
+
+    key = 42
+    pred = ("=", "o_orderkey", key)
+    pruned = table.files(filters=pred)
+    assert {f.partition["o_orderkey_bucket"] for f in pruned} == {
+        bucket_value(key, 8)
+    }
+    got = table.to_df(spark, filters=pred).collect()
+    want = orders.filter(F.col("o_orderkey") == key).collect()
+    assert len(got) == len(want) == 1
+    assert got[0].o_totalprice == want[0].o_totalprice
+
+    # writer rebuilt from metadata keeps the transform (second append)
+    cat.append("ns.ord_bkt", spark, orders)
+    table = cat.load("ns.ord_bkt")
+    assert table.to_df(spark).count() == 2 * orders.count()
+    assert len(table.files(filters=pred)) == 2 * len(pruned)
+
+
+def test_iceberg_bucket_hash_reference_values():
+    """Iceberg-spec murmur3 bucket values (spec appendix B test vectors):
+    bucket hash of int/long 34 = 2017239379, of string 'iceberg' =
+    1210000089."""
+    from datafusion_iceberg_spark.iceberg.transforms import murmur3_32
+
+    assert murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
+    assert murmur3_32(b"iceberg") == 1210000089
