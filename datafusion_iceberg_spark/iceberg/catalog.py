@@ -110,6 +110,13 @@ class Catalog:
         self._mirror[ident] = IcebergTable.load(root)  # refresh snapshot view
         return snap
 
+    def delete_where(self, ident: str, spark: SparkSession, pred) -> int:
+        """Copy-on-write DELETE (writer.delete) + mirror refresh."""
+        snap = self.writer(ident).delete(spark, pred)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
     def add_column(self, ident: str, name: str, dtype) -> int:
         """ADD COLUMN evolution (writer.add_column) + mirror refresh."""
         fid = self.writer(ident).add_column(name, dtype)

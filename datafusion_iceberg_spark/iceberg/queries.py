@@ -384,3 +384,111 @@ def iceberg_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "iceberg_transform_pruned_scan",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS order_day, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'
+    GROUP BY order_day ORDER BY order_day
+    """,
+)
+def iceberg_transform_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan of a month(o_orderdate)-partitioned table with a raw-timestamp
+    predicate: pruning happens in the transformed domain (monotonic
+    rewrite), Spark re-filters for exactness, and the oracle checks the
+    result against the source parquet."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_tf")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table(
+                "tf.orders", orders.schema, partition_by=["month(o_orderdate)"]
+            )
+            cat.append("tf.orders", spark, orders)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("tf.orders")
+    assert isinstance(table, IcebergTable)
+    from datetime import datetime
+
+    pred = (
+        "and",
+        (">=", "o_orderdate", datetime(1997, 1, 1)),
+        ("<", "o_orderdate", datetime(1997, 2, 1)),
+    )
+    df = table.to_df(spark, filters=pred)
+    return (
+        df.select(F.col("o_orderdate").cast("date").alias("order_day"))
+        .groupBy("order_day")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("order_day")
+    )
+
+
+@register(
+    "iceberg_delete_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE through the write path, checked end to end:
+    the post-delete table must hash-match the equivalent anti-filter over
+    the source parquet."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_del")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table(
+                "del.orders", orders.schema, partition_by=["o_orderstatus"]
+            )
+            cat.append("del.orders", spark, orders)
+            cat.delete_where(
+                "del.orders",
+                spark,
+                ("and", ("=", "o_orderstatus", "F"), (">", "o_totalprice", 200000.0)),
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("del.orders")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -290,11 +290,15 @@ class IcebergWriter:
         df: DataFrame,
         _carry: bool = True,
         _operation: str = "append",
+        _extra_entries: Optional[list] = None,
+        _allow_empty: bool = False,
     ) -> int:
         """Write df as parquet data files + commit an append snapshot.
         Returns the new snapshot id.  With ``_carry=False`` the new
         manifest REPLACES all previous ones (a rewrite snapshot — used by
-        :meth:`compact`)."""
+        :meth:`compact`); ``_extra_entries`` (DataFile objects) are
+        surviving files included verbatim in the new manifest (used by
+        :meth:`delete` for copy-on-write)."""
         from datafusion_iceberg_spark.iceberg.transforms import spark_expr
 
         snap_id = int(time.time() * 1000) * 1000 + (int.from_bytes(os.urandom(2), "big") % 1000)
@@ -312,7 +316,7 @@ class IcebergWriter:
         writer.parquet(data_dir)
 
         files = self._collect_file_stats(data_dir)
-        if not files:
+        if not files and not (_allow_empty and _extra_entries is not None):
             raise ValueError("append produced no data files")
 
         meta_dir = os.path.join(self.root, "metadata")
@@ -354,6 +358,39 @@ class IcebergWriter:
             }
             for f in files
         ]
+        # surviving files re-included verbatim (copy-on-write delete)
+        for ef in _extra_entries or []:
+            entries.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "file_path": ef.path,
+                        "file_format": ef.file_format or "PARQUET",
+                        "partition": dict(ef.partition),
+                        "record_count": ef.record_count,
+                        "file_size_in_bytes": ef.file_size_in_bytes,
+                        "block_size_in_bytes": 67108864,
+                        "value_counts": [
+                            {"key": k, "value": v} for k, v in ef.value_counts.items()
+                        ],
+                        "null_value_counts": [
+                            {"key": k, "value": v}
+                            for k, v in ef.null_value_counts.items()
+                        ],
+                        "lower_bounds": [
+                            {"key": k, "value": v} for k, v in ef.lower_bounds.items()
+                        ],
+                        "upper_bounds": [
+                            {"key": k, "value": v} for k, v in ef.upper_bounds.items()
+                        ],
+                    },
+                }
+            )
+        # stats sources for summaries/totals: new files + surviving files
+        all_parts = [f["partition"] for f in files] + [
+            dict(ef.partition) for ef in _extra_entries or []
+        ]
         write_avro_file(manifest_path, _manifest_schema(part_fields), entries)
 
         # manifest-list partition summaries from per-file partition values
@@ -362,18 +399,20 @@ class IcebergWriter:
         summaries = []
         for source, transform, c in self.spec_entries:
             t = self._part_result_type(source, transform)
-            vals = [f["partition"][c] for f in files if f["partition"].get(c) is not None]
+            vals = [p[c] for p in all_parts if p.get(c) is not None]
             summaries.append(
                 {
                     "contains_null": any(
-                        f["partition"].get(c) is None for f in files
+                        p.get(c) is None for p in all_parts
                     ),
                     "contains_nan": False,
                     "lower_bound": encode_stat(t, min(vals)) if vals else None,
                     "upper_bound": encode_stat(t, max(vals)) if vals else None,
                 }
             )
-        total_rows = sum(f["record_count"] for f in files)
+        total_rows = sum(f["record_count"] for f in files) + sum(
+            ef.record_count for ef in _extra_entries or []
+        )
         manifest_list_path = os.path.join(
             meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
         )
@@ -427,7 +466,7 @@ class IcebergWriter:
                     "manifest_length": os.path.getsize(manifest_path),
                     "partition_spec_id": 0,
                     "added_snapshot_id": snap_id,
-                    "added_data_files_count": len(files),
+                    "added_data_files_count": len(entries),
                     "existing_data_files_count": 0,
                     "deleted_data_files_count": 0,
                     "partitions": summaries,
@@ -452,10 +491,10 @@ class IcebergWriter:
             "timestamp-ms": now,
             "summary": {
                 "operation": _operation,
-                "added-data-files": str(len(files)),
+                "added-data-files": str(len(entries)),
                 "added-records": str(total_rows),
                 "total-records": str(prev_total + total_rows),
-                "total-data-files": str(len(files) + prev_files),
+                "total-data-files": str(len(entries) + prev_files),
             },
             "manifest-list": manifest_list_path,
             "schema-id": 0,
@@ -645,6 +684,41 @@ class IcebergWriter:
 
         return unquote(raw)
 
+
+    def delete(self, spark: SparkSession, pred) -> int:
+        """Copy-on-write DELETE WHERE pred (pred = the pruning tuple AST,
+        e.g. ``("=", "o_orderstatus", "F")``): prune to the files that MAY
+        contain matches, rewrite ONLY those without the matching rows, and
+        commit a snapshot whose manifest = rewritten files + untouched
+        files included verbatim.  Cost scales with the matched files, not
+        the table — on a partition-aligned predicate this touches one
+        partition's files and nothing else.  Rows where pred is NULL are
+        kept (SQL DELETE semantics).  Beyond reference parity (the
+        reference is read-only, SURVEY.md §2C), like the rest of the
+        write path."""
+        from datafusion_iceberg_spark.iceberg.pruning import pred_to_sql
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+        from pyspark.sql import functions as F
+
+        table = IcebergTable.load(self.root)
+        all_files = table.files()
+        candidates = table.files(filters=pred)
+        cand_paths = {f.path for f in candidates}
+        untouched = [f for f in all_files if f.path not in cand_paths]
+        if not candidates:
+            cur = table.metadata.raw.get("current-snapshot-id")
+            return int(cur) if cur is not None else -1
+        keep_df = table._scan_files(spark, candidates, None).filter(
+            F.expr(f"NOT coalesce(({pred_to_sql(pred)}), false)")
+        )
+        return self.append(
+            spark,
+            keep_df,
+            _carry=False,
+            _operation="delete",
+            _extra_entries=untouched,
+            _allow_empty=True,
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Expire all but the newest ``keep_last`` snapshots: trim the

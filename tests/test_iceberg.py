@@ -573,3 +573,66 @@ def test_iceberg_bucket_hash_reference_values():
 
     assert murmur3_32((34).to_bytes(8, "little", signed=True)) == 2017239379
     assert murmur3_32(b"iceberg") == 1210000089
+
+
+def test_copy_on_write_delete(spark, sf_dir, scratch):
+    """DELETE WHERE: only files that may contain matches are rewritten;
+    untouched partitions keep their ORIGINAL file paths; results exact;
+    pre-delete snapshot still time-travelable."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.create_table(
+        "ns.del", orders.schema, partition_by=["o_orderstatus"]
+    )
+    s1 = cat.append("ns.del", spark, orders)
+    table = cat.load("ns.del")
+    assert isinstance(table, IcebergTable)
+    before = {f.path for f in table.files()}
+    untouched_before = {
+        f.path for f in table.files() if f.partition["o_orderstatus"] != "F"
+    }
+
+    # delete rows within one partition (partition-aligned + row predicate)
+    pred = ("and", ("=", "o_orderstatus", "F"), (">", "o_totalprice", 100000.0))
+    s2 = cat.delete_where("ns.del", spark, pred)
+    table = cat.load("ns.del")
+
+    want = orders.filter(
+        ~((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0))
+    )
+    got = table.to_df(spark)
+    assert got.count() == want.count()
+    assert got.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)
+    ).count() == 0
+
+    # surgical: untouched partitions keep their original files
+    after = {f.path for f in table.files()}
+    assert untouched_before <= after
+    # the F-partition files were rewritten
+    assert not any(
+        f.path in before
+        for f in table.files()
+        if f.partition["o_orderstatus"] == "F"
+    )
+    # statistics and time travel
+    assert table.statistics()["num_rows"] == want.count()
+    assert table.to_df(spark, snapshot_id=s1).count() == orders.count()
+    assert (
+        table.metadata.snapshot(snapshot_id=s2).summary["operation"] == "delete"
+    )
+
+
+def test_delete_all_rows_in_scope(spark, sf_dir, scratch):
+    """Deleting every row of the matched files leaves a valid table."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.create_table("ns.deln", nation.schema)
+    cat.append("ns.deln", spark, nation)
+    cat.delete_where("ns.deln", spark, (">=", "n_nationkey", 0))
+    table = cat.load("ns.deln")
+    assert isinstance(table, IcebergTable)
+    assert table.to_df(spark).count() == 0
+    assert table.statistics()["num_rows"] == 0
