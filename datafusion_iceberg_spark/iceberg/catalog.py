@@ -117,6 +117,15 @@ class Catalog:
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def update_where(
+        self, ident: str, spark: SparkSession, pred, set_exprs: dict[str, str]
+    ) -> int:
+        """Copy-on-write UPDATE (writer.update) + mirror refresh."""
+        snap = self.writer(ident).update(spark, pred, set_exprs)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
     def add_column(self, ident: str, name: str, dtype) -> int:
         """ADD COLUMN evolution (writer.add_column) + mirror refresh."""
         fid = self.writer(ident).add_column(name, dtype)

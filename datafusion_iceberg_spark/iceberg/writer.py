@@ -720,6 +720,45 @@ class IcebergWriter:
             _allow_empty=True,
         )
 
+    def update(self, spark: SparkSession, pred, set_exprs: dict[str, str]) -> int:
+        """Copy-on-write UPDATE ... SET col = sql_expr WHERE pred: same
+        surgical file rewrite as :meth:`delete`, but matched rows are
+        transformed instead of dropped (CASE WHEN pred THEN expr ELSE col
+        END per assigned column).  NULL-predicate rows are left unchanged,
+        matching SQL UPDATE semantics."""
+        from datafusion_iceberg_spark.iceberg.pruning import pred_to_sql
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+        from pyspark.sql import functions as F
+
+        unknown = set(set_exprs) - {f.name for f in self.schema.fields}
+        if unknown:
+            raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
+        table = IcebergTable.load(self.root)
+        all_files = table.files()
+        candidates = table.files(filters=pred)
+        cand_paths = {f.path for f in candidates}
+        untouched = [f for f in all_files if f.path not in cand_paths]
+        if not candidates:
+            cur = table.metadata.raw.get("current-snapshot-id")
+            return int(cur) if cur is not None else -1
+        match = f"coalesce(({pred_to_sql(pred)}), false)"
+        updated = table._scan_files(spark, candidates, None)
+        for col, expr in set_exprs.items():
+            updated = updated.withColumn(
+                col,
+                F.expr(f"CASE WHEN {match} THEN ({expr}) ELSE {col} END").cast(
+                    dict(updated.dtypes)[col]
+                ),
+            )
+        return self.append(
+            spark,
+            updated,
+            _carry=False,
+            _operation="overwrite",
+            _extra_entries=untouched,
+            _allow_empty=True,
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Expire all but the newest ``keep_last`` snapshots: trim the
         snapshot list/log in a new metadata version, then delete data and

@@ -636,3 +636,52 @@ def test_delete_all_rows_in_scope(spark, sf_dir, scratch):
     assert isinstance(table, IcebergTable)
     assert table.to_df(spark).count() == 0
     assert table.statistics()["num_rows"] == 0
+
+
+def test_copy_on_write_update(spark, sf_dir, scratch):
+    """UPDATE WHERE: matched rows transformed, others byte-identical;
+    untouched partition files not rewritten."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.create_table("ns.upd", orders.schema, partition_by=["o_orderstatus"])
+    cat.append("ns.upd", spark, orders)
+    table = cat.load("ns.upd")
+    assert isinstance(table, IcebergTable)
+    untouched_before = {
+        f.path for f in table.files() if f.partition["o_orderstatus"] != "O"
+    }
+
+    pred = ("and", ("=", "o_orderstatus", "O"), ("<", "o_totalprice", 50000.0))
+    cat.update_where(
+        "ns.upd", spark, pred, {"o_totalprice": "o_totalprice * 2"}
+    )
+    table = cat.load("ns.upd")
+    got = table.to_df(spark)
+    assert got.count() == orders.count()
+
+    want_updated = orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 50000.0)
+    )
+    n_upd = want_updated.count()
+    assert n_upd > 0
+    # doubled values present, original small-O rows gone
+    assert (
+        got.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 50000.0)
+        ).count()
+        == want_updated.filter(F.col("o_totalprice") * 2 < 50000.0).count()
+    )
+    # sum invariant: total goes up by exactly the updated rows' sum
+    from decimal import Decimal
+
+    def tot(df):
+        return df.selectExpr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DECIMAL(28,0)) s"
+        ).collect()[0].s
+
+    assert tot(got) == tot(orders) + tot(want_updated)
+    # untouched partitions keep original files
+    after = {f.path for f in table.files()}
+    assert untouched_before <= after
