@@ -492,3 +492,61 @@ def iceberg_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "iceberg_update_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((CASE WHEN o_orderstatus = 'P'
+                THEN o_totalprice * 1.05 ELSE o_totalprice END) * 1000000 + 0.5)
+                AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write UPDATE through the write path: the post-update table
+    must hash-match the equivalent CASE projection over the source
+    parquet (a 5% surcharge on 'P' orders)."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_upd")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table(
+                "upd.orders", orders.schema, partition_by=["o_orderstatus"]
+            )
+            cat.append("upd.orders", spark, orders)
+            cat.update_where(
+                "upd.orders",
+                spark,
+                ("=", "o_orderstatus", "P"),
+                {"o_totalprice": "o_totalprice * 1.05"},
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("upd.orders")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

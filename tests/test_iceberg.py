@@ -685,3 +685,61 @@ def test_copy_on_write_update(spark, sf_dir, scratch):
     # untouched partitions keep original files
     after = {f.path for f in table.files()}
     assert untouched_before <= after
+
+
+# ---------------------------------------------------------------------------
+# Transform-rewrite conservatism — property-based
+# ---------------------------------------------------------------------------
+
+from datetime import datetime as _dt, timedelta as _td
+
+from hypothesis import given, settings, strategies as hst
+
+
+_ts = hst.integers(min_value=0, max_value=4 * 365 * 24 * 3600).map(
+    lambda s: _dt(2020, 1, 1) + _td(seconds=s)
+)
+_ops = hst.sampled_from(["=", "<", "<=", ">", ">="])
+
+
+@settings(max_examples=300, deadline=None)
+@given(op=_ops, lit=_ts, rows=hst.lists(_ts, min_size=1, max_size=10),
+       transform=hst.sampled_from(["day", "month", "year"]))
+def test_transform_rewrite_never_skips_matching_rows(op, lit, rows, transform):
+    """If the rewritten predicate says a container (bounds = transformed
+    min/max of its rows) cannot match, NO row may satisfy the original
+    predicate — the invariant transform pruning rests on."""
+    from datafusion_iceberg_spark.iceberg.pruning import ColumnStats, evaluate
+    from datafusion_iceberg_spark.iceberg.transforms import apply, rewrite_pred
+
+    pred = (op, "ts", lit)
+    tvals = [apply(transform, r) for r in rows]
+    stats = {"ts": ColumnStats(min(tvals), max(tvals), 0, len(rows))}
+    if evaluate(rewrite_pred(pred, "ts", transform), stats) is False:
+        import operator
+
+        cmp = {"=": operator.eq, "<": operator.lt, "<=": operator.le,
+               ">": operator.gt, ">=": operator.ge}[op]
+        matching = [r for r in rows if cmp(r, lit)]
+        assert not matching, (
+            f"pruned a container with matches: {op} {lit} {transform}, "
+            f"rows={rows}"
+        )
+
+
+@settings(max_examples=200, deadline=None)
+@given(key=hst.one_of(hst.integers(-10**9, 10**9), hst.text(max_size=8)),
+       keys=hst.lists(hst.integers(-10**9, 10**9), min_size=1, max_size=10),
+       n=hst.sampled_from([4, 8, 16]))
+def test_bucket_rewrite_never_skips_matching_rows(key, keys, n):
+    from datafusion_iceberg_spark.iceberg.pruning import ColumnStats, evaluate
+    from datafusion_iceberg_spark.iceberg.transforms import (
+        bucket_value,
+        rewrite_pred,
+    )
+
+    pred = ("=", "k", key)
+    bvals = [bucket_value(k, n) for k in keys]
+    stats = {"k": ColumnStats(min(bvals), max(bvals), 0, len(keys))}
+    if evaluate(rewrite_pred(pred, "k", f"bucket[{n}]"), stats) is False:
+        assert key not in keys
