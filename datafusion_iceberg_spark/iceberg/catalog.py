@@ -126,6 +126,23 @@ class Catalog:
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def merge_into(
+        self,
+        ident: str,
+        spark: SparkSession,
+        source: DataFrame,
+        on: str,
+        when_matched_set=None,
+        insert_not_matched: bool = True,
+    ) -> int:
+        """MERGE INTO (writer.merge) + mirror refresh."""
+        snap = self.writer(ident).merge(
+            spark, source, on, when_matched_set, insert_not_matched
+        )
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
     def add_column(self, ident: str, name: str, dtype) -> int:
         """ADD COLUMN evolution (writer.add_column) + mirror refresh."""
         fid = self.writer(ident).add_column(name, dtype)

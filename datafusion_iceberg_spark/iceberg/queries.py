@@ -550,3 +550,70 @@ def iceberg_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "iceberg_merge_scan",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           SUM(CASE WHEN n_name LIKE 'UP_%' THEN 1 ELSE 0 END) AS n_updated
+    FROM (
+        SELECT CASE WHEN n_nationkey < 5 THEN 'UP_' || n_name ELSE n_name END
+                 AS n_name,
+               n_regionkey
+        FROM nation
+        UNION ALL
+        SELECT 'UP_INSERTED_' || CAST(r AS VARCHAR) AS n_name,
+               CAST(r AS BIGINT) AS n_regionkey
+        FROM range(3) t(r)
+    )
+    GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def iceberg_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the write path: update nations 0-4, insert 3 new
+    rows; the post-merge table hash-matches the equivalent UNION/CASE over
+    the source parquet."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_mrg")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            nation = load_table(spark, sf_dir, "nation")
+            cat.create_table("mrg.nation", nation.schema)
+            cat.append("mrg.nation", spark, nation)
+            upd = nation.filter(F.col("n_nationkey") < 5).withColumn(
+                "n_name", F.concat(F.lit("UP_"), "n_name")
+            )
+            ins = spark.createDataFrame(
+                [(200 + i, f"UP_INSERTED_{i}", i) for i in range(3)],
+                nation.schema,
+            )
+            cat.merge_into(
+                "mrg.nation",
+                spark,
+                upd.unionByName(ins),
+                on="n_nationkey",
+                when_matched_set={"n_name": "src.n_name"},
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("mrg.nation")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum(
+                F.when(F.col("n_name").startswith("UP_"), 1).otherwise(0)
+            ).alias("n_updated"),
+        )
+        .orderBy("n_regionkey")
+    )

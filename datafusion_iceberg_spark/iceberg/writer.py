@@ -759,6 +759,88 @@ class IcebergWriter:
             _allow_empty=True,
         )
 
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: str,
+        when_matched_set: Optional[dict[str, str]] = None,
+        insert_not_matched: bool = True,
+    ) -> int:
+        """MERGE INTO target USING source ON target.on = source.on, with
+        WHEN MATCHED THEN UPDATE SET ... and (optionally) WHEN NOT MATCHED
+        THEN INSERT *.
+
+        Copy-on-write, surgical: candidate files = those whose key range
+        may intersect the source's [min, max] key span (conservative
+        pruning, so every possible match is inside the candidate set and
+        every file outside it provably contains no source key).  The
+        rewrite is one distributed job: candidates LEFT-JOIN source
+        (update branch) unioned with source ANTI-JOIN target (insert
+        branch); untouched files ride along verbatim."""
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+        from pyspark.sql import functions as F
+
+        cols = [f.name for f in self.schema.fields]
+        if on not in cols:
+            raise ValueError(f"merge key not in schema: {on}")
+        bad = set(when_matched_set or {}) - set(cols)
+        if bad:
+            raise ValueError(f"merge SET of unknown columns: {sorted(bad)}")
+        src = source.select(*cols)
+        bounds = src.agg(
+            F.min(on).alias("lo"), F.max(on).alias("hi")
+        ).collect()[0]
+        if bounds.lo is None:
+            cur = IcebergTable.load(self.root).metadata.raw.get(
+                "current-snapshot-id"
+            )
+            return int(cur) if cur is not None else -1
+
+        table = IcebergTable.load(self.root)
+        all_files = table.files()
+        candidates = table.files(filters=("between", on, bounds.lo, bounds.hi))
+        cand_paths = {f.path for f in candidates}
+        untouched = [f for f in all_files if f.path not in cand_paths]
+
+        target = table._scan_files(spark, candidates, None)
+        joined = target.alias("t").join(
+            src.alias("src"), F.col(f"t.{on}") == F.col(f"src.{on}"), "left"
+        )
+        matched = F.col(f"src.{on}").isNotNull()
+        updated = joined.select(
+            *[
+                F.when(
+                    matched,
+                    F.expr(
+                        f"({(when_matched_set or {}).get(c, 't.' + c)})"
+                    ).cast(dict(target.dtypes)[c]),
+                )
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+        out = updated
+        if insert_not_matched:
+            # keys absent from the whole TARGET: anti-join against the
+            # candidate scan suffices — non-candidate files provably hold
+            # no source keys (pruning is conservative the other way)
+            inserts = src.alias("s").join(
+                target.select(on).alias("t2"),
+                F.col(f"s.{on}") == F.col(f"t2.{on}"),
+                "left_anti",
+            )
+            out = updated.unionByName(inserts.select(*cols))
+        return self.append(
+            spark,
+            out,
+            _carry=False,
+            _operation="overwrite",
+            _extra_entries=untouched,
+            _allow_empty=True,
+        )
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Expire all but the newest ``keep_last`` snapshots: trim the
         snapshot list/log in a new metadata version, then delete data and

@@ -743,3 +743,45 @@ def test_bucket_rewrite_never_skips_matching_rows(key, keys, n):
     stats = {"k": ColumnStats(min(bvals), max(bvals), 0, len(keys))}
     if evaluate(rewrite_pred(pred, "k", f"bucket[{n}]"), stats) is False:
         assert key not in keys
+
+
+def test_merge_into(spark, sf_dir, scratch):
+    """MERGE: matched keys updated from source, new keys inserted,
+    untouched rows byte-identical; equals the textbook upsert."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table("ns.mrg", nation.schema)
+    cat.append("ns.mrg", spark, nation)
+
+    # source: update nations 0-4 (rename), insert nations 100-102
+    upd = nation.filter(F.col("n_nationkey") < 5).withColumn(
+        "n_name", F.concat(F.lit("NEW_"), "n_name")
+    )
+    ins = spark.createDataFrame(
+        [(100 + i, f"ADDED_{i}", i % 5) for i in range(3)], nation.schema
+    )
+    source = upd.unionByName(ins)
+
+    cat.merge_into(
+        "ns.mrg", spark, source, on="n_nationkey",
+        when_matched_set={"n_name": "src.n_name"},
+    )
+    table = cat.load("ns.mrg")
+    assert isinstance(table, IcebergTable)
+    got = {r.n_nationkey: r.n_name for r in table.to_df(spark).collect()}
+    assert len(got) == nation.count() + 3
+    for i in range(5):
+        assert got[i].startswith("NEW_")
+    for i in range(5, 25):
+        assert not got[i].startswith("NEW_")
+    for i in range(3):
+        assert got[100 + i] == f"ADDED_{i}"
+
+    # merge with empty source is a no-op
+    before = table.metadata.raw["current-snapshot-id"]
+    snap = cat.merge_into(
+        "ns.mrg", spark, spark.createDataFrame([], nation.schema), on="n_nationkey"
+    )
+    assert snap == before
