@@ -242,7 +242,8 @@ def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY doc_id) AS rn
         FROM q
     )
-    SELECT source, COUNT(*) AS n_docs_kept, SUM(ntoks) AS n_tokens_kept
+    SELECT source, COUNT(*) AS n_docs_kept,
+           CAST(SUM(ntoks) AS BIGINT) AS n_tokens_kept
     FROM dedup WHERE rn = 1
     GROUP BY source
     ORDER BY source

@@ -83,8 +83,8 @@ def json_conditional_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_map_bank",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS ks,
-           [CAST(json_extract_string(props, '$.k') AS BIGINT)] AS vs,
+           array_to_string(json_keys(props), ',') AS ks,
+           array_to_string([CAST(json_extract_string(props, '$.k') AS BIGINT)], ',') AS vs,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
            len(json_keys(props)) AS n_entries,
            CAST(1 AS INTEGER) AS has_k
@@ -94,15 +94,17 @@ def json_conditional_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_map_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-function bank over JSON parsed as ``map<string,long>``:
     map_keys / map_values / element_at / size / map_contains_key — the
-    map surface Spark adds beyond DataFusion 14 (SURVEY.md §2B JSON row)."""
+    map surface Spark adds beyond DataFusion 14 (SURVEY.md §2B JSON row).
+    Array outputs are stringified: the comparison harness canonicalizes
+    scalar cells only (raw arrays are unhashable there)."""
     events = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return (
         events.filter(F.col("event_id") < 500)
         .select(
             "event_id",
-            F.map_keys(m).alias("ks"),
-            F.map_values(m).alias("vs"),
+            F.concat_ws(",", F.map_keys(m)).alias("ks"),
+            F.concat_ws(",", F.map_values(m)).alias("vs"),
             F.element_at(m, "k").alias("k_val"),
             F.size(m).alias("n_entries"),
             F.map_contains_key(m, "k").cast("int").alias("has_k"),

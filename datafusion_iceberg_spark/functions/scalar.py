@@ -86,11 +86,11 @@ def fn_regexp_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s_suppkey,
            ABS(s_acctbal - 5000) AS abs_centered,
-           CEIL(s_acctbal) AS ceil_bal,
-           FLOOR(s_acctbal) AS floor_bal,
+           CAST(CEIL(s_acctbal) AS BIGINT) AS ceil_bal,
+           CAST(FLOOR(s_acctbal) AS BIGINT) AS floor_bal,
            ROUND(s_acctbal, 1) AS round_bal,
            SQRT(ABS(s_acctbal)) AS sqrt_bal,
-           SIGN(s_acctbal - 5000) AS sign_centered,
+           CAST(SIGN(s_acctbal - 5000) AS DOUBLE) AS sign_centered,
            CAST(s_suppkey % 7 AS BIGINT) AS mod7,
            ROUND(EXP(s_suppkey * 0.1), 6) AS exp_k,
            ROUND(LN(s_suppkey + 1.0), 6) AS ln_k,
@@ -140,12 +140,12 @@ def fn_math_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(EXTRACT(HOUR FROM o_orderdate) AS INTEGER) AS hr,
            CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day_start,
-           CAST(o_orderdate AS DATE) AS odate,
+           CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS odate,
            o_orderdate + INTERVAL 30 DAY AS plus30,
            o_orderdate - INTERVAL 1 HOUR AS minus1h,
            CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
              AS days_since_epoch_start,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
            CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
     FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
     """,
@@ -160,14 +160,14 @@ def fn_datetime_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("o_orderdate").alias("hr"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         F.date_trunc("day", "o_orderdate").alias("day_start"),
-        F.col("o_orderdate").cast("date").alias("odate"),
+        F.col("o_orderdate").cast("date").cast("timestamp").alias("odate"),
         (F.col("o_orderdate") + F.expr("INTERVAL '30' DAY")).alias("plus30"),
         (F.col("o_orderdate") - F.expr("INTERVAL '1' HOUR")).alias("minus1h"),
         F.datediff(
             F.col("o_orderdate").cast("date"),
             F.lit("1995-01-01").cast("date"),
         ).alias("days_since_epoch_start"),
-        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
         F.unix_timestamp("o_orderdate").alias("unix_sec"),
     ).orderBy("o_orderkey")
 

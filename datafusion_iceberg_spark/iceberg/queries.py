@@ -389,7 +389,7 @@ def iceberg_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "iceberg_transform_pruned_scan",
     oracle="""
-    SELECT CAST(o_orderdate AS DATE) AS order_day, COUNT(*) AS n_orders
+    SELECT CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_day, COUNT(*) AS n_orders
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND o_orderdate < TIMESTAMP '1997-02-01 00:00:00'
@@ -430,7 +430,7 @@ def iceberg_transform_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     df = table.to_df(spark, filters=pred)
     return (
-        df.select(F.col("o_orderdate").cast("date").alias("order_day"))
+        df.select(F.col("o_orderdate").cast("date").cast("timestamp").alias("order_day"))
         .groupBy("order_day")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("order_day")
@@ -556,7 +556,8 @@ def iceberg_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "iceberg_merge_scan",
     oracle="""
     SELECT n_regionkey, COUNT(*) AS n_nations,
-           SUM(CASE WHEN n_name LIKE 'UP_%' THEN 1 ELSE 0 END) AS n_updated
+           CAST(SUM(CASE WHEN n_name LIKE 'UP_%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated
     FROM (
         SELECT CASE WHEN n_nationkey < 5 THEN 'UP_' || n_name ELSE n_name END
                  AS n_name,

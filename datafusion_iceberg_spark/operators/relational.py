@@ -546,17 +546,21 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_sorted",
     oracle="""
-    SELECT n_regionkey, list_sort(list(n_name)) AS nations
+    SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ' ') AS nations
     FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_agg with deterministic order (collect_list order is undefined
-    under parallelism → always sort_array before comparing/consuming)."""
+    under parallelism → always sort_array before comparing/consuming).
+
+    The array is stringified on both sides: the comparison harness
+    canonicalizes scalar cells, and a raw array column is not hashable —
+    the output representation is ours to choose, so choose a portable one."""
     nation = load_table(spark, sf_dir, "nation")
     return (
         nation.groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(F.concat_ws(" ", F.sort_array(F.collect_list("n_name"))).alias("nations"))
         .orderBy("n_regionkey")
     )
 
@@ -893,10 +897,10 @@ register_sql(
     "q12_priority_class_counts",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'

@@ -241,9 +241,9 @@ register_sql(
            MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_id
+                 AS BIGINT) AS session_id
         FROM (
             SELECT user_id, ts, event_id,
                    CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -261,9 +261,9 @@ register_sql(
            MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM (
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_id
+                 AS BIGINT) AS session_id
         FROM (
             SELECT user_id, ts, event_id,
                    CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

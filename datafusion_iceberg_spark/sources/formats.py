@@ -110,7 +110,8 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "source_binaryfile_scan",
     oracle="""
-    SELECT COUNT(*) AS n_files, SUM(CAST(octet_length(content) > 0 AS BIGINT)) AS n_nonempty
+    SELECT COUNT(*) AS n_files,
+           CAST(SUM(CAST(octet_length(content) > 0 AS BIGINT)) AS BIGINT) AS n_nonempty
     FROM (SELECT from_hex(md5(text)) AS content FROM documents)
     """,
 )

@@ -138,7 +138,8 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_session_window",
     oracle="""
-    SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS total_events
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
     FROM (
         SELECT user_id, session_id, COUNT(*) AS n_events
         FROM (

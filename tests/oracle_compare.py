@@ -49,9 +49,62 @@ def _values_close(a, b) -> bool:
     return a == b
 
 
+def _dtype_kind(dtype) -> str:
+    """Collapse a pandas dtype to the representation class the driver's
+    value-hash distinguishes: int, float, bool, datetime, other-object."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in ("M", "m"):
+        return "datetime"
+    return "object"
+
+
+def check_driver_portability(spark_df, duck_rel, name: str = "") -> None:
+    """The round-1 driver red rows were *representation* bugs invisible to
+    the fetchall()-based value check: DuckDB HUGEINT materializes as
+    float64 in pandas while Spark BIGINT stays int64 (q12), and raw array
+    cells are unhashable in the driver's canonicalizer (agg_collect_sorted).
+    This check reproduces the driver's pandas view of both results and
+    fails on (a) int-vs-float dtype-kind mismatch per column, (b) any
+    ndarray/list/dict cell in either frame."""
+    import numpy as np
+
+    s_pdf = spark_df.toPandas()
+    d_pdf = duck_rel.df()
+    s_map = {c.lower(): s_pdf[c] for c in s_pdf.columns}
+    d_map = {c.lower(): d_pdf[c] for c in d_pdf.columns}
+    for col in sorted(s_map):
+        sk, dk = _dtype_kind(s_map[col].dtype), _dtype_kind(d_map[col].dtype)
+        # All-NULL columns legitimately surface as object/float NaN — only
+        # flag the int/float/datetime disagreement the driver hashes apart.
+        if {sk, dk} == {"int", "float"} or (
+            "datetime" in (sk, dk) and sk != dk
+        ):
+            raise AssertionError(
+                f"{name}: column {col!r} dtype-kind mismatch "
+                f"spark={sk}({s_map[col].dtype}) duck={dk}({d_map[col].dtype})"
+                " — driver value-hash would differ; CAST both sides"
+            )
+        for series, side in ((s_map[col], "spark"), (d_map[col], "duck")):
+            if series.dtype == object:
+                for v in series:
+                    if isinstance(v, (np.ndarray, list, dict)):
+                        raise AssertionError(
+                            f"{name}: {side} column {col!r} holds "
+                            f"{type(v).__name__} cells — unhashable in the "
+                            "driver canonicalizer; stringify the output"
+                        )
+
+
 def compare(spark_df, duck_rel, name: str = "") -> None:
     """Assert the Spark DataFrame and DuckDB relation agree (order- and
     column-order-insensitive, float-tolerant). Raises AssertionError."""
+    check_driver_portability(spark_df, duck_rel, name)
     s_cols = [c.lower() for c in spark_df.columns]
     d_cols = [c.lower() for c in duck_rel.columns]
     assert sorted(s_cols) == sorted(d_cols), (
