@@ -23,9 +23,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2, ordered so a
+    budget-limited correctness sweep reaches every subsystem: Iceberg
+    stack first, then extensions/windows/setops/streaming/sources, with
+    the relational surface last (driver-verified in round 1)."""
     registry.load_all_modules()
-    return dict(registry.QUERIES)
+    return {name: registry.QUERIES[name] for name in registry.ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -33,4 +36,8 @@ def oracle_sql() -> dict[str, str]:
     ops — minhash/simhash/LSH bucketing, binary mapInPandas plumbing —
     which get the driver's rows-only check)."""
     registry.load_all_modules()
-    return dict(registry.ORACLES)
+    return {
+        name: registry.ORACLES[name]
+        for name in registry.ordered_names()
+        if name in registry.ORACLES
+    }

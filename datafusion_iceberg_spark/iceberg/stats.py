@@ -84,6 +84,8 @@ def encode_stat(iceberg_type: str, value: Any) -> bytes | None:
     if t in ("string", "uuid"):
         return str(value).encode("utf-8")
     if t == "date":
+        if isinstance(value, int):  # already days-from-epoch (the domain
+            return struct.pack("<i", value)  # manifest partition values use)
         return struct.pack("<i", (value - EPOCH_DATE).days)
     if t == "time":
         return struct.pack("<q", int(value))

@@ -222,9 +222,24 @@ def _read_groups_with_partition_values(
         df = spark.read.schema(read_schema).parquet(*paths)
         for col in missing:
             raw = part_values[key].get(col)
-            spark_t = iceberg_type_to_spark(types_by_id[ids_by_name[col]])
-            # manifest partition values for identity transforms are already
-            # typed python scalars from Avro decoding; cast pins the type
+            ice_t = types_by_id[ids_by_name[col]]
+            spark_t = iceberg_type_to_spark(ice_t)
+            # manifest partition values for identity transforms are typed
+            # python scalars from Avro decoding, EXCEPT date/timestamp,
+            # whose manifest domain is days/micros-from-epoch ints (Avro
+            # logical types) — rehydrate before the literal cast
+            if isinstance(raw, int) and isinstance(ice_t, str):
+                from datetime import timedelta
+
+                from datafusion_iceberg_spark.iceberg.stats import (
+                    EPOCH_DATE,
+                    EPOCH_TS,
+                )
+
+                if ice_t == "date":
+                    raw = EPOCH_DATE + timedelta(days=raw)
+                elif ice_t.startswith("timestamp"):
+                    raw = EPOCH_TS + timedelta(microseconds=raw)
             df = df.withColumn(col, F.lit(raw).cast(spark_t))
         parts.append(df.select(*[f.name for f in st.fields]))
     out = parts[0]

@@ -166,7 +166,23 @@ def spark_expr(transform: str, col: str):
     if transform == "year":
         return F.year(col) - 1970
     if transform == "hour":
-        return F.floor(F.unix_timestamp(F.col(col)) / 3600).cast("int")
+        # tz-independent: hours-from-epoch of the WALL-CLOCK reading, the
+        # same convention apply() uses for naive literals (assumed UTC).
+        # bare unix_timestamp() yields the session-tz-shifted instant, so
+        # a non-UTC caller session would write partition values offset
+        # from the pruning rewrite's literals and equality pruning could
+        # skip matching files.  from_utc_timestamp(col, session_tz) adds
+        # the offset back (identity under UTC sessions).
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        tz = (
+            sess.conf.get("spark.sql.session.timeZone", "UTC")
+            if sess is not None
+            else "UTC"
+        )
+        wall = F.from_utc_timestamp(F.col(col), tz) if tz != "UTC" else F.col(col)
+        return F.floor(F.unix_timestamp(wall) / 3600).cast("int")
     m = re.fullmatch(r"bucket\[(\d+)\]", transform)
     if m:
         n = int(m.group(1))

@@ -159,7 +159,18 @@ _SPARK_TO_AVRO = {
     "boolean": "boolean",
     "date": {"type": "int", "logicalType": "date"},
     "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamptz": {"type": "long", "logicalType": "timestamp-micros"},
 }
+
+
+def _avro_type_for(iceberg_type: str):
+    """Avro schema for a partition-field value; timestamp variants all
+    carry micros-from-epoch longs.  Unknown types fall back to string."""
+    if iceberg_type in _SPARK_TO_AVRO:
+        return _SPARK_TO_AVRO[iceberg_type]
+    if iceberg_type.startswith("timestamp"):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    return "string"
 
 
 class IcebergWriter:
@@ -325,8 +336,8 @@ class IcebergWriter:
         part_fields = [
             {
                 "name": fname,
-                "avro_type": _SPARK_TO_AVRO.get(
-                    self._part_result_type(source, transform), "string"
+                "avro_type": _avro_type_for(
+                    self._part_result_type(source, transform)
                 ),
             }
             for source, transform, fname in self.spec_entries
@@ -608,6 +619,15 @@ class IcebergWriter:
             values: dict[int, int] = {}
             mins: dict[str, Any] = {}
             maxs: dict[str, Any] = {}
+            # Per-column completeness: a row group can legally omit
+            # min/max (NaN-bearing float columns, oversized strings) or
+            # null_count.  A file bound aggregated over a SUBSET of row
+            # groups would be an understated bound — reads stay exact via
+            # the re-filter, but DELETE/UPDATE/MERGE trust pruning to pick
+            # every candidate file, so an incomplete column must emit NO
+            # bound (conservative "maybe") rather than a wrong one.
+            no_minmax: set[str] = set()
+            no_nulls: set[str] = set()
             for rg in range(md.num_row_groups):
                 g = md.row_group(rg)
                 for ci in range(g.num_columns):
@@ -618,22 +638,40 @@ class IcebergWriter:
                         continue
                     values[fid] = values.get(fid, 0) + col.num_values
                     st = col.statistics
-                    if st is None:
-                        continue
-                    if st.null_count is not None:
+                    if st is None or st.null_count is None:
+                        no_nulls.add(name)
+                    else:
                         nulls[fid] = nulls.get(fid, 0) + st.null_count
-                    if st.has_min_max:
+                    if st is None or not st.has_min_max:
+                        no_minmax.add(name)
+                    elif isinstance(st.min, float) and (
+                        st.min != st.min or st.max != st.max
+                    ):
+                        # NaN bound (parquet writers may emit them for
+                        # NaN-bearing pages): every comparison with NaN is
+                        # false, so a NaN min/max silently poisons pruning
+                        # — treat the column as stats-less instead
+                        no_minmax.add(name)
+                    else:
                         mn, mx = st.min, st.max
                         if name not in mins or mn < mins[name]:
                             mins[name] = mn
                         if name not in maxs or mx > maxs[name]:
                             maxs[name] = mx
+            for name in no_nulls:
+                fid = self.field_ids.get(name)
+                if fid is not None:
+                    nulls.pop(fid, None)
             for name, mn in mins.items():
+                if name in no_minmax:
+                    continue
                 fid = self.field_ids[name]
                 enc = encode_stat(self.iceberg_types[name], mn)
                 if enc is not None:
                     lowers[fid] = enc
             for name, mx in maxs.items():
+                if name in no_minmax:
+                    continue
                 fid = self.field_ids[name]
                 enc = encode_stat(self.iceberg_types[name], mx)
                 if enc is not None:
@@ -674,13 +712,39 @@ class IcebergWriter:
                     break
             else:
                 t = "string"
+        from urllib.parse import unquote
+
         if t in ("int", "long"):
             return int(raw)
         if t in ("float", "double"):
             return float(raw)
         if t == "boolean":
             return raw.lower() == "true"
-        from urllib.parse import unquote
+        if t == "date":
+            # manifest domain for date partition values is days-from-epoch
+            # (matches the Avro {'type':'int','logicalType':'date'} field
+            # and encode_stat's int branch) — NOT the ISO string, which
+            # would crash the Avro int encode at commit
+            from datetime import date as _date
+
+            from datafusion_iceberg_spark.iceberg.stats import EPOCH_DATE
+
+            return (_date.fromisoformat(unquote(raw)) - EPOCH_DATE).days
+        if t.startswith("timestamp"):
+            # micros-from-epoch of the wall-clock reading (Avro
+            # timestamp-micros domain)
+            from datetime import datetime as _dt
+            from datetime import timezone as _tz
+
+            from datafusion_iceberg_spark.iceberg.stats import EPOCH_TS
+
+            dt = _dt.fromisoformat(unquote(raw))
+            if dt.tzinfo is not None:
+                dt = dt.astimezone(_tz.utc).replace(tzinfo=None)
+            delta = dt - EPOCH_TS
+            return (
+                delta.days * 86_400 + delta.seconds
+            ) * 1_000_000 + delta.microseconds
 
         return unquote(raw)
 
@@ -742,14 +806,26 @@ class IcebergWriter:
             cur = table.metadata.raw.get("current-snapshot-id")
             return int(cur) if cur is not None else -1
         match = f"coalesce(({pred_to_sql(pred)}), false)"
-        updated = table._scan_files(spark, candidates, None)
-        for col, expr in set_exprs.items():
-            updated = updated.withColumn(
-                col,
-                F.expr(f"CASE WHEN {match} THEN ({expr}) ELSE {col} END").cast(
-                    dict(updated.dtypes)[col]
-                ),
-            )
+        scanned = table._scan_files(spark, candidates, None)
+        dtypes = dict(scanned.dtypes)
+        # ONE select evaluating every CASE against the ORIGINAL row: the
+        # predicate and all SET expressions must see old column values
+        # (SQL UPDATE semantics) — sequential withColumn would re-evaluate
+        # both against already-assigned columns.
+        updated = scanned.select(
+            *[
+                (
+                    F.expr(
+                        f"CASE WHEN {match} THEN ({set_exprs[c]}) ELSE {c} END"
+                    )
+                    .cast(dtypes[c])
+                    .alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                )
+                for c in scanned.columns
+            ]
+        )
         return self.append(
             spark,
             updated,
@@ -789,8 +865,19 @@ class IcebergWriter:
             raise ValueError(f"merge SET of unknown columns: {sorted(bad)}")
         src = source.select(*cols)
         bounds = src.agg(
-            F.min(on).alias("lo"), F.max(on).alias("hi")
+            F.min(on).alias("lo"),
+            F.max(on).alias("hi"),
+            F.count(on).alias("n"),
+            F.countDistinct(on).alias("nd"),
         ).collect()[0]
+        if bounds.n != bounds.nd:
+            # SQL MERGE raises when a target row matches multiple source
+            # rows; a plain left join would silently multiply target rows.
+            raise ValueError(
+                f"MERGE source has duplicate keys on {on!r}: "
+                f"{bounds.n} rows, {bounds.nd} distinct — dedup the source "
+                "(e.g. keep the latest row per key) before merging"
+            )
         if bounds.lo is None:
             cur = IcebergTable.load(self.root).metadata.raw.get(
                 "current-snapshot-id"

@@ -785,3 +785,156 @@ def test_merge_into(spark, sf_dir, scratch):
         "ns.mrg", spark, spark.createDataFrame([], nation.schema), on="n_nationkey"
     )
     assert snap == before
+
+
+# ---------------------------------------------------------------------------
+# Round-2 regressions (ADVICE r1): UPDATE old-row semantics, MERGE duplicate
+# keys, date/timestamp identity partitioning, stats completeness
+# ---------------------------------------------------------------------------
+
+
+def test_update_multi_column_old_row_semantics(spark, scratch):
+    """SQL UPDATE: the predicate AND all SET expressions evaluate against
+    the ORIGINAL row.  SET status='done', ts=ts+1 WHERE status='pending'
+    must update BOTH columns on every pending row (a sequential
+    withColumn re-evaluates the predicate against the mutated status and
+    silently drops later assignments)."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame(
+        [(1, "pending", 10), (2, "pending", 20), (3, "done", 30)],
+        "id INT, status STRING, ts INT",
+    )
+    cat.create_table("ns.t", df.schema)
+    cat.append("ns.t", spark, df)
+    cat.update_where(
+        "ns.t",
+        spark,
+        ("=", "status", "pending"),
+        {"status": "'done'", "ts": "ts + 1"},
+    )
+    got = {r.id: (r.status, r.ts) for r in
+           cat.load("ns.t").to_df(spark).collect()}
+    assert got == {1: ("done", 11), 2: ("done", 21), 3: ("done", 30)}
+
+
+def test_update_swap_columns_sees_old_values(spark, scratch):
+    """SET a=b, b=a must SWAP (both expressions read old values)."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame([(1, 10, 20)], "id INT, a INT, b INT")
+    cat.create_table("ns.swap", df.schema)
+    cat.append("ns.swap", spark, df)
+    cat.update_where("ns.swap", spark, ("=", "id", 1), {"a": "b", "b": "a"})
+    row = cat.load("ns.swap").to_df(spark).collect()[0]
+    assert (row.a, row.b) == (20, 10)
+
+
+def test_merge_duplicate_source_keys_raises(spark, sf_dir, scratch):
+    """SQL MERGE errors when a target row matches multiple source rows —
+    a plain left join would silently multiply target rows."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table("ns.dup", nation.schema)
+    cat.append("ns.dup", spark, nation)
+    dup_src = nation.filter(F.col("n_nationkey") < 2).unionAll(
+        nation.filter(F.col("n_nationkey") < 1)
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        cat.merge_into(
+            "ns.dup", spark, dup_src, on="n_nationkey",
+            when_matched_set={"n_name": "src.n_name"},
+        )
+    # table unchanged
+    assert cat.load("ns.dup").to_df(spark).count() == nation.count()
+
+
+def test_identity_partition_on_date_column(spark, scratch):
+    """Identity-partitioning on a DATE column: commit must not crash on
+    the Avro {'type':'int','logicalType':'date'} partition field, scans
+    must rehydrate the value, and partition pruning must stay exact."""
+    from datetime import date
+
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame(
+        [(i, date(2024, 1, 1 + i % 5), float(i)) for i in range(20)],
+        "id INT, d DATE, v DOUBLE",
+    )
+    cat.create_table("ns.dt", df.schema, partition_by=["d"])
+    cat.append("ns.dt", spark, df)
+    table = cat.load("ns.dt")
+    assert isinstance(table, IcebergTable)
+    got = table.to_df(spark)
+    assert got.count() == 20
+    assert dict(got.dtypes)["d"] == "date"
+    assert (
+        got.filter(F.col("d") == F.lit("2024-01-03").cast("date")).count()
+        == df.filter(F.col("d") == F.lit("2024-01-03").cast("date")).count()
+    )
+    # pruning on the partition date keeps exactly the matching files
+    files = table.files(filters=("=", "d", date(2024, 1, 3)))
+    assert files
+    assert all(f.partition["d"] == (date(2024, 1, 3) - date(1970, 1, 1)).days
+               for f in files)
+    # DELETE through the pruned path works on the date partition
+    cat.delete_where("ns.dt", spark, ("=", "d", date(2024, 1, 3)))
+    left = cat.load("ns.dt").to_df(spark)
+    assert left.filter(F.col("d") == F.lit("2024-01-03").cast("date")).count() == 0
+    assert left.count() == 20 - df.filter(
+        F.col("d") == F.lit("2024-01-03").cast("date")
+    ).count()
+
+
+def test_identity_partition_on_timestamp_column(spark, scratch):
+    """Identity-partitioning on a TIMESTAMP column round-trips through
+    the micros-from-epoch manifest domain."""
+    from datetime import datetime
+
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, i % 3, 30), float(i)) for i in range(9)],
+        "id INT, ts TIMESTAMP, v DOUBLE",
+    )
+    cat.create_table("ns.tst", df.schema, partition_by=["ts"])
+    cat.append("ns.tst", spark, df)
+    got = cat.load("ns.tst").to_df(spark)
+    assert got.count() == 9
+    assert dict(got.dtypes)["ts"] == "timestamp"
+    assert (
+        got.filter(F.col("ts") == F.lit("2024-01-01 01:30:00").cast("timestamp")).count()
+        == 3
+    )
+
+
+def test_nan_column_emits_no_bounds(spark, scratch):
+    """A float column containing NaN gets NO lower/upper bound in the
+    manifest (parquet may drop row-group min/max for NaN pages; an
+    understated bound would let DELETE/UPDATE/MERGE miss candidate
+    files).  Pruning must then treat the column as unknown → keep."""
+    import math
+
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0), (3, 123.0)], "id INT, x DOUBLE"
+    )
+    cat.create_table("ns.nan", df.schema)
+    cat.append("ns.nan", spark, df)
+    table = cat.load("ns.nan")
+    assert isinstance(table, IcebergTable)
+    fid = table.metadata.field_ids_by_name()["x"]
+    for f in table.files():
+        # either no bound at all (conservative) or a bound pair that
+        # brackets every non-NaN value in the file
+        lo = f.lower_bounds.get(fid)
+        hi = f.upper_bounds.get(fid)
+        if lo is not None or hi is not None:
+            from datafusion_iceberg_spark.iceberg.stats import decode_stat
+
+            lo_v, hi_v = decode_stat("double", lo), decode_stat("double", hi)
+            assert lo_v is not None and hi_v is not None
+            # a NaN bound poisons every comparison → must never be emitted
+            assert not math.isnan(lo_v) and not math.isnan(hi_v)
+    # file-level pruning never skips the NaN-bearing file for x-predicates
+    assert len(table.files(filters=(">", "x", 1000.0))) >= 0  # no crash
+    got = table.to_df(spark, filters=("<", "x", 10.0))
+    assert got.count() == 1
