@@ -237,9 +237,13 @@ def _resolve_named(schema: Any, types: dict[str, Any]) -> Any:
 
 
 def read_avro_file(path: str) -> tuple[Any, list[Any]]:
-    """Read an Avro container file → (parsed schema JSON, list of records)."""
-    with open(path, "rb") as fh:
-        data = fh.read()
+    """Read an Avro container file → (parsed schema JSON, list of records).
+    IO routes through the scheme-keyed FileIO registry (io.py) — the
+    object-store seam the reference gets from its object_store dependency
+    (table.rs:116-126)."""
+    from datafusion_iceberg_spark.iceberg.io import get_io
+
+    data = get_io(path).read_bytes(path)
     r = Reader(data)
     if r.read(4) != MAGIC:
         raise ValueError(f"{path}: not an Avro container file")
@@ -285,5 +289,6 @@ def write_avro_file(
         out += _zigzag_encode(len(block))
         out += block
         out += sync
-    with open(path, "wb") as fh:
-        fh.write(out)
+    from datafusion_iceberg_spark.iceberg.io import get_io
+
+    get_io(path).write_bytes(path, bytes(out))

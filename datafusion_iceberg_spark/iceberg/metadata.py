@@ -260,18 +260,25 @@ class TableMetadata:
 def load_table_metadata(root: str) -> TableMetadata:
     """Load the latest metadata version from ``<root>/metadata/``:
     version-hint.text if present, else the highest v*.metadata.json, else
-    the lexicographically-last *.metadata.json (Java naming)."""
-    meta_dir = os.path.join(root, "metadata")
-    hint = os.path.join(meta_dir, "version-hint.text")
+    the lexicographically-last *.metadata.json (Java naming).
+
+    All IO routes through the scheme-keyed FileIO registry (io.py), so a
+    ``file://`` or ``memory://`` (or registered ``s3://``) table root
+    reads through the same code path as a bare posix one — the
+    object-store indirection the reference gets from table.rs:116-126."""
+    from datafusion_iceberg_spark.iceberg.io import get_io
+
+    fio = get_io(root)
+    meta_dir = root.rstrip("/") + "/metadata"
+    hint = meta_dir + "/version-hint.text"
     path = None
-    if os.path.exists(hint):
-        with open(hint) as fh:
-            v = fh.read().strip()
-        cand = os.path.join(meta_dir, f"v{v}.metadata.json")
-        if os.path.exists(cand):
+    if fio.exists(hint):
+        v = fio.read_bytes(hint).decode().strip()
+        cand = meta_dir + f"/v{v}.metadata.json"
+        if fio.exists(cand):
             path = cand
     if path is None:
-        versioned = glob.glob(os.path.join(meta_dir, "v*.metadata.json"))
+        versioned = fio.glob(meta_dir + "/v*.metadata.json")
         if versioned:
             path = max(
                 versioned,
@@ -280,10 +287,20 @@ def load_table_metadata(root: str) -> TableMetadata:
                 ),
             )
     if path is None:
-        anymeta = sorted(glob.glob(os.path.join(meta_dir, "*.metadata.json")))
+        anymeta = sorted(fio.glob(meta_dir + "/*.metadata.json"))
         if not anymeta:
             raise FileNotFoundError(f"no metadata json under {meta_dir}")
         path = anymeta[-1]
-    with open(path) as fh:
-        raw = json.load(fh)
+    raw = json.loads(get_io(path).read_bytes(path).decode("utf-8"))
     return TableMetadata(raw=raw, root=root, location=raw.get("location", root))
+
+
+def metadata_from_dict(raw: dict, metadata_location: str = "") -> TableMetadata:
+    """Build TableMetadata from an already-parsed metadata document (the
+    shape an Iceberg REST catalog's LoadTableResult carries in its
+    ``metadata`` field) — no filesystem walk.  ``root`` is the table
+    location itself; manifests/files resolve through ``localize`` +
+    the FileIO registry."""
+    loc = raw.get("location", "")
+    root = loc or os.path.dirname(os.path.dirname(metadata_location))
+    return TableMetadata(raw=raw, root=root, location=loc or root)

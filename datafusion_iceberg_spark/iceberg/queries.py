@@ -618,3 +618,42 @@ def iceberg_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "iceberg_rest_catalog_scan",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def iceberg_rest_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 over HTTP: resolve a table through the Iceberg REST catalog API
+    (list_namespaces → list_tables → load_table walk, mirror.rs:23-53;
+    query flow catalog.rs:114-120) served by an in-process test double,
+    then scan it through the Iceberg stack.  The mirror build is the only
+    HTTP traffic — planning and the parquet scan never touch the server,
+    so it stops before the DataFrame is returned."""
+    from datafusion_iceberg_spark.iceberg.rest_catalog import (
+        LocalRestServer,
+        RestCatalog,
+        RestCatalogClient,
+    )
+
+    fx = fixture(spark, sf_dir)
+    server = LocalRestServer(fx.root)
+    try:
+        base = server.start()
+        rest = RestCatalog(RestCatalogClient(base))
+        table = rest.load("ref.nation")
+    finally:
+        server.stop()
+    return (
+        table.to_df(spark)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -1,0 +1,318 @@
+"""Iceberg REST catalog client + eager mirror — the Spark rebuild of the
+reference's second crate (datafusion_iceberg_catalog_rest):
+
+- :class:`RestCatalogClient` speaks the public Iceberg REST catalog API
+  (GET /v1/namespaces, /v1/namespaces/{ns}/tables,
+  /v1/namespaces/{ns}/tables/{t}, POST /v1/namespaces/{ns}/register,
+  DELETE /v1/namespaces/{ns}/tables/{t}) over stdlib urllib — the role
+  iceberg_catalog_rest_client plays for the reference
+  (catalog_rest/src/catalog.rs:57-81 builds the HTTP Configuration).
+- :class:`RestCatalog` eagerly walks list_namespaces → list_tables →
+  load_table into an in-memory mirror exactly like ``Mirror::new``
+  (catalog_rest/src/mirror.rs:23-53), exposing the same surface as the
+  filesystem :class:`~datafusion_iceberg_spark.iceberg.catalog.Catalog`.
+  register/drop write back to the remote catalog **synchronously** —
+  the reference spawns these calls on a LocalPool it never polls
+  (mirror.rs:123-144, 175-183; SURVEY.md §4.4 bug #3), leaving the
+  remote stale.  Ours completes the HTTP call before returning.
+- :class:`LocalRestServer` is an in-process test double backed by a
+  warehouse directory, standing in for the ``localhost:8080`` REST
+  catalog the reference's gated integration test expects
+  (catalog_rest/src/catalog.rs:73, 83-135).
+
+Table metadata arriving over REST is parsed with
+:func:`metadata_from_dict`; data/manifest IO then routes through the
+FileIO registry (io.py), so a REST catalog pointing at ``file://`` or
+``s3://`` warehouses uses one code path.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_iceberg_spark.iceberg.metadata import metadata_from_dict
+from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+
+class RestCatalogClient:
+    """Minimal Iceberg REST catalog API client (read + register/drop)."""
+
+    def __init__(self, base_url: str, prefix: str = ""):
+        self.base = base_url.rstrip("/")
+        self.prefix = f"/{prefix.strip('/')}" if prefix else ""
+
+    def _url(self, path: str) -> str:
+        return f"{self.base}/v1{self.prefix}{path}"
+
+    def _request(self, method: str, path: str, body: Optional[dict] = None) -> dict:
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(
+            self._url(path),
+            data=data,
+            method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            payload = resp.read()
+        return json.loads(payload) if payload else {}
+
+    # -- read side (mirror.rs:23-53 walk) ----------------------------------
+
+    def list_namespaces(self) -> list[str]:
+        out = self._request("GET", "/namespaces")
+        return [".".join(ns) for ns in out.get("namespaces", [])]
+
+    def list_tables(self, namespace: str) -> list[str]:
+        ns = urllib.parse.quote(namespace, safe="")
+        out = self._request("GET", f"/namespaces/{ns}/tables")
+        return [ident["name"] for ident in out.get("identifiers", [])]
+
+    def load_table(self, namespace: str, name: str) -> dict:
+        """→ LoadTableResult: {"metadata-location": ..., "metadata": {...}}"""
+        ns = urllib.parse.quote(namespace, safe="")
+        return self._request("GET", f"/namespaces/{ns}/tables/{name}")
+
+    # -- write-back (synchronous; contrast mirror.rs:123-144) --------------
+
+    def create_namespace(self, namespace: str) -> None:
+        self._request(
+            "POST", "/namespaces", {"namespace": namespace.split(".")}
+        )
+
+    def register_table(
+        self, namespace: str, name: str, metadata_location: str
+    ) -> dict:
+        ns = urllib.parse.quote(namespace, safe="")
+        return self._request(
+            "POST",
+            f"/namespaces/{ns}/register",
+            {"name": name, "metadata-location": metadata_location},
+        )
+
+    def drop_table(self, namespace: str, name: str) -> None:
+        ns = urllib.parse.quote(namespace, safe="")
+        self._request("DELETE", f"/namespaces/{ns}/tables/{name}")
+
+
+class RestCatalog:
+    """Eager mirror over a REST catalog (Mirror::new analogue) exposing
+    the same query surface as the filesystem Catalog."""
+
+    def __init__(self, client: RestCatalogClient, name: str = "rest"):
+        self.client = client
+        self.name = name
+        self._mirror: dict[str, IcebergTable] = {}
+        self._locations: dict[str, str] = {}
+        self.refresh()
+
+    def refresh(self) -> None:
+        self._mirror.clear()
+        self._locations.clear()
+        for ns in self.client.list_namespaces():
+            for t in self.client.list_tables(ns):
+                res = self.client.load_table(ns, t)
+                meta = metadata_from_dict(
+                    res["metadata"], res.get("metadata-location", "")
+                )
+                self._mirror[f"{ns}.{t}"] = IcebergTable(meta)
+                self._locations[f"{ns}.{t}"] = res.get("metadata-location", "")
+
+    # -- read surface -------------------------------------------------------
+
+    def namespaces(self) -> list[str]:
+        return sorted({k.rsplit(".", 1)[0] for k in self._mirror})
+
+    def table_names(self, ns: Optional[str] = None) -> list[str]:
+        keys = sorted(self._mirror)
+        return keys if ns is None else [k for k in keys if k.startswith(ns + ".")]
+
+    def table_exists(self, ident: str) -> bool:
+        return ident in self._mirror
+
+    def load(self, ident: str) -> IcebergTable:
+        return self._mirror[ident]
+
+    def metadata_location(self, ident: str) -> str:
+        return self._locations[ident]
+
+    # -- synchronous write-back (A16 with reference bug #3 fixed) -----------
+
+    def register_table(self, ident: str, metadata_location: str) -> IcebergTable:
+        ns, name = ident.rsplit(".", 1)
+        res = self.client.register_table(ns, name, metadata_location)
+        meta = metadata_from_dict(
+            res["metadata"], res.get("metadata-location", metadata_location)
+        )
+        table = IcebergTable(meta)
+        self._mirror[ident] = table
+        self._locations[ident] = res.get("metadata-location", metadata_location)
+        return table
+
+    def drop(self, ident: str) -> None:
+        ns, name = ident.rsplit(".", 1)
+        self.client.drop_table(ns, name)  # remote FIRST, then mirror —
+        self._mirror.pop(ident, None)  # never a mirror/remote split-brain
+        self._locations.pop(ident, None)
+
+    # -- Spark integration --------------------------------------------------
+
+    def attach(self, spark: SparkSession) -> None:
+        for key, table in self._mirror.items():
+            ns, bare = key.rsplit(".", 1)
+            table.to_df(spark).createOrReplaceTempView(f"{ns}_{bare}")
+
+    def sql(self, spark: SparkSession, query: str) -> DataFrame:
+        self.attach(spark)
+        return spark.sql(query)
+
+
+# ---------------------------------------------------------------------------
+# Test double: an in-process REST catalog server over a warehouse directory
+# ---------------------------------------------------------------------------
+
+
+class LocalRestServer:
+    """Serves the Iceberg REST catalog API for a local warehouse directory
+    (``<warehouse>/<ns>/<table>/metadata/...``) — the stand-in for the
+    reference test's ``localhost:8080`` REST catalog + S3 bucket
+    (catalog.rs:73-96), hermetic for CI.  register/drop mutate an
+    in-memory overlay so the double also exercises the write-back path."""
+
+    def __init__(self, warehouse: str):
+        from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+        self._catalog = Catalog(warehouse)
+        self._registered: dict[str, str] = {}  # ident -> metadata-location
+        self._dropped: set[str] = set()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, body: Optional[dict] = None):
+                payload = json.dumps(body or {}).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def do_GET(self):
+                parts = [p for p in self.path.split("/") if p][1:]  # drop v1
+                if parts == ["namespaces"]:
+                    return self._send(
+                        200,
+                        {"namespaces": [[ns] for ns in outer._namespaces()]},
+                    )
+                if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
+                    ns = urllib.parse.unquote(parts[1])
+                    return self._send(
+                        200,
+                        {
+                            "identifiers": [
+                                {"namespace": [ns], "name": t.split(".", 1)[1]}
+                                for t in outer._tables(ns)
+                            ]
+                        },
+                    )
+                if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
+                    ns = urllib.parse.unquote(parts[1])
+                    res = outer._load(f"{ns}.{parts[3]}")
+                    return self._send(200, res) if res else self._send(404)
+                return self._send(404)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                parts = [p for p in self.path.split("/") if p][1:]
+                if parts == ["namespaces"]:
+                    return self._send(200, {"namespace": body.get("namespace")})
+                if (
+                    len(parts) == 3
+                    and parts[0] == "namespaces"
+                    and parts[2] == "register"
+                ):
+                    ns = urllib.parse.unquote(parts[1])
+                    ident = f"{ns}.{body['name']}"
+                    loc = body["metadata-location"]
+                    outer._registered[ident] = loc
+                    outer._dropped.discard(ident)
+                    return self._send(200, outer._load(ident))
+                return self._send(404)
+
+            def do_DELETE(self):
+                parts = [p for p in self.path.split("/") if p][1:]
+                if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
+                    ns = urllib.parse.unquote(parts[1])
+                    outer._dropped.add(f"{ns}.{parts[3]}")
+                    return self._send(204)
+                return self._send(404)
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+
+    # -- warehouse + overlay view ------------------------------------------
+
+    def _namespaces(self) -> list[str]:
+        ns = set(self._catalog.namespaces())
+        ns |= {k.rsplit(".", 1)[0] for k in self._registered}
+        return sorted(ns)
+
+    def _tables(self, ns: str) -> list[str]:
+        names = {
+            k
+            for k in self._catalog.table_names(ns)
+            if isinstance(self._catalog.load(k), IcebergTable)
+        }
+        names |= {k for k in self._registered if k.startswith(ns + ".")}
+        return sorted(names - self._dropped)
+
+    def _load(self, ident: str) -> Optional[dict]:
+        if ident in self._dropped:
+            return None
+        from datafusion_iceberg_spark.iceberg.io import get_io
+        from datafusion_iceberg_spark.iceberg.metadata import (
+            load_table_metadata,
+        )
+
+        if ident in self._registered:
+            loc = self._registered[ident]
+            if loc.endswith(".json"):  # spec shape: the metadata file
+                raw = json.loads(get_io(loc).read_bytes(loc).decode("utf-8"))
+            else:  # convenience: a table root directory
+                raw = load_table_metadata(loc).raw
+            return {"metadata-location": loc, "metadata": raw}
+        if not self._catalog.table_exists(ident):
+            return None
+        rel = self._catalog.load(ident)
+        if not isinstance(rel, IcebergTable):
+            return None
+        meta = load_table_metadata(rel.metadata.root)
+        return {"metadata-location": meta.root, "metadata": meta.raw}
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> str:
+        self._thread.start()
+        host, port = self._server.server_address
+        return f"http://{host}:{port}"
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self) -> str:
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

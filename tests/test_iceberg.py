@@ -938,3 +938,135 @@ def test_nan_column_emits_no_bounds(spark, scratch):
     assert len(table.files(filters=(">", "x", 1000.0))) >= 0  # no crash
     got = table.to_df(spark, filters=("<", "x", 10.0))
     assert got.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# REST catalog (catalog_rest crate parity) + FileIO indirection
+# ---------------------------------------------------------------------------
+
+
+def _rest_fixture_warehouse(spark, sf_dir, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table("ns.nation", nation.schema)
+    cat.append("ns.nation", spark, nation)
+    return cat, nation
+
+
+def test_rest_catalog_walk_and_scan(spark, sf_dir, scratch):
+    """Mirror build over HTTP (list_namespaces → list_tables → load_table)
+    then scan: same rows as the direct filesystem catalog."""
+    from datafusion_iceberg_spark.iceberg.rest_catalog import (
+        LocalRestServer,
+        RestCatalog,
+        RestCatalogClient,
+    )
+
+    cat, nation = _rest_fixture_warehouse(spark, sf_dir, scratch)
+    with LocalRestServer(cat.warehouse) as base:
+        rest = RestCatalog(RestCatalogClient(base))
+        assert rest.namespaces() == ["ns"]
+        assert rest.table_names() == ["ns.nation"]
+        got = rest.load("ns.nation").to_df(spark)
+    assert got.count() == nation.count()
+    assert sorted(r.n_nationkey for r in got.collect()) == sorted(
+        r.n_nationkey for r in nation.collect()
+    )
+
+
+def test_rest_catalog_register_drop_synchronous(spark, sf_dir, scratch):
+    """register_table/drop write back to the remote catalog BEFORE
+    returning (reference bug #3: its LocalPool future is never polled, so
+    the remote stays stale) — a second, fresh mirror must observe both."""
+    from datafusion_iceberg_spark.iceberg.rest_catalog import (
+        LocalRestServer,
+        RestCatalog,
+        RestCatalogClient,
+    )
+
+    cat, nation = _rest_fixture_warehouse(spark, sf_dir, scratch)
+    # an EXTERNAL table (own directory, not in the served warehouse)
+    ext = Catalog(os.path.join(scratch, "ext"))
+    ext.create_table("other.extra", nation.schema)
+    ext.append("other.extra", spark, nation)
+    ext_meta_dir = os.path.join(scratch, "ext", "other", "extra")
+
+    with LocalRestServer(cat.warehouse) as base:
+        client = RestCatalogClient(base)
+        rest = RestCatalog(client)
+        rest.register_table("ns.extra", ext_meta_dir)
+        assert rest.table_exists("ns.extra")
+        assert rest.load("ns.extra").to_df(spark).count() == nation.count()
+        # fresh mirror sees the registration (remote actually mutated)
+        rest2 = RestCatalog(RestCatalogClient(base))
+        assert rest2.table_exists("ns.extra")
+        rest2.drop("ns.extra")
+        assert not rest2.table_exists("ns.extra")
+        rest3 = RestCatalog(RestCatalogClient(base))
+        assert not rest3.table_exists("ns.extra")
+        assert rest3.table_exists("ns.nation")
+
+
+def test_fileio_file_scheme_same_hash(spark):
+    """The committed reference fixture reads identically through a
+    file:// root and a bare posix root (FileIO indirection, VERDICT #4
+    done-criterion)."""
+    t_posix = IcebergTable.load(FIXTURE)
+    t_file = IcebergTable.load("file://" + FIXTURE)
+    rows_posix = sorted(
+        tuple(r) for r in t_posix.to_df(spark).collect()
+    )
+    rows_file = sorted(tuple(r) for r in t_file.to_df(spark).collect())
+    assert rows_posix == rows_file
+    assert len(rows_file) == 4
+
+
+def test_fileio_memory_scheme_metadata_roundtrip():
+    """Avro + metadata JSON round-trip through memory:// — proves the IO
+    seam carries a non-posix scheme end-to-end (the s3:// path binds the
+    same way when a client library is present)."""
+    import json as _json
+
+    from datafusion_iceberg_spark.iceberg.avro import (
+        read_avro_file,
+        write_avro_file,
+    )
+    from datafusion_iceberg_spark.iceberg.io import get_io
+    from datafusion_iceberg_spark.iceberg.metadata import load_table_metadata
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    write_avro_file("memory://wh/t/metadata/m0.avro", schema, [{"x": 7}])
+    _, recs = read_avro_file("memory://wh/t/metadata/m0.avro")
+    assert recs == [{"x": 7}]
+
+    with open(os.path.join(FIXTURE, "metadata", "v1.metadata.json")) as fh:
+        raw = fh.read()
+    get_io("memory://wh/t/metadata/v1.metadata.json").write_bytes(
+        "memory://wh/t/metadata/v1.metadata.json", raw.encode()
+    )
+    meta = load_table_metadata("memory://wh/t")
+    assert meta.raw == _json.loads(raw)
+    assert meta.struct_type().fieldNames() == [
+        f["name"] for f in meta.current_schema["fields"]
+    ]
+
+
+def test_fileio_scheme_resolution():
+    """s3:// resolves to a bound S3IO when a client library exists, or
+    raises ImportError when none does; unknown schemes always raise."""
+    from datafusion_iceberg_spark.iceberg import io as iio
+
+    iio._REGISTRY.pop("s3", None)
+    try:
+        impl = iio.get_io("s3://bucket/table/metadata/v1.metadata.json")
+        assert isinstance(impl, iio.S3IO)
+    except ImportError as e:
+        assert "s3" in str(e)
+    with pytest.raises(ValueError, match="no FileIO registered"):
+        iio.get_io("gopher://x/y")
