@@ -150,6 +150,13 @@ class Catalog:
         self._mirror[ident] = IcebergTable.load(root)
         return fid
 
+    def rename_column(self, ident: str, old: str, new: str) -> None:
+        """RENAME COLUMN evolution (writer.rename_column) + mirror refresh;
+        old data files keep the old parquet name and resolve by field id."""
+        self.writer(ident).rename_column(old, new)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+
     def compact(
         self, ident: str, spark: SparkSession, target_file_bytes: int = 128 << 20
     ) -> int:

@@ -84,12 +84,23 @@ def spark_type_to_iceberg(dt: T.DataType) -> Any:
     raise ValueError(f"unsupported spark type {dt!r}")
 
 
-def schema_to_struct_type(schema_json: dict) -> T.StructType:
-    """Iceberg schema JSON → Spark StructType (field order preserved)."""
+def schema_to_struct_type(
+    schema_json: dict, with_field_ids: bool = False
+) -> T.StructType:
+    """Iceberg schema JSON → Spark StructType (field order preserved).
+
+    ``with_field_ids`` stamps each StructField with
+    ``{"parquet.field.id": <iceberg field id>}`` so Spark's parquet reader
+    (spark.sql.parquet.fieldId.read.enabled) resolves file columns by the
+    PARQUET:field_id they carry instead of by name — the id-keyed column
+    mapping that makes RENAME evolution read old files correctly."""
     return T.StructType(
         [
             T.StructField(
-                f["name"], iceberg_type_to_spark(f["type"]), not f.get("required")
+                f["name"],
+                iceberg_type_to_spark(f["type"]),
+                not f.get("required"),
+                {"parquet.field.id": f["id"]} if with_field_ids else None,
             )
             for f in schema_json["fields"]
         ]
@@ -177,8 +188,8 @@ class TableMetadata:
 
     # -- schema helpers ---------------------------------------------------
 
-    def struct_type(self) -> T.StructType:
-        return schema_to_struct_type(self.current_schema)
+    def struct_type(self, with_field_ids: bool = False) -> T.StructType:
+        return schema_to_struct_type(self.current_schema, with_field_ids)
 
     def field_ids_by_name(self) -> dict[str, int]:
         return {f["name"]: f["id"] for f in self.current_schema["fields"]}

@@ -657,3 +657,49 @@ def iceberg_rest_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "iceberg_rename_scan",
+    oracle="""
+    SELECT r_regionkey AS region_id, region_label, n_names
+    FROM (
+        SELECT r_regionkey, MIN(r_name) AS region_label, COUNT(*) AS n_names
+        FROM region GROUP BY r_regionkey
+    ) ORDER BY region_id
+    """,
+)
+def iceberg_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENAME COLUMN then scan: data files written under the OLD name
+    (r_name) resolve through PARQUET:field_id after the metadata-only
+    rename to region_label — the id-keyed column mapping the reference's
+    single-schema scan lacks (table.rs:81-87 uses only the current
+    schema; a rename there would null the column)."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_ren")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            region = load_table(spark, sf_dir, "region")
+            cat.create_table("evo.region", region.schema)
+            cat.append("evo.region", spark, region)  # files carry r_name
+            cat.rename_column("evo.region", "r_name", "region_label")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("evo.region")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .groupBy(F.col("r_regionkey").alias("region_id"))
+        .agg(
+            F.min("region_label").alias("region_label"),
+            F.count(F.lit(1)).alias("n_names"),
+        )
+        .orderBy("region_id")
+    )

@@ -142,14 +142,30 @@ class IcebergTable:
         paths = [meta.localize(f.path) for f in files]
         part_cols = meta.partition_column_names()
 
+        # Id-keyed column mapping: when data files carry PARQUET:field_id
+        # (the fixture does; our writer stamps them), request columns by
+        # id so RENAME evolution reads old files correctly.  Files without
+        # ids keep name resolution (requested schema carries no ids then).
+        use_ids = _file_has_field_ids(paths[0])
+        if use_ids:
+            st = meta.struct_type(with_field_ids=True)
+            try:  # runtime-settable; a plain caller session needs it on
+                spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            except Exception:
+                pass
+
         # Identity-transform partition values normally also exist inside
         # the data files (fixture and our writer both do this).  If a file
         # schema omits them, attach from manifest partition_values with
         # native types (reference bug #4: it stringifies them).
-        missing_part_cols = [c for c in part_cols if not _file_has_column(paths[0], c)]
+        missing_part_cols = [
+            c
+            for c in part_cols
+            if not _file_has_column(paths[0], c, meta, with_ids=use_ids)
+        ]
         if missing_part_cols:
             df = _read_groups_with_partition_values(
-                spark, meta, files, missing_part_cols
+                spark, meta, files, missing_part_cols, with_ids=use_ids
             )
         else:
             df = spark.read.schema(st).parquet(*paths)
@@ -183,13 +199,34 @@ class IcebergTable:
         return self._scan_files(spark, added, filters)
 
 
-def _file_has_column(path: str, col: str) -> bool:
+def _file_has_column(path: str, col: str, meta=None, with_ids: bool = False) -> bool:
     try:
         import pyarrow.parquet as pq
 
-        return col in pq.read_schema(path).names
+        sch = pq.read_schema(path)
+        if with_ids and meta is not None:
+            # resolve by field id (the column may live under an old name)
+            fid = meta.field_ids_by_name().get(col)
+            for f in sch:
+                fmeta = f.metadata or {}
+                if fmeta.get(b"PARQUET:field_id") == str(fid).encode():
+                    return True
+            return False
+        return col in sch.names
     except Exception:
         return True  # assume present; read will surface real errors
+
+
+def _file_has_field_ids(path: str) -> bool:
+    try:
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(path)
+        return len(sch) > 0 and all(
+            (f.metadata or {}).get(b"PARQUET:field_id") is not None for f in sch
+        )
+    except Exception:
+        return False
 
 
 def _read_groups_with_partition_values(
@@ -197,6 +234,7 @@ def _read_groups_with_partition_values(
     meta: TableMetadata,
     files: list[DataFile],
     missing: list[str],
+    with_ids: bool = False,
 ) -> DataFrame:
     """Group files by partition tuple (A6) and attach the missing partition
     columns as typed literals per group — the Spark rendering of the
@@ -204,7 +242,7 @@ def _read_groups_with_partition_values(
     Catalyst's name resolution replacing the positional remapping."""
     types_by_id = meta.types_by_field_id()
     ids_by_name = meta.field_ids_by_name()
-    st = meta.struct_type()
+    st = meta.struct_type(with_field_ids=with_ids)
     read_fields = [f for f in st.fields if f.name not in missing]
     from pyspark.sql import types as T
 

@@ -314,7 +314,18 @@ class IcebergWriter:
 
         snap_id = int(time.time() * 1000) * 1000 + (int.from_bytes(os.urandom(2), "big") % 1000)
         data_dir = os.path.join(self.root, "data", f"snap-{snap_id}")
-        out = df.select(*[f.name for f in self.schema.fields])
+        # stamp PARQUET:field_id on every column (fieldId.write.enabled in
+        # session confs) so future scans can resolve by id across renames
+        from pyspark.sql import functions as _F
+
+        out = df.select(
+            *[
+                _F.col(f.name).alias(
+                    f.name, metadata={"parquet.field.id": self.field_ids[f.name]}
+                )
+                for f in self.schema.fields
+            ]
+        )
         # non-identity transforms: materialize the derived partition column
         # (it lands in the directory layout only — partitionBy drops it
         # from the data files, same as identity)
@@ -563,6 +574,51 @@ class IcebergWriter:
         self.field_ids[name] = new_id
         self.iceberg_types[name] = spark_type_to_iceberg(dtype)
         return new_id
+
+    def rename_column(self, old: str, new: str) -> None:
+        """RENAME COLUMN evolution: a new schema version with the same
+        field id under the new name — metadata-only, no file rewrite.
+        Old data files keep the old parquet column name; the scan resolves
+        them by PARQUET:field_id (id-keyed column mapping), so reads stay
+        correct across the rename.  Renaming a partition SOURCE column is
+        refused: old files' directory layout embeds the old name and the
+        partition-value parser is name-keyed."""
+        if old not in self.field_ids:
+            raise ValueError(f"no such column: {old}")
+        if new in self.field_ids:
+            raise ValueError(f"column already exists: {new}")
+        if any(source == old for source, _, _ in self.spec_entries):
+            raise NotImplementedError(
+                "renaming a partition source column is not supported"
+            )
+        meta = self._load_current()
+        cur_id = meta.get("current-schema-id", 0)
+        cur = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_id
+        )
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(s.get("schema-id", 0) for s in meta["schemas"]) + 1,
+            "fields": [
+                {**f, "name": new} if f["name"] == old else dict(f)
+                for f in cur["fields"]
+            ],
+        }
+        meta["schemas"] = meta["schemas"] + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["schema"] = new_schema  # v1 single-schema compat
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(meta)
+        self.schema = T.StructType(
+            [
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old
+                else f
+                for f in self.schema.fields
+            ]
+        )
+        self.field_ids[new] = self.field_ids.pop(old)
+        self.iceberg_types[new] = self.iceberg_types.pop(old)
 
     def compact(
         self,

@@ -31,6 +31,13 @@ RUNTIME_CONFS = {
     # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
     # rejects; read as long and convert in tables.load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Iceberg id-keyed column mapping: the writer stamps PARQUET:field_id
+    # on data files and the scan requests columns by id, so RENAME
+    # evolution reads old files correctly.  Name-based resolution still
+    # applies when the requested schema carries no ids (non-Iceberg reads
+    # are unaffected).
+    "spark.sql.parquet.fieldId.read.enabled": "true",
+    "spark.sql.parquet.fieldId.write.enabled": "true",
 }
 
 

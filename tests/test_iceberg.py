@@ -1070,3 +1070,58 @@ def test_fileio_scheme_resolution():
         assert "s3" in str(e)
     with pytest.raises(ValueError, match="no FileIO registered"):
         iio.get_io("gopher://x/y")
+
+
+# ---------------------------------------------------------------------------
+# Field-id column mapping: RENAME evolution
+# ---------------------------------------------------------------------------
+
+
+def test_rename_column_reads_old_files_by_field_id(spark, sf_dir, scratch):
+    """Files written before the rename resolve through PARQUET:field_id —
+    values survive under the new name, no silent nulls."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table("ns.ren", nation.schema)
+    cat.append("ns.ren", spark, nation)
+    cat.rename_column("ns.ren", "n_name", "nation_label")
+
+    table = cat.load("ns.ren")
+    df = table.to_df(spark)
+    assert "nation_label" in df.columns and "n_name" not in df.columns
+    got = {r.n_nationkey: r.nation_label for r in df.collect()}
+    want = {r.n_nationkey: r.n_name for r in nation.collect()}
+    assert got == want  # would be all-None without id mapping
+
+    # appends after the rename write the NEW name; mixed files still read
+    extra = nation.limit(3).select(
+        F.col("n_nationkey") + 1000,
+        F.col("n_name"),
+        "n_regionkey",
+    ).toDF("n_nationkey", "nation_label", "n_regionkey")
+    cat.append("ns.ren", spark, extra)
+    df2 = cat.load("ns.ren").to_df(spark)
+    assert df2.count() == nation.count() + 3
+    assert df2.filter(F.col("nation_label").isNull()).count() == 0
+
+    # stats pruning still works on the renamed column (bounds are id-keyed)
+    t = cat.load("ns.ren")
+    assert len(t.files(filters=("=", "nation_label", "\x7f"))) == 0
+
+
+def test_rename_column_guards(spark, sf_dir, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    cat.create_table("ns.g", orders.schema, partition_by=["o_orderstatus"])
+    cat.append("ns.g", spark, orders)
+    w = cat.writer("ns.g")
+    with pytest.raises(ValueError):
+        w.rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        w.rename_column("o_orderkey", "o_orderstatus")
+    with pytest.raises(NotImplementedError):
+        w.rename_column("o_orderstatus", "status")
