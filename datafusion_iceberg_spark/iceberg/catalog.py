@@ -117,6 +117,14 @@ class Catalog:
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def delete_where_mor(self, ident: str, spark: SparkSession, pred) -> int:
+        """Merge-on-read DELETE (writer.delete_where_mor: position-delete
+        file + content=1 manifest) + mirror refresh."""
+        snap = self.writer(ident).delete_where_mor(spark, pred)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
     def update_where(
         self, ident: str, spark: SparkSession, pred, set_exprs: dict[str, str]
     ) -> int:

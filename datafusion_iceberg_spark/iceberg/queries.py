@@ -703,3 +703,61 @@ def iceberg_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region_id")
     )
+
+
+@register(
+    "iceberg_mor_delete_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders
+    WHERE NOT coalesce(o_orderstatus = 'F' AND o_totalprice < 100000, false)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE: a position-delete file (file_path, pos) in a
+    content=1 delete manifest, applied as an anti-join at scan time.  The
+    reference filters delete manifests OUT and never applies them
+    (table.rs manifest walk keeps content==0 only), so a v2 table with
+    deletes would silently return deleted rows there; here the oracle is
+    the anti-filter over the source."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_mor")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table("mor.orders", orders.schema)
+            cat.append("mor.orders", spark, orders)
+            cat.delete_where_mor(
+                "mor.orders",
+                spark,
+                ("and", ("=", "o_orderstatus", "F"), ("<", "o_totalprice", 100000.0)),
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("mor.orders")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (
+                    F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                )
+            ).cast("double").alias("revenue"),
+        )
+        .withColumn("revenue", F.col("revenue") / 1000000)
+        .orderBy("o_orderstatus")
+    )

@@ -56,12 +56,28 @@ class IcebergTable:
         self,
         snapshot_id: Optional[int] = None,
         as_of_timestamp_ms: Optional[int] = None,
+        content: int = 0,
     ):
         snap = self.metadata.snapshot(snapshot_id, as_of_timestamp_ms)
         if snap is None:
             return []
         path = self.metadata.localize(snap.manifest_list)
-        return [m for m in read_manifest_list(path) if m.content == 0]
+        return [m for m in read_manifest_list(path) if m.content == content]
+
+    def position_delete_files(
+        self,
+        snapshot_id: Optional[int] = None,
+        as_of_timestamp_ms: Optional[int] = None,
+    ) -> list[DataFile]:
+        """Position-delete files (merge-on-read): entries of content=1
+        delete manifests.  Applied to every scan as an anti-join on
+        (file_path, pos) — the read-side half the reference filters OUT
+        and never applies (its manifests() drops content==1, so a v2
+        table with deletes would return deleted rows there)."""
+        files: list[DataFile] = []
+        for mf in self.manifests(snapshot_id, as_of_timestamp_ms, content=1):
+            files.extend(read_manifest(self.metadata.localize(mf.path)))
+        return files
 
     def files(
         self,
@@ -98,11 +114,36 @@ class IcebergTable:
                 rows_known = False
             else:
                 num_rows += (mf.added_rows_count or 0) + (mf.existing_rows_count or 0)
+        n_pos_deletes = sum(
+            f.record_count for f in self.position_delete_files(snapshot_id)
+        )
         return {
-            "num_rows": num_rows if rows_known else None,
+            "num_rows": num_rows - n_pos_deletes if rows_known else None,
             "num_files": total_files,
+            # position deletes can overlap; the subtraction is an upper
+            # bound on live rows, exact when each position is deleted once
+            # (our writer only emits deletes for live rows, so it is)
             "is_exact": rows_known,
         }
+
+    def files_targeted_by_deletes(self) -> set[str]:
+        """Localized data-file paths referenced by any position-delete row
+        (driver-side read of the delete parquet's file_path column —
+        delete files are metadata-sized).  COW rewrites use this to fold
+        outstanding deletes into the rewrite: their new snapshot carries
+        no delete manifests, so every delete-targeted file must be in the
+        rewrite set or its deletes would silently un-apply."""
+        import pyarrow.parquet as pq
+
+        out: set[str] = set()
+        for d in self.position_delete_files():
+            p = self.metadata.localize(d.path)
+            try:
+                col = pq.read_table(p, columns=["file_path"])["file_path"]
+                out.update(col.to_pylist())
+            except Exception:
+                pass
+        return out
 
     # -- scan (A1) ----------------------------------------------------------
 
@@ -124,18 +165,32 @@ class IcebergTable:
         physical plan, table.rs:291-293).
         """
         files = self.files(filters, snapshot_id, as_of_timestamp_ms)
-        df = self._scan_files(spark, files, filters)
+        deletes = self.position_delete_files(snapshot_id, as_of_timestamp_ms)
+        df = self._scan_files(spark, files, filters, deletes=deletes)
         if columns:
             df = df.select(*columns)
         return df
 
     def _scan_files(
-        self, spark: SparkSession, files: list[DataFile], filters: Optional[Pred]
+        self,
+        spark: SparkSession,
+        files: list[DataFile],
+        filters: Optional[Pred],
+        deletes: Optional[list[DataFile]] = None,
+        _with_row_meta: bool = False,
     ) -> DataFrame:
         """files → DataFrame with partition values attached and the exact
-        filter re-applied (shared by full and incremental scans)."""
+        filter re-applied (shared by full and incremental scans).
+
+        ``deletes=None`` applies the CURRENT snapshot's position deletes
+        (so copy-on-write rewrites scanning through this path never
+        resurrect MOR-deleted rows); pass ``[]`` to skip.
+        ``_with_row_meta`` exposes ``_ice_file``/``_ice_pos`` columns
+        (file path + file-relative row index) for delete-file writers."""
         meta = self.metadata
         st = meta.struct_type()
+        if deletes is None:
+            deletes = self.position_delete_files()
         if not files:
             return spark.createDataFrame([], st)
 
@@ -163,12 +218,29 @@ class IcebergTable:
             for c in part_cols
             if not _file_has_column(paths[0], c, meta, with_ids=use_ids)
         ]
+        with_meta = _with_row_meta or bool(deletes)
         if missing_part_cols:
             df = _read_groups_with_partition_values(
-                spark, meta, files, missing_part_cols, with_ids=use_ids
+                spark,
+                meta,
+                files,
+                missing_part_cols,
+                with_ids=use_ids,
+                with_row_meta=with_meta,
             )
         else:
             df = spark.read.schema(st).parquet(*paths)
+            if with_meta:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_ice_file"),
+                    F.col("_metadata.row_index").alias("_ice_pos"),
+                )
+
+        if deletes:
+            df = _apply_position_deletes(spark, meta, df, deletes)
+            if not _with_row_meta:
+                df = df.drop("_ice_file", "_ice_pos")
 
         if filters is not None:
             df = df.filter(pred_to_sql(filters))
@@ -197,6 +269,29 @@ class IcebergTable:
         new = self.files(filters, snapshot_id=to_snapshot_id)
         added = [f for f in new if f.path not in old]
         return self._scan_files(spark, added, filters)
+
+
+def _apply_position_deletes(
+    spark: SparkSession,
+    meta: TableMetadata,
+    df: DataFrame,
+    deletes: list[DataFile],
+) -> DataFrame:
+    """Anti-join the scan against position-delete rows on (file, pos).
+    Paths normalize to scheme-less absolutes on both sides (_metadata
+    yields file:// URIs; manifests record localized paths).  No explicit
+    broadcast hint: the delete side's size is known to Spark from its
+    parquet footprint, so AQE/autoBroadcast picks broadcast for the
+    common small-delete case and a shuffle join when deletes are huge."""
+    del_paths = [meta.localize(d.path) for d in deletes]
+    pos = spark.read.parquet(*del_paths).select(
+        F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias("_del_file"),
+        F.col("pos").alias("_del_pos"),
+    )
+    cond = (
+        F.regexp_replace(df["_ice_file"], "^file:/*", "/") == pos["_del_file"]
+    ) & (df["_ice_pos"] == pos["_del_pos"])
+    return df.join(pos, cond, "left_anti")
 
 
 def _file_has_column(path: str, col: str, meta=None, with_ids: bool = False) -> bool:
@@ -235,6 +330,7 @@ def _read_groups_with_partition_values(
     files: list[DataFile],
     missing: list[str],
     with_ids: bool = False,
+    with_row_meta: bool = False,
 ) -> DataFrame:
     """Group files by partition tuple (A6) and attach the missing partition
     columns as typed literals per group — the Spark rendering of the
@@ -279,7 +375,13 @@ def _read_groups_with_partition_values(
                 elif ice_t.startswith("timestamp"):
                     raw = EPOCH_TS + timedelta(microseconds=raw)
             df = df.withColumn(col, F.lit(raw).cast(spark_t))
-        parts.append(df.select(*[f.name for f in st.fields]))
+        cols = [f.name for f in st.fields]
+        if with_row_meta:
+            cols += [
+                F.col("_metadata.file_path").alias("_ice_file"),
+                F.col("_metadata.row_index").alias("_ice_pos"),
+            ]
+        parts.append(df.select(*cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

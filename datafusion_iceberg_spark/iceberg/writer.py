@@ -147,6 +147,8 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": _nullable("long"), "default": None},
         {"name": "existing_rows_count", "type": _nullable("long"), "default": None},
         {"name": "deleted_rows_count", "type": _nullable("long"), "default": None},
+        # v2: 0 = data manifest, 1 = delete manifest (position deletes)
+        {"name": "content", "type": _nullable("int"), "default": None},
     ],
 }
 
@@ -476,6 +478,7 @@ class IcebergWriter:
                         "added_rows_count": mf.added_rows_count,
                         "existing_rows_count": mf.existing_rows_count,
                         "deleted_rows_count": 0,
+                        "content": mf.content,
                     }
                 )
         write_avro_file(
@@ -495,6 +498,7 @@ class IcebergWriter:
                     "added_rows_count": total_rows,  # rows, not file count
                     "existing_rows_count": 0,
                     "deleted_rows_count": 0,
+                    "content": 0,
                 }
             ],
         )
@@ -828,6 +832,21 @@ class IcebergWriter:
         if not candidates:
             cur = table.metadata.raw.get("current-snapshot-id")
             return int(cur) if cur is not None else -1
+        # fold outstanding MOR deletes into this copy-on-write rewrite:
+        # the new snapshot carries no delete manifests (_carry=False), so
+        # every delete-targeted file must join the rewrite set or its
+        # deletes would silently un-apply on the untouched copy
+        dead = table.files_targeted_by_deletes()
+        if dead:
+            extra = [
+                f
+                for f in untouched
+                if table.metadata.localize(f.path) in dead
+            ]
+            if extra:
+                candidates = list(candidates) + extra
+                cand_paths |= {f.path for f in extra}
+                untouched = [f for f in untouched if f.path not in cand_paths]
         keep_df = table._scan_files(spark, candidates, None).filter(
             F.expr(f"NOT coalesce(({pred_to_sql(pred)}), false)")
         )
@@ -839,6 +858,176 @@ class IcebergWriter:
             _extra_entries=untouched,
             _allow_empty=True,
         )
+
+    def delete_where_mor(self, spark: SparkSession, pred) -> int:
+        """Merge-on-read DELETE: instead of rewriting matched files
+        (:meth:`delete`), commit a POSITION-DELETE file — parquet rows of
+        (file_path, pos) — referenced by a content=1 delete manifest.
+        Readers anti-join scans against it (table.position_delete_files).
+
+        Write cost is proportional to the number of DELETED ROWS, not the
+        size of the files containing them — the right trade at 100 TB for
+        small/selective deletes, with compaction folding deletes back into
+        data files later.  Rows where pred is NULL are kept."""
+        from pyspark.sql import functions as F
+
+        from datafusion_iceberg_spark.iceberg.pruning import pred_to_sql
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        table = IcebergTable.load(self.root)
+        candidates = table.files(filters=pred)
+        cur = table.metadata.raw.get("current-snapshot-id")
+        if not candidates:
+            return int(cur) if cur is not None else -1
+
+        scanned = table._scan_files(
+            spark, candidates, None, _with_row_meta=True
+        )
+        matched = scanned.filter(
+            F.expr(f"coalesce(({pred_to_sql(pred)}), false)")
+        ).select(
+            F.regexp_replace(F.col("_ice_file"), "^file:/*", "/").alias(
+                "file_path"
+            ),
+            F.col("_ice_pos").cast("long").alias("pos"),
+        )
+
+        snap_id = int(time.time() * 1000) * 1000 + (
+            int.from_bytes(os.urandom(2), "big") % 1000
+        )
+        del_dir = os.path.join(self.root, "data", f"snap-{snap_id}-deletes")
+        matched.write.mode("overwrite").parquet(del_dir)
+
+        import pyarrow.parquet as pq
+
+        del_files = []
+        for p in sorted(
+            glob.glob(os.path.join(del_dir, "**", "*.parquet"), recursive=True)
+        ):
+            n = pq.ParquetFile(p).metadata.num_rows
+            if n:
+                del_files.append((p, n, os.path.getsize(p)))
+        if not del_files:
+            shutil_rmtree = __import__("shutil").rmtree
+            shutil_rmtree(del_dir, ignore_errors=True)
+            return int(cur) if cur is not None else -1
+
+        meta_dir = os.path.join(self.root, "metadata")
+        man_uuid = str(uuidlib.uuid4())
+        manifest_path = os.path.join(meta_dir, f"{man_uuid}-del-m0.avro")
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": sz,
+                    "block_size_in_bytes": 67108864,
+                    "value_counts": [],
+                    "null_value_counts": [],
+                    "lower_bounds": [],
+                    "upper_bounds": [],
+                },
+            }
+            for p, n, sz in del_files
+        ]
+        write_avro_file(manifest_path, _manifest_schema([]), entries)
+
+        n_deleted = sum(n for _, n, _ in del_files)
+        manifest_list_path = os.path.join(
+            meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
+        )
+        meta = self._load_current()
+        carried = []
+        if cur not in (None, -1):
+            from datafusion_iceberg_spark.iceberg.manifests import (
+                read_manifest_list,
+            )
+
+            prev_snap = next(
+                s for s in meta["snapshots"] if s["snapshot-id"] == cur
+            )
+            for mf in read_manifest_list(prev_snap["manifest-list"]):
+                carried.append(
+                    {
+                        "manifest_path": mf.path,
+                        "manifest_length": mf.length,
+                        "partition_spec_id": mf.partition_spec_id,
+                        "added_snapshot_id": mf.added_snapshot_id,
+                        "added_data_files_count": mf.added_files_count,
+                        "existing_data_files_count": mf.existing_files_count,
+                        "deleted_data_files_count": mf.deleted_files_count,
+                        "partitions": [
+                            {
+                                "contains_null": p.contains_null,
+                                "contains_nan": p.contains_nan,
+                                "lower_bound": p.lower_bound,
+                                "upper_bound": p.upper_bound,
+                            }
+                            for p in mf.partitions
+                        ]
+                        or None,
+                        "added_rows_count": mf.added_rows_count,
+                        "existing_rows_count": mf.existing_rows_count,
+                        "deleted_rows_count": 0,
+                        "content": mf.content,
+                    }
+                )
+        write_avro_file(
+            manifest_list_path,
+            _MANIFEST_LIST_SCHEMA,
+            carried
+            + [
+                {
+                    "manifest_path": manifest_path,
+                    "manifest_length": os.path.getsize(manifest_path),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": snap_id,
+                    "added_data_files_count": len(entries),
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                    "partitions": None,
+                    "added_rows_count": n_deleted,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "content": 1,
+                }
+            ],
+        )
+        now = int(time.time() * 1000)
+        prev_total = 0
+        prev_files = 0
+        if meta.get("snapshots"):
+            prev_total = int(
+                meta["snapshots"][-1]["summary"].get("total-records", 0)
+            )
+            prev_files = int(
+                meta["snapshots"][-1]["summary"].get("total-data-files", 0)
+            )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "timestamp-ms": now,
+            "summary": {
+                "operation": "delete",
+                "added-delete-files": str(len(entries)),
+                "added-position-deletes": str(n_deleted),
+                "total-records": str(prev_total),
+                "total-data-files": str(prev_files),
+            },
+            "manifest-list": manifest_list_path,
+            "schema-id": 0,
+        }
+        meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+        meta["current-snapshot-id"] = snap_id
+        meta["last-updated-ms"] = now
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now, "snapshot-id": snap_id}
+        ]
+        self._commit_metadata(meta)
+        return snap_id
 
     def update(self, spark: SparkSession, pred, set_exprs: dict[str, str]) -> int:
         """Copy-on-write UPDATE ... SET col = sql_expr WHERE pred: same
@@ -861,6 +1050,21 @@ class IcebergWriter:
         if not candidates:
             cur = table.metadata.raw.get("current-snapshot-id")
             return int(cur) if cur is not None else -1
+        # fold outstanding MOR deletes into this copy-on-write rewrite:
+        # the new snapshot carries no delete manifests (_carry=False), so
+        # every delete-targeted file must join the rewrite set or its
+        # deletes would silently un-apply on the untouched copy
+        dead = table.files_targeted_by_deletes()
+        if dead:
+            extra = [
+                f
+                for f in untouched
+                if table.metadata.localize(f.path) in dead
+            ]
+            if extra:
+                candidates = list(candidates) + extra
+                cand_paths |= {f.path for f in extra}
+                untouched = [f for f in untouched if f.path not in cand_paths]
         match = f"coalesce(({pred_to_sql(pred)}), false)"
         scanned = table._scan_files(spark, candidates, None)
         dtypes = dict(scanned.dtypes)
@@ -946,6 +1150,21 @@ class IcebergWriter:
         cand_paths = {f.path for f in candidates}
         untouched = [f for f in all_files if f.path not in cand_paths]
 
+        # fold outstanding MOR deletes into this copy-on-write rewrite:
+        # the new snapshot carries no delete manifests (_carry=False), so
+        # every delete-targeted file must join the rewrite set or its
+        # deletes would silently un-apply on the untouched copy
+        dead = table.files_targeted_by_deletes()
+        if dead:
+            extra = [
+                f
+                for f in untouched
+                if table.metadata.localize(f.path) in dead
+            ]
+            if extra:
+                candidates = list(candidates) + extra
+                cand_paths |= {f.path for f in extra}
+                untouched = [f for f in untouched if f.path not in cand_paths]
         target = table._scan_files(spark, candidates, None)
         joined = target.alias("t").join(
             src.alias("src"), F.col(f"t.{on}") == F.col(f"src.{on}"), "left"

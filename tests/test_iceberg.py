@@ -1125,3 +1125,78 @@ def test_rename_column_guards(spark, sf_dir, scratch):
         w.rename_column("o_orderkey", "o_orderstatus")
     with pytest.raises(NotImplementedError):
         w.rename_column("o_orderstatus", "status")
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read: position-delete write + anti-join read path
+# ---------------------------------------------------------------------------
+
+
+def test_mor_position_delete_roundtrip(spark, sf_dir, scratch):
+    """MOR delete: rows vanish from scans without rewriting data files."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.create_table("ns.mor", orders.schema)
+    cat.append("ns.mor", spark, orders)
+    table = cat.load("ns.mor")
+    data_files_before = {f.path for f in table.files()}
+
+    pred = ("=", "o_orderstatus", "F")
+    n_match = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert n_match > 0
+    cat.delete_where_mor("ns.mor", spark, pred)
+
+    table = cat.load("ns.mor")
+    # data files untouched (no rewrite), delete files present
+    assert {f.path for f in table.files()} == data_files_before
+    dels = table.position_delete_files()
+    assert dels and sum(d.record_count for d in dels) == n_match
+
+    got = table.to_df(spark)
+    assert got.filter(F.col("o_orderstatus") == "F").count() == 0
+    assert got.count() == orders.count() - n_match
+    # statistics reflect live rows
+    assert table.statistics()["num_rows"] == orders.count() - n_match
+
+
+def test_mor_delete_stacks_and_time_travel(spark, sf_dir, scratch):
+    """Two MOR deletes stack; time travel before the deletes sees all
+    rows; a second delete never re-deletes already-dead positions."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table("ns.m2", nation.schema)
+    snap0 = cat.append("ns.m2", spark, nation)
+    cat.delete_where_mor("ns.m2", spark, ("<", "n_nationkey", 5))
+    cat.delete_where_mor("ns.m2", spark, ("<", "n_nationkey", 8))
+
+    table = cat.load("ns.m2")
+    got = table.to_df(spark)
+    assert got.count() == nation.count() - 8
+    assert got.filter(F.col("n_nationkey") < 8).count() == 0
+    # total delete records = 5 + 3 (second delete skips dead rows)
+    assert sum(d.record_count for d in table.position_delete_files()) == 8
+    # time travel to pre-delete snapshot sees everything
+    assert table.to_df(spark, snapshot_id=snap0).count() == nation.count()
+
+
+def test_mor_then_cow_interplay(spark, sf_dir, scratch):
+    """A COW UPDATE after a MOR delete must not resurrect deleted rows."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table("ns.mix", nation.schema)
+    cat.append("ns.mix", spark, nation)
+    cat.delete_where_mor("ns.mix", spark, ("<", "n_nationkey", 3))
+    cat.update_where(
+        "ns.mix", spark, ("<", "n_nationkey", 10), {"n_name": "'X'"}
+    )
+    got = cat.load("ns.mix").to_df(spark)
+    assert got.count() == nation.count() - 3
+    assert got.filter(F.col("n_nationkey") < 3).count() == 0
+    assert got.filter((F.col("n_nationkey") >= 3) & (F.col("n_nationkey") < 10)
+                      ).select("n_name").distinct().collect()[0][0] == "X"
