@@ -31,6 +31,8 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "iceberg_scan_agg",
     "sim_topk_bruteforce",
     "sim_ivf_topk",
     "text_token_frequencies",

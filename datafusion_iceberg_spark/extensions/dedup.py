@@ -453,3 +453,93 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # diagonal blocks see each (a,b) twice (both sides) → distinct
     return out.distinct().orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup, sub-quadratic (hyperplane LSH buckets + verify) —
+# the FIRST-CLASS embedding-dedup path at scale.  dedup_embedding_cosine
+# above is the exact all-pairs baseline this op's recall is gated against
+# (it stays registered as the verification oracle, not the scale path:
+# its blocked GEMM is O(N²) compute and replicates every vector
+# N_BLOCKS+1 times through the shuffle).
+# ---------------------------------------------------------------------------
+
+_LSH_BITS = 64
+_LSH_BANDS = 16
+_LSH_BAND_BITS = _LSH_BITS // _LSH_BANDS
+_EMB_DIM = 64
+_lsh_rng = _np.random.RandomState(1234)
+_LSH_PLANES = _lsh_rng.randn(_EMB_DIM, _LSH_BITS)
+
+
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def _embedding_lsh_bands(vecs: pd.Series) -> pd.Series:
+    """Map-side Arrow kernel: one numpy GEMM per batch projects every
+    vector onto 64 fixed random hyperplanes → sign bits → 16 bands of 4
+    bits.  Ships 16 small ints per vector into the bucket shuffle — the
+    vector itself never leaves the worker at candidate-generation time."""
+    import numpy as np
+
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    bits = (m @ _LSH_PLANES[: m.shape[1]]) > 0  # (n, 64) bool
+    vals = bits.reshape(len(m), _LSH_BANDS, _LSH_BAND_BITS)
+    weights = 1 << np.arange(_LSH_BAND_BITS)
+    band_vals = (vals * weights).sum(axis=2).astype(np.int32)  # (n, 16)
+    return pd.Series([row.tolist() for row in band_vals])
+
+
+def _bucket_cosine_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact cosine within ONE LSH bucket: a single numpy GEMM per bucket
+    (cache-sized by the 1000-doc cap), emitting verified pairs directly —
+    no per-pair interpreted expressions anywhere."""
+    import numpy as np
+
+    if len(pdf) < 2 or len(pdf) > 1000:
+        return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []}).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+        )
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    iu, ju = np.triu_indices(len(m), k=1)
+    keep = cos[iu, ju] >= 0.4
+    va, vb = ids[iu[keep]], ids[ju[keep]]
+    lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+    return pd.DataFrame(
+        {"vec_a": lo, "vec_b": hi, "cos_sim": np.round(cos[iu, ju][keep], 4)}
+    )
+
+
+@register("dedup_embedding_lsh")  # hash-family specific → rows-only check
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by embedding at scale: hyperplane-LSH bucketing, then an
+    exact in-bucket cosine GEMM — the bucketed replacement for the
+    all-pairs blocked GEMM above.  Map-side code kernel → ONE shuffle on
+    (band_id, band_val) → one numpy GEMM per bucket emitting verified
+    pairs (cos >= 0.4, same threshold as the exact baseline) → distinct
+    across bands.  Precision is 1.0 by construction; recall vs.
+    dedup_embedding_cosine is gated in tests (16 bands × 4 bits ⇒ ≈0.94
+    at cos 0.4, → 1 for closer pairs).
+
+    Scale shape: compute is Σ_buckets |B|² — sub-quadratic exactly to the
+    degree the corpus is bucketable (true near-dup corpora with high
+    thresholds cluster tightly; an adversarially-uniform corpus degrades
+    toward all-pairs, which the 1000-doc bucket cap turns into dropped
+    degenerate buckets instead of a runaway).  Vector bytes replicate
+    ×BANDS into the shuffle — same order as the blocked GEMM's
+    ×(N_BLOCKS+1), but the GEMMs run on data-local buckets instead of
+    every block pair, and id-sorted output needs no global dedup pass
+    beyond the cross-band distinct."""
+    emb = scale_out(load_table(spark, sf_dir, "embeddings"))
+    bands = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+        F.posexplode(_embedding_lsh_bands("embedding")).alias(
+            "band_id", "band_val"
+        ),
+    )
+    out = bands.groupBy("band_id", "band_val").applyInPandas(
+        _bucket_cosine_pairs, schema="vec_a long, vec_b long, cos_sim double"
+    )
+    return out.distinct().orderBy("vec_a", "vec_b")

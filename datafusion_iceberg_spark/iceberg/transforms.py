@@ -104,6 +104,37 @@ def bucket_value(value: Any, n: int) -> int:
     return (murmur3_32(_bucket_bytes(value)) & 0x7FFFFFFF) % n
 
 
+def _murmur3_int64_vec(vals):
+    """Vectorized murmur3_x86_32 over int64 values serialized as Iceberg
+    bucket bytes (8-byte little-endian): two 4-byte blocks, empty tail.
+    Returns (hash & 0x7FFFFFFF) as int64 — identical to
+    murmur3_32(_bucket_bytes(v)) & 0x7FFFFFFF for every int64 v."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        data = vals.astype("<i8").view(np.uint64)
+        c1 = np.uint32(_C1)
+        c2 = np.uint32(_C2)
+        h = np.zeros(len(vals), dtype=np.uint32)
+        for word in (
+            (data & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (data >> np.uint64(32)).astype(np.uint32),
+        ):
+            k = word * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)  # length
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+        return (h & np.uint32(0x7FFFFFFF)).astype(np.int64)
+
+
 # -- value-side application -------------------------------------------------
 
 
@@ -189,6 +220,17 @@ def spark_expr(transform: str, col: str):
 
         @F.pandas_udf(T.IntegerType())
         def _bucket(s):
+            import numpy as np
+            import pandas as pd
+
+            if pd.api.types.is_integer_dtype(s.dtype) and not s.isna().any():
+                # vectorized murmur3 over the whole Arrow batch (ints are
+                # 8-byte little-endian blocks → two 4-byte words; a
+                # per-value Python lambda here was the write path's only
+                # row-at-a-time hot spot)
+                return pd.Series(
+                    _murmur3_int64_vec(s.to_numpy(dtype=np.int64)) % n
+                ).astype("int32")
             return s.map(lambda v: None if v is None else bucket_value(v, n))
 
         return _bucket(F.col(col))

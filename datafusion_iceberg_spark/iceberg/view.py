@@ -150,8 +150,50 @@ class IcebergView:
                 return r["sql"]
         raise ValueError("view has no SQL representation")
 
+    def declared_schema(self) -> Optional[dict]:
+        """The view's declared Iceberg schema JSON, if one was persisted
+        (reference views always carry one — SchemaV2 in table.rs:369-391)."""
+        schemas = self.raw.get("schemas") or []
+        if not schemas:
+            return None
+        vid = self.raw["current-version-id"]
+        version = next(
+            v for v in self.raw["versions"] if v["version-id"] == vid
+        )
+        sid = version.get("schema-id", 0)
+        for s in schemas:
+            if s.get("schema-id", 0) == sid:
+                return s
+        return schemas[0]
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         """Re-plan the stored SQL against the current session state —
         the reference's scan-time DFParser + statement_to_plan
-        (table.rs:106-108) is Catalyst's job here."""
-        return spark.sql(self.sql())
+        (table.rs:106-108) is Catalyst's job here.  When the view carries
+        a declared schema (the reference's views always do,
+        table.rs:369-391), the expanded plan is validated against it:
+        a drifted base table surfaces as an immediate, named error
+        instead of silently changing the view's shape downstream."""
+        df = spark.sql(self.sql())
+        declared = self.declared_schema()
+        if declared is not None:
+            from datafusion_iceberg_spark.iceberg.metadata import (
+                schema_to_struct_type,
+            )
+
+            want = schema_to_struct_type(declared)
+            got = df.schema
+            if [f.name for f in got.fields] != [f.name for f in want.fields]:
+                raise ValueError(
+                    f"view {self.root}: expanded columns "
+                    f"{[f.name for f in got.fields]} != declared "
+                    f"{[f.name for f in want.fields]}"
+                )
+            for g, w in zip(got.fields, want.fields):
+                if g.dataType != w.dataType:
+                    raise ValueError(
+                        f"view {self.root}: column {g.name!r} expands to "
+                        f"{g.dataType.simpleString()}, declared "
+                        f"{w.dataType.simpleString()}"
+                    )
+        return df

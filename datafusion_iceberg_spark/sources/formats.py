@@ -135,7 +135,8 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n_regionkey, COUNT(*) AS n_nations,
            MIN(n_name) AS first_name
-    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    FROM nation WHERE n_nationkey < 5000
+    GROUP BY n_regionkey ORDER BY n_regionkey
     """,
 )
 def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +146,10 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows to Spark.  Driver-side by design: the same codec path a
     spark-avro package would run executor-side; at 100 TB the Avro inputs
     are manifest-sized metadata, not data files, so driver decoding is
-    the real deployment shape (SURVEY.md §2A manifest handling)."""
+    the real deployment shape (SURVEY.md §2A manifest handling).  The
+    collect is FENCED to n_nationkey < 5000 — metadata-sized by contract;
+    an unbounded driver collect in a registered query would be a scale
+    hazard regardless of intent."""
     import os
 
     from datafusion_iceberg_spark.iceberg.avro import (
@@ -153,7 +157,9 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_avro_file,
     )
 
-    nation = load_table(spark, sf_dir, "nation")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_nationkey") < 5000
+    )
     tag = os.path.basename(os.path.normpath(sf_dir))
     path = os.path.join(SCRATCH, f"fmt_{tag}_nation.avro")
     with _lock:

@@ -198,3 +198,35 @@ def test_mm_embed_similarity_matches_python(spark, sf_dir):
             )
         ]
         assert got == want, f"query {qid}: {got} != {want}"
+
+
+def test_embedding_lsh_precision_and_recall(spark, sf_dir):
+    """dedup_embedding_lsh (the scale path) vs dedup_embedding_cosine (the
+    exact all-pairs baseline): every emitted pair must be a true pair
+    (exact verification ⇒ precision 1.0) and recall must be high
+    (16 bands × 4 bits over 64 sign bits ⇒ ≈0.94 at cos=0.4, higher for
+    closer pairs)."""
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["dedup_embedding_lsh"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in registry.QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()
+    }
+    assert got <= exact
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.75, f"recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_embedding_lsh_plan_no_vector_replication(spark, sf_dir):
+    """The candidate-generation shuffle must move id rows, not vectors:
+    the plan's exchange before the bucket aggregation carries no
+    embedding/array column, and there is no all-pairs block explode."""
+    df = registry.QUERIES["dedup_embedding_lsh"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the blocked-GEMM shape would explode each vector to N_BLOCKS+1
+    # (pair, side) copies before its groupBy; the LSH path must not
+    assert "side" not in plan

@@ -1200,3 +1200,78 @@ def test_mor_then_cow_interplay(spark, sf_dir, scratch):
     assert got.filter(F.col("n_nationkey") < 3).count() == 0
     assert got.filter((F.col("n_nationkey") >= 3) & (F.col("n_nationkey") < 10)
                       ).select("n_name").distinct().collect()[0][0] == "X"
+
+
+def test_view_declared_schema_assertion(spark, sf_dir, scratch):
+    """A view carrying a declared schema validates the expanded plan
+    against it; a mismatching declaration raises instead of silently
+    changing shape (reference views always carry schemas,
+    table.rs:369-391)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    nation.createOrReplaceTempView("vsrc_nation")
+    ok_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "n_nationkey", "required": False, "type": "int"},
+            {"id": 2, "name": "n_name", "required": False, "type": "string"},
+        ],
+    }
+    v1 = IcebergView.create(
+        os.path.join(scratch, "v_ok"),
+        "SELECT n_nationkey, n_name FROM vsrc_nation",
+        schema_json=ok_schema,
+    )
+    assert v1.to_df(spark).count() == nation.count()
+
+    bad_schema = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "n_nationkey", "required": False, "type": "int"},
+            {"id": 2, "name": "nation_name", "required": False, "type": "string"},
+        ],
+    }
+    v2 = IcebergView.create(
+        os.path.join(scratch, "v_bad"),
+        "SELECT n_nationkey, n_name FROM vsrc_nation",
+        schema_json=bad_schema,
+    )
+    with pytest.raises(ValueError, match="declared"):
+        v2.to_df(spark)
+
+    bad_type = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "n_nationkey", "required": False, "type": "long"},
+            {"id": 2, "name": "n_name", "required": False, "type": "string"},
+        ],
+    }
+    v3 = IcebergView.create(
+        os.path.join(scratch, "v_badtype"),
+        "SELECT n_nationkey, n_name FROM vsrc_nation",
+        schema_json=bad_type,
+    )
+    with pytest.raises(ValueError, match="expands to"):
+        v3.to_df(spark)
+
+
+@settings(max_examples=50, deadline=None)
+@given(vals=hst.lists(hst.integers(-2**63, 2**63 - 1), min_size=1, max_size=64),
+       n=hst.sampled_from([4, 16, 128]))
+def test_vectorized_bucket_matches_scalar(vals, n):
+    """The numpy murmur3 kernel must agree with the scalar reference for
+    every int64 (the write path uses the vector kernel; pruning literals
+    use the scalar one — disagreement would mis-prune silently)."""
+    import numpy as np
+
+    from datafusion_iceberg_spark.iceberg.transforms import (
+        _murmur3_int64_vec,
+        bucket_value,
+    )
+
+    vec = _murmur3_int64_vec(np.array(vals, dtype=np.int64)) % n
+    assert list(vec) == [bucket_value(v, n) for v in vals]
