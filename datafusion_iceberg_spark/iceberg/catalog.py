@@ -195,11 +195,19 @@ class Catalog:
 
     # -- Spark integration --------------------------------------------------
 
+    # metadata-sized tables get a broadcast hint at registration — this is
+    # the Spark rendering of the reference feeding Statistics{num_rows,
+    # is_exact} into its planner (statistics.rs:8-49): the planner input
+    # is our MANIFEST stats, not a runtime sample, so dimension tables
+    # broadcast even when the SQL author writes no hint.
+    BROADCAST_BYTES = 64 * 1024 * 1024
+
     def attach(self, spark: SparkSession, snapshot_id: Optional[int] = None) -> None:
         """Register every relation as a temp view ``<ns>_<table>`` (and the
         bare table name when unambiguous) so SQL can address the catalog —
         the flattened-name analogue of 3-part resolution
-        (catalog.rs:114-117)."""
+        (catalog.rs:114-117).  Tables whose manifest-stat footprint is
+        under BROADCAST_BYTES register with a broadcast hint."""
         bare_counts: dict[str, int] = {}
         for key in self._mirror:
             bare = key.split(".", 1)[1]
@@ -210,15 +218,31 @@ class Catalog:
         )
         for key, rel in items:
             ns, bare = key.split(".", 1)
-            df = (
-                rel.to_df(spark)
-                if isinstance(rel, IcebergTable)
-                else rel.to_df(spark)
-            )
+            df = rel.to_df(spark)
+            if isinstance(rel, IcebergTable):
+                stats = rel.statistics()
+                if 0 < stats.get("total_bytes", 0) < self.BROADCAST_BYTES:
+                    df = df.hint("broadcast")
             df.createOrReplaceTempView(f"{ns}_{bare}")
             if bare_counts[bare] == 1:
                 df.createOrReplaceTempView(bare)
 
     def sql(self, spark: SparkSession, query: str) -> DataFrame:
+        """SQL over the attached catalog, with THREE-PART name resolution:
+        occurrences of ``<catalog>.<ns>.<table>`` (this catalog's name and
+        a registered table — nothing else is touched) rewrite to the
+        registered flat view, mirroring the reference's
+        ``my_catalog.dashbook.covid_nyt`` resolution (catalog.rs:114-117)
+        without a JVM TableCatalog plugin.  Only exact known triples are
+        rewritten, so alias.column references can never be mangled."""
+        import re
+
         self.attach(spark)
+        for key in self._mirror:
+            ns, bare = key.split(".", 1)
+            query = re.sub(
+                rf"\b{re.escape(self.name)}\.{re.escape(ns)}\.{re.escape(bare)}\b",
+                f"{ns}_{bare}",
+                query,
+            )
         return spark.sql(query)

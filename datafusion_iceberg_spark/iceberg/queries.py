@@ -761,3 +761,28 @@ def iceberg_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("revenue", F.col("revenue") / 1000000)
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "iceberg_three_part_name",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_orders
+    FROM orders JOIN nation ON o_custkey % 25 = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def iceberg_three_part_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 with TRUE 3-part names in the SQL text — the reference's
+    'SELECT ... FROM my_catalog.dashbook.covid_nyt' flow
+    (catalog_rest/src/catalog.rs:114-117), resolved by the catalog's
+    exact-triple rewrite.  The nation side is metadata-small, so the
+    manifest-stats broadcast hint (statistics feed, statistics.rs:8-49
+    analogue) plans the join as a broadcast."""
+    fx = fixture(spark, sf_dir)
+    return fx.catalog.sql(
+        spark,
+        "SELECT n_name, COUNT(*) AS n_orders"
+        " FROM iceberg.sales.orders JOIN iceberg.ref.nation"
+        "   ON o_custkey % 25 = n_nationkey"
+        " GROUP BY n_name ORDER BY n_name",
+    )

@@ -117,9 +117,13 @@ class IcebergTable:
         n_pos_deletes = sum(
             f.record_count for f in self.position_delete_files(snapshot_id)
         )
+        total_bytes = sum(
+            f.file_size_in_bytes for f in self.files(snapshot_id=snapshot_id)
+        )
         return {
             "num_rows": num_rows - n_pos_deletes if rows_known else None,
             "num_files": total_files,
+            "total_bytes": total_bytes,
             # position deletes can overlap; the subtraction is an upper
             # bound on live rows, exact when each position is deleted once
             # (our writer only emits deletes for live rows, so it is)

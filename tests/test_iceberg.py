@@ -69,7 +69,10 @@ def test_fixture_statistics_rows_not_files():
     added_files_count."""
     t = IcebergTable.load(FIXTURE)
     stats = t.statistics()
-    assert stats == {"num_rows": 4, "num_files": 4, "is_exact": True}
+    assert stats["num_rows"] == 4
+    assert stats["num_files"] == 4
+    assert stats["is_exact"] is True
+    assert stats["total_bytes"] > 0
 
 
 def test_fixture_pruning_by_field_id():
@@ -1275,3 +1278,61 @@ def test_vectorized_bucket_matches_scalar(vals, n):
 
     vec = _murmur3_int64_vec(np.array(vals, dtype=np.int64)) % n
     assert list(vec) == [bucket_value(v, n) for v in vals]
+
+
+def test_compact_folds_mor_deletes(spark, sf_dir, scratch):
+    """Compaction rewrites the live (delete-applied) rows and the new
+    replace snapshot carries no delete manifests — deletes are folded in,
+    the maintenance pairing for MOR."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table("ns.cf", nation.schema)
+    cat.append("ns.cf", spark, nation)
+    cat.delete_where_mor("ns.cf", spark, ("<", "n_nationkey", 5))
+    cat.compact("ns.cf", spark)
+    table = cat.load("ns.cf")
+    assert table.position_delete_files() == []
+    got = table.to_df(spark)
+    assert got.count() == nation.count() - 5
+    assert got.filter(F.col("n_nationkey") < 5).count() == 0
+
+
+def test_three_part_name_resolution_and_stats_broadcast(spark, sf_dir, scratch):
+    """catalog.sql resolves <catalog>.<ns>.<table> triples; the
+    metadata-small side plans as a broadcast join via the manifest-stats
+    hint (no SQL hint written)."""
+    cat = Catalog(os.path.join(scratch, "wh"), name="mycat")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").select(
+        "r_regionkey", "r_name"
+    )
+    cat.create_table("geo.nation", nation.schema)
+    cat.append("geo.nation", spark, nation)
+    cat.create_table("geo.region", region.schema)
+    cat.append("geo.region", spark, region)
+
+    df = cat.sql(
+        spark,
+        "SELECT r_name, COUNT(*) AS n FROM mycat.geo.nation"
+        " JOIN mycat.geo.region ON n_regionkey = r_regionkey"
+        " GROUP BY r_name ORDER BY r_name",
+    )
+    rows = {r.r_name: r.n for r in df.collect()}
+    want = {
+        r.r_name: r.n
+        for r in nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert rows == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # a column reference like alias.col is never rewritten
+    df2 = cat.sql(
+        spark,
+        "SELECT t.n_name FROM geo_nation t WHERE t.n_nationkey = 3",
+    )
+    assert df2.count() == 1
