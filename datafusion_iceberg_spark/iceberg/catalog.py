@@ -101,7 +101,10 @@ class Catalog:
         assert isinstance(table, IcebergTable)
         meta = table.metadata
         return IcebergWriter(
-            meta.root, meta.struct_type(), meta.partition_spec_entries()
+            meta.root,
+            meta.struct_type(),
+            meta.partition_spec_entries(),
+            field_ids=meta.field_ids_by_name(),
         )
 
     def append(self, ident: str, spark: SparkSession, df: DataFrame) -> int:
@@ -164,6 +167,19 @@ class Catalog:
         self.writer(ident).rename_column(old, new)
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
+
+    def drop_column(self, ident: str, name: str) -> None:
+        """DROP COLUMN evolution (writer.drop_column) + mirror refresh."""
+        self.writer(ident).drop_column(name)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+
+    def rollback_to_snapshot(self, ident: str, snapshot_id: int) -> int:
+        """ROLLBACK (writer.rollback_to_snapshot) + mirror refresh."""
+        snap = self.writer(ident).rollback_to_snapshot(snapshot_id)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
 
     def compact(
         self, ident: str, spark: SparkSession, target_file_bytes: int = 128 << 20

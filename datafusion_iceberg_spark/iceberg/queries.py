@@ -786,3 +786,87 @@ def iceberg_three_part_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   ON o_custkey % 25 = n_nationkey"
         " GROUP BY n_name ORDER BY n_name",
     )
+
+
+@register(
+    "iceberg_drop_column_scan",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_nationkey) AS min_key
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def iceberg_drop_column_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP COLUMN then scan: the dropped field disappears from the
+    current schema (metadata-only; old files keep the physical column,
+    never read), surviving columns keep their field ids so stats pruning
+    stays sound."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_drp")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            nation = load_table(spark, sf_dir, "nation")
+            cat.create_table("evo.nation_d", nation.schema)
+            cat.append("evo.nation_d", spark, nation)
+            cat.drop_column("evo.nation_d", "n_name")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("evo.nation_d")
+    assert isinstance(table, IcebergTable)
+    df = table.to_df(spark)
+    assert "n_name" not in df.columns
+    return (
+        df.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_nationkey").alias("min_key"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "iceberg_rollback_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def iceberg_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK to the first snapshot (even orderkeys only) after a second
+    append — the metadata-only undo that time travel makes one commit."""
+    fx = fixture(spark, sf_dir)
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_rb")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table("rb.orders", orders.schema)
+            snap1 = cat.append(
+                "rb.orders", spark, orders.filter(F.col("o_orderkey") % 2 == 0)
+            )
+            cat.append(
+                "rb.orders", spark, orders.filter(F.col("o_orderkey") % 2 != 0)
+            )
+            cat.rollback_to_snapshot("rb.orders", snap1)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("rb.orders")
+    assert isinstance(table, IcebergTable)
+    return table.to_df(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

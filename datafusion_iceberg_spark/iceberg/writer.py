@@ -183,6 +183,7 @@ class IcebergWriter:
         root: str,
         schema: T.StructType,
         partition_by: Optional[list[str]] = None,
+        field_ids: Optional[dict[str, int]] = None,
     ):
         from datafusion_iceberg_spark.iceberg.transforms import parse_spec_entry
 
@@ -194,7 +195,14 @@ class IcebergWriter:
         # partition_by = the DIRECTORY columns (derived names for
         # non-identity transforms; the source column name for identity)
         self.partition_by = [fname for _, _, fname in self.spec_entries]
-        self.field_ids = {f.name: i + 1 for i, f in enumerate(schema.fields)}
+        # field ids come from table metadata when rebuilding a writer for
+        # an existing table (DROP COLUMN breaks the id==position+1
+        # invariant; a positional fallback would stamp wrong ids on new
+        # files and key stats to the wrong columns); position-based only
+        # at first CREATE
+        self.field_ids = dict(field_ids) if field_ids else {
+            f.name: i + 1 for i, f in enumerate(schema.fields)
+        }
         self.iceberg_types = {
             f.name: spark_type_to_iceberg(f.dataType) for f in schema.fields
         }
@@ -623,6 +631,61 @@ class IcebergWriter:
         )
         self.field_ids[new] = self.field_ids.pop(old)
         self.iceberg_types[new] = self.iceberg_types.pop(old)
+
+    def drop_column(self, name: str) -> None:
+        """DROP COLUMN evolution: a new schema version without the field —
+        metadata-only.  Old data files keep the physical column; scans
+        request the current schema by field id, so it is simply never
+        read.  The field id is retired, never reused (last-column-id is
+        monotonic), so stats maps in old manifests stay unambiguous.
+        Dropping a partition source column is refused."""
+        if name not in self.field_ids:
+            raise ValueError(f"no such column: {name}")
+        if any(source == name for source, _, _ in self.spec_entries):
+            raise NotImplementedError(
+                "dropping a partition source column is not supported"
+            )
+        if len(self.field_ids) == 1:
+            raise ValueError("cannot drop the only column")
+        meta = self._load_current()
+        cur_id = meta.get("current-schema-id", 0)
+        cur = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_id
+        )
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(s.get("schema-id", 0) for s in meta["schemas"]) + 1,
+            "fields": [dict(f) for f in cur["fields"] if f["name"] != name],
+        }
+        meta["schemas"] = meta["schemas"] + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["schema"] = new_schema  # v1 single-schema compat
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(meta)
+        self.schema = T.StructType(
+            [f for f in self.schema.fields if f.name != name]
+        )
+        self.field_ids.pop(name)
+        self.iceberg_types.pop(name)
+
+    def rollback_to_snapshot(self, snapshot_id: int) -> int:
+        """ROLLBACK: make an earlier snapshot current again (metadata-only
+        — the snapshot's files still exist unless expired).  The rollback
+        is itself a new entry in the snapshot log, so it is auditable and
+        itself time-travelable."""
+        meta = self._load_current()
+        if not any(
+            s["snapshot-id"] == snapshot_id for s in meta.get("snapshots", [])
+        ):
+            raise KeyError(f"snapshot {snapshot_id} not found (expired?)")
+        now = int(time.time() * 1000)
+        meta["current-snapshot-id"] = snapshot_id
+        meta["last-updated-ms"] = now
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}
+        ]
+        self._commit_metadata(meta)
+        return snapshot_id
 
     def compact(
         self,

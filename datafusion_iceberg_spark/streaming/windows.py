@@ -246,3 +246,77 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_attributed"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_iceberg_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming INTO an Iceberg table: foreachBatch commits
+    each micro-batch through the catalog's append (one snapshot per
+    batch — exactly-once per batch via Iceberg's atomic metadata commit),
+    then the query answers from an Iceberg SCAN of the sunk table.  The
+    streaming writer the reference cannot have (batch-only, read-only);
+    the oracle is the same aggregate over the original events, so any
+    row lost or duplicated across the stream → snapshot → scan path
+    hash-fails."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH, _lock
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(SCRATCH, f"wh_{tag}_ssink")
+    marker = os.path.join(root, "_COMPLETE")
+    with _lock:
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            stream, batch = _events_stream(spark, sf_dir)
+            typed = stream.select(
+                "event_id",
+                "event_type",
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            )
+            cat.create_table(
+                "stream.events_sink",
+                typed.schema,
+            )
+
+            def _sink(bdf, batch_id):
+                if bdf.take(1):
+                    cat.append("stream.events_sink", spark, bdf)
+
+            q = (
+                typed.writeStream.foreachBatch(_sink)
+                .option(
+                    "checkpointLocation", os.path.join(root, "_checkpoint")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("stream.events_sink")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -1336,3 +1336,58 @@ def test_three_part_name_resolution_and_stats_broadcast(spark, sf_dir, scratch):
         "SELECT t.n_name FROM geo_nation t WHERE t.n_nationkey = 3",
     )
     assert df2.count() == 1
+
+
+def test_drop_column_and_post_drop_append(spark, sf_dir, scratch):
+    """DROP COLUMN is metadata-only; old files' physical column is never
+    read; appends after the drop keep ORIGINAL field ids for surviving
+    columns (a positional re-derivation would stamp wrong ids and key
+    stats to the wrong columns)."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table("ns.dc", nation.schema)
+    cat.append("ns.dc", spark, nation)
+    cat.drop_column("ns.dc", "n_name")
+
+    table = cat.load("ns.dc")
+    df = table.to_df(spark)
+    assert df.columns == ["n_nationkey", "n_regionkey"]
+    assert df.count() == nation.count()
+    # surviving columns keep their original ids in a rebuilt writer
+    w = cat.writer("ns.dc")
+    assert w.field_ids == {"n_nationkey": 1, "n_regionkey": 3}
+
+    extra = nation.select(
+        (F.col("n_nationkey") + 1000).alias("n_nationkey"), "n_regionkey"
+    ).limit(2)
+    cat.append("ns.dc", spark, extra)
+    df2 = cat.load("ns.dc").to_df(spark)
+    assert df2.count() == nation.count() + 2
+    # stats pruning on n_regionkey (id 3) still sound across old+new files
+    t = cat.load("ns.dc")
+    n_all = df2.filter(F.col("n_regionkey") == 2).count()
+    assert t.to_df(spark, filters=("=", "n_regionkey", 2)).count() == n_all
+    with pytest.raises(ValueError):
+        cat.writer("ns.dc").drop_column("nope")
+
+
+def test_rollback_to_snapshot(spark, sf_dir, scratch):
+    """Rollback re-points current to an earlier snapshot; the rollback is
+    itself a snapshot-log entry (auditable); rolling forward again works."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table("ns.rb", nation.schema)
+    snap1 = cat.append("ns.rb", spark, nation.filter(F.col("n_nationkey") < 10))
+    snap2 = cat.append("ns.rb", spark, nation.filter(F.col("n_nationkey") >= 10))
+    assert cat.load("ns.rb").to_df(spark).count() == nation.count()
+
+    cat.rollback_to_snapshot("ns.rb", snap1)
+    assert cat.load("ns.rb").to_df(spark).count() == 10
+    cat.rollback_to_snapshot("ns.rb", snap2)
+    assert cat.load("ns.rb").to_df(spark).count() == nation.count()
+    with pytest.raises(KeyError):
+        cat.rollback_to_snapshot("ns.rb", 123456789)
