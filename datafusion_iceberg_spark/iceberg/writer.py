@@ -38,6 +38,13 @@ from datafusion_iceberg_spark.iceberg.stats import encode_stat
 # both tolerate the omissions) ---------------------------------------------
 
 
+class CommitConflict(Exception):
+    """Another writer committed the same base metadata version first —
+    re-read the table state and retry (optimistic concurrency, the
+    Iceberg commit protocol).  Raised instead of silently clobbering the
+    other writer's metadata file."""
+
+
 def _nullable(t: Any) -> list:
     return ["null", t]
 
@@ -257,20 +264,44 @@ class IcebergWriter:
 
     def _load_current(self) -> dict:
         v = self._current_version()
+        self._loaded_version = v
         with open(os.path.join(self.root, "metadata", f"v{v}.metadata.json")) as fh:
             return json.load(fh)
 
     def _commit_metadata(self, meta: dict) -> None:
-        v = self._current_version() + 1
+        """Optimistic-concurrency commit: the new version number is
+        base+1 where base is the version the caller READ (via
+        _load_current), and the metadata file is created exclusively
+        (os.link) — if a concurrent writer committed the same version
+        first, this raises CommitConflict instead of clobbering it.
+        append() retries by re-reading; other mutations surface the
+        conflict to the caller."""
+        base = getattr(self, "_loaded_version", None)
+        if base is None:
+            base = self._current_version()
+        v = base + 1
         meta_dir = os.path.join(self.root, "metadata")
         os.makedirs(meta_dir, exist_ok=True)
-        tmp = os.path.join(meta_dir, f".v{v}.metadata.json.tmp")
+        tmp = os.path.join(meta_dir, f".v{v}.metadata.json.{os.getpid()}.tmp")
         with open(tmp, "w") as fh:
             json.dump(meta, fh, indent=1)
-        os.rename(tmp, os.path.join(meta_dir, f"v{v}.metadata.json"))
+        target = os.path.join(meta_dir, f"v{v}.metadata.json")
+        try:
+            # link = atomic create-exclusive with full content in place
+            os.link(tmp, target)
+        except FileExistsError:
+            os.remove(tmp)
+            raise CommitConflict(
+                f"{self.root}: version v{v} was committed concurrently"
+            )
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
         # version-hint last: readers see the new version only after the
         # metadata file is fully in place (single-FS atomic commit)
-        hint_tmp = os.path.join(meta_dir, ".version-hint.tmp")
+        hint_tmp = os.path.join(meta_dir, f".version-hint.{os.getpid()}.tmp")
         with open(hint_tmp, "w") as fh:
             fh.write(str(v))
         os.rename(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
@@ -448,6 +479,39 @@ class IcebergWriter:
         manifest_list_path = os.path.join(
             meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
         )
+        for _attempt in range(5):
+            try:
+                return self._commit_append_snapshot(
+                    snap_id,
+                    manifest_path,
+                    manifest_list_path,
+                    entries,
+                    summaries,
+                    total_rows,
+                    _carry,
+                    _operation,
+                )
+            except CommitConflict:
+                if _attempt == 4:
+                    raise
+                time.sleep(0.05 * (_attempt + 1))
+        raise AssertionError("unreachable")
+
+    def _commit_append_snapshot(
+        self,
+        snap_id: int,
+        manifest_path: str,
+        manifest_list_path: str,
+        entries: list,
+        summaries: list,
+        total_rows: int,
+        _carry: bool,
+        _operation: str,
+    ) -> int:
+        """The read-validate-commit section of append, re-entrant for the
+        optimistic-concurrency retry: re-reads current metadata (so the
+        carried manifest list reflects any snapshot that won a race) and
+        commits base+1 exclusively."""
         meta = self._load_current()
         # An append snapshot's manifest list = all previous live manifests
         # + the new one (Iceberg spec: the list is the complete snapshot).
@@ -548,12 +612,9 @@ class IcebergWriter:
         end.  Existing data files lack the column; the scan reads with the
         current schema, so old rows surface as NULL — no rewrite, no
         downtime (the metadata commit IS the migration).  Returns the new
-        field id.
-
-        Only additive evolution is supported: appended columns keep the
-        invariant field-id == position+1 that this writer's stats encoding
-        relies on; RENAME/DROP would need id-keyed column mapping in the
-        scan (see PERF_NOTES.md next-round candidates)."""
+        field id.  (RENAME and DROP live in :meth:`rename_column` /
+        :meth:`drop_column`; scans resolve columns by PARQUET:field_id,
+        so all three evolutions are metadata-only.)"""
         if name in self.field_ids:
             raise ValueError(f"column already exists: {name}")
         meta = self._load_current()
@@ -1003,7 +1064,29 @@ class IcebergWriter:
         manifest_list_path = os.path.join(
             meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
         )
+        for _attempt in range(5):
+            try:
+                return self._commit_mor_delete_snapshot(
+                    snap_id, manifest_path, manifest_list_path, entries, n_deleted
+                )
+            except CommitConflict:
+                if _attempt == 4:
+                    raise
+                time.sleep(0.05 * (_attempt + 1))
+        raise AssertionError("unreachable")
+
+    def _commit_mor_delete_snapshot(
+        self,
+        snap_id: int,
+        manifest_path: str,
+        manifest_list_path: str,
+        entries: list,
+        n_deleted: int,
+    ) -> int:
+        """Read-validate-commit section of delete_where_mor, re-entrant
+        for the optimistic-concurrency retry."""
         meta = self._load_current()
+        cur = meta.get("current-snapshot-id")
         carried = []
         if cur not in (None, -1):
             from datafusion_iceberg_spark.iceberg.manifests import (

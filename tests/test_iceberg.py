@@ -1391,3 +1391,58 @@ def test_rollback_to_snapshot(spark, sf_dir, scratch):
     assert cat.load("ns.rb").to_df(spark).count() == nation.count()
     with pytest.raises(KeyError):
         cat.rollback_to_snapshot("ns.rb", 123456789)
+
+
+def test_concurrent_append_optimistic_concurrency(spark, sf_dir, scratch):
+    """Two appends racing on the same base version: neither is lost —
+    the loser of the metadata race re-reads and re-commits on top
+    (Iceberg optimistic concurrency; a clobbering rename would silently
+    drop one append's rows)."""
+    import threading
+
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table("ns.cc", nation.schema)
+    half1 = nation.filter(F.col("n_nationkey") < 12)
+    half2 = nation.filter(F.col("n_nationkey") >= 12)
+
+    w1 = cat.writer("ns.cc")
+    w2 = cat.writer("ns.cc")
+    errs = []
+
+    def go(w, df):
+        try:
+            w.append(spark, df)
+        except Exception as e:  # pragma: no cover - diagnostic
+            errs.append(e)
+
+    t1 = threading.Thread(target=go, args=(w1, half1))
+    t2 = threading.Thread(target=go, args=(w2, half2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    table = cat.load("ns.cc")
+    table = type(table).load(table.metadata.root)  # fresh read
+    got = table.to_df(spark)
+    assert got.count() == nation.count()
+    assert len(table.metadata.snapshots) == 2
+
+
+def test_commit_conflict_raised_for_metadata_race(spark, sf_dir, scratch):
+    """A stale writer committing after someone else advanced the version
+    gets CommitConflict (for non-append mutations, surfaced, not
+    retried)."""
+    from datafusion_iceberg_spark.iceberg.writer import CommitConflict
+
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table("ns.cr", nation.schema)
+    cat.append("ns.cr", spark, nation)
+    w_stale = cat.writer("ns.cr")
+    meta = w_stale._load_current()  # reads v1
+    cat.append("ns.cr", spark, nation.limit(1))  # advances to v2
+    with pytest.raises(CommitConflict):
+        w_stale._commit_metadata(meta)  # would clobber v2
