@@ -279,3 +279,73 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact: ' || source || '@example.com or +1-555-'
+                    || CAST(doc_id AS VARCHAR) AS aug_text
+        FROM documents WHERE doc_id < 200
+    ),
+    red AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(aug_text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\+?\\d[\\d-]{7,}\\d', '<PHONE>', 'g') AS red_text,
+               aug_text
+        FROM aug
+    )
+    SELECT doc_id,
+           md5(red_text) AS red_md5,
+           CAST((len(red_text) - len(replace(red_text, '<EMAIL>', ''))) / 7
+                AS BIGINT) AS n_emails,
+           CAST((len(red_text) - len(replace(red_text, '<PHONE>', ''))) / 7
+                AS BIGINT) AS n_phones
+    FROM red ORDER BY doc_id
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: e-mail and phone patterns →
+    placeholder tokens, pure JVM regexp_replace (no Python in the row
+    path).  The test corpus carries no real PII, so the query injects a
+    synthetic contact line per document and the oracle verifies the
+    redacted text byte-for-byte via md5 — the redaction rules run
+    identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: "),
+            F.col("source"),
+            F.lit("@example.com or +1-555-"),
+            F.col("doc_id").cast("string"),
+        ).alias("aug_text"),
+    )
+    red = aug.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("aug_text"),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ),
+            r"\+?\d[\d-]{7,}\d",
+            "<PHONE>",
+        ).alias("red_text"),
+    )
+    n_tok = lambda tok: (
+        (F.length("red_text") - F.length(F.replace(F.col("red_text"), F.lit(tok), F.lit(""))))
+        / F.lit(7)
+    ).cast("long")
+    return red.select(
+        "doc_id",
+        F.md5("red_text").alias("red_md5"),
+        ((F.length("red_text") - F.length(F.replace(F.col("red_text"), F.lit("<EMAIL>"), F.lit("")))) / 7).cast("long").alias("n_emails"),
+        ((F.length("red_text") - F.length(F.replace(F.col("red_text"), F.lit("<PHONE>"), F.lit("")))) / 7).cast("long").alias("n_phones"),
+    ).orderBy("doc_id")

@@ -1029,3 +1029,21 @@ register_sql(
     ORDER BY c_nationkey
     """,
 )
+
+
+register_sql(
+    "q11_important_stock",
+    f"""
+    SELECT l_partkey,
+           {dsum('l_extendedprice * l_quantity', 'part_value')}
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey < 5
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice * l_quantity) > (
+        SELECT SUM(l_extendedprice * l_quantity) * 0.001
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey < 5
+    )
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
