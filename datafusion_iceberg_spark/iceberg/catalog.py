@@ -240,7 +240,12 @@ class Catalog:
                 if 0 < stats.get("total_bytes", 0) < self.BROADCAST_BYTES:
                     df = df.hint("broadcast")
             df.createOrReplaceTempView(f"{ns}_{bare}")
-            if bare_counts[bare] == 1:
+            # bare-name convenience view ONLY when it would not shadow an
+            # existing temp view: the session may already expose a base
+            # table under this name (the harness does for every testdata
+            # table), and silently replacing it would redirect every
+            # later query in the session to this catalog's copy
+            if bare_counts[bare] == 1 and not spark.catalog.tableExists(bare):
                 df.createOrReplaceTempView(bare)
 
     def sql(self, spark: SparkSession, query: str) -> DataFrame:
