@@ -84,7 +84,15 @@ def main() -> None:
     # rather than back-to-back repeats — give the compile queue a whole
     # pass worth of settle time; the first pass is effectively a rehearsal.
     timings: dict[str, float] = {}
+    bench_start = time.perf_counter()
+    # Soft wall-clock budget: finish the pass in flight but start no new
+    # pass beyond it — a loaded host (this VM shows 10-30x jitter under
+    # contention, PERF_NOTES.md) must degrade to fewer passes, not a
+    # harness timeout with no output at all.
+    BUDGET_S = 420.0
     for _pass in range(3):
+        if _pass > 0 and time.perf_counter() - bench_start > BUDGET_S:
+            break
         for name in HEADLINE:
             fn = registry.QUERIES[name]
             t0 = time.perf_counter()

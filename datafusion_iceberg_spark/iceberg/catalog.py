@@ -87,11 +87,12 @@ class Catalog:
         ident: str,
         schema: T.StructType,
         partition_by: Optional[list[str]] = None,
+        sort_by: Optional[list[str]] = None,
     ) -> IcebergWriter:
         ns, name = ident.split(".", 1)
         self.create_namespace(ns)
         root = os.path.join(self.warehouse, ns, name)
-        writer = IcebergWriter(root, schema, partition_by)
+        writer = IcebergWriter(root, schema, partition_by, sort_by=sort_by)
         writer.create()
         self._mirror[ident] = IcebergTable.load(root)
         return writer
@@ -105,6 +106,7 @@ class Catalog:
             meta.struct_type(),
             meta.partition_spec_entries(),
             field_ids=meta.field_ids_by_name(),
+            sort_by=meta.sort_order_columns(),
         )
 
     def append(self, ident: str, spark: SparkSession, df: DataFrame) -> int:

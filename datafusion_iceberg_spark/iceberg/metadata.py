@@ -221,6 +221,21 @@ class TableMetadata:
                 out.append(f"{m.group(1)}({m.group(2)}, {col})")
         return out
 
+    def sort_order_columns(self) -> list[str]:
+        """Column names of the default sort order (identity transforms
+        only — the writer applies it on append via range partitioning)."""
+        oid = self.raw.get("default-sort-order-id", 0)
+        names_by_id = {f["id"]: f["name"] for f in self.current_schema["fields"]}
+        for so in self.raw.get("sort-orders", []):
+            if so.get("order-id") == oid:
+                return [
+                    names_by_id[f["source-id"]]
+                    for f in so.get("fields", [])
+                    if f.get("transform", "identity") == "identity"
+                    and f.get("source-id") in names_by_id
+                ]
+        return []
+
     # -- snapshot selection (time travel) ---------------------------------
 
     def snapshot(

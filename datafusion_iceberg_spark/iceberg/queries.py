@@ -870,3 +870,71 @@ def iceberg_rollback_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@register(
+    "iceberg_sorted_scan",
+    oracle="""
+    SELECT COUNT(*) AS n, CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders WHERE o_totalprice BETWEEN 500000 AND 800000
+    """,
+)
+def iceberg_sorted_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-ordered table (declared in metadata, applied as a range
+    partition + within-file sort on append): files cover disjoint
+    o_totalprice ranges, so the BETWEEN predicate prunes to the matching
+    range's files — the fixture 'sort-orders' metadata the reference
+    never reads (SURVEY §2C), exploited."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_sort")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders").repartition(8)
+            cat.create_table(
+                "sorted.orders", orders.schema, sort_by=["o_totalprice"]
+            )
+            cat.append("sorted.orders", spark, orders)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("sorted.orders")
+    assert isinstance(table, IcebergTable)
+    pred = ("between", "o_totalprice", 500000.0, 800000.0)
+    return table.to_df(spark, filters=pred).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+            .cast("long")
+            .cast("decimal(18,0)")
+        )
+        .cast("double")
+        .alias("revenue"),
+    ).withColumn("revenue", F.col("revenue") / 1000000)
+
+
+@register(
+    "iceberg_time_travel_timestamp",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_status
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def iceberg_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF: resolve the snapshot current at a wall-clock
+    instant (between the two fixture appends) — the log-driven variant of
+    VERSION AS OF."""
+    fx = fixture(spark, sf_dir)
+    snaps = sorted(fx.orders.metadata.snapshots, key=lambda s: s.timestamp_ms)
+    ts_between = snaps[0].timestamp_ms  # at/after snap1, before snap2
+    return fx.orders.to_df(spark, as_of_timestamp_ms=ts_between).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderstatus").cast("long").alias("n_status"),
+    )

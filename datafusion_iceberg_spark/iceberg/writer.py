@@ -191,6 +191,7 @@ class IcebergWriter:
         schema: T.StructType,
         partition_by: Optional[list[str]] = None,
         field_ids: Optional[dict[str, int]] = None,
+        sort_by: Optional[list[str]] = None,
     ):
         from datafusion_iceberg_spark.iceberg.transforms import parse_spec_entry
 
@@ -213,6 +214,7 @@ class IcebergWriter:
         self.iceberg_types = {
             f.name: spark_type_to_iceberg(f.dataType) for f in schema.fields
         }
+        self.sort_by = list(sort_by or [])
 
     def _part_result_type(self, source: str, transform: str) -> str:
         from datafusion_iceberg_spark.iceberg.transforms import (
@@ -308,6 +310,22 @@ class IcebergWriter:
 
     # -- public API ---------------------------------------------------------
 
+    def _sort_order_json(self) -> dict:
+        if not self.sort_by:
+            return {"order-id": 0, "fields": []}
+        return {
+            "order-id": 1,
+            "fields": [
+                {
+                    "transform": "identity",
+                    "source-id": self.field_ids[c],
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+                for c in self.sort_by
+            ],
+        }
+
     def create(self, properties: Optional[dict] = None) -> None:
         """v0 metadata: empty table, no snapshot (fixture analogue:
         v0.metadata.json with current-snapshot-id -1)."""
@@ -326,8 +344,8 @@ class IcebergWriter:
             "default-spec-id": 0,
             "partition-specs": [self._spec_json()],
             "last-partition-id": 1000 + max(len(self.partition_by) - 1, 0),
-            "default-sort-order-id": 0,
-            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 1 if self.sort_by else 0,
+            "sort-orders": [self._sort_order_json()],
             "properties": properties or {},
             "current-snapshot-id": -1,
             "snapshots": [],
@@ -373,6 +391,14 @@ class IcebergWriter:
         for source, transform, fname in self.spec_entries:
             if transform != "identity":
                 out = out.withColumn(fname, spark_expr(transform, source))
+        if self.sort_by:
+            # table sort order: range-partition on the sort key so files
+            # cover DISJOINT key ranges (per-file min/max bounds become
+            # tight → stats pruning skips all but the matching range),
+            # then sort within each file for row-group/page locality
+            out = out.repartitionByRange(*self.sort_by).sortWithinPartitions(
+                *self.sort_by
+            )
         writer = out.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)

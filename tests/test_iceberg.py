@@ -1446,3 +1446,35 @@ def test_commit_conflict_raised_for_metadata_race(spark, sf_dir, scratch):
     cat.append("ns.cr", spark, nation.limit(1))  # advances to v2
     with pytest.raises(CommitConflict):
         w_stale._commit_metadata(meta)  # would clobber v2
+
+
+def test_sorted_write_tightens_pruning(spark, sf_dir, scratch):
+    """A table with a declared sort order writes range-partitioned files
+    with disjoint key ranges — a key-range predicate prunes to a strict
+    subset of files, where an unsorted write (hash layout) keeps most."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).repartition(8)
+    cat.create_table("ns.sorted", orders.schema, sort_by=["o_totalprice"])
+    cat.append("ns.sorted", spark, orders)
+    cat.create_table("ns.unsorted", orders.schema)
+    cat.append("ns.unsorted", spark, orders)
+
+    t_sorted = cat.load("ns.sorted")
+    t_unsorted = cat.load("ns.unsorted")
+    assert t_sorted.metadata.sort_order_columns() == ["o_totalprice"]
+    pred = ("between", "o_totalprice", 900000.0, 1000000.0)
+    n_s_all = len(t_sorted.files())
+    n_s = len(t_sorted.files(filters=pred))
+    n_u = len(t_unsorted.files(filters=pred))
+    n_u_all = len(t_unsorted.files())
+    if n_s_all > 1:
+        assert n_s < n_s_all  # pruning actually skips files
+        assert n_s / n_s_all <= n_u / max(n_u_all, 1)
+    # correctness unchanged
+    want = orders.filter(F.col("o_totalprice").between(900000.0, 1000000.0)).count()
+    assert t_sorted.to_df(spark, filters=pred).count() == want
+    # appends through a REBUILT writer keep the sort order (metadata round-trip)
+    w = cat.writer("ns.sorted")
+    assert w.sort_by == ["o_totalprice"]
