@@ -1478,3 +1478,33 @@ def test_sorted_write_tightens_pruning(spark, sf_dir, scratch):
     # appends through a REBUILT writer keep the sort order (metadata round-trip)
     w = cat.writer("ns.sorted")
     assert w.sort_by == ["o_totalprice"]
+
+
+def test_partition_transform_hour(spark, scratch):
+    """hour() partitioning: written partition values land in the
+    hours-from-epoch domain and equality pruning on the source timestamp
+    keeps exactly the matching hour's files (tz-independent — ADVICE r1
+    flagged the unix_timestamp session-tz hazard)."""
+    from datetime import datetime
+
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame(
+        [(i, datetime(2024, 3, 1, 8 + (i % 3), 15), float(i)) for i in range(12)],
+        "id INT, ts TIMESTAMP, v DOUBLE",
+    )
+    cat.create_table("ns.h", df.schema, partition_by=["hour(ts)"])
+    cat.append("ns.h", spark, df)
+    table = cat.load("ns.h")
+    assert isinstance(table, IcebergTable)
+    got = table.to_df(spark)
+    assert got.count() == 12
+    # equality pruning on the source timestamp hits one hour partition
+    lit = datetime(2024, 3, 1, 9, 15)
+    files = table.files(filters=("=", "ts", lit))
+    assert files
+    from datafusion_iceberg_spark.iceberg.transforms import apply
+
+    want_hour = apply("hour", lit)
+    assert all(f.partition["ts_hour"] == want_hour for f in files)
+    assert len(files) < len(table.files())
+    assert table.to_df(spark, filters=("=", "ts", lit)).count() == 4
