@@ -349,3 +349,51 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.length("red_text") - F.length(F.replace(F.col("red_text"), F.lit("<EMAIL>"), F.lit("")))) / 7).cast("long").alias("n_emails"),
         ((F.length("red_text") - F.length(F.replace(F.col("red_text"), F.lit("<PHONE>"), F.lit("")))) / 7).cast("long").alias("n_phones"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_chunk_documents",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        WHERE doc_id < 300
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               array_to_string(ts[(i * 25 + 1):(i * 25 + 50)], ' ') AS chunk
+        FROM toks,
+             LATERAL unnest(generate_series(0,
+                 CAST(GREATEST(CEIL((len(ts) - 25) / 25.0), 1) - 1 AS BIGINT))) t(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+           md5(chunk) AS chunk_md5
+    FROM chunks WHERE chunk <> ''
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token chunks, stride 25) —
+    the pretraining-data shaping op that turns documents into
+    context-window-sized samples.  Pure higher-order functions: the token
+    array is built once per doc and sliced per chunk map-side; no
+    explode-then-window shuffle.  Chunk text is verified byte-for-byte
+    via md5 against the oracle's identical slicing."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST(greatest(ceil((size(ts) - 25) / 25.0), 1) AS INT) - 1),"
+                " i -> array_join(slice(ts, i * 25 + 1, 50), ' '))"
+            )
+        ).alias("chunk_id", "chunk"),
+    ).filter(F.col("chunk") != "")
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(F.split("chunk", " ")).cast("long").alias("n_tokens"),
+        F.md5("chunk").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
