@@ -76,6 +76,12 @@ def main() -> None:
     registry.QUERIES["q6_revenue_forecast"](spark, sf_dir).collect()
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    # build the iceberg fixture warehouse outside the timed passes (first
+    # call materializes it; the benchmark measures the SCAN, not one-time
+    # table creation)
+    registry.QUERIES["iceberg_scan_agg"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Three full passes, min per query: steady-state latency.  The JVM JIT
     # recompiles codegen classes unpredictably after classloading events
