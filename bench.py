@@ -106,7 +106,13 @@ def main() -> None:
             # materialization skewing the measurement
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            timings[name] = round(min(timings.get(name, dt), dt), 3)
+            if _pass == 0:
+                # pass 0 is a rehearsal: it compiles every query's codegen
+                # classes (the JIT storm lands here, not in the record);
+                # recorded only as a fallback if the budget cuts later passes
+                timings.setdefault(name, round(dt, 3))
+            else:
+                timings[name] = round(min(timings.get(name, dt), dt), 3)
 
     total = round(sum(timings.values()), 3)
     print(
