@@ -277,3 +277,43 @@ register_sql(
     ORDER BY user_id, session_id
     """,
 )
+
+
+# Funnel analysis: ordered view→click→purchase progression per user —
+# each later stage strictly after the user's FIRST completion of the
+# earlier one (the sequence-match shape product analytics runs at
+# 100 TB).  Three aggregations + two left joins, all shuffled on
+# user_id, so one co-partitioned exchange chain and no self-join
+# explosion; the same SQL runs on both engines.
+register_sql(
+    "window_funnel_stages",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT reached_stage, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM (
+        SELECT v.user_id,
+               CASE WHEN p.user_id IS NOT NULL THEN 3
+                    WHEN c.user_id IS NOT NULL THEN 2
+                    ELSE 1 END AS reached_stage
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON p.user_id = v.user_id
+    )
+    GROUP BY reached_stage ORDER BY reached_stage
+    """,
+)
