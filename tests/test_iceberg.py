@@ -1508,3 +1508,17 @@ def test_partition_transform_hour(spark, scratch):
     assert all(f.partition["ts_hour"] == want_hour for f in files)
     assert len(files) < len(table.files())
     assert table.to_df(spark, filters=("=", "ts", lit)).count() == 4
+
+
+def test_mor_delete_null_predicate_rows_kept(spark, scratch):
+    """SQL DELETE semantics under MOR: rows where the predicate is NULL
+    are kept (coalesce(pred, false) on the matched side)."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 50.0)], "id INT, x DOUBLE"
+    )
+    cat.create_table("ns.nm", df.schema)
+    cat.append("ns.nm", spark, df)
+    cat.delete_where_mor("ns.nm", spark, ("<", "x", 10.0))
+    got = {r.id for r in cat.load("ns.nm").to_df(spark).collect()}
+    assert got == {2, 3}  # NULL row kept, matching row gone
