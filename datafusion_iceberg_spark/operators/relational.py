@@ -1047,3 +1047,82 @@ register_sql(
     ORDER BY part_value DESC, l_partkey
     """,
 )
+
+
+register_sql(
+    "agg_mode_min_by_max_by",
+    """
+    WITH pc AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    m AS (
+        SELECT o_orderstatus,
+               MAX_BY(o_orderpriority,
+                      lpad(CAST(cnt AS STRING), 10, '0') || o_orderpriority)
+                 AS top_priority
+        FROM pc GROUP BY o_orderstatus
+    ),
+    x AS (
+        SELECT o_orderstatus,
+               MIN_BY(o_orderkey,
+                      lpad(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 14, '0')
+                      || lpad(CAST(o_orderkey AS STRING), 12, '0'))
+                 AS cheapest_order,
+               MAX_BY(o_orderkey,
+                      lpad(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 14, '0')
+                      || lpad(CAST(o_orderkey AS STRING), 12, '0'))
+                 AS priciest_order
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT m.o_orderstatus, top_priority, cheapest_order, priciest_order
+    FROM m JOIN x ON m.o_orderstatus = x.o_orderstatus
+    ORDER BY m.o_orderstatus
+    """,
+)
+
+register_sql(
+    "fn_bitwise_bank",
+    # Spark: shift/xor via named functions; DuckDB oracle uses its
+    # operators (its ^ is exponentiation, not xor)
+    """
+    SELECT s_suppkey,
+           CAST(s_suppkey & 255 AS BIGINT) AS band,
+           CAST(s_suppkey | 16 AS BIGINT) AS bor,
+           CAST(s_suppkey ^ 129 AS BIGINT) AS bxor,
+           CAST(shiftleft(s_suppkey, 3) AS BIGINT) AS shl,
+           CAST(shiftright(s_suppkey, 2) AS BIGINT) AS shr
+    FROM supplier ORDER BY s_suppkey
+    """,
+    oracle="""
+    SELECT s_suppkey,
+           CAST(s_suppkey & 255 AS BIGINT) AS band,
+           CAST(s_suppkey | 16 AS BIGINT) AS bor,
+           CAST(xor(s_suppkey, 129) AS BIGINT) AS bxor,
+           CAST(s_suppkey << 3 AS BIGINT) AS shl,
+           CAST(s_suppkey >> 2 AS BIGINT) AS shr
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+register_sql(
+    "subquery_exists",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    ORDER BY c_custkey
+    """,
+)
+
+register_sql(
+    "subquery_not_exists",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+    )
+    ORDER BY c_custkey
+    """,
+)
