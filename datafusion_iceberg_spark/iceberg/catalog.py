@@ -35,6 +35,10 @@ class Catalog:
         self.name = name
         os.makedirs(self.warehouse, exist_ok=True)
         self._mirror: dict[str, Relation] = {}
+        # bare-name temp views THIS catalog created: these must be
+        # refreshed on every attach() (tableExists() can't distinguish
+        # "pre-existing session view" from "view we made last attach")
+        self._bare_views: set[str] = set()
         self._load_mirror()
 
     # -- mirror build (A15) -------------------------------------------------
@@ -246,9 +250,15 @@ class Catalog:
             # existing temp view: the session may already expose a base
             # table under this name (the harness does for every testdata
             # table), and silently replacing it would redirect every
-            # later query in the session to this catalog's copy
-            if bare_counts[bare] == 1 and not spark.catalog.tableExists(bare):
+            # later query in the session to this catalog's copy.  Views we
+            # created ourselves on a prior attach() ARE refreshed — else
+            # the bare name would keep serving the file list frozen at
+            # first attach after any append/delete/evolution.
+            if bare_counts[bare] == 1 and (
+                bare in self._bare_views or not spark.catalog.tableExists(bare)
+            ):
                 df.createOrReplaceTempView(bare)
+                self._bare_views.add(bare)
 
     def sql(self, spark: SparkSession, query: str) -> DataFrame:
         """SQL over the attached catalog, with THREE-PART name resolution:

@@ -1522,3 +1522,28 @@ def test_mor_delete_null_predicate_rows_kept(spark, scratch):
     cat.delete_where_mor("ns.nm", spark, ("<", "x", 10.0))
     got = {r.id for r in cat.load("ns.nm").to_df(spark).collect()}
     assert got == {2, 3}  # NULL row kept, matching row gone
+
+
+def test_bare_view_refreshes_on_reattach(spark, scratch):
+    """ADVICE r2 #1 regression: a bare-name view created by attach() must
+    be refreshed on the next attach() — otherwise the bare name serves the
+    file list frozen at first attach after any append/delete/evolution.
+    Views that existed BEFORE the catalog first attached stay untouched."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id INT, s STRING")
+    cat.create_table("ns.barev", df.schema)
+    cat.append("ns.barev", spark, df)
+    cat.attach(spark)
+    assert spark.sql("SELECT count(*) AS c FROM barev").collect()[0].c == 2
+    # append after attach: both the flat and the BARE view must see it
+    cat.append("ns.barev", spark, spark.createDataFrame([(3, "c")], df.schema))
+    cat.attach(spark)
+    assert spark.sql("SELECT count(*) AS c FROM ns_barev").collect()[0].c == 3
+    assert spark.sql("SELECT count(*) AS c FROM barev").collect()[0].c == 3
+    # a pre-existing session view is never shadowed by attach()
+    spark.createDataFrame([(99,)], "z INT").createOrReplaceTempView("preexist")
+    cat.create_table("ns.preexist", df.schema)
+    cat.append("ns.preexist", spark, df)
+    cat.attach(spark)
+    assert [r.z for r in spark.sql("SELECT z FROM preexist").collect()] == [99]
+    spark.catalog.dropTempView("preexist")
