@@ -255,14 +255,21 @@ class IcebergWriter:
         }
 
     def _current_version(self) -> int:
-        hint = os.path.join(self.root, "metadata", "version-hint.text")
-        if os.path.exists(hint):
-            with open(hint) as fh:
-                return int(fh.read().strip())
+        # The hint alone is not trustworthy: _commit_metadata creates
+        # v{N+1}.metadata.json BEFORE the hint updates, so a writer that
+        # dies between the two leaves the hint at N with v{N+1} on disk —
+        # trusting it would make every later commit target the existing
+        # v{N+1} and CommitConflict forever.  Reconcile with the glob.
+        hint = -1
+        hint_path = os.path.join(self.root, "metadata", "version-hint.text")
+        if os.path.exists(hint_path):
+            with open(hint_path) as fh:
+                hint = int(fh.read().strip())
         vs = glob.glob(os.path.join(self.root, "metadata", "v*.metadata.json"))
-        return max(
+        latest = max(
             (int(os.path.basename(p).split(".")[0][1:]) for p in vs), default=-1
         )
+        return max(hint, latest)
 
     def _load_current(self) -> dict:
         v = self._current_version()

@@ -1547,3 +1547,27 @@ def test_bare_view_refreshes_on_reattach(spark, scratch):
     cat.attach(spark)
     assert [r.z for r in spark.sql("SELECT z FROM preexist").collect()] == [99]
     spark.catalog.dropTempView("preexist")
+
+
+def test_orphan_metadata_version_recovered(spark, scratch):
+    """ADVICE r2 #2 regression: a writer that dies between writing
+    v{N+1}.metadata.json and updating version-hint.text must not wedge
+    the table — _current_version reconciles hint with the on-disk glob."""
+    import json
+
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame([(1, "a")], "id INT, s STRING")
+    cat.create_table("ns.orph", df.schema)
+    cat.append("ns.orph", spark, df)
+    root = os.path.join(scratch, "wh", "ns", "orph")
+    meta_dir = os.path.join(root, "metadata")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    n = int(open(hint).read().strip())
+    # simulate the crash: copy current metadata to v{N+1}, hint stays at N
+    cur = json.load(open(os.path.join(meta_dir, f"v{n}.metadata.json")))
+    with open(os.path.join(meta_dir, f"v{n+1}.metadata.json"), "w") as fh:
+        json.dump(cur, fh)
+    # next append must succeed (targets v{N+2}), not CommitConflict ×5
+    cat.append("ns.orph", spark, spark.createDataFrame([(2, "b")], df.schema))
+    assert cat.load("ns.orph").to_df(spark).count() == 2
+    assert int(open(hint).read().strip()) == n + 2
