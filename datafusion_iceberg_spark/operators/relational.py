@@ -1066,11 +1066,11 @@ register_sql(
     x AS (
         SELECT o_orderstatus,
                MIN_BY(o_orderkey,
-                      lpad(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 14, '0')
+                      lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING), 14, '0')
                       || lpad(CAST(o_orderkey AS STRING), 12, '0'))
                  AS cheapest_order,
                MAX_BY(o_orderkey,
-                      lpad(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 14, '0')
+                      lpad(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS STRING), 14, '0')
                       || lpad(CAST(o_orderkey AS STRING), 12, '0'))
                  AS priciest_order
         FROM orders GROUP BY o_orderstatus
