@@ -487,7 +487,10 @@ def _embedding_lsh_bands(vecs: pd.Series) -> pd.Series:
     import numpy as np
 
     m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-    bits = (m @ _LSH_PLANES[: m.shape[1]]) > 0  # (n, 64) bool
+    # 9dp rounding before the sign test keeps the bucket bits identical
+    # across engines when a projection sits within ~1 ulp of zero (BLAS
+    # GEMM vs DuckDB SUM accumulate in different orders — ADVICE r3).
+    bits = np.round(m @ _LSH_PLANES[: m.shape[1]], 9) > 0  # (n, 64) bool
     vals = bits.reshape(len(m), _LSH_BANDS, _LSH_BAND_BITS)
     weights = 1 << np.arange(_LSH_BAND_BITS)
     band_vals = (vals * weights).sum(axis=2).astype(np.int32)  # (n, 16)
@@ -549,7 +552,7 @@ def _lsh_planes_values_sql() -> str:
     ),
     norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ev GROUP BY vec_id),
     bits AS (
-        SELECT e.vec_id, p.bit_id, (SUM(e.v * p.w) > 0) AS bit
+        SELECT e.vec_id, p.bit_id, (ROUND(SUM(e.v * p.w), 9) > 0) AS bit
         FROM ev e JOIN planes p ON e.i = p.i
         GROUP BY 1, 2
     ),

@@ -77,10 +77,36 @@ def decode_image_batch(
         yield out
 
 
-@register("mm_decode_features")  # binary plumbing → rows-only check
+@register(
+    "mm_decode_features",
+    # Algorithm-replay oracle (the sim_ivf_topk pattern): the fake decoder
+    # is pure md5 arithmetic over the doc text, and DuckDB has md5().  The
+    # oracle re-derives each digest byte from its hex pair and replays the
+    # width/height/mean/checksum formulas exactly.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ), byt AS (
+      SELECT doc_id, h,
+        list_transform(range(1, 17), i ->
+          (strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1)
+        ) AS byte_vals
+      FROM b
+    )
+    SELECT doc_id,
+           'image/fake' AS media_type,
+           CAST(16 AS INTEGER) AS n_bytes,
+           CAST(byte_vals[1] % 64 + 1 AS INTEGER) AS width,
+           CAST(byte_vals[2] % 64 + 1 AS INTEGER) AS height,
+           CAST(list_sum(byte_vals) AS DOUBLE) / 16 AS mean_byte,
+           substr(h, 1, 8) AS checksum
+    FROM byt ORDER BY doc_id
+    """,
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary column → mapInPandas decode → typed features.  Rows-only
-    driver check; tests/test_multimodal.py asserts the features equal a
+    """Binary column → mapInPandas decode → typed features.
+    tests/test_multimodal.py additionally asserts the features equal a
     pure-Python recomputation."""
     docs = scale_out(load_table(spark, sf_dir, "documents"))
     media = synthesize_media(docs)
@@ -114,7 +140,19 @@ def mm_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_frame_sample")  # binary plumbing → rows-only check
+@register(
+    "mm_frame_sample",
+    # Replay oracle: payload is always the 16-byte md5 digest, so the
+    # sampled offsets are the fixed stride range(0, 16, 4) per doc.
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS n_bytes,
+           CAST(u.frame_offset AS INTEGER) AS frame_offset,
+           CAST(u.frame_offset // 4 AS INTEGER) AS frame_id
+    FROM documents, unnest(range(0, 16, 4)) AS u(frame_offset)
+    ORDER BY doc_id, frame_id
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling shape for video columns: explode a deterministic
     frame index per media row (every k-th 'frame'), carrying the byte

@@ -44,12 +44,19 @@ def cosine_sim(a: pd.Series, b: pd.Series) -> pd.Series:
     FLOAT — not oracle-stable; the oracles recompute in DOUBLE SQL)."""
     if not len(a):
         return pd.Series([], dtype="float64")
-    ma = np.stack([np.asarray(v, dtype=np.float64) for v in a])
-    mb = np.stack([np.asarray(v, dtype=np.float64) for v in b])
+    # NULL-safe: the SQL HOF expressions this kernel replaced yielded NULL
+    # for NULL inputs; np.stack would instead crash the whole Arrow batch.
+    # Current call sites are inner joins, but a left join / nullable
+    # embedding column must degrade per-row, not per-batch (ADVICE r3).
+    valid = np.array([x is not None and y is not None for x, y in zip(a, b)])
+    if not valid.any():
+        return pd.Series([np.nan] * len(a), dtype="float64")
+    ma = np.stack([np.asarray(v, dtype=np.float64) for v in a[valid]])
+    mb = np.stack([np.asarray(v, dtype=np.float64) for v in b[valid]])
     dots = np.einsum("ij,ij->i", ma, mb)
-    return pd.Series(
-        dots / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
-    )
+    out = np.full(len(a), np.nan)
+    out[valid] = dots / (np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1))
+    return pd.Series(out)
 
 
 @register(
@@ -135,7 +142,12 @@ def _simlsh_bands(vecs: pd.Series) -> pd.Series:
     if not len(vecs):
         return pd.Series([], dtype=object)
     m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-    bits = (m @ _SIM_PLANES[:, : m.shape[1]].T) > 0  # (n, 16)
+    # Round projections to 9dp before the sign test: numpy BLAS GEMM and
+    # DuckDB's SUM-over-unnest accumulate in different orders, and a
+    # projection within ~1 ulp of zero would otherwise flip a bucket bit
+    # between engines (ADVICE r3; same guard as sim_ivf_topk's 6dp
+    # assignment rounding).  The oracle rounds identically.
+    bits = np.round(m @ _SIM_PLANES[:, : m.shape[1]].T, 9) > 0  # (n, 16)
     vals = bits.reshape(len(m), _LSH_N_BANDS, _LSH_BAND_BITS)
     weights = 1 << np.arange(_LSH_BAND_BITS)
     band_vals = (vals * weights).sum(axis=2).astype(np.int32)
@@ -173,7 +185,7 @@ def _planes_values_sql(planes: np.ndarray) -> str:
     ),
     norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ev GROUP BY vec_id),
     bits AS (
-        SELECT e.vec_id, p.bit_id, (SUM(e.v * p.w) > 0) AS bit
+        SELECT e.vec_id, p.bit_id, (ROUND(SUM(e.v * p.w), 9) > 0) AS bit
         FROM ev e JOIN planes p ON e.i = p.i
         GROUP BY 1, 2
     ),

@@ -333,17 +333,27 @@ class Catalog:
         rewritten: list[str] = []
         for is_code, text in spans:
             if is_code:
+                # Spark identifiers are case-insensitive by default, so
+                # MY_CATALOG.ns.tbl must rewrite (and be caught) the same
+                # as my_catalog.ns.tbl (ADVICE r3).
                 for key in self._mirror:
                     ns, bare = key.split(".", 1)
                     text = re.sub(
                         rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\.{seg(bare)}(?![\w`])",
                         f"`{ns}_{bare}`",
                         text,
+                        flags=re.IGNORECASE,
                     )
+                # Only THREE-part references are this layer's to own: a
+                # bare '<catalog>.<x>' is a legitimate column reference
+                # off a table alias/CTE that happens to share the catalog
+                # name (e.g. SELECT ice.col FROM ns_tbl AS ice) and must
+                # pass through to Spark untouched (ADVICE r3).
                 leftover = re.search(
                     rf"(?<![\w`.]){seg(self.name)}\."
-                    r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)",
+                    r"((?:`[^`]+`|\w+)\.(?:`[^`]+`|\w+))(?![\w`])",
                     text,
+                    flags=re.IGNORECASE,
                 )
                 if leftover:
                     known = ", ".join(sorted(self._mirror))

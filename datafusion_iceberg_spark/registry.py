@@ -47,16 +47,28 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # Driver-window ordering: the correctness driver walks ``queries()`` in
-# dict order and stops after a fixed budget (50 rows in rounds 1 and 2).
-# Rounds 1+2 covered 100 distinct queries between them; the explicit
-# priority list below front-loads the 49 queries that have never had a
-# driver CORRECTNESS row in any round (set ops, window frames, streaming,
-# sources, scalar/JSON function banks, as-of/range/skew joins, and the
-# round-2 relational additions), followed by the two round-1 reds whose
-# fixes still await driver re-verification.  Everything already
-# driver-green in r1/r2 re-registers after, ranked by module.
+# dict order and stops after a fixed budget (50 rows per round).  After
+# three rounds, every registered query has had at least one driver row;
+# the r4 priority front-loads the handful whose LATEST row predates their
+# current code/oracle (VERDICT r3 item #3):
+#   - agg_collect_sorted: only row ever is the r1 canonicalizer ERR; the
+#     fix landed in r2 but sat 51st in the 50-row window.
+#   - dedup_embedding_lsh / sim_lsh_topk: earned algorithm-replay oracles
+#     in r3 (commit b1baaf9) after their r2 rows-only checks.
+#   - stream_sliding_window: r3 driver-red on oracle TIMESTAMPTZ typing,
+#     oracle fixed this round.
+#   - mm_decode_features / mm_frame_sample: earned md5-replay oracles
+#     this round after rows-only checks in r2.
+# Everything else re-registers after, ranked by module.
 _PRIORITY = [
-    # -- never driver-checked in any round (49) --------------------------
+    # -- queries whose latest driver row predates current code/oracle ----
+    "agg_collect_sorted",
+    "dedup_embedding_lsh",
+    "sim_lsh_topk",
+    "stream_sliding_window",
+    "mm_decode_features",
+    "mm_frame_sample",
+    # -- r3 window (all hash-green there; keep them early for continuity)
     "window_sliding_rows_frame",
     "window_range_frame",
     "window_ntile",
@@ -74,7 +86,6 @@ _PRIORITY = [
     "join_range_banded",
     "join_skew_salted",
     "stream_tumbling_window",
-    "stream_sliding_window",
     "stream_session_window",
     "stream_filter_project",
     "stream_stream_interval_join",
@@ -106,9 +117,7 @@ _PRIORITY = [
     "agg_mode_min_by_max_by",
     "subquery_exists",
     "subquery_not_exists",
-    # -- round-1 reds, fixed locally, pending driver re-verification -----
     "q12_priority_class_counts",
-    "agg_collect_sorted",
 ]
 _PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY)}
 

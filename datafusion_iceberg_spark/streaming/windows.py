@@ -116,8 +116,8 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ws AS window_start, COUNT(*) AS n
     FROM (
         SELECT unnest([
-            to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)),
-            to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 - 3600 AS BIGINT))
+            CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS TIMESTAMP),
+            CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 - 3600 AS BIGINT)) AS TIMESTAMP)
         ]) AS ws
         FROM events
     )

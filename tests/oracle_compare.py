@@ -78,6 +78,19 @@ def check_driver_portability(spark_df, duck_rel, name: str = "") -> None:
     d_pdf = duck_rel.df()
     s_map = {c.lower(): s_pdf[c] for c in s_pdf.columns}
     d_map = {c.lower(): d_pdf[c] for c in d_pdf.columns}
+    # TIMESTAMPTZ fence (the r3 stream_sliding_window red): DuckDB's
+    # to_timestamp() yields TIMESTAMP WITH TIME ZONE → tz-aware pandas
+    # dtype, while Spark timestamps arrive naive — the driver's
+    # schema/value hashes split on that even when instants agree.  Any
+    # timestamp-producing oracle must CAST(... AS TIMESTAMP).
+    for m, side in ((s_map, "spark"), (d_map, "duck")):
+        for col, series in m.items():
+            if getattr(series.dtype, "tz", None) is not None:
+                raise AssertionError(
+                    f"{name}: {side} column {col!r} is tz-aware "
+                    f"({series.dtype}) — driver hashes schema apart; "
+                    "CAST(... AS TIMESTAMP) in the oracle SQL"
+                )
     for col in sorted(s_map):
         sk, dk = _dtype_kind(s_map[col].dtype), _dtype_kind(d_map[col].dtype)
         # All-NULL columns legitimately surface as object/float NaN — only

@@ -248,3 +248,31 @@ def test_embedding_lsh_plan_no_vector_replication(spark, sf_dir):
     # the blocked-GEMM shape would explode each vector to N_BLOCKS+1
     # (pair, side) copies before its groupBy; the LSH path must not
     assert "side" not in plan
+
+
+def test_cosine_sim_null_safe(spark):
+    """cosine_sim must degrade per-row on NULL array inputs (the SQL HOF
+    it replaced yielded NULL), not crash the whole Arrow batch — the
+    left-join / nullable-embedding shape (ADVICE r3)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datafusion_iceberg_spark.extensions.similarity import cosine_sim
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),
+            (2, None, [1.0, 0.0]),
+            (3, [0.0, 1.0], None),
+            (4, None, None),
+        ],
+        "id int, a array<double>, b array<double>",
+    )
+    rows = {
+        r.id: r.c
+        for r in df.select("id", cosine_sim("a", "b").alias("c")).collect()
+    }
+    assert rows[1] == pytest.approx(1.0)
+    for i in (2, 3, 4):
+        assert rows[i] is None or math.isnan(rows[i])

@@ -495,12 +495,14 @@ def test_expire_snapshots(spark, sf_dir, scratch):
 def test_partition_transform_day(spark, sf_dir, scratch):
     """day(ts) partitioning: manifest pruning on a raw-ts predicate must
     skip via the transformed-domain summaries, and the scan stays exact."""
+    from datafusion_iceberg_spark.tables import load_table
+
     cat = Catalog(os.path.join(scratch, "wh"))
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "event_id",
-        F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))").alias("ts"),
-        "user_id",
-        "value",
+    # load_table normalizes ts across the fixture's physical types
+    # (BIGINT nanos vs TIMESTAMP_NTZ micros) — same branch the product
+    # path and streaming/windows.py use.
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
     )
     cat.create_table("ns.ev_day", events.schema, partition_by=["day(ts)"])
     cat.append("ns.ev_day", spark, events)
@@ -1336,6 +1338,23 @@ def test_three_part_name_resolution_and_stats_broadcast(spark, sf_dir, scratch):
         "SELECT t.n_name FROM geo_nation t WHERE t.n_nationkey = 3",
     )
     assert df2.count() == 1
+    # an alias/CTE that SHARES the catalog name is a legitimate two-part
+    # column reference — must pass through, not hard-error (ADVICE r3)
+    df3 = cat.sql(
+        spark,
+        "SELECT mycat.n_name FROM geo_nation AS mycat"
+        " WHERE mycat.n_nationkey = 3",
+    )
+    assert df3.count() == 1
+    # Spark identifiers are case-insensitive: an upper-cased catalog
+    # spelling rewrites the same as the registered one (ADVICE r3)
+    df4 = cat.sql(
+        spark, "SELECT COUNT(*) AS n FROM MYCAT.GEO.NATION"
+    )
+    assert df4.collect()[0].n == nation.count()
+    # unknown three-part names still raise the clear error, any case
+    with pytest.raises(ValueError, match="unresolved catalog reference"):
+        cat.sql(spark, "SELECT * FROM MyCat.geo.nope")
 
 
 def test_drop_column_and_post_drop_append(spark, sf_dir, scratch):
