@@ -208,14 +208,212 @@ def _shingles(col: str) -> str:
     )
 
 
-@register("dedup_minhash_lsh")  # hash-family specific → rows-only check
+# --- DuckDB algorithm-replay oracle machinery for the md5 hash family ------
+#
+# The minhash/simhash kernels were registered rows-only through r3 on the
+# belief that the hash family is "not SQL-expressible".  It is: the token
+# hash is md5 (DuckDB has md5()) and everything downstream is mod-2^64
+# integer arithmetic, which HUGEINT (128-bit) can replay exactly — a
+# 64-bit wraparound product a*b needs one 32-bit split only when BOTH
+# operands can reach 2^64 (a_lo*b + ((a_hi*b) mod 2^32)<<32, every term
+# < 2^96).  The _MINHASH_A multipliers are < 2^32, so only the fixed
+# 64-bit mix constant P needs the split.
+
+_P64 = 0x9E3779B97F4A7C15
+_MOD64 = 1 << 64
+_MOD61 = 1 << 61  # sig/band values are masked to 61 bits (& MASK61)
+
+
+def _sql_mulp(x: str) -> str:
+    """SQL for (x * P) mod 2^64 with x in [0, 2^64): 32-bit split so no
+    intermediate exceeds HUGEINT range."""
+    return (
+        f"((({x}) % 4294967296) * CAST({_P64} AS HUGEINT)"
+        f" + ((({x}) // 4294967296) * CAST({_P64} AS HUGEINT) % 4294967296)"
+        f" * 4294967296) % {_MOD64}"
+    )
+
+
+def _sql_md5le(m: str) -> str:
+    """SQL for int.from_bytes(md5(tok).digest()[:8], 'little') given `m` =
+    md5 hex string: byte j is hex pair (2j+1, 2j+2), weighted 256^j."""
+    return "(" + " + ".join(
+        f"CAST((strpos('0123456789abcdef', substr({m}, {2 * j + 1}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({m}, {2 * j + 2}, 1)) - 1)"
+        f" AS HUGEINT) * CAST({256 ** j} AS HUGEINT)"
+        for j in range(8)
+    ) + ")"
+
+
+def _minhash_oracle_sql() -> str:
+    """Replay of _minhash_bands + the candidate/verify pipeline: tokens →
+    md5 hashes (hashed once per distinct token) → positional 3-shingle
+    polynomial hashes → 32-way universal minhash → 8 band hashes → bucket
+    pairs (1000-doc cap, like the Spark plan) → exact Jaccard >= 0.8."""
+    a_list = "[" + ", ".join(
+        f"CAST({int(a)} AS HUGEINT)" for a in _MINHASH_A
+    ) + "]"
+    # hs_i = ((th[i]*P + th[i+1]) mod 2^64) * P + th[i+2]  (all mod 2^64)
+    inner = f"({_sql_mulp('thp[i]')} + thp[i+1]) % {_MOD64}"
+    shingle = f"({_sql_mulp(inner)} + thp[i+2]) % {_MOD64}"
+    sh = (
+        "list_distinct(list_transform("
+        " range(1, greatest(len(toks) - 2, 1) + 1),"
+        " i -> array_to_string(toks[i:i+2], ' ')))"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS toks FROM documents
+    ),
+    tokrows AS (
+      SELECT doc_id, unnest(toks) AS t, generate_subscripts(toks, 1) AS i
+      FROM d
+    ),
+    vh AS (
+      SELECT t, {_sql_md5le('m')} AS h
+      FROM (SELECT t, md5(t) AS m FROM (SELECT DISTINCT t FROM tokrows))
+    ),
+    tlists AS (
+      SELECT doc_id, list(h ORDER BY i) AS th, COUNT(*) AS nt
+      FROM tokrows JOIN vh USING (t)
+      GROUP BY doc_id
+    ),
+    padded AS (
+      SELECT doc_id,
+             list_concat(th, [CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)]) AS thp,
+             greatest(nt - 2, 1) AS n
+      FROM tlists
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, n + 1), i -> {shingle})) AS hset
+      FROM padded
+    ),
+    sigs AS (
+      -- a < 2^32, h < 2^64: a*h < 2^96 fits HUGEINT, no split needed
+      SELECT doc_id,
+             list_transform({a_list}, a ->
+               list_min(list_transform(hset, h -> (a * h) % {_MOD64} % {_MOD61}))
+             ) AS sig
+      FROM hs
+    ),
+    bandh AS (
+      SELECT doc_id,
+             list_transform(range(0, {BANDS}), b ->
+               list_sum(list_transform(range(1, {ROWS_PER_BAND} + 1), r ->
+                 (sig[{ROWS_PER_BAND} * b + r] * sliceA[r]) % {_MOD64} % {_MOD61}))
+               % {_MOD61}) AS band_hashes
+      FROM (SELECT doc_id, sig, {a_list}[1:{ROWS_PER_BAND}] AS sliceA FROM sigs)
+    ),
+    bandrows AS (
+      SELECT doc_id, unnest(range(0, {BANDS})) AS band_id,
+             unnest(band_hashes) AS band_hash
+      FROM bandh
+    ),
+    bsz AS (
+      SELECT band_id, band_hash, COUNT(*) AS bc
+      FROM bandrows GROUP BY band_id, band_hash
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandrows a
+      JOIN bandrows b USING (band_id, band_hash)
+      JOIN bsz USING (band_id, band_hash)
+      WHERE a.doc_id < b.doc_id AND bsz.bc <= 1000
+    ),
+    shg AS (SELECT doc_id, {sh} AS sh FROM d),
+    scored AS (
+      SELECT doc_a, doc_b,
+             ROUND(len(list_intersect(sa.sh, sb.sh))
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+      FROM cand
+      JOIN shg sa ON sa.doc_id = doc_a
+      JOIN shg sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored
+    WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """Replay of simhash64 + banded pairing: per-token-occurrence md5
+    hashes → per-bit majority vote → 64-bit code → 4×16-bit band buckets
+    (1000-doc cap) → exact Hamming <= 3 via xor/bit_count (two's-
+    complement semantics agree between Spark longs and DuckDB BIGINT)."""
+    pow2 = "[" + ", ".join(f"CAST({1 << b} AS HUGEINT)" for b in range(64)) + "]"
+    pow16 = "[" + ", ".join(str(1 << (16 * b)) for b in range(4)) + "]"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, str_split(COALESCE(text, ''), ' ') AS toks FROM documents
+    ),
+    tokrows AS (SELECT doc_id, unnest(toks) AS t FROM d),
+    vh AS (
+      SELECT t, {_sql_md5le('m')} AS h
+      FROM (SELECT t, md5(t) AS m FROM (SELECT DISTINCT t FROM tokrows))
+    ),
+    thc AS (
+      SELECT doc_id, h, COUNT(*) AS c
+      FROM tokrows JOIN vh USING (t)
+      GROUP BY doc_id, h
+    ),
+    cnt AS (SELECT doc_id, SUM(c) AS n FROM thc GROUP BY doc_id),
+    bitrows AS (
+      SELECT doc_id, unnest(range(0, 64)) AS b,
+             unnest(list_transform({pow2}, p -> c * ((h // p) % 2))) AS cb
+      FROM thc
+    ),
+    bits AS (
+      SELECT bitrows.doc_id, b,
+             CASE WHEN 2 * SUM(cb) > ANY_VALUE(n) THEN 1 ELSE 0 END AS bit
+      FROM bitrows JOIN cnt ON cnt.doc_id = bitrows.doc_id
+      GROUP BY bitrows.doc_id, b
+    ),
+    codes AS (
+      SELECT doc_id, SUM(CAST(bit AS HUGEINT) * pw.p) AS cu
+      FROM bits
+      JOIN (SELECT unnest(range(0, 64)) AS b, unnest({pow2}) AS p) pw USING (b)
+      GROUP BY doc_id
+    ),
+    signed AS (
+      SELECT doc_id, cu,
+             CAST(CASE WHEN cu >= {1 << 63} THEN cu - {_MOD64} ELSE cu END
+                  AS BIGINT) AS code
+      FROM codes
+    ),
+    bands AS (
+      SELECT doc_id, code, unnest(range(0, 4)) AS band_id,
+             unnest(list_transform({pow16}, q -> (cu // q) % 65536)) AS band_val
+      FROM signed
+    ),
+    bsz AS (
+      SELECT band_id, band_val, COUNT(*) AS bc
+      FROM bands GROUP BY band_id, band_val
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.code AS code_a,
+                      b.doc_id AS doc_b, b.code AS code_b
+      FROM bands a
+      JOIN bands b USING (band_id, band_val)
+      JOIN bsz USING (band_id, band_val)
+      WHERE a.doc_id < b.doc_id AND bsz.bc <= 1000
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(code_a, code_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(code_a, code_b)) <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature → LSH banding → candidate pairs → exact Jaccard
     verification by re-shingling ONLY the candidate texts.  Returns
-    verified near-dup pairs (jaccard >= 0.8).  Deterministic, but the hash
-    family is not expressible in DuckDB → rows-only driver check; the
-    pytest suite checks candidates ⊆ exact pairs and recall vs. the
-    brute-force oracle.
+    verified near-dup pairs (jaccard >= 0.8).  Deterministic, and since
+    the hash family is md5 + mod-2^64 arithmetic it IS DuckDB-expressible
+    (see _minhash_oracle_sql): the oracle replays the full algorithm in
+    HUGEINT.  The pytest suite additionally checks candidates ⊆ exact
+    pairs and recall vs. the brute-force oracle.
 
     Scale shape: the kernel ships 8 longs per doc (not shingle sets); the
     candidate set — orders of magnitude smaller than the corpus — joins
@@ -314,11 +512,13 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@register("dedup_simhash")  # hash-family specific → rows-only check
+@register("dedup_simhash", oracle=_simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash codes + banded Hamming-distance pairing: pairs with
     Hamming(code_a, code_b) <= 3 found via 4×16-bit band equality
-    (pigeonhole guarantee), then exact popcount verification."""
+    (pigeonhole guarantee), then exact popcount verification.  The DuckDB
+    oracle (_simhash_oracle_sql) replays the md5-derived bit votes and
+    banding exactly."""
     docs = scale_out(load_table(spark, sf_dir, "documents"))
     coded = docs.select("doc_id", simhash64("text").alias("code"))
 

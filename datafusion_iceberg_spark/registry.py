@@ -68,6 +68,11 @@ _PRIORITY = [
     "stream_sliding_window",
     "mm_decode_features",
     "mm_frame_sample",
+    #   dedup_minhash_lsh / dedup_simhash: the md5 hash family turned out
+    #   to be HUGEINT-replayable after all — full-algorithm oracles landed
+    #   this round after rows-only checks in r2/r3.
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     # -- r3 window (all hash-green there; keep them early for continuity)
     "window_sliding_rows_frame",
     "window_range_frame",
