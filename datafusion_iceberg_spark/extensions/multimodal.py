@@ -194,16 +194,71 @@ def embed_media_batch(
             )
         mats = []
         for b in pdf["content"]:
+            # md5 over the payload's hex spelling: binary-in semantics are
+            # unchanged (any payload bytes → deterministic embedding), but
+            # the derivation is DuckDB-replayable — content.hex() is the
+            # md5(text) hex string, so the oracle computes md5(md5(text)).
             raw = np.frombuffer(
-                hashlib.sha256(bytes(b)).digest(), dtype=np.uint8
+                hashlib.md5(bytes(b).hex().encode()).digest(), dtype=np.uint8
             )[:EMB_DIM].astype(np.float64)
             v = raw - raw.mean()
-            n = np.linalg.norm(v)
+            # explicit sqrt-of-sequential-sum (not np.linalg.norm's scaled
+            # BLAS dnrm2) so the oracle's list_sum reproduces it exactly
+            n = float(np.sqrt((v * v).sum()))
             mats.append((v / n if n else v).tolist())
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": mats})
 
 
-@register("mm_embed_similarity_topk")  # encoder-specific → rows-only check
+def _mm_embed_oracle_sql() -> str:
+    """Replay of embed_media_batch + cosine top-5: the fake embedding is
+    md5(md5(text)) digest bytes, mean-centered and L2-normalized; cosine
+    is the exploded-dot-product pattern of sim_topk_bruteforce.  Rounded
+    to 4dp on both engines before ranking (the sim_topk convention) to
+    absorb summation-order ulps."""
+    hexpair = (
+        "CAST((strpos('0123456789abcdef', substr(h, 2*j - 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(h, 2*j, 1)) - 1) AS DOUBLE)"
+    )
+    return f"""
+    WITH b AS (SELECT doc_id, md5(md5(text)) AS h FROM documents),
+    raws AS (
+      SELECT doc_id,
+             list_transform(range(1, {EMB_DIM} + 1), j -> {hexpair}) AS raw
+      FROM b
+    ),
+    cent AS (
+      SELECT doc_id,
+             list_transform(raw, x -> x - list_sum(raw) / {EMB_DIM}) AS v
+      FROM raws
+    ),
+    emb AS (
+      SELECT doc_id,
+             CASE WHEN nrm = 0 THEN v
+                  ELSE list_transform(v, x -> x / nrm) END AS e
+      FROM (SELECT doc_id, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM cent)
+    ),
+    ev AS (
+      SELECT doc_id, generate_subscripts(e, 1) AS i, unnest(e) AS x FROM emb
+    ),
+    dots AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS cand_id, SUM(q.x * c.x) AS dot
+      FROM ev q JOIN ev c ON q.i = c.i
+      WHERE q.doc_id < 3 AND q.doc_id <> c.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id, cos_sim, rnk FROM (
+      SELECT query_id, cand_id, ROUND(dot, 4) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(dot, 4) DESC, cand_id) AS rnk
+      FROM dots
+    ) WHERE rnk <= 5
+    ORDER BY query_id, rnk
+    """
+
+
+@register("mm_embed_similarity_topk", oracle=_mm_embed_oracle_sql())
 def mm_embed_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal retrieval pipeline end to end: synthesize media →
     mapInPandas encode (Arrow-batched) → brute-force cosine top-5 of the
@@ -230,7 +285,7 @@ def mm_embed_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("cand_id"))
-        .withColumn("cos_sim", F.round(dot, 6))  # unit vectors: dot = cosine
+        .withColumn("cos_sim", F.round(dot, 4))  # unit vectors: dot = cosine
         .select("query_id", "cand_id", "cos_sim")
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)

@@ -73,6 +73,10 @@ _PRIORITY = [
     #   this round after rows-only checks in r2/r3.
     "dedup_minhash_lsh",
     "dedup_simhash",
+    #   mm_embed_similarity_topk: fake encoder re-derived via md5-of-hex
+    #   (binary-in semantics unchanged) so the whole pipeline replays in
+    #   DuckDB — first oracled driver row pending.
+    "mm_embed_similarity_topk",
     # -- r3 window (all hash-green there; keep them early for continuity)
     "window_sliding_rows_frame",
     "window_range_frame",

@@ -181,7 +181,7 @@ def test_percentile_approx_bound(spark, sf_dir, duck):
 
 def test_mm_embed_similarity_matches_python(spark, sf_dir):
     """The multimodal retrieval pipeline must agree with a pure-Python
-    recomputation (payload -> sha256 embedding -> cosine top-5)."""
+    recomputation (payload -> md5-of-hex embedding -> cosine top-5)."""
     import hashlib as hl
 
     import numpy as np
@@ -195,17 +195,17 @@ def test_mm_embed_similarity_matches_python(spark, sf_dir):
 
     def embed(text):
         payload = hl.md5(text.encode()).digest()
-        raw = np.frombuffer(hl.sha256(payload).digest(), dtype=np.uint8)[
+        raw = np.frombuffer(hl.md5(payload.hex().encode()).digest(), dtype=np.uint8)[
             :EMB_DIM
         ].astype(np.float64)
         v = raw - raw.mean()
-        n = np.linalg.norm(v)
+        n = float(np.sqrt((v * v).sum()))
         return v / n if n else v
 
     vecs = {d: embed(t) for d, t in texts.items()}
     for qid in {r.query_id for r in rows}:
         sims = sorted(
-            ((round(float(vecs[qid] @ v), 6), -d) for d, v in vecs.items() if d != qid),
+            ((round(float(vecs[qid] @ v), 4), -d) for d, v in vecs.items() if d != qid),
             reverse=True,
         )[:5]
         want = [(-d, s) for s, d in sims]
