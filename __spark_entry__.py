@@ -32,9 +32,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query (omitted for non-SQL-expressible
-    ops — minhash/simhash/LSH bucketing, binary mapInPandas plumbing —
-    which get the driver's rows-only check)."""
+    """DuckDB-runnable ANSI SQL per query — 147 of 149, including
+    full-algorithm replays of the md5 hash-family ops (minhash/simhash/
+    LSH/fake media codecs).  Omitted only for the two Spark-internal
+    approx sketches (HLL++/KLL), which get the driver's rows-only check
+    plus error-bound gates in tests/."""
     registry.load_all_modules()
     return {
         name: registry.ORACLES[name]
