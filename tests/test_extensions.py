@@ -276,3 +276,75 @@ def test_cosine_sim_null_safe(spark):
     assert rows[1] == pytest.approx(1.0)
     for i in (2, 3, 4):
         assert rows[i] is None or math.isnan(rows[i])
+
+
+def test_sql_mulp_and_md5le_builders_match_python():
+    """Property check for the HUGEINT replay-oracle building blocks:
+    _sql_mulp must equal (x * P) mod 2^64 and _sql_md5le must equal
+    int.from_bytes(md5(tok)[:8], 'little') for adversarial inputs —
+    any drift here silently desyncs every hash-family oracle."""
+    import hashlib as hl
+
+    import duckdb
+
+    from datafusion_iceberg_spark.extensions.dedup import (
+        _P64,
+        _sql_md5le,
+        _sql_mulp,
+    )
+
+    con = duckdb.connect()
+    # boundary + random-ish 64-bit values (deterministic list)
+    xs = [0, 1, 2**31, 2**32 - 1, 2**32, 2**61 - 1, 2**63, 2**64 - 1,
+          0x9E3779B97F4A7C15, 0xDEADBEEFCAFEBABE, 12345678901234567890]
+    for x in xs:
+        got = con.execute(
+            f"SELECT {_sql_mulp(f'CAST({x} AS HUGEINT)')}"
+        ).fetchone()[0]
+        assert int(got) == (x * _P64) % (1 << 64), f"mulp({x})"
+    toks = ["", "a", "hello", "héllo wörld", "日本語", "x" * 200, " ", "0"]
+    for t in toks:
+        # _sql_md5le repeats its argument once per hex pair → 16 params
+        got = con.execute(
+            "SELECT " + _sql_md5le("md5(?)"), [t] * 16
+        ).fetchone()[0]
+        want = int.from_bytes(hl.md5(t.encode()).digest()[:8], "little")
+        assert int(got) == want, f"md5le({t!r})"
+
+
+def test_minhash_band_replay_edge_texts(spark):
+    """The minhash band replay must agree with the Spark kernel on
+    adversarial texts: empty, single-token, all-identical tokens,
+    consecutive spaces (empty tokens), and unicode."""
+    import duckdb
+    import pandas as pd
+
+    from datafusion_iceberg_spark.extensions.dedup import (
+        minhash_band_hashes,
+        _minhash_oracle_sql,
+    )
+
+    texts = [
+        (0, ""),
+        (1, "one"),
+        (2, "same same same same same"),
+        (3, "a  b   c"),
+        (4, "héllo wörld déjà vu naïve café über"),
+        (5, "short doc"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: [int(x) for x in r.band_hashes]
+        for r in minhash_band_hashes(docs).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(texts, columns=["doc_id", "text"]))
+    # reuse the oracle's band pipeline by cutting the full SQL at bandrows
+    sql = _minhash_oracle_sql()
+    prefix = sql[: sql.index("bandrows AS (")]
+    band_sql = prefix + (
+        "sel AS (SELECT doc_id, band_hashes FROM bandh)"
+        " SELECT doc_id, band_hashes FROM sel ORDER BY doc_id"
+    )
+    want = {int(d): [int(x) for x in bh] for d, bh in con.execute(band_sql).fetchall()}
+    assert got == want
