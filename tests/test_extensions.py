@@ -348,3 +348,42 @@ def test_minhash_band_replay_edge_texts(spark):
     )
     want = {int(d): [int(x) for x in bh] for d, bh in con.execute(band_sql).fetchall()}
     assert got == want
+
+
+def test_simhash_code_replay_edge_texts(spark):
+    """The simhash code replay must agree with the Spark kernel on the
+    same adversarial texts as the minhash test — including duplicate
+    tokens, which exercise the occurrence-weighted bit votes."""
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from datafusion_iceberg_spark.extensions.dedup import (
+        simhash64,
+        _simhash_oracle_sql,
+    )
+
+    texts = [
+        (0, ""),
+        (1, "one"),
+        (2, "same same same same same"),
+        (3, "a  b   c"),
+        (4, "héllo wörld déjà vu naïve café über"),
+        (5, "tie tie break break"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: r.code
+        for r in docs.select("doc_id", simhash64("text").alias("code")).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(texts, columns=["doc_id", "text"]))
+    sql = _simhash_oracle_sql()
+    prefix = sql[: sql.index("bands AS (")]
+    code_sql = prefix + (
+        "sel AS (SELECT doc_id, code FROM signed)"
+        " SELECT doc_id, code FROM sel ORDER BY doc_id"
+    )
+    want = {int(d): int(c) for d, c in con.execute(code_sql).fetchall()}
+    assert got == want
