@@ -630,25 +630,76 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct")  # sketch-based → rows-only check
+@register(
+    "agg_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch — engine-specific estimates, so no value oracle; the
-    scale path for COUNT(DISTINCT) at 100 TB (no exact shuffle-dedup)."""
+    """HLL++ sketch — the scale path for COUNT(DISTINCT) at 100 TB (no exact
+    shuffle-dedup).  The sketch estimate itself is engine-specific, so the
+    hash-oracled output is the *exact* distinct count plus a boolean
+    ``within_bound`` asserting the HLL++ estimate landed within 5% relative
+    error (rsd=0.01 → theoretical ~1%); the oracle answers ``TRUE``.  A
+    sketch regression flips the boolean and the hash goes red — the estimate
+    is verified in-query, not merely rows-counted (VERDICT r4 item #1)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"))
+        .agg(
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+            F.approx_count_distinct("l_orderkey", 0.01).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("_approx") - F.col("exact_orders"))
+                / F.col("exact_orders")
+                <= F.lit(0.05)
+            ).alias("within_bound"),
+        )
         .orderBy("l_returnflag")
     )
 
 
-@register("agg_percentile_approx")  # sketch-based → rows-only check
+@register(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style quantile sketch (``percentile_approx``) — the 100 TB path
+    for medians over billions of rows.  Same oracle pattern as the HLL++
+    gate: output the exact interpolated median plus ``within_bound``
+    asserting the sketch value sits between the exact 45th and 55th
+    percentiles (accuracy=10000 is far tighter in practice)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.groupBy("l_linestatus")
         .agg(
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median")
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+                "exact_median"
+            ),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx"),
+            F.percentile("l_extendedprice", F.lit(0.45)).alias("_lo"),
+            F.percentile("l_extendedprice", F.lit(0.55)).alias("_hi"),
+        )
+        .select(
+            "l_linestatus",
+            "exact_median",
+            (
+                (F.col("_approx") >= F.col("_lo"))
+                & (F.col("_approx") <= F.col("_hi"))
+            ).alias("within_bound"),
         )
         .orderBy("l_linestatus")
     )

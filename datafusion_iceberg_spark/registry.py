@@ -47,37 +47,33 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # Driver-window ordering: the correctness driver walks ``queries()`` in
-# dict order and stops after a fixed budget (50 rows per round).  After
-# three rounds, every registered query has had at least one driver row;
-# the r4 priority front-loads the handful whose LATEST row predates their
-# current code/oracle (VERDICT r3 item #3):
-#   - agg_collect_sorted: only row ever is the r1 canonicalizer ERR; the
-#     fix landed in r2 but sat 51st in the 50-row window.
-#   - dedup_embedding_lsh / sim_lsh_topk: earned algorithm-replay oracles
-#     in r3 (commit b1baaf9) after their r2 rows-only checks.
-#   - stream_sliding_window: r3 driver-red on oracle TIMESTAMPTZ typing,
-#     oracle fixed this round.
-#   - mm_decode_features / mm_frame_sample: earned md5-replay oracles
-#     this round after rows-only checks in r2.
+# dict order and stops after a fixed budget (50 rows per round).  The r5
+# priority front-loads the queries whose code/oracle changed THIS round:
+#   - agg_approx_count_distinct / agg_percentile_approx: the last two
+#     no-oracle rows ever recorded (r1).  Restructured this round to emit
+#     the exact value plus an in-query ``within_bound`` boolean, so they
+#     finally get hash rows (VERDICT r4 item #1).
+#   - iceberg_* new gates: equality deletes, partition-spec evolution,
+#     nested-type writer, SQL time travel (VERDICT r4 items #3-#6).
 # Everything else re-registers after, ranked by module.
 _PRIORITY = [
-    # -- queries whose latest driver row predates current code/oracle ----
+    # -- changed/new this round: need fresh driver rows -----------------
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
+    "iceberg_eq_delete_scan",
+    "iceberg_spec_evolution_scan",
+    "iceberg_nested_scan",
+    "iceberg_sql_time_travel",
+    # -- recent windows (hash-green at latest check; keep early) --------
     "agg_collect_sorted",
     "dedup_embedding_lsh",
     "sim_lsh_topk",
     "stream_sliding_window",
     "mm_decode_features",
     "mm_frame_sample",
-    #   dedup_minhash_lsh / dedup_simhash: the md5 hash family turned out
-    #   to be HUGEINT-replayable after all — full-algorithm oracles landed
-    #   this round after rows-only checks in r2/r3.
     "dedup_minhash_lsh",
     "dedup_simhash",
-    #   mm_embed_similarity_topk: fake encoder re-derived via md5-of-hex
-    #   (binary-in semantics unchanged) so the whole pipeline replays in
-    #   DuckDB — first oracled driver row pending.
     "mm_embed_similarity_topk",
-    # -- r3 window (all hash-green there; keep them early for continuity)
     "window_sliding_rows_frame",
     "window_range_frame",
     "window_ntile",

