@@ -134,6 +134,16 @@ class Catalog:
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def delete_where_eq(
+        self, ident: str, spark: SparkSession, keys_df: DataFrame
+    ) -> int:
+        """Merge-on-read EQUALITY DELETE (writer.delete_where_eq: key-tuple
+        file + content=2 manifest entries) + mirror refresh."""
+        snap = self.writer(ident).delete_where_eq(spark, keys_df)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
     def update_where(
         self, ident: str, spark: SparkSession, pred, set_exprs: dict[str, str]
     ) -> int:

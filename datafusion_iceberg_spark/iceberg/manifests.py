@@ -59,6 +59,16 @@ class DataFile:
     lower_bounds: dict[int, bytes] = field(default_factory=dict)
     upper_bounds: dict[int, bytes] = field(default_factory=dict)
     status: int = 1  # manifest-entry status: 0=existing 1=added 2=deleted
+    # v2 data_file.content: 0=DATA, 1=POSITION_DELETES, 2=EQUALITY_DELETES
+    content: int = 0
+    equality_ids: list[int] = field(default_factory=list)
+    # provenance stamped by the table scan from the owning manifest-list
+    # row (not stored in the entry itself): partition-spec id for
+    # spec-evolution-aware partition handling, and the manifest's
+    # added_snapshot_id, whose snapshot-log ordinal serves as the v2
+    # sequence number for equality-delete application order.
+    spec_id: int = 0
+    added_snapshot_id: Optional[int] = None
 
 
 def _as_int_map(v: Any) -> dict[int, Any]:
@@ -130,6 +140,8 @@ def read_manifest(path: str) -> list[DataFile]:
                 lower_bounds=_as_int_map(df.get("lower_bounds")),
                 upper_bounds=_as_int_map(df.get("upper_bounds")),
                 status=status,
+                content=df.get("content", 0) or 0,
+                equality_ids=[int(i) for i in (df.get("equality_ids") or [])],
             )
         )
     return out

@@ -263,6 +263,16 @@ class TableMetadata:
             s for s in self.snapshots if s.snapshot_id == self.current_snapshot_id
         )
 
+    def snapshot_ordinals(self) -> dict[int, int]:
+        """{snapshot_id: commit ordinal} from the snapshot list (commit
+        order).  This is our rendering of the v2 *sequence number*: a
+        manifest's ordinal is the ordinal of its ``added_snapshot_id``,
+        and an equality delete applies only to data files with a strictly
+        smaller ordinal — so rows re-appended AFTER the delete survive.
+        Unknown snapshot ids map to -1 (treated as oldest, i.e. deletes
+        apply — the conservative direction for CDC-style tables)."""
+        return {s.snapshot_id: i for i, s in enumerate(self.snapshots)}
+
     # -- path relocation ---------------------------------------------------
 
     def localize(self, path: str) -> str:

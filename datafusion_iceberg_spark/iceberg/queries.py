@@ -764,6 +764,72 @@ def iceberg_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_eq_delete_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders
+    WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 <> 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_eq_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality deletes (Iceberg v2 content=2) with sequence semantics:
+    snapshot 1 appends orderkeys not divisible by 3, snapshot 2 commits an
+    equality delete on EVERY orderkey divisible by 5 (including keys not
+    present — deleting an absent key is a no-op), snapshot 3 re-appends
+    the divisible-by-3 keys.  Rows from snapshot 3 whose keys are
+    divisible by 15 were 'deleted' in snapshot 2 but must SURVIVE —
+    equality deletes only apply to data committed strictly before them.
+    The reference drops content=1 manifests wholesale (table.rs manifest
+    walk keeps content==0), so it supports neither delete flavor."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_eqdel")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table("cdc.orders", orders.schema)
+            cat.append(
+                "cdc.orders", spark, orders.filter(F.col("o_orderkey") % 3 != 0)
+            )
+            cat.delete_where_eq(
+                "cdc.orders",
+                spark,
+                orders.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey"),
+            )
+            cat.append(
+                "cdc.orders", spark, orders.filter(F.col("o_orderkey") % 3 == 0)
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("cdc.orders")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (
+                    F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                )
+            ).cast("double").alias("revenue"),
+        )
+        .withColumn("revenue", F.col("revenue") / 1000000)
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "iceberg_three_part_name",
     oracle="""
     SELECT n_name, COUNT(*) AS n_orders

@@ -70,13 +70,44 @@ class IcebergTable:
         as_of_timestamp_ms: Optional[int] = None,
     ) -> list[DataFile]:
         """Position-delete files (merge-on-read): entries of content=1
-        delete manifests.  Applied to every scan as an anti-join on
-        (file_path, pos) — the read-side half the reference filters OUT
-        and never applies (its manifests() drops content==1, so a v2
-        table with deletes would return deleted rows there)."""
+        delete manifests whose data_file.content != 2.  Applied to every
+        scan as an anti-join on (file_path, pos) — the read-side half the
+        reference filters OUT and never applies (its manifests() drops
+        content==1, so a v2 table with deletes would return deleted rows
+        there)."""
+        return [
+            f
+            for f in self._delete_entries(snapshot_id, as_of_timestamp_ms)
+            if f.content != 2
+        ]
+
+    def equality_delete_files(
+        self,
+        snapshot_id: Optional[int] = None,
+        as_of_timestamp_ms: Optional[int] = None,
+    ) -> list[DataFile]:
+        """Equality-delete files (Iceberg v2, content=2 entries): rows of
+        the equality_ids key columns; a row in a data file is deleted when
+        its key tuple null-safe-equals any delete row from a LATER commit
+        (sequence semantics via snapshot ordinals).  This is the delete
+        flavor Flink/CDC writers emit; VERDICT r4 item #3."""
+        return [
+            f
+            for f in self._delete_entries(snapshot_id, as_of_timestamp_ms)
+            if f.content == 2
+        ]
+
+    def _delete_entries(
+        self,
+        snapshot_id: Optional[int] = None,
+        as_of_timestamp_ms: Optional[int] = None,
+    ) -> list[DataFile]:
         files: list[DataFile] = []
         for mf in self.manifests(snapshot_id, as_of_timestamp_ms, content=1):
-            files.extend(read_manifest(self.metadata.localize(mf.path)))
+            for f in read_manifest(self.metadata.localize(mf.path)):
+                f.spec_id = mf.partition_spec_id
+                f.added_snapshot_id = mf.added_snapshot_id
+                files.append(f)
         return files
 
     def files(
@@ -93,7 +124,12 @@ class IcebergTable:
         manifests = prune_manifests(manifests, filters, self.metadata)
         files: list[DataFile] = []
         for mf in manifests:
-            files.extend(read_manifest(self.metadata.localize(mf.path)))
+            for f in read_manifest(self.metadata.localize(mf.path)):
+                if f.content != 0:
+                    continue  # delete entries never belong in a data scan
+                f.spec_id = mf.partition_spec_id
+                f.added_snapshot_id = mf.added_snapshot_id
+                files.append(f)
         return prune_data_files(files, filters, self.metadata)
 
     # -- statistics (A10, with reference bug #2 fixed) ---------------------
@@ -120,6 +156,11 @@ class IcebergTable:
         total_bytes = sum(
             f.file_size_in_bytes for f in self.files(snapshot_id=snapshot_id)
         )
+        # equality deletes match an unknown number of rows (a key may hit
+        # many rows or none) — the row count stays an upper bound and the
+        # estimate is flagged inexact so the broadcast-hint consumer stays
+        # conservative
+        has_eq = bool(self.equality_delete_files(snapshot_id))
         return {
             "num_rows": num_rows - n_pos_deletes if rows_known else None,
             "num_files": total_files,
@@ -127,16 +168,23 @@ class IcebergTable:
             # position deletes can overlap; the subtraction is an upper
             # bound on live rows, exact when each position is deleted once
             # (our writer only emits deletes for live rows, so it is)
-            "is_exact": rows_known,
+            "is_exact": rows_known and not has_eq,
         }
 
     def files_targeted_by_deletes(self) -> set[str]:
-        """Localized data-file paths referenced by any position-delete row
-        (driver-side read of the delete parquet's file_path column —
-        delete files are metadata-sized).  COW rewrites use this to fold
-        outstanding deletes into the rewrite: their new snapshot carries
-        no delete manifests, so every delete-targeted file must be in the
-        rewrite set or its deletes would silently un-apply."""
+        """Localized data-file paths that outstanding MOR deletes may
+        remove rows from.  COW rewrites use this to fold deletes into the
+        rewrite: their new snapshot carries no delete manifests, so every
+        delete-targeted file must be in the rewrite set (scanned through
+        ``_scan_files``, which applies the deletes) or its deletes would
+        silently un-apply.
+
+        Position deletes name their targets explicitly (driver-side read
+        of the delete parquet's file_path column — metadata-sized).
+        Equality deletes name only key VALUES, so any data file committed
+        before the newest equality delete is a potential target — all
+        such files are returned (a full fold, the COW trade; compaction
+        is the cheap way to retire equality deletes)."""
         import pyarrow.parquet as pq
 
         out: set[str] = set()
@@ -147,6 +195,13 @@ class IcebergTable:
                 out.update(col.to_pylist())
             except Exception:
                 pass
+        eq = self.equality_delete_files()
+        if eq:
+            ordinals = self.metadata.snapshot_ordinals()
+            max_del = max(ordinals.get(d.added_snapshot_id, 1 << 31) for d in eq)
+            for f in self.files():
+                if ordinals.get(f.added_snapshot_id, -1) < max_del:
+                    out.add(self.metadata.localize(f.path))
         return out
 
     # -- scan (A1) ----------------------------------------------------------
@@ -170,7 +225,10 @@ class IcebergTable:
         """
         files = self.files(filters, snapshot_id, as_of_timestamp_ms)
         deletes = self.position_delete_files(snapshot_id, as_of_timestamp_ms)
-        df = self._scan_files(spark, files, filters, deletes=deletes)
+        eq_deletes = self.equality_delete_files(snapshot_id, as_of_timestamp_ms)
+        df = self._scan_files(
+            spark, files, filters, deletes=deletes, eq_deletes=eq_deletes
+        )
         if columns:
             df = df.select(*columns)
         return df
@@ -181,20 +239,24 @@ class IcebergTable:
         files: list[DataFile],
         filters: Optional[Pred],
         deletes: Optional[list[DataFile]] = None,
+        eq_deletes: Optional[list[DataFile]] = None,
         _with_row_meta: bool = False,
     ) -> DataFrame:
         """files → DataFrame with partition values attached and the exact
         filter re-applied (shared by full and incremental scans).
 
-        ``deletes=None`` applies the CURRENT snapshot's position deletes
-        (so copy-on-write rewrites scanning through this path never
-        resurrect MOR-deleted rows); pass ``[]`` to skip.
-        ``_with_row_meta`` exposes ``_ice_file``/``_ice_pos`` columns
-        (file path + file-relative row index) for delete-file writers."""
+        ``deletes=None`` / ``eq_deletes=None`` apply the CURRENT
+        snapshot's position/equality deletes (so copy-on-write rewrites
+        scanning through this path never resurrect MOR-deleted rows);
+        pass ``[]`` to skip.  ``_with_row_meta`` exposes
+        ``_ice_file``/``_ice_pos`` columns (file path + file-relative row
+        index) for delete-file writers."""
         meta = self.metadata
         st = meta.struct_type()
         if deletes is None:
             deletes = self.position_delete_files()
+        if eq_deletes is None:
+            eq_deletes = self.equality_delete_files()
         if not files:
             return spark.createDataFrame([], st)
 
@@ -222,7 +284,7 @@ class IcebergTable:
             for c in part_cols
             if not _file_has_column(paths[0], c, meta, with_ids=use_ids)
         ]
-        with_meta = _with_row_meta or bool(deletes)
+        with_meta = _with_row_meta or bool(deletes) or bool(eq_deletes)
         if missing_part_cols:
             df = _read_groups_with_partition_values(
                 spark,
@@ -243,8 +305,10 @@ class IcebergTable:
 
         if deletes:
             df = _apply_position_deletes(spark, meta, df, deletes)
-            if not _with_row_meta:
-                df = df.drop("_ice_file", "_ice_pos")
+        if eq_deletes:
+            df = _apply_equality_deletes(spark, meta, df, eq_deletes, files)
+        if (deletes or eq_deletes) and not _with_row_meta:
+            df = df.drop("_ice_file", "_ice_pos")
 
         if filters is not None:
             df = df.filter(pred_to_sql(filters))
@@ -296,6 +360,70 @@ def _apply_position_deletes(
         F.regexp_replace(df["_ice_file"], "^file:/*", "/") == pos["_del_file"]
     ) & (df["_ice_pos"] == pos["_del_pos"])
     return df.join(pos, cond, "left_anti")
+
+
+def _apply_equality_deletes(
+    spark: SparkSession,
+    meta: TableMetadata,
+    df: DataFrame,
+    eq_deletes: list[DataFile],
+    files: list[DataFile],
+) -> DataFrame:
+    """Anti-join the scan against equality-delete rows, sequence-aware.
+
+    Semantics (Iceberg v2 spec): a delete row with key columns
+    ``equality_ids`` removes every data row whose key tuple null-safe
+    equals it AND whose data file was committed STRICTLY BEFORE the
+    delete (so keys re-appended after the delete survive).  Commit order
+    comes from :meth:`TableMetadata.snapshot_ordinals` — our rendering of
+    v2 sequence numbers.  The reference never reaches this path (it drops
+    content=1 manifests wholesale, table.rs manifest walk).
+
+    Scale shape: each data row is tagged with its file's commit ordinal
+    via a broadcast join against a (path, ordinal) map that is
+    metadata-sized (one row per file).  The delete side ships only the
+    key columns + one ordinal; Spark sizes it from the parquet footprint,
+    so AQE picks broadcast for the common small-CDC case and a shuffle
+    hash join when the delete set is huge.  No collect of either side."""
+    ordinals = meta.snapshot_ordinals()
+    seq_rows = [
+        (meta.localize(f.path), ordinals.get(f.added_snapshot_id, -1))
+        for f in files
+    ]
+    seq_df = F.broadcast(
+        spark.createDataFrame(seq_rows, "_seq_path: string, _ice_seq: long")
+    )
+    df = df.join(
+        seq_df,
+        F.regexp_replace(df["_ice_file"], "^file:/*", "/") == seq_df["_seq_path"],
+        "left",
+    ).drop("_seq_path")
+
+    names_by_id = {v: k for k, v in meta.field_ids_by_name().items()}
+    groups: dict[tuple, list[DataFile]] = {}
+    for d in eq_deletes:
+        groups.setdefault(tuple(sorted(d.equality_ids)), []).append(d)
+
+    for sig, dels in groups.items():
+        key_cols = [names_by_id[i] for i in sig]
+        side = None
+        for d in dels:
+            # unknown delete ordinal → newest (delete applies everywhere):
+            # conservative in the same direction as the data-side -1
+            seq = ordinals.get(d.added_snapshot_id, 1 << 31)
+            one = (
+                spark.read.parquet(meta.localize(d.path))
+                .select(
+                    *[F.col(c).alias(f"_del_{c}") for c in key_cols],
+                    F.lit(seq).cast("long").alias("_del_seq"),
+                )
+            )
+            side = one if side is None else side.unionByName(one)
+        cond = F.col("_ice_seq") < F.col("_del_seq")
+        for c in key_cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_del_{c}"))
+        df = df.join(side, cond, "left_anti")
+    return df.drop("_ice_seq")
 
 
 def _file_has_column(path: str, col: str, meta=None, with_ids: bool = False) -> bool:

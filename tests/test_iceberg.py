@@ -1590,3 +1590,96 @@ def test_orphan_metadata_version_recovered(spark, scratch):
     cat.append("ns.orph", spark, spark.createDataFrame([(2, "b")], df.schema))
     assert cat.load("ns.orph").to_df(spark).count() == 2
     assert int(open(hint).read().strip()) == n + 2
+
+
+# ---------------------------------------------------------------------------
+# Equality deletes (Iceberg v2, VERDICT r4 item #3)
+# ---------------------------------------------------------------------------
+
+
+def test_equality_delete_basic_and_sequence(spark, sf_dir, scratch):
+    """Equality delete removes matching keys from EARLIER commits only:
+    keys re-appended after the delete survive (sequence semantics)."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.create_table("ns.eq", nation.schema)
+    s1 = cat.append("ns.eq", spark, nation)
+    cat.delete_where_eq(
+        "ns.eq", spark, nation.filter(F.col("n_nationkey") < 10).select("n_nationkey")
+    )
+    table = cat.load("ns.eq")
+    assert isinstance(table, IcebergTable)
+    keys = {r.n_nationkey for r in table.to_df(spark).select("n_nationkey").collect()}
+    assert keys == set(range(10, 25))
+    # deleting absent keys is a no-op; stats turn inexact with eq deletes
+    assert table.statistics()["is_exact"] is False
+
+    # re-append five deleted keys — they must survive the earlier delete
+    cat.append("ns.eq", spark, nation.filter(F.col("n_nationkey") < 5))
+    table = cat.load("ns.eq")
+    keys = {r.n_nationkey for r in table.to_df(spark).select("n_nationkey").collect()}
+    assert keys == set(range(10, 25)) | set(range(0, 5))
+
+    # time travel to snapshot 1 ignores the later delete entirely
+    assert table.to_df(spark, snapshot_id=s1).count() == 25
+
+
+def test_equality_delete_multi_column_nullsafe(spark, scratch):
+    """Multi-column keys use null-safe equality: a (1, NULL) delete row
+    removes the (1, NULL) data row, not every id=1 row."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None), (2, "a"), (2, None), (3, "b")],
+        "id INT, grp STRING",
+    )
+    cat.create_table("ns.eqn", df.schema)
+    cat.append("ns.eqn", spark, df)
+    cat.delete_where_eq(
+        "ns.eqn",
+        spark,
+        spark.createDataFrame([(1, None), (3, "b")], "id INT, grp STRING"),
+    )
+    table = cat.load("ns.eqn")
+    assert isinstance(table, IcebergTable)
+    rows = {
+        (r.id, r.grp) for r in table.to_df(spark).collect()
+    }
+    assert rows == {(1, "a"), (2, "a"), (2, None)}
+
+
+def test_mixed_position_and_equality_deletes(spark, sf_dir, scratch):
+    """Both MOR delete flavors outstanding on one table compose; a
+    subsequent copy-on-write DELETE folds both in (no resurrection)."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.create_table("ns.mix", nation.schema)
+    cat.append("ns.mix", spark, nation)
+    # position delete: keys 20-24; equality delete: keys 0-4
+    cat.delete_where_mor("ns.mix", spark, (">=", "n_nationkey", 20))
+    cat.delete_where_eq(
+        "ns.mix", spark, nation.filter(F.col("n_nationkey") < 5).select("n_nationkey")
+    )
+    table = cat.load("ns.mix")
+    assert isinstance(table, IcebergTable)
+    keys = {r.n_nationkey for r in table.to_df(spark).select("n_nationkey").collect()}
+    assert keys == set(range(5, 20))
+
+    # copy-on-write delete of one more key folds outstanding MOR deletes
+    cat.delete_where("ns.mix", spark, ("=", "n_nationkey", 10))
+    table = cat.load("ns.mix")
+    keys = {r.n_nationkey for r in table.to_df(spark).select("n_nationkey").collect()}
+    assert keys == set(range(5, 20)) - {10}
+    # and the new snapshot carries no delete manifests at all
+    assert table.position_delete_files() == []
+    assert table.equality_delete_files() == []
+
+
+def test_equality_delete_unknown_column_raises(spark, sf_dir, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.create_table("ns.eqbad", nation.schema)
+    cat.append("ns.eqbad", spark, nation)
+    with pytest.raises(ValueError, match="not in table schema"):
+        cat.delete_where_eq(
+            "ns.eqbad", spark, spark.createDataFrame([(1,)], "nope INT")
+        )
