@@ -111,6 +111,7 @@ class Catalog:
             meta.partition_spec_entries(),
             field_ids=meta.field_ids_by_name(),
             sort_by=meta.sort_order_columns(),
+            spec_id=meta.default_spec_id,
         )
 
     def append(self, ident: str, spark: SparkSession, df: DataFrame) -> int:
@@ -189,6 +190,16 @@ class Catalog:
         self.writer(ident).drop_column(name)
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
+
+    def evolve_partition_spec(
+        self, ident: str, partition_by: Optional[list[str]]
+    ) -> int:
+        """Partition-spec evolution (writer.evolve_partition_spec:
+        metadata-only re-partitioning going forward) + mirror refresh."""
+        new_id = self.writer(ident).evolve_partition_spec(partition_by)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return new_id
 
     def rollback_to_snapshot(self, ident: str, snapshot_id: int) -> int:
         """ROLLBACK (writer.rollback_to_snapshot) + mirror refresh."""

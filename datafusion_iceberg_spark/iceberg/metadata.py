@@ -142,6 +142,8 @@ class TableMetadata:
     last_column_id: int = field(init=False)
     current_schema: dict = field(init=False)
     partition_fields: list[PartitionField] = field(init=False)
+    default_spec_id: int = field(init=False)
+    partition_specs_by_id: dict[int, list[PartitionField]] = field(init=False)
     snapshots: list[Snapshot] = field(init=False)
     current_snapshot_id: Optional[int] = field(init=False)
     properties: dict = field(init=False)
@@ -159,19 +161,35 @@ class TableMetadata:
             )
         else:
             self.current_schema = raw["schema"]
+        def _parse_fields(fields: list) -> list[PartitionField]:
+            return [
+                PartitionField(
+                    f["name"],
+                    f["transform"],
+                    f["source-id"],
+                    f.get("field-id", 1000 + i),
+                )
+                for i, f in enumerate(fields)
+            ]
+
         specs = raw.get("partition-specs")
         if specs:
-            spec_id = raw.get("default-spec-id", 0)
-            spec = next(s for s in specs if s.get("spec-id", 0) == spec_id)
-            fields = spec["fields"]
+            self.default_spec_id = raw.get("default-spec-id", 0)
+            # ALL specs, keyed by id — a table whose spec evolved
+            # mid-history carries manifests under several specs and each
+            # must be interpreted under ITS spec (the reference assumes
+            # the default spec for every manifest, table.rs:233-238)
+            self.partition_specs_by_id = {
+                s.get("spec-id", 0): _parse_fields(s["fields"]) for s in specs
+            }
+            fields = next(
+                s for s in specs if s.get("spec-id", 0) == self.default_spec_id
+            )["fields"]
         else:
+            self.default_spec_id = 0
             fields = raw.get("partition-spec", [])
-        self.partition_fields = [
-            PartitionField(
-                f["name"], f["transform"], f["source-id"], f.get("field-id", 1000 + i)
-            )
-            for i, f in enumerate(fields)
-        ]
+            self.partition_specs_by_id = {0: _parse_fields(fields)}
+        self.partition_fields = _parse_fields(fields)
         self.snapshots = [
             Snapshot(
                 s["snapshot-id"],
@@ -197,9 +215,25 @@ class TableMetadata:
     def types_by_field_id(self) -> dict[int, Any]:
         return {f["id"]: f["type"] for f in self.current_schema["fields"]}
 
-    def partition_column_names(self) -> list[str]:
+    def partition_fields_for_spec(
+        self, spec_id: Optional[int]
+    ) -> Optional[list[PartitionField]]:
+        """Partition fields of one spec; None when the id is unknown (a
+        caller must then degrade conservatively — attach nothing, prune
+        nothing)."""
+        if spec_id is None:
+            return self.partition_fields
+        return self.partition_specs_by_id.get(spec_id)
+
+    def partition_column_names(self, spec_id: Optional[int] = None) -> list[str]:
+        """Source-column names of a spec's fields (default spec when
+        ``spec_id`` is None), resolved against the CURRENT schema so
+        renames follow the id."""
+        fields = self.partition_fields_for_spec(spec_id)
+        if fields is None:
+            fields = self.partition_fields
         by_id = {f["id"]: f["name"] for f in self.current_schema["fields"]}
-        return [by_id.get(pf.source_id, pf.name) for pf in self.partition_fields]
+        return [by_id.get(pf.source_id, pf.name) for pf in fields]
 
     def partition_spec_entries(self) -> list[str]:
         """Writer-format spec strings ('col', 'day(col)', 'bucket(8, col)',

@@ -212,22 +212,38 @@ def prune_manifests(
     )
 
     types_by_id = meta.types_by_field_id()
-    part_cols = meta.partition_column_names()
 
-    # Non-identity transforms: summaries live in the transformed domain,
-    # so rewrite the predicate's leaves on those source columns once
-    # (conservative — unsupported leaves become keep-always).
-    eff_pred = pred
-    transformed: dict[int, str] = {}
-    for i, pf in enumerate(meta.partition_fields):
-        if pf.transform != "identity":
-            transformed[i] = pf.transform
-            eff_pred = rewrite_pred(eff_pred, part_cols[i], pf.transform)
+    # Summaries are positional per the MANIFEST'S OWN spec (a table whose
+    # spec evolved carries manifests under several spec ids); the
+    # rewritten predicate and column alignment are cached per spec id.
+    # Unknown spec id → no stats → conservative keep.
+    per_spec: dict[int, tuple] = {}
+
+    def spec_ctx(spec_id: int):
+        if spec_id not in per_spec:
+            fields = meta.partition_fields_for_spec(spec_id)
+            if fields is None:
+                per_spec[spec_id] = None
+            else:
+                part_cols = meta.partition_column_names(spec_id)
+                eff_pred = pred
+                transformed: dict[int, str] = {}
+                for i, pf in enumerate(fields):
+                    if pf.transform != "identity":
+                        transformed[i] = pf.transform
+                        eff_pred = rewrite_pred(eff_pred, part_cols[i], pf.transform)
+                per_spec[spec_id] = (fields, part_cols, eff_pred, transformed)
+        return per_spec[spec_id]
 
     kept = []
     for mf in manifests:
+        ctx = spec_ctx(mf.partition_spec_id)
+        if ctx is None:
+            kept.append(mf)  # unknown spec — cannot interpret summaries
+            continue
+        fields, part_cols, eff_pred, transformed = ctx
         stats: dict[str, ColumnStats] = {}
-        for i, pf in enumerate(meta.partition_fields):
+        for i, pf in enumerate(fields):
             if i >= len(mf.partitions):
                 continue  # no summary for this field → no stats
             ps = mf.partitions[i]
@@ -271,14 +287,26 @@ def prune_data_files(
     # against point stats (lower == upper == the file's partition value).
     # This is a SECOND, independent pass — the raw predicate keeps using
     # raw footer bounds; mixing the two domains in one stats dict would
-    # be unsound.
-    part_cols = meta.partition_column_names()
-    tf_pred = pred
-    tf_fields = []  # (source_col_name, partition_field_name)
-    for i, pf in enumerate(meta.partition_fields):
-        if pf.transform != "identity":
-            tf_pred = rewrite_pred(tf_pred, part_cols[i], pf.transform)
-            tf_fields.append((part_cols[i], pf.name))
+    # be unsound.  The rewrite is per the FILE'S spec (cached by spec id)
+    # so a spec-evolved table never evaluates a file's partition tuple
+    # under the wrong transform; unknown spec → skip the pass.
+    per_spec: dict[int, tuple] = {}
+
+    def tf_ctx(spec_id: int):
+        if spec_id not in per_spec:
+            fields = meta.partition_fields_for_spec(spec_id)
+            if fields is None:
+                per_spec[spec_id] = (pred, [])
+            else:
+                part_cols = meta.partition_column_names(spec_id)
+                tf_pred = pred
+                tf_fields = []  # (source_col_name, partition_field_name)
+                for i, pf in enumerate(fields):
+                    if pf.transform != "identity":
+                        tf_pred = rewrite_pred(tf_pred, part_cols[i], pf.transform)
+                        tf_fields.append((part_cols[i], pf.name))
+                per_spec[spec_id] = (tf_pred, tf_fields)
+        return per_spec[spec_id]
 
     kept = []
     for f in files:
@@ -298,6 +326,7 @@ def prune_data_files(
             )
         if evaluate(pred, stats) is False:
             continue
+        tf_pred, tf_fields = tf_ctx(f.spec_id)
         if tf_fields:
             tf_stats = {
                 src: ColumnStats(pv, pv, 0, None)

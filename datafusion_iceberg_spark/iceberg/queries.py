@@ -764,6 +764,71 @@ def iceberg_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_spec_evolution_scan",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def iceberg_spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution: even orderkeys written under spec 0
+    (partitioned by o_orderstatus), then the spec evolves to partition by
+    o_orderpriority — metadata-only, no rewrite — and odd orderkeys land
+    under spec 1.  The filtered scan must interpret each manifest under
+    ITS spec: spec-0 manifests prune on the o_orderstatus summary, spec-1
+    manifests keep conservatively (their summaries describe a different
+    column), and each half attaches its own directory-only partition
+    column from manifest partition values.  The reference assumes the
+    default spec for every manifest (table.rs:233-238), so a spec-evolved
+    table would scan wrong there."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_specev")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table(
+                "ev.orders", orders.schema, partition_by=["o_orderstatus"]
+            )
+            cat.append(
+                "ev.orders", spark, orders.filter(F.col("o_orderkey") % 2 == 0)
+            )
+            cat.evolve_partition_spec("ev.orders", ["o_orderpriority"])
+            cat.append(
+                "ev.orders", spark, orders.filter(F.col("o_orderkey") % 2 != 0)
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("ev.orders")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark, filters=("=", "o_orderstatus", "F"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (
+                    F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                )
+            ).cast("double").alias("revenue"),
+        )
+        .withColumn("revenue", F.col("revenue") / 1000000)
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "iceberg_eq_delete_scan",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_orders,

@@ -260,48 +260,65 @@ class IcebergTable:
         if not files:
             return spark.createDataFrame([], st)
 
-        paths = [meta.localize(f.path) for f in files]
-        part_cols = meta.partition_column_names()
-
         # Id-keyed column mapping: when data files carry PARQUET:field_id
         # (the fixture does; our writer stamps them), request columns by
         # id so RENAME evolution reads old files correctly.  Files without
         # ids keep name resolution (requested schema carries no ids then).
-        use_ids = _file_has_field_ids(paths[0])
+        use_ids = _file_has_field_ids(meta.localize(files[0].path))
         if use_ids:
             st = meta.struct_type(with_field_ids=True)
             try:  # runtime-settable; a plain caller session needs it on
                 spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
             except Exception:
                 pass
-
-        # Identity-transform partition values normally also exist inside
-        # the data files (fixture and our writer both do this).  If a file
-        # schema omits them, attach from manifest partition_values with
-        # native types (reference bug #4: it stringifies them).
-        missing_part_cols = [
-            c
-            for c in part_cols
-            if not _file_has_column(paths[0], c, meta, with_ids=use_ids)
-        ]
         with_meta = _with_row_meta or bool(deletes) or bool(eq_deletes)
-        if missing_part_cols:
-            df = _read_groups_with_partition_values(
-                spark,
-                meta,
-                files,
-                missing_part_cols,
-                with_ids=use_ids,
-                with_row_meta=with_meta,
-            )
-        else:
-            df = spark.read.schema(st).parquet(*paths)
-            if with_meta:
-                df = df.select(
-                    "*",
-                    F.col("_metadata.file_path").alias("_ice_file"),
-                    F.col("_metadata.row_index").alias("_ice_pos"),
+
+        # Files read per partition-spec id: each spec determines which
+        # partition columns live only in the directory layout and must be
+        # attached from manifest partition_values (a spec-evolved table
+        # mixes specs mid-history; the reference assumes the default spec
+        # for every file, table.rs:233-238).  Single spec — the common
+        # case — is one read, no union.
+        by_spec: dict[int, list[DataFile]] = {}
+        for f in files:
+            by_spec.setdefault(f.spec_id, []).append(f)
+
+        sub_dfs = []
+        for sid in sorted(by_spec):
+            sfiles = by_spec[sid]
+            spaths = [meta.localize(f.path) for f in sfiles]
+            part_cols = meta.partition_column_names(sid)
+            # Identity-transform partition values normally also exist
+            # inside the data files (fixture and our writer both do this).
+            # If a file schema omits them, attach from manifest
+            # partition_values with native types (reference bug #4: it
+            # stringifies them).
+            missing_part_cols = [
+                c
+                for c in part_cols
+                if not _file_has_column(spaths[0], c, meta, with_ids=use_ids)
+            ]
+            if missing_part_cols:
+                sub = _read_groups_with_partition_values(
+                    spark,
+                    meta,
+                    sfiles,
+                    missing_part_cols,
+                    with_ids=use_ids,
+                    with_row_meta=with_meta,
                 )
+            else:
+                sub = spark.read.schema(st).parquet(*spaths)
+                if with_meta:
+                    sub = sub.select(
+                        "*",
+                        F.col("_metadata.file_path").alias("_ice_file"),
+                        F.col("_metadata.row_index").alias("_ice_pos"),
+                    )
+            sub_dfs.append(sub)
+        df = sub_dfs[0]
+        for sub in sub_dfs[1:]:
+            df = df.unionByName(sub)
 
         if deletes:
             df = _apply_position_deletes(spark, meta, df, deletes)

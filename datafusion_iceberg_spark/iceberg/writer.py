@@ -200,11 +200,16 @@ class IcebergWriter:
         partition_by: Optional[list[str]] = None,
         field_ids: Optional[dict[str, int]] = None,
         sort_by: Optional[list[str]] = None,
+        spec_id: int = 0,
     ):
         from datafusion_iceberg_spark.iceberg.transforms import parse_spec_entry
 
         self.root = os.path.abspath(root)
         self.schema = schema
+        # the spec id new manifests are stamped with (the table's default
+        # spec — passed in when rebuilding a writer for a spec-evolved
+        # table so old manifests keep their own id)
+        self.spec_id = spec_id
         # spec entries: 'col' | 'day(col)' | 'month(col)' | 'year(col)' |
         # 'hour(col)' | 'bucket(N, col)' | 'truncate(W, col)'
         self.spec_entries = [parse_spec_entry(e) for e in (partition_by or [])]
@@ -602,7 +607,7 @@ class IcebergWriter:
                 {
                     "manifest_path": manifest_path,
                     "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": self.spec_id,
                     "added_snapshot_id": snap_id,
                     "added_data_files_count": len(entries),
                     "existing_data_files_count": 0,
@@ -769,6 +774,49 @@ class IcebergWriter:
         )
         self.field_ids.pop(name)
         self.iceberg_types.pop(name)
+
+    def evolve_partition_spec(self, partition_by: Optional[list[str]]) -> int:
+        """Change the table's partitioning going forward (Iceberg
+        partition-spec evolution): register a NEW spec with a fresh
+        spec-id and fresh partition-field ids, make it the default, and
+        leave every existing manifest under its original spec.  Scans
+        interpret each manifest with its own spec
+        (table.partition_fields_for_spec); pruning degrades conservatively
+        on manifests whose spec doesn't cover the predicate.  Metadata-only
+        — no data is rewritten (the point of spec evolution at 100 TB:
+        re-partitioning without a 100 TB rewrite).  Returns the new
+        spec-id; the writer stamps it on subsequent commits."""
+        from datafusion_iceberg_spark.iceberg.transforms import parse_spec_entry
+
+        entries = [parse_spec_entry(e) for e in (partition_by or [])]
+        for source, _, _ in entries:
+            if source not in self.field_ids:
+                raise ValueError(f"no such column: {source}")
+        meta = self._load_current()
+        specs = meta.get("partition-specs") or [
+            {"spec-id": 0, "fields": meta.get("partition-spec", [])}
+        ]
+        new_id = max(s.get("spec-id", 0) for s in specs) + 1
+        last_pid = meta.get("last-partition-id", 999)
+        fields = [
+            {
+                "name": fname,
+                "transform": transform,
+                "source-id": self.field_ids[source],
+                "field-id": last_pid + 1 + i,
+            }
+            for i, (source, transform, fname) in enumerate(entries)
+        ]
+        meta["partition-specs"] = specs + [{"spec-id": new_id, "fields": fields}]
+        meta["default-spec-id"] = new_id
+        meta["last-partition-id"] = last_pid + len(fields)
+        meta["partition-spec"] = fields  # v1 single-spec compat mirror
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(meta)
+        self.spec_id = new_id
+        self.spec_entries = entries
+        self.partition_by = [fname for _, _, fname in entries]
+        return new_id
 
     def rollback_to_snapshot(self, snapshot_id: int) -> int:
         """ROLLBACK: make an earlier snapshot current again (metadata-only
@@ -1263,7 +1311,7 @@ class IcebergWriter:
                 {
                     "manifest_path": manifest_path,
                     "manifest_length": os.path.getsize(manifest_path),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": self.spec_id,
                     "added_snapshot_id": snap_id,
                     "added_data_files_count": len(entries),
                     "existing_data_files_count": 0,
