@@ -112,6 +112,12 @@ class Catalog:
             field_ids=meta.field_ids_by_name(),
             sort_by=meta.sort_order_columns(),
             spec_id=meta.default_spec_id,
+            # types verbatim from metadata: nested element/key/value ids
+            # must stay the recorded ones, not a fresh re-allocation
+            iceberg_types={
+                f["name"]: f["type"] for f in meta.current_schema["fields"]
+            },
+            last_column_id=meta.last_column_id,
         )
 
     def append(self, ident: str, spark: SparkSession, df: DataFrame) -> int:

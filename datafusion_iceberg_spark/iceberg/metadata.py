@@ -69,7 +69,14 @@ def iceberg_type_to_spark(t: Any) -> T.DataType:
     raise ValueError(f"unsupported iceberg type {t!r}")
 
 
-def spark_type_to_iceberg(dt: T.DataType) -> Any:
+def spark_type_to_iceberg(dt: T.DataType, next_id=None) -> Any:
+    """Spark type → Iceberg schema-JSON type.
+
+    Nested types (struct/list/map) serialize with element/key/value/field
+    ids per the Iceberg spec, allocated from ``next_id`` (a zero-arg
+    callable returning fresh ids — the writer threads its column-id
+    counter through).  Without an allocator, nested types raise: a nested
+    schema without ids would be unreadable by id-keyed consumers."""
     for name, st in _PRIMITIVE_TO_SPARK.items():
         if dt == st and name not in ("time", "uuid"):
             return name
@@ -79,8 +86,42 @@ def spark_type_to_iceberg(dt: T.DataType) -> Any:
         return "int"
     if isinstance(dt, T.ShortType) or isinstance(dt, T.ByteType):
         return "int"
-    if isinstance(dt, T.ArrayType):
-        raise NotImplementedError("nested list schemas in writer: TODO")
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        if next_id is None:
+            raise NotImplementedError(
+                "nested schemas need a field-id allocator (writer passes one)"
+            )
+        if isinstance(dt, T.ArrayType):
+            eid = next_id()
+            return {
+                "type": "list",
+                "element-id": eid,
+                "element": spark_type_to_iceberg(dt.elementType, next_id),
+                "element-required": not dt.containsNull,
+            }
+        if isinstance(dt, T.MapType):
+            kid = next_id()
+            vid = next_id()
+            return {
+                "type": "map",
+                "key-id": kid,
+                "key": spark_type_to_iceberg(dt.keyType, next_id),
+                "value-id": vid,
+                "value": spark_type_to_iceberg(dt.valueType, next_id),
+                "value-required": not dt.valueContainsNull,
+            }
+        fields = []
+        for f in dt.fields:
+            fid = next_id()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": spark_type_to_iceberg(f.dataType, next_id),
+                }
+            )
+        return {"type": "struct", "fields": fields}
     raise ValueError(f"unsupported spark type {dt!r}")
 
 

@@ -764,6 +764,64 @@ def iceberg_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_nested_scan",
+    oracle="""
+    SELECT doc_id,
+           lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           (string_split(text, ' '))[1] AS first_token,
+           n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def iceberg_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested types through the writer (VERDICT r4 item #5): a struct, a
+    list, and a map column round-trip metadata serialization (element/
+    key/value field ids per the spec) + parquet write + Iceberg scan; the
+    output flattens them back so DuckDB can replay it from the source
+    parquet.  The reference's pruning kernel rejects nested types but its
+    schema model carries them (pruning_statistics.rs:239-242) — same
+    posture here: scannable, never pruned on."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_nested")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            docs = load_table(spark, sf_dir, "documents")
+            nested = docs.select(
+                "doc_id",
+                F.struct(
+                    F.col("lang").alias("lang"), F.col("source").alias("source")
+                ).alias("meta"),
+                F.split(F.col("text"), " ").alias("tokens"),
+                F.create_map(F.lit("n_chars"), F.col("n_chars")).alias("props"),
+            )
+            cat.create_table("nested.docs", nested.schema)
+            cat.append("nested.docs", spark, nested)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("nested.docs")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .select(
+            "doc_id",
+            F.col("meta.lang").alias("lang"),
+            F.size("tokens").alias("n_tokens"),
+            F.element_at("tokens", 1).alias("first_token"),
+            F.element_at("props", "n_chars").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "iceberg_spec_evolution_scan",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS n_orders,

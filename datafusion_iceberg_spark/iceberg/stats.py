@@ -29,8 +29,8 @@ def decode_stat(iceberg_type: str, data: bytes | None) -> Any:
     """Decode one bound/stat value for an Iceberg primitive type string.
     Unknown types return None (⇒ pruning treats the bound as unknown and
     keeps the file — conservative, mirroring the reference's design)."""
-    if data is None:
-        return None
+    if data is None or not isinstance(iceberg_type, str):
+        return None  # nested types carry no single-value bounds
     t = iceberg_type
     try:
         if t == "boolean":
@@ -68,8 +68,8 @@ def decode_stat(iceberg_type: str, data: bytes | None) -> Any:
 
 def encode_stat(iceberg_type: str, value: Any) -> bytes | None:
     """Inverse of :func:`decode_stat` for the write path."""
-    if value is None:
-        return None
+    if value is None or not isinstance(iceberg_type, str):
+        return None  # nested types carry no single-value bounds
     t = iceberg_type
     if t == "boolean":
         return b"\x01" if value else b"\x00"

@@ -201,6 +201,8 @@ class IcebergWriter:
         field_ids: Optional[dict[str, int]] = None,
         sort_by: Optional[list[str]] = None,
         spec_id: int = 0,
+        iceberg_types: Optional[dict[str, Any]] = None,
+        last_column_id: Optional[int] = None,
     ):
         from datafusion_iceberg_spark.iceberg.transforms import parse_spec_entry
 
@@ -224,9 +226,23 @@ class IcebergWriter:
         self.field_ids = dict(field_ids) if field_ids else {
             f.name: i + 1 for i, f in enumerate(schema.fields)
         }
-        self.iceberg_types = {
-            f.name: spark_type_to_iceberg(f.dataType) for f in schema.fields
-        }
+        if iceberg_types is not None:
+            # rebuilding for an existing table: take types VERBATIM from
+            # metadata so nested element/key/value ids stay the ones the
+            # table recorded (re-deriving would re-allocate them)
+            self.iceberg_types = dict(iceberg_types)
+            self.last_column_id = last_column_id or max(
+                self.field_ids.values(), default=0
+            )
+        else:
+            # fresh CREATE: top-level fields take ids 1..N, nested
+            # element/key/value/subfield ids continue from N+1
+            counter = iter(range(max(self.field_ids.values(), default=0) + 1, 1 << 30))
+            self.iceberg_types = {
+                f.name: spark_type_to_iceberg(f.dataType, lambda: next(counter))
+                for f in schema.fields
+            }
+            self.last_column_id = next(counter) - 1
         self.sort_by = list(sort_by or [])
 
     def _part_result_type(self, source: str, transform: str) -> str:
@@ -356,7 +372,7 @@ class IcebergWriter:
             "table-uuid": str(uuidlib.uuid4()),
             "location": self.root,
             "last-updated-ms": int(time.time() * 1000),
-            "last-column-id": len(self.schema.fields),
+            "last-column-id": self.last_column_id,
             "schema": self._schema_json(),
             "current-schema-id": 0,
             "schemas": [self._schema_json()],
@@ -665,6 +681,11 @@ class IcebergWriter:
             raise ValueError(f"column already exists: {name}")
         meta = self._load_current()
         new_id = int(meta["last-column-id"]) + 1
+        # nested types allocate element/key/value/subfield ids after the
+        # column's own id
+        counter = iter(range(new_id + 1, 1 << 30))
+        new_type = spark_type_to_iceberg(dtype, lambda: next(counter))
+        consumed_last = next(counter) - 1
         cur_id = meta.get("current-schema-id", 0)
         cur = next(
             s for s in meta["schemas"] if s.get("schema-id", 0) == cur_id
@@ -678,20 +699,21 @@ class IcebergWriter:
                     "id": new_id,
                     "name": name,
                     "required": False,
-                    "type": spark_type_to_iceberg(dtype),
+                    "type": new_type,
                 }
             ],
         }
         meta["schemas"] = meta["schemas"] + [new_schema]
         meta["current-schema-id"] = new_schema["schema-id"]
         meta["schema"] = new_schema  # v1 single-schema compat
-        meta["last-column-id"] = new_id
+        meta["last-column-id"] = consumed_last
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(meta)
         # keep this writer usable for subsequent appends
         self.schema = self.schema.add(T.StructField(name, dtype, True))
         self.field_ids[name] = new_id
-        self.iceberg_types[name] = spark_type_to_iceberg(dtype)
+        self.iceberg_types[name] = new_type
+        self.last_column_id = consumed_last
         return new_id
 
     def rename_column(self, old: str, new: str) -> None:
@@ -908,6 +930,11 @@ class IcebergWriter:
                     name = col.path_in_schema.split(".")[0]
                     fid = self.field_ids.get(name)
                     if fid is None:
+                        continue
+                    if not isinstance(self.iceberg_types.get(name), str):
+                        # nested column: parquet footers carry per-LEAF
+                        # stats; a single top-level bound would mix leaves
+                        # — emit none (pruning treats as unknown)
                         continue
                     values[fid] = values.get(fid, 0) + col.num_values
                     st = col.statistics

@@ -1774,3 +1774,96 @@ def test_spec_evolution_writer_rebuild_uses_new_spec(spark, sf_dir, scratch):
         f.partition.get("n_regionkey") is not None for f in new_files
     )
     assert table.to_df(spark).count() == 25
+
+
+# ---------------------------------------------------------------------------
+# Nested types through the writer (VERDICT r4 item #5)
+# ---------------------------------------------------------------------------
+
+
+def test_nested_schema_ids_unique_and_roundtrip(spark, scratch):
+    """Struct/list/map schema serialization allocates unique element/key/
+    value/subfield ids, records last-column-id past them, and the schema
+    round-trips metadata → StructType."""
+    import json as _json
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": "x"}, [1, 2], {"k": 2.0})],
+        "id INT, s STRUCT<a: INT, b: STRING>, l ARRAY<INT>, m MAP<STRING, DOUBLE>",
+    )
+    cat = Catalog(os.path.join(scratch, "wh"))
+    cat.create_table("ns.nest", df.schema)
+    cat.append("ns.nest", spark, df)
+    table = cat.load("ns.nest")
+    assert isinstance(table, IcebergTable)
+
+    meta_raw = table.metadata.raw
+    schema = meta_raw["schemas"][-1]
+
+    def walk_ids(t, out):
+        if isinstance(t, dict):
+            if t["type"] == "struct":
+                for f in t["fields"]:
+                    out.append(f["id"])
+                    walk_ids(f["type"], out)
+            elif t["type"] == "list":
+                out.append(t["element-id"])
+                walk_ids(t["element"], out)
+            elif t["type"] == "map":
+                out.append(t["key-id"])
+                out.append(t["value-id"])
+                walk_ids(t["key"], out)
+                walk_ids(t["value"], out)
+
+    ids = []
+    walk_ids({"type": "struct", "fields": schema["fields"]}, ids)
+    assert len(ids) == len(set(ids)), f"duplicate field ids: {ids}"
+    assert meta_raw["last-column-id"] == max(ids)
+    # round-trip back to Spark types
+    assert table.metadata.struct_type() == df.schema
+    # scan returns the nested values intact
+    row = table.to_df(spark).collect()[0]
+    assert row.s.a == 1 and row.s.b == "x"
+    assert row.l == [1, 2] and row.m == {"k": 2.0}
+    _json.dumps(meta_raw)  # metadata must stay JSON-serializable
+
+
+def test_nested_writer_rebuild_preserves_ids(spark, scratch):
+    """A writer rebuilt from metadata must keep the recorded nested ids
+    (not re-allocate) — a second append then a scan stays consistent."""
+    df = spark.createDataFrame(
+        [(1, [10, 20])], "id INT, vals ARRAY<INT>"
+    )
+    cat = Catalog(os.path.join(scratch, "wh"))
+    cat.create_table("ns.nest2", df.schema)
+    cat.append("ns.nest2", spark, df)
+    ids_before = cat.load("ns.nest2").metadata.raw["schemas"][-1]
+    cat.append(
+        "ns.nest2", spark, spark.createDataFrame([(2, [30])], df.schema)
+    )
+    table = cat.load("ns.nest2")
+    assert isinstance(table, IcebergTable)
+    assert table.metadata.raw["schemas"][-1] == ids_before
+    got = {r.id: r.vals for r in table.to_df(spark).collect()}
+    assert got == {1: [10, 20], 2: [30]}
+
+
+def test_add_nested_column(spark, scratch):
+    """ADD COLUMN with a nested type allocates ids after the column's own
+    id; old rows read as NULL."""
+    df = spark.createDataFrame([(1,)], "id INT")
+    cat = Catalog(os.path.join(scratch, "wh"))
+    cat.create_table("ns.nest3", df.schema)
+    cat.append("ns.nest3", spark, df)
+    from pyspark.sql import types as TT
+
+    cat.add_column("ns.nest3", "tags", TT.ArrayType(TT.StringType()))
+    cat.append(
+        "ns.nest3",
+        spark,
+        spark.createDataFrame([(2, ["a", "b"])], "id INT, tags ARRAY<STRING>"),
+    )
+    table = cat.load("ns.nest3")
+    assert isinstance(table, IcebergTable)
+    got = {r.id: r.tags for r in table.to_df(spark).collect()}
+    assert got == {1: None, 2: ["a", "b"]}
