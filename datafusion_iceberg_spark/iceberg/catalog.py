@@ -336,12 +336,73 @@ class Catalog:
         flush_code(n)
         return parts
 
+    def _rewrite_time_travel(self, spark: SparkSession, query: str) -> str:
+        """Rewrite ``<catalog>.<ns>.<table> FOR [SYSTEM_]VERSION AS OF
+        <snapshot-id>`` / ``FOR [SYSTEM_]TIMESTAMP AS OF '<ts>'`` (the
+        Spark/Iceberg SQL time-travel surface the reference never had —
+        it is pinned to the current snapshot, SURVEY.md §2C) into a
+        dedicated temp view over the historical snapshot's file list.
+        Timestamp literals parse as UTC (snapshot timestamps are epoch
+        UTC); a bare integer after TIMESTAMP AS OF is epoch millis."""
+        import re
+        from datetime import datetime, timezone
+
+        def seg(x: str) -> str:
+            return rf"(?:`{re.escape(x)}`|{re.escape(x)})"
+
+        # positions belonging to code spans (never literals/comments)
+        code_mask = []
+        off = 0
+        for is_code, text in self._split_sql_literals(query):
+            if is_code:
+                code_mask.append((off, off + len(text)))
+            off += len(text)
+
+        def in_code(pos: int) -> bool:
+            return any(a <= pos < b for a, b in code_mask)
+
+        edits: list[tuple[int, int, str]] = []
+        for key, rel in self._mirror.items():
+            if not isinstance(rel, IcebergTable):
+                continue
+            ns, bare = key.split(".", 1)
+            pat = (
+                rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\.{seg(bare)}"
+                r"\s+FOR\s+(?:SYSTEM_)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+                r"('(?:[^']|'')*'|\d+)"
+            )
+            for m in re.finditer(pat, query, flags=re.IGNORECASE):
+                if not in_code(m.start()):
+                    continue
+                kind, val = m.group(1).upper(), m.group(2)
+                if kind == "VERSION":
+                    snap_id = int(val)
+                    df = rel.to_df(spark, snapshot_id=snap_id)
+                    view = f"{ns}_{bare}__v{snap_id}"
+                else:
+                    if val.isdigit():
+                        ts_ms = int(val)
+                    else:
+                        dt = datetime.fromisoformat(val[1:-1].replace("''", "'"))
+                        if dt.tzinfo is None:
+                            dt = dt.replace(tzinfo=timezone.utc)
+                        ts_ms = int(dt.timestamp() * 1000)
+                    df = rel.to_df(spark, as_of_timestamp_ms=ts_ms)
+                    view = f"{ns}_{bare}__ts{ts_ms}"
+                df.createOrReplaceTempView(view)
+                edits.append((m.start(), m.end(), f"`{view}`"))
+        for a, b, repl in sorted(edits, reverse=True):
+            query = query[:a] + repl + query[b:]
+        return query
+
     def sql(self, spark: SparkSession, query: str) -> DataFrame:
         """SQL over the attached catalog, with THREE-PART name resolution:
         occurrences of ``<catalog>.<ns>.<table>`` — bare or with any
         segment backtick-quoted — rewrite to the registered flat view,
         mirroring the reference's ``my_catalog.dashbook.covid_nyt``
         resolution (catalog.rs:114-117) without a JVM TableCatalog plugin.
+        ``FOR [SYSTEM_]VERSION/TIMESTAMP AS OF`` suffixes on catalog
+        tables time-travel (``_rewrite_time_travel``).
 
         Hardening (VERDICT r2 Missing #2 / ADVICE): string literals and
         comments are never rewritten; quoted spellings resolve like bare
@@ -352,6 +413,7 @@ class Catalog:
         import re
 
         self.attach(spark)
+        query = self._rewrite_time_travel(spark, query)
 
         def seg(x: str) -> str:
             return rf"(?:`{re.escape(x)}`|{re.escape(x)})"

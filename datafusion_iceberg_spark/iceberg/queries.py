@@ -764,6 +764,29 @@ def iceberg_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_sql_time_travel",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel from the SQL surface: ``FOR VERSION AS OF`` on a
+    3-part catalog name resolves to snapshot 1 (even orderkeys only).
+    The API has taken snapshot_id/as_of_timestamp_ms since r1; this is
+    the SQL spelling every Iceberg user expects and the reference never
+    had (it is pinned to the current snapshot) — VERDICT r4 item #6."""
+    fx = fixture(spark, sf_dir)
+    return fx.catalog.sql(
+        spark,
+        f"SELECT o_orderstatus, COUNT(*) AS n_orders"
+        f" FROM iceberg.sales.orders FOR VERSION AS OF {fx.snap1}"
+        f" GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )
+
+
+@register(
     "iceberg_nested_scan",
     oracle="""
     SELECT doc_id,

@@ -1867,3 +1867,63 @@ def test_add_nested_column(spark, scratch):
     assert isinstance(table, IcebergTable)
     got = {r.id: r.tags for r in table.to_df(spark).collect()}
     assert got == {1: None, 2: ["a", "b"]}
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface time travel (VERDICT r4 item #6)
+# ---------------------------------------------------------------------------
+
+
+def test_sql_time_travel(spark, sf_dir, scratch):
+    """FOR VERSION AS OF / FOR TIMESTAMP AS OF on 3-part catalog names;
+    literals inside strings stay untouched; SYSTEM_ prefixes accepted."""
+    cat = Catalog(os.path.join(scratch, "wh"), name="tcat")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.create_table("ns.tt", nation.schema)
+    s1 = cat.append("ns.tt", spark, nation.filter(F.col("n_nationkey") < 10))
+    table = cat.load("ns.tt")
+    assert isinstance(table, IcebergTable)
+    ts1 = table.metadata.snapshot(snapshot_id=s1).timestamp_ms
+    import time as _time
+
+    _time.sleep(0.01)
+    cat.append("ns.tt", spark, nation.filter(F.col("n_nationkey") >= 10))
+
+    # current: 25 rows; VERSION AS OF s1: 10 rows
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM tcat.ns.tt").collect()[0].n == 25
+    got = cat.sql(
+        spark, f"SELECT COUNT(*) AS n FROM tcat.ns.tt FOR VERSION AS OF {s1}"
+    )
+    assert got.collect()[0].n == 10
+    # SYSTEM_VERSION spelling + epoch-millis timestamp
+    assert (
+        cat.sql(
+            spark,
+            f"SELECT COUNT(*) AS n FROM tcat.ns.tt FOR SYSTEM_VERSION AS OF {s1}",
+        ).collect()[0].n
+        == 10
+    )
+    assert (
+        cat.sql(
+            spark,
+            f"SELECT COUNT(*) AS n FROM tcat.ns.tt FOR TIMESTAMP AS OF {ts1}",
+        ).collect()[0].n
+        == 10
+    )
+    # ISO timestamp literal (UTC) after the second append → sees all rows
+    from datetime import datetime, timezone
+
+    iso_now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S.%f")
+    assert (
+        cat.sql(
+            spark,
+            f"SELECT COUNT(*) AS n FROM tcat.ns.tt FOR TIMESTAMP AS OF '{iso_now}'",
+        ).collect()[0].n
+        == 25
+    )
+    # the phrase inside a string literal is NOT rewritten
+    got = cat.sql(
+        spark,
+        "SELECT 'tcat.ns.tt FOR VERSION AS OF 1' AS s FROM tcat.ns.tt LIMIT 1",
+    )
+    assert got.collect()[0].s == "tcat.ns.tt FOR VERSION AS OF 1"
