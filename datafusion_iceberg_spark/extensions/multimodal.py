@@ -38,7 +38,15 @@ REAL_DECODERS_AVAILABLE = False  # no PIL/ffmpeg in this container
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Attach a deterministic fake payload: binary column derived from the
     doc text (stands in for image bytes) + typed metadata struct — the
-    exact schema a binaryFile/Iceberg scan of real media would produce."""
+    exact schema a binaryFile/Iceberg scan of real media would produce.
+
+    COUPLING (ADVICE r4): the content derivation ``unhex(md5(text))`` is
+    load-bearing for every mm_* DuckDB replay oracle — mm_decode_features
+    and mm_frame_sample replay it as ``md5(text)`` hex arithmetic, and
+    mm_embed_similarity_topk's oracle computes ``md5(md5(text))`` because
+    the fake encoder hashes the payload's HEX spelling
+    (embed_media_batch).  Changing this derivation requires re-syncing
+    all three oracle SQL builders in this module in the same commit."""
     return docs.select(
         "doc_id",
         F.unhex(F.md5("text")).alias("content"),

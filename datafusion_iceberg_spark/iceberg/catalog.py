@@ -433,24 +433,47 @@ class Catalog:
                         text,
                         flags=re.IGNORECASE,
                     )
-                # Only THREE-part references are this layer's to own: a
-                # bare '<catalog>.<x>' is a legitimate column reference
-                # off a table alias/CTE that happens to share the catalog
-                # name (e.g. SELECT ice.col FROM ns_tbl AS ice) and must
-                # pass through to Spark untouched (ADVICE r3).
-                leftover = re.search(
-                    rf"(?<![\w`.]){seg(self.name)}\."
-                    r"((?:`[^`]+`|\w+)\.(?:`[^`]+`|\w+))(?![\w`])",
+                # TABLE POSITION (after FROM/JOIN) is unambiguous — no
+                # alias can appear there — so any surviving
+                # '<catalog>.<...>' is a genuine miss: a two-part ref
+                # with the namespace omitted, or an unknown table/ns.
+                # Raise this layer's clear error listing known tables
+                # instead of Spark's generic TABLE_OR_VIEW_NOT_FOUND
+                # (ADVICE r4 #2).
+                tbl_pos = re.search(
+                    rf"\b(?:FROM|JOIN)\s+{seg(self.name)}\."
+                    r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)(?![\w`.])",
                     text,
                     flags=re.IGNORECASE,
                 )
-                if leftover:
+                if tbl_pos:
                     known = ", ".join(sorted(self._mirror))
                     raise ValueError(
                         f"unresolved catalog reference "
-                        f"{leftover.group(0)!r}: no table "
-                        f"{leftover.group(1)!r} registered in catalog "
+                        f"{tbl_pos.group(0).split(None, 1)[1]!r}: no table "
+                        f"{tbl_pos.group(1)!r} registered in catalog "
                         f"{self.name!r} (known: {known})"
                     )
+                # Elsewhere, '<catalog>.<x>.<y>' is only this layer's to
+                # own when <x> is a REGISTERED NAMESPACE: otherwise it is
+                # a struct-field access through an alias/CTE that happens
+                # to share the catalog name (e.g. SELECT mycat.meta.width
+                # FROM t AS mycat) and must pass through to Spark
+                # untouched (ADVICE r3 two-part / ADVICE r4 #1 three-part).
+                for lm in re.finditer(
+                    rf"(?<![\w`.]){seg(self.name)}\."
+                    r"((?:`[^`]+`|\w+))\.(?:`[^`]+`|\w+)(?![\w`])",
+                    text,
+                    flags=re.IGNORECASE,
+                ):
+                    mid = lm.group(1).strip("`").lower()
+                    if any(ns.lower() == mid for ns in self.namespaces()):
+                        known = ", ".join(sorted(self._mirror))
+                        raise ValueError(
+                            f"unresolved catalog reference "
+                            f"{lm.group(0)!r}: no such table in namespace "
+                            f"{lm.group(1)!r} of catalog "
+                            f"{self.name!r} (known: {known})"
+                        )
             rewritten.append(text)
         return spark.sql("".join(rewritten))

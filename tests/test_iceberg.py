@@ -1927,3 +1927,45 @@ def test_sql_time_travel(spark, sf_dir, scratch):
         "SELECT 'tcat.ns.tt FOR VERSION AS OF 1' AS s FROM tcat.ns.tt LIMIT 1",
     )
     assert got.collect()[0].s == "tcat.ns.tt FOR VERSION AS OF 1"
+
+
+def test_catalog_name_collision_edge_cases(spark, sf_dir, scratch):
+    """ADVICE r4: (1) three-part struct-field access through an alias that
+    shares the catalog name passes through (middle segment is not a
+    registered namespace); (2) a two-part table reference with the
+    namespace omitted raises this layer's clear error, not Spark's
+    generic one."""
+    cat = Catalog(os.path.join(scratch, "wh"), name="mycat")
+    df = spark.createDataFrame(
+        [(1, {"width_hint": 7, "mt": "img"})],
+        "id INT, meta STRUCT<width_hint: INT, mt: STRING>",
+    )
+    cat.create_table("geo.media", df.schema)
+    cat.append("geo.media", spark, df)
+
+    # struct-field access through an alias sharing the catalog name
+    got = cat.sql(
+        spark,
+        "SELECT mycat.meta.width_hint AS w FROM geo_media AS mycat",
+    )
+    assert got.collect()[0].w == 7
+    # ... and through the rewritten 3-part name under the same alias
+    got = cat.sql(
+        spark,
+        "SELECT mycat.meta.width_hint AS w FROM mycat.geo.media AS mycat",
+    )
+    assert got.collect()[0].w == 7
+
+    # two-part table reference (namespace omitted) → clear error here
+    with pytest.raises(ValueError, match="unresolved catalog reference"):
+        cat.sql(spark, "SELECT * FROM mycat.media")
+    # unknown namespace in table position → clear error too
+    with pytest.raises(ValueError, match="unresolved catalog reference"):
+        cat.sql(spark, "SELECT * FROM mycat.nope.media")
+    # known namespace + unknown table outside table position → clear error
+    with pytest.raises(ValueError, match="unresolved catalog reference"):
+        cat.sql(
+            spark,
+            "SELECT (SELECT COUNT(*) FROM geo_media WHERE id = mycat.geo.nope.x)"
+            " FROM geo_media",
+        )
