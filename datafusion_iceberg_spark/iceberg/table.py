@@ -15,6 +15,7 @@ from their footers — the same two tiers the reference has
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -308,7 +309,7 @@ class IcebergTable:
                     with_row_meta=with_meta,
                 )
             else:
-                sub = spark.read.schema(st).parquet(*spaths)
+                sub = spark.read.schema(st).parquet(*_compact_read_paths(spaths))
                 if with_meta:
                     sub = sub.select(
                         "*",
@@ -377,6 +378,57 @@ def _apply_position_deletes(
         F.regexp_replace(df["_ice_file"], "^file:/*", "/") == pos["_del_file"]
     ) & (df["_ice_pos"] == pos["_del_pos"])
     return df.join(pos, cond, "left_anti")
+
+
+def _compact_read_paths(paths: list[str], threshold: int = 64) -> list[str]:
+    """Collapse an explicit file list into whole-directory reads where a
+    directory's parquet listing is EXACTLY the selected files.
+
+    Why (VERDICT r4 item #2, measured in PERF_NOTES.md): Spark stats
+    every explicitly-passed path before planning — above the
+    parallel-discovery threshold that becomes a distributed listing job
+    with ONE TASK PER FILE (19.1 s for a 10k-file scan on local[8]; the
+    same scan via its directory: 2.7 s).  A directory path is one
+    recursive listStatus instead of N per-file calls — on an object
+    store, one LIST page per ~1000 keys instead of N HEAD requests.
+    Our writer's layout makes full coverage the common case: every
+    snapshot writes its own ``data/snap-<id>[/<part>=<val>]`` leaf
+    directories, immutable once committed, so a live snapshot's file set
+    covers its directories exactly; after a COW rewrite the old
+    directory holds now-dead files, coverage fails, and those survivors
+    fall back to explicit paths — correctness never depends on the
+    directory state.  Only local paths compact (one cheap listdir per
+    directory); scheme-prefixed paths and directories with
+    subdirectories (partition-discovery risk) stay explicit."""
+    if len(paths) < threshold:
+        return paths
+    by_dir: dict[str, list[str]] = {}
+    for p in paths:
+        by_dir.setdefault(os.path.dirname(p), []).append(p)
+    out: list[str] = []
+    for d, ps in by_dir.items():
+        if "://" in d:
+            out.extend(ps)
+            continue
+        try:
+            entries = os.listdir(d)
+        except OSError:
+            out.extend(ps)
+            continue
+        parquet = {e for e in entries if e.endswith(".parquet")}
+        clutter = [
+            e
+            for e in entries
+            if e not in parquet and not e.startswith((".", "_"))
+        ]
+        if clutter:  # subdirs or foreign files — don't risk recursion
+            out.extend(ps)
+            continue
+        if parquet == {os.path.basename(p) for p in ps}:
+            out.append(d)
+        else:
+            out.extend(ps)
+    return out
 
 
 def _apply_equality_deletes(
@@ -502,7 +554,7 @@ def _read_groups_with_partition_values(
 
     parts = []
     for key, paths in groups.items():
-        df = spark.read.schema(read_schema).parquet(*paths)
+        df = spark.read.schema(read_schema).parquet(*_compact_read_paths(paths))
         for col in missing:
             raw = part_values[key].get(col)
             ice_t = types_by_id[ids_by_name[col]]
