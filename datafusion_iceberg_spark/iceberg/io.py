@@ -111,9 +111,15 @@ class S3IO:
     S3 client library is available.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, client=None) -> None:
         self._fs = None
         self._boto = None
+        if client is not None:
+            # injected boto3-compatible client (tests use an in-process
+            # fake, mirroring the reference's env-gated S3 test,
+            # catalog.rs:85-96, without network)
+            self._boto = client
+            return
         try:  # pragma: no cover - optional dependency
             import fsspec
 
