@@ -395,6 +395,54 @@ class Catalog:
             query = query[:a] + repl + query[b:]
         return query
 
+    def _rewrite_metadata_tables(self, spark: SparkSession, query: str) -> str:
+        """Rewrite ``<catalog>.<ns>.<table>$<meta>`` (Trino-style metadata
+        table suffix; accepted bare or with the last segment backticked as
+        ``` `table$files` ```) into a temp view over the corresponding
+        inspect DataFrame.  Supported kinds: snapshots, files, manifests,
+        partitions, history, refs (iceberg/inspect.py)."""
+        import re
+
+        from datafusion_iceberg_spark.iceberg.inspect import (
+            METADATA_TABLES,
+            metadata_df,
+        )
+
+        code_mask = []
+        off = 0
+        for is_code, text in self._split_sql_literals(query):
+            if is_code:
+                code_mask.append((off, off + len(text)))
+            off += len(text)
+
+        def in_code(pos: int) -> bool:
+            return any(a <= pos < b for a, b in code_mask)
+
+        def seg(x: str) -> str:
+            return rf"(?:`{re.escape(x)}`|{re.escape(x)})"
+
+        kinds = "|".join(sorted(METADATA_TABLES))
+        edits: list[tuple[int, int, str]] = []
+        for key, rel in self._mirror.items():
+            if not isinstance(rel, IcebergTable):
+                continue
+            ns, bare = key.split(".", 1)
+            pat = (
+                rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\."
+                rf"(?:`{re.escape(bare)}\$({kinds})`|{re.escape(bare)}\$({kinds}))"
+                r"(?![\w`$])"
+            )
+            for m in re.finditer(pat, query, flags=re.IGNORECASE):
+                if not in_code(m.start()):
+                    continue
+                kind = (m.group(1) or m.group(2)).lower()
+                view = f"{ns}_{bare}__meta_{kind}"
+                metadata_df(rel, spark, kind).createOrReplaceTempView(view)
+                edits.append((m.start(), m.end(), f"`{view}`"))
+        for a, b, repl in sorted(edits, reverse=True):
+            query = query[:a] + repl + query[b:]
+        return query
+
     def sql(self, spark: SparkSession, query: str) -> DataFrame:
         """SQL over the attached catalog, with THREE-PART name resolution:
         occurrences of ``<catalog>.<ns>.<table>`` — bare or with any
@@ -413,6 +461,7 @@ class Catalog:
         import re
 
         self.attach(spark)
+        query = self._rewrite_metadata_tables(spark, query)
         query = self._rewrite_time_travel(spark, query)
 
         def seg(x: str) -> str:

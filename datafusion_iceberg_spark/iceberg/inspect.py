@@ -1,0 +1,327 @@
+"""Iceberg metadata tables — ``snapshots`` / ``files`` / ``manifests`` /
+``partitions`` / ``history`` / ``refs`` as queryable DataFrames, the
+surface Spark exposes as ``db.tbl.files`` and Trino as ``"tbl$files"``.
+
+The reference has none of these (its scan is pinned to the current
+snapshot and the metadata stays internal — SURVEY.md §2C scope fence);
+they are table stakes for operating an Iceberg warehouse, so we add
+them the way we added the write path.
+
+Scale design: the ``files`` table is the only one whose row count grows
+with the data (a 100 TB table has 10^5–10^6 data files) — it is built
+DISTRIBUTED: one input row per manifest, executors parse the manifest
+Avro and emit one output row per file, so the driver holds only the
+manifest list (bounded by snapshot count × partitions, thousands at
+most).  ``partitions`` is a groupBy over that distributed frame.  The
+per-snapshot tables (``snapshots``, ``history``, ``manifests``,
+``refs``) are inherently small — driver-side rows are the right call.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import TYPE_CHECKING, Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+_FILES_SCHEMA = T.StructType(
+    [
+        T.StructField("content", T.IntegerType()),
+        T.StructField("file_path", T.StringType()),
+        T.StructField("file_format", T.StringType()),
+        T.StructField("spec_id", T.IntegerType()),
+        T.StructField("partition", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("file_size_in_bytes", T.LongType()),
+        T.StructField("added_snapshot_id", T.LongType()),
+        T.StructField("added_ordinal", T.IntegerType()),
+        T.StructField("value_counts", T.MapType(T.StringType(), T.LongType())),
+        T.StructField(
+            "null_value_counts", T.MapType(T.StringType(), T.LongType())
+        ),
+        T.StructField("lower_bounds", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("upper_bounds", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+_SNAPSHOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("committed_at", T.TimestampType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("parent_id", T.LongType()),
+        T.StructField("ordinal", T.IntegerType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("summary", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("is_current", T.BooleanType()),
+    ]
+)
+
+_MANIFESTS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("partition_spec_id", T.IntegerType()),
+        T.StructField("content", T.IntegerType()),
+        T.StructField("added_snapshot_id", T.LongType()),
+        T.StructField("added_data_files_count", T.IntegerType()),
+        T.StructField("existing_data_files_count", T.IntegerType()),
+        T.StructField("deleted_data_files_count", T.IntegerType()),
+        T.StructField("added_rows_count", T.LongType()),
+        T.StructField("existing_rows_count", T.LongType()),
+        T.StructField("partition_summaries_count", T.IntegerType()),
+    ]
+)
+
+_HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("made_current_at", T.TimestampType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("ordinal", T.IntegerType()),
+        T.StructField("is_current_ancestor", T.BooleanType()),
+    ]
+)
+
+_REFS_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("ordinal", T.IntegerType()),
+    ]
+)
+
+
+def _utc(ms: int) -> datetime:
+    # naive UTC: Spark TimestampType + session tz UTC in tests; oracle
+    # comparisons avoid timestamps entirely (ordinals instead)
+    return datetime.fromtimestamp(ms / 1000, tz=timezone.utc).replace(tzinfo=None)
+
+
+def _stringify(v) -> Optional[str]:
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+class Inspect:
+    """``table.inspect.files(spark)`` etc. — one accessor per metadata
+    table, each returning a DataFrame."""
+
+    def __init__(self, table: "IcebergTable"):
+        self._t = table
+
+    # -- snapshot-bounded small tables (driver rows) -------------------
+
+    def snapshots(self, spark: SparkSession) -> DataFrame:
+        meta = self._t.metadata
+        ordinals = meta.snapshot_ordinals()
+        rows = []
+        prev: Optional[int] = None
+        for s in sorted(
+            meta.snapshots, key=lambda s: ordinals.get(s.snapshot_id, 0)
+        ):
+            rows.append(
+                (
+                    _utc(s.timestamp_ms),
+                    s.snapshot_id,
+                    prev,
+                    ordinals.get(s.snapshot_id, 0),
+                    s.summary.get("operation"),
+                    {k: str(v) for k, v in s.summary.items()},
+                    s.snapshot_id == meta.current_snapshot_id,
+                )
+            )
+            prev = s.snapshot_id
+        return spark.createDataFrame(rows, _SNAPSHOTS_SCHEMA)
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        meta = self._t.metadata
+        ordinals = meta.snapshot_ordinals()
+        log = meta.raw.get("snapshot-log", [])
+        # linear history: every logged snapshot still in `snapshots` is an
+        # ancestor of current (rollback rewrites the log)
+        live = {s.snapshot_id for s in meta.snapshots}
+        rows = [
+            (
+                _utc(e["timestamp-ms"]),
+                e["snapshot-id"],
+                ordinals.get(e["snapshot-id"], -1),
+                e["snapshot-id"] in live,
+            )
+            for e in log
+        ]
+        return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+
+    def manifests(
+        self, spark: SparkSession, snapshot_id: Optional[int] = None
+    ) -> DataFrame:
+        rows = []
+        for content in (0, 1):
+            for mf in self._t.manifests(snapshot_id, content=content):
+                rows.append(
+                    (
+                        mf.path,
+                        mf.length,
+                        mf.partition_spec_id,
+                        mf.content,
+                        mf.added_snapshot_id,
+                        mf.added_files_count,
+                        mf.existing_files_count,
+                        mf.deleted_files_count,
+                        mf.added_rows_count,
+                        mf.existing_rows_count,
+                        len(mf.partitions),
+                    )
+                )
+        return spark.createDataFrame(rows, _MANIFESTS_SCHEMA)
+
+    def refs(self, spark: SparkSession) -> DataFrame:
+        meta = self._t.metadata
+        ordinals = meta.snapshot_ordinals()
+        rows = []
+        for name, ref in sorted(meta.raw.get("refs", {}).items()):
+            sid = ref["snapshot-id"]
+            rows.append(
+                (name, ref.get("type", "branch"), sid, ordinals.get(sid, -1))
+            )
+        # implicit main branch -> current snapshot (Iceberg spec: `main`
+        # exists whenever the table has a current snapshot)
+        if meta.current_snapshot_id not in (None, -1) and "main" not in meta.raw.get(
+            "refs", {}
+        ):
+            rows.append(
+                (
+                    "main",
+                    "branch",
+                    meta.current_snapshot_id,
+                    ordinals.get(meta.current_snapshot_id, -1),
+                )
+            )
+        return spark.createDataFrame(sorted(rows), _REFS_SCHEMA)
+
+    # -- files: the one that scales with the data (distributed) --------
+
+    def files(
+        self, spark: SparkSession, snapshot_id: Optional[int] = None
+    ) -> DataFrame:
+        """One row per data/delete file in the snapshot.  Built with one
+        executor task per manifest batch: the driver ships only manifest
+        paths; manifest Avro parsing and stats decoding happen in the
+        executors (a 100 TB table's file list never funnels through the
+        driver — the analogue of keeping the reference's
+        ``FileScanConfig`` streaming, table.rs:281-293)."""
+        t = self._t
+        meta = t.metadata
+        ordinals = meta.snapshot_ordinals()
+        manifests = []
+        for content in (0, 1):
+            for mf in t.manifests(snapshot_id, content=content):
+                manifests.append(
+                    (
+                        meta.localize(mf.path),
+                        mf.partition_spec_id,
+                        mf.added_snapshot_id,
+                    )
+                )
+        if not manifests:
+            return spark.createDataFrame([], _FILES_SCHEMA)
+
+        id_to_name = {v: k for k, v in meta.field_ids_by_name().items()}
+        types_by_id = {
+            fid: (ty if isinstance(ty, str) else None)
+            for fid, ty in meta.types_by_field_id().items()
+        }
+
+        def parse(batches) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            from datafusion_iceberg_spark.iceberg.manifests import read_manifest
+            from datafusion_iceberg_spark.iceberg.stats import decode_stat
+
+            def named(m: dict, decode: bool = False):
+                out = {}
+                for fid, v in (m or {}).items():
+                    name = id_to_name.get(fid)
+                    if name is None:
+                        continue
+                    if decode:
+                        ty = types_by_id.get(fid)
+                        v = _stringify(decode_stat(ty, v) if ty else v)
+                    out[name] = v
+                return out
+
+            for pdf in batches:
+                rows = []
+                for path, spec_id, added_sid in pdf.itertuples(index=False):
+                    for f in read_manifest(path):
+                        rows.append(
+                            {
+                                "content": f.content,
+                                "file_path": f.path,
+                                "file_format": f.file_format,
+                                "spec_id": int(spec_id),
+                                "partition": {
+                                    k: _stringify(v)
+                                    for k, v in (f.partition or {}).items()
+                                },
+                                "record_count": f.record_count,
+                                "file_size_in_bytes": f.file_size_in_bytes,
+                                "added_snapshot_id": added_sid,
+                                "added_ordinal": ordinals.get(added_sid, -1),
+                                "value_counts": named(f.value_counts),
+                                "null_value_counts": named(f.null_value_counts),
+                                "lower_bounds": named(f.lower_bounds, True),
+                                "upper_bounds": named(f.upper_bounds, True),
+                            }
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[fld.name for fld in _FILES_SCHEMA.fields]
+                )
+
+        inp = spark.createDataFrame(
+            manifests, "path string, spec_id int, added_snapshot_id long"
+        )
+        n_parts = max(1, min(len(manifests), 64))
+        return inp.repartition(n_parts).mapInPandas(parse, _FILES_SCHEMA)
+
+    def partitions(
+        self, spark: SparkSession, snapshot_id: Optional[int] = None
+    ) -> DataFrame:
+        """Per-partition rollup of the files table (live data files only):
+        record/file/byte counts.  A single narrow shuffle over file-level
+        rows — no data files are opened."""
+        files = self.files(spark, snapshot_id).filter(F.col("content") == 0)
+        return files.groupBy("partition", "spec_id").agg(
+            F.sum("record_count").alias("record_count"),
+            F.count("*").alias("file_count"),
+            F.sum("file_size_in_bytes").alias("total_size_in_bytes"),
+        )
+
+
+METADATA_TABLES = {
+    "snapshots",
+    "files",
+    "manifests",
+    "partitions",
+    "history",
+    "refs",
+}
+
+
+def metadata_df(
+    table: "IcebergTable", spark: SparkSession, kind: str
+) -> DataFrame:
+    """Dispatch for the SQL surface (``<catalog>.<ns>.<tbl>$<kind>``)."""
+    ins = Inspect(table)
+    if kind not in METADATA_TABLES:
+        raise ValueError(
+            f"unknown metadata table {kind!r} (known: {sorted(METADATA_TABLES)})"
+        )
+    return getattr(ins, kind)(spark)

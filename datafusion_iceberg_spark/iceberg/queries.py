@@ -1150,3 +1150,82 @@ def iceberg_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_orderstatus").cast("long").alias("n_status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata tables (iceberg/inspect.py) — the snapshots/files/partitions
+# surface the reference keeps internal (SURVEY.md §2C), queried through
+# the SQL `$`-suffix and verified against full scans of the data
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "iceberg_meta_partitions",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS record_count
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$partitions`` metadata table through the SQL surface: per-
+    partition record counts come straight from manifest entries (no data
+    file is opened — at 100 TB this is a metadata-only rollup distributed
+    one task per manifest) and must equal a full GROUP BY of the data."""
+    fx = fixture(spark, sf_dir)
+    return fx.catalog.sql(
+        spark,
+        "SELECT partition['o_orderstatus'] AS o_orderstatus,"
+        " CAST(record_count AS BIGINT) AS record_count"
+        " FROM iceberg.sales.orders$partitions ORDER BY o_orderstatus",
+    )
+
+
+@register(
+    "iceberg_meta_files_agg",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS record_count,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_meta_files_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$files`` metadata table: record counts plus column bounds decoded
+    from each file's stats bytes (A4 decoding exercised through the
+    inspect surface) must reproduce exact COUNT/MIN/MAX over the data —
+    parquet min/max stats are exact for doubles, so no tolerance is
+    needed."""
+    fx = fixture(spark, sf_dir)
+    return fx.catalog.sql(
+        spark,
+        "SELECT partition['o_orderstatus'] AS o_orderstatus,"
+        " CAST(SUM(record_count) AS BIGINT) AS record_count,"
+        " MIN(CAST(lower_bounds['o_totalprice'] AS DOUBLE)) AS min_price,"
+        " MAX(CAST(upper_bounds['o_totalprice'] AS DOUBLE)) AS max_price"
+        " FROM iceberg.sales.orders$files WHERE content = 0"
+        " GROUP BY partition['o_orderstatus'] ORDER BY o_orderstatus",
+    )
+
+
+@register(
+    "iceberg_meta_snapshots",
+    oracle="""
+    SELECT * FROM (
+      SELECT 0 AS ordinal, 'append' AS operation,
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS added_records
+      UNION ALL
+      SELECT 1 AS ordinal, 'append' AS operation,
+             (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 <> 0) AS added_records
+    ) ORDER BY ordinal
+    """,
+)
+def iceberg_meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$snapshots`` metadata table: the fixture's two appends (even
+    orderkeys, then odd) must surface as two append snapshots whose
+    added-records summaries equal the parity split row counts."""
+    fx = fixture(spark, sf_dir)
+    return fx.catalog.sql(
+        spark,
+        "SELECT CAST(ordinal AS INT) AS ordinal, operation,"
+        " CAST(summary['added-records'] AS BIGINT) AS added_records"
+        " FROM iceberg.sales.orders$snapshots ORDER BY ordinal",
+    )

@@ -51,6 +51,14 @@ class IcebergTable:
         """Analogue of Table::load_file_system_table (table.rs:319-323)."""
         return cls(load_table_metadata(root))
 
+    @property
+    def inspect(self):
+        """Metadata tables (``snapshots``/``files``/``manifests``/
+        ``partitions``/``history``/``refs``) — see iceberg/inspect.py."""
+        from datafusion_iceberg_spark.iceberg.inspect import Inspect
+
+        return Inspect(self)
+
     # -- file planning ------------------------------------------------------
 
     def manifests(

@@ -58,6 +58,9 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # Everything else re-registers after, ranked by module.
 _PRIORITY = [
     # -- changed/new this round: need fresh driver rows -----------------
+    "iceberg_meta_partitions",
+    "iceberg_meta_files_agg",
+    "iceberg_meta_snapshots",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
