@@ -214,6 +214,29 @@ class Catalog:
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def create_tag(
+        self, ident: str, name: str, snapshot_id: Optional[int] = None
+    ) -> int:
+        """Tag a snapshot (default: current) + mirror refresh."""
+        sid = self.writer(ident).create_tag(name, snapshot_id)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return sid
+
+    def create_branch(
+        self, ident: str, name: str, snapshot_id: Optional[int] = None
+    ) -> int:
+        """Branch from a snapshot (default: current) + mirror refresh."""
+        sid = self.writer(ident).create_branch(name, snapshot_id)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return sid
+
+    def drop_ref(self, ident: str, name: str) -> None:
+        self.writer(ident).drop_ref(name)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+
     def compact(
         self, ident: str, spark: SparkSession, target_file_bytes: int = 128 << 20
     ) -> int:
@@ -376,7 +399,13 @@ class Catalog:
                     continue
                 kind, val = m.group(1).upper(), m.group(2)
                 if kind == "VERSION":
-                    snap_id = int(val)
+                    if val.startswith("'"):
+                        # quoted ref name (Spark/Iceberg: VERSION AS OF
+                        # accepts a branch/tag) -> pinned snapshot
+                        ref = val[1:-1].replace("''", "'")
+                        snap_id = rel.metadata.resolve_ref(ref)
+                    else:
+                        snap_id = int(val)
                     df = rel.to_df(spark, snapshot_id=snap_id)
                     view = f"{ns}_{bare}__v{snap_id}"
                 else:

@@ -338,6 +338,27 @@ class TableMetadata:
             s for s in self.snapshots if s.snapshot_id == self.current_snapshot_id
         )
 
+    def refs(self) -> dict[str, dict]:
+        """Named refs (Iceberg v2 ``refs`` map): ``{name: {"snapshot-id",
+        "type": "tag"|"branch"}}``.  ``main`` is implicit — it always
+        means the current snapshot (spec: the main branch is the table's
+        current state), and an explicit entry never overrides that here
+        because our writer keeps ``main`` implicit."""
+        out = dict(self.raw.get("refs", {}))
+        if self.current_snapshot_id not in (None, -1):
+            out.setdefault(
+                "main",
+                {"snapshot-id": self.current_snapshot_id, "type": "branch"},
+            )
+        return out
+
+    def resolve_ref(self, name: str) -> int:
+        ref = self.refs().get(name)
+        if ref is None:
+            known = ", ".join(sorted(self.refs()))
+            raise KeyError(f"ref {name!r} not found (known: {known})")
+        return int(ref["snapshot-id"])
+
     def snapshot_ordinals(self) -> dict[int, int]:
         """{snapshot_id: commit ordinal} from the snapshot list (commit
         order).  This is our rendering of the v2 *sequence number*: a

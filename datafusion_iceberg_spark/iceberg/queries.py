@@ -1229,3 +1229,52 @@ def iceberg_meta_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(summary['added-records'] AS BIGINT) AS added_records"
         " FROM iceberg.sales.orders$snapshots ORDER BY ordinal",
     )
+
+
+@register(
+    "iceberg_ref_tag_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_ref_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named refs: tag snapshot 1 (even orderkeys) as ``pre_odd``, then
+    time-travel through the SQL surface with ``VERSION AS OF '<tag>'`` —
+    the ref resolves to its pinned snapshot (refs map, Iceberg v2; the
+    reference is pinned to current, SURVEY.md §2C).  Tag creation is
+    idempotent, so the cached fixture warehouse gains no version churn."""
+    fx = fixture(spark, sf_dir)
+    fx.catalog.create_tag("sales.orders", "pre_odd", fx.snap1)
+    return fx.catalog.sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders,"
+        " CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue"
+        " FROM iceberg.sales.orders FOR VERSION AS OF 'pre_odd'"
+        " GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )
+
+
+@register(
+    "iceberg_meta_refs",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'main' AS name, 'branch' AS type, 1 AS ordinal
+      UNION ALL
+      SELECT 'pre_odd' AS name, 'tag' AS type, 0 AS ordinal
+    ) ORDER BY name
+    """,
+)
+def iceberg_meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$refs`` metadata table: the implicit ``main`` branch at the
+    current snapshot (ordinal 1) plus the ``pre_odd`` tag at snapshot 1
+    (ordinal 0)."""
+    fx = fixture(spark, sf_dir)
+    fx.catalog.create_tag("sales.orders", "pre_odd", fx.snap1)
+    return fx.catalog.sql(
+        spark,
+        "SELECT name, type, CAST(ordinal AS INT) AS ordinal"
+        " FROM iceberg.sales.orders$refs ORDER BY name",
+    )

@@ -222,9 +222,12 @@ class IcebergTable:
         snapshot_id: Optional[int] = None,
         as_of_timestamp_ms: Optional[int] = None,
         columns: Optional[list[str]] = None,
+        ref: Optional[str] = None,
     ) -> DataFrame:
         """Plan the scan: pruned file list → ``spark.read.parquet`` with the
         table schema → exact re-filter → optional projection.
+        ``ref`` names a tag/branch (``refs`` metadata map) and resolves to
+        its pinned snapshot; mutually exclusive with the other pins.
 
         Pruning is only a file-skip; the full predicate is re-applied by
         Spark (and pushed into the parquet reader by Catalyst), so results
@@ -232,6 +235,10 @@ class IcebergTable:
         correctness contract as the reference (filters forwarded to the
         physical plan, table.rs:291-293).
         """
+        if ref is not None:
+            if snapshot_id is not None or as_of_timestamp_ms is not None:
+                raise ValueError("ref is mutually exclusive with snapshot pins")
+            snapshot_id = self.metadata.resolve_ref(ref)
         files = self.files(filters, snapshot_id, as_of_timestamp_ms)
         deletes = self.position_delete_files(snapshot_id, as_of_timestamp_ms)
         eq_deletes = self.equality_delete_files(snapshot_id, as_of_timestamp_ms)

@@ -1557,6 +1557,61 @@ class IcebergWriter:
             _allow_empty=True,
         )
 
+    # -- named refs (tags and branches) ---------------------------------
+
+    def create_ref(
+        self, name: str, ref_type: str, snapshot_id: Optional[int] = None
+    ) -> int:
+        """Create or move a named ref (``refs`` map in the metadata JSON,
+        Iceberg v2).  A *tag* is an immutable bookmark for time travel /
+        retention; a *branch* names a line of history (we support reading
+        branches; writes always advance ``main``).  ``main`` itself stays
+        implicit — always the current snapshot — so it cannot be created
+        or dropped here.
+
+        Idempotent: re-pointing a ref at the snapshot it already names is
+        a no-op (no metadata version churn for cached fixtures)."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"ref type must be 'tag' or 'branch': {ref_type!r}")
+        if name == "main":
+            raise ValueError("'main' is implicit (the current snapshot)")
+        meta = self._load_current()
+        sid = snapshot_id
+        if sid is None:
+            sid = meta.get("current-snapshot-id")
+        if sid in (None, -1):
+            raise ValueError("table has no snapshot to reference")
+        if not any(s["snapshot-id"] == sid for s in meta.get("snapshots", [])):
+            raise KeyError(f"snapshot {sid} not found")
+        existing = meta.get("refs", {}).get(name)
+        if existing and existing.get("snapshot-id") == sid and existing.get(
+            "type"
+        ) == ref_type:
+            return sid
+        meta.setdefault("refs", {})[name] = {
+            "snapshot-id": sid,
+            "type": ref_type,
+        }
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(meta)
+        return sid
+
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> int:
+        return self.create_ref(name, "tag", snapshot_id)
+
+    def create_branch(self, name: str, snapshot_id: Optional[int] = None) -> int:
+        return self.create_ref(name, "branch", snapshot_id)
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("'main' is implicit and cannot be dropped")
+        meta = self._load_current()
+        if name not in meta.get("refs", {}):
+            raise KeyError(f"ref {name!r} not found")
+        del meta["refs"][name]
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(meta)
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Expire all but the newest ``keep_last`` snapshots: trim the
         snapshot list/log in a new metadata version, then delete data and
@@ -1580,6 +1635,18 @@ class IcebergWriter:
         if len(snaps) <= keep_last:
             return {"expired_snapshots": 0, "deleted_files": 0}
         kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        # named refs pin their snapshots: a tagged/branched snapshot never
+        # expires (Iceberg's own retention contract) — readers of the ref
+        # must not lose the files it references
+        ref_ids = {
+            int(r["snapshot-id"]) for r in meta.get("refs", {}).values()
+        }
+        if ref_ids:
+            pinned = [s for s in expired if s["snapshot-id"] in ref_ids]
+            expired = [s for s in expired if s["snapshot-id"] not in ref_ids]
+            kept = pinned + kept
+            if not expired:
+                return {"expired_snapshots": 0, "deleted_files": 0}
 
         def _referenced(snapshot_dicts):
             tm = TableMetadata(meta, self.root, meta.get("location", self.root))

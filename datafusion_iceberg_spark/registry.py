@@ -61,6 +61,8 @@ _PRIORITY = [
     "iceberg_meta_partitions",
     "iceberg_meta_files_agg",
     "iceberg_meta_snapshots",
+    "iceberg_ref_tag_scan",
+    "iceberg_meta_refs",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",

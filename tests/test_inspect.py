@@ -97,3 +97,74 @@ def test_sql_surface_never_rewrites_literals(spark, fx):
         spark, "SELECT 'iceberg.sales.orders$files' AS s"
     ).first()["s"]
     assert out == "iceberg.sales.orders$files"
+
+
+# -- named refs (tags/branches) ----------------------------------------
+
+
+def test_ref_read_and_api(spark, fx):
+    fx.catalog.create_tag("sales.orders", "pre_odd", fx.snap1)
+    by_ref = fx.catalog.load("sales.orders").to_df(spark, ref="pre_odd")
+    by_snap = fx.orders.to_df(spark, snapshot_id=fx.snap1)
+    assert by_ref.count() == by_snap.count()
+    with pytest.raises(KeyError):
+        fx.orders.to_df(spark, ref="nope")
+    with pytest.raises(ValueError):
+        fx.catalog.load("sales.orders").to_df(
+            spark, ref="pre_odd", snapshot_id=fx.snap1
+        )
+
+
+def test_ref_crud_rules(spark, fx, tmp_path):
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    root = str(tmp_path / "wh_refs")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    nation = fx.orders.to_df(spark).limit(0)  # schema only, no rows needed
+    cat.create_table("t.x", nation.schema)
+    with pytest.raises(ValueError):
+        cat.create_tag("t.x", "v1")  # no snapshot yet
+    s1 = cat.append("t.x", spark, fx.orders.to_df(spark, snapshot_id=fx.snap1))
+    cat.create_tag("t.x", "v1")
+    cat.create_branch("t.x", "audit", s1)
+    refs = {r.name: r for r in cat.load("t.x").inspect.refs(spark).collect()}
+    assert refs["v1"].type == "tag" and refs["audit"].type == "branch"
+    with pytest.raises(ValueError):
+        cat.create_tag("t.x", "main")
+    with pytest.raises(KeyError):
+        cat.create_tag("t.x", "v2", snapshot_id=12345)
+    cat.drop_ref("t.x", "audit")
+    assert "audit" not in {
+        r.name for r in cat.load("t.x").inspect.refs(spark).collect()
+    }
+    with pytest.raises(KeyError):
+        cat.drop_ref("t.x", "audit")
+
+
+def test_expire_keeps_ref_pinned_snapshots(spark, fx, tmp_path):
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    root = str(tmp_path / "wh_expire")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    df1 = fx.orders.to_df(spark, snapshot_id=fx.snap1).limit(10)
+    df2 = fx.orders.to_df(spark).limit(20)
+    cat.create_table("t.x", df1.schema)
+    s1 = cat.append("t.x", spark, df1)
+    cat.append("t.x", spark, df2)
+    cat.create_tag("t.x", "keepme", s1)
+    w = cat.writer("t.x")
+    out = w.expire_snapshots(keep_last=1)
+    # the tagged snapshot cannot expire -> nothing to do
+    assert out == {"expired_snapshots": 0, "deleted_files": 0}
+    # dropping the tag releases it
+    cat.drop_ref("t.x", "keepme")
+    out = cat.writer("t.x").expire_snapshots(keep_last=1)
+    assert out["expired_snapshots"] == 1
+    # reader still fine at current snapshot
+    assert cat.load("t.x").to_df(spark).count() == 30
