@@ -1278,3 +1278,96 @@ def iceberg_meta_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT name, type, CAST(ordinal AS INT) AS ordinal"
         " FROM iceberg.sales.orders$refs ORDER BY name",
     )
+
+
+# ---------------------------------------------------------------------------
+# Changelog (CDC) scan — row-level insert/delete stream between snapshots
+# ---------------------------------------------------------------------------
+
+_cdc_warehouses: dict[str, Catalog] = {}
+
+
+def _cdc_fixture(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Cached warehouse with a three-commit history for CDC reads:
+    snap1 append (even orderkeys), snap2 MOR delete (o_totalprice <
+    50000), snap3 append (odd orderkeys)."""
+    with _lock:
+        cat = _cdc_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_cdc")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            even = orders.filter(F.col("o_orderkey") % 2 == 0)
+            odd = orders.filter(F.col("o_orderkey") % 2 != 0)
+            cat.create_table("cdc.orders", orders.schema)
+            cat.append("cdc.orders", spark, even)
+            cat.delete_where_mor(
+                "cdc.orders", spark, ("<", "o_totalprice", 50000)
+            )
+            cat.append("cdc.orders", spark, odd)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _cdc_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_changelog_scan",
+    oracle="""
+    SELECT * FROM (
+      SELECT 0 AS change_ordinal, 'insert' AS change_type,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 1 AS change_ordinal, 'delete' AS change_type,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+      FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice < 50000
+      UNION ALL
+      SELECT 2 AS change_ordinal, 'insert' AS change_type,
+             COUNT(*) AS n_rows,
+             CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+      FROM orders WHERE o_orderkey % 2 <> 0
+    ) ORDER BY change_ordinal
+    """,
+)
+def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC read over the full history of the cdc fixture: per-commit
+    insert/delete row groups must reproduce the parity split, the MOR
+    delete predicate, and the second append exactly.  Appends plan
+    metadata-only; the MOR delete diffs only its targeted files."""
+    cat = _cdc_fixture(spark, sf_dir)
+    table = cat.load("cdc.orders")
+    assert isinstance(table, IcebergTable)
+    log = table.changelog_df(spark)
+    return (
+        log.groupBy("_change_ordinal", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("revenue"),
+        )
+        .select(
+            F.col("_change_ordinal").cast("int").alias("change_ordinal"),
+            F.col("_change_type").alias("change_type"),
+            "n_rows",
+            "revenue",
+        )
+        .orderBy("change_ordinal")
+    )

@@ -371,6 +371,133 @@ class IcebergTable:
         added = [f for f in new if f.path not in old]
         return self._scan_files(spark, added, filters)
 
+    def changelog_df(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: Optional[int] = None,
+        to_snapshot_id: Optional[int] = None,
+    ) -> DataFrame:
+        """Row-level CDC stream over the snapshot range ``(from, to]``:
+        table columns plus ``_change_type`` (``'insert'``/``'delete'``)
+        and ``_change_ordinal`` (the committing snapshot's ordinal).  An
+        UPDATE surfaces as delete+insert at the same ordinal, exactly how
+        Spark-on-Iceberg's create_changelog_view renders it.
+
+        Per-snapshot cost model (the part that matters at 100 TB):
+
+        - ``append`` — metadata-only file diff; scan just the added files.
+        - ``replace`` (compaction) — no logical change; emits nothing.
+        - ``delete``/``overwrite`` — exact net diff via EXCEPT ALL, but
+          restricted to CHANGED files: rows in files retained on both
+          sides with unchanged delete coverage are bitwise identical and
+          would cancel, so they are never scanned.  Position deletes name
+          their target files (read cheaply, distinct file_path); equality
+          deletes can hit any retained older file, so their presence
+          widens the diff to all retained files — conservative, correct.
+        """
+        meta = self.metadata
+        ords = meta.snapshot_ordinals()
+        snaps = sorted(meta.snapshots, key=lambda s: ords[s.snapshot_id])
+        ids = [s.snapshot_id for s in snaps]
+        start = ids.index(from_snapshot_id) + 1 if from_snapshot_id is not None else 0
+        end = ids.index(to_snapshot_id) + 1 if to_snapshot_id is not None else len(ids)
+        window = snaps[start:end]
+        prev = ids[start - 1] if start > 0 else None
+
+        def tag(df: DataFrame, kind: str, o: int) -> DataFrame:
+            return df.select(
+                "*",
+                F.lit(kind).alias("_change_type"),
+                F.lit(o).alias("_change_ordinal"),
+            )
+
+        frames: list[DataFrame] = []
+        for s in window:
+            op = s.summary.get("operation", "")
+            o = ords[s.snapshot_id]
+            if op == "replace":
+                prev = s.snapshot_id
+                continue
+            old_files = (
+                {f.path: f for f in self.files(snapshot_id=prev)}
+                if prev is not None
+                else {}
+            )
+            new_files = {f.path: f for f in self.files(snapshot_id=s.snapshot_id)}
+            added = [f for p, f in new_files.items() if p not in old_files]
+            removed = [f for p, f in old_files.items() if p not in new_files]
+            if op == "append":
+                if added:
+                    sub = self._scan_files(
+                        spark, added, None, deletes=[], eq_deletes=[]
+                    )
+                    frames.append(tag(sub, "insert", o))
+                prev = s.snapshot_id
+                continue
+
+            old_pos = (
+                self.position_delete_files(snapshot_id=prev)
+                if prev is not None
+                else []
+            )
+            old_eq = (
+                self.equality_delete_files(snapshot_id=prev)
+                if prev is not None
+                else []
+            )
+            new_pos = self.position_delete_files(snapshot_id=s.snapshot_id)
+            new_eq = self.equality_delete_files(snapshot_id=s.snapshot_id)
+            prev_del_paths = {f.path for f in old_pos} | {f.path for f in old_eq}
+            fresh_pos = [f for f in new_pos if f.path not in prev_del_paths]
+            fresh_eq = [f for f in new_eq if f.path not in prev_del_paths]
+            retained = set(old_files) & set(new_files)
+            targeted: set[str] = set()
+            if fresh_eq:
+                targeted = retained
+            elif fresh_pos:
+                # position deletes carry their targets' paths: one narrow
+                # scan of the (small) delete files bounds the diff set
+                tpaths = [meta.localize(f.path) for f in fresh_pos]
+                hits = (
+                    spark.read.parquet(*tpaths)
+                    .select(
+                        F.regexp_replace(
+                            F.col("file_path"), "^file:/*", "/"
+                        ).alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                norm = {r.p for r in hits}
+                targeted = {p for p in retained if meta.localize(p) in norm}
+            old_side = removed + [old_files[p] for p in sorted(targeted)]
+            new_side = added + [new_files[p] for p in sorted(targeted)]
+            old_df = self._scan_files(
+                spark, old_side, None, deletes=old_pos, eq_deletes=old_eq
+            )
+            new_df = self._scan_files(
+                spark, new_side, None, deletes=new_pos, eq_deletes=new_eq
+            )
+            frames.append(tag(new_df.exceptAll(old_df), "insert", o))
+            frames.append(tag(old_df.exceptAll(new_df), "delete", o))
+            prev = s.snapshot_id
+
+        if not frames:
+            import pyspark.sql.types as T
+
+            st = T.StructType(
+                meta.struct_type().fields
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_change_ordinal", T.IntegerType()),
+                ]
+            )
+            return spark.createDataFrame([], st)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
 
 def _apply_position_deletes(
     spark: SparkSession,

@@ -63,6 +63,7 @@ _PRIORITY = [
     "iceberg_meta_snapshots",
     "iceberg_ref_tag_scan",
     "iceberg_meta_refs",
+    "iceberg_changelog_scan",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",

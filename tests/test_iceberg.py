@@ -2166,3 +2166,73 @@ def test_fileio_s3_stub_roundtrip():
             iio._REGISTRY["s3"] = prev
         else:
             iio._REGISTRY.pop("s3", None)
+
+
+# -- changelog (CDC) scan ----------------------------------------------
+
+
+def _changelog_counts(log):
+    out = {}
+    for r in log.groupBy("_change_ordinal", "_change_type").count().collect():
+        out[(r["_change_ordinal"], r["_change_type"])] = r["count"]
+    return out
+
+
+def test_changelog_cow_update_and_compaction(spark, sf_dir, scratch):
+    """COW update surfaces as delete+insert at one ordinal; compaction
+    (replace) emits nothing; range slicing honors (from, to]."""
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    root = os.path.join(scratch, "wh_changelog")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("t.n", nation.schema)
+    s1 = cat.append("t.n", spark, nation)
+    # COW update: bump one nation's comment
+    cat.update_where(
+        "t.n",
+        spark,
+        ("=", "n_nationkey", 7),
+        {"n_name": "'UPDATED'"},
+    )
+    t = cat.load("t.n")
+    s2 = t.metadata.current_snapshot_id
+    s3 = cat.compact("t.n", spark)
+    t = cat.load("t.n")
+    # full history: 25 inserts @0, 1 delete + 1 insert @1, nothing @2
+    log = t.changelog_df(spark)
+    counts = _changelog_counts(log)
+    assert counts[(0, "insert")] == 25
+    assert counts[(1, "delete")] == 1
+    assert counts[(1, "insert")] == 1
+    assert (2, "insert") not in counts and (2, "delete") not in counts
+    row = [
+        tuple(r)
+        for r in log.filter("_change_type = 'insert' AND _change_ordinal = 1")
+        .select("n_nationkey", "n_name")
+        .collect()
+    ]
+    assert row == [(7, "UPDATED")]
+    # slice: only the update commit
+    sliced = t.changelog_df(spark, from_snapshot_id=s1, to_snapshot_id=s2)
+    c2 = _changelog_counts(sliced)
+    assert c2 == {(1, "delete"): 1, (1, "insert"): 1}
+    # slice ending at s1: only the initial load
+    first = t.changelog_df(spark, to_snapshot_id=s1)
+    assert _changelog_counts(first) == {(0, "insert"): 25}
+    # empty window
+    assert t.changelog_df(spark, from_snapshot_id=s3).count() == 0
+
+
+def test_changelog_append_only_matches_incremental(spark, sf_dir, scratch):
+    from datafusion_iceberg_spark.iceberg.queries import fixture
+
+    fx = fixture(spark, sf_dir)
+    log = fx.orders.changelog_df(spark, from_snapshot_id=fx.snap1)
+    assert log.filter("_change_type <> 'insert'").count() == 0
+    inc = fx.orders.incremental_df(spark, fx.snap1, fx.snap2)
+    assert log.count() == inc.count()
