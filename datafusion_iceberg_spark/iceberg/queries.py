@@ -1371,3 +1371,30 @@ def iceberg_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_ordinal")
     )
+
+
+@register(
+    "iceberg_metadata_count",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders) AS n_full,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_tagged,
+           (SELECT COUNT(*) FROM orders
+             WHERE NOT (o_orderkey % 2 = 0 AND o_totalprice < 50000)) AS n_after_mor
+    """,
+)
+def iceberg_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only COUNT(*): current snapshot and a tagged snapshot
+    answer from manifest record_count sums with zero data IO; the cdc
+    table (which carries MOR position deletes) must take the exact-scan
+    fallback instead of trusting the (stale) file stats."""
+    fx = fixture(spark, sf_dir)
+    fx.catalog.create_tag("sales.orders", "pre_odd", fx.snap1)
+    n_full = fx.orders.count_star()
+    n_tagged = fx.catalog.load("sales.orders").count_star(ref="pre_odd")
+    cdc = _cdc_fixture(spark, sf_dir).load("cdc.orders")
+    assert isinstance(cdc, IcebergTable)
+    n_after_mor = cdc.count_star(spark)
+    return spark.createDataFrame(
+        [(n_full, n_tagged, n_after_mor)],
+        "n_full bigint, n_tagged bigint, n_after_mor bigint",
+    )

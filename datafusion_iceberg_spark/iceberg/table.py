@@ -371,6 +371,38 @@ class IcebergTable:
         added = [f for f in new if f.path not in old]
         return self._scan_files(spark, added, filters)
 
+    def count_star(
+        self,
+        spark: Optional[SparkSession] = None,
+        snapshot_id: Optional[int] = None,
+        as_of_timestamp_ms: Optional[int] = None,
+        ref: Optional[str] = None,
+    ) -> int:
+        """COUNT(*) from manifest statistics when the snapshot carries no
+        delete files — a driver-side manifest walk, zero data IO (the
+        statistics feed A10 answering a whole query, the way engines
+        serve metadata-only counts).  A snapshot with position/equality
+        deletes can't be answered from record_count sums (deleted rows
+        still live in the data files), so it falls back to an exact scan
+        count — which needs ``spark``."""
+        if ref is not None:
+            snapshot_id = self.metadata.resolve_ref(ref)
+        has_deletes = bool(
+            self.position_delete_files(snapshot_id, as_of_timestamp_ms)
+        ) or bool(self.equality_delete_files(snapshot_id, as_of_timestamp_ms))
+        if not has_deletes:
+            return sum(
+                f.record_count
+                for f in self.files(None, snapshot_id, as_of_timestamp_ms)
+            )
+        if spark is None:
+            raise ValueError(
+                "snapshot has delete files; exact count needs a SparkSession"
+            )
+        return self.to_df(
+            spark, snapshot_id=snapshot_id, as_of_timestamp_ms=as_of_timestamp_ms
+        ).count()
+
     def changelog_df(
         self,
         spark: SparkSession,

@@ -64,6 +64,7 @@ _PRIORITY = [
     "iceberg_ref_tag_scan",
     "iceberg_meta_refs",
     "iceberg_changelog_scan",
+    "iceberg_metadata_count",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",

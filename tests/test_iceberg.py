@@ -2236,3 +2236,22 @@ def test_changelog_append_only_matches_incremental(spark, sf_dir, scratch):
     assert log.filter("_change_type <> 'insert'").count() == 0
     inc = fx.orders.incremental_df(spark, fx.snap1, fx.snap2)
     assert log.count() == inc.count()
+
+
+def test_count_star_metadata_vs_fallback(spark, sf_dir, scratch):
+    from datafusion_iceberg_spark.iceberg.queries import _cdc_fixture, fixture
+
+    fx = fixture(spark, sf_dir)
+    # metadata path needs no SparkSession at all
+    assert fx.orders.count_star() == fx.orders.to_df(spark).count()
+    assert (
+        fx.orders.count_star(snapshot_id=fx.snap1)
+        == fx.orders.to_df(spark, snapshot_id=fx.snap1).count()
+    )
+    cdc = _cdc_fixture(spark, sf_dir).load("cdc.orders")
+    # MOR deletes present -> metadata alone must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cdc.count_star()
+    assert cdc.count_star(spark) == cdc.to_df(spark).count()
