@@ -1,0 +1,154 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never trained on wholesale: pipelines carve
+reproducible subsets (ablation slices, eval holdouts, per-source
+mixtures).  Random sampling (``df.sample``) is non-reproducible across
+runs/partitionings, so everything here keys on a STABLE HASH of the
+record id: re-running the pipeline — or re-running it on twice the
+cluster — selects the same rows.  The hash is the first 4 hex chars of
+md5 (16 bits, 65536 buckets), portable between Spark (``conv``) and the
+DuckDB oracles (``('0x' || substr(md5(..),1,4))::INT``).
+
+Scale shapes:
+- hash-fraction and mixture sampling are pure map-side filters — no
+  shuffle at all, fully pushed into the scan pipeline;
+- exact-k stratified sampling is one hash-partitioned window (shuffle
+  carries only (group, hash, id), never the payload) — same shape as
+  top-k-per-group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import window as W
+
+from datafusion_iceberg_spark.registry import register
+from datafusion_iceberg_spark.tables import load_table
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Stable per-row bucket in [0, buckets): 16-bit md5 prefix mod n.
+    Deterministic across runs, partitionings, and engines."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % F.lit(buckets)
+    )
+
+
+def _sql_bucket(expr: str, buckets: int = 100) -> str:
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 4))::INT % {buckets})"
+
+
+def sample_fraction(df: DataFrame, key: str, pct: int) -> DataFrame:
+    """Keep ~pct% of rows, deterministically, by id-hash threshold."""
+    return df.filter(hash_bucket(F.col(key)) < pct)
+
+
+def sample_stratified_exact(
+    df: DataFrame, group: str, key: str, k: int
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen by hash rank
+    (ties broken by key) — a reproducible 'k docs per source' slice."""
+    w = W.Window.partitionBy(group).orderBy(
+        hash_bucket(F.col(key), 1 << 16), F.col(key)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def sample_mixture(
+    df: DataFrame, group: str, key: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-group keep-fractions (domain mixture reweighting): groups
+    absent from ``fractions`` are dropped.  Map-side only."""
+    frac = F.lit(None).cast("double")
+    expr = None
+    for g, p in sorted(fractions.items()):
+        cond = F.col(group) == g
+        expr = F.when(cond, F.lit(p)) if expr is None else expr.when(cond, F.lit(p))
+    frac = expr.otherwise(F.lit(0.0))
+    return df.filter(
+        hash_bucket(F.col(key), 10000) < (frac * 10000).cast("int")
+    )
+
+
+@register(
+    "sample_hash_fraction",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_sql_bucket('doc_id')} < 37
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~37% reproducible sample of the corpus — a pure map-side filter
+    (no shuffle; the predicate rides the parquet scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sample_fraction(docs, "doc_id", 37)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_stratified_exact",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_sql_bucket('doc_id', 1 << 16)}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id FROM ranked WHERE rk <= 5
+    ORDER BY source, doc_id
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per source, hash-ranked: the reproducible
+    'inspection slice' every curation loop needs.  Shuffle carries only
+    (source, hash, doc_id)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = W.Window.partitionBy("source").orderBy(
+        hash_bucket(F.col("doc_id"), 1 << 16), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 5)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "sample_mixture_weights",
+    oracle=f"""
+    SELECT source, COUNT(*) AS n_kept
+    FROM documents
+    WHERE {_sql_bucket('doc_id', 10000)} < CAST(
+      CASE source
+        WHEN 'src0' THEN 0.80 WHEN 'src1' THEN 0.50 WHEN 'src2' THEN 0.25
+        ELSE 0.0 END * 10000 AS INT)
+    GROUP BY source ORDER BY source
+    """,
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture reweighting: keep 80% of src0, 50% of src1, 25% of
+    src2, drop the rest — deterministic per-group hash thresholds, zero
+    shuffle before the verification count."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = sample_mixture(
+        docs, "source", "doc_id", {"src0": 0.80, "src1": 0.50, "src2": 0.25}
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )

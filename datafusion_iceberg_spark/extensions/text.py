@@ -397,3 +397,222 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("chunk", " ")).cast("long").alias("n_tokens"),
         F.md5("chunk").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# Test-set decontamination (n-gram overlap vs a benchmark set)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_decontaminate",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    ng AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ts) - 6),
+               i -> array_to_string(ts[i:i+7], ' ')))) AS ng
+      FROM tok WHERE len(ts) >= 8
+    ),
+    bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0),
+    corpus AS (SELECT * FROM ng WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, COUNT(*) AS n_shared
+    FROM corpus c JOIN bench b USING (ng)
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the step every training pipeline runs
+    before an eval release: flag corpus documents sharing any 8-token
+    shingle with the benchmark set (here: doc_id % 97 == 0).
+
+    Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    (evals are thousands of docs, the corpus is billions), so the join is
+    BROADCAST — corpus n-grams are generated map-side (array slice, no
+    explode-then-window), hashed against the broadcast set, and only
+    (doc_id, match) pairs reach the aggregation.  Shuffling full n-gram
+    strings of the corpus is never needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    ngrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 8 THEN"
+                " array_distinct(transform("
+                "   sequence(1, size(split(text, ' ')) - 7),"
+                "   i -> array_join(slice(split(text, ' '), i, 8), ' ')))"
+                " ELSE array() END"
+            )
+        ).alias("ng"),
+    )
+    bench = (
+        ngrams.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    )
+    corpus = ngrams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus ranking: TF-IDF top terms and BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE doc_id < 100
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term), n
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (docs < 100): the per-doc keyword
+    extraction a curation UI shows.  One token shuffle for tf, one small
+    term-level aggregate for df broadcast back; rounded before ranking
+    (cross-engine ln determinism rule, PERF_NOTES.md)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    n_docs = tok.select("doc_id").distinct().count()
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import window as W
+
+    w = W.Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "term")
+    )
+
+
+@register(
+    "text_bm25_rank",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len(ts)) AS total_tok FROM tok),
+    tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+      WHERE t IN ('spark', 'join', 'filter')
+      GROUP BY doc_id, t
+    ),
+    idf AS (
+      SELECT term,
+             ln((s.n_docs - COUNT(DISTINCT doc_id) + 0.5)
+                / (COUNT(DISTINCT doc_id) + 0.5) + 1) AS idf
+      FROM tf, stats s GROUP BY term, s.n_docs
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(idf.idf * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                    / (s.total_tok * 1.0 / s.n_docs)))) AS score
+      FROM tf JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, Lucene idf) top-20 documents for the query
+    {spark, join, filter} — the retrieval scorer for corpus search.
+
+    Scale shape: term frequencies shuffle only rows whose token is one of
+    the query terms (filter BEFORE the shuffle); idf and the global
+    length stats are single-row/3-row broadcasts; avgdl is the exact
+    rational SUM(dl)/N so both engines divide identical integers
+    (cross-engine FP rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ("spark", "join", "filter")
+    tok = docs.select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    dl = tok.select("doc_id", F.size("ts").alias("dl"))
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ts")).alias("total_tok"),
+    )
+    tf = (
+        tok.select("doc_id", F.explode("ts").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1
+            ).alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf")
+                * F.col("tf")
+                * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75
+                        * F.col("dl")
+                        / (F.col("total_tok") * 1.0 / F.col("n_docs"))
+                    )
+                )
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

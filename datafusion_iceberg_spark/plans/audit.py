@@ -47,6 +47,9 @@ NESTED_LOOP_OK = frozenset(
         "mm_embed_similarity_topk",
         "subquery_scalar",
         "subquery_correlated_scalar",
+        # single-row global-stats broadcasts (n_docs/total_tok): a BNLJ
+        # against a 1-row build side is a constant-attach, not a scan blowup
+        "text_bm25_rank",
         "q15_top_supplier",
         "q22_dormant_customers",
     }

@@ -65,6 +65,12 @@ _PRIORITY = [
     "iceberg_meta_refs",
     "iceberg_changelog_scan",
     "iceberg_metadata_count",
+    "sample_hash_fraction",
+    "sample_stratified_exact",
+    "sample_mixture_weights",
+    "text_decontaminate",
+    "text_tfidf_topk",
+    "text_bm25_rank",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
@@ -137,6 +143,7 @@ _MODULE_RANK = {
     "datafusion_iceberg_spark.iceberg.queries": 0,
     "datafusion_iceberg_spark.extensions.dedup": 1,
     "datafusion_iceberg_spark.extensions.similarity": 2,
+    "datafusion_iceberg_spark.extensions.sampling": 3,
     "datafusion_iceberg_spark.extensions.text": 3,
     "datafusion_iceberg_spark.extensions.multimodal": 4,
     "datafusion_iceberg_spark.operators.windows": 5,
@@ -177,6 +184,7 @@ def load_all_modules() -> None:
     import datafusion_iceberg_spark.functions.json_ops  # noqa: F401
     import datafusion_iceberg_spark.extensions.dedup  # noqa: F401
     import datafusion_iceberg_spark.extensions.similarity  # noqa: F401
+    import datafusion_iceberg_spark.extensions.sampling  # noqa: F401
     import datafusion_iceberg_spark.extensions.text  # noqa: F401
     import datafusion_iceberg_spark.extensions.multimodal  # noqa: F401
     import datafusion_iceberg_spark.iceberg.queries  # noqa: F401
