@@ -37,6 +37,12 @@ HEADLINE = [
     "sim_ivf_topk",
     "text_token_frequencies",
     "json_from_json_agg",
+    # round-5 additions: warehouse surface + training-pipeline ops
+    "iceberg_meta_partitions",
+    "iceberg_changelog_scan",
+    "sample_stratified_exact",
+    "text_decontaminate",
+    "text_bm25_rank",
 ]
 
 
@@ -80,6 +86,11 @@ def main() -> None:
     # call materializes it; the benchmark measures the SCAN, not one-time
     # table creation)
     registry.QUERIES["iceberg_scan_agg"](spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # same for the cdc warehouse (changelog benchmark measures the CDC
+    # read, not the one-time 3-commit fixture build)
+    registry.QUERIES["iceberg_changelog_scan"](spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
 

@@ -2255,3 +2255,27 @@ def test_count_star_metadata_vs_fallback(spark, sf_dir, scratch):
     with _pytest.raises(ValueError):
         cdc.count_star()
     assert cdc.count_star(spark) == cdc.to_df(spark).count()
+
+
+def test_changelog_equality_delete(spark, sf_dir, scratch):
+    """Equality-delete commits surface as delete rows; rows re-appended
+    after the delete survive and show as inserts."""
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_changelog_eq")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("t.n", nation.schema)
+    cat.append("t.n", spark, nation)
+    keys = nation.filter(F.col("n_nationkey") < 5).select("n_nationkey")
+    cat.delete_where_eq("t.n", spark, keys)
+    cat.append("t.n", spark, nation.filter(F.col("n_nationkey") == 3))
+    t = cat.load("t.n")
+    counts = _changelog_counts(t.changelog_df(spark))
+    assert counts == {(0, "insert"): 25, (1, "delete"): 5, (2, "insert"): 1}
+    assert t.to_df(spark).count() == 21
