@@ -616,3 +616,83 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window sequence packing (offset-based, distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t
+    )
+    SELECT CAST(cb // 512 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM c GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents (in doc_id order) into 512-token context windows by
+    cumulative-offset binning: doc -> bin floor(tokens_before / 512).
+    Offset packing admits a bin to run over by its last doc (no doc is
+    split), which is the standard pretraining packing compromise.
+
+    Scale shape — the point of this op: a GLOBAL prefix sum without a
+    global single-partition window.  Phase 1 computes per-chunk token
+    totals (chunk = doc_id div 1000; aligned with the order key, so
+    chunk order IS doc order) and cumsums the tiny chunk-totals frame;
+    phase 2 windows WITHIN each chunk (partitioned — parallel) and adds
+    the broadcast chunk offset.  The only full-data shuffle is the
+    final bin aggregation; the classic two-phase scan pattern."""
+    from pyspark.sql import window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") / 1000).cast("long").alias("chunk"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    chunk_tot = t.groupBy("chunk").agg(F.sum("n").alias("chunk_n"))
+    w_chunks = W.Window.orderBy("chunk").rowsBetween(
+        W.Window.unboundedPreceding, -1
+    )
+    offsets = chunk_tot.select(
+        "chunk", F.coalesce(F.sum("chunk_n").over(w_chunks), F.lit(0)).alias("off")
+    )
+    w_in = (
+        W.Window.partitionBy("chunk")
+        .orderBy("doc_id")
+        .rowsBetween(W.Window.unboundedPreceding, -1)
+    )
+    packed = (
+        t.join(F.broadcast(offsets), "chunk")
+        .select(
+            "doc_id",
+            "n",
+            (
+                F.col("off") + F.coalesce(F.sum("n").over(w_in), F.lit(0))
+            ).alias("cb"),
+        )
+        .select(
+            F.floor(F.col("cb") / 512).cast("long").alias("bin_id"),
+            "n",
+        )
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .orderBy("bin_id")
+    )

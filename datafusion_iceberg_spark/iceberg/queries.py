@@ -1398,3 +1398,33 @@ def iceberg_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_full, n_tagged, n_after_mor)],
         "n_full bigint, n_tagged bigint, n_after_mor bigint",
     )
+
+
+@register(
+    "iceberg_orphan_cleanup",
+    oracle="""
+    SELECT 2 AS n_orphans,
+           (SELECT COUNT(*) FROM orders) AS n_rows
+    """,
+)
+def iceberg_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file removal: plant two unreferenced parquet files in the
+    maint warehouse's data tree, run the cleanup, and verify it removed
+    exactly those two while every referenced file — including old
+    snapshots' pre-compaction files — survives (table row count
+    unchanged).  Idempotent per call: plants then cleans."""
+    cat = _maint_fixture(spark, sf_dir)
+    table = cat.load("maint.orders")
+    assert isinstance(table, IcebergTable)
+    data_dir = os.path.join(table.metadata.root, "data")
+    w = cat.writer("maint.orders")
+    w.remove_orphan_files()  # absorb any pre-existing debris first
+    for i in (1, 2):
+        stray = os.path.join(data_dir, f"orphan_gate_{i}.parquet")
+        with open(stray, "wb") as fh:
+            fh.write(b"PAR1 not a real file")
+    out = w.remove_orphan_files()
+    n_rows = cat.load("maint.orders").to_df(spark).count()
+    return spark.createDataFrame(
+        [(out["orphan_files"], n_rows)], "n_orphans int, n_rows bigint"
+    )

@@ -1557,6 +1557,58 @@ class IcebergWriter:
             _allow_empty=True,
         )
 
+    def remove_orphan_files(
+        self, dry_run: bool = False, min_age_ms: int = 0
+    ) -> dict:
+        """Delete files under the table's ``data/`` tree referenced by NO
+        snapshot — debris from crashed writes or failed commits, the
+        maintenance op that pairs with expire_snapshots (which removes
+        *referenced-by-expired* files; this removes *never-referenced*
+        ones).  ``min_age_ms`` guards in-flight writer temp files in a
+        concurrent deployment (production defaults to hours; tests pass
+        0).  Returns {"orphan_files": n} (counted, and deleted unless
+        ``dry_run``)."""
+        from datafusion_iceberg_spark.iceberg.manifests import (
+            read_manifest,
+            read_manifest_list,
+        )
+        from datafusion_iceberg_spark.iceberg.metadata import TableMetadata
+
+        meta = self._load_current()
+        tm = TableMetadata(meta, self.root, meta.get("location", self.root))
+        referenced: set[str] = set()
+        for s in meta.get("snapshots", []):
+            ml = tm.localize(s["manifest-list"])
+            for mf in read_manifest_list(ml):
+                for f in read_manifest(tm.localize(mf.path)):
+                    referenced.add(os.path.realpath(tm.localize(f.path)))
+        data_root = os.path.join(self.root, "data")
+        now_ms = time.time() * 1000
+        orphans: list[str] = []
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                # Spark's hidden-file convention: _SUCCESS markers and
+                # .crc sidecars are commit bookkeeping, not data — readers
+                # never see them, so they are not orphans
+                if fn.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, fn)
+                if os.path.realpath(p) in referenced:
+                    continue
+                try:
+                    age_ms = now_ms - os.path.getmtime(p) * 1000
+                except OSError:
+                    continue
+                if age_ms >= min_age_ms:
+                    orphans.append(p)
+        if not dry_run:
+            for p in orphans:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+        return {"orphan_files": len(orphans)}
+
     # -- named refs (tags and branches) ---------------------------------
 
     def create_ref(

@@ -71,6 +71,9 @@ _PRIORITY = [
     "text_decontaminate",
     "text_tfidf_topk",
     "text_bm25_rank",
+    "embed_quantize_int8",
+    "text_pack_sequences",
+    "iceberg_orphan_cleanup",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",

@@ -2279,3 +2279,36 @@ def test_changelog_equality_delete(spark, sf_dir, scratch):
     counts = _changelog_counts(t.changelog_df(spark))
     assert counts == {(0, "insert"): 25, (1, "delete"): 5, (2, "insert"): 1}
     assert t.to_df(spark).count() == 21
+
+
+def test_remove_orphan_files(spark, sf_dir, scratch):
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    root = os.path.join(scratch, "wh_orphans")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("t.n", nation.schema)
+    cat.append("t.n", spark, nation)
+    cat.compact("t.n", spark)  # old snapshot's files stay REFERENCED
+    w = cat.writer("t.n")
+    assert w.remove_orphan_files(dry_run=True) == {"orphan_files": 0}
+    data_dir = os.path.join(cat.load("t.n").metadata.root, "data")
+    stray = os.path.join(data_dir, "stray.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"junk")
+    # age guard: a fresh file is protected when min_age_ms is high
+    assert w.remove_orphan_files(min_age_ms=60_000) == {"orphan_files": 0}
+    assert os.path.exists(stray)
+    assert w.remove_orphan_files(dry_run=True) == {"orphan_files": 1}
+    assert os.path.exists(stray)  # dry run never deletes
+    assert w.remove_orphan_files() == {"orphan_files": 1}
+    assert not os.path.exists(stray)
+    # table and its time-travel history intact
+    t = cat.load("t.n")
+    assert t.to_df(spark).count() == 25
+    first = sorted(t.metadata.snapshots, key=lambda s: s.timestamp_ms)[0]
+    assert t.to_df(spark, snapshot_id=first.snapshot_id).count() == 25
