@@ -27,7 +27,262 @@ from datafusion_iceberg_spark.iceberg.writer import IcebergWriter
 Relation = Union[IcebergTable, IcebergView]
 
 
-class Catalog:
+class SqlSurface:
+    """SQL entry shared by every catalog flavor (filesystem Catalog and
+    the REST mirror): 3-part name rewriting with literal/comment safety,
+    ``FOR VERSION/TIMESTAMP AS OF`` time travel (snapshot ids, epoch
+    millis, ISO strings, and named refs), and ``$<kind>`` metadata
+    tables.  Hosts need: ``self.name``, ``self._mirror``,
+    ``self.namespaces()``, ``self.attach(spark)``."""
+
+    @staticmethod
+    def _split_sql_literals(query: str) -> list[tuple[bool, str]]:
+        """Split a SQL string into (is_code, text) spans so name rewriting
+        never touches string literals or comments.  Handles '...'/"..."
+        literals (with doubled-quote and backslash escapes), ``--`` line
+        comments, and ``/* */`` block comments.  Backtick identifiers stay
+        in code spans — they ARE names and must be rewritable."""
+        parts: list[tuple[bool, str]] = []
+        i, n, start = 0, len(query), 0
+
+        def flush_code(upto: int) -> None:
+            if upto > start:
+                parts.append((True, query[start:upto]))
+
+        while i < n:
+            c = query[i]
+            if c in ("'", '"'):
+                j = i + 1
+                while j < n:
+                    if query[j] == "\\":
+                        j += 2
+                        continue
+                    if query[j] == c:
+                        if j + 1 < n and query[j + 1] == c:  # '' escape
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                j = min(j, n - 1)
+                flush_code(i)
+                parts.append((False, query[i : j + 1]))
+                i = start = j + 1
+            elif query.startswith("--", i):
+                j = query.find("\n", i)
+                j = n if j < 0 else j
+                flush_code(i)
+                parts.append((False, query[i:j]))
+                i = start = j
+            elif query.startswith("/*", i):
+                j = query.find("*/", i + 2)
+                j = n if j < 0 else j + 2
+                flush_code(i)
+                parts.append((False, query[i:j]))
+                i = start = j
+            else:
+                i += 1
+        flush_code(n)
+        return parts
+
+    def _rewrite_time_travel(self, spark: SparkSession, query: str) -> str:
+        """Rewrite ``<catalog>.<ns>.<table> FOR [SYSTEM_]VERSION AS OF
+        <snapshot-id>`` / ``FOR [SYSTEM_]TIMESTAMP AS OF '<ts>'`` (the
+        Spark/Iceberg SQL time-travel surface the reference never had —
+        it is pinned to the current snapshot, SURVEY.md §2C) into a
+        dedicated temp view over the historical snapshot's file list.
+        Timestamp literals parse as UTC (snapshot timestamps are epoch
+        UTC); a bare integer after TIMESTAMP AS OF is epoch millis."""
+        import re
+        from datetime import datetime, timezone
+
+        def seg(x: str) -> str:
+            return rf"(?:`{re.escape(x)}`|{re.escape(x)})"
+
+        # positions belonging to code spans (never literals/comments)
+        code_mask = []
+        off = 0
+        for is_code, text in self._split_sql_literals(query):
+            if is_code:
+                code_mask.append((off, off + len(text)))
+            off += len(text)
+
+        def in_code(pos: int) -> bool:
+            return any(a <= pos < b for a, b in code_mask)
+
+        edits: list[tuple[int, int, str]] = []
+        for key, rel in self._mirror.items():
+            if not isinstance(rel, IcebergTable):
+                continue
+            ns, bare = key.split(".", 1)
+            pat = (
+                rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\.{seg(bare)}"
+                r"\s+FOR\s+(?:SYSTEM_)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+                r"('(?:[^']|'')*'|\d+)"
+            )
+            for m in re.finditer(pat, query, flags=re.IGNORECASE):
+                if not in_code(m.start()):
+                    continue
+                kind, val = m.group(1).upper(), m.group(2)
+                if kind == "VERSION":
+                    if val.startswith("'"):
+                        # quoted ref name (Spark/Iceberg: VERSION AS OF
+                        # accepts a branch/tag) -> pinned snapshot
+                        ref = val[1:-1].replace("''", "'")
+                        snap_id = rel.metadata.resolve_ref(ref)
+                    else:
+                        snap_id = int(val)
+                    df = rel.to_df(spark, snapshot_id=snap_id)
+                    view = f"{ns}_{bare}__v{snap_id}"
+                else:
+                    if val.isdigit():
+                        ts_ms = int(val)
+                    else:
+                        dt = datetime.fromisoformat(val[1:-1].replace("''", "'"))
+                        if dt.tzinfo is None:
+                            dt = dt.replace(tzinfo=timezone.utc)
+                        ts_ms = int(dt.timestamp() * 1000)
+                    df = rel.to_df(spark, as_of_timestamp_ms=ts_ms)
+                    view = f"{ns}_{bare}__ts{ts_ms}"
+                df.createOrReplaceTempView(view)
+                edits.append((m.start(), m.end(), f"`{view}`"))
+        for a, b, repl in sorted(edits, reverse=True):
+            query = query[:a] + repl + query[b:]
+        return query
+
+    def _rewrite_metadata_tables(self, spark: SparkSession, query: str) -> str:
+        """Rewrite ``<catalog>.<ns>.<table>$<meta>`` (Trino-style metadata
+        table suffix; accepted bare or with the last segment backticked as
+        ``` `table$files` ```) into a temp view over the corresponding
+        inspect DataFrame.  Supported kinds: snapshots, files, manifests,
+        partitions, history, refs (iceberg/inspect.py)."""
+        import re
+
+        from datafusion_iceberg_spark.iceberg.inspect import (
+            METADATA_TABLES,
+            metadata_df,
+        )
+
+        code_mask = []
+        off = 0
+        for is_code, text in self._split_sql_literals(query):
+            if is_code:
+                code_mask.append((off, off + len(text)))
+            off += len(text)
+
+        def in_code(pos: int) -> bool:
+            return any(a <= pos < b for a, b in code_mask)
+
+        def seg(x: str) -> str:
+            return rf"(?:`{re.escape(x)}`|{re.escape(x)})"
+
+        kinds = "|".join(sorted(METADATA_TABLES))
+        edits: list[tuple[int, int, str]] = []
+        for key, rel in self._mirror.items():
+            if not isinstance(rel, IcebergTable):
+                continue
+            ns, bare = key.split(".", 1)
+            pat = (
+                rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\."
+                rf"(?:`{re.escape(bare)}\$({kinds})`|{re.escape(bare)}\$({kinds}))"
+                r"(?![\w`$])"
+            )
+            for m in re.finditer(pat, query, flags=re.IGNORECASE):
+                if not in_code(m.start()):
+                    continue
+                kind = (m.group(1) or m.group(2)).lower()
+                view = f"{ns}_{bare}__meta_{kind}"
+                metadata_df(rel, spark, kind).createOrReplaceTempView(view)
+                edits.append((m.start(), m.end(), f"`{view}`"))
+        for a, b, repl in sorted(edits, reverse=True):
+            query = query[:a] + repl + query[b:]
+        return query
+
+    def sql(self, spark: SparkSession, query: str) -> DataFrame:
+        """SQL over the attached catalog, with THREE-PART name resolution:
+        occurrences of ``<catalog>.<ns>.<table>`` — bare or with any
+        segment backtick-quoted — rewrite to the registered flat view,
+        mirroring the reference's ``my_catalog.dashbook.covid_nyt``
+        resolution (catalog.rs:114-117) without a JVM TableCatalog plugin.
+        ``FOR [SYSTEM_]VERSION/TIMESTAMP AS OF`` suffixes on catalog
+        tables time-travel (``_rewrite_time_travel``).
+
+        Hardening (VERDICT r2 Missing #2 / ADVICE): string literals and
+        comments are never rewritten; quoted spellings resolve like bare
+        ones; and a ``<catalog>.``-prefixed name that survives the rewrite
+        (unknown table) raises a clear error here instead of surfacing as
+        Spark's confusing TABLE_OR_VIEW_NOT_FOUND on a name this layer
+        owns."""
+        import re
+
+        self.attach(spark)
+        query = self._rewrite_metadata_tables(spark, query)
+        query = self._rewrite_time_travel(spark, query)
+
+        def seg(x: str) -> str:
+            return rf"(?:`{re.escape(x)}`|{re.escape(x)})"
+
+        spans = self._split_sql_literals(query)
+        rewritten: list[str] = []
+        for is_code, text in spans:
+            if is_code:
+                # Spark identifiers are case-insensitive by default, so
+                # MY_CATALOG.ns.tbl must rewrite (and be caught) the same
+                # as my_catalog.ns.tbl (ADVICE r3).
+                for key in self._mirror:
+                    ns, bare = key.split(".", 1)
+                    text = re.sub(
+                        rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\.{seg(bare)}(?![\w`])",
+                        f"`{ns}_{bare}`",
+                        text,
+                        flags=re.IGNORECASE,
+                    )
+                # TABLE POSITION (after FROM/JOIN) is unambiguous — no
+                # alias can appear there — so any surviving
+                # '<catalog>.<...>' is a genuine miss: a two-part ref
+                # with the namespace omitted, or an unknown table/ns.
+                # Raise this layer's clear error listing known tables
+                # instead of Spark's generic TABLE_OR_VIEW_NOT_FOUND
+                # (ADVICE r4 #2).
+                tbl_pos = re.search(
+                    rf"\b(?:FROM|JOIN)\s+{seg(self.name)}\."
+                    r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)(?![\w`.])",
+                    text,
+                    flags=re.IGNORECASE,
+                )
+                if tbl_pos:
+                    known = ", ".join(sorted(self._mirror))
+                    raise ValueError(
+                        f"unresolved catalog reference "
+                        f"{tbl_pos.group(0).split(None, 1)[1]!r}: no table "
+                        f"{tbl_pos.group(1)!r} registered in catalog "
+                        f"{self.name!r} (known: {known})"
+                    )
+                # Elsewhere, '<catalog>.<x>.<y>' is only this layer's to
+                # own when <x> is a REGISTERED NAMESPACE: otherwise it is
+                # a struct-field access through an alias/CTE that happens
+                # to share the catalog name (e.g. SELECT mycat.meta.width
+                # FROM t AS mycat) and must pass through to Spark
+                # untouched (ADVICE r3 two-part / ADVICE r4 #1 three-part).
+                for lm in re.finditer(
+                    rf"(?<![\w`.]){seg(self.name)}\."
+                    r"((?:`[^`]+`|\w+))\.(?:`[^`]+`|\w+)(?![\w`])",
+                    text,
+                    flags=re.IGNORECASE,
+                ):
+                    mid = lm.group(1).strip("`").lower()
+                    if any(ns.lower() == mid for ns in self.namespaces()):
+                        known = ", ".join(sorted(self._mirror))
+                        raise ValueError(
+                            f"unresolved catalog reference "
+                            f"{lm.group(0)!r}: no such table in namespace "
+                            f"{lm.group(1)!r} of catalog "
+                            f"{self.name!r} (known: {known})"
+                        )
+            rewritten.append(text)
+        return spark.sql("".join(rewritten))
+
+
+class Catalog(SqlSurface):
     """Filesystem-warehouse catalog with a dict mirror."""
 
     def __init__(self, warehouse: str, name: str = "iceberg"):
@@ -310,248 +565,3 @@ class Catalog:
                 df.createOrReplaceTempView(bare)
                 self._bare_views.add(bare)
 
-    @staticmethod
-    def _split_sql_literals(query: str) -> list[tuple[bool, str]]:
-        """Split a SQL string into (is_code, text) spans so name rewriting
-        never touches string literals or comments.  Handles '...'/"..."
-        literals (with doubled-quote and backslash escapes), ``--`` line
-        comments, and ``/* */`` block comments.  Backtick identifiers stay
-        in code spans — they ARE names and must be rewritable."""
-        parts: list[tuple[bool, str]] = []
-        i, n, start = 0, len(query), 0
-
-        def flush_code(upto: int) -> None:
-            if upto > start:
-                parts.append((True, query[start:upto]))
-
-        while i < n:
-            c = query[i]
-            if c in ("'", '"'):
-                j = i + 1
-                while j < n:
-                    if query[j] == "\\":
-                        j += 2
-                        continue
-                    if query[j] == c:
-                        if j + 1 < n and query[j + 1] == c:  # '' escape
-                            j += 2
-                            continue
-                        break
-                    j += 1
-                j = min(j, n - 1)
-                flush_code(i)
-                parts.append((False, query[i : j + 1]))
-                i = start = j + 1
-            elif query.startswith("--", i):
-                j = query.find("\n", i)
-                j = n if j < 0 else j
-                flush_code(i)
-                parts.append((False, query[i:j]))
-                i = start = j
-            elif query.startswith("/*", i):
-                j = query.find("*/", i + 2)
-                j = n if j < 0 else j + 2
-                flush_code(i)
-                parts.append((False, query[i:j]))
-                i = start = j
-            else:
-                i += 1
-        flush_code(n)
-        return parts
-
-    def _rewrite_time_travel(self, spark: SparkSession, query: str) -> str:
-        """Rewrite ``<catalog>.<ns>.<table> FOR [SYSTEM_]VERSION AS OF
-        <snapshot-id>`` / ``FOR [SYSTEM_]TIMESTAMP AS OF '<ts>'`` (the
-        Spark/Iceberg SQL time-travel surface the reference never had —
-        it is pinned to the current snapshot, SURVEY.md §2C) into a
-        dedicated temp view over the historical snapshot's file list.
-        Timestamp literals parse as UTC (snapshot timestamps are epoch
-        UTC); a bare integer after TIMESTAMP AS OF is epoch millis."""
-        import re
-        from datetime import datetime, timezone
-
-        def seg(x: str) -> str:
-            return rf"(?:`{re.escape(x)}`|{re.escape(x)})"
-
-        # positions belonging to code spans (never literals/comments)
-        code_mask = []
-        off = 0
-        for is_code, text in self._split_sql_literals(query):
-            if is_code:
-                code_mask.append((off, off + len(text)))
-            off += len(text)
-
-        def in_code(pos: int) -> bool:
-            return any(a <= pos < b for a, b in code_mask)
-
-        edits: list[tuple[int, int, str]] = []
-        for key, rel in self._mirror.items():
-            if not isinstance(rel, IcebergTable):
-                continue
-            ns, bare = key.split(".", 1)
-            pat = (
-                rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\.{seg(bare)}"
-                r"\s+FOR\s+(?:SYSTEM_)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
-                r"('(?:[^']|'')*'|\d+)"
-            )
-            for m in re.finditer(pat, query, flags=re.IGNORECASE):
-                if not in_code(m.start()):
-                    continue
-                kind, val = m.group(1).upper(), m.group(2)
-                if kind == "VERSION":
-                    if val.startswith("'"):
-                        # quoted ref name (Spark/Iceberg: VERSION AS OF
-                        # accepts a branch/tag) -> pinned snapshot
-                        ref = val[1:-1].replace("''", "'")
-                        snap_id = rel.metadata.resolve_ref(ref)
-                    else:
-                        snap_id = int(val)
-                    df = rel.to_df(spark, snapshot_id=snap_id)
-                    view = f"{ns}_{bare}__v{snap_id}"
-                else:
-                    if val.isdigit():
-                        ts_ms = int(val)
-                    else:
-                        dt = datetime.fromisoformat(val[1:-1].replace("''", "'"))
-                        if dt.tzinfo is None:
-                            dt = dt.replace(tzinfo=timezone.utc)
-                        ts_ms = int(dt.timestamp() * 1000)
-                    df = rel.to_df(spark, as_of_timestamp_ms=ts_ms)
-                    view = f"{ns}_{bare}__ts{ts_ms}"
-                df.createOrReplaceTempView(view)
-                edits.append((m.start(), m.end(), f"`{view}`"))
-        for a, b, repl in sorted(edits, reverse=True):
-            query = query[:a] + repl + query[b:]
-        return query
-
-    def _rewrite_metadata_tables(self, spark: SparkSession, query: str) -> str:
-        """Rewrite ``<catalog>.<ns>.<table>$<meta>`` (Trino-style metadata
-        table suffix; accepted bare or with the last segment backticked as
-        ``` `table$files` ```) into a temp view over the corresponding
-        inspect DataFrame.  Supported kinds: snapshots, files, manifests,
-        partitions, history, refs (iceberg/inspect.py)."""
-        import re
-
-        from datafusion_iceberg_spark.iceberg.inspect import (
-            METADATA_TABLES,
-            metadata_df,
-        )
-
-        code_mask = []
-        off = 0
-        for is_code, text in self._split_sql_literals(query):
-            if is_code:
-                code_mask.append((off, off + len(text)))
-            off += len(text)
-
-        def in_code(pos: int) -> bool:
-            return any(a <= pos < b for a, b in code_mask)
-
-        def seg(x: str) -> str:
-            return rf"(?:`{re.escape(x)}`|{re.escape(x)})"
-
-        kinds = "|".join(sorted(METADATA_TABLES))
-        edits: list[tuple[int, int, str]] = []
-        for key, rel in self._mirror.items():
-            if not isinstance(rel, IcebergTable):
-                continue
-            ns, bare = key.split(".", 1)
-            pat = (
-                rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\."
-                rf"(?:`{re.escape(bare)}\$({kinds})`|{re.escape(bare)}\$({kinds}))"
-                r"(?![\w`$])"
-            )
-            for m in re.finditer(pat, query, flags=re.IGNORECASE):
-                if not in_code(m.start()):
-                    continue
-                kind = (m.group(1) or m.group(2)).lower()
-                view = f"{ns}_{bare}__meta_{kind}"
-                metadata_df(rel, spark, kind).createOrReplaceTempView(view)
-                edits.append((m.start(), m.end(), f"`{view}`"))
-        for a, b, repl in sorted(edits, reverse=True):
-            query = query[:a] + repl + query[b:]
-        return query
-
-    def sql(self, spark: SparkSession, query: str) -> DataFrame:
-        """SQL over the attached catalog, with THREE-PART name resolution:
-        occurrences of ``<catalog>.<ns>.<table>`` — bare or with any
-        segment backtick-quoted — rewrite to the registered flat view,
-        mirroring the reference's ``my_catalog.dashbook.covid_nyt``
-        resolution (catalog.rs:114-117) without a JVM TableCatalog plugin.
-        ``FOR [SYSTEM_]VERSION/TIMESTAMP AS OF`` suffixes on catalog
-        tables time-travel (``_rewrite_time_travel``).
-
-        Hardening (VERDICT r2 Missing #2 / ADVICE): string literals and
-        comments are never rewritten; quoted spellings resolve like bare
-        ones; and a ``<catalog>.``-prefixed name that survives the rewrite
-        (unknown table) raises a clear error here instead of surfacing as
-        Spark's confusing TABLE_OR_VIEW_NOT_FOUND on a name this layer
-        owns."""
-        import re
-
-        self.attach(spark)
-        query = self._rewrite_metadata_tables(spark, query)
-        query = self._rewrite_time_travel(spark, query)
-
-        def seg(x: str) -> str:
-            return rf"(?:`{re.escape(x)}`|{re.escape(x)})"
-
-        spans = self._split_sql_literals(query)
-        rewritten: list[str] = []
-        for is_code, text in spans:
-            if is_code:
-                # Spark identifiers are case-insensitive by default, so
-                # MY_CATALOG.ns.tbl must rewrite (and be caught) the same
-                # as my_catalog.ns.tbl (ADVICE r3).
-                for key in self._mirror:
-                    ns, bare = key.split(".", 1)
-                    text = re.sub(
-                        rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\.{seg(bare)}(?![\w`])",
-                        f"`{ns}_{bare}`",
-                        text,
-                        flags=re.IGNORECASE,
-                    )
-                # TABLE POSITION (after FROM/JOIN) is unambiguous — no
-                # alias can appear there — so any surviving
-                # '<catalog>.<...>' is a genuine miss: a two-part ref
-                # with the namespace omitted, or an unknown table/ns.
-                # Raise this layer's clear error listing known tables
-                # instead of Spark's generic TABLE_OR_VIEW_NOT_FOUND
-                # (ADVICE r4 #2).
-                tbl_pos = re.search(
-                    rf"\b(?:FROM|JOIN)\s+{seg(self.name)}\."
-                    r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)(?![\w`.])",
-                    text,
-                    flags=re.IGNORECASE,
-                )
-                if tbl_pos:
-                    known = ", ".join(sorted(self._mirror))
-                    raise ValueError(
-                        f"unresolved catalog reference "
-                        f"{tbl_pos.group(0).split(None, 1)[1]!r}: no table "
-                        f"{tbl_pos.group(1)!r} registered in catalog "
-                        f"{self.name!r} (known: {known})"
-                    )
-                # Elsewhere, '<catalog>.<x>.<y>' is only this layer's to
-                # own when <x> is a REGISTERED NAMESPACE: otherwise it is
-                # a struct-field access through an alias/CTE that happens
-                # to share the catalog name (e.g. SELECT mycat.meta.width
-                # FROM t AS mycat) and must pass through to Spark
-                # untouched (ADVICE r3 two-part / ADVICE r4 #1 three-part).
-                for lm in re.finditer(
-                    rf"(?<![\w`.]){seg(self.name)}\."
-                    r"((?:`[^`]+`|\w+))\.(?:`[^`]+`|\w+)(?![\w`])",
-                    text,
-                    flags=re.IGNORECASE,
-                ):
-                    mid = lm.group(1).strip("`").lower()
-                    if any(ns.lower() == mid for ns in self.namespaces()):
-                        known = ", ".join(sorted(self._mirror))
-                        raise ValueError(
-                            f"unresolved catalog reference "
-                            f"{lm.group(0)!r}: no such table in namespace "
-                            f"{lm.group(1)!r} of catalog "
-                            f"{self.name!r} (known: {known})"
-                        )
-            rewritten.append(text)
-        return spark.sql("".join(rewritten))

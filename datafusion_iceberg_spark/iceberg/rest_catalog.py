@@ -37,6 +37,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datafusion_iceberg_spark.iceberg.catalog import SqlSurface
 from datafusion_iceberg_spark.iceberg.metadata import metadata_from_dict
 from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
@@ -101,9 +102,11 @@ class RestCatalogClient:
         self._request("DELETE", f"/namespaces/{ns}/tables/{name}")
 
 
-class RestCatalog:
+class RestCatalog(SqlSurface):
     """Eager mirror over a REST catalog (Mirror::new analogue) exposing
-    the same query surface as the filesystem Catalog."""
+    the same query surface as the filesystem Catalog — including, via
+    the shared :class:`SqlSurface` mixin, 3-part names, time travel
+    (``FOR VERSION/TIMESTAMP AS OF``, refs) and ``$``-metadata tables."""
 
     def __init__(self, client: RestCatalogClient, name: str = "rest"):
         self.client = client
@@ -168,9 +171,7 @@ class RestCatalog:
             ns, bare = key.rsplit(".", 1)
             table.to_df(spark).createOrReplaceTempView(f"{ns}_{bare}")
 
-    def sql(self, spark: SparkSession, query: str) -> DataFrame:
-        self.attach(spark)
-        return spark.sql(query)
+    # sql() comes from SqlSurface (3-part rewrite, time travel, $meta)
 
 
 # ---------------------------------------------------------------------------

@@ -2312,3 +2312,36 @@ def test_remove_orphan_files(spark, sf_dir, scratch):
     assert t.to_df(spark).count() == 25
     first = sorted(t.metadata.snapshots, key=lambda s: s.timestamp_ms)[0]
     assert t.to_df(spark, snapshot_id=first.snapshot_id).count() == 25
+
+
+def test_rest_catalog_shares_sql_surface(spark, sf_dir, scratch):
+    """The REST mirror inherits the full SqlSurface: 3-part names,
+    $metadata tables, and time travel all work through rest.sql()."""
+    from datafusion_iceberg_spark.iceberg.rest_catalog import (
+        LocalRestServer,
+        RestCatalog,
+        RestCatalogClient,
+    )
+
+    cat, nation = _rest_fixture_warehouse(spark, sf_dir, scratch)
+    with LocalRestServer(cat.warehouse) as base:
+        rest = RestCatalog(RestCatalogClient(base))
+        n = rest.sql(
+            spark, "SELECT COUNT(*) AS n FROM rest.ns.nation"
+        ).first()["n"]
+        assert n == 25
+        snaps = rest.sql(
+            spark,
+            "SELECT operation, is_current FROM rest.ns.nation$snapshots",
+        ).collect()
+        assert [(s.operation, s.is_current) for s in snaps] == [("append", True)]
+        sid = rest.load("ns.nation").metadata.current_snapshot_id
+        n2 = rest.sql(
+            spark,
+            f"SELECT COUNT(*) AS n FROM rest.ns.nation FOR VERSION AS OF {sid}",
+        ).first()["n"]
+        assert n2 == 25
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unresolved catalog"):
+            rest.sql(spark, "SELECT * FROM rest.ns.nope")
