@@ -1428,3 +1428,50 @@ def iceberg_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(out["orphan_files"], n_rows)], "n_orphans int, n_rows bigint"
     )
+
+
+@register(
+    "iceberg_pyds_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue,
+           (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F') AS n_f
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through the Spark 4 Python DataSource (split handoff: one
+    InputPartition per pruned data file, pyarrow read in executors, no
+    Spark re-listing) — full-table agg plus a filtered count whose
+    partitions were pruned by pushFilters before any file opened."""
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        register_iceberg_datasource,
+    )
+
+    fx = fixture(spark, sf_dir)
+    register_iceberg_datasource(spark)
+    root = fx.orders.metadata.root
+    df = spark.read.format("iceberg_py").option("path", root).load()
+    f_cnt = (
+        spark.read.format("iceberg_py")
+        .option("path", root)
+        .load()
+        .filter(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("revenue"),
+        )
+        .withColumn("n_f", F.lit(f_cnt).cast("long"))
+        .orderBy("o_orderstatus")
+    )

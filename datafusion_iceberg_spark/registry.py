@@ -74,6 +74,7 @@ _PRIORITY = [
     "embed_quantize_int8",
     "text_pack_sequences",
     "iceberg_orphan_cleanup",
+    "iceberg_pyds_scan",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",

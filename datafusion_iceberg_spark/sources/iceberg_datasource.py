@@ -1,0 +1,266 @@
+"""Spark 4 Python DataSource for Iceberg tables — the real split
+handoff.
+
+``spark.read.format("iceberg_py")`` plans the scan the way the
+reference hands ``FileScanConfig`` file groups straight to the exec
+(table.rs:281-293): the driver walks metadata → manifests → pruned file
+list ONCE and emits one ``InputPartition`` per data file; executors
+open exactly those files with pyarrow.  Spark never re-lists
+directories or re-stats footers — the listing cost that motivated
+``_compact_read_paths`` (PERF_NOTES.md round 5) disappears
+structurally.
+
+Also provides ``spark.readStream.format("iceberg_py")``: a
+``DataSourceStreamReader`` that tails APPEND snapshots — offsets are
+snapshot ordinals, each micro-batch plans the files added by the
+snapshots in ``(start, end]`` (the incremental_df diff as a streaming
+source), and partitions are again one file each, read in executors.
+
+Scope fence (documented, enforced): snapshots carrying position or
+equality delete files refuse the fast path — correct MOR application
+needs the anti-joins in ``IcebergTable.to_df``; a DataSource partition
+reader can't see other files.  Filters push down for PRUNING only
+(file skip); Spark re-applies every filter exactly, so correctness
+never depends on stats.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator, Optional
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+
+class IcebergFilePartition(InputPartition):
+    """One data file: its localized path plus partition values for
+    columns that are absent from the file and must be attached as
+    constants (identity-partitioned tables that don't duplicate the
+    column into the data file)."""
+
+    def __init__(self, path: str, attach: dict):
+        self.path = path
+        self.attach = attach
+
+
+def _translate_filters(filters):
+    """Spark DataSource filters → our Pred tuples (pruning only).
+    Returns (pred_or_None, all_filters) — every filter is reported back
+    as unhandled so Spark re-applies them exactly; translated ones
+    additionally skip files via manifest/file stats."""
+    conj = None
+    ops = {
+        EqualTo: "=",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    for f in filters:
+        op = ops.get(type(f))
+        if op is None or len(f.attribute) != 1:
+            continue
+        term = (op, f.attribute[0], f.value)
+        conj = term if conj is None else ("and", conj, term)
+    return conj
+
+
+def _read_file(path: str, attach: dict, arrow_schema) -> Iterator["pa.RecordBatch"]:
+    """Executor-side: stream one parquet file as Arrow batches cast to
+    the table schema, attaching missing partition columns as constants.
+    Column-pruned: only the table-schema columns present in the file are
+    read from disk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    file_cols = set(pf.schema_arrow.names)
+    want = [n for n in arrow_schema.names if n in file_cols]
+    for batch in pf.iter_batches(columns=want):
+        cols = []
+        for field in arrow_schema:
+            if field.name in file_cols:
+                cols.append(batch.column(field.name).cast(field.type))
+            else:
+                val = attach.get(field.name)
+                cols.append(pa.array([val] * batch.num_rows, type=field.type))
+        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+
+def _plan_files(table, filters, snapshot_id=None, from_snapshot_id=None):
+    """Driver-side planning shared by batch and streaming: pruned file
+    list (optionally the incremental diff) → partitions.  Refuses MOR
+    snapshots (delete files need the anti-join scan path)."""
+    if table.position_delete_files(snapshot_id) or table.equality_delete_files(
+        snapshot_id
+    ):
+        raise ValueError(
+            "iceberg_py: snapshot has delete files; use IcebergTable.to_df "
+            "(MOR anti-joins are not expressible in a per-file reader)"
+        )
+    meta = table.metadata
+    files = table.files(filters, snapshot_id=snapshot_id)
+    if from_snapshot_id is not None:
+        old = {f.path for f in table.files(filters, snapshot_id=from_snapshot_id)}
+        files = [f for f in files if f.path not in old]
+    parts = []
+    for f in files:
+        attach = {k: v for k, v in (f.partition or {}).items()}
+        parts.append(IcebergFilePartition(meta.localize(f.path), attach))
+    return parts
+
+
+class IcebergPyReader(DataSourceReader):
+    def __init__(self, table, schema):
+        self._table = table
+        self._schema = schema
+        self._pred = None
+
+    def pushFilters(self, filters):
+        self._pred = _translate_filters(filters)
+        # report everything unhandled: pruning is only a file skip,
+        # Spark's exact re-filter stays in the plan
+        return filters
+
+    def partitions(self):
+        parts = _plan_files(self._table, self._pred)
+        if not parts:
+            # Spark requires >= 1 partition; an empty file emits no batches
+            return [IcebergFilePartition("", {})]
+        return parts
+
+    def read(self, partition: IcebergFilePartition):
+        if not partition.path:
+            return iter([])
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return _read_file(
+            partition.path, partition.attach, to_arrow_schema(self._schema)
+        )
+
+
+class IcebergPyStreamReader(DataSourceStreamReader):
+    """Tail APPEND snapshots: offset = snapshot ordinal (commit order).
+    Each micro-batch plans the file diff (start, end] on the driver —
+    metadata-only — and ships one partition per added file."""
+
+    def __init__(self, root: str, schema):
+        self._root = root
+        self._schema = schema
+
+    def _load(self):
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        return IcebergTable.load(self._root)
+
+    def _ordinal_to_snapshot(self, table, ordinal: int) -> Optional[int]:
+        for sid, o in table.metadata.snapshot_ordinals().items():
+            if o == ordinal:
+                return sid
+        return None
+
+    def initialOffset(self) -> dict:
+        return {"ordinal": -1}
+
+    def latestOffset(self) -> dict:
+        table = self._load()
+        ords = table.metadata.snapshot_ordinals()
+        return {"ordinal": max(ords.values()) if ords else -1}
+
+    def partitions(self, start: dict, end: dict):
+        so, eo = start["ordinal"], end["ordinal"]
+        if eo <= so:
+            return [IcebergFilePartition("", {})]
+        table = self._load()
+        parts = _plan_files(
+            table,
+            None,
+            snapshot_id=self._ordinal_to_snapshot(table, eo),
+            from_snapshot_id=(
+                self._ordinal_to_snapshot(table, so) if so >= 0 else None
+            ),
+        )
+        return parts or [IcebergFilePartition("", {})]
+
+    def read(self, partition: IcebergFilePartition):
+        if not partition.path:
+            return iter([])
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return _read_file(
+            partition.path, partition.attach, to_arrow_schema(self._schema)
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergPyDataSource(DataSource):
+    """Options: ``path`` (table root, required); ``snapshot_id`` /
+    ``ref`` (batch read pins, optional)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_py"
+
+    def _table(self):
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        root = self.options.get("path")
+        if not root:
+            raise ValueError("iceberg_py requires option 'path' (table root)")
+        table = IcebergTable.load(root)
+        ref = self.options.get("ref")
+        snapshot_id = self.options.get("snapshot_id")
+        if ref is not None:
+            snapshot_id = table.metadata.resolve_ref(ref)
+        elif snapshot_id is not None:
+            snapshot_id = int(snapshot_id)
+        return table, snapshot_id
+
+    def schema(self):
+        table, _ = self._table()
+        return table.metadata.struct_type()
+
+    def reader(self, schema) -> IcebergPyReader:
+        table, snapshot_id = self._table()
+        reader = IcebergPyReader(table, schema)
+        if snapshot_id is not None:
+            # pin every planning call to the requested snapshot
+            orig = reader.partitions
+
+            def pinned():
+                return _plan_files(table, reader._pred, snapshot_id=snapshot_id)
+
+            reader.partitions = pinned  # type: ignore[method-assign]
+        return reader
+
+    def streamReader(self, schema) -> IcebergPyStreamReader:
+        return IcebergPyStreamReader(self.options.get("path"), schema)
+
+
+def register_iceberg_datasource(spark) -> None:
+    """Idempotent session registration.  Python-side filter pushdown is
+    opt-in in Spark 4 — enable it so ``pushFilters`` receives the
+    predicates for file pruning."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # static-conf session: pushFilters then just never fires
+    try:
+        spark.dataSource.register(IcebergPyDataSource)
+    except Exception as e:  # already registered
+        if "already" not in str(e).lower():
+            raise

@@ -1,0 +1,126 @@
+"""Spark 4 Python DataSource for Iceberg (sources/iceberg_datasource.py):
+split handoff, pruning, refusal rules, snapshot/ref pins, streaming tail."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.iceberg.queries import fixture
+from datafusion_iceberg_spark.sources.iceberg_datasource import (
+    IcebergPyReader,
+    _plan_files,
+    register_iceberg_datasource,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def fx(spark):
+    f = fixture(spark, SF_DIR)
+    register_iceberg_datasource(spark)
+    return f
+
+
+def test_batch_read_matches_to_df(spark, fx):
+    root = fx.orders.metadata.root
+    ds = spark.read.format("iceberg_py").option("path", root).load()
+    ref = fx.orders.to_df(spark)
+    assert ds.count() == ref.count()
+    assert sorted(ds.columns) == sorted(ref.columns)
+    a = {
+        (r.o_orderstatus, r.n)
+        for r in ds.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    b = {
+        (r.o_orderstatus, r.n)
+        for r in ref.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert a == b
+
+
+def test_partition_pruning_plans_fewer_files(spark, fx):
+    """pushFilters -> _plan_files must skip non-matching partition files
+    before any executor task is created."""
+    all_parts = _plan_files(fx.orders, None)
+    pruned = _plan_files(fx.orders, ("=", "o_orderstatus", "F"))
+    assert 0 < len(pruned) < len(all_parts)
+    # and a filtered read through Spark is still exact
+    n = (
+        spark.read.format("iceberg_py")
+        .option("path", fx.orders.metadata.root)
+        .load()
+        .filter("o_orderstatus = 'F'")
+        .count()
+    )
+    assert n == fx.orders.to_df(spark).filter("o_orderstatus = 'F'").count()
+
+
+def test_snapshot_and_ref_pins(spark, fx):
+    root = fx.orders.metadata.root
+    n1 = (
+        spark.read.format("iceberg_py")
+        .option("path", root)
+        .option("snapshot_id", str(fx.snap1))
+        .load()
+        .count()
+    )
+    assert n1 == fx.orders.to_df(spark, snapshot_id=fx.snap1).count()
+    fx.catalog.create_tag("sales.orders", "pre_odd", fx.snap1)
+    n2 = (
+        spark.read.format("iceberg_py")
+        .option("path", root)
+        .option("ref", "pre_odd")
+        .load()
+        .count()
+    )
+    assert n2 == n1
+
+
+def test_mor_snapshot_refuses_fast_path(spark, fx):
+    from datafusion_iceberg_spark.iceberg.queries import _cdc_fixture
+
+    cdc = _cdc_fixture(spark, SF_DIR).load("cdc.orders")
+    with pytest.raises(Exception, match="delete files"):
+        _plan_files(cdc, None)
+
+
+def test_streaming_tail_with_checkpoint(spark, fx, tmp_path):
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    root = str(tmp_path / "wh_stream")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    for d in (root, ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+    cat = Catalog(root)
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table("t.n", nation.schema)
+    cat.append("t.n", spark, nation.filter(F.col("n_nationkey") < 20))
+    troot = cat.load("t.n").metadata.root
+
+    def run_once():
+        q = (
+            spark.readStream.format("iceberg_py")
+            .option("path", troot)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 20
+    cat.append("t.n", spark, nation.filter(F.col("n_nationkey") >= 20))
+    run_once()
+    got = spark.read.parquet(out)
+    # exactly the 5 appended rows arrived in the second batch
+    assert got.count() == 25
+    assert got.select("n_nationkey").distinct().count() == 25
