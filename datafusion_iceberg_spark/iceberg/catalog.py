@@ -469,6 +469,25 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def stage_append(
+        self, ident: str, spark: SparkSession, df: DataFrame, branch: str
+    ) -> int:
+        """Write-audit-publish step 1: stage an append on ``branch``
+        without moving main; audit via ``to_df(ref=branch)``; publish
+        with :meth:`fast_forward`."""
+        snap = self.writer(ident).append(spark, df, stage_branch=branch)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
+    def fast_forward(self, ident: str, branch: str) -> int:
+        """Write-audit-publish step 3: advance main to the staged
+        branch's snapshot (writer.fast_forward) + mirror refresh."""
+        snap = self.writer(ident).fast_forward(branch)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
     def create_tag(
         self, ident: str, name: str, snapshot_id: Optional[int] = None
     ) -> int:

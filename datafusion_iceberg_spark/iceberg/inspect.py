@@ -131,7 +131,10 @@ class Inspect:
                 (
                     _utc(s.timestamp_ms),
                     s.snapshot_id,
-                    prev,
+                    # stored parent (exact, incl. staged WAP snapshots)
+                    # with list-order fallback for metadata written
+                    # before parent tracking
+                    s.parent_id if s.parent_id is not None else prev,
                     ordinals.get(s.snapshot_id, 0),
                     s.summary.get("operation"),
                     {k: str(v) for k, v in s.summary.items()},

@@ -168,6 +168,7 @@ class Snapshot:
     manifest_list: str
     summary: dict
     schema_id: Optional[int] = None
+    parent_id: Optional[int] = None
 
 
 @dataclass
@@ -238,6 +239,7 @@ class TableMetadata:
                 s["manifest-list"],
                 s.get("summary", {}),
                 s.get("schema-id"),
+                s.get("parent-snapshot-id"),
             )
             for s in raw.get("snapshots", [])
         ]
@@ -328,7 +330,13 @@ class TableMetadata:
                     return s
             raise KeyError(f"snapshot {snapshot_id} not found")
         if as_of_timestamp_ms is not None:
-            eligible = [s for s in self.snapshots if s.timestamp_ms <= as_of_timestamp_ms]
+            main = self.main_ancestry_ids()
+            eligible = [
+                s
+                for s in self.snapshots
+                if s.timestamp_ms <= as_of_timestamp_ms
+                and s.snapshot_id in main
+            ]
             if not eligible:
                 return None
             return max(eligible, key=lambda s: s.timestamp_ms)
@@ -337,6 +345,17 @@ class TableMetadata:
         return next(
             s for s in self.snapshots if s.snapshot_id == self.current_snapshot_id
         )
+
+    def main_ancestry_ids(self) -> set[int]:
+        """Snapshot ids on the MAIN line of history (the snapshot-log).
+        Staged WAP snapshots live in ``snapshots`` with a branch ref but
+        never enter the log until published — time travel and changelog
+        reads must not see them.  Tables without a log (external
+        fixtures) treat every snapshot as main."""
+        log = self.raw.get("snapshot-log") or []
+        if not log:
+            return {s.snapshot_id for s in self.snapshots}
+        return {e["snapshot-id"] for e in log}
 
     def refs(self) -> dict[str, dict]:
         """Named refs (Iceberg v2 ``refs`` map): ``{name: {"snapshot-id",

@@ -1475,3 +1475,81 @@ def iceberg_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_f", F.lit(f_cnt).cast("long"))
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (stage on a branch, fast-forward main)
+# ---------------------------------------------------------------------------
+
+_wap_warehouses: dict[str, Catalog] = {}
+
+
+def _wap_fixture(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Cached warehouse exercising WAP end-to-end at build time: append
+    even orderkeys to main, STAGE the odd half on branch ``audit`` (main
+    unmoved), audit the branch, then fast-forward publish."""
+    with _lock:
+        cat = _wap_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_wap")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            even = orders.filter(F.col("o_orderkey") % 2 == 0)
+            odd = orders.filter(F.col("o_orderkey") % 2 != 0)
+            cat.create_table("wap.orders", orders.schema)
+            cat.append("wap.orders", spark, even)
+            cat.stage_append("wap.orders", spark, odd, "audit")
+            t = cat.load("wap.orders")
+            assert isinstance(t, IcebergTable)
+            # the audit step: main must still be the even half while the
+            # branch already sees everything
+            n_main = t.to_df(spark).count()
+            n_branch = t.to_df(spark, ref="audit").count()
+            assert n_branch > n_main, (n_main, n_branch)
+            cat.fast_forward("wap.orders", "audit")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _wap_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_wap_publish",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-publish state of the write-audit-publish warehouse: the
+    staged-then-published table must equal the full orders set exactly —
+    nothing lost in staging, nothing duplicated by the fast-forward."""
+    cat = _wap_fixture(spark, sf_dir)
+    t = cat.load("wap.orders")
+    assert isinstance(t, IcebergTable)
+    return (
+        t.to_df(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )

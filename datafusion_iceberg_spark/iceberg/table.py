@@ -429,7 +429,14 @@ class IcebergTable:
         """
         meta = self.metadata
         ords = meta.snapshot_ordinals()
-        snaps = sorted(meta.snapshots, key=lambda s: ords[s.snapshot_id])
+        main = meta.main_ancestry_ids()
+        # staged WAP snapshots (in `snapshots`, not in the log) are not
+        # main history: the changelog never reports them
+        snaps = [
+            s
+            for s in sorted(meta.snapshots, key=lambda s: ords[s.snapshot_id])
+            if s.snapshot_id in main
+        ]
         ids = [s.snapshot_id for s in snaps]
         start = ids.index(from_snapshot_id) + 1 if from_snapshot_id is not None else 0
         end = ids.index(to_snapshot_id) + 1 if to_snapshot_id is not None else len(ids)

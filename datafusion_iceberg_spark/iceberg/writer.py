@@ -398,8 +398,13 @@ class IcebergWriter:
         _operation: str = "append",
         _extra_entries: Optional[list] = None,
         _allow_empty: bool = False,
+        stage_branch: Optional[str] = None,
     ) -> int:
         """Write df as parquet data files + commit an append snapshot.
+        ``stage_branch`` stages the snapshot for write-audit-publish: it
+        is committed to the snapshot list under a branch ref of that
+        name, but ``main`` (current-snapshot-id, snapshot-log) does not
+        move until :meth:`fast_forward` publishes it.
         Returns the new snapshot id.  With ``_carry=False`` the new
         manifest REPLACES all previous ones (a rewrite snapshot — used by
         :meth:`compact`); ``_extra_entries`` (DataFile objects) are
@@ -552,6 +557,7 @@ class IcebergWriter:
                     total_rows,
                     _carry,
                     _operation,
+                    stage_branch,
                 )
             except CommitConflict:
                 if _attempt == 4:
@@ -569,6 +575,7 @@ class IcebergWriter:
         total_rows: int,
         _carry: bool,
         _operation: str,
+        _stage_branch: Optional[str] = None,
     ) -> int:
         """The read-validate-commit section of append, re-entrant for the
         optimistic-concurrency retry: re-reads current metadata (so the
@@ -639,15 +646,17 @@ class IcebergWriter:
         now = int(time.time() * 1000)
         prev_total = 0
         prev_files = 0
-        if _carry and meta.get("snapshots"):
-            prev_total = int(
-                meta["snapshots"][-1]["summary"].get("total-records", 0)
-            )
-            prev_files = int(
-                meta["snapshots"][-1]["summary"].get("total-data-files", 0)
-            )
+        cur_id = meta.get("current-snapshot-id")
+        cur_snap = next(
+            (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur_id),
+            None,
+        )
+        if _carry and cur_snap is not None:
+            prev_total = int(cur_snap["summary"].get("total-records", 0))
+            prev_files = int(cur_snap["summary"].get("total-data-files", 0))
         snapshot = {
             "snapshot-id": snap_id,
+            "parent-snapshot-id": meta.get("current-snapshot-id"),
             "timestamp-ms": now,
             "summary": {
                 "operation": _operation,
@@ -660,11 +669,21 @@ class IcebergWriter:
             "schema-id": 0,
         }
         meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
-        meta["current-snapshot-id"] = snap_id
+        if _stage_branch is None:
+            meta["current-snapshot-id"] = snap_id
+            meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+                {"timestamp-ms": now, "snapshot-id": snap_id}
+            ]
+        else:
+            # write-audit-publish: snapshot exists (and is ref-pinned
+            # against expiry) but main does not move until fast_forward
+            if _stage_branch == "main":
+                raise ValueError("'main' cannot be a staging branch")
+            meta.setdefault("refs", {})[_stage_branch] = {
+                "snapshot-id": snap_id,
+                "type": "branch",
+            }
         meta["last-updated-ms"] = now
-        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
-            {"timestamp-ms": now, "snapshot-id": snap_id}
-        ]
         self._commit_metadata(meta)
         return snap_id
 
@@ -1354,15 +1373,17 @@ class IcebergWriter:
         now = int(time.time() * 1000)
         prev_total = 0
         prev_files = 0
-        if meta.get("snapshots"):
-            prev_total = int(
-                meta["snapshots"][-1]["summary"].get("total-records", 0)
-            )
-            prev_files = int(
-                meta["snapshots"][-1]["summary"].get("total-data-files", 0)
-            )
+        cur_id = meta.get("current-snapshot-id")
+        cur_snap = next(
+            (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur_id),
+            None,
+        )
+        if cur_snap is not None:
+            prev_total = int(cur_snap["summary"].get("total-records", 0))
+            prev_files = int(cur_snap["summary"].get("total-data-files", 0))
         snapshot = {
             "snapshot-id": snap_id,
+            "parent-snapshot-id": cur_id,
             "timestamp-ms": now,
             "summary": {
                 "operation": "delete",
@@ -1556,6 +1577,44 @@ class IcebergWriter:
             _extra_entries=untouched,
             _allow_empty=True,
         )
+
+    def fast_forward(self, branch: str, drop_ref: bool = True) -> int:
+        """Publish a staged branch (write-audit-publish step 3): advance
+        ``main`` to the branch's snapshot.  Requires the staged
+        snapshot's parent to BE the current snapshot — if main moved
+        since staging, the staged manifest list is missing those commits
+        and publishing would silently drop them, so this raises and the
+        caller re-stages instead (the same conflict rule as Iceberg's
+        cherry-pick of an overwrite)."""
+        meta = self._load_current()
+        ref = meta.get("refs", {}).get(branch)
+        if ref is None:
+            raise KeyError(f"branch {branch!r} not found")
+        sid = int(ref["snapshot-id"])
+        snap = next(
+            (s for s in meta.get("snapshots", []) if s["snapshot-id"] == sid),
+            None,
+        )
+        if snap is None:
+            raise KeyError(f"snapshot {sid} (branch {branch!r}) not found")
+        cur = meta.get("current-snapshot-id")
+        parent = snap.get("parent-snapshot-id")
+        if parent != cur:
+            raise CommitConflict(
+                f"cannot fast-forward {branch!r}: staged from snapshot "
+                f"{parent}, but main is now at {cur} — re-stage on top of "
+                f"the current snapshot"
+            )
+        now = int(time.time() * 1000)
+        meta["current-snapshot-id"] = sid
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now, "snapshot-id": sid}
+        ]
+        if drop_ref:
+            meta["refs"].pop(branch, None)
+        meta["last-updated-ms"] = now
+        self._commit_metadata(meta)
+        return sid
 
     def remove_orphan_files(
         self, dry_run: bool = False, min_age_ms: int = 0

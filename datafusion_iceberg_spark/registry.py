@@ -75,6 +75,7 @@ _PRIORITY = [
     "text_pack_sequences",
     "iceberg_orphan_cleanup",
     "iceberg_pyds_scan",
+    "iceberg_wap_publish",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",

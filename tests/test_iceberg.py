@@ -2345,3 +2345,78 @@ def test_rest_catalog_shares_sql_surface(spark, sf_dir, scratch):
 
         with _pytest.raises(ValueError, match="unresolved catalog"):
             rest.sql(spark, "SELECT * FROM rest.ns.nope")
+
+
+# -- write-audit-publish (stage on branch, fast-forward main) -----------
+
+
+def test_wap_stage_audit_publish(spark, sf_dir, scratch):
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.writer import CommitConflict
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_wap")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("t.n", nation.schema)
+    cat.append("t.n", spark, nation.filter(F.col("n_nationkey") < 20))
+    main_before = cat.load("t.n").metadata.current_snapshot_id
+
+    staged = cat.stage_append(
+        "t.n", spark, nation.filter(F.col("n_nationkey") >= 20), "audit"
+    )
+    t = cat.load("t.n")
+    # main did not move; the branch sees the staged rows
+    assert t.metadata.current_snapshot_id == main_before
+    assert t.to_df(spark).count() == 20
+    assert t.to_df(spark, ref="audit").count() == 25
+    # staged snapshot is invisible to changelog and TIMESTAMP AS OF
+    assert t.changelog_df(spark).count() == 20
+    snaps = {r.snapshot_id: r for r in t.inspect.snapshots(spark).collect()}
+    assert snaps[staged].parent_id == main_before
+    assert not snaps[staged].is_current
+
+    # publish
+    published = cat.fast_forward("t.n", "audit")
+    assert published == staged
+    t = cat.load("t.n")
+    assert t.metadata.current_snapshot_id == staged
+    assert t.to_df(spark).count() == 25
+    assert t.changelog_df(spark).count() == 25
+    assert "audit" not in t.metadata.raw.get("refs", {})
+
+
+def test_wap_fast_forward_conflict(spark, sf_dir, scratch):
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.writer import CommitConflict
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_wap2")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("t.n", nation.schema)
+    cat.append("t.n", spark, nation.filter(F.col("n_nationkey") < 10))
+    cat.stage_append(
+        "t.n", spark, nation.filter(F.col("n_nationkey") >= 20), "audit"
+    )
+    # main moves while the audit runs -> publish must refuse (the staged
+    # manifest list lacks this append; fast-forwarding would drop it)
+    cat.append(
+        "t.n",
+        spark,
+        nation.filter((F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflict, match="re-stage"):
+        cat.fast_forward("t.n", "audit")
+    # table unaffected by the failed publish
+    assert cat.load("t.n").to_df(spark).count() == 20
