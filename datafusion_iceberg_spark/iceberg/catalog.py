@@ -523,6 +523,20 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def rewrite_zorder(
+        self,
+        ident: str,
+        spark: SparkSession,
+        columns: list,
+        target_file_bytes: int = 128 << 20,
+    ) -> int:
+        """Z-order clustering rewrite (writer.rewrite_zorder) + mirror
+        refresh."""
+        snap = self.writer(ident).rewrite_zorder(spark, columns, target_file_bytes)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
     def create_view(self, ident: str, sql: str) -> IcebergView:
         ns, name = ident.split(".", 1)
         self.create_namespace(ns)

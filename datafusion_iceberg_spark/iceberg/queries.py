@@ -1553,3 +1553,81 @@ def iceberg_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering rewrite
+# ---------------------------------------------------------------------------
+
+_zorder_warehouses: dict[str, Catalog] = {}
+
+
+def _zorder_fixture(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Cached warehouse: orders appended fragmented (16 files), then
+    z-order-rewritten on (o_custkey, o_totalprice) into ~8 files."""
+    with _lock:
+        cat = _zorder_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_zorder")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table("z.orders", orders.schema)
+            cat.append("z.orders", spark, orders.repartition(16))
+            total = sum(
+                f.file_size_in_bytes
+                for f in cat.load("z.orders").files()  # type: ignore[union-attr]
+            )
+            cat.rewrite_zorder(
+                "z.orders",
+                spark,
+                ["o_custkey", "o_totalprice"],
+                target_file_bytes=max(1, total // 8),
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _zorder_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_zorder_scan",
+    oracle="""
+    SELECT COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders
+    WHERE o_custkey <= 40 AND o_totalprice <= 80000
+    """,
+)
+def iceberg_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box query over a z-ordered table: the rewrite must preserve the
+    data exactly (oracle checks the box aggregate), and pruning now cuts
+    files on BOTH dimensions (asserted in tests/test_iceberg.py)."""
+    cat = _zorder_fixture(spark, sf_dir)
+    t = cat.load("z.orders")
+    assert isinstance(t, IcebergTable)
+    pred = (
+        "and",
+        ("<=", "o_custkey", 40),
+        ("<=", "o_totalprice", 80000),
+    )
+    return t.to_df(spark, filters=pred).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_custkey").cast("long").alias("key_sum"),
+        (
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+                .cast("long")
+                .cast("decimal(18,0)")
+            ).cast("double")
+            / 1000000
+        ).alias("revenue"),
+    )

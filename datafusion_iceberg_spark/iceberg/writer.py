@@ -909,6 +909,74 @@ class IcebergWriter:
             df = df.repartition(n_out)
         return self.append(spark, df, _carry=False, _operation="replace")
 
+    def rewrite_zorder(
+        self,
+        spark: SparkSession,
+        columns: list,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Z-order rewrite (Iceberg's rewrite_data_files zorder strategy):
+        cluster the table on the bit-interleaving of 2-4 numeric columns
+        so every file's min/max bounds are tight on ALL of them — a box
+        predicate then prunes files on every dimension, where a linear
+        sort only helps its leading column.
+
+        Mechanics: each column normalizes to a 16-bit rank via its
+        metadata min/max (decoded from manifests, no data scan), the
+        ranks bit-interleave into one long z-value (pure JVM expressions
+        inside codegen), and the rewrite is repartitionByRange + in-file
+        sort on z — a single range shuffle, then a replace snapshot.
+        The z column never lands in the files."""
+        import math
+
+        from pyspark.sql import functions as F
+
+        from datafusion_iceberg_spark.iceberg.table import (
+            IcebergTable,
+            min_max_by_field,
+        )
+
+        if not 2 <= len(columns) <= 4:
+            raise ValueError("zorder needs 2-4 columns")
+        table = IcebergTable.load(self.root)
+        files = table.files()
+        total_bytes = sum(f.file_size_in_bytes for f in files)
+        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+        df = table.to_df(spark)
+
+        bits = 16
+        terms = []
+        n = len(columns)
+        for k, col in enumerate(columns):
+            lo, hi = min_max_by_field(table, col)
+            if lo is None or hi is None or not isinstance(lo, (int, float)):
+                raise ValueError(
+                    f"zorder column {col!r} needs numeric min/max stats"
+                )
+            span = float(hi) - float(lo) or 1.0
+            rank = (
+                f"CAST(((CAST(`{col}` AS DOUBLE) - {float(lo)!r}) / {span!r})"
+                f" * {(1 << bits) - 1} AS BIGINT)"
+            )
+            rank = f"GREATEST(0L, LEAST({(1 << bits) - 1}L, {rank}))"
+            # NULLs sort first: rank 0
+            rank = f"COALESCE({rank}, 0L)"
+            terms.append(
+                f"aggregate(sequence(0, {bits - 1}), 0L,"
+                f" (acc, i) -> acc + shiftleft(shiftright({rank}, i) & 1L,"
+                f" i * {n} + {k}))"
+            )
+        z = F.expr(" + ".join(terms))
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+        # repartitionByRange+sort survives the write because append()
+        # writes the dataframe as-is when no table sort order is declared
+        return self.append(spark, df, _carry=False, _operation="replace")
+
     # -- stats collection ---------------------------------------------------
 
     def _collect_file_stats(self, data_dir: str) -> list[dict]:

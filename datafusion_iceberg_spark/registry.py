@@ -76,6 +76,7 @@ _PRIORITY = [
     "iceberg_orphan_cleanup",
     "iceberg_pyds_scan",
     "iceberg_wap_publish",
+    "iceberg_zorder_scan",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",

@@ -2420,3 +2420,35 @@ def test_wap_fast_forward_conflict(spark, sf_dir, scratch):
         cat.fast_forward("t.n", "audit")
     # table unaffected by the failed publish
     assert cat.load("t.n").to_df(spark).count() == 20
+
+
+def test_zorder_prunes_both_dimensions(spark, sf_dir, scratch):
+    """After the z-order rewrite, a box predicate on (o_custkey,
+    o_totalprice) prunes files on BOTH columns; a corner box must scan
+    strictly fewer files than the table has."""
+    from datafusion_iceberg_spark.iceberg.queries import _zorder_fixture
+
+    cat = _zorder_fixture(spark, sf_dir)
+    t = cat.load("z.orders")
+    all_files = t.files()
+    assert len(all_files) > 2  # rewrite produced a real spread
+    pred = ("and", ("<=", "o_custkey", 40), ("<=", "o_totalprice", 80000))
+    pruned = t.files(pred)
+    assert len(pruned) < len(all_files)
+    # single-dimension predicates prune too (z-order is fair to each dim)
+    p1 = t.files(("<=", "o_custkey", 20))
+    p2 = t.files(("<=", "o_totalprice", 50000))
+    assert len(p1) < len(all_files)
+    assert len(p2) < len(all_files)
+    # and the rewrite lost nothing
+    assert t.to_df(spark).count() == t.count_star()
+
+
+def test_zorder_rejects_bad_columns(spark, sf_dir, scratch):
+    from datafusion_iceberg_spark.iceberg.queries import _zorder_fixture
+
+    cat = _zorder_fixture(spark, sf_dir)
+    with pytest.raises(ValueError, match="2-4"):
+        cat.rewrite_zorder("z.orders", spark, ["o_custkey"])
+    with pytest.raises(ValueError, match="stats"):
+        cat.rewrite_zorder("z.orders", spark, ["o_orderstatus", "o_custkey"])
