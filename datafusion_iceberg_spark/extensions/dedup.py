@@ -818,3 +818,117 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bucket_cosine_pairs, schema="vec_a long, vec_b long, cos_sim double"
     )
     return out.distinct().orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster assignment (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE
+    tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 150
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS shared
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.u, i.v
+        FROM inter i
+        JOIN sz su ON su.doc_id = i.u
+        JOIN sz sv ON sv.doc_id = i.v
+        WHERE i.shared * 1.0 / (su.n + sv.n - i.shared) >= 0.6
+    ),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    )
+    SELECT u AS doc_id, MIN(r) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY MIN(r)) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY u ORDER BY doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over near-dup pairs (Jaccard >= 0.6 on token
+    sets, doc_id < 150): component id = min doc_id transitively
+    reachable — the step between pair detection and survivor choice
+    that makes 'keep one per duplicate CLUSTER' (not per pair) possible.
+
+    Distributed shape: iterative min-label propagation over the edge
+    list — each round is one join + groupBy min on (node, label) pairs
+    (8-byte ids only), converging in O(graph diameter) rounds, with a
+    driver-side convergence check on a count.  Near-dup graphs are
+    overwhelmingly tiny disjoint cliques (diameter 1-2), so 2-3 rounds
+    close real corpora; the 20-round bound is a safety rail.  The
+    DuckDB oracle replays the same clustering with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        tok.alias("a")
+        .join(tok.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pairs = (
+        inter.join(sz.withColumnRenamed("doc_id", "u").withColumnRenamed("n", "nu"), "u")
+        .join(sz.withColumnRenamed("doc_id", "v").withColumnRenamed("n", "nv"), "v")
+        .filter(
+            F.col("shared") / (F.col("nu") + F.col("nv") - F.col("shared"))
+            >= 0.6
+        )
+        .select("u", "v")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).cache()
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _round in range(20):
+        prop = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy(edges["u"].alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("label"))
+                    < F.col("label")
+                ).alias("chg"),
+            )
+        ).cache()
+        n_changed = updated.filter("chg").count()
+        labels = updated.select("node", "label")
+        if n_changed == 0:
+            break
+    from pyspark.sql import window as W
+
+    w = W.Window.partitionBy("label")
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component"),
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    ).orderBy("doc_id")

@@ -77,6 +77,7 @@ _PRIORITY = [
     "iceberg_pyds_scan",
     "iceberg_wap_publish",
     "iceberg_zorder_scan",
+    "dedup_connected_components",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
