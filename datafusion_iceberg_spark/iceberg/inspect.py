@@ -315,13 +315,18 @@ METADATA_TABLES = {
     "partitions",
     "history",
     "refs",
+    "changelog",
 }
 
 
 def metadata_df(
     table: "IcebergTable", spark: SparkSession, kind: str
 ) -> DataFrame:
-    """Dispatch for the SQL surface (``<catalog>.<ns>.<tbl>$<kind>``)."""
+    """Dispatch for the SQL surface (``<catalog>.<ns>.<tbl>$<kind>``).
+    ``$changelog`` is the full-history CDC read (table.changelog_df) —
+    not metadata-only, but it belongs on the same SQL surface."""
+    if kind == "changelog":
+        return table.changelog_df(spark)
     ins = Inspect(table)
     if kind not in METADATA_TABLES:
         raise ValueError(

@@ -168,3 +168,13 @@ def test_expire_keeps_ref_pinned_snapshots(spark, fx, tmp_path):
     assert out["expired_snapshots"] == 1
     # reader still fine at current snapshot
     assert cat.load("t.x").to_df(spark).count() == 30
+
+
+def test_sql_surface_changelog(spark, fx):
+    out = fx.catalog.sql(
+        spark,
+        "SELECT _change_type, COUNT(*) AS n FROM iceberg.sales.`orders$changelog`"
+        " GROUP BY _change_type",
+    ).collect()
+    got = {r["_change_type"]: r["n"] for r in out}
+    assert got == {"insert": fx.orders.to_df(spark).count()}
