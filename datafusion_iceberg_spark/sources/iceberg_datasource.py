@@ -119,6 +119,25 @@ def _plan_files(table, filters, snapshot_id=None, from_snapshot_id=None):
     for f in files:
         attach = {k: v for k, v in (f.partition or {}).items()}
         parts.append(IcebergFilePartition(meta.localize(f.path), attach))
+    if parts:
+        # Rename-evolution guard: this reader resolves columns by NAME
+        # (pyarrow), so a file written under an old column name would
+        # silently read as nulls.  One footer probe per planning call
+        # catches it (field-id mapping lives in to_df; see table.py).
+        import pyarrow.parquet as pq
+
+        names = set(pq.read_schema(parts[0].path).names)
+        missing = [
+            fld
+            for fld in meta.struct_type().names
+            if fld not in names and fld not in parts[0].attach
+        ]
+        if missing:
+            raise ValueError(
+                f"iceberg_py: file schema lacks column(s) {missing} (rename "
+                "evolution?) — use IcebergTable.to_df, which maps columns "
+                "by field id"
+            )
     return parts
 
 

@@ -124,3 +124,26 @@ def test_streaming_tail_with_checkpoint(spark, fx, tmp_path):
     # exactly the 5 appended rows arrived in the second batch
     assert got.count() == 25
     assert got.select("n_nationkey").distinct().count() == 25
+
+
+def test_rename_evolution_refuses_name_reader(spark, fx, tmp_path):
+    """Files written under an old column name must be refused (the
+    name-resolving pyarrow reader would silently null the column) and
+    directed to the field-id-mapping to_df path."""
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    root = str(tmp_path / "wh_rename")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table("t.n", nation.schema)
+    cat.append("t.n", spark, nation)
+    cat.rename_column("t.n", "n_name", "nation_name")
+    t = cat.load("t.n")
+    with pytest.raises(ValueError, match="field id"):
+        _plan_files(t, None)
+    # the id-mapping scan still reads the old files fine
+    assert t.to_df(spark).select("nation_name").count() == 25
