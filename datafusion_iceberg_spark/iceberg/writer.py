@@ -38,6 +38,32 @@ from datafusion_iceberg_spark.iceberg.stats import encode_stat
 # both tolerate the omissions) ---------------------------------------------
 
 
+def zvalue_sql(columns: list, bits: int = 16) -> str:
+    """SQL expression interleaving the bits of each column's normalized
+    16-bit rank into one z-value.  ``columns`` = [(name, lo, hi), ...];
+    ranks clamp to [0, 2^bits) and NULLs rank 0 (sort first).  Pure JVM
+    functions (codegen-friendly); shared by rewrite_zorder and its
+    property tests."""
+    n = len(columns)
+    terms = []
+    for k, (col, lo, hi) in enumerate(columns):
+        span = float(hi) - float(lo) or 1.0
+        rank = (
+            f"CAST(((CAST(`{col}` AS DOUBLE) - {float(lo)!r}) / {span!r})"
+            f" * {(1 << bits) - 1} AS BIGINT)"
+        )
+        # COALESCE BEFORE the clamp: Spark's GREATEST/LEAST skip NULL
+        # arguments, so a NULL rank would clamp to the MAX, not 0
+        rank = f"COALESCE({rank}, 0L)"
+        rank = f"GREATEST(0L, LEAST({(1 << bits) - 1}L, {rank}))"
+        terms.append(
+            f"aggregate(sequence(0, {bits - 1}), 0L,"
+            f" (acc, i) -> acc + shiftleft(shiftright({rank}, i) & 1L,"
+            f" i * {n} + {k}))"
+        )
+    return " + ".join(terms)
+
+
 class CommitConflict(Exception):
     """Another writer committed the same base metadata version first —
     re-read the table state and retry (optimistic concurrency, the
@@ -944,29 +970,15 @@ class IcebergWriter:
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
         df = table.to_df(spark)
 
-        bits = 16
-        terms = []
-        n = len(columns)
-        for k, col in enumerate(columns):
+        bounds = []
+        for col in columns:
             lo, hi = min_max_by_field(table, col)
             if lo is None or hi is None or not isinstance(lo, (int, float)):
                 raise ValueError(
                     f"zorder column {col!r} needs numeric min/max stats"
                 )
-            span = float(hi) - float(lo) or 1.0
-            rank = (
-                f"CAST(((CAST(`{col}` AS DOUBLE) - {float(lo)!r}) / {span!r})"
-                f" * {(1 << bits) - 1} AS BIGINT)"
-            )
-            rank = f"GREATEST(0L, LEAST({(1 << bits) - 1}L, {rank}))"
-            # NULLs sort first: rank 0
-            rank = f"COALESCE({rank}, 0L)"
-            terms.append(
-                f"aggregate(sequence(0, {bits - 1}), 0L,"
-                f" (acc, i) -> acc + shiftleft(shiftright({rank}, i) & 1L,"
-                f" i * {n} + {k}))"
-            )
-        z = F.expr(" + ".join(terms))
+            bounds.append((col, lo, hi))
+        z = F.expr(zvalue_sql(bounds))
         df = (
             df.withColumn("__z", z)
             .repartitionByRange(n_out, "__z")

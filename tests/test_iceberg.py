@@ -2452,3 +2452,59 @@ def test_zorder_rejects_bad_columns(spark, sf_dir, scratch):
         cat.rewrite_zorder("z.orders", spark, ["o_custkey"])
     with pytest.raises(ValueError, match="stats"):
         cat.rewrite_zorder("z.orders", spark, ["o_orderstatus", "o_custkey"])
+
+
+def test_zvalue_properties(spark):
+    """z-value invariants, evaluated through the REAL SQL expression on
+    a grid: per-dimension monotonicity (fixing the other coordinate),
+    range bound < 2^(2*bits), and NULL ranking first."""
+    from pyspark.sql import functions as F
+
+    from datafusion_iceberg_spark.iceberg.writer import zvalue_sql
+
+    z = zvalue_sql([("x", 0, 65535), ("y", 0, 65535)])
+    grid = spark.range(0, 255 * 64).select(
+        ((F.col("id") % 255) * 257).alias("x"),
+        ((F.col("id") / 255).cast("long") * 4099 % 65536).alias("y"),
+    ).withColumn("z", F.expr(z))
+    assert grid.filter(F.col("z") >= F.lit(1 << 32)).count() == 0
+    assert grid.filter(F.col("z") < 0).count() == 0
+    # monotone in x for fixed y, and in y for fixed x
+    from pyspark.sql import window as W
+
+    for fix, var in (("y", "x"), ("x", "y")):
+        w = W.Window.partitionBy(fix).orderBy(var)
+        bad = (
+            grid.withColumn("pz", F.lag("z").over(w))
+            .filter(F.col("pz").isNotNull() & (F.col("z") <= F.col("pz")))
+            .count()
+        )
+        assert bad == 0, f"z not monotone in {var}"
+    # NULL coordinate ranks first (z contributes 0 bits for it)
+    nz = spark.sql("SELECT CAST(NULL AS BIGINT) AS x, 65535 AS y").withColumn(
+        "z", F.expr(z)
+    )
+    lo = spark.sql("SELECT 0 AS x, 65535 AS y").withColumn("z", F.expr(z))
+    assert nz.first()["z"] == lo.first()["z"]
+
+
+def test_sampling_hash_bucket_engine_parity_and_spread(spark):
+    """hash_bucket must equal the python md5 reimplementation for
+    arbitrary keys (engine portability is the design contract) and
+    spread roughly uniformly."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from datafusion_iceberg_spark.extensions.sampling import hash_bucket
+
+    rows = spark.range(0, 5000).select(
+        F.col("id"), hash_bucket(F.col("id")).alias("b")
+    )
+    got = {r.id: r.b for r in rows.collect()}
+    for k, v in list(got.items())[:500]:
+        expect = int(hashlib.md5(str(k).encode()).hexdigest()[:4], 16) % 100
+        assert v == expect, (k, v, expect)
+    counts = rows.groupBy("b").count().collect()
+    assert len(counts) == 100
+    assert all(20 <= r["count"] <= 90 for r in counts)  # ~50 expected
