@@ -1832,6 +1832,11 @@ class IcebergWriter:
         ref_ids = {
             int(r["snapshot-id"]) for r in meta.get("refs", {}).values()
         }
+        # the CURRENT snapshot is always pinned: a staged WAP snapshot can
+        # be NEWER than main, and keep_last-by-timestamp would otherwise
+        # keep the staged one while expiring what main points at
+        if meta.get("current-snapshot-id") not in (None, -1):
+            ref_ids.add(int(meta["current-snapshot-id"]))
         if ref_ids:
             pinned = [s for s in expired if s["snapshot-id"] in ref_ids]
             expired = [s for s in expired if s["snapshot-id"] not in ref_ids]

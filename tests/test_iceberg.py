@@ -2508,3 +2508,31 @@ def test_sampling_hash_bucket_engine_parity_and_spread(spark):
     counts = rows.groupBy("b").count().collect()
     assert len(counts) == 100
     assert all(20 <= r["count"] <= 90 for r in counts)  # ~50 expected
+
+
+def test_expire_never_drops_current_under_staged(spark, sf_dir, scratch):
+    """A staged WAP snapshot is newer than main; expire(keep_last=1)
+    must still keep what main points at."""
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_expire_staged")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("t.n", nation.schema)
+    cat.append("t.n", spark, nation.filter(F.col("n_nationkey") < 10))
+    cat.append("t.n", spark, nation.filter(
+        (F.col("n_nationkey") >= 10) & (F.col("n_nationkey") < 20)))
+    cat.stage_append("t.n", spark, nation.filter(F.col("n_nationkey") >= 20), "audit")
+    out = cat.writer("t.n").expire_snapshots(keep_last=1)
+    # only the FIRST main snapshot could expire; current and staged stay
+    assert out["expired_snapshots"] == 1
+    t = cat.load("t.n")
+    assert t.to_df(spark).count() == 20
+    assert t.to_df(spark, ref="audit").count() == 25
+    cat.fast_forward("t.n", "audit")
+    assert cat.load("t.n").to_df(spark).count() == 25
