@@ -78,6 +78,7 @@ _PRIORITY = [
     "iceberg_wap_publish",
     "iceberg_zorder_scan",
     "dedup_connected_components",
+    "profile_lineitem_columns",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
