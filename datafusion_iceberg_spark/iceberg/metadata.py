@@ -239,7 +239,11 @@ class TableMetadata:
                 s["manifest-list"],
                 s.get("summary", {}),
                 s.get("schema-id"),
-                s.get("parent-snapshot-id"),
+                # a fresh table carries current-snapshot-id = -1 (Iceberg
+                # spec sentinel); a first append copies that as its parent
+                None
+                if s.get("parent-snapshot-id") in (None, -1)
+                else s.get("parent-snapshot-id"),
             )
             for s in raw.get("snapshots", [])
         ]

@@ -680,9 +680,12 @@ class IcebergWriter:
         if _carry and cur_snap is not None:
             prev_total = int(cur_snap["summary"].get("total-records", 0))
             prev_files = int(cur_snap["summary"].get("total-data-files", 0))
+        parent_id = meta.get("current-snapshot-id")
         snapshot = {
             "snapshot-id": snap_id,
-            "parent-snapshot-id": meta.get("current-snapshot-id"),
+            # -1 is the spec sentinel for "no current snapshot" — a first
+            # append has no parent, so don't record the sentinel as one
+            "parent-snapshot-id": None if parent_id in (None, -1) else parent_id,
             "timestamp-ms": now,
             "summary": {
                 "operation": _operation,
@@ -1463,7 +1466,7 @@ class IcebergWriter:
             prev_files = int(cur_snap["summary"].get("total-data-files", 0))
         snapshot = {
             "snapshot-id": snap_id,
-            "parent-snapshot-id": cur_id,
+            "parent-snapshot-id": None if cur_id in (None, -1) else cur_id,
             "timestamp-ms": now,
             "summary": {
                 "operation": "delete",
