@@ -197,6 +197,30 @@ class SqlSurface:
             query = query[:a] + repl + query[b:]
         return query
 
+    def resolve_names(self, query: str) -> str:
+        """Rewrite ``<catalog>.<ns>.<table>`` references (bare or
+        backticked, literal/comment-safe) to the flat ``<ns>_<table>``
+        view names — the storable spelling for view SQL, which replays
+        through plain ``spark.sql`` at scan time (view.py:to_df)."""
+        import re
+
+        def seg(x: str) -> str:
+            return rf"(?:`{re.escape(x)}`|{re.escape(x)})"
+
+        out: list[str] = []
+        for is_code, text in self._split_sql_literals(query):
+            if is_code:
+                for key in self._mirror:
+                    ns, bare = key.split(".", 1)
+                    text = re.sub(
+                        rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\.{seg(bare)}(?![\w`])",
+                        f"`{ns}_{bare}`",
+                        text,
+                        flags=re.IGNORECASE,
+                    )
+            out.append(text)
+        return "".join(out)
+
     def sql(self, spark: SparkSession, query: str) -> DataFrame:
         """SQL over the attached catalog, with THREE-PART name resolution:
         occurrences of ``<catalog>.<ns>.<table>`` — bare or with any
@@ -211,9 +235,18 @@ class SqlSurface:
         ones; and a ``<catalog>.``-prefixed name that survives the rewrite
         (unknown table) raises a clear error here instead of surfacing as
         Spark's confusing TABLE_OR_VIEW_NOT_FOUND on a name this layer
-        owns."""
+        owns.
+
+        DML/DDL statements (INSERT/DELETE/UPDATE/MERGE/CREATE/DROP/
+        ALTER) on catalog tables dispatch to the write path (dml.py) and
+        return a one-row (operation, target, snapshot_id) DataFrame."""
         import re
 
+        from datafusion_iceberg_spark.iceberg import dml
+
+        out = dml.try_execute(self, spark, query)
+        if out is not None:
+            return out
         self.attach(spark)
         query = self._rewrite_metadata_tables(spark, query)
         query = self._rewrite_time_travel(spark, query)
@@ -379,6 +412,14 @@ class Catalog(SqlSurface):
         snap = self.writer(ident).append(spark, df)
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)  # refresh snapshot view
+        return snap
+
+    def overwrite(self, ident: str, spark: SparkSession, df: DataFrame) -> int:
+        """INSERT OVERWRITE (writer.overwrite: single replace snapshot)
+        + mirror refresh."""
+        snap = self.writer(ident).overwrite(spark, df)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
         return snap
 
     def delete_where(self, ident: str, spark: SparkSession, pred) -> int:

@@ -1,0 +1,453 @@
+"""SQL DML/DDL for the catalog SQL surface: ``INSERT INTO/OVERWRITE``,
+``DELETE FROM``, ``UPDATE``, ``MERGE INTO``, ``CREATE TABLE [AS]``,
+``CREATE VIEW``, ``DROP TABLE/VIEW``, ``ALTER TABLE ADD/RENAME/DROP
+COLUMN`` on three-part catalog names.
+
+The reference is read-only (its ``TableProvider`` never implements
+``insert_into``; SURVEY.md §2C), so this whole surface is
+beyond-reference — but it is what every SQL user of an Iceberg catalog
+expects, and it simply dispatches to the existing write path
+(``writer.py``): every statement lands as one atomic snapshot commit
+with the same pruning the Python API gets (``DELETE``/``UPDATE`` WHERE
+clauses parse into the stats-pruning AST via ``pruning.sql_to_pred``,
+so a partition-aligned predicate rewrites one partition's files, not
+the table).
+
+Statements that do not target this catalog return ``None`` and fall
+through to the read path / plain ``spark.sql``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IDENT = r"(?:`[^`]+`|[A-Za-z_]\w*)"
+
+_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("operation", T.StringType(), False),
+        T.StructField("target", T.StringType(), False),
+        T.StructField("snapshot_id", T.LongType(), True),
+    ]
+)
+
+
+def _result(
+    spark: SparkSession, op: str, target: str, snap: Optional[int]
+) -> DataFrame:
+    return spark.createDataFrame([(op, target, snap)], _RESULT_SCHEMA)
+
+
+def _unq(x: str) -> str:
+    x = x.strip()
+    return x[1:-1] if x.startswith("`") and x.endswith("`") else x
+
+
+def _split_top(s: str, sep_word: Optional[str] = None) -> list[str]:
+    """Split on top-level commas (default) or a top-level keyword,
+    respecting single-quoted strings, backticks, and parentheses."""
+    parts: list[str] = []
+    depth = 0
+    i = 0
+    start = 0
+    n = len(s)
+    word_re = (
+        re.compile(rf"\b{sep_word}\b", re.IGNORECASE) if sep_word else None
+    )
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "`":
+            j = s.find("`", i + 1)
+            i = (j if j != -1 else n) + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if sep_word is None and c == ",":
+                parts.append(s[start:i])
+                start = i + 1
+            elif word_re is not None:
+                m = word_re.match(s, i)
+                if m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+                    parts.append(s[start:i])
+                    start = m.end()
+                    i = m.end()
+                    continue
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+def _split_where(s: str) -> tuple[str, Optional[str]]:
+    parts = _split_top(s, "WHERE")
+    if len(parts) == 1:
+        return parts[0].strip(), None
+    # everything after the FIRST top-level WHERE is the predicate
+    return parts[0].strip(), s[len(parts[0]):].lstrip()[5:].strip()
+
+
+def _align(
+    df: DataFrame, st: T.StructType, cols: Optional[list[str]]
+) -> DataFrame:
+    """SQL INSERT alignment: positional into ``cols`` (or the full
+    schema), unlisted target columns NULL, everything cast to the target
+    type."""
+    target_cols = cols if cols is not None else [f.name for f in st.fields]
+    if len(df.columns) != len(target_cols):
+        raise ValueError(
+            f"INSERT column arity mismatch: source has {len(df.columns)} "
+            f"columns, target list has {len(target_cols)}"
+        )
+    if len({c.lower() for c in target_cols}) != len(target_cols):
+        raise ValueError(f"duplicate INSERT target column in {target_cols}")
+    # positional mapping (df[i] — source column NAMES are irrelevant and
+    # may repeat, e.g. `VALUES` literals)
+    by_target = {tgt.lower(): df[i] for i, tgt in enumerate(target_cols)}
+    unknown = set(by_target) - {f.name.lower() for f in st.fields}
+    if unknown:
+        raise ValueError(f"INSERT into unknown columns: {sorted(unknown)}")
+    sel = []
+    for f in st.fields:
+        src = by_target.get(f.name.lower())
+        if src is not None:
+            sel.append(src.cast(f.dataType).alias(f.name))
+        else:
+            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*sel)
+
+
+def _need(surface, *methods: str) -> None:
+    missing = [m for m in methods if not hasattr(surface, m)]
+    if missing:
+        raise NotImplementedError(
+            f"catalog {surface.name!r} is read-only on the SQL surface "
+            f"(missing {', '.join(missing)})"
+        )
+
+
+def try_execute(
+    surface, spark: SparkSession, query: str
+) -> Optional[DataFrame]:
+    """Execute ``query`` if it is a DML/DDL statement targeting a
+    three-part name in this catalog; otherwise return ``None``."""
+    q = query.strip().rstrip(";").strip()
+    head = q.split(None, 1)[0].upper() if q else ""
+    if head not in ("INSERT", "DELETE", "UPDATE", "MERGE", "CREATE", "DROP", "ALTER"):
+        return None
+    cat = rf"(?:`{re.escape(surface.name)}`|{re.escape(surface.name)})"
+    tgt3 = rf"{cat}\.({IDENT})\.({IDENT})"
+
+    if head == "INSERT":
+        return _insert(surface, spark, q, tgt3)
+    if head == "DELETE":
+        return _delete(surface, spark, q, tgt3)
+    if head == "UPDATE":
+        return _update(surface, spark, q, tgt3)
+    if head == "MERGE":
+        return _merge(surface, spark, q, tgt3)
+    if head == "CREATE":
+        return _create(surface, spark, q, tgt3)
+    if head == "DROP":
+        return _drop(surface, spark, q, tgt3)
+    return _alter(surface, spark, q, tgt3)
+
+
+def _insert(surface, spark, q, tgt3) -> Optional[DataFrame]:
+    m = re.match(
+        rf"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?{tgt3}\s+(.*)$",
+        q,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        return None
+    mode, ns, tbl, rest = m.group(1).upper(), _unq(m.group(2)), _unq(m.group(3)), m.group(4).strip()
+    cols: Optional[list[str]] = None
+    colm = re.match(
+        rf"\(\s*({IDENT}(?:\s*,\s*{IDENT})*)\s*\)\s*(.*)$", rest, re.DOTALL
+    )
+    if colm and re.match(
+        r"(SELECT|VALUES|WITH|TABLE|FROM|\()", colm.group(2), re.IGNORECASE
+    ):
+        cols = [_unq(c) for c in _split_top(colm.group(1))]
+        rest = colm.group(2).strip()
+    ident = f"{ns}.{tbl}"
+    _need(surface, "append", "overwrite", "load")
+    table = surface.load(ident)
+    st = table.metadata.struct_type()
+    src = surface.sql(spark, rest)
+    aligned = _align(src, st, cols)
+    if mode == "INTO":
+        snap = surface.append(ident, spark, aligned)
+        return _result(spark, "append", ident, snap)
+    snap = surface.overwrite(ident, spark, aligned)
+    return _result(spark, "overwrite", ident, snap)
+
+
+def _delete(surface, spark, q, tgt3) -> Optional[DataFrame]:
+    m = re.match(
+        rf"DELETE\s+FROM\s+{tgt3}\s*(.*)$", q, re.IGNORECASE | re.DOTALL
+    )
+    if m is None:
+        return None
+    ns, tbl, rest = _unq(m.group(1)), _unq(m.group(2)), m.group(3).strip()
+    ident = f"{ns}.{tbl}"
+    if not rest:
+        _need(surface, "overwrite", "load")
+        st = surface.load(ident).metadata.struct_type()
+        snap = surface.overwrite(ident, spark, spark.createDataFrame([], st))
+        return _result(spark, "delete", ident, snap)
+    wm = re.match(r"WHERE\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
+    if wm is None:
+        raise ValueError(f"cannot parse DELETE tail: {rest!r}")
+    _need(surface, "delete_where")
+    snap = surface.delete_where(ident, spark, wm.group(1).strip())
+    return _result(spark, "delete", ident, snap)
+
+
+def _update(surface, spark, q, tgt3) -> Optional[DataFrame]:
+    m = re.match(
+        rf"UPDATE\s+{tgt3}\s+SET\s+(.*)$", q, re.IGNORECASE | re.DOTALL
+    )
+    if m is None:
+        return None
+    ns, tbl = _unq(m.group(1)), _unq(m.group(2))
+    ident = f"{ns}.{tbl}"
+    assignments, where = _split_where(m.group(3))
+    set_exprs: dict[str, str] = {}
+    for part in _split_top(assignments):
+        am = re.match(rf"\s*({IDENT})\s*=\s*(.*)$", part, re.DOTALL)
+        if am is None:
+            raise ValueError(f"cannot parse SET assignment: {part!r}")
+        set_exprs[_unq(am.group(1))] = am.group(2).strip()
+    _need(surface, "update_where")
+    snap = surface.update_where(
+        ident, spark, where if where is not None else "TRUE", set_exprs
+    )
+    return _result(spark, "update", ident, snap)
+
+
+def _merge(surface, spark, q, tgt3) -> Optional[DataFrame]:
+    m = re.match(
+        rf"MERGE\s+INTO\s+{tgt3}(?:\s+AS)?\s+(\w+)\s+USING\s+(.*)$",
+        q,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        return None
+    ns, tbl, talias = _unq(m.group(1)), _unq(m.group(2)), m.group(3)
+    ident = f"{ns}.{tbl}"
+    rest = m.group(4).strip()
+    # source: '(subquery)' or a table reference, each with optional alias
+    if rest.startswith("("):
+        depth = 0
+        for i, c in enumerate(rest):
+            depth += c == "("
+            depth -= c == ")"
+            if depth == 0:
+                break
+        src_sql, rest = rest[1:i], rest[i + 1:].strip()
+    else:
+        sm = re.match(rf"((?:{IDENT})(?:\.{IDENT}){{0,2}})\s+(.*)$", rest, re.DOTALL)
+        if sm is None:
+            raise ValueError(f"cannot parse MERGE USING source: {rest!r}")
+        src_sql, rest = f"SELECT * FROM {sm.group(1)}", sm.group(2).strip()
+    am = re.match(r"(?:AS\s+)?(\w+)\s+(.*)$", rest, re.DOTALL)
+    if am is None or am.group(1).upper() == "ON":
+        raise ValueError("MERGE USING source needs an alias")
+    salias, rest = am.group(1), am.group(2).strip()
+    om = re.match(r"ON\s+(.*?)\s+WHEN\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
+    if om is None:
+        raise ValueError(f"cannot parse MERGE ON/WHEN: {rest!r}")
+    cond, clauses_sql = om.group(1).strip(), "WHEN " + om.group(2)
+    cm = re.match(
+        rf"(\w+)\.({IDENT})\s*=\s*(\w+)\.({IDENT})\s*$", cond
+    )
+    if cm is None:
+        raise ValueError(
+            f"MERGE ON must be a single equality t.k = s.k, got {cond!r}"
+        )
+    a1, c1, a2, c2 = cm.group(1), _unq(cm.group(2)), cm.group(3), _unq(cm.group(4))
+    if c1.lower() != c2.lower() or {a1.lower(), a2.lower()} != {
+        talias.lower(),
+        salias.lower(),
+    }:
+        raise ValueError(
+            "MERGE ON must equate the SAME column across the two aliases"
+        )
+    on = c1
+
+    when_matched_set: Optional[dict[str, str]] = None
+    insert_not_matched = False
+    for clause in re.split(r"\bWHEN\s+", clauses_sql, flags=re.IGNORECASE)[1:]:
+        clause = clause.strip()
+        um = re.match(
+            r"MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$",
+            clause,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if um:
+            when_matched_set = {}
+            for part in _split_top(um.group(1)):
+                pm = re.match(
+                    rf"\s*(?:{re.escape(talias)}\.)?({IDENT})\s*=\s*(.*)$",
+                    part,
+                    re.DOTALL | re.IGNORECASE,
+                )
+                if pm is None:
+                    raise ValueError(f"cannot parse MERGE SET: {part!r}")
+                expr = pm.group(2).strip()
+                # writer.merge evaluates SET exprs on the joined frame
+                # under fixed aliases t (target) / src (source)
+                expr = re.sub(
+                    rf"\b{re.escape(salias)}\.", "src.", expr, flags=re.IGNORECASE
+                )
+                expr = re.sub(
+                    rf"\b{re.escape(talias)}\.", "t.", expr, flags=re.IGNORECASE
+                )
+                when_matched_set[_unq(pm.group(1))] = expr
+            continue
+        if re.match(
+            r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*$", clause, re.IGNORECASE
+        ):
+            insert_not_matched = True
+            continue
+        raise ValueError(
+            f"unsupported MERGE clause (only UPDATE SET / INSERT *): "
+            f"WHEN {clause!r}"
+        )
+    _need(surface, "merge_into")
+    source = surface.sql(spark, src_sql)
+    snap = surface.merge_into(
+        ident,
+        spark,
+        source,
+        on,
+        when_matched_set=when_matched_set,
+        insert_not_matched=insert_not_matched,
+    )
+    return _result(spark, "merge", ident, snap)
+
+
+def _create(surface, spark, q, tgt3) -> Optional[DataFrame]:
+    vm = re.match(
+        rf"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+{tgt3}\s+AS\s+(.*)$",
+        q,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if vm:
+        ident = f"{_unq(vm.group(1))}.{_unq(vm.group(2))}"
+        _need(surface, "create_view")
+        if surface.table_exists(ident):
+            surface.drop(ident)
+        # store with catalog names resolved to the flat view spelling —
+        # view SQL replays through plain spark.sql at scan time
+        surface.create_view(ident, surface.resolve_names(vm.group(3).strip()))
+        return _result(spark, "create_view", ident, None)
+    m = re.match(
+        rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{tgt3}\s*(.*)$",
+        q,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        return None
+    ns, tbl, rest = _unq(m.group(1)), _unq(m.group(2)), m.group(3).strip()
+    ident = f"{ns}.{tbl}"
+    if surface.table_exists(ident) and re.search(
+        r"IF\s+NOT\s+EXISTS", q, re.IGNORECASE
+    ):
+        return _result(spark, "noop", ident, None)
+    _need(surface, "create_table")
+
+    partition_by: Optional[list[str]] = None
+    pb = re.search(
+        r"\bPARTITIONED\s+BY\s*\(([^()]*(?:\([^()]*\)[^()]*)*)\)",
+        rest,
+        re.IGNORECASE,
+    )
+    if pb:
+        partition_by = [p.strip() for p in _split_top(pb.group(1))]
+        rest = (rest[: pb.start()] + rest[pb.end():]).strip()
+
+    ctas = re.match(r"AS\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
+    if ctas:
+        df = surface.sql(spark, ctas.group(1).strip())
+        surface.create_table(ident, df.schema, partition_by)
+        snap = surface.append(ident, spark, df)
+        return _result(spark, "create_table_as", ident, snap)
+    cm = re.match(r"\((.*)\)\s*$", rest, re.DOTALL)
+    if cm is None:
+        raise ValueError(f"cannot parse CREATE TABLE tail: {rest!r}")
+    st = T.StructType.fromDDL(cm.group(1))
+    surface.create_table(ident, st, partition_by)
+    return _result(spark, "create_table", ident, None)
+
+
+def _drop(surface, spark, q, tgt3) -> Optional[DataFrame]:
+    m = re.match(
+        rf"DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?{tgt3}\s*$",
+        q,
+        re.IGNORECASE,
+    )
+    if m is None:
+        return None
+    ident = f"{_unq(m.group(3))}.{_unq(m.group(4))}"
+    if not surface.table_exists(ident):
+        if m.group(2):
+            return _result(spark, "noop", ident, None)
+        raise KeyError(f"no such table: {ident}")
+    _need(surface, "drop")
+    surface.drop(ident)
+    return _result(spark, "drop", ident, None)
+
+
+def _alter(surface, spark, q, tgt3) -> Optional[DataFrame]:
+    m = re.match(
+        rf"ALTER\s+TABLE\s+{tgt3}\s+(.*)$", q, re.IGNORECASE | re.DOTALL
+    )
+    if m is None:
+        return None
+    ident = f"{_unq(m.group(1))}.{_unq(m.group(2))}"
+    rest = m.group(3).strip()
+    add = re.match(
+        rf"ADD\s+COLUMNS?\s+\(?\s*({IDENT})\s+([^\s)]+)\s*\)?\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if add:
+        _need(surface, "add_column")
+        dtype = T._parse_datatype_string(add.group(2))
+        surface.add_column(ident, _unq(add.group(1)), dtype)
+        return _result(spark, "add_column", ident, None)
+    ren = re.match(
+        rf"RENAME\s+COLUMN\s+({IDENT})\s+TO\s+({IDENT})\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if ren:
+        _need(surface, "rename_column")
+        surface.rename_column(ident, _unq(ren.group(1)), _unq(ren.group(2)))
+        return _result(spark, "rename_column", ident, None)
+    drp = re.match(rf"DROP\s+COLUMN\s+({IDENT})\s*$", rest, re.IGNORECASE)
+    if drp:
+        _need(surface, "drop_column")
+        surface.drop_column(ident, _unq(drp.group(1)))
+        return _result(spark, "drop_column", ident, None)
+    raise ValueError(f"unsupported ALTER TABLE action: {rest!r}")

@@ -181,6 +181,192 @@ def pred_to_sql(pred: Pred) -> str:
     return f"({col} {op} {lit(pred[2])})"
 
 
+def sql_to_pred(where: str) -> Optional[Pred]:
+    """Parse a SQL WHERE clause into the tuple AST (the inverse of
+    :func:`pred_to_sql`), so the SQL DML surface (``DELETE FROM`` /
+    ``UPDATE``) can drive file-level pruning from the user's predicate.
+
+    Only the prunable subset is accepted: comparisons, ``[NOT] IN``,
+    ``[NOT] BETWEEN``, ``IS [NOT] NULL``, ``AND/OR/NOT``, parentheses,
+    and string/number/bool/DATE/TIMESTAMP literals.  Anything else —
+    function calls, arithmetic, subqueries — returns ``None``, and the
+    caller must treat every file as a candidate (pruning is an
+    optimization; the exact SQL string is always re-applied row-wise)."""
+    import datetime as _dt
+    import re as _re
+
+    tok_re = _re.compile(
+        r"\s*(?:"
+        r"(?P<str>'(?:[^']|'')*')"
+        r"|(?P<num>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+        r"|(?P<qid>`[^`]+`)"
+        r"|(?P<word>[A-Za-z_]\w*)"
+        r"|(?P<op><=|>=|!=|<>|=|<|>|\(|\)|,)"
+        r")"
+    )
+
+    def tokenize(s: str) -> Optional[list[tuple[str, Any]]]:
+        out: list[tuple[str, Any]] = []
+        pos = 0
+        while pos < len(s):
+            m = tok_re.match(s, pos)
+            if m is None:
+                return None if s[pos:].strip() else out
+            pos = m.end()
+            if m.group("str") is not None:
+                out.append(("lit", m.group("str")[1:-1].replace("''", "'")))
+            elif m.group("num") is not None:
+                t = m.group("num")
+                out.append(("lit", float(t) if ("." in t or "e" in t.lower()) else int(t)))
+            elif m.group("qid") is not None:
+                out.append(("ident", m.group("qid")[1:-1]))
+            elif m.group("word") is not None:
+                w = m.group("word")
+                kw = w.upper()
+                if kw in ("AND", "OR", "NOT", "IN", "BETWEEN", "IS", "NULL"):
+                    out.append(("kw", kw))
+                elif kw in ("TRUE", "FALSE"):
+                    out.append(("lit", kw == "TRUE"))
+                elif kw in ("DATE", "TIMESTAMP"):
+                    out.append(("kw", kw))
+                else:
+                    out.append(("ident", w))
+            else:
+                out.append(("op", m.group("op")))
+        return out
+
+    toks = tokenize(where)
+    if not toks:
+        return None
+    i = 0
+
+    class Bail(Exception):
+        pass
+
+    def peek(k: int = 0):
+        return toks[i + k] if i + k < len(toks) else ("eof", None)
+
+    def take(kind: str, val=None):
+        nonlocal i
+        t = peek()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise Bail()
+        i += 1
+        return t[1]
+
+    def literal():
+        nonlocal i
+        t = peek()
+        if t == ("kw", "NULL"):
+            i += 1
+            return None
+        if t[0] == "kw" and t[1] in ("DATE", "TIMESTAMP"):
+            kind = t[1]
+            i += 1
+            s = take("lit")
+            if not isinstance(s, str):
+                raise Bail()
+            try:
+                if kind == "DATE":
+                    return _dt.date.fromisoformat(s)
+                return _dt.datetime.fromisoformat(s)
+            except ValueError:
+                raise Bail()
+        if t[0] == "lit":
+            i += 1
+            return t[1]
+        raise Bail()
+
+    def predicate():
+        nonlocal i
+        # literal <op> ident  (flipped spelling)
+        if peek()[0] == "lit" or peek() in (("kw", "DATE"), ("kw", "TIMESTAMP")):
+            v = literal()
+            op = take("op")
+            if op not in ("=", "!=", "<>", "<", "<=", ">", ">="):
+                raise Bail()
+            col = take("ident")
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            op = "!=" if op == "<>" else op
+            return (flip.get(op, op), col, v)
+        col = take("ident")
+        t = peek()
+        if t == ("kw", "IS"):
+            i += 1
+            if peek() == ("kw", "NOT"):
+                i += 1
+                take("kw", "NULL")
+                return ("notnull", col)
+            take("kw", "NULL")
+            return ("isnull", col)
+        negate = False
+        if t == ("kw", "NOT"):
+            i += 1
+            negate = True
+            t = peek()
+        if t == ("kw", "IN"):
+            i += 1
+            take("op", "(")
+            vals = [literal()]
+            while peek() == ("op", ","):
+                i += 1
+                vals.append(literal())
+            take("op", ")")
+            node = ("in", col, vals)
+            return ("not", node) if negate else node
+        if t == ("kw", "BETWEEN"):
+            i += 1
+            lo = literal()
+            take("kw", "AND")
+            hi = literal()
+            node = ("between", col, lo, hi)
+            return ("not", node) if negate else node
+        if negate:
+            raise Bail()
+        op = take("op")
+        if op not in ("=", "!=", "<>", "<", "<=", ">", ">="):
+            raise Bail()
+        return ("!=" if op == "<>" else op, col, literal())
+
+    def unary():
+        nonlocal i
+        if peek() == ("kw", "NOT"):
+            # NOT <predicate-or-parens>, but `col NOT IN` never reaches
+            # here (predicate() consumes it after the identifier)
+            i += 1
+            return ("not", unary())
+        if peek() == ("op", "("):
+            i += 1
+            node = disjunction()
+            take("op", ")")
+            return node
+        return predicate()
+
+    def conjunction():
+        nonlocal i
+        node = unary()
+        while peek() == ("kw", "AND"):
+            i += 1
+            node = ("and", node, unary())
+        return node
+
+    def disjunction():
+        nonlocal i
+        node = conjunction()
+        while peek() == ("kw", "OR"):
+            i += 1
+            node = ("or", node, conjunction())
+        return node
+
+    try:
+        out = disjunction()
+        if i != len(toks):
+            return None
+        return out
+    except Bail:
+        return None
+
+
 def referenced_columns(pred: Pred) -> set[str]:
     op = pred[0]
     if op in ("and", "or", "not"):

