@@ -696,3 +696,99 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    g2 AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+      FROM toks, UNNEST(generate_series(1, n - 1)) AS u(i)
+    ),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    top2 AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM c2 GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, UNNEST(generate_series(1, n - 2)) AS u(i)
+    ),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+    dup3 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_n,
+             SUM(c) AS tot_n
+      FROM c3 GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(toks.n AS BIGINT) AS n_tokens,
+           ROUND(top2.mx * 2.0 / toks.n, 6) AS top2_frac,
+           ROUND(dup3.dup_n * 1.0 / dup3.tot_n, 6) AS dup3_frac,
+           CASE WHEN top2.mx * 2.0 / toks.n <= 0.20
+                 AND dup3.dup_n * 1.0 / dup3.tot_n <= 0.30
+                THEN 1 ELSE 0 END AS passes_repetition
+    FROM toks JOIN top2 USING (doc_id) JOIN dup3 USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate on token n-grams:
+    ``top2_frac`` = fraction of tokens covered by the single most
+    frequent 2-gram (boilerplate/header spam signal), ``dup3_frac`` =
+    fraction of 3-gram instances that are duplicates (loop/babble
+    signal); a doc passes when both sit under the Gopher-shaped
+    thresholds (0.20 / 0.30).
+
+    Scale shape: n-grams are generated map-side from the token array
+    (sequence+transform, pure codegen), then explode → count per
+    (doc_id, gram) → per-doc aggregate.  The only shuffles carry
+    (doc_id, gram) pairs — proportional to corpus token count, the
+    same cost class as the MinHash shingle pass — never an O(d^2)
+    per-doc loop, so million-token documents don't blow up a task."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 3
+    )
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+
+    def grams(k: int) -> DataFrame:
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {k}), "
+                    f"i -> concat_ws(' ', {', '.join(f't[i+{j}]' for j in range(k))}))"
+                )
+            ).alias("g"),
+        )
+
+    c2 = grams(2).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    top2 = c2.groupBy("doc_id").agg(F.max("c").alias("mx"))
+    c3 = grams(3).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    dup3 = c3.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_n"),
+        F.sum("c").alias("tot_n"),
+    )
+    top2_frac = F.col("mx") * 2.0 / F.col("n")
+    dup3_frac = F.col("dup_n") * 1.0 / F.col("tot_n")
+    return (
+        toks.select("doc_id", "n")
+        .join(top2, "doc_id")
+        .join(dup3, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.round(top2_frac, 6).alias("top2_frac"),
+            F.round(dup3_frac, 6).alias("dup3_frac"),
+            F.when((top2_frac <= 0.20) & (dup3_frac <= 0.30), 1)
+            .otherwise(0)
+            .alias("passes_repetition"),
+        )
+        .orderBy("doc_id")
+    )

@@ -79,6 +79,8 @@ _PRIORITY = [
     "iceberg_zorder_scan",
     "dedup_connected_components",
     "profile_lineitem_columns",
+    "iceberg_sql_dml_scan",
+    "text_repetition_filter",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
