@@ -512,3 +512,184 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(array_max(transform(code, c -> abs(c))) AS INT)"
         ).alias("code_max"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + cosine (semantic), RRF fusion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    dl AS (SELECT doc_id, len(ts) AS dl FROM tok),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(len(ts)) AS total_tok FROM tok),
+    tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(ts) AS t FROM tok)
+      WHERE t IN ('spark', 'join', 'filter')
+      GROUP BY doc_id, t
+    ),
+    idf AS (
+      SELECT term,
+             ln((s.n_docs - COUNT(DISTINCT doc_id) + 0.5)
+                / (COUNT(DISTINCT doc_id) + 0.5) + 1) AS idf
+      FROM tf, stats s GROUP BY term, s.n_docs
+    ),
+    scored_lex AS (
+      SELECT tf.doc_id,
+             SUM(idf.idf * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                    / (s.total_tok * 1.0 / s.n_docs)))) AS score
+      FROM tf JOIN idf USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats s
+      WHERE tf.doc_id <> 0
+      GROUP BY tf.doc_id
+    ),
+    lex AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS r
+        FROM scored_lex
+      ) WHERE r <= 50
+    ),
+    ev AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ev GROUP BY vec_id),
+    dots AS (
+      SELECT c.vec_id AS doc_id, SUM(q.v * c.v) AS dot
+      FROM ev q JOIN ev c ON q.i = c.i
+      WHERE q.vec_id = 0 AND c.vec_id <> 0
+      GROUP BY 1
+    ),
+    sem AS (
+      SELECT doc_id, r FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 4) DESC, doc_id) AS r
+        FROM dots
+        JOIN norms nq ON nq.vec_id = 0
+        JOIN norms nc ON nc.vec_id = doc_id
+      ) WHERE r <= 50
+    )
+    SELECT doc_id,
+           ROUND(COALESCE(1.0 / (60 + lex.r), 0)
+                 + COALESCE(1.0 / (60 + sem.r), 0), 6) AS rrf,
+           CAST(lex.r AS BIGINT) AS lex_rank,
+           CAST(sem.r AS BIGINT) AS sem_rank
+    FROM lex FULL JOIN sem USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (k=60): a lexical
+    BM25 leg (query terms {spark, join, filter} over `documents`) and a
+    semantic cosine leg (query vector = vec_id 0 over `embeddings`,
+    which is doc-aligned), each producing a deterministic rank list
+    (rounded score DESC, doc_id tiebreak, depth 50), fused as
+    sum(1/(60+rank)) per doc — the standard RAG-corpus retrieval stack.
+
+    Scale shape: both legs are the proven single-scan shapes — BM25
+    shuffles only query-term rows, the cosine leg broadcasts the query
+    vector against one corpus scan — and each leg's cut is
+    ``orderBy().limit(depth)``: Spark plans that as
+    TakeOrderedAndProject (per-partition partial top-k, merged on the
+    driver), NOT a single-partition global rank window, so the corpus
+    never funnels through one task.  Ranks are then numbered on the
+    <=depth-row survivor frame (a deliberately tiny global window), and
+    the fusion is a full outer join of two <=depth rank lists —
+    driver-bounded by depth, not corpus size."""
+    from pyspark.sql import Window as W
+
+    DEPTH, RRF_K = 50, 60
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ("spark", "join", "filter")
+
+    tok = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    dl = tok.select("doc_id", F.size("ts").alias("dl"))
+    stats = tok.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ts")).alias("total_tok"),
+    )
+    tf = (
+        tok.select("doc_id", F.explode("ts").alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+            ).alias("idf"),
+        )
+    )
+    scored_lex = (
+        tf.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf") * F.col("tf") * 2.2
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (
+                        0.25
+                        + 0.75 * F.col("dl")
+                        / (F.col("total_tok") * 1.0 / F.col("n_docs"))
+                    )
+                )
+            ).alias("score")
+        )
+    )
+    lex_top = (
+        scored_lex.select("doc_id", F.round("score", 4).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(DEPTH)
+    )
+    w_lex = W.orderBy(F.col("s").desc(), "doc_id")
+    lex = lex_top.withColumn("r", F.row_number().over(w_lex)).select(
+        "doc_id", F.col("r").alias("lex_r")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        _as_double("embedding").alias("qv")
+    )
+    sem_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), _as_double("embedding").alias("cv"))
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cos_sim", F.round(cosine_sim("qv", "cv"), 4))
+    )
+    sem_top = (
+        sem_scored.select("doc_id", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(DEPTH)
+    )
+    w_sem = W.orderBy(F.col("cos_sim").desc(), "doc_id")
+    sem = sem_top.withColumn("r", F.row_number().over(w_sem)).select(
+        "doc_id", F.col("r").alias("sem_r")
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("lex_r")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("sem_r")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.col("lex_r").cast("long").alias("lex_rank"),
+        F.col("sem_r").cast("long").alias("sem_rank"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)

@@ -52,6 +52,9 @@ NESTED_LOOP_OK = frozenset(
         "text_bm25_rank",
         "q15_top_supplier",
         "q22_dormant_customers",
+        # hybrid retrieval: 1-row query-vector broadcast + 1-row global
+        # stats broadcast, same constant-attach class as the above
+        "sim_hybrid_rrf",
     }
 )
 

@@ -81,6 +81,7 @@ _PRIORITY = [
     "profile_lineitem_columns",
     "iceberg_sql_dml_scan",
     "text_repetition_filter",
+    "sim_hybrid_rrf",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
