@@ -461,13 +461,20 @@ class Catalog(SqlSurface):
         ident: str,
         spark: SparkSession,
         source: DataFrame,
-        on: str,
+        on,
         when_matched_set=None,
         insert_not_matched: bool = True,
+        when_matched_delete: bool = False,
     ) -> int:
-        """MERGE INTO (writer.merge) + mirror refresh."""
+        """MERGE INTO (writer.merge; ``on`` may be a composite key list)
+        + mirror refresh."""
         snap = self.writer(ident).merge(
-            spark, source, on, when_matched_set, insert_not_matched
+            spark,
+            source,
+            on,
+            when_matched_set,
+            insert_not_matched,
+            when_matched_delete,
         )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)

@@ -277,27 +277,36 @@ def _merge(surface, spark, q, tgt3) -> Optional[DataFrame]:
     if om is None:
         raise ValueError(f"cannot parse MERGE ON/WHEN: {rest!r}")
     cond, clauses_sql = om.group(1).strip(), "WHEN " + om.group(2)
-    cm = re.match(
-        rf"(\w+)\.({IDENT})\s*=\s*(\w+)\.({IDENT})\s*$", cond
-    )
-    if cm is None:
-        raise ValueError(
-            f"MERGE ON must be a single equality t.k = s.k, got {cond!r}"
+    keys: list[str] = []
+    for eq in _split_top(cond, "AND"):
+        cm = re.match(
+            rf"\s*(\w+)\.({IDENT})\s*=\s*(\w+)\.({IDENT})\s*$", eq
         )
-    a1, c1, a2, c2 = cm.group(1), _unq(cm.group(2)), cm.group(3), _unq(cm.group(4))
-    if c1.lower() != c2.lower() or {a1.lower(), a2.lower()} != {
-        talias.lower(),
-        salias.lower(),
-    }:
-        raise ValueError(
-            "MERGE ON must equate the SAME column across the two aliases"
-        )
-    on = c1
+        if cm is None:
+            raise ValueError(
+                f"MERGE ON must be AND-ed single equality terms "
+                f"t.k = s.k, got {eq.strip()!r}"
+            )
+        a1, c1 = cm.group(1), _unq(cm.group(2))
+        a2, c2 = cm.group(3), _unq(cm.group(4))
+        if c1.lower() != c2.lower() or {a1.lower(), a2.lower()} != {
+            talias.lower(),
+            salias.lower(),
+        }:
+            raise ValueError(
+                "MERGE ON must equate the SAME column across the two aliases"
+            )
+        keys.append(c1)
+    on = keys[0] if len(keys) == 1 else keys
 
     when_matched_set: Optional[dict[str, str]] = None
+    when_matched_delete = False
     insert_not_matched = False
     for clause in re.split(r"\bWHEN\s+", clauses_sql, flags=re.IGNORECASE)[1:]:
         clause = clause.strip()
+        if re.match(r"MATCHED\s+THEN\s+DELETE\s*$", clause, re.IGNORECASE):
+            when_matched_delete = True
+            continue
         um = re.match(
             r"MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$",
             clause,
@@ -330,8 +339,8 @@ def _merge(surface, spark, q, tgt3) -> Optional[DataFrame]:
             insert_not_matched = True
             continue
         raise ValueError(
-            f"unsupported MERGE clause (only UPDATE SET / INSERT *): "
-            f"WHEN {clause!r}"
+            f"unsupported MERGE clause (only UPDATE SET / DELETE / "
+            f"INSERT *): WHEN {clause!r}"
         )
     _need(surface, "merge_into")
     source = surface.sql(spark, src_sql)
@@ -342,6 +351,7 @@ def _merge(surface, spark, q, tgt3) -> Optional[DataFrame]:
         on,
         when_matched_set=when_matched_set,
         insert_not_matched=insert_not_matched,
+        when_matched_delete=when_matched_delete,
     )
     return _result(spark, "merge", ident, snap)
 

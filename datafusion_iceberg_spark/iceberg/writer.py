@@ -1601,46 +1601,59 @@ class IcebergWriter:
         self,
         spark: SparkSession,
         source: DataFrame,
-        on: str,
+        on,
         when_matched_set: Optional[dict[str, str]] = None,
         insert_not_matched: bool = True,
+        when_matched_delete: bool = False,
     ) -> int:
-        """MERGE INTO target USING source ON target.on = source.on, with
-        WHEN MATCHED THEN UPDATE SET ... and (optionally) WHEN NOT MATCHED
-        THEN INSERT *.
+        """MERGE INTO target USING source ON <key equality>, with
+        WHEN MATCHED THEN UPDATE SET ... (or WHEN MATCHED THEN DELETE)
+        and (optionally) WHEN NOT MATCHED THEN INSERT *.
 
-        Copy-on-write, surgical: candidate files = those whose key range
-        may intersect the source's [min, max] key span (conservative
-        pruning, so every possible match is inside the candidate set and
-        every file outside it provably contains no source key).  The
-        rewrite is one distributed job: candidates LEFT-JOIN source
-        (update branch) unioned with source ANTI-JOIN target (insert
-        branch); untouched files ride along verbatim."""
+        ``on`` is one key column or a list (composite keys join on ALL
+        of them; file pruning uses the leading key's [min, max] span —
+        conservative, every possible match stays in the candidate set).
+
+        Copy-on-write, surgical: the rewrite is one distributed job —
+        candidates LEFT-JOIN source (update/delete branch) unioned with
+        source ANTI-JOIN target (insert branch); untouched files ride
+        along verbatim."""
+        from functools import reduce
+
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
         from pyspark.sql import functions as F
 
+        keys = [on] if isinstance(on, str) else list(on)
         cols = [f.name for f in self.schema.fields]
-        if on not in cols:
-            raise ValueError(f"merge key not in schema: {on}")
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            raise ValueError(f"merge key not in schema: {missing}")
+        if when_matched_delete and when_matched_set:
+            raise ValueError(
+                "MERGE: WHEN MATCHED THEN DELETE and UPDATE SET are exclusive"
+            )
         bad = set(when_matched_set or {}) - set(cols)
         if bad:
             raise ValueError(f"merge SET of unknown columns: {sorted(bad)}")
         src = source.select(*cols)
-        bounds = src.agg(
-            F.min(on).alias("lo"),
-            F.max(on).alias("hi"),
-            F.count(on).alias("n"),
-            F.countDistinct(on).alias("nd"),
+        keys_nn = reduce(
+            lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+        )
+        bounds = src.filter(keys_nn).agg(
+            F.min(keys[0]).alias("lo"),
+            F.max(keys[0]).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(*keys).alias("nd"),
         ).collect()[0]
         if bounds.n != bounds.nd:
             # SQL MERGE raises when a target row matches multiple source
             # rows; a plain left join would silently multiply target rows.
             raise ValueError(
-                f"MERGE source has duplicate keys on {on!r}: "
+                f"MERGE source has duplicate keys on {keys!r}: "
                 f"{bounds.n} rows, {bounds.nd} distinct — dedup the source "
                 "(e.g. keep the latest row per key) before merging"
             )
-        if bounds.lo is None:
+        if bounds.lo is None and src.first() is None:
             cur = IcebergTable.load(self.root).metadata.raw.get(
                 "current-snapshot-id"
             )
@@ -1648,7 +1661,15 @@ class IcebergWriter:
 
         table = IcebergTable.load(self.root)
         all_files = table.files()
-        candidates = table.files(filters=("between", on, bounds.lo, bounds.hi))
+        # NULL-key source rows can never equi-match, so when every source
+        # key is NULL no target file is a candidate (insert branch only)
+        candidates = (
+            table.files(
+                filters=("between", keys[0], bounds.lo, bounds.hi)
+            )
+            if bounds.lo is not None
+            else []
+        )
         cand_paths = {f.path for f in candidates}
         untouched = [f for f in all_files if f.path not in cand_paths]
 
@@ -1668,32 +1689,44 @@ class IcebergWriter:
                 cand_paths |= {f.path for f in extra}
                 untouched = [f for f in untouched if f.path not in cand_paths]
         target = table._scan_files(spark, candidates, None)
-        joined = target.alias("t").join(
-            src.alias("src"), F.col(f"t.{on}") == F.col(f"src.{on}"), "left"
+        # presence marker instead of key-IS-NOT-NULL: composite and
+        # NULL-able keys both stay correct (a NULL key never equi-joins)
+        src_m = src.withColumn("__m", F.lit(1))
+        join_cond = reduce(
+            lambda a, b: a & b,
+            [F.col(f"t.{k}") == F.col(f"src.{k}") for k in keys],
         )
-        matched = F.col(f"src.{on}").isNotNull()
-        updated = joined.select(
-            *[
-                F.when(
-                    matched,
-                    F.expr(
-                        f"({(when_matched_set or {}).get(c, 't.' + c)})"
-                    ).cast(dict(target.dtypes)[c]),
-                )
-                .otherwise(F.col(f"t.{c}"))
-                .alias(c)
-                for c in cols
-            ]
-        )
+        joined = target.alias("t").join(src_m.alias("src"), join_cond, "left")
+        matched = F.col("src.__m").isNotNull()
+        if when_matched_delete:
+            updated = joined.filter(~matched).select(
+                *[F.col(f"t.{c}").alias(c) for c in cols]
+            )
+        else:
+            updated = joined.select(
+                *[
+                    F.when(
+                        matched,
+                        F.expr(
+                            f"({(when_matched_set or {}).get(c, 't.' + c)})"
+                        ).cast(dict(target.dtypes)[c]),
+                    )
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in cols
+                ]
+            )
         out = updated
         if insert_not_matched:
             # keys absent from the whole TARGET: anti-join against the
             # candidate scan suffices — non-candidate files provably hold
             # no source keys (pruning is conservative the other way)
+            anti_cond = reduce(
+                lambda a, b: a & b,
+                [F.col(f"s.{k}") == F.col(f"t2.{k}") for k in keys],
+            )
             inserts = src.alias("s").join(
-                target.select(on).alias("t2"),
-                F.col(f"s.{on}") == F.col(f"t2.{on}"),
-                "left_anti",
+                target.select(*keys).alias("t2"), anti_cond, "left_anti"
             )
             out = updated.unionByName(inserts.select(*cols))
         return self.append(

@@ -217,18 +217,58 @@ def test_non_dml_and_other_catalog_pass_through(spark, cat):
         cat.sql(spark, "DELETE FROM some_temp_view WHERE x = 1").collect()
 
 
+def test_merge_matched_delete(spark, cat):
+    before = cat.sql(spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.nat").first()["n"]
+    out = cat.sql(
+        spark,
+        "MERGE INTO dmlcat.sales.nat t USING merge_src s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN DELETE",
+    ).first()
+    assert out.operation == "merge"
+    after = cat.sql(spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.nat").first()["n"]
+    # both merge_src keys (3, 999) existed after the earlier merge test
+    assert after == before - 2
+
+
+def test_merge_composite_key(spark, cat):
+    spark.sql(
+        "SELECT * FROM VALUES (5, 'nation_5', 0), (5, 'other', 0) "
+        "AS s(n_nationkey, n_name, n_regionkey)"
+    ).createOrReplaceTempView("merge_src2")
+    # composite (key, name): only the exact (5, 'nation_5') row matches;
+    # ('5', 'other') inserts
+    out = cat.sql(
+        spark,
+        "MERGE INTO dmlcat.sales.nat t USING merge_src2 s "
+        "ON t.n_nationkey = s.n_nationkey AND t.n_name = s.n_name "
+        "WHEN MATCHED THEN UPDATE SET n_regionkey = t.n_regionkey + 500 "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ).first()
+    assert out.operation == "merge"
+    rows = cat.sql(
+        spark,
+        "SELECT n_name, n_regionkey FROM dmlcat.sales.nat "
+        "WHERE n_nationkey = 5 ORDER BY n_name",
+    ).collect()
+    got = {(r.n_name, r.n_regionkey) for r in rows}
+    assert ("other", 0) in got
+    assert any(name == "nation_5" and reg >= 500 for name, reg in got)
+
+
 def test_merge_rejects_exotic_clauses(spark, cat):
-    with pytest.raises(ValueError, match="only UPDATE SET / INSERT"):
+    with pytest.raises(ValueError, match="exclusive"):
         cat.sql(
             spark,
             "MERGE INTO dmlcat.sales.nat t USING merge_src s "
             "ON t.n_nationkey = s.n_nationkey "
-            "WHEN MATCHED THEN DELETE",
+            "WHEN MATCHED THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET n_name = s.n_name",
         )
     with pytest.raises(ValueError, match="single equality"):
         cat.sql(
             spark,
             "MERGE INTO dmlcat.sales.nat t USING merge_src s "
-            "ON t.n_nationkey = s.n_nationkey AND t.n_name = s.n_name "
+            "ON t.n_nationkey < s.n_nationkey "
             "WHEN NOT MATCHED THEN INSERT *",
         )
