@@ -82,6 +82,7 @@ _PRIORITY = [
     "iceberg_sql_dml_scan",
     "text_repetition_filter",
     "sim_hybrid_rrf",
+    "stream_cdc_upsert",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",

@@ -324,3 +324,138 @@ def stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_cdc_upsert",
+    oracle="""
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert apply: a multi-batch event stream maintains a
+    latest-state-per-user Iceberg table via foreachBatch MERGE — the
+    standard streaming-CDC materialization pattern (Debezium-style
+    apply).  Each micro-batch dedups to its newest record per key
+    (row_number), then MERGE INTO the state table with a CONDITIONAL
+    update (``src.ts`` newer wins, event_id tiebreak) so out-of-order
+    batch arrival cannot regress state — the oracle is the global
+    latest-per-key over all events, which only holds if every batch
+    applied exactly once and ordering was respected.
+
+    Scale shape: per batch the shuffle is the batch's own dedup
+    (batch-sized, not table-sized) plus the MERGE candidate rewrite; a
+    production deployment bounds the rewrite by bucketing the state
+    table on the key so a batch touches only its buckets' files.  State
+    is the TABLE, not executor memory — restart-safe via checkpoint +
+    Iceberg's atomic commits."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH, _lock
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+    from datafusion_iceberg_spark.tables import table_path
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(SCRATCH, f"wh_{tag}_cdc")
+    marker = os.path.join(root, "_COMPLETE")
+    with _lock:
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            import pyarrow.parquet as pq
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            # stage the events as FOUR files so maxFilesPerTrigger=1
+            # yields a genuinely multi-batch upsert sequence
+            stage = os.path.join(root, "_stage")
+            os.makedirs(stage, exist_ok=True)
+            tbl = pq.read_table(table_path(sf_dir, "events"))
+            n = tbl.num_rows
+            step = (n + 3) // 4
+            for i in range(4):
+                chunk = tbl.slice(i * step, step)
+                if chunk.num_rows:
+                    pq.write_table(chunk, os.path.join(stage, f"chunk_{i}.parquet"))
+            batch = load_table(spark, sf_dir, "events")  # applies ts confs
+            raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+            stream = (
+                spark.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            ts_dtype = dict(stream.dtypes)["ts"]
+            if ts_dtype == "bigint":
+                stream = stream.withColumn(
+                    "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+                )
+            elif ts_dtype == "timestamp_ntz":
+                stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            typed = stream.select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            cat.create_table("stream.user_state", typed.schema)
+            cols = typed.columns
+            newer = (
+                "src.ts > t.ts OR (src.ts = t.ts AND src.event_id >= t.event_id)"
+            )
+            set_exprs = {
+                c: f"CASE WHEN {newer} THEN src.{c} ELSE t.{c} END" for c in cols
+            }
+
+            def _apply(bdf, batch_id):
+                from pyspark.sql import Window as W
+
+                if not bdf.take(1):
+                    return
+                w = W.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+                latest = (
+                    bdf.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .drop("rn")
+                )
+                cat.merge_into(
+                    "stream.user_state",
+                    spark,
+                    latest,
+                    "user_id",
+                    when_matched_set=set_exprs,
+                    insert_not_matched=True,
+                )
+
+            q = (
+                typed.writeStream.foreachBatch(_apply)
+                .option(
+                    "checkpointLocation", os.path.join(root, "_checkpoint")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("stream.user_state")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .select(
+            "user_id",
+            F.col("event_id").cast("long").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
