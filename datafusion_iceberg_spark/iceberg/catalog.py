@@ -571,6 +571,14 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def rewrite_manifests(self, ident: str) -> dict:
+        """Metadata-only manifest compaction (writer.rewrite_manifests)
+        + mirror refresh."""
+        out = self.writer(ident).rewrite_manifests()
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return out
+
     def rewrite_zorder(
         self,
         ident: str,

@@ -1634,6 +1634,65 @@ def iceberg_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_manifest_rewrite_scan",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def iceberg_manifest_rewrite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only manifest compaction end-to-end: four appends leave
+    four manifests, rewrite_manifests collapses them to one WITHOUT
+    touching data files (driver-side avro only — kilobytes, not the
+    :func:`compact` data rewrite), and the post-rewrite scan must
+    hash-match the source parquet."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_manrw")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table("mr.orders", orders.schema)
+            for i in range(4):
+                cat.append(
+                    "mr.orders", spark, orders.filter(F.col("o_orderkey") % 4 == i)
+                )
+            before = cat.load("mr.orders")
+            assert isinstance(before, IcebergTable)
+            n_before = len(before.manifests())
+            out = cat.rewrite_manifests("mr.orders")
+            assert n_before == 4 and out["manifests_after"] == 1, out
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("mr.orders")
+    assert isinstance(table, IcebergTable)
+    assert len(table.manifests()) == 1
+    return (
+        table.to_df(spark)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "iceberg_sql_dml_scan",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_orders,

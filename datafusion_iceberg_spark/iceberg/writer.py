@@ -938,6 +938,126 @@ class IcebergWriter:
             df = df.repartition(n_out)
         return self.append(spark, df, _carry=False, _operation="replace")
 
+    def rewrite_manifests(self) -> dict:
+        """Metadata-only maintenance: collapse the current snapshot's
+        data manifests into ONE and commit a replace snapshot that
+        references the SAME data files.  After N small appends a scan
+        plans against N manifests (N avro reads, N partition-summary
+        checks); this rewrites kilobytes of metadata instead of
+        :meth:`compact`'s terabytes of data — the right tool when file
+        SIZES are fine but manifest COUNT has grown.  No Spark job runs:
+        the whole operation is driver-side avro.
+
+        Refuses when delete manifests are outstanding (their targets
+        must stay in their own manifests — run :meth:`compact` to fold
+        deletes first) and when manifests span partition specs (one
+        manifest carries one spec header)."""
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        table = IcebergTable.load(self.root)
+        mans = table.manifests()
+        if table.manifests(content=1):
+            raise ValueError(
+                "rewrite_manifests with outstanding delete manifests: "
+                "compact() first to fold deletes into data files"
+            )
+        spec_ids = {m.partition_spec_id for m in mans}
+        if len(spec_ids) > 1:
+            raise ValueError(
+                "manifests span partition specs (spec evolution): one "
+                "manifest carries one spec — compact() instead"
+            )
+        if len(mans) <= 1:
+            return {
+                "manifests_before": len(mans),
+                "manifests_after": len(mans),
+                "snapshot_id": None,
+            }
+        files = table.files()
+        snap_id = int(time.time() * 1000) * 1000 + (
+            int.from_bytes(os.urandom(2), "big") % 1000
+        )
+        meta_dir = os.path.join(self.root, "metadata")
+        man_uuid = str(uuidlib.uuid4())
+        manifest_path = os.path.join(meta_dir, f"{man_uuid}-m0.avro")
+        part_fields = [
+            {
+                "name": fname,
+                "avro_type": _avro_type_for(
+                    self._part_result_type(source, transform)
+                ),
+            }
+            for source, transform, fname in self.spec_entries
+        ]
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": ef.path,
+                    "file_format": ef.file_format or "PARQUET",
+                    "partition": dict(ef.partition),
+                    "record_count": ef.record_count,
+                    "file_size_in_bytes": ef.file_size_in_bytes,
+                    "block_size_in_bytes": 67108864,
+                    "value_counts": [
+                        {"key": k, "value": v} for k, v in ef.value_counts.items()
+                    ],
+                    "null_value_counts": [
+                        {"key": k, "value": v}
+                        for k, v in ef.null_value_counts.items()
+                    ],
+                    "lower_bounds": [
+                        {"key": k, "value": v} for k, v in ef.lower_bounds.items()
+                    ],
+                    "upper_bounds": [
+                        {"key": k, "value": v} for k, v in ef.upper_bounds.items()
+                    ],
+                },
+            }
+            for ef in files
+        ]
+        write_avro_file(manifest_path, _manifest_schema(part_fields), entries)
+        all_parts = [dict(ef.partition) for ef in files]
+        summaries = []
+        for source, transform, c in self.spec_entries:
+            t = self._part_result_type(source, transform)
+            vals = [p[c] for p in all_parts if p.get(c) is not None]
+            summaries.append(
+                {
+                    "contains_null": any(p.get(c) is None for p in all_parts),
+                    "contains_nan": False,
+                    "lower_bound": encode_stat(t, min(vals)) if vals else None,
+                    "upper_bound": encode_stat(t, max(vals)) if vals else None,
+                }
+            )
+        total_rows = sum(ef.record_count for ef in files)
+        manifest_list_path = os.path.join(
+            meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
+        )
+        for _attempt in range(5):
+            try:
+                snap = self._commit_append_snapshot(
+                    snap_id,
+                    manifest_path,
+                    manifest_list_path,
+                    entries,
+                    summaries,
+                    total_rows,
+                    False,
+                    "replace",
+                )
+                return {
+                    "manifests_before": len(mans),
+                    "manifests_after": 1,
+                    "snapshot_id": snap,
+                }
+            except CommitConflict:
+                if _attempt == 4:
+                    raise
+                time.sleep(0.05 * (_attempt + 1))
+        raise AssertionError("unreachable")
+
     def rewrite_zorder(
         self,
         spark: SparkSession,

@@ -83,6 +83,7 @@ _PRIORITY = [
     "text_repetition_filter",
     "sim_hybrid_rrf",
     "stream_cdc_upsert",
+    "iceberg_manifest_rewrite_scan",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",

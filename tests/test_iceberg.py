@@ -2536,3 +2536,46 @@ def test_expire_never_drops_current_under_staged(spark, sf_dir, scratch):
     assert t.to_df(spark, ref="audit").count() == 25
     cat.fast_forward("t.n", "audit")
     assert cat.load("t.n").to_df(spark).count() == 25
+
+
+def test_rewrite_manifests_metadata_only(spark, sf_dir, scratch):
+    """Manifest compaction must keep the EXACT data-file set (no data
+    rewrite), preserve time travel, and refuse with outstanding deletes."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_manrw")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("m.nat", nation.schema)
+    for i in range(3):
+        cat.append("m.nat", spark, nation.filter(F.col("n_nationkey") % 3 == i))
+    t = cat.load("m.nat")
+    files_before = sorted(f.path for f in t.files())
+    assert len(t.manifests()) == 3
+    pre_snap = t.metadata.current_snapshot_id
+    out = cat.rewrite_manifests("m.nat")
+    assert out == {
+        "manifests_before": 3,
+        "manifests_after": 1,
+        "snapshot_id": out["snapshot_id"],
+    }
+    t = cat.load("m.nat")
+    assert len(t.manifests()) == 1
+    # identical files — the data was never touched
+    assert sorted(f.path for f in t.files()) == files_before
+    assert t.to_df(spark).count() == nation.count()
+    # time travel to the pre-rewrite snapshot still sees 3 manifests
+    assert len(t.manifests(snapshot_id=pre_snap)) == 3
+    # idempotent no-op on a single-manifest table
+    out2 = cat.rewrite_manifests("m.nat")
+    assert out2["snapshot_id"] is None
+    # refusal with outstanding MOR deletes
+    cat.delete_where_mor("m.nat", spark, ("=", "n_nationkey", 3))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="delete manifests"):
+        cat.rewrite_manifests("m.nat")
