@@ -43,6 +43,9 @@ HEADLINE = [
     "sample_stratified_exact",
     "text_decontaminate",
     "text_bm25_rank",
+    # round-5 second half
+    "text_repetition_filter",
+    "sim_hybrid_rrf",
 ]
 
 

@@ -2579,3 +2579,147 @@ def test_rewrite_manifests_metadata_only(spark, sf_dir, scratch):
 
     with _pytest.raises(ValueError, match="delete manifests"):
         cat.rewrite_manifests("m.nat")
+
+
+# -- sql_to_pred property tests ------------------------------------------
+
+from hypothesis import given as _g, settings as _s, strategies as _h
+
+
+def _lit_strategy():
+    return _h.one_of(
+        _h.integers(-10**9, 10**9),
+        _h.floats(
+            min_value=-1e9,
+            max_value=1e9,
+            allow_nan=False,
+            allow_infinity=False,
+        ).filter(lambda x: abs(x) > 1e-6 or x == 0),
+        _h.text(
+            alphabet="ab'c xyz_09", min_size=0, max_size=8
+        ),
+        _h.booleans(),
+    )
+
+
+_col = _h.sampled_from(["o_orderkey", "weird col", "x", "Name_9"])
+
+
+def _pred_strategy(depth=0):
+    leaf = _h.one_of(
+        _h.tuples(
+            _h.sampled_from(["=", "!=", "<", "<=", ">", ">="]),
+            _col,
+            _lit_strategy(),
+        ),
+        _h.tuples(_h.just("isnull"), _col),
+        _h.tuples(_h.just("notnull"), _col),
+        _h.builds(
+            lambda c, vs: ("in", c, vs),
+            _col,
+            _h.lists(_lit_strategy(), min_size=1, max_size=4),
+        ),
+        _h.builds(
+            lambda c, lo, hi: ("between", c, lo, hi),
+            _col,
+            _h.integers(-1000, 1000),
+            _h.integers(-1000, 1000),
+        ),
+    )
+    if depth >= 2:
+        return leaf
+    sub = _pred_strategy(depth + 1)
+    return _h.one_of(
+        leaf,
+        _h.builds(lambda a, b: ("and", a, b), sub, sub),
+        _h.builds(lambda a, b: ("or", a, b), sub, sub),
+        _h.builds(lambda a: ("not", a), sub),
+    )
+
+
+@_s(max_examples=200, deadline=None)
+@_g(pred=_pred_strategy())
+def test_sql_to_pred_roundtrips_pred_to_sql(pred):
+    """Any AST the pruning kernel accepts must survive
+    pred -> SQL -> AST unchanged (modulo float literal spelling), so the
+    SQL DML surface prunes exactly like the Python API."""
+    from datafusion_iceberg_spark.iceberg.pruning import (
+        pred_to_sql,
+        sql_to_pred,
+    )
+
+    sql = pred_to_sql(pred)
+    back = sql_to_pred(sql)
+    assert back is not None, sql
+
+    def norm(p):
+        op = p[0]
+        if op in ("and", "or"):
+            return (op, *[norm(q) for q in p[1:]])
+        if op == "not":
+            return ("not", norm(p[1]))
+        if op == "in":
+            return ("in", p[1], [_n(v) for v in p[2]])
+        if op == "between":
+            return ("between", p[1], _n(p[2]), _n(p[3]))
+        if op in ("isnull", "notnull"):
+            return p
+        return (op, p[1], _n(p[2]))
+
+    def _n(v):
+        # int-valued floats render as '5.0' -> parse back as float; both
+        # compare equal against stats, so normalize numerically
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, (int, float)):
+            return float(v)
+        return v
+
+    assert norm(back) == norm(pred), (pred, sql, back)
+
+
+def test_sql_to_pred_rejects_unprunable():
+    from datafusion_iceberg_spark.iceberg.pruning import sql_to_pred
+
+    for bad in (
+        "upper(a) = 'X'",
+        "a + 1 = 2",
+        "a IN (SELECT x FROM t)",
+        "a = b",           # column-to-column: not prunable
+        "TRUE",
+        "a LIKE 'x%'",
+        "",
+    ):
+        assert sql_to_pred(bad) is None, bad
+
+
+def test_rest_catalog_sql_surface_is_read_only(spark, sf_dir, scratch):
+    """The shared SqlSurface on the REST mirror must serve reads but
+    refuse DML with a clear error, not a confusing AttributeError."""
+    import os
+
+    import pytest as _pytest
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.rest_catalog import (
+        LocalRestServer,
+        RestCatalog,
+        RestCatalogClient,
+    )
+    from datafusion_iceberg_spark.tables import load_table
+
+    root = os.path.join(scratch, "wh_ro")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("ro.nat", nation.schema)
+    cat.append("ro.nat", spark, nation)
+    with LocalRestServer(root) as base:
+        rest = RestCatalog(RestCatalogClient(base), name="restro")
+        n = rest.sql(spark, "SELECT COUNT(*) AS n FROM restro.ro.nat").first()[
+            "n"
+        ]
+        assert n == nation.count()
+        with _pytest.raises(NotImplementedError, match="read-only"):
+            rest.sql(
+                spark, "DELETE FROM restro.ro.nat WHERE n_nationkey = 1"
+            )
