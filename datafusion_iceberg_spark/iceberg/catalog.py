@@ -571,6 +571,20 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def expire_snapshots(
+        self,
+        ident: str,
+        keep_last: int = 1,
+        older_than_ms: Optional[int] = None,
+    ) -> dict:
+        """Snapshot expiry (writer.expire_snapshots) + mirror refresh —
+        the refresh matters here: the mirror's cached snapshot list
+        would otherwise still offer expired snapshots for time travel."""
+        out = self.writer(ident).expire_snapshots(keep_last, older_than_ms)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return out
+
     def rewrite_manifests(self, ident: str) -> dict:
         """Metadata-only manifest compaction (writer.rewrite_manifests)
         + mirror refresh."""

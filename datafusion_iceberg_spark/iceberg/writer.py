@@ -1896,6 +1896,33 @@ class IcebergWriter:
         self._commit_metadata(meta)
         return sid
 
+    def clean_metadata_log(self, keep_last: int = 5) -> dict:
+        """Delete old ``v{N}.metadata.json`` versions, keeping the newest
+        ``keep_last`` — the counterpart of Iceberg's
+        ``write.metadata.delete-after-commit.enabled`` /
+        ``previous-versions-max`` retention.  Every commit writes a new
+        full metadata file, so a busy table accumulates thousands; only
+        the latest is live (older ones serve metadata archaeology, not
+        time travel — SNAPSHOTS carry time travel and are untouched
+        here).  Version discovery stays correct because
+        ``_current_version`` takes the max over hint and surviving
+        files."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self._current_version()
+        deleted = 0
+        for p in glob.glob(
+            os.path.join(self.root, "metadata", "v*.metadata.json")
+        ):
+            v = int(os.path.basename(p).split(".")[0][1:])
+            if v <= cur - keep_last:
+                try:
+                    os.remove(p)
+                    deleted += 1
+                except OSError:
+                    pass
+        return {"deleted_versions": deleted, "current_version": cur}
+
     def remove_orphan_files(
         self, dry_run: bool = False, min_age_ms: int = 0
     ) -> dict:
@@ -2003,7 +2030,9 @@ class IcebergWriter:
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(meta)
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than_ms: Optional[int] = None
+    ) -> dict:
         """Expire all but the newest ``keep_last`` snapshots: trim the
         snapshot list/log in a new metadata version, then delete data and
         manifest files referenced ONLY by expired snapshots — the storage
@@ -2011,6 +2040,11 @@ class IcebergWriter:
         leaves the old files for time travel; expiration is the explicit,
         separate decision to give that history up, mirroring Iceberg's
         own expire_snapshots maintenance action).
+
+        ``older_than_ms`` restricts expiry to snapshots committed before
+        that epoch-millis timestamp (Iceberg's ``expireOlderThan`` +
+        ``retainLast`` composition: age is the policy, ``keep_last`` the
+        floor that always survives regardless of age).
 
         Returns counts: {"expired_snapshots", "deleted_files"}."""
         from datafusion_iceberg_spark.iceberg.manifests import (
@@ -2026,6 +2060,12 @@ class IcebergWriter:
         if len(snaps) <= keep_last:
             return {"expired_snapshots": 0, "deleted_files": 0}
         kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+        if older_than_ms is not None:
+            young = [s for s in expired if s["timestamp-ms"] >= older_than_ms]
+            expired = [s for s in expired if s["timestamp-ms"] < older_than_ms]
+            kept = young + kept
+            if not expired:
+                return {"expired_snapshots": 0, "deleted_files": 0}
         # named refs pin their snapshots: a tagged/branched snapshot never
         # expires (Iceberg's own retention contract) — readers of the ref
         # must not lose the files it references

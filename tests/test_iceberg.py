@@ -2723,3 +2723,64 @@ def test_rest_catalog_sql_surface_is_read_only(spark, sf_dir, scratch):
             rest.sql(
                 spark, "DELETE FROM restro.ro.nat WHERE n_nationkey = 1"
             )
+
+
+def test_expire_snapshots_older_than(spark, sf_dir, scratch):
+    """Age-based expiry: only snapshots older than the cutoff expire,
+    keep_last is the floor either way."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_age")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("a.nat", nation.schema)
+    for i in range(3):
+        cat.append("a.nat", spark, nation.filter(F.col("n_nationkey") % 3 == i))
+    t = cat.load("a.nat")
+    snaps = sorted(t.metadata.snapshots, key=lambda s: s.timestamp_ms)
+    w = cat.writer("a.nat")
+    # cutoff before everything -> nothing expires
+    out = w.expire_snapshots(keep_last=1, older_than_ms=snaps[0].timestamp_ms)
+    assert out == {"expired_snapshots": 0, "deleted_files": 0}
+    # cutoff after the first snapshot -> exactly one expires (the
+    # catalog wrapper also refreshes the mirror)
+    out = cat.expire_snapshots(
+        "a.nat", keep_last=1, older_than_ms=snaps[0].timestamp_ms + 1
+    )
+    assert out["expired_snapshots"] == 1
+    t = cat.load("a.nat")
+    assert len(t.metadata.snapshots) == 2
+    # data still correct at current snapshot
+    assert t.to_df(spark).count() == nation.count()
+
+
+def test_clean_metadata_log(spark, sf_dir, scratch):
+    import glob as g
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_mlog")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("a.nat", nation.schema)
+    for i in range(4):
+        cat.append("a.nat", spark, nation.filter(F.col("n_nationkey") % 4 == i))
+    meta_dir = os.path.join(root, "a", "nat", "metadata")
+    n_before = len(g.glob(os.path.join(meta_dir, "v*.metadata.json")))
+    assert n_before >= 5  # create + 4 appends
+    out = cat.writer("a.nat").clean_metadata_log(keep_last=2)
+    assert out["deleted_versions"] == n_before - 2
+    left = g.glob(os.path.join(meta_dir, "v*.metadata.json"))
+    assert len(left) == 2
+    # table still loads and scans; the NEXT commit still versions correctly
+    t = cat.load("a.nat")
+    assert t.to_df(spark).count() == nation.count()
+    cat.append("a.nat", spark, nation.limit(1))
+    assert cat.load("a.nat").to_df(spark).count() == nation.count() + 1
