@@ -932,3 +932,56 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("component"),
         F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_survivorship_policy",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, lang, n_chars, md5(text) AS text_md5,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(text)
+               ORDER BY source, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM documents
+    )
+    SELECT text_md5, doc_id AS survivor_doc_id, source AS survivor_source,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1 AND n_copies > 1
+    ORDER BY text_md5
+    """,
+)
+def dedup_survivorship_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-driven survivorship for exact-dup clusters: instead of the
+    blind MIN(doc_id) of `dedup_exact_hash`, the survivor is chosen by a
+    PREFERENCE ORDER (canonical source first — e.g. keep the publisher
+    copy over the crawl copy — then doc_id for determinism).  This is
+    the production dedup shape: the cluster key is the 16-byte digest,
+    the policy is one window per cluster.
+
+    Scale shape: identical to exact dedup — the shuffle carries
+    (digest, source, doc_id) only, never text; the per-cluster window
+    partitions by digest so no global ordering exists anywhere."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("text_md5").orderBy("source", "doc_id")
+    ranked = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("text_md5"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(W.partitionBy("text_md5")))
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("n_copies") > 1))
+        .select(
+            "text_md5",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("source").alias("survivor_source"),
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+        .orderBy("text_md5")
+    )

@@ -150,6 +150,8 @@ def try_execute(
     three-part name in this catalog; otherwise return ``None``."""
     q = query.strip().rstrip(";").strip()
     head = q.split(None, 1)[0].upper() if q else ""
+    if head in ("SHOW", "DESCRIBE", "DESC"):
+        return _show_describe(surface, spark, q)
     if head not in ("INSERT", "DELETE", "UPDATE", "MERGE", "CREATE", "DROP", "ALTER"):
         return None
     cat = rf"(?:`{re.escape(surface.name)}`|{re.escape(surface.name)})"
@@ -168,6 +170,67 @@ def try_execute(
     if head == "DROP":
         return _drop(surface, spark, q, tgt3)
     return _alter(surface, spark, q, tgt3)
+
+
+def _show_describe(surface, spark, q) -> Optional[DataFrame]:
+    """SHOW NAMESPACES / SHOW TABLES [IN ns] / DESCRIBE table for this
+    catalog.  Returns None for other catalogs' names so Spark's own
+    SHOW/DESCRIBE still work."""
+    cat = rf"(?:`{re.escape(surface.name)}`|{re.escape(surface.name)})"
+    m = re.match(rf"SHOW\s+NAMESPACES\s+IN\s+{cat}\s*$", q, re.IGNORECASE)
+    if m:
+        return spark.createDataFrame(
+            [(ns,) for ns in surface.namespaces()],
+            T.StructType([T.StructField("namespace", T.StringType(), False)]),
+        )
+    m = re.match(
+        rf"SHOW\s+TABLES\s+IN\s+{cat}(?:\.({IDENT}))?\s*$", q, re.IGNORECASE
+    )
+    if m:
+        ns = _unq(m.group(1)) if m.group(1) else None
+        rows = []
+        for key in surface.table_names(ns):
+            k_ns, bare = key.split(".", 1)
+            rel = surface.load(key)
+            is_view = not hasattr(rel, "files")
+            rows.append((k_ns, bare, is_view))
+        return spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("namespace", T.StringType(), False),
+                    T.StructField("tableName", T.StringType(), False),
+                    T.StructField("isView", T.BooleanType(), False),
+                ]
+            ),
+        )
+    m = re.match(
+        rf"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?{cat}\.({IDENT})\.({IDENT})\s*$",
+        q,
+        re.IGNORECASE,
+    )
+    if m:
+        ident = f"{_unq(m.group(1))}.{_unq(m.group(2))}"
+        table = surface.load(ident)
+        meta = table.metadata
+        ids = meta.field_ids_by_name()
+        rows = [
+            (f.name, f.dataType.simpleString(), ids.get(f.name))
+            for f in meta.struct_type().fields
+        ]
+        for spec in meta.partition_spec_entries():
+            rows.append(("# partitioned by", spec, None))
+        return spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("col_name", T.StringType(), False),
+                    T.StructField("data_type", T.StringType(), False),
+                    T.StructField("field_id", T.IntegerType(), True),
+                ]
+            ),
+        )
+    return None
 
 
 def _insert(surface, spark, q, tgt3) -> Optional[DataFrame]:

@@ -84,6 +84,7 @@ _PRIORITY = [
     "sim_hybrid_rrf",
     "stream_cdc_upsert",
     "iceberg_manifest_rewrite_scan",
+    "dedup_survivorship_policy",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",

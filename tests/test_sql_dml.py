@@ -272,3 +272,25 @@ def test_merge_rejects_exotic_clauses(spark, cat):
             "ON t.n_nationkey < s.n_nationkey "
             "WHEN NOT MATCHED THEN INSERT *",
         )
+
+
+def test_show_and_describe(spark, cat):
+    ns = {r.namespace for r in cat.sql(spark, "SHOW NAMESPACES IN dmlcat").collect()}
+    assert "sales" in ns
+    tbls = cat.sql(spark, "SHOW TABLES IN dmlcat.sales").collect()
+    names = {r.tableName for r in tbls}
+    assert {"nat", "nat_by_region"} <= names
+    assert all(not r.isView for r in tbls if r.tableName == "nat")
+    desc = cat.sql(spark, "DESCRIBE dmlcat.sales.nat_by_region").collect()
+    cols = {r.col_name: r.data_type for r in desc}
+    assert cols.get("n_nationkey") == "bigint"
+    assert cols.get("# partitioned by") == "n_regionkey"
+    # field ids present for real columns
+    assert all(
+        r.field_id is not None for r in desc if not r.col_name.startswith("#")
+    )
+    # other catalogs fall through to Spark (its own error, not ours)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        cat.sql(spark, "SHOW TABLES IN someothercat.sales").collect()
