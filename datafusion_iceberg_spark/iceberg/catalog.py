@@ -380,12 +380,13 @@ class Catalog(SqlSurface):
         schema: T.StructType,
         partition_by: Optional[list[str]] = None,
         sort_by: Optional[list[str]] = None,
+        properties: Optional[dict] = None,
     ) -> IcebergWriter:
         ns, name = ident.split(".", 1)
         self.create_namespace(ns)
         root = os.path.join(self.warehouse, ns, name)
         writer = IcebergWriter(root, schema, partition_by, sort_by=sort_by)
-        writer.create()
+        writer.create(properties)
         self._mirror[ident] = IcebergTable.load(root)
         return writer
 

@@ -280,8 +280,20 @@ def _delete(surface, spark, q, tgt3) -> Optional[DataFrame]:
     wm = re.match(r"WHERE\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
     if wm is None:
         raise ValueError(f"cannot parse DELETE tail: {rest!r}")
-    _need(surface, "delete_where")
-    snap = surface.delete_where(ident, spark, wm.group(1).strip())
+    # honor the Iceberg write.delete.mode table property: merge-on-read
+    # commits a position-delete file (row-proportional cost) instead of
+    # the copy-on-write file rewrite
+    mode = (
+        surface.load(ident)
+        .metadata.properties.get("write.delete.mode", "copy-on-write")
+        .lower()
+    )
+    if mode == "merge-on-read":
+        _need(surface, "delete_where_mor")
+        snap = surface.delete_where_mor(ident, spark, wm.group(1).strip())
+    else:
+        _need(surface, "delete_where")
+        snap = surface.delete_where(ident, spark, wm.group(1).strip())
     return _result(spark, "delete", ident, snap)
 
 
@@ -459,17 +471,36 @@ def _create(surface, spark, q, tgt3) -> Optional[DataFrame]:
         partition_by = [p.strip() for p in _split_top(pb.group(1))]
         rest = (rest[: pb.start()] + rest[pb.end():]).strip()
 
+    properties: Optional[dict] = None
+    tp = re.search(
+        r"\bTBLPROPERTIES\s*\(((?:[^()']|'(?:[^']|'')*')*)\)",
+        rest,
+        re.IGNORECASE,
+    )
+    if tp:
+        properties = {}
+        for pair in _split_top(tp.group(1)):
+            pm = re.match(
+                r"\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$", pair
+            )
+            if pm is None:
+                raise ValueError(f"cannot parse TBLPROPERTIES entry: {pair!r}")
+            properties[pm.group(1).replace("''", "'")] = pm.group(2).replace(
+                "''", "'"
+            )
+        rest = (rest[: tp.start()] + rest[tp.end():]).strip()
+
     ctas = re.match(r"AS\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
     if ctas:
         df = surface.sql(spark, ctas.group(1).strip())
-        surface.create_table(ident, df.schema, partition_by)
+        surface.create_table(ident, df.schema, partition_by, properties=properties)
         snap = surface.append(ident, spark, df)
         return _result(spark, "create_table_as", ident, snap)
     cm = re.match(r"\((.*)\)\s*$", rest, re.DOTALL)
     if cm is None:
         raise ValueError(f"cannot parse CREATE TABLE tail: {rest!r}")
     st = T.StructType.fromDDL(cm.group(1))
-    surface.create_table(ident, st, partition_by)
+    surface.create_table(ident, st, partition_by, properties=properties)
     return _result(spark, "create_table", ident, None)
 
 

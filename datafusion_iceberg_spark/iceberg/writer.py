@@ -1346,14 +1346,30 @@ class IcebergWriter:
         Write cost is proportional to the number of DELETED ROWS, not the
         size of the files containing them — the right trade at 100 TB for
         small/selective deletes, with compaction folding deletes back into
-        data files later.  Rows where pred is NULL are kept."""
+        data files later.  Rows where pred is NULL are kept.
+
+        ``pred`` accepts a raw SQL boolean string like :meth:`delete`
+        (prunable subset → file pruning; otherwise all files are
+        candidates)."""
         from pyspark.sql import functions as F
 
-        from datafusion_iceberg_spark.iceberg.pruning import pred_to_sql
+        from datafusion_iceberg_spark.iceberg.pruning import (
+            pred_to_sql,
+            sql_to_pred,
+        )
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
+        if isinstance(pred, str):
+            where_sql = pred
+            pred = sql_to_pred(pred)
+        else:
+            where_sql = pred_to_sql(pred)
         table = IcebergTable.load(self.root)
-        candidates = table.files(filters=pred)
+        candidates = (
+            table.files(filters=pred)
+            if pred is not None
+            else list(table.files())
+        )
         cur = table.metadata.raw.get("current-snapshot-id")
         if not candidates:
             return int(cur) if cur is not None else -1
@@ -1362,7 +1378,7 @@ class IcebergWriter:
             spark, candidates, None, _with_row_meta=True
         )
         matched = scanned.filter(
-            F.expr(f"coalesce(({pred_to_sql(pred)}), false)")
+            F.expr(f"coalesce(({where_sql}), false)")
         ).select(
             F.regexp_replace(F.col("_ice_file"), "^file:/*", "/").alias(
                 "file_path"

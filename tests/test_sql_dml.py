@@ -294,3 +294,32 @@ def test_show_and_describe(spark, cat):
 
     with _pytest.raises(Exception):
         cat.sql(spark, "SHOW TABLES IN someothercat.sales").collect()
+
+
+def test_delete_mode_property_merge_on_read(spark, cat, nation_df):
+    cat.sql(
+        spark,
+        "CREATE TABLE dmlcat.sales.mor_nat "
+        "(n_nationkey BIGINT, n_name STRING) "
+        "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')",
+    )
+    tbl = cat.load("sales.mor_nat")
+    assert tbl.metadata.properties["write.delete.mode"] == "merge-on-read"
+    nation_df.select("n_nationkey", "n_name").createOrReplaceTempView(
+        "mor_nat_src"
+    )
+    cat.sql(
+        spark,
+        "INSERT INTO dmlcat.sales.mor_nat SELECT * FROM mor_nat_src",
+    )
+    before_files = {f.path for f in cat.load("sales.mor_nat").files()}
+    cat.sql(
+        spark, "DELETE FROM dmlcat.sales.mor_nat WHERE n_nationkey = 3"
+    )
+    t = cat.load("sales.mor_nat")
+    # merge-on-read: data files unchanged, a delete manifest appears
+    assert {f.path for f in t.files()} == before_files
+    assert t.manifests(content=1)
+    assert (
+        t.to_df(spark).filter(F.col("n_nationkey") == 3).count() == 0
+    )
