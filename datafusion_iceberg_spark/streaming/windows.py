@@ -365,7 +365,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_iceberg_spark.tables import table_path
 
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    root = os.path.join(SCRATCH, f"wh_{tag}_cdc")
+    root = os.path.join(SCRATCH, f"wh_{tag}_cdc_upsert")
     marker = os.path.join(root, "_COMPLETE")
     with _lock:
         if os.path.exists(marker):
