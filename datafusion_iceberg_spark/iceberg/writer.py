@@ -472,6 +472,68 @@ class IcebergWriter:
         writer.parquet(data_dir)
 
         files = self._collect_file_stats(data_dir)
+        return self._commit_file_stats(
+            snap_id,
+            files,
+            _carry,
+            _operation,
+            _extra_entries,
+            _allow_empty,
+            stage_branch,
+        )
+
+    @classmethod
+    def for_table(cls, root: str) -> "IcebergWriter":
+        """Rebuild a writer for an existing table from its metadata (the
+        same reconstruction Catalog.writer performs, available without a
+        catalog — used by the Python DataSource write path)."""
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        meta = IcebergTable.load(root).metadata
+        return cls(
+            meta.root,
+            meta.struct_type(),
+            meta.partition_spec_entries(),
+            field_ids=meta.field_ids_by_name(),
+            sort_by=meta.sort_order_columns(),
+            spec_id=meta.default_spec_id,
+            iceberg_types={
+                f["name"]: f["type"] for f in meta.current_schema["fields"]
+            },
+            last_column_id=meta.last_column_id,
+        )
+
+    def commit_data_dir(
+        self, data_dir: str, operation: str = "append", replace: bool = False
+    ) -> int:
+        """Commit parquet files that were written OUTSIDE this writer
+        (e.g. by the Python DataSource write path): stat the footers,
+        build the manifest, commit one snapshot.  The files must already
+        live under the table root.  ``replace=True`` commits an
+        overwrite snapshot referencing ONLY the new files."""
+        snap_id = int(time.time() * 1000) * 1000 + (
+            int.from_bytes(os.urandom(2), "big") % 1000
+        )
+        files = self._collect_file_stats(data_dir)
+        if replace:
+            return self._commit_file_stats(
+                snap_id, files, False, operation, [], True
+            )
+        return self._commit_file_stats(snap_id, files, True, operation)
+
+    def _commit_file_stats(
+        self,
+        snap_id: int,
+        files: list,
+        _carry: bool = True,
+        _operation: str = "append",
+        _extra_entries: Optional[list] = None,
+        _allow_empty: bool = False,
+        stage_branch: Optional[str] = None,
+    ) -> int:
+        """Manifest build + snapshot commit for per-file stats dicts
+        (the post-write half of :meth:`append`, shared with
+        :meth:`commit_data_dir`)."""
         if not files and not (_allow_empty and _extra_entries is not None):
             raise ValueError("append produced no data files")
 

@@ -16,6 +16,14 @@ snapshot ordinals, each micro-batch plans the files added by the
 snapshots in ``(start, end]`` (the incremental_df diff as a streaming
 source), and partitions are again one file each, read in executors.
 
+``df.write.format("iceberg_py")`` is the write half: executor tasks
+stream Arrow batches straight into per-task parquet files under the
+table root (no driver funneling), and ``commit`` publishes them as ONE
+atomic Iceberg snapshot (append, or a replace snapshot for
+``mode("overwrite")``); an aborted job just deletes its staging
+directory — unpublished files were never visible.  Partitioned/sorted
+tables refuse (their transforms run in the catalog append path).
+
 Scope fence (documented, enforced): snapshots carrying position or
 equality delete files refuse the fast path — correct MOR application
 needs the anti-joins in ``IcebergTable.to_df``; a DataSource partition
@@ -26,10 +34,14 @@ never depends on stats.
 
 from __future__ import annotations
 
+import os
 from typing import TYPE_CHECKING, Iterator, Optional
+
+from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualTo,
@@ -38,6 +50,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -226,6 +239,75 @@ class IcebergPyStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class IcebergWriteMessage(WriterCommitMessage):
+    paths: list = field(default_factory=list)
+    rows: int = 0
+
+
+class IcebergPyWriter(DataSourceArrowWriter):
+    """``df.write.format("iceberg_py")`` — the write half of the split
+    handoff: each executor task streams its Arrow batches into ONE
+    parquet file under ``<root>/data/pyds-<uuid>/`` (no driver
+    funneling), and ``commit`` on the driver stats the footers and
+    commits a single atomic Iceberg snapshot (append, or an overwrite
+    replace snapshot for ``mode("overwrite")``).  A failed job aborts by
+    deleting the staging directory — the table never saw the files, so
+    there is nothing to roll back (Iceberg semantics: files are invisible
+    until the metadata commit)."""
+
+    def __init__(self, root: str, overwrite: bool, arrow_schema_json: str):
+        import uuid as uuidlib
+
+        self._root = root
+        self._overwrite = overwrite
+        self._schema_json = arrow_schema_json
+        self._dir = os.path.join(root, "data", f"pyds-{uuidlib.uuid4()}")
+
+    def write(self, iterator):
+        import uuid as uuidlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        target = pa.ipc.read_schema(
+            pa.BufferReader(bytes.fromhex(self._schema_json))
+        )
+        os.makedirs(self._dir, exist_ok=True)
+        path = os.path.join(self._dir, f"part-{uuidlib.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        for batch in iterator:
+            cols = [
+                batch.column(f.name).cast(f.type) for f in target
+            ]
+            out = pa.RecordBatch.from_arrays(cols, schema=target)
+            if writer is None:
+                writer = pq.ParquetWriter(path, target)
+            writer.write_batch(out)
+            rows += out.num_rows
+        if writer is None:
+            return IcebergWriteMessage()
+        writer.close()
+        return IcebergWriteMessage(paths=[path], rows=rows)
+
+    def commit(self, messages) -> None:
+        from datafusion_iceberg_spark.iceberg.writer import IcebergWriter
+
+        total = sum(m.rows for m in messages if m)
+        w = IcebergWriter.for_table(self._root)
+        if self._overwrite:
+            w.commit_data_dir(self._dir, operation="overwrite", replace=True)
+        elif total > 0:
+            w.commit_data_dir(self._dir)
+        # append of zero rows: no snapshot, nothing to clean
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._dir, ignore_errors=True)
+
+
 class IcebergPyDataSource(DataSource):
     """Options: ``path`` (table root, required); ``snapshot_id`` /
     ``ref`` (batch read pins, optional)."""
@@ -268,6 +350,33 @@ class IcebergPyDataSource(DataSource):
 
     def streamReader(self, schema) -> IcebergPyStreamReader:
         return IcebergPyStreamReader(self.options.get("path"), schema)
+
+    def writer(self, schema, overwrite: bool) -> IcebergPyWriter:
+        table, _ = self._table()
+        meta = table.metadata
+        if meta.partition_spec_entries():
+            raise ValueError(
+                "iceberg_py write: partitioned tables need the catalog "
+                "append path (partition transforms run there)"
+            )
+        if meta.sort_order_columns():
+            raise ValueError(
+                "iceberg_py write: sorted tables need the catalog append "
+                "path (repartitionByRange runs there)"
+            )
+        expected = [f.name.lower() for f in meta.struct_type().fields]
+        got = [f.name.lower() for f in schema.fields]
+        if got != expected:
+            raise ValueError(
+                f"iceberg_py write: dataframe columns {got} do not match "
+                f"table schema {expected}"
+            )
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow = to_arrow_schema(meta.struct_type())
+        return IcebergPyWriter(
+            meta.root, overwrite, arrow.serialize().to_pybytes().hex()
+        )
 
 
 def register_iceberg_datasource(spark) -> None:

@@ -147,3 +147,87 @@ def test_rename_evolution_refuses_name_reader(spark, fx, tmp_path):
         _plan_files(t, None)
     # the id-mapping scan still reads the old files fine
     assert t.to_df(spark).select("nation_name").count() == 25
+
+
+# -- write path -----------------------------------------------------------
+
+
+@pytest.fixture()
+def write_wh(spark, tmp_path):
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    root = str(tmp_path / "pyds_wh")
+    cat = Catalog(root)
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table("w.nat", nation.schema)
+    yield cat, nation, os.path.join(root, "w", "nat")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_writer_append_and_overwrite(spark, write_wh):
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+    cat, nation, tbl_root = write_wh
+    nation.write.format("iceberg_py").option("path", tbl_root).mode(
+        "append"
+    ).save()
+    t = IcebergTable.load(tbl_root)
+    assert t.to_df(spark).count() == nation.count()
+    # one snapshot per write job, stats usable by the pruning kernel
+    assert len(t.metadata.snapshots) == 1
+    assert all(f.lower_bounds for f in t.files())
+    nation.limit(5).write.format("iceberg_py").option("path", tbl_root).mode(
+        "append"
+    ).save()
+    t = IcebergTable.load(tbl_root)
+    assert t.to_df(spark).count() == nation.count() + 5
+    # overwrite = ONE atomic replace snapshot
+    n_snaps = len(t.metadata.snapshots)
+    nation.limit(7).write.format("iceberg_py").option("path", tbl_root).mode(
+        "overwrite"
+    ).save()
+    t = IcebergTable.load(tbl_root)
+    assert t.to_df(spark).count() == 7
+    assert len(t.metadata.snapshots) == n_snaps + 1
+    # round trip through the DataSource reader
+    back = spark.read.format("iceberg_py").option("path", tbl_root).load()
+    assert back.count() == 7
+
+
+def test_writer_cow_delete_on_ds_written_files(spark, write_wh):
+    """Files written by the DataSource (pyarrow, no PARQUET:field_id
+    metadata) must still support the catalog write path: stats are keyed
+    by name->field-id at commit, so pruning and COW rewrite work."""
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+    cat, nation, tbl_root = write_wh
+    nation.write.format("iceberg_py").option("path", tbl_root).mode(
+        "append"
+    ).save()
+    cat2 = type(cat)(cat.warehouse)  # fresh mirror sees the DS commit
+    cat2.delete_where("w.nat", spark, ("=", "n_nationkey", 1))
+    t = IcebergTable.load(tbl_root)
+    assert t.to_df(spark).filter(F.col("n_nationkey") == 1).count() == 0
+    assert t.to_df(spark).count() == nation.count() - 1
+
+
+def test_writer_refuses_partitioned_and_mismatched(spark, write_wh, tmp_path):
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat, nation, tbl_root = write_wh
+    # column mismatch
+    with pytest.raises(Exception, match="do not match"):
+        nation.select("n_nationkey").write.format("iceberg_py").option(
+            "path", tbl_root
+        ).mode("append").save()
+    # partitioned table refused
+    cat.create_table(
+        "w.part_nat", nation.schema, partition_by=["n_regionkey"]
+    )
+    with pytest.raises(Exception, match="partitioned"):
+        nation.write.format("iceberg_py").option(
+            "path", os.path.join(cat.warehouse, "w", "part_nat")
+        ).mode("append").save()
