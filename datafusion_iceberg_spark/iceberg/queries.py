@@ -1477,6 +1477,70 @@ def iceberg_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "iceberg_pyds_write_scan",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_custs,
+           CAST(SUM(CAST(CAST(FLOOR((c_acctbal) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS balance
+    FROM customer WHERE c_custkey % 3 != 2
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def iceberg_pyds_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource WRITE path end-to-end: two
+    ``df.write.format("iceberg_py")`` appends then one overwrite (the
+    overwrite replaces everything with the two-thirds subset), each an
+    atomic snapshot commit of executor-written Arrow parquet; the final
+    state scans through the ICEBERG read path and must hash-match the
+    equivalent filter over the source parquet."""
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        register_iceberg_datasource,
+    )
+
+    register_iceberg_datasource(spark)
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_pydsw")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            customer = load_table(spark, sf_dir, "customer")
+            cat.create_table("pw.customer", customer.schema)
+            tbl_root = os.path.join(root, "pw", "customer")
+            for i in range(2):
+                customer.filter(F.col("c_custkey") % 3 == i).write.format(
+                    "iceberg_py"
+                ).option("path", tbl_root).mode("append").save()
+            customer.filter(F.col("c_custkey") % 3 != 2).write.format(
+                "iceberg_py"
+            ).option("path", tbl_root).mode("overwrite").save()
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = IcebergTable.load(os.path.join(root, "pw", "customer"))
+    assert len(table.metadata.snapshots) == 3
+    return (
+        table.to_df(spark)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            (
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 1000000 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Write-audit-publish (stage on a branch, fast-forward main)
 # ---------------------------------------------------------------------------

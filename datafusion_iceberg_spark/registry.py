@@ -85,6 +85,7 @@ _PRIORITY = [
     "stream_cdc_upsert",
     "iceberg_manifest_rewrite_scan",
     "dedup_survivorship_policy",
+    "iceberg_pyds_write_scan",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
