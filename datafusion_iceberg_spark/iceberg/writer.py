@@ -521,6 +521,17 @@ class IcebergWriter:
             )
         return self._commit_file_stats(snap_id, files, True, operation)
 
+    def commit_files(self, data_dir: str, paths: list) -> int:
+        """Commit exactly ``paths`` (already written under the table
+        root) as one append snapshot — the per-micro-batch commit of the
+        streaming DataSource sink, where each batch's file set arrives
+        via executor commit messages rather than a directory walk."""
+        snap_id = int(time.time() * 1000) * 1000 + (
+            int.from_bytes(os.urandom(2), "big") % 1000
+        )
+        files = self._collect_file_stats(data_dir, paths=paths)
+        return self._commit_file_stats(snap_id, files, True, "append")
+
     def _commit_file_stats(
         self,
         snap_id: int,
@@ -1176,14 +1187,23 @@ class IcebergWriter:
 
     # -- stats collection ---------------------------------------------------
 
-    def _collect_file_stats(self, data_dir: str) -> list[dict]:
-        """Walk written parquet files; derive per-file column stats from
-        footers (row-group min/max/null aggregated per file)."""
+    def _collect_file_stats(
+        self, data_dir: str, paths: Optional[list] = None
+    ) -> list[dict]:
+        """Walk written parquet files (or exactly ``paths``); derive
+        per-file column stats from footers (row-group min/max/null
+        aggregated per file)."""
         import pyarrow.parquet as pq
 
         out = []
-        for path in sorted(
-            glob.glob(os.path.join(data_dir, "**", "*.parquet"), recursive=True)
+        for path in (
+            sorted(paths)
+            if paths is not None
+            else sorted(
+                glob.glob(
+                    os.path.join(data_dir, "**", "*.parquet"), recursive=True
+                )
+            )
         ):
             rel = os.path.relpath(path, data_dir)
             partition: dict[str, Any] = {}

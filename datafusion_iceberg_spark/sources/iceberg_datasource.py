@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -308,6 +309,87 @@ class IcebergPyWriter(DataSourceArrowWriter):
         shutil.rmtree(self._dir, ignore_errors=True)
 
 
+class IcebergPyStreamWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("iceberg_py")`` — one Iceberg snapshot
+    per micro-batch.  Tasks stream their batches to individual parquet
+    files under ``<root>/data/pyds-stream/`` and report the paths via
+    commit messages; ``commit(batchId)`` publishes exactly those files
+    as ONE append snapshot.  Replayed batches (restart between the sink
+    commit and the checkpoint write) are detected via a batch-id ledger
+    next to the metadata and skipped — exactly-once END TO END given the
+    engine's replay guarantee.  One concurrent streaming query per
+    table (the ledger is per-table)."""
+
+    def __init__(self, root: str, arrow_schema_json: str):
+        self._root = root
+        self._schema_json = arrow_schema_json
+        self._dir = os.path.join(root, "data", "pyds-stream")
+
+    def _ledger(self) -> str:
+        return os.path.join(self._root, "metadata", "pyds-stream-commits.json")
+
+    def write(self, iterator):
+        import uuid as uuidlib
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        target = pa.ipc.read_schema(
+            pa.BufferReader(bytes.fromhex(self._schema_json))
+        )
+        os.makedirs(self._dir, exist_ok=True)
+        path = os.path.join(self._dir, f"part-{uuidlib.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        for batch in iterator:
+            cols = [batch.column(f.name).cast(f.type) for f in target]
+            out = pa.RecordBatch.from_arrays(cols, schema=target)
+            if writer is None:
+                writer = pq.ParquetWriter(path, target)
+            writer.write_batch(out)
+            rows += out.num_rows
+        if writer is None:
+            return IcebergWriteMessage()
+        writer.close()
+        return IcebergWriteMessage(paths=[path], rows=rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        from datafusion_iceberg_spark.iceberg.writer import IcebergWriter
+
+        paths = [p for m in messages if m for p in m.paths]
+        ledger = {}
+        if os.path.exists(self._ledger()):
+            with open(self._ledger()) as fh:
+                ledger = json.load(fh)
+        if str(batchId) in ledger:
+            # replayed batch: already a snapshot — drop the re-staged files
+            for p in paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+            return
+        if paths:
+            w = IcebergWriter.for_table(self._root)
+            snap = w.commit_files(self._dir, paths)
+        else:
+            snap = None
+        ledger[str(batchId)] = snap
+        with open(self._ledger(), "w") as fh:
+            json.dump(ledger, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m:
+                for p in m.paths:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+
+
 class IcebergPyDataSource(DataSource):
     """Options: ``path`` (table root, required); ``snapshot_id`` /
     ``ref`` (batch read pins, optional)."""
@@ -351,7 +433,9 @@ class IcebergPyDataSource(DataSource):
     def streamReader(self, schema) -> IcebergPyStreamReader:
         return IcebergPyStreamReader(self.options.get("path"), schema)
 
-    def writer(self, schema, overwrite: bool) -> IcebergPyWriter:
+    def _check_writable(self, schema) -> str:
+        """Shared batch/stream write validation; returns the serialized
+        target arrow schema."""
         table, _ = self._table()
         meta = table.metadata
         if meta.partition_spec_entries():
@@ -373,9 +457,22 @@ class IcebergPyDataSource(DataSource):
             )
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        arrow = to_arrow_schema(meta.struct_type())
+        return to_arrow_schema(meta.struct_type()).serialize().to_pybytes().hex()
+
+    def writer(self, schema, overwrite: bool) -> IcebergPyWriter:
+        table, _ = self._table()
         return IcebergPyWriter(
-            meta.root, overwrite, arrow.serialize().to_pybytes().hex()
+            table.metadata.root, overwrite, self._check_writable(schema)
+        )
+
+    def streamWriter(self, schema, overwrite: bool) -> IcebergPyStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "iceberg_py streaming sink supports append output mode only"
+            )
+        table, _ = self._table()
+        return IcebergPyStreamWriter(
+            table.metadata.root, self._check_writable(schema)
         )
 
 

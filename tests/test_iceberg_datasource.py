@@ -231,3 +231,65 @@ def test_writer_refuses_partitioned_and_mismatched(spark, write_wh, tmp_path):
         nation.write.format("iceberg_py").option(
             "path", os.path.join(cat.warehouse, "w", "part_nat")
         ).mode("append").save()
+
+
+def test_stream_writer_sink_and_replay_idempotent(spark, tmp_path):
+    """writeStream.format('iceberg_py'): one snapshot per micro-batch;
+    a replayed batch id must not double-commit."""
+    import pyarrow.parquet as pq
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        IcebergPyStreamWriter,
+        IcebergWriteMessage,
+    )
+    from datafusion_iceberg_spark.tables import load_table, table_path
+
+    register_iceberg_datasource(spark)
+    root = str(tmp_path / "swh")
+    cat = Catalog(root)
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    )
+    cat.create_table("s.ev", ev.schema)
+    tbl_root = os.path.join(root, "s", "ev")
+    stage = os.path.join(root, "_src")
+    os.makedirs(stage)
+    t = pq.read_table(
+        table_path(SF_DIR, "events"),
+        columns=["event_id", "event_type", "value"],
+    )
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), os.path.join(stage, "a.parquet"))
+    pq.write_table(t.slice(half), os.path.join(stage, "b.parquet"))
+    raw = spark.read.parquet(os.path.join(stage, "a.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        stream.writeStream.format("iceberg_py")
+        .option("path", tbl_root)
+        .option("checkpointLocation", os.path.join(root, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    tb = IcebergTable.load(tbl_root)
+    assert tb.to_df(spark).count() == t.num_rows
+    assert [s.summary.get("operation") for s in tb.metadata.snapshots] == [
+        "append",
+        "append",
+    ]
+    # simulate a REPLAY of batch 1: the ledger must skip the commit
+    w = IcebergPyStreamWriter(tbl_root, "")
+    n_before = len(IcebergTable.load(tbl_root).metadata.snapshots)
+    fake = os.path.join(tbl_root, "data", "pyds-stream", "replay.parquet")
+    pq.write_table(t.slice(0, 3), fake)
+    w.commit([IcebergWriteMessage(paths=[fake], rows=3)], batchId=1)
+    tb2 = IcebergTable.load(tbl_root)
+    assert len(tb2.metadata.snapshots) == n_before  # no new snapshot
+    assert not os.path.exists(fake)  # re-staged file cleaned up
+    assert tb2.to_df(spark).count() == t.num_rows
