@@ -572,6 +572,14 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def set_properties(
+        self, ident: str, updates: dict, removes: Optional[list] = None
+    ) -> None:
+        """ALTER TABLE SET/UNSET TBLPROPERTIES + mirror refresh."""
+        self.writer(ident).set_properties(updates, removes)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+
     def expire_snapshots(
         self,
         ident: str,

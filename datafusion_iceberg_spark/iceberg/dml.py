@@ -554,4 +554,38 @@ def _alter(surface, spark, q, tgt3) -> Optional[DataFrame]:
         _need(surface, "drop_column")
         surface.drop_column(ident, _unq(drp.group(1)))
         return _result(spark, "drop_column", ident, None)
+    setp = re.match(
+        r"SET\s+TBLPROPERTIES\s*\(((?:[^()']|'(?:[^']|'')*')*)\)\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if setp:
+        updates = {}
+        for pair in _split_top(setp.group(1)):
+            pm = re.match(
+                r"\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$", pair
+            )
+            if pm is None:
+                raise ValueError(f"cannot parse TBLPROPERTIES entry: {pair!r}")
+            updates[pm.group(1).replace("''", "'")] = pm.group(2).replace(
+                "''", "'"
+            )
+        _need(surface, "set_properties")
+        surface.set_properties(ident, updates)
+        return _result(spark, "set_properties", ident, None)
+    unset = re.match(
+        r"UNSET\s+TBLPROPERTIES\s*\(((?:[^()']|'(?:[^']|'')*')*)\)\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if unset:
+        keys = []
+        for part in _split_top(unset.group(1)):
+            km = re.match(r"\s*'((?:[^']|'')*)'\s*$", part)
+            if km is None:
+                raise ValueError(f"cannot parse UNSET key: {part!r}")
+            keys.append(km.group(1).replace("''", "'"))
+        _need(surface, "set_properties")
+        surface.set_properties(ident, {}, removes=keys)
+        return _result(spark, "unset_properties", ident, None)
     raise ValueError(f"unsupported ALTER TABLE action: {rest!r}")

@@ -482,6 +482,20 @@ class IcebergWriter:
             stage_branch,
         )
 
+    def set_properties(self, updates: dict, removes: Optional[list] = None) -> None:
+        """ALTER TABLE SET/UNSET TBLPROPERTIES: merge ``updates`` into the
+        table properties (and drop ``removes``) in a new metadata
+        version — a pure metadata commit, e.g. to flip
+        ``write.delete.mode`` after creation."""
+        meta = self._load_current()
+        props = dict(meta.get("properties", {}))
+        props.update({str(k): str(v) for k, v in updates.items()})
+        for k in removes or []:
+            props.pop(k, None)
+        meta["properties"] = props
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(meta)
+
     @classmethod
     def for_table(cls, root: str) -> "IcebergWriter":
         """Rebuild a writer for an existing table from its metadata (the

@@ -323,3 +323,31 @@ def test_delete_mode_property_merge_on_read(spark, cat, nation_df):
     assert (
         t.to_df(spark).filter(F.col("n_nationkey") == 3).count() == 0
     )
+
+
+def test_alter_set_unset_tblproperties(spark, cat, nation_df):
+    nation_df.select("n_nationkey", "n_name").createOrReplaceTempView(
+        "props_src"
+    )
+    cat.sql(
+        spark,
+        "CREATE TABLE dmlcat.sales.props_t AS SELECT * FROM props_src",
+    )
+    cat.sql(
+        spark,
+        "ALTER TABLE dmlcat.sales.props_t SET TBLPROPERTIES "
+        "('write.delete.mode' = 'merge-on-read', 'owner' = 'data-eng')",
+    )
+    props = cat.load("sales.props_t").metadata.properties
+    assert props["write.delete.mode"] == "merge-on-read"
+    assert props["owner"] == "data-eng"
+    # the delete-mode flip is honored immediately
+    before_files = {f.path for f in cat.load("sales.props_t").files()}
+    cat.sql(spark, "DELETE FROM dmlcat.sales.props_t WHERE n_nationkey = 2")
+    t = cat.load("sales.props_t")
+    assert {f.path for f in t.files()} == before_files  # MOR, no rewrite
+    cat.sql(
+        spark,
+        "ALTER TABLE dmlcat.sales.props_t UNSET TBLPROPERTIES ('owner')",
+    )
+    assert "owner" not in cat.load("sales.props_t").metadata.properties
