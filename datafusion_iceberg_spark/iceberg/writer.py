@@ -71,6 +71,22 @@ class CommitConflict(Exception):
     other writer's metadata file."""
 
 
+class RewriteConflict(CommitConflict):
+    """A REWRITE commit (copy-on-write delete/update/merge, compaction,
+    z-order — any ``_carry=False`` snapshot) found the table advanced
+    past the snapshot it was planned against.  Blind-retrying would
+    silently drop the concurrent commit's files from the new manifest
+    (its snapshot stays time-travelable but vanishes from current), so
+    the operation surfaces this instead: re-run it against fresh state.
+    This mirrors Iceberg's RewriteFiles validation, where appends retry
+    but rewrites must re-plan."""
+
+
+# sentinel: "caller did not supply a planned parent" (None is a real
+# value — a rewrite planned against an empty table)
+_UNCHECKED = object()
+
+
 def _nullable(t: Any) -> list:
     return ["null", t]
 
@@ -425,6 +441,7 @@ class IcebergWriter:
         _extra_entries: Optional[list] = None,
         _allow_empty: bool = False,
         stage_branch: Optional[str] = None,
+        _expected_parent=_UNCHECKED,
     ) -> int:
         """Write df as parquet data files + commit an append snapshot.
         ``stage_branch`` stages the snapshot for write-audit-publish: it
@@ -480,6 +497,7 @@ class IcebergWriter:
             _extra_entries,
             _allow_empty,
             stage_branch,
+            _expected_parent,
         )
 
     def set_properties(self, updates: dict, removes: Optional[list] = None) -> None:
@@ -555,6 +573,7 @@ class IcebergWriter:
         _extra_entries: Optional[list] = None,
         _allow_empty: bool = False,
         stage_branch: Optional[str] = None,
+        _expected_parent=_UNCHECKED,
     ) -> int:
         """Manifest build + snapshot commit for per-file stats dicts
         (the post-write half of :meth:`append`, shared with
@@ -671,7 +690,13 @@ class IcebergWriter:
                     _carry,
                     _operation,
                     stage_branch,
+                    _expected_parent,
                 )
+            except RewriteConflict:
+                # the manifest was built from a now-stale file set: a
+                # blind retry would drop the concurrent commit's files —
+                # the caller must re-plan (see RewriteConflict docstring)
+                raise
             except CommitConflict:
                 if _attempt == 4:
                     raise
@@ -689,12 +714,22 @@ class IcebergWriter:
         _carry: bool,
         _operation: str,
         _stage_branch: Optional[str] = None,
+        _expected_parent=_UNCHECKED,
     ) -> int:
         """The read-validate-commit section of append, re-entrant for the
         optimistic-concurrency retry: re-reads current metadata (so the
         carried manifest list reflects any snapshot that won a race) and
         commits base+1 exclusively."""
         meta = self._load_current()
+        if _expected_parent is not _UNCHECKED:
+            cur_check = meta.get("current-snapshot-id")
+            cur_check = None if cur_check in (None, -1) else cur_check
+            if cur_check != _expected_parent:
+                raise RewriteConflict(
+                    f"table advanced to snapshot {cur_check} since this "
+                    f"rewrite was planned against {_expected_parent} — "
+                    "re-run the operation on fresh state"
+                )
         # An append snapshot's manifest list = all previous live manifests
         # + the new one (Iceberg spec: the list is the complete snapshot).
         carried = []
@@ -1023,7 +1058,13 @@ class IcebergWriter:
             df = df.repartition(n_out, *[s for s, _, _ in self.spec_entries])
         else:
             df = df.repartition(n_out)
-        return self.append(spark, df, _carry=False, _operation="replace")
+        return self.append(
+            spark,
+            df,
+            _carry=False,
+            _operation="replace",
+            _expected_parent=table.metadata.current_snapshot_id,
+        )
 
     def rewrite_manifests(self) -> dict:
         """Metadata-only maintenance: collapse the current snapshot's
@@ -1133,12 +1174,16 @@ class IcebergWriter:
                     total_rows,
                     False,
                     "replace",
+                    None,
+                    table.metadata.current_snapshot_id,
                 )
                 return {
                     "manifests_before": len(mans),
                     "manifests_after": 1,
                     "snapshot_id": snap,
                 }
+            except RewriteConflict:
+                raise  # stale manifest: caller must re-plan
             except CommitConflict:
                 if _attempt == 4:
                     raise
@@ -1197,7 +1242,13 @@ class IcebergWriter:
         )
         # repartitionByRange+sort survives the write because append()
         # writes the dataframe as-is when no table sort order is declared
-        return self.append(spark, df, _carry=False, _operation="replace")
+        return self.append(
+            spark,
+            df,
+            _carry=False,
+            _operation="replace",
+            _expected_parent=table.metadata.current_snapshot_id,
+        )
 
     # -- stats collection ---------------------------------------------------
 
@@ -1431,6 +1482,7 @@ class IcebergWriter:
             _operation="delete",
             _extra_entries=untouched,
             _allow_empty=True,
+            _expected_parent=table.metadata.current_snapshot_id,
         )
 
     def delete_where_mor(self, spark: SparkSession, pred) -> int:
@@ -1528,14 +1580,31 @@ class IcebergWriter:
         write_avro_file(manifest_path, _manifest_schema([]), entries)
 
         n_deleted = sum(n for _, n, _ in del_files)
+        # target paths: position deletes bind to FILES — if a concurrent
+        # rewrite (compaction/COW) replaced one, committing would
+        # silently no-op those rows; validated at commit time below
+        targets = set()
+        for p, _, _ in del_files:
+            targets.update(
+                pq.read_table(p, columns=["file_path"])
+                .column("file_path")
+                .to_pylist()
+            )
         manifest_list_path = os.path.join(
             meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
         )
         for _attempt in range(5):
             try:
                 return self._commit_mor_delete_snapshot(
-                    snap_id, manifest_path, manifest_list_path, entries, n_deleted
+                    snap_id,
+                    manifest_path,
+                    manifest_list_path,
+                    entries,
+                    n_deleted,
+                    _target_paths=targets,
                 )
+            except RewriteConflict:
+                raise  # a target file left the table: re-plan the delete
             except CommitConflict:
                 if _attempt == 4:
                     raise
@@ -1639,11 +1708,48 @@ class IcebergWriter:
         entries: list,
         n_deleted: int,
         delete_kind: str = "position",
+        _target_paths: Optional[set] = None,
     ) -> int:
         """Read-validate-commit section of delete_where_mor /
         delete_where_eq, re-entrant for the optimistic-concurrency
-        retry."""
+        retry.  For position deletes, validates that every TARGETED data
+        file is still live (a concurrent rewrite that replaced one would
+        make the delete silently no-op — Iceberg's RowDelta
+        validateDataFilesExist); equality deletes bind by VALUE with
+        ordinal sequencing, so concurrent appends/rewrites stay
+        correct without this check."""
         meta = self._load_current()
+        if _target_paths:
+            from datafusion_iceberg_spark.iceberg.metadata import TableMetadata
+
+            tm = TableMetadata(meta, self.root, meta.get("location", self.root))
+            live = set()
+            cur_id = meta.get("current-snapshot-id")
+            if cur_id not in (None, -1):
+                from datafusion_iceberg_spark.iceberg.manifests import (
+                    read_manifest,
+                    read_manifest_list,
+                )
+
+                snap = next(
+                    s
+                    for s in meta["snapshots"]
+                    if s["snapshot-id"] == cur_id
+                )
+                for mf in read_manifest_list(
+                    tm.localize(snap["manifest-list"])
+                ):
+                    if mf.content == 0:
+                        for f in read_manifest(tm.localize(mf.path)):
+                            live.add(tm.localize(f.path))
+            gone = {
+                t for t in _target_paths if tm.localize(t) not in live
+            }
+            if gone:
+                raise RewriteConflict(
+                    f"position-delete targets {sorted(gone)[:3]}... are no "
+                    "longer live (concurrent rewrite) — re-run the delete"
+                )
         cur = meta.get("current-snapshot-id")
         carried = []
         if cur not in (None, -1):
@@ -1813,6 +1919,7 @@ class IcebergWriter:
             _operation="overwrite",
             _extra_entries=untouched,
             _allow_empty=True,
+            _expected_parent=table.metadata.current_snapshot_id,
         )
 
     def overwrite(self, spark: SparkSession, df: DataFrame) -> int:
@@ -1968,6 +2075,7 @@ class IcebergWriter:
             _operation="overwrite",
             _extra_entries=untouched,
             _allow_empty=True,
+            _expected_parent=table.metadata.current_snapshot_id,
         )
 
     def fast_forward(self, branch: str, drop_ref: bool = True) -> int:

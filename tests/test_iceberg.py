@@ -2784,3 +2784,101 @@ def test_clean_metadata_log(spark, sf_dir, scratch):
     assert t.to_df(spark).count() == nation.count()
     cat.append("a.nat", spark, nation.limit(1))
     assert cat.load("a.nat").to_df(spark).count() == nation.count() + 1
+
+
+def test_cow_rewrite_conflict_not_lost_update(spark, sf_dir, scratch):
+    """A copy-on-write DELETE racing a concurrent APPEND must raise
+    RewriteConflict instead of blind-retrying — the retry would commit a
+    manifest built from the pre-append file set and silently drop the
+    appended rows from the current snapshot."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.writer import (
+        IcebergWriter,
+        RewriteConflict,
+    )
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_race_cow")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("r.nat", nation.schema)
+    cat.append("r.nat", spark, nation.filter(F.col("n_nationkey") < 20))
+
+    w = cat.writer("r.nat")
+    orig = IcebergWriter._commit_file_stats
+    fired = {"done": False}
+
+    def interleave(self, *a, **k):
+        # first commit attempt: sneak in a concurrent append
+        if not fired["done"] and self.root.endswith("r/nat"):
+            fired["done"] = True
+            cat.writer("r.nat").append(
+                spark, nation.filter(F.col("n_nationkey") >= 20)
+            )
+        return orig(self, *a, **k)
+
+    IcebergWriter._commit_file_stats = interleave
+    try:
+        with pytest.raises(RewriteConflict, match="re-run"):
+            w.delete(spark, ("=", "n_nationkey", 3))
+    finally:
+        IcebergWriter._commit_file_stats = orig
+    # nothing lost: both halves present, delete did NOT apply
+    t = cat.load("r.nat")
+    t = type(t).load(t.metadata.root)
+    assert t.to_df(spark).count() == nation.count()
+    # re-running the delete on fresh state succeeds
+    cat2 = Catalog(root)
+    cat2.delete_where("r.nat", spark, ("=", "n_nationkey", 3))
+    t2 = cat2.load("r.nat")
+    assert t2.to_df(spark).count() == nation.count() - 1
+
+
+def test_mor_delete_conflict_when_target_compacted(spark, sf_dir, scratch):
+    """A MOR position delete whose planned target files were compacted
+    away mid-flight must raise RewriteConflict (the delete would bind to
+    dead paths and silently no-op)."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.writer import (
+        IcebergWriter,
+        RewriteConflict,
+    )
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_race_mor")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("r.nat", nation.schema)
+    cat.append("r.nat", spark, nation)
+
+    w = cat.writer("r.nat")
+    orig = IcebergWriter._commit_mor_delete_snapshot
+    fired = {"done": False}
+
+    def interleave(self, *a, **k):
+        if not fired["done"]:
+            fired["done"] = True
+            cat.writer("r.nat").compact(spark)  # replaces every file
+        return orig(self, *a, **k)
+
+    IcebergWriter._commit_mor_delete_snapshot = interleave
+    try:
+        with pytest.raises(RewriteConflict, match="no longer live"):
+            w.delete_where_mor(spark, ("=", "n_nationkey", 5))
+    finally:
+        IcebergWriter._commit_mor_delete_snapshot = orig
+    t = cat.load("r.nat")
+    t = type(t).load(t.metadata.root)
+    assert t.to_df(spark).count() == nation.count()  # nothing applied
+    # re-planned MOR delete on the compacted table succeeds
+    cat2 = Catalog(root)
+    cat2.delete_where_mor("r.nat", spark, ("=", "n_nationkey", 5))
+    t2 = cat2.load("r.nat")
+    t2 = type(t2).load(t2.metadata.root)
+    assert t2.to_df(spark).count() == nation.count() - 1
