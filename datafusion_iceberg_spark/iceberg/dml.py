@@ -152,6 +152,20 @@ def try_execute(
     head = q.split(None, 1)[0].upper() if q else ""
     if head in ("SHOW", "DESCRIBE", "DESC"):
         return _show_describe(surface, spark, q)
+    if head == "TRUNCATE":
+        m = re.match(
+            rf"TRUNCATE\s+TABLE\s+(?:`{re.escape(surface.name)}`|{re.escape(surface.name)})"
+            rf"\.({IDENT})\.({IDENT})\s*$",
+            q,
+            re.IGNORECASE,
+        )
+        if m is None:
+            return None
+        ident = f"{_unq(m.group(1))}.{_unq(m.group(2))}"
+        _need(surface, "overwrite", "load")
+        st = surface.load(ident).metadata.struct_type()
+        snap = surface.overwrite(ident, spark, spark.createDataFrame([], st))
+        return _result(spark, "truncate", ident, snap)
     if head not in ("INSERT", "DELETE", "UPDATE", "MERGE", "CREATE", "DROP", "ALTER"):
         return None
     cat = rf"(?:`{re.escape(surface.name)}`|{re.escape(surface.name)})"
@@ -447,18 +461,20 @@ def _create(surface, spark, q, tgt3) -> Optional[DataFrame]:
         surface.create_view(ident, surface.resolve_names(vm.group(3).strip()))
         return _result(spark, "create_view", ident, None)
     m = re.match(
-        rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{tgt3}\s*(.*)$",
+        rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{tgt3}\s*(.*)$",
         q,
         re.IGNORECASE | re.DOTALL,
     )
     if m is None:
         return None
-    ns, tbl, rest = _unq(m.group(1)), _unq(m.group(2)), m.group(3).strip()
+    replace = m.group(1) is not None
+    ns, tbl, rest = _unq(m.group(2)), _unq(m.group(3)), m.group(4).strip()
     ident = f"{ns}.{tbl}"
-    if surface.table_exists(ident) and re.search(
-        r"IF\s+NOT\s+EXISTS", q, re.IGNORECASE
-    ):
-        return _result(spark, "noop", ident, None)
+    if surface.table_exists(ident):
+        if replace:
+            surface.drop(ident)
+        elif re.search(r"IF\s+NOT\s+EXISTS", q, re.IGNORECASE):
+            return _result(spark, "noop", ident, None)
     _need(surface, "create_table")
 
     partition_by: Optional[list[str]] = None

@@ -351,3 +351,30 @@ def test_alter_set_unset_tblproperties(spark, cat, nation_df):
         "ALTER TABLE dmlcat.sales.props_t UNSET TBLPROPERTIES ('owner')",
     )
     assert "owner" not in cat.load("sales.props_t").metadata.properties
+
+
+def test_truncate_and_create_or_replace(spark, cat, nation_df):
+    nation_df.select("n_nationkey", "n_name").createOrReplaceTempView(
+        "tr_src"
+    )
+    cat.sql(
+        spark, "CREATE TABLE dmlcat.sales.tr_t AS SELECT * FROM tr_src"
+    )
+    out = cat.sql(spark, "TRUNCATE TABLE dmlcat.sales.tr_t").first()
+    assert out.operation == "truncate"
+    assert (
+        cat.sql(spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.tr_t").first()["n"]
+        == 0
+    )
+    # truncation is one snapshot; history intact for time travel
+    assert len(cat.load("sales.tr_t").metadata.snapshots) == 2
+    out = cat.sql(
+        spark,
+        "CREATE OR REPLACE TABLE dmlcat.sales.tr_t AS "
+        "SELECT * FROM tr_src WHERE n_nationkey < 5",
+    ).first()
+    assert out.operation == "create_table_as"
+    assert (
+        cat.sql(spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.tr_t").first()["n"]
+        == 5
+    )
