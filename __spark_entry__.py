@@ -32,11 +32,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query — 147 of 149, including
-    full-algorithm replays of the md5 hash-family ops (minhash/simhash/
-    LSH/fake media codecs).  Omitted only for the two Spark-internal
-    approx sketches (HLL++/KLL), which get the driver's rows-only check
-    plus error-bound gates in tests/."""
+    """DuckDB-runnable ANSI SQL per query — ALL 181 registered queries,
+    including full-algorithm replays of the md5 hash-family ops
+    (minhash/simhash/LSH/fake media codecs) and, since round 5, in-query
+    bound assertions that make even the Spark-internal approx sketches
+    (HLL++/KLL) hash-verifiable."""
     registry.load_all_modules()
     return {
         name: registry.ORACLES[name]
