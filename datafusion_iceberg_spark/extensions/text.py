@@ -792,3 +792,73 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_unigram_surprise",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    total AS (SELECT SUM(c) AS n FROM vocab),
+    scored AS (
+      SELECT tok.doc_id,
+             AVG(-ln(vocab.c * 1.0 / total.n)) AS surprise,
+             COUNT(*) AS n_tokens
+      FROM tok JOIN vocab USING (t), total
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, ROUND(surprise, 4) AS avg_surprise,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN ROW_NUMBER() OVER (
+                  ORDER BY ROUND(surprise, 4) DESC, doc_id) <= 20
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprise scoring — the cheap stand-in for the KenLM
+    perplexity filter every pretraining pipeline runs: score each doc by
+    the average negative log corpus-frequency of its tokens and flag
+    the top-20 most surprising as outliers (gibberish, wrong-language,
+    encoding junk) — rank-based (rounded score, doc_id tiebreak) rather
+    than a float threshold, deterministic across engines and exercised
+    on any corpus.
+
+    Scale shape: the vocabulary is a (token, count) aggregate — shuffles
+    carry tokens once; the per-doc score is a broadcast-joined (the
+    vocab of a trained filter is bounded — top-k in practice) re-scan
+    with a map-side running sum.  The -ln and AVG are computed
+    identically on both engines and rounded to 4 dp (the BM25 idf
+    precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.avg(-F.log(F.col("c") * 1.0 / F.col("n"))).alias("surprise"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    # rank over the ROUNDED score (cross-engine identical) with doc_id
+    # tiebreak; the frame is per-doc scores (corpus-sized but narrow) —
+    # at true scale the same cut runs as orderBy().limit() on the score
+    # frame (TakeOrderedAndProject), as in sim_hybrid_rrf
+    w = W.orderBy(F.round("surprise", 4).desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.round("surprise", 4).alias("avg_surprise"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.when(F.col("rnk") <= 20, 1).otherwise(0).alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )

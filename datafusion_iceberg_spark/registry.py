@@ -86,6 +86,7 @@ _PRIORITY = [
     "iceberg_manifest_rewrite_scan",
     "dedup_survivorship_policy",
     "iceberg_pyds_write_scan",
+    "text_unigram_surprise",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
