@@ -46,6 +46,8 @@ HEADLINE = [
     # round-5 second half
     "text_repetition_filter",
     "sim_hybrid_rrf",
+    "dedup_survivorship_policy",
+    "text_unigram_surprise",
 ]
 
 
