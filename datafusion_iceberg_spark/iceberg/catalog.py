@@ -197,6 +197,24 @@ class SqlSurface:
             query = query[:a] + repl + query[b:]
         return query
 
+    def _split_statements(self, query: str) -> list[str]:
+        """Split a script on top-level ``;`` (never inside string
+        literals or comments); drops empty trailing statements."""
+        parts: list[str] = []
+        cur: list[str] = []
+        for is_code, text in self._split_sql_literals(query):
+            if not is_code:
+                cur.append(text)
+                continue
+            while ";" in text:
+                head, text = text.split(";", 1)
+                cur.append(head)
+                parts.append("".join(cur))
+                cur = []
+            cur.append(text)
+        parts.append("".join(cur))
+        return [p for p in parts if p.strip()]
+
     def resolve_names(self, query: str) -> str:
         """Rewrite ``<catalog>.<ns>.<table>`` references (bare or
         backticked, literal/comment-safe) to the flat ``<ns>_<table>``
@@ -239,10 +257,23 @@ class SqlSurface:
 
         DML/DDL statements (INSERT/DELETE/UPDATE/MERGE/CREATE/DROP/
         ALTER) on catalog tables dispatch to the write path (dml.py) and
-        return a one-row (operation, target, snapshot_id) DataFrame."""
+        return a one-row (operation, target, snapshot_id) DataFrame.
+
+        Multi-statement scripts (top-level ``;`` separators, literal-
+        and comment-safe) execute sequentially; the LAST statement's
+        result is returned — the standard script contract."""
         import re
 
         from datafusion_iceberg_spark.iceberg import dml
+
+        stmts = self._split_statements(query)
+        if len(stmts) > 1:
+            out: Optional[DataFrame] = None
+            for st in stmts:
+                out = self.sql(spark, st)
+            if out is None:
+                raise ValueError("empty SQL script")
+            return out
 
         out = dml.try_execute(self, spark, query)
         if out is not None:

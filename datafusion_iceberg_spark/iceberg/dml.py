@@ -219,6 +219,34 @@ def _show_describe(surface, spark, q) -> Optional[DataFrame]:
             ),
         )
     m = re.match(
+        rf"SHOW\s+CREATE\s+TABLE\s+{cat}\.({IDENT})\.({IDENT})\s*$",
+        q,
+        re.IGNORECASE,
+    )
+    if m:
+        ident = f"{_unq(m.group(1))}.{_unq(m.group(2))}"
+        meta = surface.load(ident).metadata
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in meta.struct_type().fields
+        )
+        stmt = f"CREATE TABLE {surface.name}.{ident} (\n  {cols}\n)"
+        spec = meta.partition_spec_entries()
+        if spec:
+            stmt += f"\nPARTITIONED BY ({', '.join(spec)})"
+        props = meta.properties
+        if props:
+            kv = ", ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(props.items())
+            )
+            stmt += f"\nTBLPROPERTIES ({kv})"
+        return spark.createDataFrame(
+            [(stmt,)],
+            T.StructType(
+                [T.StructField("createtab_stmt", T.StringType(), False)]
+            ),
+        )
+    m = re.match(
         rf"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?{cat}\.({IDENT})\.({IDENT})\s*$",
         q,
         re.IGNORECASE,

@@ -378,3 +378,33 @@ def test_truncate_and_create_or_replace(spark, cat, nation_df):
         cat.sql(spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.tr_t").first()["n"]
         == 5
     )
+
+
+def test_multi_statement_script_and_show_create(spark, cat, nation_df):
+    nation_df.select("n_nationkey", "n_name").createOrReplaceTempView(
+        "script_src"
+    )
+    out = cat.sql(
+        spark,
+        """
+        CREATE TABLE dmlcat.sales.script_t
+          (n_nationkey BIGINT, n_name STRING)
+          TBLPROPERTIES ('note' = 'semi;colon in literal stays');
+        INSERT INTO dmlcat.sales.script_t SELECT * FROM script_src;
+        DELETE FROM dmlcat.sales.script_t WHERE n_nationkey >= 20;
+        SELECT COUNT(*) AS n FROM dmlcat.sales.script_t
+        """,
+    ).first()
+    assert out["n"] == 20
+    stmt = cat.sql(
+        spark, "SHOW CREATE TABLE dmlcat.sales.script_t"
+    ).first()["createtab_stmt"]
+    assert "CREATE TABLE dmlcat.sales.script_t" in stmt
+    assert "n_nationkey BIGINT" in stmt
+    assert "'note' = 'semi;colon in literal stays'" in stmt
+    # round trip: the rendered DDL re-creates an equivalent table
+    cat.sql(spark, stmt.replace("script_t", "script_t2"))
+    assert [f.name for f in cat.load("sales.script_t2").metadata.struct_type().fields] == [
+        "n_nationkey",
+        "n_name",
+    ]
