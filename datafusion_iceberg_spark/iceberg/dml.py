@@ -322,6 +322,11 @@ def _delete(surface, spark, q, tgt3) -> Optional[DataFrame]:
     wm = re.match(r"WHERE\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
     if wm is None:
         raise ValueError(f"cannot parse DELETE tail: {rest!r}")
+    # subqueries in the predicate may reference catalog tables: attach
+    # the flat views and rewrite 3-part names (plain predicates pass
+    # through unchanged — resolve_names only touches catalog refs)
+    surface.attach(spark)
+    where = surface.resolve_names(wm.group(1).strip())
     # honor the Iceberg write.delete.mode table property: merge-on-read
     # commits a position-delete file (row-proportional cost) instead of
     # the copy-on-write file rewrite
@@ -332,10 +337,10 @@ def _delete(surface, spark, q, tgt3) -> Optional[DataFrame]:
     )
     if mode == "merge-on-read":
         _need(surface, "delete_where_mor")
-        snap = surface.delete_where_mor(ident, spark, wm.group(1).strip())
+        snap = surface.delete_where_mor(ident, spark, where)
     else:
         _need(surface, "delete_where")
-        snap = surface.delete_where(ident, spark, wm.group(1).strip())
+        snap = surface.delete_where(ident, spark, where)
     return _result(spark, "delete", ident, snap)
 
 
@@ -348,15 +353,21 @@ def _update(surface, spark, q, tgt3) -> Optional[DataFrame]:
     ns, tbl = _unq(m.group(1)), _unq(m.group(2))
     ident = f"{ns}.{tbl}"
     assignments, where = _split_where(m.group(3))
+    surface.attach(spark)
     set_exprs: dict[str, str] = {}
     for part in _split_top(assignments):
         am = re.match(rf"\s*({IDENT})\s*=\s*(.*)$", part, re.DOTALL)
         if am is None:
             raise ValueError(f"cannot parse SET assignment: {part!r}")
-        set_exprs[_unq(am.group(1))] = am.group(2).strip()
+        set_exprs[_unq(am.group(1))] = surface.resolve_names(
+            am.group(2).strip()
+        )
     _need(surface, "update_where")
     snap = surface.update_where(
-        ident, spark, where if where is not None else "TRUE", set_exprs
+        ident,
+        spark,
+        surface.resolve_names(where) if where is not None else "TRUE",
+        set_exprs,
     )
     return _result(spark, "update", ident, snap)
 

@@ -408,3 +408,35 @@ def test_multi_statement_script_and_show_create(spark, cat, nation_df):
         "n_nationkey",
         "n_name",
     ]
+
+
+def test_delete_with_subquery_predicate(spark, cat, nation_df):
+    nation_df.select("n_nationkey", "n_name", "n_regionkey").createOrReplaceTempView(
+        "subq_src"
+    )
+    cat.sql(
+        spark,
+        "CREATE OR REPLACE TABLE dmlcat.sales.subq_t AS SELECT * FROM subq_src;"
+        "CREATE OR REPLACE TABLE dmlcat.sales.bad_keys AS "
+        "SELECT n_nationkey FROM subq_src WHERE n_regionkey = 2",
+    )
+    n_bad = cat.sql(
+        spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.bad_keys"
+    ).first()["n"]
+    assert n_bad > 0
+    # predicate references ANOTHER catalog table through a subquery:
+    # unprunable (all files candidates) but exact, names resolved
+    cat.sql(
+        spark,
+        "DELETE FROM dmlcat.sales.subq_t WHERE n_nationkey IN "
+        "(SELECT n_nationkey FROM dmlcat.sales.bad_keys)",
+    )
+    left = cat.sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM dmlcat.sales.subq_t WHERE n_regionkey = 2",
+    ).first()["n"]
+    assert left == 0
+    total = cat.sql(
+        spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.subq_t"
+    ).first()["n"]
+    assert total == nation_df.count() - n_bad
