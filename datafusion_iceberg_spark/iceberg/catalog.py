@@ -454,17 +454,41 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def _replan(self, ident: str, fn, attempts: int = 3) -> int:
+        """Run a rewrite operation, re-planning on RewriteConflict (the
+        writer refuses to commit a rewrite planned against a superseded
+        snapshot — see writer.RewriteConflict): refresh the mirror and
+        re-run the WHOLE operation against fresh state, bounded.  This
+        is Iceberg's commit-retry-with-revalidation at the catalog
+        layer; the strict check stays in the writer for direct users."""
+        from datafusion_iceberg_spark.iceberg.writer import RewriteConflict
+
+        for attempt in range(attempts):
+            try:
+                return fn()
+            except RewriteConflict:
+                if attempt == attempts - 1:
+                    raise
+                root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+                self._mirror[ident] = IcebergTable.load(root)
+
     def delete_where(self, ident: str, spark: SparkSession, pred) -> int:
-        """Copy-on-write DELETE (writer.delete) + mirror refresh."""
-        snap = self.writer(ident).delete(spark, pred)
+        """Copy-on-write DELETE (writer.delete) + mirror refresh;
+        re-plans on concurrent-commit conflicts."""
+        snap = self._replan(
+            ident, lambda: self.writer(ident).delete(spark, pred)
+        )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
     def delete_where_mor(self, ident: str, spark: SparkSession, pred) -> int:
         """Merge-on-read DELETE (writer.delete_where_mor: position-delete
-        file + content=1 manifest) + mirror refresh."""
-        snap = self.writer(ident).delete_where_mor(spark, pred)
+        file + content=1 manifest) + mirror refresh; re-plans on
+        concurrent-rewrite conflicts."""
+        snap = self._replan(
+            ident, lambda: self.writer(ident).delete_where_mor(spark, pred)
+        )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
         return snap
@@ -482,8 +506,11 @@ class Catalog(SqlSurface):
     def update_where(
         self, ident: str, spark: SparkSession, pred, set_exprs: dict[str, str]
     ) -> int:
-        """Copy-on-write UPDATE (writer.update) + mirror refresh."""
-        snap = self.writer(ident).update(spark, pred, set_exprs)
+        """Copy-on-write UPDATE (writer.update) + mirror refresh;
+        re-plans on concurrent-commit conflicts."""
+        snap = self._replan(
+            ident, lambda: self.writer(ident).update(spark, pred, set_exprs)
+        )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
         return snap
@@ -499,14 +526,17 @@ class Catalog(SqlSurface):
         when_matched_delete: bool = False,
     ) -> int:
         """MERGE INTO (writer.merge; ``on`` may be a composite key list)
-        + mirror refresh."""
-        snap = self.writer(ident).merge(
-            spark,
-            source,
-            on,
-            when_matched_set,
-            insert_not_matched,
-            when_matched_delete,
+        + mirror refresh; re-plans on concurrent-commit conflicts."""
+        snap = self._replan(
+            ident,
+            lambda: self.writer(ident).merge(
+                spark,
+                source,
+                on,
+                when_matched_set,
+                insert_not_matched,
+                when_matched_delete,
+            ),
         )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
@@ -598,7 +628,9 @@ class Catalog(SqlSurface):
         in a replace snapshot (writer.compact), then refresh the mirror —
         mutation + mirror update stay in lockstep (the reference leaves
         its mirror stale on writes, SURVEY.md §4.4 bug #3)."""
-        snap = self.writer(ident).compact(spark, target_file_bytes)
+        snap = self._replan(
+            ident, lambda: self.writer(ident).compact(spark, target_file_bytes)
+        )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
         return snap

@@ -2882,3 +2882,45 @@ def test_mor_delete_conflict_when_target_compacted(spark, sf_dir, scratch):
     t2 = cat2.load("r.nat")
     t2 = type(t2).load(t2.metadata.root)
     assert t2.to_df(spark).count() == nation.count() - 1
+
+
+def test_catalog_replans_rewrite_conflict(spark, sf_dir, scratch):
+    """Catalog-layer DML retries a RewriteConflict by re-planning the
+    whole operation on fresh state: the concurrent append survives AND
+    the delete applies — nothing lost, no error surfaced."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.writer import IcebergWriter
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_replan")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("r.nat", nation.schema)
+    cat.append("r.nat", spark, nation.filter(F.col("n_nationkey") < 20))
+
+    orig = IcebergWriter._commit_file_stats
+    fired = {"done": False}
+
+    def interleave(self, *a, **k):
+        if not fired["done"] and a[3] == "delete":  # only the delete commit
+            fired["done"] = True
+            IcebergWriter.for_table(self.root).append(
+                spark, nation.filter(F.col("n_nationkey") >= 20)
+            )
+        return orig(self, *a, **k)
+
+    IcebergWriter._commit_file_stats = interleave
+    try:
+        cat.delete_where("r.nat", spark, ("=", "n_nationkey", 3))
+    finally:
+        IcebergWriter._commit_file_stats = orig
+    assert fired["done"]
+    t = cat.load("r.nat")
+    t = type(t).load(t.metadata.root)
+    got = {r.n_nationkey for r in t.to_df(spark).select("n_nationkey").collect()}
+    assert 3 not in got                       # delete applied
+    assert got >= {20, 21, 22, 23, 24}        # concurrent append survived
+    assert len(got) == nation.count() - 1
