@@ -55,6 +55,8 @@ NESTED_LOOP_OK = frozenset(
         # hybrid retrieval: 1-row query-vector broadcast + 1-row global
         # stats broadcast, same constant-attach class as the above
         "sim_hybrid_rrf",
+        # 1-row vocab-total broadcast (constant-attach)
+        "text_unigram_surprise",
     }
 )
 
