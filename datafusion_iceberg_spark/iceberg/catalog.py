@@ -657,6 +657,13 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return out
 
+    def remove_orphan_files(
+        self, ident: str, dry_run: bool = False, min_age_ms: int = 0
+    ) -> dict:
+        """Orphan-file cleanup (writer.remove_orphan_files) — metadata
+        unchanged, so no mirror refresh needed."""
+        return self.writer(ident).remove_orphan_files(dry_run, min_age_ms)
+
     def rewrite_manifests(self, ident: str) -> dict:
         """Metadata-only manifest compaction (writer.rewrite_manifests)
         + mirror refresh."""

@@ -166,6 +166,8 @@ def try_execute(
         st = surface.load(ident).metadata.struct_type()
         snap = surface.overwrite(ident, spark, spark.createDataFrame([], st))
         return _result(spark, "truncate", ident, snap)
+    if head == "CALL":
+        return _call_procedure(surface, spark, q)
     if head not in ("INSERT", "DELETE", "UPDATE", "MERGE", "CREATE", "DROP", "ALTER"):
         return None
     cat = rf"(?:`{re.escape(surface.name)}`|{re.escape(surface.name)})"
@@ -184,6 +186,109 @@ def try_execute(
     if head == "DROP":
         return _drop(surface, spark, q, tgt3)
     return _alter(surface, spark, q, tgt3)
+
+
+def _parse_call_args(raw: str) -> tuple[list, dict]:
+    """Positional and named (``name => value``) procedure arguments;
+    values are SQL literals: 'string', numbers, TRUE/FALSE."""
+    args: list = []
+    kwargs: dict = {}
+
+    def lit(v: str):
+        v = v.strip()
+        if v.startswith("'") and v.endswith("'"):
+            return v[1:-1].replace("''", "'")
+        if v.upper() in ("TRUE", "FALSE"):
+            return v.upper() == "TRUE"
+        if re.fullmatch(r"-?\d+", v):
+            return int(v)
+        if re.fullmatch(r"-?\d+\.\d+", v):
+            return float(v)
+        raise ValueError(f"cannot parse CALL argument literal: {v!r}")
+
+    if not raw.strip():
+        return args, kwargs
+    for part in _split_top(raw):
+        nm = re.match(r"\s*(\w+)\s*=>\s*(.*)$", part, re.DOTALL)
+        if nm:
+            kwargs[nm.group(1)] = lit(nm.group(2))
+        else:
+            args.append(lit(part))
+    return args, kwargs
+
+
+# procedure name -> (catalog method, result shaping).  Every procedure
+# takes the table identifier first (as 'ns.table'); remaining args pass
+# through positionally/named.  Mirrors Spark-Iceberg's
+# `CALL catalog.system.<proc>(...)` surface.
+_PROCEDURES = {
+    "expire_snapshots": "expire_snapshots",
+    "remove_orphan_files": "remove_orphan_files",
+    "rewrite_manifests": "rewrite_manifests",
+    "rewrite_data_files": "compact",
+    "rewrite_zorder": "rewrite_zorder",
+    "rollback_to_snapshot": "rollback_to_snapshot",
+    "fast_forward": "fast_forward",
+    "create_tag": "create_tag",
+    "create_branch": "create_branch",
+    "drop_ref": "drop_ref",
+}
+
+# procedures whose underlying method takes (ident, spark, ...) rather
+# than (ident, ...)
+_PROC_NEEDS_SPARK = {"rewrite_data_files", "rewrite_zorder"}
+
+
+def _call_procedure(surface, spark, q) -> Optional[DataFrame]:
+    cat = rf"(?:`{re.escape(surface.name)}`|{re.escape(surface.name)})"
+    m = re.match(
+        rf"CALL\s+{cat}\.system\.(\w+)\s*\((.*)\)\s*$",
+        q,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        return None
+    proc = m.group(1).lower()
+    method_name = _PROCEDURES.get(proc)
+    if method_name is None:
+        raise ValueError(
+            f"unknown procedure {proc!r} (known: {sorted(_PROCEDURES)})"
+        )
+    args, kwargs = _parse_call_args(m.group(2))
+    ident = kwargs.pop("table", None)
+    if ident is None:
+        if not args:
+            raise ValueError(f"CALL {proc}: missing table identifier")
+        ident = args.pop(0)
+    _need(surface, method_name)
+    method = getattr(surface, method_name)
+    if proc == "rewrite_zorder":
+        # columns arrive as a comma-separated string literal
+        cols = kwargs.pop("columns", None)
+        if cols is None:
+            if not args:
+                raise ValueError("rewrite_zorder: missing columns")
+            cols = args.pop(0)
+        if isinstance(cols, str):
+            cols = [c.strip() for c in cols.split(",")]
+        out = method(ident, spark, cols, *args, **kwargs)
+    elif proc in _PROC_NEEDS_SPARK:
+        out = method(ident, spark, *args, **kwargs)
+    else:
+        out = method(ident, *args, **kwargs)
+    if isinstance(out, dict):
+        rows = [(k, str(v)) for k, v in sorted(out.items())]
+    else:
+        rows = [("result", str(out))]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("key", T.StringType(), False),
+                T.StructField("value", T.StringType(), True),
+            ]
+        ),
+    )
 
 
 def _show_describe(surface, spark, q) -> Optional[DataFrame]:

@@ -440,3 +440,55 @@ def test_delete_with_subquery_predicate(spark, cat, nation_df):
         spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.subq_t"
     ).first()["n"]
     assert total == nation_df.count() - n_bad
+
+
+def test_call_procedures(spark, cat, nation_df):
+    nation_df.select("n_nationkey", "n_name").createOrReplaceTempView(
+        "call_src"
+    )
+    cat.sql(
+        spark,
+        "CREATE OR REPLACE TABLE dmlcat.sales.call_t AS SELECT * FROM call_src;"
+        "INSERT INTO dmlcat.sales.call_t SELECT * FROM call_src",
+    )
+    t = cat.load("sales.call_t")
+    assert len(t.manifests()) == 2
+
+    out = {
+        r.key: r.value
+        for r in cat.sql(
+            spark, "CALL dmlcat.system.rewrite_manifests('sales.call_t')"
+        ).collect()
+    }
+    assert out["manifests_after"] == "1"
+    assert len(cat.load("sales.call_t").manifests()) == 1
+
+    out = {
+        r.key: r.value
+        for r in cat.sql(
+            spark,
+            "CALL dmlcat.system.expire_snapshots("
+            "table => 'sales.call_t', keep_last => 1)",
+        ).collect()
+    }
+    assert int(out["expired_snapshots"]) >= 1
+
+    out = {
+        r.key: r.value
+        for r in cat.sql(
+            spark,
+            "CALL dmlcat.system.remove_orphan_files('sales.call_t', "
+            "dry_run => TRUE)",
+        ).collect()
+    }
+    assert "orphan_files" in out
+
+    cat.sql(spark, "CALL dmlcat.system.create_tag('sales.call_t', 'v1')")
+    refs = {r.name for r in cat.load("sales.call_t").inspect.refs(spark).collect()}
+    assert "v1" in refs
+    cat.sql(spark, "CALL dmlcat.system.drop_ref('sales.call_t', 'v1')")
+    refs = {r.name for r in cat.load("sales.call_t").inspect.refs(spark).collect()}
+    assert "v1" not in refs
+
+    with pytest.raises(ValueError, match="unknown procedure"):
+        cat.sql(spark, "CALL dmlcat.system.frobnicate('sales.call_t')")
