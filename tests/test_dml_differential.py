@@ -22,10 +22,14 @@ COLS = "(k BIGINT, grp STRING, val BIGINT)"
 GROUPS = ("a", "b", "c")
 
 
-@pytest.fixture()
-def engines(spark, tmp_path):
+@pytest.fixture(params=["copy-on-write", "merge-on-read"])
+def engines(spark, tmp_path, request):
     cat = Catalog(str(tmp_path / "wh"), name="fuzz")
-    cat.sql(spark, f"CREATE TABLE fuzz.d.t {COLS}")
+    cat.sql(
+        spark,
+        f"CREATE TABLE fuzz.d.t {COLS} TBLPROPERTIES "
+        f"('write.delete.mode' = '{request.param}')",
+    )
     con = duckdb.connect()
     con.execute(f"CREATE TABLE t {COLS}")
     yield cat, con
@@ -98,6 +102,18 @@ def test_random_dml_program_matches_duckdb(spark, engines, seed):
         con.execute(d_sql)
         a, b = _state_spark(spark, cat), _state_duck(con)
         assert a == b, f"divergence after stmt {i}: {s_sql!r}\n{a[:5]}\n{b[:5]}"
+    # history invariants after the whole program: every snapshot in the
+    # chain still scans (no manifest corruption that only a later
+    # statement exposes), and time travel to each is self-consistent
+    t = cat.load("d.t")
+    for s in t.metadata.snapshots:
+        n = t.to_df(spark, snapshot_id=s.snapshot_id).count()
+        assert n >= 0
+    # the changelog's net row effect equals the final row count
+    log = t.changelog_df(spark)
+    ins = log.filter(F.col("_change_type") == "insert").count()
+    dels = log.filter(F.col("_change_type") == "delete").count()
+    assert ins - dels == len(_state_spark(spark, cat))
 
 
 def test_merge_differential(spark, engines):
