@@ -1,0 +1,140 @@
+"""Incremental aggregate materialized views over Iceberg tables.
+
+A classic warehouse capability the reference lacks entirely: a
+SUM/COUNT-per-group rollup stored as its own Iceberg table, maintained
+by applying the source's row-level CHANGELOG (``table.changelog_df``)
+instead of recomputing the aggregate — cost per refresh is proportional
+to the CHANGED rows since the last refresh, not the source size, which
+is the whole point at 100 TB (a day of appends touches a day of data).
+
+Mechanics:
+
+- the MV table stores ``<group cols...>, sum_micros BIGINT, cnt BIGINT``
+  — the measure is kept as exact fixed-point micros (the repo's money
+  rule) so delta application is integer arithmetic, associative and
+  engine-portable;
+- refresh reads ``changelog_df(from=last_refreshed, to=current]``,
+  signs each row (+1 insert / −1 delete), pre-aggregates the deltas
+  (one shuffle over changed rows), and MERGEs them into the MV on the
+  composite group key (writer.merge now supports composite ON);
+- groups whose ``cnt`` reaches 0 are deleted;
+- the refreshed-through snapshot id is recorded in the MV's table
+  properties (``mv.source-snapshot-id``).
+
+Consistency note (documented limitation): a refresh is merge + zero-trim
++ property stamp — three commits, not one.  A crash between them leaves
+the marker behind the applied deltas; re-running the refresh would then
+double-apply the window.  Production hardening would stamp the marker in
+the MERGE snapshot's own summary (single atomic commit); the seam is
+noted here rather than hidden.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def create_aggregate_mv(
+    cat,
+    spark: SparkSession,
+    mv_ident: str,
+    source_ident: str,
+    group_cols: list,
+    value_col: str,
+    refresh: bool = True,
+) -> Optional[dict]:
+    """Create (and optionally immediately refresh) a SUM/COUNT MV."""
+    src_meta = cat.load(source_ident).metadata
+    by_name = {f.name: f for f in src_meta.struct_type().fields}
+    missing = [c for c in list(group_cols) + [value_col] if c not in by_name]
+    if missing:
+        raise ValueError(f"MV columns not in source schema: {missing}")
+    fields = [
+        T.StructField(c, by_name[c].dataType, True) for c in group_cols
+    ] + [
+        T.StructField("sum_micros", T.LongType(), True),
+        T.StructField("cnt", T.LongType(), True),
+    ]
+    cat.create_table(
+        mv_ident,
+        T.StructType(fields),
+        properties={
+            "mv.source": source_ident,
+            "mv.group-cols": ",".join(group_cols),
+            "mv.value-col": value_col,
+            "mv.source-snapshot-id": "-1",
+        },
+    )
+    if refresh:
+        return refresh_aggregate_mv(cat, spark, mv_ident)
+    return None
+
+
+def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
+    """Apply the source changelog since the last refresh.  Returns
+    {"applied_rows", "from_snapshot", "to_snapshot"} (no-op when the
+    source has not advanced)."""
+    props = cat.load(mv_ident).metadata.properties
+    source_ident = props["mv.source"]
+    group_cols = props["mv.group-cols"].split(",")
+    value_col = props["mv.value-col"]
+    last = int(props.get("mv.source-snapshot-id", "-1"))
+    src = cat.load(source_ident)
+    cur = src.metadata.current_snapshot_id
+    if cur is None or cur == last:
+        return {"applied_rows": 0, "from_snapshot": last, "to_snapshot": cur}
+
+    log = src.changelog_df(
+        spark, from_snapshot_id=(last if last != -1 else None)
+    )
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    micros = (
+        F.floor(F.col(value_col) * 1000000 + 0.5).cast("long")
+        if isinstance(
+            src.metadata.struct_type()[value_col].dataType,
+            (T.DoubleType, T.FloatType),
+        )
+        else F.col(value_col).cast("long") * 1000000
+    )
+    deltas = (
+        log.groupBy(*group_cols)
+        .agg(
+            F.sum(sign * micros).alias("sum_micros"),
+            F.sum(sign).alias("d_cnt"),
+        )
+        .select(
+            *group_cols,
+            F.col("sum_micros").cast("long").alias("sum_micros"),
+            F.col("d_cnt").cast("long").alias("cnt"),
+        )
+    )
+    applied = deltas.count()
+    if applied:
+        cat.merge_into(
+            mv_ident,
+            spark,
+            deltas,
+            group_cols if len(group_cols) > 1 else group_cols[0],
+            when_matched_set={
+                "sum_micros": "t.sum_micros + src.sum_micros",
+                "cnt": "t.cnt + src.cnt",
+            },
+            insert_not_matched=True,
+        )
+        cat.delete_where(mv_ident, spark, ("=", "cnt", 0))
+    cat.set_properties(mv_ident, {"mv.source-snapshot-id": str(cur)})
+    return {"applied_rows": applied, "from_snapshot": last, "to_snapshot": cur}
+
+
+def mv_df(cat, spark: SparkSession, mv_ident: str) -> DataFrame:
+    """The MV contents with the measure rescaled back to its unit."""
+    df = cat.load(mv_ident).to_df(spark)
+    return df.withColumn(
+        "total", (F.col("sum_micros").cast("double") / 1000000)
+    )

@@ -1478,6 +1478,50 @@ def iceberg_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_incremental_mv",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_micros,
+           COUNT(*) AS cnt
+    FROM orders
+    WHERE NOT (o_orderkey % 2 = 0 AND o_totalprice < 50000)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-maintained aggregate MV (iceberg/mv.py): the rollup is
+    built by applying the CDC stream of the three-commit fixture (append
+    evens → MOR-delete cheap evens → append odds) — refresh cost is the
+    changed rows, never a source rescan — and must hash-match the full
+    aggregate over the equivalent final state."""
+    from datafusion_iceberg_spark.iceberg.mv import (
+        create_aggregate_mv,
+        refresh_aggregate_mv,
+    )
+
+    cat = _cdc_fixture(spark, sf_dir)
+    if not cat.table_exists("cdc.orders_by_status_mv"):
+        create_aggregate_mv(
+            cat,
+            spark,
+            "cdc.orders_by_status_mv",
+            "cdc.orders",
+            ["o_orderstatus"],
+            "o_totalprice",
+        )
+    else:
+        refresh_aggregate_mv(spark=spark, cat=cat, mv_ident="cdc.orders_by_status_mv")
+    table = cat.load("cdc.orders_by_status_mv")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .select("o_orderstatus", "sum_micros", "cnt")
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "iceberg_pyds_write_scan",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_custs,

@@ -87,6 +87,7 @@ _PRIORITY = [
     "dedup_survivorship_policy",
     "iceberg_pyds_write_scan",
     "text_unigram_surprise",
+    "iceberg_incremental_mv",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",

@@ -2924,3 +2924,77 @@ def test_catalog_replans_rewrite_conflict(spark, sf_dir, scratch):
     assert 3 not in got                       # delete applied
     assert got >= {20, 21, 22, 23, 24}        # concurrent append survived
     assert len(got) == nation.count() - 1
+
+
+def test_incremental_mv_applies_only_deltas(spark, sf_dir, scratch):
+    """Each refresh must process exactly the snapshots committed since
+    the previous one, and the MV must track the source through appends,
+    deletes and a no-op refresh."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.mv import (
+        create_aggregate_mv,
+        mv_df,
+        refresh_aggregate_mv,
+    )
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_mv")
+    cat = Catalog(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    cat.create_table("m.src", orders.schema)
+    cat.append("m.src", spark, orders.filter(F.col("o_orderkey") % 2 == 0))
+
+    out = create_aggregate_mv(
+        cat, spark, "m.mv", "m.src", ["o_orderstatus"], "o_totalprice"
+    )
+    assert out["applied_rows"] > 0
+
+    def expected():
+        return {
+            (r.o_orderstatus, r.cnt)
+            for r in cat.load("m.src")
+            .to_df(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    def got():
+        return {
+            (r.o_orderstatus, r.cnt)
+            for r in mv_df(cat, spark, "m.mv").collect()
+        }
+
+    assert got() == expected()
+    # no source change -> refresh is a no-op
+    out = refresh_aggregate_mv(cat, spark, "m.mv")
+    assert out["applied_rows"] == 0
+    # append the odds, then MOR-delete a slice; refresh applies deltas
+    cat.append("m.src", spark, orders.filter(F.col("o_orderkey") % 2 != 0))
+    cat.delete_where_mor("m.src", spark, ("<", "o_totalprice", 30000.0))
+    out = refresh_aggregate_mv(cat, spark, "m.mv")
+    assert out["applied_rows"] > 0
+    assert got() == expected()
+    # the exact money sums match a recomputation too
+    full = {
+        (r.o_orderstatus, r.s)
+        for r in cat.load("m.src")
+        .to_df(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1000000 + 0.5).cast("long")
+            ).alias("s")
+        )
+        .collect()
+    }
+    mv = {
+        (r.o_orderstatus, r.sum_micros)
+        for r in cat.load("m.mv").to_df(spark).collect()
+    }
+    assert mv == full
