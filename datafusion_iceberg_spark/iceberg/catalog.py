@@ -657,6 +657,12 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return out
 
+    def refresh_mv(self, ident: str, spark: SparkSession) -> dict:
+        """Refresh a changelog-maintained aggregate MV (iceberg/mv.py)."""
+        from datafusion_iceberg_spark.iceberg.mv import refresh_aggregate_mv
+
+        return refresh_aggregate_mv(self, spark, ident)
+
     def remove_orphan_files(
         self, ident: str, dry_run: bool = False, min_age_ms: int = 0
     ) -> dict:

@@ -232,11 +232,12 @@ _PROCEDURES = {
     "create_tag": "create_tag",
     "create_branch": "create_branch",
     "drop_ref": "drop_ref",
+    "refresh_mv": "refresh_mv",
 }
 
 # procedures whose underlying method takes (ident, spark, ...) rather
 # than (ident, ...)
-_PROC_NEEDS_SPARK = {"rewrite_data_files", "rewrite_zorder"}
+_PROC_NEEDS_SPARK = {"rewrite_data_files", "rewrite_zorder", "refresh_mv"}
 
 
 def _call_procedure(surface, spark, q) -> Optional[DataFrame]:

@@ -492,3 +492,41 @@ def test_call_procedures(spark, cat, nation_df):
 
     with pytest.raises(ValueError, match="unknown procedure"):
         cat.sql(spark, "CALL dmlcat.system.frobnicate('sales.call_t')")
+
+
+def test_call_refresh_mv(spark, cat, nation_df):
+    from datafusion_iceberg_spark.iceberg.mv import create_aggregate_mv
+
+    nation_df.select(
+        "n_nationkey", "n_name", F.col("n_regionkey").cast("double").alias("w")
+    ).createOrReplaceTempView("mv_src")
+    cat.sql(
+        spark, "CREATE OR REPLACE TABLE dmlcat.sales.mv_src_t AS SELECT * FROM mv_src"
+    )
+    create_aggregate_mv(
+        cat, spark, "sales.mv_t", "sales.mv_src_t", ["n_name"], "w",
+        refresh=True,
+    )
+    out = {
+        r.key: r.value
+        for r in cat.sql(
+            spark, "CALL dmlcat.system.refresh_mv('sales.mv_t')"
+        ).collect()
+    }
+    assert out["applied_rows"] == "0"  # already current
+    cat.sql(
+        spark,
+        "INSERT INTO dmlcat.sales.mv_src_t VALUES (900, 'NEWTOWN', 7.0)",
+    )
+    out = {
+        r.key: r.value
+        for r in cat.sql(
+            spark, "CALL dmlcat.system.refresh_mv('sales.mv_t')"
+        ).collect()
+    }
+    assert int(out["applied_rows"]) >= 1
+    row = cat.sql(
+        spark,
+        "SELECT cnt FROM dmlcat.sales.mv_t WHERE n_name = 'NEWTOWN'",
+    ).first()
+    assert row.cnt == 1
