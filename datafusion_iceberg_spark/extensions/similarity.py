@@ -693,3 +693,148 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sem_r").cast("long").alias("sem_rank"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means over embeddings (exact integer replay oracle)
+# ---------------------------------------------------------------------------
+
+KMEANS_K, KMEANS_ITERS = 4, 3
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd's iterations in DuckDB SQL.  All arithmetic is
+    exact integer (micros fixed-point; floor division via the
+    truncation-agnostic (a - ((a%b)+b)%b)/b identity), so the replay is
+    bit-identical to the Spark run — no FP accumulation anywhere."""
+    parts = [
+        """ev AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS val
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, i, val AS cv FROM ev WHERE vec_id < %d)"""
+        % k
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""a{it} AS (
+      SELECT ev.vec_id, c.cid,
+             SUM((ev.val - c.cv) * (ev.val - c.cv)) AS d
+      FROM ev JOIN {prev} c ON ev.i = c.i
+      GROUP BY ev.vec_id, c.cid),
+    w{it} AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM a{it}) WHERE rn = 1),
+    u{it} AS (
+      SELECT w.cid, ev.i, SUM(ev.val) AS s, COUNT(*) AS n
+      FROM w{it} w JOIN ev ON ev.vec_id = w.vec_id
+      GROUP BY w.cid, ev.i),
+    c{it} AS (
+      SELECT cid, i,
+             CAST((s - ((s % n) + n) % n) / n AS BIGINT) AS cv
+      FROM u{it}
+      UNION ALL
+      SELECT p.cid, p.i, p.cv FROM {prev} p
+      WHERE p.cid NOT IN (SELECT DISTINCT cid FROM u{it}))"""
+        )
+        prev = f"c{it}"
+    return f"""WITH {','.join(parts)}
+    SELECT CAST(w.cid AS INTEGER) AS cluster_id,
+           COUNT(*) AS n_members,
+           CAST(SUM(w.d) // 1000000 AS BIGINT) AS inertia_scaled,
+           CAST(MIN(cs.checksum) AS BIGINT) AS centroid_checksum
+    FROM w{iters} w
+    JOIN (SELECT cid, CAST(SUM(cv) AS BIGINT) AS checksum
+          FROM c{iters} GROUP BY cid) cs
+      ON cs.cid = w.cid
+    GROUP BY w.cid ORDER BY w.cid"""
+
+
+@register("embed_kmeans", oracle=_kmeans_oracle())
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's, k=4, 3 fixed iterations) over the
+    embedding corpus — the topic-bucketing / IVF-index-build primitive of
+    an embedding pipeline, expressed Spark-first:
+
+    - **assignment is map-side**: the k centroids are driver state (k×64
+      ints — the one thing in k-means that IS driver-sized), embedded as
+      literal arrays so each vector computes its distances inside
+      codegen with zero shuffle;
+    - **update is one shuffle** per iteration carrying (cid, dim, val) —
+      proportional to corpus size × dims, the unavoidable reduction;
+    - **all arithmetic is exact integers** (micros fixed-point, floor
+      division): no floating-point accumulation order anywhere, so the
+      DuckDB oracle replays the run bit-identically and the gate
+      hash-verifies a 3-round iterative algorithm end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = scale_out(emb).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+        ).alias("v"),
+    )
+    cents = {
+        int(r.vec_id): list(r.v)
+        for r in ev.filter(F.col("vec_id") < KMEANS_K).collect()
+    }
+    win = None
+    for _ in range(KMEANS_ITERS):
+        dist_cols = [
+            F.expr(
+                "aggregate(zip_with(v, array("
+                + ",".join(f"{x}L" for x in cents[c])
+                + "), (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+            ).alias(f"d{c}")
+            for c in range(KMEANS_K)
+        ]
+        best = F.expr(
+            "array_min(array("
+            + ",".join(
+                f"struct(d{c} AS d, {c} AS cid)" for c in range(KMEANS_K)
+            )
+            + "))"
+        )
+        win = (
+            ev.select("vec_id", "v", *dist_cols)
+            .withColumn("best", best)
+            .select(
+                "vec_id",
+                "v",
+                F.col("best.cid").alias("cid"),
+                F.col("best.d").alias("dist"),
+            )
+        )
+        upd = (
+            win.select("cid", F.posexplode("v").alias("i", "val"))
+            .groupBy("cid", "i")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cents = {c: cents[c][:] for c in range(KMEANS_K)}  # carry-forward
+        for r in upd:
+            new_cents[r.cid][r.i] = int(r.s) // int(r.n)  # python floor div
+        cents = new_cents
+    checksums = [(c, sum(cents[c])) for c in range(KMEANS_K)]
+    cs_df = spark.createDataFrame(
+        checksums, "cid INT, centroid_checksum BIGINT"
+    )
+    return (
+        win.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("CAST(SUM(dist) DIV 1000000 AS BIGINT)").alias(
+                "inertia_scaled"
+            ),
+        )
+        .join(F.broadcast(cs_df), "cid")
+        .select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            "n_members",
+            "inertia_scaled",
+            "centroid_checksum",
+        )
+        .orderBy("cluster_id")
+    )

@@ -88,6 +88,7 @@ _PRIORITY = [
     "iceberg_pyds_write_scan",
     "text_unigram_surprise",
     "iceberg_incremental_mv",
+    "embed_kmeans",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
