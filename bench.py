@@ -48,6 +48,7 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "dedup_survivorship_policy",
     "text_unigram_surprise",
+    "embed_kmeans",
 ]
 
 
