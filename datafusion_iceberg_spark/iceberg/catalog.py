@@ -657,6 +657,28 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return out
 
+    def vacuum(
+        self,
+        ident: str,
+        keep_last: int = 1,
+        older_than_ms: Optional[int] = None,
+        min_age_ms: int = 0,
+    ) -> dict:
+        """One-call table hygiene: expire old snapshots, drop orphan
+        files, and collapse manifests — the composition every scheduled
+        maintenance job runs.  Manifest rewrite is skipped (reported,
+        not failed) while delete manifests are outstanding."""
+        out = {}
+        out.update(self.expire_snapshots(ident, keep_last, older_than_ms))
+        out.update(self.remove_orphan_files(ident, min_age_ms=min_age_ms))
+        try:
+            rw = self.rewrite_manifests(ident)
+            out["manifests_before"] = rw["manifests_before"]
+            out["manifests_after"] = rw["manifests_after"]
+        except ValueError as e:
+            out["manifests_skipped"] = str(e)
+        return out
+
     def refresh_mv(self, ident: str, spark: SparkSession) -> dict:
         """Refresh a changelog-maintained aggregate MV (iceberg/mv.py)."""
         from datafusion_iceberg_spark.iceberg.mv import refresh_aggregate_mv

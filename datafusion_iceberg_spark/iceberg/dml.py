@@ -233,6 +233,7 @@ _PROCEDURES = {
     "create_branch": "create_branch",
     "drop_ref": "drop_ref",
     "refresh_mv": "refresh_mv",
+    "vacuum": "vacuum",
 }
 
 # procedures whose underlying method takes (ident, spark, ...) rather

@@ -530,3 +530,28 @@ def test_call_refresh_mv(spark, cat, nation_df):
         "SELECT cnt FROM dmlcat.sales.mv_t WHERE n_name = 'NEWTOWN'",
     ).first()
     assert row.cnt == 1
+
+
+def test_call_vacuum(spark, cat, nation_df):
+    nation_df.select("n_nationkey", "n_name").createOrReplaceTempView(
+        "vac_src"
+    )
+    cat.sql(
+        spark,
+        "CREATE OR REPLACE TABLE dmlcat.sales.vac_t AS SELECT * FROM vac_src;"
+        "INSERT INTO dmlcat.sales.vac_t SELECT * FROM vac_src;"
+        "INSERT INTO dmlcat.sales.vac_t SELECT * FROM vac_src",
+    )
+    assert len(cat.load("sales.vac_t").metadata.snapshots) == 3
+    out = {
+        r.key: r.value
+        for r in cat.sql(
+            spark,
+            "CALL dmlcat.system.vacuum('sales.vac_t', keep_last => 1)",
+        ).collect()
+    }
+    assert int(out["expired_snapshots"]) == 2
+    assert out["manifests_after"] == "1"
+    t = cat.load("sales.vac_t")
+    assert len(t.metadata.snapshots) == 2  # 1 kept + manifest-rewrite commit
+    assert t.to_df(spark).count() == 3 * nation_df.count()
