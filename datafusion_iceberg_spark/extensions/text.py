@@ -862,3 +862,84 @@ def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_pmi_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT t[i] AS a, t[i+1] AS b
+      FROM toks, UNNEST(generate_series(1, n - 1)) AS u(i)
+    ),
+    pair_c AS (SELECT a, b, COUNT(*) AS c FROM bg GROUP BY a, b),
+    uni AS (
+      SELECT tok, COUNT(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY tok
+    ),
+    total AS (SELECT SUM(c) AS n FROM pair_c)
+    SELECT a, b, CAST(pair_c.c AS BIGINT) AS pair_count,
+           ROUND(ln(pair_c.c * 1.0 * total.n / (ua.c * 1.0 * ub.c)), 4) AS pmi
+    FROM pair_c
+    JOIN uni ua ON ua.tok = a
+    JOIN uni ub ON ub.tok = b, total
+    WHERE pair_c.c >= 5
+    ORDER BY pmi DESC, a, b LIMIT 20
+    """,
+)
+def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information — the
+    phrase-detection pass (word2vec-style phrase merging, vocabulary
+    induction) of a text pipeline: PMI(a,b) = ln(c(ab)·N / (c(a)·c(b))),
+    min support 5, top-20 by rounded PMI with a deterministic tiebreak.
+
+    Scale shape: bigrams generate map-side from the token array; the
+    shuffles are (a,b)-pair counts and unigram counts — both
+    vocabulary-sized, not corpus-sized, after their map-side partial
+    aggregation; marginals attach via token-keyed joins and the single
+    N rides a 1-row broadcast.  The final cut is
+    orderBy().limit() (TakeOrderedAndProject)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 2
+    )
+    toks = docs.select(F.split("text", " ").alias("t"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS a, t[i+1] AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pair_c = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    uni = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    total = pair_c.agg(F.sum("c").alias("n"))
+    scored = (
+        pair_c.filter(F.col("c") >= 5)
+        .join(uni.withColumnRenamed("tok", "a").withColumnRenamed("uc", "ca"), "a")
+        .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("uc", "cb"), "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            F.col("c").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    F.col("c") * 1.0 * F.col("n")
+                    / (F.col("ca") * 1.0 * F.col("cb"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(20)

@@ -89,6 +89,7 @@ _PRIORITY = [
     "text_unigram_surprise",
     "iceberg_incremental_mv",
     "embed_kmeans",
+    "text_pmi_pairs",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
