@@ -57,6 +57,8 @@ NESTED_LOOP_OK = frozenset(
         "sim_hybrid_rrf",
         # 1-row vocab-total broadcast (constant-attach)
         "text_unigram_surprise",
+        # 1-row bigram-total broadcast (constant-attach)
+        "text_pmi_pairs",
     }
 )
 
