@@ -549,6 +549,13 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return fid
 
+    def widen_column(self, ident: str, name: str, new_type) -> None:
+        """ALTER COLUMN TYPE widening (writer.widen_column) + mirror
+        refresh."""
+        self.writer(ident).widen_column(name, new_type)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+
     def rename_column(self, ident: str, old: str, new: str) -> None:
         """RENAME COLUMN evolution (writer.rename_column) + mirror refresh;
         old data files keep the old parquet name and resolve by field id."""

@@ -716,6 +716,16 @@ def _alter(surface, spark, q, tgt3) -> Optional[DataFrame]:
         _need(surface, "drop_column")
         surface.drop_column(ident, _unq(drp.group(1)))
         return _result(spark, "drop_column", ident, None)
+    wid = re.match(
+        rf"ALTER\s+COLUMN\s+({IDENT})\s+TYPE\s+([^\s]+)\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if wid:
+        _need(surface, "widen_column")
+        dtype = T._parse_datatype_string(wid.group(2))
+        surface.widen_column(ident, _unq(wid.group(1)), dtype)
+        return _result(spark, "widen_column", ident, None)
     setp = re.match(
         r"SET\s+TBLPROPERTIES\s*\(((?:[^()']|'(?:[^']|'')*')*)\)\s*$",
         rest,

@@ -38,10 +38,18 @@ def decode_stat(iceberg_type: str, data: bytes | None) -> Any:
         if t == "int":
             return struct.unpack("<i", data)[0]
         if t == "long":
+            # type widening (int -> long): manifests written before the
+            # ALTER carry 4-byte bounds; decode them as int so old files
+            # keep pruning instead of degrading to "no stats"
+            if len(data) == 4:
+                return struct.unpack("<i", data)[0]
             return struct.unpack("<q", data)[0]
         if t == "float":
             return struct.unpack("<f", data)[0]
         if t == "double":
+            # float -> double widening: 4-byte bounds from pre-ALTER files
+            if len(data) == 4:
+                return float(struct.unpack("<f", data)[0])
             return struct.unpack("<d", data)[0]
         if t in ("string", "uuid"):
             return data.decode("utf-8", errors="replace")

@@ -931,6 +931,53 @@ class IcebergWriter:
         self.field_ids[new] = self.field_ids.pop(old)
         self.iceberg_types[new] = self.iceberg_types.pop(old)
 
+    _WIDENINGS = {("int", "long"), ("float", "double")}
+
+    def widen_column(self, name: str, new_type: T.DataType) -> None:
+        """ALTER COLUMN TYPE widening (Iceberg-legal promotions only:
+        int→long, float→double): a new schema version with the same
+        field id and the wider type — metadata-only.  Old data files
+        keep the narrow physical type; Spark's parquet reader widens on
+        read (verified for both promotions), the DataSource reader casts
+        via pyarrow, and old manifests' narrow stat bounds decode
+        width-aware (stats.decode_stat) so pruning stays tight."""
+        if name not in self.field_ids:
+            raise ValueError(f"no such column: {name}")
+        old_t = self.iceberg_types.get(name)
+        new_t = spark_type_to_iceberg(new_type, lambda: 0)
+        if not isinstance(new_t, str) or (old_t, new_t) not in self._WIDENINGS:
+            raise ValueError(
+                f"illegal type promotion {old_t} -> {new_t} for {name!r} "
+                f"(allowed: {sorted(self._WIDENINGS)})"
+            )
+        meta = self._load_current()
+        cur_id = meta.get("current-schema-id", 0)
+        cur = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_id
+        )
+        new_schema = {
+            "type": "struct",
+            "schema-id": max(s.get("schema-id", 0) for s in meta["schemas"]) + 1,
+            "fields": [
+                {**f, "type": new_t} if f["name"] == name else dict(f)
+                for f in cur["fields"]
+            ],
+        }
+        meta["schemas"] = meta["schemas"] + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["schema"] = new_schema
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(meta)
+        self.schema = T.StructType(
+            [
+                T.StructField(f.name, new_type, f.nullable)
+                if f.name == name
+                else f
+                for f in self.schema.fields
+            ]
+        )
+        self.iceberg_types[name] = new_t
+
     def drop_column(self, name: str) -> None:
         """DROP COLUMN evolution: a new schema version without the field —
         metadata-only.  Old data files keep the physical column; scans

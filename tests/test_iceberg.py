@@ -2998,3 +2998,66 @@ def test_incremental_mv_applies_only_deltas(spark, sf_dir, scratch):
         for r in cat.load("m.mv").to_df(spark).collect()
     }
     assert mv == full
+
+
+def test_widen_column_type_promotion(spark, sf_dir, scratch):
+    """int->long and float->double widening: metadata-only, old narrow
+    files still scan AND still prune (width-aware stat decode)."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    root = os.path.join(scratch, "wh_widen")
+    cat = Catalog(root)
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 1.5).cast("float").alias("w"),
+    )
+    cat.create_table("w.t", df.schema, sort_by=["k"])
+    cat.append("w.t", spark, df)
+    files_before = len(cat.load("w.t").files())
+    cat.widen_column("w.t", "k", T.LongType())
+    cat.widen_column("w.t", "w", T.DoubleType())
+    t = cat.load("w.t")
+    st = {f.name: f.dataType.simpleString() for f in t.metadata.struct_type().fields}
+    assert st == {"k": "bigint", "w": "double"}
+    # old narrow files scan under the wide schema
+    out = t.to_df(spark)
+    assert out.count() == 100
+    assert dict(out.dtypes) == {"k": "bigint", "w": "double"}
+    assert out.agg(F.sum("k")).first()[0] == sum(range(100))
+    # pruning still works against the 4-byte bounds of old manifests
+    pruned = t.files(filters=("between", "k", 0, 5))
+    assert 0 < len(pruned) < files_before or files_before == 1
+    # big values land fine after widening
+    big = spark.createDataFrame([(2**40, 1e300)], t.metadata.struct_type())
+    cat.append("w.t", spark, big)
+    assert (
+        cat.load("w.t").to_df(spark).filter(F.col("k") == 2**40).count() == 1
+    )
+    # illegal promotions refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="illegal type promotion"):
+        cat.widen_column("w.t", "w", T.LongType())
+
+
+def test_widen_column_sql_surface(spark, sf_dir, scratch):
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_widen_sql")
+    cat = Catalog(root, name="wcat")
+    df = spark.range(10).select(F.col("id").cast("int").alias("k"))
+    cat.create_table("w.t", df.schema)
+    cat.append("w.t", spark, df)
+    out = cat.sql(spark, "ALTER TABLE wcat.w.t ALTER COLUMN k TYPE BIGINT").first()
+    assert out.operation == "widen_column"
+    assert (
+        cat.load("w.t").metadata.struct_type()["k"].dataType.simpleString()
+        == "bigint"
+    )
