@@ -48,13 +48,35 @@ def _state_duck(con):
 
 
 def _gen_statements(rng: random.Random, n: int) -> list[tuple[str, str]]:
-    """(spark_sql, duck_sql) pairs — identical except the table name."""
+    """(spark_sql, duck_sql) pairs — semantically identical programs
+    (DuckDB has no INSERT OVERWRITE/TRUNCATE spelling; those render as
+    the equivalent DELETE[+INSERT])."""
     out = []
     next_k = 0
     for _ in range(n):
         kind = rng.choice(
-            ["insert", "insert", "insert", "delete", "update", "update"]
+            [
+                "insert", "insert", "insert",
+                "delete", "update", "update",
+                "overwrite", "truncate",
+            ]
         )
+        if kind == "overwrite":
+            rows = ", ".join(
+                f"({next_k + i}, '{rng.choice(GROUPS)}', {rng.randint(-50, 50)})"
+                for i in range(rng.randint(1, 3))
+            )
+            next_k += 3
+            out.append(
+                (
+                    "INSERT OVERWRITE fuzz.d.t VALUES " + rows,
+                    f"DELETE FROM t; INSERT INTO t VALUES {rows}",
+                )
+            )
+            continue
+        if kind == "truncate":
+            out.append(("TRUNCATE TABLE fuzz.d.t", "DELETE FROM t"))
+            continue
         if kind == "insert":
             rows = ", ".join(
                 f"({next_k + i}, '{rng.choice(GROUPS)}', {rng.randint(-50, 50)})"
