@@ -326,6 +326,23 @@ def _show_describe(surface, spark, q) -> Optional[DataFrame]:
             ),
         )
     m = re.match(
+        rf"SHOW\s+TBLPROPERTIES\s+{cat}\.({IDENT})\.({IDENT})\s*$",
+        q,
+        re.IGNORECASE,
+    )
+    if m:
+        ident = f"{_unq(m.group(1))}.{_unq(m.group(2))}"
+        props = surface.load(ident).metadata.properties
+        return spark.createDataFrame(
+            sorted(props.items()) or [("", "")][:0],
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType(), False),
+                    T.StructField("value", T.StringType(), True),
+                ]
+            ),
+        )
+    m = re.match(
         rf"SHOW\s+CREATE\s+TABLE\s+{cat}\.({IDENT})\.({IDENT})\s*$",
         q,
         re.IGNORECASE,

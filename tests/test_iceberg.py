@@ -3061,3 +3061,28 @@ def test_widen_column_sql_surface(spark, sf_dir, scratch):
         cat.load("w.t").metadata.struct_type()["k"].dataType.simpleString()
         == "bigint"
     )
+
+
+def test_split_statements_and_resolve_names_edges():
+    """Script splitting and name resolution must never fire inside
+    string literals or comments."""
+    from datafusion_iceberg_spark.iceberg.catalog import SqlSurface
+
+    class Fake(SqlSurface):
+        name = "c"
+        _mirror = {"ns.t": None}
+
+        def namespaces(self):
+            return ["ns"]
+
+    f = Fake()
+    stmts = f._split_statements(
+        "SELECT 'a;b' AS x; -- trailing; comment\nSELECT 2; ;"
+    )
+    assert len(stmts) == 2
+    assert "'a;b'" in stmts[0]
+    out = f.resolve_names("SELECT * FROM c.ns.t WHERE x = 'c.ns.t'")
+    assert out == "SELECT * FROM `ns_t` WHERE x = 'c.ns.t'"
+    # backticked spellings resolve; unknown tables pass through
+    assert f.resolve_names("FROM `c`.`ns`.`t`") == "FROM `ns_t`"
+    assert f.resolve_names("FROM c.ns.other") == "FROM c.ns.other"

@@ -555,3 +555,63 @@ def test_call_vacuum(spark, cat, nation_df):
     t = cat.load("sales.vac_t")
     assert len(t.metadata.snapshots) == 2  # 1 kept + manifest-rewrite commit
     assert t.to_df(spark).count() == 3 * nation_df.count()
+
+
+def test_dml_across_partition_spec_evolution(spark, cat, nation_df):
+    """SQL DELETE/UPDATE on a table whose partition spec changed
+    mid-history: files under BOTH specs must be candidates and rewrite
+    correctly (spec-id-aware manifests meet the DML surface)."""
+    nation_df.select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).createOrReplaceTempView("spec_src")
+    cat.sql(
+        spark,
+        "CREATE OR REPLACE TABLE dmlcat.sales.spec_t "
+        "(n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT) "
+        "PARTITIONED BY (n_regionkey);"
+        "INSERT INTO dmlcat.sales.spec_t "
+        "SELECT * FROM spec_src WHERE n_nationkey < 12",
+    )
+    cat.evolve_partition_spec("sales.spec_t", None)  # drop partitioning
+    cat.sql(
+        spark,
+        "INSERT INTO dmlcat.sales.spec_t "
+        "SELECT * FROM spec_src WHERE n_nationkey >= 12",
+    )
+    # delete hits rows written under BOTH specs
+    cat.sql(
+        spark, "DELETE FROM dmlcat.sales.spec_t WHERE n_nationkey % 2 = 1"
+    )
+    got = {
+        r.n_nationkey
+        for r in cat.sql(
+            spark, "SELECT n_nationkey FROM dmlcat.sales.spec_t"
+        ).collect()
+    }
+    want = {
+        r.n_nationkey for r in nation_df.collect() if r.n_nationkey % 2 == 0
+    }
+    assert got == want
+    # update across the same mix
+    cat.sql(
+        spark,
+        "UPDATE dmlcat.sales.spec_t SET n_regionkey = n_regionkey + 10 "
+        "WHERE n_nationkey >= 0",
+    )
+    assert (
+        cat.sql(
+            spark,
+            "SELECT COUNT(*) AS n FROM dmlcat.sales.spec_t WHERE n_regionkey < 10",
+        ).first()["n"]
+        == 0
+    )
+
+
+def test_show_tblproperties(spark, cat):
+    props = {
+        r.key: r.value
+        for r in cat.sql(
+            spark, "SHOW TBLPROPERTIES dmlcat.sales.mor_nat"
+        ).collect()
+    }
+    assert props.get("write.delete.mode") == "merge-on-read"
