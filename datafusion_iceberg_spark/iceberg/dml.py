@@ -510,11 +510,28 @@ def _merge(surface, spark, q, tgt3) -> Optional[DataFrame]:
     # source: '(subquery)' or a table reference, each with optional alias
     if rest.startswith("("):
         depth = 0
-        for i, c in enumerate(rest):
-            depth += c == "("
-            depth -= c == ")"
-            if depth == 0:
-                break
+        i = 0
+        n = len(rest)
+        while i < n:
+            c = rest[i]
+            if c == "'":  # skip string literals ('' = escaped quote)
+                i += 1
+                while i < n:
+                    if rest[i] == "'":
+                        if i + 1 < n and rest[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            raise ValueError("unbalanced parentheses in MERGE USING source")
         src_sql, rest = rest[1:i], rest[i + 1:].strip()
     else:
         sm = re.match(rf"((?:{IDENT})(?:\.{IDENT}){{0,2}})\s+(.*)$", rest, re.DOTALL)

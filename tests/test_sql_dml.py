@@ -615,3 +615,18 @@ def test_show_tblproperties(spark, cat):
         ).collect()
     }
     assert props.get("write.delete.mode") == "merge-on-read"
+
+
+def test_merge_subquery_source_with_tricky_literal(spark, cat):
+    out = cat.sql(
+        spark,
+        "MERGE INTO dmlcat.sales.nat t USING "
+        "(SELECT 5 AS n_nationkey, ')(' AS n_name, 0 AS n_regionkey) s "
+        "ON t.n_nationkey = s.n_nationkey "
+        "WHEN MATCHED THEN UPDATE SET n_name = s.n_name",
+    ).first()
+    assert out.operation == "merge"
+    r = cat.sql(
+        spark, "SELECT n_name FROM dmlcat.sales.nat WHERE n_nationkey = 5"
+    ).first()
+    assert r.n_name == ")("
