@@ -378,6 +378,17 @@ def _show_describe(surface, spark, q) -> Optional[DataFrame]:
     if m:
         ident = f"{_unq(m.group(1))}.{_unq(m.group(2))}"
         table = surface.load(ident)
+        if not hasattr(table, "metadata"):  # an Iceberg VIEW
+            return spark.createDataFrame(
+                [("# view sql", table.sql(), None)],
+                T.StructType(
+                    [
+                        T.StructField("col_name", T.StringType(), False),
+                        T.StructField("data_type", T.StringType(), False),
+                        T.StructField("field_id", T.IntegerType(), True),
+                    ]
+                ),
+            )
         meta = table.metadata
         ids = meta.field_ids_by_name()
         rows = [

@@ -630,3 +630,13 @@ def test_merge_subquery_source_with_tricky_literal(spark, cat):
         spark, "SELECT n_name FROM dmlcat.sales.nat WHERE n_nationkey = 5"
     ).first()
     assert r.n_name == ")("
+
+
+def test_describe_view(spark, cat):
+    cat.sql(
+        spark,
+        "CREATE VIEW dmlcat.sales.desc_v AS SELECT 1 AS one",
+    )
+    rows = cat.sql(spark, "DESCRIBE dmlcat.sales.desc_v").collect()
+    assert rows[0].col_name == "# view sql"
+    assert "SELECT 1" in rows[0].data_type
