@@ -943,3 +943,77 @@ def text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "a", "b").limit(20)
+
+
+@register(
+    "text_boilerplate_spans",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), 20)) AS h
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, GREATEST(LENGTH(text) - 19, 1), 7)) AS p
+        FROM documents
+      )
+    ),
+    shared AS (
+      SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    per_doc AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_spans,
+             SUM(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+      FROM sh LEFT JOIN shared ON sh.h = shared.h
+      GROUP BY sh.doc_id
+    )
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(n_shared * 1.0 / n_spans, 6) AS boilerplate_frac
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level boilerplate detection — the template/header stripper
+    that runs BELOW document-level dedup: sample 20-char character
+    shingles on a stride-7 grid, find spans shared across DIFFERENT
+    documents, and score each doc by its shared-span fraction (high ⇒
+    templated/boilerplate content even when no whole document
+    duplicates).
+
+    Scale shape: shingles generate map-side (sequence+transform, pure
+    codegen) and the shuffles carry (doc_id, 16-byte md5) pairs — the
+    stride caps shingle volume at len(text)/7 per doc; the cross-doc
+    test is a count-distinct per hash (one aggregate), and the per-doc
+    rollup joins back on the hash — never a doc×doc comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = scale_out(docs).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 19, 1), 7),"
+                " p -> md5(substring(text, p, 20)))"
+            )
+        ).alias("h"),
+    )
+    shared = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", F.lit(1).alias("is_shared"))
+    )
+    per_doc = (
+        sh.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round(F.col("n_shared") * 1.0 / F.col("n_spans"), 6).alias(
+            "boilerplate_frac"
+        ),
+    ).orderBy("doc_id")

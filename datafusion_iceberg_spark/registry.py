@@ -90,6 +90,7 @@ _PRIORITY = [
     "iceberg_incremental_mv",
     "embed_kmeans",
     "text_pmi_pairs",
+    "text_boilerplate_spans",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
