@@ -114,6 +114,7 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
             F.col("d_cnt").cast("long").alias("cnt"),
         )
     )
+    deltas = deltas.cache()  # one changelog scan feeds count AND merge
     applied = deltas.count()
     if applied:
         cat.merge_into(
@@ -128,6 +129,7 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
             insert_not_matched=True,
         )
         cat.delete_where(mv_ident, spark, ("=", "cnt", 0))
+    deltas.unpersist()
     cat.set_properties(mv_ident, {"mv.source-snapshot-id": str(cur)})
     return {"applied_rows": applied, "from_snapshot": last, "to_snapshot": cur}
 
