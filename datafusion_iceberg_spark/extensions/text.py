@@ -1017,3 +1017,250 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boilerplate_frac"
         ),
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_curation_funnel",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ts,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id,
+             CASE WHEN n BETWEEN 10 AND 1000
+                   AND len(list_distinct(ts)) * 1.0 / n > 0.05
+                  THEN 1 ELSE 0 END AS q
+      FROM base
+    ),
+    g2 AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] AS g
+      FROM base, UNNEST(generate_series(1, n - 1)) AS u(i) WHERE n >= 2
+    ),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+    top2 AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM c2 GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+      FROM base, UNNEST(generate_series(1, n - 2)) AS u(i) WHERE n >= 3
+    ),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+    dup3 AS (
+      SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_n,
+             SUM(c) AS tot_n
+      FROM c3 GROUP BY doc_id
+    ),
+    rep AS (
+      SELECT base.doc_id,
+             CASE WHEN top2.mx * 2.0 / base.n <= 0.20
+                   AND dup3.dup_n * 1.0 / dup3.tot_n <= 0.30
+                  THEN 1 ELSE 0 END AS r
+      FROM base JOIN top2 USING (doc_id) JOIN dup3 USING (doc_id)
+    ),
+    sh AS (
+      SELECT doc_id, md5(substr(text, CAST(p AS INTEGER), 20)) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(LENGTH(text) - 19, 1), 7)) AS p
+            FROM documents)
+    ),
+    shared AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+    boil AS (
+      SELECT sh.doc_id,
+             CASE WHEN SUM(CASE WHEN shared.h IS NOT NULL THEN 1 ELSE 0 END)
+                       * 1.0 / COUNT(*) <= 0.5
+                  THEN 1 ELSE 0 END AS b
+      FROM sh LEFT JOIN shared ON sh.h = shared.h GROUP BY sh.doc_id
+    ),
+    ng AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(ts) - 6), i -> array_to_string(ts[i:i+7], ' ')))) AS ng
+      FROM base WHERE n >= 8
+    ),
+    bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id FROM ng c JOIN bench USING (ng)
+      WHERE c.doc_id % 97 <> 0
+    ),
+    flags AS (
+      SELECT base.doc_id, base.text,
+             quality.q,
+             COALESCE(rep.r, 0) AS r,
+             COALESCE(boil.b, 0) AS b,
+             CASE WHEN base.doc_id % 97 <> 0
+                   AND contaminated.doc_id IS NULL THEN 1 ELSE 0 END AS d
+      FROM base
+      JOIN quality USING (doc_id)
+      LEFT JOIN rep USING (doc_id)
+      LEFT JOIN boil USING (doc_id)
+      LEFT JOIN contaminated ON contaminated.doc_id = base.doc_id
+    ),
+    agg AS (
+      SELECT COUNT(*) AS s0,
+             SUM(q) AS s1,
+             SUM(q * r) AS s2,
+             SUM(q * r * b) AS s3,
+             SUM(q * r * b * d) AS s4,
+             COUNT(DISTINCT CASE WHEN q * r * b * d = 1
+                                 THEN md5(text) END) AS s5
+      FROM flags
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage, 'all' AS stage_name, CAST(s0 AS BIGINT) AS n_docs FROM agg
+      UNION ALL SELECT 1, 'quality', CAST(s1 AS BIGINT) FROM agg
+      UNION ALL SELECT 2, 'repetition', CAST(s2 AS BIGINT) FROM agg
+      UNION ALL SELECT 3, 'boilerplate', CAST(s3 AS BIGINT) FROM agg
+      UNION ALL SELECT 4, 'decontaminated', CAST(s4 AS BIGINT) FROM agg
+      UNION ALL SELECT 5, 'deduped', CAST(s5 AS BIGINT) FROM agg
+    ) ORDER BY stage
+    """,
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE funnel report — the number a
+    data lead actually asks for ("how many documents survive each
+    gate?"): quality (length+TTR) → repetition (Gopher n-gram) →
+    boilerplate (shared spans) → decontamination (benchmark 8-grams) →
+    exact dedup, applied cumulatively.
+
+    Scale shape: every stage is the already-verified kernel (each has
+    its own gate query); the funnel joins their per-doc FLAGS — narrow
+    (doc_id, 0/1) frames — and the final count is one aggregate, with
+    the dedup stage as COUNT(DISTINCT digest) over survivors rather
+    than a materialized survivor table."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.split("text", " ").alias("ts"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    quality = base.select(
+        "doc_id",
+        F.when(
+            F.col("n").between(10, 1000)
+            & (F.size(F.array_distinct("ts")) * 1.0 / F.col("n") > 0.05),
+            1,
+        )
+        .otherwise(0)
+        .alias("q"),
+    )
+
+    def grams(k: int) -> DataFrame:
+        return base.filter(F.col("n") >= k).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ts) - {k}), "
+                    f"i -> concat_ws(' ', {', '.join(f'ts[i+{j}]' for j in range(k))}))"
+                )
+            ).alias("g"),
+        )
+
+    c2 = grams(2).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    top2 = c2.groupBy("doc_id").agg(F.max("c").alias("mx"))
+    c3 = grams(3).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    dup3 = c3.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_n"),
+        F.sum("c").alias("tot_n"),
+    )
+    rep = (
+        base.select("doc_id", "n")
+        .join(top2, "doc_id")
+        .join(dup3, "doc_id")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("mx") * 2.0 / F.col("n") <= 0.20)
+                & (F.col("dup_n") * 1.0 / F.col("tot_n") <= 0.30),
+                1,
+            )
+            .otherwise(0)
+            .alias("r"),
+        )
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 19, 1), 7),"
+                " p -> md5(substring(text, p, 20)))"
+            )
+        ).alias("h"),
+    )
+    shared = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", F.lit(1).alias("is_shared"))
+    )
+    boil = (
+        sh.join(shared, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.when(
+                F.sum(F.coalesce(F.col("is_shared"), F.lit(0)))
+                * 1.0
+                / F.count(F.lit(1))
+                <= 0.5,
+                1,
+            )
+            .otherwise(0)
+            .alias("b")
+        )
+    )
+    ngrams = base.filter(F.col("n") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, size(ts) - 7),"
+                " i -> array_join(slice(ts, i, 8), ' ')))"
+            )
+        ).alias("ng"),
+    )
+    bench = ngrams.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
+    contaminated = (
+        ngrams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "ng")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    flags = (
+        base.select("doc_id", "text")
+        .join(quality, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(boil, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            "q",
+            F.coalesce("r", F.lit(0)).alias("r"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+            F.when(
+                (F.col("doc_id") % 97 != 0) & F.col("is_cont").isNull(), 1
+            )
+            .otherwise(0)
+            .alias("d"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("r")).alias("s2"),
+        F.sum(F.col("q") * F.col("r") * F.col("b")).alias("s3"),
+        F.sum(F.col("q") * F.col("r") * F.col("b") * F.col("d")).alias("s4"),
+        F.countDistinct(
+            F.when(
+                F.col("q") * F.col("r") * F.col("b") * F.col("d") == 1,
+                F.md5("text"),
+            )
+        ).alias("s5"),
+    )
+    names = ["all", "quality", "repetition", "boilerplate", "decontaminated", "deduped"]
+    stack = ", ".join(
+        f"{i}, '{nm}', CAST(s{i} AS BIGINT)" for i, nm in enumerate(names)
+    )
+    return agg.select(
+        F.expr(f"stack(6, {stack}) AS (stage, stage_name, n_docs)")
+    ).orderBy("stage")

@@ -91,6 +91,7 @@ _PRIORITY = [
     "embed_kmeans",
     "text_pmi_pairs",
     "text_boilerplate_spans",
+    "pipeline_curation_funnel",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
