@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_survivorship_policy",
     "text_unigram_surprise",
     "embed_kmeans",
+    "pipeline_curation_funnel",
 ]
 
 
