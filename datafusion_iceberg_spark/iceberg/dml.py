@@ -168,6 +168,36 @@ def try_execute(
         return _result(spark, "truncate", ident, snap)
     if head == "CALL":
         return _call_procedure(surface, spark, q)
+    if head == "ANALYZE":
+        m = re.match(
+            rf"ANALYZE\s+TABLE\s+(?:`{re.escape(surface.name)}`|{re.escape(surface.name)})"
+            rf"\.({IDENT})\.({IDENT})(?:\s+COMPUTE\s+STATISTICS)?\s*$",
+            q,
+            re.IGNORECASE,
+        )
+        if m is None:
+            return None
+        ident = f"{_unq(m.group(1))}.{_unq(m.group(2))}"
+        table = surface.load(ident)
+        files = table.files()
+        # manifest-derived, zero data IO — the statistics feed the
+        # reference exposes to its planner (statistics.rs:8-49), as SQL
+        rows = [
+            ("num_files", str(len(files))),
+            ("num_rows", str(sum(f.record_count for f in files))),
+            ("total_size_bytes", str(sum(f.file_size_in_bytes for f in files))),
+            ("num_snapshots", str(len(table.metadata.snapshots))),
+            ("num_manifests", str(len(table.manifests()))),
+        ]
+        return spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType(), False),
+                    T.StructField("value", T.StringType(), False),
+                ]
+            ),
+        )
     if head not in ("INSERT", "DELETE", "UPDATE", "MERGE", "CREATE", "DROP", "ALTER"):
         return None
     cat = rf"(?:`{re.escape(surface.name)}`|{re.escape(surface.name)})"

@@ -640,3 +640,16 @@ def test_describe_view(spark, cat):
     rows = cat.sql(spark, "DESCRIBE dmlcat.sales.desc_v").collect()
     assert rows[0].col_name == "# view sql"
     assert "SELECT 1" in rows[0].data_type
+
+
+def test_analyze_table(spark, cat, nation_df):
+    stats = {
+        r.key: int(r.value)
+        for r in cat.sql(
+            spark, "ANALYZE TABLE dmlcat.sales.nat COMPUTE STATISTICS"
+        ).collect()
+    }
+    n = cat.sql(spark, "SELECT COUNT(*) AS n FROM dmlcat.sales.nat").first()["n"]
+    assert stats["num_rows"] == n
+    assert stats["num_files"] >= 1
+    assert stats["total_size_bytes"] > 0
