@@ -211,3 +211,50 @@ def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass and unpivots)."""
     df = load_table(spark, sf_dir, "lineitem")
     return profile_columns(df, ["l_discount", "l_extendedprice", "l_quantity"])
+
+
+@register(
+    "sample_train_val_test",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, source,
+             CASE WHEN {_sql_bucket('doc_id')} < 90 THEN 'train'
+                  WHEN {_sql_bucket('doc_id')} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by id-hash bucket —
+    the split every training run needs to be REPRODUCIBLE across reruns,
+    repartitionings and engines (never ``rand()``: a re-shuffled rerun
+    would leak val docs into train).  Buckets partition [0,100), so the
+    three splits are disjoint and exhaustive by construction.
+
+    Scale shape: a pure map-side CASE over the scan (zero shuffle for
+    the assignment itself); the summary is one narrow aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )

@@ -92,6 +92,7 @@ _PRIORITY = [
     "text_pmi_pairs",
     "text_boilerplate_spans",
     "pipeline_curation_funnel",
+    "sample_train_val_test",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
