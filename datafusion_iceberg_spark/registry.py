@@ -93,6 +93,7 @@ _PRIORITY = [
     "text_boilerplate_spans",
     "pipeline_curation_funnel",
     "sample_train_val_test",
+    "corpus_export_jsonl",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",

@@ -186,3 +186,56 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "corpus_export_jsonl",
+    oracle="""
+    SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 8)
+             AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_text_len
+    FROM documents GROUP BY 1 ORDER BY shard
+    """,
+)
+def corpus_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data HANDOFF step: export the corpus as hash-sharded
+    JSON-lines (the format every trainer ingests), then read the shards
+    BACK and summarize — so the gate verifies the export round-trip
+    (JSON escaping of the text payload included), not just the write
+    call.  Shard assignment is the deterministic id-hash bucket (a
+    rerun writes byte-identical shard membership).
+
+    Scale shape: the export is one map-side shard tag + a
+    ``partitionBy(shard)`` write (executors write their own shard
+    files, no driver funneling); the verification scan reads the JSON
+    back with an explicit schema (no inference pass)."""
+    import os
+
+    from datafusion_iceberg_spark.extensions.sampling import hash_bucket
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = os.path.join(SCRATCH, f"export_{tag}_jsonl")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    tagged = docs.withColumn("shard", hash_bucket(F.col("doc_id"), 8))
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        tagged.write.mode("overwrite").partitionBy("shard").json(out_dir)
+    schema = "doc_id BIGINT, text STRING, n_chars BIGINT"
+    # partitionBy moved `shard` into the directory names; basePath read
+    # restores it as a column
+    back = spark.read.schema(schema).option("basePath", out_dir).json(
+        os.path.join(out_dir, "shard=*")
+    )
+    return (
+        back.withColumn("shard", F.col("shard").cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.length("text")).cast("long").alias("total_text_len"),
+        )
+        .orderBy("shard")
+    )
