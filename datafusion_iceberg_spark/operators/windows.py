@@ -317,3 +317,48 @@ register_sql(
     GROUP BY reached_stage ORDER BY reached_stage
     """,
 )
+
+
+@register(
+    "window_retention_cohorts",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, wk FROM ev)
+    SELECT CAST(cohort.cohort_wk AS TIMESTAMP) AS cohort_week,
+           CAST((activity.wk - cohort.cohort_wk) / 7 AS INTEGER) AS week_offset,
+           COUNT(DISTINCT activity.user_id) AS n_users
+    FROM activity JOIN cohort USING (user_id)
+    GROUP BY 1, 2 ORDER BY cohort_week, week_offset
+    """,
+)
+def window_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix — the product-analytics staple: users
+    grouped by FIRST-ACTIVITY week, counted in each subsequent week
+    they return (cohort_week × week_offset).
+
+    Scale shape: two aggregations over (user_id, week) pairs — the
+    cohort assignment is a per-user MIN and the activity set a
+    DISTINCT, both shuffling narrow pairs; the cohort frame (one row
+    per user) joins back user-keyed.  No window function at all: the
+    cohort shape is pure groupBy/join, which scales past any
+    per-partition window."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = ev.distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.col("cohort_wk").cast("timestamp").alias("cohort_week"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

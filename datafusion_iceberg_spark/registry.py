@@ -94,6 +94,7 @@ _PRIORITY = [
     "pipeline_curation_funnel",
     "sample_train_val_test",
     "corpus_export_jsonl",
+    "window_retention_cohorts",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "iceberg_eq_delete_scan",
