@@ -553,16 +553,34 @@ class IcebergWriter:
             )
         return self._commit_file_stats(snap_id, files, True, operation)
 
-    def commit_files(self, data_dir: str, paths: list) -> int:
+    def commit_files(
+        self,
+        data_dir: str,
+        paths: list,
+        operation: str = "append",
+        replace: bool = False,
+        extra_summary: Optional[dict] = None,
+    ) -> int:
         """Commit exactly ``paths`` (already written under the table
-        root) as one append snapshot — the per-micro-batch commit of the
-        streaming DataSource sink, where each batch's file set arrives
-        via executor commit messages rather than a directory walk."""
+        root) as one snapshot — the commit half of both DataSource write
+        paths, where each task's file set arrives via executor commit
+        messages rather than a directory walk.  Unlike
+        :meth:`commit_data_dir` this never sweeps up parquet left by
+        failed/retried/speculative task attempts: only files reported by
+        successful tasks enter the snapshot.  ``replace=True`` commits an
+        overwrite snapshot referencing ONLY ``paths``."""
         snap_id = int(time.time() * 1000) * 1000 + (
             int.from_bytes(os.urandom(2), "big") % 1000
         )
         files = self._collect_file_stats(data_dir, paths=paths)
-        return self._commit_file_stats(snap_id, files, True, "append")
+        if replace:
+            return self._commit_file_stats(
+                snap_id, files, False, operation, [], True,
+                _extra_summary=extra_summary,
+            )
+        return self._commit_file_stats(
+            snap_id, files, True, operation, _extra_summary=extra_summary
+        )
 
     def _commit_file_stats(
         self,
@@ -574,6 +592,7 @@ class IcebergWriter:
         _allow_empty: bool = False,
         stage_branch: Optional[str] = None,
         _expected_parent=_UNCHECKED,
+        _extra_summary: Optional[dict] = None,
     ) -> int:
         """Manifest build + snapshot commit for per-file stats dicts
         (the post-write half of :meth:`append`, shared with
@@ -691,6 +710,7 @@ class IcebergWriter:
                     _operation,
                     stage_branch,
                     _expected_parent,
+                    _extra_summary,
                 )
             except RewriteConflict:
                 # the manifest was built from a now-stale file set: a
@@ -715,6 +735,7 @@ class IcebergWriter:
         _operation: str,
         _stage_branch: Optional[str] = None,
         _expected_parent=_UNCHECKED,
+        _extra_summary: Optional[dict] = None,
     ) -> int:
         """The read-validate-commit section of append, re-entrant for the
         optimistic-concurrency retry: re-reads current metadata (so the
@@ -815,6 +836,7 @@ class IcebergWriter:
                 "added-records": str(total_rows),
                 "total-records": str(prev_total + total_rows),
                 "total-data-files": str(len(entries) + prev_files),
+                **(_extra_summary or {}),
             },
             "manifest-list": manifest_list_path,
             "schema-id": 0,

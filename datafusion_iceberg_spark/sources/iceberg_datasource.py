@@ -295,12 +295,28 @@ class IcebergPyWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         from datafusion_iceberg_spark.iceberg.writer import IcebergWriter
 
-        total = sum(m.rows for m in messages if m)
+        # Commit ONLY the files reported by successful tasks.  Walking the
+        # staging dir instead would sweep in parquet left by failed,
+        # retried, or speculative task attempts (possibly truncated),
+        # yielding duplicate rows or a footer-read failure at commit time.
+        paths = [p for m in messages if m for p in m.paths]
+        # Drop any unreported stragglers from dead attempts before commit.
+        if os.path.isdir(self._dir):
+            keep = set(paths)
+            for name in os.listdir(self._dir):
+                full = os.path.join(self._dir, name)
+                if full not in keep:
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
         w = IcebergWriter.for_table(self._root)
         if self._overwrite:
-            w.commit_data_dir(self._dir, operation="overwrite", replace=True)
-        elif total > 0:
-            w.commit_data_dir(self._dir)
+            w.commit_files(
+                self._dir, paths, operation="overwrite", replace=True
+            )
+        elif paths:
+            w.commit_files(self._dir, paths)
         # append of zero rows: no snapshot, nothing to clean
 
     def abort(self, messages) -> None:
@@ -353,6 +369,24 @@ class IcebergPyStreamWriter(DataSourceStreamArrowWriter):
         writer.close()
         return IcebergWriteMessage(paths=[path], rows=rows)
 
+    def _committed_batch_ids(self) -> set:
+        """Batch ids already published, derived from table metadata: each
+        micro-batch snapshot carries ``pyds-stream-batch-id`` in its
+        summary, so the snapshot commit and the replay marker are ONE
+        atomic write — a crash between the two can't exist."""
+        from datafusion_iceberg_spark.iceberg.metadata import (
+            load_table_metadata,
+        )
+
+        try:
+            meta = load_table_metadata(self._root).raw
+        except (OSError, KeyError, ValueError):
+            return set()
+        return {
+            s.get("summary", {}).get("pyds-stream-batch-id")
+            for s in meta.get("snapshots", [])
+        } - {None}
+
     def commit(self, messages, batchId: int) -> None:
         import json
 
@@ -361,9 +395,13 @@ class IcebergPyStreamWriter(DataSourceStreamArrowWriter):
         paths = [p for m in messages if m for p in m.paths]
         ledger = {}
         if os.path.exists(self._ledger()):
-            with open(self._ledger()) as fh:
-                ledger = json.load(fh)
-        if str(batchId) in ledger:
+            try:
+                with open(self._ledger()) as fh:
+                    ledger = json.load(fh)
+            except ValueError:
+                # ledger is only a cache — rebuild from metadata below
+                ledger = {}
+        if str(batchId) in ledger or str(batchId) in self._committed_batch_ids():
             # replayed batch: already a snapshot — drop the re-staged files
             for p in paths:
                 try:
@@ -373,12 +411,21 @@ class IcebergPyStreamWriter(DataSourceStreamArrowWriter):
             return
         if paths:
             w = IcebergWriter.for_table(self._root)
-            snap = w.commit_files(self._dir, paths)
+            snap = w.commit_files(
+                self._dir,
+                paths,
+                extra_summary={"pyds-stream-batch-id": str(batchId)},
+            )
         else:
             snap = None
+        # The ledger is a pure cache over the batch-id stamps in snapshot
+        # summaries (needed for empty batches, which commit no snapshot);
+        # write it atomically so a crash mid-write can't corrupt it.
         ledger[str(batchId)] = snap
-        with open(self._ledger(), "w") as fh:
+        tmp = self._ledger() + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(ledger, fh)
+        os.replace(tmp, self._ledger())
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

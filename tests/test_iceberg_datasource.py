@@ -350,3 +350,87 @@ def test_stream_pipe_iceberg_to_iceberg(spark, tmp_path):
         (r.n_nationkey, len(r.n_name)) for r in nation.collect()
     }
     assert got == want  # exactly-once: no dupes, nothing missing
+
+
+def test_batch_commit_ignores_straggler_files(spark, write_wh):
+    """A failed/retried/speculative task attempt can leave a (possibly
+    truncated) parquet file in the staging dir.  The job-level commit
+    must publish ONLY the files reported by successful task commit
+    messages — never sweep the directory (ADVICE r5, high)."""
+    import pyarrow as pa
+
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        IcebergPyWriter,
+        IcebergWriteMessage,
+    )
+
+    cat, nation, tbl_root = write_wh
+    schema_hex = pa.schema([("n_nationkey", pa.int64())]).serialize().hex()
+    w = IcebergPyWriter(tbl_root, overwrite=False, arrow_schema_json=schema_hex)
+    os.makedirs(w._dir)
+    # the "successful" task file
+    import pyarrow.parquet as pq
+
+    good = os.path.join(w._dir, "part-good.parquet")
+    pq.write_table(
+        pa.table({"n_nationkey": list(range(10))}), good
+    )
+    # a truncated straggler from a dead attempt: invalid parquet footer
+    bad = os.path.join(w._dir, "part-dead-attempt.parquet")
+    with open(bad, "wb") as fh:
+        fh.write(b"PAR1\x00\x00broken")
+    w.commit([IcebergWriteMessage(paths=[good], rows=10)])
+    t = IcebergTable.load(tbl_root)
+    assert t.to_df(spark).count() == 10  # straggler not committed
+    assert not os.path.exists(bad)  # and cleaned from staging
+    committed = {f.path for f in t.files()}
+    assert good in committed and bad not in committed
+
+
+def test_stream_replay_detected_without_ledger(spark, tmp_path):
+    """Exactly-once must not depend on the ledger file: the batch id is
+    stamped into the snapshot summary in the SAME atomic metadata commit,
+    so replay after a crash between commit and ledger write (or after
+    ledger corruption) is still detected (ADVICE r5, low)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        IcebergPyStreamWriter,
+        IcebergWriteMessage,
+    )
+    from pyspark.sql import types as T
+
+    root = str(tmp_path / "swh2")
+    cat = Catalog(root)
+    cat.create_table(
+        "s.t", T.StructType([T.StructField("x", T.LongType())])
+    )
+    tbl_root = os.path.join(root, "s", "t")
+    w = IcebergPyStreamWriter(tbl_root, "")
+    stage = os.path.join(tbl_root, "data", "pyds-stream")
+    os.makedirs(stage, exist_ok=True)
+
+    def stage_file(name, vals):
+        p = os.path.join(stage, name)
+        pq.write_table(pa.table({"x": vals}), p)
+        return p
+
+    w.commit([IcebergWriteMessage(paths=[stage_file("b0.parquet", [1, 2])], rows=2)], batchId=0)
+    # crash scenario: ledger lost AND corrupted variants
+    os.remove(w._ledger())
+    w.commit([IcebergWriteMessage(paths=[stage_file("b0r.parquet", [1, 2])], rows=2)], batchId=0)
+    t = IcebergTable.load(tbl_root)
+    assert len(t.metadata.snapshots) == 1  # replay skipped via summary stamp
+    assert t.to_df(spark).count() == 2
+    with open(w._ledger(), "w") as fh:
+        fh.write("{corrupt")
+    w.commit([IcebergWriteMessage(paths=[stage_file("b1.parquet", [3])], rows=1)], batchId=1)
+    t = IcebergTable.load(tbl_root)
+    assert t.to_df(spark).count() == 3  # new batch still commits
+    assert [
+        s.summary.get("pyds-stream-batch-id") for s in t.metadata.snapshots
+    ] == ["0", "1"]
