@@ -827,17 +827,20 @@ def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
     on any corpus.
 
     Scale shape: the vocabulary is a (token, count) aggregate — shuffles
-    carry tokens once; the per-doc score is a broadcast-joined (the
-    vocab of a trained filter is bounded — top-k in practice) re-scan
-    with a map-side running sum.  The -ln and AVG are computed
-    identically on both engines and rounded to 4 dp (the BM25 idf
-    precedent)."""
+    carry tokens once; corpus vocabularies are UNBOUNDED (typos/URLs grow
+    with the corpus), so the score join carries no broadcast hint — AQE
+    picks the strategy from the measured vocab size.  The top-20 cut is
+    ``orderBy().limit(20)`` (TakeOrderedAndProject: per-partition heaps,
+    20 rows to the driver — no single-task global window), and outliers
+    are marked via a ≤20-row broadcast join, the same pattern as
+    sim_hybrid_rrf.  The -ln and AVG are computed identically on both
+    engines and rounded to 4 dp (the BM25 idf precedent)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
     vocab = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    total = vocab.agg(F.sum("c").alias("n"))
+    total = vocab.agg(F.sum("c").alias("n"))  # 1-row constant attach
     scored = (
-        tok.join(F.broadcast(vocab), "t")
+        tok.join(vocab, "t")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -845,20 +848,23 @@ def text_unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
-    from pyspark.sql import Window as W
-
-    # rank over the ROUNDED score (cross-engine identical) with doc_id
-    # tiebreak; the frame is per-doc scores (corpus-sized but narrow) —
-    # at true scale the same cut runs as orderBy().limit() on the score
-    # frame (TakeOrderedAndProject), as in sim_hybrid_rrf
-    w = W.orderBy(F.round("surprise", 4).desc(), "doc_id")
+    # top-20 by (rounded score desc, doc_id) — deterministic across
+    # engines; TakeOrderedAndProject keeps the cut fully distributed
+    top = (
+        scored.select(
+            "doc_id", F.round("surprise", 4).alias("s")
+        )
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.lit(1).alias("is_outlier_flag"))
+    )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.join(F.broadcast(top), "doc_id", "left")
         .select(
             "doc_id",
             F.round("surprise", 4).alias("avg_surprise"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.when(F.col("rnk") <= 20, 1).otherwise(0).alias("is_outlier"),
+            F.coalesce("is_outlier_flag", F.lit(0)).alias("is_outlier"),
         )
         .orderBy("doc_id")
     )

@@ -174,18 +174,44 @@ def window_sliding_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over a numeric key — frame membership is value-defined,
-    so ties are safe."""
+    so ties are safe.
+
+    Distributed without a global window: chunk rows by 1000-wide value
+    ranges (>= 2x the 500 frame radius), replicate every row to its own
+    chunk and both neighbors, and run the RANGE window PARTITIONED by
+    chunk — any row's +-500 frame lies entirely within {k-1, k, k+1}, so
+    the partitioned count over the replicated set equals the global
+    count for rows evaluated in their HOME chunk; replica rows are
+    dropped after the window.  3x shuffle volume on (key, value) pairs
+    buys full parallelism; partition size is bounded by the value-range
+    density (the inherent limit of RANGE frames — ties must co-locate)."""
     supplier = load_table(spark, sf_dir, "supplier")
-    # PySpark's Window.rangeBetween only takes long offsets; fractional
-    # RANGE bounds go through the SQL window expression.
-    return supplier.select(
+    s = supplier.select(
         "s_suppkey",
         "s_acctbal",
+        F.floor(F.col("s_acctbal") / 1000).cast("long").alias("home"),
+    )
+    rep = s.select(
+        "s_suppkey",
+        "s_acctbal",
+        "home",
+        F.explode(
+            F.array(F.col("home") - 1, F.col("home"), F.col("home") + 1)
+        ).alias("pchunk"),
+    )
+    # fractional RANGE bounds only via the SQL window expression
+    counted = rep.withColumn(
+        "n_within_500",
         F.expr(
-            "COUNT(*) OVER (ORDER BY s_acctbal"
+            "COUNT(*) OVER (PARTITION BY pchunk ORDER BY s_acctbal"
             " RANGE BETWEEN 500.0 PRECEDING AND 500.0 FOLLOWING)"
-        ).alias("n_within_500"),
-    ).orderBy("s_suppkey")
+        ),
+    )
+    return (
+        counted.filter(F.col("pchunk") == F.col("home"))
+        .select("s_suppkey", "s_acctbal", "n_within_500")
+        .orderBy("s_suppkey")
+    )
 
 
 @register(
@@ -196,10 +222,47 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE over a GLOBAL order without a single-task global window:
+    two-phase distributed rank (the text_pack_sequences prefix-sum
+    pattern).  Phase 1 chunks rows by a range of the leading order key
+    (chunk order == global order; ties share a chunk because chunk is a
+    function of the value), cumsums the tiny per-chunk counts frame into
+    row offsets, and broadcasts them.  Phase 2 row_numbers WITHIN each
+    chunk (partitioned window — parallel) and adds the offset: a global
+    1-based rank with no corpus-sized window.  The bucket then follows
+    the exact SQL NTILE split (first N%n buckets get one extra row)
+    computed from the 1-row total-count attach."""
     customer = load_table(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return customer.select(
-        "c_custkey", F.ntile(4).over(w).alias("quartile")
+    t = customer.select(
+        "c_custkey",
+        "c_acctbal",
+        # acctbal spans ~[-1000, 10000]; 500-wide value chunks keep each
+        # partitioned window bounded while preserving global order
+        F.floor(F.col("c_acctbal") / 500).cast("long").alias("chunk"),
+    )
+    chunk_cnt = t.groupBy("chunk").agg(F.count(F.lit(1)).alias("cn"))
+    w_chunks = W.orderBy("chunk").rowsBetween(W.unboundedPreceding, -1)
+    # tiny frame: one row per value chunk — allowlisted global window
+    offsets = chunk_cnt.select(
+        "chunk", F.coalesce(F.sum("cn").over(w_chunks), F.lit(0)).alias("off")
+    )
+    total = chunk_cnt.agg(F.sum("cn").alias("N"))  # 1-row constant attach
+    w_in = W.partitionBy("chunk").orderBy("c_acctbal", "c_custkey")
+    ranked = (
+        t.join(F.broadcast(offsets), "chunk")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rn", F.col("off") + F.row_number().over(w_in))
+    )
+    # SQL NTILE(n): q = N div n, r = N mod n; buckets 1..r have q+1 rows
+    n = F.lit(4)
+    q, r = F.floor(F.col("N") / n), F.col("N") % n
+    cut = r * (q + 1)  # last rank inside the "big" buckets
+    q_safe = F.greatest(q, F.lit(1))  # q=0 => otherwise-branch unreachable
+    quartile = F.when(
+        F.col("rn") <= cut, F.floor((F.col("rn") - 1) / (q + 1)) + 1
+    ).otherwise(r + F.floor((F.col("rn") - cut - 1) / q_safe) + 1)
+    return ranked.select(
+        "c_custkey", quartile.cast("int").alias("quartile")
     ).orderBy("c_custkey")
 
 

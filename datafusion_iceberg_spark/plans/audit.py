@@ -19,6 +19,41 @@ def plan_string(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _count_global_windows(plan: str) -> int:
+    """WindowExec nodes with an EMPTY partition spec — every row funnels
+    through ONE task (Spark itself warns 'Moving all data to a single
+    partition').  A ``Window`` line prints ``Window [exprs], [part],
+    [order]``; the global form omits the partition group, leaving two
+    top-level bracket groups instead of three (bracket-depth scan —
+    expression text may nest brackets)."""
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        depth = 0
+        groups: list[str] = []
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            if depth == 1 and groups:
+                groups[-1] += ch
+            if ch == "]":
+                depth -= 1
+        # three groups = [exprs], [partition], [order]: partitioned.
+        # two groups where the trailing one is an ORDER spec (printed
+        # with ASC/DESC NULLS markers) = ordered global window; two
+        # groups with a bare attribute list = partitioned-unordered.
+        if len(groups) >= 3:
+            continue
+        trailing = groups[-1] if len(groups) == 2 else ""
+        if len(groups) < 2 or re.search(r"\b(ASC|DESC) NULLS", trailing):
+            n += 1
+    return n
+
+
 def plan_summary(df: DataFrame) -> dict:
     plan = plan_string(df)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
@@ -31,6 +66,7 @@ def plan_summary(df: DataFrame) -> dict:
         "exchanges": len(re.findall(r"Exchange ", plan)),
         "scans": len(re.findall(r"Scan parquet", plan)),
         "pushed_filter_scans": sum(1 for p in pushed if p.strip()),
+        "global_window": _count_global_windows(plan),
     }
 
 
@@ -57,10 +93,24 @@ NESTED_LOOP_OK = frozenset(
         "sim_hybrid_rrf",
         # 1-row vocab-total broadcast (constant-attach)
         "text_unigram_surprise",
+        # 1-row total-row-count broadcast for the NTILE bucket arithmetic
+        "window_ntile",
         # 1-row bigram-total broadcast (constant-attach)
         "text_pmi_pairs",
     }
 )
+
+
+# Queries whose global (no-partition) WindowExec runs over a frame that
+# is TINY BY CONSTRUCTION — one row per value-chunk, or rows already cut
+# by a limit — never over per-row corpus data.  Anything else with an
+# empty partition spec funnels the full input through one task at 100 TB
+# and is a violation.
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    "text_pack_sequences": "cumsum over per-chunk totals (rows/1000 frame)",
+    "window_ntile": "cumsum over per-value-chunk counts (tiny offsets frame)",
+    "sim_hybrid_rrf": "rank windows over the two <=50-row post-limit legs",
+}
 
 
 def audit_query(name: str, df: DataFrame) -> list[str]:
@@ -71,4 +121,6 @@ def audit_query(name: str, df: DataFrame) -> list[str]:
         problems.append(f"CartesianProduct x{s['cartesian']}")
     if s["bnlj"] and name not in NESTED_LOOP_OK:
         problems.append(f"BroadcastNestedLoopJoin x{s['bnlj']}")
+    if s["global_window"] and name not in GLOBAL_WINDOW_OK:
+        problems.append(f"global WindowExec x{s['global_window']}")
     return problems

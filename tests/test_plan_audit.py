@@ -24,3 +24,30 @@ def test_all_query_plans_are_scale_clean(spark, sf_dir):
         if found:
             problems[name] = found
     assert not problems, f"plan violations: {problems}"
+
+
+def test_global_window_detector(spark):
+    """The r5 blind spot: WindowExec with an empty partition spec must be
+    flagged; partitioned windows (ordered or not) must not be."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from datafusion_iceberg_spark.plans.audit import plan_summary
+
+    df = spark.range(100).withColumn("g", F.col("id") % 3)
+    glob = df.withColumn("rn", F.row_number().over(W.orderBy("id")))
+    assert plan_summary(glob)["global_window"] == 1
+    part = df.withColumn(
+        "rn", F.row_number().over(W.partitionBy("g").orderBy("id"))
+    )
+    assert plan_summary(part)["global_window"] == 0
+    # partitioned WITHOUT order (the dedup_survivorship n_copies shape)
+    unordered = df.withColumn(
+        "c", F.count(F.lit(1)).over(W.partitionBy("g"))
+    )
+    assert plan_summary(unordered)["global_window"] == 0
+    # audit_query flags unallowlisted names only
+    from datafusion_iceberg_spark.plans.audit import audit_query
+
+    assert any("global WindowExec" in p for p in audit_query("nope", glob))
+    assert audit_query("text_pack_sequences", glob) == []
