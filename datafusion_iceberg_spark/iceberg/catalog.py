@@ -729,6 +729,22 @@ class Catalog(SqlSurface):
         self._mirror[ident] = view
         return view
 
+    def rename_table(self, src: str, dst: str) -> None:
+        """Move a table to a new identifier: one directory rename inside
+        the warehouse.  Recorded metadata paths keep resolving because
+        every read goes through TableMetadata.localize (location-relative
+        mapping), and writers derive paths from the actual root."""
+        rel = self._mirror.pop(src)
+        assert isinstance(rel, IcebergTable), f"{src} is not a table"
+        ns, name = dst.split(".", 1)
+        self.create_namespace(ns)
+        dst_root = os.path.join(self.warehouse, ns, name)
+        if dst in self._mirror or os.path.exists(dst_root):
+            self._mirror[src] = rel
+            raise ValueError(f"cannot rename {src}: {dst} already exists")
+        os.rename(rel.metadata.root, dst_root)
+        self._mirror[dst] = IcebergTable.load(dst_root)
+
     def drop(self, ident: str) -> None:
         """Synchronous drop: mirror AND storage, atomically from the
         caller's perspective (contrast mirror.rs:146-184 where the storage

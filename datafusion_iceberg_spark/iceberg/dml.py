@@ -20,6 +20,7 @@ through to the read path / plain ``spark.sql``.
 from __future__ import annotations
 
 import re
+import uuid as uuidlib
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -668,18 +669,26 @@ def _merge(surface, spark, q, tgt3) -> Optional[DataFrame]:
 
 def _create(surface, spark, q, tgt3) -> Optional[DataFrame]:
     vm = re.match(
-        rf"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+{tgt3}\s+AS\s+(.*)$",
+        rf"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+{tgt3}\s+AS\s+(.*)$",
         q,
         re.IGNORECASE | re.DOTALL,
     )
     if vm:
-        ident = f"{_unq(vm.group(1))}.{_unq(vm.group(2))}"
+        ident = f"{_unq(vm.group(2))}.{_unq(vm.group(3))}"
         _need(surface, "create_view")
         if surface.table_exists(ident):
+            # standard SQL: plain CREATE VIEW over an existing relation is
+            # an error — dropping here would destroy a TABLE's data on a
+            # name collision (ADVICE r5)
+            if vm.group(1) is None:
+                raise ValueError(
+                    f"TABLE_OR_VIEW_ALREADY_EXISTS: {ident} "
+                    "(use CREATE OR REPLACE VIEW)"
+                )
             surface.drop(ident)
         # store with catalog names resolved to the flat view spelling —
         # view SQL replays through plain spark.sql at scan time
-        surface.create_view(ident, surface.resolve_names(vm.group(3).strip()))
+        surface.create_view(ident, surface.resolve_names(vm.group(4).strip()))
         return _result(spark, "create_view", ident, None)
     m = re.match(
         rf"CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{tgt3}\s*(.*)$",
@@ -691,11 +700,19 @@ def _create(surface, spark, q, tgt3) -> Optional[DataFrame]:
     replace = m.group(1) is not None
     ns, tbl, rest = _unq(m.group(2)), _unq(m.group(3)), m.group(4).strip()
     ident = f"{ns}.{tbl}"
-    if surface.table_exists(ident):
-        if replace:
-            surface.drop(ident)
-        elif re.search(r"IF\s+NOT\s+EXISTS", q, re.IGNORECASE):
+    existing = surface.table_exists(ident)
+    if existing:
+        if re.search(r"IF\s+NOT\s+EXISTS", q, re.IGNORECASE):
             return _result(spark, "noop", ident, None)
+        if not replace:
+            raise ValueError(
+                f"TABLE_OR_VIEW_ALREADY_EXISTS: {ident} "
+                "(use CREATE OR REPLACE TABLE or IF NOT EXISTS)"
+            )
+        # OR REPLACE: the drop is DEFERRED until the replacement content
+        # is fully materialized (plain DDL below; staged swap for CTAS) —
+        # a failing or self-referencing CTAS must not lose the original
+        # table (ADVICE r5)
     _need(surface, "create_table")
 
     partition_by: Optional[list[str]] = None
@@ -730,13 +747,35 @@ def _create(surface, spark, q, tgt3) -> Optional[DataFrame]:
     ctas = re.match(r"AS\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
     if ctas:
         df = surface.sql(spark, ctas.group(1).strip())
-        surface.create_table(ident, df.schema, partition_by, properties=properties)
-        snap = surface.append(ident, spark, df)
+        if existing:
+            # staged swap: materialize the full CTAS result into a temp
+            # table FIRST (the SELECT can still read the old table — the
+            # self-referencing CREATE OR REPLACE ... AS SELECT FROM self
+            # case), then drop + rename on success only
+            _need(surface, "rename_table")
+            stage = f"{ns}.__replace_{tbl}_{uuidlib.uuid4().hex[:8]}"
+            surface.create_table(
+                stage, df.schema, partition_by, properties=properties
+            )
+            try:
+                snap = surface.append(stage, spark, df)
+            except Exception:
+                surface.drop(stage)
+                raise
+            surface.drop(ident)
+            surface.rename_table(stage, ident)
+        else:
+            surface.create_table(
+                ident, df.schema, partition_by, properties=properties
+            )
+            snap = surface.append(ident, spark, df)
         return _result(spark, "create_table_as", ident, snap)
     cm = re.match(r"\((.*)\)\s*$", rest, re.DOTALL)
     if cm is None:
         raise ValueError(f"cannot parse CREATE TABLE tail: {rest!r}")
     st = T.StructType.fromDDL(cm.group(1))
+    if existing:
+        surface.drop(ident)  # plain DDL replace: nothing to materialize
     surface.create_table(ident, st, partition_by, properties=properties)
     return _result(spark, "create_table", ident, None)
 

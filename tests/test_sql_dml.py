@@ -653,3 +653,63 @@ def test_analyze_table(spark, cat, nation_df):
     assert stats["num_rows"] == n
     assert stats["num_files"] >= 1
     assert stats["total_size_bytes"] > 0
+
+
+def test_create_over_existing_raises_not_drops(spark, cat):
+    """Plain CREATE VIEW / CREATE TABLE over an existing relation must
+    raise (standard SQL) — the r5 behavior silently rmtree'd the
+    existing TABLE'S DATA on a name collision (ADVICE r5, medium)."""
+    cat.sql(spark, "CREATE TABLE dmlcat.sales.exist_t AS SELECT 7 AS x")
+    with pytest.raises(ValueError, match="ALREADY_EXISTS"):
+        cat.sql(spark, "CREATE VIEW dmlcat.sales.exist_t AS SELECT 1 AS one")
+    with pytest.raises(ValueError, match="ALREADY_EXISTS"):
+        cat.sql(spark, "CREATE TABLE dmlcat.sales.exist_t (y INT)")
+    # the original table and its data survived both attempts
+    assert [r.x for r in cat.sql(
+        spark, "SELECT x FROM dmlcat.sales.exist_t"
+    ).collect()] == [7]
+    # IF NOT EXISTS stays a clean no-op
+    cat.sql(
+        spark,
+        "CREATE TABLE IF NOT EXISTS dmlcat.sales.exist_t (y INT)",
+    )
+    assert [r.x for r in cat.sql(
+        spark, "SELECT x FROM dmlcat.sales.exist_t"
+    ).collect()] == [7]
+
+
+def test_create_or_replace_ctas_self_reference(spark, cat):
+    """CREATE OR REPLACE TABLE t AS SELECT ... FROM t — the SELECT must
+    read the OLD table (staged swap), not a freshly-dropped one."""
+    cat.sql(spark, "CREATE TABLE dmlcat.sales.selfref AS SELECT 1 AS x")
+    cat.sql(spark, "INSERT INTO dmlcat.sales.selfref VALUES (2), (3)")
+    cat.sql(
+        spark,
+        "CREATE OR REPLACE TABLE dmlcat.sales.selfref AS "
+        "SELECT x + 10 AS x FROM dmlcat.sales.selfref WHERE x > 1",
+    )
+    got = sorted(
+        r.x for r in cat.sql(
+            spark, "SELECT x FROM dmlcat.sales.selfref"
+        ).collect()
+    )
+    assert got == [12, 13]
+    # no staging leftovers in the namespace
+    assert not [t for t in cat.table_names("sales") if "__replace_" in t]
+
+
+def test_create_or_replace_ctas_failure_keeps_original(spark, cat):
+    """A CTAS whose SELECT fails at execution must leave the original
+    table intact (r5 dropped it before running the SELECT)."""
+    cat.sql(spark, "CREATE TABLE dmlcat.sales.keepme AS SELECT 42 AS x")
+    with pytest.raises(Exception):
+        cat.sql(
+            spark,
+            "CREATE OR REPLACE TABLE dmlcat.sales.keepme AS "
+            "SELECT CAST(x AS INT) + 2147483647 AS x "  # ANSI overflow
+            "FROM dmlcat.sales.keepme",
+        )
+    assert [r.x for r in cat.sql(
+        spark, "SELECT x FROM dmlcat.sales.keepme"
+    ).collect()] == [42]
+    assert not [t for t in cat.table_names("sales") if "__replace_" in t]
