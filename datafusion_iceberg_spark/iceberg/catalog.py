@@ -286,6 +286,10 @@ class SqlSurface:
             return rf"(?:`{re.escape(x)}`|{re.escape(x)})"
 
         spans = self._split_sql_literals(query)
+        # alias/CTE shadow detection must see the WHOLE statement's code
+        # (the alias definition and the dotted reference may sit in
+        # different code spans when a string literal separates them)
+        all_code = "".join(t for c, t in spans if c)
         rewritten: list[str] = []
         for is_code, text in spans:
             if is_code:
@@ -322,26 +326,39 @@ class SqlSurface:
                         f"{self.name!r} (known: {known})"
                     )
                 # Elsewhere, '<catalog>.<x>.<y>' is only this layer's to
-                # own when <x> is a REGISTERED NAMESPACE: otherwise it is
-                # a struct-field access through an alias/CTE that happens
-                # to share the catalog name (e.g. SELECT mycat.meta.width
-                # FROM t AS mycat) and must pass through to Spark
-                # untouched (ADVICE r3 two-part / ADVICE r4 #1 three-part).
-                for lm in re.finditer(
-                    rf"(?<![\w`.]){seg(self.name)}\."
-                    r"((?:`[^`]+`|\w+))\.(?:`[^`]+`|\w+)(?![\w`])",
-                    text,
+                # own when <x> is a REGISTERED NAMESPACE and nothing in
+                # the statement shadows the catalog name: an alias/CTE
+                # named like the catalog (SELECT mycat.meta.width_hint
+                # FROM t AS mycat — even when 'meta' is also a namespace)
+                # makes the reference a struct-field access that must
+                # pass through to Spark untouched (ADVICE r3 two-part /
+                # r4 #1 three-part / r5 alias-shadowing).
+                shadow = re.search(
+                    rf"(?:\bAS\s+{seg(self.name)}(?![\w`.(])"  # ... AS mycat
+                    rf"|\bWITH\s+{seg(self.name)}\s+AS\b"  # WITH mycat AS
+                    rf"|,\s*{seg(self.name)}\s+AS\s*\("  # , mycat AS (
+                    # bare alias: FROM/JOIN <rel> mycat
+                    rf"|\b(?:FROM|JOIN)\s+(?:`[^`]+`|[\w.]+)\s+"
+                    rf"{seg(self.name)}(?![\w`.(]))",
+                    all_code,
                     flags=re.IGNORECASE,
-                ):
-                    mid = lm.group(1).strip("`").lower()
-                    if any(ns.lower() == mid for ns in self.namespaces()):
-                        known = ", ".join(sorted(self._mirror))
-                        raise ValueError(
-                            f"unresolved catalog reference "
-                            f"{lm.group(0)!r}: no such table in namespace "
-                            f"{lm.group(1)!r} of catalog "
-                            f"{self.name!r} (known: {known})"
-                        )
+                )
+                if shadow is None:
+                    for lm in re.finditer(
+                        rf"(?<![\w`.]){seg(self.name)}\."
+                        r"((?:`[^`]+`|\w+))\.(?:`[^`]+`|\w+)(?![\w`])",
+                        text,
+                        flags=re.IGNORECASE,
+                    ):
+                        mid = lm.group(1).strip("`").lower()
+                        if any(ns.lower() == mid for ns in self.namespaces()):
+                            known = ", ".join(sorted(self._mirror))
+                            raise ValueError(
+                                f"unresolved catalog reference "
+                                f"{lm.group(0)!r}: no such table in namespace "
+                                f"{lm.group(1)!r} of catalog "
+                                f"{self.name!r} (known: {known})"
+                            )
             rewritten.append(text)
         return spark.sql("".join(rewritten))
 

@@ -1970,6 +1970,32 @@ def test_catalog_name_collision_edge_cases(spark, sf_dir, scratch):
             " FROM geo_media",
         )
 
+    # ADVICE r5: even when the STRUCT FIELD name collides with a
+    # registered namespace, an alias/CTE shadowing the catalog name wins —
+    # 'mycat.meta.width_hint' is a field access, not a table miss
+    cat.create_namespace("meta")
+    cat.create_table(
+        "meta.stats", spark.createDataFrame([(1,)], "id INT").schema
+    )
+    got = cat.sql(
+        spark,
+        "SELECT mycat.meta.width_hint AS w FROM geo_media AS mycat",
+    )
+    assert got.collect()[0].w == 7
+    # CTE named like the catalog shadows it too
+    got = cat.sql(
+        spark,
+        "WITH mycat AS (SELECT * FROM geo_media) "
+        "SELECT mycat.meta.width_hint AS w FROM mycat",
+    )
+    assert got.collect()[0].w == 7
+    # with NO shadowing alias, the same dotted path still raises
+    with pytest.raises(ValueError, match="unresolved catalog reference"):
+        cat.sql(
+            spark,
+            "SELECT g.id FROM geo_media AS g WHERE g.id = mycat.meta.nope.x",
+        )
+
 
 # ---------------------------------------------------------------------------
 # Split handoff: directory-compacted read paths (VERDICT r4 item #2)
