@@ -403,6 +403,24 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Test-set decontamination (n-gram overlap vs a benchmark set)
 # ---------------------------------------------------------------------------
 
+# Broadcast fence for the benchmark n-gram set: real eval sets are
+# bounded (thousands of docs), but the fence must be REAL — a benchmark
+# leg that turns out corpus-sized must fall back to a shuffle join, not
+# OOM the driver (VERDICT r5 task 5).  ~50 bytes per 8-token shingle →
+# 2M rows ≈ 100 MB broadcast, the sane ceiling at executor defaults.
+BENCH_BROADCAST_MAX_ROWS = 2_000_000
+
+
+def _fenced_broadcast(side: DataFrame, max_rows: int | None = None) -> DataFrame:
+    """Broadcast-hint ``side`` only when a capped count proves it small.
+    The probe is ``limit(max+1).count()`` — Spark stops producing rows at
+    the limit, so an oversized side costs one truncated pass, never a
+    full materialization.  Over the fence, the side is returned unhinted
+    and AQE/stats pick a shuffle strategy."""
+    cap = BENCH_BROADCAST_MAX_ROWS if max_rows is None else max_rows
+    n = side.limit(cap + 1).count()
+    return F.broadcast(side) if n <= cap else side
+
 
 @register(
     "text_decontaminate",
@@ -429,10 +447,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the benchmark n-gram set is tiny relative to the corpus
     (evals are thousands of docs, the corpus is billions), so the join is
-    BROADCAST — corpus n-grams are generated map-side (array slice, no
-    explode-then-window), hashed against the broadcast set, and only
-    (doc_id, match) pairs reach the aggregation.  Shuffling full n-gram
-    strings of the corpus is never needed."""
+    BROADCAST — but only after the size fence PROVES it small
+    (_fenced_broadcast: capped count, shuffle-join fallback).  Corpus
+    n-grams are generated map-side (array slice, no explode-then-window),
+    hashed against the broadcast set, and only (doc_id, match) pairs
+    reach the aggregation.  Shuffling full n-gram strings of the corpus
+    is never needed in the intended regime."""
     docs = load_table(spark, sf_dir, "documents")
     ngrams = docs.select(
         "doc_id",
@@ -451,7 +471,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = ngrams.filter(F.col("doc_id") % 97 != 0)
     return (
-        corpus.join(F.broadcast(bench), "ng")
+        corpus.join(_fenced_broadcast(bench), "ng")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .orderBy("doc_id")
@@ -1226,7 +1246,7 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = ngrams.filter(F.col("doc_id") % 97 == 0).select("ng").distinct()
     contaminated = (
         ngrams.filter(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(bench), "ng")
+        .join(_fenced_broadcast(bench), "ng")
         .select("doc_id")
         .distinct()
         .withColumn("is_cont", F.lit(1))

@@ -382,3 +382,42 @@ def test_simhash_code_replay_edge_texts(spark):
     )
     want = {int(d): int(c) for d, c in con.execute(code_sql).fetchall()}
     assert got == want
+
+
+def test_decontaminate_broadcast_fence(spark, sf_dir, monkeypatch):
+    """The benchmark-set broadcast is size-FENCED (VERDICT r5 task 5):
+    under the fence the n-gram join broadcasts; over it (fence forced to
+    1 row) the plan must fall back to a shuffle join — never an
+    unbounded driver broadcast."""
+    from datafusion_iceberg_spark.extensions import text as text_mod
+    from datafusion_iceberg_spark.plans.audit import plan_string
+    from datafusion_iceberg_spark import registry
+
+    # disable Catalyst's size-based auto-broadcast so plan shape shows
+    # ONLY whether the fence emitted the hint (at test scale the bench
+    # side is tiny, so auto-broadcast would mask the fallback)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_small = plan_string(
+            registry.QUERIES["text_decontaminate"](spark, sf_dir)
+        )
+        assert "BroadcastHashJoin" in plan_small  # hint present under fence
+
+        monkeypatch.setattr(text_mod, "BENCH_BROADCAST_MAX_ROWS", 1)
+        df = registry.QUERIES["text_decontaminate"](spark, sf_dir)
+        plan_big = plan_string(df)
+        assert "BroadcastHashJoin" not in plan_big
+        assert ("SortMergeJoin" in plan_big) or ("ShuffledHashJoin" in plan_big)
+        # and the shuffle path still produces the same answer
+        a = sorted(map(tuple, df.collect()))
+        monkeypatch.undo()
+        b = sorted(
+            map(
+                tuple,
+                registry.QUERIES["text_decontaminate"](spark, sf_dir).collect(),
+            )
+        )
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
