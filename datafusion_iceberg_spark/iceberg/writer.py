@@ -1164,6 +1164,19 @@ class IcebergWriter:
                 "manifests span partition specs (spec evolution): one "
                 "manifest carries one spec — compact() instead"
             )
+        # After spec evolution with NO new writes, the single surviving
+        # spec can differ from the writer's default spec — rewriting
+        # those entries under the default spec's field schema would
+        # mismatch the entries' partition dicts (ADVICE r5).  The new
+        # manifest is built from self.spec_entries, so its spec must BE
+        # the default spec.
+        if spec_ids and spec_ids != {self.spec_id}:
+            raise ValueError(
+                f"manifest partition spec {spec_ids.pop()} differs from "
+                f"the table's default spec {self.spec_id} (partition-spec "
+                "evolution with no post-evolution writes) — compact() "
+                "rewrites the data under the default spec instead"
+            )
         if len(mans) <= 1:
             return {
                 "manifests_before": len(mans),

@@ -3112,3 +3112,27 @@ def test_split_statements_and_resolve_names_edges():
     # backticked spellings resolve; unknown tables pass through
     assert f.resolve_names("FROM `c`.`ns`.`t`") == "FROM `ns_t`"
     assert f.resolve_names("FROM c.ns.other") == "FROM c.ns.other"
+
+
+def test_rewrite_manifests_refuses_stale_spec(spark, sf_dir, scratch):
+    """ADVICE r5: after partition-spec evolution with NO post-evolution
+    writes, the surviving manifests carry the OLD spec — rewriting them
+    under the writer's default (new) spec would produce a manifest whose
+    avro partition schema mismatches its entries.  Must refuse."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(os.path.join(scratch, "wh_rwm"), name="rwm")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("ns.n", nation.schema, partition_by=["n_regionkey"])
+    # two appends -> two manifests (so rewrite has something to collapse)
+    cat.append("ns.n", spark, nation.filter(F.col("n_nationkey") < 10))
+    cat.append("ns.n", spark, nation.filter(F.col("n_nationkey") >= 10))
+    cat.evolve_partition_spec("ns.n", ["n_nationkey"])
+    with pytest.raises(ValueError, match="default spec"):
+        cat.writer("ns.n").rewrite_manifests()
+    # a post-evolution write under the new spec... still mixes specs, and
+    # the mixed-spec guard fires first
+    cat.append("ns.n", spark, nation.limit(1))
+    with pytest.raises(ValueError, match="span partition specs"):
+        cat.writer("ns.n").rewrite_manifests()
