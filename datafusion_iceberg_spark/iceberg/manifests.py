@@ -42,6 +42,11 @@ class ManifestFile:
     existing_rows_count: Optional[int]
     partitions: list[PartitionSummary] = field(default_factory=list)
     content: int = 0  # 0=data, 1=deletes (v2)
+    # v2: the data sequence number of the commit that added this manifest
+    # (inherited by its null-sequence entries) and the minimum sequence
+    # number across its entries.  None on v1 manifest lists.
+    sequence_number: Optional[int] = None
+    min_sequence_number: Optional[int] = None
 
 
 @dataclass
@@ -69,6 +74,13 @@ class DataFile:
     # sequence number for equality-delete application order.
     spec_id: int = 0
     added_snapshot_id: Optional[int] = None
+    # v2 data sequence number governing delete applicability: explicit on
+    # the entry (``sequence_number`` / ``data_sequence_number``) or
+    # inherited from the owning manifest-list row when the entry wrote
+    # null (the standard v2 write shape).  None on v1 tables — consumers
+    # fall back to the snapshot-ordinal scheme
+    # (TableMetadata.snapshot_sequences).
+    sequence_number: Optional[int] = None
 
 
 def _as_int_map(v: Any) -> dict[int, Any]:
@@ -112,14 +124,24 @@ def read_manifest_list(path: str) -> list[ManifestFile]:
                     for p in (r.get("partitions") or [])
                 ],
                 content=r.get("content", 0) or 0,
+                sequence_number=r.get("sequence_number"),
+                min_sequence_number=r.get("min_sequence_number"),
             )
         )
     return out
 
 
-def read_manifest(path: str) -> list[DataFile]:
+def read_manifest(
+    path: str, inherit_seq: Optional[int] = None
+) -> list[DataFile]:
     """Manifest entries; deleted entries (status=2) are dropped — a live
-    scan must not read files removed by the snapshot."""
+    scan must not read files removed by the snapshot.
+
+    ``inherit_seq`` is the owning manifest-list row's ``sequence_number``:
+    per the v2 spec, an entry whose ``sequence_number`` is null inherits
+    it (writers stamp null on ADDED entries so a manifest commits without
+    knowing its final sequence).  Entries that wrote an explicit value —
+    e.g. EXISTING entries carried through a manifest rewrite — keep it."""
     _, records = read_avro_file(path)
     out = []
     for r in records:
@@ -127,6 +149,11 @@ def read_manifest(path: str) -> list[DataFile]:
         status = r.get("status", 1)
         if status == 2:
             continue
+        seq = r.get("sequence_number")
+        if seq is None:
+            seq = r.get("data_sequence_number")
+        if seq is None:
+            seq = inherit_seq
         out.append(
             DataFile(
                 path=df["file_path"],
@@ -142,6 +169,7 @@ def read_manifest(path: str) -> list[DataFile]:
                 status=status,
                 content=df.get("content", 0) or 0,
                 equality_ids=[int(i) for i in (df.get("equality_ids") or [])],
+                sequence_number=None if seq is None else int(seq),
             )
         )
     return out

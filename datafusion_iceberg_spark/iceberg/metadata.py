@@ -169,6 +169,8 @@ class Snapshot:
     summary: dict
     schema_id: Optional[int] = None
     parent_id: Optional[int] = None
+    # v2: the commit's data sequence number (None on v1 metadata)
+    sequence_number: Optional[int] = None
 
 
 @dataclass
@@ -244,6 +246,7 @@ class TableMetadata:
                 None
                 if s.get("parent-snapshot-id") in (None, -1)
                 else s.get("parent-snapshot-id"),
+                s.get("sequence-number"),
             )
             for s in raw.get("snapshots", [])
         ]
@@ -391,6 +394,27 @@ class TableMetadata:
         Unknown snapshot ids map to -1 (treated as oldest, i.e. deletes
         apply — the conservative direction for CDC-style tables)."""
         return {s.snapshot_id: i for i, s in enumerate(self.snapshots)}
+
+    def snapshot_sequences(self) -> dict[int, int]:
+        """{snapshot_id: data sequence number} for delete-applicability
+        ordering.  Uses the REAL v2 ``sequence-number`` when the snapshot
+        recorded one (tables written by Flink/Spark-Iceberg or this
+        repo's v2 writer); v1 snapshots fall back to their snapshot-list
+        ordinal — monotone in commit order, so within a table that never
+        mixes the two schemes the comparison semantics are identical.
+        In an upgraded v1→v2 table the spec assigns all pre-upgrade
+        snapshots sequence 0; we approximate with the ordinal, which
+        keeps pre-upgrade commit order (strictly more precise than the
+        spec's collapse-to-0 and safe because v2 sequences continue from
+        last-sequence-number ≥ the v1 commit count is not guaranteed —
+        hence callers must treat cross-scheme gaps as best-effort, the
+        same caveat Spark applies to upgraded tables)."""
+        seqs = {}
+        for i, s in enumerate(self.snapshots):
+            seqs[s.snapshot_id] = (
+                s.sequence_number if s.sequence_number is not None else i
+            )
+        return seqs
 
     # -- path relocation ---------------------------------------------------
 

@@ -1865,3 +1865,258 @@ def iceberg_sql_dml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue"
         " FROM icedml.q.orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     )
+
+
+@register(
+    "iceberg_v2_sequence_scan",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE (n_nationkey % 2 = 1 AND n_nationkey NOT IN (1, 3))
+       OR (n_nationkey % 2 = 0 AND n_nationkey < 10)
+    ORDER BY n_nationkey
+    """,
+)
+def iceberg_v2_sequence_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign format-version-2 table with REAL data sequence numbers
+    (VERDICT r5 task 4): the fixture is hand-authored metadata — NOT
+    written by this repo's writer — shaped like a Flink/Spark-Iceberg v2
+    warehouse, and every sequence-resolution path is discriminating:
+
+    - data file A (all 25 nations) lives in a manifest REWRITTEN at
+      sequence 4, so its manifest-list row says 4 but its entry carries
+      an EXPLICIT ``sequence_number: 1`` — a reader that wrongly
+      inherited would resurrect A's even keys past the delete below;
+    - data file B (even keys < 10, re-appended) has a NULL entry
+      sequence inheriting 3 from its manifest-list row — a reader that
+      ignored inheritance and fell back to snapshot ordinals would kill
+      B, because the snapshot array is deliberately SCRAMBLED (ordinal
+      order disagrees with sequence order);
+    - an equality delete on every even n_nationkey and a position delete
+      on file A's rows 1 and 3 both sit at sequence 2 (inherited).
+
+    Expected: odd keys except {1,3} survive from A; even keys < 10
+    survive from B (committed AFTER the equality delete).  The reference
+    drops delete manifests wholesale and has no sequence handling at all
+    (table.rs manifest walk keeps content==0 only)."""
+    import json
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from datafusion_iceberg_spark.iceberg.avro import write_avro_file
+    from datafusion_iceberg_spark.iceberg.writer import (
+        _MANIFEST_LIST_SCHEMA,
+        _manifest_schema,
+    )
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_v2seq", "v2tbl")
+        marker = os.path.join(root, "_COMPLETE")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            data_dir = os.path.join(root, "data")
+            meta_dir = os.path.join(root, "metadata")
+            os.makedirs(data_dir)
+            os.makedirs(meta_dir)
+
+            nation = (
+                load_table(spark, sf_dir, "nation")
+                .select("n_nationkey", "n_name")
+                .orderBy("n_nationkey")
+                .collect()  # 25 rows, fixture construction only
+            )
+            keys = [int(r["n_nationkey"]) for r in nation]
+            names = [r["n_name"] for r in nation]
+
+            def _write_parquet(path, cols):
+                papq.write_table(pa.table(cols), path)
+
+            file_a = os.path.join(data_dir, "a.parquet")
+            _write_parquet(
+                file_a,
+                {
+                    "n_nationkey": pa.array(keys, pa.int64()),
+                    "n_name": pa.array(names, pa.string()),
+                },
+            )
+            evens_lt10 = [(k, n) for k, n in zip(keys, names) if k % 2 == 0 and k < 10]
+            file_b = os.path.join(data_dir, "b.parquet")
+            _write_parquet(
+                file_b,
+                {
+                    "n_nationkey": pa.array([k for k, _ in evens_lt10], pa.int64()),
+                    "n_name": pa.array([n for _, n in evens_lt10], pa.string()),
+                },
+            )
+            eq_del = os.path.join(data_dir, "eqdel.parquet")
+            _write_parquet(
+                eq_del,
+                {
+                    "n_nationkey": pa.array(
+                        [k for k in keys if k % 2 == 0], pa.int64()
+                    )
+                },
+            )
+            # rows 1 and 3 of file A (sorted by key → keys 1 and 3)
+            pos_del = os.path.join(data_dir, "posdel.parquet")
+            _write_parquet(
+                pos_del,
+                {
+                    "file_path": pa.array([file_a, file_a], pa.string()),
+                    "pos": pa.array([1, 3], pa.int64()),
+                },
+            )
+
+            def _df(path, nrows, content=0, eq_ids=None):
+                d = {
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "block_size_in_bytes": 67108864,
+                }
+                if content:
+                    d["content"] = content
+                if eq_ids:
+                    d["equality_ids"] = eq_ids
+                return d
+
+            man_schema = _manifest_schema([])
+            m_a = os.path.join(meta_dir, "m-a.avro")
+            write_avro_file(
+                m_a,
+                man_schema,
+                [
+                    {
+                        # rewritten manifest: explicit original sequence
+                        "status": 0,
+                        "snapshot_id": 1001,
+                        "sequence_number": 1,
+                        "data_file": _df(file_a, len(keys)),
+                    }
+                ],
+            )
+            m_b = os.path.join(meta_dir, "m-b.avro")
+            write_avro_file(
+                m_b,
+                man_schema,
+                [
+                    {
+                        # null sequence → inherits 3 from the list row
+                        "status": 1,
+                        "snapshot_id": 1003,
+                        "data_file": _df(file_b, len(evens_lt10)),
+                    }
+                ],
+            )
+            m_d = os.path.join(meta_dir, "m-d.avro")
+            write_avro_file(
+                m_d,
+                man_schema,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": 1002,
+                        "data_file": _df(eq_del, 13, content=2, eq_ids=[1]),
+                    },
+                    {
+                        "status": 1,
+                        "snapshot_id": 1002,
+                        "data_file": _df(pos_del, 2, content=1),
+                    },
+                ],
+            )
+            ml = os.path.join(meta_dir, "snap-1004-1-ml.avro")
+
+            def _ml_row(path, seq, min_seq, sid, content, nfiles, nrows):
+                return {
+                    "manifest_path": path,
+                    "manifest_length": os.path.getsize(path),
+                    "partition_spec_id": 0,
+                    "sequence_number": seq,
+                    "min_sequence_number": min_seq,
+                    "added_snapshot_id": sid,
+                    "added_data_files_count": nfiles,
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                    "partitions": None,
+                    "added_rows_count": nrows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "content": content,
+                }
+
+            write_avro_file(
+                ml,
+                _MANIFEST_LIST_SCHEMA,
+                [
+                    _ml_row(m_a, 4, 1, 1004, 0, 1, len(keys)),
+                    _ml_row(m_b, 3, 3, 1003, 0, 1, len(evens_lt10)),
+                    _ml_row(m_d, 2, 2, 1002, 1, 2, 15),
+                ],
+            )
+            now = int(_time.time() * 1000)
+
+            def _snap(sid, seq):
+                return {
+                    "snapshot-id": sid,
+                    "sequence-number": seq,
+                    "timestamp-ms": now,
+                    "summary": {"operation": "append"},
+                    "manifest-list": ml,
+                    "schema-id": 0,
+                }
+
+            meta = {
+                "format-version": 2,
+                "table-uuid": str(_uuid.uuid4()),
+                "location": root,
+                "last-updated-ms": now,
+                "last-column-id": 2,
+                "last-sequence-number": 4,
+                "schemas": [
+                    {
+                        "type": "struct",
+                        "schema-id": 0,
+                        "fields": [
+                            {"id": 1, "name": "n_nationkey", "required": False, "type": "long"},
+                            {"id": 2, "name": "n_name", "required": False, "type": "string"},
+                        ],
+                    }
+                ],
+                "current-schema-id": 0,
+                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "default-spec-id": 0,
+                "last-partition-id": 999,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "default-sort-order-id": 0,
+                "properties": {},
+                "current-snapshot-id": 1004,
+                # deliberately SCRAMBLED commit order: ordinal fallback
+                # would order 1004 < 1001 < 1003 < 1002 — every seq-vs-
+                # ordinal confusion flips a survival decision above
+                "snapshots": [
+                    _snap(1004, 4),
+                    _snap(1001, 1),
+                    _snap(1003, 3),
+                    _snap(1002, 2),
+                ],
+                "snapshot-log": [{"timestamp-ms": now, "snapshot-id": 1004}],
+                "metadata-log": [],
+            }
+            with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+                json.dump(meta, fh)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = IcebergTable.load(root)
+    return (
+        table.to_df(spark)
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )

@@ -113,7 +113,9 @@ class IcebergTable:
     ) -> list[DataFile]:
         files: list[DataFile] = []
         for mf in self.manifests(snapshot_id, as_of_timestamp_ms, content=1):
-            for f in read_manifest(self.metadata.localize(mf.path)):
+            for f in read_manifest(
+                self.metadata.localize(mf.path), inherit_seq=mf.sequence_number
+            ):
                 f.spec_id = mf.partition_spec_id
                 f.added_snapshot_id = mf.added_snapshot_id
                 files.append(f)
@@ -133,7 +135,9 @@ class IcebergTable:
         manifests = prune_manifests(manifests, filters, self.metadata)
         files: list[DataFile] = []
         for mf in manifests:
-            for f in read_manifest(self.metadata.localize(mf.path)):
+            for f in read_manifest(
+                self.metadata.localize(mf.path), inherit_seq=mf.sequence_number
+            ):
                 if f.content != 0:
                     continue  # delete entries never belong in a data scan
                 f.spec_id = mf.partition_spec_id
@@ -206,10 +210,10 @@ class IcebergTable:
                 pass
         eq = self.equality_delete_files()
         if eq:
-            ordinals = self.metadata.snapshot_ordinals()
-            max_del = max(ordinals.get(d.added_snapshot_id, 1 << 31) for d in eq)
+            seqs = self.metadata.snapshot_sequences()
+            max_del = max(_file_seq(seqs, d, 1 << 31) for d in eq)
             for f in self.files():
-                if ordinals.get(f.added_snapshot_id, -1) < max_del:
+                if _file_seq(seqs, f, -1) < max_del:
                     out.add(self.metadata.localize(f.path))
         return out
 
@@ -612,6 +616,18 @@ def _compact_read_paths(paths: list[str], threshold: int = 64) -> list[str]:
     return out
 
 
+def _file_seq(seqs: dict[int, int], f: DataFile, unknown: int) -> int:
+    """Effective data sequence number of a manifest entry: the explicit /
+    manifest-inherited v2 ``sequence_number`` when the table recorded one
+    (foreign v2 warehouses, this repo's v2 writer), else the owning
+    snapshot's entry in :meth:`TableMetadata.snapshot_sequences`, else
+    ``unknown`` (callers pick the conservative direction: -1 for data
+    files, 2**31 for delete files — both make deletes apply)."""
+    if f.sequence_number is not None:
+        return f.sequence_number
+    return seqs.get(f.added_snapshot_id, unknown)
+
+
 def _apply_equality_deletes(
     spark: SparkSession,
     meta: TableMetadata,
@@ -625,9 +641,12 @@ def _apply_equality_deletes(
     ``equality_ids`` removes every data row whose key tuple null-safe
     equals it AND whose data file was committed STRICTLY BEFORE the
     delete (so keys re-appended after the delete survive).  Commit order
-    comes from :meth:`TableMetadata.snapshot_ordinals` — our rendering of
-    v2 sequence numbers.  The reference never reaches this path (it drops
-    content=1 manifests wholesale, table.rs manifest walk).
+    is the v2 data sequence number: the entry's explicit/inherited
+    ``sequence_number`` when present (foreign v2 tables, our v2 writer),
+    else :meth:`TableMetadata.snapshot_sequences` — which itself prefers
+    real snapshot ``sequence-number`` fields over ordinal fallback.  The
+    reference never reaches this path (it drops content=1 manifests
+    wholesale, table.rs manifest walk).
 
     Scale shape: each data row is tagged with its file's commit ordinal
     via a broadcast join against a (path, ordinal) map that is
@@ -635,10 +654,9 @@ def _apply_equality_deletes(
     key columns + one ordinal; Spark sizes it from the parquet footprint,
     so AQE picks broadcast for the common small-CDC case and a shuffle
     hash join when the delete set is huge.  No collect of either side."""
-    ordinals = meta.snapshot_ordinals()
+    seqs = meta.snapshot_sequences()
     seq_rows = [
-        (meta.localize(f.path), ordinals.get(f.added_snapshot_id, -1))
-        for f in files
+        (meta.localize(f.path), _file_seq(seqs, f, -1)) for f in files
     ]
     seq_df = F.broadcast(
         spark.createDataFrame(seq_rows, "_seq_path: string, _ice_seq: long")
@@ -658,9 +676,9 @@ def _apply_equality_deletes(
         key_cols = [names_by_id[i] for i in sig]
         side = None
         for d in dels:
-            # unknown delete ordinal → newest (delete applies everywhere):
+            # unknown delete sequence → newest (delete applies everywhere):
             # conservative in the same direction as the data-side -1
-            seq = ordinals.get(d.added_snapshot_id, 1 << 31)
+            seq = _file_seq(seqs, d, 1 << 31)
             one = (
                 spark.read.parquet(meta.localize(d.path))
                 .select(

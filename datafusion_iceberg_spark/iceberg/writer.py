@@ -166,6 +166,12 @@ def _manifest_schema(partition_fields: list[dict]) -> dict:
         "fields": [
             {"name": "status", "type": "int"},
             {"name": "snapshot_id", "type": _nullable("long"), "default": None},
+            # v2: written null on ADDED entries → readers inherit the
+            # manifest-list row's sequence_number (spec inheritance rule);
+            # explicit values appear only on EXISTING entries carried
+            # through manifest rewrites
+            {"name": "sequence_number", "type": _nullable("long"), "default": None},
+            {"name": "file_sequence_number", "type": _nullable("long"), "default": None},
             {"name": "data_file", "type": data_file},
         ],
     }
@@ -178,6 +184,10 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_path", "type": "string"},
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
+        # v2: the committing snapshot's data sequence number, inherited by
+        # entries that wrote null; min across the manifest's live entries
+        {"name": "sequence_number", "type": _nullable("long"), "default": None},
+        {"name": "min_sequence_number", "type": _nullable("long"), "default": None},
         {"name": "added_snapshot_id", "type": _nullable("long"), "default": None},
         {"name": "added_data_files_count", "type": _nullable("int"), "default": None},
         {"name": "existing_data_files_count", "type": _nullable("int"), "default": None},
@@ -208,6 +218,51 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "content", "type": _nullable("int"), "default": None},
     ],
 }
+
+def _next_sequence(meta: dict) -> int:
+    """Data sequence number for the commit being built (v2 spec:
+    ``last-sequence-number + 1``).  A v1 table upgraded mid-life has no
+    counter; continue ABOVE its largest snapshot ordinal so new sequence
+    numbers compare correctly against the ordinal fallback readers use
+    for its pre-upgrade snapshots (snapshot_sequences)."""
+    prev = meta.get("last-sequence-number")
+    if prev is None:
+        prev = max(len(meta.get("snapshots", [])) - 1, 0)
+    return int(prev) + 1
+
+
+def _carry_manifest_row(mf, deleted_rows: int = 0) -> dict:
+    """A prior snapshot's manifest-list row carried verbatim into the new
+    snapshot's list (the list is the complete snapshot, so unchanged
+    manifests re-appear each commit).  Sequence fields are preserved —
+    the carried manifest's entries still inherit their ORIGINAL commit's
+    sequence number, never the new snapshot's."""
+    return {
+        "manifest_path": mf.path,
+        "manifest_length": mf.length,
+        "partition_spec_id": mf.partition_spec_id,
+        "sequence_number": mf.sequence_number,
+        "min_sequence_number": mf.min_sequence_number,
+        "added_snapshot_id": mf.added_snapshot_id,
+        "added_data_files_count": mf.added_files_count,
+        "existing_data_files_count": mf.existing_files_count,
+        "deleted_data_files_count": mf.deleted_files_count,
+        "partitions": [
+            {
+                "contains_null": p.contains_null,
+                "contains_nan": p.contains_nan,
+                "lower_bound": p.lower_bound,
+                "upper_bound": p.upper_bound,
+            }
+            for p in mf.partitions
+        ]
+        or None,
+        "added_rows_count": mf.added_rows_count,
+        "existing_rows_count": mf.existing_rows_count,
+        "deleted_rows_count": deleted_rows,
+        "content": mf.content,
+    }
+
 
 _SPARK_TO_AVRO = {
     "long": "long",
@@ -410,7 +465,14 @@ class IcebergWriter:
         if self._current_version() >= 0:
             raise FileExistsError(f"table already exists at {self.root}")
         meta = {
-            "format-version": 1,
+            # format-version 2: snapshots carry real data sequence numbers
+            # (`sequence-number`, tracked via `last-sequence-number`) that
+            # govern MOR delete applicability — interop with Flink/Spark-
+            # Iceberg v2 readers (VERDICT r5 task 4).  v1 tables written
+            # by earlier rounds still read via the ordinal fallback in
+            # TableMetadata.snapshot_sequences.
+            "format-version": 2,
+            "last-sequence-number": 0,
             "table-uuid": str(uuidlib.uuid4()),
             "location": self.root,
             "last-updated-ms": int(time.time() * 1000),
@@ -639,12 +701,15 @@ class IcebergWriter:
             }
             for f in files
         ]
-        # surviving files re-included verbatim (copy-on-write delete)
+        # surviving files re-included verbatim (copy-on-write delete):
+        # they keep their original data sequence number — only genuinely
+        # rewritten rows take the new commit's sequence
         for ef in _extra_entries or []:
             entries.append(
                 {
                     "status": 1,
                     "snapshot_id": snap_id,
+                    "sequence_number": ef.sequence_number,
                     "data_file": {
                         "file_path": ef.path,
                         "file_format": ef.file_format or "PARQUET",
@@ -751,6 +816,13 @@ class IcebergWriter:
                     f"rewrite was planned against {_expected_parent} — "
                     "re-run the operation on fresh state"
                 )
+        seq = _next_sequence(meta)
+        # entries carried verbatim (rewrites, COW survivors) keep explicit
+        # older sequence numbers; the manifest's min reflects them
+        min_seq = min(
+            [e.get("sequence_number") for e in entries if e.get("sequence_number") is not None]
+            + [seq]
+        )
         # An append snapshot's manifest list = all previous live manifests
         # + the new one (Iceberg spec: the list is the complete snapshot).
         carried = []
@@ -766,31 +838,7 @@ class IcebergWriter:
             )
 
             for mf in read_manifest_list(prev_snap["manifest-list"]):
-                carried.append(
-                    {
-                        "manifest_path": mf.path,
-                        "manifest_length": mf.length,
-                        "partition_spec_id": mf.partition_spec_id,
-                        "added_snapshot_id": mf.added_snapshot_id,
-                        "added_data_files_count": mf.added_files_count,
-                        "existing_data_files_count": mf.existing_files_count,
-                        "deleted_data_files_count": mf.deleted_files_count,
-                        "partitions": [
-                            {
-                                "contains_null": p.contains_null,
-                                "contains_nan": p.contains_nan,
-                                "lower_bound": p.lower_bound,
-                                "upper_bound": p.upper_bound,
-                            }
-                            for p in mf.partitions
-                        ]
-                        or None,
-                        "added_rows_count": mf.added_rows_count,
-                        "existing_rows_count": mf.existing_rows_count,
-                        "deleted_rows_count": 0,
-                        "content": mf.content,
-                    }
-                )
+                carried.append(_carry_manifest_row(mf))
         write_avro_file(
             manifest_list_path,
             _MANIFEST_LIST_SCHEMA,
@@ -800,6 +848,8 @@ class IcebergWriter:
                     "manifest_path": manifest_path,
                     "manifest_length": os.path.getsize(manifest_path),
                     "partition_spec_id": self.spec_id,
+                    "sequence_number": seq,
+                    "min_sequence_number": min_seq,
                     "added_snapshot_id": snap_id,
                     "added_data_files_count": len(entries),
                     "existing_data_files_count": 0,
@@ -826,6 +876,7 @@ class IcebergWriter:
         parent_id = meta.get("current-snapshot-id")
         snapshot = {
             "snapshot-id": snap_id,
+            "sequence-number": seq,
             # -1 is the spec sentinel for "no current snapshot" — a first
             # append has no parent, so don't record the sentinel as one
             "parent-snapshot-id": None if parent_id in (None, -1) else parent_id,
@@ -856,6 +907,7 @@ class IcebergWriter:
                 "snapshot-id": snap_id,
                 "type": "branch",
             }
+        meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now
         self._commit_metadata(meta)
         return snap_id
@@ -1203,6 +1255,11 @@ class IcebergWriter:
             {
                 "status": 1,
                 "snapshot_id": snap_id,
+                # rewritten manifests reference the SAME data files: keep
+                # each file's original data sequence number explicit (the
+                # v2 rule for carried entries) instead of letting it
+                # inherit the rewrite commit's sequence
+                "sequence_number": ef.sequence_number,
                 "data_file": {
                     "file_path": ef.path,
                     "file_format": ef.file_format or "PARQUET",
@@ -1843,31 +1900,8 @@ class IcebergWriter:
                 s for s in meta["snapshots"] if s["snapshot-id"] == cur
             )
             for mf in read_manifest_list(prev_snap["manifest-list"]):
-                carried.append(
-                    {
-                        "manifest_path": mf.path,
-                        "manifest_length": mf.length,
-                        "partition_spec_id": mf.partition_spec_id,
-                        "added_snapshot_id": mf.added_snapshot_id,
-                        "added_data_files_count": mf.added_files_count,
-                        "existing_data_files_count": mf.existing_files_count,
-                        "deleted_data_files_count": mf.deleted_files_count,
-                        "partitions": [
-                            {
-                                "contains_null": p.contains_null,
-                                "contains_nan": p.contains_nan,
-                                "lower_bound": p.lower_bound,
-                                "upper_bound": p.upper_bound,
-                            }
-                            for p in mf.partitions
-                        ]
-                        or None,
-                        "added_rows_count": mf.added_rows_count,
-                        "existing_rows_count": mf.existing_rows_count,
-                        "deleted_rows_count": 0,
-                        "content": mf.content,
-                    }
-                )
+                carried.append(_carry_manifest_row(mf))
+        seq = _next_sequence(meta)
         write_avro_file(
             manifest_list_path,
             _MANIFEST_LIST_SCHEMA,
@@ -1877,6 +1911,8 @@ class IcebergWriter:
                     "manifest_path": manifest_path,
                     "manifest_length": os.path.getsize(manifest_path),
                     "partition_spec_id": self.spec_id,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
                     "added_snapshot_id": snap_id,
                     "added_data_files_count": len(entries),
                     "existing_data_files_count": 0,
@@ -1902,6 +1938,7 @@ class IcebergWriter:
             prev_files = int(cur_snap["summary"].get("total-data-files", 0))
         snapshot = {
             "snapshot-id": snap_id,
+            "sequence-number": seq,
             "parent-snapshot-id": None if cur_id in (None, -1) else cur_id,
             "timestamp-ms": now,
             "summary": {
@@ -1916,6 +1953,7 @@ class IcebergWriter:
         }
         meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
         meta["current-snapshot-id"] = snap_id
+        meta["last-sequence-number"] = seq
         meta["last-updated-ms"] = now
         meta["snapshot-log"] = meta.get("snapshot-log", []) + [
             {"timestamp-ms": now, "snapshot-id": snap_id}

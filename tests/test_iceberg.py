@@ -3136,3 +3136,67 @@ def test_rewrite_manifests_refuses_stale_spec(spark, sf_dir, scratch):
     cat.append("ns.n", spark, nation.limit(1))
     with pytest.raises(ValueError, match="span partition specs"):
         cat.writer("ns.n").rewrite_manifests()
+
+
+def test_v2_sequence_scan_foreign_fixture(spark, sf_dir, duck):
+    """The hand-authored foreign v2 fixture (real sequence numbers,
+    scrambled snapshot order, explicit-vs-inherited entry sequences)
+    scans to the oracle's exact row set — VERDICT r5 task 4."""
+    from datafusion_iceberg_spark.iceberg.queries import (
+        iceberg_v2_sequence_scan,
+    )
+    from datafusion_iceberg_spark.registry import ORACLES
+
+    rows = [
+        (int(r["n_nationkey"]), r["n_name"])
+        for r in iceberg_v2_sequence_scan(spark, sf_dir).collect()
+    ]
+    exp = [
+        (int(a), b)
+        for a, b in duck.execute(
+            ORACLES["iceberg_v2_sequence_scan"]
+        ).fetchall()
+    ]
+    assert rows == exp and len(rows) == 15
+
+
+def test_writer_emits_v2_sequence_numbers(spark, sf_dir, scratch):
+    """New tables are format-version 2: metadata tracks
+    last-sequence-number, every snapshot carries sequence-number, and
+    manifest-list rows carry sequence_number/min_sequence_number that
+    entries inherit; COW rewrites preserve surviving files' original
+    sequences (explicit entry values, reflected in min_sequence_number)."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_v2w")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("v.nat", nation.schema)
+    cat.append("v.nat", spark, nation.filter(F.col("n_nationkey") < 10))
+    cat.append("v.nat", spark, nation.filter(F.col("n_nationkey") >= 10))
+    t = cat.load("v.nat")
+    assert t.metadata.format_version == 2
+    assert t.metadata.raw["last-sequence-number"] == 2
+    assert sorted(
+        s.sequence_number for s in t.metadata.snapshots
+    ) == [1, 2]
+    mans = sorted(t.manifests(), key=lambda m: m.sequence_number)
+    assert [m.sequence_number for m in mans] == [1, 2]
+    assert [m.min_sequence_number for m in mans] == [1, 2]
+    # entries inherit the manifest-list sequence
+    for f in t.files():
+        assert f.sequence_number in (1, 2)
+    # MOR delete commit takes sequence 3; COW-style surviving entries in
+    # a later rewrite keep their original sequence explicit
+    cat.delete_where_mor("v.nat", spark, "n_nationkey = 5")
+    t = cat.load("v.nat")
+    assert t.metadata.raw["last-sequence-number"] == 3
+    dels = t.position_delete_files()
+    assert dels and all(d.sequence_number == 3 for d in dels)
+    # snapshot_sequences prefers the real recorded numbers
+    seqs = t.metadata.snapshot_sequences()
+    assert sorted(seqs.values()) == [1, 2, 3]
