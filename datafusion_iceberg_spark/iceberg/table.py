@@ -328,7 +328,9 @@ class IcebergTable:
                     with_row_meta=with_meta,
                 )
             else:
-                sub = spark.read.schema(st).parquet(*_compact_read_paths(spaths))
+                rpaths = _compact_read_paths(spaths)
+                _tune_listing_parallelism(spark, len(rpaths))
+                sub = spark.read.schema(st).parquet(*rpaths)
                 if with_meta:
                     sub = sub.select(
                         "*",
@@ -565,6 +567,26 @@ def _apply_position_deletes(
     return df.join(pos, cond, "left_anti")
 
 
+def _tune_listing_parallelism(spark: SparkSession, n_paths: int) -> None:
+    """Bound the file-listing job's task count before an explicit-path
+    read.  Spark's parallel partition discovery defaults to ONE TASK PER
+    PATH (parallelism cap 10000) — measured at 23.8 s for a 10k-file
+    explicit list on local[8], vs 5.5 s with the cap below and 3.7 s for
+    the equivalent directory read (PERF_NOTES round 6).  ~64 files per
+    listing task amortizes scheduling overhead locally and batches
+    object-store HEADs per task on a cluster; the floor of 32 keeps a
+    wide cluster's listing distributed."""
+    if n_paths <= 32:
+        return  # below Spark's parallel-discovery threshold: driver lists
+    par = min(10000, max(32, -(-n_paths // 64)))
+    try:  # runtime SQLConf; a locked-down session just keeps the default
+        spark.conf.set(
+            "spark.sql.sources.parallelPartitionDiscovery.parallelism", str(par)
+        )
+    except Exception:
+        pass
+
+
 def _compact_read_paths(paths: list[str], threshold: int = 64) -> list[str]:
     """Collapse an explicit file list into whole-directory reads where a
     directory's parquet listing is EXACTLY the selected files.
@@ -753,7 +775,9 @@ def _read_groups_with_partition_values(
 
     parts = []
     for key, paths in groups.items():
-        df = spark.read.schema(read_schema).parquet(*_compact_read_paths(paths))
+        gpaths = _compact_read_paths(paths)
+        _tune_listing_parallelism(spark, len(gpaths))
+        df = spark.read.schema(read_schema).parquet(*gpaths)
         for col in missing:
             raw = part_values[key].get(col)
             ice_t = types_by_id[ids_by_name[col]]

@@ -59,14 +59,20 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 class IcebergFilePartition(InputPartition):
-    """One data file: its localized path plus partition values for
-    columns that are absent from the file and must be attached as
-    constants (identity-partitioned tables that don't duplicate the
-    column into the data file)."""
+    """One scan split: a list of file CHUNKS ``(path, attach, row_groups)``
+    where ``attach`` holds partition values for columns absent from the
+    file (attached as constants) and ``row_groups`` is ``None`` for the
+    whole file or a list of row-group ordinals for a slice of a large
+    file.  Mirrors Spark's own FilePartition packing (and the
+    reference's FileScanConfig file groups, table.rs:281-293): small
+    files coalesce into one task, large files split at row-group
+    boundaries — so parallelism tracks bytes, not file count."""
 
-    def __init__(self, path: str, attach: dict):
-        self.path = path
-        self.attach = attach
+    def __init__(self, path: str = "", attach: Optional[dict] = None, chunks=None):
+        if chunks is not None:
+            self.chunks = chunks
+        else:
+            self.chunks = [(path, attach or {}, None)] if path else []
 
 
 def _translate_filters(filters):
@@ -91,18 +97,23 @@ def _translate_filters(filters):
     return conj
 
 
-def _read_file(path: str, attach: dict, arrow_schema) -> Iterator["pa.RecordBatch"]:
-    """Executor-side: stream one parquet file as Arrow batches cast to
-    the table schema, attaching missing partition columns as constants.
-    Column-pruned: only the table-schema columns present in the file are
-    read from disk."""
+def _read_file(
+    path: str, attach: dict, arrow_schema, row_groups=None
+) -> Iterator["pa.RecordBatch"]:
+    """Executor-side: stream one parquet file (or a row-group slice of
+    it) as Arrow batches cast to the table schema, attaching missing
+    partition columns as constants.  Column-pruned: only the
+    table-schema columns present in the file are read from disk."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(path)
     file_cols = set(pf.schema_arrow.names)
     want = [n for n in arrow_schema.names if n in file_cols]
-    for batch in pf.iter_batches(columns=want):
+    kwargs = {} if row_groups is None else {"row_groups": list(row_groups)}
+    # batches 4× pyarrow's default: fewer Arrow-IPC round trips to the
+    # JVM per scan (the per-batch framing cost dominates at 64k rows)
+    for batch in pf.iter_batches(columns=want, batch_size=262144, **kwargs):
         cols = []
         for field in arrow_schema:
             if field.name in file_cols:
@@ -113,10 +124,27 @@ def _read_file(path: str, attach: dict, arrow_schema) -> Iterator["pa.RecordBatc
         yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 
+_OPEN_COST_BYTES = 4 * 1024 * 1024  # Spark's filesOpenCostInBytes default
+_MAX_SPLIT_BYTES = 128 * 1024 * 1024  # Spark's maxPartitionBytes default
+
+
+def _split_target_bytes(total_bytes: int, n_files: int) -> int:
+    """Spark's maxSplitBytes formula: cap at maxPartitionBytes, but
+    shrink toward total/defaultParallelism so small tables still fan out
+    across the cluster's cores (each file also pays an open cost, which
+    keeps thousands of tiny files from collapsing into one task)."""
+    min_parts = max(int(os.environ.get("SPARK_GRAFT_CPUS", "32")), 1)
+    padded = total_bytes + n_files * _OPEN_COST_BYTES
+    return int(min(_MAX_SPLIT_BYTES, max(_OPEN_COST_BYTES, padded // min_parts + 1)))
+
+
 def _plan_files(table, filters, snapshot_id=None, from_snapshot_id=None):
     """Driver-side planning shared by batch and streaming: pruned file
-    list (optionally the incremental diff) → partitions.  Refuses MOR
-    snapshots (delete files need the anti-join scan path)."""
+    list (optionally the incremental diff) → bin-packed partitions.
+    Small files coalesce up to the split target; files larger than the
+    target split at row-group boundaries (one driver footer read per
+    LARGE file only — small files plan purely from manifest stats).
+    Refuses MOR snapshots (delete files need the anti-join scan path)."""
     if table.position_delete_files(snapshot_id) or table.equality_delete_files(
         snapshot_id
     ):
@@ -129,29 +157,72 @@ def _plan_files(table, filters, snapshot_id=None, from_snapshot_id=None):
     if from_snapshot_id is not None:
         old = {f.path for f in table.files(filters, snapshot_id=from_snapshot_id)}
         files = [f for f in files if f.path not in old]
-    parts = []
-    for f in files:
-        attach = {k: v for k, v in (f.partition or {}).items()}
-        parts.append(IcebergFilePartition(meta.localize(f.path), attach))
-    if parts:
-        # Rename-evolution guard: this reader resolves columns by NAME
-        # (pyarrow), so a file written under an old column name would
-        # silently read as nulls.  One footer probe per planning call
-        # catches it (field-id mapping lives in to_df; see table.py).
-        import pyarrow.parquet as pq
+    if not files:
+        return []
+    sizes = [f.file_size_in_bytes or 0 for f in files]
+    target = _split_target_bytes(sum(sizes), len(files))
 
-        names = set(pq.read_schema(parts[0].path).names)
-        missing = [
-            fld
-            for fld in meta.struct_type().names
-            if fld not in names and fld not in parts[0].attach
-        ]
-        if missing:
-            raise ValueError(
-                f"iceberg_py: file schema lacks column(s) {missing} (rename "
-                "evolution?) — use IcebergTable.to_df, which maps columns "
-                "by field id"
-            )
+    # (path, attach, row_groups, est_bytes) chunks: whole small files,
+    # row-group slices of large ones
+    import pyarrow.parquet as pq
+
+    chunks = []
+    for f, size in zip(files, sizes):
+        path = meta.localize(f.path)
+        attach = {k: v for k, v in (f.partition or {}).items()}
+        if size > target * 3 // 2:
+            md = pq.ParquetFile(path).metadata
+            cur, cur_b = [], 0
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                # compressed on-disk bytes (sum over columns; the
+                # row-group-level figure is uncompressed)
+                b = (
+                    sum(
+                        rg.column(c).total_compressed_size or 0
+                        for c in range(rg.num_columns)
+                    )
+                    or rg.total_byte_size
+                    or 1
+                )
+                cur.append(i)
+                cur_b += b
+                if cur_b >= target:
+                    chunks.append((path, attach, cur, cur_b))
+                    cur, cur_b = [], 0
+            if cur:
+                chunks.append((path, attach, cur, cur_b))
+        else:
+            chunks.append((path, attach, None, size + _OPEN_COST_BYTES))
+
+    # Rename-evolution guard: this reader resolves columns by NAME
+    # (pyarrow), so a file written under an old column name would
+    # silently read as nulls.  One footer probe per planning call
+    # catches it (field-id mapping lives in to_df; see table.py).
+    names = set(pq.read_schema(chunks[0][0]).names)
+    missing = [
+        fld
+        for fld in meta.struct_type().names
+        if fld not in names and fld not in chunks[0][1]
+    ]
+    if missing:
+        raise ValueError(
+            f"iceberg_py: file schema lacks column(s) {missing} (rename "
+            "evolution?) — use IcebergTable.to_df, which maps columns "
+            "by field id"
+        )
+
+    # greedy bin-pack into partitions of ~target bytes (Spark's
+    # FilePartition.getFilePartitions shape)
+    parts, cur, cur_b = [], [], 0
+    for path, attach, rgs, b in chunks:
+        if cur and cur_b + b > target:
+            parts.append(IcebergFilePartition(chunks=cur))
+            cur, cur_b = [], 0
+        cur.append((path, attach, rgs))
+        cur_b += b
+    if cur:
+        parts.append(IcebergFilePartition(chunks=cur))
     return parts
 
 
@@ -175,13 +246,11 @@ class IcebergPyReader(DataSourceReader):
         return parts
 
     def read(self, partition: IcebergFilePartition):
-        if not partition.path:
-            return iter([])
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        return _read_file(
-            partition.path, partition.attach, to_arrow_schema(self._schema)
-        )
+        arrow_schema = to_arrow_schema(self._schema)
+        for path, attach, rgs in partition.chunks:
+            yield from _read_file(path, attach, arrow_schema, row_groups=rgs)
 
 
 class IcebergPyStreamReader(DataSourceStreamReader):
@@ -228,13 +297,11 @@ class IcebergPyStreamReader(DataSourceStreamReader):
         return parts or [IcebergFilePartition("", {})]
 
     def read(self, partition: IcebergFilePartition):
-        if not partition.path:
-            return iter([])
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        return _read_file(
-            partition.path, partition.attach, to_arrow_schema(self._schema)
-        )
+        arrow_schema = to_arrow_schema(self._schema)
+        for path, attach, rgs in partition.chunks:
+            yield from _read_file(path, attach, arrow_schema, row_groups=rgs)
 
     def commit(self, end: dict) -> None:
         pass
