@@ -643,10 +643,12 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch — the scale path for COUNT(DISTINCT) at 100 TB (no exact
     shuffle-dedup).  The sketch estimate itself is engine-specific, so the
     hash-oracled output is the *exact* distinct count plus a boolean
-    ``within_bound`` asserting the HLL++ estimate landed within 5% relative
-    error (rsd=0.01 → theoretical ~1%); the oracle answers ``TRUE``.  A
-    sketch regression flips the boolean and the hash goes red — the estimate
-    is verified in-query, not merely rows-counted (VERDICT r4 item #1)."""
+    ``within_bound`` asserting the HLL++ estimate landed within 2.5%
+    relative error (rsd=0.01 → theoretical ~1%; measured per-group max
+    0.86% across sf0.001/0.01/0.1, PERF_NOTES round 6 — the bound is 3×
+    the observed worst case); the oracle answers ``TRUE``.  A sketch
+    regression flips the boolean and the hash goes red — the estimate is
+    verified in-query, not merely rows-counted (VERDICT r4 item #1)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.groupBy("l_returnflag")
@@ -660,7 +662,7 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("_approx") - F.col("exact_orders"))
                 / F.col("exact_orders")
-                <= F.lit(0.05)
+                <= F.lit(0.025)
             ).alias("within_bound"),
         )
         .orderBy("l_returnflag")
@@ -680,8 +682,9 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL-style quantile sketch (``percentile_approx``) — the 100 TB path
     for medians over billions of rows.  Same oracle pattern as the HLL++
     gate: output the exact interpolated median plus ``within_bound``
-    asserting the sketch value sits between the exact 45th and 55th
-    percentiles (accuracy=10000 is far tighter in practice)."""
+    asserting the sketch value sits between the exact 49th and 51st
+    percentiles (accuracy=10000 lands within 0.03% of the exact median
+    across sf0.001/0.01/0.1 — PERF_NOTES round 6)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.groupBy("l_linestatus")
@@ -690,8 +693,8 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "exact_median"
             ),
             F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_approx"),
-            F.percentile("l_extendedprice", F.lit(0.45)).alias("_lo"),
-            F.percentile("l_extendedprice", F.lit(0.55)).alias("_hi"),
+            F.percentile("l_extendedprice", F.lit(0.49)).alias("_lo"),
+            F.percentile("l_extendedprice", F.lit(0.51)).alias("_hi"),
         )
         .select(
             "l_linestatus",
