@@ -159,3 +159,170 @@ def test_merge_differential(spark, engines):
     con.execute("UPDATE t SET grp = 'z', val = 99 WHERE k = 2")
     con.execute("INSERT INTO t VALUES (9, 'z', 90)")
     assert _state_spark(spark, cat) == _state_duck(con)
+
+
+def _duck_merge_equiv(con, src_rows, matched_action):
+    """DuckDB 1.0 has no MERGE; apply the semantically equivalent
+    UPDATE/DELETE + INSERT derived from the CURRENT duck state (a valid
+    differential: duck executes only plain DML)."""
+    existing = {r[0] for r in con.execute("SELECT k FROM t").fetchall()}
+    for k, grp, val in src_rows:
+        if k in existing:
+            if matched_action == "delete":
+                con.execute(f"DELETE FROM t WHERE k = {k}")
+            else:
+                con.execute(
+                    f"UPDATE t SET grp = '{grp}', val = {val} WHERE k = {k}"
+                )
+        else:
+            con.execute(f"INSERT INTO t VALUES ({k}, '{grp}', {val})")
+
+
+def _render_merge_source(rng, src_rows):
+    """Three spellings of the same source rows: plain VALUES subquery,
+    computed-projection subquery, and a CTE inside the USING parens —
+    the parser-risk shapes VERDICT r5 task 7 names.  Returns (sql,
+    effective_rows): the computed form shifts val by +1, so the
+    effective rows differ from the literal ones."""
+    vals = ", ".join(f"({k}, '{g}', {v})" for k, g, v in src_rows)
+    form = rng.choice(["plain", "computed", "cte"])
+    if form == "plain":
+        return (
+            f"(SELECT * FROM (VALUES {vals}) AS v(k, grp, val))",
+            src_rows,
+        )
+    if form == "computed":
+        return (
+            f"(SELECT k, grp, val + 1 AS val"
+            f" FROM (VALUES {vals}) AS v(k, grp, val))",
+            [(k, g, v + 1) for k, g, v in src_rows],
+        )
+    return (
+        f"(WITH src AS (SELECT * FROM (VALUES {vals}) AS v(k, grp, val))"
+        f" SELECT * FROM src WHERE val >= -1000)",
+        src_rows,
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 37, 73])
+def test_random_merge_program_matches_duckdb(spark, engines, seed):
+    """MERGE with subquery / computed-projection / CTE sources mixed
+    into a random insert program, against both delete modes, with a
+    full-state compare after every statement (VERDICT r5 task 7)."""
+    cat, con = engines
+    rng = random.Random(seed)
+    next_k = 0
+    for i in range(10):
+        if rng.random() < 0.4 or next_k == 0:
+            rows = ", ".join(
+                f"({next_k + j}, '{rng.choice(GROUPS)}', {rng.randint(-50, 50)})"
+                for j in range(rng.randint(1, 4))
+            )
+            next_k += 4
+            cat.sql(spark, "INSERT INTO fuzz.d.t VALUES " + rows)
+            con.execute("INSERT INTO t VALUES " + rows)
+        else:
+            # unique source keys: half aimed at existing range, half new
+            ks = rng.sample(range(next_k + 6), rng.randint(2, 4))
+            src_rows = [
+                (k, rng.choice(GROUPS), rng.randint(-50, 50)) for k in ks
+            ]
+            next_k = max(next_k, max(ks) + 1)
+            src_sql, effective = _render_merge_source(rng, src_rows)
+            matched = rng.choice(["update", "delete"])
+            if matched == "delete":
+                clause = "WHEN MATCHED THEN DELETE"
+            else:
+                clause = "WHEN MATCHED THEN UPDATE SET grp = s.grp, val = s.val"
+            cat.sql(
+                spark,
+                f"MERGE INTO fuzz.d.t t USING {src_sql} s ON t.k = s.k "
+                f"{clause} WHEN NOT MATCHED THEN INSERT *",
+            )
+            _duck_merge_equiv(con, effective, matched)
+        a, b = _state_spark(spark, cat), _state_duck(con)
+        assert a == b, f"divergence after stmt {i}\n{a[:5]}\n{b[:5]}"
+
+
+@pytest.fixture(params=["copy-on-write", "merge-on-read"])
+def kw_engines(spark, tmp_path, request):
+    """Table whose columns are backtick-quoted KEYWORDS — the
+    identifier-shadowing shapes a regex SQL surface is most likely to
+    mis-parse."""
+    cat = Catalog(str(tmp_path / "whk"), name="fuzz")
+    cat.sql(
+        spark,
+        "CREATE TABLE fuzz.d.t (`select` BIGINT, `where` STRING, "
+        "`order` BIGINT) TBLPROPERTIES "
+        f"('write.delete.mode' = '{request.param}')",
+    )
+    con = duckdb.connect()
+    con.execute('CREATE TABLE t ("select" BIGINT, "where" STRING, "order" BIGINT)')
+    yield cat, con
+    con.close()
+
+
+def test_quoted_keyword_identifiers_differential(spark, kw_engines):
+    """INSERT/UPDATE/DELETE/MERGE against columns named select/where/
+    order (backticks on Spark, double quotes on DuckDB) must stay
+    state-identical — keyword shadowing inside predicates and SET
+    clauses exercised end-to-end."""
+    cat, con = kw_engines
+    cat.sql(
+        spark,
+        "INSERT INTO fuzz.d.t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30)",
+    )
+    con.execute("INSERT INTO t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'a', 30)")
+    cat.sql(
+        spark,
+        "UPDATE fuzz.d.t SET `order` = `order` + 5 WHERE `where` = 'a'",
+    )
+    con.execute('UPDATE t SET "order" = "order" + 5 WHERE "where" = \'a\'')
+    cat.sql(spark, "DELETE FROM fuzz.d.t WHERE `select` = 2")
+    con.execute('DELETE FROM t WHERE "select" = 2')
+    cat.sql(
+        spark,
+        "MERGE INTO fuzz.d.t t USING (SELECT * FROM (VALUES (1, 'z', 99), "
+        "(7, 'q', 70)) AS v(`select`, `where`, `order`)) s "
+        "ON t.`select` = s.`select` "
+        "WHEN MATCHED THEN UPDATE SET `where` = s.`where`, `order` = s.`order` "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    con.execute("UPDATE t SET \"where\" = 'z', \"order\" = 99 WHERE \"select\" = 1")
+    con.execute("INSERT INTO t VALUES (7, 'q', 70)")
+
+    a = sorted(tuple(r) for r in cat.sql(spark, "SELECT * FROM fuzz.d.t").collect())
+    b = sorted(tuple(r) for r in con.execute("SELECT * FROM t").fetchall())
+    assert a == b
+
+
+def test_mixed_ddl_dml_script_differential(spark, engines):
+    """One multi-statement SCRIPT mixing DDL (ALTER ADD COLUMN) with DML
+    before and after the schema change — the script splitter, schema
+    evolution, and DML must compose; state compared to DuckDB executing
+    the same program."""
+    cat, con = engines
+    cat.sql(
+        spark,
+        """
+        INSERT INTO fuzz.d.t VALUES (1, 'a', 10), (2, 'b', 20);
+        ALTER TABLE fuzz.d.t ADD COLUMN extra BIGINT;
+        UPDATE fuzz.d.t SET extra = val * 2 WHERE k = 1;
+        INSERT INTO fuzz.d.t VALUES (3, 'c', 30, 300);
+        DELETE FROM fuzz.d.t WHERE k = 2;
+        """,
+    )
+    con.execute("INSERT INTO t VALUES (1, 'a', 10), (2, 'b', 20)")
+    con.execute("ALTER TABLE t ADD COLUMN extra BIGINT")
+    con.execute("UPDATE t SET extra = val * 2 WHERE k = 1")
+    con.execute("INSERT INTO t VALUES (3, 'c', 30, 300)")
+    con.execute("DELETE FROM t WHERE k = 2")
+    a = sorted(
+        tuple(r) for r in cat.sql(spark, "SELECT * FROM fuzz.d.t").collect()
+    )
+    b = sorted(tuple(r) for r in con.execute("SELECT * FROM t").fetchall())
+    assert a == b
+    # every snapshot in the chain still scans after the mixed script
+    t = cat.load("d.t")
+    for s in t.metadata.snapshots:
+        assert t.to_df(spark, snapshot_id=s.snapshot_id).count() >= 0
