@@ -1892,7 +1892,10 @@ def iceberg_v2_sequence_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       B, because the snapshot array is deliberately SCRAMBLED (ordinal
       order disagrees with sequence order);
     - an equality delete on every even n_nationkey and a position delete
-      on file A's rows 1 and 3 both sit at sequence 2 (inherited).
+      on file A's rows 1 and 3 both sit at sequence 2 (inherited); the
+      position-delete file also names file B's row 0 — B was committed
+      at sequence 3, AFTER the delete, so that row must NOT apply
+      (delete-vs-data sequence ordering for position deletes).
 
     Expected: odd keys except {1,3} survive from A; even keys < 10
     survive from B (committed AFTER the equality delete).  The reference
@@ -1962,13 +1965,17 @@ def iceberg_v2_sequence_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 },
             )
-            # rows 1 and 3 of file A (sorted by key → keys 1 and 3)
+            # rows 1 and 3 of file A (sorted by key → keys 1 and 3), PLUS
+            # a row naming file B's position 0 — B sits at sequence 3,
+            # AFTER this delete (sequence 2), so per the v2 rule the
+            # third row must NOT apply (a reader ignoring delete-vs-data
+            # sequence ordering would drop key 0 and hash-mismatch)
             pos_del = os.path.join(data_dir, "posdel.parquet")
             _write_parquet(
                 pos_del,
                 {
-                    "file_path": pa.array([file_a, file_a], pa.string()),
-                    "pos": pa.array([1, 3], pa.int64()),
+                    "file_path": pa.array([file_a, file_a, file_b], pa.string()),
+                    "pos": pa.array([1, 3, 0], pa.int64()),
                 },
             )
 

@@ -343,7 +343,7 @@ class IcebergTable:
             df = df.unionByName(sub)
 
         if deletes:
-            df = _apply_position_deletes(spark, meta, df, deletes)
+            df = _apply_position_deletes(spark, meta, df, deletes, files)
         if eq_deletes:
             df = _apply_equality_deletes(spark, meta, df, eq_deletes, files)
         if (deletes or eq_deletes) and not _with_row_meta:
@@ -549,18 +549,54 @@ def _apply_position_deletes(
     meta: TableMetadata,
     df: DataFrame,
     deletes: list[DataFile],
+    files: Optional[list[DataFile]] = None,
 ) -> DataFrame:
     """Anti-join the scan against position-delete rows on (file, pos).
     Paths normalize to scheme-less absolutes on both sides (_metadata
     yields file:// URIs; manifests record localized paths).  No explicit
     broadcast hint: the delete side's size is known to Spark from its
     parquet footprint, so AQE/autoBroadcast picks broadcast for the
-    common small-delete case and a shuffle join when deletes are huge."""
-    del_paths = [meta.localize(d.path) for d in deletes]
-    pos = spark.read.parquet(*del_paths).select(
-        F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias("_del_file"),
-        F.col("pos").alias("_del_pos"),
+    common small-delete case and a shuffle join when deletes are huge.
+
+    Sequence fidelity (v2 spec): a position delete applies only to data
+    files whose data sequence number is <= the delete's.  Path equality
+    makes this moot for linear histories (a future file can't be named
+    by an older delete), but branch/rollback/WAP histories CAN surface a
+    same-path file at a later sequence — so delete files that are newer
+    than NO scanned data file they could target are filtered here, by
+    pairing each delete row with its target file's sequence."""
+    seqs = meta.snapshot_sequences()
+    file_seq = (
+        {meta.localize(f.path): _file_seq(seqs, f, -1) for f in files}
+        if files
+        else {}
     )
+    sides = []
+    for d in deletes:
+        one = spark.read.parquet(meta.localize(d.path)).select(
+            F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias("_del_file"),
+            F.col("pos").alias("_del_pos"),
+            F.lit(_file_seq(seqs, d, 1 << 31)).cast("long").alias("_del_seq"),
+        )
+        sides.append(one)
+    pos = sides[0]
+    for s in sides[1:]:
+        pos = pos.unionByName(s)
+    if file_seq:
+        # metadata-sized map: one (path, seq) row per scanned data file
+        fs = spark.createDataFrame(
+            list(file_seq.items()), "_fs_path: string, _fs_seq: long"
+        )
+        pos = (
+            pos.join(fs, pos["_del_file"] == fs["_fs_path"], "left")
+            .filter(
+                F.col("_fs_seq").isNull()  # unknown target: conservative
+                | (F.col("_fs_seq") <= F.col("_del_seq"))
+            )
+            .select("_del_file", "_del_pos")
+        )
+    else:
+        pos = pos.select("_del_file", "_del_pos")
     cond = (
         F.regexp_replace(df["_ice_file"], "^file:/*", "/") == pos["_del_file"]
     ) & (df["_ice_pos"] == pos["_del_pos"])
