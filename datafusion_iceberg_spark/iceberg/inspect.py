@@ -86,6 +86,30 @@ _HISTORY_SCHEMA = T.StructType(
     ]
 )
 
+_ENTRIES_SCHEMA = T.StructType(
+    [
+        T.StructField("status", T.IntegerType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("sequence_number", T.LongType()),
+        T.StructField("content", T.IntegerType()),
+        T.StructField("file_path", T.StringType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("file_size_in_bytes", T.LongType()),
+    ]
+)
+
+_ALL_MANIFESTS_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("partition_spec_id", T.IntegerType()),
+        T.StructField("content", T.IntegerType()),
+        T.StructField("added_snapshot_id", T.LongType()),
+        T.StructField("reference_snapshot_id", T.LongType()),
+        T.StructField("reference_ordinal", T.IntegerType()),
+    ]
+)
+
 _REFS_SCHEMA = T.StructType(
     [
         T.StructField("name", T.StringType()),
@@ -212,27 +236,40 @@ class Inspect:
     # -- files: the one that scales with the data (distributed) --------
 
     def files(
-        self, spark: SparkSession, snapshot_id: Optional[int] = None
+        self,
+        spark: SparkSession,
+        snapshot_id: Optional[int] = None,
+        _manifest_rows: Optional[list] = None,
     ) -> DataFrame:
         """One row per data/delete file in the snapshot.  Built with one
         executor task per manifest batch: the driver ships only manifest
         paths; manifest Avro parsing and stats decoding happen in the
         executors (a 100 TB table's file list never funnels through the
         driver — the analogue of keeping the reference's
-        ``FileScanConfig`` streaming, table.rs:281-293)."""
+        ``FileScanConfig`` streaming, table.rs:281-293).
+        ``_manifest_rows`` substitutes an explicit ManifestFile list
+        (``all_files`` passes the cross-snapshot union)."""
         t = self._t
         meta = t.metadata
         ordinals = meta.snapshot_ordinals()
         manifests = []
-        for content in (0, 1):
-            for mf in t.manifests(snapshot_id, content=content):
-                manifests.append(
-                    (
-                        meta.localize(mf.path),
-                        mf.partition_spec_id,
-                        mf.added_snapshot_id,
-                    )
+        source = (
+            _manifest_rows
+            if _manifest_rows is not None
+            else [
+                mf
+                for content in (0, 1)
+                for mf in t.manifests(snapshot_id, content=content)
+            ]
+        )
+        for mf in source:
+            manifests.append(
+                (
+                    meta.localize(mf.path),
+                    mf.partition_spec_id,
+                    mf.added_snapshot_id,
                 )
+            )
         if not manifests:
             return spark.createDataFrame([], _FILES_SCHEMA)
 
@@ -308,6 +345,111 @@ class Inspect:
         )
 
 
+    # -- entries / all_* : the full Spark-Iceberg inspection family -----
+
+    def entries(
+        self, spark: SparkSession, snapshot_id: Optional[int] = None
+    ) -> DataFrame:
+        """One row per manifest ENTRY of the snapshot, INCLUDING
+        status=2 (deleted) entries and v2 sequence numbers — the
+        ``$entries`` table Spark-Iceberg exposes.  Distributed the same
+        way as :meth:`files`: the driver ships (manifest path, inherited
+        sequence) pairs; Avro parsing runs in executors."""
+        t = self._t
+        meta = t.metadata
+        manifests = []
+        for content in (0, 1):
+            for mf in t.manifests(snapshot_id, content=content):
+                manifests.append(
+                    (
+                        meta.localize(mf.path),
+                        -1 if mf.sequence_number is None else mf.sequence_number,
+                    )
+                )
+        if not manifests:
+            return spark.createDataFrame([], _ENTRIES_SCHEMA)
+
+        def parse(batches) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            from datafusion_iceberg_spark.iceberg.manifests import read_manifest
+
+            for pdf in batches:
+                rows = []
+                for path, inherit in pdf.itertuples(index=False):
+                    inherit = None if inherit < 0 else int(inherit)
+                    for f in read_manifest(
+                        path, inherit_seq=inherit, keep_deleted=True
+                    ):
+                        rows.append(
+                            {
+                                "status": f.status,
+                                "snapshot_id": f.entry_snapshot_id,
+                                "sequence_number": f.sequence_number,
+                                "content": f.content,
+                                "file_path": f.path,
+                                "record_count": f.record_count,
+                                "file_size_in_bytes": f.file_size_in_bytes,
+                            }
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[fld.name for fld in _ENTRIES_SCHEMA.fields]
+                )
+
+        inp = spark.createDataFrame(manifests, "path string, inherit long")
+        n_parts = max(1, min(len(manifests), 64))
+        return inp.repartition(n_parts).mapInPandas(parse, _ENTRIES_SCHEMA)
+
+    def all_manifests(self, spark: SparkSession) -> DataFrame:
+        """One row per (manifest, referencing snapshot) across EVERY
+        snapshot in the table — ``$all_manifests``.  Driver-side: the
+        row count is (snapshots × manifests per list), metadata-scale."""
+        from datafusion_iceberg_spark.iceberg.manifests import (
+            read_manifest_list,
+        )
+
+        meta = self._t.metadata
+        ordinals = meta.snapshot_ordinals()
+        rows = []
+        for s in meta.snapshots:
+            for mf in read_manifest_list(meta.localize(s.manifest_list)):
+                rows.append(
+                    (
+                        mf.path,
+                        mf.length,
+                        mf.partition_spec_id,
+                        mf.content,
+                        mf.added_snapshot_id,
+                        s.snapshot_id,
+                        ordinals.get(s.snapshot_id, -1),
+                    )
+                )
+        return spark.createDataFrame(rows, _ALL_MANIFESTS_SCHEMA)
+
+    def all_files(self, spark: SparkSession) -> DataFrame:
+        """Every data/delete file referenced by ANY snapshot, deduped by
+        (path, content) — ``$all_files``: what snapshot expiry / orphan
+        analysis reasons over.  Manifest paths dedupe on the driver
+        (metadata-scale); entry parsing is the same executor-distributed
+        walk as :meth:`files`; the file-level dedup is a narrow shuffle
+        on (file_path, content)."""
+        from datafusion_iceberg_spark.iceberg.manifests import (
+            read_manifest_list,
+        )
+
+        meta = self._t.metadata
+        seen = set()
+        union_manifests = []
+        for s in meta.snapshots:
+            for mf in read_manifest_list(meta.localize(s.manifest_list)):
+                if mf.path in seen:
+                    continue
+                seen.add(mf.path)
+                union_manifests.append(mf)
+        df = self.files(spark, _manifest_rows=union_manifests)
+        return df.dropDuplicates(["file_path", "content"])
+
+
 METADATA_TABLES = {
     "snapshots",
     "files",
@@ -316,6 +458,9 @@ METADATA_TABLES = {
     "history",
     "refs",
     "changelog",
+    "entries",
+    "all_manifests",
+    "all_files",
 }
 
 

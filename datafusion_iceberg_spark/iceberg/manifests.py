@@ -81,6 +81,10 @@ class DataFile:
     # fall back to the snapshot-ordinal scheme
     # (TableMetadata.snapshot_sequences).
     sequence_number: Optional[int] = None
+    # the manifest ENTRY's own snapshot_id field (the commit that
+    # added/deleted the entry) — distinct from added_snapshot_id, which
+    # is stamped from the owning manifest-list row
+    entry_snapshot_id: Optional[int] = None
 
 
 def _as_int_map(v: Any) -> dict[int, Any]:
@@ -132,10 +136,11 @@ def read_manifest_list(path: str) -> list[ManifestFile]:
 
 
 def read_manifest(
-    path: str, inherit_seq: Optional[int] = None
+    path: str, inherit_seq: Optional[int] = None, keep_deleted: bool = False
 ) -> list[DataFile]:
     """Manifest entries; deleted entries (status=2) are dropped — a live
-    scan must not read files removed by the snapshot.
+    scan must not read files removed by the snapshot — unless
+    ``keep_deleted`` (the ``$entries`` metadata table shows them).
 
     ``inherit_seq`` is the owning manifest-list row's ``sequence_number``:
     per the v2 spec, an entry whose ``sequence_number`` is null inherits
@@ -147,7 +152,7 @@ def read_manifest(
     for r in records:
         df = r["data_file"]
         status = r.get("status", 1)
-        if status == 2:
+        if status == 2 and not keep_deleted:
             continue
         seq = r.get("sequence_number")
         if seq is None:
@@ -170,6 +175,7 @@ def read_manifest(
                 content=df.get("content", 0) or 0,
                 equality_ids=[int(i) for i in (df.get("equality_ids") or [])],
                 sequence_number=None if seq is None else int(seq),
+                entry_snapshot_id=r.get("snapshot_id"),
             )
         )
     return out

@@ -2127,3 +2127,83 @@ def iceberg_v2_sequence_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name")
         .orderBy("n_nationkey")
     )
+
+
+@register(
+    "iceberg_meta_entries",
+    oracle="""
+    SELECT 1 AS status, 0 AS content,
+           COUNT(*) AS n_rows, 1 AS min_seq, 2 AS max_seq
+    FROM orders
+    """,
+)
+def iceberg_meta_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$entries`` metadata table (Spark-Iceberg inspection parity):
+    every manifest entry of the current snapshot with its v2 data
+    sequence number (inherited from the manifest-list row the writer
+    stamped).  The fixture's two appends land at sequences 1 and 2, all
+    entries ADDED (status 1) data (content 0), and their record counts
+    must sum to the full table."""
+    fx = fixture(spark, sf_dir)
+    return fx.catalog.sql(
+        spark,
+        "SELECT CAST(status AS INT) AS status, CAST(content AS INT) AS content,"
+        " CAST(SUM(record_count) AS BIGINT) AS n_rows,"
+        " CAST(MIN(sequence_number) AS INT) AS min_seq,"
+        " CAST(MAX(sequence_number) AS INT) AS max_seq"
+        " FROM iceberg.sales.orders$entries GROUP BY status, content",
+    )
+
+
+@register(
+    "iceberg_meta_all_manifests",
+    oracle="""
+    SELECT * FROM (
+      SELECT 0 AS reference_ordinal, 1 AS n_manifests
+      UNION ALL
+      SELECT 1 AS reference_ordinal, 2 AS n_manifests
+    ) ORDER BY reference_ordinal
+    """,
+)
+def iceberg_meta_all_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$all_manifests``: one row per (manifest, referencing snapshot)
+    over the WHOLE history.  The fixture's first append references its
+    one manifest; the second append's list carries that manifest forward
+    plus its own — 1 and 2 rows respectively."""
+    fx = fixture(spark, sf_dir)
+    return fx.catalog.sql(
+        spark,
+        "SELECT CAST(reference_ordinal AS INT) AS reference_ordinal,"
+        " CAST(COUNT(*) AS INT) AS n_manifests"
+        " FROM iceberg.sales.orders$all_manifests"
+        " GROUP BY reference_ordinal ORDER BY reference_ordinal",
+    )
+
+
+@register(
+    "iceberg_meta_all_files",
+    oracle="""
+    SELECT * FROM (
+      SELECT 0 AS content, COUNT(*) AS n_rows FROM orders
+      UNION ALL
+      SELECT 1 AS content,
+             (SELECT COUNT(*) FROM orders
+              WHERE o_orderkey % 2 = 0 AND o_totalprice < 50000) AS n_rows
+    ) ORDER BY content
+    """,
+)
+def iceberg_meta_all_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$all_files``: every file any snapshot references, deduped by
+    path — the frame snapshot-expiry and orphan analysis reason over.
+    Uses the CDC fixture (append evens → MOR position delete → append
+    odds): content=0 rows sum to ALL orders (the deleted rows' files are
+    still referenced by the pre-delete snapshot), and the position-delete
+    file's record count equals the deleted-row count."""
+    cat = _cdc_fixture(spark, sf_dir)
+    t = cat.load("cdc.orders")
+    return (
+        t.inspect.all_files(spark)
+        .groupBy(F.col("content").cast("int").alias("content"))
+        .agg(F.sum("record_count").cast("long").alias("n_rows"))
+        .orderBy("content")
+    )
