@@ -256,11 +256,24 @@ class IcebergPyReader(DataSourceReader):
 class IcebergPyStreamReader(DataSourceStreamReader):
     """Tail APPEND snapshots: offset = snapshot ordinal (commit order).
     Each micro-batch plans the file diff (start, end] on the driver —
-    metadata-only — and ships one partition per added file."""
+    metadata-only — and packs the added files into bin-packed partitions.
 
-    def __init__(self, root: str, schema):
+    ``max_snapshots_per_batch`` (option) rate-limits a bursty table:
+    each micro-batch advances at most that many snapshots, so a backlog
+    of N commits drains in bounded batches instead of one giant catch-up
+    batch (the analogue of Iceberg-Spark's max-files-per-micro-batch).
+    The cap is driven off the last offset this reader planned or saw in
+    ``partitions``; after a checkpoint restart the reader's base resets
+    to -1, which can cost up to ``backlog/max`` EMPTY catch-up batches
+    (eo <= checkpointed start plans nothing) before the cap re-syncs —
+    bounded, documented, and never a correctness issue because offsets
+    live in the checkpoint."""
+
+    def __init__(self, root: str, schema, max_snapshots_per_batch=None):
         self._root = root
         self._schema = schema
+        self._max_snaps = max_snapshots_per_batch
+        self._seen: Optional[int] = None  # highest ordinal planned/committed
 
     def _load(self):
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
@@ -279,10 +292,18 @@ class IcebergPyStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         table = self._load()
         ords = table.metadata.snapshot_ordinals()
-        return {"ordinal": max(ords.values()) if ords else -1}
+        latest = max(ords.values()) if ords else -1
+        if self._max_snaps:
+            base = -1 if self._seen is None else self._seen
+            latest = min(latest, base + int(self._max_snaps))
+        self._seen = latest
+        return {"ordinal": latest}
 
     def partitions(self, start: dict, end: dict):
         so, eo = start["ordinal"], end["ordinal"]
+        resync = max(so, eo)
+        if self._seen is None or resync > self._seen:
+            self._seen = resync  # restart replay: resync the cap base
         if eo <= so:
             return [IcebergFilePartition("", {})]
         table = self._load()
@@ -545,7 +566,11 @@ class IcebergPyDataSource(DataSource):
         return reader
 
     def streamReader(self, schema) -> IcebergPyStreamReader:
-        return IcebergPyStreamReader(self.options.get("path"), schema)
+        return IcebergPyStreamReader(
+            self.options.get("path"),
+            schema,
+            max_snapshots_per_batch=self.options.get("max_snapshots_per_batch"),
+        )
 
     def _check_writable(self, schema) -> str:
         """Shared batch/stream write validation; returns the serialized

@@ -437,3 +437,58 @@ def test_stream_replay_detected_without_ledger(spark, tmp_path):
     assert [
         s.summary.get("pyds-stream-batch-id") for s in t.metadata.snapshots
     ] == ["0", "1"]
+
+
+def test_stream_rate_limit_bounds_batches(spark, tmp_path):
+    """max_snapshots_per_batch drains a 5-commit backlog in bounded
+    micro-batches (ceil(5/2) = 3 with rows) instead of one catch-up
+    batch, and every row still arrives exactly once."""
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    root = str(tmp_path / "wh_rate")
+    ckpt = str(tmp_path / "ckpt_rate")
+    out = str(tmp_path / "out_rate")
+    for d in (root, ckpt, out):
+        shutil.rmtree(d, ignore_errors=True)
+    cat = Catalog(root)
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table("t.n", nation.schema)
+    for i in range(5):
+        cat.append(
+            "t.n", spark, nation.filter(F.col("n_nationkey") % 5 == i)
+        )
+    troot = cat.load("t.n").metadata.root
+
+    batch_rows = []
+
+    def sink(df, batch_id):
+        batch_rows.append(df.count())
+
+    q = (
+        spark.readStream.format("iceberg_py")
+        .option("path", troot)
+        .option("max_snapshots_per_batch", "2")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 120
+        while sum(batch_rows) < 25 and time.time() < deadline:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert sum(batch_rows) == 25
+    nonzero = [b for b in batch_rows if b > 0]
+    # 5 snapshots at <= 2 per batch: at least 3 data-carrying batches,
+    # and no single batch saw the whole backlog
+    assert len(nonzero) >= 3
+    assert max(nonzero) < 25
