@@ -985,3 +985,83 @@ def dedup_survivorship_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("text_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment-level exact dedup (the line-dedup shape of CCNet/RefinedWeb)
+# ---------------------------------------------------------------------------
+
+_SEG_WORDS = 8
+
+
+@register(
+    "dedup_segment_exact",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    series AS (
+        -- constant upper bound (DuckDB 1.0: no subquery/lateral params);
+        -- 4096 segments covers documents up to 32k words, far above the
+        -- synthetic corpus max, and the WHERE below trims per-doc
+        SELECT i FROM generate_series(0, 4096) AS t(i)
+    ),
+    segs AS (
+        SELECT doc_id,
+               array_to_string(w[(i * {_SEG_WORDS} + 1):(i * {_SEG_WORDS} + {_SEG_WORDS})], ' ') AS seg
+        FROM words CROSS JOIN series
+        WHERE i < CEIL(len(w) / {_SEG_WORDS}.0)
+    ),
+    dups AS (
+        SELECT seg FROM segs GROUP BY seg HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN seg IN (SELECT seg FROM dups) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments
+    FROM segs GROUP BY doc_id
+    HAVING n_dup_segments > 0
+    ORDER BY doc_id
+    """,
+)
+def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup — the line/paragraph-level pass CCNet and
+    RefinedWeb run before document-level dedup: split each document into
+    consecutive {_SEG_WORDS}-word segments and count, per document, the
+    segments that also appear verbatim in at least one OTHER document.
+
+    Scale shape: segmentation is pure JVM HOFs (split/sequence/slice/
+    array_join) inside codegen — no UDF, no extra scan; the duplicate
+    detection groups on ``xxhash64(segment)`` so the shuffle carries
+    (8-byte hash, doc_id) pairs, never segment text; the per-doc rollup
+    joins doc segments to the duplicated-hash set by hash.  At 100 TB
+    the working set is the segment-hash space — the same invariant as
+    document-level exact dedup, one granularity down."""
+    docs = scale_out(load_table(spark, sf_dir, "documents"))
+    segs = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(CEIL(size(split(text, ' ')) / {_SEG_WORDS}.0) AS INT) - 1),"
+                    f" i -> array_join(slice(split(text, ' '), i * {_SEG_WORDS} + 1, {_SEG_WORDS}), ' '))"
+                )
+            ).alias("seg"),
+        )
+        .select("doc_id", F.xxhash64("seg").alias("seg_h"))
+    )
+    dup_hashes = (
+        segs.groupBy("seg_h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("seg_h")
+    )
+    return (
+        segs.join(dup_hashes.withColumn("_dup", F.lit(1)), "seg_h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_segments"),
+        )
+        .filter(F.col("n_dup_segments") > 0)
+        .orderBy("doc_id")
+    )
