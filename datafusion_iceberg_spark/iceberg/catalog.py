@@ -709,6 +709,15 @@ class Catalog(SqlSurface):
 
         return refresh_aggregate_mv(self, spark, ident)
 
+    def add_files(self, ident: str, source_dir: str) -> dict:
+        """Register existing parquet files into the table in place
+        (writer.add_files) + mirror refresh — the plain-parquet-to-
+        Iceberg migration path."""
+        out = self.writer(ident).add_files(source_dir)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return out
+
     def remove_orphan_files(
         self, ident: str, dry_run: bool = False, min_age_ms: int = 0
     ) -> dict:

@@ -265,6 +265,7 @@ _PROCEDURES = {
     "drop_ref": "drop_ref",
     "refresh_mv": "refresh_mv",
     "vacuum": "vacuum",
+    "add_files": "add_files",
 }
 
 # procedures whose underlying method takes (ident, spark, ...) rather

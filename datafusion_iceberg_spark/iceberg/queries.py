@@ -2207,3 +2207,56 @@ def iceberg_meta_all_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("record_count").cast("long").alias("n_rows"))
         .orderBy("content")
     )
+
+
+@register(
+    "iceberg_add_files_migrate",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_add_files_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-parquet-lake → Iceberg migration (Spark-Iceberg's
+    ``add_files``/``migrate`` procedure): a hive-partitioned parquet
+    directory written OUTSIDE any catalog is registered into a
+    partitioned Iceberg table via ``CALL iceberg.system.add_files`` —
+    one metadata commit, zero data rewritten, files referenced in place.
+    The scan must then reproduce the source exactly, with partition
+    values coming from the ``o_orderstatus=X`` directory names and
+    file stats (pruning) coming from the migrated footers."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_addf")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            lake = os.path.join(root, "plain_lake")
+            orders = load_table(spark, sf_dir, "orders")
+            # the pre-existing lake: hive layout, written by plain Spark
+            (
+                orders.write.mode("overwrite")
+                .partitionBy("o_orderstatus")
+                .parquet(lake)
+            )
+            cat = Catalog(root)
+            cat.create_table(
+                "mig.orders", orders.schema, partition_by=["o_orderstatus"]
+            )
+            cat.sql(
+                spark,
+                f"CALL iceberg.system.add_files('mig.orders', '{lake}')",
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders,"
+        " CAST(SUM(o_orderkey) AS BIGINT) AS key_sum"
+        " FROM iceberg.mig.orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )

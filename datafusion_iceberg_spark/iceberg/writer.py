@@ -597,6 +597,53 @@ class IcebergWriter:
             last_column_id=meta.last_column_id,
         )
 
+    def add_files(self, source_dir: str) -> dict:
+        """Spark-Iceberg's ``add_files`` / ``migrate`` procedure: register
+        EXISTING parquet files into the table as ONE append snapshot
+        without rewriting a byte of data — footers are statted for
+        per-file column stats, hive-style ``col=value`` subdirectories
+        become partition values, and the files are referenced IN PLACE
+        (metadata may point outside the table root; ``localize`` passes
+        foreign absolute paths through).  This is how a plain parquet
+        lake migrates to Iceberg: the metadata commit IS the migration.
+
+        Validates by footer that every non-partition table column is
+        present in each file (name-resolved — migrated files rarely
+        carry field ids) so a wrong-directory migration fails before the
+        commit, not at first scan."""
+        import pyarrow.parquet as pq
+
+        paths = sorted(
+            glob.glob(
+                os.path.join(source_dir, "**", "*.parquet"), recursive=True
+            )
+        )
+        if not paths:
+            raise ValueError(f"add_files: no parquet files under {source_dir}")
+        part_cols = {c for c in self.partition_by}
+        needed = [
+            f.name for f in self.schema.fields if f.name not in part_cols
+        ]
+        for p in paths:
+            names = set(pq.read_schema(p).names)
+            missing = [c for c in needed if c not in names]
+            if missing:
+                raise ValueError(
+                    f"add_files: {p} lacks table column(s) {missing}"
+                )
+        files = self._collect_file_stats(source_dir, paths=paths)
+        snap_id = int(time.time() * 1000) * 1000 + (
+            int.from_bytes(os.urandom(2), "big") % 1000
+        )
+        snap = self._commit_file_stats(
+            snap_id, files, True, "append", _extra_summary={"added-files-via": "add_files"}
+        )
+        return {
+            "added_files_count": len(paths),
+            "added_rows_count": sum(f["record_count"] for f in files),
+            "snapshot_id": snap,
+        }
+
     def commit_data_dir(
         self, data_dir: str, operation: str = "append", replace: bool = False
     ) -> int:

@@ -3200,3 +3200,37 @@ def test_writer_emits_v2_sequence_numbers(spark, sf_dir, scratch):
     # snapshot_sequences prefers the real recorded numbers
     seqs = t.metadata.snapshot_sequences()
     assert sorted(seqs.values()) == [1, 2, 3]
+
+
+def test_add_files_migrates_in_place(spark, sf_dir, scratch):
+    """add_files registers pre-existing hive-layout parquet without
+    rewriting: same rows, partition values from dir names, files
+    referenced at their original paths; schema-mismatched directories
+    refuse before any commit."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    root = os.path.join(scratch, "wh_addf_t")
+    lake = os.path.join(root, "lake")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").partitionBy("n_regionkey").parquet(lake)
+    cat = Catalog(root)
+    cat.create_table("m.nat", nation.schema, partition_by=["n_regionkey"])
+    out = cat.add_files("m.nat", lake)
+    assert out["added_rows_count"] == nation.count()
+    t = cat.load("m.nat")
+    assert t.to_df(spark).count() == nation.count()
+    # files are referenced in place — no copy under the table root
+    assert all(f.path.startswith(lake) for f in t.files())
+    # partition pruning works off the migrated metadata
+    pruned = t.files(filters=("=", "n_regionkey", 1))
+    assert 0 < len(pruned) < len(t.files())
+    # wrong-schema source refuses before committing
+    bad = os.path.join(root, "bad_lake")
+    nation.select("n_nationkey").write.mode("overwrite").parquet(bad)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lacks table column"):
+        cat.add_files("m.nat", bad)
