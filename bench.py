@@ -50,6 +50,11 @@ HEADLINE = [
     "text_unigram_surprise",
     "embed_kmeans",
     "pipeline_curation_funnel",
+    # round-6 additions
+    "dedup_segment_exact",
+    "embed_pq_search",
+    "iceberg_v2_sequence_scan",
+    "iceberg_add_files_migrate",
 ]
 
 

@@ -79,6 +79,10 @@ NESTED_LOOP_OK = frozenset(
         "join_non_equi",
         "sim_topk_bruteforce",
         "sim_ivf_topk",
+        # ADC scan + exact-check leg: both are corpus x (5-row broadcast
+        # query set) theta joins, the same bounded-build-side class as
+        # sim_topk_bruteforce
+        "embed_pq_search",
         "sim_pairwise_threshold",
         "mm_embed_similarity_topk",
         "subquery_scalar",
