@@ -709,6 +709,14 @@ class Catalog(SqlSurface):
 
         return refresh_aggregate_mv(self, spark, ident)
 
+    def rewrite_position_deletes(self, ident: str, spark: SparkSession) -> dict:
+        """Merge accumulated position-delete files into one
+        (writer.rewrite_position_deletes) + mirror refresh."""
+        out = self.writer(ident).rewrite_position_deletes(spark)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return out
+
     def add_files(self, ident: str, source_dir: str) -> dict:
         """Register existing parquet files into the table in place
         (writer.add_files) + mirror refresh — the plain-parquet-to-

@@ -266,11 +266,17 @@ _PROCEDURES = {
     "refresh_mv": "refresh_mv",
     "vacuum": "vacuum",
     "add_files": "add_files",
+    "rewrite_position_delete_files": "rewrite_position_deletes",
 }
 
 # procedures whose underlying method takes (ident, spark, ...) rather
 # than (ident, ...)
-_PROC_NEEDS_SPARK = {"rewrite_data_files", "rewrite_zorder", "refresh_mv"}
+_PROC_NEEDS_SPARK = {
+    "rewrite_data_files",
+    "rewrite_zorder",
+    "refresh_mv",
+    "rewrite_position_delete_files",
+}
 
 
 def _call_procedure(surface, spark, q) -> Optional[DataFrame]:

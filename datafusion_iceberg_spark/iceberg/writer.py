@@ -1797,6 +1797,130 @@ class IcebergWriter:
                 time.sleep(0.05 * (_attempt + 1))
         raise AssertionError("unreachable")
 
+    def rewrite_position_deletes(self, spark: SparkSession) -> dict:
+        """Iceberg's ``rewrite_position_delete_files`` maintenance: merge
+        the table's accumulated position-delete files into ONE file (and
+        its manifests into one), dropping DANGLING rows whose target data
+        file is no longer live.  Data files are untouched — this is the
+        cheap counterpart to :meth:`compact` when delete VOLUME is fine
+        but delete FILE COUNT has grown (every scan anti-joins each
+        delete file; N small deletes = N extra scan legs).
+
+        Sequence safety: the merged file commits at a NEW sequence
+        number, which can only WIDEN position-delete applicability — and
+        position deletes bind to exact (path, pos), so a data file added
+        after the original deletes has a different path and is never
+        affected.  Delete manifests that carry equality-delete entries
+        are kept (only pure position manifests are replaced); any
+        position rows they also held are harmlessly duplicated in the
+        merged file (the anti-join is idempotent)."""
+        from pyspark.sql import functions as F
+
+        from datafusion_iceberg_spark.iceberg.manifests import read_manifest
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        table = IcebergTable.load(self.root)
+        meta = table.metadata
+        pos = table.position_delete_files()
+        if len(pos) <= 1:
+            return {
+                "deletes_before": len(pos),
+                "deletes_after": len(pos),
+                "snapshot_id": None,
+            }
+        # manifests to replace: content=1 manifests whose entries are all
+        # position deletes (eq-bearing manifests stay)
+        drop_paths = set()
+        for mf in table.manifests(content=1):
+            entries = read_manifest(
+                meta.localize(mf.path), inherit_seq=mf.sequence_number
+            )
+            if all(e.content != 2 for e in entries):
+                drop_paths.add(mf.path)
+        # live-path set as a (metadata-sized) frame, not an isin literal
+        # list — a 100k-file table would otherwise inline 100k strings
+        # into one expression
+        live_df = spark.createDataFrame(
+            [(meta.localize(f.path),) for f in table.files()],
+            "file_path: string",
+        )
+        merged = (
+            spark.read.parquet(*[meta.localize(d.path) for d in pos])
+            .select(
+                F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias(
+                    "file_path"
+                ),
+                F.col("pos").cast("long").alias("pos"),
+            )
+            .dropDuplicates(["file_path", "pos"])
+            .join(F.broadcast(live_df), "file_path", "left_semi")  # drop dangling
+            .coalesce(1)
+        )
+        snap_id = int(time.time() * 1000) * 1000 + (
+            int.from_bytes(os.urandom(2), "big") % 1000
+        )
+        del_dir = os.path.join(self.root, "data", f"snap-{snap_id}-deletes")
+        merged.write.mode("overwrite").parquet(del_dir)
+
+        import pyarrow.parquet as pq
+
+        del_files = []
+        for p in sorted(
+            glob.glob(os.path.join(del_dir, "**", "*.parquet"), recursive=True)
+        ):
+            n = pq.ParquetFile(p).metadata.num_rows
+            if n:
+                del_files.append((p, n, os.path.getsize(p)))
+        meta_dir = os.path.join(self.root, "metadata")
+        man_uuid = str(uuidlib.uuid4())
+        manifest_path = os.path.join(meta_dir, f"{man_uuid}-del-m0.avro")
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": sz,
+                    "block_size_in_bytes": 67108864,
+                    "value_counts": [],
+                    "null_value_counts": [],
+                    "lower_bounds": [],
+                    "upper_bounds": [],
+                    "content": 1,
+                },
+            }
+            for p, n, sz in del_files
+        ]
+        write_avro_file(manifest_path, _manifest_schema([]), entries)
+        n_rows = sum(n for _, n, _ in del_files)
+        manifest_list_path = os.path.join(
+            meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
+        )
+        for _attempt in range(5):
+            try:
+                snap = self._commit_mor_delete_snapshot(
+                    snap_id,
+                    manifest_path,
+                    manifest_list_path,
+                    entries,
+                    n_rows,
+                    _drop_manifest_paths=drop_paths,
+                    _operation="replace",
+                )
+                return {
+                    "deletes_before": len(pos),
+                    "deletes_after": len(del_files),
+                    "snapshot_id": snap,
+                }
+            except CommitConflict:
+                if _attempt == 4:
+                    raise
+                time.sleep(0.05 * (_attempt + 1))
+        raise AssertionError("unreachable")
+
     def delete_where_eq(self, spark: SparkSession, keys_df: DataFrame) -> int:
         """Merge-on-read EQUALITY DELETE (Iceberg v2 content=2): commit a
         delete file holding KEY TUPLES — the columns of ``keys_df``, which
@@ -1895,6 +2019,8 @@ class IcebergWriter:
         n_deleted: int,
         delete_kind: str = "position",
         _target_paths: Optional[set] = None,
+        _drop_manifest_paths: Optional[set] = None,
+        _operation: str = "delete",
     ) -> int:
         """Read-validate-commit section of delete_where_mor /
         delete_where_eq, re-entrant for the optimistic-concurrency
@@ -1903,7 +2029,9 @@ class IcebergWriter:
         make the delete silently no-op — Iceberg's RowDelta
         validateDataFilesExist); equality deletes bind by VALUE with
         ordinal sequencing, so concurrent appends/rewrites stay
-        correct without this check."""
+        correct without this check.  ``_drop_manifest_paths`` omits
+        those manifests from the carried list — how
+        rewrite_position_deletes replaces the old delete manifests."""
         meta = self._load_current()
         if _target_paths:
             from datafusion_iceberg_spark.iceberg.metadata import TableMetadata
@@ -1947,6 +2075,8 @@ class IcebergWriter:
                 s for s in meta["snapshots"] if s["snapshot-id"] == cur
             )
             for mf in read_manifest_list(prev_snap["manifest-list"]):
+                if _drop_manifest_paths and mf.path in _drop_manifest_paths:
+                    continue
                 carried.append(_carry_manifest_row(mf))
         seq = _next_sequence(meta)
         write_avro_file(
@@ -1989,7 +2119,7 @@ class IcebergWriter:
             "parent-snapshot-id": None if cur_id in (None, -1) else cur_id,
             "timestamp-ms": now,
             "summary": {
-                "operation": "delete",
+                "operation": _operation,
                 "added-delete-files": str(len(entries)),
                 f"added-{delete_kind}-deletes": str(n_deleted),
                 "total-records": str(prev_total),

@@ -3234,3 +3234,51 @@ def test_add_files_migrates_in_place(spark, sf_dir, scratch):
 
     with _pytest.raises(ValueError, match="lacks table column"):
         cat.add_files("m.nat", bad)
+
+
+def test_rewrite_position_deletes_merges_and_drops_dangling(
+    spark, sf_dir, scratch
+):
+    """Three MOR deletes accumulate three position-delete files; the
+    rewrite merges them into ONE at a new sequence, scan results are
+    unchanged, and rows pointing at files retired by a later compaction
+    would be dropped as dangling.  Runs via the CALL surface."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_posrw")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("m.nat", nation.schema)
+    cat.append("m.nat", spark, nation)
+    for k in (1, 7, 13):
+        cat.delete_where_mor("m.nat", spark, f"n_nationkey = {k}")
+    t = cat.load("m.nat")
+    assert len(t.position_delete_files()) == 3
+    expect = sorted(
+        r.n_nationkey
+        for r in t.to_df(spark).select("n_nationkey").collect()
+    )
+    out = cat.sql(
+        spark, "CALL iceberg.system.rewrite_position_delete_files('m.nat')"
+    )
+    vals = {r[0]: r[1] for r in out.collect()}
+    assert vals["deletes_before"] == "3" and vals["deletes_after"] == "1"
+    t = cat.load("m.nat")
+    dels = t.position_delete_files()
+    assert len(dels) == 1 and dels[0].record_count == 3
+    # merged deletes carry the NEW commit's sequence
+    assert dels[0].sequence_number == t.metadata.raw["last-sequence-number"]
+    got = sorted(
+        r.n_nationkey for r in t.to_df(spark).select("n_nationkey").collect()
+    )
+    assert got == expect and 1 not in got and 7 not in got and 13 not in got
+    # idempotent no-op on a single-delete-file table
+    out2 = cat.rewrite_position_deletes("m.nat", spark)
+    assert out2["snapshot_id"] is None
+    # time travel to the pre-rewrite snapshot still applies 3 delete files
+    pre = t.metadata.snapshots[-2].snapshot_id
+    assert len(t.position_delete_files(snapshot_id=pre)) == 3
