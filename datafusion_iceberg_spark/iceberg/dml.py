@@ -364,6 +364,31 @@ def _show_describe(surface, spark, q) -> Optional[DataFrame]:
             ),
         )
     m = re.match(
+        rf"SHOW\s+PARTITIONS\s+{cat}\.({IDENT})\.({IDENT})\s*$",
+        q,
+        re.IGNORECASE,
+    )
+    if m:
+        from datafusion_iceberg_spark.iceberg.inspect import metadata_df
+
+        ident = f"{_unq(m.group(1))}.{_unq(m.group(2))}"
+        parts = metadata_df(surface.load(ident), spark, "partitions")
+        # Spark's SHOW PARTITIONS shape: one 'partition' string per
+        # partition tuple, col=val[/col=val], sorted
+        return (
+            parts.select(
+                F.array_join(
+                    F.transform(
+                        F.map_entries(F.col("partition")),
+                        lambda e: F.concat_ws("=", e["key"], e["value"]),
+                    ),
+                    "/",
+                ).alias("partition")
+            )
+            .distinct()
+            .orderBy("partition")
+        )
+    m = re.match(
         rf"SHOW\s+TBLPROPERTIES\s+{cat}\.({IDENT})\.({IDENT})\s*$",
         q,
         re.IGNORECASE,

@@ -713,3 +713,22 @@ def test_create_or_replace_ctas_failure_keeps_original(spark, cat):
         spark, "SELECT x FROM dmlcat.sales.keepme"
     ).collect()] == [42]
     assert not [t for t in cat.table_names("sales") if "__replace_" in t]
+
+
+def test_show_partitions(spark, sf_dir, tmp_path):
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    root = str(tmp_path / "wh_showpart")
+    cat = Catalog(root)
+    orders = load_table(spark, sf_dir, "orders")
+    cat.create_table("s.o", orders.schema, partition_by=["o_orderstatus"])
+    cat.append("s.o", spark, orders)
+    rows = [
+        r.partition
+        for r in cat.sql(spark, "SHOW PARTITIONS iceberg.s.o").collect()
+    ]
+    assert rows == sorted(rows)
+    assert set(rows) == {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"}
