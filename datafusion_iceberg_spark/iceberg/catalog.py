@@ -510,6 +510,18 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def delete_where_dv(self, ident: str, spark: SparkSession, pred) -> int:
+        """Merge-on-read DELETE via v3 deletion vectors
+        (writer.delete_where_dv: roaring bitmaps in a puffin container,
+        one blob per data file) + mirror refresh; re-plans on
+        concurrent-rewrite conflicts."""
+        snap = self._replan(
+            ident, lambda: self.writer(ident).delete_where_dv(spark, pred)
+        )
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
     def delete_where_eq(
         self, ident: str, spark: SparkSession, keys_df: DataFrame
     ) -> int:

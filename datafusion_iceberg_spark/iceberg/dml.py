@@ -536,6 +536,11 @@ def _delete(surface, spark, q, tgt3) -> Optional[DataFrame]:
     if mode == "merge-on-read":
         _need(surface, "delete_where_mor")
         snap = surface.delete_where_mor(ident, spark, where)
+    elif mode in ("deletion-vector", "deletion-vectors"):
+        # v3 DV flavor of merge-on-read: roaring bitmaps in puffin,
+        # one blob per data file
+        _need(surface, "delete_where_dv")
+        snap = surface.delete_where_dv(ident, spark, where)
     else:
         _need(surface, "delete_where")
         snap = surface.delete_where(ident, spark, where)

@@ -85,6 +85,12 @@ class DataFile:
     # added/deleted the entry) — distinct from added_snapshot_id, which
     # is stamped from the owning manifest-list row
     entry_snapshot_id: Optional[int] = None
+    # Iceberg v3 deletion vectors: a content=1 entry whose file is a
+    # PUFFIN container references exactly one data file and a blob range
+    # within the container
+    referenced_data_file: Optional[str] = None
+    content_offset: Optional[int] = None
+    content_size_in_bytes: Optional[int] = None
 
 
 def _as_int_map(v: Any) -> dict[int, Any]:
@@ -176,6 +182,9 @@ def read_manifest(
                 equality_ids=[int(i) for i in (df.get("equality_ids") or [])],
                 sequence_number=None if seq is None else int(seq),
                 entry_snapshot_id=r.get("snapshot_id"),
+                referenced_data_file=df.get("referenced_data_file"),
+                content_offset=df.get("content_offset"),
+                content_size_in_bytes=df.get("content_size_in_bytes"),
             )
         )
     return out

@@ -1,0 +1,166 @@
+"""Puffin container read/write + Iceberg v3 deletion-vector blobs.
+
+Puffin (the Iceberg stats/deletes sidecar format, public spec):
+
+    Magic | blob_1 .. blob_n | Magic | FooterPayload(JSON) |
+    FooterPayloadSize (4B LE) | Flags (4B LE) | Magic
+
+where Magic = ``50 46 41 31`` ("PFA1") and FooterPayload is a JSON
+object ``{"blobs": [{type, fields, snapshot-id, sequence-number,
+offset, length, properties}, ...], "properties": {...}}``.  This codec
+writes uncompressed footers (flag bit 0 = 0) and refuses compressed
+ones on read (zstd is not in the container's dependency set).
+
+Deletion-vector blobs (``deletion-vector-v1``, Iceberg v3 spec): the
+blob payload frames a portable 64-bit roaring bitmap (iceberg/roaring)
+as
+
+    u32 big-endian length of (magic + bitmap) | magic ``D1 D3 39 64`` |
+    bitmap | u32 big-endian CRC-32 of (magic + bitmap)
+
+with the referenced data file and cardinality recorded in the blob's
+``properties``.  Framing constants follow the published v3 spec; the
+codec self-roundtrips and is additionally pinned by unit tests so any
+future correction to match a foreign file is a one-constant change.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Optional
+
+from datafusion_iceberg_spark.iceberg.roaring import (
+    deserialize_u64,
+    serialize_u64,
+)
+
+MAGIC = b"PFA1"
+_DV_MAGIC = bytes([0xD1, 0xD3, 0x39, 0x64])
+
+
+@dataclass
+class Blob:
+    type: str
+    data: bytes
+    fields: list = field(default_factory=list)
+    snapshot_id: int = -1
+    sequence_number: int = -1
+    properties: dict = field(default_factory=dict)
+    # populated on write/read: position of the payload inside the file
+    offset: int = -1
+    length: int = -1
+
+
+def write_puffin(path: str, blobs: list[Blob], properties: Optional[dict] = None) -> list[Blob]:
+    """Write a puffin file; returns the blobs with offset/length set."""
+    out = bytearray(MAGIC)
+    metas = []
+    for b in blobs:
+        b.offset = len(out)
+        b.length = len(b.data)
+        out += b.data
+        metas.append(
+            {
+                "type": b.type,
+                "fields": b.fields,
+                "snapshot-id": b.snapshot_id,
+                "sequence-number": b.sequence_number,
+                "offset": b.offset,
+                "length": b.length,
+                "properties": b.properties,
+            }
+        )
+    payload = json.dumps(
+        {"blobs": metas, "properties": properties or {}}
+    ).encode()
+    out += MAGIC
+    out += payload
+    out += struct.pack("<I", len(payload))
+    out += struct.pack("<I", 0)  # flags: uncompressed footer
+    out += MAGIC
+    with open(path, "wb") as fh:
+        fh.write(out)
+    return blobs
+
+
+def read_puffin(path: str) -> tuple[list[Blob], dict]:
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:4] != MAGIC or buf[-4:] != MAGIC:
+        raise ValueError(f"not a puffin file: {path}")
+    (flags,) = struct.unpack_from("<I", buf, len(buf) - 8)
+    if flags & 1:
+        raise ValueError("puffin: compressed footer payload unsupported")
+    (psize,) = struct.unpack_from("<I", buf, len(buf) - 12)
+    payload = buf[len(buf) - 12 - psize : len(buf) - 12]
+    meta = json.loads(payload.decode())
+    blobs = []
+    for m in meta.get("blobs", []):
+        off, ln = m["offset"], m["length"]
+        blobs.append(
+            Blob(
+                type=m["type"],
+                data=buf[off : off + ln],
+                fields=m.get("fields", []),
+                snapshot_id=m.get("snapshot-id", -1),
+                sequence_number=m.get("sequence-number", -1),
+                properties=m.get("properties", {}),
+                offset=off,
+                length=ln,
+            )
+        )
+    return blobs, meta.get("properties", {})
+
+
+# -- deletion vectors -------------------------------------------------------
+
+
+def dv_blob(
+    positions: list[int],
+    referenced_data_file: str,
+    snapshot_id: int = -1,
+    sequence_number: int = -1,
+) -> Blob:
+    """Frame deleted positions as a ``deletion-vector-v1`` blob."""
+    bitmap = serialize_u64(positions)
+    body = _DV_MAGIC + bitmap
+    data = (
+        struct.pack(">I", len(body))
+        + body
+        + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    )
+    return Blob(
+        type="deletion-vector-v1",
+        data=data,
+        fields=[2147483546],  # the spec's reserved field id for DV pos
+        snapshot_id=snapshot_id,
+        sequence_number=sequence_number,
+        properties={
+            "referenced-data-file": referenced_data_file,
+            "cardinality": str(len(set(positions))),
+        },
+    )
+
+
+def dv_positions(data: bytes) -> list[int]:
+    """Decode a ``deletion-vector-v1`` blob payload → sorted positions."""
+    (ln,) = struct.unpack_from(">I", data, 0)
+    body = data[4 : 4 + ln]
+    if body[:4] != _DV_MAGIC:
+        raise ValueError("deletion-vector blob: bad magic")
+    (crc,) = struct.unpack_from(">I", data, 4 + ln)
+    if crc != (zlib.crc32(body) & 0xFFFFFFFF):
+        raise ValueError("deletion-vector blob: CRC mismatch")
+    return deserialize_u64(body[4:])
+
+
+def read_dv_positions(path: str, offset: int, length: int) -> list[int]:
+    """Random-access read of one DV blob from a puffin file (the shape a
+    reader at scale uses: content_offset/content_size from the manifest
+    entry, one ranged read, no footer parse)."""
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        return dv_positions(fh.read(length))

@@ -2260,3 +2260,53 @@ def iceberg_add_files_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(SUM(o_orderkey) AS BIGINT) AS key_sum"
         " FROM iceberg.mig.orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     )
+
+
+@register(
+    "iceberg_dv_delete_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 DELETION VECTORS end-to-end (roaring bitmaps in a
+    Puffin container, one blob per data file, referenced by manifest
+    entries carrying referenced_data_file + content_offset/size): two
+    successive DV deletes under write.delete.mode='deletion-vector' —
+    the second REWRITES the DV set so at most one vector exists per data
+    file — and the scan's anti-join decodes the blobs in executors via
+    ranged reads.  The reference drops delete manifests wholesale; even
+    upstream Spark-Iceberg only gained DV reads in Iceberg 1.7."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_dv")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table(
+                "dv.orders",
+                orders.schema,
+                partition_by=["o_orderstatus"],
+                properties={"write.delete.mode": "deletion-vector"},
+            )
+            cat.append("dv.orders", spark, orders)
+            cat.sql(spark, "DELETE FROM iceberg.dv.orders WHERE o_orderkey % 7 = 0")
+            cat.sql(spark, "DELETE FROM iceberg.dv.orders WHERE o_orderkey % 11 = 0")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders,"
+        " CAST(SUM(o_orderkey) AS BIGINT) AS key_sum"
+        " FROM iceberg.dv.orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )

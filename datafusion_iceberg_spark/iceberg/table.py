@@ -202,6 +202,10 @@ class IcebergTable:
 
         out: set[str] = set()
         for d in self.position_delete_files():
+            if d.referenced_data_file is not None:
+                # deletion vector: the target is named in the entry
+                out.add(self.metadata.localize(d.referenced_data_file))
+                continue
             p = self.metadata.localize(d.path)
             try:
                 col = pq.read_table(p, columns=["file_path"])["file_path"]
@@ -572,13 +576,30 @@ def _apply_position_deletes(
         else {}
     )
     sides = []
+    dv_rows = []
     for d in deletes:
+        if d.referenced_data_file is not None:
+            # v3 deletion vector: one puffin blob per target data file,
+            # decoded in executors (one task per DV batch) — the ranged
+            # read shape a reader at scale uses
+            dv_rows.append(
+                (
+                    meta.localize(d.path),
+                    int(d.content_offset or 0),
+                    int(d.content_size_in_bytes or 0),
+                    meta.localize(d.referenced_data_file),
+                    _file_seq(seqs, d, 1 << 31),
+                )
+            )
+            continue
         one = spark.read.parquet(meta.localize(d.path)).select(
             F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias("_del_file"),
             F.col("pos").alias("_del_pos"),
             F.lit(_file_seq(seqs, d, 1 << 31)).cast("long").alias("_del_seq"),
         )
         sides.append(one)
+    if dv_rows:
+        sides.append(_decode_dv_frame(spark, dv_rows))
     pos = sides[0]
     for s in sides[1:]:
         pos = pos.unionByName(s)
@@ -621,6 +642,36 @@ def _tune_listing_parallelism(spark: SparkSession, n_paths: int) -> None:
         )
     except Exception:
         pass
+
+
+def _decode_dv_frame(spark: SparkSession, dv_rows: list[tuple]) -> DataFrame:
+    """(puffin_path, offset, length, target_file, seq) rows → the
+    (_del_file, _del_pos, _del_seq) frame position-delete application
+    anti-joins against.  Blob decode runs in executors via mapInPandas —
+    the driver ships only the metadata-scale DV list."""
+
+    def decode(batches):
+        import pandas as pd
+
+        from datafusion_iceberg_spark.iceberg.puffin import (
+            read_dv_positions,
+        )
+
+        for pdf in batches:
+            rows = []
+            for p, off, ln, tgt, seq in pdf.itertuples(index=False):
+                for pos in read_dv_positions(p, int(off), int(ln)):
+                    rows.append((tgt, pos, int(seq)))
+            yield pd.DataFrame(
+                rows, columns=["_del_file", "_del_pos", "_del_seq"]
+            )
+
+    inp = spark.createDataFrame(
+        dv_rows, "p string, o long, l long, tgt string, seq long"
+    )
+    return inp.repartition(max(1, min(len(dv_rows), 64))).mapInPandas(
+        decode, "_del_file string, _del_pos long, _del_seq long"
+    )
 
 
 def _compact_read_paths(paths: list[str], threshold: int = 64) -> list[str]:

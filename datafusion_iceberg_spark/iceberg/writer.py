@@ -158,6 +158,11 @@ def _manifest_schema(partition_fields: list[dict]) -> dict:
                 "type": _nullable({"type": "array", "items": "int"}),
                 "default": None,
             },
+            # v3 deletion vectors: puffin-backed content=1 entries name
+            # their single target data file and blob range
+            {"name": "referenced_data_file", "type": _nullable("string"), "default": None},
+            {"name": "content_offset", "type": _nullable("long"), "default": None},
+            {"name": "content_size_in_bytes", "type": _nullable("long"), "default": None},
         ],
     }
     return {
@@ -1797,6 +1802,160 @@ class IcebergWriter:
                 time.sleep(0.05 * (_attempt + 1))
         raise AssertionError("unreachable")
 
+    def delete_where_dv(self, spark: SparkSession, pred) -> int:
+        """Merge-on-read DELETE via Iceberg v3 DELETION VECTORS: matched
+        row positions are stored as one roaring bitmap PER DATA FILE
+        inside a single Puffin container, referenced by content=1
+        manifest entries carrying (referenced_data_file, content_offset,
+        content_size_in_bytes).  The v3 replacement for parquet position
+        deletes: a reader applies at most ONE blob per data file with a
+        single ranged read — no per-delete-file scan legs.
+
+        Invariant kept the simple way: every DV commit REWRITES the
+        table's full DV set (existing vectors are unioned with the new
+        positions and re-emitted into the new container, old pure-DV
+        manifests dropped), so "at most one DV per data file" holds by
+        construction.  DV bytes are roaring-compressed positions —
+        kilobytes per file — so the driver-side union is metadata-scale.
+        Parquet-based position deletes and equality deletes, if any
+        coexist, remain in force untouched.
+        """
+        from pyspark.sql import functions as F
+
+        from datafusion_iceberg_spark.iceberg.pruning import (
+            pred_to_sql,
+            sql_to_pred,
+        )
+        from datafusion_iceberg_spark.iceberg.puffin import (
+            dv_blob,
+            read_dv_positions,
+            write_puffin,
+        )
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        if isinstance(pred, str):
+            where_sql = pred
+            pred = sql_to_pred(pred)
+        else:
+            where_sql = pred_to_sql(pred)
+        table = IcebergTable.load(self.root)
+        meta = table.metadata
+        candidates = (
+            table.files(filters=pred)
+            if pred is not None
+            else list(table.files())
+        )
+        cur = meta.raw.get("current-snapshot-id")
+        if not candidates:
+            return int(cur) if cur is not None else -1
+
+        scanned = table._scan_files(
+            spark, candidates, None, _with_row_meta=True
+        )
+        matched = (
+            scanned.filter(F.expr(f"coalesce(({where_sql}), false)"))
+            .select(
+                F.regexp_replace(F.col("_ice_file"), "^file:/*", "/").alias(
+                    "file_path"
+                ),
+                F.col("_ice_pos").cast("long").alias("pos"),
+            )
+            .groupBy("file_path")
+            .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+            .collect()  # one row per touched file; roaring-scale payloads
+        )
+        new_pos = {r["file_path"]: list(r["positions"]) for r in matched}
+
+        # union with existing DVs (full DV-set rewrite) and find the
+        # manifests they came from so the commit can drop them
+        drop_paths = set()
+        for mf in table.manifests(content=1):
+            from datafusion_iceberg_spark.iceberg.manifests import (
+                read_manifest,
+            )
+
+            entries = read_manifest(
+                meta.localize(mf.path), inherit_seq=mf.sequence_number
+            )
+            if entries and all(
+                e.referenced_data_file is not None for e in entries
+            ):
+                drop_paths.add(mf.path)
+            for e in entries:
+                if e.referenced_data_file is None:
+                    continue
+                prev = read_dv_positions(
+                    meta.localize(e.path),
+                    e.content_offset or 0,
+                    e.content_size_in_bytes or 0,
+                )
+                tgt = meta.localize(e.referenced_data_file)
+                new_pos[tgt] = sorted(set(new_pos.get(tgt, [])) | set(prev))
+        if not new_pos:
+            return int(cur) if cur is not None else -1
+
+        snap_id = int(time.time() * 1000) * 1000 + (
+            int.from_bytes(os.urandom(2), "big") % 1000
+        )
+        dv_dir = os.path.join(self.root, "data", f"snap-{snap_id}-dv")
+        os.makedirs(dv_dir, exist_ok=True)
+        puffin_path = os.path.join(dv_dir, f"{uuidlib.uuid4().hex}.puffin")
+        blobs = [
+            dv_blob(pos_list, fp, snapshot_id=snap_id)
+            for fp, pos_list in sorted(new_pos.items())
+        ]
+        write_puffin(puffin_path, blobs)
+        psize = os.path.getsize(puffin_path)
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": puffin_path,
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": len(set(new_pos[b.properties["referenced-data-file"]])),
+                    "file_size_in_bytes": psize,
+                    "block_size_in_bytes": 67108864,
+                    "value_counts": [],
+                    "null_value_counts": [],
+                    "lower_bounds": [],
+                    "upper_bounds": [],
+                    "content": 1,
+                    "referenced_data_file": b.properties["referenced-data-file"],
+                    "content_offset": b.offset,
+                    "content_size_in_bytes": b.length,
+                },
+            }
+            for b in blobs
+        ]
+        meta_dir = os.path.join(self.root, "metadata")
+        man_uuid = str(uuidlib.uuid4())
+        manifest_path = os.path.join(meta_dir, f"{man_uuid}-dv-m0.avro")
+        write_avro_file(manifest_path, _manifest_schema([]), entries)
+        n_deleted = sum(len(v) for v in new_pos.values())
+        manifest_list_path = os.path.join(
+            meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
+        )
+        for _attempt in range(5):
+            try:
+                return self._commit_mor_delete_snapshot(
+                    snap_id,
+                    manifest_path,
+                    manifest_list_path,
+                    entries,
+                    n_deleted,
+                    _target_paths=set(new_pos),
+                    _drop_manifest_paths=drop_paths,
+                )
+            except RewriteConflict:
+                raise
+            except CommitConflict:
+                if _attempt == 4:
+                    raise
+                time.sleep(0.05 * (_attempt + 1))
+        raise AssertionError("unreachable")
+
     def rewrite_position_deletes(self, spark: SparkSession) -> dict:
         """Iceberg's ``rewrite_position_delete_files`` maintenance: merge
         the table's accumulated position-delete files into ONE file (and
@@ -1821,7 +1980,14 @@ class IcebergWriter:
 
         table = IcebergTable.load(self.root)
         meta = table.metadata
-        pos = table.position_delete_files()
+        # parquet-backed position deletes only: deletion vectors already
+        # hold one merged bitmap per file (delete_where_dv rewrites the
+        # DV set on every commit), so there is nothing to compact there
+        pos = [
+            d
+            for d in table.position_delete_files()
+            if d.referenced_data_file is None
+        ]
         if len(pos) <= 1:
             return {
                 "deletes_before": len(pos),
@@ -1829,13 +1995,16 @@ class IcebergWriter:
                 "snapshot_id": None,
             }
         # manifests to replace: content=1 manifests whose entries are all
-        # position deletes (eq-bearing manifests stay)
+        # parquet position deletes (eq- and DV-bearing manifests stay)
         drop_paths = set()
         for mf in table.manifests(content=1):
             entries = read_manifest(
                 meta.localize(mf.path), inherit_seq=mf.sequence_number
             )
-            if all(e.content != 2 for e in entries):
+            if all(
+                e.content != 2 and e.referenced_data_file is None
+                for e in entries
+            ):
                 drop_paths.add(mf.path)
         # live-path set as a (metadata-sized) frame, not an isin literal
         # list — a 100k-file table would otherwise inline 100k strings

@@ -3282,3 +3282,91 @@ def test_rewrite_position_deletes_merges_and_drops_dangling(
     # time travel to the pre-rewrite snapshot still applies 3 delete files
     pre = t.metadata.snapshots[-2].snapshot_id
     assert len(t.position_delete_files(snapshot_id=pre)) == 3
+
+
+def test_roaring_portable_roundtrip():
+    """Portable 64-bit roaring codec: array containers, bitmap
+    containers (>4096 cardinality), multi-bucket 64-bit values, and a
+    hand-built RUN-container bitmap decode."""
+    import struct
+
+    from datafusion_iceberg_spark.iceberg.roaring import (
+        deserialize_u64,
+        serialize_u64,
+        _deserialize32,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    for case in (
+        [],
+        [0],
+        [65535, 65536, 65537],
+        list(range(9000)),
+        [rng.randrange(0, 1 << 50) for _ in range(4000)],
+    ):
+        assert deserialize_u64(serialize_u64(case)) == sorted(set(case))
+    # hand-built run bitmap: cookie 12347, 1 container (run), key 0,
+    # card-1 = 9, runbits=0b1, no offsets (n < 4), runs: (5, len 9)
+    buf = struct.pack("<I", (0 << 16) | 12347) + b"\x01" + struct.pack(
+        "<HH", 0, 9
+    ) + struct.pack("<H", 1) + struct.pack("<HH", 5, 9)
+    vals, _ = _deserialize32(buf, 0)
+    assert vals == list(range(5, 15))
+
+
+def test_deletion_vector_delete_scan(spark, sf_dir, scratch):
+    """v3 deletion vectors end-to-end: DELETE under
+    write.delete.mode='deletion-vector' stores roaring bitmaps in ONE
+    puffin container (one blob per touched data file), the scan applies
+    them, a second delete REWRITES the DV set (still one DV per file),
+    and COW compaction folds them away."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_dv")
+    cat = Catalog(root)
+    orders = load_table(spark, sf_dir, "orders")
+    cat.create_table("d.o", orders.schema, partition_by=["o_orderstatus"])
+    cat.append("d.o", spark, orders)
+    cat.sql(
+        spark,
+        "ALTER TABLE iceberg.d.o SET TBLPROPERTIES"
+        " ('write.delete.mode' = 'deletion-vector')",
+    )
+    n0 = orders.count()
+    cat.sql(spark, "DELETE FROM iceberg.d.o WHERE o_orderkey % 7 = 0")
+    t = cat.load("d.o")
+    dels = t.position_delete_files()
+    assert dels and all(d.referenced_data_file is not None for d in dels)
+    assert all(d.file_format == "PUFFIN" for d in dels)
+    # one puffin container for the whole commit
+    assert len({d.path for d in dels}) == 1
+    expect1 = orders.filter(F.col("o_orderkey") % 7 != 0)
+    assert t.to_df(spark).count() == expect1.count()
+    # second delete: DV set rewritten, at most one DV per data file
+    cat.sql(spark, "DELETE FROM iceberg.d.o WHERE o_orderkey % 11 = 0")
+    t = cat.load("d.o")
+    dels = t.position_delete_files()
+    targets = [d.referenced_data_file for d in dels]
+    assert len(targets) == len(set(targets))  # <= 1 DV per file
+    assert len({d.path for d in dels}) == 1  # old container superseded
+    expect2 = expect1.filter(F.col("o_orderkey") % 11 != 0)
+    got = t.to_df(spark)
+    assert got.count() == expect2.count()
+    assert got.agg(F.sum("o_orderkey")).collect()[0][0] == (
+        expect2.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
+    # statistics subtract DV cardinalities exactly
+    st = t.statistics()
+    assert st["num_rows"] == expect2.count() and st["is_exact"]
+    # compaction folds the DVs away
+    cat.compact("d.o", spark)
+    t = cat.load("d.o")
+    assert not t.position_delete_files()
+    assert t.to_df(spark).count() == expect2.count()
+    assert n0 > expect2.count()
