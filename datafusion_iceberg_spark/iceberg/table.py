@@ -505,19 +505,30 @@ class IcebergTable:
                 targeted = retained
             elif fresh_pos:
                 # position deletes carry their targets' paths: one narrow
-                # scan of the (small) delete files bounds the diff set
-                tpaths = [meta.localize(f.path) for f in fresh_pos]
-                hits = (
-                    spark.read.parquet(*tpaths)
-                    .select(
-                        F.regexp_replace(
-                            F.col("file_path"), "^file:/*", "/"
-                        ).alias("p")
+                # scan of the (small) delete files bounds the diff set.
+                # DV entries (puffin) name the target in the entry itself.
+                norm = {
+                    meta.localize(f.referenced_data_file)
+                    for f in fresh_pos
+                    if f.referenced_data_file is not None
+                }
+                tpaths = [
+                    meta.localize(f.path)
+                    for f in fresh_pos
+                    if f.referenced_data_file is None
+                ]
+                if tpaths:
+                    hits = (
+                        spark.read.parquet(*tpaths)
+                        .select(
+                            F.regexp_replace(
+                                F.col("file_path"), "^file:/*", "/"
+                            ).alias("p")
+                        )
+                        .distinct()
+                        .collect()
                     )
-                    .distinct()
-                    .collect()
-                )
-                norm = {r.p for r in hits}
+                    norm |= {r.p for r in hits}
                 targeted = {p for p in retained if meta.localize(p) in norm}
             old_side = removed + [old_files[p] for p in sorted(targeted)]
             new_side = added + [new_files[p] for p in sorted(targeted)]

@@ -3370,3 +3370,34 @@ def test_deletion_vector_delete_scan(spark, sf_dir, scratch):
     assert not t.position_delete_files()
     assert t.to_df(spark).count() == expect2.count()
     assert n0 > expect2.count()
+
+
+def test_changelog_over_deletion_vectors(spark, sf_dir, scratch):
+    """The CDC changelog reports exactly the rows each DV delete
+    removed, including across a DV-set rewrite (second delete's bitmap
+    carries old+new positions but only the new removals are emitted)."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = os.path.join(scratch, "wh_dvlog")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table(
+        "d.n", nation.schema,
+        properties={"write.delete.mode": "deletion-vector"},
+    )
+    cat.append("d.n", spark, nation)
+    cat.sql(spark, "DELETE FROM iceberg.d.n WHERE n_nationkey IN (2, 4)")
+    cat.sql(spark, "DELETE FROM iceberg.d.n WHERE n_nationkey IN (4, 9)")
+    log = cat.load("d.n").changelog_df(spark)
+    dels = (
+        log.filter(F.col("_change_type") == "delete")
+        .groupBy("_change_ordinal")
+        .agg(F.sort_array(F.collect_list("n_nationkey")).alias("ks"))
+        .orderBy("_change_ordinal")
+        .collect()
+    )
+    assert [list(r.ks) for r in dels] == [[2, 4], [9]]
