@@ -544,6 +544,22 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def update_where_mor(
+        self, ident: str, spark: SparkSession, pred, set_exprs: dict[str, str]
+    ) -> int:
+        """Merge-on-read UPDATE (writer.update_where_mor: one row-delta
+        snapshot = position deletes + replacement rows) + mirror
+        refresh; re-plans on concurrent-rewrite conflicts."""
+        snap = self._replan(
+            ident,
+            lambda: self.writer(ident).update_where_mor(
+                spark, pred, set_exprs
+            ),
+        )
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
     def merge_into(
         self,
         ident: str,

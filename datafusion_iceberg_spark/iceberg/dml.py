@@ -565,13 +565,25 @@ def _update(surface, spark, q, tgt3) -> Optional[DataFrame]:
         set_exprs[_unq(am.group(1))] = surface.resolve_names(
             am.group(2).strip()
         )
-    _need(surface, "update_where")
-    snap = surface.update_where(
-        ident,
-        spark,
-        surface.resolve_names(where) if where is not None else "TRUE",
-        set_exprs,
+    # honor write.update.mode: merge-on-read commits one row-delta
+    # snapshot (position deletes + replacement rows) instead of the
+    # copy-on-write candidate-file rewrite
+    mode = (
+        surface.load(ident)
+        .metadata.properties.get("write.update.mode", "copy-on-write")
+        .lower()
     )
+    resolved_where = (
+        surface.resolve_names(where) if where is not None else "TRUE"
+    )
+    if mode == "merge-on-read":
+        _need(surface, "update_where_mor")
+        snap = surface.update_where_mor(
+            ident, spark, resolved_where, set_exprs
+        )
+    else:
+        _need(surface, "update_where")
+        snap = surface.update_where(ident, spark, resolved_where, set_exprs)
     return _result(spark, "update", ident, snap)
 
 

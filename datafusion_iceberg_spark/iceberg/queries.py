@@ -2310,3 +2310,54 @@ def iceberg_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(SUM(o_orderkey) AS BIGINT) AS key_sum"
         " FROM iceberg.dv.orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     )
+
+
+@register(
+    "iceberg_mor_update_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 0
+                         THEN o_custkey + 1000000 ELSE o_custkey END)
+                AS BIGINT) AS key_sum
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_mor_update_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (write.update.mode='merge-on-read'): one
+    row-delta snapshot carries position deletes of the matched rows plus
+    a data manifest with their transformed replacements — write cost
+    proportional to MATCHED rows, not candidate-file bytes.  The scan
+    must show exactly the transformed state; Spark-Iceberg parity the
+    reference (read-only) has no analogue for."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_morupd")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table(
+                "mu.orders",
+                orders.schema,
+                partition_by=["o_orderstatus"],
+                properties={"write.update.mode": "merge-on-read"},
+            )
+            cat.append("mu.orders", spark, orders)
+            cat.sql(
+                spark,
+                "UPDATE iceberg.mu.orders SET o_custkey = o_custkey + 1000000"
+                " WHERE o_orderkey % 3 = 0",
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders,"
+        " CAST(SUM(o_custkey) AS BIGINT) AS key_sum"
+        " FROM iceberg.mu.orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )

@@ -520,14 +520,30 @@ class IcebergWriter:
         :meth:`compact`); ``_extra_entries`` (DataFile objects) are
         surviving files included verbatim in the new manifest (used by
         :meth:`delete` for copy-on-write)."""
+        snap_id = int(time.time() * 1000) * 1000 + (int.from_bytes(os.urandom(2), "big") % 1000)
+        files = self._write_data_files(df, snap_id)
+        return self._commit_file_stats(
+            snap_id,
+            files,
+            _carry,
+            _operation,
+            _extra_entries,
+            _allow_empty,
+            stage_branch,
+            _expected_parent,
+        )
+
+    def _write_data_files(self, df: DataFrame, snap_id: int) -> list[dict]:
+        """The write half of :meth:`append`: field-id-stamped parquet
+        under ``data/snap-<id>`` with partition transforms and table
+        sort order applied; returns the per-file stats dicts."""
+        from pyspark.sql import functions as _F
+
         from datafusion_iceberg_spark.iceberg.transforms import spark_expr
 
-        snap_id = int(time.time() * 1000) * 1000 + (int.from_bytes(os.urandom(2), "big") % 1000)
         data_dir = os.path.join(self.root, "data", f"snap-{snap_id}")
         # stamp PARQUET:field_id on every column (fieldId.write.enabled in
         # session confs) so future scans can resolve by id across renames
-        from pyspark.sql import functions as _F
-
         out = df.select(
             *[
                 _F.col(f.name).alias(
@@ -554,18 +570,7 @@ class IcebergWriter:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(data_dir)
-
-        files = self._collect_file_stats(data_dir)
-        return self._commit_file_stats(
-            snap_id,
-            files,
-            _carry,
-            _operation,
-            _extra_entries,
-            _allow_empty,
-            stage_branch,
-            _expected_parent,
-        )
+        return self._collect_file_stats(data_dir)
 
     def set_properties(self, updates: dict, removes: Optional[list] = None) -> None:
         """ALTER TABLE SET/UNSET TBLPROPERTIES: merge ``updates`` into the
@@ -696,6 +701,51 @@ class IcebergWriter:
             snap_id, files, True, operation, _extra_summary=extra_summary
         )
 
+    def _data_entry(self, snap_id: int, f: dict) -> dict:
+        """Manifest entry dict for one per-file stats dict."""
+        return {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "data_file": {
+                "file_path": f["path"],
+                "file_format": "PARQUET",
+                "partition": f["partition"],
+                "record_count": f["record_count"],
+                "file_size_in_bytes": f["file_size"],
+                "block_size_in_bytes": 67108864,
+                "value_counts": [
+                    {"key": k, "value": v} for k, v in f["value_counts"].items()
+                ],
+                "null_value_counts": [
+                    {"key": k, "value": v} for k, v in f["null_counts"].items()
+                ],
+                "lower_bounds": [
+                    {"key": k, "value": v} for k, v in f["lower_bounds"].items()
+                ],
+                "upper_bounds": [
+                    {"key": k, "value": v} for k, v in f["upper_bounds"].items()
+                ],
+            },
+        }
+
+    def _partition_summaries(self, all_parts: list[dict]) -> list[dict]:
+        """Manifest-list partition summaries from per-file partition
+        values (bounds encode with the TRANSFORM's result type — the
+        domain the pruning rewrite compares against)."""
+        summaries = []
+        for source, transform, c in self.spec_entries:
+            t = self._part_result_type(source, transform)
+            vals = [p[c] for p in all_parts if p.get(c) is not None]
+            summaries.append(
+                {
+                    "contains_null": any(p.get(c) is None for p in all_parts),
+                    "contains_nan": False,
+                    "lower_bound": encode_stat(t, min(vals)) if vals else None,
+                    "upper_bound": encode_stat(t, max(vals)) if vals else None,
+                }
+            )
+        return summaries
+
     def _commit_file_stats(
         self,
         snap_id: int,
@@ -726,33 +776,7 @@ class IcebergWriter:
             }
             for source, transform, fname in self.spec_entries
         ]
-        entries = [
-            {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "data_file": {
-                    "file_path": f["path"],
-                    "file_format": "PARQUET",
-                    "partition": f["partition"],
-                    "record_count": f["record_count"],
-                    "file_size_in_bytes": f["file_size"],
-                    "block_size_in_bytes": 67108864,
-                    "value_counts": [
-                        {"key": k, "value": v} for k, v in f["value_counts"].items()
-                    ],
-                    "null_value_counts": [
-                        {"key": k, "value": v} for k, v in f["null_counts"].items()
-                    ],
-                    "lower_bounds": [
-                        {"key": k, "value": v} for k, v in f["lower_bounds"].items()
-                    ],
-                    "upper_bounds": [
-                        {"key": k, "value": v} for k, v in f["upper_bounds"].items()
-                    ],
-                },
-            }
-            for f in files
-        ]
+        entries = [self._data_entry(snap_id, f) for f in files]
         # surviving files re-included verbatim (copy-on-write delete):
         # they keep their original data sequence number — only genuinely
         # rewritten rows take the new commit's sequence
@@ -791,23 +815,7 @@ class IcebergWriter:
         ]
         write_avro_file(manifest_path, _manifest_schema(part_fields), entries)
 
-        # manifest-list partition summaries from per-file partition values
-        # (bounds encode with the TRANSFORM's result type — the domain the
-        # pruning rewrite compares against)
-        summaries = []
-        for source, transform, c in self.spec_entries:
-            t = self._part_result_type(source, transform)
-            vals = [p[c] for p in all_parts if p.get(c) is not None]
-            summaries.append(
-                {
-                    "contains_null": any(
-                        p.get(c) is None for p in all_parts
-                    ),
-                    "contains_nan": False,
-                    "lower_bound": encode_stat(t, min(vals)) if vals else None,
-                    "upper_bound": encode_stat(t, max(vals)) if vals else None,
-                }
-            )
+        summaries = self._partition_summaries(all_parts)
         total_rows = sum(f["record_count"] for f in files) + sum(
             ef.record_count for ef in _extra_entries or []
         )
@@ -1802,6 +1810,176 @@ class IcebergWriter:
                 time.sleep(0.05 * (_attempt + 1))
         raise AssertionError("unreachable")
 
+    def update_where_mor(
+        self, spark: SparkSession, pred, set_exprs: dict
+    ) -> int:
+        """Merge-on-read UPDATE (Iceberg's ``write.update.mode =
+        'merge-on-read'``): ONE atomic snapshot carrying BOTH a
+        position-delete file covering the matched rows AND a data
+        manifest with their transformed replacements — the row-delta
+        commit shape.  Write cost is proportional to MATCHED rows, not
+        to the size of the files containing them (the copy-on-write
+        :meth:`update` rewrites whole candidate files).
+
+        The matched rows are scanned ONCE with row metadata; the delete
+        side keeps only (file, pos), the insert side applies the SET
+        expressions.  NULL-predicate rows are untouched (SQL UPDATE
+        semantics)."""
+        from pyspark.sql import functions as F
+
+        from datafusion_iceberg_spark.iceberg.pruning import (
+            pred_to_sql,
+            sql_to_pred,
+        )
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        if isinstance(pred, str):
+            where_sql = pred
+            pred = sql_to_pred(pred)
+        else:
+            where_sql = pred_to_sql(pred)
+        table = IcebergTable.load(self.root)
+        candidates = (
+            table.files(filters=pred)
+            if pred is not None
+            else list(table.files())
+        )
+        cur = table.metadata.raw.get("current-snapshot-id")
+        if not candidates:
+            return int(cur) if cur is not None else -1
+
+        scanned = table._scan_files(
+            spark, candidates, None, _with_row_meta=True
+        ).cache()
+        try:
+            matched = scanned.filter(
+                F.expr(f"coalesce(({where_sql}), false)")
+            )
+            del_rows = matched.select(
+                F.regexp_replace(F.col("_ice_file"), "^file:/*", "/").alias(
+                    "file_path"
+                ),
+                F.col("_ice_pos").cast("long").alias("pos"),
+            )
+            new_rows = matched.select(
+                *[
+                    F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                    for f in self.schema.fields
+                ]
+            )
+
+            snap_id = int(time.time() * 1000) * 1000 + (
+                int.from_bytes(os.urandom(2), "big") % 1000
+            )
+            del_dir = os.path.join(
+                self.root, "data", f"snap-{snap_id}-deletes"
+            )
+            del_rows.write.mode("overwrite").parquet(del_dir)
+
+            import pyarrow.parquet as pq
+
+            del_files = []
+            for p in sorted(
+                glob.glob(
+                    os.path.join(del_dir, "**", "*.parquet"), recursive=True
+                )
+            ):
+                n = pq.ParquetFile(p).metadata.num_rows
+                if n:
+                    del_files.append((p, n, os.path.getsize(p)))
+            if not del_files:
+                import shutil
+
+                shutil.rmtree(del_dir, ignore_errors=True)
+                return int(cur) if cur is not None else -1
+
+            data_stats = self._write_data_files(new_rows, snap_id)
+        finally:
+            scanned.unpersist()
+
+        meta_dir = os.path.join(self.root, "metadata")
+        man_uuid = str(uuidlib.uuid4())
+        # delete manifest
+        manifest_path = os.path.join(meta_dir, f"{man_uuid}-del-m0.avro")
+        entries = [
+            {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "data_file": {
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n,
+                    "file_size_in_bytes": sz,
+                    "block_size_in_bytes": 67108864,
+                    "value_counts": [],
+                    "null_value_counts": [],
+                    "lower_bounds": [],
+                    "upper_bounds": [],
+                    "content": 1,
+                },
+            }
+            for p, n, sz in del_files
+        ]
+        write_avro_file(manifest_path, _manifest_schema([]), entries)
+        n_deleted = sum(n for _, n, _ in del_files)
+        targets = set()
+        for p, _, _ in del_files:
+            targets.update(
+                pq.read_table(p, columns=["file_path"])
+                .column("file_path")
+                .to_pylist()
+            )
+        # data manifest (same snapshot)
+        part_fields = [
+            {
+                "name": fname,
+                "avro_type": _avro_type_for(
+                    self._part_result_type(source, transform)
+                ),
+            }
+            for source, transform, fname in self.spec_entries
+        ]
+        d_manifest_path = os.path.join(meta_dir, f"{man_uuid}-m0.avro")
+        d_entries = [self._data_entry(snap_id, f) for f in data_stats]
+        write_avro_file(
+            d_manifest_path, _manifest_schema(part_fields), d_entries
+        )
+        d_summaries = self._partition_summaries(
+            [f["partition"] for f in data_stats]
+        )
+        d_rows = sum(f["record_count"] for f in data_stats)
+
+        manifest_list_path = os.path.join(
+            meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
+        )
+        for _attempt in range(5):
+            try:
+                return self._commit_mor_delete_snapshot(
+                    snap_id,
+                    manifest_path,
+                    manifest_list_path,
+                    entries,
+                    n_deleted,
+                    _target_paths=targets,
+                    _operation="overwrite",
+                    _data_manifest=(
+                        d_manifest_path,
+                        len(d_entries),
+                        d_summaries,
+                        d_rows,
+                    ),
+                )
+            except RewriteConflict:
+                raise
+            except CommitConflict:
+                if _attempt == 4:
+                    raise
+                time.sleep(0.05 * (_attempt + 1))
+        raise AssertionError("unreachable")
+
     def delete_where_dv(self, spark: SparkSession, pred) -> int:
         """Merge-on-read DELETE via Iceberg v3 DELETION VECTORS: matched
         row positions are stored as one roaring bitmap PER DATA FILE
@@ -2190,6 +2368,7 @@ class IcebergWriter:
         _target_paths: Optional[set] = None,
         _drop_manifest_paths: Optional[set] = None,
         _operation: str = "delete",
+        _data_manifest: Optional[tuple] = None,
     ) -> int:
         """Read-validate-commit section of delete_where_mor /
         delete_where_eq, re-entrant for the optimistic-concurrency
@@ -2200,7 +2379,12 @@ class IcebergWriter:
         ordinal sequencing, so concurrent appends/rewrites stay
         correct without this check.  ``_drop_manifest_paths`` omits
         those manifests from the carried list — how
-        rewrite_position_deletes replaces the old delete manifests."""
+        rewrite_position_deletes replaces the old delete manifests.
+        ``_data_manifest`` = (manifest_path, n_entries, summaries,
+        total_rows): an ADDITIONAL data manifest committed in the SAME
+        snapshot — the row-delta shape merge-on-read UPDATE needs
+        (deletes of the old rows + appends of the new rows, one atomic
+        commit)."""
         meta = self._load_current()
         if _target_paths:
             from datafusion_iceberg_spark.iceberg.metadata import TableMetadata
@@ -2248,28 +2432,46 @@ class IcebergWriter:
                     continue
                 carried.append(_carry_manifest_row(mf))
         seq = _next_sequence(meta)
-        write_avro_file(
-            manifest_list_path,
-            _MANIFEST_LIST_SCHEMA,
-            carried
-            + [
+        new_rows = [
+            {
+                "manifest_path": manifest_path,
+                "manifest_length": os.path.getsize(manifest_path),
+                "partition_spec_id": self.spec_id,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_data_files_count": len(entries),
+                "existing_data_files_count": 0,
+                "deleted_data_files_count": 0,
+                "partitions": None,
+                "added_rows_count": n_deleted,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "content": 1,
+            }
+        ]
+        if _data_manifest is not None:
+            d_path, d_entries, d_summaries, d_rows = _data_manifest
+            new_rows.append(
                 {
-                    "manifest_path": manifest_path,
-                    "manifest_length": os.path.getsize(manifest_path),
+                    "manifest_path": d_path,
+                    "manifest_length": os.path.getsize(d_path),
                     "partition_spec_id": self.spec_id,
                     "sequence_number": seq,
                     "min_sequence_number": seq,
                     "added_snapshot_id": snap_id,
-                    "added_data_files_count": len(entries),
+                    "added_data_files_count": d_entries,
                     "existing_data_files_count": 0,
                     "deleted_data_files_count": 0,
-                    "partitions": None,
-                    "added_rows_count": n_deleted,
+                    "partitions": d_summaries or None,
+                    "added_rows_count": d_rows,
                     "existing_rows_count": 0,
                     "deleted_rows_count": 0,
-                    "content": 1,
+                    "content": 0,
                 }
-            ],
+            )
+        write_avro_file(
+            manifest_list_path, _MANIFEST_LIST_SCHEMA, carried + new_rows
         )
         now = int(time.time() * 1000)
         prev_total = 0
@@ -2282,6 +2484,15 @@ class IcebergWriter:
         if cur_snap is not None:
             prev_total = int(cur_snap["summary"].get("total-records", 0))
             prev_files = int(cur_snap["summary"].get("total-data-files", 0))
+        extra_sum = {}
+        if _data_manifest is not None:
+            d_path, d_entries, d_summaries, d_rows = _data_manifest
+            extra_sum = {
+                "added-data-files": str(d_entries),
+                "added-records": str(d_rows),
+            }
+            prev_total += d_rows
+            prev_files += d_entries
         snapshot = {
             "snapshot-id": snap_id,
             "sequence-number": seq,
@@ -2293,6 +2504,7 @@ class IcebergWriter:
                 f"added-{delete_kind}-deletes": str(n_deleted),
                 "total-records": str(prev_total),
                 "total-data-files": str(prev_files),
+                **extra_sum,
             },
             "manifest-list": manifest_list_path,
             "schema-id": 0,

@@ -3401,3 +3401,62 @@ def test_changelog_over_deletion_vectors(spark, sf_dir, scratch):
         .collect()
     )
     assert [list(r.ks) for r in dels] == [[2, 4], [9]]
+
+
+def test_update_where_mor_row_delta(spark, sf_dir, tmp_path):
+    """write.update.mode='merge-on-read': UPDATE commits ONE snapshot
+    carrying both the position deletes and the replacement rows; scan,
+    statistics, changelog, and a follow-up compaction all agree with
+    the copy-on-write result."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "wh_morupd")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table(
+        "u.n", nation.schema,
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    cat.append("u.n", spark, nation)
+    n_snaps0 = len(cat.load("u.n").metadata.snapshots)
+    cat.sql(
+        spark,
+        "UPDATE iceberg.u.n SET n_name = concat(n_name, '_X'),"
+        " n_regionkey = n_regionkey + 100 WHERE n_nationkey % 5 = 0",
+    )
+    t = cat.load("u.n")
+    # exactly ONE new snapshot for the whole row-delta
+    assert len(t.metadata.snapshots) == n_snaps0 + 1
+    assert t.position_delete_files()  # MOR artifacts present
+    got = t.to_df(spark)
+    assert got.count() == 25
+    updated = got.filter(F.col("n_nationkey") % 5 == 0)
+    assert updated.count() == 5
+    assert all(
+        r.n_name.endswith("_X") and r.n_regionkey >= 100
+        for r in updated.collect()
+    )
+    untouched = got.filter(F.col("n_nationkey") % 5 != 0)
+    assert all(
+        not r.n_name.endswith("_X") and r.n_regionkey < 100
+        for r in untouched.collect()
+    )
+    # statistics stay exact: 25 live rows
+    assert t.statistics()["num_rows"] == 25
+    # changelog: the update surfaces as 5 deletes + 5 inserts at one ordinal
+    log = t.changelog_df(spark)
+    counts = {
+        (r._change_type, r._change_ordinal): r.n
+        for r in log.groupBy("_change_type", "_change_ordinal")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert counts[("delete", 1)] == 5 and counts[("insert", 1)] == 5
+    # compaction folds the row-delta away, result unchanged
+    cat.compact("u.n", spark)
+    t = cat.load("u.n")
+    assert not t.position_delete_files()
+    assert t.to_df(spark).count() == 25
+    assert t.to_df(spark).filter(F.col("n_regionkey") >= 100).count() == 5
