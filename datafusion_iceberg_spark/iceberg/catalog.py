@@ -571,10 +571,18 @@ class Catalog(SqlSurface):
         when_matched_delete: bool = False,
     ) -> int:
         """MERGE INTO (writer.merge; ``on`` may be a composite key list)
-        + mirror refresh; re-plans on concurrent-commit conflicts."""
+        + mirror refresh; re-plans on concurrent-commit conflicts.
+        Honors ``write.merge.mode='merge-on-read'`` — one row-delta
+        snapshot (writer.merge_mor) instead of the COW rewrite."""
+        mode = (
+            self.load(ident)
+            .metadata.properties.get("write.merge.mode", "copy-on-write")
+            .lower()
+        )
+        method = "merge_mor" if mode == "merge-on-read" else "merge"
         snap = self._replan(
             ident,
-            lambda: self.writer(ident).merge(
+            lambda: getattr(self.writer(ident), method)(
                 spark,
                 source,
                 on,

@@ -1869,39 +1869,50 @@ class IcebergWriter:
                     for f in self.schema.fields
                 ]
             )
-
-            snap_id = int(time.time() * 1000) * 1000 + (
-                int.from_bytes(os.urandom(2), "big") % 1000
-            )
-            del_dir = os.path.join(
-                self.root, "data", f"snap-{snap_id}-deletes"
-            )
-            del_rows.write.mode("overwrite").parquet(del_dir)
-
-            import pyarrow.parquet as pq
-
-            del_files = []
-            for p in sorted(
-                glob.glob(
-                    os.path.join(del_dir, "**", "*.parquet"), recursive=True
-                )
-            ):
-                n = pq.ParquetFile(p).metadata.num_rows
-                if n:
-                    del_files.append((p, n, os.path.getsize(p)))
-            if not del_files:
-                import shutil
-
-                shutil.rmtree(del_dir, ignore_errors=True)
-                return int(cur) if cur is not None else -1
-
-            data_stats = self._write_data_files(new_rows, snap_id)
+            return self._commit_row_delta(spark, del_rows, new_rows, cur)
         finally:
             scanned.unpersist()
 
+    def _commit_row_delta(
+        self,
+        spark: SparkSession,
+        del_rows: DataFrame,
+        new_rows: Optional[DataFrame],
+        cur,
+    ) -> int:
+        """Write + commit one atomic row-delta snapshot: a position-
+        delete file from ``del_rows`` (file_path, pos) and, when
+        ``new_rows`` is given, the replacement/insert data files — both
+        manifests in the SAME snapshot.  Shared by merge-on-read UPDATE
+        and MERGE."""
+        snap_id = int(time.time() * 1000) * 1000 + (
+            int.from_bytes(os.urandom(2), "big") % 1000
+        )
+        del_dir = os.path.join(self.root, "data", f"snap-{snap_id}-deletes")
+        del_rows.write.mode("overwrite").parquet(del_dir)
+
+        import pyarrow.parquet as pq
+
+        del_files = []
+        for p in sorted(
+            glob.glob(os.path.join(del_dir, "**", "*.parquet"), recursive=True)
+        ):
+            n = pq.ParquetFile(p).metadata.num_rows
+            if n:
+                del_files.append((p, n, os.path.getsize(p)))
+        data_stats = (
+            self._write_data_files(new_rows, snap_id)
+            if new_rows is not None
+            else []
+        )
+        if not del_files and not data_stats:
+            import shutil
+
+            shutil.rmtree(del_dir, ignore_errors=True)
+            return int(cur) if cur is not None else -1
+
         meta_dir = os.path.join(self.root, "metadata")
         man_uuid = str(uuidlib.uuid4())
-        # delete manifest
         manifest_path = os.path.join(meta_dir, f"{man_uuid}-del-m0.avro")
         entries = [
             {
@@ -1932,25 +1943,30 @@ class IcebergWriter:
                 .column("file_path")
                 .to_pylist()
             )
-        # data manifest (same snapshot)
-        part_fields = [
-            {
-                "name": fname,
-                "avro_type": _avro_type_for(
-                    self._part_result_type(source, transform)
+        data_manifest = None
+        if data_stats:
+            part_fields = [
+                {
+                    "name": fname,
+                    "avro_type": _avro_type_for(
+                        self._part_result_type(source, transform)
+                    ),
+                }
+                for source, transform, fname in self.spec_entries
+            ]
+            d_manifest_path = os.path.join(meta_dir, f"{man_uuid}-m0.avro")
+            d_entries = [self._data_entry(snap_id, f) for f in data_stats]
+            write_avro_file(
+                d_manifest_path, _manifest_schema(part_fields), d_entries
+            )
+            data_manifest = (
+                d_manifest_path,
+                len(d_entries),
+                self._partition_summaries(
+                    [f["partition"] for f in data_stats]
                 ),
-            }
-            for source, transform, fname in self.spec_entries
-        ]
-        d_manifest_path = os.path.join(meta_dir, f"{man_uuid}-m0.avro")
-        d_entries = [self._data_entry(snap_id, f) for f in data_stats]
-        write_avro_file(
-            d_manifest_path, _manifest_schema(part_fields), d_entries
-        )
-        d_summaries = self._partition_summaries(
-            [f["partition"] for f in data_stats]
-        )
-        d_rows = sum(f["record_count"] for f in data_stats)
+                sum(f["record_count"] for f in data_stats),
+            )
 
         manifest_list_path = os.path.join(
             meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
@@ -1965,12 +1981,7 @@ class IcebergWriter:
                     n_deleted,
                     _target_paths=targets,
                     _operation="overwrite",
-                    _data_manifest=(
-                        d_manifest_path,
-                        len(d_entries),
-                        d_summaries,
-                        d_rows,
-                    ),
+                    _data_manifest=data_manifest,
                 )
             except RewriteConflict:
                 raise
@@ -2755,6 +2766,126 @@ class IcebergWriter:
             _allow_empty=True,
             _expected_parent=table.metadata.current_snapshot_id,
         )
+
+    def merge_mor(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on,
+        when_matched_set: Optional[dict[str, str]] = None,
+        insert_not_matched: bool = True,
+        when_matched_delete: bool = False,
+    ) -> int:
+        """Merge-on-read MERGE (``write.merge.mode='merge-on-read'``):
+        the same semantics as :meth:`merge`, committed as ONE row-delta
+        snapshot — position deletes covering every matched target row,
+        plus data files holding the updated replacements and the
+        NOT-MATCHED inserts.  No candidate file is rewritten; write cost
+        is proportional to matched + inserted rows.  Same duplicate-key
+        guard and key-span candidate pruning as the COW path."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        keys = [on] if isinstance(on, str) else list(on)
+        cols = [f.name for f in self.schema.fields]
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            raise ValueError(f"merge key not in schema: {missing}")
+        if when_matched_delete and when_matched_set:
+            raise ValueError(
+                "MERGE: WHEN MATCHED THEN DELETE and UPDATE SET are exclusive"
+            )
+        bad = set(when_matched_set or {}) - set(cols)
+        if bad:
+            raise ValueError(f"merge SET of unknown columns: {sorted(bad)}")
+        src = source.select(*cols)
+        keys_nn = reduce(
+            lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+        )
+        bounds = src.filter(keys_nn).agg(
+            F.min(keys[0]).alias("lo"),
+            F.max(keys[0]).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(*keys).alias("nd"),
+        ).collect()[0]
+        if bounds.n != bounds.nd:
+            raise ValueError(
+                f"MERGE source has duplicate keys on {keys!r}: "
+                f"{bounds.n} rows, {bounds.nd} distinct — dedup the source "
+                "(e.g. keep the latest row per key) before merging"
+            )
+        table = IcebergTable.load(self.root)
+        cur = table.metadata.raw.get("current-snapshot-id")
+        if bounds.lo is None and src.first() is None:
+            return int(cur) if cur is not None else -1
+        candidates = (
+            table.files(filters=("between", keys[0], bounds.lo, bounds.hi))
+            if bounds.lo is not None
+            else []
+        )
+        if not candidates:
+            # nothing can match: the whole merge is the insert branch
+            del_rows = spark.createDataFrame([], "file_path string, pos long")
+            new_rows = src if insert_not_matched else None
+            return self._commit_row_delta(spark, del_rows, new_rows, cur)
+        scanned = table._scan_files(
+            spark, candidates, None, _with_row_meta=True
+        ).cache()
+        try:
+            src_m = src.withColumn("__m", F.lit(1))
+            join_cond = reduce(
+                lambda a, b: a & b,
+                [F.col(f"t.{k}") == F.col(f"src.{k}") for k in keys],
+            )
+            joined = scanned.alias("t").join(
+                src_m.alias("src"), join_cond, "inner"
+            )
+            del_rows = joined.select(
+                F.regexp_replace(
+                    F.col("t._ice_file"), "^file:/*", "/"
+                ).alias("file_path"),
+                F.col("t._ice_pos").cast("long").alias("pos"),
+            )
+            parts = []
+            if not when_matched_delete:
+                dtypes = {f.name: f.dataType for f in self.schema.fields}
+                parts.append(
+                    joined.select(
+                        *[
+                            F.expr(
+                                f"({(when_matched_set or {}).get(c, 't.' + c)})"
+                            )
+                            .cast(dtypes[c])
+                            .alias(c)
+                            for c in cols
+                        ]
+                    )
+                )
+            if insert_not_matched:
+                anti_cond = reduce(
+                    lambda a, b: a & b,
+                    [F.col(f"s.{k}") == F.col(f"t2.{k}") for k in keys],
+                )
+                parts.append(
+                    src.alias("s")
+                    .join(
+                        scanned.select(*keys).alias("t2"),
+                        anti_cond,
+                        "left_anti",
+                    )
+                    .select(*cols)
+                )
+            new_rows = None
+            if parts:
+                new_rows = parts[0]
+                for p in parts[1:]:
+                    new_rows = new_rows.unionByName(p)
+            return self._commit_row_delta(spark, del_rows, new_rows, cur)
+        finally:
+            scanned.unpersist()
 
     def fast_forward(self, branch: str, drop_ref: bool = True) -> int:
         """Publish a staged branch (write-audit-publish step 3): advance

@@ -25,15 +25,17 @@ GROUPS = ("a", "b", "c")
 @pytest.fixture(params=["copy-on-write", "merge-on-read"])
 def engines(spark, tmp_path, request):
     """Both storage strategies end-to-end: the merge-on-read flavor runs
-    DELETEs as position-delete files AND UPDATEs as row-delta snapshots
-    (write.update.mode), so every random program exercises the MOR
-    update path too."""
+    DELETEs as position-delete files, UPDATEs as row-delta snapshots,
+    and MERGEs as row-delta snapshots (write.update.mode /
+    write.merge.mode), so every random program exercises the full MOR
+    write surface."""
     cat = Catalog(str(tmp_path / "wh"), name="fuzz")
     cat.sql(
         spark,
         f"CREATE TABLE fuzz.d.t {COLS} TBLPROPERTIES "
         f"('write.delete.mode' = '{request.param}',"
-        f" 'write.update.mode' = '{request.param}')",
+        f" 'write.update.mode' = '{request.param}',"
+        f" 'write.merge.mode' = '{request.param}')",
     )
     con = duckdb.connect()
     con.execute(f"CREATE TABLE t {COLS}")

@@ -3460,3 +3460,57 @@ def test_update_where_mor_row_delta(spark, sf_dir, tmp_path):
     assert not t.position_delete_files()
     assert t.to_df(spark).count() == 25
     assert t.to_df(spark).filter(F.col("n_regionkey") >= 100).count() == 5
+
+
+def test_merge_mor_row_delta(spark, sf_dir, tmp_path):
+    """write.merge.mode='merge-on-read': MERGE commits one row-delta
+    snapshot (deletes of matched rows + updated/inserted data files);
+    semantics identical to the COW merge, including MATCHED DELETE."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "wh_mormrg")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table(
+        "m.n", nation.schema,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    cat.append("m.n", spark, nation)
+    n_snaps0 = len(cat.load("m.n").metadata.snapshots)
+    src = nation.filter(F.col("n_nationkey").isin(1, 3)).select(
+        "n_nationkey",
+        F.concat(F.col("n_name"), F.lit("_M")).alias("n_name"),
+        (F.col("n_regionkey") + 50).alias("n_regionkey"),
+    ).unionByName(
+        spark.createDataFrame([(77, "NEWLAND_M", 7)], nation.schema)
+    )
+    cat.merge_into(
+        "m.n", spark, src, "n_nationkey",
+        when_matched_set={"n_name": "src.n_name", "n_regionkey": "src.n_regionkey"},
+    )
+    t = cat.load("m.n")
+    assert len(t.metadata.snapshots) == n_snaps0 + 1  # one atomic commit
+    assert t.position_delete_files()
+    got = t.to_df(spark)
+    assert got.count() == 26  # 25 + 1 insert
+    m = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in got.collect()}
+    assert m[1][0].endswith("_M") and m[1][1] >= 50
+    assert m[3][0].endswith("_M")
+    assert m[77] == ("NEWLAND_M", 7)
+    assert not m[2][0].endswith("_M")
+    # MATCHED DELETE flavor
+    del_src = spark.createDataFrame([(5,)], "n_nationkey: long").select(
+        F.col("n_nationkey"),
+        F.lit("x").alias("n_name"),
+        F.lit(0).cast("long").alias("n_regionkey"),
+    )
+    cat.merge_into(
+        "m.n", spark, del_src, "n_nationkey",
+        when_matched_delete=True, insert_not_matched=False,
+    )
+    t = cat.load("m.n")
+    got2 = t.to_df(spark)
+    assert got2.count() == 25
+    assert got2.filter(F.col("n_nationkey") == 5).count() == 0
