@@ -1,0 +1,148 @@
+"""Time-series gap filling — the hypertable-style `time_bucket_gapfill`
++ `interpolate`/`locf` surface (TimescaleDB/QuestDB shape) rebuilt on
+plain Spark windows.
+
+Scale design: the dense time spine is generated PER GROUP from that
+group's own [min, max] bucket span with `sequence()` + `explode` —
+pure JVM expressions, no driver loop, no cross-group blowup; the
+interpolation windows partition by the series key, so state never
+crosses groups and the sort is per-series.  At 100 TB the frame is
+(series × buckets), which is the OUTPUT size — nothing bigger ever
+materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.registry import register
+from datafusion_iceberg_spark.tables import load_table
+
+
+@register(
+    "ts_gapfill_interpolate",
+    oracle="""
+    WITH b AS (
+        -- exact integer micros: per-row scaling then integer-sum/);
+        -- double SUM order varies between engines, integer sums don't
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                          / COUNT(*)) AS BIGINT) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    rng AS (
+        SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM b GROUP BY 1
+    ),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM rng
+    ),
+    j AS (
+        SELECT s.event_type, s.bucket, b.v
+        FROM spine s LEFT JOIN b USING (event_type, bucket)
+    ),
+    w AS (
+        SELECT *,
+            last_value(v IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+            first_value(v IGNORE NULLS) OVER (
+                PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        FROM j
+    )
+    SELECT event_type, bucket,
+           CAST(CASE
+                WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + CAST(FLOOR(
+                    CAST((nv - pv) * CAST(epoch(bucket) - epoch(pb) AS BIGINT) AS DOUBLE)
+                    / CAST(epoch(nb) - epoch(pb) AS BIGINT)) AS BIGINT)
+                END AS BIGINT) AS value_micro,
+           (v IS NULL) AS was_gap
+    FROM w ORDER BY event_type, bucket
+    """,
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup of ``events.value`` per event_type with a DENSE
+    time spine: missing hours are linearly interpolated between the
+    nearest present buckets (edges take the nearest neighbor — leading
+    gaps backfill, trailing gaps carry forward / LOCF).  The
+    time_bucket_gapfill + interpolate() pattern every monitoring /
+    sensor pipeline needs, expressed as sequence-explode spine + two
+    ignore-nulls windows — all JVM, no UDF.
+
+    Determinism: values are scaled to integer MICROS per row before
+    aggregation (double SUM order differs between engines; integer sums
+    don't) and the interpolation divides exact integers — both engines
+    produce bit-identical BIGINTs, the same pattern as embed_kmeans."""
+    events = load_table(spark, sf_dir, "events")
+    buckets = (
+        events.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+        )
+        .agg(
+            F.expr(
+                "CAST(FLOOR(CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))"
+                " AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    spine = (
+        buckets.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    j = spine.join(buckets, ["event_type", "bucket"], "left")
+    back = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    marked = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    w = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(back))
+        .withColumn("pb", F.last(marked, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("nb", F.first(marked, ignorenulls=True).over(fwd))
+    )
+    interp = F.expr(
+        "pv + CAST(FLOOR("
+        " CAST((nv - pv) * (unix_timestamp(bucket) - unix_timestamp(pb)) AS DOUBLE)"
+        " / (unix_timestamp(nb) - unix_timestamp(pb))) AS BIGINT)"
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+    )
+    return (
+        w.select(
+            "event_type",
+            "bucket",
+            filled.cast("long").alias("value_micro"),
+            F.col("v").isNull().alias("was_gap"),
+        )
+        .orderBy("event_type", "bucket")
+    )

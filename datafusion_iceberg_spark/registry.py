@@ -171,6 +171,7 @@ _MODULE_RANK = {
     "datafusion_iceberg_spark.extensions.text": 3,
     "datafusion_iceberg_spark.extensions.multimodal": 4,
     "datafusion_iceberg_spark.operators.windows": 5,
+    "datafusion_iceberg_spark.operators.timeseries": 5,
     "datafusion_iceberg_spark.operators.setops": 6,
     "datafusion_iceberg_spark.operators.asof": 7,
     "datafusion_iceberg_spark.operators.skew": 8,
@@ -201,6 +202,7 @@ def load_all_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     import datafusion_iceberg_spark.operators.relational  # noqa: F401
     import datafusion_iceberg_spark.operators.windows  # noqa: F401
+    import datafusion_iceberg_spark.operators.timeseries  # noqa: F401
     import datafusion_iceberg_spark.operators.setops  # noqa: F401
     import datafusion_iceberg_spark.operators.asof  # noqa: F401
     import datafusion_iceberg_spark.operators.skew  # noqa: F401
