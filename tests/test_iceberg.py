@@ -3514,3 +3514,68 @@ def test_merge_mor_row_delta(spark, sf_dir, tmp_path):
     got2 = t.to_df(spark)
     assert got2.count() == 25
     assert got2.filter(F.col("n_nationkey") == 5).count() == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 40) - 1),
+        max_size=300,
+    ),
+    st.sampled_from([0, 1 << 16, 1 << 33]),
+)
+def test_roaring_roundtrip_property(vals, base):
+    """Any u64 position set round-trips through the portable codec,
+    across container-type boundaries (the 4096-cardinality array→bitmap
+    switch) and bucket boundaries."""
+    from datafusion_iceberg_spark.iceberg.roaring import (
+        deserialize_u64,
+        serialize_u64,
+    )
+
+    positions = [base + v for v in vals]
+    # push some cases over the array→bitmap container threshold
+    if len(vals) > 250:
+        positions += list(range(base, base + 5000))
+    assert deserialize_u64(serialize_u64(positions)) == sorted(set(positions))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text("ab/", min_size=1, max_size=20),
+            st.lists(st.integers(0, 1 << 30), min_size=1, max_size=50),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_puffin_dv_roundtrip_property(files):
+    """Multi-blob puffin containers round-trip positions, properties,
+    and ranged reads for arbitrary referenced paths."""
+    import tempfile, os
+
+    from datafusion_iceberg_spark.iceberg.puffin import (
+        dv_blob,
+        read_dv_positions,
+        read_puffin,
+        write_puffin,
+    )
+
+    path = tempfile.mktemp(suffix=".puffin")
+    try:
+        blobs = write_puffin(
+            path, [dv_blob(pos, f"/d/{name}") for name, pos in files]
+        )
+        rb, _ = read_puffin(path)
+        for (name, pos), b, meta_b in zip(files, blobs, rb):
+            want = sorted(set(pos))
+            assert read_dv_positions(path, b.offset, b.length) == want
+            assert meta_b.properties["referenced-data-file"] == f"/d/{name}"
+    finally:
+        os.remove(path)
