@@ -269,6 +269,15 @@ def _carry_manifest_row(mf, deleted_rows: int = 0) -> dict:
     }
 
 
+def _prefers_dv(table) -> bool:
+    """True when the table's write.delete.mode asks for v3 deletion
+    vectors — row-delta commits (MOR UPDATE/MERGE) then store their
+    delete side as DVs too, matching how Spark-Iceberg v3 applies the
+    property across every MOR write."""
+    mode = table.metadata.properties.get("write.delete.mode", "").lower()
+    return mode in ("deletion-vector", "deletion-vectors")
+
+
 _SPARK_TO_AVRO = {
     "long": "long",
     "int": "int",
@@ -1869,7 +1878,9 @@ class IcebergWriter:
                     for f in self.schema.fields
                 ]
             )
-            return self._commit_row_delta(spark, del_rows, new_rows, cur)
+            return self._commit_row_delta(
+                spark, del_rows, new_rows, cur, use_dv=_prefers_dv(table)
+            )
         finally:
             scanned.unpersist()
 
@@ -1879,70 +1890,120 @@ class IcebergWriter:
         del_rows: DataFrame,
         new_rows: Optional[DataFrame],
         cur,
+        use_dv: bool = False,
     ) -> int:
-        """Write + commit one atomic row-delta snapshot: a position-
-        delete file from ``del_rows`` (file_path, pos) and, when
-        ``new_rows`` is given, the replacement/insert data files — both
-        manifests in the SAME snapshot.  Shared by merge-on-read UPDATE
-        and MERGE."""
-        snap_id = int(time.time() * 1000) * 1000 + (
-            int.from_bytes(os.urandom(2), "big") % 1000
-        )
-        del_dir = os.path.join(self.root, "data", f"snap-{snap_id}-deletes")
-        del_rows.write.mode("overwrite").parquet(del_dir)
+        """Write + commit one atomic row-delta snapshot: the matched
+        rows' deletes — a position-delete parquet, or deletion vectors
+        when ``use_dv`` (write.delete.mode='deletion-vector') — and,
+        when ``new_rows`` is given, the replacement/insert data files;
+        all manifests in the SAME snapshot.  Shared by merge-on-read
+        UPDATE and MERGE."""
+        from pyspark.sql import functions as F
 
-        import pyarrow.parquet as pq
+        drop_paths: Optional[set] = None
+        if use_dv:
+            from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
-        del_files = []
-        for p in sorted(
-            glob.glob(os.path.join(del_dir, "**", "*.parquet"), recursive=True)
-        ):
-            n = pq.ParquetFile(p).metadata.num_rows
-            if n:
-                del_files.append((p, n, os.path.getsize(p)))
-        data_stats = (
-            self._write_data_files(new_rows, snap_id)
-            if new_rows is not None
-            else []
-        )
-        if not del_files and not data_stats:
-            import shutil
-
-            shutil.rmtree(del_dir, ignore_errors=True)
-            return int(cur) if cur is not None else -1
-
-        meta_dir = os.path.join(self.root, "metadata")
-        man_uuid = str(uuidlib.uuid4())
-        manifest_path = os.path.join(meta_dir, f"{man_uuid}-del-m0.avro")
-        entries = [
-            {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "data_file": {
-                    "file_path": p,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": n,
-                    "file_size_in_bytes": sz,
-                    "block_size_in_bytes": 67108864,
-                    "value_counts": [],
-                    "null_value_counts": [],
-                    "lower_bounds": [],
-                    "upper_bounds": [],
-                    "content": 1,
-                },
-            }
-            for p, n, sz in del_files
-        ]
-        write_avro_file(manifest_path, _manifest_schema([]), entries)
-        n_deleted = sum(n for _, n, _ in del_files)
-        targets = set()
-        for p, _, _ in del_files:
-            targets.update(
-                pq.read_table(p, columns=["file_path"])
-                .column("file_path")
-                .to_pylist()
+            table = IcebergTable.load(self.root)
+            matched = (
+                del_rows.groupBy("file_path")
+                .agg(F.sort_array(F.collect_set("pos")).alias("positions"))
+                .collect()
             )
+            new_pos = {r["file_path"]: list(r["positions"]) for r in matched}
+            built = self._build_dv_manifest(table, new_pos)
+            data_stats = []
+            if built is not None:
+                (
+                    snap_id,
+                    manifest_path,
+                    entries,
+                    n_deleted,
+                    targets,
+                    drop_paths,
+                ) = built
+                if new_rows is not None:
+                    data_stats = self._write_data_files(new_rows, snap_id)
+            else:
+                if new_rows is None:
+                    return int(cur) if cur is not None else -1
+                snap_id = int(time.time() * 1000) * 1000 + (
+                    int.from_bytes(os.urandom(2), "big") % 1000
+                )
+                data_stats = self._write_data_files(new_rows, snap_id)
+                entries, n_deleted, targets = [], 0, set()
+                meta_dir = os.path.join(self.root, "metadata")
+                manifest_path = os.path.join(
+                    meta_dir, f"{uuidlib.uuid4()}-del-m0.avro"
+                )
+                write_avro_file(manifest_path, _manifest_schema([]), [])
+            if not entries and not data_stats:
+                return int(cur) if cur is not None else -1
+            meta_dir = os.path.join(self.root, "metadata")
+            man_uuid = str(uuidlib.uuid4())
+        else:
+            snap_id = int(time.time() * 1000) * 1000 + (
+                int.from_bytes(os.urandom(2), "big") % 1000
+            )
+            del_dir = os.path.join(
+                self.root, "data", f"snap-{snap_id}-deletes"
+            )
+            del_rows.write.mode("overwrite").parquet(del_dir)
+
+            import pyarrow.parquet as pq
+
+            del_files = []
+            for p in sorted(
+                glob.glob(
+                    os.path.join(del_dir, "**", "*.parquet"), recursive=True
+                )
+            ):
+                n = pq.ParquetFile(p).metadata.num_rows
+                if n:
+                    del_files.append((p, n, os.path.getsize(p)))
+            data_stats = (
+                self._write_data_files(new_rows, snap_id)
+                if new_rows is not None
+                else []
+            )
+            if not del_files and not data_stats:
+                import shutil
+
+                shutil.rmtree(del_dir, ignore_errors=True)
+                return int(cur) if cur is not None else -1
+
+            meta_dir = os.path.join(self.root, "metadata")
+            man_uuid = str(uuidlib.uuid4())
+            manifest_path = os.path.join(meta_dir, f"{man_uuid}-del-m0.avro")
+            entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n,
+                        "file_size_in_bytes": sz,
+                        "block_size_in_bytes": 67108864,
+                        "value_counts": [],
+                        "null_value_counts": [],
+                        "lower_bounds": [],
+                        "upper_bounds": [],
+                        "content": 1,
+                    },
+                }
+                for p, n, sz in del_files
+            ]
+            write_avro_file(manifest_path, _manifest_schema([]), entries)
+            n_deleted = sum(n for _, n, _ in del_files)
+            targets = set()
+            for p, _, _ in del_files:
+                targets.update(
+                    pq.read_table(p, columns=["file_path"])
+                    .column("file_path")
+                    .to_pylist()
+                )
         data_manifest = None
         if data_stats:
             part_fields = [
@@ -1980,6 +2041,7 @@ class IcebergWriter:
                     entries,
                     n_deleted,
                     _target_paths=targets,
+                    _drop_manifest_paths=drop_paths,
                     _operation="overwrite",
                     _data_manifest=data_manifest,
                 )
@@ -2054,15 +2116,51 @@ class IcebergWriter:
             .collect()  # one row per touched file; roaring-scale payloads
         )
         new_pos = {r["file_path"]: list(r["positions"]) for r in matched}
+        built = self._build_dv_manifest(table, new_pos)
+        if built is None:
+            return int(cur) if cur is not None else -1
+        snap_id, manifest_path, entries, n_deleted, targets, drop_paths = built
+        meta_dir = os.path.join(self.root, "metadata")
+        manifest_list_path = os.path.join(
+            meta_dir, f"snap-{snap_id}-1-{uuidlib.uuid4()}.avro"
+        )
+        for _attempt in range(5):
+            try:
+                return self._commit_mor_delete_snapshot(
+                    snap_id,
+                    manifest_path,
+                    manifest_list_path,
+                    entries,
+                    n_deleted,
+                    _target_paths=targets,
+                    _drop_manifest_paths=drop_paths,
+                )
+            except RewriteConflict:
+                raise
+            except CommitConflict:
+                if _attempt == 4:
+                    raise
+                time.sleep(0.05 * (_attempt + 1))
+        raise AssertionError("unreachable")
 
-        # union with existing DVs (full DV-set rewrite) and find the
-        # manifests they came from so the commit can drop them
+    def _build_dv_manifest(self, table, new_pos: dict):
+        """Union ``new_pos`` ({localized data path → positions}) with the
+        table's existing deletion vectors (full DV-set rewrite — at most
+        one vector per data file by construction), write the merged
+        puffin container and its manifest, and return
+        (snap_id, manifest_path, entries, n_deleted, targets,
+        drop_manifest_paths) — or None when nothing is deleted."""
+        from datafusion_iceberg_spark.iceberg.manifests import read_manifest
+        from datafusion_iceberg_spark.iceberg.puffin import (
+            dv_blob,
+            read_dv_positions,
+            write_puffin,
+        )
+
+        meta = table.metadata
+        new_pos = dict(new_pos)
         drop_paths = set()
         for mf in table.manifests(content=1):
-            from datafusion_iceberg_spark.iceberg.manifests import (
-                read_manifest,
-            )
-
             entries = read_manifest(
                 meta.localize(mf.path), inherit_seq=mf.sequence_number
             )
@@ -2081,7 +2179,7 @@ class IcebergWriter:
                 tgt = meta.localize(e.referenced_data_file)
                 new_pos[tgt] = sorted(set(new_pos.get(tgt, [])) | set(prev))
         if not new_pos:
-            return int(cur) if cur is not None else -1
+            return None
 
         snap_id = int(time.time() * 1000) * 1000 + (
             int.from_bytes(os.urandom(2), "big") % 1000
@@ -2119,31 +2217,19 @@ class IcebergWriter:
             for b in blobs
         ]
         meta_dir = os.path.join(self.root, "metadata")
-        man_uuid = str(uuidlib.uuid4())
-        manifest_path = os.path.join(meta_dir, f"{man_uuid}-dv-m0.avro")
+        manifest_path = os.path.join(
+            meta_dir, f"{uuidlib.uuid4()}-dv-m0.avro"
+        )
         write_avro_file(manifest_path, _manifest_schema([]), entries)
         n_deleted = sum(len(v) for v in new_pos.values())
-        manifest_list_path = os.path.join(
-            meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
+        return (
+            snap_id,
+            manifest_path,
+            entries,
+            n_deleted,
+            set(new_pos),
+            drop_paths,
         )
-        for _attempt in range(5):
-            try:
-                return self._commit_mor_delete_snapshot(
-                    snap_id,
-                    manifest_path,
-                    manifest_list_path,
-                    entries,
-                    n_deleted,
-                    _target_paths=set(new_pos),
-                    _drop_manifest_paths=drop_paths,
-                )
-            except RewriteConflict:
-                raise
-            except CommitConflict:
-                if _attempt == 4:
-                    raise
-                time.sleep(0.05 * (_attempt + 1))
-        raise AssertionError("unreachable")
 
     def rewrite_position_deletes(self, spark: SparkSession) -> dict:
         """Iceberg's ``rewrite_position_delete_files`` maintenance: merge
@@ -2830,7 +2916,9 @@ class IcebergWriter:
             # nothing can match: the whole merge is the insert branch
             del_rows = spark.createDataFrame([], "file_path string, pos long")
             new_rows = src if insert_not_matched else None
-            return self._commit_row_delta(spark, del_rows, new_rows, cur)
+            return self._commit_row_delta(
+                spark, del_rows, new_rows, cur, use_dv=_prefers_dv(table)
+            )
         scanned = table._scan_files(
             spark, candidates, None, _with_row_meta=True
         ).cache()
@@ -2883,7 +2971,9 @@ class IcebergWriter:
                 new_rows = parts[0]
                 for p in parts[1:]:
                     new_rows = new_rows.unionByName(p)
-            return self._commit_row_delta(spark, del_rows, new_rows, cur)
+            return self._commit_row_delta(
+                spark, del_rows, new_rows, cur, use_dv=_prefers_dv(table)
+            )
         finally:
             scanned.unpersist()
 

@@ -3579,3 +3579,48 @@ def test_puffin_dv_roundtrip_property(files):
             assert meta_b.properties["referenced-data-file"] == f"/d/{name}"
     finally:
         os.remove(path)
+
+
+def test_row_delta_uses_deletion_vectors(spark, sf_dir, tmp_path):
+    """With write.delete.mode='deletion-vector', MOR UPDATE and MERGE
+    store their delete side as DVs (one puffin blob per touched file)
+    and the DV-set rewrite keeps at most one vector per data file across
+    a delete+update+merge sequence."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "wh_dvrd")
+    cat = Catalog(root)
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table(
+        "d.n", nation.schema,
+        properties={
+            "write.delete.mode": "deletion-vector",
+            "write.update.mode": "merge-on-read",
+            "write.merge.mode": "merge-on-read",
+        },
+    )
+    cat.append("d.n", spark, nation)
+    cat.sql(spark, "DELETE FROM iceberg.d.n WHERE n_nationkey = 3")
+    cat.sql(
+        spark,
+        "UPDATE iceberg.d.n SET n_regionkey = n_regionkey + 10"
+        " WHERE n_nationkey IN (1, 5)",
+    )
+    src = spark.createDataFrame([(7, "MERGED", 70)], nation.schema)
+    cat.merge_into(
+        "d.n", spark, src, "n_nationkey",
+        when_matched_set={"n_name": "src.n_name"},
+    )
+    t = cat.load("d.n")
+    dels = t.position_delete_files()
+    assert dels and all(d.referenced_data_file is not None for d in dels)
+    targets = [d.referenced_data_file for d in dels]
+    assert len(targets) == len(set(targets))  # <=1 DV per file
+    assert len({d.path for d in dels}) == 1  # one merged container
+    got = {r.n_nationkey: (r.n_name, r.n_regionkey) for r in t.to_df(spark).collect()}
+    assert 3 not in got and len(got) == 24
+    assert got[1][1] >= 10 and got[5][1] >= 10
+    assert got[7][0] == "MERGED"
+    assert got[2][1] < 10 and not got[2][0] == "MERGED"
