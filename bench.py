@@ -55,6 +55,9 @@ HEADLINE = [
     "embed_pq_search",
     "iceberg_v2_sequence_scan",
     "iceberg_add_files_migrate",
+    "iceberg_dv_delete_scan",
+    "iceberg_mor_update_scan",
+    "ts_gapfill_interpolate",
 ]
 
 
