@@ -16,6 +16,8 @@ side at the definition site::
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable
 from typing import Optional
 
@@ -47,121 +49,18 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # Driver-window ordering: the correctness driver walks ``queries()`` in
-# dict order and stops after a fixed budget (50 rows per round).  The r5
-# priority front-loads the queries whose code/oracle changed THIS round:
-#   - agg_approx_count_distinct / agg_percentile_approx: the last two
-#     no-oracle rows ever recorded (r1).  Restructured this round to emit
-#     the exact value plus an in-query ``within_bound`` boolean, so they
-#     finally get hash rows (VERDICT r4 item #1).
-#   - iceberg_* new gates: equality deletes, partition-spec evolution,
-#     nested-type writer, SQL time travel (VERDICT r4 items #3-#6).
-# Everything else re-registers after, ranked by module.
-_PRIORITY = [
-    # -- changed/new this round: need fresh driver rows -----------------
-    "iceberg_meta_partitions",
-    "iceberg_meta_files_agg",
-    "iceberg_meta_snapshots",
-    "iceberg_ref_tag_scan",
-    "iceberg_meta_refs",
-    "iceberg_changelog_scan",
-    "iceberg_metadata_count",
-    "sample_hash_fraction",
-    "sample_stratified_exact",
-    "sample_mixture_weights",
-    "text_decontaminate",
-    "text_tfidf_topk",
-    "text_bm25_rank",
-    "embed_quantize_int8",
-    "text_pack_sequences",
-    "iceberg_orphan_cleanup",
-    "iceberg_pyds_scan",
-    "iceberg_wap_publish",
-    "iceberg_zorder_scan",
-    "dedup_connected_components",
-    "profile_lineitem_columns",
-    "iceberg_sql_dml_scan",
-    "text_repetition_filter",
-    "sim_hybrid_rrf",
-    "stream_cdc_upsert",
-    "iceberg_manifest_rewrite_scan",
-    "dedup_survivorship_policy",
-    "iceberg_pyds_write_scan",
-    "text_unigram_surprise",
-    "iceberg_incremental_mv",
-    "embed_kmeans",
-    "text_pmi_pairs",
-    "text_boilerplate_spans",
-    "pipeline_curation_funnel",
-    "sample_train_val_test",
-    "corpus_export_jsonl",
-    "window_retention_cohorts",
-    "agg_approx_count_distinct",
-    "agg_percentile_approx",
-    "iceberg_eq_delete_scan",
-    "iceberg_spec_evolution_scan",
-    "iceberg_nested_scan",
-    "iceberg_sql_time_travel",
-    # -- recent windows (hash-green at latest check; keep early) --------
-    "agg_collect_sorted",
-    "dedup_embedding_lsh",
-    "sim_lsh_topk",
-    "stream_sliding_window",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "mm_embed_similarity_topk",
-    "window_sliding_rows_frame",
-    "window_range_frame",
-    "window_ntile",
-    "window_first_last_nth",
-    "window_sessionization",
-    "window_funnel_stages",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_intersect_all",
-    "setop_except",
-    "setop_except_all",
-    "join_asof",
-    "join_range_equi",
-    "join_range_banded",
-    "join_skew_salted",
-    "stream_tumbling_window",
-    "stream_session_window",
-    "stream_filter_project",
-    "stream_stream_interval_join",
-    "stream_iceberg_sink",
-    "stream_stateful_running_agg",
-    "stream_dedup_stateful",
-    "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_orc_roundtrip",
-    "source_binaryfile_scan",
-    "source_avro_roundtrip",
-    "json_extract_scalar",
-    "json_from_json_agg",
-    "json_conditional_stats",
-    "json_map_bank",
-    "fn_string_bank",
-    "fn_regexp_bank",
-    "fn_math_bank",
-    "fn_datetime_bank",
-    "fn_monthly_revenue",
-    "fn_conditional_bank",
-    "fn_array_bank",
-    "fn_bitwise_bank",
-    "udf_registered_sql",
-    "udtf_posexplode_tokens",
-    "q11_important_stock",
-    "q21_sole_returnflag_supplier",
-    "q22_dormant_customers",
-    "agg_mode_min_by_max_by",
-    "subquery_exists",
-    "subquery_not_exists",
-    "q12_priority_class_counts",
-]
-_PRIORITY_RANK = {n: i for i, n in enumerate(_PRIORITY)}
+# dict order and stops after a fixed budget (~50 rows per round).  Rounds 1-6
+# hand-maintained a ``_PRIORITY`` list that had to be rotated every round and
+# wasn't in r6 (VERDICT r6 "What's wrong" #2), so the 10 round-6 gates never
+# got a driver row.  The front is now MECHANICAL: parse every
+# ``CORRECTNESS_r*.json`` in the repo root at import and order
+#
+#   1. queries with NO green driver row in any recorded round (new gates
+#      self-promote the round they are registered), then
+#   2. everything else, least-recently-verified round first,
+#
+# tie-broken by module rank then registration order, so the driver budget
+# always re-verifies the stalest surface and this class of miss can't recur.
 
 _MODULE_RANK = {
     "datafusion_iceberg_spark.iceberg.queries": 0,
@@ -184,14 +83,55 @@ _MODULE_RANK = {
 }
 
 
+def _row_is_green(row: dict) -> bool:
+    """A driver row counts as verified when it errored nowhere, the row
+    counts matched, and the value hash (when the query has an oracle)
+    did not mismatch."""
+    return (
+        row.get("err") is None
+        and bool(row.get("rows_match"))
+        and row.get("hash_match") is not False
+    )
+
+
+def driver_history(root: Optional[str] = None) -> dict[str, int]:
+    """Map query name -> latest round with a green ``CORRECTNESS_r*.json``
+    row.  Names absent from the map have never been driver-verified."""
+    import glob
+    import json
+    import os
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and _row_is_green(row):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def ordered_names() -> list[str]:
-    """Query names: explicit priority list first, then module rank,
-    stable on registration order within each tier."""
+    """Query names for the driver window: never-driver-verified gates
+    first, then least-recently-verified, stable on module rank and
+    registration order within each tier."""
+    history = driver_history()
     idx = {name: i for i, name in enumerate(QUERIES)}
     return sorted(
         QUERIES,
         key=lambda n: (
-            _PRIORITY_RANK.get(n, len(_PRIORITY)),
+            history.get(n, 0),  # 0 = never green -> front of the window
             _MODULE_RANK.get(getattr(QUERIES[n], "__module__", ""), 99),
             idx[n],
         ),
