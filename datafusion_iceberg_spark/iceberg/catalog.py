@@ -753,6 +753,14 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return out
 
+    def rewrite_deletion_vectors(self, ident: str) -> dict:
+        """Consolidate carry-forward deletion-vector containers into one
+        (writer.rewrite_deletion_vectors) + mirror refresh."""
+        out = self.writer(ident).rewrite_deletion_vectors()
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return out
+
     def add_files(self, ident: str, source_dir: str) -> dict:
         """Register existing parquet files into the table in place
         (writer.add_files) + mirror refresh — the plain-parquet-to-

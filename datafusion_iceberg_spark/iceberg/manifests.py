@@ -163,7 +163,12 @@ def read_manifest(
         seq = r.get("sequence_number")
         if seq is None:
             seq = r.get("data_sequence_number")
-        if seq is None:
+        if seq is None and status == 1:
+            # v2 spec: null-sequence inheritance applies only to ADDED
+            # entries.  An EXISTING/DELETED entry that (illegally) wrote
+            # null must NOT take the rewrite commit's newer sequence —
+            # that would flip delete applicability; leaving it None routes
+            # _file_seq to the conservative snapshot-based fallback.
             seq = inherit_seq
         out.append(
             DataFile(
