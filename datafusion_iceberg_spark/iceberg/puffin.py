@@ -8,8 +8,12 @@ Puffin (the Iceberg stats/deletes sidecar format, public spec):
 where Magic = ``50 46 41 31`` ("PFA1") and FooterPayload is a JSON
 object ``{"blobs": [{type, fields, snapshot-id, sequence-number,
 offset, length, properties}, ...], "properties": {...}}``.  This codec
-writes uncompressed footers (flag bit 0 = 0) and refuses compressed
-ones on read (zstd is not in the container's dependency set).
+writes uncompressed footers and blobs (spec-compliant; v3 DV blobs
+are conventionally uncompressed) and on READ also accepts foreign
+flavors: lz4-frame-compressed footer payloads (flag bit 0, the spec's
+only footer codec) and per-blob ``compression-codec`` of ``lz4`` or
+``zstd`` (decompressed via pyarrow's bundled codecs — no extra
+dependency).
 
 Deletion-vector blobs (``deletion-vector-v1``, Iceberg v3 spec): the
 blob payload frames a portable 64-bit roaring bitmap (iceberg/roaring)
@@ -41,6 +45,29 @@ MAGIC = b"PFA1"
 _DV_MAGIC = bytes([0xD1, 0xD3, 0x39, 0x64])
 
 
+def _pa_decompress(codec: str, buf: bytes) -> bytes:
+    """Decompress an lz4-frame / zstd payload via pyarrow's bundled
+    codecs (streaming: the decompressed size is not known up front)."""
+    if codec not in ("lz4", "zstd"):
+        raise ValueError(f"puffin: unsupported compression codec {codec!r}")
+    try:
+        import pyarrow as pa
+    except ImportError as e:  # pragma: no cover - pyarrow is baked in
+        raise ValueError(
+            f"puffin: cannot decompress {codec!r} payload (pyarrow missing)"
+        ) from e
+    stream = pa.CompressedInputStream(pa.BufferReader(buf), codec)
+    return stream.read()
+
+
+def _pa_compress(codec: str, buf: bytes) -> bytes:
+    if codec not in ("lz4", "zstd"):
+        raise ValueError(f"puffin: unsupported compression codec {codec!r}")
+    import pyarrow as pa
+
+    return bytes(pa.Codec(codec).compress(buf))
+
+
 @dataclass
 class Blob:
     type: str
@@ -49,37 +76,63 @@ class Blob:
     snapshot_id: int = -1
     sequence_number: int = -1
     properties: dict = field(default_factory=dict)
+    # write: compress the payload with this codec and record it in the
+    # blob metadata; read: the codec the file declared (data is already
+    # decompressed — offset/length still describe the on-disk range)
+    compression_codec: Optional[str] = None
     # populated on write/read: position of the payload inside the file
     offset: int = -1
     length: int = -1
 
 
-def write_puffin(path: str, blobs: list[Blob], properties: Optional[dict] = None) -> list[Blob]:
-    """Write a puffin file; returns the blobs with offset/length set."""
+def write_puffin(
+    path: str,
+    blobs: list[Blob],
+    properties: Optional[dict] = None,
+    footer_codec: Optional[str] = None,
+) -> list[Blob]:
+    """Write a puffin file; returns the blobs with offset/length set.
+
+    Our writer always calls this plain (uncompressed footer and blobs).
+    ``footer_codec="lz4"`` and per-blob ``compression_codec`` exist to
+    author foreign-flavor interop fixtures."""
     out = bytearray(MAGIC)
     metas = []
     for b in blobs:
+        data = b.data
+        if b.compression_codec:
+            data = _pa_compress(b.compression_codec, data)
         b.offset = len(out)
-        b.length = len(b.data)
-        out += b.data
-        metas.append(
-            {
-                "type": b.type,
-                "fields": b.fields,
-                "snapshot-id": b.snapshot_id,
-                "sequence-number": b.sequence_number,
-                "offset": b.offset,
-                "length": b.length,
-                "properties": b.properties,
-            }
-        )
+        b.length = len(data)
+        out += data
+        m = {
+            "type": b.type,
+            "fields": b.fields,
+            "snapshot-id": b.snapshot_id,
+            "sequence-number": b.sequence_number,
+            "offset": b.offset,
+            "length": b.length,
+            "properties": b.properties,
+        }
+        if b.compression_codec:
+            m["compression-codec"] = b.compression_codec
+        metas.append(m)
     payload = json.dumps(
         {"blobs": metas, "properties": properties or {}}
     ).encode()
+    flags = 0
+    if footer_codec is not None:
+        if footer_codec != "lz4":
+            # spec: flag bit 0 means lz4-frame, the only footer codec
+            raise ValueError(
+                f"puffin: footer codec must be 'lz4', got {footer_codec!r}"
+            )
+        payload = _pa_compress("lz4", payload)
+        flags |= 1
     out += MAGIC
     out += payload
     out += struct.pack("<I", len(payload))
-    out += struct.pack("<I", 0)  # flags: uncompressed footer
+    out += struct.pack("<I", flags)
     out += MAGIC
     with open(path, "wb") as fh:
         fh.write(out)
@@ -92,22 +145,28 @@ def read_puffin(path: str) -> tuple[list[Blob], dict]:
     if buf[:4] != MAGIC or buf[-4:] != MAGIC:
         raise ValueError(f"not a puffin file: {path}")
     (flags,) = struct.unpack_from("<I", buf, len(buf) - 8)
-    if flags & 1:
-        raise ValueError("puffin: compressed footer payload unsupported")
     (psize,) = struct.unpack_from("<I", buf, len(buf) - 12)
     payload = buf[len(buf) - 12 - psize : len(buf) - 12]
+    if flags & 1:
+        # spec flag bit 0: footer payload is lz4-frame compressed
+        payload = _pa_decompress("lz4", payload)
     meta = json.loads(payload.decode())
     blobs = []
     for m in meta.get("blobs", []):
         off, ln = m["offset"], m["length"]
+        data = buf[off : off + ln]
+        codec = m.get("compression-codec")
+        if codec:
+            data = _pa_decompress(codec, data)
         blobs.append(
             Blob(
                 type=m["type"],
-                data=buf[off : off + ln],
+                data=data,
                 fields=m.get("fields", []),
                 snapshot_id=m.get("snapshot-id", -1),
                 sequence_number=m.get("sequence-number", -1),
                 properties=m.get("properties", {}),
+                compression_codec=codec,
                 offset=off,
                 length=ln,
             )
@@ -180,7 +239,18 @@ def dv_positions(data: bytes) -> list[int]:
 def read_dv_positions(path: str, offset: int, length: int) -> list[int]:
     """Random-access read of one DV blob from a puffin file (the shape a
     reader at scale uses: content_offset/content_size from the manifest
-    entry, one ranged read, no footer parse)."""
+    entry, one ranged read, no footer parse).  If the ranged bytes don't
+    frame-decode — a foreign writer compressed the blob — fall back to
+    one footer parse to learn the codec (the manifest entry doesn't
+    carry it) and decode the decompressed payload."""
     with open(path, "rb") as fh:
         fh.seek(offset)
-        return dv_positions(fh.read(length))
+        raw = fh.read(length)
+    try:
+        return dv_positions(raw)
+    except (ValueError, struct.error, IndexError):
+        blobs, _props = read_puffin(path)
+        for blob in blobs:
+            if blob.offset == offset:
+                return dv_positions(blob.data)
+        raise

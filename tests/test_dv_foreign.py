@@ -1,0 +1,122 @@
+"""Foreign-flavor puffin/DV interop (VERDICT r6 tasks 3 + 6): codec
+support on read, run-container bitmaps, and DV-vs-data sequence
+ordering — each failure mode flips a visible row or errors.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from datafusion_iceberg_spark.iceberg.puffin import (
+    dv_blob,
+    dv_blob_from_bitmap,
+    read_dv_positions,
+    read_puffin,
+    write_puffin,
+)
+from datafusion_iceberg_spark.iceberg.roaring import deserialize_u64
+
+
+def _run_bitmap_1_to_5() -> bytes:
+    """Hand-crafted portable roaring with a RUN container: positions
+    1..5 (cookie 12347, 1 container, 1 run)."""
+    return (
+        struct.pack("<Q", 1)
+        + struct.pack("<I", 0)
+        + struct.pack("<I", 12347)
+        + b"\x01"
+        + struct.pack("<HH", 0, 4)
+        + struct.pack("<H", 1)
+        + struct.pack("<HH", 1, 4)
+    )
+
+
+def test_run_container_bitmap_decodes():
+    assert deserialize_u64(_run_bitmap_1_to_5()) == [1, 2, 3, 4, 5]
+
+
+def test_compressed_footer_and_blob_roundtrip(tmp_path):
+    """lz4-frame footer (spec flag bit 0) + zstd blob payload read back
+    to the same positions; offsets/lengths describe the on-disk range."""
+    p = str(tmp_path / "c.puffin")
+    b1 = dv_blob_from_bitmap(_run_bitmap_1_to_5(), "/d/a.parquet", 5)
+    b1.compression_codec = "zstd"
+    b2 = dv_blob([2, 4], "/d/b.parquet")  # uncompressed alongside
+    written = write_puffin(p, [b1, b2], footer_codec="lz4")
+    blobs, _props = read_puffin(p)
+    assert [b.compression_codec for b in blobs] == ["zstd", None]
+    # zstd payload is smaller on disk than the decompressed frame
+    assert blobs[0].length == written[0].length
+    got = {
+        b.properties["referenced-data-file"]: deserialize_u64(b.data[8:-4])
+        for b in blobs
+    }
+    assert got == {"/d/a.parquet": [1, 2, 3, 4, 5], "/d/b.parquet": [2, 4]}
+
+
+def test_ranged_read_falls_back_through_footer_for_compressed_blob(tmp_path):
+    """The scale path is one ranged read; a compressed foreign blob
+    doesn't frame-decode, so the reader parses the footer once to learn
+    the codec."""
+    p = str(tmp_path / "c.puffin")
+    b1 = dv_blob([10, 11, 300], "/d/a.parquet")
+    b1.compression_codec = "lz4"
+    written = write_puffin(p, [b1], footer_codec="lz4")
+    assert read_dv_positions(p, written[0].offset, written[0].length) == [
+        10,
+        11,
+        300,
+    ]
+
+
+def test_unknown_codec_rejected_by_name(tmp_path):
+    p = str(tmp_path / "c.puffin")
+    b = dv_blob([1], "/d/a.parquet")
+    write_puffin(p, [b])
+    # patch the footer json to claim an unsupported codec
+    raw = open(p, "rb").read()
+    patched = raw.replace(
+        b'"properties": {"referenced-data-file"',
+        b'"compression-codec": "brotli", "properties": {"referenced-data-file"',
+    )
+    assert patched != raw
+    # footer size field must be fixed up
+    delta = len(patched) - len(raw)
+    (psize,) = struct.unpack_from("<I", raw, len(raw) - 12)
+    patched = (
+        patched[: len(patched) - 12]
+        + struct.pack("<I", psize + delta)
+        + patched[len(patched) - 8 :]
+    )
+    open(p, "wb").write(patched)
+    with pytest.raises(ValueError, match="brotli"):
+        read_puffin(p)
+
+
+def test_foreign_dv_scan_gate(spark, sf_dir, duck):
+    """The hand-authored foreign v3 fixture (compressed footer, zstd
+    blob, run-container bitmap, DV older than its target file,
+    scrambled snapshots) scans to the oracle's exact multiset."""
+    from datafusion_iceberg_spark.iceberg.queries import (
+        iceberg_dv_foreign_scan,
+    )
+    from datafusion_iceberg_spark.registry import ORACLES
+
+    rows = sorted(
+        (int(r["n_nationkey"]), r["n_name"])
+        for r in iceberg_dv_foreign_scan(spark, sf_dir).collect()
+    )
+    exp = sorted(
+        (int(a), b)
+        for a, b in duck.execute(ORACLES["iceberg_dv_foreign_scan"]).fetchall()
+    )
+    assert rows == exp and len(rows) == 23
+    # the discriminating rows: B's key 0 present TWICE (the stale DV at
+    # sequence 2 must not apply to B committed at 3), keys 1-5 gone from
+    # A (run-container zstd vector applied)
+    keys = [k for k, _ in rows]
+    assert keys.count(0) == 2
+    assert 5 not in keys and 20 not in keys and 23 not in keys
+    assert keys.count(1) == 1  # B's key 1 survives the seq-2 pos delete
