@@ -58,6 +58,8 @@ HEADLINE = [
     "iceberg_dv_delete_scan",
     "iceberg_mor_update_scan",
     "ts_gapfill_interpolate",
+    # round-7 additions
+    "iceberg_dv_foreign_scan",
 ]
 
 

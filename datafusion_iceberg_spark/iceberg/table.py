@@ -460,6 +460,31 @@ class IcebergTable:
                 F.lit(o).alias("_change_ordinal"),
             )
 
+        # per-snapshot probes memoized across the ordinal loop: snapshot
+        # k's file/delete sets are read once, not once as the "new" side
+        # and again as the next iteration's "old" side — for a deep
+        # history this halves the manifest reads (VERDICT r6 task 4)
+        _files_memo: dict = {}
+        _pos_memo: dict = {}
+        _eq_memo: dict = {}
+
+        def _files_of(sid):
+            if sid not in _files_memo:
+                _files_memo[sid] = {
+                    f.path: f for f in self.files(snapshot_id=sid)
+                }
+            return _files_memo[sid]
+
+        def _pos_of(sid):
+            if sid not in _pos_memo:
+                _pos_memo[sid] = self.position_delete_files(snapshot_id=sid)
+            return _pos_memo[sid]
+
+        def _eq_of(sid):
+            if sid not in _eq_memo:
+                _eq_memo[sid] = self.equality_delete_files(snapshot_id=sid)
+            return _eq_memo[sid]
+
         frames: list[DataFrame] = []
         for s in window:
             op = s.summary.get("operation", "")
@@ -467,12 +492,8 @@ class IcebergTable:
             if op == "replace":
                 prev = s.snapshot_id
                 continue
-            old_files = (
-                {f.path: f for f in self.files(snapshot_id=prev)}
-                if prev is not None
-                else {}
-            )
-            new_files = {f.path: f for f in self.files(snapshot_id=s.snapshot_id)}
+            old_files = _files_of(prev) if prev is not None else {}
+            new_files = _files_of(s.snapshot_id)
             added = [f for p, f in new_files.items() if p not in old_files]
             removed = [f for p, f in old_files.items() if p not in new_files]
             if op == "append":
@@ -484,18 +505,10 @@ class IcebergTable:
                 prev = s.snapshot_id
                 continue
 
-            old_pos = (
-                self.position_delete_files(snapshot_id=prev)
-                if prev is not None
-                else []
-            )
-            old_eq = (
-                self.equality_delete_files(snapshot_id=prev)
-                if prev is not None
-                else []
-            )
-            new_pos = self.position_delete_files(snapshot_id=s.snapshot_id)
-            new_eq = self.equality_delete_files(snapshot_id=s.snapshot_id)
+            old_pos = _pos_of(prev) if prev is not None else []
+            old_eq = _eq_of(prev) if prev is not None else []
+            new_pos = _pos_of(s.snapshot_id)
+            new_eq = _eq_of(s.snapshot_id)
             prev_del_paths = {f.path for f in old_pos} | {f.path for f in old_eq}
             fresh_pos = [f for f in new_pos if f.path not in prev_del_paths]
             fresh_eq = [f for f in new_eq if f.path not in prev_del_paths]
@@ -530,6 +543,86 @@ class IcebergTable:
                     )
                     norm |= {r.p for r in hits}
                 targeted = {p for p in retained if meta.localize(p) in norm}
+            dv_only = (
+                not added
+                and not removed
+                and not fresh_eq
+                and fresh_pos
+                and all(
+                    f.referenced_data_file is not None for f in fresh_pos
+                )
+            )
+            if dv_only:
+                # DV-only delete snapshot: the net diff IS the bitmap
+                # delta (fresh blob minus the file's prior blob).  The
+                # general EXCEPT-ALL path applies every ACCUMULATED
+                # delete to both sides, so its per-snapshot cost grows
+                # with delete history and a deep changelog turns
+                # quadratic; here we scan the targeted files once with
+                # NO delete application and semi-join the bitmap-scale
+                # delta (VERDICT r6 task 4 deep-history fix).
+                old_dv = {
+                    meta.localize(f.referenced_data_file): f
+                    for f in old_pos
+                    if f.referenced_data_file is not None
+                }
+                new_dv_rows, old_dv_rows = [], []
+                for f in fresh_pos:
+                    tgt = meta.localize(f.referenced_data_file)
+                    new_dv_rows.append(
+                        (
+                            meta.localize(f.path),
+                            int(f.content_offset or 0),
+                            int(f.content_size_in_bytes or 0),
+                            tgt,
+                            0,
+                        )
+                    )
+                    prior = old_dv.get(tgt)
+                    if prior is not None:
+                        old_dv_rows.append(
+                            (
+                                meta.localize(prior.path),
+                                int(prior.content_offset or 0),
+                                int(prior.content_size_in_bytes or 0),
+                                tgt,
+                                0,
+                            )
+                        )
+                delta = _decode_dv_frame(spark, new_dv_rows).select(
+                    "_del_file", "_del_pos"
+                )
+                if old_dv_rows:
+                    delta = delta.exceptAll(
+                        _decode_dv_frame(spark, old_dv_rows).select(
+                            "_del_file", "_del_pos"
+                        )
+                    )
+                tgt_paths = {r[3] for r in new_dv_rows}
+                tfs = [
+                    old_files[p]
+                    for p in sorted(retained)
+                    if meta.localize(p) in tgt_paths
+                ]
+                sub = self._scan_files(
+                    spark,
+                    tfs,
+                    None,
+                    deletes=[],
+                    eq_deletes=[],
+                    _with_row_meta=True,
+                )
+                cond = (
+                    F.regexp_replace(sub["_ice_file"], "^file:/*", "/")
+                    == delta["_del_file"]
+                ) & (sub["_ice_pos"] == delta["_del_pos"])
+                out = sub.join(delta, cond, "left_semi").drop(
+                    "_ice_file", "_ice_pos"
+                )
+                frames.append(tag(out, "delete", o))
+                prev = s.snapshot_id
+                continue
+
             old_side = removed + [old_files[p] for p in sorted(targeted)]
             new_side = added + [new_files[p] for p in sorted(targeted)]
             old_df = self._scan_files(

@@ -22,20 +22,25 @@ COLS = "(k BIGINT, grp STRING, val BIGINT)"
 GROUPS = ("a", "b", "c")
 
 
-@pytest.fixture(params=["copy-on-write", "merge-on-read"])
+@pytest.fixture(
+    params=["copy-on-write", "merge-on-read", "deletion-vector"]
+)
 def engines(spark, tmp_path, request):
-    """Both storage strategies end-to-end: the merge-on-read flavor runs
-    DELETEs as position-delete files, UPDATEs as row-delta snapshots,
-    and MERGEs as row-delta snapshots (write.update.mode /
-    write.merge.mode), so every random program exercises the full MOR
-    write surface."""
+    """All three storage strategies end-to-end: merge-on-read runs
+    DELETEs as position-delete files and UPDATEs/MERGEs as row-delta
+    snapshots; deletion-vector stores every delete side as v3 roaring
+    bitmaps in puffin (update/merge mode stays merge-on-read — DV is a
+    delete-file flavor, not a commit shape), so every random program
+    exercises the full MOR + DV write surface."""
+    mode = request.param
+    row_mode = "merge-on-read" if mode == "deletion-vector" else mode
     cat = Catalog(str(tmp_path / "wh"), name="fuzz")
     cat.sql(
         spark,
         f"CREATE TABLE fuzz.d.t {COLS} TBLPROPERTIES "
-        f"('write.delete.mode' = '{request.param}',"
-        f" 'write.update.mode' = '{request.param}',"
-        f" 'write.merge.mode' = '{request.param}')",
+        f"('write.delete.mode' = '{mode}',"
+        f" 'write.update.mode' = '{row_mode}',"
+        f" 'write.merge.mode' = '{row_mode}')",
     )
     con = duckdb.connect()
     con.execute(f"CREATE TABLE t {COLS}")
@@ -186,13 +191,28 @@ def _duck_merge_equiv(con, src_rows, matched_action):
 
 
 def _render_merge_source(rng, src_rows):
-    """Three spellings of the same source rows: plain VALUES subquery,
-    computed-projection subquery, and a CTE inside the USING parens —
-    the parser-risk shapes VERDICT r5 task 7 names.  Returns (sql,
-    effective_rows): the computed form shifts val by +1, so the
+    """Four spellings of the same source rows: plain VALUES subquery,
+    computed-projection subquery, a CTE inside the USING parens, and a
+    WINDOW-FUNCTION projection (top-1 per group via ROW_NUMBER — the
+    r6 parser-risk shape).  Returns (sql, effective_rows): computed
+    shifts val by +1 and window keeps one row per group, so the
     effective rows differ from the literal ones."""
     vals = ", ".join(f"({k}, '{g}', {v})" for k, g, v in src_rows)
-    form = rng.choice(["plain", "computed", "cte"])
+    form = rng.choice(["plain", "computed", "cte", "window"])
+    if form == "window":
+        # deterministic top-1 per group (val DESC, k as tie-break)
+        best = {}
+        for k, g, v in src_rows:
+            cur = best.get(g)
+            if cur is None or (-v, k) < (-cur[2], cur[0]):
+                best[g] = (k, g, v)
+        return (
+            f"(SELECT k, grp, val FROM ("
+            f"SELECT v.*, ROW_NUMBER() OVER ("
+            f"PARTITION BY grp ORDER BY val DESC, k) AS rn"
+            f" FROM (VALUES {vals}) AS v(k, grp, val)) WHERE rn = 1)",
+            sorted(best.values()),
+        )
     if form == "plain":
         return (
             f"(SELECT * FROM (VALUES {vals}) AS v(k, grp, val))",
@@ -330,6 +350,60 @@ def test_mixed_ddl_dml_script_differential(spark, engines):
     b = sorted(tuple(r) for r in con.execute("SELECT * FROM t").fetchall())
     assert a == b
     # every snapshot in the chain still scans after the mixed script
+    t = cat.load("d.t")
+    for s in t.metadata.snapshots:
+        assert t.to_df(spark, snapshot_id=s.snapshot_id).count() >= 0
+
+
+def _gen_subquery_statements(rng: random.Random, n: int) -> list[tuple[str, str]]:
+    """INSERTs interleaved with DELETE/UPDATE whose WHERE clause embeds a
+    NESTED SUBQUERY over the target table itself (IN / NOT IN / scalar
+    aggregate comparison) — the r6 parser-risk shape.  DuckDB executes
+    the identical SQL, so semantics (subquery sees the pre-statement
+    snapshot) are compared, not just parse success."""
+    out = []
+    next_k = 0
+    for _ in range(n):
+        if rng.random() < 0.45 or next_k == 0:
+            rows = ", ".join(
+                f"({next_k + j}, '{rng.choice(GROUPS)}', {rng.randint(-50, 50)})"
+                for j in range(rng.randint(1, 4))
+            )
+            next_k += 4
+            s = "INSERT INTO {t} VALUES " + rows
+        else:
+            sub = rng.choice(
+                [
+                    "k IN (SELECT k FROM {t} WHERE val > " + str(rng.randint(-20, 20)) + ")",
+                    "k NOT IN (SELECT k FROM {t} WHERE grp = '" + rng.choice(GROUPS) + "')",
+                    "val < (SELECT AVG(val) FROM {t})",
+                    "val >= (SELECT MAX(val) FROM {t} WHERE grp = '" + rng.choice(GROUPS) + "')",
+                ]
+            )
+            if rng.random() < 0.5:
+                s = "DELETE FROM {t} WHERE " + sub
+            else:
+                s = (
+                    f"UPDATE {{t}} SET val = val + {rng.randint(1, 5)} WHERE "
+                    + sub
+                )
+        out.append((s.format(t="fuzz.d.t"), s.format(t="t")))
+    return out
+
+
+@pytest.mark.parametrize("seed", [5, 23, 61])
+def test_nested_subquery_dml_differential(spark, engines, seed):
+    """DELETE/UPDATE with nested-subquery predicates over the target
+    table, full-state compare after every statement, across all three
+    delete modes (VERDICT r6 task 5)."""
+    cat, con = engines
+    rng = random.Random(seed)
+    for i, (s_sql, d_sql) in enumerate(_gen_subquery_statements(rng, 12)):
+        cat.sql(spark, s_sql)
+        con.execute(d_sql)
+        a, b = _state_spark(spark, cat), _state_duck(con)
+        assert a == b, f"divergence after stmt {i}: {s_sql!r}\n{a[:5]}\n{b[:5]}"
+    # the snapshot chain survives the whole program
     t = cat.load("d.t")
     for s in t.metadata.snapshots:
         assert t.to_df(spark, snapshot_id=s.snapshot_id).count() >= 0
