@@ -60,6 +60,9 @@ HEADLINE = [
     "ts_gapfill_interpolate",
     # round-7 additions
     "iceberg_dv_foreign_scan",
+    "iceberg_dv_rewrite_scan",
+    "dedup_incremental_minhash",
+    "iceberg_branch_write_scan",
 ]
 
 

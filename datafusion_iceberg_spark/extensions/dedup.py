@@ -18,6 +18,8 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import hashlib
+import os
+import threading as _threading
 
 import pandas as pd
 
@@ -245,11 +247,13 @@ def _sql_md5le(m: str) -> str:
     ) + ")"
 
 
-def _minhash_oracle_sql() -> str:
-    """Replay of _minhash_bands + the candidate/verify pipeline: tokens →
+def _minhash_common_ctes() -> str:
+    """The shared DuckDB CTE chain replaying _minhash_bands: tokens →
     md5 hashes (hashed once per distinct token) → positional 3-shingle
-    polynomial hashes → 32-way universal minhash → 8 band hashes → bucket
-    pairs (1000-doc cap, like the Spark plan) → exact Jaccard >= 0.8."""
+    polynomial hashes → 32-way universal minhash → 8 band hashes →
+    banded rows + bucket sizes + shingle sets.  Both the full-corpus
+    pair oracle and the incremental batch-vs-corpus oracle append their
+    own candidate/verify tails."""
     a_list = "[" + ", ".join(
         f"CAST({int(a)} AS HUGEINT)" for a in _MINHASH_A
     ) + "]"
@@ -314,6 +318,16 @@ def _minhash_oracle_sql() -> str:
       SELECT band_id, band_hash, COUNT(*) AS bc
       FROM bandrows GROUP BY band_id, band_hash
     ),
+    shg AS (SELECT doc_id, {sh} AS sh FROM d)"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Replay of _minhash_bands + the candidate/verify pipeline: band
+    bucket pairs (1000-doc cap, like the Spark plan) → exact Jaccard
+    >= 0.8."""
+    return (
+        _minhash_common_ctes()
+        + """,
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bandrows a
@@ -321,7 +335,6 @@ def _minhash_oracle_sql() -> str:
       JOIN bsz USING (band_id, band_hash)
       WHERE a.doc_id < b.doc_id AND bsz.bc <= 1000
     ),
-    shg AS (SELECT doc_id, {sh} AS sh FROM d),
     scored AS (
       SELECT doc_a, doc_b,
              ROUND(len(list_intersect(sa.sh, sb.sh))
@@ -333,6 +346,37 @@ def _minhash_oracle_sql() -> str:
     SELECT doc_a, doc_b, jaccard FROM scored
     WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b
     """
+    )
+
+
+def _incremental_minhash_oracle_sql() -> str:
+    """Batch-vs-corpus replay: same signature pipeline, candidates
+    restricted to (corpus doc, batch doc) band collisions, verified
+    exactly; one row per duplicate batch doc."""
+    return (
+        _minhash_common_ctes()
+        + """,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+      FROM bandrows a
+      JOIN bandrows b USING (band_id, band_hash)
+      JOIN bsz USING (band_id, band_hash)
+      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0 AND bsz.bc <= 1000
+    ),
+    scored AS (
+      SELECT corpus_id, batch_id,
+             len(list_intersect(sa.sh, sb.sh))
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+      FROM cand
+      JOIN shg sa ON sa.doc_id = corpus_id
+      JOIN shg sb ON sb.doc_id = batch_id
+    )
+    SELECT batch_id AS doc_id, MIN(corpus_id) AS dup_of,
+           COUNT(*) AS n_matches
+    FROM scored WHERE jaccard >= 0.8
+    GROUP BY batch_id ORDER BY doc_id
+    """
+    )
 
 
 def _simhash_oracle_sql() -> str:
@@ -1063,5 +1107,108 @@ def dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("n_dup_segments"),
         )
         .filter(F.col("n_dup_segments") > 0)
+        .orderBy("doc_id")
+    )
+
+
+# --- incremental dedup against a persisted signature store -----------------
+
+_SIG_LOCK = _threading.Lock()
+
+
+def _signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table holding the CORPUS docs' LSH band hashes — the
+    persisted index an incremental ingestion pipeline keeps between
+    runs (8 longs per doc; the text never enters the store).  Built
+    once per scale factor, then only READ (column-pruned Iceberg scan)."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    scratch = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".scratch",
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(scratch, f"wh_{tag}_sigstore")
+    with _SIG_LOCK:
+        cat = Catalog(root, name="sig")
+        if not cat.table_exists("dd.minhash"):
+            corpus = load_table(spark, sf_dir, "documents").filter(
+                F.col("doc_id") % 10 != 0
+            )
+            sigs = minhash_band_hashes(corpus)
+            cat.create_table("dd.minhash", sigs.schema)
+            cat.append("dd.minhash", spark, sigs)
+        return cat.load("dd.minhash").to_df(spark)
+
+
+@register(
+    "dedup_incremental_minhash", oracle=_incremental_minhash_oracle_sql()
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingestion: a NEW batch (doc_id % 10 == 0)
+    checks against the PERSISTED corpus signature store
+    (:func:`_signature_store`) WITHOUT re-signaturing the corpus — the
+    continuous-ingestion shape of a training-data pipeline.  Batch
+    bands join store bands on (band_id, band_hash) under the standard
+    1000-doc bucket cap; only candidate TEXTS are fetched and
+    re-shingled for exact Jaccard >= 0.8.  One row per duplicate batch
+    doc: (doc_id, dup_of = min matching corpus doc, n_matches).
+
+    100 TB shape: per-ingestion cost is O(batch + colliding buckets).
+    The corpus contributes 8 longs/doc from the signature table —
+    column-pruned, no text — and corpus text is read only for candidate
+    rows.  The oracle replays the full pipeline (signatures for both
+    sides) in DuckDB HUGEINT, so the store contents are verified against
+    recomputation, not trusted.  Reference parity: none — the reference
+    (table.rs) has no incremental or dedup surface at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    c_bands = _signature_store(spark, sf_dir).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.posexplode("band_hashes").alias("band_id", "band_hash"),
+    )
+    b_bands = minhash_band_hashes(batch).select(
+        F.col("doc_id").alias("batch_id"),
+        F.posexplode("band_hashes").alias("band_id", "band_hash"),
+    )
+    # bucket cap over the union of both sides (same fence as the
+    # standalone LSH: a degenerate bucket cannot go quadratic)
+    ok_buckets = (
+        c_bands.select("band_id", "band_hash")
+        .unionByName(b_bands.select("band_id", "band_hash"))
+        .groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .filter(F.col("bc") <= 1000)
+    )
+    cand = (
+        c_bands.join(b_bands, ["band_id", "band_hash"])
+        .join(ok_buckets, ["band_id", "band_hash"], "left_semi")
+        .select("corpus_id", "batch_id")
+        .distinct()
+    )
+    ta = docs.select(
+        F.col("doc_id").alias("corpus_id"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("batch_id"), F.col("text").alias("text_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(ta, "corpus_id")
+        .join(tb, "batch_id")
+        .withColumn("sh_a", F.expr(_shingles("text_a")))
+        .withColumn("sh_b", F.expr(_shingles("text_b")))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .groupBy("batch_id")
+        .agg(
+            F.min("corpus_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+        .select(F.col("batch_id").alias("doc_id"), "dup_of", "n_matches")
         .orderBy("doc_id")
     )

@@ -894,8 +894,19 @@ class IcebergWriter:
         )
         # An append snapshot's manifest list = all previous live manifests
         # + the new one (Iceberg spec: the list is the complete snapshot).
+        # A STAGED BRANCH append bases on the BRANCH HEAD, not main, so a
+        # branch accumulates commits like Spark-Iceberg's branch writes
+        # (second staged append no longer silently drops the first).
         carried = []
         prev_id = meta.get("current-snapshot-id")
+        if _stage_branch is not None:
+            ref = meta.get("refs", {}).get(_stage_branch)
+            if ref is not None:
+                if ref.get("type") != "branch":
+                    raise ValueError(
+                        f"ref {_stage_branch!r} is a tag, not a branch"
+                    )
+                prev_id = int(ref["snapshot-id"])
         if not _carry:
             prev_id = None
         if prev_id not in (None, -1):
@@ -934,15 +945,14 @@ class IcebergWriter:
         now = int(time.time() * 1000)
         prev_total = 0
         prev_files = 0
-        cur_id = meta.get("current-snapshot-id")
-        cur_snap = next(
-            (s for s in meta.get("snapshots", []) if s["snapshot-id"] == cur_id),
+        base_snap = next(
+            (s for s in meta.get("snapshots", []) if s["snapshot-id"] == prev_id),
             None,
         )
-        if _carry and cur_snap is not None:
-            prev_total = int(cur_snap["summary"].get("total-records", 0))
-            prev_files = int(cur_snap["summary"].get("total-data-files", 0))
-        parent_id = meta.get("current-snapshot-id")
+        if _carry and base_snap is not None:
+            prev_total = int(base_snap["summary"].get("total-records", 0))
+            prev_files = int(base_snap["summary"].get("total-data-files", 0))
+        parent_id = prev_id if _carry else meta.get("current-snapshot-id")
         snapshot = {
             "snapshot-id": snap_id,
             "sequence-number": seq,
@@ -3399,17 +3409,32 @@ class IcebergWriter:
         if snap is None:
             raise KeyError(f"snapshot {sid} (branch {branch!r}) not found")
         cur = meta.get("current-snapshot-id")
-        parent = snap.get("parent-snapshot-id")
-        if parent != cur:
+        cur = None if cur in (None, -1) else cur
+        # walk the branch head's parent chain back to main: every
+        # intermediate is a branch commit to publish (multi-commit
+        # branches); if the walk never reaches current main, main moved
+        # since staging and the branch's manifest lists are missing
+        # those commits — publishing would silently drop them
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        chain = []
+        walk = sid
+        while walk is not None and walk != cur:
+            node = by_id.get(walk)
+            if node is None:
+                break
+            chain.append(walk)
+            walk = node.get("parent-snapshot-id")
+        if walk != cur:
             raise CommitConflict(
-                f"cannot fast-forward {branch!r}: staged from snapshot "
-                f"{parent}, but main is now at {cur} — re-stage on top of "
-                f"the current snapshot"
+                f"cannot fast-forward {branch!r}: its history does not "
+                f"descend from main's current snapshot {cur} — re-stage "
+                "on top of the current snapshot"
             )
         now = int(time.time() * 1000)
         meta["current-snapshot-id"] = sid
         meta["snapshot-log"] = meta.get("snapshot-log", []) + [
-            {"timestamp-ms": now, "snapshot-id": sid}
+            {"timestamp-ms": now, "snapshot-id": s}
+            for s in reversed(chain)  # oldest branch commit first
         ]
         if drop_ref:
             meta["refs"].pop(branch, None)

@@ -1,0 +1,90 @@
+"""Multi-commit branch writes (round 7): staged appends chain on the
+branch head, main stays isolated until fast-forward, and publishing
+replays the whole chain into the snapshot log in commit order.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.iceberg.catalog import Catalog
+from datafusion_iceberg_spark.iceberg.writer import CommitConflict
+from datafusion_iceberg_spark.tables import load_table
+
+
+def test_branch_appends_chain_on_branch_head(spark, sf_dir, tmp_path):
+    cat = Catalog(str(tmp_path / "wh"), name="bw")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("b.n", nation.schema)
+    cat.append("b.n", spark, nation.filter("n_nationkey < 5"))
+    cat.stage_append("b.n", spark, nation.filter("n_nationkey BETWEEN 5 AND 9"), "dev")
+    cat.stage_append("b.n", spark, nation.filter("n_nationkey BETWEEN 10 AND 14"), "dev")
+    t = cat.load("b.n")
+    # main untouched; branch holds base + both staged commits
+    assert t.to_df(spark).count() == 5
+    assert t.to_df(spark, ref="dev").count() == 15
+    # the second branch commit's parent is the FIRST branch commit
+    refs = t.metadata.refs()
+    head = refs["dev"]["snapshot-id"]
+    snaps = {s.snapshot_id: s for s in t.metadata.snapshots}
+    parent = snaps[head].parent_id
+    assert parent in snaps and parent != t.metadata.raw["current-snapshot-id"]
+
+
+def test_fast_forward_publishes_whole_chain_in_order(spark, sf_dir, tmp_path):
+    cat = Catalog(str(tmp_path / "wh"), name="bw")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("b.n", nation.schema)
+    cat.append("b.n", spark, nation.filter("n_nationkey < 5"))
+    cat.stage_append("b.n", spark, nation.filter("n_nationkey BETWEEN 5 AND 9"), "dev")
+    cat.stage_append("b.n", spark, nation.filter("n_nationkey BETWEEN 10 AND 14"), "dev")
+    head = cat.load("b.n").metadata.refs()["dev"]["snapshot-id"]
+    cat.fast_forward("b.n", "dev")
+    t = cat.load("b.n")
+    assert t.metadata.raw["current-snapshot-id"] == head
+    assert t.to_df(spark).count() == 15
+    # snapshot-log gained BOTH branch commits, oldest first
+    log_ids = [e["snapshot-id"] for e in t.metadata.raw["snapshot-log"]]
+    assert log_ids[-1] == head
+    snaps = {s.snapshot_id: s for s in t.metadata.snapshots}
+    assert snaps[head].parent_id == log_ids[-2]
+    # changelog sees the published chain as two ordinary appends
+    log = t.changelog_df(spark)
+    counts = (
+        log.groupBy("_change_ordinal")
+        .count()
+        .orderBy("_change_ordinal")
+        .collect()
+    )
+    assert [int(r["count"]) for r in counts] == [5, 5, 5]
+
+
+def test_fast_forward_refuses_when_main_moved(spark, sf_dir, tmp_path):
+    cat = Catalog(str(tmp_path / "wh"), name="bw")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("b.n", nation.schema)
+    cat.append("b.n", spark, nation.filter("n_nationkey < 5"))
+    cat.stage_append("b.n", spark, nation.filter("n_nationkey BETWEEN 5 AND 9"), "dev")
+    # main advances after staging: publishing would drop this commit
+    cat.append("b.n", spark, nation.filter("n_nationkey = 20"))
+    with pytest.raises(CommitConflict, match="descend"):
+        cat.fast_forward("b.n", "dev")
+    # main unaffected by the failed publish
+    t = cat.load("b.n")
+    assert t.to_df(spark).count() == 6
+
+
+def test_branch_append_totals_track_branch_lineage(spark, sf_dir, tmp_path):
+    """total-records in a staged snapshot's summary accumulates over the
+    BRANCH lineage, not main's."""
+    cat = Catalog(str(tmp_path / "wh"), name="bw")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("b.n", nation.schema)
+    cat.append("b.n", spark, nation.filter("n_nationkey < 5"))
+    cat.stage_append("b.n", spark, nation.filter("n_nationkey BETWEEN 5 AND 9"), "dev")
+    cat.stage_append("b.n", spark, nation.filter("n_nationkey BETWEEN 10 AND 14"), "dev")
+    t = cat.load("b.n")
+    head = t.metadata.refs()["dev"]["snapshot-id"]
+    snap = next(s for s in t.metadata.snapshots if s.snapshot_id == head)
+    assert int(snap.summary["total-records"]) == 15
