@@ -63,6 +63,7 @@ HEADLINE = [
     "iceberg_dv_rewrite_scan",
     "dedup_incremental_minhash",
     "iceberg_branch_write_scan",
+    "stream_cdc_changelog",
 ]
 
 

@@ -138,15 +138,21 @@ def _split_target_bytes(total_bytes: int, n_files: int) -> int:
     return int(min(_MAX_SPLIT_BYTES, max(_OPEN_COST_BYTES, padded // min_parts + 1)))
 
 
-def _plan_files(table, filters, snapshot_id=None, from_snapshot_id=None):
+def _plan_files(
+    table, filters, snapshot_id=None, from_snapshot_id=None, _added_only=False
+):
     """Driver-side planning shared by batch and streaming: pruned file
     list (optionally the incremental diff) → bin-packed partitions.
     Small files coalesce up to the split target; files larger than the
     target split at row-group boundaries (one driver footer read per
     LARGE file only — small files plan purely from manifest stats).
-    Refuses MOR snapshots (delete files need the anti-join scan path)."""
-    if table.position_delete_files(snapshot_id) or table.equality_delete_files(
-        snapshot_id
+    Refuses MOR snapshots (delete files need the anti-join scan path) —
+    except under ``_added_only`` (the CDC append diff): deletes bind to
+    file paths that existed when they committed, so files ADDED by this
+    snapshot cannot be targeted and read clean."""
+    if not _added_only and (
+        table.position_delete_files(snapshot_id)
+        or table.equality_delete_files(snapshot_id)
     ):
         raise ValueError(
             "iceberg_py: snapshot has delete files; use IcebergTable.to_df "
@@ -326,6 +332,195 @@ class IcebergPyStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass
+
+
+class IcebergCdcDeletePartition(InputPartition):
+    """One CDC delete unit: the rows of ``path`` at the DV bitmap DELTA
+    positions (new blob minus the file's prior blob), tagged with the
+    change columns via ``attach``."""
+
+    def __init__(self, path: str, attach: dict, new_blob, old_blob):
+        self.path = path
+        self.attach = attach
+        self.new_blob = new_blob  # (puffin_path, offset, length)
+        self.old_blob = old_blob  # same, or None
+
+
+class IcebergPyCdcStreamReader(IcebergPyStreamReader):
+    """CDC flavor of the stream reader (``mode=cdc``): each micro-batch
+    emits the ROW-LEVEL diff of its snapshot range with ``_change_type``
+    / ``_change_ordinal`` columns — the streaming analogue of
+    ``changelog_df``.
+
+    - append snapshots → the added files, read directly, tagged
+      ``insert`` (the change columns ride the existing attach-constants
+      mechanism, so bin-packing and column pruning are unchanged);
+    - deletion-vector delete snapshots → per targeted file, the BITMAP
+      DELTA positions (new blob minus prior blob) decoded executor-side
+      and taken from the data file — the same math as ``changelog_df``'s
+      DV fast path, with no Spark plan needed inside the DataSource;
+    - replace (compaction) snapshots → nothing (no logical change);
+    - parquet-position-delete / equality-delete / overwrite snapshots →
+      rejected with a precise error: their net diff needs EXCEPT ALL
+      over both scan legs, which a DataSource reader cannot express —
+      use the batch ``changelog_df`` for such histories.
+    """
+
+    def partitions(self, start: dict, end: dict):
+        so, eo = start["ordinal"], end["ordinal"]
+        resync = max(so, eo)
+        if self._seen is None or resync > self._seen:
+            self._seen = resync
+        if eo <= so:
+            return [IcebergFilePartition("", {})]
+        table = self._load()
+        meta = table.metadata
+        ords = meta.snapshot_ordinals()
+        window = sorted(
+            (o, sid) for sid, o in ords.items() if so < o <= eo
+        )
+        parts: list = []
+        for o, sid in window:
+            snap = next(
+                s for s in meta.snapshots if s.snapshot_id == sid
+            )
+            op = snap.summary.get("operation", "")
+            if op == "replace":
+                continue
+            prev_sid = self._ordinal_to_snapshot(table, o - 1)
+            attach = {"_change_ordinal": o}
+            if op == "append":
+                for part in _plan_files(
+                    table,
+                    None,
+                    snapshot_id=sid,
+                    from_snapshot_id=prev_sid,
+                    _added_only=True,
+                ):
+                    part.chunks = [
+                        (
+                            p,
+                            {**a, **attach, "_change_type": "insert"},
+                            rgs,
+                        )
+                        for p, a, rgs in part.chunks
+                    ]
+                    parts.append(part)
+                continue
+            # delete snapshot: DV-only histories stream; anything else
+            # needs the batch changelog's EXCEPT-ALL legs
+            old_files = (
+                {f.path for f in table.files(snapshot_id=prev_sid)}
+                if prev_sid is not None
+                else set()
+            )
+            new_files = {f.path for f in table.files(snapshot_id=sid)}
+            old_pos = (
+                table.position_delete_files(snapshot_id=prev_sid)
+                if prev_sid is not None
+                else []
+            )
+            new_pos = table.position_delete_files(snapshot_id=sid)
+            old_paths = {d.path for d in old_pos}
+            fresh = [d for d in new_pos if d.path not in old_paths]
+            fresh_eq = [
+                d
+                for d in table.equality_delete_files(snapshot_id=sid)
+                if d.path
+                not in {
+                    e.path
+                    for e in (
+                        table.equality_delete_files(snapshot_id=prev_sid)
+                        if prev_sid is not None
+                        else []
+                    )
+                }
+            ]
+            dv_only = (
+                new_files == old_files
+                and not fresh_eq
+                and fresh
+                and all(d.referenced_data_file is not None for d in fresh)
+            )
+            if not dv_only:
+                raise ValueError(
+                    "iceberg_py cdc stream: snapshot "
+                    f"{sid} ({op!r}) is not an append or a pure "
+                    "deletion-vector delete — read this history with "
+                    "the batch changelog (changelog_df) instead"
+                )
+            old_dv = {
+                meta.localize(d.referenced_data_file): d
+                for d in old_pos
+                if d.referenced_data_file is not None
+            }
+            for d in fresh:
+                tgt = meta.localize(d.referenced_data_file)
+                prior = old_dv.get(tgt)
+                parts.append(
+                    IcebergCdcDeletePartition(
+                        tgt,
+                        {**attach, "_change_type": "delete"},
+                        (
+                            meta.localize(d.path),
+                            int(d.content_offset or 0),
+                            int(d.content_size_in_bytes or 0),
+                        ),
+                        None
+                        if prior is None
+                        else (
+                            meta.localize(prior.path),
+                            int(prior.content_offset or 0),
+                            int(prior.content_size_in_bytes or 0),
+                        ),
+                    )
+                )
+        return parts or [IcebergFilePartition("", {})]
+
+    def read(self, partition):
+        if not isinstance(partition, IcebergCdcDeletePartition):
+            yield from super().read(partition)
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from datafusion_iceberg_spark.iceberg.puffin import (
+            read_dv_positions,
+        )
+
+        new = set(read_dv_positions(*partition.new_blob))
+        old = (
+            set(read_dv_positions(*partition.old_blob))
+            if partition.old_blob is not None
+            else set()
+        )
+        delta = sorted(new - old)
+        if not delta:
+            return
+        arrow_schema = to_arrow_schema(self._schema)
+        pf = pq.ParquetFile(partition.path)
+        file_cols = set(pf.schema_arrow.names)
+        want = [n for n in arrow_schema.names if n in file_cols]
+        tbl = pf.read(columns=want).take(delta)
+        cols = []
+        for field in arrow_schema:
+            if field.name in file_cols:
+                cols.append(
+                    tbl.column(field.name).combine_chunks().cast(field.type)
+                )
+            else:
+                val = partition.attach.get(field.name)
+                cols.append(
+                    pa.array([val] * tbl.num_rows, type=field.type)
+                )
+        yield pa.RecordBatch.from_arrays(
+            [
+                c.chunk(0) if isinstance(c, pa.ChunkedArray) else c
+                for c in cols
+            ],
+            schema=arrow_schema,
+        )
 
 
 @dataclass
@@ -550,7 +745,18 @@ class IcebergPyDataSource(DataSource):
 
     def schema(self):
         table, _ = self._table()
-        return table.metadata.struct_type()
+        st = table.metadata.struct_type()
+        if self.options.get("mode") == "cdc":
+            from pyspark.sql import types as T
+
+            return T.StructType(
+                list(st.fields)
+                + [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_change_ordinal", T.IntegerType()),
+                ]
+            )
+        return st
 
     def reader(self, schema) -> IcebergPyReader:
         table, snapshot_id = self._table()
@@ -566,7 +772,12 @@ class IcebergPyDataSource(DataSource):
         return reader
 
     def streamReader(self, schema) -> IcebergPyStreamReader:
-        return IcebergPyStreamReader(
+        cls = (
+            IcebergPyCdcStreamReader
+            if self.options.get("mode") == "cdc"
+            else IcebergPyStreamReader
+        )
+        return cls(
             self.options.get("path"),
             schema,
             max_snapshots_per_batch=self.options.get("max_snapshots_per_batch"),

@@ -459,3 +459,105 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_cdc_changelog",
+    oracle="""
+    SELECT 0 AS change_ordinal, 'insert' AS change_type,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_rows,
+           (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM orders
+             WHERE o_orderkey % 2 = 0) AS key_sum
+    UNION ALL
+    SELECT 1, 'delete',
+           (SELECT COUNT(*) FROM orders
+             WHERE o_orderkey % 2 = 0 AND o_totalprice < 50000),
+           (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM orders
+             WHERE o_orderkey % 2 = 0 AND o_totalprice < 50000)
+    UNION ALL
+    SELECT 2, 'insert',
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 1),
+           (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM orders
+             WHERE o_orderkey % 2 = 1)
+    ORDER BY change_ordinal
+    """,
+)
+def stream_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC read of an Iceberg table (round 7): readStream with
+    ``mode=cdc`` on the Python DataSource tails the snapshot history and
+    emits ROW-LEVEL inserts (append snapshots: added files) and deletes
+    (deletion-vector snapshots: the bitmap DELTA positions, decoded in
+    executors) — the streaming analogue of ``changelog_df``, one
+    snapshot walked separately inside the one available-now batch.  The
+    history is append evens → DV-delete cheap evens → append odds; the
+    streamed rows land in a scratch parquet and the measured query
+    aggregates them per (ordinal, type) against the same split computed
+    by the oracle.  The reference has no streaming and no CDC surface."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH, _lock
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        register_iceberg_datasource,
+    )
+
+    register_iceberg_datasource(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(SCRATCH, f"wh_{tag}_cdcstream")
+    out_dir = os.path.join(root, "_cdc_rows")
+    marker = os.path.join(root, "_COMPLETE")
+    with _lock:
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="cs")
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table(
+                "c.orders",
+                orders.schema,
+                properties={"write.delete.mode": "deletion-vector"},
+            )
+            cat.append(
+                "c.orders", spark, orders.filter(F.col("o_orderkey") % 2 == 0)
+            )
+            cat.sql(
+                spark,
+                "DELETE FROM cs.c.orders WHERE o_totalprice < 50000",
+            )
+            cat.append(
+                "c.orders", spark, orders.filter(F.col("o_orderkey") % 2 == 1)
+            )
+            table_root = os.path.join(root, "c", "orders")
+            q = (
+                spark.readStream.format("iceberg_py")
+                .option("path", table_root)
+                .option("mode", "cdc")
+                .load()
+                .select("o_custkey", "_change_type", "_change_ordinal")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option(
+                    "checkpointLocation", os.path.join(root, "_checkpoint")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("_change_ordinal", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_custkey").alias("key_sum"),
+        )
+        .select(
+            F.col("_change_ordinal").cast("int").alias("change_ordinal"),
+            F.col("_change_type").alias("change_type"),
+            "n_rows",
+            "key_sum",
+        )
+        .orderBy("change_ordinal")
+    )

@@ -492,3 +492,105 @@ def test_stream_rate_limit_bounds_batches(spark, tmp_path):
     # and no single batch saw the whole backlog
     assert len(nonzero) >= 3
     assert max(nonzero) < 25
+
+
+# --- CDC stream mode (round 7) ---------------------------------------------
+
+
+def _cdc_stream_rows(spark, table_root, out_dir, ckpt):
+    q = (
+        spark.readStream.format("iceberg_py")
+        .option("path", table_root)
+        .option("mode", "cdc")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out_dir)
+
+
+def test_cdc_stream_emits_dv_delta_only(spark, tmp_path):
+    """Overlapping DV deletes: the second snapshot streams ONLY its
+    fresh positions (bitmap delta), not the merged vector."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="cdcx")
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table(
+        "c.n", nation.schema,
+        properties={"write.delete.mode": "deletion-vector"},
+    )
+    cat.append("c.n", spark, nation)
+    cat.sql(spark, "DELETE FROM cdcx.c.n WHERE n_nationkey IN (2, 4)")
+    cat.sql(spark, "DELETE FROM cdcx.c.n WHERE n_nationkey IN (4, 9)")
+    rows = _cdc_stream_rows(
+        spark,
+        str(tmp_path / "wh" / "c" / "n"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    dels = (
+        rows.filter(F.col("_change_type") == "delete")
+        .groupBy("_change_ordinal")
+        .agg(F.sort_array(F.collect_list("n_nationkey")).alias("ks"))
+        .orderBy("_change_ordinal")
+        .collect()
+    )
+    assert [list(r.ks) for r in dels] == [[2, 4], [9]]
+    ins = rows.filter(F.col("_change_type") == "insert")
+    assert ins.count() == 25 and ins.agg(F.max("_change_ordinal")).first()[0] == 0
+
+
+def test_cdc_stream_skips_replace_snapshots(spark, tmp_path):
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="cdcr")
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table(
+        "c.n", nation.schema,
+        properties={"write.delete.mode": "deletion-vector"},
+    )
+    cat.append("c.n", spark, nation)
+    cat.sql(spark, "DELETE FROM cdcr.c.n WHERE n_nationkey < 3")
+    cat.compact("c.n", spark)  # replace snapshot: no logical change
+    rows = _cdc_stream_rows(
+        spark,
+        str(tmp_path / "wh" / "c" / "n"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in rows.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {"insert": 25, "delete": 3}
+
+
+def test_cdc_stream_rejects_parquet_position_deletes(spark, tmp_path):
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="cdcp")
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table(
+        "c.n", nation.schema,
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    cat.append("c.n", spark, nation)
+    cat.sql(spark, "DELETE FROM cdcp.c.n WHERE n_nationkey < 3")
+    with pytest.raises(Exception, match="changelog"):
+        _cdc_stream_rows(
+            spark,
+            str(tmp_path / "wh" / "c" / "n"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        ).collect()
