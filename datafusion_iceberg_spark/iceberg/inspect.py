@@ -98,6 +98,15 @@ _ENTRIES_SCHEMA = T.StructType(
     ]
 )
 
+_POSITION_DELETES_SCHEMA = T.StructType(
+    [
+        T.StructField("file_path", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("delete_file_path", T.StringType()),
+        T.StructField("delete_kind", T.StringType()),
+    ]
+)
+
 _ALL_MANIFESTS_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
@@ -450,6 +459,71 @@ class Inspect:
         return df.dropDuplicates(["file_path", "content"])
 
 
+    def position_deletes(
+        self, spark: SparkSession, snapshot_id: Optional[int] = None
+    ) -> DataFrame:
+        """One row per deleted (data file, position) of the snapshot —
+        Spark-Iceberg's ``$position_deletes``: parquet position-delete
+        rows read as-is, deletion vectors decoded from their puffin
+        blobs, both in EXECUTORS (the driver ships one metadata row per
+        delete entry; a 100 TB table's delete volume never lands on the
+        driver)."""
+        t = self._t
+        meta = t.metadata
+        entries = []
+        for d in t.position_delete_files(snapshot_id):
+            if d.referenced_data_file is not None:
+                entries.append(
+                    (
+                        "dv",
+                        meta.localize(d.path),
+                        int(d.content_offset or 0),
+                        int(d.content_size_in_bytes or 0),
+                        meta.localize(d.referenced_data_file),
+                    )
+                )
+            else:
+                entries.append(
+                    ("position", meta.localize(d.path), 0, 0, None)
+                )
+        if not entries:
+            return spark.createDataFrame([], _POSITION_DELETES_SCHEMA)
+
+        def parse(batches) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            from datafusion_iceberg_spark.iceberg.puffin import (
+                read_dv_positions,
+            )
+
+            cols = [f.name for f in _POSITION_DELETES_SCHEMA.fields]
+            for pdf in batches:
+                rows = []
+                for kind, path, off, ln, tgt in pdf.itertuples(index=False):
+                    if kind == "dv":
+                        for p in read_dv_positions(path, int(off), int(ln)):
+                            rows.append((tgt, int(p), path, "dv"))
+                    else:
+                        tb = pq.read_table(path, columns=["file_path", "pos"])
+                        rows.extend(
+                            (fp, int(p), path, "position")
+                            for fp, p in zip(
+                                tb.column("file_path").to_pylist(),
+                                tb.column("pos").to_pylist(),
+                            )
+                        )
+                yield pd.DataFrame(rows, columns=cols)
+
+        inp = spark.createDataFrame(
+            entries, "kind string, path string, off long, ln long, tgt string"
+        )
+        n_parts = max(1, min(len(entries), 64))
+        return inp.repartition(n_parts).mapInPandas(
+            parse, _POSITION_DELETES_SCHEMA
+        )
+
+
 METADATA_TABLES = {
     "snapshots",
     "files",
@@ -461,6 +535,7 @@ METADATA_TABLES = {
     "entries",
     "all_manifests",
     "all_files",
+    "position_deletes",
 }
 
 

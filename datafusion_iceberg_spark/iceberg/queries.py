@@ -2794,3 +2794,54 @@ def iceberg_branch_write_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(SUM(o_custkey) AS BIGINT) AS key_sum"
         " FROM bw.b.orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     )
+
+
+@register(
+    "iceberg_meta_position_deletes",
+    oracle="""
+    SELECT n_nationkey AS pos, 'dv' AS delete_kind FROM nation
+    WHERE n_nationkey % 2 = 0 AND n_nationkey < 10
+    UNION ALL
+    SELECT n_nationkey, 'position' FROM nation WHERE n_nationkey IN (11, 13)
+    ORDER BY delete_kind, pos
+    """,
+)
+def iceberg_meta_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$position_deletes`` metadata table (Spark-Iceberg inspection
+    parity, round 7): every deleted (file, position) of the snapshot,
+    deletion-vector blobs decoded and parquet delete rows read in
+    EXECUTORS.  The fixture writes nation as ONE file sorted by key (so
+    position == key, making physical positions SQL-derivable), then
+    issues a DV delete and a parquet MOR delete against the same table —
+    both flavors must surface with the right kind tags."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table as _lt
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_posdel")
+        cat = Catalog(root, name="pd")
+        marker = os.path.join(root, "_COMPLETE")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="pd")
+            nation = (
+                _lt(spark, sf_dir, "nation")
+                .orderBy("n_nationkey")
+                .coalesce(1)  # one sorted file: position == n_nationkey
+            )
+            cat.create_table("m.n", nation.schema)
+            cat.append("m.n", spark, nation)
+            cat.delete_where_dv(
+                "m.n", spark, "n_nationkey % 2 = 0 AND n_nationkey < 10"
+            )
+            cat.delete_where_mor("m.n", spark, "n_nationkey IN (11, 13)")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT pos, delete_kind FROM pd.m.n$position_deletes"
+        " ORDER BY delete_kind, pos",
+    )
