@@ -869,52 +869,17 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_connected_components",
-    oracle="""
-    WITH RECURSIVE
-    tok AS (
-        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-        FROM documents WHERE doc_id < 150
-    ),
-    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS shared
-        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
-    pairs AS (
-        SELECT i.u, i.v
-        FROM inter i
-        JOIN sz su ON su.doc_id = i.u
-        JOIN sz sv ON sv.doc_id = i.v
-        WHERE i.shared * 1.0 / (su.n + sv.n - i.shared) >= 0.6
-    ),
-    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-    reach(u, r) AS (
-        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
-        UNION
-        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
-    )
-    SELECT u AS doc_id, MIN(r) AS component,
-           CAST(COUNT(*) OVER (PARTITION BY MIN(r)) AS BIGINT) AS cluster_size
-    FROM reach GROUP BY u ORDER BY doc_id
-    """,
-)
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster assignment over near-dup pairs (Jaccard >= 0.6 on token
-    sets, doc_id < 150): component id = min doc_id transitively
-    reachable — the step between pair detection and survivor choice
-    that makes 'keep one per duplicate CLUSTER' (not per pair) possible.
-
-    Distributed shape: iterative min-label propagation over the edge
-    list — each round is one join + groupBy min on (node, label) pairs
-    (8-byte ids only), converging in O(graph diameter) rounds, with a
-    driver-side convergence check on a count.  Near-dup graphs are
-    overwhelmingly tiny disjoint cliques (diameter 1-2), so 2-3 rounds
-    close real corpora; the 20-round bound is a safety rail.  The
-    DuckDB oracle replays the same clustering with a recursive CTE."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+def token_jaccard_components(docs: DataFrame) -> DataFrame:
+    """(node, label) component assignment over near-dup pairs (token-set
+    Jaccard >= 0.6): label = min doc_id transitively reachable, via
+    iterative min-label propagation over the edge list — each round one
+    join + groupBy min on (node, label) pairs (8-byte ids only),
+    converging in O(graph diameter) rounds with a driver-side
+    convergence check (near-dup graphs are overwhelmingly tiny disjoint
+    cliques, so 2-3 rounds close real corpora; 20 is a safety rail).
+    Docs with no near-dup edge are absent (their own singleton
+    component).  Shared by the clustering gate and the leakage-safe
+    group split."""
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
@@ -968,6 +933,50 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated.select("node", "label")
         if n_changed == 0:
             break
+    return labels
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE
+    tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 150
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS shared
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.u, i.v
+        FROM inter i
+        JOIN sz su ON su.doc_id = i.u
+        JOIN sz sv ON sv.doc_id = i.v
+        WHERE i.shared * 1.0 / (su.n + sv.n - i.shared) >= 0.6
+    ),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    )
+    SELECT u AS doc_id, MIN(r) AS component,
+           CAST(COUNT(*) OVER (PARTITION BY MIN(r)) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY u ORDER BY doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over near-dup pairs (Jaccard >= 0.6 on token
+    sets, doc_id < 150): component id = min doc_id transitively
+    reachable — the step between pair detection and survivor choice
+    that makes 'keep one per duplicate CLUSTER' (not per pair) possible.
+    Core in :func:`token_jaccard_components`; the DuckDB oracle replays
+    the clustering with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    labels = token_jaccard_components(docs)
     from pyspark.sql import window as W
 
     w = W.Window.partitionBy("label")

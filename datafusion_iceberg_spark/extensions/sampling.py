@@ -258,3 +258,98 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "sample_group_split",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 150
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS u, b.doc_id AS v, COUNT(*) AS shared
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.u, i.v
+        FROM inter i
+        JOIN sz su ON su.doc_id = i.u
+        JOIN sz sv ON sv.doc_id = i.v
+        WHERE i.shared * 1.0 / (su.n + sv.n - i.shared) >= 0.6
+    ),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    reach(u, r) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    ),
+    comp AS (SELECT u AS doc_id, MIN(r) AS rep FROM reach GROUP BY u),
+    allrep AS (
+        SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    tagged AS (
+        SELECT doc_id, rep,
+               CASE WHEN {_sql_bucket('rep')} < 90 THEN 'train'
+                    WHEN {_sql_bucket('rep')} < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM allrep
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT rep) AS n_groups,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-AWARE train/val/test split (round 7): docs are bucketed by
+    the hash of their near-dup CLUSTER representative, not their own id,
+    so near-duplicates can never straddle splits — the leakage guard a
+    plain id-hash split (``sample_train_val_test``) does not give.
+    Clusters come from :func:`~datafusion_iceberg_spark.extensions.
+    dedup.token_jaccard_components` over the doc_id < 150 near-dup
+    region (the corpus's engineered duplicates); everything else is its
+    own singleton group.
+
+    Scale shape: the split assignment itself is one narrow left join
+    (doc_id → rep, id-only) plus a map-side CASE — the cluster pass is
+    the dedup pipeline's existing output, reused, not recomputed per
+    split.  The oracle replays clustering (recursive CTE) + the md5
+    bucket arithmetic end-to-end."""
+    from datafusion_iceberg_spark.extensions.dedup import (
+        token_jaccard_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = token_jaccard_components(
+        docs.filter(F.col("doc_id") < 150)
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("rep"))
+    tagged = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("rep"), F.col("doc_id")).alias("rep"),
+        )
+    )
+    b = hash_bucket(F.col("rep"))
+    tagged = tagged.select(
+        "doc_id",
+        "rep",
+        F.when(b < 90, "train").when(b < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_groups"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("split")
+    )
