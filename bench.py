@@ -64,6 +64,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "iceberg_branch_write_scan",
     "stream_cdc_changelog",
+    "iceberg_row_lineage_scan",
 ]
 
 

@@ -91,6 +91,9 @@ class DataFile:
     referenced_data_file: Optional[str] = None
     content_offset: Optional[int] = None
     content_size_in_bytes: Optional[int] = None
+    # Iceberg v3 row lineage: the row id of the file's first row; rows
+    # without a materialized ``_row_id`` column take first_row_id + pos
+    first_row_id: Optional[int] = None
 
 
 def _as_int_map(v: Any) -> dict[int, Any]:
@@ -190,6 +193,11 @@ def read_manifest(
                 referenced_data_file=df.get("referenced_data_file"),
                 content_offset=df.get("content_offset"),
                 content_size_in_bytes=df.get("content_size_in_bytes"),
+                first_row_id=(
+                    None
+                    if df.get("first_row_id") is None
+                    else int(df["first_row_id"])
+                ),
             )
         )
     return out

@@ -2845,3 +2845,93 @@ def iceberg_meta_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame
         "SELECT pos, delete_kind FROM pd.m.n$position_deletes"
         " ORDER BY delete_kind, pos",
     )
+
+
+@register(
+    "iceberg_row_lineage_scan",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN ROW_NUMBER() OVER (
+                         PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) - 1
+                  ELSE (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+                       + ROW_NUMBER() OVER (
+                           PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) - 1
+             END AS row_id
+      FROM orders
+    )
+    SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id,
+           CAST(CASE WHEN o_orderkey % 5 = 0 THEN 4
+                     WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+             AS last_seq
+    FROM ranked
+    WHERE o_orderkey % 7 != 0
+    ORDER BY row_id
+    """,
+)
+def iceberg_row_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE end-to-end (round 7): every row gets a
+    stable first-class ``_row_id`` at commit (from the table's
+    ``next-row-id`` counter, stamped as ``first_row_id`` on data-file
+    manifest entries) plus ``_last_updated_sequence_number``.  The
+    fixture appends evens then odds as single sorted files (so ids are
+    SQL-derivable: id = dense rank within each append), DV-deletes the
+    %7 keys (positions immutable → surviving ids unchanged), and
+    MOR-updates the %5 keys — replacement rows MATERIALIZE their
+    original ``_row_id`` into the new files and only their
+    last-updated sequence moves.  The reference has no row identity of
+    any kind (its scan is a bare file read, table.rs:139-161)."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table as _lt
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_rowlin")
+        cat = Catalog(root, name="rl")
+        marker = os.path.join(root, "_COMPLETE")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="rl")
+            orders = _lt(spark, sf_dir, "orders").orderBy("o_orderkey")
+            cat.create_table(
+                "r.orders",
+                orders.schema,
+                properties={
+                    "write.row-lineage.enabled": "true",
+                    "write.delete.mode": "deletion-vector",
+                    "write.update.mode": "merge-on-read",
+                    "write.merge.mode": "merge-on-read",
+                },
+            )
+            # one sorted file per append → id = dense rank (oracle-able)
+            cat.append(
+                "r.orders",
+                spark,
+                orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1),
+            )
+            cat.append(
+                "r.orders",
+                spark,
+                orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1),
+            )
+            cat.sql(spark, "DELETE FROM rl.r.orders WHERE o_orderkey % 7 = 0")
+            cat.sql(
+                spark,
+                "UPDATE rl.r.orders SET o_orderpriority = 'RELABELED'"
+                " WHERE o_orderkey % 5 = 0",
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("r.orders")
+    return (
+        table.lineage_df(spark)
+        .select(
+            "o_orderkey",
+            F.col("_row_id").alias("row_id"),
+            F.col("_last_updated_sequence_number").alias("last_seq"),
+        )
+        .orderBy("row_id")
+    )

@@ -20,6 +20,7 @@ from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datafusion_iceberg_spark.iceberg.manifests import (
     DataFile,
@@ -265,6 +266,7 @@ class IcebergTable:
         deletes: Optional[list[DataFile]] = None,
         eq_deletes: Optional[list[DataFile]] = None,
         _with_row_meta: bool = False,
+        _extra_cols: Optional[list] = None,
     ) -> DataFrame:
         """files → DataFrame with partition values attached and the exact
         filter re-applied (shared by full and incremental scans).
@@ -291,6 +293,14 @@ class IcebergTable:
         use_ids = _file_has_field_ids(meta.localize(files[0].path))
         if use_ids:
             st = meta.struct_type(with_field_ids=True)
+        if _extra_cols:
+            # optional per-file columns outside the table schema (the
+            # materialized v3 ``_row_id``): schema-specified reads yield
+            # null for files that lack them
+            st = T.StructType(
+                list(st.fields)
+                + [T.StructField(n, t) for n, t in _extra_cols]
+            )
             try:  # runtime-settable; a plain caller session needs it on
                 spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
             except Exception:
@@ -323,6 +333,12 @@ class IcebergTable:
                 if not _file_has_column(spaths[0], c, meta, with_ids=use_ids)
             ]
             if missing_part_cols:
+                if _extra_cols:
+                    raise ValueError(
+                        "row-lineage scan over files missing partition "
+                        "columns is not supported (directory-only "
+                        "partition values)"
+                    )
                 sub = _read_groups_with_partition_values(
                     spark,
                     meta,
@@ -356,6 +372,76 @@ class IcebergTable:
         if filters is not None:
             df = df.filter(pred_to_sql(filters))
         return df
+
+    def attach_row_lineage(
+        self, spark: SparkSession, df: DataFrame, files: list
+    ) -> DataFrame:
+        """Resolve v3 row lineage for a scan that carries
+        ``_ice_file``/``_ice_pos`` and a (possibly null) materialized
+        ``_row_id``: a row's id is the materialized value when present,
+        else the file's ``first_row_id`` + position; its
+        ``_last_updated_sequence_number`` is the file's data sequence.
+        The per-file map is metadata-sized (three scalars per file)."""
+        meta = self.metadata
+        seqs = meta.snapshot_sequences()
+        rows = []
+        for f in files:
+            if f.first_row_id is None:
+                raise ValueError(
+                    f"row lineage: data file {f.path} has no "
+                    "first_row_id (written before "
+                    "write.row-lineage.enabled, or by a writer without "
+                    "lineage support)"
+                )
+            rows.append(
+                (
+                    meta.localize(f.path),
+                    int(f.first_row_id),
+                    _file_seq(seqs, f, -1),
+                )
+            )
+        lin = spark.createDataFrame(
+            rows, "_lin_path string, _lin_first long, _lin_seq long"
+        )
+        out = df.join(
+            F.broadcast(lin),
+            F.regexp_replace(df["_ice_file"], "^file:/*", "/")
+            == lin["_lin_path"],
+            "left",
+        )
+        return (
+            out.withColumn(
+                "_row_id",
+                F.coalesce(
+                    F.col("_row_id"), F.col("_lin_first") + F.col("_ice_pos")
+                ),
+            )
+            .withColumn(
+                "_last_updated_sequence_number", F.col("_lin_seq")
+            )
+            .drop("_lin_path", "_lin_first", "_lin_seq")
+        )
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        """Table rows + the Iceberg v3 ROW-LINEAGE columns ``_row_id``
+        (stable first-class row identity: assigned once at commit from
+        the table's ``next-row-id`` counter, preserved across MOR
+        updates via materialization) and
+        ``_last_updated_sequence_number`` (the sequence of the commit
+        that last wrote the row).  MOR deletes never shift ids (file
+        positions are immutable); the reference has no row identity at
+        all."""
+        files = list(self.files())
+        df = self._scan_files(
+            spark,
+            files,
+            None,
+            _with_row_meta=True,
+            _extra_cols=[("_row_id", T.LongType())],
+        )
+        return self.attach_row_lineage(spark, df, files).drop(
+            "_ice_file", "_ice_pos"
+        )
 
     # -- incremental read (beyond reference parity, like the write path) ---
 

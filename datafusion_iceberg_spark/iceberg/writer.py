@@ -163,6 +163,9 @@ def _manifest_schema(partition_fields: list[dict]) -> dict:
             {"name": "referenced_data_file", "type": _nullable("string"), "default": None},
             {"name": "content_offset", "type": _nullable("long"), "default": None},
             {"name": "content_size_in_bytes", "type": _nullable("long"), "default": None},
+            # v3 row lineage: row id of the file's first row (rows without
+            # a materialized _row_id column take first_row_id + position)
+            {"name": "first_row_id", "type": _nullable("long"), "default": None},
         ],
     }
     return {
@@ -267,6 +270,25 @@ def _carry_manifest_row(mf, deleted_rows: int = 0) -> dict:
         "deleted_rows_count": deleted_rows,
         "content": mf.content,
     }
+
+
+# Iceberg v3 row lineage: reserved field ids for the materialized
+# lineage columns (spec "Reserved field IDs").  A row's id is the
+# materialized ``_row_id`` value when present, else the file's
+# ``first_row_id`` + its position.
+ROW_ID_COL = "_row_id"
+_ROW_ID_FIELD_ID = 2147483540
+
+
+def _lineage_on(meta: dict) -> bool:
+    """True when the table opted into v3 row lineage
+    (``write.row-lineage.enabled`` table property)."""
+    return (
+        str(
+            meta.get("properties", {}).get("write.row-lineage.enabled", "")
+        ).lower()
+        == "true"
+    )
 
 
 def _prefers_dv(table) -> bool:
@@ -553,14 +575,26 @@ class IcebergWriter:
         data_dir = os.path.join(self.root, "data", f"snap-{snap_id}")
         # stamp PARQUET:field_id on every column (fieldId.write.enabled in
         # session confs) so future scans can resolve by id across renames
-        out = df.select(
-            *[
-                _F.col(f.name).alias(
-                    f.name, metadata={"parquet.field.id": self.field_ids[f.name]}
+        cols = [
+            _F.col(f.name).alias(
+                f.name, metadata={"parquet.field.id": self.field_ids[f.name]}
+            )
+            for f in self.schema.fields
+        ]
+        if ROW_ID_COL in df.columns:
+            # v3 row lineage: MOR update/merge replacement rows carry
+            # their original row id MATERIALIZED (spec: rewritten rows
+            # keep their id); fresh inserts carry null and take
+            # first_row_id + position at read time
+            cols.append(
+                _F.col(ROW_ID_COL)
+                .cast("long")
+                .alias(
+                    ROW_ID_COL,
+                    metadata={"parquet.field.id": _ROW_ID_FIELD_ID},
                 )
-                for f in self.schema.fields
-            ]
-        )
+            )
+        out = df.select(*cols)
         # non-identity transforms: materialize the derived partition column
         # (it lands in the directory layout only — partitionBy drops it
         # from the data files, same as identity)
@@ -709,6 +743,66 @@ class IcebergWriter:
         return self._commit_file_stats(
             snap_id, files, True, operation, _extra_summary=extra_summary
         )
+
+    def _refuse_cow_rewrite_under_lineage(self, op: str) -> None:
+        """v3 row lineage fence: a copy-on-write rewrite moves surviving
+        rows into new files at new positions, so their position-derived
+        row ids would change unless ``_row_id`` were materialized into
+        every rewritten file.  Until that materialization exists, COW
+        rewrites on lineage tables refuse loudly; the MOR / deletion-
+        vector modes preserve lineage by construction (files immutable,
+        replacement rows carry their id)."""
+        if _lineage_on(self._load_current()):
+            raise ValueError(
+                f"{op}: copy-on-write rewrite on a row-lineage table "
+                "(write.row-lineage.enabled) is not supported — rewritten "
+                "rows would lose their _row_id; use merge-on-read or "
+                "deletion-vector write modes instead"
+            )
+
+    def _manifest_write_schema(self) -> dict:
+        """The Avro schema this writer's manifests use (partition fields
+        from the table spec) — needed when a commit must REWRITE a
+        manifest it already wrote (row-lineage first_row_id assignment
+        happens at commit time, when next-row-id is known)."""
+        part_fields = [
+            {
+                "name": fname,
+                "avro_type": _avro_type_for(
+                    self._part_result_type(source, transform)
+                ),
+            }
+            for source, transform, fname in self.spec_entries
+        ]
+        return _manifest_schema(part_fields)
+
+    def _assign_first_row_ids(
+        self, meta: dict, entries: list, manifest_path: str
+    ) -> None:
+        """v3 row lineage: give every ADDED data entry lacking one a
+        ``first_row_id`` from the table's ``next-row-id`` counter (in
+        entry order), rewrite the manifest with the assignments, and
+        advance the counter in ``meta`` (committed atomically with the
+        snapshot).  Re-entrant: the commit retry reloads metadata, so a
+        concurrent commit's counter advance is observed before
+        reassignment."""
+        if not _lineage_on(meta):
+            return
+        rid = base = int(meta.get("next-row-id", 0))
+        for e in entries:
+            d = e.get("data_file", {})
+            if (
+                e.get("status", 1) == 1
+                and (d.get("content") or 0) == 0
+                and d.get("first_row_id") is None
+            ):
+                d["first_row_id"] = rid
+                rid += int(d.get("record_count", 0))
+        if rid != base:
+            write_avro_file(
+                manifest_path, self._manifest_write_schema(), entries
+            )
+        meta["next-row-id"] = rid
 
     def _data_entry(self, snap_id: int, f: dict) -> dict:
         """Manifest entry dict for one per-file stats dict."""
@@ -886,6 +980,7 @@ class IcebergWriter:
                     "re-run the operation on fresh state"
                 )
         seq = _next_sequence(meta)
+        self._assign_first_row_ids(meta, entries, manifest_path)
         # entries carried verbatim (rewrites, COW survivors) keep explicit
         # older sequence numbers; the manifest's min reflects them
         min_seq = min(
@@ -1243,6 +1338,7 @@ class IcebergWriter:
         ``repartition`` to ceil(total_bytes / target) → write; the old
         files stay on disk for time travel (snapshots are immutable), the
         new snapshot's manifest list simply stops referencing them."""
+        self._refuse_cow_rewrite_under_lineage("compact")
         import math
 
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
@@ -1426,6 +1522,7 @@ class IcebergWriter:
         inside codegen), and the rewrite is repartitionByRange + in-file
         sort on z — a single range shuffle, then a replace snapshot.
         The z column never lands in the files."""
+        self._refuse_cow_rewrite_under_lineage("rewrite_zorder")
         import math
 
         from pyspark.sql import functions as F
@@ -1653,6 +1750,7 @@ class IcebergWriter:
         subset parses back into the tuple AST via ``sql_to_pred``;
         anything richer skips pruning (all files become candidates) but
         still filters exactly."""
+        self._refuse_cow_rewrite_under_lineage("delete")
         from datafusion_iceberg_spark.iceberg.pruning import (
             pred_to_sql,
             sql_to_pred,
@@ -1857,6 +1955,9 @@ class IcebergWriter:
             pred = sql_to_pred(pred)
         else:
             where_sql = pred_to_sql(pred)
+        unknown = set(set_exprs) - {f.name for f in self.schema.fields}
+        if unknown:
+            raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
         table = IcebergTable.load(self.root)
         candidates = (
             table.files(filters=pred)
@@ -1867,13 +1968,24 @@ class IcebergWriter:
         if not candidates:
             return int(cur) if cur is not None else -1
 
+        lineage = _lineage_on(table.metadata.raw)
         scanned = table._scan_files(
-            spark, candidates, None, _with_row_meta=True
+            spark,
+            candidates,
+            None,
+            _with_row_meta=True,
+            _extra_cols=(
+                [("_row_id", T.LongType())] if lineage else None
+            ),
         ).cache()
         try:
             matched = scanned.filter(
                 F.expr(f"coalesce(({where_sql}), false)")
             )
+            if lineage:
+                # v3 row lineage: replacement rows keep their identity —
+                # materialize the resolved _row_id into the new files
+                matched = table.attach_row_lineage(spark, matched, candidates)
             del_rows = matched.select(
                 F.regexp_replace(F.col("_ice_file"), "^file:/*", "/").alias(
                     "file_path"
@@ -1881,12 +1993,15 @@ class IcebergWriter:
                 F.col("_ice_pos").cast("long").alias("pos"),
             )
             new_rows = matched.select(
-                *[
-                    F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
-                    if f.name in set_exprs
-                    else F.col(f.name)
-                    for f in self.schema.fields
-                ]
+                *(
+                    [
+                        F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                        if f.name in set_exprs
+                        else F.col(f.name)
+                        for f in self.schema.fields
+                    ]
+                    + ([F.col("_row_id")] if lineage else [])
+                )
             )
             return self._commit_row_delta(
                 spark, del_rows, new_rows, cur, use_dv=_prefers_dv(table)
@@ -2009,7 +2124,7 @@ class IcebergWriter:
             )
             data_manifest = (
                 d_manifest_path,
-                len(d_entries),
+                d_entries,
                 self._partition_summaries(
                     [f["partition"] for f in data_stats]
                 ),
@@ -2238,7 +2353,7 @@ class IcebergWriter:
             )
             data_manifest = (
                 d_manifest_path,
-                len(d_entries),
+                d_entries,
                 self._partition_summaries(
                     [f["partition"] for f in data_stats]
                 ),
@@ -2960,7 +3075,9 @@ class IcebergWriter:
             }
         ]
         if _data_manifest is not None:
-            d_path, d_entries, d_summaries, d_rows = _data_manifest
+            d_path, d_entry_list, d_summaries, d_rows = _data_manifest
+            self._assign_first_row_ids(meta, d_entry_list, d_path)
+            d_entries = len(d_entry_list)
             new_rows.append(
                 {
                     "manifest_path": d_path,
@@ -2995,7 +3112,8 @@ class IcebergWriter:
             prev_files = int(cur_snap["summary"].get("total-data-files", 0))
         extra_sum = {}
         if _data_manifest is not None:
-            d_path, d_entries, d_summaries, d_rows = _data_manifest
+            d_path, d_entry_list, d_summaries, d_rows = _data_manifest
+            d_entries = len(d_entry_list)
             extra_sum = {
                 "added-data-files": str(d_entries),
                 "added-records": str(d_rows),
@@ -3038,6 +3156,7 @@ class IcebergWriter:
         ``pred`` accepts a raw SQL boolean string like :meth:`delete`
         (prunable subset → file pruning; otherwise all files rewrite as
         candidates)."""
+        self._refuse_cow_rewrite_under_lineage("update")
         from datafusion_iceberg_spark.iceberg.pruning import (
             pred_to_sql,
             sql_to_pred,
@@ -3144,6 +3263,7 @@ class IcebergWriter:
         candidates LEFT-JOIN source (update/delete branch) unioned with
         source ANTI-JOIN target (insert branch); untouched files ride
         along verbatim."""
+        self._refuse_cow_rewrite_under_lineage("merge")
         from functools import reduce
 
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
@@ -3331,16 +3451,28 @@ class IcebergWriter:
             return self._commit_row_delta(
                 spark, del_rows, new_rows, cur, use_dv=_prefers_dv(table)
             )
+        lineage = _lineage_on(table.metadata.raw)
         scanned = table._scan_files(
-            spark, candidates, None, _with_row_meta=True
+            spark,
+            candidates,
+            None,
+            _with_row_meta=True,
+            _extra_cols=(
+                [("_row_id", T.LongType())] if lineage else None
+            ),
         ).cache()
         try:
+            target_side = (
+                table.attach_row_lineage(spark, scanned, candidates)
+                if lineage
+                else scanned
+            )
             src_m = src.withColumn("__m", F.lit(1))
             join_cond = reduce(
                 lambda a, b: a & b,
                 [F.col(f"t.{k}") == F.col(f"src.{k}") for k in keys],
             )
-            joined = scanned.alias("t").join(
+            joined = target_side.alias("t").join(
                 src_m.alias("src"), join_cond, "inner"
             )
             del_rows = joined.select(
@@ -3354,14 +3486,18 @@ class IcebergWriter:
                 dtypes = {f.name: f.dataType for f in self.schema.fields}
                 parts.append(
                     joined.select(
-                        *[
-                            F.expr(
-                                f"({(when_matched_set or {}).get(c, 't.' + c)})"
-                            )
-                            .cast(dtypes[c])
-                            .alias(c)
-                            for c in cols
-                        ]
+                        *(
+                            [
+                                F.expr(
+                                    f"({(when_matched_set or {}).get(c, 't.' + c)})"
+                                )
+                                .cast(dtypes[c])
+                                .alias(c)
+                                for c in cols
+                            ]
+                            # updated rows keep their row identity
+                            + ([F.col("t._row_id")] if lineage else [])
+                        )
                     )
                 )
             if insert_not_matched:
@@ -3376,7 +3512,18 @@ class IcebergWriter:
                         anti_cond,
                         "left_anti",
                     )
-                    .select(*cols)
+                    # fresh inserts: null materialized id → the reader
+                    # falls back to the new file's first_row_id + pos
+                    .select(
+                        *(
+                            cols
+                            + (
+                                [F.lit(None).cast("long").alias("_row_id")]
+                                if lineage
+                                else []
+                            )
+                        )
+                    )
                 )
             new_rows = None
             if parts:

@@ -1,0 +1,121 @@
+"""Iceberg v3 row lineage (round 7): stable first-class row ids
+assigned at commit, preserved across DV deletes and MOR updates/merges
+via materialization, with COW rewrites fenced.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.iceberg.catalog import Catalog
+from datafusion_iceberg_spark.tables import load_table
+
+LINEAGE_PROPS = {
+    "write.row-lineage.enabled": "true",
+    "write.delete.mode": "deletion-vector",
+    "write.update.mode": "merge-on-read",
+    "write.merge.mode": "merge-on-read",
+}
+
+
+def _table(spark, sf_dir, tmp_path):
+    cat = Catalog(str(tmp_path / "wh"), name="lin")
+    nation = (
+        load_table(spark, sf_dir, "nation").orderBy("n_nationkey").coalesce(1)
+    )
+    cat.create_table("l.n", nation.schema, properties=LINEAGE_PROPS)
+    cat.append("l.n", spark, nation.filter("n_nationkey % 2 = 0"))
+    cat.append("l.n", spark, nation.filter("n_nationkey % 2 = 1"))
+    return cat
+
+
+def _lineage(spark, cat):
+    return {
+        r["n_nationkey"]: (
+            r["_row_id"],
+            r["_last_updated_sequence_number"],
+        )
+        for r in cat.load("l.n").lineage_df(spark).collect()
+    }
+
+
+def test_append_assigns_dense_ids_in_commit_order(spark, sf_dir, tmp_path):
+    cat = _table(spark, sf_dir, tmp_path)
+    out = _lineage(spark, cat)
+    # evens (first append, sorted file): ids 0..12; odds: 13..24
+    assert out[0] == (0, 1) and out[2] == (1, 1) and out[24] == (12, 1)
+    assert out[1] == (13, 2) and out[23] == (24, 2)
+    assert sorted(v[0] for v in out.values()) == list(range(25))
+    # the counter is persisted in metadata
+    t = cat.load("l.n")
+    assert int(t.metadata.raw["next-row-id"]) == 25
+    # manifest entries carry first_row_id
+    frids = sorted(f.first_row_id for f in t.files())
+    assert frids == [0, 13]
+
+
+def test_dv_delete_preserves_surviving_ids(spark, sf_dir, tmp_path):
+    cat = _table(spark, sf_dir, tmp_path)
+    cat.sql(spark, "DELETE FROM lin.l.n WHERE n_nationkey IN (0, 13)")
+    out = _lineage(spark, cat)
+    assert 0 not in out and 13 not in out and len(out) == 23
+    # neighbours keep their exact pre-delete ids and sequences
+    assert out[2] == (1, 1) and out[15] == (20, 2)
+
+
+def test_mor_update_keeps_id_bumps_sequence(spark, sf_dir, tmp_path):
+    cat = _table(spark, sf_dir, tmp_path)
+    cat.sql(spark, "UPDATE lin.l.n SET n_name = 'UPD' WHERE n_nationkey = 4")
+    out = _lineage(spark, cat)
+    assert out[4] == (2, 3)  # id unchanged, updated at the delete's seq
+    assert out[6] == (3, 1)  # untouched neighbour unchanged
+    # the replacement file holds a MATERIALIZED _row_id column
+    t = cat.load("l.n")
+    import pyarrow.parquet as pq
+
+    newest = max(
+        (f for f in t.files()), key=lambda f: f.first_row_id or 0
+    )
+    names = pq.read_schema(t.metadata.localize(newest.path)).names
+    assert "_row_id" in names
+    # and a second update still carries the ORIGINAL id forward
+    cat.sql(spark, "UPDATE lin.l.n SET n_name = 'UPD2' WHERE n_nationkey = 4")
+    assert _lineage(spark, cat)[4] == (2, 4)
+
+
+def test_merge_updates_keep_ids_inserts_get_fresh(spark, sf_dir, tmp_path):
+    cat = _table(spark, sf_dir, tmp_path)
+    t = cat.load("l.n")
+    spark.createDataFrame(
+        [(8, "ZZ", 0), (30, "NEW", 0)], t.metadata.struct_type()
+    ).createOrReplaceTempView("lin_merge_src")
+    cat.sql(
+        spark,
+        "MERGE INTO lin.l.n t USING lin_merge_src s"
+        " ON t.n_nationkey = s.n_nationkey"
+        " WHEN MATCHED THEN UPDATE SET n_name = s.n_name"
+        " WHEN NOT MATCHED THEN INSERT *",
+    )
+    out = _lineage(spark, cat)
+    assert out[8] == (4, 3)  # matched: id kept
+    assert out[30][0] >= 25  # insert: fresh id past the counter
+    ids = [v[0] for v in out.values()]
+    assert len(ids) == len(set(ids)), "row ids must stay unique"
+
+
+def test_cow_rewrites_fenced_under_lineage(spark, sf_dir, tmp_path):
+    cat = _table(spark, sf_dir, tmp_path)
+    with pytest.raises(ValueError, match="row-lineage"):
+        cat.compact("l.n", spark)
+    with pytest.raises(ValueError, match="row-lineage"):
+        cat.writer("l.n").update(spark, "n_nationkey = 2", {"n_name": "'x'"})
+
+
+def test_lineage_refuses_pre_lineage_files(spark, sf_dir, tmp_path):
+    cat = Catalog(str(tmp_path / "wh"), name="lin")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("l.n", nation.schema)  # lineage NOT enabled
+    cat.append("l.n", spark, nation)
+    with pytest.raises(ValueError, match="first_row_id"):
+        cat.load("l.n").lineage_df(spark).collect()
