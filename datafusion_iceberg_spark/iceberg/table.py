@@ -409,6 +409,16 @@ class IcebergTable:
             == lin["_lin_path"],
             "left",
         )
+        last_upd = (
+            # rewritten files (COW compaction/update) materialize the
+            # row's ORIGINAL last-updated sequence; rows without it take
+            # the file's data sequence
+            F.coalesce(
+                F.col("_last_updated_sequence_number"), F.col("_lin_seq")
+            )
+            if "_last_updated_sequence_number" in df.columns
+            else F.col("_lin_seq")
+        )
         return (
             out.withColumn(
                 "_row_id",
@@ -416,9 +426,7 @@ class IcebergTable:
                     F.col("_row_id"), F.col("_lin_first") + F.col("_ice_pos")
                 ),
             )
-            .withColumn(
-                "_last_updated_sequence_number", F.col("_lin_seq")
-            )
+            .withColumn("_last_updated_sequence_number", last_upd)
             .drop("_lin_path", "_lin_first", "_lin_seq")
         )
 
@@ -437,7 +445,10 @@ class IcebergTable:
             files,
             None,
             _with_row_meta=True,
-            _extra_cols=[("_row_id", T.LongType())],
+            _extra_cols=[
+                ("_row_id", T.LongType()),
+                ("_last_updated_sequence_number", T.LongType()),
+            ],
         )
         return self.attach_row_lineage(spark, df, files).drop(
             "_ice_file", "_ice_pos"
@@ -504,12 +515,19 @@ class IcebergTable:
         spark: SparkSession,
         from_snapshot_id: Optional[int] = None,
         to_snapshot_id: Optional[int] = None,
+        with_row_lineage: bool = False,
     ) -> DataFrame:
         """Row-level CDC stream over the snapshot range ``(from, to]``:
         table columns plus ``_change_type`` (``'insert'``/``'delete'``)
         and ``_change_ordinal`` (the committing snapshot's ordinal).  An
         UPDATE surfaces as delete+insert at the same ordinal, exactly how
         Spark-on-Iceberg's create_changelog_view renders it.
+
+        ``with_row_lineage`` (v3 row-lineage tables only) adds the
+        stable ``_row_id`` to every change row and upgrades same-ordinal
+        delete+insert pairs sharing an id into ``update_before`` /
+        ``update_after`` images — the keyed CDC feed downstream MERGE
+        consumers want, impossible without row identity.
 
         Per-snapshot cost model (the part that matters at 100 TB):
 
@@ -544,6 +562,18 @@ class IcebergTable:
                 "*",
                 F.lit(kind).alias("_change_type"),
                 F.lit(o).alias("_change_ordinal"),
+            )
+
+        _lin_extra = [
+            ("_row_id", T.LongType()),
+            ("_last_updated_sequence_number", T.LongType()),
+        ]
+
+        def _with_ids(df: DataFrame, files_list) -> DataFrame:
+            """Resolve _row_id for a leg scanned with row meta + the
+            materialized column; drop everything but table cols + id."""
+            return self.attach_row_lineage(spark, df, files_list).drop(
+                "_ice_file", "_ice_pos", "_last_updated_sequence_number"
             )
 
         # per-snapshot probes memoized across the ordinal loop: snapshot
@@ -585,8 +615,16 @@ class IcebergTable:
             if op == "append":
                 if added:
                     sub = self._scan_files(
-                        spark, added, None, deletes=[], eq_deletes=[]
+                        spark,
+                        added,
+                        None,
+                        deletes=[],
+                        eq_deletes=[],
+                        _with_row_meta=with_row_lineage,
+                        _extra_cols=_lin_extra if with_row_lineage else None,
                     )
+                    if with_row_lineage:
+                        sub = _with_ids(sub, added)
                     frames.append(tag(sub, "insert", o))
                 prev = s.snapshot_id
                 continue
@@ -697,13 +735,17 @@ class IcebergTable:
                     deletes=[],
                     eq_deletes=[],
                     _with_row_meta=True,
+                    _extra_cols=_lin_extra if with_row_lineage else None,
                 )
                 cond = (
                     F.regexp_replace(sub["_ice_file"], "^file:/*", "/")
                     == delta["_del_file"]
                 ) & (sub["_ice_pos"] == delta["_del_pos"])
-                out = sub.join(delta, cond, "left_semi").drop(
-                    "_ice_file", "_ice_pos"
+                out = sub.join(delta, cond, "left_semi")
+                out = (
+                    _with_ids(out, tfs)
+                    if with_row_lineage
+                    else out.drop("_ice_file", "_ice_pos")
                 )
                 frames.append(tag(out, "delete", o))
                 prev = s.snapshot_id
@@ -712,20 +754,37 @@ class IcebergTable:
             old_side = removed + [old_files[p] for p in sorted(targeted)]
             new_side = added + [new_files[p] for p in sorted(targeted)]
             old_df = self._scan_files(
-                spark, old_side, None, deletes=old_pos, eq_deletes=old_eq
+                spark,
+                old_side,
+                None,
+                deletes=old_pos,
+                eq_deletes=old_eq,
+                _with_row_meta=with_row_lineage,
+                _extra_cols=_lin_extra if with_row_lineage else None,
             )
             new_df = self._scan_files(
-                spark, new_side, None, deletes=new_pos, eq_deletes=new_eq
+                spark,
+                new_side,
+                None,
+                deletes=new_pos,
+                eq_deletes=new_eq,
+                _with_row_meta=with_row_lineage,
+                _extra_cols=_lin_extra if with_row_lineage else None,
             )
+            if with_row_lineage:
+                # diff WITH the id column: two content-identical rows
+                # with different ids stay distinct, and an update's
+                # pre/post images can later pair on the id
+                old_df = _with_ids(old_df, old_side)
+                new_df = _with_ids(new_df, new_side)
             frames.append(tag(new_df.exceptAll(old_df), "insert", o))
             frames.append(tag(old_df.exceptAll(new_df), "delete", o))
             prev = s.snapshot_id
 
         if not frames:
-            import pyspark.sql.types as T
-
             st = T.StructType(
                 meta.struct_type().fields
+                + ([T.StructField("_row_id", T.LongType())] if with_row_lineage else [])
                 + [
                     T.StructField("_change_type", T.StringType()),
                     T.StructField("_change_ordinal", T.IntegerType()),
@@ -735,6 +794,26 @@ class IcebergTable:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
+        if with_row_lineage:
+            from pyspark.sql import Window
+
+            # a delete+insert pair at ONE ordinal sharing ONE row id is
+            # an UPDATE: rename into before/after images (keyed window —
+            # partitions by row id, no global shuffle hot spot)
+            w = Window.partitionBy("_row_id", "_change_ordinal")
+            both = F.size(F.collect_set("_change_type").over(w)) == 2
+            out = out.withColumn(
+                "_change_type",
+                F.when(
+                    both & (F.col("_change_type") == "delete"),
+                    "update_before",
+                )
+                .when(
+                    both & (F.col("_change_type") == "insert"),
+                    "update_after",
+                )
+                .otherwise(F.col("_change_type")),
+            )
         return out
 
 

@@ -278,6 +278,8 @@ def _carry_manifest_row(mf, deleted_rows: int = 0) -> dict:
 # ``first_row_id`` + its position.
 ROW_ID_COL = "_row_id"
 _ROW_ID_FIELD_ID = 2147483540
+LAST_UPD_COL = "_last_updated_sequence_number"
+_LAST_UPD_FIELD_ID = 2147483539
 
 
 def _lineage_on(meta: dict) -> bool:
@@ -500,14 +502,21 @@ class IcebergWriter:
         v0.metadata.json with current-snapshot-id -1)."""
         if self._current_version() >= 0:
             raise FileExistsError(f"table already exists at {self.root}")
+        props = properties or {}
+        wants_v3 = _lineage_on({"properties": props}) or str(
+            props.get("write.delete.mode", "")
+        ).lower() in ("deletion-vector", "deletion-vectors")
         meta = {
-            # format-version 2: snapshots carry real data sequence numbers
-            # (`sequence-number`, tracked via `last-sequence-number`) that
-            # govern MOR delete applicability — interop with Flink/Spark-
-            # Iceberg v2 readers (VERDICT r5 task 4).  v1 tables written
-            # by earlier rounds still read via the ordinal fallback in
-            # TableMetadata.snapshot_sequences.
-            "format-version": 2,
+            # format-version 2 by default: snapshots carry real data
+            # sequence numbers (`sequence-number`, via
+            # `last-sequence-number`) that govern MOR delete
+            # applicability — interop with Flink/Spark-Iceberg v2
+            # readers (VERDICT r5 task 4).  Tables that opt into v3
+            # features (deletion vectors, row lineage) declare
+            # format-version 3 from the start so strict foreign readers
+            # know what to expect; a v2 table using them later is
+            # upgraded one-way at the first v3 commit.
+            "format-version": 3 if wants_v3 else 2,
             "last-sequence-number": 0,
             "table-uuid": str(uuidlib.uuid4()),
             "location": self.root,
@@ -582,16 +591,29 @@ class IcebergWriter:
             for f in self.schema.fields
         ]
         if ROW_ID_COL in df.columns:
-            # v3 row lineage: MOR update/merge replacement rows carry
-            # their original row id MATERIALIZED (spec: rewritten rows
-            # keep their id); fresh inserts carry null and take
-            # first_row_id + position at read time
+            # v3 row lineage: MOR update/merge replacement rows and COW
+            # rewrites carry their original row id MATERIALIZED (spec:
+            # rewritten rows keep their id); fresh inserts carry null and
+            # take first_row_id + position at read time
             cols.append(
                 _F.col(ROW_ID_COL)
                 .cast("long")
                 .alias(
                     ROW_ID_COL,
                     metadata={"parquet.field.id": _ROW_ID_FIELD_ID},
+                )
+            )
+        if LAST_UPD_COL in df.columns:
+            # COW rewrites also materialize the original last-updated
+            # sequence (otherwise every carried row would wrongly take
+            # the rewrite commit's sequence); genuinely-changed rows
+            # write null and take the new file's sequence at read time
+            cols.append(
+                _F.col(LAST_UPD_COL)
+                .cast("long")
+                .alias(
+                    LAST_UPD_COL,
+                    metadata={"parquet.field.id": _LAST_UPD_FIELD_ID},
                 )
             )
         out = df.select(*cols)
@@ -744,21 +766,23 @@ class IcebergWriter:
             snap_id, files, True, operation, _extra_summary=extra_summary
         )
 
-    def _refuse_cow_rewrite_under_lineage(self, op: str) -> None:
-        """v3 row lineage fence: a copy-on-write rewrite moves surviving
-        rows into new files at new positions, so their position-derived
-        row ids would change unless ``_row_id`` were materialized into
-        every rewritten file.  Until that materialization exists, COW
-        rewrites on lineage tables refuse loudly; the MOR / deletion-
-        vector modes preserve lineage by construction (files immutable,
-        replacement rows carry their id)."""
-        if _lineage_on(self._load_current()):
-            raise ValueError(
-                f"{op}: copy-on-write rewrite on a row-lineage table "
-                "(write.row-lineage.enabled) is not supported — rewritten "
-                "rows would lose their _row_id; use merge-on-read or "
-                "deletion-vector write modes instead"
-            )
+    def _lineage_scan(self, spark: SparkSession, table, files):
+        """Scan ``files`` with the v3 lineage columns RESOLVED (ready to
+        re-materialize into rewritten files): table columns + ``_row_id``
+        + ``_last_updated_sequence_number``."""
+        df = table._scan_files(
+            spark,
+            files,
+            None,
+            _with_row_meta=True,
+            _extra_cols=[
+                (ROW_ID_COL, T.LongType()),
+                (LAST_UPD_COL, T.LongType()),
+            ],
+        )
+        return table.attach_row_lineage(spark, df, files).drop(
+            "_ice_file", "_ice_pos"
+        )
 
     def _manifest_write_schema(self) -> dict:
         """The Avro schema this writer's manifests use (partition fields
@@ -802,6 +826,8 @@ class IcebergWriter:
             write_avro_file(
                 manifest_path, self._manifest_write_schema(), entries
             )
+        if int(meta.get("format-version", 2)) < 3:
+            meta["format-version"] = 3  # row lineage is a v3 feature
         meta["next-row-id"] = rid
 
     def _data_entry(self, snap_id: int, f: dict) -> dict:
@@ -895,6 +921,7 @@ class IcebergWriter:
                         "partition": dict(ef.partition),
                         "record_count": ef.record_count,
                         "file_size_in_bytes": ef.file_size_in_bytes,
+                        "first_row_id": ef.first_row_id,
                         "block_size_in_bytes": 67108864,
                         "value_counts": [
                             {"key": k, "value": v} for k, v in ef.value_counts.items()
@@ -1338,7 +1365,6 @@ class IcebergWriter:
         ``repartition`` to ceil(total_bytes / target) → write; the old
         files stay on disk for time travel (snapshots are immutable), the
         new snapshot's manifest list simply stops referencing them."""
-        self._refuse_cow_rewrite_under_lineage("compact")
         import math
 
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
@@ -1347,7 +1373,13 @@ class IcebergWriter:
         files = table.files()
         total_bytes = sum(f.file_size_in_bytes for f in files)
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-        df = table.to_df(spark)
+        # v3 row lineage: compaction moves every row to a new position,
+        # so ids and last-updated sequences ride along materialized
+        df = (
+            self._lineage_scan(spark, table, files)
+            if _lineage_on(table.metadata.raw)
+            else table.to_df(spark)
+        )
         if self.spec_entries:
             # keep partition dirs intact; spread within partitions
             # (repartition on SOURCE columns — derived ones are not in df)
@@ -1522,7 +1554,6 @@ class IcebergWriter:
         inside codegen), and the rewrite is repartitionByRange + in-file
         sort on z — a single range shuffle, then a replace snapshot.
         The z column never lands in the files."""
-        self._refuse_cow_rewrite_under_lineage("rewrite_zorder")
         import math
 
         from pyspark.sql import functions as F
@@ -1538,7 +1569,12 @@ class IcebergWriter:
         files = table.files()
         total_bytes = sum(f.file_size_in_bytes for f in files)
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-        df = table.to_df(spark)
+        # v3 row lineage rides the rewrite materialized, like compact()
+        df = (
+            self._lineage_scan(spark, table, files)
+            if _lineage_on(table.metadata.raw)
+            else table.to_df(spark)
+        )
 
         bounds = []
         for col in columns:
@@ -1750,7 +1786,6 @@ class IcebergWriter:
         subset parses back into the tuple AST via ``sql_to_pred``;
         anything richer skips pruning (all files become candidates) but
         still filters exactly."""
-        self._refuse_cow_rewrite_under_lineage("delete")
         from datafusion_iceberg_spark.iceberg.pruning import (
             pred_to_sql,
             sql_to_pred,
@@ -1788,7 +1823,15 @@ class IcebergWriter:
                 candidates = list(candidates) + extra
                 cand_paths |= {f.path for f in extra}
                 untouched = [f for f in untouched if f.path not in cand_paths]
-        keep_df = table._scan_files(spark, candidates, None).filter(
+        # v3 row lineage: surviving rows are REWRITTEN into new files,
+        # so their id and last-updated sequence must ride along
+        # materialized (position-derived lineage dies with the old file)
+        scanned = (
+            self._lineage_scan(spark, table, candidates)
+            if _lineage_on(table.metadata.raw)
+            else table._scan_files(spark, candidates, None)
+        )
+        keep_df = scanned.filter(
             F.expr(f"NOT coalesce(({where_sql}), false)")
         )
         return self.append(
@@ -3096,6 +3139,12 @@ class IcebergWriter:
                     "content": 0,
                 }
             )
+        if any(
+            e.get("data_file", {}).get("referenced_data_file") is not None
+            for e in entries
+        ) and int(meta.get("format-version", 2)) < 3:
+            # deletion vectors are a v3 feature: one-way format upgrade
+            meta["format-version"] = 3
         write_avro_file(
             manifest_list_path, _MANIFEST_LIST_SCHEMA, carried + new_rows
         )
@@ -3156,7 +3205,6 @@ class IcebergWriter:
         ``pred`` accepts a raw SQL boolean string like :meth:`delete`
         (prunable subset → file pruning; otherwise all files rewrite as
         candidates)."""
-        self._refuse_cow_rewrite_under_lineage("update")
         from datafusion_iceberg_spark.iceberg.pruning import (
             pred_to_sql,
             sql_to_pred,
@@ -3198,12 +3246,20 @@ class IcebergWriter:
                 cand_paths |= {f.path for f in extra}
                 untouched = [f for f in untouched if f.path not in cand_paths]
         match = f"coalesce(({where_sql}), false)"
-        scanned = table._scan_files(spark, candidates, None)
+        lineage = _lineage_on(table.metadata.raw)
+        scanned = (
+            self._lineage_scan(spark, table, candidates)
+            if lineage
+            else table._scan_files(spark, candidates, None)
+        )
         dtypes = dict(scanned.dtypes)
         # ONE select evaluating every CASE against the ORIGINAL row: the
         # predicate and all SET expressions must see old column values
         # (SQL UPDATE semantics) — sequential withColumn would re-evaluate
-        # both against already-assigned columns.
+        # both against already-assigned columns.  Under row lineage the
+        # rewritten survivors keep id AND last-updated; genuinely UPDATED
+        # rows keep their id but write a null last-updated (the reader
+        # then takes this commit's sequence — the row WAS updated now).
         updated = scanned.select(
             *[
                 (
@@ -3213,7 +3269,14 @@ class IcebergWriter:
                     .cast(dtypes[c])
                     .alias(c)
                     if c in set_exprs
-                    else F.col(c)
+                    else (
+                        F.expr(
+                            f"CASE WHEN {match} THEN CAST(NULL AS BIGINT)"
+                            f" ELSE {LAST_UPD_COL} END"
+                        ).alias(LAST_UPD_COL)
+                        if lineage and c == LAST_UPD_COL
+                        else F.col(c)
+                    )
                 )
                 for c in scanned.columns
             ]
@@ -3263,7 +3326,6 @@ class IcebergWriter:
         candidates LEFT-JOIN source (update/delete branch) unioned with
         source ANTI-JOIN target (insert branch); untouched files ride
         along verbatim."""
-        self._refuse_cow_rewrite_under_lineage("merge")
         from functools import reduce
 
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
@@ -3334,7 +3396,12 @@ class IcebergWriter:
                 candidates = list(candidates) + extra
                 cand_paths |= {f.path for f in extra}
                 untouched = [f for f in untouched if f.path not in cand_paths]
-        target = table._scan_files(spark, candidates, None)
+        lineage = _lineage_on(table.metadata.raw)
+        target = (
+            self._lineage_scan(spark, table, candidates)
+            if lineage
+            else table._scan_files(spark, candidates, None)
+        )
         # presence marker instead of key-IS-NOT-NULL: composite and
         # NULL-able keys both stay correct (a NULL key never equi-joins)
         src_m = src.withColumn("__m", F.lit(1))
@@ -3344,23 +3411,51 @@ class IcebergWriter:
         )
         joined = target.alias("t").join(src_m.alias("src"), join_cond, "left")
         matched = F.col("src.__m").isNotNull()
+        # v3 row lineage through the COW rewrite: every surviving row
+        # keeps its materialized id; rows the merge UPDATES write a null
+        # last-updated (they take this commit's sequence at read time)
+        lin_keep = (
+            [
+                F.col("t._row_id").alias("_row_id"),
+                F.col("t._last_updated_sequence_number").alias(
+                    "_last_updated_sequence_number"
+                ),
+            ]
+            if lineage
+            else []
+        )
+        lin_upd = (
+            [
+                F.col("t._row_id").alias("_row_id"),
+                F.when(
+                    matched, F.lit(None).cast("long")
+                )
+                .otherwise(F.col("t._last_updated_sequence_number"))
+                .alias("_last_updated_sequence_number"),
+            ]
+            if lineage
+            else []
+        )
         if when_matched_delete:
             updated = joined.filter(~matched).select(
-                *[F.col(f"t.{c}").alias(c) for c in cols]
+                *([F.col(f"t.{c}").alias(c) for c in cols] + lin_keep)
             )
         else:
             updated = joined.select(
-                *[
-                    F.when(
-                        matched,
-                        F.expr(
-                            f"({(when_matched_set or {}).get(c, 't.' + c)})"
-                        ).cast(dict(target.dtypes)[c]),
-                    )
-                    .otherwise(F.col(f"t.{c}"))
-                    .alias(c)
-                    for c in cols
-                ]
+                *(
+                    [
+                        F.when(
+                            matched,
+                            F.expr(
+                                f"({(when_matched_set or {}).get(c, 't.' + c)})"
+                            ).cast(dict(target.dtypes)[c]),
+                        )
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                        for c in cols
+                    ]
+                    + lin_upd
+                )
             )
         out = updated
         if insert_not_matched:
@@ -3374,7 +3469,17 @@ class IcebergWriter:
             inserts = src.alias("s").join(
                 target.select(*keys).alias("t2"), anti_cond, "left_anti"
             )
-            out = updated.unionByName(inserts.select(*cols))
+            lin_ins = (
+                [
+                    F.lit(None).cast("long").alias("_row_id"),
+                    F.lit(None)
+                    .cast("long")
+                    .alias("_last_updated_sequence_number"),
+                ]
+                if lineage
+                else []
+            )
+            out = updated.unionByName(inserts.select(*(cols + lin_ins)))
         return self.append(
             spark,
             out,

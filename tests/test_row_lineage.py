@@ -104,12 +104,86 @@ def test_merge_updates_keep_ids_inserts_get_fresh(spark, sf_dir, tmp_path):
     assert len(ids) == len(set(ids)), "row ids must stay unique"
 
 
-def test_cow_rewrites_fenced_under_lineage(spark, sf_dir, tmp_path):
+def test_compaction_materializes_lineage(spark, sf_dir, tmp_path):
+    """COW compaction rewrites every row into new files at new
+    positions; ids AND last-updated sequences must ride along
+    materialized, byte-stable across the rewrite."""
     cat = _table(spark, sf_dir, tmp_path)
-    with pytest.raises(ValueError, match="row-lineage"):
-        cat.compact("l.n", spark)
-    with pytest.raises(ValueError, match="row-lineage"):
-        cat.writer("l.n").update(spark, "n_nationkey = 2", {"n_name": "'x'"})
+    cat.sql(spark, "DELETE FROM lin.l.n WHERE n_nationkey = 0")
+    cat.sql(spark, "UPDATE lin.l.n SET n_name = 'UPD' WHERE n_nationkey = 4")
+    before = _lineage(spark, cat)
+    cat.compact("l.n", spark)
+    after = _lineage(spark, cat)
+    assert after == before
+    # compacted files carry BOTH materialized lineage columns
+    t = cat.load("l.n")
+    import pyarrow.parquet as pq
+
+    for f in t.files():
+        names = pq.read_schema(t.metadata.localize(f.path)).names
+        assert "_row_id" in names
+        assert "_last_updated_sequence_number" in names
+    # and a fresh append after compaction continues the id sequence
+    nation = load_table(spark, sf_dir, "nation")
+    cat.append(
+        "l.n",
+        spark,
+        nation.filter("n_nationkey = 0"),
+    )
+    out = _lineage(spark, cat)
+    assert out[0][0] >= 25  # re-inserted row is a NEW row: fresh id
+
+
+def test_cow_update_and_delete_preserve_lineage(spark, sf_dir, tmp_path):
+    """Copy-on-write UPDATE keeps the matched row's id (null
+    materialized last-updated → the rewrite commit's sequence), and COW
+    DELETE leaves survivors' lineage untouched."""
+    cat = Catalog(str(tmp_path / "wh"), name="lin")
+    nation = (
+        load_table(spark, sf_dir, "nation").orderBy("n_nationkey").coalesce(1)
+    )
+    cat.create_table(
+        "l.n",
+        nation.schema,
+        properties={"write.row-lineage.enabled": "true"},  # COW modes
+    )
+    cat.append("l.n", spark, nation)
+    cat.sql(spark, "UPDATE lin.l.n SET n_name = 'UPD' WHERE n_nationkey = 4")
+    out = _lineage(spark, cat)
+    assert out[4] == (4, 2)  # id kept; updated at the COW commit's seq
+    assert out[6] == (6, 1)  # survivor untouched
+    cat.sql(spark, "DELETE FROM lin.l.n WHERE n_nationkey = 10")
+    out = _lineage(spark, cat)
+    assert 10 not in out
+    assert out[4] == (4, 2) and out[11] == (11, 1)
+
+
+def test_cow_merge_preserves_lineage(spark, sf_dir, tmp_path):
+    cat = Catalog(str(tmp_path / "wh"), name="lin")
+    nation = (
+        load_table(spark, sf_dir, "nation").orderBy("n_nationkey").coalesce(1)
+    )
+    cat.create_table(
+        "l.n", nation.schema, properties={"write.row-lineage.enabled": "true"}
+    )
+    cat.append("l.n", spark, nation)
+    t = cat.load("l.n")
+    spark.createDataFrame(
+        [(8, "ZZ", 0), (30, "NEW", 0)], t.metadata.struct_type()
+    ).createOrReplaceTempView("lin_cow_merge_src")
+    cat.sql(
+        spark,
+        "MERGE INTO lin.l.n t USING lin_cow_merge_src s"
+        " ON t.n_nationkey = s.n_nationkey"
+        " WHEN MATCHED THEN UPDATE SET n_name = s.n_name"
+        " WHEN NOT MATCHED THEN INSERT *",
+    )
+    out = _lineage(spark, cat)
+    assert out[8] == (8, 2)  # matched: id kept, updated at merge seq
+    assert out[6] == (6, 1)  # carried candidate row untouched
+    assert out[30][0] >= 25  # insert: fresh id
+    ids = [v[0] for v in out.values()]
+    assert len(ids) == len(set(ids))
 
 
 def test_lineage_refuses_pre_lineage_files(spark, sf_dir, tmp_path):
@@ -119,3 +193,48 @@ def test_lineage_refuses_pre_lineage_files(spark, sf_dir, tmp_path):
     cat.append("l.n", spark, nation)
     with pytest.raises(ValueError, match="first_row_id"):
         cat.load("l.n").lineage_df(spark).collect()
+
+
+def test_v3_features_stamp_format_version(spark, sf_dir, tmp_path):
+    """Tables using v3 features declare format-version 3: at create when
+    the properties opt in, or via one-way upgrade at the first DV /
+    lineage commit on an older table."""
+    cat = _table(spark, sf_dir, tmp_path)  # lineage+DV props at create
+    assert cat.load("l.n").metadata.raw["format-version"] == 3
+
+    cat2 = Catalog(str(tmp_path / "wh2"), name="up")
+    nation = load_table(spark, sf_dir, "nation")
+    cat2.create_table("u.n", nation.schema)  # plain v2 table
+    cat2.append("u.n", spark, nation)
+    assert cat2.load("u.n").metadata.raw["format-version"] == 2
+    cat2.delete_where_dv("u.n", spark, "n_nationkey = 3")
+    assert cat2.load("u.n").metadata.raw["format-version"] == 3
+
+
+def test_changelog_with_row_lineage_update_images(spark, sf_dir, tmp_path):
+    """changelog_df(with_row_lineage=True): every change row carries the
+    stable _row_id, and a MOR UPDATE's delete+insert pair at one ordinal
+    becomes update_before/update_after images keyed by that id."""
+    cat = _table(spark, sf_dir, tmp_path)
+    cat.sql(spark, "DELETE FROM lin.l.n WHERE n_nationkey = 2")
+    cat.sql(spark, "UPDATE lin.l.n SET n_name = 'UPD' WHERE n_nationkey = 4")
+    log = cat.load("l.n").changelog_df(spark, with_row_lineage=True)
+    rows = log.select(
+        "n_nationkey", "n_name", "_row_id", "_change_type", "_change_ordinal"
+    ).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    # appends: every insert carries its id; key 4's original insert is id 2
+    ins = {r["n_nationkey"]: r["_row_id"] for r in by_type["insert"]}
+    assert ins[0] == 0 and ins[4] == 2 and ins[1] == 13
+    # the plain DV delete of key 2 stays a delete, with its id
+    dels = {r["n_nationkey"]: r["_row_id"] for r in by_type.get("delete", [])}
+    assert dels == {2: 1}
+    # the update surfaces as before/after images sharing id 2
+    before = [r for r in by_type["update_before"]]
+    after = [r for r in by_type["update_after"]]
+    assert len(before) == 1 and len(after) == 1
+    assert before[0]["n_nationkey"] == 4 and before[0]["_row_id"] == 2
+    assert after[0]["n_name"] == "UPD" and after[0]["_row_id"] == 2
+    assert before[0]["_change_ordinal"] == after[0]["_change_ordinal"]
