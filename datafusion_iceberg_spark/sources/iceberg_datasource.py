@@ -339,11 +339,15 @@ class IcebergCdcDeletePartition(InputPartition):
     positions (new blob minus the file's prior blob), tagged with the
     change columns via ``attach``."""
 
-    def __init__(self, path: str, attach: dict, new_blob, old_blob):
+    def __init__(
+        self, path: str, attach: dict, new_blob, old_blob, first_row_id=None
+    ):
         self.path = path
         self.attach = attach
         self.new_blob = new_blob  # (puffin_path, offset, length)
         self.old_blob = old_blob  # same, or None
+        # v3 row lineage: base id for position-derived _row_id values
+        self.first_row_id = first_row_id
 
 
 class IcebergPyCdcStreamReader(IcebergPyStreamReader):
@@ -364,6 +368,11 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
       rejected with a precise error: their net diff needs EXCEPT ALL
       over both scan legs, which a DataSource reader cannot express —
       use the batch ``changelog_df`` for such histories.
+
+    On a v3 ROW-LINEAGE table the feed also carries ``_row_id``
+    (resolved per row: the file's materialized column when present,
+    else ``first_row_id`` + position) — the keyed CDC stream downstream
+    MERGE consumers apply by identity.
     """
 
     def partitions(self, start: dict, end: dict):
@@ -389,6 +398,15 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                 continue
             prev_sid = self._ordinal_to_snapshot(table, o - 1)
             attach = {"_change_ordinal": o}
+            lineage = any(f.name == "_row_id" for f in self._schema.fields)
+            frid_map = (
+                {
+                    meta.localize(f.path): f.first_row_id
+                    for f in table.files(snapshot_id=sid)
+                }
+                if lineage
+                else {}
+            )
             if op == "append":
                 for part in _plan_files(
                     table,
@@ -400,21 +418,35 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                     part.chunks = [
                         (
                             p,
-                            {**a, **attach, "_change_type": "insert"},
+                            {
+                                **a,
+                                **attach,
+                                "_change_type": "insert",
+                                **(
+                                    {"_cdc_first_row_id": frid_map.get(p)}
+                                    if lineage
+                                    else {}
+                                ),
+                            },
                             rgs,
                         )
                         for p, a, rgs in part.chunks
                     ]
                     parts.append(part)
                 continue
-            # delete snapshot: DV-only histories stream; anything else
-            # needs the batch changelog's EXCEPT-ALL legs
+            # delete / row-delta snapshot: DV-delete histories stream
+            # (optionally with replacement/insert files — the MOR
+            # UPDATE/MERGE row-delta shape); anything that REMOVES files
+            # or adds non-DV deletes needs the batch changelog's
+            # EXCEPT-ALL legs
             old_files = (
                 {f.path for f in table.files(snapshot_id=prev_sid)}
                 if prev_sid is not None
                 else set()
             )
             new_files = {f.path for f in table.files(snapshot_id=sid)}
+            removed_files = old_files - new_files
+            added_files = new_files - old_files
             old_pos = (
                 table.position_delete_files(snapshot_id=prev_sid)
                 if prev_sid is not None
@@ -436,19 +468,47 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                     )
                 }
             ]
-            dv_only = (
-                new_files == old_files
+            streamable = (
+                not removed_files
                 and not fresh_eq
                 and fresh
                 and all(d.referenced_data_file is not None for d in fresh)
             )
-            if not dv_only:
+            if not streamable:
                 raise ValueError(
                     "iceberg_py cdc stream: snapshot "
-                    f"{sid} ({op!r}) is not an append or a pure "
-                    "deletion-vector delete — read this history with "
-                    "the batch changelog (changelog_df) instead"
+                    f"{sid} ({op!r}) is not an append, a pure "
+                    "deletion-vector delete, or a DV row-delta — read "
+                    "this history with the batch changelog "
+                    "(changelog_df) instead"
                 )
+            if added_files:
+                # row-delta replacement/insert files stream as inserts
+                for part in _plan_files(
+                    table,
+                    None,
+                    snapshot_id=sid,
+                    from_snapshot_id=prev_sid,
+                    _added_only=True,
+                ):
+                    part.chunks = [
+                        (
+                            p,
+                            {
+                                **a,
+                                **attach,
+                                "_change_type": "insert",
+                                **(
+                                    {"_cdc_first_row_id": frid_map.get(p)}
+                                    if lineage
+                                    else {}
+                                ),
+                            },
+                            rgs,
+                        )
+                        for p, a, rgs in part.chunks
+                    ]
+                    parts.append(part)
             old_dv = {
                 meta.localize(d.referenced_data_file): d
                 for d in old_pos
@@ -461,29 +521,39 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                     IcebergCdcDeletePartition(
                         tgt,
                         {**attach, "_change_type": "delete"},
-                        (
+                        new_blob=(
                             meta.localize(d.path),
                             int(d.content_offset or 0),
                             int(d.content_size_in_bytes or 0),
                         ),
-                        None
-                        if prior is None
-                        else (
-                            meta.localize(prior.path),
-                            int(prior.content_offset or 0),
-                            int(prior.content_size_in_bytes or 0),
+                        old_blob=(
+                            None
+                            if prior is None
+                            else (
+                                meta.localize(prior.path),
+                                int(prior.content_offset or 0),
+                                int(prior.content_size_in_bytes or 0),
+                            )
                         ),
+                        first_row_id=frid_map.get(tgt),
                     )
                 )
         return parts or [IcebergFilePartition("", {})]
 
     def read(self, partition):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self._schema)
+        lineage = "_row_id" in arrow_schema.names
         if not isinstance(partition, IcebergCdcDeletePartition):
-            yield from super().read(partition)
+            if not lineage:
+                yield from super().read(partition)
+                return
+            yield from self._read_insert_with_ids(partition, arrow_schema)
             return
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
 
         from datafusion_iceberg_spark.iceberg.puffin import (
             read_dv_positions,
@@ -498,14 +568,31 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
         delta = sorted(new - old)
         if not delta:
             return
-        arrow_schema = to_arrow_schema(self._schema)
         pf = pq.ParquetFile(partition.path)
         file_cols = set(pf.schema_arrow.names)
         want = [n for n in arrow_schema.names if n in file_cols]
         tbl = pf.read(columns=want).take(delta)
         cols = []
         for field in arrow_schema:
-            if field.name in file_cols:
+            if field.name == "_row_id" and lineage:
+                computed = (
+                    pa.array(
+                        [partition.first_row_id + p for p in delta],
+                        type=pa.int64(),
+                    )
+                    if partition.first_row_id is not None
+                    else pa.nulls(tbl.num_rows, pa.int64())
+                )
+                if "_row_id" in file_cols:
+                    # materialized id wins; positional fallback fills
+                    # the file's fresh-insert null slots
+                    mat = tbl.column("_row_id").combine_chunks().cast(
+                        pa.int64()
+                    )
+                    cols.append(pc.coalesce(mat, computed))
+                else:
+                    cols.append(computed)
+            elif field.name in file_cols:
                 cols.append(
                     tbl.column(field.name).combine_chunks().cast(field.type)
                 )
@@ -521,6 +608,78 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
             ],
             schema=arrow_schema,
         )
+
+    def _read_insert_with_ids(self, partition, arrow_schema):
+        """Insert chunks of a lineage CDC stream: stream each file (or
+        row-group slice) computing ``_row_id`` = materialized column
+        when present, else the file's first_row_id + row position (the
+        slice's base position is the sum of preceding row-group
+        sizes)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for path, attach, rgs in partition.chunks:
+            if not path:
+                continue
+            frid = attach.get("_cdc_first_row_id")
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            rg_rows = [
+                md.row_group(i).num_rows for i in range(md.num_row_groups)
+            ]
+            sel = list(range(len(rg_rows))) if rgs is None else list(rgs)
+            starts = []
+            acc = 0
+            for i, n in enumerate(rg_rows):
+                starts.append(acc)
+                acc += n
+            file_cols = set(pf.schema_arrow.names)
+            want = [n for n in arrow_schema.names if n in file_cols]
+            for i in sel:
+                tbl = pf.read_row_group(i, columns=want)
+                base = starts[i]
+                offset = 0
+                for batch in tbl.to_batches(262144):
+                    n = batch.num_rows
+                    cols = []
+                    for field in arrow_schema:
+                        if field.name == "_row_id":
+                            computed = (
+                                pa.array(
+                                    range(
+                                        frid + base + offset,
+                                        frid + base + offset + n,
+                                    ),
+                                    type=pa.int64(),
+                                )
+                                if frid is not None
+                                else pa.nulls(n, pa.int64())
+                            )
+                            if "_row_id" in file_cols:
+                                mat = batch.column("_row_id").cast(pa.int64())
+                                cols.append(pc.coalesce(mat, computed))
+                            else:
+                                cols.append(computed)
+                        elif field.name in file_cols:
+                            cols.append(
+                                batch.column(field.name).cast(field.type)
+                            )
+                        else:
+                            val = attach.get(field.name)
+                            cols.append(
+                                pa.array([val] * n, type=field.type)
+                            )
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            c.chunk(0)
+                            if isinstance(c, pa.ChunkedArray)
+                            else c
+                            for c in cols
+                        ],
+                        schema=arrow_schema,
+                    )
+                    offset += n
 
 
 @dataclass
@@ -749,8 +908,21 @@ class IcebergPyDataSource(DataSource):
         if self.options.get("mode") == "cdc":
             from pyspark.sql import types as T
 
+            lineage = (
+                str(
+                    table.metadata.properties.get(
+                        "write.row-lineage.enabled", ""
+                    )
+                ).lower()
+                == "true"
+            )
             return T.StructType(
                 list(st.fields)
+                + (
+                    [T.StructField("_row_id", T.LongType())]
+                    if lineage
+                    else []
+                )
                 + [
                     T.StructField("_change_type", T.StringType()),
                     T.StructField("_change_ordinal", T.IntegerType()),

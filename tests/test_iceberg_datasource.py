@@ -594,3 +594,54 @@ def test_cdc_stream_rejects_parquet_position_deletes(spark, tmp_path):
             str(tmp_path / "out"),
             str(tmp_path / "ckpt"),
         ).collect()
+
+
+def test_cdc_stream_carries_row_ids_on_lineage_tables(spark, tmp_path):
+    """mode=cdc on a row-lineage table: every change row carries its
+    stable _row_id — positional for appended files, materialized for
+    MOR-update replacement files, and the DV delete delta reports the
+    ids of the removed rows."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="cdl")
+    nation = (
+        load_table(spark, SF_DIR, "nation").orderBy("n_nationkey").coalesce(1)
+    )
+    cat.create_table(
+        "c.n",
+        nation.schema,
+        properties={
+            "write.row-lineage.enabled": "true",
+            "write.delete.mode": "deletion-vector",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    cat.append("c.n", spark, nation)  # ids 0..24 (sorted single file)
+    cat.sql(spark, "DELETE FROM cdl.c.n WHERE n_nationkey IN (3, 7)")
+    cat.sql(spark, "UPDATE cdl.c.n SET n_name = 'UPD' WHERE n_nationkey = 4")
+    rows = _cdc_stream_rows(
+        spark,
+        str(tmp_path / "wh" / "c" / "n"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    ).collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["_change_ordinal"], r["_change_type"]), []).append(r)
+    # append: 25 inserts with positional ids == keys (sorted file)
+    ins0 = {r["n_nationkey"]: r["_row_id"] for r in by[(0, "insert")]}
+    assert ins0 == {k: k for k in range(25)}
+    # DV delete: removed rows report their ids
+    del1 = {r["n_nationkey"]: r["_row_id"] for r in by[(1, "delete")]}
+    assert del1 == {3: 3, 7: 7}
+    # MOR update (row-delta at ordinal 2): delete of the old copy and
+    # insert of the replacement BOTH carry the original id 4
+    del2 = {r["n_nationkey"]: r["_row_id"] for r in by[(2, "delete")]}
+    ins2 = {
+        r["n_nationkey"]: (r["_row_id"], r["n_name"])
+        for r in by[(2, "insert")]
+    }
+    assert del2 == {4: 4}
+    assert ins2 == {4: (4, "UPD")}

@@ -1,6 +1,7 @@
 """Iceberg v3 row lineage (round 7): stable first-class row ids
-assigned at commit, preserved across DV deletes and MOR updates/merges
-via materialization, with COW rewrites fenced.
+assigned at commit, preserved across DV deletes, MOR updates/merges,
+and COW rewrites (compaction/update/delete/merge) via materialized
+lineage columns; changelog update images keyed by id.
 """
 
 from __future__ import annotations
