@@ -65,6 +65,7 @@ HEADLINE = [
     "iceberg_branch_write_scan",
     "stream_cdc_changelog",
     "iceberg_row_lineage_scan",
+    "iceberg_lineage_changelog_scan",
 ]
 
 

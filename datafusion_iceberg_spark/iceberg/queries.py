@@ -2935,3 +2935,71 @@ def iceberg_row_lineage_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row_id")
     )
+
+
+@register(
+    "iceberg_lineage_changelog_scan",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0
+                  THEN ROW_NUMBER() OVER (
+                         PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) - 1
+                  ELSE (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+                       + ROW_NUMBER() OVER (
+                           PARTITION BY o_orderkey % 2 ORDER BY o_orderkey) - 1
+             END AS row_id
+      FROM orders
+    )
+    SELECT 0 AS change_ordinal, 'insert' AS change_type,
+           COUNT(*) AS n_rows, CAST(SUM(row_id) AS BIGINT) AS id_sum
+    FROM ranked WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 1, 'insert', COUNT(*), CAST(SUM(row_id) AS BIGINT)
+    FROM ranked WHERE o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 2, 'delete', COUNT(*), CAST(SUM(row_id) AS BIGINT)
+    FROM ranked WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT 3, 'update_before', COUNT(*), CAST(SUM(row_id) AS BIGINT)
+    FROM ranked WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 != 0
+    UNION ALL
+    SELECT 3, 'update_after', COUNT(*), CAST(SUM(row_id) AS BIGINT)
+    FROM ranked WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 != 0
+    ORDER BY change_ordinal, change_type
+    """,
+)
+def iceberg_lineage_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC WITH ROW IDENTITY (round 7): ``changelog_df(
+    with_row_lineage=True)`` over the row-lineage fixture stamps every
+    change row with its stable ``_row_id`` and upgrades the MOR
+    UPDATE's same-ordinal delete+insert pair (matched on the id) into
+    ``update_before`` / ``update_after`` images — the keyed CDC feed a
+    downstream MERGE consumer applies by identity.  The oracle derives
+    every leg's id sums from the append order, so a wrong or unstable
+    id anywhere in the history hash-fails.  Shares the
+    ``iceberg_row_lineage_scan`` fixture (appends → DV delete → MOR
+    update)."""
+    # build (or reuse) the row-lineage fixture
+    iceberg_row_lineage_scan(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(SCRATCH, f"wh_{tag}_rowlin")
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(root, name="rl")
+    table = cat.load("r.orders")
+    log = table.changelog_df(spark, with_row_lineage=True)
+    return (
+        log.groupBy("_change_ordinal", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_row_id").alias("id_sum"),
+        )
+        .select(
+            F.col("_change_ordinal").cast("int").alias("change_ordinal"),
+            F.col("_change_type").alias("change_type"),
+            "n_rows",
+            "id_sum",
+        )
+        .orderBy("change_ordinal", "change_type")
+    )
