@@ -66,6 +66,7 @@ HEADLINE = [
     "stream_cdc_changelog",
     "iceberg_row_lineage_scan",
     "iceberg_lineage_changelog_scan",
+    "iceberg_partition_stats_scan",
 ]
 
 

@@ -753,6 +753,15 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return out
 
+    def compute_partition_stats(self, ident: str) -> dict:
+        """Write + register the partition statistics file for the
+        current snapshot (writer.compute_partition_stats) + mirror
+        refresh."""
+        out = self.writer(ident).compute_partition_stats()
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return out
+
     def rewrite_deletion_vectors(self, ident: str) -> dict:
         """Consolidate carry-forward deletion-vector containers into one
         (writer.rewrite_deletion_vectors) + mirror refresh."""

@@ -267,6 +267,8 @@ _PROCEDURES = {
     "vacuum": "vacuum",
     "add_files": "add_files",
     "rewrite_position_delete_files": "rewrite_position_deletes",
+    "rewrite_deletion_vectors": "rewrite_deletion_vectors",
+    "compute_partition_stats": "compute_partition_stats",
 }
 
 # procedures whose underlying method takes (ident, spark, ...) rather

@@ -524,6 +524,32 @@ class Inspect:
         )
 
 
+    def partition_stats(self, spark: SparkSession) -> DataFrame:
+        """``$partition_stats``: the registered Iceberg partition
+        statistics file for the CURRENT snapshot (spec
+        ``partition-statistics``), read as-is — one small parquet
+        instead of a manifest walk.  Raises if none is registered for
+        the current snapshot (run ``compute_partition_stats`` /
+        ``CALL ... compute_partition_stats``)."""
+        meta = self._t.metadata
+        snap_id = meta.raw.get("current-snapshot-id")
+        entry = next(
+            (
+                s
+                for s in meta.raw.get("partition-statistics", [])
+                if s.get("snapshot-id") == snap_id
+            ),
+            None,
+        )
+        if entry is None:
+            raise ValueError(
+                "no partition statistics registered for the current "
+                "snapshot — CALL <catalog>.system.compute_partition_stats"
+                " first"
+            )
+        return spark.read.parquet(meta.localize(entry["statistics-path"]))
+
+
 METADATA_TABLES = {
     "snapshots",
     "files",
@@ -536,6 +562,7 @@ METADATA_TABLES = {
     "all_manifests",
     "all_files",
     "position_deletes",
+    "partition_stats",
 }
 
 

@@ -3003,3 +3003,58 @@ def iceberg_lineage_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("change_ordinal", "change_type")
     )
+
+
+@register(
+    "iceberg_partition_stats_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS data_record_count,
+           (SELECT COUNT(*) FROM orders o2
+             WHERE o2.o_orderstatus = orders.o_orderstatus
+               AND o2.o_orderkey % 9 = 0) AS position_delete_record_count
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_partition_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION STATISTICS file (spec ``partition-statistics``,
+    round 7): ``CALL ... compute_partition_stats`` writes one parquet
+    row per partition (data/delete record+file counts) and registers it
+    in the table metadata; ``$partition_stats`` then answers partition
+    questions from that one small file — no manifest walk, no data IO.
+    The fixture appends partitioned orders and DV-deletes the %9 keys,
+    so both data and position-delete counters are live."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table as _lt
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_pstats")
+        cat = Catalog(root, name="ps")
+        marker = os.path.join(root, "_COMPLETE")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="ps")
+            orders = _lt(spark, sf_dir, "orders")
+            cat.create_table(
+                "p.orders",
+                orders.schema,
+                partition_by=["o_orderstatus"],
+                properties={"write.delete.mode": "deletion-vector"},
+            )
+            cat.append("p.orders", spark, orders)
+            cat.sql(spark, "DELETE FROM ps.p.orders WHERE o_orderkey % 9 = 0")
+            res = cat.sql(
+                spark, "CALL ps.system.compute_partition_stats('p.orders')"
+            )
+            assert res is not None
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT o_orderstatus, data_record_count,"
+        " position_delete_record_count"
+        " FROM ps.p.orders$partition_stats ORDER BY o_orderstatus",
+    )

@@ -1394,6 +1394,126 @@ class IcebergWriter:
             _expected_parent=table.metadata.current_snapshot_id,
         )
 
+
+    def compute_partition_stats(self) -> dict:
+        """Iceberg PARTITION STATISTICS file (spec ``partition-statistics``
+        field): one parquet row per partition of the CURRENT snapshot
+        with data/delete record+file counts, written under ``metadata/``
+        and registered in the table metadata (replacing any earlier
+        entry for the same snapshot).  A planner or ``SHOW PARTITIONS``
+        can then answer from one small parquet instead of a manifest
+        walk.  Representation note: partition values are flattened into
+        one column per partition field (like the ``$partitions`` table)
+        rather than the spec's nested unified-partition struct — our
+        reader and the spec's counters are otherwise aligned.  The walk
+        is driver-side: partition count is metadata-scale."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        table = IcebergTable.load(self.root)
+        meta = table.metadata
+        snap_id = meta.raw.get("current-snapshot-id")
+        if snap_id in (None, -1):
+            raise ValueError("compute_partition_stats: table has no snapshot")
+        part_cols = [fname for _s, _t, fname in self.spec_entries]
+
+        def key(partition: dict) -> tuple:
+            return tuple(partition.get(c) for c in part_cols)
+
+        agg: dict[tuple, dict] = {}
+
+        def row(k: tuple) -> dict:
+            return agg.setdefault(
+                k,
+                {
+                    "data_record_count": 0,
+                    "data_file_count": 0,
+                    "total_data_file_size_in_bytes": 0,
+                    "position_delete_record_count": 0,
+                    "position_delete_file_count": 0,
+                    "equality_delete_record_count": 0,
+                    "equality_delete_file_count": 0,
+                },
+            )
+
+        for f in table.files():
+            r = row(key(f.partition))
+            r["data_record_count"] += int(f.record_count or 0)
+            r["data_file_count"] += 1
+            r["total_data_file_size_in_bytes"] += int(
+                f.file_size_in_bytes or 0
+            )
+        dv_seen = set()
+        part_by_path = {
+            meta.localize(f.path): f.partition for f in table.files()
+        }
+        for d in table.position_delete_files():
+            if d.referenced_data_file is not None:
+                # a DV's partition is its TARGET data file's (one map
+                # built once — metadata-scale)
+                tgt = meta.localize(d.referenced_data_file)
+                r = row(key(part_by_path.get(tgt, {})))
+                r["position_delete_record_count"] += int(d.record_count or 0)
+                if (d.path, d.content_offset) not in dv_seen:
+                    dv_seen.add((d.path, d.content_offset))
+                    r["position_delete_file_count"] += 1
+            else:
+                r = row(key(d.partition))
+                r["position_delete_record_count"] += int(d.record_count or 0)
+                r["position_delete_file_count"] += 1
+        for e in table.equality_delete_files():
+            r = row(key(e.partition))
+            r["equality_delete_record_count"] += int(e.record_count or 0)
+            r["equality_delete_file_count"] += 1
+
+        counters = [
+            "data_record_count",
+            "data_file_count",
+            "total_data_file_size_in_bytes",
+            "position_delete_record_count",
+            "position_delete_file_count",
+            "equality_delete_record_count",
+            "equality_delete_file_count",
+        ]
+        keys = sorted(agg, key=lambda k: tuple(str(x) for x in k))
+        cols: dict = {}
+        for i, c in enumerate(part_cols):
+            cols[c] = [k[i] for k in keys]
+        cols["spec_id"] = [self.spec_id] * len(keys)
+        for c in counters:
+            cols[c] = pa.array(
+                [agg[k][c] for k in keys], type=pa.int64()
+            )
+        now = int(time.time() * 1000)
+        cols["last_updated_at"] = pa.array([now] * len(keys), pa.int64())
+        cols["last_updated_snapshot_id"] = pa.array(
+            [int(snap_id)] * len(keys), pa.int64()
+        )
+        meta_dir = os.path.join(self.root, "metadata")
+        path = os.path.join(
+            meta_dir, f"partition-stats-{snap_id}-{uuidlib.uuid4().hex}.parquet"
+        )
+        papq.write_table(pa.table(cols), path)
+        raw = self._load_current()
+        stats = [
+            s
+            for s in raw.get("partition-statistics", [])
+            if s.get("snapshot-id") != snap_id
+        ]
+        stats.append(
+            {
+                "snapshot-id": int(snap_id),
+                "statistics-path": path,
+                "file-size-in-bytes": os.path.getsize(path),
+            }
+        )
+        raw["partition-statistics"] = stats
+        raw["last-updated-ms"] = now
+        self._commit_metadata(raw)
+        return {"partitions": len(keys), "path": path}
+
     def rewrite_manifests(self) -> dict:
         """Metadata-only maintenance: collapse the current snapshot's
         data manifests into ONE and commit a replace snapshot that
