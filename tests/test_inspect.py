@@ -178,3 +178,51 @@ def test_sql_surface_changelog(spark, fx):
     ).collect()
     got = {r["_change_type"]: r["n"] for r in out}
     assert got == {"insert": fx.orders.to_df(spark).count()}
+
+
+def test_partition_stats_file_roundtrip(spark, sf_dir, tmp_path):
+    """compute_partition_stats writes + registers the spec's partition
+    statistics file; $partition_stats serves it; a fresh commit makes it
+    stale (keyed by snapshot id) until recomputed."""
+    import pytest
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="ps")
+    orders = load_table(spark, sf_dir, "orders")
+    cat.create_table(
+        "p.o", orders.schema, partition_by=["o_orderstatus"],
+        properties={"write.delete.mode": "deletion-vector"},
+    )
+    cat.append("p.o", spark, orders)
+    cat.sql(spark, "DELETE FROM ps.p.o WHERE o_orderkey % 9 = 0")
+    res = cat.compute_partition_stats("p.o")
+    assert res["partitions"] == 3
+    rows = {
+        r["o_orderstatus"]: r
+        for r in cat.sql(
+            spark, "SELECT * FROM ps.p.o$partition_stats"
+        ).collect()
+    }
+    exp = {
+        s: orders.filter(f"o_orderstatus = '{s}'").count()
+        for s in ("F", "O", "P")
+    }
+    for s, r in rows.items():
+        assert r["data_record_count"] == exp[s]
+        assert r["data_file_count"] >= 1
+        assert r["position_delete_record_count"] > 0
+        assert r["equality_delete_record_count"] == 0
+        assert r["last_updated_snapshot_id"] == (
+            cat.load("p.o").metadata.raw["current-snapshot-id"]
+        )
+    # registered in metadata per the spec field
+    meta = cat.load("p.o").metadata.raw
+    assert len(meta["partition-statistics"]) == 1
+    # a new commit makes the stats stale: the table raises until refresh
+    cat.sql(spark, "DELETE FROM ps.p.o WHERE o_orderkey % 11 = 0")
+    with pytest.raises(Exception, match="compute_partition_stats"):
+        cat.sql(spark, "SELECT * FROM ps.p.o$partition_stats").collect()
+    cat.sql(spark, "CALL ps.system.compute_partition_stats('p.o')")
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM ps.p.o$partition_stats").first()["n"] == 3
