@@ -67,6 +67,7 @@ HEADLINE = [
     "iceberg_row_lineage_scan",
     "iceberg_lineage_changelog_scan",
     "iceberg_partition_stats_scan",
+    "dedup_incremental_bloom",
 ]
 
 

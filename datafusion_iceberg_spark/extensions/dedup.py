@@ -1221,3 +1221,125 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("batch_id").alias("doc_id"), "dup_of", "n_matches")
         .orderBy("doc_id")
     )
+
+
+# --- incremental exact dedup with a distributed Bloom prefilter ------------
+
+# m deliberately TIGHT at test scale (the fixture corpus has no exact
+# cross-batch duplicate, so a roomy filter would pass nothing and the
+# gate would assert an empty set): a dense bloom forces false-positive
+# candidates through the exact-confirm join, exercising the full
+# prefilter-then-verify path.  Production sizes m at ~10 bits per key.
+_BLOOM_BITS = 1 << 11
+_BLOOM_K = 3  # md5-derived hash functions (hex substrings)
+
+
+def _bloom_positions(col):
+    """K deterministic bit positions in [0, m) from disjoint md5-hex
+    substrings of ``col`` — replayable in DuckDB, so the BLOOM DECISION
+    itself (not just the final answer) is oracle-checked."""
+    h = F.md5(col)
+    return [
+        (
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % F.lit(_BLOOM_BITS)
+        )
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_oracle_sql() -> str:
+    def pos(i: int) -> str:
+        return (
+            f"(('0x' || substr(h, {1 + 8 * i}, 8))::BIGINT % {_BLOOM_BITS})"
+        )
+
+    preds = " AND ".join(
+        f"{pos(i)} IN (SELECT pos FROM cpos)" for i in range(_BLOOM_K)
+    )
+    plist = ", ".join(pos(i) for i in range(_BLOOM_K))
+    return f"""
+    WITH c AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 != 0
+    ),
+    b AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+    ),
+    cpos AS (SELECT DISTINCT unnest([{plist}]) AS pos FROM c),
+    cand AS (SELECT doc_id, h FROM b WHERE {preds})
+    SELECT cand.doc_id, MIN(c.doc_id) AS dup_of
+    FROM cand LEFT JOIN c ON c.h = cand.h
+    GROUP BY cand.doc_id ORDER BY cand.doc_id
+    """
+
+
+@register("dedup_incremental_bloom", oracle=_bloom_oracle_sql())
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup with a distributed BLOOM prefilter: the
+    corpus's text digests fold into an m-bit bloom — K md5-derived bit
+    positions per doc, ``bit_or``-aggregated into m/64 LONG WORDS (one
+    narrow shuffle; the filter itself is kilobytes) — and a new batch
+    joins the bloom words (broadcast) so only docs whose K bits are all
+    set reach the exact digest join.  False positives surface honestly
+    as ``dup_of IS NULL`` rows; true duplicates resolve to the minimum
+    matching corpus doc.
+
+    100 TB shape: per-ingestion cost is O(batch) + the broadcast of a
+    fixed-size filter — the corpus's digest set is never reshuffled per
+    batch (at 10 bits/key a 10¹⁰-doc corpus is a ~12 GB filter,
+    partition-sharded in practice; here one broadcast).  The oracle
+    replays the SAME bit positions in DuckDB, so the bloom decision —
+    including any false positive — is hash-verified, not approximated."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def positions(df):
+        return df.select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            F.explode(F.array(*_bloom_positions(F.col("text")))).alias("pos"),
+        )
+
+    bloom_words = (
+        positions(corpus)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probe = positions(batch).select(
+        "doc_id",
+        "h",
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+        ).alias("mask"),
+    )
+    hits = (
+        probe.join(F.broadcast(bloom_words), "word_idx", "left")
+        .select(
+            "doc_id",
+            "h",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                != 0
+            ).cast("int").alias("hit"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.sum("hit").alias("n_hits"))
+        .filter(F.col("n_hits") == _BLOOM_K)
+    )
+    corpus_digests = corpus.select(
+        F.col("doc_id").alias("corpus_id"), F.md5("text").alias("h")
+    )
+    return (
+        hits.join(corpus_digests, "h", "left")
+        .groupBy("doc_id")
+        .agg(F.min("corpus_id").alias("dup_of"))
+        .orderBy("doc_id")
+    )
