@@ -667,24 +667,42 @@ class IcebergTable:
                     )
                     norm |= {r.p for r in hits}
                 targeted = {p for p in retained if meta.localize(p) in norm}
+            added_paths = {meta.localize(f.path) for f in added}
             dv_only = (
-                not added
-                and not removed
+                not removed
                 and not fresh_eq
                 and fresh_pos
                 and all(
-                    f.referenced_data_file is not None for f in fresh_pos
+                    f.referenced_data_file is not None
+                    and meta.localize(f.referenced_data_file)
+                    not in added_paths
+                    for f in fresh_pos
                 )
             )
             if dv_only:
-                # DV-only delete snapshot: the net diff IS the bitmap
-                # delta (fresh blob minus the file's prior blob).  The
+                # DV delete / row-delta snapshot: the net diff IS the
+                # bitmap delta (fresh blob minus the file's prior blob)
+                # plus, for a row-delta (MOR UPDATE/MERGE), the added
+                # replacement/insert files as plain inserts.  The
                 # general EXCEPT-ALL path applies every ACCUMULATED
                 # delete to both sides, so its per-snapshot cost grows
                 # with delete history and a deep changelog turns
                 # quadratic; here we scan the targeted files once with
                 # NO delete application and semi-join the bitmap-scale
                 # delta (VERDICT r6 task 4 deep-history fix).
+                if added:
+                    ins = self._scan_files(
+                        spark,
+                        added,
+                        None,
+                        deletes=[],
+                        eq_deletes=[],
+                        _with_row_meta=with_row_lineage,
+                        _extra_cols=_lin_extra if with_row_lineage else None,
+                    )
+                    if with_row_lineage:
+                        ins = _with_ids(ins, added)
+                    frames.append(tag(ins, "insert", o))
                 old_dv = {
                     meta.localize(f.referenced_data_file): f
                     for f in old_pos
