@@ -68,6 +68,7 @@ HEADLINE = [
     "iceberg_lineage_changelog_scan",
     "iceberg_partition_stats_scan",
     "dedup_incremental_bloom",
+    "iceberg_metadata_minmax",
 ]
 
 

@@ -3058,3 +3058,34 @@ def iceberg_partition_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " position_delete_record_count"
         " FROM ps.p.orders$partition_stats ORDER BY o_orderstatus",
     )
+
+
+@register(
+    "iceberg_metadata_minmax",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
+           (SELECT MIN(o_orderkey) FROM orders) AS min_key,
+           (SELECT MAX(o_orderkey) FROM orders) AS max_key,
+           (SELECT MIN(o_totalprice) FROM orders) AS min_total,
+           (SELECT MAX(o_totalprice) FROM orders) AS max_total
+    """,
+)
+def iceberg_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate answers (round 7, statistics feed A10
+    extension): COUNT(*) from manifest row counts (``count_star``) and
+    exact MIN/MAX from manifest BOUNDS (``metadata_min_max``) — the
+    whole query is answered with ZERO data IO on a delete-free snapshot
+    (the pytest suite additionally asserts the guard rails: deletes or
+    string columns force the scan fallback).  The reference's
+    statistics feed serves row counts only (statistics.rs:8-49)."""
+    fx = fixture(spark, sf_dir)
+    table = fx.catalog.load("sales.orders")
+    assert isinstance(table, IcebergTable)
+    n = table.count_star()
+    k_lo, k_hi = table.metadata_min_max("o_orderkey")
+    t_lo, t_hi = table.metadata_min_max("o_totalprice")
+    return spark.createDataFrame(
+        [(int(n), int(k_lo), int(k_hi), float(t_lo), float(t_hi))],
+        "n_rows long, min_key long, max_key long,"
+        " min_total double, max_total double",
+    )

@@ -222,6 +222,72 @@ class IcebergTable:
                     out.add(self.metadata.localize(f.path))
         return out
 
+    def metadata_min_max(
+        self, column: str, spark: Optional[SparkSession] = None
+    ):
+        """Exact (min, max) for ``column`` answered from MANIFEST BOUNDS
+        alone — zero data IO — when that answer is provably exact:
+
+        - no outstanding deletes (a deleted row could be the extremum);
+        - every live data file carries both bounds for the column;
+        - the column's type round-trips bounds exactly (numeric /
+          date / timestamp — STRING upper bounds may be writer-truncated,
+          so strings always fall back).
+
+        Otherwise falls back to a scan aggregate (needs ``spark``).
+        This is the MIN/MAX half of the statistics feed (A10) the way
+        engines push aggregates into metadata; the reference's
+        statistics feed (statistics.rs) serves row counts only."""
+        meta = self.metadata
+        fid = meta.field_ids_by_name()[column]
+        t = meta.types_by_field_id()[fid]
+        exact_types = (
+            "int",
+            "long",
+            "float",
+            "double",
+            "date",
+            "time",
+            "timestamp",
+            "timestamptz",
+        )
+        has_deletes = bool(self.position_delete_files()) or bool(
+            self.equality_delete_files()
+        )
+        if not has_deletes and t in exact_types:
+            los, his = [], []
+            complete = True
+            for f in self.files():
+                lo = decode_stat(t, f.lower_bounds.get(fid))
+                hi = decode_stat(t, f.upper_bounds.get(fid))
+                if lo is None or hi is None:
+                    if (f.record_count or 0) > (
+                        f.null_value_counts.get(fid) or 0
+                    ):
+                        complete = False
+                        break
+                    continue  # all-null file: contributes no extremum
+                los.append(lo)
+                his.append(hi)
+            if complete:
+                return (
+                    min(los) if los else None,
+                    max(his) if his else None,
+                )
+        if spark is None:
+            raise ValueError(
+                f"metadata_min_max({column!r}): bounds are not provably "
+                "exact (deletes outstanding, incomplete stats, or string "
+                "truncation risk) — pass a SparkSession for the scan "
+                "fallback"
+            )
+        row = (
+            self.to_df(spark)
+            .agg(F.min(column).alias("lo"), F.max(column).alias("hi"))
+            .collect()[0]
+        )
+        return (row["lo"], row["hi"])
+
     # -- scan (A1) ----------------------------------------------------------
 
     def to_df(

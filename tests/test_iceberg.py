@@ -3624,3 +3624,40 @@ def test_row_delta_uses_deletion_vectors(spark, sf_dir, tmp_path):
     assert got[1][1] >= 10 and got[5][1] >= 10
     assert got[7][0] == "MERGED"
     assert got[2][1] < 10 and not got[2][0] == "MERGED"
+
+
+def test_metadata_min_max_guard_rails(spark, sf_dir, tmp_path):
+    """metadata_min_max answers from bounds only when provably exact:
+    deletes or string truncation risk force the scan fallback, and the
+    fallback agrees with the metadata answer on clean snapshots."""
+    import pytest
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="mm")
+    orders = load_table(spark, sf_dir, "orders")
+    cat.create_table("m.o", orders.schema,
+                     properties={"write.delete.mode": "deletion-vector"})
+    cat.append("m.o", spark, orders)
+    t = cat.load("m.o")
+    lo, hi = t.metadata_min_max("o_orderkey")
+    exp_lo, exp_hi = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    assert (lo, hi) == (exp_lo, exp_hi)
+    # strings never answer from bounds (writer truncation risk)
+    with pytest.raises(ValueError, match="exact"):
+        t.metadata_min_max("o_orderstatus")
+    assert t.metadata_min_max("o_orderstatus", spark) == ("F", "P")
+    # a delete makes bounds unprovable: the MAX row might be gone
+    cat.sql(
+        spark,
+        "DELETE FROM mm.m.o WHERE o_orderkey ="
+        f" {int(exp_hi)}",
+    )
+    t = cat.load("m.o")
+    with pytest.raises(ValueError, match="exact"):
+        t.metadata_min_max("o_orderkey")
+    lo2, hi2 = t.metadata_min_max("o_orderkey", spark)
+    assert lo2 == exp_lo and hi2 < exp_hi
