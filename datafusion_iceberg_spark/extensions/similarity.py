@@ -702,9 +702,10 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 KMEANS_K, KMEANS_ITERS = 4, 3
 
 
-def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """Unrolled Lloyd's iterations in DuckDB SQL.  All arithmetic is
-    exact integer (micros fixed-point; floor division via the
+def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd's iterations in DuckDB SQL, shared by the k-means
+    gate and the topic-stratified sampler.  All arithmetic is exact
+    integer (micros fixed-point; floor division via the
     truncation-agnostic (a - ((a%b)+b)%b)/b identity), so the replay is
     bit-identical to the Spark run — no FP accumulation anywhere."""
     parts = [
@@ -740,7 +741,11 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
       WHERE p.cid NOT IN (SELECT DISTINCT cid FROM u{it}))"""
         )
         prev = f"c{it}"
-    return f"""WITH {','.join(parts)}
+    return f"WITH {','.join(parts)}"
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    return f"""{_kmeans_ctes(k, iters)}
     SELECT CAST(w.cid AS INTEGER) AS cluster_id,
            COUNT(*) AS n_members,
            CAST(SUM(w.d) // 1000000 AS BIGINT) AS inertia_scaled,
@@ -752,22 +757,11 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     GROUP BY w.cid ORDER BY w.cid"""
 
 
-@register("embed_kmeans", oracle=_kmeans_oracle())
-def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed k-means (Lloyd's, k=4, 3 fixed iterations) over the
-    embedding corpus — the topic-bucketing / IVF-index-build primitive of
-    an embedding pipeline, expressed Spark-first:
-
-    - **assignment is map-side**: the k centroids are driver state (k×64
-      ints — the one thing in k-means that IS driver-sized), embedded as
-      literal arrays so each vector computes its distances inside
-      codegen with zero shuffle;
-    - **update is one shuffle** per iteration carrying (cid, dim, val) —
-      proportional to corpus size × dims, the unavoidable reduction;
-    - **all arithmetic is exact integers** (micros fixed-point, floor
-      division): no floating-point accumulation order anywhere, so the
-      DuckDB oracle replays the run bit-identically and the gate
-      hash-verifies a 3-round iterative algorithm end to end."""
+def kmeans_assignments(spark: SparkSession, sf_dir: str):
+    """Final Lloyd assignment (vec_id, v, cid, dist) plus the converged
+    centroid dict — the shared k-means kernel (see
+    :func:`embed_kmeans` for the scale shape)."""
+    
     emb = load_table(spark, sf_dir, "embeddings")
     ev = scale_out(emb).select(
         "vec_id",
@@ -817,6 +811,27 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in upd:
             new_cents[r.cid][r.i] = int(r.s) // int(r.n)  # python floor div
         cents = new_cents
+    return win, cents
+
+
+@register("embed_kmeans", oracle=_kmeans_oracle())
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's, k=4, 3 fixed iterations) over the
+    embedding corpus — the topic-bucketing / IVF-index-build primitive of
+    an embedding pipeline, expressed Spark-first:
+
+    - **assignment is map-side**: the k centroids are driver state (k×64
+      ints — the one thing in k-means that IS driver-sized), embedded as
+      literal arrays so each vector computes its distances inside
+      codegen with zero shuffle;
+    - **update is one shuffle** per iteration carrying (cid, dim, val) —
+      proportional to corpus size × dims, the unavoidable reduction;
+    - **all arithmetic is exact integers** (micros fixed-point, floor
+      division): no floating-point accumulation order anywhere, so the
+      DuckDB oracle replays the run bit-identically and the gate
+      hash-verifies a 3-round iterative algorithm end to end.  Kernel in
+      :func:`kmeans_assignments`."""
+    win, cents = kmeans_assignments(spark, sf_dir)
     checksums = [(c, sum(cents[c])) for c in range(KMEANS_K)]
     cs_df = spark.createDataFrame(
         checksums, "cid INT, centroid_checksum BIGINT"
@@ -1037,4 +1052,62 @@ def embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("_hits"), F.lit(0)) >= 3).alias("recall_ok"),
         )
         .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "sample_topic_stratified",
+    oracle=_kmeans_ctes()
+    + """,
+    ranked AS (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY cid
+               ORDER BY (('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::INT % 65536),
+                        vec_id) AS rn
+      FROM w3)
+    SELECT CAST(cid AS INTEGER) AS cluster_id,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum
+    FROM ranked WHERE rn <= 10
+    GROUP BY cid ORDER BY cluster_id
+    """,
+)
+def sample_topic_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPIC-stratified sampling (round 7): exact-k per K-MEANS CLUSTER
+    — the curation move that balances a training mix across embedding
+    topics rather than metadata strata (``sample_stratified_exact``
+    covers the metadata flavor).  Composes the exact-integer k-means
+    kernel (:func:`kmeans_assignments`) with the deterministic
+    md5-bucket ranking, so the 3-round iterative clustering AND the
+    per-cluster draw replay bit-identically in DuckDB.
+
+    Scale shape: assignment is map-side against broadcast centroid
+    literals; the per-cluster top-k is one keyed window over (cid,
+    bucket) — id-only rows, no vector shuffles beyond the kernel's
+    one reduction per iteration."""
+    from pyspark.sql import Window as W
+
+    win, _cents = kmeans_assignments(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % F.lit(65536)
+    )
+    w = W.partitionBy("cid").orderBy(bucket, "vec_id")
+    return (
+        win.select("vec_id", "cid")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+        .select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            "n_sampled",
+            "id_sum",
+        )
+        .orderBy("cluster_id")
     )
