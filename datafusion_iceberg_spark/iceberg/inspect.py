@@ -563,6 +563,7 @@ METADATA_TABLES = {
     "all_files",
     "position_deletes",
     "partition_stats",
+    "lineage",
 }
 
 
@@ -570,10 +571,13 @@ def metadata_df(
     table: "IcebergTable", spark: SparkSession, kind: str
 ) -> DataFrame:
     """Dispatch for the SQL surface (``<catalog>.<ns>.<tbl>$<kind>``).
-    ``$changelog`` is the full-history CDC read (table.changelog_df) —
-    not metadata-only, but it belongs on the same SQL surface."""
+    ``$changelog`` is the full-history CDC read (table.changelog_df)
+    and ``$lineage`` the row-identity scan (table.lineage_df) — not
+    metadata-only, but they belong on the same SQL surface."""
     if kind == "changelog":
         return table.changelog_df(spark)
+    if kind == "lineage":
+        return table.lineage_df(spark)
     ins = Inspect(table)
     if kind not in METADATA_TABLES:
         raise ValueError(

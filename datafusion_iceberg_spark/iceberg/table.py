@@ -466,14 +466,22 @@ class IcebergTable:
                     _file_seq(seqs, f, -1),
                 )
             )
+        # join on the RAW _ice_file value: the map carries every spelling
+        # the scan can produce (plain absolute, file://-URI, file:-URI;
+        # object-store schemes pass through localize verbatim as the
+        # plain spelling), so no per-row regexp normalization runs in
+        # the hot path — at 2M rows that regexp was 3.5× the scan cost
+        # (PERF_NOTES round 7)
+        spellings = []
+        for p, first, seq in rows:
+            spellings.append((p, first, seq))
+            spellings.append((f"file://{p}", first, seq))
+            spellings.append((f"file:{p}", first, seq))
         lin = spark.createDataFrame(
-            rows, "_lin_path string, _lin_first long, _lin_seq long"
+            spellings, "_lin_path string, _lin_first long, _lin_seq long"
         )
         out = df.join(
-            F.broadcast(lin),
-            F.regexp_replace(df["_ice_file"], "^file:/*", "/")
-            == lin["_lin_path"],
-            "left",
+            F.broadcast(lin), df["_ice_file"] == lin["_lin_path"], "left"
         )
         last_upd = (
             # rewritten files (COW compaction/update) materialize the

@@ -239,3 +239,16 @@ def test_changelog_with_row_lineage_update_images(spark, sf_dir, tmp_path):
     assert before[0]["n_nationkey"] == 4 and before[0]["_row_id"] == 2
     assert after[0]["n_name"] == "UPD" and after[0]["_row_id"] == 2
     assert before[0]["_change_ordinal"] == after[0]["_change_ordinal"]
+
+
+def test_lineage_sql_surface(spark, sf_dir, tmp_path):
+    """SQL users reach row lineage via the $lineage table suffix."""
+    cat = _table(spark, sf_dir, tmp_path)
+    cat.sql(spark, "DELETE FROM lin.l.n WHERE n_nationkey = 2")
+    rows = cat.sql(
+        spark,
+        "SELECT n_nationkey, _row_id FROM lin.l.n$lineage"
+        " WHERE _last_updated_sequence_number = 1 ORDER BY _row_id",
+    ).collect()
+    got = [(r[0], r[1]) for r in rows]
+    assert (2, 1) not in got and got[0] == (0, 0) and len(got) == 12
