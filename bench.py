@@ -69,6 +69,7 @@ HEADLINE = [
     "iceberg_partition_stats_scan",
     "dedup_incremental_bloom",
     "iceberg_metadata_minmax",
+    "iceberg_default_values_scan",
 ]
 
 

@@ -595,9 +595,10 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
-    def add_column(self, ident: str, name: str, dtype) -> int:
-        """ADD COLUMN evolution (writer.add_column) + mirror refresh."""
-        fid = self.writer(ident).add_column(name, dtype)
+    def add_column(self, ident: str, name: str, dtype, default=None) -> int:
+        """ADD COLUMN evolution (writer.add_column, optional v3
+        initial-default) + mirror refresh."""
+        fid = self.writer(ident).add_column(name, dtype, default=default)
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
         return fid

@@ -858,14 +858,24 @@ def _alter(surface, spark, q, tgt3) -> Optional[DataFrame]:
     ident = f"{_unq(m.group(1))}.{_unq(m.group(2))}"
     rest = m.group(3).strip()
     add = re.match(
-        rf"ADD\s+COLUMNS?\s+\(?\s*({IDENT})\s+([^\s)]+)\s*\)?\s*$",
+        rf"ADD\s+COLUMNS?\s+\(?\s*({IDENT})\s+([^\s)]+)"
+        r"(?:\s+DEFAULT\s+('(?:[^']|'')*'|-?[\d.]+))?\s*\)?\s*$",
         rest,
         re.IGNORECASE,
     )
     if add:
         _need(surface, "add_column")
         dtype = T._parse_datatype_string(add.group(2))
-        surface.add_column(ident, _unq(add.group(1)), dtype)
+        default = None
+        if add.group(3) is not None:
+            lit = add.group(3)
+            if lit.startswith("'"):
+                default = lit[1:-1].replace("''", "'")
+            elif "." in lit:
+                default = float(lit)
+            else:
+                default = int(lit)
+        surface.add_column(ident, _unq(add.group(1)), dtype, default=default)
         return _result(spark, "add_column", ident, None)
     ren = re.match(
         rf"RENAME\s+COLUMN\s+({IDENT})\s+TO\s+({IDENT})\s*$",

@@ -262,6 +262,19 @@ class TableMetadata:
     def field_ids_by_name(self) -> dict[str, int]:
         return {f["name"]: f["id"] for f in self.current_schema["fields"]}
 
+    def initial_defaults(self) -> dict:
+        """Iceberg v3 DEFAULT VALUES: {column name: (initial-default
+        value, Spark type)} for current-schema fields that declare one.
+        The default applies only to rows in files written BEFORE the
+        column existed (spec: fixed at ALTER time)."""
+        out = {}
+        st = self.struct_type()
+        by_name = {f.name: f.dataType for f in st.fields}
+        for f in self.current_schema.get("fields", []):
+            if f.get("initial-default") is not None and f["name"] in by_name:
+                out[f["name"]] = (f["initial-default"], by_name[f["name"]])
+        return out
+
     def types_by_field_id(self) -> dict[int, Any]:
         return {f["id"]: f["type"] for f in self.current_schema["fields"]}
 

@@ -3089,3 +3089,64 @@ def iceberg_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows long, min_key long, max_key long,"
         " min_total double, max_total double",
     )
+
+
+@register(
+    "iceberg_default_values_scan",
+    oracle="""
+    WITH tagged AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'pre'
+                  WHEN o_orderkey % 2 = 0 THEN 'even'
+                  ELSE NULL END AS tag
+      FROM orders
+    )
+    SELECT COALESCE(tag, '<null>') AS tag, COUNT(*) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+    FROM tagged GROUP BY tag ORDER BY tag
+    """,
+)
+def iceberg_default_values_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 DEFAULT VALUES (round 7): ``ALTER TABLE ... ADD COLUMN
+    tag STRING DEFAULT 'pre'`` fixes the initial-default at ALTER time —
+    rows in files written BEFORE the column (the %3 append) surface
+    'pre' with zero rewrites, while rows appended AFTER keep their
+    stored values INCLUDING explicit NULLs (a reader that coalesces
+    every null would hash-fail on the '<null>' group).  Scan-side the
+    file set splits by physical column presence (one cached footer probe
+    per file, driver-side) and the exact filter applies after the fill."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table as _lt
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_defaults")
+        cat = Catalog(root, name="dfv")
+        marker = os.path.join(root, "_COMPLETE")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="dfv")
+            orders = _lt(spark, sf_dir, "orders")
+            cat.create_table("d.orders", orders.schema)
+            cat.append(
+                "d.orders", spark, orders.filter(F.col("o_orderkey") % 3 == 0)
+            )
+            cat.sql(
+                spark,
+                "ALTER TABLE dfv.d.orders ADD COLUMN tag STRING DEFAULT 'pre'",
+            )
+            post = orders.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+                "tag",
+                F.when(F.col("o_orderkey") % 2 == 0, F.lit("even")),
+            )
+            cat.append("d.orders", spark, post)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT COALESCE(tag, '<null>') AS tag, COUNT(*) AS n_orders,"
+        " CAST(SUM(o_custkey) AS BIGINT) AS key_sum"
+        " FROM dfv.d.orders GROUP BY COALESCE(tag, '<null>') ORDER BY tag",
+    )

@@ -333,6 +333,7 @@ class IcebergTable:
         eq_deletes: Optional[list[DataFile]] = None,
         _with_row_meta: bool = False,
         _extra_cols: Optional[list] = None,
+        _skip_defaults: bool = False,
     ) -> DataFrame:
         """files → DataFrame with partition values attached and the exact
         filter re-applied (shared by full and incremental scans).
@@ -351,6 +352,47 @@ class IcebergTable:
             eq_deletes = self.equality_delete_files()
         if not files:
             return spark.createDataFrame([], st)
+
+        defaults = {} if _skip_defaults else meta.initial_defaults()
+        if defaults:
+            # v3 DEFAULT VALUES: the initial-default applies ONLY to
+            # files written before the column existed — split the file
+            # set by physical column presence (one cached footer probe
+            # per file, driver-side), fill the absent groups with the
+            # default LITERAL (a file lacking the column cannot hold an
+            # explicit NULL), and apply the exact filter AFTER filling
+            # so predicates on the defaulted column see filled values.
+            groups: dict = {}
+            for f in files:
+                missing = frozenset(
+                    c
+                    for c in defaults
+                    if not _file_has_column(meta.localize(f.path), c)
+                )
+                groups.setdefault(missing, []).append(f)
+            if len(groups) > 1 or next(iter(groups)):
+                subs = []
+                for missing, fl in groups.items():
+                    sub = self._scan_files(
+                        spark,
+                        fl,
+                        None,
+                        deletes=deletes,
+                        eq_deletes=eq_deletes,
+                        _with_row_meta=_with_row_meta,
+                        _extra_cols=_extra_cols,
+                        _skip_defaults=True,
+                    )
+                    for c in missing:
+                        v, dtype = defaults[c]
+                        sub = sub.withColumn(c, F.lit(v).cast(dtype))
+                    subs.append(sub)
+                out = subs[0]
+                for s in subs[1:]:
+                    out = out.unionByName(s)
+                if filters is not None:
+                    out = out.filter(pred_to_sql(filters))
+                return out
 
         # Id-keyed column mapping: when data files carry PARQUET:field_id
         # (the fixture does; our writer stamps them), request columns by

@@ -1113,13 +1113,19 @@ class IcebergWriter:
         self._commit_metadata(meta)
         return snap_id
 
-    def add_column(self, name: str, dtype: T.DataType) -> int:
+    def add_column(
+        self, name: str, dtype: T.DataType, default=None
+    ) -> int:
         """ADD COLUMN schema evolution: commit a new schema version whose
         field list is the current schema plus one optional column at the
         end.  Existing data files lack the column; the scan reads with the
-        current schema, so old rows surface as NULL — no rewrite, no
-        downtime (the metadata commit IS the migration).  Returns the new
-        field id.  (RENAME and DROP live in :meth:`rename_column` /
+        current schema, so old rows surface as NULL — or as ``default``
+        when given (Iceberg v3 DEFAULT VALUES: the ``initial-default``
+        is fixed at ALTER time and applies ONLY to files written before
+        the column existed; rows written afterwards keep their stored
+        values, including explicit NULLs).  No rewrite, no downtime (the
+        metadata commit IS the migration).  Returns the new field id.
+        (RENAME and DROP live in :meth:`rename_column` /
         :meth:`drop_column`; scans resolve columns by PARQUET:field_id,
         so all three evolutions are metadata-only.)"""
         if name in self.field_ids:
@@ -1145,9 +1151,19 @@ class IcebergWriter:
                     "name": name,
                     "required": False,
                     "type": new_type,
+                    **(
+                        {
+                            "initial-default": default,
+                            "write-default": default,
+                        }
+                        if default is not None
+                        else {}
+                    ),
                 }
             ],
         }
+        if default is not None and int(meta.get("format-version", 2)) < 3:
+            meta["format-version"] = 3  # default values are a v3 feature
         meta["schemas"] = meta["schemas"] + [new_schema]
         meta["current-schema-id"] = new_schema["schema-id"]
         meta["schema"] = new_schema  # v1 single-schema compat

@@ -3661,3 +3661,39 @@ def test_metadata_min_max_guard_rails(spark, sf_dir, tmp_path):
         t.metadata_min_max("o_orderkey")
     lo2, hi2 = t.metadata_min_max("o_orderkey", spark)
     assert lo2 == exp_lo and hi2 < exp_hi
+
+
+def test_default_values_initial_vs_explicit_null(spark, sf_dir, tmp_path):
+    """v3 DEFAULT VALUES: the initial-default fills only files written
+    before the column existed; later explicit NULLs stay NULL, filters
+    see filled values, and DML/DELETE over the mixed table stays
+    correct."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="dflt")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("d.n", nation.schema)
+    cat.append("d.n", spark, nation.filter("n_nationkey < 10"))
+    cat.sql(spark, "ALTER TABLE dflt.d.n ADD COLUMN score BIGINT DEFAULT 7")
+    post = nation.filter("n_nationkey >= 10").withColumn(
+        "score",
+        F.when(F.col("n_nationkey") % 2 == 0, F.col("n_nationkey") * 10),
+    )
+    cat.append("d.n", spark, post)
+    t = cat.load("d.n")
+    rows = {r["n_nationkey"]: r["score"] for r in t.to_df(spark).collect()}
+    assert all(rows[k] == 7 for k in range(10))
+    assert rows[10] == 100 and rows[11] is None
+    assert t.metadata.raw["format-version"] == 3
+    # SQL filter on the defaulted column
+    n = cat.sql(
+        spark, "SELECT COUNT(*) AS n FROM dflt.d.n WHERE score = 7"
+    ).first()["n"]
+    assert n == 10
+    # DELETE with a predicate over the defaulted column removes the
+    # pre-ALTER rows (COW rewrite materializes the filled values)
+    cat.sql(spark, "DELETE FROM dflt.d.n WHERE score = 7")
+    t = cat.load("d.n")
+    assert t.to_df(spark).count() == 15
+    assert t.to_df(spark).filter("score = 7").count() == 0
