@@ -455,6 +455,11 @@ class Catalog(SqlSurface):
                 f["name"]: f["type"] for f in meta.current_schema["fields"]
             },
             last_column_id=meta.last_column_id,
+            write_defaults={
+                f["name"]: f["write-default"]
+                for f in meta.current_schema["fields"]
+                if f.get("write-default") is not None
+            },
         )
 
     def append(self, ident: str, spark: SparkSession, df: DataFrame) -> int:

@@ -106,12 +106,25 @@ def _split_where(s: str) -> tuple[str, Optional[str]]:
 
 
 def _align(
-    df: DataFrame, st: T.StructType, cols: Optional[list[str]]
+    df: DataFrame,
+    st: T.StructType,
+    cols: Optional[list[str]],
+    defaults: Optional[dict] = None,
 ) -> DataFrame:
     """SQL INSERT alignment: positional into ``cols`` (or the full
-    schema), unlisted target columns NULL, everything cast to the target
-    type."""
+    schema), unlisted target columns take their v3 WRITE-DEFAULT when
+    declared (else NULL), everything cast to the target type.  A
+    full-schema positional INSERT may omit TRAILING columns only when
+    every omitted one has a write-default (post-ADD-COLUMN-DEFAULT
+    inserts with the old arity keep working)."""
+    defaults = defaults or {}
     target_cols = cols if cols is not None else [f.name for f in st.fields]
+    if (
+        cols is None
+        and len(df.columns) < len(target_cols)
+        and all(c in defaults for c in target_cols[len(df.columns):])
+    ):
+        target_cols = target_cols[: len(df.columns)]
     if len(df.columns) != len(target_cols):
         raise ValueError(
             f"INSERT column arity mismatch: source has {len(df.columns)} "
@@ -131,7 +144,9 @@ def _align(
         if src is not None:
             sel.append(src.cast(f.dataType).alias(f.name))
         else:
-            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+            sel.append(
+                F.lit(defaults.get(f.name)).cast(f.dataType).alias(f.name)
+            )
     return df.select(*sel)
 
 
@@ -498,7 +513,7 @@ def _insert(surface, spark, q, tgt3) -> Optional[DataFrame]:
     table = surface.load(ident)
     st = table.metadata.struct_type()
     src = surface.sql(spark, rest)
-    aligned = _align(src, st, cols)
+    aligned = _align(src, st, cols, defaults=table.metadata.write_defaults())
     if mode == "INTO":
         snap = surface.append(ident, spark, aligned)
         return _result(spark, "append", ident, snap)

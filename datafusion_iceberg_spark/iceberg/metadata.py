@@ -275,6 +275,15 @@ class TableMetadata:
                 out[f["name"]] = (f["initial-default"], by_name[f["name"]])
         return out
 
+    def write_defaults(self) -> dict:
+        """{column name: write-default} for current-schema fields that
+        declare one (v3 DEFAULT VALUES, writer side)."""
+        return {
+            f["name"]: f["write-default"]
+            for f in self.current_schema.get("fields", [])
+            if f.get("write-default") is not None
+        }
+
     def types_by_field_id(self) -> dict[int, Any]:
         return {f["id"]: f["type"] for f in self.current_schema["fields"]}
 

@@ -338,6 +338,7 @@ class IcebergWriter:
         spec_id: int = 0,
         iceberg_types: Optional[dict[str, Any]] = None,
         last_column_id: Optional[int] = None,
+        write_defaults: Optional[dict] = None,
     ):
         from datafusion_iceberg_spark.iceberg.transforms import parse_spec_entry
 
@@ -358,6 +359,9 @@ class IcebergWriter:
         # invariant; a positional fallback would stamp wrong ids on new
         # files and key stats to the wrong columns); position-based only
         # at first CREATE
+        # v3 write-defaults: columns a writer fills when the input frame
+        # omits them (fixed at ADD COLUMN ... DEFAULT time)
+        self.write_defaults = dict(write_defaults or {})
         self.field_ids = dict(field_ids) if field_ids else {
             f.name: i + 1 for i, f in enumerate(schema.fields)
         }
@@ -584,6 +588,16 @@ class IcebergWriter:
         data_dir = os.path.join(self.root, "data", f"snap-{snap_id}")
         # stamp PARQUET:field_id on every column (fieldId.write.enabled in
         # session confs) so future scans can resolve by id across renames
+        # v3 write-defaults: a frame omitting a defaulted column writes
+        # the default for every row (post-ALTER INSERTs with the old
+        # arity keep working); omitting a non-defaulted column stays an
+        # error via the select below
+        for f in self.schema.fields:
+            if f.name not in df.columns and f.name in self.write_defaults:
+                df = df.withColumn(
+                    f.name,
+                    _F.lit(self.write_defaults[f.name]).cast(f.dataType),
+                )
         cols = [
             _F.col(f.name).alias(
                 f.name, metadata={"parquet.field.id": self.field_ids[f.name]}

@@ -732,3 +732,33 @@ def test_show_partitions(spark, sf_dir, tmp_path):
     ]
     assert rows == sorted(rows)
     assert set(rows) == {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"}
+
+
+def test_insert_write_defaults(spark, sf_dir, tmp_path):
+    """v3 WRITE-DEFAULTS through SQL INSERT: old-arity positional
+    inserts and column-list inserts fill the default; explicit values
+    win; non-defaulted columns still arity-guard."""
+    import pytest
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="wd")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("d.n", nation.schema)
+    cat.append("d.n", spark, nation.filter("n_nationkey < 3"))
+    cat.sql(spark, "ALTER TABLE wd.d.n ADD COLUMN score BIGINT DEFAULT 7")
+    cat.sql(spark, "INSERT INTO wd.d.n VALUES (90, 'X', 0)")
+    cat.sql(spark, "INSERT INTO wd.d.n VALUES (91, 'Y', 0, 42)")
+    cat.sql(
+        spark,
+        "INSERT INTO wd.d.n (n_nationkey, n_name, n_regionkey)"
+        " VALUES (92, 'Z', 0)",
+    )
+    rows = {
+        r["n_nationkey"]: r["score"]
+        for r in cat.sql(spark, "SELECT * FROM wd.d.n").collect()
+    }
+    assert rows[90] == 7 and rows[91] == 42 and rows[92] == 7 and rows[0] == 7
+    with pytest.raises(ValueError, match="arity"):
+        cat.sql(spark, "INSERT INTO wd.d.n VALUES (93, 'W')")
