@@ -1758,7 +1758,16 @@ class IcebergWriter:
     ) -> list[dict]:
         """Walk written parquet files (or exactly ``paths``); derive
         per-file column stats from footers (row-group min/max/null
-        aggregated per file)."""
+        aggregated per file).
+
+        Scale note (measured, PERF_NOTES r7): the walk is driver-side
+        and costs ~0.1 ms/file on local storage — 2,000-file appends pay
+        0.25 s, far below the write itself.  On an object store each
+        footer is a ranged GET (~20-50 ms), so a 10⁵-file append would
+        want this distributed (ship (path, partition) rows through
+        mapInPandas and collect the stats dicts); not implemented here
+        because the local environment cannot demonstrate the win and
+        the stats path guards pruning correctness."""
         import pyarrow.parquet as pq
 
         out = []

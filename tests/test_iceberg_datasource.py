@@ -645,3 +645,38 @@ def test_cdc_stream_carries_row_ids_on_lineage_tables(spark, tmp_path):
     }
     assert del2 == {4: 4}
     assert ins2 == {4: (4, "UPD")}
+
+
+def test_cdc_stream_checkpoint_restart(spark, tmp_path):
+    """A CDC stream resumes from its checkpoint: commits landed while
+    the stream was down are emitted exactly once on restart."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="ckr")
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table(
+        "c.n", nation.schema,
+        properties={"write.delete.mode": "deletion-vector"},
+    )
+    cat.append("c.n", spark, nation.filter("n_nationkey < 10"))
+    table_root = str(tmp_path / "wh" / "c" / "n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _cdc_stream_rows(spark, table_root, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 10
+    # new commits while the stream is down
+    cat.append("c.n", spark, nation.filter("n_nationkey BETWEEN 10 AND 14"))
+    cat.sql(spark, "DELETE FROM ckr.c.n WHERE n_nationkey IN (1, 12)")
+    # restart from the SAME checkpoint: only the new diff is emitted
+    rows = _cdc_stream_rows(spark, table_root, out, ckpt)
+    by = {}
+    for r in rows.collect():
+        by.setdefault((r["_change_ordinal"], r["_change_type"]), []).append(
+            r["n_nationkey"]
+        )
+    assert sorted(by[(0, "insert")]) == list(range(10))  # not re-emitted
+    assert sorted(by[(1, "insert")]) == [10, 11, 12, 13, 14]
+    assert sorted(by[(2, "delete")]) == [1, 12]
+    assert rows.count() == 10 + 5 + 2  # exactly once across both runs
