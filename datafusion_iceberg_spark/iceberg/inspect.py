@@ -98,6 +98,16 @@ _ENTRIES_SCHEMA = T.StructType(
     ]
 )
 
+_METADATA_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("latest_snapshot_id", T.LongType()),
+        T.StructField("latest_schema_id", T.IntegerType()),
+        T.StructField("latest_sequence_number", T.LongType()),
+    ]
+)
+
 _POSITION_DELETES_SCHEMA = T.StructType(
     [
         T.StructField("file_path", T.StringType()),
@@ -550,6 +560,59 @@ class Inspect:
         return spark.read.parquet(meta.localize(entry["statistics-path"]))
 
 
+    def data_files(self, spark: SparkSession) -> DataFrame:
+        """``$data_files``: the files table restricted to content=0
+        entries — Spark-Iceberg inspection parity."""
+        return self.files(spark).filter("content = 0")
+
+    def delete_files(self, spark: SparkSession) -> DataFrame:
+        """``$delete_files``: the files table restricted to delete
+        entries (position/equality parquet and DV puffin)."""
+        return self.files(spark).filter("content != 0")
+
+    def metadata_log_entries(self, spark: SparkSession) -> DataFrame:
+        """``$metadata_log_entries``: one row per metadata.json version
+        on disk with its latest snapshot linkage — the audit trail of
+        table commits (driver-side; version count is metadata-scale)."""
+        import glob as _glob
+        import json as _json
+        import os as _os
+
+        meta = self._t.metadata
+        rows = []
+        for p in sorted(
+            _glob.glob(_os.path.join(meta.root, "metadata", "v*.metadata.json")),
+            key=lambda x: int(_os.path.basename(x).split(".")[0][1:]),
+        ):
+            try:
+                with open(p) as fh:
+                    m = _json.load(fh)
+            except (OSError, ValueError):
+                continue
+            cur = m.get("current-snapshot-id")
+            cur = None if cur in (None, -1) else int(cur)
+            snap = next(
+                (
+                    s
+                    for s in m.get("snapshots", [])
+                    if s.get("snapshot-id") == cur
+                ),
+                None,
+            )
+            rows.append(
+                (
+                    p,
+                    _utc(int(m.get("last-updated-ms", 0))),
+                    cur,
+                    None if snap is None else snap.get("schema-id", 0),
+                    None
+                    if snap is None
+                    else int(snap.get("sequence-number", 0) or 0),
+                )
+            )
+        return spark.createDataFrame(rows, _METADATA_LOG_SCHEMA)
+
+
 METADATA_TABLES = {
     "snapshots",
     "files",
@@ -564,6 +627,9 @@ METADATA_TABLES = {
     "position_deletes",
     "partition_stats",
     "lineage",
+    "data_files",
+    "delete_files",
+    "metadata_log_entries",
 }
 
 

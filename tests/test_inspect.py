@@ -226,3 +226,31 @@ def test_partition_stats_file_roundtrip(spark, sf_dir, tmp_path):
         cat.sql(spark, "SELECT * FROM ps.p.o$partition_stats").collect()
     cat.sql(spark, "CALL ps.system.compute_partition_stats('p.o')")
     assert cat.sql(spark, "SELECT COUNT(*) AS n FROM ps.p.o$partition_stats").first()["n"] == 3
+
+
+def test_data_delete_files_and_metadata_log(spark, sf_dir, tmp_path):
+    """$data_files / $delete_files split the files table by content;
+    $metadata_log_entries walks the on-disk metadata versions."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="mt")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table(
+        "m.n", nation.schema,
+        properties={"write.delete.mode": "deletion-vector"},
+    )
+    cat.append("m.n", spark, nation)
+    cat.sql(spark, "DELETE FROM mt.m.n WHERE n_nationkey < 3")
+    d = cat.sql(spark, "SELECT * FROM mt.m.n$data_files").collect()
+    x = cat.sql(spark, "SELECT * FROM mt.m.n$delete_files").collect()
+    assert len(d) >= 1 and all(r["content"] == 0 for r in d)
+    assert len(x) >= 1 and all(r["content"] == 1 for r in x)
+    log = cat.sql(
+        spark,
+        "SELECT * FROM mt.m.n$metadata_log_entries ORDER BY file",
+    ).collect()
+    # create (v0) + append + property? at least create/append/delete
+    assert len(log) >= 3
+    assert log[-1]["latest_snapshot_id"] is not None
+    assert log[0]["latest_snapshot_id"] is None  # pre-first-append version
