@@ -385,6 +385,12 @@ class Inspect:
                         -1 if mf.sequence_number is None else mf.sequence_number,
                     )
                 )
+        return self._entries_from(spark, manifests)
+
+    def _entries_from(self, spark: SparkSession, manifests: list) -> DataFrame:
+        """Distributed entry parse shared by ``entries``/``all_entries``:
+        the driver ships (manifest path, inherited sequence) pairs, Avro
+        parsing runs in executors."""
         if not manifests:
             return spark.createDataFrame([], _ENTRIES_SCHEMA)
 
@@ -560,6 +566,32 @@ class Inspect:
         return spark.read.parquet(meta.localize(entry["statistics-path"]))
 
 
+    def all_entries(self, spark: SparkSession) -> DataFrame:
+        """``$all_entries``: manifest entries across EVERY snapshot
+        (deduped by manifest, like ``$all_files``), including deleted
+        (status=2) entries — what snapshot-expiry analysis reads."""
+        from datafusion_iceberg_spark.iceberg.manifests import (
+            read_manifest_list,
+        )
+
+        meta = self._t.metadata
+        seen = set()
+        manifests = []
+        for s in meta.snapshots:
+            for mf in read_manifest_list(meta.localize(s.manifest_list)):
+                if mf.path in seen:
+                    continue
+                seen.add(mf.path)
+                manifests.append(
+                    (
+                        meta.localize(mf.path),
+                        -1
+                        if mf.sequence_number is None
+                        else mf.sequence_number,
+                    )
+                )
+        return self._entries_from(spark, manifests)
+
     def data_files(self, spark: SparkSession) -> DataFrame:
         """``$data_files``: the files table restricted to content=0
         entries — Spark-Iceberg inspection parity."""
@@ -630,6 +662,7 @@ METADATA_TABLES = {
     "data_files",
     "delete_files",
     "metadata_log_entries",
+    "all_entries",
 }
 
 

@@ -254,3 +254,18 @@ def test_data_delete_files_and_metadata_log(spark, sf_dir, tmp_path):
     assert len(log) >= 3
     assert log[-1]["latest_snapshot_id"] is not None
     assert log[0]["latest_snapshot_id"] is None  # pre-first-append version
+
+
+def test_all_entries_sees_whole_history(spark, sf_dir, tmp_path):
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="ae")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("m.n", nation.schema)
+    cat.append("m.n", spark, nation.filter("n_nationkey < 10"))
+    cat.append("m.n", spark, nation.filter("n_nationkey >= 10"))
+    cat.compact("m.n", spark)
+    cur = cat.sql(spark, "SELECT COUNT(*) AS n FROM ae.m.n$entries").first()["n"]
+    allr = cat.sql(spark, "SELECT COUNT(*) AS n FROM ae.m.n$all_entries").first()["n"]
+    assert allr > cur >= 1  # history keeps the pre-compaction entries
