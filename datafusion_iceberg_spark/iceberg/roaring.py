@@ -9,11 +9,11 @@ in the RoaringFormatSpec):
 - 64-bit layout: ``u64 n_buckets`` little-endian, then for each bucket
   (ascending) ``u32 high`` (the position's upper 32 bits) followed by a
   standard 32-bit roaring bitmap of the lower 32 bits.
-- 32-bit layout: cookie ``12346`` (SERIAL_COOKIE_NO_RUNCONTAINER) +
-  ``u32 n_containers - 1``... — this codec writes the no-run flavor
-  (array + bitmap containers) and READS both no-run and run flavors
-  (cookie ``12347``), so bitmaps produced by engines that emit run
-  containers still decode.
+- 32-bit layout: this codec READS both flavors (no-run cookie
+  ``12346``, run cookie ``12347``) and WRITES whichever is smaller per
+  container (spec size rule: run = 2 + 4·n_runs bytes vs array = 2·card
+  vs bitmap = 8192) — a contiguous range delete serializes as a handful
+  of bytes instead of kilobyte bitmaps.
 
 Everything here derives from the public RoaringFormatSpec; no code is
 ported from any implementation.
@@ -28,36 +28,85 @@ _SERIAL_COOKIE_RUN = 12347
 _ARRAY_MAX = 4096  # cardinality above this → bitmap container
 
 
+def _runs_of(vals: list[int]) -> list[tuple[int, int]]:
+    """(start, length-1) runs of a sorted unique u16 list."""
+    runs = []
+    start = prev = vals[0]
+    for v in vals[1:]:
+        if v == prev + 1:
+            prev = v
+            continue
+        runs.append((start, prev - start))
+        start = prev = v
+    runs.append((start, prev - start))
+    return runs
+
+
 def _serialize32(values: list[int]) -> bytes:
-    """32-bit roaring, no-run flavor: values must be sorted unique u32."""
+    """32-bit roaring: values must be sorted unique u32.  Emits the RUN
+    flavor (cookie 12347) when any container is cheaper as runs — a
+    contiguous range-delete of 64k positions costs 6 bytes instead of an
+    8 KiB bitmap — and the classic no-run flavor otherwise (format
+    choice per the RoaringFormatSpec size rule: run = 2 + 4·n_runs vs
+    array = 2·card vs bitmap = 8192)."""
     containers: dict[int, list[int]] = {}
     for v in values:
         containers.setdefault(v >> 16, []).append(v & 0xFFFF)
     keys = sorted(containers)
-    out = bytearray()
-    out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, len(keys))
-    for k in keys:
-        out += struct.pack("<HH", k, len(containers[k]) - 1)
-    # offset header (present in the no-run flavor): byte position of each
-    # container from the START of the serialized bitmap
-    header = 8 + 4 * len(keys) + 4 * len(keys)
-    offsets = []
-    pos = header
-    for k in keys:
-        offsets.append(pos)
-        card = len(containers[k])
-        pos += 2 * card if card <= _ARRAY_MAX else 8192
-    for off in offsets:
-        out += struct.pack("<I", off)
+    enc = {}  # key -> ("run"|"array"|"bitmap", payload bytes)
+    any_run = False
     for k in keys:
         vals = containers[k]
-        if len(vals) <= _ARRAY_MAX:
-            out += struct.pack(f"<{len(vals)}H", *vals)
+        card = len(vals)
+        runs = _runs_of(vals)
+        run_cost = 2 + 4 * len(runs)
+        plain_cost = 2 * card if card <= _ARRAY_MAX else 8192
+        if run_cost < plain_cost:
+            any_run = True
+            body = struct.pack("<H", len(runs)) + b"".join(
+                struct.pack("<HH", s, ln) for s, ln in runs
+            )
+            enc[k] = ("run", body)
+        elif card <= _ARRAY_MAX:
+            enc[k] = ("array", struct.pack(f"<{card}H", *vals))
         else:
             bits = bytearray(8192)
             for v in vals:
                 bits[v >> 3] |= 1 << (v & 7)
-            out += bits
+            enc[k] = ("bitmap", bytes(bits))
+
+    n = len(keys)
+    out = bytearray()
+    if any_run:
+        cookie = _SERIAL_COOKIE_RUN | ((n - 1) << 16)
+        out += struct.pack("<I", cookie)
+        runbits = bytearray((n + 7) // 8)
+        for i, k in enumerate(keys):
+            if enc[k][0] == "run":
+                runbits[i >> 3] |= 1 << (i & 7)
+        out += runbits
+        for k in keys:
+            out += struct.pack("<HH", k, len(containers[k]) - 1)
+        if n >= 4:  # offset header only at/above the spec threshold
+            pos = len(out) + 4 * n
+            for k in keys:
+                out += struct.pack("<I", pos)
+                pos += len(enc[k][1])
+        for k in keys:
+            out += enc[k][1]
+        return bytes(out)
+
+    out += struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n)
+    for k in keys:
+        out += struct.pack("<HH", k, len(containers[k]) - 1)
+    # offset header (always present in the no-run flavor)
+    header = 8 + 4 * n + 4 * n
+    pos = header
+    for k in keys:
+        out += struct.pack("<I", pos)
+        pos += len(enc[k][1])
+    for k in keys:
+        out += enc[k][1]
     return bytes(out)
 
 

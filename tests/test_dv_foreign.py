@@ -120,3 +120,28 @@ def test_foreign_dv_scan_gate(spark, sf_dir, duck):
     assert keys.count(0) == 2
     assert 5 not in keys and 20 not in keys and 23 not in keys
     assert keys.count(1) == 1  # B's key 1 survives the seq-2 pos delete
+
+
+def test_writer_emits_run_containers_for_range_deletes():
+    """The roaring writer picks the cheaper flavor per container: a
+    contiguous range delete serializes as runs (bytes, not kilobyte
+    bitmaps) and still roundtrips; sparse sets keep the no-run flavor."""
+    import struct as _s
+
+    from datafusion_iceberg_spark.iceberg.roaring import (
+        deserialize_u64,
+        serialize_u64,
+    )
+
+    dense = list(range(1_000_000))
+    b = serialize_u64(dense)
+    assert len(b) < 300, len(b)  # ~128 KB as bitmap containers
+    assert deserialize_u64(b) == dense
+    # the 32-bit payload leads with the RUN cookie
+    (cookie,) = _s.unpack_from("<I", b, 12)  # after u64 count + u32 high
+    assert (cookie & 0xFFFF) == 12347
+    sparse = list(range(0, 1 << 16, 17))
+    bs = serialize_u64(sparse)
+    (cookie2,) = _s.unpack_from("<I", bs, 12)
+    assert cookie2 == 12346  # no-run flavor kept when runs don't pay
+    assert deserialize_u64(bs) == sparse
