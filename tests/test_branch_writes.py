@@ -88,3 +88,52 @@ def test_branch_append_totals_track_branch_lineage(spark, sf_dir, tmp_path):
     head = t.metadata.refs()["dev"]["snapshot-id"]
     snap = next(s for s in t.metadata.snapshots if s.snapshot_id == head)
     assert int(snap.summary["total-records"]) == 15
+
+
+def test_racing_branch_appends_serialize_without_loss(spark, sf_dir, tmp_path, monkeypatch):
+    """Two writers staging on the same branch race on the metadata CAS:
+    the loser retries on fresh state and the branch ends with BOTH
+    commits chained (no lost update)."""
+    from datafusion_iceberg_spark.iceberg import writer as writer_mod
+
+    cat = Catalog(str(tmp_path / "wh"), name="br")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("b.n", nation.schema)
+    cat.append("b.n", spark, nation.filter("n_nationkey < 5"))
+    root = str(tmp_path / "wh")
+
+    orig = writer_mod.IcebergWriter._commit_append_snapshot
+    state = {"fired": False}
+
+    def racing(self, *a, **k):
+        # the only patched-window call is the outer staged append
+        if not state["fired"]:
+            state["fired"] = True
+            writer_mod.IcebergWriter._commit_append_snapshot = orig
+            try:
+                Catalog(root, name="br").stage_append(
+                    "b.n",
+                    spark,
+                    load_table(spark, sf_dir, "nation").filter(
+                        "n_nationkey BETWEEN 5 AND 9"
+                    ),
+                    "dev",
+                )
+            finally:
+                writer_mod.IcebergWriter._commit_append_snapshot = racing
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(
+        writer_mod.IcebergWriter, "_commit_append_snapshot", racing
+    )
+    cat.stage_append(
+        "b.n", spark, nation.filter("n_nationkey BETWEEN 10 AND 14"), "dev"
+    )
+    monkeypatch.undo()
+    t = Catalog(root, name="br").load("b.n")
+    # both staged commits are on the branch; main untouched
+    assert t.to_df(spark, ref="dev").count() == 15
+    assert t.to_df(spark).count() == 5
+    cat2 = Catalog(root, name="br")
+    cat2.fast_forward("b.n", "dev")
+    assert cat2.load("b.n").to_df(spark).count() == 15
