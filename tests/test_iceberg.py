@@ -3697,3 +3697,33 @@ def test_default_values_initial_vs_explicit_null(spark, sf_dir, tmp_path):
     t = cat.load("d.n")
     assert t.to_df(spark).count() == 15
     assert t.to_df(spark).filter("score = 7").count() == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 20) - 1),  # run start
+            st.integers(min_value=1, max_value=5000),  # run length
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 20) - 1), max_size=50
+    ),
+)
+def test_roaring_run_heavy_roundtrip_property(runs, extras):
+    """Run-heavy inputs (the range-delete shape the serializer now
+    encodes as run containers) roundtrip exactly, mixed with sparse
+    stragglers that keep some containers in array/bitmap form."""
+    from datafusion_iceberg_spark.iceberg.roaring import (
+        deserialize_u64,
+        serialize_u64,
+    )
+
+    pos = set(extras)
+    for start, length in runs:
+        pos.update(range(start, start + length))
+    expected = sorted(pos)
+    assert deserialize_u64(serialize_u64(expected)) == expected
