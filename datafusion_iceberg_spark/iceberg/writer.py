@@ -645,6 +645,25 @@ class IcebergWriter:
             out = out.repartitionByRange(*self.sort_by).sortWithinPartitions(
                 *self.sort_by
             )
+        elif self.partition_by:
+            # write.distribution-mode (Iceberg write property): without
+            # it, T upstream tasks × P live partitions yields T·P small
+            # files per append — the dominant small-file generator at
+            # 100 TB.  'hash' routes each partition's rows to one task
+            # (one file per partition dir per append); 'range'
+            # range-clusters on the partition columns.  Default 'none'
+            # writes the frame as-is (the caller owns distribution).
+            try:
+                props = self._load_current().get("properties", {})
+            except (OSError, ValueError, FileNotFoundError):
+                props = {}
+            mode = str(
+                props.get("write.distribution-mode", "none")
+            ).lower()
+            if mode == "hash":
+                out = out.repartition(*self.partition_by)
+            elif mode == "range":
+                out = out.repartitionByRange(*self.partition_by)
         writer = out.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)

@@ -3727,3 +3727,31 @@ def test_roaring_run_heavy_roundtrip_property(runs, extras):
         pos.update(range(start, start + length))
     expected = sorted(pos)
     assert deserialize_u64(serialize_u64(expected)) == expected
+
+
+def test_write_distribution_mode_hash_bounds_file_count(spark, sf_dir, tmp_path):
+    """write.distribution-mode='hash' routes each partition's rows to
+    one task: an append from a 16-way-shuffled frame writes one file
+    per partition dir instead of up-to-16 per dir."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").repartition(16)
+    for mode, expect_max in (("none", 50), ("hash", 1)):
+        cat = Catalog(str(tmp_path / f"wh_{mode}"), name=f"dm{mode}")
+        cat.create_table(
+            "d.o", orders.schema, partition_by=["o_orderstatus"],
+            properties={"write.distribution-mode": mode},
+        )
+        cat.append("d.o", spark, orders)
+        t = cat.load("d.o")
+        per_dir: dict = {}
+        for f in t.files():
+            per_dir.setdefault(f.partition.get("o_orderstatus"), 0)
+            per_dir[f.partition.get("o_orderstatus")] += 1
+        worst = max(per_dir.values())
+        if mode == "hash":
+            assert worst == 1, per_dir
+        else:
+            assert worst > 1, per_dir  # the explosion the mode fixes
+        assert t.to_df(spark).count() == orders.count()
