@@ -723,6 +723,102 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return out
 
+
+    def table_health(self, ident: str) -> dict:
+        """Metadata-derived health report — the signals a scheduled
+        maintenance job triages on, computed with ZERO data IO:
+        data-file count and average size, small-file ratio (< 1/4 of
+        the 128 MB target), delete-file and DV-container counts,
+        manifest and snapshot counts, and whether partition statistics
+        are stale for the current snapshot."""
+        t = self._mirror[ident]
+        assert isinstance(t, IcebergTable)
+        meta = t.metadata
+        files = list(t.files())
+        n = len(files)
+        total = sum(f.file_size_in_bytes or 0 for f in files)
+        small = sum(
+            1
+            for f in files
+            if (f.file_size_in_bytes or 0) < 32 * 1024 * 1024
+        )
+        dels = t.position_delete_files()
+        dv_containers = {
+            d.path for d in dels if d.referenced_data_file is not None
+        }
+        n_pos_parquet = sum(
+            1 for d in dels if d.referenced_data_file is None
+        )
+        cur = meta.raw.get("current-snapshot-id")
+        stats_fresh = any(
+            s.get("snapshot-id") == cur
+            for s in meta.raw.get("partition-statistics", [])
+        )
+        return {
+            "data_files": n,
+            "avg_file_bytes": int(total / n) if n else 0,
+            "small_file_ratio": round(small / n, 4) if n else 0.0,
+            "position_delete_files": n_pos_parquet,
+            "equality_delete_files": len(t.equality_delete_files()),
+            "dv_containers": len(dv_containers),
+            "manifests": len(t.manifests()),
+            "snapshots": len(meta.snapshots),
+            "partition_stats_stale": bool(
+                meta.partition_spec_entries()
+            ) and not stats_fresh,
+        }
+
+    def maintain(
+        self,
+        ident: str,
+        spark: SparkSession,
+        small_file_ratio: float = 0.5,
+        min_files: int = 8,
+        max_dv_containers: int = 8,
+        max_position_delete_files: int = 8,
+        max_manifests: int = 8,
+    ) -> dict:
+        """Policy-driven auto-maintenance: read :meth:`table_health`,
+        run ONLY the operations the thresholds call for, and report
+        what ran — the one-call form of the maintenance a 100 TB
+        deployment schedules nightly (each underlying op is the same
+        CALL procedure a human would run; this just triages).
+
+        Order matters: data compaction first (folds deletes, so the
+        delete-side rewrites become no-ops when it runs), then DV /
+        position-delete consolidation, manifest collapse, and a
+        partition-stats refresh last (keyed to the final snapshot)."""
+        before = self.table_health(ident)
+        ran: dict = {"before": before}
+        if (
+            before["data_files"] >= min_files
+            and before["small_file_ratio"] >= small_file_ratio
+        ):
+            # the file-count floor keeps the policy from re-compacting a
+            # table whose files are simply small-data small (compaction
+            # of 3 files buys nothing and never converges the ratio)
+            self.compact(ident, spark)
+            ran["compacted"] = True
+        h = self.table_health(ident)
+        if h["dv_containers"] > max_dv_containers:
+            ran["dv_rewrite"] = self.rewrite_deletion_vectors(ident)
+        if h["position_delete_files"] > max_position_delete_files:
+            ran["position_delete_rewrite"] = self.rewrite_position_deletes(
+                ident, spark
+            )
+        h = self.table_health(ident)
+        if (
+            h["manifests"] > max_manifests
+            and not h["dv_containers"]
+            and not h["position_delete_files"]
+            and not h["equality_delete_files"]
+        ):
+            ran["manifest_rewrite"] = self.rewrite_manifests(ident)
+        if self.table_health(ident)["partition_stats_stale"]:
+            ran["partition_stats"] = self.compute_partition_stats(ident)
+        ran["after"] = self.table_health(ident)
+        return ran
+
     def vacuum(
         self,
         ident: str,

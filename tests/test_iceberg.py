@@ -3755,3 +3755,51 @@ def test_write_distribution_mode_hash_bounds_file_count(spark, sf_dir, tmp_path)
         else:
             assert worst > 1, per_dir  # the explosion the mode fixes
         assert t.to_df(spark).count() == orders.count()
+
+
+def test_table_health_and_policy_maintenance(spark, sf_dir, tmp_path):
+    """table_health reads the triage signals with zero data IO;
+    maintain() runs only what the thresholds call for and leaves the
+    table clean: files compacted (deletes folded), DV containers gone,
+    partition stats fresh, row set unchanged."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="hm")
+    orders = load_table(spark, sf_dir, "orders")
+    cat.create_table(
+        "h.o", orders.schema, partition_by=["o_orderstatus"],
+        properties={"write.delete.mode": "deletion-vector"},
+    )
+    # messy history: 3 small appends + 3 DV deletes
+    for r in range(3):
+        cat.append(
+            "h.o", spark,
+            orders.filter(F.col("o_orderkey") % 3 == r).repartition(4),
+        )
+    for st in ("F", "O", "P"):
+        cat.sql(
+            spark,
+            f"DELETE FROM hm.h.o WHERE o_orderstatus = '{st}'"
+            " AND o_orderkey % 5 = 0",
+        )
+    h = cat.table_health("h.o")
+    assert h["data_files"] >= 9 and h["small_file_ratio"] == 1.0
+    assert h["dv_containers"] == 3 and h["partition_stats_stale"]
+    expect = orders.filter("o_orderkey % 5 != 0").count()
+
+    out = cat.maintain(
+        "h.o", spark, min_files=4, max_dv_containers=0, max_manifests=2
+    )
+    assert out.get("compacted")
+    after = out["after"]
+    assert after["data_files"] < h["data_files"]
+    assert after["dv_containers"] == 0  # compaction folded the deletes
+    assert not after["partition_stats_stale"]
+    t = cat.load("h.o")
+    assert t.to_df(spark).count() == expect
+    # second run is a near-no-op (only thresholds re-checked)
+    out2 = cat.maintain(
+        "h.o", spark, min_files=4, max_dv_containers=0, max_manifests=2
+    )
+    assert not out2.get("compacted") and "dv_rewrite" not in out2
