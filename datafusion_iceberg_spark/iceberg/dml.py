@@ -284,11 +284,13 @@ _PROCEDURES = {
     "rewrite_position_delete_files": "rewrite_position_deletes",
     "rewrite_deletion_vectors": "rewrite_deletion_vectors",
     "compute_partition_stats": "compute_partition_stats",
+    "maintain": "maintain",
 }
 
 # procedures whose underlying method takes (ident, spark, ...) rather
 # than (ident, ...)
 _PROC_NEEDS_SPARK = {
+    "maintain",
     "rewrite_data_files",
     "rewrite_zorder",
     "refresh_mv",
