@@ -23,6 +23,32 @@ from datafusion_iceberg_spark.tables import load_table
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 
+# Cached fixture warehouses must be rebuilt when a WRITER change alters
+# manifest content the gates depend on (a warehouse written by an older
+# round would silently miss the new fields).  Bump on format-affecting
+# writer changes; mismatch wipes the whole scratch once at import.
+# v8: nan_value_counts in data-file entries (metadata-only float MIN/MAX).
+_SCRATCH_VERSION = "v8"
+
+
+def _ensure_scratch_version() -> None:
+    vfile = os.path.join(SCRATCH, "_SCRATCH_VERSION")
+    try:
+        with open(vfile) as fh:
+            if fh.read().strip() == _SCRATCH_VERSION:
+                return
+    except OSError:
+        pass
+    import shutil
+
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+    with open(vfile, "w") as fh:
+        fh.write(_SCRATCH_VERSION)
+
+
+_ensure_scratch_version()
+
 _lock = threading.Lock()
 _warehouses: dict[str, "IcebergFixture"] = {}
 

@@ -258,6 +258,14 @@ class IcebergTable:
             los, his = [], []
             complete = True
             for f in self.files():
+                if t in ("float", "double"):
+                    # Iceberg bounds EXCLUDE NaN, but Spark MAX treats
+                    # NaN as greater than any value — only provably exact
+                    # when the manifest proves zero NaNs in this file
+                    # (unknown counts as maybe-NaN)
+                    if f.nan_value_counts.get(fid) != 0:
+                        complete = False
+                        break
                 lo = decode_stat(t, f.lower_bounds.get(fid))
                 hi = decode_stat(t, f.upper_bounds.get(fid))
                 if lo is None or hi is None:
@@ -401,6 +409,12 @@ class IcebergTable:
         use_ids = _file_has_field_ids(meta.localize(files[0].path))
         if use_ids:
             st = meta.struct_type(with_field_ids=True)
+            try:  # runtime-settable; a plain caller session (not built
+                # by session.get_spark, which sets it) needs it on, or
+                # post-RENAME scans silently resolve by name
+                spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            except Exception:
+                pass
         if _extra_cols:
             # optional per-file columns outside the table schema (the
             # materialized v3 ``_row_id``): schema-specified reads yield
@@ -409,10 +423,6 @@ class IcebergTable:
                 list(st.fields)
                 + [T.StructField(n, t) for n, t in _extra_cols]
             )
-            try:  # runtime-settable; a plain caller session needs it on
-                spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-            except Exception:
-                pass
         with_meta = _with_row_meta or bool(deletes) or bool(eq_deletes)
 
         # Files read per partition-spec id: each spec determines which

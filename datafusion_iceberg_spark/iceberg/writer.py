@@ -142,6 +142,13 @@ def _manifest_schema(partition_fields: list[dict]) -> dict:
                 ),
                 "default": None,
             },
+            {
+                "name": "nan_value_counts",
+                "type": _nullable(
+                    {**int_long_map, "items": {**int_long_map["items"], "name": "k_v_long3"}}
+                ),
+                "default": None,
+            },
             {"name": "lower_bounds", "type": _nullable(int_bytes_map), "default": None},
             {
                 "name": "upper_bounds",
@@ -842,20 +849,31 @@ class IcebergWriter:
         advance the counter in ``meta`` (committed atomically with the
         snapshot).  Re-entrant: the commit retry reloads metadata, so a
         concurrent commit's counter advance is observed before
-        reassignment."""
+        reassignment.  Entries stamped by an earlier (lost) attempt are
+        tracked via a transient ``_provisional_first_row_id`` marker and
+        re-assigned from the fresh counter — without it a CommitConflict
+        retry would keep ids minted from a stale ``next-row-id`` and two
+        racing lineage appends could commit overlapping ranges.  The
+        marker never reaches disk: Avro encoding is schema-driven and
+        the manifest schema has no such field."""
         if not _lineage_on(meta):
             return
-        rid = base = int(meta.get("next-row-id", 0))
+        rid = int(meta.get("next-row-id", 0))
+        changed = False
         for e in entries:
             d = e.get("data_file", {})
+            if d.pop("_provisional_first_row_id", False):
+                d["first_row_id"] = None  # stale: minted by a lost attempt
             if (
                 e.get("status", 1) == 1
                 and (d.get("content") or 0) == 0
                 and d.get("first_row_id") is None
             ):
                 d["first_row_id"] = rid
+                d["_provisional_first_row_id"] = True
                 rid += int(d.get("record_count", 0))
-        if rid != base:
+                changed = True
+        if changed:
             write_avro_file(
                 manifest_path, self._manifest_write_schema(), entries
             )
@@ -880,6 +898,10 @@ class IcebergWriter:
                 ],
                 "null_value_counts": [
                     {"key": k, "value": v} for k, v in f["null_counts"].items()
+                ],
+                "nan_value_counts": [
+                    {"key": k, "value": v}
+                    for k, v in f.get("nan_counts", {}).items()
                 ],
                 "lower_bounds": [
                     {"key": k, "value": v} for k, v in f["lower_bounds"].items()
@@ -962,6 +984,10 @@ class IcebergWriter:
                         "null_value_counts": [
                             {"key": k, "value": v}
                             for k, v in ef.null_value_counts.items()
+                        ],
+                        "nan_value_counts": [
+                            {"key": k, "value": v}
+                            for k, v in ef.nan_value_counts.items()
                         ],
                         "lower_bounds": [
                             {"key": k, "value": v} for k, v in ef.lower_bounds.items()
@@ -1650,6 +1676,10 @@ class IcebergWriter:
                         {"key": k, "value": v}
                         for k, v in ef.null_value_counts.items()
                     ],
+                    "nan_value_counts": [
+                        {"key": k, "value": v}
+                        for k, v in ef.nan_value_counts.items()
+                    ],
                     "lower_bounds": [
                         {"key": k, "value": v} for k, v in ef.lower_bounds.items()
                     ],
@@ -1885,6 +1915,38 @@ class IcebergWriter:
                         uppers.setdefault(fid, enc)
                     values.setdefault(fid, md.num_rows)
                     nulls.setdefault(fid, 0)
+            # NaN counts for float/double columns: parquet footers carry
+            # none, but Iceberg bounds EXCLUDE NaN while Spark MAX sorts
+            # NaN above everything — metadata-only MIN/MAX is provably
+            # exact only when the manifest proves zero NaNs, so count
+            # them (one narrow column read per float column; rides the
+            # distributed stats job when that path is taken)
+            nans: dict[int, int] = {}
+            float_cols = [
+                c
+                for c, t in self.iceberg_types.items()
+                if t in ("float", "double")
+                and self.field_ids.get(c) is not None
+                and c not in partition
+            ]
+            if float_cols:
+                import pyarrow.compute as pc
+
+                try:
+                    tbl = pq.read_table(path, columns=float_cols)
+                    for c in float_cols:
+                        n = pc.sum(
+                            pc.is_nan(tbl[c]).cast("int64")
+                        ).as_py()
+                        nans[self.field_ids[c]] = int(n or 0)
+                except Exception:
+                    pass  # absent column (pre-evolution file): no count
+            for k in partition:
+                fid = self.field_ids.get(k)
+                t = self.iceberg_types.get(k)
+                if fid is not None and t in ("float", "double"):
+                    v = partition[k]
+                    nans[fid] = int(v is not None and v != v) * md.num_rows
             out.append(
                 {
                     "path": path,
@@ -1895,6 +1957,7 @@ class IcebergWriter:
                     "upper_bounds": uppers,
                     "null_counts": nulls,
                     "value_counts": values,
+                    "nan_counts": nans,
                 }
             )
         return out
@@ -3266,16 +3329,15 @@ class IcebergWriter:
         n_existing, existing_rows, min_seq = _existing_entries or (0, 0, None)
         n_added = len(entries) - n_existing
         # added_rows_count = delete rows in ADDED files (merged blob
-        # cardinalities for DVs); the snapshot SUMMARY separately reports
-        # only the FRESH position count (n_deleted)
-        added_rows = (
-            sum(
-                e["data_file"].get("record_count", 0)
-                for e in entries
-                if e.get("status", 1) == 1
-            )
-            if n_existing
-            else n_deleted
+        # cardinalities for DVs — always summed from status=1 entries so
+        # the manifest-list row matches its own manifest even when every
+        # previously-DV'd file is touched and nothing is carried); the
+        # snapshot SUMMARY separately reports only the FRESH position
+        # count (n_deleted)
+        added_rows = sum(
+            e["data_file"].get("record_count", 0)
+            for e in entries
+            if e.get("status", 1) == 1
         )
         new_rows = [
             {

@@ -3663,6 +3663,45 @@ def test_metadata_min_max_guard_rails(spark, sf_dir, tmp_path):
     assert lo2 == exp_lo and hi2 < exp_hi
 
 
+def test_metadata_min_max_nan_guard(spark, sf_dir, tmp_path):
+    """ADVICE r7: Iceberg manifest bounds EXCLUDE NaN but Spark MAX
+    sorts NaN above everything — float/double answer from bounds only
+    when the manifest proves zero NaNs (our writer counts them); a
+    NaN-bearing column falls back to the scan, whose answer then
+    matches Spark semantics."""
+    import math
+
+    import pytest
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"), name="nanmm")
+    clean = spark.createDataFrame(
+        [(1, 1.5), (2, 7.25), (3, -2.0)], "id int, v double"
+    )
+    cat.create_table("m.clean", clean.schema)
+    cat.append("m.clean", spark, clean.coalesce(1))
+    t = cat.load("m.clean")
+    # zero NaNs proven by the manifest: bounds answer, no data IO
+    assert t.metadata_min_max("v") == (-2.0, 7.25)
+    f = t.files()[0]
+    fid = t.metadata.field_ids_by_name()["v"]
+    assert f.nan_value_counts.get(fid) == 0
+
+    dirty = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, -2.0)], "id int, v double"
+    )
+    cat.create_table("m.dirty", dirty.schema)
+    cat.append("m.dirty", spark, dirty.coalesce(1))
+    t2 = cat.load("m.dirty")
+    f2 = t2.files()[0]
+    assert f2.nan_value_counts.get(fid) == 1
+    with pytest.raises(ValueError, match="exact"):
+        t2.metadata_min_max("v")
+    lo, hi = t2.metadata_min_max("v", spark)
+    assert lo == -2.0 and math.isnan(hi)  # Spark: NaN > everything
+
+
 def test_default_values_initial_vs_explicit_null(spark, sf_dir, tmp_path):
     """v3 DEFAULT VALUES: the initial-default fills only files written
     before the column existed; later explicit NULLs stay NULL, filters

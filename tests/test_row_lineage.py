@@ -252,3 +252,54 @@ def test_lineage_sql_surface(spark, sf_dir, tmp_path):
     ).collect()
     got = [(r[0], r[1]) for r in rows]
     assert (2, 1) not in got and got[0] == (0, 0) and len(got) == 12
+
+
+def test_concurrent_lineage_appends_no_overlapping_ids(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r7: a lineage append that loses the metadata race must
+    RE-MINT first_row_id from the reloaded next-row-id on retry — ids
+    stamped by the lost attempt are stale (the winner consumed that
+    range) and keeping them commits overlapping _row_id values."""
+    from datafusion_iceberg_spark.iceberg import writer as writer_mod
+
+    cat = Catalog(str(tmp_path / "wh"), name="lin")
+    nation = (
+        load_table(spark, sf_dir, "nation").orderBy("n_nationkey").coalesce(1)
+    )
+    cat.create_table("l.n", nation.schema, properties=LINEAGE_PROPS)
+    cat.append("l.n", spark, nation.filter("n_nationkey < 5"))  # ids 0..4
+
+    orig_load = writer_mod.IcebergWriter._load_current
+    state = {"fired": False}
+
+    def racing_load(self):
+        meta = orig_load(self)
+        if not state["fired"]:
+            state["fired"] = True
+            # competitor wins the race AFTER this attempt read metadata
+            # (and will assign ids from the same counter value); restore
+            # the real loader so the competitor's commit is unpatched
+            monkeypatch.setattr(
+                writer_mod.IcebergWriter, "_load_current", orig_load
+            )
+            try:
+                cat.append(
+                    "l.n", spark, nation.filter("n_nationkey >= 20")
+                )  # consumes ids 5..9
+            finally:
+                monkeypatch.setattr(
+                    writer_mod.IcebergWriter, "_load_current", racing_load
+                )
+        return meta
+
+    monkeypatch.setattr(
+        writer_mod.IcebergWriter, "_load_current", racing_load
+    )
+    cat.append("l.n", spark, nation.filter("n_nationkey BETWEEN 10 AND 14"))
+
+    t = cat.load("l.n")
+    ids = [r["_row_id"] for r in t.lineage_df(spark).collect()]
+    assert len(ids) == len(set(ids)), f"duplicate _row_id values: {sorted(ids)}"
+    assert sorted(ids) == list(range(15))
+    assert int(t.metadata.raw["next-row-id"]) == 15
