@@ -1,0 +1,190 @@
+"""Typed statement ASTs produced by :mod:`.parser`.
+
+Expression-valued fields (``*_sql``) hold VERBATIM source spans — the
+parser guarantees their boundaries (balanced parens, not inside a
+string/comment) and Spark SQL evaluates their contents.  Identifier
+fields are unquoted.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class Statement:
+    pass
+
+
+@dataclass
+class Insert(Statement):
+    mode: str                       # "INTO" | "OVERWRITE"
+    namespace: str
+    table: str
+    columns: Optional[list[str]]    # explicit target column list
+    query_sql: str                  # SELECT/VALUES/WITH/TABLE source
+
+
+@dataclass
+class Delete(Statement):
+    namespace: str
+    table: str
+    where_sql: Optional[str]
+
+
+@dataclass
+class Update(Statement):
+    namespace: str
+    table: str
+    assignments: list[tuple[str, str]]   # (column, expr span)
+    where_sql: Optional[str]
+
+
+@dataclass
+class MergeUpdate:
+    set_items: list[tuple[str, str]]     # (target column, expr span)
+
+
+@dataclass
+class MergeDelete:
+    pass
+
+
+@dataclass
+class MergeInsertStar:
+    pass
+
+
+@dataclass
+class Merge(Statement):
+    namespace: str
+    table: str
+    target_alias: str
+    source_sql: str                  # full SELECT over the source
+    source_alias: str
+    on_keys: list[str]               # equi-join key columns
+    clauses: list[Any]               # MergeUpdate / MergeDelete / MergeInsertStar
+
+
+@dataclass
+class CreateView(Statement):
+    replace: bool
+    namespace: str
+    table: str
+    query_sql: str
+
+
+@dataclass
+class CreateTable(Statement):
+    replace: bool
+    if_not_exists: bool
+    namespace: str
+    table: str
+    columns_ddl: Optional[str]       # inner text of the column list
+    partition_by: Optional[list[str]]
+    properties: Optional[dict[str, str]]
+    ctas_sql: Optional[str]
+    sort_by: Optional[list[str]] = None
+
+
+@dataclass
+class Drop(Statement):
+    kind: str                        # "TABLE" | "VIEW"
+    if_exists: bool
+    namespace: str
+    table: str
+
+
+@dataclass
+class AddColumn:
+    column: str
+    type_ddl: str
+    default: Any = None
+
+
+@dataclass
+class RenameColumn:
+    old: str
+    new: str
+
+
+@dataclass
+class DropColumn:
+    column: str
+
+
+@dataclass
+class AlterColumnType:
+    column: str
+    type_ddl: str
+
+
+@dataclass
+class SetProperties:
+    updates: dict[str, str]
+
+
+@dataclass
+class UnsetProperties:
+    keys: list[str]
+
+
+@dataclass
+class Alter(Statement):
+    namespace: str
+    table: str
+    action: Any
+
+
+@dataclass
+class Truncate(Statement):
+    namespace: str
+    table: str
+
+
+@dataclass
+class Analyze(Statement):
+    namespace: str
+    table: str
+
+
+@dataclass
+class Call(Statement):
+    procedure: str
+    args: list[Any] = field(default_factory=list)
+    kwargs: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class ShowNamespaces(Statement):
+    pass
+
+
+@dataclass
+class ShowTables(Statement):
+    namespace: Optional[str]
+
+
+@dataclass
+class ShowPartitions(Statement):
+    namespace: str
+    table: str
+
+
+@dataclass
+class ShowTblProperties(Statement):
+    namespace: str
+    table: str
+
+
+@dataclass
+class ShowCreateTable(Statement):
+    namespace: str
+    table: str
+
+
+@dataclass
+class Describe(Statement):
+    namespace: str
+    table: str

@@ -198,7 +198,23 @@ def _render_merge_source(rng, src_rows):
     shifts val by +1 and window keeps one row per group, so the
     effective rows differ from the literal ones."""
     vals = ", ".join(f"({k}, '{g}', {v})" for k, g, v in src_rows)
-    form = rng.choice(["plain", "computed", "cte", "window"])
+    form = rng.choice(["plain", "computed", "cte", "window", "nested_cte"])
+    if form == "nested_cte":
+        # r8 parser gate: a CTE nested INSIDE a CTE body, with string
+        # literals and comments carrying MERGE keywords (' WHEN MATCHED
+        # THEN DELETE ', ' ON ', 'WHERE') — the shape the old regex
+        # layer could split mid-statement on; the token-stream parser
+        # treats strings/comments as atomic
+        return (
+            f"(WITH outer_src AS ("
+            f"  WITH inner_src AS (SELECT * FROM (VALUES {vals})"
+            f"    AS v(k, grp, val))"
+            f"  SELECT k, grp, val FROM inner_src"
+            f"  WHERE grp <> ' WHEN MATCHED THEN DELETE ' -- ON t.k = s.k\n"
+            f"    AND grp <> 'WHERE 1 = 1'"
+            f") SELECT /* WHEN NOT MATCHED */ * FROM outer_src)",
+            src_rows,
+        )
     if form == "window":
         # deterministic top-1 per group (val DESC, k as tie-break)
         best = {}
@@ -380,12 +396,27 @@ def _gen_subquery_statements(rng: random.Random, n: int) -> list[tuple[str, str]
                     "val >= (SELECT MAX(val) FROM {t} WHERE grp = '" + rng.choice(GROUPS) + "')",
                 ]
             )
-            if rng.random() < 0.5:
+            roll = rng.random()
+            if roll < 0.34:
                 s = "DELETE FROM {t} WHERE " + sub
-            else:
+            elif roll < 0.67:
                 s = (
                     f"UPDATE {{t}} SET val = val + {rng.randint(1, 5)} WHERE "
                     + sub
+                )
+            else:
+                # r8 parser gate: scalar SUBQUERY in the SET expression
+                # itself (commas and WHERE live inside the parens — the
+                # old regex split SET lists on top-level text, this
+                # must parse as one assignment)
+                agg = rng.choice(["MAX", "MIN"])
+                set_sub = (
+                    f"(SELECT {agg}(val) FROM {{t}} WHERE grp = "
+                    f"'{rng.choice(GROUPS)}')"
+                )
+                s = (
+                    f"UPDATE {{t}} SET val = {set_sub} + "
+                    f"{rng.randint(1, 3)} WHERE " + sub
                 )
         out.append((s.format(t="fuzz.d.t"), s.format(t="t")))
     return out
