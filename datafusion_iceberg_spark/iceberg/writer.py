@@ -332,6 +332,144 @@ def _avro_type_for(iceberg_type: str):
     return "string"
 
 
+def _stat_parquet_footer(
+    path: str,
+    partition: dict,
+    field_ids: dict,
+    iceberg_types: dict,
+) -> dict:
+    """Per-file stats from ONE parquet footer (row-group min/max/null
+    aggregated per file, + NaN counts for float columns).  Pure function
+    of its arguments — runs on the driver for small appends and inside
+    executor ``mapInPandas`` tasks when the footer-stats job is
+    distributed (``_collect_file_stats_distributed``)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lowers: dict[int, bytes] = {}
+    uppers: dict[int, bytes] = {}
+    nulls: dict[int, int] = {}
+    values: dict[int, int] = {}
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    # Per-column completeness: a row group can legally omit
+    # min/max (NaN-bearing float columns, oversized strings) or
+    # null_count.  A file bound aggregated over a SUBSET of row
+    # groups would be an understated bound — reads stay exact via
+    # the re-filter, but DELETE/UPDATE/MERGE trust pruning to pick
+    # every candidate file, so an incomplete column must emit NO
+    # bound (conservative "maybe") rather than a wrong one.
+    no_minmax: set[str] = set()
+    no_nulls: set[str] = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema.split(".")[0]
+            fid = field_ids.get(name)
+            if fid is None:
+                continue
+            if not isinstance(iceberg_types.get(name), str):
+                # nested column: parquet footers carry per-LEAF
+                # stats; a single top-level bound would mix leaves
+                # — emit none (pruning treats as unknown)
+                continue
+            values[fid] = values.get(fid, 0) + col.num_values
+            st = col.statistics
+            if st is None or st.null_count is None:
+                no_nulls.add(name)
+            else:
+                nulls[fid] = nulls.get(fid, 0) + st.null_count
+            if st is None or not st.has_min_max:
+                no_minmax.add(name)
+            elif isinstance(st.min, float) and (
+                st.min != st.min or st.max != st.max
+            ):
+                # NaN bound (parquet writers may emit them for
+                # NaN-bearing pages): every comparison with NaN is
+                # false, so a NaN min/max silently poisons pruning
+                # — treat the column as stats-less instead
+                no_minmax.add(name)
+            else:
+                mn, mx = st.min, st.max
+                if name not in mins or mn < mins[name]:
+                    mins[name] = mn
+                if name not in maxs or mx > maxs[name]:
+                    maxs[name] = mx
+    for name in no_nulls:
+        fid = field_ids.get(name)
+        if fid is not None:
+            nulls.pop(fid, None)
+    for name, mn in mins.items():
+        if name in no_minmax:
+            continue
+        fid = field_ids[name]
+        enc = encode_stat(iceberg_types[name], mn)
+        if enc is not None:
+            lowers[fid] = enc
+    for name, mx in maxs.items():
+        if name in no_minmax:
+            continue
+        fid = field_ids[name]
+        enc = encode_stat(iceberg_types[name], mx)
+        if enc is not None:
+            uppers[fid] = enc
+    # partition values count toward stats too (identity transform:
+    # value is constant per file even though absent from the file)
+    for k, v in partition.items():
+        fid = field_ids.get(k)
+        if fid is not None and v is not None:
+            enc = encode_stat(iceberg_types[k], v)
+            if enc is not None:
+                lowers.setdefault(fid, enc)
+                uppers.setdefault(fid, enc)
+            values.setdefault(fid, md.num_rows)
+            nulls.setdefault(fid, 0)
+    # NaN counts for float/double columns: parquet footers carry
+    # none, but Iceberg bounds EXCLUDE NaN while Spark MAX sorts
+    # NaN above everything — metadata-only MIN/MAX is provably
+    # exact only when the manifest proves zero NaNs, so count
+    # them (one narrow column read per float column; rides the
+    # distributed stats job when that path is taken)
+    nans: dict[int, int] = {}
+    float_cols = [
+        c
+        for c, t in iceberg_types.items()
+        if t in ("float", "double")
+        and field_ids.get(c) is not None
+        and c not in partition
+    ]
+    if float_cols:
+        import pyarrow.compute as pc
+
+        try:
+            tbl = pq.read_table(path, columns=float_cols)
+            for c in float_cols:
+                n = pc.sum(
+                    pc.is_nan(tbl[c]).cast("int64")
+                ).as_py()
+                nans[field_ids[c]] = int(n or 0)
+        except Exception:
+            pass  # absent column (pre-evolution file): no count
+    for k in partition:
+        fid = field_ids.get(k)
+        t = iceberg_types.get(k)
+        if fid is not None and t in ("float", "double"):
+            v = partition[k]
+            nans[fid] = int(v is not None and v != v) * md.num_rows
+    return {
+        "path": path,
+        "partition": partition,
+        "record_count": md.num_rows,
+        "file_size": os.path.getsize(path),
+        "lower_bounds": lowers,
+        "upper_bounds": uppers,
+        "null_counts": nulls,
+        "value_counts": values,
+        "nan_counts": nans,
+    }
+
+
 class IcebergWriter:
     """Create/append/commit for one table root."""
 
@@ -1809,18 +1947,17 @@ class IcebergWriter:
         per-file column stats from footers (row-group min/max/null
         aggregated per file).
 
-        Scale note (measured, PERF_NOTES r7): the walk is driver-side
-        and costs ~0.1 ms/file on local storage — 2,000-file appends pay
-        0.25 s, far below the write itself.  On an object store each
-        footer is a ranged GET (~20-50 ms), so a 10⁵-file append would
-        want this distributed (ship (path, partition) rows through
-        mapInPandas and collect the stats dicts); not implemented here
-        because the local environment cannot demonstrate the win and
-        the stats path guards pruning correctness."""
-        import pyarrow.parquet as pq
-
-        out = []
-        for path in (
+        Scale: below ``write.stats.distributed-threshold`` files
+        (default 512) the walk is driver-side — ~0.1 ms/file on local
+        storage (measured, PERF_NOTES r7), far below the write itself.
+        At or above the threshold the footer reads run as ONE Spark job
+        (``mapInPandas`` over the path list, executors read footers and
+        return pickled stats dicts ~1 KB/file): on an object store each
+        footer is a ranged GET (~20-50 ms serial), so a 10⁵-file append
+        must not pay it on the driver.  Partition values still parse
+        driver-side (pure string ops on the path).  Both paths produce
+        byte-identical stats (tests assert it)."""
+        all_paths = (
             sorted(paths)
             if paths is not None
             else sorted(
@@ -1828,139 +1965,82 @@ class IcebergWriter:
                     os.path.join(data_dir, "**", "*.parquet"), recursive=True
                 )
             )
-        ):
+        )
+        parts: dict[str, dict[str, Any]] = {}
+        for path in all_paths:
             rel = os.path.relpath(path, data_dir)
             partition: dict[str, Any] = {}
             for seg in rel.split(os.sep)[:-1]:
                 if "=" in seg:
                     k, v = seg.split("=", 1)
                     partition[k] = self._parse_partition_value(k, v)
-            md = pq.ParquetFile(path).metadata
-            lowers: dict[int, bytes] = {}
-            uppers: dict[int, bytes] = {}
-            nulls: dict[int, int] = {}
-            values: dict[int, int] = {}
-            mins: dict[str, Any] = {}
-            maxs: dict[str, Any] = {}
-            # Per-column completeness: a row group can legally omit
-            # min/max (NaN-bearing float columns, oversized strings) or
-            # null_count.  A file bound aggregated over a SUBSET of row
-            # groups would be an understated bound — reads stay exact via
-            # the re-filter, but DELETE/UPDATE/MERGE trust pruning to pick
-            # every candidate file, so an incomplete column must emit NO
-            # bound (conservative "maybe") rather than a wrong one.
-            no_minmax: set[str] = set()
-            no_nulls: set[str] = set()
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    col = g.column(ci)
-                    name = col.path_in_schema.split(".")[0]
-                    fid = self.field_ids.get(name)
-                    if fid is None:
-                        continue
-                    if not isinstance(self.iceberg_types.get(name), str):
-                        # nested column: parquet footers carry per-LEAF
-                        # stats; a single top-level bound would mix leaves
-                        # — emit none (pruning treats as unknown)
-                        continue
-                    values[fid] = values.get(fid, 0) + col.num_values
-                    st = col.statistics
-                    if st is None or st.null_count is None:
-                        no_nulls.add(name)
-                    else:
-                        nulls[fid] = nulls.get(fid, 0) + st.null_count
-                    if st is None or not st.has_min_max:
-                        no_minmax.add(name)
-                    elif isinstance(st.min, float) and (
-                        st.min != st.min or st.max != st.max
-                    ):
-                        # NaN bound (parquet writers may emit them for
-                        # NaN-bearing pages): every comparison with NaN is
-                        # false, so a NaN min/max silently poisons pruning
-                        # — treat the column as stats-less instead
-                        no_minmax.add(name)
-                    else:
-                        mn, mx = st.min, st.max
-                        if name not in mins or mn < mins[name]:
-                            mins[name] = mn
-                        if name not in maxs or mx > maxs[name]:
-                            maxs[name] = mx
-            for name in no_nulls:
-                fid = self.field_ids.get(name)
-                if fid is not None:
-                    nulls.pop(fid, None)
-            for name, mn in mins.items():
-                if name in no_minmax:
-                    continue
-                fid = self.field_ids[name]
-                enc = encode_stat(self.iceberg_types[name], mn)
-                if enc is not None:
-                    lowers[fid] = enc
-            for name, mx in maxs.items():
-                if name in no_minmax:
-                    continue
-                fid = self.field_ids[name]
-                enc = encode_stat(self.iceberg_types[name], mx)
-                if enc is not None:
-                    uppers[fid] = enc
-            # partition values count toward stats too (identity transform:
-            # value is constant per file even though absent from the file)
-            for k, v in partition.items():
-                fid = self.field_ids.get(k)
-                if fid is not None and v is not None:
-                    enc = encode_stat(self.iceberg_types[k], v)
-                    if enc is not None:
-                        lowers.setdefault(fid, enc)
-                        uppers.setdefault(fid, enc)
-                    values.setdefault(fid, md.num_rows)
-                    nulls.setdefault(fid, 0)
-            # NaN counts for float/double columns: parquet footers carry
-            # none, but Iceberg bounds EXCLUDE NaN while Spark MAX sorts
-            # NaN above everything — metadata-only MIN/MAX is provably
-            # exact only when the manifest proves zero NaNs, so count
-            # them (one narrow column read per float column; rides the
-            # distributed stats job when that path is taken)
-            nans: dict[int, int] = {}
-            float_cols = [
-                c
-                for c, t in self.iceberg_types.items()
-                if t in ("float", "double")
-                and self.field_ids.get(c) is not None
-                and c not in partition
-            ]
-            if float_cols:
-                import pyarrow.compute as pc
-
-                try:
-                    tbl = pq.read_table(path, columns=float_cols)
-                    for c in float_cols:
-                        n = pc.sum(
-                            pc.is_nan(tbl[c]).cast("int64")
-                        ).as_py()
-                        nans[self.field_ids[c]] = int(n or 0)
-                except Exception:
-                    pass  # absent column (pre-evolution file): no count
-            for k in partition:
-                fid = self.field_ids.get(k)
-                t = self.iceberg_types.get(k)
-                if fid is not None and t in ("float", "double"):
-                    v = partition[k]
-                    nans[fid] = int(v is not None and v != v) * md.num_rows
-            out.append(
-                {
-                    "path": path,
-                    "partition": partition,
-                    "record_count": md.num_rows,
-                    "file_size": os.path.getsize(path),
-                    "lower_bounds": lowers,
-                    "upper_bounds": uppers,
-                    "null_counts": nulls,
-                    "value_counts": values,
-                    "nan_counts": nans,
-                }
+            parts[path] = partition
+        try:
+            threshold = int(
+                self._load_current()
+                .get("properties", {})
+                .get("write.stats.distributed-threshold", 512)
             )
-        return out
+        except (OSError, ValueError, FileNotFoundError):
+            threshold = 512
+        spark = SparkSession.getActiveSession()
+        if spark is not None and len(all_paths) >= threshold:
+            return self._collect_file_stats_distributed(
+                spark, all_paths, parts
+            )
+        return [
+            _stat_parquet_footer(
+                p, parts[p], self.field_ids, self.iceberg_types
+            )
+            for p in all_paths
+        ]
+
+    def _collect_file_stats_distributed(
+        self,
+        spark: SparkSession,
+        all_paths: list[str],
+        parts: dict[str, dict[str, Any]],
+    ) -> list[dict]:
+        """Footer stats as one Spark job: executors read the footers
+        (and the narrow NaN-count column scans) and return pickled
+        per-file stats; the driver collects only the ~1 KB dicts.  The
+        collect is bounded by file count, not data size."""
+        import pickle
+
+        import pandas as pd
+
+        field_ids = dict(self.field_ids)
+        iceberg_types = dict(self.iceberg_types)
+        part_by_path = {p: parts[p] for p in all_paths}
+
+        def stat_batches(it):
+            for pdf in it:
+                blobs = [
+                    pickle.dumps(
+                        _stat_parquet_footer(
+                            p, part_by_path[p], field_ids, iceberg_types
+                        )
+                    )
+                    for p in pdf["path"]
+                ]
+                yield pd.DataFrame({"path": pdf["path"], "stats": blobs})
+
+        n_slices = min(len(all_paths), 4 * (spark.sparkContext.defaultParallelism or 8))
+        rows = (
+            spark.createDataFrame([(p,) for p in all_paths], "path string")
+            .repartition(n_slices)
+            .mapInPandas(stat_batches, "path string, stats binary")
+            .collect()
+        )
+        by_path = {r["path"]: pickle.loads(bytes(r["stats"])) for r in rows}
+        if len(by_path) != len(all_paths):
+            missing = set(all_paths) - set(by_path)
+            raise RuntimeError(
+                f"distributed footer stats lost {len(missing)} file(s): "
+                f"{sorted(missing)[:3]}"
+            )
+        return [by_path[p] for p in all_paths]
+
 
     def _parse_partition_value(self, col: str, raw: str) -> Any:
         if raw == "__HIVE_DEFAULT_PARTITION__":
