@@ -466,6 +466,7 @@ class Catalog(SqlSurface):
         snap = self.writer(ident).append(spark, df)
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)  # refresh snapshot view
+        self._maybe_auto_maintain(ident, spark)
         return snap
 
     def overwrite(self, ident: str, spark: SparkSession, df: DataFrame) -> int:
@@ -474,6 +475,7 @@ class Catalog(SqlSurface):
         snap = self.writer(ident).overwrite(spark, df)
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
+        self._maybe_auto_maintain(ident, spark)
         return snap
 
     def _replan(self, ident: str, fn, attempts: int = 3) -> int:
@@ -502,6 +504,7 @@ class Catalog(SqlSurface):
         )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
+        self._maybe_auto_maintain(ident, spark)
         return snap
 
     def delete_where_mor(self, ident: str, spark: SparkSession, pred) -> int:
@@ -513,6 +516,7 @@ class Catalog(SqlSurface):
         )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
+        self._maybe_auto_maintain(ident, spark)
         return snap
 
     def delete_where_dv(self, ident: str, spark: SparkSession, pred) -> int:
@@ -525,6 +529,7 @@ class Catalog(SqlSurface):
         )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
+        self._maybe_auto_maintain(ident, spark)
         return snap
 
     def delete_where_eq(
@@ -535,6 +540,7 @@ class Catalog(SqlSurface):
         snap = self.writer(ident).delete_where_eq(spark, keys_df)
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
+        self._maybe_auto_maintain(ident, spark)
         return snap
 
     def update_where(
@@ -547,6 +553,7 @@ class Catalog(SqlSurface):
         )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
+        self._maybe_auto_maintain(ident, spark)
         return snap
 
     def update_where_mor(
@@ -563,6 +570,7 @@ class Catalog(SqlSurface):
         )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
+        self._maybe_auto_maintain(ident, spark)
         return snap
 
     def merge_into(
@@ -598,6 +606,7 @@ class Catalog(SqlSurface):
         )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
+        self._maybe_auto_maintain(ident, spark)
         return snap
 
     def add_column(self, ident: str, name: str, dtype, default=None) -> int:
@@ -818,6 +827,41 @@ class Catalog(SqlSurface):
             ran["partition_stats"] = self.compute_partition_stats(ident)
         ran["after"] = self.table_health(ident)
         return ran
+
+    def _maybe_auto_maintain(
+        self, ident: str, spark: SparkSession
+    ) -> Optional[dict]:
+        """Opt-in automatic maintenance: when the table property
+        ``maintenance.auto-after-commits=N`` is set, every Nth snapshot
+        (stateless cadence: ``len(snapshots) % N == 0``, so it survives
+        catalog restarts) runs the :meth:`maintain` triage after the
+        commit that landed.  The triage itself is zero-IO
+        (:meth:`table_health` reads only cached metadata); data work
+        runs only when thresholds trip.  Re-entrancy-guarded —
+        maintenance's own commits (compaction, DV rewrite) never
+        re-trigger it.  Failures are swallowed into the returned report:
+        background hygiene must never fail the user's commit."""
+        if getattr(self, "_in_auto_maintain", False):
+            return None
+        t = self._mirror.get(ident)
+        if not isinstance(t, IcebergTable):
+            return None
+        raw = t.metadata.properties.get("maintenance.auto-after-commits")
+        if not raw:
+            return None
+        try:
+            n = int(raw)
+        except ValueError:
+            return None
+        if n <= 0 or len(t.metadata.snapshots) % n != 0:
+            return None
+        self._in_auto_maintain = True
+        try:
+            return self.maintain(ident, spark)
+        except Exception as e:  # pragma: no cover - defensive
+            return {"error": str(e)}
+        finally:
+            self._in_auto_maintain = False
 
     def vacuum(
         self,
