@@ -70,6 +70,8 @@ HEADLINE = [
     "dedup_incremental_bloom",
     "iceberg_metadata_minmax",
     "iceberg_default_values_scan",
+    # round-8 additions
+    "iceberg_dv_compressed_scan",
 ]
 
 

@@ -3176,3 +3176,65 @@ def iceberg_default_values_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(SUM(o_custkey) AS BIGINT) AS key_sum"
         " FROM dfv.d.orders GROUP BY COALESCE(tag, '<null>') ORDER BY tag",
     )
+
+
+@register(
+    "iceberg_dv_compressed_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    WHERE o_orderkey % 5 <> 0 AND o_orderkey % 9 <> 2
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_dv_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed deletion vectors end-to-end (r8):
+    ``write.puffin.compression-codec=zstd`` makes the DV write path emit
+    per-blob zstd payloads (codec recorded in the puffin footer, the
+    spec's foreign-interop form); two DV deletes land compressed, the
+    scan decodes via the footer-fallback ranged-read path, and
+    ``rewrite_deletion_vectors`` consolidates the compressed containers
+    by RE-ENCODING (a raw byte copy of a compressed blob into a new
+    container would break the next reader).  The reference never writes
+    puffin at all (read-only TableProvider, SURVEY §2C)."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_dvz")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            cat.create_table(
+                "dvz.orders",
+                orders.schema,
+                partition_by=["o_orderstatus"],
+                properties={
+                    "write.delete.mode": "deletion-vector",
+                    "write.puffin.compression-codec": "zstd",
+                },
+            )
+            cat.append("dvz.orders", spark, orders)
+            cat.sql(
+                spark, "DELETE FROM iceberg.dvz.orders WHERE o_orderkey % 5 = 0"
+            )
+            cat.sql(
+                spark, "DELETE FROM iceberg.dvz.orders WHERE o_orderkey % 9 = 2"
+            )
+            cat.sql(
+                spark,
+                "CALL iceberg.system.rewrite_deletion_vectors('dvz.orders')",
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders,"
+        " CAST(SUM(o_orderkey) AS BIGINT) AS key_sum"
+        " FROM iceberg.dvz.orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )

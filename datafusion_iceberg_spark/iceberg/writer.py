@@ -332,6 +332,14 @@ def _avro_type_for(iceberg_type: str):
     return "string"
 
 
+def _puffin_codec(properties: dict) -> Optional[str]:
+    """The opt-in ``write.puffin.compression-codec`` table property
+    (``zstd``/``lz4``); anything else (including the spec-preferred
+    unset/``none``) writes uncompressed blobs."""
+    codec = str(properties.get("write.puffin.compression-codec", "")).lower()
+    return codec if codec in ("lz4", "zstd") else None
+
+
 def _stat_parquet_footer(
     path: str,
     partition: dict,
@@ -2848,6 +2856,16 @@ class IcebergWriter:
             )
             for fp, (bitmap, card, _fresh) in touched
         ]
+        # write.puffin.compression-codec (opt-in): compress DV blob
+        # payloads (zstd/lz4), recorded per-blob in the footer.  Note:
+        # uncompressed is the spec-preferred DV form (pure ranged
+        # reads); our reader and the foreign-fallback path decode
+        # compressed blobs via one footer parse (puffin.py:
+        # read_dv_positions), matching engines that emit them.
+        codec = _puffin_codec(table.metadata.properties)
+        if codec:
+            for b in blobs:
+                b.compression_codec = codec
         write_puffin(puffin_path, blobs)
         psize = os.path.getsize(puffin_path)
         entries = [
@@ -3109,6 +3127,7 @@ class IcebergWriter:
         dv_dir = os.path.join(self.root, "data", f"snap-{snap_id}-dv")
         os.makedirs(dv_dir, exist_ok=True)
         puffin_path = os.path.join(dv_dir, f"{uuidlib.uuid4().hex}.puffin")
+        codec = _puffin_codec(meta.properties)
         blobs = []
         metas = []  # (target, record_count, entry_seq)
         for tgt in sorted(by_target):
@@ -3118,19 +3137,46 @@ class IcebergWriter:
                 with open(meta.localize(d.path), "rb") as fh:
                     fh.seek(int(d.content_offset or 0))
                     data = fh.read(int(d.content_size_in_bytes or 0))
-                blobs.append(
-                    Blob(
-                        type="deletion-vector-v1",
-                        data=data,
-                        fields=[2147483546],
-                        snapshot_id=snap_id,
-                        sequence_number=d.sequence_number or seq,
-                        properties={
-                            "referenced-data-file": tgt,
-                            "cardinality": str(int(d.record_count or 0)),
-                        },
+                raw_ok = True
+                try:
+                    from datafusion_iceberg_spark.iceberg.puffin import (
+                        dv_positions,
                     )
-                )
+
+                    dv_positions(data)
+                except Exception:
+                    # source blob was COMPRESSED (foreign writer or our
+                    # own write.puffin.compression-codec): the ranged
+                    # bytes aren't a frame — re-encode from positions
+                    raw_ok = False
+                if raw_ok and not codec:
+                    blobs.append(
+                        Blob(
+                            type="deletion-vector-v1",
+                            data=data,
+                            fields=[2147483546],
+                            snapshot_id=snap_id,
+                            sequence_number=d.sequence_number or seq,
+                            properties={
+                                "referenced-data-file": tgt,
+                                "cardinality": str(int(d.record_count or 0)),
+                            },
+                        )
+                    )
+                else:
+                    pos = read_dv_positions(
+                        meta.localize(d.path),
+                        int(d.content_offset or 0),
+                        int(d.content_size_in_bytes or 0),
+                    )
+                    blobs.append(
+                        dv_blob(
+                            sorted(pos),
+                            tgt,
+                            snapshot_id=snap_id,
+                            sequence_number=d.sequence_number or seq,
+                        )
+                    )
                 metas.append((tgt, int(d.record_count or 0), d.sequence_number))
             else:
                 # foreign mixed-manifest case: two blobs for one file —
@@ -3156,6 +3202,9 @@ class IcebergWriter:
                     )
                 )
                 metas.append((tgt, len(pos), newest))
+        if codec:
+            for b in blobs:
+                b.compression_codec = codec
         write_puffin(puffin_path, blobs)
         psize = os.path.getsize(puffin_path)
         entries = [

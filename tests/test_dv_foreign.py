@@ -145,3 +145,73 @@ def test_writer_emits_run_containers_for_range_deletes():
     (cookie2,) = _s.unpack_from("<I", bs, 12)
     assert cookie2 == 12346  # no-run flavor kept when runs don't pay
     assert deserialize_u64(bs) == sparse
+
+
+def test_write_puffin_compression_codec_property(spark, sf_dir, tmp_path):
+    """VERDICT r7 task 5: write.puffin.compression-codec=zstd makes the
+    DV write path emit COMPRESSED blobs (footer records the codec, blob
+    bytes are not a raw frame), scans stay exact via the foreign-flavor
+    footer fallback, and rewrite_deletion_vectors consolidates
+    compressed containers correctly (re-encoding, never raw-copying
+    compressed bytes)."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.puffin import (
+        dv_positions,
+        read_puffin,
+    )
+    from datafusion_iceberg_spark.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    cat = Catalog(str(tmp_path / "wh"), name="zdv")
+    cat.create_table(
+        "z.n",
+        nation.schema,
+        properties={
+            "write.delete.mode": "deletion-vector",
+            "write.puffin.compression-codec": "zstd",
+        },
+    )
+    cat.append("z.n", spark, nation.coalesce(1))
+    cat.sql(spark, "DELETE FROM zdv.z.n WHERE n_nationkey % 5 = 0")
+    cat.sql(spark, "DELETE FROM zdv.z.n WHERE n_nationkey % 7 = 3")
+
+    t = cat.load("z.n")
+    dvs = [
+        d
+        for d in t.position_delete_files()
+        if d.referenced_data_file is not None
+    ]
+    assert dvs
+    # the container footer records the codec and the payload is NOT a
+    # raw DV frame (ranged read alone cannot decode it)
+    path = t.metadata.localize(dvs[0].path)
+    blobs, _props = read_puffin(path)
+    assert all(b.compression_codec == "zstd" for b in blobs)
+    raw = open(path, "rb").read()
+    framed = raw[dvs[0].content_offset : dvs[0].content_offset + dvs[0].content_size_in_bytes]
+    with pytest.raises(Exception):
+        dv_positions(framed)
+    # ...but read_puffin hands back decompressed frames that decode
+    assert dv_positions(blobs[0].data)
+
+    expected = {
+        r.n_nationkey
+        for r in nation.collect()
+        if r.n_nationkey % 5 != 0 and r.n_nationkey % 7 != 3
+    }
+    got = {r.n_nationkey for r in t.to_df(spark).collect()}
+    assert got == expected
+
+    # consolidation of compressed containers re-encodes correctly
+    out = cat.rewrite_deletion_vectors("z.n")
+    assert out["containers_after"] == 1
+    t2 = cat.load("z.n")
+    assert {r.n_nationkey for r in t2.to_df(spark).collect()} == expected
+    # rewritten container honors the codec property too
+    dvs2 = [
+        d
+        for d in t2.position_delete_files()
+        if d.referenced_data_file is not None
+    ]
+    blobs2, _ = read_puffin(t2.metadata.localize(dvs2[0].path))
+    assert all(b.compression_codec == "zstd" for b in blobs2)
