@@ -350,6 +350,56 @@ class IcebergCdcDeletePartition(InputPartition):
         self.first_row_id = first_row_id
 
 
+def _localize_recorded_path(path: str, location: str, root: str) -> str:
+    """Executor-side replica of ``metadata.localize`` (table.rs:116-126
+    analogue): map a path string RECORDED inside a delete file / manifest
+    onto the actual on-disk root.  Shipped as (location, root) so CDC
+    partitions need no metadata object in the task."""
+    loc = location.rstrip("/")
+    for scheme in ("file://", "s3a://", "s3://"):
+        if path.startswith(scheme):
+            path = path[len(scheme):]
+        if loc.startswith(scheme):
+            loc = loc[len(scheme):]
+    if path.startswith(loc + "/"):
+        return os.path.join(root, path[len(loc) + 1:])
+    if path.startswith(loc):
+        return root
+    return path
+
+
+class IcebergCdcPosDeletePartition(InputPartition):
+    """One CDC delete unit for a PARQUET position-delete snapshot (r8,
+    VERDICT r7 task 7): one FRESH delete file's (file_path, pos) rows,
+    minus positions already deleted for the same targets in the prior
+    snapshot (prior parquet delete files + prior DV blobs), materialized
+    from the target data files.  Unlike DVs (merged bitmaps), parquet
+    position-delete files are additive — our writer emits only live-row
+    positions, but a foreign double-delete must not re-emit, so the
+    prior subtraction reads prior delete files filtered to this
+    partition's targets."""
+
+    def __init__(
+        self,
+        delete_file: str,
+        attach: dict,
+        prior_delete_files: list,
+        prior_dv_by_raw_target: dict,
+        location: str,
+        root: str,
+        frid_map: dict | None = None,
+    ):
+        self.delete_file = delete_file          # localized fresh file
+        self.attach = attach
+        self.prior_delete_files = prior_delete_files  # localized paths
+        # raw target path -> (puffin_path, offset, length)
+        self.prior_dv_by_raw_target = prior_dv_by_raw_target
+        self.location = location
+        self.root = root
+        # localized target -> first_row_id (lineage tables only)
+        self.frid_map = frid_map or {}
+
+
 class IcebergPyCdcStreamReader(IcebergPyStreamReader):
     """CDC flavor of the stream reader (``mode=cdc``): each micro-batch
     emits the ROW-LEVEL diff of its snapshot range with ``_change_type``
@@ -468,19 +518,20 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                     )
                 }
             ]
-            streamable = (
-                not removed_files
-                and not fresh_eq
-                and fresh
-                and all(d.referenced_data_file is not None for d in fresh)
-            )
+            fresh_dv = [
+                d for d in fresh if d.referenced_data_file is not None
+            ]
+            fresh_parquet = [
+                d for d in fresh if d.referenced_data_file is None
+            ]
+            streamable = not removed_files and not fresh_eq and fresh
             if not streamable:
                 raise ValueError(
                     "iceberg_py cdc stream: snapshot "
-                    f"{sid} ({op!r}) is not an append, a pure "
-                    "deletion-vector delete, or a DV row-delta — read "
-                    "this history with the batch changelog "
-                    "(changelog_df) instead"
+                    f"{sid} ({op!r}) is not an append, a "
+                    "deletion-vector or parquet-position delete, or a "
+                    "MOR row-delta — read this history with the batch "
+                    "changelog (changelog_df) instead"
                 )
             if added_files:
                 # row-delta replacement/insert files stream as inserts
@@ -514,7 +565,38 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                 for d in old_pos
                 if d.referenced_data_file is not None
             }
-            for d in fresh:
+            if fresh_parquet:
+                # one partition per fresh delete parquet: the executor
+                # reads its (file_path, pos) rows, subtracts the prior
+                # snapshot's deletes for the same targets, and emits the
+                # deleted rows from the target data files
+                prior_parquet = [
+                    meta.localize(d.path)
+                    for d in old_pos
+                    if d.referenced_data_file is None
+                ]
+                prior_dv_raw = {
+                    d.referenced_data_file: (
+                        meta.localize(d.path),
+                        int(d.content_offset or 0),
+                        int(d.content_size_in_bytes or 0),
+                    )
+                    for d in old_pos
+                    if d.referenced_data_file is not None
+                }
+                for d in fresh_parquet:
+                    parts.append(
+                        IcebergCdcPosDeletePartition(
+                            meta.localize(d.path),
+                            {**attach, "_change_type": "delete"},
+                            prior_parquet,
+                            prior_dv_raw,
+                            meta.location,
+                            meta.root,
+                            frid_map=frid_map if lineage else None,
+                        )
+                    )
+            for d in fresh_dv:
                 tgt = meta.localize(d.referenced_data_file)
                 prior = old_dv.get(tgt)
                 parts.append(
@@ -545,16 +627,15 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
 
         arrow_schema = to_arrow_schema(self._schema)
         lineage = "_row_id" in arrow_schema.names
+        if isinstance(partition, IcebergCdcPosDeletePartition):
+            yield from self._read_pos_delete(partition, arrow_schema)
+            return
         if not isinstance(partition, IcebergCdcDeletePartition):
             if not lineage:
                 yield from super().read(partition)
                 return
             yield from self._read_insert_with_ids(partition, arrow_schema)
             return
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
         from datafusion_iceberg_spark.iceberg.puffin import (
             read_dv_positions,
         )
@@ -568,7 +649,84 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
         delta = sorted(new - old)
         if not delta:
             return
-        pf = pq.ParquetFile(partition.path)
+        yield from self._deleted_rows(
+            partition.path,
+            delta,
+            partition.attach,
+            partition.first_row_id,
+            arrow_schema,
+        )
+
+    def _read_pos_delete(self, partition, arrow_schema):
+        """Parquet position-delete CDC: read the fresh delete file,
+        group positions per target, subtract the prior snapshot's
+        deletes for those targets (prior delete files read with a
+        file_path filter — parquet row-group pruning keeps this a
+        targeted read — plus any prior DV blob), then materialize the
+        deleted rows from each target data file."""
+        import pyarrow.parquet as pq
+
+        from datafusion_iceberg_spark.iceberg.puffin import (
+            read_dv_positions,
+        )
+
+        fresh = pq.read_table(
+            partition.delete_file, columns=["file_path", "pos"]
+        )
+        by_raw: dict[str, set[int]] = {}
+        for fp, pos in zip(
+            fresh.column("file_path").to_pylist(),
+            fresh.column("pos").to_pylist(),
+        ):
+            by_raw.setdefault(fp, set()).add(int(pos))
+        if not by_raw:
+            return
+        raw_targets = sorted(by_raw)
+        prior: dict[str, set[int]] = {t: set() for t in raw_targets}
+        for pd_path in partition.prior_delete_files:
+            try:
+                t2 = pq.read_table(
+                    pd_path,
+                    columns=["file_path", "pos"],
+                    filters=[("file_path", "in", raw_targets)],
+                )
+            except Exception:
+                continue  # prior file vanished (expired): nothing to subtract
+            for fp, pos in zip(
+                t2.column("file_path").to_pylist(),
+                t2.column("pos").to_pylist(),
+            ):
+                prior[fp].add(int(pos))
+        for raw, blob in partition.prior_dv_by_raw_target.items():
+            if raw in prior:
+                prior[raw] |= set(read_dv_positions(*blob))
+        for raw in raw_targets:
+            delta = sorted(by_raw[raw] - prior[raw])
+            if not delta:
+                continue
+            tgt = _localize_recorded_path(
+                raw, partition.location, partition.root
+            )
+            yield from self._deleted_rows(
+                tgt,
+                delta,
+                partition.attach,
+                partition.frid_map.get(tgt),
+                arrow_schema,
+            )
+
+    def _deleted_rows(
+        self, target_path, delta, attach, first_row_id, arrow_schema
+    ):
+        """Materialize the OLD images of ``delta`` positions from one
+        target data file, with change columns and (on lineage tables)
+        per-row ``_row_id``."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        lineage = "_row_id" in arrow_schema.names
+        pf = pq.ParquetFile(target_path)
         file_cols = set(pf.schema_arrow.names)
         want = [n for n in arrow_schema.names if n in file_cols]
         tbl = pf.read(columns=want).take(delta)
@@ -577,10 +735,10 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
             if field.name == "_row_id" and lineage:
                 computed = (
                     pa.array(
-                        [partition.first_row_id + p for p in delta],
+                        [first_row_id + p for p in delta],
                         type=pa.int64(),
                     )
-                    if partition.first_row_id is not None
+                    if first_row_id is not None
                     else pa.nulls(tbl.num_rows, pa.int64())
                 )
                 if "_row_id" in file_cols:
@@ -597,7 +755,7 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                     tbl.column(field.name).combine_chunks().cast(field.type)
                 )
             else:
-                val = partition.attach.get(field.name)
+                val = attach.get(field.name)
                 cols.append(
                     pa.array([val] * tbl.num_rows, type=field.type)
                 )

@@ -574,7 +574,11 @@ def test_cdc_stream_skips_replace_snapshots(spark, tmp_path):
     assert by_type == {"insert": 25, "delete": 3}
 
 
-def test_cdc_stream_rejects_parquet_position_deletes(spark, tmp_path):
+def test_cdc_stream_parquet_position_deletes(spark, tmp_path):
+    """r8 (VERDICT r7 task 7): merge-on-read parquet position-delete
+    histories stream in mode=cdc — each fresh delete file's positions
+    (minus the prior snapshot's deletes for the same targets) emit as
+    delete rows with old images."""
     from datafusion_iceberg_spark.iceberg.catalog import Catalog
     from datafusion_iceberg_spark.tables import load_table
 
@@ -586,7 +590,81 @@ def test_cdc_stream_rejects_parquet_position_deletes(spark, tmp_path):
         properties={"write.delete.mode": "merge-on-read"},
     )
     cat.append("c.n", spark, nation)
-    cat.sql(spark, "DELETE FROM cdcp.c.n WHERE n_nationkey < 3")
+    cat.sql(spark, "DELETE FROM cdcp.c.n WHERE n_nationkey IN (2, 4)")
+    cat.sql(spark, "DELETE FROM cdcp.c.n WHERE n_nationkey IN (9, 11)")
+    rows = _cdc_stream_rows(
+        spark,
+        str(tmp_path / "wh" / "c" / "n"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    dels = (
+        rows.filter(F.col("_change_type") == "delete")
+        .groupBy("_change_ordinal")
+        .agg(F.sort_array(F.collect_list("n_nationkey")).alias("ks"))
+        .orderBy("_change_ordinal")
+        .collect()
+    )
+    assert [list(r.ks) for r in dels] == [[2, 4], [9, 11]]
+    ins = rows.filter(F.col("_change_type") == "insert")
+    assert ins.count() == 25
+    # the stream's net effect equals the batch changelog's
+    log = cat.load("c.n").changelog_df(spark)
+    assert (
+        log.filter(F.col("_change_type") == "delete").count()
+        == rows.filter(F.col("_change_type") == "delete").count()
+    )
+
+
+def test_cdc_stream_mor_update_row_delta(spark, tmp_path):
+    """MOR UPDATE row-delta snapshots (parquet position deletes +
+    replacement files) stream as delete+insert pairs."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="cdcu")
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table(
+        "c.n", nation.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    cat.append("c.n", spark, nation)
+    cat.sql(
+        spark,
+        "UPDATE cdcu.c.n SET n_name = 'REDACTED' WHERE n_nationkey IN (3, 7)",
+    )
+    rows = _cdc_stream_rows(
+        spark,
+        str(tmp_path / "wh" / "c" / "n"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    upd = rows.filter(F.col("_change_ordinal") == 1)
+    dels = upd.filter(F.col("_change_type") == "delete")
+    ins = upd.filter(F.col("_change_type") == "insert")
+    assert sorted(r.n_nationkey for r in dels.collect()) == [3, 7]
+    assert sorted(r.n_nationkey for r in ins.collect()) == [3, 7]
+    assert {r.n_name for r in ins.collect()} == {"REDACTED"}
+    assert {r.n_name for r in dels.collect()} != {"REDACTED"}
+
+
+def test_cdc_stream_still_rejects_equality_deletes(spark, tmp_path):
+    """Equality-delete snapshots keep the precise fence: their net diff
+    needs EXCEPT-ALL legs only the batch changelog can run."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="cdce")
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table("c.n", nation.schema)
+    cat.append("c.n", spark, nation)
+    keys = spark.createDataFrame([(1,), (2,)], "n_nationkey int")
+    cat.delete_where_eq("c.n", spark, keys)
     with pytest.raises(Exception, match="changelog"):
         _cdc_stream_rows(
             spark,
