@@ -72,6 +72,7 @@ HEADLINE = [
     "iceberg_default_values_scan",
     # round-8 additions
     "iceberg_dv_compressed_scan",
+    "iceberg_variant_scan",
 ]
 
 

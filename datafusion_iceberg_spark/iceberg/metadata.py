@@ -33,6 +33,9 @@ _PRIMITIVE_TO_SPARK: dict[str, T.DataType] = {
     "string": T.StringType(),
     "uuid": T.StringType(),
     "binary": T.BinaryType(),
+    # Iceberg v3 VARIANT (metadata/value binary pair per the variant
+    # spec) ↔ Spark 4's native VariantType; the reference has no v3.
+    "variant": T.VariantType(),
 }
 
 

@@ -3238,3 +3238,60 @@ def iceberg_dv_compressed_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(SUM(o_orderkey) AS BIGINT) AS key_sum"
         " FROM iceberg.dvz.orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
     )
+
+
+@register(
+    "iceberg_variant_scan",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def iceberg_variant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 VARIANT end-to-end (r8): ``events.props`` JSON parses
+    into Spark 4's native ``VariantType`` (``parse_json``), the catalog
+    maps it to the v3 ``variant`` schema type (metadata.py), the append
+    commits it as parquet VARIANT (per-file stats via a Spark
+    aggregation — pyarrow cannot parse the VARIANT footer), and the scan
+    extracts typed paths with ``variant_get``.  DuckDB oracle reads the
+    same values via ``json_extract`` on the raw strings.  The reference
+    has no v3 at all."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_variant")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            events = load_table(spark, sf_dir, "events").selectExpr(
+                "event_id",
+                "user_id",
+                "event_type",
+                "value",
+                "parse_json(props) AS props",
+            )
+            cat.create_table("var.events", events.schema)
+            cat.append("var.events", spark, events)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT event_type, COUNT(*) AS n_events,"
+        " CAST(SUM(CAST(variant_get(props, '$.k', 'long') AS BIGINT))"
+        "   AS BIGINT) AS k_sum,"
+        " CAST(MIN(CAST(variant_get(props, '$.k', 'long') AS BIGINT))"
+        "   AS BIGINT) AS k_min,"
+        " CAST(MAX(CAST(variant_get(props, '$.k', 'long') AS BIGINT))"
+        "   AS BIGINT) AS k_max"
+        " FROM iceberg.var.events GROUP BY event_type ORDER BY event_type",
+    )

@@ -377,8 +377,11 @@ def _stat_parquet_footer(
             fid = field_ids.get(name)
             if fid is None:
                 continue
-            if not isinstance(iceberg_types.get(name), str):
-                # nested column: parquet footers carry per-LEAF
+            if (
+                not isinstance(iceberg_types.get(name), str)
+                or iceberg_types.get(name) == "variant"
+            ):
+                # nested/variant column: parquet footers carry per-LEAF
                 # stats; a single top-level bound would mix leaves
                 # — emit none (pruning treats as unknown)
                 continue
@@ -1992,6 +1995,15 @@ class IcebergWriter:
         except (OSError, ValueError, FileNotFoundError):
             threshold = 512
         spark = SparkSession.getActiveSession()
+        if "variant" in self.iceberg_types.values():
+            # pyarrow cannot parse the VARIANT parquet logical type's
+            # footer (unknown Thrift LogicalType) — stats for variant
+            # tables compute as one Spark aggregation instead
+            if spark is None:
+                raise RuntimeError(
+                    "variant-table stats need an active SparkSession"
+                )
+            return self._collect_file_stats_spark(spark, all_paths, parts)
         if spark is not None and len(all_paths) >= threshold:
             return self._collect_file_stats_distributed(
                 spark, all_paths, parts
@@ -2002,6 +2014,124 @@ class IcebergWriter:
             )
             for p in all_paths
         ]
+
+    def _collect_file_stats_spark(
+        self,
+        spark: SparkSession,
+        all_paths: list[str],
+        parts: dict[str, dict[str, Any]],
+    ) -> list[dict]:
+        """Per-file stats as ONE Spark aggregation grouped by
+        ``_metadata.file_path`` — the stats path for tables whose parquet
+        footers pyarrow cannot parse (VARIANT logical type).  Bounds come
+        from exact per-file MIN/MAX (tighter than footer row-group
+        bounds); float/double columns with any NaN emit NO bounds
+        (Spark MAX sorts NaN above everything — same conservative rule
+        as the footer path's NaN guard); variant/nested columns emit
+        counts only."""
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        identity_parts = {
+            fname
+            for (_src, tr, fname) in self.spec_entries
+            if tr == "identity"
+        }
+        file_fields = [
+            f for f in self.schema.fields if f.name not in identity_parts
+        ]
+        file_st = T.StructType(file_fields)
+        bound_cols: list[tuple[str, str]] = []
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for f in file_fields:
+            t = self.iceberg_types.get(f.name)
+            if (
+                not isinstance(t, str)
+                or t == "variant"
+                or t in ("uuid", "time")
+                or t.startswith("fixed")
+            ):
+                continue
+            c = F.col(f.name)
+            bound_cols.append((f.name, t))
+            aggs += [
+                F.min(c).alias(f"__min__{f.name}"),
+                F.max(c).alias(f"__max__{f.name}"),
+                F.sum(c.isNull().cast("long")).alias(f"__null__{f.name}"),
+            ]
+            if t in ("float", "double"):
+                aggs.append(
+                    F.sum(F.isnan(c).cast("long")).alias(f"__nan__{f.name}")
+                )
+        rows = (
+            spark.read.schema(file_st)
+            .parquet(*all_paths)
+            .groupBy(F.col("_metadata.file_path").alias("__p"))
+            .agg(*aggs)
+            .collect()
+        )
+        by_path = {}
+        for r in rows:
+            u = urlparse(r["__p"])
+            by_path[unquote(u.path)] = r
+        out = []
+        for path in all_paths:
+            r = by_path.get(os.path.abspath(path))
+            # a path absent from the aggregation is a ZERO-ROW part file
+            # (unreadable files fail the read itself, loudly): emit the
+            # same empty stats the footer path would
+            partition = parts[path]
+            n = int(r["__n"]) if r is not None else 0
+            lowers: dict[int, bytes] = {}
+            uppers: dict[int, bytes] = {}
+            nulls: dict[int, int] = {}
+            values: dict[int, int] = {}
+            nans: dict[int, int] = {}
+            for f in file_fields:
+                t = self.iceberg_types.get(f.name)
+                fid = self.field_ids.get(f.name)
+                if fid is None or not isinstance(t, str):
+                    continue
+                values[fid] = n
+            for name, t in bound_cols:
+                fid = self.field_ids[name]
+                nulls[fid] = int(r[f"__null__{name}"] or 0) if r else 0
+                if t in ("float", "double"):
+                    nans[fid] = int(r[f"__nan__{name}"] or 0) if r else 0
+                    if nans[fid]:
+                        continue  # NaN-bearing: no bounds (see docstring)
+                if r is None:
+                    continue
+                lo, hi = r[f"__min__{name}"], r[f"__max__{name}"]
+                enc_lo = encode_stat(t, lo)
+                enc_hi = encode_stat(t, hi)
+                if enc_lo is not None and enc_hi is not None:
+                    lowers[fid] = enc_lo
+                    uppers[fid] = enc_hi
+            for k, v in partition.items():
+                fid = self.field_ids.get(k)
+                if fid is not None and v is not None:
+                    enc = encode_stat(self.iceberg_types[k], v)
+                    if enc is not None:
+                        lowers.setdefault(fid, enc)
+                        uppers.setdefault(fid, enc)
+                    values.setdefault(fid, n)
+                    nulls.setdefault(fid, 0)
+            out.append(
+                {
+                    "path": path,
+                    "partition": partition,
+                    "record_count": n,
+                    "file_size": os.path.getsize(path),
+                    "lower_bounds": lowers,
+                    "upper_bounds": uppers,
+                    "null_counts": nulls,
+                    "value_counts": values,
+                    "nan_counts": nans,
+                }
+            )
+        return out
 
     def _collect_file_stats_distributed(
         self,

@@ -3943,3 +3943,62 @@ def test_auto_maintenance_noop_is_triage_only(spark, sf_dir, tmp_path):
         cat.append("a.t", spark, df.coalesce(1))
     t = cat.load("a.t")
     assert len(t.metadata.snapshots) == 5  # appends only, no extra commits
+
+
+def test_variant_type_round_trip(spark, sf_dir, tmp_path):
+    """Iceberg v3 VARIANT (r8): Spark VariantType maps to the v3
+    'variant' schema type, appends commit parquet VARIANT with per-file
+    stats from the Spark aggregation path (pyarrow cannot parse the
+    VARIANT footer), scans read it back typed, and non-variant columns
+    keep exact bounds for pruning."""
+    df = spark.sql(
+        "SELECT id, parse_json(concat('{\"k\":', CAST(id AS STRING), '}'))"
+        " AS v FROM range(50)"
+    ).coalesce(2)
+    cat = Catalog(str(tmp_path / "wh"), name="vrt")
+    cat.create_table("n.t", df.schema)
+    assert (
+        cat.load("n.t").metadata.current_schema["fields"][1]["type"]
+        == "variant"
+    )
+    cat.append("n.t", spark, df)
+    t = cat.load("n.t")
+    out = t.to_df(spark)
+    assert out.schema["v"].dataType.typeName() == "variant"
+    got = out.selectExpr(
+        "CAST(SUM(CAST(variant_get(v, '$.k', 'long') AS LONG)) AS LONG) AS s"
+    ).first()[0]
+    assert got == sum(range(50))
+    # non-variant column bounds are exact -> pruning works
+    fid = t.metadata.field_ids_by_name()["id"]
+    for f in t.files():
+        assert fid in f.lower_bounds and fid in f.upper_bounds
+        vfid = t.metadata.field_ids_by_name()["v"]
+        assert vfid not in f.lower_bounds  # variant: counts only
+    assert t.files(filters=("<", "id", 0)) == []
+    # SQL surface: INSERT with a variant expression + typed extraction
+    cat.sql(
+        spark,
+        "INSERT INTO vrt.n.t SELECT 999 AS id, parse_json('{\"k\":-7}') AS v",
+    )
+    s2 = cat.sql(
+        spark,
+        "SELECT CAST(SUM(CAST(variant_get(v, '$.k', 'long') AS LONG))"
+        " AS LONG) AS s FROM vrt.n.t",
+    ).first()[0]
+    assert s2 == sum(range(50)) - 7
+
+
+def test_variant_table_zero_row_file_stats(spark, sf_dir, tmp_path):
+    """The Spark stats path treats a part file absent from the
+    aggregation as a zero-row file (Spark writes empty parts for empty
+    tasks) rather than failing the commit."""
+    df = spark.sql(
+        "SELECT id, parse_json('{\"a\":1}') AS v FROM range(3)"
+    ).repartition(8)  # most parts empty
+    cat = Catalog(str(tmp_path / "wh"), name="vz")
+    cat.create_table("n.t", df.schema)
+    cat.append("n.t", spark, df)
+    t = cat.load("n.t")
+    assert t.to_df(spark).count() == 3
+    assert sum(f.record_count for f in t.files()) == 3
