@@ -582,11 +582,16 @@ class Catalog(SqlSurface):
         when_matched_set=None,
         insert_not_matched: bool = True,
         when_matched_delete: bool = False,
+        clauses=None,
     ) -> int:
         """MERGE INTO (writer.merge; ``on`` may be a composite key list)
         + mirror refresh; re-plans on concurrent-commit conflicts.
         Honors ``write.merge.mode='merge-on-read'`` — one row-delta
-        snapshot (writer.merge_mor) instead of the COW rewrite."""
+        snapshot (writer.merge_mor) instead of the COW rewrite.
+        ``clauses`` (a ``writer.MergeClause`` list) carries the full SQL
+        clause surface — conditional WHEN clauses, explicit INSERT
+        column lists, NOT MATCHED BY SOURCE — and overrides the legacy
+        kwargs."""
         mode = (
             self.load(ident)
             .metadata.properties.get("write.merge.mode", "copy-on-write")
@@ -602,6 +607,7 @@ class Catalog(SqlSurface):
                 when_matched_set,
                 insert_not_matched,
                 when_matched_delete,
+                clauses=clauses,
             ),
         )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]

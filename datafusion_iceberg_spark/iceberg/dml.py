@@ -201,30 +201,42 @@ def _exec_update(surface, spark, s: A.Update) -> DataFrame:
 
 
 def _exec_merge(surface, spark, s: A.Merge) -> DataFrame:
+    from datafusion_iceberg_spark.iceberg.writer import MergeClause
+
     ident = f"{s.namespace}.{s.table}"
-    when_matched_set: Optional[dict[str, str]] = None
-    when_matched_delete = False
-    insert_not_matched = False
+    # AST clauses (conditions and SET/VALUES exprs already rewritten to
+    # the fixed aliases t/src the writer joins under) → writer clauses,
+    # order preserved (first-matching-clause-wins per row)
+    clauses: list[MergeClause] = []
     for clause in s.clauses:
         if isinstance(clause, A.MergeUpdate):
-            # SET exprs arrive already rewritten to the fixed aliases
-            # t (target) / src (source) the writer joins under
-            when_matched_set = dict(clause.set_items)
+            clauses.append(
+                MergeClause(
+                    clause.kind, clause.condition, "update",
+                    assignments=dict(clause.set_items),
+                )
+            )
         elif isinstance(clause, A.MergeDelete):
-            when_matched_delete = True
+            clauses.append(
+                MergeClause(clause.kind, clause.condition, "delete")
+            )
         elif isinstance(clause, A.MergeInsertStar):
-            insert_not_matched = True
+            clauses.append(
+                MergeClause("not_matched", clause.condition, "insert")
+            )
+        elif isinstance(clause, A.MergeInsert):
+            clauses.append(
+                MergeClause(
+                    "not_matched", clause.condition, "insert",
+                    insert_cols=list(clause.columns),
+                    insert_values=list(clause.values),
+                )
+            )
     _need(surface, "merge_into")
     source = surface.sql(spark, s.source_sql)
     on = s.on_keys[0] if len(s.on_keys) == 1 else s.on_keys
     snap = surface.merge_into(
-        ident,
-        spark,
-        source,
-        on,
-        when_matched_set=when_matched_set,
-        insert_not_matched=insert_not_matched,
-        when_matched_delete=when_matched_delete,
+        ident, spark, source, on, clauses=clauses,
     )
     return _result(spark, "merge", ident, snap)
 

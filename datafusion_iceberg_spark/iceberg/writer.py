@@ -24,6 +24,7 @@ import json
 import os
 import time
 import uuid as uuidlib
+from dataclasses import dataclass
 from typing import Any, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -330,6 +331,109 @@ def _avro_type_for(iceberg_type: str):
     if iceberg_type.startswith("timestamp"):
         return {"type": "long", "logicalType": "timestamp-micros"}
     return "string"
+
+
+@dataclass
+class MergeClause:
+    """One normalized MERGE WHEN clause.
+
+    ``kind``: ``matched`` | ``not_matched`` (by target) |
+    ``not_matched_by_source``.  ``condition`` is a SQL boolean over the
+    fixed aliases ``t`` (target) / ``src`` (source) — ``None`` means
+    unconditional.  ``action``: ``update``/``delete`` (matched, nmbs) or
+    ``insert`` (not_matched).  ``insert_cols is None`` = ``INSERT *``;
+    otherwise ``insert_values`` are per-column SQL exprs over ``src``.
+    Clause order is significant: FIRST matching clause wins per row
+    (standard SQL MERGE)."""
+
+    kind: str
+    condition: Optional[str]
+    action: str
+    assignments: Optional[dict] = None
+    insert_cols: Optional[list] = None
+    insert_values: Optional[list] = None
+
+
+def _normalize_merge_clauses(
+    clauses,
+    when_matched_set,
+    insert_not_matched,
+    when_matched_delete,
+    cols: list,
+) -> list:
+    """Legacy kwargs → clause list, then validate.  Spark's rule: for
+    each clause kind, every clause but the LAST must carry a condition
+    (an unconditioned earlier clause makes the rest unreachable) — this
+    subsumes the old 'UPDATE SET and DELETE are exclusive' check."""
+    if clauses is None:
+        clauses = []
+        if when_matched_delete:
+            clauses.append(MergeClause("matched", None, "delete"))
+        if when_matched_set is not None:
+            clauses.append(
+                MergeClause(
+                    "matched", None, "update",
+                    assignments=dict(when_matched_set),
+                )
+            )
+        if insert_not_matched:
+            clauses.append(MergeClause("not_matched", None, "insert"))
+    seen_uncond: set = set()
+    for cl in clauses:
+        if cl.kind not in ("matched", "not_matched", "not_matched_by_source"):
+            raise ValueError(f"MERGE: unknown clause kind {cl.kind!r}")
+        if cl.kind == "not_matched" and cl.action != "insert":
+            raise ValueError(
+                "MERGE: WHEN NOT MATCHED supports only INSERT"
+            )
+        if cl.kind != "not_matched" and cl.action not in ("update", "delete"):
+            raise ValueError(
+                f"MERGE: WHEN {cl.kind} supports UPDATE SET / DELETE, "
+                f"not {cl.action!r}"
+            )
+        if cl.kind in seen_uncond:
+            raise ValueError(
+                "MERGE: only the last clause of each WHEN kind may omit "
+                "its AND condition (an earlier unconditioned clause makes "
+                "later ones unreachable — e.g. unconditioned UPDATE SET "
+                "and DELETE on MATCHED are mutually exclusive)"
+            )
+        if cl.condition is None:
+            seen_uncond.add(cl.kind)
+        if cl.action == "update":
+            bad = set(cl.assignments or {}) - set(cols)
+            if bad:
+                raise ValueError(
+                    f"merge SET of unknown columns: {sorted(bad)}"
+                )
+        if cl.action == "insert" and cl.insert_cols is not None:
+            bad = set(cl.insert_cols) - set(cols)
+            if bad:
+                raise ValueError(
+                    f"MERGE INSERT into unknown columns: {sorted(bad)}"
+                )
+            if len(cl.insert_cols) != len(cl.insert_values or []):
+                raise ValueError(
+                    "MERGE INSERT column/value arity mismatch"
+                )
+    return list(clauses)
+
+
+def _merge_clause_index(clauses, matched_col, kinds: tuple):
+    """Row-wise FIRST-matching clause index over the joined frame:
+    ``matched_col`` gates matched vs not-matched-by-source kinds; a row
+    matching no clause gets -1 (left untouched)."""
+    from pyspark.sql import functions as F
+
+    w = None
+    for i, cl in enumerate(clauses):
+        if cl.kind not in kinds:
+            continue
+        gate = matched_col if cl.kind == "matched" else ~matched_col
+        if cl.condition:
+            gate = gate & F.expr(f"coalesce(({cl.condition}), false)")
+        w = F.when(gate, F.lit(i)) if w is None else w.when(gate, F.lit(i))
+    return w.otherwise(F.lit(-1)) if w is not None else F.lit(-1)
 
 
 def _puffin_codec(properties: dict) -> Optional[str]:
@@ -3804,6 +3908,83 @@ class IcebergWriter:
             _allow_empty=True,
         )
 
+    def _merge_insert_frame(
+        self,
+        src: DataFrame,
+        clauses: list,
+        dtypes_map: dict,
+        cols: list,
+        anti_target: Optional[DataFrame] = None,
+        keys: Optional[list] = None,
+    ) -> Optional[DataFrame]:
+        """The MERGE insert branch, shared by COW and MOR: source rows
+        not matching any target key (anti-join on ``keys`` when
+        ``anti_target`` given), routed through the NOT MATCHED clauses
+        first-match-wins — each clause's condition gates it, explicit
+        ``INSERT (cols) VALUES`` maps per-column exprs (unlisted target
+        columns take their v3 write-default, else NULL), ``INSERT *``
+        passes the source row through.  ``None`` when no insert clause
+        exists; rows matching no clause are dropped (standard SQL)."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        ins_clauses = [
+            (i, cl)
+            for i, cl in enumerate(clauses)
+            if cl.kind == "not_matched"
+        ]
+        if not ins_clauses:
+            return None
+        frame = src.alias("src")
+        if anti_target is not None:
+            anti_cond = reduce(
+                lambda a, b: a & b,
+                [F.col(f"src.{k}") == F.col(f"t2.{k}") for k in keys],
+            )
+            frame = frame.join(
+                anti_target.select(*keys).alias("t2"), anti_cond, "left_anti"
+            )
+        ic = None
+        for i, cl in ins_clauses:
+            gate = (
+                F.expr(f"coalesce(({cl.condition}), false)")
+                if cl.condition
+                else F.lit(True)
+            )
+            ic = (
+                F.when(gate, F.lit(i))
+                if ic is None
+                else ic.when(gate, F.lit(i))
+            )
+        frame = frame.withColumn("__ic", ic.otherwise(F.lit(-1))).filter(
+            F.col("__ic") >= 0
+        )
+        ins_cols = []
+        for c in cols:
+            expr = None
+            for i, cl in reversed(ins_clauses):
+                if cl.insert_cols is None:
+                    e = f"src.{c}"
+                else:
+                    e = dict(
+                        zip(cl.insert_cols, cl.insert_values or [])
+                    ).get(c)
+                val = (
+                    F.expr(f"({e})").cast(dtypes_map[c])
+                    if e is not None
+                    else F.lit(self.write_defaults.get(c)).cast(
+                        dtypes_map[c]
+                    )
+                )
+                expr = (
+                    val
+                    if expr is None
+                    else F.when(F.col("__ic") == i, val).otherwise(expr)
+                )
+            ins_cols.append(expr.alias(c))
+        return frame.select(*ins_cols)
+
     def merge(
         self,
         spark: SparkSession,
@@ -3812,14 +3993,22 @@ class IcebergWriter:
         when_matched_set: Optional[dict[str, str]] = None,
         insert_not_matched: bool = True,
         when_matched_delete: bool = False,
+        clauses: Optional[list] = None,
     ) -> int:
-        """MERGE INTO target USING source ON <key equality>, with
-        WHEN MATCHED THEN UPDATE SET ... (or WHEN MATCHED THEN DELETE)
-        and (optionally) WHEN NOT MATCHED THEN INSERT *.
+        """MERGE INTO target USING source ON <key equality>, full SQL
+        clause surface (r8): any number of ``WHEN MATCHED [AND cond]
+        THEN UPDATE SET ... | DELETE``, ``WHEN NOT MATCHED [AND cond]
+        THEN INSERT * | INSERT (cols) VALUES (exprs)``, and ``WHEN NOT
+        MATCHED BY SOURCE [AND cond] THEN UPDATE SET ... | DELETE``,
+        first-matching-clause-wins per row.  The legacy kwargs remain as
+        sugar for the single-clause shapes; ``clauses`` (a
+        :class:`MergeClause` list) overrides them.
 
         ``on`` is one key column or a list (composite keys join on ALL
         of them; file pruning uses the leading key's [min, max] span —
         conservative, every possible match stays in the candidate set).
+        A NOT MATCHED BY SOURCE clause widens candidates to ALL files
+        (every target row is in scope by definition).
 
         Copy-on-write, surgical: the rewrite is one distributed job —
         candidates LEFT-JOIN source (update/delete branch) unioned with
@@ -3835,14 +4024,15 @@ class IcebergWriter:
         missing = [k for k in keys if k not in cols]
         if missing:
             raise ValueError(f"merge key not in schema: {missing}")
-        if when_matched_delete and when_matched_set:
-            raise ValueError(
-                "MERGE: WHEN MATCHED THEN DELETE and UPDATE SET are exclusive"
-            )
-        bad = set(when_matched_set or {}) - set(cols)
-        if bad:
-            raise ValueError(f"merge SET of unknown columns: {sorted(bad)}")
-        src = source.select(*cols)
+        clauses = _normalize_merge_clauses(
+            clauses, when_matched_set, insert_not_matched,
+            when_matched_delete, cols,
+        )
+        has_nmbs = any(c.kind == "not_matched_by_source" for c in clauses)
+        # the FULL source frame joins: clause conditions and INSERT
+        # VALUES exprs may reference source columns outside the table
+        # schema (e.g. a CDC op column); INSERT * takes schema columns
+        src = source
         keys_nn = reduce(
             lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
         )
@@ -3860,7 +4050,9 @@ class IcebergWriter:
                 f"{bounds.n} rows, {bounds.nd} distinct — dedup the source "
                 "(e.g. keep the latest row per key) before merging"
             )
-        if bounds.lo is None and src.first() is None:
+        if bounds.lo is None and src.first() is None and not has_nmbs:
+            # empty source: nothing to do UNLESS a NOT MATCHED BY SOURCE
+            # clause exists (then every target row is in scope)
             cur = IcebergTable.load(self.root).metadata.raw.get(
                 "current-snapshot-id"
             )
@@ -3869,14 +4061,18 @@ class IcebergWriter:
         table = IcebergTable.load(self.root)
         all_files = table.files()
         # NULL-key source rows can never equi-match, so when every source
-        # key is NULL no target file is a candidate (insert branch only)
-        candidates = (
-            table.files(
-                filters=("between", keys[0], bounds.lo, bounds.hi)
+        # key is NULL no target file is a candidate (insert branch only);
+        # a NOT MATCHED BY SOURCE clause puts EVERY target row in scope
+        if has_nmbs:
+            candidates = list(all_files)
+        else:
+            candidates = (
+                table.files(
+                    filters=("between", keys[0], bounds.lo, bounds.hi)
+                )
+                if bounds.lo is not None
+                else []
             )
-            if bounds.lo is not None
-            else []
-        )
         cand_paths = {f.path for f in candidates}
         untouched = [f for f in all_files if f.path not in cand_paths]
 
@@ -3913,61 +4109,58 @@ class IcebergWriter:
         # v3 row lineage through the COW rewrite: every surviving row
         # keeps its materialized id; rows the merge UPDATES write a null
         # last-updated (they take this commit's sequence at read time)
-        lin_keep = (
-            [
-                F.col("t._row_id").alias("_row_id"),
-                F.col("t._last_updated_sequence_number").alias(
-                    "_last_updated_sequence_number"
-                ),
-            ]
-            if lineage
-            else []
+        # first-matching-clause index per target row (covers matched and
+        # not-matched-by-source kinds); -1 = row untouched
+        dtypes_map = {f.name: f.dataType for f in self.schema.fields}
+        mc = _merge_clause_index(
+            clauses, matched, ("matched", "not_matched_by_source")
         )
+        del_idx = [
+            i
+            for i, cl in enumerate(clauses)
+            if cl.kind != "not_matched" and cl.action == "delete"
+        ]
+        upd_idx = [
+            i
+            for i, cl in enumerate(clauses)
+            if cl.kind != "not_matched" and cl.action == "update"
+        ]
+        was_updated = F.col("__mc").isin(upd_idx) if upd_idx else F.lit(False)
         lin_upd = (
             [
                 F.col("t._row_id").alias("_row_id"),
-                F.when(
-                    matched, F.lit(None).cast("long")
-                )
+                F.when(was_updated, F.lit(None).cast("long"))
                 .otherwise(F.col("t._last_updated_sequence_number"))
                 .alias("_last_updated_sequence_number"),
             ]
             if lineage
             else []
         )
-        if when_matched_delete:
-            updated = joined.filter(~matched).select(
-                *([F.col(f"t.{c}").alias(c) for c in cols] + lin_keep)
-            )
-        else:
-            updated = joined.select(
-                *(
-                    [
-                        F.when(
-                            matched,
-                            F.expr(
-                                f"({(when_matched_set or {}).get(c, 't.' + c)})"
-                            ).cast(dict(target.dtypes)[c]),
-                        )
-                        .otherwise(F.col(f"t.{c}"))
-                        .alias(c)
-                        for c in cols
-                    ]
-                    + lin_upd
-                )
-            )
+        survivors = joined.withColumn("__mc", mc)
+        if del_idx:
+            survivors = survivors.filter(~F.col("__mc").isin(del_idx))
+        val_cols = []
+        for c in cols:
+            expr = F.col(f"t.{c}")
+            for i in reversed(upd_idx):
+                e = (clauses[i].assignments or {}).get(c)
+                if e is not None:
+                    expr = F.when(
+                        F.col("__mc") == i,
+                        F.expr(f"({e})").cast(dtypes_map[c]),
+                    ).otherwise(expr)
+            val_cols.append(expr.alias(c))
+        updated = survivors.select(*(val_cols + lin_upd))
         out = updated
-        if insert_not_matched:
-            # keys absent from the whole TARGET: anti-join against the
-            # candidate scan suffices — non-candidate files provably hold
-            # no source keys (pruning is conservative the other way)
-            anti_cond = reduce(
-                lambda a, b: a & b,
-                [F.col(f"s.{k}") == F.col(f"t2.{k}") for k in keys],
-            )
-            inserts = src.alias("s").join(
-                target.select(*keys).alias("t2"), anti_cond, "left_anti"
-            )
+        # keys absent from the whole TARGET: anti-join against the
+        # candidate scan suffices — non-candidate files provably hold
+        # no source keys (pruning is conservative the other way).
+        # Under has_nmbs candidates = all files, so this stays a
+        # full-target anti-join either way.
+        inserts = self._merge_insert_frame(
+            src, clauses, dtypes_map, cols, anti_target=target, keys=keys
+        )
+        if inserts is not None:
             lin_ins = (
                 [
                     F.lit(None).cast("long").alias("_row_id"),
@@ -3997,14 +4190,19 @@ class IcebergWriter:
         when_matched_set: Optional[dict[str, str]] = None,
         insert_not_matched: bool = True,
         when_matched_delete: bool = False,
+        clauses: Optional[list] = None,
     ) -> int:
         """Merge-on-read MERGE (``write.merge.mode='merge-on-read'``):
-        the same semantics as :meth:`merge`, committed as ONE row-delta
-        snapshot — position deletes covering every matched target row,
-        plus data files holding the updated replacements and the
-        NOT-MATCHED inserts.  No candidate file is rewritten; write cost
-        is proportional to matched + inserted rows.  Same duplicate-key
-        guard and key-span candidate pruning as the COW path."""
+        the same clause semantics as :meth:`merge` (conditional WHEN
+        clauses, explicit INSERT column lists, NOT MATCHED BY SOURCE),
+        committed as ONE row-delta snapshot — position deletes covering
+        every CLAUSE-SELECTED target row, plus data files holding the
+        updated replacements and the NOT-MATCHED inserts.  Rows whose
+        conditions select no clause are untouched (no delete, no
+        rewrite).  No candidate file is rewritten; write cost is
+        proportional to affected + inserted rows.  Same duplicate-key
+        guard and key-span candidate pruning as the COW path (NOT
+        MATCHED BY SOURCE widens candidates to all files)."""
         from functools import reduce
 
         from pyspark.sql import functions as F
@@ -4016,14 +4214,15 @@ class IcebergWriter:
         missing = [k for k in keys if k not in cols]
         if missing:
             raise ValueError(f"merge key not in schema: {missing}")
-        if when_matched_delete and when_matched_set:
-            raise ValueError(
-                "MERGE: WHEN MATCHED THEN DELETE and UPDATE SET are exclusive"
-            )
-        bad = set(when_matched_set or {}) - set(cols)
-        if bad:
-            raise ValueError(f"merge SET of unknown columns: {sorted(bad)}")
-        src = source.select(*cols)
+        clauses = _normalize_merge_clauses(
+            clauses, when_matched_set, insert_not_matched,
+            when_matched_delete, cols,
+        )
+        has_nmbs = any(c.kind == "not_matched_by_source" for c in clauses)
+        # the FULL source frame joins: clause conditions and INSERT
+        # VALUES exprs may reference source columns outside the table
+        # schema (e.g. a CDC op column); INSERT * takes schema columns
+        src = source
         keys_nn = reduce(
             lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
         )
@@ -4041,21 +4240,34 @@ class IcebergWriter:
             )
         table = IcebergTable.load(self.root)
         cur = table.metadata.raw.get("current-snapshot-id")
-        if bounds.lo is None and src.first() is None:
+        dtypes_map = {f.name: f.dataType for f in self.schema.fields}
+        if bounds.lo is None and src.first() is None and not has_nmbs:
             return int(cur) if cur is not None else -1
-        candidates = (
-            table.files(filters=("between", keys[0], bounds.lo, bounds.hi))
-            if bounds.lo is not None
-            else []
-        )
+        if has_nmbs:
+            candidates = list(table.files())
+        else:
+            candidates = (
+                table.files(
+                    filters=("between", keys[0], bounds.lo, bounds.hi)
+                )
+                if bounds.lo is not None
+                else []
+            )
+        lineage = _lineage_on(table.metadata.raw)
         if not candidates:
             # nothing can match: the whole merge is the insert branch
+            # (still clause-routed: conditions + explicit column lists)
             del_rows = spark.createDataFrame([], "file_path string, pos long")
-            new_rows = src if insert_not_matched else None
+            new_rows = self._merge_insert_frame(
+                src, clauses, dtypes_map, cols
+            )
+            if new_rows is not None and lineage:
+                new_rows = new_rows.select(
+                    *(cols + [F.lit(None).cast("long").alias("_row_id")])
+                )
             return self._commit_row_delta(
                 spark, del_rows, new_rows, cur, use_dv=_prefers_dv(table)
             )
-        lineage = _lineage_on(table.metadata.raw)
         scanned = table._scan_files(
             spark,
             candidates,
@@ -4076,49 +4288,66 @@ class IcebergWriter:
                 lambda a, b: a & b,
                 [F.col(f"t.{k}") == F.col(f"src.{k}") for k in keys],
             )
+            # inner join suffices without NOT MATCHED BY SOURCE clauses
+            # (only matched rows can be affected); with them, unmatched
+            # target rows are in scope too
             joined = target_side.alias("t").join(
-                src_m.alias("src"), join_cond, "inner"
+                src_m.alias("src"),
+                join_cond,
+                "left" if has_nmbs else "inner",
             )
-            del_rows = joined.select(
+            matched = F.col("src.__m").isNotNull()
+            mc = _merge_clause_index(
+                clauses, matched, ("matched", "not_matched_by_source")
+            )
+            # ONLY clause-selected rows are touched: their old positions
+            # delete; update-action rows additionally re-insert
+            # transformed copies (delete-action rows just disappear)
+            affected = joined.withColumn("__mc", mc).filter(
+                F.col("__mc") >= 0
+            )
+            del_rows = affected.select(
                 F.regexp_replace(
                     F.col("t._ice_file"), "^file:/*", "/"
                 ).alias("file_path"),
                 F.col("t._ice_pos").cast("long").alias("pos"),
             )
+            upd_idx = [
+                i
+                for i, cl in enumerate(clauses)
+                if cl.kind != "not_matched" and cl.action == "update"
+            ]
             parts = []
-            if not when_matched_delete:
-                dtypes = {f.name: f.dataType for f in self.schema.fields}
+            if upd_idx:
+                val_cols = []
+                for c in cols:
+                    expr = F.col(f"t.{c}")
+                    for i in reversed(upd_idx):
+                        e = (clauses[i].assignments or {}).get(c)
+                        if e is not None:
+                            expr = F.when(
+                                F.col("__mc") == i,
+                                F.expr(f"({e})").cast(dtypes_map[c]),
+                            ).otherwise(expr)
+                    val_cols.append(expr.alias(c))
                 parts.append(
-                    joined.select(
+                    affected.filter(F.col("__mc").isin(upd_idx)).select(
                         *(
-                            [
-                                F.expr(
-                                    f"({(when_matched_set or {}).get(c, 't.' + c)})"
-                                )
-                                .cast(dtypes[c])
-                                .alias(c)
-                                for c in cols
-                            ]
+                            val_cols
                             # updated rows keep their row identity
                             + ([F.col("t._row_id")] if lineage else [])
                         )
                     )
                 )
-            if insert_not_matched:
-                anti_cond = reduce(
-                    lambda a, b: a & b,
-                    [F.col(f"s.{k}") == F.col(f"t2.{k}") for k in keys],
-                )
+            inserts = self._merge_insert_frame(
+                src, clauses, dtypes_map, cols,
+                anti_target=scanned, keys=keys,
+            )
+            if inserts is not None:
+                # fresh inserts: null materialized id → the reader
+                # falls back to the new file's first_row_id + pos
                 parts.append(
-                    src.alias("s")
-                    .join(
-                        scanned.select(*keys).alias("t2"),
-                        anti_cond,
-                        "left_anti",
-                    )
-                    # fresh inserts: null materialized id → the reader
-                    # falls back to the new file's first_row_id + pos
-                    .select(
+                    inserts.select(
                         *(
                             cols
                             + (

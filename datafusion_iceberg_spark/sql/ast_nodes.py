@@ -44,16 +44,26 @@ class Update(Statement):
 @dataclass
 class MergeUpdate:
     set_items: list[tuple[str, str]]     # (target column, expr span)
+    condition: Optional[str] = None      # AND <cond> over aliases t/src
+    kind: str = "matched"                # matched | not_matched_by_source
 
 
 @dataclass
 class MergeDelete:
-    pass
+    condition: Optional[str] = None
+    kind: str = "matched"
 
 
 @dataclass
 class MergeInsertStar:
-    pass
+    condition: Optional[str] = None
+
+
+@dataclass
+class MergeInsert:
+    columns: list[str]                   # explicit INSERT (cols)
+    values: list[str]                    # VALUES expr spans over src
+    condition: Optional[str] = None
 
 
 @dataclass

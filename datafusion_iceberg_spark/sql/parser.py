@@ -190,6 +190,24 @@ class _P:
             self.consume_balanced()
         return self.span(start).strip()
 
+    def expr_span_case_aware(self, stop: Callable[[Token], bool]) -> str:
+        """Like :meth:`expr_span`, but CASE ... END expressions are also
+        opaque — a WHEN/THEN inside a CASE never terminates the span
+        (needed where the grammar's own stop keywords are WHEN/THEN:
+        MERGE clause conditions and SET expressions)."""
+        start = self.i
+        case_depth = 0
+        while not self.at_end():
+            t = self.peek()
+            if t.is_kw("CASE"):
+                case_depth += 1
+            elif case_depth and t.is_kw("END"):
+                case_depth -= 1
+            elif case_depth == 0 and stop(t):
+                break
+            self.consume_balanced()
+        return self.span(start).strip()
+
     def rest_span(self) -> str:
         return self.expr_span(lambda t: False)
 
@@ -352,7 +370,8 @@ def _parse_delete(p: _P) -> A.Statement:
 def _assignments(p: _P, stop: Callable[[Token], bool]) -> list[tuple[str, str]]:
     """``col = <expr>, ...`` — each expr span runs to the next depth-0
     comma or the caller's stop token, so subqueries / function calls
-    with internal commas parse whole."""
+    with internal commas — and CASE WHEN ... THEN ... END expressions —
+    parse whole."""
     out: list[tuple[str, str]] = []
     while True:
         col = p.ident("assignment target column")
@@ -361,7 +380,7 @@ def _assignments(p: _P, stop: Callable[[Token], bool]) -> list[tuple[str, str]]:
             p.advance()
             col = p.ident("assignment target column")
         p.expect_op("=")
-        expr = p.expr_span(
+        expr = p.expr_span_case_aware(
             lambda t: (t.kind == OP and t.value == ",") or stop(t)
         )
         if not expr:
@@ -452,18 +471,64 @@ def _parse_merge(p: _P) -> A.Statement:
     clauses: list[Any] = []
     if not p.at_kw("WHEN"):
         raise p.error("MERGE requires at least one WHEN clause")
+    amap = {salias: "src", talias: "t"}
     while p.accept_kw("WHEN"):
+        # WHEN [NOT] MATCHED [BY SOURCE|BY TARGET] [AND cond] THEN ...
         if p.accept_kw("NOT"):
             p.expect_kw("MATCHED")
-            p.expect_kw("THEN")
-            p.expect_kw("INSERT")
-            p.expect_op("*")
-            clauses.append(A.MergeInsertStar())
-            continue
-        p.expect_kw("MATCHED")
+            kind = "not_matched"
+            if p.accept_kw("BY"):
+                # BY TARGET = explicit spelling of the default;
+                # BY SOURCE = target rows with no source match
+                if p.accept_kw("SOURCE"):
+                    kind = "not_matched_by_source"
+                else:
+                    p.expect_kw("TARGET")
+        else:
+            p.expect_kw("MATCHED")
+            kind = "matched"
+        condition: Optional[str] = None
+        if p.accept_kw("AND"):
+            condition = p.expr_span_case_aware(_kw_stop("THEN"))
+            if not condition:
+                raise p.error("empty MERGE clause condition")
+            condition = replace_alias_refs(condition, amap)
         p.expect_kw("THEN")
+        if kind == "not_matched":
+            p.expect_kw("INSERT")
+            if p.accept_op("*"):
+                clauses.append(A.MergeInsertStar(condition))
+                continue
+            p.expect_op("(")
+            ins_cols = []
+            while True:
+                ins_cols.append(p.ident("INSERT column"))
+                if p.accept_op(","):
+                    continue
+                p.expect_op(")")
+                break
+            p.expect_kw("VALUES")
+            p.expect_op("(")
+            vals = []
+            while True:
+                v = p.expr_span_case_aware(
+                    lambda t: t.kind == OP and t.value in (",", ")")
+                )
+                if not v:
+                    raise p.error("empty INSERT VALUES expression")
+                vals.append(replace_alias_refs(v, amap))
+                if p.accept_op(","):
+                    continue
+                p.expect_op(")")
+                break
+            if len(ins_cols) != len(vals):
+                raise p.error(
+                    "MERGE INSERT column/value arity mismatch"
+                )
+            clauses.append(A.MergeInsert(ins_cols, vals, condition))
+            continue
         if p.accept_kw("DELETE"):
-            clauses.append(A.MergeDelete())
+            clauses.append(A.MergeDelete(condition, kind))
             continue
         p.expect_kw("UPDATE")
         p.expect_kw("SET")
@@ -471,10 +536,9 @@ def _parse_merge(p: _P) -> A.Statement:
         # writer.merge evaluates SET exprs on the joined frame under
         # fixed aliases t (target) / src (source)
         items = [
-            (col, replace_alias_refs(expr, {salias: "src", talias: "t"}))
-            for col, expr in items
+            (col, replace_alias_refs(expr, amap)) for col, expr in items
         ]
-        clauses.append(A.MergeUpdate(items))
+        clauses.append(A.MergeUpdate(items, condition, kind))
     p.expect_end()
     return A.Merge(ns, tbl, talias, source_sql, salias, keys, clauses)
 

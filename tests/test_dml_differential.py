@@ -438,3 +438,45 @@ def test_nested_subquery_dml_differential(spark, engines, seed):
     t = cat.load("d.t")
     for s in t.metadata.snapshots:
         assert t.to_df(spark, snapshot_id=s.snapshot_id).count() >= 0
+
+
+def test_full_clause_merge_differential(spark, engines):
+    """r8 full MERGE surface across all three storage modes: conditional
+    WHEN MATCHED clauses (first-match-wins), INSERT (cols) VALUES with
+    expressions, and NOT MATCHED BY SOURCE DELETE — state-compared to
+    DuckDB executing the equivalent plain DML."""
+    cat, con = engines
+    cat.sql(
+        spark,
+        "INSERT INTO fuzz.d.t VALUES "
+        "(1, 'a', 10), (2, 'b', -20), (3, 'c', 30), (4, 'a', 40)",
+    )
+    con.execute(
+        "INSERT INTO t VALUES "
+        "(1, 'a', 10), (2, 'b', -20), (3, 'c', 30), (4, 'a', 40)"
+    )
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'z', 100), (2, 'z', 200), (9, 'z', 900) "
+        "AS s(k, grp, val)"
+    ).createOrReplaceTempView("fcm_src")
+    cat.sql(
+        spark,
+        "MERGE INTO fuzz.d.t t USING fcm_src s ON t.k = s.k "
+        "WHEN MATCHED AND t.val < 0 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET val = t.val + s.val "
+        "WHEN NOT MATCHED AND s.val > 500 THEN INSERT (k, grp, val) "
+        "VALUES (s.k, upper(s.grp), s.val * 2) "
+        "WHEN NOT MATCHED BY SOURCE AND t.grp = 'c' THEN DELETE",
+    )
+    # duck equivalent: matched k=1 val>=0 -> update; k=2 val<0 -> delete;
+    # k=9 not matched, val 900>500 -> insert ('Z', 1800);
+    # not-matched-by-source (k=3,4): grp 'c' (k=3) deleted
+    con.execute("UPDATE t SET val = val + 100 WHERE k = 1")
+    con.execute("DELETE FROM t WHERE k = 2")
+    con.execute("INSERT INTO t VALUES (9, 'Z', 1800)")
+    con.execute("DELETE FROM t WHERE k = 3")
+    assert _state_spark(spark, cat) == _state_duck(con)
+    # the snapshot chain survives and the next statement composes
+    cat.sql(spark, "DELETE FROM fuzz.d.t WHERE k = 9")
+    con.execute("DELETE FROM t WHERE k = 9")
+    assert _state_spark(spark, cat) == _state_duck(con)

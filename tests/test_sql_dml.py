@@ -762,3 +762,123 @@ def test_insert_write_defaults(spark, sf_dir, tmp_path):
     assert rows[90] == 7 and rows[91] == 42 and rows[92] == 7 and rows[0] == 7
     with pytest.raises(ValueError, match="arity"):
         cat.sql(spark, "INSERT INTO wd.d.n VALUES (93, 'W')")
+
+
+def test_merge_conditional_clauses_cdc_apply(spark, cat):
+    """r8 full MERGE surface: the classic CDC-apply shape — WHEN MATCHED
+    AND op='D' THEN DELETE, WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED
+    AND op<>'D' THEN INSERT (cols) VALUES — first-matching-clause-wins
+    per row."""
+    cat.sql(
+        spark,
+        "CREATE TABLE dmlcat.sales.cdc_t (k BIGINT, v STRING) ",
+    )
+    cat.sql(
+        spark,
+        "INSERT INTO dmlcat.sales.cdc_t VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+    )
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'D', NULL), (2, 'U', 'b2'), "
+        "(9, 'I', 'i9'), (10, 'D', NULL) AS s(k, op, v)"
+    ).createOrReplaceTempView("cdc_feed")
+    cat.sql(
+        spark,
+        "MERGE INTO dmlcat.sales.cdc_t t USING cdc_feed s ON t.k = s.k "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, v) VALUES "
+        "(s.k, upper(s.v))",
+    )
+    rows = sorted(
+        (r.k, r.v)
+        for r in cat.sql(spark, "SELECT * FROM dmlcat.sales.cdc_t").collect()
+    )
+    # 1 deleted; 2 updated; 9 inserted (upper); 10's delete-op not inserted
+    assert rows == [(2, "b2"), (3, "c"), (9, "I9")]
+
+
+def test_merge_not_matched_by_source_delete(spark, cat):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: the snapshot-sync shape —
+    target rows absent from the source disappear."""
+    cat.sql(spark, "CREATE TABLE dmlcat.sales.sync_t (k BIGINT, v STRING)")
+    cat.sql(
+        spark,
+        "INSERT INTO dmlcat.sales.sync_t VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+    )
+    spark.sql(
+        "SELECT * FROM VALUES (2, 'B'), (4, 'd') AS s(k, v)"
+    ).createOrReplaceTempView("sync_src")
+    cat.sql(
+        spark,
+        "MERGE INTO dmlcat.sales.sync_t t USING sync_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    rows = sorted(
+        (r.k, r.v)
+        for r in cat.sql(spark, "SELECT * FROM dmlcat.sales.sync_t").collect()
+    )
+    assert rows == [(2, "B"), (4, "d")]
+
+
+def test_merge_not_matched_by_source_update(spark, cat):
+    """WHEN NOT MATCHED BY SOURCE AND <cond> THEN UPDATE: conditional
+    touch of target-only rows (t-only exprs)."""
+    cat.sql(spark, "CREATE TABLE dmlcat.sales.nmbs_t (k BIGINT, v STRING)")
+    cat.sql(
+        spark,
+        "INSERT INTO dmlcat.sales.nmbs_t VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+    )
+    spark.sql("SELECT 1 AS k, 'A' AS v").createOrReplaceTempView("nmbs_src")
+    cat.sql(
+        spark,
+        "MERGE INTO dmlcat.sales.nmbs_t t USING nmbs_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED BY SOURCE AND t.k > 2 THEN UPDATE SET "
+        "v = concat(t.v, '_stale')",
+    )
+    rows = sorted(
+        (r.k, r.v)
+        for r in cat.sql(spark, "SELECT * FROM dmlcat.sales.nmbs_t").collect()
+    )
+    assert rows == [(1, "A"), (2, "b"), (3, "c_stale")]
+
+
+def test_merge_case_when_inside_set_expr(spark, cat):
+    """CASE WHEN ... THEN ... END inside a MERGE SET expression: the
+    CASE's WHEN/THEN must not terminate the clause grammar (the old
+    regex layer could not parse this)."""
+    cat.sql(spark, "CREATE TABLE dmlcat.sales.case_t (k BIGINT, v BIGINT)")
+    cat.sql(
+        spark,
+        "INSERT INTO dmlcat.sales.case_t VALUES (1, 10), (2, -5)",
+    )
+    spark.sql(
+        "SELECT * FROM VALUES (1, 0), (2, 0) AS s(k, v)"
+    ).createOrReplaceTempView("case_src")
+    cat.sql(
+        spark,
+        "MERGE INTO dmlcat.sales.case_t t USING case_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET "
+        "v = CASE WHEN t.v < 0 THEN 0 ELSE t.v * 2 END "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    rows = sorted(
+        (r.k, r.v)
+        for r in cat.sql(spark, "SELECT * FROM dmlcat.sales.case_t").collect()
+    )
+    assert rows == [(1, 20), (2, 0)]
+
+
+def test_merge_unreachable_clause_rejected(spark, cat):
+    """Only the LAST clause of each WHEN kind may omit its condition."""
+    cat.sql(spark, "CREATE TABLE dmlcat.sales.unr_t (k BIGINT, v STRING)")
+    spark.sql("SELECT 1 AS k, 'x' AS v").createOrReplaceTempView("unr_src")
+    with pytest.raises(ValueError, match="unreachable"):
+        cat.sql(
+            spark,
+            "MERGE INTO dmlcat.sales.unr_t t USING unr_src s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN MATCHED AND s.v = 'x' THEN DELETE",
+        )
