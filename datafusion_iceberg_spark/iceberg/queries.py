@@ -3295,3 +3295,84 @@ def iceberg_variant_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "   AS BIGINT) AS k_max"
         " FROM iceberg.var.events GROUP BY event_type ORDER BY event_type",
     )
+
+
+@register(
+    "iceberg_merge_cdc_apply_scan",
+    oracle="""
+    WITH after AS (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+                    THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 2
+                    ELSE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+               END AS cents
+        FROM orders
+        WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 9 = 0)
+        UNION ALL
+        SELECT 'I' AS o_orderstatus,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + 100 AS cents
+        FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM after GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_merge_cdc_apply_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-surface MERGE as the CDC-apply pipeline (r8): one statement
+    with conditional WHEN MATCHED clauses (DELETE on op='D', UPDATE
+    otherwise), an explicit-column INSERT with value expressions for
+    op='I' feed rows, first-matching-clause-wins — the shape every
+    warehouse CDC consumer runs, against a price ledger kept in integer
+    CENTS so both engines sum exactly.  The oracle replays the same
+    feed as plain relational algebra."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_mergecdc")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders").selectExpr(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            )
+            cat.create_table("mc.orders", orders.schema)
+            cat.append("mc.orders", spark, orders)
+            feed = load_table(spark, sf_dir, "orders").selectExpr(
+                # op=I feed rows carry NEW (shifted) keys — they must
+                # not match the target; D/U rows carry existing keys
+                "CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey"
+                " ELSE o_orderkey + 1000000000 END AS k",
+                "CASE WHEN o_orderkey % 9 = 0 THEN 'D'"
+                " WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op",
+                "o_custkey AS ck",
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            ).filter("o_orderkey % 3 = 0 OR o_orderkey % 7 = 0")
+            feed.createOrReplaceTempView("cdc_apply_feed")
+            cat.sql(
+                spark,
+                "MERGE INTO iceberg.mc.orders t USING cdc_apply_feed s"
+                " ON t.o_orderkey = s.k"
+                " WHEN MATCHED AND s.op = 'D' THEN DELETE"
+                " WHEN MATCHED AND s.op = 'U' THEN UPDATE SET"
+                "   cents = t.cents * 2"
+                " WHEN NOT MATCHED AND s.op = 'I' THEN INSERT"
+                "   (o_orderkey, o_custkey, o_orderstatus, cents) VALUES"
+                "   (s.k, s.ck, 'I', s.cents + 100)",
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders,"
+        " CAST(SUM(cents) AS BIGINT) AS cents_sum"
+        " FROM iceberg.mc.orders"
+        " GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )

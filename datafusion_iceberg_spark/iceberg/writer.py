@@ -436,6 +436,27 @@ def _merge_clause_index(clauses, matched_col, kinds: tuple):
     return w.otherwise(F.lit(-1)) if w is not None else F.lit(-1)
 
 
+def _normalize_merge_on(on) -> list:
+    """MERGE ON spec → [(target_col, source_col), ...].  Accepts one
+    column name (same name both sides), a tuple pair, or a list mixing
+    names and pairs — ``t.colA = s.colB`` joins need distinct names per
+    side now that the full source frame (extra CDC columns and all)
+    participates in the join."""
+    if isinstance(on, str):
+        return [(on, on)]
+    if isinstance(on, tuple) and len(on) == 2 and all(
+        isinstance(x, str) for x in on
+    ):
+        return [(on[0], on[1])]
+    out = []
+    for item in on:
+        if isinstance(item, str):
+            out.append((item, item))
+        else:
+            out.append((item[0], item[1]))
+    return out
+
+
 def _puffin_codec(properties: dict) -> Optional[str]:
     """The opt-in ``write.puffin.compression-codec`` table property
     (``zstd``/``lz4``); anything else (including the spec-preferred
@@ -3940,10 +3961,15 @@ class IcebergWriter:
         if anti_target is not None:
             anti_cond = reduce(
                 lambda a, b: a & b,
-                [F.col(f"src.{k}") == F.col(f"t2.{k}") for k in keys],
+                [
+                    F.col(f"src.{sk}") == F.col(f"t2.{tk}")
+                    for tk, sk in keys
+                ],
             )
             frame = frame.join(
-                anti_target.select(*keys).alias("t2"), anti_cond, "left_anti"
+                anti_target.select(*[tk for tk, _ in keys]).alias("t2"),
+                anti_cond,
+                "left_anti",
             )
         ic = None
         for i, cl in ins_clauses:
@@ -4019,9 +4045,11 @@ class IcebergWriter:
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
         from pyspark.sql import functions as F
 
-        keys = [on] if isinstance(on, str) else list(on)
+        keys = _normalize_merge_on(on)
+        tkeys = [t for t, _ in keys]
+        skeys = [sk for _, sk in keys]
         cols = [f.name for f in self.schema.fields]
-        missing = [k for k in keys if k not in cols]
+        missing = [k for k in tkeys if k not in cols]
         if missing:
             raise ValueError(f"merge key not in schema: {missing}")
         clauses = _normalize_merge_clauses(
@@ -4034,19 +4062,19 @@ class IcebergWriter:
         # schema (e.g. a CDC op column); INSERT * takes schema columns
         src = source
         keys_nn = reduce(
-            lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+            lambda a, b: a & b, [F.col(k).isNotNull() for k in skeys]
         )
         bounds = src.filter(keys_nn).agg(
-            F.min(keys[0]).alias("lo"),
-            F.max(keys[0]).alias("hi"),
+            F.min(skeys[0]).alias("lo"),
+            F.max(skeys[0]).alias("hi"),
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct(*keys).alias("nd"),
+            F.countDistinct(*skeys).alias("nd"),
         ).collect()[0]
         if bounds.n != bounds.nd:
             # SQL MERGE raises when a target row matches multiple source
             # rows; a plain left join would silently multiply target rows.
             raise ValueError(
-                f"MERGE source has duplicate keys on {keys!r}: "
+                f"MERGE source has duplicate keys on {skeys!r}: "
                 f"{bounds.n} rows, {bounds.nd} distinct — dedup the source "
                 "(e.g. keep the latest row per key) before merging"
             )
@@ -4068,7 +4096,7 @@ class IcebergWriter:
         else:
             candidates = (
                 table.files(
-                    filters=("between", keys[0], bounds.lo, bounds.hi)
+                    filters=("between", tkeys[0], bounds.lo, bounds.hi)
                 )
                 if bounds.lo is not None
                 else []
@@ -4102,7 +4130,7 @@ class IcebergWriter:
         src_m = src.withColumn("__m", F.lit(1))
         join_cond = reduce(
             lambda a, b: a & b,
-            [F.col(f"t.{k}") == F.col(f"src.{k}") for k in keys],
+            [F.col(f"t.{tk}") == F.col(f"src.{sk}") for tk, sk in keys],
         )
         joined = target.alias("t").join(src_m.alias("src"), join_cond, "left")
         matched = F.col("src.__m").isNotNull()
@@ -4209,9 +4237,11 @@ class IcebergWriter:
 
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
-        keys = [on] if isinstance(on, str) else list(on)
+        keys = _normalize_merge_on(on)
+        tkeys = [t for t, _ in keys]
+        skeys = [sk for _, sk in keys]
         cols = [f.name for f in self.schema.fields]
-        missing = [k for k in keys if k not in cols]
+        missing = [k for k in tkeys if k not in cols]
         if missing:
             raise ValueError(f"merge key not in schema: {missing}")
         clauses = _normalize_merge_clauses(
@@ -4224,17 +4254,17 @@ class IcebergWriter:
         # schema (e.g. a CDC op column); INSERT * takes schema columns
         src = source
         keys_nn = reduce(
-            lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+            lambda a, b: a & b, [F.col(k).isNotNull() for k in skeys]
         )
         bounds = src.filter(keys_nn).agg(
-            F.min(keys[0]).alias("lo"),
-            F.max(keys[0]).alias("hi"),
+            F.min(skeys[0]).alias("lo"),
+            F.max(skeys[0]).alias("hi"),
             F.count(F.lit(1)).alias("n"),
-            F.countDistinct(*keys).alias("nd"),
+            F.countDistinct(*skeys).alias("nd"),
         ).collect()[0]
         if bounds.n != bounds.nd:
             raise ValueError(
-                f"MERGE source has duplicate keys on {keys!r}: "
+                f"MERGE source has duplicate keys on {skeys!r}: "
                 f"{bounds.n} rows, {bounds.nd} distinct — dedup the source "
                 "(e.g. keep the latest row per key) before merging"
             )
@@ -4248,7 +4278,7 @@ class IcebergWriter:
         else:
             candidates = (
                 table.files(
-                    filters=("between", keys[0], bounds.lo, bounds.hi)
+                    filters=("between", tkeys[0], bounds.lo, bounds.hi)
                 )
                 if bounds.lo is not None
                 else []
@@ -4286,7 +4316,7 @@ class IcebergWriter:
             src_m = src.withColumn("__m", F.lit(1))
             join_cond = reduce(
                 lambda a, b: a & b,
-                [F.col(f"t.{k}") == F.col(f"src.{k}") for k in keys],
+                [F.col(f"t.{tk}") == F.col(f"src.{sk}") for tk, sk in keys],
             )
             # inner join suffices without NOT MATCHED BY SOURCE clauses
             # (only matched rows can be affected); with them, unmatched

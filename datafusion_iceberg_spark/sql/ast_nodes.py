@@ -73,7 +73,7 @@ class Merge(Statement):
     target_alias: str
     source_sql: str                  # full SELECT over the source
     source_alias: str
-    on_keys: list[str]               # equi-join key columns
+    on_keys: list[tuple]             # (target_col, source_col) equi-join pairs
     clauses: list[Any]               # MergeUpdate / MergeDelete / MergeInsertStar
 
 

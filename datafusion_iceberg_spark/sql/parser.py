@@ -408,11 +408,13 @@ def _parse_update(p: _P) -> A.Statement:
 
 def _merge_on_keys(
     p: _P, on_sql: str, talias: str, salias: str
-) -> list[str]:
-    """The ON condition must be AND-ed equalities of the SAME column
-    across the two aliases (the shape ``writer.merge_into`` joins on)."""
+) -> list[tuple[str, str]]:
+    """The ON condition must be AND-ed equality terms, each equating one
+    target-alias column with one source-alias column (the equi-join
+    shape ``writer.merge_into`` joins on; the column NAMES may differ —
+    ``t.o_orderkey = s.k``).  Returns (target_col, source_col) pairs."""
     q = _P(on_sql, p.catalog)
-    keys: list[str] = []
+    keys: list[tuple[str, str]] = []
     while True:
         try:
             a1 = q.ident("alias")
@@ -427,15 +429,13 @@ def _merge_on_keys(
                 "MERGE ON must be AND-ed single equality terms "
                 f"t.k = s.k, got {on_sql!r} ({e})"
             ) from None
-        if c1.lower() != c2.lower() or {a1.lower(), a2.lower()} != {
-            talias.lower(),
-            salias.lower(),
-        }:
+        sides = {a1.lower(): c1, a2.lower(): c2}
+        if set(sides) != {talias.lower(), salias.lower()}:
             raise ParseError(
-                "MERGE ON must equate the SAME column across the two "
-                f"aliases, got {a1}.{c1} = {a2}.{c2}"
+                "MERGE ON terms must equate a target-alias column with "
+                f"a source-alias column, got {a1}.{c1} = {a2}.{c2}"
             )
-        keys.append(c1)
+        keys.append((sides[talias.lower()], sides[salias.lower()]))
         if q.accept_kw("AND"):
             continue
         q.expect_end()

@@ -148,7 +148,7 @@ def test_merge_nested_cte_source_with_keyword_strings():
         "WHEN NOT MATCHED THEN INSERT *"
     )
     assert isinstance(s, A.Merge)
-    assert s.on_keys == ["k", "g"]
+    assert s.on_keys == [("k", "k"), ("g", "g")]
     assert s.source_sql.startswith("WITH a AS")
     assert "WHEN MATCHED THEN DELETE" in s.source_sql  # string survived
     kinds = [type(c).__name__ for c in s.clauses]
@@ -165,10 +165,26 @@ def test_merge_on_rejects_non_equality():
         )
 
 
-def test_merge_on_rejects_cross_column():
-    with pytest.raises(ParseError, match="SAME column"):
+def test_merge_on_cross_column_names_allowed():
+    """r8: ON may equate DIFFERENTLY-NAMED columns across the aliases
+    (t.k = s.j) — pairs flow through as (target_col, source_col)."""
+    s = parse(
+        "MERGE INTO cat.ns.t t USING u s ON t.k = s.j "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert s.on_keys == [("k", "j")]
+    # either side may come first
+    s2 = parse(
+        "MERGE INTO cat.ns.t t USING u s ON s.j = t.k "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert s2.on_keys == [("k", "j")]
+
+
+def test_merge_on_rejects_same_alias_both_sides():
+    with pytest.raises(ParseError, match="target-alias"):
         parse(
-            "MERGE INTO cat.ns.t t USING u s ON t.k = s.j "
+            "MERGE INTO cat.ns.t t USING u s ON s.k = s.j "
             "WHEN MATCHED THEN DELETE"
         )
 
