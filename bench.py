@@ -73,6 +73,8 @@ HEADLINE = [
     # round-8 additions
     "iceberg_dv_compressed_scan",
     "iceberg_variant_scan",
+    "iceberg_merge_cdc_apply_scan",
+    "iceberg_rest_commit_scan",
 ]
 
 

@@ -3376,3 +3376,87 @@ def iceberg_merge_cdc_apply_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM iceberg.mc.orders"
         " GROUP BY o_orderstatus ORDER BY o_orderstatus",
     )
+
+
+@register(
+    "iceberg_rest_commit_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum
+    FROM orders
+    WHERE o_orderkey % 5 <> 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_rest_commit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-through REST catalog commits (r8): every metadata change —
+    CREATE TABLE, two appends, a DV DELETE — goes through the service's
+    CommitTableRequest endpoint as typed updates with optimistic
+    requirements (rest_commit.py); the client never writes a metadata
+    file.  The service requires OAuth2 client-credentials auth and pages
+    its listings, so the gate also rides the token exchange and the
+    ``next-page-token`` walk.  The reference's REST crate stops at
+    register/drop (catalog_rest/src/catalog.rs:98-135) — committing
+    UPDATES through the service is what real REST catalogs (Polaris,
+    Glue REST, Gravitino) require of every writer.  The oracle replays
+    the retained rows relationally."""
+    from datafusion_iceberg_spark.iceberg.rest_catalog import (
+        LocalRestServer,
+        RestCatalog,
+        RestCatalogClient,
+    )
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_restcommit")
+        marker = os.path.join(root, "_COMPLETE")
+        first = not os.path.exists(marker)
+        if first:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+        server = LocalRestServer(root, credential="gate:s3cr3t", page_size=2)
+        try:
+            base = server.start()
+            client = RestCatalogClient(base, credential="gate:s3cr3t")
+            if first:
+                rest = RestCatalog(client, name="restc")
+                orders = load_table(spark, sf_dir, "orders").selectExpr(
+                    "o_orderkey",
+                    "o_custkey",
+                    "o_orderstatus",
+                    "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+                )
+                rest.create_table(
+                    "rc.orders",
+                    orders.schema,
+                    properties={"write.delete.mode": "deletion-vectors"},
+                )
+                # two service commits, then a DV delete (v3 upgrade rides
+                # the same endpoint as an upgrade-format-version update)
+                rest.append(
+                    "rc.orders", spark, orders.filter("o_orderkey % 4 <> 3")
+                )
+                rest.append(
+                    "rc.orders", spark, orders.filter("o_orderkey % 4 = 3")
+                )
+                rest.delete_where_dv("rc.orders", spark, "o_orderkey % 5 = 0")
+                with open(marker, "w") as fh:
+                    fh.write("ok")
+            # resolve through the service from scratch: token exchange,
+            # paged listings, GET metadata — then scan via the mirror
+            rest = RestCatalog(
+                RestCatalogClient(base, credential="gate:s3cr3t"),
+                name="restc",
+            )
+        finally:
+            server.stop()
+    return rest.sql(
+        spark,
+        "SELECT o_orderstatus, COUNT(*) AS n_orders,"
+        " CAST(SUM(cents) AS BIGINT) AS cents_sum"
+        " FROM restc.rc.orders"
+        " GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    )

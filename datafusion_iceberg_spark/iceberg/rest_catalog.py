@@ -28,8 +28,12 @@ FileIO registry (io.py), so a REST catalog pointing at ``file://`` or
 
 from __future__ import annotations
 
+import copy
+import glob
 import json
+import os
 import threading
+import urllib.error
 import urllib.parse
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -40,40 +44,103 @@ from pyspark.sql import DataFrame, SparkSession
 from datafusion_iceberg_spark.iceberg.catalog import SqlSurface
 from datafusion_iceberg_spark.iceberg.metadata import metadata_from_dict
 from datafusion_iceberg_spark.iceberg.table import IcebergTable
+from datafusion_iceberg_spark.iceberg.writer import IcebergWriter
 
 
 class RestCatalogClient:
-    """Minimal Iceberg REST catalog API client (read + register/drop)."""
+    """Iceberg REST catalog API client: reads, register/drop, OAuth2
+    client-credentials auth, paginated listings, and the table COMMIT
+    endpoint (CommitTableRequest — see :mod:`rest_commit`).
 
-    def __init__(self, base_url: str, prefix: str = ""):
+    ``credential`` is the spec's ``client_id:client_secret`` pair,
+    exchanged for a bearer token at ``POST /v1/oauth/tokens``
+    (grant_type=client_credentials); ``token`` passes a static bearer
+    token directly.  Either way every request carries
+    ``Authorization: Bearer <token>``."""
+
+    def __init__(
+        self,
+        base_url: str,
+        prefix: str = "",
+        token: Optional[str] = None,
+        credential: Optional[str] = None,
+    ):
         self.base = base_url.rstrip("/")
         self.prefix = f"/{prefix.strip('/')}" if prefix else ""
+        self._token = token
+        if token is None and credential is not None:
+            self._token = self._fetch_token(credential)
+
+    def _fetch_token(self, credential: str) -> str:
+        """OAuth2 client-credentials exchange (form-encoded, per the
+        REST spec's tokens endpoint)."""
+        cid, _, secret = credential.partition(":")
+        form = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": cid,
+                "client_secret": secret,
+                "scope": "catalog",
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{self.base}/v1/oauth/tokens",
+            data=form,
+            method="POST",
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = json.loads(resp.read())
+        return out["access_token"]
 
     def _url(self, path: str) -> str:
         return f"{self.base}/v1{self.prefix}{path}"
 
     def _request(self, method: str, path: str, body: Optional[dict] = None) -> dict:
         data = json.dumps(body).encode() if body is not None else None
+        headers = {"Content-Type": "application/json"}
+        if self._token:
+            headers["Authorization"] = f"Bearer {self._token}"
         req = urllib.request.Request(
-            self._url(path),
-            data=data,
-            method=method,
-            headers={"Content-Type": "application/json"},
+            self._url(path), data=data, method=method, headers=headers
         )
         with urllib.request.urlopen(req) as resp:
             payload = resp.read()
         return json.loads(payload) if payload else {}
 
+    def _paged(self, path: str, key: str) -> list:
+        """Follow ``next-page-token`` pagination until exhausted — a
+        catalog with 10⁵ tables streams in pages instead of one
+        unbounded response."""
+        out: list = []
+        token: Optional[str] = None
+        while True:
+            q = (
+                f"?pageToken={urllib.parse.quote(token, safe='')}"
+                if token
+                else ""
+            )
+            res = self._request("GET", f"{path}{q}")
+            out.extend(res.get(key, []))
+            token = res.get("next-page-token")
+            if not token:
+                return out
+
     # -- read side (mirror.rs:23-53 walk) ----------------------------------
 
     def list_namespaces(self) -> list[str]:
-        out = self._request("GET", "/namespaces")
-        return [".".join(ns) for ns in out.get("namespaces", [])]
+        return [
+            ".".join(ns) for ns in self._paged("/namespaces", "namespaces")
+        ]
 
     def list_tables(self, namespace: str) -> list[str]:
         ns = urllib.parse.quote(namespace, safe="")
-        out = self._request("GET", f"/namespaces/{ns}/tables")
-        return [ident["name"] for ident in out.get("identifiers", [])]
+        return [
+            ident["name"]
+            for ident in self._paged(
+                f"/namespaces/{ns}/tables", "identifiers"
+            )
+        ]
 
     def load_table(self, namespace: str, name: str) -> dict:
         """→ LoadTableResult: {"metadata-location": ..., "metadata": {...}}"""
@@ -100,6 +167,122 @@ class RestCatalogClient:
     def drop_table(self, namespace: str, name: str) -> None:
         ns = urllib.parse.quote(namespace, safe="")
         self._request("DELETE", f"/namespaces/{ns}/tables/{name}")
+
+    # -- service-owned writes (CreateTableRequest / CommitTableRequest) ----
+
+    def create_table(
+        self,
+        namespace: str,
+        name: str,
+        schema: dict,
+        partition_spec: Optional[dict] = None,
+        write_order: Optional[dict] = None,
+        properties: Optional[dict] = None,
+        location: Optional[str] = None,
+    ) -> dict:
+        """POST /v1/namespaces/{ns}/tables — the SERVICE assigns the
+        location (unless given) and writes v0 metadata; the client never
+        touches a metadata file.  → LoadTableResult."""
+        ns = urllib.parse.quote(namespace, safe="")
+        body: dict = {"name": name, "schema": schema}
+        if partition_spec is not None:
+            body["partition-spec"] = partition_spec
+        if write_order is not None:
+            body["write-order"] = write_order
+        if properties:
+            body["properties"] = properties
+        if location:
+            body["location"] = location
+        return self._request("POST", f"/namespaces/{ns}/tables", body)
+
+    def commit_table(
+        self,
+        namespace: str,
+        name: str,
+        requirements: list,
+        updates: list,
+    ) -> dict:
+        """POST /v1/namespaces/{ns}/tables/{t} — CommitTableRequest.
+        HTTP 409 (a requirement failed against the service's current
+        metadata) surfaces as :class:`writer.CommitConflict` so every
+        existing optimistic-retry loop re-plans against a fresh GET."""
+        from datafusion_iceberg_spark.iceberg.writer import CommitConflict
+
+        ns = urllib.parse.quote(namespace, safe="")
+        try:
+            return self._request(
+                "POST",
+                f"/namespaces/{ns}/tables/{name}",
+                {
+                    "identifier": {
+                        "namespace": namespace.split("."),
+                        "name": name,
+                    },
+                    "requirements": requirements,
+                    "updates": updates,
+                },
+            )
+        except urllib.error.HTTPError as e:
+            if e.code == 409:
+                detail = e.read().decode("utf-8", "replace")
+                raise CommitConflict(
+                    f"{namespace}.{name}: commit rejected by catalog "
+                    f"service: {detail}"
+                ) from None
+            raise
+
+
+class RestCommitWriter(IcebergWriter):
+    """An :class:`IcebergWriter` whose metadata lifecycle is owned by a
+    REST catalog service: current metadata comes from ``GET tables/{t}``
+    and every commit goes through the COMMIT endpoint as typed updates —
+    the client never writes ``vN.metadata.json``.
+
+    Data, manifest, and puffin files still land at the table's
+    ``location`` through the normal write path (exactly as real REST
+    catalog clients write data files directly to object storage and
+    commit only the metadata delta).  Because ALL of the parent's
+    mutations funnel through ``_load_current`` → mutate →
+    ``_commit_metadata``, overriding those two methods routes the entire
+    DML/DDL/maintenance surface — append, COW/MOR/DV delete, update,
+    MERGE, schema evolution, refs, expiration — through the service,
+    and a 409 maps to :class:`CommitConflict` so the parent's existing
+    optimistic-retry loops re-plan against a fresh GET."""
+
+    def __init__(
+        self, client: RestCatalogClient, namespace: str, name: str, **kw
+    ):
+        super().__init__(**kw)
+        self._client = client
+        self._rest_ns = namespace
+        self._rest_name = name
+        self._base_meta: Optional[dict] = None
+
+    def _load_current(self) -> dict:
+        res = self._client.load_table(self._rest_ns, self._rest_name)
+        meta = res["metadata"]
+        self._base_meta = copy.deepcopy(meta)
+        return meta
+
+    def _commit_metadata(self, meta: dict) -> None:
+        from datafusion_iceberg_spark.iceberg.rest_commit import (
+            metadata_updates,
+        )
+
+        if self._base_meta is None:
+            raise RuntimeError(
+                "commit without a loaded base — call _load_current first"
+            )
+        reqs, ups = metadata_updates(self._base_meta, meta)
+        self._client.commit_table(
+            self._rest_ns, self._rest_name, reqs, ups
+        )
+
+    def create(self, properties: Optional[dict] = None) -> None:
+        raise NotImplementedError(
+            "REST tables are created by the service — use "
+            "RestCatalog.create_table (CreateTableRequest)"
+        )
 
 
 class RestCatalog(SqlSurface):
@@ -164,6 +347,167 @@ class RestCatalog(SqlSurface):
         self._mirror.pop(ident, None)  # never a mirror/remote split-brain
         self._locations.pop(ident, None)
 
+    # -- write-through commits (service-owned metadata) ---------------------
+
+    def _refresh(self, ident: str) -> None:
+        ns, name = ident.rsplit(".", 1)
+        res = self.client.load_table(ns, name)
+        meta = metadata_from_dict(
+            res["metadata"], res.get("metadata-location", "")
+        )
+        self._mirror[ident] = IcebergTable(meta)
+        self._locations[ident] = res.get("metadata-location", "")
+
+    def create_table(
+        self,
+        ident: str,
+        schema,
+        partition_by: Optional[list[str]] = None,
+        sort_by: Optional[list[str]] = None,
+        properties: Optional[dict] = None,
+    ):
+        """CreateTableRequest: the SERVICE builds and stores v0 metadata
+        (contrast :class:`Catalog.create_table`, which writes it
+        locally).  Returns a :class:`RestCommitWriter` for the table."""
+        ns, name = ident.rsplit(".", 1)
+        # a throwaway writer only to shape the Iceberg-JSON schema/spec/
+        # order bodies from Spark types (no file is written)
+        shaper = IcebergWriter(
+            "/tmp/_rest_shape", schema, partition_by, sort_by=sort_by
+        )
+        self.client.create_namespace(ns)
+        self.client.create_table(
+            ns,
+            name,
+            shaper._schema_json(),
+            shaper._spec_json(),
+            shaper._sort_order_json() if sort_by else None,
+            properties,
+        )
+        self._refresh(ident)
+        return self.writer(ident)
+
+    def writer(self, ident: str) -> RestCommitWriter:
+        """A writer whose commits go through the REST commit endpoint —
+        same construction as :class:`Catalog.writer`, REST lifecycle."""
+        ns, name = ident.rsplit(".", 1)
+        meta = self._mirror[ident].metadata
+        return RestCommitWriter(
+            self.client,
+            ns,
+            name,
+            root=meta.root,
+            schema=meta.struct_type(),
+            partition_by=meta.partition_spec_entries(),
+            field_ids=meta.field_ids_by_name(),
+            sort_by=meta.sort_order_columns(),
+            spec_id=meta.default_spec_id,
+            iceberg_types={
+                f["name"]: f["type"] for f in meta.current_schema["fields"]
+            },
+            last_column_id=meta.last_column_id,
+            write_defaults={
+                f["name"]: f["write-default"]
+                for f in meta.current_schema["fields"]
+                if f.get("write-default") is not None
+            },
+        )
+
+    def _commit_op(self, ident: str, fn, attempts: int = 3):
+        """Run a writer operation with the same re-plan-on-conflict loop
+        as :meth:`Catalog._replan`, refreshing from the service."""
+        from datafusion_iceberg_spark.iceberg.writer import RewriteConflict
+
+        for attempt in range(attempts):
+            try:
+                out = fn()
+                self._refresh(ident)
+                return out
+            except RewriteConflict:
+                if attempt == attempts - 1:
+                    raise
+                self._refresh(ident)
+
+    def append(self, ident: str, spark: SparkSession, df: DataFrame) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).append(spark, df)
+        )
+
+    def overwrite(
+        self, ident: str, spark: SparkSession, df: DataFrame
+    ) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).overwrite(spark, df)
+        )
+
+    def delete_where(self, ident: str, spark: SparkSession, pred) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).delete(spark, pred)
+        )
+
+    def delete_where_dv(self, ident: str, spark: SparkSession, pred) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).delete_where_dv(spark, pred)
+        )
+
+    def update_where(
+        self, ident: str, spark: SparkSession, pred, set_exprs: dict
+    ) -> int:
+        return self._commit_op(
+            ident,
+            lambda: self.writer(ident).update(spark, pred, set_exprs),
+        )
+
+    def merge_into(
+        self,
+        ident: str,
+        spark: SparkSession,
+        source: DataFrame,
+        on,
+        when_matched_set=None,
+        insert_not_matched: bool = True,
+        when_matched_delete: bool = False,
+        clauses=None,
+    ) -> int:
+        return self._commit_op(
+            ident,
+            lambda: self.writer(ident).merge(
+                spark,
+                source,
+                on,
+                when_matched_set,
+                insert_not_matched,
+                when_matched_delete,
+                clauses=clauses,
+            ),
+        )
+
+    def add_column(self, ident: str, name: str, dtype, default=None) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).add_column(name, dtype, default)
+        )
+
+    def set_properties(self, ident: str, props: dict) -> None:
+        self._commit_op(
+            ident, lambda: self.writer(ident).set_properties(props)
+        )
+
+    def expire_snapshots(self, ident: str, keep_last: int = 1) -> dict:
+        return self._commit_op(
+            ident,
+            lambda: self.writer(ident).expire_snapshots(keep_last=keep_last),
+        )
+
+    def create_branch(self, ident: str, name: str, snapshot_id=None) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).create_branch(name, snapshot_id)
+        )
+
+    def create_tag(self, ident: str, name: str, snapshot_id=None) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).create_tag(name, snapshot_id)
+        )
+
     # -- Spark integration --------------------------------------------------
 
     def attach(self, spark: SparkSession) -> None:
@@ -186,12 +530,25 @@ class LocalRestServer:
     (catalog.rs:73-96), hermetic for CI.  register/drop mutate an
     in-memory overlay so the double also exercises the write-back path."""
 
-    def __init__(self, warehouse: str):
+    def __init__(
+        self,
+        warehouse: str,
+        credential: Optional[str] = None,
+        page_size: Optional[int] = None,
+    ):
         from datafusion_iceberg_spark.iceberg.catalog import Catalog
 
+        self._warehouse = warehouse
         self._catalog = Catalog(warehouse)
         self._registered: dict[str, str] = {}  # ident -> metadata-location
         self._dropped: set[str] = set()
+        # auth: when credential ("id:secret") is set, the tokens endpoint
+        # exchanges it for a bearer token and every other endpoint
+        # requires one (401 otherwise)
+        self._credential = credential
+        self._tokens: set[str] = set()
+        self._page_size = page_size
+        self._commit_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -206,23 +563,56 @@ class LocalRestServer:
                 self.end_headers()
                 self.wfile.write(payload)
 
+            def _authorized(self) -> bool:
+                if outer._credential is None:
+                    return True
+                auth = self.headers.get("Authorization", "")
+                return (
+                    auth.startswith("Bearer ")
+                    and auth[7:] in outer._tokens
+                )
+
+            def _page(self, items: list, key: str) -> dict:
+                """Slice ``items`` by the request's pageToken (an opaque
+                offset) and the server page size."""
+                qs = urllib.parse.urlparse(self.path).query
+                tok = urllib.parse.parse_qs(qs).get("pageToken", ["0"])[0]
+                start = int(tok) if tok.isdigit() else 0
+                size = outer._page_size
+                if size is None:
+                    return {key: items[start:]}
+                out = {key: items[start : start + size]}
+                if start + size < len(items):
+                    out["next-page-token"] = str(start + size)
+                return out
+
             def do_GET(self):
-                parts = [p for p in self.path.split("/") if p][1:]  # drop v1
+                if not self._authorized():
+                    return self._send(401, {"error": "unauthorized"})
+                parts = [
+                    p
+                    for p in urllib.parse.urlparse(self.path).path.split("/")
+                    if p
+                ][1:]  # drop v1
                 if parts == ["namespaces"]:
                     return self._send(
                         200,
-                        {"namespaces": [[ns] for ns in outer._namespaces()]},
+                        self._page(
+                            [[ns] for ns in outer._namespaces()],
+                            "namespaces",
+                        ),
                     )
                 if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
                     ns = urllib.parse.unquote(parts[1])
                     return self._send(
                         200,
-                        {
-                            "identifiers": [
+                        self._page(
+                            [
                                 {"namespace": [ns], "name": t.split(".", 1)[1]}
                                 for t in outer._tables(ns)
-                            ]
-                        },
+                            ],
+                            "identifiers",
+                        ),
                     )
                 if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
                     ns = urllib.parse.unquote(parts[1])
@@ -232,8 +622,17 @@ class LocalRestServer:
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
-                body = json.loads(self.rfile.read(n) or b"{}")
-                parts = [p for p in self.path.split("/") if p][1:]
+                raw = self.rfile.read(n) or b"{}"
+                parts = [
+                    p
+                    for p in urllib.parse.urlparse(self.path).path.split("/")
+                    if p
+                ][1:]
+                if parts == ["oauth", "tokens"]:
+                    return self._oauth(raw)
+                if not self._authorized():
+                    return self._send(401, {"error": "unauthorized"})
+                body = json.loads(raw)
                 if parts == ["namespaces"]:
                     return self._send(200, {"namespace": body.get("namespace")})
                 if (
@@ -247,10 +646,56 @@ class LocalRestServer:
                     outer._registered[ident] = loc
                     outer._dropped.discard(ident)
                     return self._send(200, outer._load(ident))
+                if (
+                    len(parts) == 3
+                    and parts[0] == "namespaces"
+                    and parts[2] == "tables"
+                ):  # CreateTableRequest
+                    ns = urllib.parse.unquote(parts[1])
+                    try:
+                        res = outer._create(ns, body)
+                    except FileExistsError as e:
+                        return self._send(409, {"error": str(e)})
+                    return self._send(200, res)
+                if (
+                    len(parts) == 4
+                    and parts[0] == "namespaces"
+                    and parts[2] == "tables"
+                ):  # CommitTableRequest
+                    from datafusion_iceberg_spark.iceberg.rest_commit import (
+                        RequirementFailed,
+                    )
+
+                    ns = urllib.parse.unquote(parts[1])
+                    try:
+                        res = outer._commit(f"{ns}.{parts[3]}", body)
+                    except RequirementFailed as e:
+                        return self._send(409, {"error": str(e)})
+                    return self._send(200, res)
                 return self._send(404)
 
+            def _oauth(self, raw: bytes):
+                form = urllib.parse.parse_qs(raw.decode())
+                cid = form.get("client_id", [""])[0]
+                secret = form.get("client_secret", [""])[0]
+                if outer._credential is None or f"{cid}:{secret}" != outer._credential:
+                    return self._send(401, {"error": "invalid credential"})
+                import uuid as uuidlib
+
+                tok = uuidlib.uuid4().hex
+                outer._tokens.add(tok)
+                return self._send(
+                    200, {"access_token": tok, "token_type": "bearer"}
+                )
+
             def do_DELETE(self):
-                parts = [p for p in self.path.split("/") if p][1:]
+                if not self._authorized():
+                    return self._send(401, {"error": "unauthorized"})
+                parts = [
+                    p
+                    for p in urllib.parse.urlparse(self.path).path.split("/")
+                    if p
+                ][1:]
                 if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "tables":
                     ns = urllib.parse.unquote(parts[1])
                     outer._dropped.add(f"{ns}.{parts[3]}")
@@ -300,6 +745,152 @@ class LocalRestServer:
             return None
         meta = load_table_metadata(rel.metadata.root)
         return {"metadata-location": meta.root, "metadata": meta.raw}
+
+    # -- service-owned metadata writes --------------------------------------
+
+    @staticmethod
+    def _max_field_id(t) -> int:
+        """Max field id anywhere in an Iceberg JSON type (nested
+        element/key/value/subfield ids included)."""
+        if isinstance(t, dict):
+            ids = [0]
+            for k in ("id", "element-id", "key-id", "value-id"):
+                if k in t:
+                    ids.append(int(t[k]))
+            for k in ("fields",):
+                for f in t.get(k, []) or []:
+                    ids.append(LocalRestServer._max_field_id(f))
+            for k in ("element", "key", "value", "type"):
+                v = t.get(k)
+                if isinstance(v, dict):
+                    ids.append(LocalRestServer._max_field_id(v))
+            return max(ids)
+        return 0
+
+    def _table_root(self, ident: str, meta: Optional[dict] = None) -> str:
+        if meta and meta.get("location"):
+            return meta["location"]
+        ns, name = ident.rsplit(".", 1)
+        return os.path.join(self._warehouse, ns, name)
+
+    def _write_version(self, root: str, meta: dict) -> str:
+        """Exclusively create the next ``v{N}.metadata.json`` under the
+        table root — the service-side equivalent of the local writer's
+        link-exclusive commit; a server-internal race surfaces as
+        RequirementFailed → 409."""
+        from datafusion_iceberg_spark.iceberg.rest_commit import (
+            RequirementFailed,
+        )
+
+        meta_dir = os.path.join(root, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        versions = [
+            int(os.path.basename(p).split(".")[0][1:])
+            for p in glob.glob(os.path.join(meta_dir, "v*.metadata.json"))
+        ]
+        v = max(versions, default=-1) + 1
+        tmp = os.path.join(meta_dir, f".v{v}.metadata.json.{os.getpid()}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        target = os.path.join(meta_dir, f"v{v}.metadata.json")
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            os.remove(tmp)
+            raise RequirementFailed(
+                f"version v{v} committed concurrently"
+            ) from None
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+        hint_tmp = os.path.join(meta_dir, f".version-hint.{os.getpid()}.tmp")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(v))
+        os.rename(hint_tmp, os.path.join(meta_dir, "version-hint.text"))
+        return target
+
+    def _create(self, ns: str, body: dict) -> dict:
+        """CreateTableRequest → v0 metadata written by the SERVICE (same
+        shape as the local writer's create, writer.py:786-825)."""
+        import time
+        import uuid as uuidlib
+
+        name = body["name"]
+        ident = f"{ns}.{name}"
+        if self._load(ident) is not None:
+            raise FileExistsError(f"table already exists: {ident}")
+        schema = dict(body["schema"])
+        schema.setdefault("schema-id", 0)
+        spec = body.get("partition-spec") or {"spec-id": 0, "fields": []}
+        order = body.get("write-order") or {"order-id": 0, "fields": []}
+        props = body.get("properties") or {}
+        root = body.get("location") or self._table_root(ident)
+        last_col = self._max_field_id(schema)
+        meta = {
+            "format-version": 2,
+            "last-sequence-number": 0,
+            "table-uuid": str(uuidlib.uuid4()),
+            "location": root,
+            "last-updated-ms": int(time.time() * 1000),
+            "last-column-id": last_col,
+            "schema": schema,
+            "current-schema-id": schema["schema-id"],
+            "schemas": [schema],
+            "partition-spec": spec["fields"],
+            "default-spec-id": spec.get("spec-id", 0),
+            "partition-specs": [spec],
+            "last-partition-id": max(
+                [999] + [int(f["field-id"]) for f in spec["fields"]]
+            ),
+            "default-sort-order-id": order.get("order-id", 0),
+            "sort-orders": [order],
+            "properties": props,
+            "current-snapshot-id": -1,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+        }
+        loc = self._write_version(root, meta)
+        self._registered[ident] = root  # overlay: visible to _load
+        self._dropped.discard(ident)
+        return {"metadata-location": loc, "metadata": meta}
+
+    def _commit(self, ident: str, body: dict) -> dict:
+        """CommitTableRequest: requirements checked against CURRENT
+        service-side metadata, updates folded in, new version written —
+        all under one lock (a real service serializes per table)."""
+        import time
+
+        from datafusion_iceberg_spark.iceberg.rest_commit import (
+            RequirementFailed,
+            apply_updates,
+            check_requirements,
+        )
+
+        with self._commit_lock:
+            res = self._load(ident)
+            base = res["metadata"] if res else None
+            check_requirements(base, body.get("requirements", []))
+            if base is None:
+                raise RequirementFailed(f"no such table: {ident}")
+            now = int(time.time() * 1000)
+            new = apply_updates(base, body.get("updates", []), ts_ms=now)
+            new["metadata-log"] = list(base.get("metadata-log", [])) + [
+                {
+                    "timestamp-ms": now,
+                    "metadata-file": res.get("metadata-location", ""),
+                }
+            ]
+            root = self._table_root(ident, base)
+            loc = self._write_version(root, new)
+            if ident in self._registered and self._registered[
+                ident
+            ].endswith(".json"):
+                # a version-pinned registration advances to the commit
+                self._registered[ident] = loc
+            return {"metadata-location": loc, "metadata": new}
 
     # -- lifecycle ----------------------------------------------------------
 

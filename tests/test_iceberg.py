@@ -2719,12 +2719,12 @@ def test_sql_to_pred_rejects_unprunable():
         assert sql_to_pred(bad) is None, bad
 
 
-def test_rest_catalog_sql_surface_is_read_only(spark, sf_dir, scratch):
-    """The shared SqlSurface on the REST mirror must serve reads but
-    refuse DML with a clear error, not a confusing AttributeError."""
+def test_rest_catalog_sql_dml_write_through(spark, sf_dir, scratch):
+    """SQL DML against the REST mirror commits THROUGH the service
+    (r8: the SqlSurface was read-only before write-through commits):
+    the DELETE lands as a new metadata version on the server and the
+    mirror reflects it immediately."""
     import os
-
-    import pytest as _pytest
 
     from datafusion_iceberg_spark.iceberg.catalog import Catalog
     from datafusion_iceberg_spark.iceberg.rest_catalog import (
@@ -2740,15 +2740,20 @@ def test_rest_catalog_sql_surface_is_read_only(spark, sf_dir, scratch):
     cat.create_table("ro.nat", nation.schema)
     cat.append("ro.nat", spark, nation)
     with LocalRestServer(root) as base:
-        rest = RestCatalog(RestCatalogClient(base), name="restro")
+        client = RestCatalogClient(base)
+        rest = RestCatalog(client, name="restro")
         n = rest.sql(spark, "SELECT COUNT(*) AS n FROM restro.ro.nat").first()[
             "n"
         ]
         assert n == nation.count()
-        with _pytest.raises(NotImplementedError, match="read-only"):
-            rest.sql(
-                spark, "DELETE FROM restro.ro.nat WHERE n_nationkey = 1"
-            )
+        rest.sql(spark, "DELETE FROM restro.ro.nat WHERE n_nationkey = 1")
+        n2 = rest.sql(
+            spark, "SELECT COUNT(*) AS n FROM restro.ro.nat"
+        ).first()["n"]
+        assert n2 == n - 1
+        # the commit went through the SERVICE: a fresh client sees it
+        served = client.load_table("ro", "nat")["metadata"]
+        assert len(served["snapshots"]) == 2  # append + delete rewrite
 
 
 def test_expire_snapshots_older_than(spark, sf_dir, scratch):
