@@ -75,6 +75,7 @@ HEADLINE = [
     "iceberg_variant_scan",
     "iceberg_merge_cdc_apply_scan",
     "iceberg_rest_commit_scan",
+    "iceberg_rest_txn_scan",
 ]
 
 

@@ -3460,3 +3460,79 @@ def iceberg_rest_commit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM restc.rc.orders"
         " GROUP BY o_orderstatus ORDER BY o_orderstatus",
     )
+
+
+@register(
+    "iceberg_rest_txn_scan",
+    oracle="""
+    SELECT side, n_orders, cents_sum FROM (
+        SELECT 'kept' AS side, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents_sum
+        FROM orders WHERE o_orderkey % 7 <> 0
+        UNION ALL
+        SELECT 'moved' AS side, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents_sum
+        FROM orders WHERE o_orderkey % 7 = 0
+    ) ORDER BY side
+    """,
+)
+def iceberg_rest_txn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic MULTI-TABLE transaction over the REST catalog (r8): move
+    every 7th order from a hot table to an archive table — one
+    ``POST /v1/transactions/commit`` carrying the archive APPEND and the
+    hot-table DELETE, so no reader can ever observe the rows in both
+    tables or in neither (the classic cross-table invariant single-table
+    commits cannot give).  The service validates both tables'
+    requirements before publishing either version.  Beyond the
+    reference's read-only REST crate (catalog_rest/src/catalog.rs).  The
+    oracle replays the post-move split relationally."""
+    from datafusion_iceberg_spark.iceberg.rest_catalog import (
+        LocalRestServer,
+        RestCatalog,
+        RestCatalogClient,
+    )
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_resttxn")
+        marker = os.path.join(root, "_COMPLETE")
+        first = not os.path.exists(marker)
+        if first:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+        server = LocalRestServer(root)
+        try:
+            base = server.start()
+            rest = RestCatalog(RestCatalogClient(base), name="rtx")
+            if first:
+                orders = load_table(spark, sf_dir, "orders").selectExpr(
+                    "o_orderkey",
+                    "o_orderstatus",
+                    "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+                )
+                rest.create_table("tx.hot", orders.schema)
+                rest.create_table("tx.archive", orders.schema)
+                rest.append("tx.hot", spark, orders)
+                moved = orders.filter("o_orderkey % 7 = 0")
+                with rest.transaction() as txn:
+                    txn.append("tx.archive", spark, moved)
+                    txn.delete_where("tx.hot", spark, "o_orderkey % 7 = 0")
+                with open(marker, "w") as fh:
+                    fh.write("ok")
+                rest.refresh()
+        finally:
+            server.stop()
+    return rest.sql(
+        spark,
+        "SELECT side, n_orders, cents_sum FROM ("
+        " SELECT 'kept' AS side, COUNT(*) AS n_orders,"
+        "        CAST(SUM(cents) AS BIGINT) AS cents_sum FROM rtx.tx.hot"
+        " UNION ALL"
+        " SELECT 'moved' AS side, COUNT(*) AS n_orders,"
+        "        CAST(SUM(cents) AS BIGINT) AS cents_sum FROM rtx.tx.archive"
+        ") ORDER BY side",
+    )

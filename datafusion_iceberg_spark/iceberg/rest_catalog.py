@@ -231,6 +231,27 @@ class RestCatalogClient:
                 ) from None
             raise
 
+    def commit_transaction(self, table_changes: list) -> None:
+        """POST /v1/transactions/commit — atomic multi-table commit.
+        Each change is a CommitTableRequest dict (identifier +
+        requirements + updates); the service validates every table's
+        requirements before publishing any version."""
+        from datafusion_iceberg_spark.iceberg.writer import CommitConflict
+
+        try:
+            self._request(
+                "POST",
+                "/transactions/commit",
+                {"table-changes": table_changes},
+            )
+        except urllib.error.HTTPError as e:
+            if e.code == 409:
+                detail = e.read().decode("utf-8", "replace")
+                raise CommitConflict(
+                    f"transaction rejected by catalog service: {detail}"
+                ) from None
+            raise
+
 
 class RestCommitWriter(IcebergWriter):
     """An :class:`IcebergWriter` whose metadata lifecycle is owned by a
@@ -264,6 +285,15 @@ class RestCommitWriter(IcebergWriter):
         self._base_meta = copy.deepcopy(meta)
         return meta
 
+    def _load_table(self) -> IcebergTable:
+        # read-side view resolved through the SERVICE, not local disk
+        res = self._client.load_table(self._rest_ns, self._rest_name)
+        return IcebergTable(
+            metadata_from_dict(
+                res["metadata"], res.get("metadata-location", "")
+            )
+        )
+
     def _commit_metadata(self, meta: dict) -> None:
         from datafusion_iceberg_spark.iceberg.rest_commit import (
             metadata_updates,
@@ -283,6 +313,171 @@ class RestCommitWriter(IcebergWriter):
             "REST tables are created by the service — use "
             "RestCatalog.create_table (CreateTableRequest)"
         )
+
+
+class _StagedRestWriter(RestCommitWriter):
+    """A :class:`RestCommitWriter` participating in a multi-table
+    transaction: reads chain through the transaction's PENDING metadata
+    (so a second operation on the same table sees the first's staged
+    commit) and ``_commit_metadata`` stages instead of POSTing — the
+    transaction sends everything at once via
+    ``POST /v1/transactions/commit``."""
+
+    def __init__(self, txn: "RestTransaction", ident: str, **kw):
+        super().__init__(**kw)
+        self._txn = txn
+        self._ident = ident
+
+    def _load_current(self) -> dict:
+        if self._ident in self._txn._pending:
+            meta = copy.deepcopy(self._txn._pending[self._ident])
+            self._base_meta = copy.deepcopy(meta)
+            return meta
+        meta = super()._load_current()
+        self._txn._base.setdefault(self._ident, copy.deepcopy(meta))
+        return meta
+
+    def _load_table(self) -> IcebergTable:
+        if self._ident in self._txn._pending:
+            return IcebergTable(
+                metadata_from_dict(
+                    copy.deepcopy(self._txn._pending[self._ident]),
+                    self._txn._pending[self._ident].get("location", ""),
+                )
+            )
+        return super()._load_table()
+
+    def _commit_metadata(self, meta: dict) -> None:
+        from datafusion_iceberg_spark.iceberg.rest_commit import (
+            metadata_updates,
+        )
+
+        if self._ident not in self._txn._base:
+            self._txn._base[self._ident] = copy.deepcopy(self._base_meta)
+        # fail-fast: refuse to stage a mutation the commit protocol
+        # cannot express (same self-check the immediate path runs)
+        metadata_updates(self._txn._base[self._ident], meta)
+        self._txn._pending[self._ident] = copy.deepcopy(meta)
+
+
+class RestTransaction:
+    """Atomic multi-table commit over the REST catalog
+    (``POST /v1/transactions/commit``): every staged operation's DATA
+    files are written as it runs, but no table's metadata moves until
+    :meth:`commit` sends one CommitTransactionRequest — the service
+    validates every table's requirements first and then publishes all
+    versions, so readers never observe a partial cross-table state.
+    Usable as a context manager (commit on clean exit, discard on
+    exception — staged data files become orphans for
+    ``remove_orphan_files``, exactly Iceberg's abandoned-commit story).
+    """
+
+    def __init__(self, catalog: "RestCatalog"):
+        self._cat = catalog
+        self._base: dict[str, dict] = {}
+        self._pending: dict[str, dict] = {}
+        self._done = False
+
+    def writer(self, ident: str) -> _StagedRestWriter:
+        ns, name = ident.rsplit(".", 1)
+        if ident in self._pending:
+            meta = metadata_from_dict(
+                copy.deepcopy(self._pending[ident]),
+                self._pending[ident].get("location", ""),
+            )
+        else:
+            meta = self._cat._mirror[ident].metadata
+        return _StagedRestWriter(
+            self,
+            ident,
+            client=self._cat.client,
+            namespace=ns,
+            name=name,
+            **_writer_kwargs(meta),
+        )
+
+    # the staged operation surface (each writes data files now, stages
+    # the metadata commit)
+    def append(self, ident: str, spark, df) -> int:
+        return self.writer(ident).append(spark, df)
+
+    def overwrite(self, ident: str, spark, df) -> int:
+        return self.writer(ident).overwrite(spark, df)
+
+    def delete_where(self, ident: str, spark, pred) -> int:
+        return self.writer(ident).delete(spark, pred)
+
+    def delete_where_dv(self, ident: str, spark, pred) -> int:
+        return self.writer(ident).delete_where_dv(spark, pred)
+
+    def update_where(self, ident: str, spark, pred, set_exprs: dict) -> int:
+        return self.writer(ident).update(spark, pred, set_exprs)
+
+    def merge_into(self, ident: str, spark, source, on, **kw) -> int:
+        return self.writer(ident).merge(spark, source, on, **kw)
+
+    def add_column(self, ident: str, name: str, dtype, default=None) -> int:
+        return self.writer(ident).add_column(name, dtype, default)
+
+    def set_properties(self, ident: str, props: dict) -> None:
+        self.writer(ident).set_properties(props)
+
+    def commit(self) -> None:
+        """All-or-nothing publish of every staged table."""
+        from datafusion_iceberg_spark.iceberg.rest_commit import (
+            metadata_updates,
+        )
+
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        self._done = True
+        if not self._pending:
+            return
+        changes = []
+        for ident, final in self._pending.items():
+            ns, name = ident.rsplit(".", 1)
+            reqs, ups = metadata_updates(self._base[ident], final)
+            changes.append(
+                {
+                    "identifier": {"namespace": ns.split("."), "name": name},
+                    "requirements": reqs,
+                    "updates": ups,
+                }
+            )
+        self._cat.client.commit_transaction(changes)
+        for ident in self._pending:
+            self._cat._refresh(ident)
+
+    def __enter__(self) -> "RestTransaction":
+        return self
+
+    def __exit__(self, exc_type, *exc) -> None:
+        if exc_type is None and not self._done:
+            self.commit()
+        else:
+            self._done = True  # discard staged state
+
+
+def _writer_kwargs(meta) -> dict:
+    """Writer construction kwargs from a TableMetadata — shared by the
+    immediate and transactional REST writers (mirrors Catalog.writer)."""
+    return dict(
+        root=meta.root,
+        schema=meta.struct_type(),
+        partition_by=meta.partition_spec_entries(),
+        field_ids=meta.field_ids_by_name(),
+        sort_by=meta.sort_order_columns(),
+        spec_id=meta.default_spec_id,
+        iceberg_types={
+            f["name"]: f["type"] for f in meta.current_schema["fields"]
+        },
+        last_column_id=meta.last_column_id,
+        write_defaults={
+            f["name"]: f["write-default"]
+            for f in meta.current_schema["fields"]
+            if f.get("write-default") is not None
+        },
+    )
 
 
 class RestCatalog(SqlSurface):
@@ -393,24 +588,7 @@ class RestCatalog(SqlSurface):
         ns, name = ident.rsplit(".", 1)
         meta = self._mirror[ident].metadata
         return RestCommitWriter(
-            self.client,
-            ns,
-            name,
-            root=meta.root,
-            schema=meta.struct_type(),
-            partition_by=meta.partition_spec_entries(),
-            field_ids=meta.field_ids_by_name(),
-            sort_by=meta.sort_order_columns(),
-            spec_id=meta.default_spec_id,
-            iceberg_types={
-                f["name"]: f["type"] for f in meta.current_schema["fields"]
-            },
-            last_column_id=meta.last_column_id,
-            write_defaults={
-                f["name"]: f["write-default"]
-                for f in meta.current_schema["fields"]
-                if f.get("write-default") is not None
-            },
+            self.client, ns, name, **_writer_kwargs(meta)
         )
 
     def _commit_op(self, ident: str, fn, attempts: int = 3):
@@ -507,6 +685,15 @@ class RestCatalog(SqlSurface):
         return self._commit_op(
             ident, lambda: self.writer(ident).create_tag(name, snapshot_id)
         )
+
+    def transaction(self) -> "RestTransaction":
+        """Atomic MULTI-TABLE transaction (REST spec
+        ``POST /v1/transactions/commit``): stage any number of writer
+        operations across tables, then commit them all-or-nothing in one
+        service call — e.g. moving rows between tables, or an ingest
+        that must land with its audit row.  Data files are written as
+        operations run; METADATA stays staged until :meth:`commit`."""
+        return RestTransaction(self)
 
     # -- Spark integration --------------------------------------------------
 
@@ -633,6 +820,16 @@ class LocalRestServer:
                 if not self._authorized():
                     return self._send(401, {"error": "unauthorized"})
                 body = json.loads(raw)
+                if parts == ["transactions", "commit"]:
+                    from datafusion_iceberg_spark.iceberg.rest_commit import (
+                        RequirementFailed,
+                    )
+
+                    try:
+                        res = outer._commit_txn(body)
+                    except RequirementFailed as e:
+                        return self._send(409, {"error": str(e)})
+                    return self._send(200, res)
                 if parts == ["namespaces"]:
                     return self._send(200, {"namespace": body.get("namespace")})
                 if (
@@ -891,6 +1088,50 @@ class LocalRestServer:
                 # a version-pinned registration advances to the commit
                 self._registered[ident] = loc
             return {"metadata-location": loc, "metadata": new}
+
+    def _commit_txn(self, body: dict) -> dict:
+        """CommitTransactionRequest: validate EVERY table's requirements
+        and fold EVERY table's updates before publishing the first
+        version — a requirement failure anywhere publishes nothing."""
+        import time
+
+        from datafusion_iceberg_spark.iceberg.rest_commit import (
+            RequirementFailed,
+            apply_updates,
+            check_requirements,
+        )
+
+        with self._commit_lock:
+            now = int(time.time() * 1000)
+            staged = []
+            for ch in body.get("table-changes", []):
+                ident = ".".join(
+                    ch["identifier"]["namespace"]
+                    + [ch["identifier"]["name"]]
+                )
+                res = self._load(ident)
+                base = res["metadata"] if res else None
+                check_requirements(base, ch.get("requirements", []))
+                if base is None:
+                    raise RequirementFailed(f"no such table: {ident}")
+                new = apply_updates(base, ch.get("updates", []), ts_ms=now)
+                new["metadata-log"] = list(
+                    base.get("metadata-log", [])
+                ) + [
+                    {
+                        "timestamp-ms": now,
+                        "metadata-file": res.get("metadata-location", ""),
+                    }
+                ]
+                staged.append((ident, base, new))
+            for ident, base, new in staged:  # all validated — publish
+                root = self._table_root(ident, base)
+                loc = self._write_version(root, new)
+                if ident in self._registered and self._registered[
+                    ident
+                ].endswith(".json"):
+                    self._registered[ident] = loc
+        return {}
 
     # -- lifecycle ----------------------------------------------------------
 

@@ -726,6 +726,17 @@ class IcebergWriter:
         with open(os.path.join(self.root, "metadata", f"v{v}.metadata.json")) as fh:
             return json.load(fh)
 
+    def _load_table(self):
+        """The read-side view of the table this writer mutates (file
+        lists, manifests, scans for COW/MOR rewrites).  Overridable:
+        a REST-committed table resolves through the catalog service
+        (RestCommitWriter) and a staged transaction through its pending
+        metadata (_StagedRestWriter) — the local default reads the
+        latest on-disk version."""
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        return IcebergTable.load(self.root)
+
     def _commit_metadata(self, meta: dict) -> None:
         """Optimistic-concurrency commit: the new version number is
         base+1 where base is the version the caller READ (via
@@ -1718,7 +1729,7 @@ class IcebergWriter:
 
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         files = table.files()
         total_bytes = sum(f.file_size_in_bytes for f in files)
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
@@ -1761,7 +1772,7 @@ class IcebergWriter:
 
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         meta = table.metadata
         snap_id = meta.raw.get("current-snapshot-id")
         if snap_id in (None, -1):
@@ -1879,7 +1890,7 @@ class IcebergWriter:
         manifest carries one spec header)."""
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         mans = table.manifests()
         if table.manifests(content=1):
             raise ValueError(
@@ -2038,7 +2049,7 @@ class IcebergWriter:
 
         if not 2 <= len(columns) <= 4:
             raise ValueError("zorder needs 2-4 columns")
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         files = table.files()
         total_bytes = sum(f.file_size_in_bytes for f in files)
         n_out = max(1, math.ceil(total_bytes / target_file_bytes))
@@ -2382,7 +2393,7 @@ class IcebergWriter:
             pred = sql_to_pred(pred)
         else:
             where_sql = pred_to_sql(pred)
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         all_files = table.files()
         candidates = (
             table.files(filters=pred) if pred is not None else list(all_files)
@@ -2455,7 +2466,7 @@ class IcebergWriter:
             pred = sql_to_pred(pred)
         else:
             where_sql = pred_to_sql(pred)
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         candidates = (
             table.files(filters=pred)
             if pred is not None
@@ -2585,7 +2596,7 @@ class IcebergWriter:
         unknown = set(set_exprs) - {f.name for f in self.schema.fields}
         if unknown:
             raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         candidates = (
             table.files(filters=pred)
             if pred is not None
@@ -2656,7 +2667,7 @@ class IcebergWriter:
         if use_dv:
             from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
-            table = IcebergTable.load(self.root)
+            table = self._load_table()
             prior_map = self._dv_entry_map(table)
             new_dvs = self._collect_new_dvs(del_rows, prior_map)
             if not new_dvs and new_rows is None:
@@ -2817,7 +2828,7 @@ class IcebergWriter:
             pred = sql_to_pred(pred)
         else:
             where_sql = pred_to_sql(pred)
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         meta = table.metadata
         candidates = (
             table.files(filters=pred)
@@ -3033,7 +3044,7 @@ class IcebergWriter:
                 if _attempt == 4:
                     raise
                 time.sleep(0.05 * (_attempt + 1))
-                table = IcebergTable.load(self.root)
+                table = self._load_table()
                 fresh_prior = self._dv_entry_map(table)
                 if any(
                     fresh_prior.get(p) != prior_map.get(p) for p in new_dvs
@@ -3216,7 +3227,7 @@ class IcebergWriter:
         from datafusion_iceberg_spark.iceberg.manifests import read_manifest
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         meta = table.metadata
         # parquet-backed position deletes only: deletion vectors hold one
         # merged bitmap per data file already — their container COUNT is
@@ -3355,7 +3366,7 @@ class IcebergWriter:
         )
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         meta = table.metadata
         dv_entries = [
             d
@@ -3844,7 +3855,7 @@ class IcebergWriter:
             pred = sql_to_pred(pred)
         else:
             where_sql = pred_to_sql(pred)
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         all_files = table.files()
         candidates = (
             table.files(filters=pred) if pred is not None else list(all_files)
@@ -4081,12 +4092,12 @@ class IcebergWriter:
         if bounds.lo is None and src.first() is None and not has_nmbs:
             # empty source: nothing to do UNLESS a NOT MATCHED BY SOURCE
             # clause exists (then every target row is in scope)
-            cur = IcebergTable.load(self.root).metadata.raw.get(
+            cur = self._load_table().metadata.raw.get(
                 "current-snapshot-id"
             )
             return int(cur) if cur is not None else -1
 
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         all_files = table.files()
         # NULL-key source rows can never equi-match, so when every source
         # key is NULL no target file is a candidate (insert branch only);
@@ -4268,7 +4279,7 @@ class IcebergWriter:
                 f"{bounds.n} rows, {bounds.nd} distinct — dedup the source "
                 "(e.g. keep the latest row per key) before merging"
             )
-        table = IcebergTable.load(self.root)
+        table = self._load_table()
         cur = table.metadata.raw.get("current-snapshot-id")
         dtypes_map = {f.name: f.dataType for f in self.schema.fields}
         if bounds.lo is None and src.first() is None and not has_nmbs:

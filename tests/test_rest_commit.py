@@ -382,3 +382,80 @@ def test_pagination_walks_all_pages(spark, scratch):
         assert sorted(client.list_tables("ns")) == [f"t{i}" for i in range(5)]
         rest.refresh()
         assert rest.table_names("ns") == [f"ns.t{i}" for i in range(5)]
+
+
+# ---------------------------------------------------------------------------
+# multi-table transactions (POST /v1/transactions/commit)
+# ---------------------------------------------------------------------------
+
+
+def test_transaction_multi_table_atomic(spark, scratch):
+    with LocalRestServer(os.path.join(scratch, "wh")) as base:
+        client = RestCatalogClient(base)
+        rest = RestCatalog(client, name="rc")
+        rest.create_table("ns.a", _rows(spark).schema)
+        rest.create_table("ns.b", _rows(spark).schema)
+        rest.append("ns.a", spark, _rows(spark, 10))
+        txn = rest.transaction()
+        txn.append("ns.a", spark, _rows(spark, 5))
+        txn.delete_where("ns.a", spark, "k < 2")
+        txn.append("ns.b", spark, _rows(spark, 7))
+        # nothing is visible before commit — the service still serves
+        # the pre-transaction versions
+        assert len(client.load_table("ns", "a")["metadata"]["snapshots"]) == 1
+        assert client.load_table("ns", "b")["metadata"]["snapshots"] == []
+        txn.commit()
+        a = rest.sql(spark, "SELECT COUNT(*) AS n FROM rc.ns.a").first()["n"]
+        b = rest.sql(spark, "SELECT COUNT(*) AS n FROM rc.ns.b").first()["n"]
+        assert (a, b) == (15 - 4, 7)  # k∈{0,1} deleted from both appends
+        # A carries append+append+delete = 3 snapshots, atomically
+        assert len(client.load_table("ns", "a")["metadata"]["snapshots"]) == 3
+
+
+def test_transaction_same_table_chained_ddl_and_write(spark, scratch):
+    with LocalRestServer(os.path.join(scratch, "wh")) as base:
+        client = RestCatalogClient(base)
+        rest = RestCatalog(client, name="rc")
+        rest.create_table("ns.t", _rows(spark).schema)
+        with rest.transaction() as txn:
+            txn.append("ns.t", spark, _rows(spark, 4))
+            txn.add_column("ns.t", "tag", T.StringType())
+            txn.append(
+                "ns.t", spark, _rows(spark, 2).withColumn("tag", F.lit("x"))
+            )
+        rows = rest.sql(
+            spark,
+            "SELECT COUNT(*) AS n, COUNT(tag) AS tagged FROM rc.ns.t",
+        ).first()
+        assert (rows["n"], rows["tagged"]) == (6, 2)
+        served = client.load_table("ns", "t")["metadata"]
+        assert len(served["schemas"]) == 2 and len(served["snapshots"]) == 2
+
+
+def test_transaction_conflict_publishes_nothing(spark, scratch):
+    with LocalRestServer(os.path.join(scratch, "wh")) as base:
+        client = RestCatalogClient(base)
+        rest = RestCatalog(client, name="rc")
+        rest.create_table("ns.a", _rows(spark).schema)
+        rest.create_table("ns.b", _rows(spark).schema)
+        txn = rest.transaction()
+        txn.append("ns.a", spark, _rows(spark, 5))
+        txn.append("ns.b", spark, _rows(spark, 5))
+        # a commit lands on A AFTER the transaction staged against it
+        rest.append("ns.a", spark, _rows(spark, 1))
+        with pytest.raises(CommitConflict, match="rejected"):
+            txn.commit()
+        # B published NOTHING even though its own requirements held
+        assert client.load_table("ns", "b")["metadata"]["snapshots"] == []
+
+
+def test_transaction_discarded_on_exception(spark, scratch):
+    with LocalRestServer(os.path.join(scratch, "wh")) as base:
+        client = RestCatalogClient(base)
+        rest = RestCatalog(client, name="rc")
+        rest.create_table("ns.t", _rows(spark).schema)
+        with pytest.raises(RuntimeError, match="boom"):
+            with rest.transaction() as txn:
+                txn.append("ns.t", spark, _rows(spark, 5))
+                raise RuntimeError("boom")
+        assert client.load_table("ns", "t")["metadata"]["snapshots"] == []
