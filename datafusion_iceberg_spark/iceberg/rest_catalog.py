@@ -665,15 +665,88 @@ class RestCatalog(SqlSurface):
             ident, lambda: self.writer(ident).add_column(name, dtype, default)
         )
 
-    def set_properties(self, ident: str, props: dict) -> None:
+    def set_properties(
+        self, ident: str, updates: dict, removes: Optional[list] = None
+    ) -> None:
         self._commit_op(
-            ident, lambda: self.writer(ident).set_properties(props)
+            ident, lambda: self.writer(ident).set_properties(updates, removes)
         )
 
-    def expire_snapshots(self, ident: str, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self,
+        ident: str,
+        keep_last: int = 1,
+        older_than_ms: Optional[int] = None,
+    ) -> dict:
         return self._commit_op(
             ident,
-            lambda: self.writer(ident).expire_snapshots(keep_last=keep_last),
+            lambda: self.writer(ident).expire_snapshots(
+                keep_last, older_than_ms
+            ),
+        )
+
+    def delete_where_mor(self, ident: str, spark: SparkSession, pred) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).delete_where_mor(spark, pred)
+        )
+
+    def delete_where_eq(
+        self, ident: str, spark: SparkSession, keys_df: DataFrame
+    ) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).delete_where_eq(spark, keys_df)
+        )
+
+    def update_where_mor(
+        self, ident: str, spark: SparkSession, pred, set_exprs: dict
+    ) -> int:
+        return self._commit_op(
+            ident,
+            lambda: self.writer(ident).update_where_mor(
+                spark, pred, set_exprs
+            ),
+        )
+
+    def compact(
+        self,
+        ident: str,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+    ) -> int:
+        return self._commit_op(
+            ident,
+            lambda: self.writer(ident).compact(spark, target_file_bytes),
+        )
+
+    def rollback_to_snapshot(self, ident: str, snapshot_id: int) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).rollback_to_snapshot(snapshot_id)
+        )
+
+    def stage_append(
+        self, ident: str, spark: SparkSession, df: DataFrame, branch: str
+    ) -> int:
+        return self._commit_op(
+            ident,
+            lambda: self.writer(ident).append(spark, df, stage_branch=branch),
+        )
+
+    def fast_forward(self, ident: str, branch: str) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).fast_forward(branch)
+        )
+
+    def drop_ref(self, ident: str, name: str) -> None:
+        self._commit_op(ident, lambda: self.writer(ident).drop_ref(name))
+
+    def rewrite_manifests(self, ident: str) -> dict:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).rewrite_manifests()
+        )
+
+    def rewrite_deletion_vectors(self, ident: str) -> dict:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).rewrite_deletion_vectors()
         )
 
     def create_branch(self, ident: str, name: str, snapshot_id=None) -> int:

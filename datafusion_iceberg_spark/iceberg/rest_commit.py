@@ -71,6 +71,16 @@ def canonical(meta: dict) -> dict:
     m = copy.deepcopy(meta)
     for k in _VOLATILE:
         m.pop(k, None)
+    # id-keyed collections compare as sets: expire_snapshots reorders the
+    # survivor list (pinned refs move ahead of the keep_last tail) and
+    # the applier preserves base order instead — both are the same table
+    m["snapshots"] = sorted(
+        m.get("snapshots", []), key=lambda s: s["snapshot-id"]
+    )
+    m["partition-statistics"] = sorted(
+        m.get("partition-statistics", []),
+        key=lambda e: e.get("snapshot-id", 0),
+    )
     m["snapshot-log"] = [e["snapshot-id"] for e in meta.get("snapshot-log", [])]
     refs = dict(m.get("refs") or {})
     main = refs.get("main")

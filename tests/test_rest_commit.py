@@ -459,3 +459,78 @@ def test_transaction_discarded_on_exception(spark, scratch):
                 txn.append("ns.t", spark, _rows(spark, 5))
                 raise RuntimeError("boom")
         assert client.load_table("ns", "t")["metadata"]["snapshots"] == []
+
+
+def test_diff_apply_roundtrip_expire_with_pinned_ref_reorder():
+    """expire_snapshots moves ref-pinned survivors AHEAD of the
+    keep_last tail in the snapshots list; the applier keeps base order.
+    Both are the same table — canonical() compares id-keyed sets."""
+    import copy
+
+    base = copy.deepcopy(BASE)
+    base["snapshots"] = [_snap(10, 1), _snap(11, 2, 10), _snap(12, 3, 11)]
+    base["current-snapshot-id"] = 12
+    base["last-sequence-number"] = 3
+    base["snapshot-log"] = [
+        {"timestamp-ms": t, "snapshot-id": s} for t, s in ((5, 10), (6, 11), (7, 12))
+    ]
+    base["refs"] = {"v1": {"snapshot-id": 10, "type": "tag"}}
+    new = copy.deepcopy(base)
+    # keep_last=1 with the tag pinning snapshot 10: 11 expires, and the
+    # survivor list comes back [pinned, newest] — REORDERED vs base
+    new["snapshots"] = [_snap(10, 1), _snap(12, 3, 11)]
+    new["snapshot-log"] = [
+        e for e in new["snapshot-log"] if e["snapshot-id"] != 11
+    ]
+    reqs, ups = metadata_updates(base, new)
+    assert [u["action"] for u in ups] == ["remove-snapshots"]
+    assert ups[0]["snapshot-ids"] == [11]
+    applied = apply_updates(base, ups, ts_ms=9)
+    assert canonical(applied) == canonical(new)
+
+
+def test_wap_compact_rollback_through_service(spark, scratch):
+    """The wider maintenance surface rides the same two lifecycle
+    overrides: WAP staging + fast-forward (multi-entry snapshot-log →
+    the verbatim-log update), MOR update, compaction, rollback."""
+    with LocalRestServer(os.path.join(scratch, "wh")) as base:
+        client = RestCatalogClient(base)
+        rest = RestCatalog(client, name="rc")
+        rest.create_table("ns.t", _rows(spark).schema)
+        rest.append("ns.t", spark, _rows(spark, 10))
+        # write-audit-publish entirely through the service
+        rest.stage_append("ns.t", spark, _rows(spark, 5), branch="audit")
+        served = client.load_table("ns", "t")["metadata"]
+        assert "audit" in served.get("refs", {})
+        n_main = rest.sql(spark, "SELECT COUNT(*) AS n FROM rc.ns.t").first()["n"]
+        assert n_main == 10  # main has not moved
+        rest.fast_forward("ns.t", "audit")
+        assert (
+            rest.sql(spark, "SELECT COUNT(*) AS n FROM rc.ns.t").first()["n"]
+            == 15
+        )
+        # MOR update, then compaction folds the delta into data files
+        rest.set_properties("ns.t", {"write.update.mode": "merge-on-read"})
+        rest.update_where_mor("ns.t", spark, "k = 1", {"v": "v + 1000"})
+        assert (
+            rest.sql(
+                spark, "SELECT SUM(v) AS s FROM rc.ns.t WHERE k = 1"
+            ).first()["s"]
+            == 2 * 10 + 2000  # two k=1 rows (both appends), both updated
+        )
+        pre_compact = client.load_table("ns", "t")["metadata"]
+        rest.compact("ns.t", spark)
+        assert (
+            rest.sql(
+                spark, "SELECT SUM(v) AS s FROM rc.ns.t WHERE k = 1"
+            ).first()["s"]
+            == 2 * 10 + 2000
+        )
+        # rollback to the pre-compaction snapshot — same bytes
+        rest.rollback_to_snapshot(
+            "ns.t", pre_compact["current-snapshot-id"]
+        )
+        assert (
+            rest.sql(spark, "SELECT COUNT(*) AS n FROM rc.ns.t").first()["n"]
+            == 15
+        )
