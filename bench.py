@@ -76,6 +76,7 @@ HEADLINE = [
     "iceberg_merge_cdc_apply_scan",
     "iceberg_rest_commit_scan",
     "iceberg_rest_txn_scan",
+    "iceberg_upsert_eq_scan",
 ]
 
 

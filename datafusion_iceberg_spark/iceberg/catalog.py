@@ -543,6 +543,28 @@ class Catalog(SqlSurface):
         self._maybe_auto_maintain(ident, spark)
         return snap
 
+    def set_identifier_fields(self, ident: str, columns: list) -> None:
+        """Declare the schema's row-identity columns (Iceberg
+        identifier-field-ids) — the keys :meth:`upsert` deletes on."""
+        self.writer(ident).set_identifier_fields(columns)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+
+    def upsert(
+        self,
+        ident: str,
+        spark: SparkSession,
+        df: DataFrame,
+        on: Optional[list] = None,
+    ) -> int:
+        """Flink-style upsert (writer.upsert: one snapshot = equality
+        delete on the keys + the batch's data files) + mirror refresh."""
+        snap = self.writer(ident).upsert(spark, df, on)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        self._maybe_auto_maintain(ident, spark)
+        return snap
+
     def update_where(
         self, ident: str, spark: SparkSession, pred, set_exprs: dict[str, str]
     ) -> int:

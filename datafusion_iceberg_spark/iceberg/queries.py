@@ -3536,3 +3536,82 @@ def iceberg_rest_txn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "        CAST(SUM(cents) AS BIGINT) AS cents_sum FROM rtx.tx.archive"
         ") ORDER BY side",
     )
+
+
+@register(
+    "iceberg_upsert_eq_scan",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+    ),
+    after AS (
+        SELECT st,
+               CASE WHEN k % 15 = 0 THEN cents * 3
+                    WHEN k % 3 = 0 THEN cents * 2
+                    ELSE cents END AS cents
+        FROM base
+        UNION ALL
+        SELECT 'N' AS st, cents + 7 AS cents FROM base WHERE k % 5 = 0
+    )
+    SELECT st AS o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM after GROUP BY st ORDER BY st
+    """,
+)
+def iceberg_upsert_eq_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-style UPSERT via equality deletes (r8): declare
+    identifier-field-ids on the schema, then two upsert batches — each
+    ONE snapshot carrying an equality-delete file on the key plus the
+    batch's data files, O(batch) with no table scan.  Batch 2 shadows
+    batch 1 on overlapping keys (higher sequence), and both shadow the
+    initial load (strictly-before rule, ``_apply_equality_deletes``) —
+    exactly the per-checkpoint commit shape Flink CDC sinks emit.  The
+    reference has no write path at all (SURVEY §2C).  Oracle: last-wins
+    replay per key."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_upsert")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            base = load_table(spark, sf_dir, "orders").selectExpr(
+                "o_orderkey AS k",
+                "o_orderstatus AS st",
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            )
+            cat.create_table("up.orders", base.schema)
+            cat.append("up.orders", spark, base)
+            cat.set_identifier_fields("up.orders", ["k"])
+            # batch 1: double every %3 key's cents; insert NEW rows
+            # (shifted keys, status 'N') for every %5 key
+            batch1 = base.filter("k % 3 = 0").selectExpr(
+                "k", "st", "cents * 2 AS cents"
+            ).unionByName(
+                base.filter("k % 5 = 0").selectExpr(
+                    "k + 1000000000 AS k", "'N' AS st", "cents + 7 AS cents"
+                )
+            )
+            cat.upsert("up.orders", spark, batch1)
+            # batch 2 shadows batch 1 on %15 keys: cents * 3
+            cat.upsert(
+                "up.orders",
+                spark,
+                base.filter("k % 15 = 0").selectExpr(
+                    "k", "st", "cents * 3 AS cents"
+                ),
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT st AS o_orderstatus, COUNT(*) AS n_orders,"
+        " CAST(SUM(cents) AS BIGINT) AS cents_sum"
+        " FROM iceberg.up.orders GROUP BY st ORDER BY st",
+    )

@@ -697,6 +697,18 @@ class RestCatalog(SqlSurface):
             ident, lambda: self.writer(ident).delete_where_eq(spark, keys_df)
         )
 
+    def set_identifier_fields(self, ident: str, columns: list) -> None:
+        self._commit_op(
+            ident, lambda: self.writer(ident).set_identifier_fields(columns)
+        )
+
+    def upsert(
+        self, ident: str, spark: SparkSession, df: DataFrame, on=None
+    ) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).upsert(spark, df, on)
+        )
+
     def update_where_mor(
         self, ident: str, spark: SparkSession, pred, set_exprs: dict
     ) -> int:

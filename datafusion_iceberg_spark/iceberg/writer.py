@@ -1226,10 +1226,14 @@ class IcebergWriter:
         stage_branch: Optional[str] = None,
         _expected_parent=_UNCHECKED,
         _extra_summary: Optional[dict] = None,
+        _extra_manifest_rows: Optional[list] = None,
     ) -> int:
         """Manifest build + snapshot commit for per-file stats dicts
         (the post-write half of :meth:`append`, shared with
-        :meth:`commit_data_dir`)."""
+        :meth:`commit_data_dir`).  ``_extra_manifest_rows`` appends
+        pre-built manifest-list rows (e.g. an upsert's equality-delete
+        manifest) to the snapshot; rows with ``sequence_number=None``
+        take the commit's sequence."""
         if not files and not (_allow_empty and _extra_entries is not None):
             raise ValueError("append produced no data files")
 
@@ -1310,6 +1314,7 @@ class IcebergWriter:
                     stage_branch,
                     _expected_parent,
                     _extra_summary,
+                    _extra_manifest_rows,
                 )
             except RewriteConflict:
                 # the manifest was built from a now-stale file set: a
@@ -1335,6 +1340,7 @@ class IcebergWriter:
         _stage_branch: Optional[str] = None,
         _expected_parent=_UNCHECKED,
         _extra_summary: Optional[dict] = None,
+        _extra_manifest_rows: Optional[list] = None,
     ) -> int:
         """The read-validate-commit section of append, re-entrant for the
         optimistic-concurrency retry: re-reads current metadata (so the
@@ -1385,6 +1391,18 @@ class IcebergWriter:
 
             for mf in read_manifest_list(prev_snap["manifest-list"]):
                 carried.append(_carry_manifest_row(mf))
+        extra_rows = [
+            {
+                **row,
+                "sequence_number": seq
+                if row.get("sequence_number") is None
+                else row["sequence_number"],
+                "min_sequence_number": seq
+                if row.get("min_sequence_number") is None
+                else row["min_sequence_number"],
+            }
+            for row in _extra_manifest_rows or []
+        ]
         write_avro_file(
             manifest_list_path,
             _MANIFEST_LIST_SCHEMA,
@@ -1406,7 +1424,8 @@ class IcebergWriter:
                     "deleted_rows_count": 0,
                     "content": 0,
                 }
-            ],
+            ]
+            + extra_rows,
         )
         now = int(time.time() * 1000)
         prev_total = 0
@@ -3634,6 +3653,160 @@ class IcebergWriter:
                     raise
                 time.sleep(0.05 * (_attempt + 1))
         raise AssertionError("unreachable")
+
+    def set_identifier_fields(self, columns: list) -> None:
+        """Declare the schema's row-identity columns (Iceberg
+        ``identifier-field-ids`` — what Flink's upsert sink keys its
+        equality deletes on).  Commits a new schema version carrying the
+        ids; :meth:`upsert` resolves its keys from them."""
+        bad = [c for c in columns if c not in self.field_ids]
+        if bad:
+            raise ValueError(f"identifier fields not in schema: {bad}")
+        ids = sorted(self.field_ids[c] for c in columns)
+        meta = self._load_current()
+        cur_id = meta.get("current-schema-id", 0)
+        cur = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_id
+        )
+        if sorted(cur.get("identifier-field-ids", [])) == ids:
+            return
+        new_schema = {
+            **cur,
+            "schema-id": max(s.get("schema-id", 0) for s in meta["schemas"])
+            + 1,
+            "identifier-field-ids": ids,
+        }
+        meta["schemas"] = meta["schemas"] + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["schema"] = new_schema
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(meta)
+
+    def identifier_columns(self) -> list:
+        """The schema's declared identity columns (empty if unset)."""
+        meta = self._load_current()
+        cur_id = meta.get("current-schema-id", 0)
+        cur = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_id
+        )
+        by_id = {f["id"]: f["name"] for f in cur["fields"]}
+        return [by_id[i] for i in cur.get("identifier-field-ids", [])]
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        on: Optional[list] = None,
+    ) -> int:
+        """Flink-style UPSERT: ONE snapshot carrying an equality-delete
+        file on the key columns PLUS the batch's data files.  Keys come
+        from ``on`` or the schema's identifier-field-ids
+        (:meth:`set_identifier_fields`).  Last-wins per key against the
+        prior table state: the delete and the new data share the
+        commit's sequence number, and equality deletes apply only to
+        data committed STRICTLY before (``_apply_equality_deletes``), so
+        the batch's own rows survive.  Cost is O(batch): no scan, no
+        rewrite of existing files — the delete flavor Flink CDC sinks
+        emit per checkpoint.  Later upserts shadow earlier ones the same
+        way (higher sequence)."""
+        keys = list(on) if on else self.identifier_columns()
+        if not keys:
+            raise ValueError(
+                "upsert needs key columns: pass on=[...] or declare them "
+                "with set_identifier_fields"
+            )
+        bad = [c for c in keys if c not in self.field_ids]
+        if bad:
+            raise ValueError(f"upsert keys not in schema: {bad}")
+        from pyspark.sql import functions as F
+        from functools import reduce as _reduce
+
+        keys_nn = _reduce(
+            lambda a, b: a & b, [F.col(k).isNotNull() for k in keys]
+        )
+        bounds = df.filter(keys_nn).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(*keys).alias("nd"),
+        ).collect()[0]
+        if bounds.n != bounds.nd:
+            raise ValueError(
+                f"upsert batch has duplicate keys on {keys!r}: "
+                f"{bounds.n} rows, {bounds.nd} distinct — keep the latest "
+                "row per key before upserting"
+            )
+        eq_ids = sorted(self.field_ids[c] for c in keys)
+        snap_id = int(time.time() * 1000) * 1000 + (
+            int.from_bytes(os.urandom(2), "big") % 1000
+        )
+        files = self._write_data_files(df, snap_id)
+        # the equality-delete side: just the key tuples, distinct
+        del_dir = os.path.join(self.root, "data", f"snap-{snap_id}-eqdeletes")
+        df.select(*keys).distinct().write.mode("overwrite").parquet(del_dir)
+        import pyarrow.parquet as _pq
+
+        del_files = []
+        for p in sorted(
+            glob.glob(os.path.join(del_dir, "**", "*.parquet"), recursive=True)
+        ):
+            n = _pq.ParquetFile(p).metadata.num_rows
+            if n:
+                del_files.append((p, n, os.path.getsize(p)))
+        extra_rows = []
+        n_keys = sum(n for _, n, _ in del_files)
+        if del_files:
+            meta_dir = os.path.join(self.root, "metadata")
+            man_uuid = str(uuidlib.uuid4())
+            del_manifest = os.path.join(meta_dir, f"{man_uuid}-upsert-del.avro")
+            del_entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "data_file": {
+                        "file_path": p,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n,
+                        "file_size_in_bytes": sz,
+                        "block_size_in_bytes": 67108864,
+                        "value_counts": [],
+                        "null_value_counts": [],
+                        "lower_bounds": [],
+                        "upper_bounds": [],
+                        "content": 2,  # EQUALITY_DELETES
+                        "equality_ids": eq_ids,
+                    },
+                }
+                for p, n, sz in del_files
+            ]
+            write_avro_file(del_manifest, _manifest_schema([]), del_entries)
+            extra_rows.append(
+                {
+                    "manifest_path": del_manifest,
+                    "manifest_length": os.path.getsize(del_manifest),
+                    "partition_spec_id": self.spec_id,
+                    "sequence_number": None,  # takes the commit's sequence
+                    "min_sequence_number": None,
+                    "added_snapshot_id": snap_id,
+                    "added_data_files_count": len(del_entries),
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                    "partitions": [],
+                    "added_rows_count": n_keys,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "content": 1,  # delete manifest
+                }
+            )
+        return self._commit_file_stats(
+            snap_id,
+            files,
+            _operation="overwrite",
+            _extra_summary={
+                "added-delete-files": str(len(del_files)),
+                "added-equality-deletes": str(n_keys),
+            },
+            _extra_manifest_rows=extra_rows,
+        )
 
     def _commit_mor_delete_snapshot(
         self,

@@ -1,0 +1,140 @@
+"""Flink-style UPSERT: one snapshot = equality delete on the identity
+keys + the batch's data files (writer.upsert), keyed by the schema's
+identifier-field-ids.  The reference has no write path at all
+(SURVEY.md §2C); this is the delete flavor Flink CDC sinks emit per
+checkpoint — cost O(batch), no table scan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+
+@pytest.fixture()
+def scratch(tmp_path):
+    return str(tmp_path)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v long")
+
+
+def _state(cat, spark, ident="ns.t"):
+    return {
+        r["k"]: r["v"]
+        for r in cat.sql(spark, f"SELECT k, v FROM iceberg.{ident}").collect()
+    }
+
+
+def test_upsert_last_wins_and_inserts(spark, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = _rows(spark, [(1, 10), (2, 20), (3, 30)])
+    cat.create_table("ns.t", df.schema)
+    cat.append("ns.t", spark, df)
+    cat.set_identifier_fields("ns.t", ["k"])
+    cat.upsert("ns.t", spark, _rows(spark, [(2, 200), (4, 40)]))
+    assert _state(cat, spark) == {1: 10, 2: 200, 3: 30, 4: 40}
+    # a second upsert shadows the first (higher sequence)
+    cat.upsert("ns.t", spark, _rows(spark, [(2, 2000), (5, 50)]))
+    assert _state(cat, spark) == {1: 10, 2: 2000, 3: 30, 4: 40, 5: 50}
+    # ONE snapshot per upsert, carrying both delete and data files
+    tbl = cat.load("ns.t")
+    assert len(tbl.metadata.snapshots) == 3
+    last = tbl.metadata.snapshots[-1]
+    assert last.summary["operation"] == "overwrite"
+    assert int(last.summary["added-equality-deletes"]) == 2
+
+
+def test_upsert_explicit_keys_and_composite(spark, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 11), (2, "a", 20)], "k long, s string, v long"
+    )
+    cat.create_table("ns.c", df.schema)
+    cat.append("ns.c", spark, df)
+    # composite key via on=[...] without declared identifier fields
+    cat.upsert(
+        "ns.c",
+        spark,
+        spark.createDataFrame([(1, "b", 111)], "k long, s string, v long"),
+        on=["k", "s"],
+    )
+    got = {
+        (r["k"], r["s"]): r["v"]
+        for r in cat.sql(spark, "SELECT * FROM iceberg.ns.c").collect()
+    }
+    assert got == {(1, "a"): 10, (1, "b"): 111, (2, "a"): 20}
+
+
+def test_upsert_requires_keys_and_unique_batch(spark, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = _rows(spark, [(1, 10)])
+    cat.create_table("ns.t", df.schema)
+    cat.append("ns.t", spark, df)
+    with pytest.raises(ValueError, match="identifier"):
+        cat.upsert("ns.t", spark, _rows(spark, [(1, 11)]))
+    cat.set_identifier_fields("ns.t", ["k"])
+    with pytest.raises(ValueError, match="duplicate keys"):
+        cat.upsert("ns.t", spark, _rows(spark, [(1, 11), (1, 12)]))
+
+
+def test_identifier_fields_persist_in_schema(spark, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = _rows(spark, [(1, 10)])
+    cat.create_table("ns.t", df.schema)
+    cat.set_identifier_fields("ns.t", ["k"])
+    meta = cat.load("ns.t").metadata
+    assert meta.current_schema.get("identifier-field-ids") == [1]
+    # idempotent: no new schema version for the same declaration
+    n_schemas = len(meta.raw["schemas"])
+    cat.set_identifier_fields("ns.t", ["k"])
+    assert len(cat.load("ns.t").metadata.raw["schemas"]) == n_schemas
+
+
+def test_upsert_interleaves_with_appends(spark, scratch):
+    """Sequence ordering across mixed commits: an append AFTER an upsert
+    re-introduces a deleted key (strictly-before rule)."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = _rows(spark, [(1, 10), (2, 20)])
+    cat.create_table("ns.t", df.schema)
+    cat.append("ns.t", spark, df)
+    cat.set_identifier_fields("ns.t", ["k"])
+    cat.upsert("ns.t", spark, _rows(spark, [(1, 100)]))
+    # later plain append wins over the earlier upsert's delete
+    cat.append("ns.t", spark, _rows(spark, [(9, 90)]))
+    assert _state(cat, spark) == {1: 100, 2: 20, 9: 90}
+    # compaction folds the MOR state into plain data files, same rows
+    cat.compact("ns.t", spark)
+    assert _state(cat, spark) == {1: 100, 2: 20, 9: 90}
+
+
+def test_upsert_through_rest_service(spark, scratch):
+    from datafusion_iceberg_spark.iceberg.rest_catalog import (
+        LocalRestServer,
+        RestCatalog,
+        RestCatalogClient,
+    )
+
+    with LocalRestServer(os.path.join(scratch, "wh")) as base:
+        client = RestCatalogClient(base)
+        rest = RestCatalog(client, name="rc")
+        df = _rows(spark, [(1, 10), (2, 20)])
+        rest.create_table("ns.t", df.schema)
+        rest.append("ns.t", spark, df)
+        rest.set_identifier_fields("ns.t", ["k"])
+        rest.upsert("ns.t", spark, _rows(spark, [(2, 200), (3, 30)]))
+        got = {
+            r["k"]: r["v"]
+            for r in rest.sql(spark, "SELECT k, v FROM rc.ns.t").collect()
+        }
+        assert got == {1: 10, 2: 200, 3: 30}
+        served = client.load_table("ns", "t")["metadata"]
+        cur = served["current-snapshot-id"]
+        snap = next(
+            s for s in served["snapshots"] if s["snapshot-id"] == cur
+        )
+        assert snap["summary"]["added-equality-deletes"] == "2"
