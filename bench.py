@@ -77,6 +77,7 @@ HEADLINE = [
     "iceberg_rest_commit_scan",
     "iceberg_rest_txn_scan",
     "iceberg_upsert_eq_scan",
+    "stream_upsert_eq",
 ]
 
 

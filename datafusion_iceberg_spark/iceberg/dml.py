@@ -354,6 +354,10 @@ def _exec_alter(surface, spark, s: A.Alter) -> DataFrame:
         _need(surface, "set_properties")
         surface.set_properties(ident, {}, removes=a.keys)
         return _result(spark, "unset_properties", ident, None)
+    if isinstance(a, A.SetIdentifierFields):
+        _need(surface, "set_identifier_fields")
+        surface.set_identifier_fields(ident, a.columns)
+        return _result(spark, "set_identifier_fields", ident, None)
     raise ValueError(f"unsupported ALTER TABLE action: {a!r}")
 
 

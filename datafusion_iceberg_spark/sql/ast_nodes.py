@@ -141,6 +141,11 @@ class UnsetProperties:
 
 
 @dataclass
+class SetIdentifierFields:
+    columns: list[str]
+
+
+@dataclass
 class Alter(Statement):
     namespace: str
     table: str

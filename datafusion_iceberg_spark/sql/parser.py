@@ -708,6 +708,14 @@ def _parse_alter(p: _P) -> A.Statement:
         p.expect_end()
         return A.Alter(ns, tbl, A.AlterColumnType(col, type_ddl))
     if p.accept_kw("SET"):
+        if p.accept_kw("IDENTIFIER"):
+            # Spark-Iceberg: ALTER TABLE t SET IDENTIFIER FIELDS k [, ...]
+            p.expect_kw("FIELDS")
+            cols = [p.ident("column name")]
+            while p.accept_op(","):
+                cols.append(p.ident("column name"))
+            p.expect_end()
+            return A.Alter(ns, tbl, A.SetIdentifierFields(cols))
         p.expect_kw("TBLPROPERTIES")
         props = _tblproperties(p)
         p.expect_end()

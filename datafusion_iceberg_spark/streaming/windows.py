@@ -561,3 +561,132 @@ def stream_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_ordinal")
     )
+
+
+@register(
+    "stream_upsert_eq",
+    oracle="""
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def stream_upsert_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink-parity streaming UPSERT sink (r8): each micro-batch dedups
+    to its newest record per user and lands as ONE equality-delete +
+    append snapshot (``writer.upsert``) — O(batch) per checkpoint, no
+    table scan, no file rewrite, unlike the MERGE-based apply
+    (``stream_cdc_upsert``) whose candidate files are rewritten each
+    batch.  Correctness here rides the sequence-number ordering: batches
+    arrive in (ts, event_id) order (the staging sorts them), so the
+    last writer per key is the globally newest event — the same oracle
+    as the MERGE variant.  This is exactly Flink's per-checkpoint
+    commit shape on an identifier-field-ids table.
+
+    Scale: per batch the only shuffle is the batch's own dedup; state is
+    the Iceberg table (restart-safe: checkpoint + atomic commits), and
+    accumulated equality deletes fold away at the next compaction
+    (tests/test_upsert.py::test_upsert_interleaves_with_appends)."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH, _lock
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(SCRATCH, f"wh_{tag}_upsert_eq_stream")
+    marker = os.path.join(root, "_COMPLETE")
+    with _lock:
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            # stage FOUR chunks in (ts, event_id) order so batch order ==
+            # event order (plain last-wins upsert then equals the global
+            # latest-per-key oracle; ties never straddle out of order)
+            stage = os.path.join(root, "_stage")
+            os.makedirs(stage, exist_ok=True)
+            tbl = pq.read_table(table_path(sf_dir, "events"))
+            tbl = tbl.take(
+                pc.sort_indices(
+                    tbl,
+                    sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+                )
+            )
+            n = tbl.num_rows
+            step = (n + 3) // 4
+            for i in range(4):
+                chunk = tbl.slice(i * step, step)
+                if chunk.num_rows:
+                    p = os.path.join(stage, f"chunk_{i}.parquet")
+                    pq.write_table(chunk, p)
+                    os.utime(p, (1700000000 + i, 1700000000 + i))
+            raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+            stream = (
+                spark.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            ts_dtype = dict(stream.dtypes)["ts"]
+            if ts_dtype == "bigint":
+                stream = stream.withColumn(
+                    "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+                )
+            elif ts_dtype == "timestamp_ntz":
+                stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            typed = stream.select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            cat.create_table("stream.user_state_eq", typed.schema)
+            cat.set_identifier_fields("stream.user_state_eq", ["user_id"])
+
+            def _apply(bdf, batch_id):
+                from pyspark.sql import Window as W
+
+                if not bdf.take(1):
+                    return
+                w = W.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+                latest = (
+                    bdf.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .drop("rn")
+                )
+                cat.upsert("stream.user_state_eq", spark, latest)
+
+            q = (
+                typed.writeStream.foreachBatch(_apply)
+                .option(
+                    "checkpointLocation", os.path.join(root, "_checkpoint")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("stream.user_state_eq")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .select(
+            "user_id",
+            F.col("event_id").cast("long").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -291,3 +291,13 @@ def test_where_span_is_verbatim_tail(parts):
     # the span is a verbatim slice of the original predicate text
     # (leading/trailing comments fall outside the token span)
     assert s.where_sql and s.where_sql in pred
+
+
+def test_alter_set_identifier_fields():
+    s = parse("ALTER TABLE cat.ns.t SET IDENTIFIER FIELDS k, g")
+    assert isinstance(s, A.Alter)
+    assert type(s.action).__name__ == "SetIdentifierFields"
+    assert s.action.columns == ["k", "g"]
+    # SET TBLPROPERTIES still parses
+    s2 = parse("ALTER TABLE cat.ns.t SET TBLPROPERTIES ('a' = '1')")
+    assert type(s2.action).__name__ == "SetProperties"

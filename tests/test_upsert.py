@@ -138,3 +138,16 @@ def test_upsert_through_rest_service(spark, scratch):
             s for s in served["snapshots"] if s["snapshot-id"] == cur
         )
         assert snap["summary"]["added-equality-deletes"] == "2"
+
+
+def test_set_identifier_fields_via_sql(spark, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = _rows(spark, [(1, 10), (2, 20)])
+    cat.create_table("ns.t", df.schema)
+    cat.append("ns.t", spark, df)
+    cat.sql(spark, "ALTER TABLE iceberg.ns.t SET IDENTIFIER FIELDS k")
+    assert cat.load("ns.t").metadata.current_schema[
+        "identifier-field-ids"
+    ] == [1]
+    cat.upsert("ns.t", spark, _rows(spark, [(2, 200)]))
+    assert _state(cat, spark) == {1: 10, 2: 200}
