@@ -78,6 +78,7 @@ HEADLINE = [
     "iceberg_rest_txn_scan",
     "iceberg_upsert_eq_scan",
     "stream_upsert_eq",
+    "iceberg_table_stats_scan",
 ]
 
 

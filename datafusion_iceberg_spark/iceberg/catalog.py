@@ -543,6 +543,22 @@ class Catalog(SqlSurface):
         self._maybe_auto_maintain(ident, spark)
         return snap
 
+    def compute_table_stats(
+        self, ident: str, spark: SparkSession, columns: Optional[list] = None
+    ) -> dict:
+        """Per-column NDV statistics file (writer.compute_table_stats:
+        deterministic KMV sketches in puffin, registered under the spec
+        ``statistics`` field) + mirror refresh."""
+        out = self.writer(ident).compute_table_stats(spark, columns)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return out
+
+    def table_stats(self, ident: str) -> dict:
+        """Registered NDV statistics for the current snapshot
+        (column → ndv), empty if never computed."""
+        return self.writer(ident).table_stats()
+
     def set_identifier_fields(self, ident: str, columns: list) -> None:
         """Declare the schema's row-identity columns (Iceberg
         identifier-field-ids) — the keys :meth:`upsert` deletes on."""

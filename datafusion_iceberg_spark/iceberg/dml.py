@@ -416,6 +416,7 @@ _PROCEDURES = {
     "rewrite_position_delete_files": "rewrite_position_deletes",
     "rewrite_deletion_vectors": "rewrite_deletion_vectors",
     "compute_partition_stats": "compute_partition_stats",
+    "compute_table_stats": "compute_table_stats",
     "maintain": "maintain",
 }
 
@@ -427,6 +428,7 @@ _PROC_NEEDS_SPARK = {
     "rewrite_zorder",
     "refresh_mv",
     "rewrite_position_delete_files",
+    "compute_table_stats",
 }
 
 

@@ -3615,3 +3615,67 @@ def iceberg_upsert_eq_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(SUM(cents) AS BIGINT) AS cents_sum"
         " FROM iceberg.up.orders GROUP BY st ORDER BY st",
     )
+
+
+def _kmv_oracle_leg(col: str, k: int = 256, domain: int = 1 << 60) -> str:
+    """DuckDB replay of one column's KMV sketch (writer.py
+    compute_table_stats): 60-bit md5-prefix hash → distinct → k minima →
+    integer-arithmetic estimate, bit-identical to the Spark side."""
+    return f"""
+    SELECT '{col}' AS column_name, CAST(CASE WHEN COUNT(*) < {k}
+             THEN COUNT(*)
+             ELSE (CAST({k - 1} AS HUGEINT) * {domain}) // MAX(h)
+           END AS BIGINT) AS ndv
+    FROM (
+      SELECT h FROM (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15))
+                             AS BIGINT) AS h
+        FROM orders WHERE {col} IS NOT NULL
+      ) ORDER BY h LIMIT {k}
+    )"""
+
+
+@register(
+    "iceberg_table_stats_scan",
+    oracle=" UNION ALL ".join(
+        _kmv_oracle_leg(c) for c in ("o_custkey", "o_orderkey", "o_orderstatus")
+    )
+    + " ORDER BY column_name",
+)
+def iceberg_table_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TABLE STATISTICS file (r8, spec ``statistics`` field):
+    `CALL compute_table_stats` sketches per-column NDV with a
+    deterministic KMV (60-bit md5-prefix hash, k=256 minima,
+    integer-arithmetic estimator), writes the minima as puffin blobs
+    with the ``ndv`` property engines read for join sizing, and
+    registers the file against the current snapshot — through the SQL
+    CALL surface.  The reference's statistics feed stops at manifest
+    row counts (``statistics.rs:8-49``).  The oracle replays the FULL
+    sketch algorithm in DuckDB (distinct hash → k minima → same integer
+    estimate), so the approximation itself is verified bit-for-bit, not
+    just 'close'."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_tablestats")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus"
+            )
+            cat.create_table("st.orders", orders.schema)
+            cat.append("st.orders", spark, orders)
+            cat.sql(
+                spark,
+                "CALL iceberg.system.compute_table_stats('st.orders')",
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        stats = cat.table_stats("st.orders")
+    rows = sorted(stats.items())
+    return spark.createDataFrame(rows, "column_name string, ndv long")

@@ -702,6 +702,17 @@ class RestCatalog(SqlSurface):
             ident, lambda: self.writer(ident).set_identifier_fields(columns)
         )
 
+    def compute_table_stats(
+        self, ident: str, spark: SparkSession, columns=None
+    ) -> dict:
+        return self._commit_op(
+            ident,
+            lambda: self.writer(ident).compute_table_stats(spark, columns),
+        )
+
+    def table_stats(self, ident: str) -> dict:
+        return self.writer(ident).table_stats()
+
     def upsert(
         self, ident: str, spark: SparkSession, df: DataFrame, on=None
     ) -> int:

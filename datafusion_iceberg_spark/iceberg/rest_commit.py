@@ -81,6 +81,9 @@ def canonical(meta: dict) -> dict:
         m.get("partition-statistics", []),
         key=lambda e: e.get("snapshot-id", 0),
     )
+    m["statistics"] = sorted(
+        m.get("statistics", []), key=lambda e: e.get("snapshot-id", 0)
+    )
     m["snapshot-log"] = [e["snapshot-id"] for e in meta.get("snapshot-log", [])]
     refs = dict(m.get("refs") or {})
     main = refs.get("main")
@@ -94,7 +97,7 @@ def canonical(meta: dict) -> dict:
     else:
         m.pop("refs", None)
     # absent list-valued optionals == empty
-    for k in ("snapshots", "snapshot-log", "partition-statistics"):
+    for k in ("snapshots", "snapshot-log", "partition-statistics", "statistics"):
         if not m.get(k):
             m.pop(k, None)
     if m.get("current-snapshot-id", -1) in (None, -1):
@@ -300,6 +303,15 @@ def metadata_updates(base: dict, new: dict) -> tuple[list, list]:
         ups.append(
             {"action": "remove-partition-statistics", "snapshot-id": sid}
         )
+
+    # table statistics files (ndv sketches; keyed by snapshot-id)
+    bts = _by_id(base.get("statistics"), "snapshot-id")
+    nts = _by_id(new.get("statistics"), "snapshot-id")
+    for sid in sorted(set(nts)):
+        if nts[sid] != bts.get(sid):
+            ups.append({"action": "set-statistics", "statistics": nts[sid]})
+    for sid in sorted(set(bts) - set(nts)):
+        ups.append({"action": "remove-statistics", "snapshot-id": sid})
 
     # v3 row lineage: client-assigned counter (documented deviation)
     if new.get("next-row-id") != base.get("next-row-id") and new.get(
@@ -523,6 +535,19 @@ def apply_updates(base: dict, updates: list, ts_ms: int) -> dict:
             m["partition-statistics"] = [
                 e
                 for e in m.get("partition-statistics", [])
+                if e.get("snapshot-id") != u["snapshot-id"]
+            ]
+        elif a == "set-statistics":
+            entry = u["statistics"]
+            m["statistics"] = [
+                e
+                for e in m.get("statistics", [])
+                if e.get("snapshot-id") != entry.get("snapshot-id")
+            ] + [entry]
+        elif a == "remove-statistics":
+            m["statistics"] = [
+                e
+                for e in m.get("statistics", [])
                 if e.get("snapshot-id") != u["snapshot-id"]
             ]
         elif a == "set-next-row-id":

@@ -1893,6 +1893,149 @@ class IcebergWriter:
         self._commit_metadata(raw)
         return {"partitions": len(keys), "path": path}
 
+    # deterministic KMV NDV sketch parameters (compute_table_stats):
+    # 60-bit md5-prefix hash, k = 256 minima, integer-arithmetic
+    # estimator — bit-identical replayable in DuckDB (HUGEINT) and Spark
+    _KMV_K = 256
+    _KMV_DOMAIN = 1 << 60
+
+    def compute_table_stats(
+        self, spark: SparkSession, columns: Optional[list] = None
+    ) -> dict:
+        """Iceberg TABLE STATISTICS file (spec ``statistics`` field):
+        per-column NDV sketches for the CURRENT snapshot, written as a
+        puffin file and registered in metadata — the planner feed real
+        engines read for join sizing (Trino/Spark read the ``ndv`` blob
+        property).  The reference's statistics feed stops at manifest
+        row counts (``statistics.rs:8-49``).
+
+        The sketch is KMV (k minimum values): per column, hash each
+        distinct value to 60 bits (md5 prefix — deterministic across
+        engines, unlike datasketches' murmur), keep the k=256 smallest,
+        estimate ndv = (k-1)·2⁶⁰ // h₍k₎ in integer arithmetic so the
+        estimate is bit-identical wherever it is recomputed (the DuckDB
+        oracle replays the full algorithm).  Blob type ``ndv-kmv-v1``
+        (payload: the minima as big-endian u64s, mergeable by
+        union+re-truncate); a real datasketches theta blob would not be
+        deterministically replayable.  Scale shape: per column one
+        DISTINCT on the 8-byte hash (value projected away map-side) +
+        a TakeOrdered(k) — no full sort, driver receives ≤k longs."""
+        import struct as _struct
+
+        from pyspark.sql import functions as F
+
+        from datafusion_iceberg_spark.iceberg.puffin import Blob, write_puffin
+
+        table = self._load_table()
+        meta_now = table.metadata
+        snap_id = meta_now.raw.get("current-snapshot-id")
+        if snap_id in (None, -1):
+            raise ValueError("compute_table_stats: table has no snapshot")
+        seq = int(meta_now.raw.get("last-sequence-number", 0))
+        cols = columns or [f.name for f in self.schema.fields]
+        bad = [c for c in cols if c not in self.field_ids]
+        if bad:
+            raise ValueError(f"compute_table_stats: unknown columns {bad}")
+        df = table.to_df(spark)
+        blobs, ndvs = [], {}
+        for c in cols:
+            minima = [
+                r.h
+                for r in df.where(F.col(c).isNotNull())
+                .select(
+                    F.conv(
+                        F.substring(F.md5(F.col(c).cast("string")), 1, 15),
+                        16,
+                        10,
+                    )
+                    .cast("long")
+                    .alias("h")
+                )
+                .distinct()
+                .orderBy("h")
+                .limit(self._KMV_K)
+                .collect()
+            ]
+            if len(minima) < self._KMV_K:
+                ndv = len(minima)
+            else:
+                ndv = (self._KMV_K - 1) * self._KMV_DOMAIN // minima[-1]
+            ndvs[c] = int(ndv)
+            blobs.append(
+                Blob(
+                    type="ndv-kmv-v1",
+                    data=b"".join(_struct.pack(">Q", h) for h in minima),
+                    fields=[self.field_ids[c]],
+                    snapshot_id=int(snap_id),
+                    sequence_number=seq,
+                    properties={
+                        "ndv": str(int(ndv)),
+                        "k": str(self._KMV_K),
+                        "hash": "md5-60bit",
+                    },
+                )
+            )
+        meta_dir = os.path.join(self.root, "metadata")
+        path = os.path.join(
+            meta_dir, f"table-stats-{snap_id}-{uuidlib.uuid4().hex}.puffin"
+        )
+        written = write_puffin(path, blobs)
+        size = os.path.getsize(path)
+        entry = {
+            "snapshot-id": int(snap_id),
+            "statistics-path": path,
+            "file-size-in-bytes": size,
+            "file-footer-size-in-bytes": 0,
+            "blob-metadata": [
+                {
+                    "type": b.type,
+                    "snapshot-id": b.snapshot_id,
+                    "sequence-number": b.sequence_number,
+                    "fields": b.fields,
+                    "properties": b.properties,
+                }
+                for b in written
+            ],
+        }
+        raw = self._load_current()
+        raw["statistics"] = [
+            s
+            for s in raw.get("statistics", [])
+            if s.get("snapshot-id") != int(snap_id)
+        ] + [entry]
+        raw["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(raw)
+        return {"statistics-path": path, "ndv": ndvs}
+
+    def table_stats(self) -> dict:
+        """Read back the registered NDV statistics for the current
+        snapshot (column name → ndv), falling back through older
+        snapshots' entries like engines do after commits without a
+        stats refresh."""
+        raw = self._load_current()
+        by_snap = {
+            int(s.get("snapshot-id", -1)): s
+            for s in raw.get("statistics", [])
+        }
+        order = [int(raw.get("current-snapshot-id", -1))] + [
+            s["snapshot-id"] for s in reversed(raw.get("snapshots", []))
+        ]
+        entry = next(
+            (by_snap[s] for s in order if s in by_snap), None
+        )
+        if entry is None:
+            return {}
+        names_by_id = {v: k for k, v in self.field_ids.items()}
+        out = {}
+        for bm in entry.get("blob-metadata", []):
+            if bm.get("type") != "ndv-kmv-v1":
+                continue
+            for fid in bm.get("fields", []):
+                name = names_by_id.get(fid)
+                if name is not None:
+                    out[name] = int(bm["properties"]["ndv"])
+        return out
+
     def rewrite_manifests(self) -> dict:
         """Metadata-only maintenance: collapse the current snapshot's
         data manifests into ONE and commit a replace snapshot that
@@ -4847,6 +4990,15 @@ class IcebergWriter:
         meta["snapshot-log"] = [
             e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in kept_ids
         ]
+        # statistics files are keyed by snapshot: entries for expired
+        # snapshots go with them (their files become deletable orphans)
+        for stats_key in ("statistics", "partition-statistics"):
+            if stats_key in meta:
+                meta[stats_key] = [
+                    s
+                    for s in meta[stats_key]
+                    if s.get("snapshot-id") in kept_ids
+                ]
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(meta)
 
