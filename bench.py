@@ -79,6 +79,7 @@ HEADLINE = [
     "iceberg_upsert_eq_scan",
     "stream_upsert_eq",
     "iceberg_table_stats_scan",
+    "dedup_semantic_cluster",
 ]
 
 

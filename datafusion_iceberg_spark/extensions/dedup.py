@@ -1343,3 +1343,98 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("corpus_id").alias("dup_of"))
         .orderBy("doc_id")
     )
+
+
+def _semdedup_oracle() -> str:
+    from datafusion_iceberg_spark.extensions.similarity import _kmeans_ctes
+
+    return _kmeans_ctes() + """,
+    evd AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    norms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM evd GROUP BY vec_id),
+    pairs AS (
+      SELECT wa.cid, wa.vec_id AS ida, wb.vec_id AS idb, SUM(a.x * b.x) AS dot
+      FROM w3 wa JOIN w3 wb ON wa.cid = wb.cid AND wa.vec_id < wb.vec_id
+      JOIN evd a ON a.vec_id = wa.vec_id
+      JOIN evd b ON b.vec_id = wb.vec_id AND b.i = a.i
+      GROUP BY wa.cid, wa.vec_id, wb.vec_id),
+    dropped AS (
+      SELECT DISTINCT p.idb AS vec_id
+      FROM pairs p
+      JOIN norms na ON na.vec_id = p.ida
+      JOIN norms nb ON nb.vec_id = p.idb
+      WHERE p.dot / (na.nrm * nb.nrm) >= 0.4)
+    SELECT CAST(w.cid AS INTEGER) AS cluster_id,
+           COUNT(*) AS n_docs,
+           COUNT(d.vec_id) AS n_dropped,
+           CAST(SUM(CASE WHEN d.vec_id IS NULL THEN w.vec_id END) AS BIGINT)
+             AS kept_id_sum
+    FROM w3 w LEFT JOIN dropped d ON d.vec_id = w.vec_id
+    GROUP BY w.cid ORDER BY cluster_id
+    """
+
+
+@register("dedup_semantic_cluster", oracle=_semdedup_oracle())
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (r8): cluster the embedding corpus
+    with the exact-integer k-means kernel, then compare pairs ONLY
+    within each cluster — a vector is dropped when a lower-id cluster
+    neighbor has cosine >= 0.4 (keep-lowest survivorship, no transitive
+    closure).  Clustering is what makes all-pairs tractable at corpus
+    scale: K grows with N so cluster populations stay bounded, and the
+    pair count is sum(|cluster|^2) instead of N^2 (Abbas et al.,
+    SemDeDup, 2023).  In-cluster pairs here are a cid-equi-join with a
+    codegen zip_with dot product — pure JVM, no Python in the loop; at
+    production scale each cluster-block becomes one GEMM task exactly
+    like dedup_embedding_cosine's blocked multiply.  The oracle replays
+    the WHOLE pipeline (3 Lloyd rounds bit-exact in integer micros,
+    then the same double cosine) in DuckDB."""
+    from datafusion_iceberg_spark.extensions.similarity import (
+        kmeans_assignments,
+    )
+
+    win, _cents = kmeans_assignments(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("x"),
+    ).withColumn(
+        "nrm", F.expr("sqrt(aggregate(x, 0D, (acc, v) -> acc + v * v))")
+    )
+    docs = emb.join(win.select("vec_id", "cid"), "vec_id")
+    a = docs.select(
+        "cid",
+        F.col("vec_id").alias("ida"),
+        F.col("x").alias("xa"),
+        F.col("nrm").alias("na"),
+    )
+    b = docs.select(
+        "cid",
+        F.col("vec_id").alias("idb"),
+        F.col("x").alias("xb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(xa, xb, (p, q) -> p * q), 0D, (acc, v) -> acc + v)"
+    ) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("ida") < F.col("idb"))
+        .where(cos >= 0.4)
+        .select(F.col("idb").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        docs.join(dropped, "vec_id", "left")
+        .groupBy(F.col("cid").cast("int").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("_dropped").alias("n_dropped"),
+            F.sum(
+                F.when(F.col("_dropped").isNull(), F.col("vec_id"))
+            ).cast("long").alias("kept_id_sum"),
+        )
+        .orderBy("cluster_id")
+    )

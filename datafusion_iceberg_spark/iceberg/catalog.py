@@ -543,6 +543,13 @@ class Catalog(SqlSurface):
         self._maybe_auto_maintain(ident, spark)
         return snap
 
+    def set_sort_order(self, ident: str, columns: list) -> None:
+        """ALTER TABLE ... WRITE ORDERED BY (writer.set_sort_order:
+        new/reused sort order becomes the default for future appends)."""
+        self.writer(ident).set_sort_order(columns)
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+
     def compute_table_stats(
         self, ident: str, spark: SparkSession, columns: Optional[list] = None
     ) -> dict:

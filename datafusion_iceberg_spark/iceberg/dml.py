@@ -358,6 +358,10 @@ def _exec_alter(surface, spark, s: A.Alter) -> DataFrame:
         _need(surface, "set_identifier_fields")
         surface.set_identifier_fields(ident, a.columns)
         return _result(spark, "set_identifier_fields", ident, None)
+    if isinstance(a, A.SetSortOrder):
+        _need(surface, "set_sort_order")
+        surface.set_sort_order(ident, a.columns)
+        return _result(spark, "set_sort_order", ident, None)
     raise ValueError(f"unsupported ALTER TABLE action: {a!r}")
 
 

@@ -702,6 +702,11 @@ class RestCatalog(SqlSurface):
             ident, lambda: self.writer(ident).set_identifier_fields(columns)
         )
 
+    def set_sort_order(self, ident: str, columns: list) -> None:
+        self._commit_op(
+            ident, lambda: self.writer(ident).set_sort_order(columns)
+        )
+
     def compute_table_stats(
         self, ident: str, spark: SparkSession, columns=None
     ) -> dict:

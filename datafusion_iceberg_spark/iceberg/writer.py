@@ -3825,6 +3825,52 @@ class IcebergWriter:
         meta["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(meta)
 
+    def set_sort_order(self, columns: list) -> None:
+        """``ALTER TABLE ... WRITE ORDERED BY`` evolution: register a new
+        sort order (or reuse an identical existing one) and make it the
+        default — metadata-only; data already written keeps its layout
+        and SUBSEQUENT appends sort by the new order, so file-level
+        min/max bounds turn range filters into file pruning (the same
+        effect :meth:`rewrite_sorted` gives retroactively).  An empty
+        column list reverts to unsorted (order 0)."""
+        bad = [c for c in columns if c not in self.field_ids]
+        if bad:
+            raise ValueError(f"sort columns not in schema: {bad}")
+        meta = self._load_current()
+        orders = list(meta.get("sort-orders", []))
+        if not columns:
+            if not any(o.get("order-id", 0) == 0 for o in orders):
+                orders.append({"order-id": 0, "fields": []})
+            target = 0
+        else:
+            fields = [
+                {
+                    "transform": "identity",
+                    "source-id": self.field_ids[c],
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+                for c in columns
+            ]
+            match = next(
+                (o for o in orders if o.get("fields") == fields), None
+            )
+            if match is not None:
+                target = match.get("order-id", 0)
+            else:
+                target = max(
+                    (o.get("order-id", 0) for o in orders), default=0
+                ) + 1
+                orders.append({"order-id": target, "fields": fields})
+        if meta.get("default-sort-order-id", 0) != target or orders != meta.get(
+            "sort-orders", []
+        ):
+            meta["sort-orders"] = orders
+            meta["default-sort-order-id"] = target
+            meta["last-updated-ms"] = int(time.time() * 1000)
+            self._commit_metadata(meta)
+        self.sort_by = list(columns)
+
     def identifier_columns(self) -> list:
         """The schema's declared identity columns (empty if unset)."""
         meta = self._load_current()

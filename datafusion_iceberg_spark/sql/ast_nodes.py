@@ -146,6 +146,11 @@ class SetIdentifierFields:
 
 
 @dataclass
+class SetSortOrder:
+    columns: list[str]               # empty = WRITE UNORDERED
+
+
+@dataclass
 class Alter(Statement):
     namespace: str
     table: str

@@ -707,6 +707,19 @@ def _parse_alter(p: _P) -> A.Statement:
         type_ddl = _type_ddl(p)
         p.expect_end()
         return A.Alter(ns, tbl, A.AlterColumnType(col, type_ddl))
+    if p.accept_kw("WRITE"):
+        # Spark-Iceberg: ALTER TABLE t WRITE ORDERED BY c [, ...] and
+        # ALTER TABLE t WRITE UNORDERED
+        if p.accept_kw("UNORDERED"):
+            p.expect_end()
+            return A.Alter(ns, tbl, A.SetSortOrder([]))
+        p.expect_kw("ORDERED")
+        p.expect_kw("BY")
+        cols = [p.ident("column name")]
+        while p.accept_op(","):
+            cols.append(p.ident("column name"))
+        p.expect_end()
+        return A.Alter(ns, tbl, A.SetSortOrder(cols))
     if p.accept_kw("SET"):
         if p.accept_kw("IDENTIFIER"):
             # Spark-Iceberg: ALTER TABLE t SET IDENTIFIER FIELDS k [, ...]

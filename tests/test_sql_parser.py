@@ -301,3 +301,11 @@ def test_alter_set_identifier_fields():
     # SET TBLPROPERTIES still parses
     s2 = parse("ALTER TABLE cat.ns.t SET TBLPROPERTIES ('a' = '1')")
     assert type(s2.action).__name__ == "SetProperties"
+
+
+def test_alter_write_ordered_by():
+    s = parse("ALTER TABLE cat.ns.t WRITE ORDERED BY a, b")
+    assert type(s.action).__name__ == "SetSortOrder"
+    assert s.action.columns == ["a", "b"]
+    s2 = parse("ALTER TABLE cat.ns.t WRITE UNORDERED")
+    assert s2.action.columns == []
