@@ -480,3 +480,59 @@ def test_full_clause_merge_differential(spark, engines):
     cat.sql(spark, "DELETE FROM fuzz.d.t WHERE k = 9")
     con.execute("DELETE FROM t WHERE k = 9")
     assert _state_spark(spark, cat) == _state_duck(con)
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_random_upsert_program_matches_duckdb(spark, engines, seed):
+    """r8: UPSERT (one-snapshot equality-delete + append) interleaved
+    with plain INSERTs and DELETEs across all three storage strategies —
+    DV/position deletes and equality deletes coexist in one history.
+    DuckDB replays each upsert as DELETE-keys + INSERT (its exact
+    relational meaning), and the full table state must match after
+    every statement."""
+    cat, con = engines
+    rng = random.Random(seed)
+    seed_rows = [(k, GROUPS[k % 3], k * 10) for k in range(8)]
+    vals = ", ".join(f"({k}, '{g}', {v})" for k, g, v in seed_rows)
+    cat.sql(spark, f"INSERT INTO fuzz.d.t VALUES {vals}")
+    con.execute(f"INSERT INTO t VALUES {vals}")
+    next_k = 100
+    for _step in range(6):
+        op = rng.choice(["upsert", "upsert", "insert", "delete"])
+        if op == "upsert":
+            existing = [r[0] for r in _state_duck(con)]
+            keys = set()
+            if existing:
+                keys |= {rng.choice(existing) for _ in range(rng.randint(1, 3))}
+            for _ in range(rng.randint(0, 2)):
+                keys.add(next_k)
+                next_k += 1
+            rows = [
+                (k, rng.choice(GROUPS), rng.randint(0, 500)) for k in sorted(keys)
+            ]
+            cat.upsert(
+                "d.t",
+                spark,
+                spark.createDataFrame(rows, "k BIGINT, grp STRING, val BIGINT"),
+                on=["k"],
+            )
+            in_list = ", ".join(str(k) for k, _, _ in rows)
+            con.execute(f"DELETE FROM t WHERE k IN ({in_list})")
+            con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        elif op == "insert":
+            rows = [
+                (next_k + i, rng.choice(GROUPS), rng.randint(0, 500))
+                for i in range(rng.randint(1, 3))
+            ]
+            next_k += len(rows)
+            vals = ", ".join(f"({k}, '{g}', {v})" for k, g, v in rows)
+            cat.sql(spark, f"INSERT INTO fuzz.d.t VALUES {vals}")
+            con.execute(f"INSERT INTO t VALUES {vals}")
+        else:
+            g = rng.choice(GROUPS)
+            lim = rng.randint(0, 400)
+            pred = f"grp = '{g}' AND val < {lim}"
+            cat.sql(spark, f"DELETE FROM fuzz.d.t WHERE {pred}")
+            con.execute(f"DELETE FROM t WHERE {pred}")
+        a, b = _state_spark(spark, cat), _state_duck(con)
+        assert a == b, f"seed {seed} step {_step} ({op}): {a[:5]} != {b[:5]}"
