@@ -362,6 +362,25 @@ def _exec_alter(surface, spark, s: A.Alter) -> DataFrame:
         _need(surface, "set_sort_order")
         surface.set_sort_order(ident, a.columns)
         return _result(spark, "set_sort_order", ident, None)
+    if isinstance(a, A.AddPartitionField):
+        _need(surface, "evolve_partition_spec")
+        cur = surface.load(ident).metadata.partition_spec_entries()
+        if a.entry in cur:
+            raise ValueError(f"partition field already present: {a.entry}")
+        surface.evolve_partition_spec(ident, cur + [a.entry])
+        return _result(spark, "add_partition_field", ident, None)
+    if isinstance(a, A.DropPartitionField):
+        _need(surface, "evolve_partition_spec")
+        cur = surface.load(ident).metadata.partition_spec_entries()
+        if a.entry not in cur:
+            raise ValueError(
+                f"partition field not in current spec: {a.entry} "
+                f"(spec: {cur})"
+            )
+        surface.evolve_partition_spec(
+            ident, [e for e in cur if e != a.entry]
+        )
+        return _result(spark, "drop_partition_field", ident, None)
     raise ValueError(f"unsupported ALTER TABLE action: {a!r}")
 
 

@@ -151,6 +151,16 @@ class SetSortOrder:
 
 
 @dataclass
+class AddPartitionField:
+    entry: str                       # 'col' | 'day(col)' | 'bucket(8, col)'
+
+
+@dataclass
+class DropPartitionField:
+    entry: str
+
+
+@dataclass
 class Alter(Statement):
     namespace: str
     table: str

@@ -672,11 +672,38 @@ def _type_ddl(p: _P) -> str:
     return p.span(start)
 
 
+def _partition_entry(p: _P) -> str:
+    """Partition transform: ``col`` | ``day(col)`` | ``bucket(8, col)``
+    | ``truncate(4, col)`` — rendered in the canonical string form
+    ``transforms.parse_spec_entry`` accepts."""
+    name = p.ident("partition transform or column")
+    if not p.accept_op("("):
+        return name
+    args = []
+    while True:
+        t = p.peek()
+        if t.kind in (IDENT, QIDENT, NUMBER):
+            args.append(t.value)
+            p.advance()
+        else:
+            raise p.error("partition transform arguments are columns/ints")
+        if p.accept_op(","):
+            continue
+        p.expect_op(")")
+        break
+    return f"{name}({', '.join(args)})"
+
+
 def _parse_alter(p: _P) -> A.Statement:
     p.expect_kw("ALTER")
     p.expect_kw("TABLE")
     ns, tbl = p.catalog_target()
     if p.accept_kw("ADD"):
+        if p.accept_kw("PARTITION"):
+            p.expect_kw("FIELD")
+            entry = _partition_entry(p)
+            p.expect_end()
+            return A.Alter(ns, tbl, A.AddPartitionField(entry))
         p.expect_kw("COLUMN", "COLUMNS")
         wrapped = p.accept_op("(")
         col = p.ident("column name")
@@ -696,6 +723,11 @@ def _parse_alter(p: _P) -> A.Statement:
         p.expect_end()
         return A.Alter(ns, tbl, A.RenameColumn(old, new))
     if p.accept_kw("DROP"):
+        if p.accept_kw("PARTITION"):
+            p.expect_kw("FIELD")
+            entry = _partition_entry(p)
+            p.expect_end()
+            return A.Alter(ns, tbl, A.DropPartitionField(entry))
         p.expect_kw("COLUMN")
         col = p.ident("column name")
         p.expect_end()

@@ -102,3 +102,31 @@ def test_sort_order_through_rest(spark, scratch):
         served = client.load_table("ns", "t")["metadata"]
         assert served["default-sort-order-id"] == 1
         assert served["sort-orders"][1]["fields"][0]["source-id"] == 2
+
+
+def test_partition_evolution_via_sql(spark, scratch):
+    """ADD/DROP PARTITION FIELD: metadata-only, new spec applies to
+    subsequent appends; each manifest is read under ITS spec."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = _shuffled(spark, 0, 200)
+    cat.create_table("ns.t", df.schema)
+    cat.append("ns.t", spark, df)
+    cat.sql(spark, "ALTER TABLE iceberg.ns.t ADD PARTITION FIELD bucket(4, k)")
+    meta = cat.load("ns.t").metadata
+    assert meta.default_spec_id == 1
+    cat.append("ns.t", spark, _shuffled(spark, 200, 400))
+    n = cat.sql(spark, "SELECT COUNT(*) AS n FROM iceberg.ns.t").first()["n"]
+    assert n == 400
+    # bucket-pruned point lookup still sees rows from BOTH specs
+    got = cat.sql(
+        spark, "SELECT COUNT(*) AS n FROM iceberg.ns.t WHERE k IN (5, 205)"
+    ).first()["n"]
+    assert got == 2
+    cat.sql(spark, "ALTER TABLE iceberg.ns.t DROP PARTITION FIELD bucket(4, k)")
+    assert cat.load("ns.t").metadata.partition_spec_entries() == []
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not in current spec"):
+        cat.sql(
+            spark, "ALTER TABLE iceberg.ns.t DROP PARTITION FIELD day(nope)"
+        )

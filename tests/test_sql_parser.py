@@ -309,3 +309,16 @@ def test_alter_write_ordered_by():
     assert s.action.columns == ["a", "b"]
     s2 = parse("ALTER TABLE cat.ns.t WRITE UNORDERED")
     assert s2.action.columns == []
+
+
+def test_alter_partition_field():
+    s = parse("ALTER TABLE cat.ns.t ADD PARTITION FIELD day(ts)")
+    assert type(s.action).__name__ == "AddPartitionField"
+    assert s.action.entry == "day(ts)"
+    s2 = parse("ALTER TABLE cat.ns.t ADD PARTITION FIELD bucket(8, k)")
+    assert s2.action.entry == "bucket(8, k)"
+    s3 = parse("ALTER TABLE cat.ns.t DROP PARTITION FIELD day(ts)")
+    assert type(s3.action).__name__ == "DropPartitionField"
+    # plain ADD COLUMN still parses
+    s4 = parse("ALTER TABLE cat.ns.t ADD COLUMN c BIGINT")
+    assert type(s4.action).__name__ == "AddColumn"
