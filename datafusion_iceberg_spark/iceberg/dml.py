@@ -362,6 +362,11 @@ def _exec_alter(surface, spark, s: A.Alter) -> DataFrame:
         _need(surface, "set_sort_order")
         surface.set_sort_order(ident, a.columns)
         return _result(spark, "set_sort_order", ident, None)
+    if isinstance(a, A.RenameTable):
+        _need(surface, "rename_table")
+        dst = f"{a.new_namespace}.{a.new_table}"
+        surface.rename_table(ident, dst)
+        return _result(spark, "rename_table", dst, None)
     if isinstance(a, A.AddPartitionField):
         _need(surface, "evolve_partition_spec")
         cur = surface.load(ident).metadata.partition_spec_entries()

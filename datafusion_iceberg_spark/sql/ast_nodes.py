@@ -151,6 +151,12 @@ class SetSortOrder:
 
 
 @dataclass
+class RenameTable:
+    new_namespace: str
+    new_table: str
+
+
+@dataclass
 class AddPartitionField:
     entry: str                       # 'col' | 'day(col)' | 'bucket(8, col)'
 

@@ -716,6 +716,21 @@ def _parse_alter(p: _P) -> A.Statement:
         p.expect_end()
         return A.Alter(ns, tbl, A.AddColumn(col, type_ddl, default))
     if p.accept_kw("RENAME"):
+        if p.accept_kw("TO"):
+            # ALTER TABLE a RENAME TO [cat.][ns.]b — bare name keeps the
+            # source namespace; a leading segment equal to the catalog
+            # name is stripped
+            segs = [p.ident("table name")]
+            while p.accept_op("."):
+                segs.append(p.ident("table name"))
+            p.expect_end()
+            if len(segs) > 1 and segs[0].lower() == p.catalog.lower():
+                segs = segs[1:]
+            if len(segs) == 1:
+                new_ns, new_tbl = ns, segs[0]
+            else:
+                new_ns, new_tbl = ".".join(segs[:-1]), segs[-1]
+            return A.Alter(ns, tbl, A.RenameTable(new_ns, new_tbl))
         p.expect_kw("COLUMN")
         old = p.ident("column name")
         p.expect_kw("TO")

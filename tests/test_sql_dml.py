@@ -882,3 +882,17 @@ def test_merge_unreachable_clause_rejected(spark, cat):
             "WHEN MATCHED THEN UPDATE SET v = s.v "
             "WHEN MATCHED AND s.v = 'x' THEN DELETE",
         )
+
+
+def test_rename_table_via_sql(spark, tmp_path):
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"), name="rn")
+    cat.sql(spark, "CREATE TABLE rn.a.t (k BIGINT, v BIGINT)")
+    cat.sql(spark, "INSERT INTO rn.a.t VALUES (1, 10), (2, 20)")
+    cat.sql(spark, "ALTER TABLE rn.a.t RENAME TO rn.b.t2")
+    assert not cat.table_exists("a.t") and cat.table_exists("b.t2")
+    n = cat.sql(spark, "SELECT COUNT(*) AS n FROM rn.b.t2").first()["n"]
+    assert n == 2
+    # snapshot history rides along (paths localize under the new root)
+    assert len(cat.load("b.t2").metadata.snapshots) == 1

@@ -322,3 +322,14 @@ def test_alter_partition_field():
     # plain ADD COLUMN still parses
     s4 = parse("ALTER TABLE cat.ns.t ADD COLUMN c BIGINT")
     assert type(s4.action).__name__ == "AddColumn"
+
+
+def test_alter_rename_table():
+    s = parse("ALTER TABLE cat.ns.t RENAME TO t2")
+    a = s.action
+    assert type(a).__name__ == "RenameTable"
+    assert (a.new_namespace, a.new_table) == ("ns", "t2")
+    s2 = parse("ALTER TABLE cat.ns.t RENAME TO cat.other.t3")
+    assert (s2.action.new_namespace, s2.action.new_table) == ("other", "t3")
+    s3 = parse("ALTER TABLE cat.ns.t RENAME COLUMN a TO b")
+    assert type(s3.action).__name__ == "RenameColumn"
