@@ -565,6 +565,52 @@ class Inspect:
             )
         return spark.read.parquet(meta.localize(entry["statistics-path"]))
 
+    def stats(self, spark: SparkSession) -> DataFrame:
+        """``$stats``: registered TABLE statistics files (spec
+        ``statistics`` field) flattened to one row per (file, blob,
+        field) — column name resolved from the current schema, the
+        ``ndv`` property surfaced as a typed column (engines read it
+        for join sizing; ``compute_table_stats`` writes it)."""
+        from pyspark.sql import types as T
+
+        meta = self._t.metadata
+        names_by_id = {
+            f["id"]: f["name"] for f in meta.current_schema["fields"]
+        }
+        rows = []
+        for entry in meta.raw.get("statistics", []):
+            for bm in entry.get("blob-metadata", []):
+                props = bm.get("properties", {}) or {}
+                for fid in bm.get("fields", []):
+                    rows.append(
+                        (
+                            int(entry.get("snapshot-id", -1)),
+                            entry.get("statistics-path", ""),
+                            int(entry.get("file-size-in-bytes", 0)),
+                            bm.get("type", ""),
+                            int(fid),
+                            names_by_id.get(int(fid)),
+                            int(props["ndv"]) if "ndv" in props else None,
+                            {k: str(v) for k, v in props.items()},
+                        )
+                    )
+        schema = T.StructType(
+            [
+                T.StructField("snapshot_id", T.LongType(), False),
+                T.StructField("statistics_path", T.StringType(), False),
+                T.StructField("file_size_in_bytes", T.LongType(), False),
+                T.StructField("blob_type", T.StringType(), False),
+                T.StructField("field_id", T.IntegerType(), False),
+                T.StructField("column_name", T.StringType(), True),
+                T.StructField("ndv", T.LongType(), True),
+                T.StructField(
+                    "properties",
+                    T.MapType(T.StringType(), T.StringType()),
+                    True,
+                ),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
 
     def all_entries(self, spark: SparkSession) -> DataFrame:
         """``$all_entries``: manifest entries across EVERY snapshot
@@ -658,6 +704,7 @@ METADATA_TABLES = {
     "all_files",
     "position_deletes",
     "partition_stats",
+    "stats",
     "lineage",
     "data_files",
     "delete_files",

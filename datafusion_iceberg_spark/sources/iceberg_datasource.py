@@ -400,6 +400,40 @@ class IcebergCdcPosDeletePartition(InputPartition):
         self.frid_map = frid_map or {}
 
 
+class IcebergCdcEqDeletePartition(InputPartition):
+    """One CDC delete unit for an EQUALITY-DELETE snapshot (r8): one
+    candidate DATA file vs the snapshot's fresh equality-delete key
+    files.  The executor reads only the data file's KEY columns, drops
+    rows the prior snapshot had already deleted (position deletes, DV
+    blob, and older equality deletes with sequence > the file's), then
+    emits the OLD images of the rows whose key tuple null-safe-matches
+    a fresh key — the same strictly-before rule the batch scan applies
+    (:func:`table._apply_equality_deletes`).  Null-safe matching rides
+    Python tuple equality ((1, None) == (1, None)) over a key-tuple
+    set; at production batch sizes the kernel's per-file row loop
+    bounds at the file's row count with a CDC-sized key set."""
+
+    def __init__(
+        self,
+        path: str,
+        attach: dict,
+        fresh_specs: list,      # [(localized eq file, [key col names])]
+        prior_eq: list,         # same shape, already seq-filtered
+        prior_parquet: list,    # localized prior position-delete files
+        prior_dv_blob,          # (path, offset, length) | None
+        raw_path: str,          # as recorded (file_path filter key)
+        first_row_id=None,
+    ):
+        self.path = path
+        self.attach = attach
+        self.fresh_specs = fresh_specs
+        self.prior_eq = prior_eq
+        self.prior_parquet = prior_parquet
+        self.prior_dv_blob = prior_dv_blob
+        self.raw_path = raw_path
+        self.first_row_id = first_row_id
+
+
 class IcebergPyCdcStreamReader(IcebergPyStreamReader):
     """CDC flavor of the stream reader (``mode=cdc``): each micro-batch
     emits the ROW-LEVEL diff of its snapshot range with ``_change_type``
@@ -414,10 +448,16 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
       and taken from the data file — the same math as ``changelog_df``'s
       DV fast path, with no Spark plan needed inside the DataSource;
     - replace (compaction) snapshots → nothing (no logical change);
-    - parquet-position-delete / equality-delete / overwrite snapshots →
-      rejected with a precise error: their net diff needs EXCEPT ALL
-      over both scan legs, which a DataSource reader cannot express —
-      use the batch ``changelog_df`` for such histories.
+    - parquet position-delete snapshots → per fresh delete file, its
+      positions minus the prior snapshot's deletes for the same
+      targets, materialized from the target data files;
+    - equality-delete snapshots (incl. UPSERT commits) → per candidate
+      strictly-older data file, the rows whose key tuples null-safe
+      match the fresh key files, minus rows already deleted (r8);
+    - file-REMOVING overwrites → rejected with a precise error: their
+      net diff needs EXCEPT ALL over both scan legs, which a
+      DataSource reader cannot express — use the batch
+      ``changelog_df`` for such histories.
 
     On a v3 ROW-LINEAGE table the feed also carries ``_row_id``
     (resolved per row: the file's materialized column when present,
@@ -524,14 +564,14 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
             fresh_parquet = [
                 d for d in fresh if d.referenced_data_file is None
             ]
-            streamable = not removed_files and not fresh_eq and fresh
+            streamable = not removed_files and (fresh or fresh_eq)
             if not streamable:
                 raise ValueError(
                     "iceberg_py cdc stream: snapshot "
                     f"{sid} ({op!r}) is not an append, a "
-                    "deletion-vector or parquet-position delete, or a "
-                    "MOR row-delta — read this history with the batch "
-                    "changelog (changelog_df) instead"
+                    "deletion-vector / parquet-position / equality "
+                    "delete, or a MOR row-delta — read this history "
+                    "with the batch changelog (changelog_df) instead"
                 )
             if added_files:
                 # row-delta replacement/insert files stream as inserts
@@ -620,6 +660,69 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                         first_row_id=frid_map.get(tgt),
                     )
                 )
+            if fresh_eq:
+                from datafusion_iceberg_spark.iceberg.table import (
+                    _file_seq,
+                )
+
+                names_by_id = {
+                    v: k for k, v in meta.field_ids_by_name().items()
+                }
+                seqs = meta.snapshot_sequences()
+
+                def _spec(d):
+                    return (
+                        meta.localize(d.path),
+                        [names_by_id[i] for i in sorted(d.equality_ids)],
+                    )
+
+                prior_eq_all = [
+                    (_spec(d), _file_seq(seqs, d, 1 << 31))
+                    for d in (
+                        table.equality_delete_files(snapshot_id=prev_sid)
+                        if prev_sid is not None
+                        else []
+                    )
+                ]
+                prior_parquet2 = [
+                    meta.localize(d.path)
+                    for d in old_pos
+                    if d.referenced_data_file is None
+                ]
+                prev_files = (
+                    list(table.files(snapshot_id=prev_sid))
+                    if prev_sid is not None
+                    else []
+                )
+                for f in prev_files:
+                    tgt = meta.localize(f.path)
+                    fseq = _file_seq(seqs, f, -1)
+                    fresh_specs = [
+                        _spec(d)
+                        for d in fresh_eq
+                        if _file_seq(seqs, d, 1 << 31) > fseq
+                    ]
+                    if not fresh_specs:
+                        continue
+                    prior = old_dv.get(tgt)
+                    parts.append(
+                        IcebergCdcEqDeletePartition(
+                            tgt,
+                            {**attach, "_change_type": "delete"},
+                            fresh_specs,
+                            [s for s, sq in prior_eq_all if sq > fseq],
+                            prior_parquet2,
+                            None
+                            if prior is None
+                            else (
+                                meta.localize(prior.path),
+                                int(prior.content_offset or 0),
+                                int(prior.content_size_in_bytes or 0),
+                            ),
+                            f.path,
+                            first_row_id=frid_map.get(tgt),
+                        )
+                    )
         return parts or [IcebergFilePartition("", {})]
 
     def read(self, partition):
@@ -629,6 +732,9 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
         lineage = "_row_id" in arrow_schema.names
         if isinstance(partition, IcebergCdcPosDeletePartition):
             yield from self._read_pos_delete(partition, arrow_schema)
+            return
+        if isinstance(partition, IcebergCdcEqDeletePartition):
+            yield from self._read_eq_delete(partition, arrow_schema)
             return
         if not isinstance(partition, IcebergCdcDeletePartition):
             if not lineage:
@@ -714,6 +820,74 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                 partition.frid_map.get(tgt),
                 arrow_schema,
             )
+
+    def _read_eq_delete(self, partition, arrow_schema):
+        """Equality-delete CDC: read only the data file's key columns,
+        mask rows the prior snapshot had already deleted (prior parquet
+        position deletes filtered to this target, the prior DV blob,
+        and prior equality deletes with sequence > the file's), then
+        resolve the positions whose key tuple null-safe-matches a fresh
+        key file and materialize their OLD images."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from datafusion_iceberg_spark.iceberg.puffin import (
+            read_dv_positions,
+        )
+
+        all_cols = sorted(
+            {c for _, cols in partition.fresh_specs for c in cols}
+            | {c for _, cols in partition.prior_eq for c in cols}
+        )
+        data = pq.read_table(partition.path, columns=all_cols)
+        n = data.num_rows
+        alive = np.ones(n, dtype=bool)
+        for p in partition.prior_parquet:
+            try:
+                t2 = pq.read_table(
+                    p,
+                    columns=["file_path", "pos"],
+                    filters=[("file_path", "==", partition.raw_path)],
+                )
+            except Exception:
+                continue  # prior delete file expired: nothing to subtract
+            for pos in t2.column("pos").to_pylist():
+                if 0 <= pos < n:
+                    alive[pos] = False
+        if partition.prior_dv_blob is not None:
+            for pos in read_dv_positions(*partition.prior_dv_blob):
+                if 0 <= pos < n:
+                    alive[pos] = False
+
+        def _tuples(tbl, cols):
+            arrs = [tbl.column(c).to_pylist() for c in cols]
+            return list(zip(*arrs)) if arrs and tbl.num_rows else []
+
+        for p, cols in partition.prior_eq:
+            keys = set(_tuples(pq.read_table(p, columns=cols), cols))
+            if not keys:
+                continue
+            for i, r in enumerate(_tuples(data, cols)):
+                if alive[i] and r in keys:
+                    alive[i] = False
+        matched = np.zeros(n, dtype=bool)
+        for p, cols in partition.fresh_specs:
+            keys = set(_tuples(pq.read_table(p, columns=cols), cols))
+            if not keys:
+                continue
+            for i, r in enumerate(_tuples(data, cols)):
+                if alive[i] and r in keys:
+                    matched[i] = True
+        delta = [int(i) for i in np.nonzero(matched)[0]]
+        if not delta:
+            return
+        yield from self._deleted_rows(
+            partition.path,
+            delta,
+            partition.attach,
+            partition.first_row_id,
+            arrow_schema,
+        )
 
     def _deleted_rows(
         self, target_path, delta, attach, first_row_id, arrow_schema

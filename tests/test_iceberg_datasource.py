@@ -652,9 +652,12 @@ def test_cdc_stream_mor_update_row_delta(spark, tmp_path):
     assert {r.n_name for r in dels.collect()} != {"REDACTED"}
 
 
-def test_cdc_stream_still_rejects_equality_deletes(spark, tmp_path):
-    """Equality-delete snapshots keep the precise fence: their net diff
-    needs EXCEPT-ALL legs only the batch changelog can run."""
+def test_cdc_stream_equality_deletes(spark, tmp_path):
+    """r8: EQUALITY-delete snapshots stream in mode=cdc — each fresh key
+    file resolves to the matching rows of strictly-older data files
+    (minus rows the prior snapshot already deleted) and emits their old
+    images.  A key deleted twice must NOT re-emit (the prior eq delete
+    masks it)."""
     from datafusion_iceberg_spark.iceberg.catalog import Catalog
     from datafusion_iceberg_spark.tables import load_table
 
@@ -663,15 +666,66 @@ def test_cdc_stream_still_rejects_equality_deletes(spark, tmp_path):
     nation = load_table(spark, SF_DIR, "nation")
     cat.create_table("c.n", nation.schema)
     cat.append("c.n", spark, nation)
-    keys = spark.createDataFrame([(1,), (2,)], "n_nationkey int")
-    cat.delete_where_eq("c.n", spark, keys)
-    with pytest.raises(Exception, match="changelog"):
-        _cdc_stream_rows(
-            spark,
-            str(tmp_path / "wh" / "c" / "n"),
-            str(tmp_path / "out"),
-            str(tmp_path / "ckpt"),
-        ).collect()
+    cat.delete_where_eq(
+        "c.n", spark, spark.createDataFrame([(1,), (2,)], "n_nationkey int")
+    )
+    # key 2 again (already gone, must not re-emit) + fresh key 3
+    cat.delete_where_eq(
+        "c.n", spark, spark.createDataFrame([(2,), (3,)], "n_nationkey int")
+    )
+    rows = _cdc_stream_rows(
+        spark,
+        str(tmp_path / "wh" / "c" / "n"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    dels = (
+        rows.filter(F.col("_change_type") == "delete")
+        .groupBy("_change_ordinal")
+        .agg(F.sort_array(F.collect_list("n_nationkey")).alias("ks"))
+        .orderBy("_change_ordinal")
+        .collect()
+    )
+    assert [list(r.ks) for r in dels] == [[1, 2], [3]]
+    # net effect equals the batch changelog's EXCEPT-ALL computation
+    log = cat.load("c.n").changelog_df(spark)
+    assert (
+        log.filter(F.col("_change_type") == "delete").count()
+        == rows.filter(F.col("_change_type") == "delete").count()
+    )
+
+
+def test_cdc_stream_upsert_history(spark, tmp_path):
+    """An UPSERT snapshot (one commit: equality delete on the keys +
+    the batch's data files) streams as delete+insert pairs: the old
+    image of each updated key and the batch's rows — while the batch's
+    OWN rows are never self-deleted (strictly-before rule)."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="cdup")
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    cat.create_table("c.t", df.schema)
+    cat.append("c.t", spark, df)
+    cat.set_identifier_fields("c.t", ["k"])
+    cat.upsert(
+        "c.t", spark, spark.createDataFrame([(2, 200), (4, 40)], "k long, v long")
+    )
+    rows = _cdc_stream_rows(
+        spark,
+        str(tmp_path / "wh" / "c" / "t"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    up = rows.filter(F.col("_change_ordinal") == rows.agg(
+        F.max("_change_ordinal")
+    ).first()[0])
+    dels = [(r.k, r.v) for r in up.filter("_change_type = 'delete'").collect()]
+    ins = sorted(
+        (r.k, r.v) for r in up.filter("_change_type = 'insert'").collect()
+    )
+    assert dels == [(2, 20)]
+    assert ins == [(2, 200), (4, 40)]
 
 
 def test_cdc_stream_carries_row_ids_on_lineage_tables(spark, tmp_path):

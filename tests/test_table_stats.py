@@ -119,3 +119,22 @@ def test_stats_through_rest_service(spark, scratch):
             served["statistics"][0]["blob-metadata"][0]["properties"]["ndv"]
             == "64"
         )
+
+
+def test_stats_metadata_table(spark, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"), name="st")
+    df = spark.range(40).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    cat.create_table("ns.t", df.schema)
+    cat.append("ns.t", spark, df)
+    cat.compute_table_stats("ns.t", spark)
+    rows = cat.sql(
+        spark,
+        "SELECT column_name, ndv, blob_type FROM st.ns.`t$stats`"
+        " ORDER BY column_name",
+    ).collect()
+    assert [(r.column_name, r.ndv, r.blob_type) for r in rows] == [
+        ("g", 5, "ndv-kmv-v1"),
+        ("k", 40, "ndv-kmv-v1"),
+    ]
