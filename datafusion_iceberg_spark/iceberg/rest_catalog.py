@@ -416,6 +416,9 @@ class RestTransaction:
     def merge_into(self, ident: str, spark, source, on, **kw) -> int:
         return self.writer(ident).merge(spark, source, on, **kw)
 
+    def upsert(self, ident: str, spark, df, on=None) -> int:
+        return self.writer(ident).upsert(spark, df, on)
+
     def add_column(self, ident: str, name: str, dtype, default=None) -> int:
         return self.writer(ident).add_column(name, dtype, default)
 

@@ -534,3 +534,31 @@ def test_wap_compact_rollback_through_service(spark, scratch):
             rest.sql(spark, "SELECT COUNT(*) AS n FROM rc.ns.t").first()["n"]
             == 15
         )
+
+
+def test_transaction_upsert_stages_atomically(spark, scratch):
+    """UPSERT inside a multi-table transaction: the equality-delete +
+    append snapshot stages like any other op, and a second staged op on
+    the same table chains on top of it."""
+    with LocalRestServer(os.path.join(scratch, "wh")) as base:
+        client = RestCatalogClient(base)
+        rest = RestCatalog(client, name="rc")
+        rest.create_table("ns.t", _rows(spark).schema)
+        rest.append("ns.t", spark, _rows(spark, 5))
+        rest.set_identifier_fields("ns.t", ["k"])
+        with rest.transaction() as txn:
+            txn.upsert(
+                "ns.t",
+                spark,
+                spark.createDataFrame([(2, 222), (9, 90)], "k long, v long"),
+            )
+            txn.append(
+                "ns.t", spark, spark.createDataFrame([(50, 500)], "k long, v long")
+            )
+        got = {
+            r["k"]: r["v"]
+            for r in rest.sql(spark, "SELECT k, v FROM rc.ns.t").collect()
+        }
+        assert got == {0: 0, 1: 10, 2: 222, 3: 30, 4: 40, 9: 90, 50: 500}
+        served = client.load_table("ns", "t")["metadata"]
+        assert len(served["snapshots"]) == 3  # append + upsert + append
