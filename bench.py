@@ -80,6 +80,7 @@ HEADLINE = [
     "stream_upsert_eq",
     "iceberg_table_stats_scan",
     "dedup_semantic_cluster",
+    "iceberg_runtime_pruned_join",
 ]
 
 

@@ -3679,3 +3679,92 @@ def iceberg_table_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = cat.table_stats("st.orders")
     rows = sorted(stats.items())
     return spark.createDataFrame(rows, "column_name string, ndv long")
+
+
+_MONEY_SUM = (
+    "CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT)"
+    " AS DECIMAL(18,0))) AS DOUBLE) / 1000000"
+)
+
+
+@register(
+    "iceberg_runtime_pruned_join",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey < 200
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_runtime_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime file pruning from join keys (r8, ``runtime_filter.py``):
+    the filtered customer dim's distinct keys become an IN predicate fed
+    to manifest/file pruning BEFORE the fact scan — the metadata-level
+    generalization of Spark's DPP, which cannot fire on our planned-file
+    scans.  Dim is broadcast; the fact side never shuffles.  The
+    reference's scans receive only static filters (table.rs:281-293)."""
+    from datafusion_iceberg_spark.iceberg.runtime_filter import (
+        runtime_pruned_join,
+    )
+
+    fx = fixture(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where("c_mktsegment = 'BUILDING' AND c_custkey < 200")
+        .select("c_custkey", "c_mktsegment")
+    )
+    joined = runtime_pruned_join(
+        spark, fx.orders, dim, fact_key="o_custkey", dim_key="c_custkey"
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(_MONEY_SUM).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "iceberg_runtime_range_join",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR((o_totalprice) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey BETWEEN 500 AND 700
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_runtime_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime pruning's above-cap degradation: with ``max_keys`` below
+    the dim NDV the key values are never collected — the [min, max]
+    interval prunes instead (the safe path when the dim side is large;
+    still file-skipping for clustered fact layouts)."""
+    from datafusion_iceberg_spark.iceberg.runtime_filter import (
+        runtime_pruned_join,
+    )
+
+    fx = fixture(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where("c_custkey BETWEEN 500 AND 700")
+        .select("c_custkey")
+    )
+    joined = runtime_pruned_join(
+        spark,
+        fx.orders,
+        dim,
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        max_keys=4,
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(_MONEY_SUM).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
