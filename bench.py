@@ -81,6 +81,7 @@ HEADLINE = [
     "iceberg_table_stats_scan",
     "dedup_semantic_cluster",
     "iceberg_runtime_pruned_join",
+    "iceberg_scd2_apply_scan",
 ]
 
 

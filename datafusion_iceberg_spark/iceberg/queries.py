@@ -3768,3 +3768,97 @@ def iceberg_runtime_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "iceberg_scd2_apply_scan",
+    oracle="""
+    WITH cur AS (SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer),
+    chg AS (SELECT k, bal + 500.0 AS bal, seg FROM cur WHERE k % 4 = 0),
+    newk AS (SELECT k + 1000000 AS k, 1.0 AS bal, 'NEW' AS seg FROM cur WHERE k % 100 = 7)
+    SELECT * FROM (
+      SELECT k, bal, seg, TIMESTAMP '1992-01-01', CAST(NULL AS TIMESTAMP) AS valid_to, true AS is_current
+      FROM cur WHERE k % 4 <> 0
+      UNION ALL
+      SELECT k, bal, seg, TIMESTAMP '1992-01-01', TIMESTAMP '1995-06-01', false FROM cur WHERE k % 4 = 0
+      UNION ALL
+      SELECT k, bal, seg, TIMESTAMP '1995-06-01', CAST(NULL AS TIMESTAMP), true FROM chg
+      UNION ALL
+      SELECT k, bal, seg, TIMESTAMP '1995-06-01', CAST(NULL AS TIMESTAMP), true FROM newk
+    ) t(k, bal, seg, valid_from, valid_to, is_current) ORDER BY k, valid_from
+    """,
+)
+def iceberg_scd2_apply_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 apply (r8, ``operators/scd.py``): one atomic MERGE via
+    the merge-key union trick closes out changed dimension versions and
+    inserts open replacements — no-op updates stay no-ops, brand-new
+    keys insert without history.  The oracle reconstructs the full
+    post-apply table (history + open rows) in plain SQL.  The reference
+    cannot express this at all (read-only tables)."""
+    import datetime
+
+    from datafusion_iceberg_spark.operators.scd import scd2_apply
+
+    eff = datetime.date(1995, 6, 1)
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_scd2")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            cust = load_table(spark, sf_dir, "customer")
+            dim = cust.select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_acctbal").alias("bal"),
+                F.col("c_mktsegment").alias("seg"),
+                F.lit(datetime.date(1992, 1, 1)).alias("valid_from"),
+                F.lit(None).cast("date").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+            cat.create_table("dim.customer", dim.schema)
+            cat.append("dim.customer", spark, dim)
+            changed = cust.where("c_custkey % 4 = 0").select(
+                F.col("c_custkey").alias("k"),
+                (F.col("c_acctbal") + F.lit(500.0)).alias("bal"),
+                F.col("c_mktsegment").alias("seg"),
+            )
+            noop = cust.where("c_custkey % 4 = 1").select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_acctbal").alias("bal"),
+                F.col("c_mktsegment").alias("seg"),
+            )
+            newk = cust.where("c_custkey % 100 = 7").select(
+                (F.col("c_custkey") + F.lit(1000000)).alias("k"),
+                F.lit(1.0).alias("bal"),
+                F.lit("NEW").alias("seg"),
+            )
+            updates = (
+                changed.unionByName(noop)
+                .unionByName(newk)
+                .withColumn("eff", F.lit(eff))
+            )
+            scd2_apply(
+                cat,
+                "dim.customer",
+                spark,
+                updates,
+                key="k",
+                tracked=["bal", "seg"],
+                effective="eff",
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return (
+        cat.load("dim.customer")
+        .to_df(spark)
+        # DATE → TIMESTAMP on both sides: Spark dates land as pandas
+        # objects, DuckDB dates as datetime64 — the driver hash splits
+        .withColumn("valid_from", F.col("valid_from").cast("timestamp"))
+        .withColumn("valid_to", F.col("valid_to").cast("timestamp"))
+        .orderBy("k", "valid_from")
+    )

@@ -126,8 +126,10 @@ def scd2_apply(
             insert_values=insert_values,
         ),
     ]
-    return cat.writer(ident).merge(
-        spark, source, on=[(key, _MERGE_KEY)], clauses=clauses
+    # through the catalog (not a bare writer) so the mirror refreshes
+    # and concurrent-commit re-planning applies
+    return cat.merge_into(
+        ident, spark, source, on=[(key, _MERGE_KEY)], clauses=clauses
     )
 
 
