@@ -375,7 +375,7 @@ class IcebergTable:
                 missing = frozenset(
                     c
                     for c in defaults
-                    if not _file_has_column(meta.localize(f.path), c)
+                    if not _file_has_column(meta.localize(f.path), c, meta)
                 )
                 groups.setdefault(missing, []).append(f)
             if len(groups) > 1 or next(iter(groups)):
@@ -1217,18 +1217,30 @@ def _apply_equality_deletes(
 
 
 def _file_has_column(path: str, col: str, meta=None, with_ids: bool = False) -> bool:
+    """Physical column-presence probe.  Resolution is by FIELD ID whenever
+    the file carries ids and ``meta`` maps the name — a post-RENAME scan
+    probing by name would misclassify files that store the column under
+    its old name (and, for the v3 defaults split, silently overwrite
+    their stored values with the initial-default).  ``with_ids`` is kept
+    for callers that already know; id resolution is attempted regardless
+    since a file without ids just falls back to the name check."""
     try:
         import pyarrow.parquet as pq
 
         sch = pq.read_schema(path)
-        if with_ids and meta is not None:
-            # resolve by field id (the column may live under an old name)
-            fid = meta.field_ids_by_name().get(col)
+        fid = meta.field_ids_by_name().get(col) if meta is not None else None
+        if fid is not None:
+            ids_seen = False
             for f in sch:
                 fmeta = f.metadata or {}
-                if fmeta.get(b"PARQUET:field_id") == str(fid).encode():
-                    return True
-            return False
+                v = fmeta.get(b"PARQUET:field_id")
+                if v is not None:
+                    ids_seen = True
+                    if v == str(fid).encode():
+                        return True
+            if ids_seen:
+                return False  # file has ids and this one is absent
+            # id-less file: name is the only identity
         return col in sch.names
     except Exception:
         return True  # assume present; read will surface real errors

@@ -536,3 +536,146 @@ def test_random_upsert_program_matches_duckdb(spark, engines, seed):
             con.execute(f"DELETE FROM t WHERE {pred}")
         a, b = _state_spark(spark, cat), _state_duck(con)
         assert a == b, f"seed {seed} step {_step} ({op}): {a[:5]} != {b[:5]}"
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution interleaved with DML: the field-id-mapping risk class
+# (reference bug #1, SURVEY §4.4) hit by random ADD/RENAME/DROP COLUMN
+# between INSERT/UPDATE/DELETE, differentially vs DuckDB's native ALTERs.
+# ---------------------------------------------------------------------------
+
+
+def _gen_evolution_program(rng: random.Random, n: int):
+    """Yields (spark_sql, duck_sql, cols_after) triples.  ``cols`` tracks
+    the live schema as [(name, type), ...]; k is never renamed/dropped
+    (the compare key).  ADD COLUMN alternates defaulted / NULL; INSERTs
+    randomly omit a droppable suffix column to exercise write-defaults."""
+    cols = [("k", "BIGINT"), ("grp", "VARCHAR"), ("val", "BIGINT")]
+    next_k = 1000
+    next_c = 0
+    out = []
+    for _ in range(n):
+        kind = rng.choice(
+            ["insert", "insert", "insert", "update", "delete",
+             "add", "add", "rename", "drop", "widen"]
+        )
+        droppable = [c for c, _ in cols[1:]]
+        if kind == "add":
+            next_c += 1
+            name = f"c{next_c}"
+            typ = rng.choice(["BIGINT", "VARCHAR", "DOUBLE", "INT"])
+            spark_typ = "STRING" if typ == "VARCHAR" else typ
+            duck_typ = "INTEGER" if typ == "INT" else typ
+            if rng.random() < 0.5:
+                dflt = (
+                    f"'{rng.choice(GROUPS)}'" if typ == "VARCHAR"
+                    else f"{rng.randint(-9, 9)}.5" if typ == "DOUBLE"
+                    else str(rng.randint(-9, 9))
+                )
+                s = f"ADD COLUMN {name} {{typ}} DEFAULT {dflt}"
+            else:
+                s = f"ADD COLUMN {name} {{typ}}"
+            cols = cols + [(name, typ)]
+            out.append((
+                f"ALTER TABLE fuzz.d.t {s.format(typ=spark_typ)}",
+                f"ALTER TABLE t {s.format(typ=duck_typ)}",
+                list(cols),
+            ))
+        elif kind == "rename" and droppable:
+            old = rng.choice(droppable)
+            next_c += 1
+            new = f"r{next_c}"
+            cols = [(new if c == old else c, t) for c, t in cols]
+            out.append((
+                f"ALTER TABLE fuzz.d.t RENAME COLUMN {old} TO {new}",
+                f"ALTER TABLE t RENAME COLUMN {old} TO {new}",
+                list(cols),
+            ))
+        elif kind == "drop" and len(droppable) > 1:
+            victim = rng.choice(droppable)
+            cols = [(c, t) for c, t in cols if c != victim]
+            out.append((
+                f"ALTER TABLE fuzz.d.t DROP COLUMN {victim}",
+                f"ALTER TABLE t DROP COLUMN {victim}",
+                list(cols),
+            ))
+        elif kind == "widen":
+            narrow = [c for c, t in cols if t == "INT"]
+            if not narrow:
+                continue
+            victim = rng.choice(narrow)
+            cols = [
+                (c, "BIGINT" if c == victim else t) for c, t in cols
+            ]
+            out.append((
+                f"ALTER TABLE fuzz.d.t ALTER COLUMN {victim} TYPE BIGINT",
+                f"ALTER TABLE t ALTER COLUMN {victim} SET DATA TYPE BIGINT",
+                list(cols),
+            ))
+        elif kind == "update":
+            name, typ = rng.choice(cols[1:])
+            expr = (
+                f"'{rng.choice(GROUPS)}'" if typ == "VARCHAR"
+                else f"{rng.randint(1, 5)}.25" if typ == "DOUBLE"
+                else str(rng.randint(-99, 99))
+            )  # INT and BIGINT share the small-int literal range
+            pred = f"k % {rng.randint(2, 4)} = {rng.randint(0, 1)}"
+            s = f"UPDATE {{t}} SET {name} = {expr} WHERE {pred}"
+            out.append((s.format(t="fuzz.d.t"), s.format(t="t"), list(cols)))
+        elif kind == "delete":
+            pred = f"k % {rng.randint(3, 6)} = {rng.randint(0, 2)}"
+            s = f"DELETE FROM {{t}} WHERE {pred}"
+            out.append((s.format(t="fuzz.d.t"), s.format(t="t"), list(cols)))
+        else:
+            use = list(cols)
+            if len(use) > 2 and rng.random() < 0.4:
+                use = use[:-1]  # omit the newest column → write-default
+            names = ", ".join(c for c, _ in use)
+            vals = []
+            for i in range(rng.randint(1, 3)):
+                row = []
+                for c, t in use:
+                    if c == "k":
+                        row.append(str(next_k))
+                        next_k += 1
+                    elif t == "VARCHAR":
+                        row.append(f"'{rng.choice(GROUPS)}'")
+                    elif t == "DOUBLE":
+                        row.append(f"{rng.randint(-9, 9)}.75")
+                    else:
+                        row.append(str(rng.randint(-99, 99)))
+                vals.append("(" + ", ".join(row) + ")")
+            s = f"INSERT INTO {{t}} ({names}) VALUES " + ", ".join(vals)
+            out.append((s.format(t="fuzz.d.t"), s.format(t="t"), list(cols)))
+    return out
+
+
+@pytest.mark.parametrize("seed", [13, 44, 88])
+def test_random_schema_evolution_program_matches_duckdb(
+    spark, engines, seed
+):
+    cat, con = engines
+    con.execute("INSERT INTO t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    cat.sql(spark, "INSERT INTO fuzz.d.t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    rng = random.Random(seed)
+    for i, (s_sql, d_sql, cols) in enumerate(
+        _gen_evolution_program(rng, 14)
+    ):
+        cat.sql(spark, s_sql)
+        for stmt in d_sql.split(";"):
+            con.execute(stmt)
+        names = ", ".join(c for c, _ in cols)
+        got = sorted(
+            tuple(r)
+            for r in cat.sql(
+                spark, f"SELECT {names} FROM fuzz.d.t"
+            ).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in con.execute(f"SELECT {names} FROM t").fetchall()
+        )
+        assert got == want, (
+            f"seed {seed} diverged after stmt {i}: {s_sql}\n"
+            f"spark={got}\nduck={want}"
+        )

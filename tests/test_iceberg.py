@@ -4007,3 +4007,33 @@ def test_variant_table_zero_row_file_stats(spark, sf_dir, tmp_path):
     t = cat.load("n.t")
     assert t.to_df(spark).count() == 3
     assert sum(f.record_count for f in t.files()) == 3
+
+
+def test_default_column_survives_rename(spark, sf_dir, tmp_path):
+    """Regression (r8 evolution fuzzer, seed 88): files written AFTER an
+    ADD COLUMN ... DEFAULT store real values under the original name; a
+    later RENAME must not make the defaults split misclassify them as
+    pre-column files (which silently overwrote stored values with the
+    initial-default).  Presence is probed by field id, not name."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="rnm")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("d.n", nation.schema)
+    cat.append("d.n", spark, nation.filter("n_nationkey < 5"))
+    cat.sql(spark, "ALTER TABLE rnm.d.n ADD COLUMN score BIGINT DEFAULT 7")
+    cat.append(
+        "d.n",
+        spark,
+        nation.filter("n_nationkey >= 20").withColumn(
+            "score", F.col("n_nationkey") * 100
+        ),
+    )
+    cat.sql(spark, "ALTER TABLE rnm.d.n RENAME COLUMN score TO points")
+    rows = {
+        r["n_nationkey"]: r["points"]
+        for r in cat.load("d.n").to_df(spark).collect()
+    }
+    assert all(rows[k] == 7 for k in range(5))        # pre-column files
+    assert all(rows[k] == k * 100 for k in range(20, 25))  # stored values
