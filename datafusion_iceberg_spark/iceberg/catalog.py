@@ -429,11 +429,20 @@ class Catalog(SqlSurface):
         partition_by: Optional[list[str]] = None,
         sort_by: Optional[list[str]] = None,
         properties: Optional[dict] = None,
+        iceberg_types: Optional[dict] = None,
     ) -> IcebergWriter:
+        """``iceberg_types``: per-column overrides of the derived Iceberg
+        type for Spark-inexpressible declarations (v3 ``timestamp_ns`` /
+        ``timestamptz_ns`` columns ride LongType physically)."""
         ns, name = ident.split(".", 1)
         self.create_namespace(ns)
         root = os.path.join(self.warehouse, ns, name)
         writer = IcebergWriter(root, schema, partition_by, sort_by=sort_by)
+        if iceberg_types:
+            unknown = set(iceberg_types) - set(writer.iceberg_types)
+            if unknown:
+                raise ValueError(f"iceberg_types for unknown columns: {sorted(unknown)}")
+            writer.iceberg_types.update(iceberg_types)
         writer.create(properties)
         self._mirror[ident] = IcebergTable.load(root)
         return writer

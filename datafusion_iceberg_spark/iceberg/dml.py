@@ -307,11 +307,55 @@ def _exec_create_table(surface, spark, s: A.CreateTable) -> DataFrame:
             )
             snap = surface.append(ident, spark, df)
         return _result(spark, "create_table_as", ident, snap)
-    st = T.StructType.fromDDL(s.columns_ddl)
+    ddl, ns_types = _extract_ns_timestamp_types(s.columns_ddl)
+    st = T.StructType.fromDDL(ddl)
     if existing:
         surface.drop(ident)  # plain DDL replace: nothing to materialize
-    surface.create_table(ident, st, s.partition_by, properties=s.properties)
+    if ns_types:
+        surface.create_table(
+            ident, st, s.partition_by, properties=s.properties,
+            iceberg_types=ns_types,
+        )
+    else:
+        surface.create_table(
+            ident, st, s.partition_by, properties=s.properties
+        )
     return _result(spark, "create_table", ident, None)
+
+
+def _extract_ns_timestamp_types(columns_ddl: str) -> tuple[str, dict]:
+    """v3 nanosecond timestamps in DDL: ``ts TIMESTAMP_NS`` /
+    ``TIMESTAMPTZ_NS`` are not Spark types — substitute BIGINT (the
+    physical nanos-since-epoch domain, metadata.py) and return the
+    per-column Iceberg type overrides for ``create_table``.  Splits on
+    top-level commas only, so nested struct/map spellings pass through
+    untouched (nanos inside nested types are not supported)."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in columns_ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    overrides: dict = {}
+    out = []
+    for part in parts:
+        toks = part.strip().split()
+        if len(toks) >= 2 and toks[1].lower() in (
+            "timestamp_ns", "timestamptz_ns"
+        ):
+            overrides[toks[0].strip('`"')] = toks[1].lower()
+            toks[1] = "BIGINT"
+            part = " ".join(toks)
+        out.append(part)
+    return ", ".join(p.strip() for p in out), overrides
 
 
 def _exec_drop(surface, spark, s: A.Drop) -> DataFrame:

@@ -30,6 +30,12 @@ _PRIMITIVE_TO_SPARK: dict[str, T.DataType] = {
     "time": T.LongType(),  # micros since midnight (Spark has no TimeType)
     "timestamp": T.TimestampNTZType(),
     "timestamptz": T.TimestampType(),
+    # Iceberg v3 nanosecond timestamps: Spark has no nanos type, so the
+    # session domain is the raw int64 nanos-since-epoch (the same
+    # convention spark.sql.legacy.parquet.nanosAsLong applies to
+    # TIMESTAMP(NANOS) parquet) — full precision, no truncation.
+    "timestamp_ns": T.LongType(),
+    "timestamptz_ns": T.LongType(),
     "string": T.StringType(),
     "uuid": T.StringType(),
     "binary": T.BinaryType(),

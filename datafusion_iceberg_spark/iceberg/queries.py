@@ -3862,3 +3862,61 @@ def iceberg_scd2_apply_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("valid_to", F.col("valid_to").cast("timestamp"))
         .orderBy("k", "valid_from")
     )
+
+
+@register(
+    "iceberg_timestamp_ns_scan",
+    oracle="""
+    WITH j AS (
+      SELECT event_type, epoch_ns(ts) + event_id % 1000 AS tns FROM events
+    )
+    SELECT event_type, COUNT(*) AS n, MIN(tns) AS lo, MAX(tns) AS hi,
+           CAST(SUM(CASE WHEN tns % 1000 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_submicro
+    FROM j
+    WHERE tns >= 1704067200000000000
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def iceberg_timestamp_ns_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ``timestamp_ns`` end-to-end (r8): SQL CREATE TABLE with
+    a TIMESTAMP_NS column (metadata records the v3 type, format-version
+    3; Spark domain = raw int64 nanos — no micros truncation anywhere),
+    append, manifest bounds encoded/decoded as raw longs (stats.py), and
+    a range-filtered aggregate through the scan.  Events carry
+    deterministic sub-microsecond jitter, so ``n_submicro`` proves the
+    precision a micros engine cannot represent survives the round trip.
+    The reference has no v3 types at all."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_tsns")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root, name="tsns")
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="tsns")
+            cat.sql(
+                spark,
+                "CREATE TABLE tsns.ev.t (event_id BIGINT,"
+                " ts TIMESTAMP_NS, event_type STRING)",
+            )
+            ev = load_table(spark, sf_dir, "events").select(
+                "event_id",
+                (
+                    F.unix_micros("ts") * F.lit(1000)
+                    + F.col("event_id") % 1000
+                ).alias("ts"),
+                "event_type",
+            )
+            cat.append("ev.t", spark, ev)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT event_type, COUNT(*) AS n, MIN(ts) AS lo, MAX(ts) AS hi,"
+        " SUM(CASE WHEN ts % 1000 <> 0 THEN 1 ELSE 0 END) AS n_submicro"
+        " FROM tsns.ev.t WHERE ts >= 1704067200000000000"
+        " GROUP BY event_type ORDER BY event_type",
+    )

@@ -563,16 +563,20 @@ class RestCatalog(SqlSurface):
         partition_by: Optional[list[str]] = None,
         sort_by: Optional[list[str]] = None,
         properties: Optional[dict] = None,
+        iceberg_types: Optional[dict] = None,
     ):
         """CreateTableRequest: the SERVICE builds and stores v0 metadata
         (contrast :class:`Catalog.create_table`, which writes it
-        locally).  Returns a :class:`RestCommitWriter` for the table."""
+        locally).  Returns a :class:`RestCommitWriter` for the table.
+        ``iceberg_types`` as in :meth:`Catalog.create_table`."""
         ns, name = ident.rsplit(".", 1)
         # a throwaway writer only to shape the Iceberg-JSON schema/spec/
         # order bodies from Spark types (no file is written)
         shaper = IcebergWriter(
             "/tmp/_rest_shape", schema, partition_by, sort_by=sort_by
         )
+        if iceberg_types:
+            shaper.iceberg_types.update(iceberg_types)
         self.client.create_namespace(ns)
         self.client.create_table(
             ns,

@@ -57,6 +57,11 @@ def decode_stat(iceberg_type: str, data: bytes | None) -> Any:
             return EPOCH_DATE + timedelta(days=struct.unpack("<i", data)[0])
         if t == "time":
             return struct.unpack("<q", data)[0]  # micros since midnight
+        if t in ("timestamp_ns", "timestamptz_ns"):
+            # v3 nanos: bounds are int64 nanos-since-epoch; the Spark
+            # domain is the same raw long (metadata.py), so return it
+            # undecoded — datetime would silently truncate to micros
+            return struct.unpack("<q", data)[0]
         if t.startswith("timestamptz"):
             us = struct.unpack("<q", data)[0]
             return EPOCH_TS.replace(tzinfo=timezone.utc) + timedelta(microseconds=us)
@@ -97,6 +102,8 @@ def encode_stat(iceberg_type: str, value: Any) -> bytes | None:
         return struct.pack("<i", (value - EPOCH_DATE).days)
     if t == "time":
         return struct.pack("<q", int(value))
+    if t in ("timestamp_ns", "timestamptz_ns"):
+        return struct.pack("<q", int(value))  # domain long = nanos
     if t.startswith("timestamp"):
         if isinstance(value, datetime):
             if value.tzinfo is not None:

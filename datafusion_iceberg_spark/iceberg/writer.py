@@ -799,9 +799,17 @@ class IcebergWriter:
         if self._current_version() >= 0:
             raise FileExistsError(f"table already exists at {self.root}")
         props = properties or {}
-        wants_v3 = _lineage_on({"properties": props}) or str(
-            props.get("write.delete.mode", "")
-        ).lower() in ("deletion-vector", "deletion-vectors")
+        wants_v3 = (
+            _lineage_on({"properties": props})
+            or str(props.get("write.delete.mode", "")).lower()
+            in ("deletion-vector", "deletion-vectors")
+            # nanosecond timestamps are a v3 type
+            or any(
+                t in ("timestamp_ns", "timestamptz_ns")
+                for t in self.iceberg_types.values()
+                if isinstance(t, str)
+            )
+        )
         meta = {
             # format-version 2 by default: snapshots carry real data
             # sequence numbers (`sequence-number`, via
