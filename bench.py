@@ -82,6 +82,7 @@ HEADLINE = [
     "dedup_semantic_cluster",
     "iceberg_runtime_pruned_join",
     "iceberg_scd2_apply_scan",
+    "iceberg_timestamp_ns_scan",
 ]
 
 

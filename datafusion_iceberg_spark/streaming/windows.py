@@ -690,3 +690,167 @@ def stream_upsert_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_scd2_apply",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS rn,
+             COUNT(*) OVER () AS n
+      FROM events
+    ),
+    batched AS (
+      SELECT *, CAST(FLOOR(rn / CEIL(n / 4.0)) AS INT) AS batch
+      FROM ordered
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY batch, user_id ORDER BY rn DESC) AS rk
+        FROM batched
+      ) WHERE rk = 1
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, value, ts, batch,
+               LAG(event_type) OVER w AS pe, LAG(value) OVER w AS pv,
+               LAG(1) OVER w AS has_prev
+        FROM cand WINDOW w AS (PARTITION BY user_id ORDER BY batch)
+      ) WHERE has_prev IS NULL
+           OR pe IS DISTINCT FROM event_type
+           OR pv IS DISTINCT FROM value
+    )
+    SELECT user_id, event_type AS etype, value AS val,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY batch)
+                AS TIMESTAMP) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY batch) IS NULL)
+               AS is_current
+    FROM kept ORDER BY user_id, valid_from
+    """,
+)
+def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD Type 2 sink (r8): a CDC-ordered event stream folds
+    into a versioned dimension — each micro-batch dedups to its newest
+    record per user and lands as ONE atomic MERGE via
+    ``operators.scd.scd2_apply`` (close-out + new open version; no-op
+    batches touch nothing).  The oracle replays the exact batch
+    boundaries (4 sorted chunks) and the change-compaction fold in plain
+    SQL, so the full history — not just the final state — is verified.
+
+    Scale: per batch the shuffles are the batch's own dedup plus the
+    key-span-pruned MERGE; state is the Iceberg table (checkpoint +
+    atomic commits = restart-safe), identical to the Flink CDC →
+    SCD2-dimension production pattern."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH, _lock
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+    from datafusion_iceberg_spark.operators.scd import scd2_apply
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(SCRATCH, f"wh_{tag}_scd2_stream")
+    marker = os.path.join(root, "_COMPLETE")
+    with _lock:
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            # stage FOUR chunks in (ts, event_id) order: batch order ==
+            # event order, mtimes force the file-stream ordering
+            stage = os.path.join(root, "_stage")
+            os.makedirs(stage, exist_ok=True)
+            tbl = pq.read_table(table_path(sf_dir, "events"))
+            tbl = tbl.take(
+                pc.sort_indices(
+                    tbl,
+                    sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
+                )
+            )
+            n = tbl.num_rows
+            step = (n + 3) // 4
+            for i in range(4):
+                chunk = tbl.slice(i * step, step)
+                if chunk.num_rows:
+                    p = os.path.join(stage, f"chunk_{i}.parquet")
+                    pq.write_table(chunk, p)
+                    os.utime(p, (1700000000 + i, 1700000000 + i))
+            raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+            stream = (
+                spark.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            ts_dtype = dict(stream.dtypes)["ts"]
+            if ts_dtype == "bigint":
+                stream = stream.withColumn(
+                    "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+                )
+            elif ts_dtype == "timestamp_ntz":
+                stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            typed = stream.select("event_id", "ts", "user_id", "event_type", "value")
+
+            dim_schema = (
+                typed.select(
+                    F.col("user_id").cast("long").alias("user_id"),
+                    F.col("event_type").alias("etype"),
+                    F.col("value").alias("val"),
+                    F.col("ts").alias("valid_from"),
+                    F.col("ts").alias("valid_to"),
+                    F.lit(True).alias("is_current"),
+                )
+                .schema
+            )
+            cat.create_table("stream.user_dim", dim_schema)
+
+            def _apply(bdf, batch_id):
+                from pyspark.sql import Window as W
+
+                if not bdf.take(1):
+                    return
+                w = W.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+                latest = (
+                    bdf.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .select(
+                        "user_id",
+                        F.col("event_type").alias("etype"),
+                        F.col("value").alias("val"),
+                        F.col("ts").alias("eff"),
+                    )
+                )
+                scd2_apply(
+                    cat,
+                    "stream.user_dim",
+                    spark,
+                    latest,
+                    key="user_id",
+                    tracked=["etype", "val"],
+                    effective="eff",
+                )
+
+            q = (
+                typed.writeStream.foreachBatch(_apply)
+                .option(
+                    "checkpointLocation", os.path.join(root, "_checkpoint")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = cat.load("stream.user_dim")
+    assert isinstance(table, IcebergTable)
+    return table.to_df(spark).orderBy("user_id", "valid_from")
