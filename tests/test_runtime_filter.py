@@ -120,3 +120,31 @@ def test_broadcast_plan_no_fact_shuffle(spark, fact_cat):
     got = runtime_pruned_join(spark, fact, dim, "k", "j")
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_runtime_pred_composes_with_bucket_pruning(spark, tmp_path):
+    """The runtime IN-list rewrites through the bucket transform
+    (transforms.rewrite_pred), so a runtime-filtered join over a
+    bucket-partitioned fact prunes whole buckets at the metadata level —
+    the composition that makes point-lookup joins cheap at 100 TB."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.transforms import bucket_value
+
+    cat = Catalog(str(tmp_path / "wh"))
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    cat.create_table("b.fact", df.schema, partition_by=["bucket(8, k)"])
+    cat.append("b.fact", spark, df)
+    fact = cat.load("b.fact")
+    all_files = fact.files()
+    # dim keys all land in one bucket → only that bucket's files survive
+    keys = [k for k in range(4000) if bucket_value(k, 8) == 3][:5]
+    dim = spark.createDataFrame([(k,) for k in keys], "j long")
+    before, after = pruned_file_count(fact, dim, "k", "j")
+    assert before == len(all_files) > 1
+    assert after < before
+    surviving = fact.files(runtime_key_pred(dim, "j", "k"))
+    assert {f.partition.get("k_bucket") for f in surviving} == {3}
+    got = runtime_pruned_join(spark, fact, dim, "k", "j")
+    assert sorted(r["k"] for r in got.collect()) == sorted(keys)
