@@ -1290,3 +1290,93 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.expr(f"stack(6, {stack}) AS (stage, stage_name, n_docs)")
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (deterministic, bit-exact oracle replay)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4       # hash rows
+_CMS_W = 1024    # buckets per row
+
+
+def _cms_bucket(row: int, tok_col):
+    """Row-``row`` CMS bucket: 16-bit md5 prefix of ``row:token`` mod W —
+    the repo's engine-portable hash convention (sampling.hash_bucket)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(str(row)), F.lit(":"), tok_col)), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % F.lit(_CMS_W)
+    )
+
+
+def _cms_bucket_sql(row_expr: str, tok_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({row_expr} AS VARCHAR) || ':' || {tok_expr}), 1, 4))"
+        f"::INT % {_CMS_W})"
+    )
+
+
+@register(
+    "text_cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cells AS (
+      SELECT r.i AS row, {_cms_bucket_sql('r.i', 'tok')} AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, (SELECT unnest([0, 1, 2, 3]) AS i) r
+      GROUP BY 1, 2
+    ),
+    vocab AS (SELECT DISTINCT tok FROM toks),
+    probes AS (
+      SELECT tok, r.i AS row, {_cms_bucket_sql('r.i', 'tok')} AS b
+      FROM vocab, (SELECT unnest([0, 1, 2, 3]) AS i) r
+    )
+    SELECT tok, MIN(c) AS est
+    FROM probes JOIN cells USING (row, b)
+    GROUP BY tok ORDER BY est DESC, tok LIMIT 25
+    """,
+)
+def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a DETERMINISTIC count-min sketch (d=4,
+    w=1024; md5-derived row hashes): the streaming-friendly sketch every
+    corpus profiler uses when the vocabulary is too large to count
+    exactly.  Build is one (row, bucket) shuffle of d*w = 4,096 cells
+    regardless of corpus size; estimates join the kilobyte sketch
+    (auto-broadcast) against the vocabulary.  The DuckDB oracle replays
+    the SKETCH itself bit-for-bit — same hashes, same cells, same min —
+    so the approximation is verified exactly, like the KMV NDV blobs
+    (writer.compute_table_stats).  CMS guarantee (est >= true count)
+    is property-tested in tests/test_extensions.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), _cms_bucket(i, F.col("tok")).alias("b")
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    cells = (
+        toks.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = toks.distinct().select(
+        "tok", F.explode(rows).alias("rb")
+    ).select("tok", F.col("rb.row").alias("row"), F.col("rb.b").alias("b"))
+    return (
+        probes.join(F.broadcast(cells), ["row", "b"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est"))
+        .orderBy(F.col("est").desc(), "tok")
+        .limit(25)
+    )

@@ -421,3 +421,50 @@ def test_decontaminate_broadcast_fence(spark, sf_dir, monkeypatch):
         assert a == b
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-min guarantee: every estimate >= the true count (collisions
+    only ever inflate), and the top exact heavy hitter is within the
+    additive error bound eps*N (eps = e/w) of its estimate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datafusion_iceberg_spark.extensions.text import (
+        _CMS_W,
+        _cms_bucket,
+        _CMS_D,
+    )
+    from datafusion_iceberg_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    true = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), _cms_bucket(i, F.col("tok")).alias("b")
+            )
+            for i in range(_CMS_D)
+        ]
+    )
+    cells = (
+        toks.select(F.explode(rows).alias("rb"))
+        .groupBy(F.col("rb.row").alias("row"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = (
+        toks.distinct()
+        .select("tok", F.explode(rows).alias("rb"))
+        .select("tok", F.col("rb.row").alias("row"), F.col("rb.b").alias("b"))
+        .join(F.broadcast(cells), ["row", "b"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est"))
+    )
+    joined = est.join(true, "tok")
+    assert joined.filter(F.col("est") < F.col("true_n")).count() == 0
+    n_total = toks.count()
+    eps = math.e / _CMS_W
+    top = joined.orderBy(F.col("true_n").desc()).first()
+    assert top["est"] - top["true_n"] <= eps * n_total
