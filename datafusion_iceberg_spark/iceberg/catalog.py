@@ -793,6 +793,28 @@ class Catalog(SqlSurface):
         return out
 
 
+    def ancestors_of(self, ident: str, snapshot_id=None) -> dict:
+        """Spark-Iceberg ``CALL ancestors_of`` parity: the parent chain
+        from the given snapshot (default: current) back to the table's
+        first commit, as {snapshot_id: timestamp_ms}.  Metadata-only."""
+        meta = self.load(ident).metadata
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        cur = (
+            int(snapshot_id)
+            if snapshot_id is not None
+            else meta.current_snapshot_id
+        )
+        out: dict = {}
+        while cur is not None and cur in by_id:
+            s = by_id[cur]
+            out[s.snapshot_id] = s.timestamp_ms
+            cur = s.parent_id
+        if not out:
+            raise ValueError(
+                f"ancestors_of: snapshot {snapshot_id!r} not found in {ident}"
+            )
+        return out
+
     def table_health(self, ident: str) -> dict:
         """Metadata-derived health report — the signals a scheduled
         maintenance job triages on, computed with ZERO data IO:

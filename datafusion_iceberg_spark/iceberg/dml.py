@@ -487,6 +487,7 @@ _PROCEDURES = {
     "add_files": "add_files",
     "rewrite_position_delete_files": "rewrite_position_deletes",
     "rewrite_deletion_vectors": "rewrite_deletion_vectors",
+    "ancestors_of": "ancestors_of",
     "compute_partition_stats": "compute_partition_stats",
     "compute_table_stats": "compute_table_stats",
     "maintain": "maintain",

@@ -4037,3 +4037,31 @@ def test_default_column_survives_rename(spark, sf_dir, tmp_path):
     }
     assert all(rows[k] == 7 for k in range(5))        # pre-column files
     assert all(rows[k] == k * 100 for k in range(20, 25))  # stored values
+
+
+def test_call_ancestors_of(spark, sf_dir, tmp_path):
+    """CALL ancestors_of walks the parent chain (Spark-Iceberg
+    procedure parity), from current or a pinned snapshot."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="anc")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("d.n", nation.schema)
+    for i in range(3):
+        cat.append("d.n", spark, nation.filter(f"n_nationkey % 3 = {i}"))
+    snaps = sorted(
+        cat.load("d.n").metadata.snapshots, key=lambda s: s.timestamp_ms
+    )
+    full = cat.ancestors_of("d.n")
+    assert list(full) == [s.snapshot_id for s in reversed(snaps)]
+    partial = cat.ancestors_of("d.n", snaps[1].snapshot_id)
+    assert list(partial) == [snaps[1].snapshot_id, snaps[0].snapshot_id]
+    out = cat.sql(
+        spark, f"CALL anc.system.ancestors_of('d.n', {snaps[1].snapshot_id})"
+    ).collect()
+    assert len(out) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not found"):
+        cat.ancestors_of("d.n", 999)
