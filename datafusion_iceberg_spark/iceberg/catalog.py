@@ -793,6 +793,13 @@ class Catalog(SqlSurface):
         return out
 
 
+    def refresh(self, ident: str) -> None:
+        """Reload the mirror entry from storage (REFRESH TABLE): needed
+        after an EXTERNAL writer commits — only this catalog's own
+        mutators refresh the cached view."""
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+
     def ancestors_of(self, ident: str, snapshot_id=None) -> dict:
         """Spark-Iceberg ``CALL ancestors_of`` parity: the parent chain
         from the given snapshot (default: current) back to the table's

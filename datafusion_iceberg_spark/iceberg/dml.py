@@ -433,6 +433,19 @@ def _exec_alter(surface, spark, s: A.Alter) -> DataFrame:
     raise ValueError(f"unsupported ALTER TABLE action: {a!r}")
 
 
+def _exec_refresh(surface, spark, s: A.Refresh) -> DataFrame:
+    """REFRESH TABLE: drop the catalog's cached mirror of the table and
+    reload from storage/service — the statement a reader issues after an
+    EXTERNAL writer (another session, a bare IcebergWriter) commits,
+    since only this catalog's own mutators refresh the mirror."""
+    ident = f"{s.namespace}.{s.table}"
+    if not surface.table_exists(ident):
+        raise KeyError(f"no such table: {ident}")
+    _need(surface, "refresh")
+    surface.refresh(ident)
+    return _result(spark, "refresh", ident, None)
+
+
 def _exec_truncate(surface, spark, s: A.Truncate) -> DataFrame:
     ident = f"{s.namespace}.{s.table}"
     _need(surface, "overwrite", "load")
@@ -684,6 +697,7 @@ _EXEC = {
     A.Drop: _exec_drop,
     A.Alter: _exec_alter,
     A.Truncate: _exec_truncate,
+    A.Refresh: _exec_refresh,
     A.Analyze: _exec_analyze,
     A.Call: _exec_call,
     A.ShowNamespaces: _exec_show_namespaces,

@@ -496,7 +496,11 @@ class RestCatalog(SqlSurface):
         self._locations: dict[str, str] = {}
         self.refresh()
 
-    def refresh(self) -> None:
+    def refresh(self, ident: Optional[str] = None) -> None:
+        """Full mirror rebuild, or one table (REFRESH TABLE ident)."""
+        if ident is not None:
+            self._refresh(ident)
+            return
         self._mirror.clear()
         self._locations.clear()
         for ns in self.client.list_namespaces():

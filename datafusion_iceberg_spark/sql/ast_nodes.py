@@ -180,6 +180,12 @@ class Truncate(Statement):
 
 
 @dataclass
+class Refresh(Statement):
+    namespace: str
+    table: str
+
+
+@dataclass
 class Analyze(Statement):
     namespace: str
     table: str

@@ -20,6 +20,7 @@ Supported statements::
     ALTER TABLE cat.ns.tbl ADD COLUMN | RENAME COLUMN | DROP COLUMN
         | ALTER COLUMN t TYPE | SET/UNSET TBLPROPERTIES
     TRUNCATE TABLE cat.ns.tbl
+    REFRESH TABLE cat.ns.tbl
     ANALYZE TABLE cat.ns.tbl [COMPUTE STATISTICS]
     CALL cat.system.proc(arg, name => arg, ...)
     SHOW NAMESPACES IN cat | SHOW TABLES IN cat[.ns]
@@ -807,6 +808,14 @@ def _parse_truncate(p: _P) -> A.Statement:
     return A.Truncate(ns, tbl)
 
 
+def _parse_refresh(p: _P) -> A.Statement:
+    p.expect_kw("REFRESH")
+    p.expect_kw("TABLE")
+    ns, tbl = p.catalog_target()
+    p.expect_end()
+    return A.Refresh(ns, tbl)
+
+
 def _parse_analyze(p: _P) -> A.Statement:
     p.expect_kw("ANALYZE")
     p.expect_kw("TABLE")
@@ -904,6 +913,7 @@ _DISPATCH: dict[str, Callable[[_P], A.Statement]] = {
     "DROP": _parse_drop,
     "ALTER": _parse_alter,
     "TRUNCATE": _parse_truncate,
+    "REFRESH": _parse_refresh,
     "ANALYZE": _parse_analyze,
     "CALL": _parse_call,
     "SHOW": _parse_show,

@@ -896,3 +896,22 @@ def test_rename_table_via_sql(spark, tmp_path):
     assert n == 2
     # snapshot history rides along (paths localize under the new root)
     assert len(cat.load("b.t2").metadata.snapshots) == 1
+
+
+def test_refresh_table_sees_external_commit(spark, sf_dir, tmp_path):
+    """REFRESH TABLE reloads the mirror after an EXTERNAL writer commit
+    (only the catalog's own mutators refresh it otherwise)."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="rfr")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("d.n", nation.schema)
+    cat.append("d.n", spark, nation.limit(5))
+    # external writer: bypasses the catalog's mirror refresh
+    cat.writer("d.n").append(spark, nation.limit(3))
+    stale = cat.sql(spark, "SELECT COUNT(*) AS n FROM rfr.d.n").first()["n"]
+    assert stale == 5  # cached view
+    cat.sql(spark, "REFRESH TABLE rfr.d.n")
+    fresh = cat.sql(spark, "SELECT COUNT(*) AS n FROM rfr.d.n").first()["n"]
+    assert fresh == 8
