@@ -562,3 +562,105 @@ def test_transaction_upsert_stages_atomically(spark, scratch):
         assert got == {0: 0, 1: 10, 2: 222, 3: 30, 4: 40, 9: 90, 50: 500}
         served = client.load_table("ns", "t")["metadata"]
         assert len(served["snapshots"]) == 3  # append + upsert + append
+
+
+# ---------------------------------------------------------------------------
+# Transaction fuzzer: random multi-table programs of transactions
+# (commit or abort) differentially vs DuckDB applying ops only on commit.
+# ---------------------------------------------------------------------------
+
+
+def _txn_state(spark, rest, ident):
+    return sorted(
+        tuple(r)
+        for r in rest.load(ident).to_df(spark).select("k", "grp", "val").collect()
+    )
+
+
+def _duck_state(con, t):
+    return sorted(tuple(r) for r in con.execute(f"SELECT k, grp, val FROM {t}").fetchall())
+
+
+@pytest.mark.parametrize("seed", [5, 42])
+def test_random_txn_program_matches_duckdb(spark, scratch, seed):
+    import random
+
+    import duckdb
+
+    rng = random.Random(seed)
+    groups = ("a", "b", "c")
+    with LocalRestServer(os.path.join(scratch, "wh")) as base:
+        rest = RestCatalog(RestCatalogClient(base), name="rc")
+        con = duckdb.connect()
+        schema_df = spark.createDataFrame([], "k long, grp string, val long")
+        for t in ("t1", "t2"):
+            rest.create_table(f"ns.{t}", schema_df.schema)
+            con.execute(f"CREATE TABLE {t} (k BIGINT, grp VARCHAR, val BIGINT)")
+        next_k = 0
+        for step in range(6):
+            ops = []  # (table, kind, payload) applied to duck ONLY on commit
+            n_ops = rng.randint(1, 4)
+            for _ in range(n_ops):
+                t = rng.choice(("t1", "t2"))
+                kind = rng.choice(("append", "append", "delete", "update"))
+                if kind == "append":
+                    rows = [
+                        (next_k + i, rng.choice(groups), rng.randint(-50, 50))
+                        for i in range(rng.randint(1, 3))
+                    ]
+                    next_k += 3
+                    ops.append((t, "append", rows))
+                elif kind == "delete":
+                    ops.append((t, "delete", f"k % {rng.randint(2, 4)} = 0"))
+                else:
+                    ops.append(
+                        (t, "update", (f"val < {rng.randint(-10, 10)}",
+                                        {"val": "val + 100"}))
+                    )
+            abort = rng.random() < 0.3
+            before = {
+                t: _txn_state(spark, rest, f"ns.{t}") for t in ("t1", "t2")
+            }
+            try:
+                with rest.transaction() as txn:
+                    for t, kind, payload in ops:
+                        ident = f"ns.{t}"
+                        if kind == "append":
+                            txn.append(
+                                ident,
+                                spark,
+                                spark.createDataFrame(
+                                    payload, "k long, grp string, val long"
+                                ),
+                            )
+                        elif kind == "delete":
+                            txn.delete_where(ident, spark, payload)
+                        else:
+                            txn.update_where(ident, spark, payload[0], payload[1])
+                        # isolation: the catalog's PUBLISHED view must not
+                        # move while the txn is staging
+                        assert _txn_state(spark, rest, ident) == before[t]
+                    if abort:
+                        raise RuntimeError("fuzz abort")
+            except RuntimeError as e:
+                assert "fuzz abort" in str(e)
+            if not abort:
+                for t, kind, payload in ops:
+                    if kind == "append":
+                        con.executemany(
+                            f"INSERT INTO {t} VALUES (?, ?, ?)", payload
+                        )
+                    elif kind == "delete":
+                        con.execute(f"DELETE FROM {t} WHERE {payload}")
+                    else:
+                        con.execute(
+                            f"UPDATE {t} SET val = val + 100 WHERE {payload[0]}"
+                        )
+            for t in ("t1", "t2"):
+                got = _txn_state(spark, rest, f"ns.{t}")
+                want = _duck_state(con, t)
+                assert got == want, (
+                    f"seed {seed} step {step} abort={abort} table {t}:\n"
+                    f"rest={got}\nduck={want}"
+                )
+        con.close()
