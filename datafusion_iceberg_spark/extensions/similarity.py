@@ -1127,3 +1127,118 @@ def sample_topic_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized (int8) top-k search
+# ---------------------------------------------------------------------------
+
+_SQ_CODE = (
+    "CASE WHEN {s} = 0 THEN transform({v}, x -> 0)"
+    " ELSE transform({v}, x -> CAST(round(127.0 * CAST(x AS DOUBLE) / {s})"
+    " AS INT)) END"
+)
+
+
+@register(
+    "sim_sq_topk",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    scales AS (SELECT vec_id, MAX(ABS(v)) AS s FROM ev GROUP BY vec_id),
+    codes AS (
+        SELECT ev.vec_id, i,
+               CASE WHEN s = 0 THEN 0
+                    ELSE CAST(ROUND(127.0 * v / s) AS INT) END AS c
+        FROM ev JOIN scales USING (vec_id)
+    ),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(CAST(c AS DOUBLE) * c)) AS nrm
+        FROM codes GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(CAST(q.c AS BIGINT) * c.c) AS dot
+        FROM codes q JOIN codes c ON q.i = c.i
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, cand_id,
+               ROUND(dot / (nq.nrm * nc.nrm), 4) AS sq_sim
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = cand_id
+        WHERE nq.nrm > 0 AND nc.nrm > 0
+    )
+    SELECT query_id, cand_id, sq_sim, rnk FROM (
+        SELECT query_id, cand_id, sq_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sq_sim DESC, cand_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+)
+def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search in the SCALAR-QUANTIZED domain (r8): corpus and
+    queries quantize to per-vector int8 codes (the 4×-smaller storage
+    format of ``embed_quantize_int8``) and similarity is the integer
+    dot product of codes normalized by code norms — the per-vector
+    scales cancel, so no dequantization happens anywhere.  The plan is
+    the brute-force shape (one corpus scan, broadcast queries, window
+    top-k) but every arithmetic step stays in small exact integers
+    (|code| ≤ 127, dot ≤ 127²·dim < 2²⁰), which is why the DuckDB
+    replay hash-matches bit-for-bit.  At 100 TB this is the memory
+    play: 64-dim float32 → 64 B codes + 8 B scale per vector."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ).alias("s"),
+        _as_double("embedding").alias("v"),
+    )
+    codes = base.select(
+        "vec_id",
+        F.expr(_SQ_CODE.format(s="s", v="v")).alias("code"),
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "SQRT(aggregate(code, 0L, (acc, c) -> acc + CAST(c AS BIGINT) * c)"
+            " * 1.0)"
+        ),
+    ).filter(F.col("nrm") > 0)
+    corpus = scale_out(codes).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("code").alias("cc"),
+        F.col("nrm").alias("cn"),
+    )
+    queries = codes.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("code").alias("qc"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("query_id") != F.col("cand_id"))
+        .withColumn(
+            "dot",
+            F.expr(
+                "aggregate(zip_with(qc, cc, (a, b) -> CAST(a AS BIGINT) * b),"
+                " 0L, (acc, x) -> acc + x)"
+            ),
+        )
+        .withColumn("sq_sim", F.round(F.col("dot") / (F.col("qn") * F.col("cn")), 4))
+        .select("query_id", "cand_id", "sq_sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sq_sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
+    )

@@ -468,3 +468,24 @@ def test_cms_never_underestimates(spark, sf_dir):
     eps = math.e / _CMS_W
     top = joined.orderBy(F.col("true_n").desc()).first()
     assert top["est"] - top["true_n"] <= eps * n_total
+
+
+def test_sq_topk_recall_vs_exact(spark, sf_dir):
+    """int8-quantized search must closely track exact cosine: recall@10
+    against the float brute-force neighbors stays high (quantization
+    error ~0.5%)."""
+    from datafusion_iceberg_spark.extensions.similarity import (
+        sim_sq_topk,
+        sim_topk_bruteforce,
+    )
+
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    sq = {
+        (r["query_id"], r["cand_id"])
+        for r in sim_sq_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & sq) / len(exact)
+    assert recall >= 0.8, f"SQ recall@10 too low: {recall:.2f}"
