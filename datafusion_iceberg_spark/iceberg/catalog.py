@@ -793,6 +793,19 @@ class Catalog(SqlSurface):
         return out
 
 
+    def compact_binpack(
+        self, ident: str, spark: SparkSession, *args, **kw
+    ) -> dict:
+        """Selective small-file compaction (writer.compact_binpack) +
+        mirror refresh; skipped commits leave the mirror untouched."""
+        out = self._replan(
+            ident,
+            lambda: self.writer(ident).compact_binpack(spark, *args, **kw),
+        )
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return out
+
     def refresh(self, ident: str) -> None:
         """Reload the mirror entry from storage (REFRESH TABLE): needed
         after an EXTERNAL writer commits — only this catalog's own

@@ -501,6 +501,7 @@ _PROCEDURES = {
     "rewrite_position_delete_files": "rewrite_position_deletes",
     "rewrite_deletion_vectors": "rewrite_deletion_vectors",
     "ancestors_of": "ancestors_of",
+    "rewrite_small_files": "compact_binpack",
     "compute_partition_stats": "compute_partition_stats",
     "compute_table_stats": "compute_table_stats",
     "maintain": "maintain",
@@ -511,6 +512,7 @@ _PROCEDURES = {
 _PROC_NEEDS_SPARK = {
     "maintain",
     "rewrite_data_files",
+    "rewrite_small_files",
     "rewrite_zorder",
     "refresh_mv",
     "rewrite_position_delete_files",

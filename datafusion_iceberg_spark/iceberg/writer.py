@@ -1781,6 +1781,87 @@ class IcebergWriter:
             _expected_parent=table.metadata.current_snapshot_id,
         )
 
+    def compact_binpack(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        small_ratio: float = 0.75,
+    ) -> dict:
+        """SELECTIVE binpack compaction: rewrite only the files below
+        ``small_ratio × target`` (plus any file targeted by outstanding
+        MOR deletes, whose deletes fold away exactly like
+        :meth:`merge`'s rewrite); right-sized files ride along VERBATIM
+        via ``_extra_entries``.  This is the routine-maintenance shape
+        for a 100 TB table — :meth:`compact` rewrites everything and is
+        only right after bulk ingestion.  One replace snapshot; cost is
+        proportional to the small+delete-laden bytes, not the table.
+
+        Returns the CALL-friendly summary dict; ``rewritten_files == 0``
+        means the commit was skipped entirely (pure no-op)."""
+        import math
+
+        table = self._load_table()
+        files = table.files()
+        dead = table.files_targeted_by_deletes()
+        threshold = int(target_file_bytes * small_ratio)
+        cand_paths = {
+            f.path
+            for f in files
+            if f.file_size_in_bytes < threshold
+            or table.metadata.localize(f.path) in dead
+        }
+        candidates = [f for f in files if f.path in cand_paths]
+        untouched = [f for f in files if f.path not in cand_paths]
+        only_small_singleton = (
+            len(candidates) < 2
+            and not any(
+                table.metadata.localize(f.path) in dead for f in candidates
+            )
+        )
+        if not candidates or only_small_singleton:
+            return {
+                "rewritten_files": 0,
+                "rewritten_bytes": 0,
+                "new_files": 0,
+                "kept_files": len(files),
+            }
+        total_bytes = sum(f.file_size_in_bytes for f in candidates)
+        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+        lineage = _lineage_on(table.metadata.raw)
+        df = (
+            self._lineage_scan(spark, table, candidates)
+            if lineage
+            else table._scan_files(spark, candidates, None)
+        )
+        if self.spec_entries:
+            df = df.repartition(n_out, *[s for s, _, _ in self.spec_entries])
+        else:
+            df = df.repartition(n_out)
+        snap = self.append(
+            spark,
+            df,
+            _carry=False,
+            _operation="replace",
+            _extra_entries=untouched,
+            _allow_empty=True,
+            _expected_parent=table.metadata.current_snapshot_id,
+        )
+        new_meta = self._load_table().metadata
+        n_new = sum(
+            1
+            for f in self._load_table().files()
+            if f.path not in {x.path for x in files}
+        )
+        return {
+            "rewritten_files": len(candidates),
+            "rewritten_bytes": total_bytes,
+            "new_files": n_new,
+            "kept_files": len(untouched),
+            "snapshot_id": new_meta.current_snapshot_id
+            if new_meta.current_snapshot_id != -1
+            else snap,
+        }
+
 
     def compute_partition_stats(self) -> dict:
         """Iceberg PARTITION STATISTICS file (spec ``partition-statistics``
