@@ -907,9 +907,12 @@ class Catalog(SqlSurface):
         ):
             # the file-count floor keeps the policy from re-compacting a
             # table whose files are simply small-data small (compaction
-            # of 3 files buys nothing and never converges the ratio)
-            self.compact(ident, spark)
-            ran["compacted"] = True
+            # of 3 files buys nothing and never converges the ratio).
+            # SELECTIVE binpack, not the full rewrite: scheduled
+            # maintenance must cost ∝ small-file bytes, not the table
+            out = self.compact_binpack(ident, spark)
+            ran["compacted"] = out["rewritten_files"] > 0
+            ran["compaction"] = out
         h = self.table_health(ident)
         if h["dv_containers"] > max_dv_containers:
             ran["dv_rewrite"] = self.rewrite_deletion_vectors(ident)
