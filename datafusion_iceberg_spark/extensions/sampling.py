@@ -353,3 +353,101 @@ def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET = ("src0", "src1")  # the "high-quality domain" exemplar set
+
+
+def _dsir_bucket(tok_col):
+    """Hashed unigram feature bucket — the repo's portable md5 hash."""
+    return (
+        F.conv(F.substring(F.md5(tok_col), 1, 4), 16, 10).cast("int")
+        % F.lit(_DSIR_BUCKETS)
+    )
+
+
+@register(
+    "sample_dsir_importance",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source IN {_DSIR_TARGET} AS is_t,
+             (('0x' || substr(md5(tok), 1, 4))::INT % {_DSIR_BUCKETS}) AS b
+      FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+    ),
+    bucket_counts AS (
+      SELECT b,
+             SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+      FROM toks GROUP BY b
+    ),
+    totals AS (
+      SELECT SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS tt,
+             SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS tr
+      FROM toks
+    ),
+    lr AS (
+      SELECT b, LN((ct + 1.0) / (tt + {_DSIR_BUCKETS}))
+                - LN((cr + 1.0) / (tr + {_DSIR_BUCKETS})) AS logratio
+      FROM bucket_counts, totals
+    ),
+    feats AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM toks WHERE NOT is_t
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id, ROUND(SUM(c * logratio), 4) AS dsir_score
+    FROM feats JOIN lr USING (b)
+    GROUP BY doc_id
+    ORDER BY dsir_score DESC, doc_id LIMIT 100
+    """,
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring: rank RAW-pool documents by how
+    target-like their hashed-unigram distribution is — log importance
+    weight Σ_b c_b(doc)·ln(p̂_target(b)/p̂_raw(b)) with add-one
+    smoothing over {_DSIR_BUCKETS} md5 buckets (Xie et al. 2023; the
+    data-selection step between dedup and training).  Scale shape: one
+    (bucket) agg for the two distributions (256 rows, broadcast), one
+    (doc_id, bucket) map-side-combinable shuffle for features — no text
+    leaves the tokenize stage.  The oracle replays hashing, smoothing,
+    and the log-linear score; transcendentals round to 4dp per the repo
+    float rule."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.col("source").isin(*_DSIR_TARGET).alias("is_t"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).withColumn("b", _dsir_bucket(F.col("tok"))).drop("tok")
+    bc = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = toks.agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("tt"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("tr"),
+    )
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + _DSIR_BUCKETS))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + _DSIR_BUCKETS))
+        ).alias("logratio"),
+    )
+    feats = (
+        toks.filter(~F.col("is_t"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("logratio")), 4).alias("dsir_score"))
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(100)
+    )
