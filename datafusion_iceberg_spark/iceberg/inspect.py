@@ -658,13 +658,16 @@ class Inspect:
 
         meta = self._t.metadata
         rows = []
+        from datafusion_iceberg_spark.iceberg.metadata import (
+            read_metadata_bytes,
+        )
+
         for p in sorted(
             _glob.glob(_os.path.join(meta.root, "metadata", "v*.metadata.json")),
             key=lambda x: int(_os.path.basename(x).split(".")[0][1:]),
         ):
             try:
-                with open(p) as fh:
-                    m = _json.load(fh)
+                m = _json.loads(read_metadata_bytes(p).decode("utf-8"))
             except (OSError, ValueError):
                 continue
             cur = m.get("current-snapshot-id")

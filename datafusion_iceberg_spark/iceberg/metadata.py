@@ -484,9 +484,13 @@ def load_table_metadata(root: str) -> TableMetadata:
     path = None
     if fio.exists(hint):
         v = fio.read_bytes(hint).decode().strip()
-        cand = meta_dir + f"/v{v}.metadata.json"
-        if fio.exists(cand):
-            path = cand
+        for cand in (
+            meta_dir + f"/v{v}.metadata.json",
+            meta_dir + f"/v{v}.gz.metadata.json",
+        ):
+            if fio.exists(cand):
+                path = cand
+                break
     if path is None:
         versioned = fio.glob(meta_dir + "/v*.metadata.json")
         if versioned:
@@ -501,8 +505,23 @@ def load_table_metadata(root: str) -> TableMetadata:
         if not anymeta:
             raise FileNotFoundError(f"no metadata json under {meta_dir}")
         path = anymeta[-1]
-    raw = json.loads(get_io(path).read_bytes(path).decode("utf-8"))
+    raw = json.loads(read_metadata_bytes(path).decode("utf-8"))
     return TableMetadata(raw=raw, root=root, location=raw.get("location", root))
+
+
+def read_metadata_bytes(path: str) -> bytes:
+    """Raw metadata-JSON bytes, transparently gunzipping the spec's
+    ``write.metadata.compression-codec=gzip`` spelling
+    (``v{N}.gz.metadata.json`` — also accepted: a trailing ``.gz``)."""
+    from datafusion_iceberg_spark.iceberg.io import get_io
+
+    data = get_io(path).read_bytes(path)
+    base = os.path.basename(path)
+    if ".gz." in base or base.endswith(".gz") or data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
+    return data
 
 
 def metadata_from_dict(raw: dict, metadata_location: str = "") -> TableMetadata:

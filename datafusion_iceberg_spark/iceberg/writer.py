@@ -720,11 +720,28 @@ class IcebergWriter:
         )
         return max(hint, latest)
 
+    def _version_path(self, v: int) -> str:
+        """Existing metadata file for version ``v`` — plain or gzip
+        spelling (``write.metadata.compression-codec=gzip``)."""
+        meta_dir = os.path.join(self.root, "metadata")
+        plain = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if os.path.exists(plain):
+            return plain
+        gz = os.path.join(meta_dir, f"v{v}.gz.metadata.json")
+        if os.path.exists(gz):
+            return gz
+        return plain  # let the open() raise the canonical error
+
     def _load_current(self) -> dict:
+        from datafusion_iceberg_spark.iceberg.metadata import (
+            read_metadata_bytes,
+        )
+
         v = self._current_version()
         self._loaded_version = v
-        with open(os.path.join(self.root, "metadata", f"v{v}.metadata.json")) as fh:
-            return json.load(fh)
+        return json.loads(
+            read_metadata_bytes(self._version_path(v)).decode("utf-8")
+        )
 
     def _load_table(self):
         """The read-side view of the table this writer mutates (file
@@ -751,11 +768,34 @@ class IcebergWriter:
         v = base + 1
         meta_dir = os.path.join(self.root, "metadata")
         os.makedirs(meta_dir, exist_ok=True)
+        codec = str(
+            (meta.get("properties") or {}).get(
+                "write.metadata.compression-codec", "none"
+            )
+        ).lower()
         tmp = os.path.join(meta_dir, f".v{v}.metadata.json.{os.getpid()}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh, indent=1)
-        target = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if codec == "gzip":
+            import gzip
+
+            # mtime=0: deterministic bytes (gzip embeds a timestamp)
+            with open(tmp, "wb") as raw_fh:
+                with gzip.GzipFile(fileobj=raw_fh, mode="wb", mtime=0) as fh:
+                    fh.write(json.dumps(meta, indent=1).encode("utf-8"))
+            target = os.path.join(meta_dir, f"v{v}.gz.metadata.json")
+        else:
+            with open(tmp, "w") as fh:
+                json.dump(meta, fh, indent=1)
+            target = os.path.join(meta_dir, f"v{v}.metadata.json")
+        # a concurrent writer may have landed the OTHER spelling of the
+        # same version — both are version v, so both are conflicts
+        other = (
+            os.path.join(meta_dir, f"v{v}.metadata.json")
+            if codec == "gzip"
+            else os.path.join(meta_dir, f"v{v}.gz.metadata.json")
+        )
         try:
+            if os.path.exists(other):
+                raise FileExistsError(other)
             # link = atomic create-exclusive with full content in place
             os.link(tmp, target)
         except FileExistsError:

@@ -4065,3 +4065,55 @@ def test_call_ancestors_of(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="not found"):
         cat.ancestors_of("d.n", 999)
+
+
+def test_gzip_metadata_roundtrip(spark, sf_dir, tmp_path):
+    """write.metadata.compression-codec=gzip: every metadata version
+    after CREATE writes as v{N}.gz.metadata.json; reads (catalog load,
+    writer reload, $metadata_log_entries) gunzip transparently; a
+    foreign gzip table (hand-written .gz) also loads."""
+    import glob as g
+    import gzip
+    import json
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="gz")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table(
+        "d.n",
+        nation.schema,
+        properties={"write.metadata.compression-codec": "gzip"},
+    )
+    cat.append("d.n", spark, nation.limit(7))
+    cat.append("d.n", spark, nation.limit(3))
+    meta_dir = os.path.join(str(tmp_path / "wh"), "d", "n", "metadata")
+    gz_files = g.glob(os.path.join(meta_dir, "v*.gz.metadata.json"))
+    assert len(gz_files) >= 2  # appends committed as gzip
+    with open(sorted(gz_files)[-1], "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"
+    t = cat.load("d.n")
+    assert t.to_df(spark).count() == 10
+    # DML through SQL still commits/reads fine
+    cat.sql(spark, "DELETE FROM gz.d.n WHERE n_nationkey = 0")
+    assert cat.load("d.n").to_df(spark).filter("n_nationkey = 0").count() == 0
+    # inspection over mixed (v0 gzip) history
+    logs = t.inspect.metadata_log_entries(spark).collect()
+    assert len(logs) >= 3
+    # foreign flavor: a table whose latest metadata was gzipped by
+    # another engine with no version-hint
+    froot = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(froot, "metadata"))
+    src = json.loads(
+        gzip.decompress(open(sorted(gz_files)[0], "rb").read())
+    )
+    with open(
+        os.path.join(froot, "metadata", "v1.gz.metadata.json"), "wb"
+    ) as fh:
+        fh.write(gzip.compress(json.dumps(src).encode()))
+    from datafusion_iceberg_spark.iceberg.metadata import load_table_metadata
+
+    fm = load_table_metadata(froot)
+    assert fm.table_uuid == src["table-uuid"]
