@@ -83,6 +83,10 @@ HEADLINE = [
     "iceberg_runtime_pruned_join",
     "iceberg_scd2_apply_scan",
     "iceberg_timestamp_ns_scan",
+    "text_cms_heavy_hitters",
+    "sim_sq_topk",
+    "sample_dsir_importance",
+    "ts_ewma_features",
 ]
 
 
