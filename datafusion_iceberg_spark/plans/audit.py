@@ -79,6 +79,11 @@ NESTED_LOOP_OK = frozenset(
         "join_non_equi",
         "sim_topk_bruteforce",
         "sim_ivf_topk",
+        # int8-code search: corpus x (5-row broadcast query set) theta
+        # join, the same bounded-build-side class as sim_topk_bruteforce
+        "sim_sq_topk",
+        # 1-row token-totals broadcast (constant-attach)
+        "sample_dsir_importance",
         # ADC scan + exact-check leg: both are corpus x (5-row broadcast
         # query set) theta joins, the same bounded-build-side class as
         # sim_topk_bruteforce
