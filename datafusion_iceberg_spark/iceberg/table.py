@@ -296,10 +296,44 @@ class IcebergTable:
         eq = self.equality_delete_files()
         if eq:
             seqs = self.metadata.snapshot_sequences()
-            max_del = max(_file_seq(seqs, d, 1 << 31) for d in eq)
-            for f in self.files():
-                if _file_seq(seqs, f, -1) < max_del:
-                    out.add(self.metadata.localize(f.path))
+            types_by_id = {
+                f["id"]: f["type"]
+                for f in self.metadata.current_schema["fields"]
+                if isinstance(f.get("type"), str)
+            }
+
+            def _rng(df, fid):
+                lo = (df.lower_bounds or {}).get(fid)
+                hi = (df.upper_bounds or {}).get(fid)
+                t = types_by_id.get(fid)
+                if lo is None or hi is None or t is None:
+                    return None
+                lo, hi = decode_stat(t, lo), decode_stat(t, hi)
+                if lo is None or hi is None:
+                    return None
+                return lo, hi
+
+            def _may_hit(d, f) -> bool:
+                """Can delete file ``d`` remove rows from data file
+                ``f``?  False ONLY when some key column's ranges are
+                both known and provably disjoint — the bounds the r8
+                writer stamps on equality-delete key parquets; missing
+                bounds (older writers, truncated strings) stay
+                conservative."""
+                for fid in d.equality_ids or ():
+                    dr, fr = _rng(d, fid), _rng(f, fid)
+                    if dr is None or fr is None:
+                        continue
+                    if dr[1] < fr[0] or fr[1] < dr[0]:
+                        return False
+                return True
+
+            files = self.files()
+            for d in eq:
+                d_seq = _file_seq(seqs, d, 1 << 31)
+                for f in files:
+                    if _file_seq(seqs, f, -1) < d_seq and _may_hit(d, f):
+                        out.add(self.metadata.localize(f.path))
         return out
 
     def metadata_min_max(

@@ -465,6 +465,23 @@ def _puffin_codec(properties: dict) -> Optional[str]:
     return codec if codec in ("lz4", "zstd") else None
 
 
+
+def _eq_key_bounds(path: str, field_ids: dict, iceberg_types: dict):
+    """(lower_bounds, upper_bounds) key/value lists for an equality-delete
+    key parquet — the file holds ONLY the key columns, so the footer walk
+    is tiny.  Bounds let readers and COW folds skip strictly-older data
+    files whose key ranges cannot intersect the delete
+    (table.files_targeted_by_deletes); missing bounds degrade to the old
+    include-everything behavior."""
+    try:
+        st = _stat_parquet_footer(path, {}, field_ids, iceberg_types)
+    except Exception:
+        return [], []
+    return (
+        [{"key": k, "value": v} for k, v in st["lower_bounds"].items()],
+        [{"key": k, "value": v} for k, v in st["upper_bounds"].items()],
+    )
+
 def _stat_parquet_footer(
     path: str,
     partition: dict,
@@ -3874,7 +3891,8 @@ class IcebergWriter:
         ):
             n = pq.ParquetFile(p).metadata.num_rows
             if n:
-                del_files.append((p, n, os.path.getsize(p)))
+                lo, hi = _eq_key_bounds(p, self.field_ids, self.iceberg_types)
+                del_files.append((p, n, os.path.getsize(p), lo, hi))
         cur = self._load_current().get("current-snapshot-id")
         if not del_files:
             __import__("shutil").rmtree(del_dir, ignore_errors=True)
@@ -3896,17 +3914,17 @@ class IcebergWriter:
                     "block_size_in_bytes": 67108864,
                     "value_counts": [],
                     "null_value_counts": [],
-                    "lower_bounds": [],
-                    "upper_bounds": [],
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
                     "content": 2,  # EQUALITY_DELETES
                     "equality_ids": eq_ids,
                 },
             }
-            for p, n, sz in del_files
+            for p, n, sz, lo, hi in del_files
         ]
         write_avro_file(manifest_path, _manifest_schema([]), entries)
 
-        n_deleted = sum(n for _, n, _ in del_files)
+        n_deleted = sum(n for _, n, _, _, _ in del_files)
         manifest_list_path = os.path.join(
             meta_dir, f"snap-{snap_id}-1-{man_uuid}.avro"
         )
@@ -4068,9 +4086,10 @@ class IcebergWriter:
         ):
             n = _pq.ParquetFile(p).metadata.num_rows
             if n:
-                del_files.append((p, n, os.path.getsize(p)))
+                lo, hi = _eq_key_bounds(p, self.field_ids, self.iceberg_types)
+                del_files.append((p, n, os.path.getsize(p), lo, hi))
         extra_rows = []
-        n_keys = sum(n for _, n, _ in del_files)
+        n_keys = sum(n for _, n, _, _, _ in del_files)
         if del_files:
             meta_dir = os.path.join(self.root, "metadata")
             man_uuid = str(uuidlib.uuid4())
@@ -4088,13 +4107,13 @@ class IcebergWriter:
                         "block_size_in_bytes": 67108864,
                         "value_counts": [],
                         "null_value_counts": [],
-                        "lower_bounds": [],
-                        "upper_bounds": [],
+                        "lower_bounds": lo,
+                        "upper_bounds": hi,
                         "content": 2,  # EQUALITY_DELETES
                         "equality_ids": eq_ids,
                     },
                 }
-                for p, n, sz in del_files
+                for p, n, sz, lo, hi in del_files
             ]
             write_avro_file(del_manifest, _manifest_schema([]), del_entries)
             extra_rows.append(

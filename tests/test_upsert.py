@@ -151,3 +151,42 @@ def test_set_identifier_fields_via_sql(spark, scratch):
     ] == [1]
     cat.upsert("ns.t", spark, _rows(spark, [(2, 200)]))
     assert _state(cat, spark) == {1: 10, 2: 200}
+
+
+def test_eq_delete_bounds_narrow_cow_fold(spark, tmp_path):
+    """r8: equality-delete key parquets carry key-column bounds, so
+    files_targeted_by_deletes folds only strictly-older files whose key
+    ranges can intersect the delete — not the whole older table."""
+    from pyspark.sql import functions as F
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"), name="eqb")
+    df_lo = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    df_hi = spark.range(100000, 100100).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    cat.create_table("d.t", df_lo.schema)
+    cat.append("d.t", spark, df_lo.coalesce(1))
+    cat.append("d.t", spark, df_hi.coalesce(1))
+    cat.set_identifier_fields("d.t", ["k"])
+    # upsert touches only the low key range
+    cat.upsert(
+        "d.t",
+        spark,
+        spark.createDataFrame([(5, 555), (7, 777)], "k long, v long"),
+    )
+    t = cat.load("d.t")
+    targeted = t.files_targeted_by_deletes()
+    lows = [p for p in targeted if "snap-" in p]
+    # exactly the low-range file (and not the upsert's own batch file,
+    # which is same-sequence) is targeted; the high-range file is spared
+    assert len(targeted) == 1
+    # and a compact folds only what it must, with exact results
+    out = cat.compact_binpack("d.t", spark, target_file_bytes=1 << 30)
+    got = {r["k"]: r["v"] for r in cat.load("d.t").to_df(spark).collect()}
+    assert got[5] == 555 and got[7] == 777 and got[6] == 6
+    assert got[100050] == 100050
+    assert len(got) == 200
