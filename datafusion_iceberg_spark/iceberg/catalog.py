@@ -1021,6 +1021,15 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return out
 
+    def convert_position_deletes_to_dvs(self, ident: str) -> dict:
+        """Iceberg v3 migration: all outstanding position-type deletes
+        (parquet + existing DVs) → one DV puffin container
+        (writer.convert_position_deletes_to_dvs) + mirror refresh."""
+        out = self.writer(ident).convert_position_deletes_to_dvs()
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return out
+
     def add_files(self, ident: str, source_dir: str) -> dict:
         """Register existing parquet files into the table in place
         (writer.add_files) + mirror refresh — the plain-parquet-to-

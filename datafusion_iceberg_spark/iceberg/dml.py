@@ -502,6 +502,7 @@ _PROCEDURES = {
     "rewrite_deletion_vectors": "rewrite_deletion_vectors",
     "ancestors_of": "ancestors_of",
     "rewrite_small_files": "compact_binpack",
+    "convert_position_deletes_to_dvs": "convert_position_deletes_to_dvs",
     "compute_partition_stats": "compute_partition_stats",
     "compute_table_stats": "compute_table_stats",
     "maintain": "maintain",

@@ -3854,6 +3854,174 @@ class IcebergWriter:
                 time.sleep(0.05 * (_attempt + 1))
         raise AssertionError("unreachable")
 
+    def convert_position_deletes_to_dvs(self) -> dict:
+        """Iceberg v3 migration: fold ALL outstanding position-type
+        deletes — parquet (file_path, pos) files AND existing deletion
+        vectors — into ONE puffin container with one roaring DV per live
+        target file, committed as a replace-style delete snapshot that
+        drops every pure-position delete manifest.  Equality-delete
+        manifests are untouched (they are key-typed, not position-typed).
+
+        Sequence safety: each target's new DV carries the NEWEST
+        sequence among its contributing deletes — position deletes bind
+        to exact (path, pos) on an immutable file, so widening the
+        sequence never deletes a row the originals didn't.  Dangling
+        positions (target no longer live) drop.  After this commit the
+        table reads like a native v3 DV table; the format-version
+        upgrades one-way if it was still 2."""
+        import pyarrow.parquet as papq
+
+        from datafusion_iceberg_spark.iceberg.manifests import read_manifest
+        from datafusion_iceberg_spark.iceberg.puffin import (
+            dv_blob,
+            read_dv_positions,
+            write_puffin,
+        )
+
+        table = self._load_table()
+        meta = table.metadata
+        pos_files = table.position_delete_files()
+        if not pos_files:
+            return {"converted_files": 0, "dv_targets": 0, "snapshot_id": None}
+        live = {meta.localize(f.path) for f in table.files()}
+        by_target: dict[str, set] = {}
+        seq_by_target: dict[str, int] = {}
+
+        def _note(tgt_local: str, tgt_raw: str, positions, seq):
+            if tgt_local not in live:
+                return
+            by_target.setdefault(tgt_raw, set()).update(positions)
+            if seq is not None:
+                seq_by_target[tgt_raw] = max(
+                    seq_by_target.get(tgt_raw, 0), int(seq)
+                )
+
+        n_parquet = 0
+        for d in pos_files:
+            if d.referenced_data_file is not None:
+                pos = read_dv_positions(
+                    meta.localize(d.path),
+                    int(d.content_offset or 0),
+                    int(d.content_size_in_bytes or 0),
+                )
+                _note(
+                    meta.localize(d.referenced_data_file),
+                    d.referenced_data_file,
+                    pos,
+                    d.sequence_number,
+                )
+            else:
+                n_parquet += 1
+                t = papq.read_table(
+                    meta.localize(d.path), columns=["file_path", "pos"]
+                )
+                paths = t["file_path"].to_pylist()
+                poss = t["pos"].to_pylist()
+                per: dict[str, list] = {}
+                for fp, po in zip(paths, poss):
+                    per.setdefault(fp, []).append(int(po))
+                for fp, plist in per.items():
+                    _note(meta.localize(fp), fp, plist, d.sequence_number)
+        if not by_target:
+            return {"converted_files": len(pos_files), "dv_targets": 0,
+                    "snapshot_id": None}
+
+        snap_id = int(time.time() * 1000) * 1000 + (
+            int.from_bytes(os.urandom(2), "big") % 1000
+        )
+        seq = _next_sequence(meta.raw)
+        dv_dir = os.path.join(self.root, "data", f"snap-{snap_id}-dv")
+        os.makedirs(dv_dir, exist_ok=True)
+        puffin_path = os.path.join(dv_dir, f"{uuidlib.uuid4().hex}.puffin")
+        codec = _puffin_codec(meta.properties)
+        blobs, metas = [], []
+        for tgt in sorted(by_target):
+            entry_seq = seq_by_target.get(tgt)
+            blobs.append(
+                dv_blob(
+                    sorted(by_target[tgt]),
+                    tgt,
+                    snapshot_id=snap_id,
+                    sequence_number=entry_seq or seq,
+                )
+            )
+            metas.append((tgt, len(by_target[tgt]), entry_seq))
+        if codec:
+            for b in blobs:
+                b.compression_codec = codec
+        write_puffin(puffin_path, blobs)
+        psize = os.path.getsize(puffin_path)
+        entries = [
+            {
+                "status": 0,  # relocation/merge, not fresh deletes
+                "snapshot_id": snap_id,
+                "sequence_number": entry_seq,
+                "data_file": {
+                    "file_path": puffin_path,
+                    "file_format": "PUFFIN",
+                    "partition": {},
+                    "record_count": card,
+                    "file_size_in_bytes": psize,
+                    "block_size_in_bytes": 67108864,
+                    "value_counts": [],
+                    "null_value_counts": [],
+                    "lower_bounds": [],
+                    "upper_bounds": [],
+                    "content": 1,
+                    "referenced_data_file": b.properties[
+                        "referenced-data-file"
+                    ],
+                    "content_offset": b.offset,
+                    "content_size_in_bytes": b.length,
+                },
+            }
+            for b, (tgt, card, entry_seq) in zip(blobs, metas)
+        ]
+        meta_dir = os.path.join(self.root, "metadata")
+        manifest_path = os.path.join(meta_dir, f"{uuidlib.uuid4()}-dv-m0.avro")
+        write_avro_file(manifest_path, _manifest_schema([]), entries)
+        # drop every manifest holding only POSITION-type entries
+        drop_paths = set()
+        for mf in table.manifests(content=1):
+            mf_entries = read_manifest(
+                meta.localize(mf.path), inherit_seq=mf.sequence_number
+            )
+            if mf_entries and all(e.content == 1 for e in mf_entries):
+                drop_paths.add(mf.path)
+        manifest_list_path = os.path.join(
+            meta_dir, f"snap-{snap_id}-1-{uuidlib.uuid4()}.avro"
+        )
+        min_seq = min(
+            [seq] + [s for _t, _c, s in metas if s is not None]
+        )
+        for _attempt in range(5):
+            try:
+                snap = self._commit_mor_delete_snapshot(
+                    snap_id,
+                    manifest_path,
+                    manifest_list_path,
+                    entries,
+                    0,
+                    _drop_manifest_paths=drop_paths,
+                    _operation="replace",
+                    _existing_entries=(
+                        len(entries),
+                        sum(c for _t, c, _s in metas),
+                        min_seq,
+                    ),
+                )
+                return {
+                    "converted_files": len(pos_files),
+                    "parquet_position_files": n_parquet,
+                    "dv_targets": len(by_target),
+                    "snapshot_id": snap,
+                }
+            except CommitConflict:
+                if _attempt == 4:
+                    raise
+                time.sleep(0.05 * (_attempt + 1))
+        raise AssertionError("unreachable")
+
     def delete_where_eq(self, spark: SparkSession, keys_df: DataFrame) -> int:
         """Merge-on-read EQUALITY DELETE (Iceberg v2 content=2): commit a
         delete file holding KEY TUPLES — the columns of ``keys_df``, which
