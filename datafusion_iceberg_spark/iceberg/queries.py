@@ -3920,3 +3920,115 @@ def iceberg_timestamp_ns_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM tsns.ev.t WHERE ts >= 1704067200000000000"
         " GROUP BY event_type ORDER BY event_type",
     )
+
+
+@register(
+    "iceberg_dv_convert_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE NOT (o_orderkey % 7 = 0) AND NOT (o_orderkey % 11 = 3)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_dv_convert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 migration gate (r8): two parquet position-delete commits fold
+    into ONE deletion-vector puffin container via
+    ``CALL convert_position_deletes_to_dvs``; the scan then reads
+    through DVs only and must equal the plain filtered SQL."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_dvconvert")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root, name="cvt")
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="cvt")
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_totalprice"
+            )
+            cat.create_table(
+                "s.orders",
+                orders.schema,
+                properties={"write.delete.mode": "merge-on-read"},
+            )
+            cat.append("s.orders", spark, orders)
+            cat.sql(spark, "DELETE FROM cvt.s.orders WHERE o_orderkey % 7 = 0")
+            cat.sql(spark, "DELETE FROM cvt.s.orders WHERE o_orderkey % 11 = 3")
+            out = cat.convert_position_deletes_to_dvs("s.orders")
+            assert out["dv_targets"] >= 1, out
+            t = cat.load("s.orders")
+            dels = t.position_delete_files()
+            assert dels and all(
+                d.referenced_data_file is not None for d in dels
+            ), "conversion left parquet position deletes behind"
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    t = cat.load("s.orders")
+    return (
+        t.to_df(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "iceberg_binpack_scan",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    UNION ALL
+    SELECT n_nationkey + 100, n_name, n_regionkey FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def iceberg_binpack_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective binpack gate (r8): many tiny appends consolidate via
+    ``CALL rewrite_small_files`` into fewer files with byte-identical
+    rows; the file count drop is asserted in-fixture, the row set by the
+    oracle."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_binpack")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root, name="bp")
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="bp")
+            nation = load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name", "n_regionkey"
+            )
+            cat.create_table("s.n", nation.schema)
+            for i in range(4):
+                cat.append(
+                    "s.n",
+                    spark,
+                    nation.filter(f"n_nationkey % 4 = {i}").coalesce(1),
+                )
+            shifted = nation.select(
+                (F.col("n_nationkey") + 100).alias("n_nationkey"),
+                "n_name",
+                "n_regionkey",
+            )
+            cat.append("s.n", spark, shifted.coalesce(1))
+            before = len(cat.load("s.n").files())
+            out = cat.compact_binpack("s.n", spark)
+            assert out["rewritten_files"] == before, out
+            after = len(cat.load("s.n").files())
+            assert after < before, (before, after)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return (
+        cat.load("s.n").to_df(spark).orderBy("n_nationkey")
+    )
