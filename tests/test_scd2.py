@@ -208,3 +208,98 @@ def test_missing_column_raises(spark, tmp_path):
             tracked=["name", "nope"],
             effective="eff",
         )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzer: random SCD2 programs vs an independent reference model.
+# ---------------------------------------------------------------------------
+
+
+class _Scd2Model:
+    """Tiny independent SCD2 implementation: dict of open versions +
+    closed-history list.  Mirrors the operator's contract (latest per
+    key per batch, null-safe change detection, re-activation)."""
+
+    def __init__(self):
+        self.open: dict = {}     # k -> (name, bal, valid_from)
+        self.closed: list = []   # (k, name, bal, valid_from, valid_to)
+
+    def apply(self, updates, eff):
+        latest = {}
+        for k, name, bal in updates:
+            latest[k] = (name, bal)
+        for k, (name, bal) in sorted(latest.items()):
+            cur = self.open.get(k)
+            if cur is not None and (cur[0], cur[1]) == (name, bal):
+                continue  # no-op
+            if cur is not None:
+                self.closed.append((k, cur[0], cur[1], cur[2], eff))
+            self.open[k] = (name, bal, eff)
+
+    def rows(self):
+        out = set(self.closed) | {
+            (k, n, b, vf, None) for k, (n, b, vf) in self.open.items()
+        }
+        return sorted(out, key=lambda r: (r[0], str(r[3])))
+
+
+@pytest.mark.parametrize("seed", [3, 77])
+def test_random_scd2_program_matches_model(spark, tmp_path, seed):
+    import random
+
+    rng = random.Random(seed)
+    cat = Catalog(str(tmp_path / "wh"))
+    dim = spark.createDataFrame(
+        [],
+        "k long, name string, bal double, valid_from date, valid_to date,"
+        " is_current boolean",
+    )
+    cat.create_table("d.cust", dim.schema)
+    cat.append("d.cust", spark, dim)
+    model = _Scd2Model()
+    names = ("ann", "bob", "cat", None)
+    for step in range(6):
+        eff = D(1995, 1 + step, 1)
+        n_upd = rng.randint(1, 6)
+        updates = []
+        for _ in range(n_upd):
+            k = rng.randint(0, 7)
+            cur = model.open.get(k)
+            kind = rng.choice(("change", "noop", "any"))
+            if kind == "noop" and cur is not None:
+                updates.append((k, cur[0], cur[1]))
+            else:
+                updates.append(
+                    (k, rng.choice(names), float(rng.randint(0, 5)) * 10)
+                )
+        # the operator takes max_by(eff) per key; with one eff per batch
+        # the LAST occurrence is unspecified — dedup to a single row per
+        # key (keep the last generated) to keep both sides deterministic
+        dedup = {}
+        for row in updates:
+            dedup[row[0]] = row
+        updates = list(dedup.values())
+        scd2_apply(
+            cat,
+            "d.cust",
+            spark,
+            spark.createDataFrame(
+                [(k, n, b, eff) for k, n, b in updates],
+                "k long, name string, bal double, eff date",
+            ),
+            key="k",
+            tracked=["name", "bal"],
+            effective="eff",
+        )
+        model.apply(updates, eff)
+        got = sorted(
+            (
+                (r["k"], r["name"], r["bal"], r["valid_from"], r["valid_to"])
+                for r in cat.load("d.cust").to_df(spark).collect()
+            ),
+            key=lambda r: (r[0], str(r[3])),
+        )
+        assert got == model.rows(), (
+            f"seed {seed} diverged after batch {step} (eff {eff})\n"
+            f"got={got}\nwant={model.rows()}"
+        )
