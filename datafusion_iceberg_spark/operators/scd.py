@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_iceberg_spark.iceberg.writer import MergeClause
+from datafusion_iceberg_spark.registry import register
 
 _MERGE_KEY = "__scd2_merge_key"
 
@@ -151,3 +152,84 @@ def scd2_as_of(
     return table.to_df(spark).where(
         (c_from <= F.lit(ts)) & (c_to.isNull() | (c_to > F.lit(ts)))
     )
+
+
+def scd2_rebuild(
+    cdc: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """One-shot SCD2 BACKFILL from a full CDC log: per key ordered by
+    ``effective``, consecutive duplicate attribute tuples compact away
+    (null-safe LAG comparison — sound because a skipped row equals its
+    predecessor, transitively the last kept row), each kept change opens
+    a version at its timestamp and closes at the next change's.  Two
+    per-key windows, no shuffle beyond the key — the batch path that
+    seeds a dimension before :func:`scd2_apply` takes over
+    incrementally.  Ties on (key, effective) are the caller's bug."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy(effective)
+    lagged = cdc.select(key, *tracked, effective).select(
+        "*",
+        *[F.lag(c).over(w).alias(f"__prev_{c}") for c in tracked],
+        F.lag(F.lit(1)).over(w).alias("__has_prev"),
+    )
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.col(c).eqNullSafe(F.col(f"__prev_{c}")) for c in tracked],
+    )
+    kept = lagged.where(F.col("__has_prev").isNull() | changed).select(
+        key, *tracked, effective
+    )
+    w2 = W.partitionBy(key).orderBy(effective)
+    nxt = F.lead(effective).over(w2)
+    return kept.select(
+        key,
+        *tracked,
+        F.col(effective).alias(valid_from),
+        nxt.alias(valid_to),
+        nxt.isNull().alias(current_col),
+    )
+
+
+@register(
+    "scd2_rebuild_from_cdc",
+    oracle="""
+    WITH kept AS (
+      SELECT * FROM (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER w AS pe, LAG(1) OVER w AS hp
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      ) WHERE hp IS NULL OR pe IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                AS TIMESTAMP) AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL)
+               AS is_current
+    FROM kept ORDER BY user_id, valid_from
+    """,
+)
+def scd2_rebuild_from_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 backfill gate: the full events CDC log folds into each
+    user's event_type version history in one shot (scd2_rebuild) — the
+    seeding path before incremental ``scd2_apply`` takes over."""
+    from datafusion_iceberg_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scd2_rebuild(
+        ev, key="user_id", tracked=["event_type"], effective="ts"
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    ).orderBy("user_id", "valid_from")
