@@ -385,6 +385,28 @@ def _exec_alter(surface, spark, s: A.Alter) -> DataFrame:
         _need(surface, "drop_column")
         surface.drop_column(ident, a.column)
         return _result(spark, "drop_column", ident, None)
+    if isinstance(a, A.RefDdl):
+        if a.op == "drop":
+            _need(surface, "drop_ref")
+            refs = surface.load(ident).metadata.raw.get("refs", {})
+            if a.name not in refs:
+                if a.if_exists:
+                    return _result(spark, "noop", ident, None)
+                raise KeyError(f"ref {a.name!r} not found on {ident}")
+            surface.drop_ref(ident, a.name)
+            return _result(spark, f"drop_{a.ref_type}", ident, None)
+        method = "create_tag" if a.ref_type == "tag" else "create_branch"
+        _need(surface, method)
+        refs = surface.load(ident).metadata.raw.get("refs", {})
+        if a.op == "create" and a.name in refs:
+            if a.if_not_exists:
+                return _result(spark, "noop", ident, None)
+            raise ValueError(
+                f"ref {a.name!r} already exists on {ident} "
+                "(use REPLACE, or IF NOT EXISTS)"
+            )
+        sid = getattr(surface, method)(ident, a.name, a.snapshot_id)
+        return _result(spark, f"{a.op}_{a.ref_type}", ident, sid)
     if isinstance(a, A.AlterColumnType):
         _need(surface, "widen_column")
         dtype = T._parse_datatype_string(a.type_ddl)

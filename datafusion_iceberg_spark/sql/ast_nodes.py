@@ -186,6 +186,18 @@ class Refresh(Statement):
 
 
 @dataclass
+class RefDdl:
+    """ALTER TABLE ... CREATE/REPLACE/DROP TAG|BRANCH action."""
+
+    op: str                       # create | replace | drop
+    ref_type: str                 # tag | branch
+    name: str
+    snapshot_id: "int | None" = None
+    if_not_exists: bool = False
+    if_exists: bool = False
+
+
+@dataclass
 class Analyze(Statement):
     namespace: str
     table: str

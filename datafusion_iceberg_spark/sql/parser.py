@@ -699,6 +699,30 @@ def _parse_alter(p: _P) -> A.Statement:
     p.expect_kw("ALTER")
     p.expect_kw("TABLE")
     ns, tbl = p.catalog_target()
+    if p.accept_kw("CREATE") or p.at_kw("REPLACE"):
+        replace = p.accept_kw("REPLACE")
+        rt = "tag" if p.accept_kw("TAG") else (
+            "branch" if p.accept_kw("BRANCH") else None
+        )
+        if rt is None:
+            raise ParseError("expected TAG or BRANCH")
+        if_not_exists = False
+        if not replace and p.accept_kw("IF"):
+            p.expect_kw("NOT")
+            p.expect_kw("EXISTS")
+            if_not_exists = True
+        name = p.ident("ref name")
+        sid = None
+        if p.accept_kw("AS"):
+            p.expect_kw("OF")
+            p.expect_kw("VERSION")
+            sid = int(p.literal())
+        p.expect_end()
+        return A.Alter(
+            ns, tbl,
+            A.RefDdl("replace" if replace else "create", rt, name,
+                     snapshot_id=sid, if_not_exists=if_not_exists),
+        )
     if p.accept_kw("ADD"):
         if p.accept_kw("PARTITION"):
             p.expect_kw("FIELD")
@@ -739,6 +763,18 @@ def _parse_alter(p: _P) -> A.Statement:
         p.expect_end()
         return A.Alter(ns, tbl, A.RenameColumn(old, new))
     if p.accept_kw("DROP"):
+        if p.accept_kw("TAG") or p.at_kw("BRANCH"):
+            rt = "branch" if p.accept_kw("BRANCH") else "tag"
+            if_exists = False
+            if p.accept_kw("IF"):
+                p.expect_kw("EXISTS")
+                if_exists = True
+            name = p.ident("ref name")
+            p.expect_end()
+            return A.Alter(
+                ns, tbl,
+                A.RefDdl("drop", rt, name, if_exists=if_exists),
+            )
         if p.accept_kw("PARTITION"):
             p.expect_kw("FIELD")
             entry = _partition_entry(p)

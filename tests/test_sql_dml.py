@@ -915,3 +915,42 @@ def test_refresh_table_sees_external_commit(spark, sf_dir, tmp_path):
     cat.sql(spark, "REFRESH TABLE rfr.d.n")
     fresh = cat.sql(spark, "SELECT COUNT(*) AS n FROM rfr.d.n").first()["n"]
     assert fresh == 8
+
+
+def test_ref_ddl_via_sql(spark, sf_dir, tmp_path):
+    """ALTER TABLE ... CREATE/REPLACE/DROP TAG|BRANCH (Spark-Iceberg SQL
+    extensions): refs pin snapshots readable via FOR VERSION AS OF."""
+    import pytest as _pytest
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="refs")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("d.n", nation.schema)
+    cat.append("d.n", spark, nation.limit(5))
+    snap1 = cat.load("d.n").metadata.current_snapshot_id
+    cat.append("d.n", spark, nation.limit(3))
+
+    cat.sql(spark, f"ALTER TABLE refs.d.n CREATE TAG audit AS OF VERSION {snap1}")
+    n = cat.sql(
+        spark, "SELECT COUNT(*) AS n FROM refs.d.n FOR VERSION AS OF 'audit'"
+    ).first()["n"]
+    assert n == 5
+    # strict CREATE collides; IF NOT EXISTS no-ops; REPLACE re-points
+    with _pytest.raises(ValueError, match="already exists"):
+        cat.sql(spark, "ALTER TABLE refs.d.n CREATE TAG audit")
+    cat.sql(spark, "ALTER TABLE refs.d.n CREATE TAG IF NOT EXISTS audit")
+    cat.sql(spark, "ALTER TABLE refs.d.n REPLACE TAG audit")  # -> current
+    n = cat.sql(
+        spark, "SELECT COUNT(*) AS n FROM refs.d.n FOR VERSION AS OF 'audit'"
+    ).first()["n"]
+    assert n == 8
+    cat.sql(spark, "ALTER TABLE refs.d.n CREATE BRANCH dev")
+    refs = cat.load("d.n").metadata.raw["refs"]
+    assert refs["dev"]["type"] == "branch"
+    cat.sql(spark, "ALTER TABLE refs.d.n DROP BRANCH dev")
+    cat.sql(spark, "ALTER TABLE refs.d.n DROP TAG IF EXISTS nope")  # no-op
+    with _pytest.raises(KeyError):
+        cat.sql(spark, "ALTER TABLE refs.d.n DROP TAG nope")
+    assert "dev" not in cat.load("d.n").metadata.raw["refs"]
