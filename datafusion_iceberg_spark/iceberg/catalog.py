@@ -714,6 +714,35 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def rollback_to_timestamp(self, ident: str, ts) -> int:
+        """Spark-Iceberg ``rollback_to_timestamp`` parity: roll back to
+        the newest snapshot committed AT OR BEFORE ``ts`` (epoch millis,
+        or an ISO string parsed as UTC)."""
+        if isinstance(ts, str):
+            from datetime import datetime, timezone
+
+            dt = datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            ts = int(dt.timestamp() * 1000)
+        meta = self.load(ident).metadata
+        eligible = [
+            s for s in meta.snapshots if s.timestamp_ms <= int(ts)
+        ]
+        if not eligible:
+            raise ValueError(
+                f"rollback_to_timestamp: no snapshot of {ident} at or "
+                f"before {ts}"
+            )
+        target = max(eligible, key=lambda s: s.timestamp_ms)
+        return self.rollback_to_snapshot(ident, target.snapshot_id)
+
+    def set_current_snapshot(self, ident: str, snapshot_id: int) -> int:
+        """Spark-Iceberg ``set_current_snapshot`` parity: point main at
+        ANY listed snapshot (rollback and roll-forward are the same
+        metadata move here)."""
+        return self.rollback_to_snapshot(ident, int(snapshot_id))
+
     def stage_append(
         self, ident: str, spark: SparkSession, df: DataFrame, branch: str
     ) -> int:

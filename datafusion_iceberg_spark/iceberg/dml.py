@@ -513,6 +513,8 @@ _PROCEDURES = {
     "rewrite_data_files": "compact",
     "rewrite_zorder": "rewrite_zorder",
     "rollback_to_snapshot": "rollback_to_snapshot",
+    "rollback_to_timestamp": "rollback_to_timestamp",
+    "set_current_snapshot": "set_current_snapshot",
     "fast_forward": "fast_forward",
     "create_tag": "create_tag",
     "create_branch": "create_branch",

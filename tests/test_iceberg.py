@@ -4117,3 +4117,27 @@ def test_gzip_metadata_roundtrip(spark, sf_dir, tmp_path):
 
     fm = load_table_metadata(froot)
     assert fm.table_uuid == src["table-uuid"]
+
+
+def test_rollback_to_timestamp_and_set_current(spark, sf_dir, tmp_path):
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="rbt")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("d.n", nation.schema)
+    cat.append("d.n", spark, nation.limit(5))
+    snaps1 = cat.load("d.n").metadata
+    s1, t1 = snaps1.current_snapshot_id, snaps1.snapshots[-1].timestamp_ms
+    cat.append("d.n", spark, nation.limit(3))
+    s2 = cat.load("d.n").metadata.current_snapshot_id
+    cat.rollback_to_timestamp("d.n", t1)
+    assert cat.load("d.n").metadata.current_snapshot_id == s1
+    assert cat.load("d.n").to_df(spark).count() == 5
+    # roll FORWARD again via set_current_snapshot (SQL CALL spelling)
+    cat.sql(spark, f"CALL rbt.system.set_current_snapshot('d.n', {s2})")
+    assert cat.load("d.n").to_df(spark).count() == 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot"):
+        cat.rollback_to_timestamp("d.n", 1)
