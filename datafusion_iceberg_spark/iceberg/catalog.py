@@ -714,6 +714,34 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         return snap
 
+    def create_changelog_view(
+        self,
+        ident: str,
+        spark: SparkSession,
+        changelog_view: Optional[str] = None,
+        start_snapshot_id: Optional[int] = None,
+        end_snapshot_id: Optional[int] = None,
+    ) -> str:
+        """Spark-Iceberg ``create_changelog_view`` parity: register the
+        row-level CDC frame (table.changelog_df — _change_type /
+        _change_ordinal / _commit_snapshot_id columns) as a Spark temp
+        view and return its name (default ``<table>_changes``)."""
+        table = self.load(ident)
+        name = changelog_view or f"{ident.rsplit('.', 1)[-1]}_changes"
+        df = table.changelog_df(
+            spark,
+            from_snapshot_id=(
+                int(start_snapshot_id)
+                if start_snapshot_id is not None
+                else None
+            ),
+            to_snapshot_id=(
+                int(end_snapshot_id) if end_snapshot_id is not None else None
+            ),
+        )
+        df.createOrReplaceTempView(name)
+        return name
+
     def rollback_to_timestamp(self, ident: str, ts) -> int:
         """Spark-Iceberg ``rollback_to_timestamp`` parity: roll back to
         the newest snapshot committed AT OR BEFORE ``ts`` (epoch millis,

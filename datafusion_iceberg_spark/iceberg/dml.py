@@ -520,6 +520,7 @@ _PROCEDURES = {
     "create_branch": "create_branch",
     "drop_ref": "drop_ref",
     "refresh_mv": "refresh_mv",
+    "create_changelog_view": "create_changelog_view",
     "vacuum": "vacuum",
     "add_files": "add_files",
     "rewrite_position_delete_files": "rewrite_position_deletes",
@@ -536,6 +537,7 @@ _PROCEDURES = {
 # than (ident, ...)
 _PROC_NEEDS_SPARK = {
     "maintain",
+    "create_changelog_view",
     "rewrite_data_files",
     "rewrite_small_files",
     "rewrite_zorder",

@@ -954,3 +954,25 @@ def test_ref_ddl_via_sql(spark, sf_dir, tmp_path):
     with _pytest.raises(KeyError):
         cat.sql(spark, "ALTER TABLE refs.d.n DROP TAG nope")
     assert "dev" not in cat.load("d.n").metadata.raw["refs"]
+
+
+def test_create_changelog_view_procedure(spark, sf_dir, tmp_path):
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="clv")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("d.n", nation.schema)
+    cat.append("d.n", spark, nation.limit(5))
+    cat.sql(spark, "DELETE FROM clv.d.n WHERE n_nationkey < 2")
+    out = cat.sql(
+        spark,
+        "CALL clv.system.create_changelog_view('d.n',"
+        " changelog_view => 'n_changes')",
+    ).collect()
+    assert {r["key"]: r["value"] for r in out}["result"] == "n_changes"
+    rows = spark.sql(
+        "SELECT _change_type, COUNT(*) AS n FROM n_changes GROUP BY 1"
+    ).collect()
+    got = {r["_change_type"]: r["n"] for r in rows}
+    assert got == {"insert": 5, "delete": 2}
