@@ -742,6 +742,14 @@ class Catalog(SqlSurface):
         df.createOrReplaceTempView(name)
         return name
 
+    def cherrypick_snapshot(self, ident: str, snapshot_id: int) -> int:
+        """Apply a staged append snapshot onto current main
+        (writer.cherrypick_snapshot) + mirror refresh."""
+        snap = self.writer(ident).cherrypick_snapshot(int(snapshot_id))
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
     def rollback_to_timestamp(self, ident: str, ts) -> int:
         """Spark-Iceberg ``rollback_to_timestamp`` parity: roll back to
         the newest snapshot committed AT OR BEFORE ``ts`` (epoch millis,

@@ -516,6 +516,7 @@ _PROCEDURES = {
     "rollback_to_timestamp": "rollback_to_timestamp",
     "set_current_snapshot": "set_current_snapshot",
     "fast_forward": "fast_forward",
+    "cherrypick_snapshot": "cherrypick_snapshot",
     "create_tag": "create_tag",
     "create_branch": "create_branch",
     "drop_ref": "drop_ref",

@@ -5088,6 +5088,131 @@ class IcebergWriter:
         finally:
             scanned.unpersist()
 
+    def cherrypick_snapshot(self, snapshot_id: int) -> int:
+        """Iceberg ``cherrypick_snapshot`` (append snapshots only): apply
+        a staged/WAP snapshot's ADDED manifests onto the CURRENT main as
+        a new commit — unlike :meth:`fast_forward` this works when main
+        has advanced since staging, because an append introduces files
+        only (nothing it read can have been invalidated).  The new
+        commit takes a fresh sequence number, so the cherry-picked rows
+        order AFTER any deletes committed meanwhile — "the changes apply
+        now", Iceberg's own cherry-pick semantics.  Overwrite/delete
+        snapshots are refused (their correctness depends on the state
+        they were staged against).  Row-lineage ids minted at staging
+        stay valid: the staged commit already advanced ``next-row-id``,
+        so the range is reserved."""
+        from datafusion_iceberg_spark.iceberg.manifests import (
+            read_manifest_list,
+        )
+
+        meta = self._load_current()
+        sid = int(snapshot_id)
+        by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+        src = by_id.get(sid)
+        if src is None:
+            raise KeyError(f"snapshot {sid} not found")
+        if src["summary"].get("operation") != "append":
+            raise ValueError(
+                "cherrypick_snapshot supports append snapshots only "
+                f"(got {src['summary'].get('operation')!r}) — overwrites "
+                "depend on the state they were staged against"
+            )
+        cur = meta.get("current-snapshot-id")
+        cur = None if cur in (None, -1) else cur
+        # already applied? walk main's ancestry — the snapshot itself
+        # (not-diverged publish) or any commit recording it as its
+        # cherry-pick source (diverged re-commit)
+        walk = cur
+        while walk is not None:
+            node = by_id.get(walk) or {}
+            picked = node.get("summary", {}).get(
+                "cherry-picked-snapshot-id"
+            )
+            if walk == sid or picked == str(sid):
+                raise ValueError(
+                    f"snapshot {sid} is already an ancestor of main"
+                )
+            walk = node.get("parent-snapshot-id")
+        if src.get("parent-snapshot-id") == cur:
+            # not diverged: publishing the snapshot itself is exact
+            now = int(time.time() * 1000)
+            meta["current-snapshot-id"] = sid
+            meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+                {"timestamp-ms": now, "snapshot-id": sid}
+            ]
+            meta["last-updated-ms"] = now
+            self._commit_metadata(meta)
+            return sid
+        added = [
+            mf
+            for mf in read_manifest_list(src["manifest-list"])
+            if mf.added_snapshot_id == sid
+        ]
+        if not added:
+            raise ValueError(f"snapshot {sid} added no manifests")
+        new_id = int(time.time() * 1000) * 1000 + (
+            int.from_bytes(os.urandom(2), "big") % 1000
+        )
+        seq = _next_sequence(meta)
+        carried = []
+        if cur is not None:
+            for mf in read_manifest_list(by_id[cur]["manifest-list"]):
+                carried.append(_carry_manifest_row(mf))
+        added_rows = 0
+        added_files = 0
+        rows = []
+        for mf in added:
+            added_rows += int(mf.added_rows_count or 0) + int(
+                mf.existing_rows_count or 0
+            )
+            added_files += int(mf.added_files_count or 0) + int(
+                mf.existing_files_count or 0
+            )
+            row = _carry_manifest_row(mf)
+            # the changes commit NOW: re-sequence the manifest (entries
+            # wrote sequence=None and inherit this row's number)
+            row["sequence_number"] = seq
+            row["min_sequence_number"] = seq
+            rows.append(row)
+        meta_dir = os.path.join(self.root, "metadata")
+        manifest_list_path = os.path.join(
+            meta_dir, f"snap-{new_id}-1-{uuidlib.uuid4()}.avro"
+        )
+        write_avro_file(
+            manifest_list_path, _MANIFEST_LIST_SCHEMA, carried + rows
+        )
+        now = int(time.time() * 1000)
+        cur_summary = (by_id.get(cur) or {}).get("summary", {})
+        snapshot = {
+            "snapshot-id": new_id,
+            "sequence-number": seq,
+            "parent-snapshot-id": cur,
+            "timestamp-ms": now,
+            "summary": {
+                "operation": "append",
+                "added-data-files": str(added_files),
+                "added-records": str(added_rows),
+                "total-records": str(
+                    int(cur_summary.get("total-records", 0)) + added_rows
+                ),
+                "total-data-files": str(
+                    int(cur_summary.get("total-data-files", 0)) + added_files
+                ),
+                "cherry-picked-snapshot-id": str(sid),
+            },
+            "manifest-list": manifest_list_path,
+            "schema-id": meta.get("current-schema-id", 0),
+        }
+        meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
+        meta["current-snapshot-id"] = new_id
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now, "snapshot-id": new_id}
+        ]
+        meta["last-sequence-number"] = seq
+        meta["last-updated-ms"] = now
+        self._commit_metadata(meta)
+        return new_id
+
     def fast_forward(self, branch: str, drop_ref: bool = True) -> int:
         """Publish a staged branch (write-audit-publish step 3): advance
         ``main`` to the branch's snapshot.  Requires the staged

@@ -137,3 +137,58 @@ def test_racing_branch_appends_serialize_without_loss(spark, sf_dir, tmp_path, m
     cat2 = Catalog(root, name="br")
     cat2.fast_forward("b.n", "dev")
     assert cat2.load("b.n").to_df(spark).count() == 15
+
+
+def test_cherrypick_diverged_staged_append(spark, sf_dir, tmp_path):
+    """cherrypick_snapshot applies a staged append after main ADVANCED
+    (where fast_forward refuses): rows land, a post-staging delete still
+    orders BEFORE the cherry-picked rows (fresh sequence), and the
+    already-applied guard fires on a second pick."""
+    import pytest as _pytest
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.writer import CommitConflict
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="cp")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("d.n", nation.schema)
+    cat.append("d.n", spark, nation.filter("n_nationkey < 10"))
+    staged = cat.stage_append(
+        "d.n", spark, nation.filter("n_nationkey >= 20"), branch="audit"
+    )
+    # main advances: the branch no longer fast-forwards
+    cat.append("d.n", spark, nation.filter("n_nationkey BETWEEN 10 AND 14"))
+    with _pytest.raises(CommitConflict):
+        cat.fast_forward("d.n", "audit")
+    cat.cherrypick_snapshot("d.n", staged)
+    t = cat.load("d.n")
+    keys = sorted(r["n_nationkey"] for r in t.to_df(spark).collect())
+    assert keys == list(range(15)) + list(range(20, 25))
+    summary = t.metadata.snapshots[-1].summary
+    assert summary["cherry-picked-snapshot-id"] == str(staged)
+    with _pytest.raises(ValueError, match="ancestor"):
+        cat.cherrypick_snapshot("d.n", staged)
+    # overwrite snapshots are refused
+    cat.overwrite("d.n", spark, nation.limit(3))
+    ow = cat.load("d.n").metadata.current_snapshot_id
+    cat.rollback_to_snapshot("d.n", t.metadata.current_snapshot_id)
+    with _pytest.raises(ValueError, match="append snapshots only"):
+        cat.cherrypick_snapshot("d.n", ow)
+
+
+def test_cherrypick_not_diverged_publishes(spark, sf_dir, tmp_path):
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    cat = Catalog(str(tmp_path / "wh"), name="cp2")
+    nation = load_table(spark, sf_dir, "nation")
+    cat.create_table("d.n", nation.schema)
+    cat.append("d.n", spark, nation.limit(5))
+    staged = cat.stage_append("d.n", spark, nation.limit(2), branch="b")
+    out = cat.sql(
+        spark, f"CALL cp2.system.cherrypick_snapshot('d.n', {staged})"
+    ).collect()
+    assert {r["key"]: r["value"] for r in out}["result"] == str(staged)
+    assert cat.load("d.n").metadata.current_snapshot_id == staged
+    assert cat.load("d.n").to_df(spark).count() == 7
