@@ -161,6 +161,33 @@ def _exec_delete(surface, spark, s: A.Delete) -> DataFrame:
     if mode == "merge-on-read":
         _need(surface, "delete_where_mor")
         snap = surface.delete_where_mor(ident, spark, where)
+    elif mode in ("equality", "equality-delete", "equality-deletes"):
+        # Flink-style: commit the matching rows' IDENTIFIER keys as an
+        # equality-delete file — O(matching keys), no file rewrite, no
+        # position binding (robust to concurrent compaction).  Requires
+        # SET IDENTIFIER FIELDS; the predicate needs one scan to derive
+        # the key set (strictly-older rows with those keys then read as
+        # deleted).  A key re-inserted AFTER this delete survives — the
+        # eq-delete semantic, which is exactly the CDC-purge contract.
+        _need(surface, "delete_where_eq", "load")
+        table = surface.load(ident)
+        id_cols = table.metadata.raw  # identifier names via schema
+        cur_id = id_cols.get("current-schema-id", 0)
+        cur = next(
+            sc for sc in id_cols["schemas"]
+            if sc.get("schema-id", 0) == cur_id
+        )
+        by_id = {f["id"]: f["name"] for f in cur["fields"]}
+        keys = [by_id[i] for i in cur.get("identifier-field-ids", [])]
+        if not keys:
+            raise ValueError(
+                "write.delete.mode='equality' needs identifier fields "
+                "(ALTER TABLE ... SET IDENTIFIER FIELDS k, ...)"
+            )
+        keys_df = (
+            table.to_df(spark).where(where).select(*keys).distinct()
+        )
+        snap = surface.delete_where_eq(ident, spark, keys_df)
     elif mode in ("deletion-vector", "deletion-vectors"):
         # v3 DV flavor of merge-on-read: roaring bitmaps in puffin,
         # one blob per data file

@@ -190,3 +190,36 @@ def test_eq_delete_bounds_narrow_cow_fold(spark, tmp_path):
     assert got[5] == 555 and got[7] == 777 and got[6] == 6
     assert got[100050] == 100050
     assert len(got) == 200
+
+
+def test_sql_delete_equality_mode(spark, tmp_path):
+    """write.delete.mode='equality': SQL DELETE commits the matching
+    identifier keys as an equality-delete file — later re-inserts of the
+    same key SURVIVE (the eq-delete strictly-older contract)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"), name="eqd")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    cat.create_table(
+        "d.t", df.schema, properties={"write.delete.mode": "equality"}
+    )
+    cat.append("d.t", spark, df)
+    with _pytest.raises(ValueError, match="IDENTIFIER FIELDS"):
+        cat.sql(spark, "DELETE FROM eqd.d.t WHERE k < 10")
+    cat.set_identifier_fields("d.t", ["k"])
+    cat.sql(spark, "DELETE FROM eqd.d.t WHERE k < 10")
+    t = cat.load("d.t")
+    assert t.to_df(spark).count() == 90
+    assert t.equality_delete_files()
+    assert not t.position_delete_files()
+    # re-insert a deleted key: the older eq delete must NOT hit it
+    cat.append(
+        "d.t", spark, spark.createDataFrame([(5, 999)], "k long, v long")
+    )
+    rows = {r["k"]: r["v"] for r in cat.load("d.t").to_df(spark).collect()}
+    assert rows[5] == 999 and len(rows) == 91
