@@ -4032,3 +4032,46 @@ def iceberg_binpack_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.load("s.n").to_df(spark).orderBy("n_nationkey")
     )
+
+
+@register(
+    "iceberg_cherrypick_scan",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    WHERE n_nationkey < 15 OR n_nationkey >= 20
+    ORDER BY n_nationkey
+    """,
+)
+def iceberg_cherrypick_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAP cherry-pick gate (r8): a staged branch append lands on a main
+    that ADVANCED after staging (fast_forward refuses; cherrypick
+    re-commits the added manifests at a fresh sequence) — the scan must
+    read base + interleaved + cherry-picked rows exactly."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_cherrypick")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root, name="cp")
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="cp")
+            nation = load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name", "n_regionkey"
+            )
+            cat.create_table("s.n", nation.schema)
+            cat.append("s.n", spark, nation.filter("n_nationkey < 10"))
+            staged = cat.stage_append(
+                "s.n", spark, nation.filter("n_nationkey >= 20"), branch="wap"
+            )
+            cat.append(
+                "s.n", spark, nation.filter("n_nationkey BETWEEN 10 AND 14")
+            )
+            cat.cherrypick_snapshot("s.n", staged)
+            summary = cat.load("s.n").metadata.snapshots[-1].summary
+            assert summary.get("cherry-picked-snapshot-id") == str(staged)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.load("s.n").to_df(spark).orderBy("n_nationkey")
