@@ -32,7 +32,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL per query — ALL 190 registered queries,
+    """DuckDB-runnable ANSI SQL per query — ALL registered queries (the
+    registry is the source of truth for the count; every gate has one),
     including full-algorithm replays of the md5 hash-family ops
     (minhash/simhash/LSH/fake media codecs) and, since round 5, in-query
     bound assertions that make even the Spark-internal approx sketches

@@ -170,17 +170,23 @@ def main() -> None:
                 timings[name] = round(min(timings.get(name, dt), dt), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    line = json.dumps(result)
+    # The stdout line is the driver contract, but tail-capture truncates
+    # once the query map grows past a few KB — persist the same JSON to a
+    # file so the artifact stays auditable regardless of line length.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
+        "w",
+    ) as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

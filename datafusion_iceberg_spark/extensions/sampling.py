@@ -111,17 +111,15 @@ def sample_hash_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source, doc_id
     """,
 )
-def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gate_sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly 5 docs per source, hash-ranked: the reproducible
     'inspection slice' every curation loop needs.  Shuffle carries only
-    (source, hash, doc_id)."""
+    (source, hash, doc_id).  Delegates to the library helper
+    ``sample_stratified_exact(df, group, key, k)`` above (which this gate
+    previously shadowed by redefining the public name)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    w = W.Window.partitionBy("source").orderBy(
-        hash_bucket(F.col("doc_id"), 1 << 16), F.col("doc_id")
-    )
     return (
-        docs.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= 5)
+        sample_stratified_exact(docs, "source", "doc_id", 5)
         .select("source", "doc_id")
         .orderBy("source", "doc_id")
     )
