@@ -760,15 +760,27 @@ def _kmeans_oracle(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
 _KMEANS_CACHE: dict = {}
 
 
-def kmeans_assignments(spark: SparkSession, sf_dir: str):
+def kmeans_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    seed_ids=None,
+):
     """Final Lloyd assignment (vec_id, v, cid, dist) plus the converged
     centroid dict — the shared k-means kernel (see
-    :func:`embed_kmeans` for the scale shape).  Deterministic (exact
+    :func:`embed_kmeans` for the scale shape), parameterized on (k,
+    iters, seeding) so callers can grow K with corpus size (SemDeDup's
+    scale story); the registered gates pin today's constants (k=4,
+    iters=3, first-k seeding) for the deterministic oracles.
+    ``seed_ids``: an explicit list of vec_ids whose vectors seed
+    clusters 0..k-1 (default: vec_id < k).  Deterministic (exact
     integer arithmetic, fixed seeds/iterations), so the result is
-    memoized per (session, corpus): three gates share the kernel and
-    each bench pass would otherwise re-run the 3 Lloyd rounds
+    memoized per (session, corpus, params): three gates share the
+    kernel and each bench pass would otherwise re-run the Lloyd rounds
     (~2 s × 3) for bit-identical output."""
-    key = (id(spark), sf_dir)
+    seed_key = tuple(seed_ids) if seed_ids is not None else None
+    key = (id(spark), sf_dir, k, iters, seed_key)
     hit = _KMEANS_CACHE.get(key)
     if hit is not None:
         return hit
@@ -781,24 +793,42 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str):
             " x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
         ).alias("v"),
     )
-    cents = {
-        int(r.vec_id): list(r.v)
-        for r in ev.filter(F.col("vec_id") < KMEANS_K).collect()
-    }
+    if seed_ids is None:
+        cents = {
+            int(r.vec_id): list(r.v)
+            for r in ev.filter(F.col("vec_id") < k).collect()
+        }
+    else:
+        if len(seed_ids) != k:
+            raise ValueError(f"need exactly k={k} seed_ids, got {len(seed_ids)}")
+        by_id = {
+            int(r.vec_id): list(r.v)
+            for r in ev.filter(
+                F.col("vec_id").isin([int(s) for s in seed_ids])
+            ).collect()
+        }
+        missing = [s for s in seed_ids if int(s) not in by_id]
+        if missing:
+            raise ValueError(f"seed vec_ids not in corpus: {missing}")
+        cents = {c: by_id[int(s)] for c, s in enumerate(seed_ids)}
+    if len(cents) != k:
+        raise ValueError(
+            f"k={k} needs {k} seed vectors; corpus provided {len(cents)}"
+        )
     win = None
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         dist_cols = [
             F.expr(
                 "aggregate(zip_with(v, array("
                 + ",".join(f"{x}L" for x in cents[c])
                 + "), (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
             ).alias(f"d{c}")
-            for c in range(KMEANS_K)
+            for c in range(k)
         ]
         best = F.expr(
             "array_min(array("
             + ",".join(
-                f"struct(d{c} AS d, {c} AS cid)" for c in range(KMEANS_K)
+                f"struct(d{c} AS d, {c} AS cid)" for c in range(k)
             )
             + "))"
         )
@@ -818,7 +848,7 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str):
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        new_cents = {c: cents[c][:] for c in range(KMEANS_K)}  # carry-forward
+        new_cents = {c: cents[c][:] for c in range(k)}  # carry-forward
         for r in upd:
             new_cents[r.cid][r.i] = int(r.s) // int(r.n)  # python floor div
         cents = new_cents
@@ -847,7 +877,9 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
       DuckDB oracle replays the run bit-identically and the gate
       hash-verifies a 3-round iterative algorithm end to end.  Kernel in
       :func:`kmeans_assignments`."""
-    win, cents = kmeans_assignments(spark, sf_dir)
+    win, cents = kmeans_assignments(
+        spark, sf_dir, k=KMEANS_K, iters=KMEANS_ITERS
+    )
     checksums = [(c, sum(cents[c])) for c in range(KMEANS_K)]
     cs_df = spark.createDataFrame(
         checksums, "cid INT, centroid_checksum BIGINT"

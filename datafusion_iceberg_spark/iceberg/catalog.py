@@ -408,6 +408,22 @@ class Catalog(SqlSurface):
     def create_namespace(self, ns: str) -> None:
         os.makedirs(os.path.join(self.warehouse, ns), exist_ok=True)
 
+    def drop_namespace(self, ns: str) -> None:
+        """DROP NAMESPACE: refuses a namespace that still holds tables
+        or views (standard RESTRICT semantics — no cascading deletes of
+        100 TB of data from one statement)."""
+        path = os.path.join(self.warehouse, ns)
+        if not os.path.isdir(path):
+            raise KeyError(f"no such namespace: {ns}")
+        live = [k for k in self._mirror if k.startswith(ns + ".")]
+        if live:
+            raise ValueError(
+                f"namespace {ns} is not empty: {sorted(live)[:5]}"
+            )
+        import shutil
+
+        shutil.rmtree(path)
+
     def table_names(self, ns: Optional[str] = None) -> list[str]:
         keys = sorted(self._mirror)
         if ns is None:
@@ -471,8 +487,14 @@ class Catalog(SqlSurface):
             },
         )
 
-    def append(self, ident: str, spark: SparkSession, df: DataFrame) -> int:
-        snap = self.writer(ident).append(spark, df)
+    def append(
+        self,
+        ident: str,
+        spark: SparkSession,
+        df: DataFrame,
+        merge_schema=None,
+    ) -> int:
+        snap = self.writer(ident).append(spark, df, merge_schema=merge_schema)
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)  # refresh snapshot view
         self._maybe_auto_maintain(ident, spark)
@@ -588,10 +610,11 @@ class Catalog(SqlSurface):
         spark: SparkSession,
         df: DataFrame,
         on: Optional[list] = None,
+        merge_schema=None,
     ) -> int:
         """Flink-style upsert (writer.upsert: one snapshot = equality
         delete on the keys + the batch's data files) + mirror refresh."""
-        snap = self.writer(ident).upsert(spark, df, on)
+        snap = self.writer(ident).upsert(spark, df, on, merge_schema=merge_schema)
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
         self._maybe_auto_maintain(ident, spark)
@@ -637,6 +660,7 @@ class Catalog(SqlSurface):
         insert_not_matched: bool = True,
         when_matched_delete: bool = False,
         clauses=None,
+        merge_schema=None,
     ) -> int:
         """MERGE INTO (writer.merge; ``on`` may be a composite key list)
         + mirror refresh; re-plans on concurrent-commit conflicts.
@@ -662,6 +686,7 @@ class Catalog(SqlSurface):
                 insert_not_matched,
                 when_matched_delete,
                 clauses=clauses,
+                merge_schema=merge_schema,
             ),
         )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]

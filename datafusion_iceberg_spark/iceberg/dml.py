@@ -621,6 +621,28 @@ def _exec_call(surface, spark, s: A.Call) -> DataFrame:
 # ---- SHOW / DESCRIBE -------------------------------------------------------
 
 
+def _exec_create_namespace(
+    surface, spark, s: A.CreateNamespace
+) -> DataFrame:
+    _need(surface, "create_namespace")
+    if s.namespace in surface.namespaces():
+        if s.if_not_exists:
+            return _result(spark, "noop", s.namespace, None)
+        raise KeyError(f"namespace already exists: {s.namespace}")
+    surface.create_namespace(s.namespace)
+    return _result(spark, "create_namespace", s.namespace, None)
+
+
+def _exec_drop_namespace(surface, spark, s: A.DropNamespace) -> DataFrame:
+    _need(surface, "drop_namespace")
+    if s.namespace not in surface.namespaces():
+        if s.if_exists:
+            return _result(spark, "noop", s.namespace, None)
+        raise KeyError(f"no such namespace: {s.namespace}")
+    surface.drop_namespace(s.namespace)
+    return _result(spark, "drop_namespace", s.namespace, None)
+
+
 def _exec_show_namespaces(surface, spark, s: A.ShowNamespaces) -> DataFrame:
     return spark.createDataFrame(
         [(ns,) for ns in surface.namespaces()],
@@ -757,6 +779,8 @@ _EXEC = {
     A.Refresh: _exec_refresh,
     A.Analyze: _exec_analyze,
     A.Call: _exec_call,
+    A.CreateNamespace: _exec_create_namespace,
+    A.DropNamespace: _exec_drop_namespace,
     A.ShowNamespaces: _exec_show_namespaces,
     A.ShowTables: _exec_show_tables,
     A.ShowPartitions: _exec_show_partitions,

@@ -3617,6 +3617,208 @@ def iceberg_upsert_eq_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "iceberg_merge_schema_scan",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderpriority AS prio
+        FROM orders
+    ),
+    rows_all AS (
+        SELECT k, st, cents, CAST(NULL AS VARCHAR) AS prio,
+               CASE WHEN k % 10 = 0 THEN 1 ELSE NULL END AS flag
+        FROM base
+        UNION ALL
+        SELECT k + 2000000000 AS k, st, cents, prio,
+               CAST(NULL AS INT) AS flag
+        FROM base WHERE k % 4 = 0
+    )
+    SELECT st AS o_orderstatus, COUNT(*) AS n_orders,
+           COUNT(prio) AS n_prio,
+           CAST(COALESCE(SUM(flag), 0) AS BIGINT) AS flag_sum,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM rows_all GROUP BY st ORDER BY st
+    """,
+)
+def iceberg_merge_schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution THROUGH the write path (r9): with
+    ``write.spark.accept-any-schema`` set, an append whose source carries
+    a column the table lacks auto-ADDs it (optional, field-id allocated,
+    one metadata version) in the same writer call, and a MERGE whose
+    source carries another new column auto-adds it before clause
+    normalization so SET/INSERT see it.  Files written before each add
+    read as NULL through the field-id mapping — no rewrite.  The
+    reference pins a single scan schema (table.rs:81-87) and has no
+    write path (SURVEY §2C); Spark-Iceberg needs the same property plus
+    ``mergeSchema``.  Oracle: relational replay of both evolutions."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_mschema")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            base = load_table(spark, sf_dir, "orders").selectExpr(
+                "o_orderkey AS k",
+                "o_orderstatus AS st",
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            )
+            cat.create_table("ms.orders", base.schema)
+            cat.append("ms.orders", spark, base)
+            cat.set_properties(
+                "ms.orders", {"write.spark.accept-any-schema": "true"}
+            )
+            # append evolution: source carries a NEW string column `prio`
+            cat.append(
+                "ms.orders",
+                spark,
+                load_table(spark, sf_dir, "orders")
+                .filter("o_orderkey % 4 = 0")
+                .selectExpr(
+                    "o_orderkey + 2000000000 AS k",
+                    "o_orderstatus AS st",
+                    "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+                    "o_orderpriority AS prio",
+                ),
+            )
+            # merge evolution: source carries a NEW long column `flag`;
+            # matched rows take it via SET, everyone else reads NULL
+            cat.merge_into(
+                "ms.orders",
+                spark,
+                base.filter("k % 10 = 0").selectExpr(
+                    "k", "st", "cents", "CAST(1 AS BIGINT) AS flag"
+                ),
+                on="k",
+                when_matched_set={"flag": "src.flag"},
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT st AS o_orderstatus, COUNT(*) AS n_orders,"
+        " COUNT(prio) AS n_prio,"
+        " CAST(COALESCE(SUM(flag), 0) AS BIGINT) AS flag_sum,"
+        " CAST(SUM(cents) AS BIGINT) AS cents_sum"
+        " FROM iceberg.ms.orders GROUP BY st ORDER BY st",
+    )
+
+
+@register(
+    "iceberg_namespace_ddl_scan",
+    oracle="""
+    SELECT * FROM (VALUES ('analytics'), ('raw')) AS t(namespace)
+    ORDER BY namespace
+    """,
+)
+def iceberg_namespace_ddl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL CREATE/DROP NAMESPACE (r9): three namespaces created through
+    the parser (one via the SCHEMA synonym), one dropped (RESTRICT — the
+    non-empty one refuses), SHOW NAMESPACES reflects the survivors.
+    The reference's namespace surface is list/resolve only
+    (catalog.rs:141-159); DDL statements are beyond-reference."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_nsddl")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            cat.sql(spark, "CREATE NAMESPACE iceberg.analytics")
+            cat.sql(spark, "CREATE SCHEMA iceberg.raw")
+            cat.sql(spark, "CREATE NAMESPACE IF NOT EXISTS iceberg.tmp")
+            cat.sql(
+                spark,
+                "CREATE TABLE iceberg.analytics.t (k BIGINT, v BIGINT)",
+            )
+            try:
+                cat.sql(spark, "DROP NAMESPACE iceberg.analytics")
+                raise AssertionError("non-empty namespace must refuse DROP")
+            except ValueError:
+                pass
+            cat.sql(spark, "DROP NAMESPACE iceberg.tmp")
+            cat.sql(spark, "DROP NAMESPACE IF EXISTS iceberg.tmp")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(spark, "SHOW NAMESPACES IN iceberg").orderBy("namespace")
+
+
+@register(
+    "iceberg_rest_view_scan",
+    oracle="""
+    SELECT o_orderstatus, n_orders, cents_sum FROM (
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
+        FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus
+    ) ORDER BY o_orderstatus
+    """,
+)
+def iceberg_rest_view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View DDL THROUGH the REST service (r9): CREATE VIEW on a REST
+    catalog commits view metadata via POST /v1/namespaces/{ns}/views
+    (CreateViewRequest); the query below resolves it from a FRESH client
+    whose mirror walked .../views listings — proving the view lives on
+    the service, not in local state.  Reference parity: mirror.rs:34,
+    67-78 carries Relation::View read-only; the write side is ours."""
+    from datafusion_iceberg_spark.iceberg.rest_catalog import (
+        LocalRestServer,
+        RestCatalog,
+        RestCatalogClient,
+    )
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_restview")
+        marker = os.path.join(root, "_COMPLETE")
+        first = not os.path.exists(marker)
+        if first:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root, exist_ok=True)
+        server = LocalRestServer(root)
+        try:
+            base = server.start()
+            if first:
+                rest = RestCatalog(RestCatalogClient(base), name="rv")
+                orders = load_table(spark, sf_dir, "orders").selectExpr(
+                    "o_orderkey",
+                    "o_orderstatus",
+                    "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+                )
+                rest.create_table("sales.orders", orders.schema)
+                rest.append("sales.orders", spark, orders)
+                rest.sql(
+                    spark,
+                    "CREATE VIEW rv.sales.even_by_status AS"
+                    " SELECT o_orderstatus, COUNT(*) AS n_orders,"
+                    " CAST(SUM(cents) AS BIGINT) AS cents_sum"
+                    " FROM rv.sales.orders WHERE o_orderkey % 2 = 0"
+                    " GROUP BY o_orderstatus",
+                )
+                with open(marker, "w") as fh:
+                    fh.write("ok")
+            # a FRESH client: the view must come back over the wire
+            fresh = RestCatalog(RestCatalogClient(base), name="rv")
+            return fresh.sql(
+                spark,
+                "SELECT o_orderstatus, n_orders, cents_sum"
+                " FROM rv.sales.even_by_status ORDER BY o_orderstatus",
+            )
+        finally:
+            server.stop()
+
+
 def _kmv_oracle_leg(col: str, k: int = 256, domain: int = 1 << 60) -> str:
     """DuckDB replay of one column's KMV sketch (writer.py
     compute_table_stats): 60-bit md5-prefix hash → distinct → k minima →

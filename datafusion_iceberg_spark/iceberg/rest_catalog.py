@@ -150,9 +150,23 @@ class RestCatalogClient:
     # -- write-back (synchronous; contrast mirror.rs:123-144) --------------
 
     def create_namespace(self, namespace: str) -> None:
-        self._request(
-            "POST", "/namespaces", {"namespace": namespace.split(".")}
-        )
+        """Ensure-exists semantics: the spec's AlreadyExistsError (409)
+        is benign — internal callers (create_table, register) use this
+        to guarantee the parent namespace; SQL-level duplicate detection
+        happens against the listing before this call."""
+        import urllib.error
+
+        try:
+            self._request(
+                "POST", "/namespaces", {"namespace": namespace.split(".")}
+            )
+        except urllib.error.HTTPError as e:
+            if e.code != 409:
+                raise
+
+    def drop_namespace(self, namespace: str) -> None:
+        ns = urllib.parse.quote(namespace, safe="")
+        self._request("DELETE", f"/namespaces/{ns}")
 
     def register_table(
         self, namespace: str, name: str, metadata_location: str
@@ -167,6 +181,47 @@ class RestCatalogClient:
     def drop_table(self, namespace: str, name: str) -> None:
         ns = urllib.parse.quote(namespace, safe="")
         self._request("DELETE", f"/namespaces/{ns}/tables/{name}")
+
+    # -- view endpoints (Iceberg REST view spec) ----------------------------
+
+    def list_views(self, namespace: str) -> list[str]:
+        ns = urllib.parse.quote(namespace, safe="")
+        return [
+            ident["name"]
+            for ident in self._paged(f"/namespaces/{ns}/views", "identifiers")
+        ]
+
+    def load_view(self, namespace: str, name: str) -> dict:
+        """→ LoadViewResult: {"metadata-location": ..., "metadata": {...}}"""
+        ns = urllib.parse.quote(namespace, safe="")
+        return self._request("GET", f"/namespaces/{ns}/views/{name}")
+
+    def create_view(
+        self, namespace: str, name: str, sql: str, dialect: str = "spark"
+    ) -> dict:
+        """POST /v1/namespaces/{ns}/views — CreateViewRequest; the
+        SERVICE owns and persists the view metadata (the reference's
+        mirror carries Relation::View the same way, mirror.rs:34,67-78)."""
+        ns = urllib.parse.quote(namespace, safe="")
+        body = {
+            "name": name,
+            "view-version": {
+                "version-id": 1,
+                "schema-id": 0,
+                "summary": {"operation": "create"},
+                "representations": [
+                    {"type": "sql", "sql": sql, "dialect": dialect}
+                ],
+                "default-namespace": [namespace],
+            },
+            "schema": {"type": "struct", "schema-id": 0, "fields": []},
+            "properties": {},
+        }
+        return self._request("POST", f"/namespaces/{ns}/views", body)
+
+    def drop_view(self, namespace: str, name: str) -> None:
+        ns = urllib.parse.quote(namespace, safe="")
+        self._request("DELETE", f"/namespaces/{ns}/views/{name}")
 
     # -- service-owned writes (CreateTableRequest / CommitTableRequest) ----
 
@@ -398,8 +453,8 @@ class RestTransaction:
 
     # the staged operation surface (each writes data files now, stages
     # the metadata commit)
-    def append(self, ident: str, spark, df) -> int:
-        return self.writer(ident).append(spark, df)
+    def append(self, ident: str, spark, df, merge_schema=None) -> int:
+        return self.writer(ident).append(spark, df, merge_schema=merge_schema)
 
     def overwrite(self, ident: str, spark, df) -> int:
         return self.writer(ident).overwrite(spark, df)
@@ -416,8 +471,8 @@ class RestTransaction:
     def merge_into(self, ident: str, spark, source, on, **kw) -> int:
         return self.writer(ident).merge(spark, source, on, **kw)
 
-    def upsert(self, ident: str, spark, df, on=None) -> int:
-        return self.writer(ident).upsert(spark, df, on)
+    def upsert(self, ident: str, spark, df, on=None, merge_schema=None) -> int:
+        return self.writer(ident).upsert(spark, df, on, merge_schema=merge_schema)
 
     def add_column(self, ident: str, name: str, dtype, default=None) -> int:
         return self.writer(ident).add_column(name, dtype, default)
@@ -494,6 +549,7 @@ class RestCatalog(SqlSurface):
         self.name = name
         self._mirror: dict[str, IcebergTable] = {}
         self._locations: dict[str, str] = {}
+        self._namespaces: set[str] = set()
         self.refresh()
 
     def refresh(self, ident: Optional[str] = None) -> None:
@@ -503,7 +559,8 @@ class RestCatalog(SqlSurface):
             return
         self._mirror.clear()
         self._locations.clear()
-        for ns in self.client.list_namespaces():
+        self._namespaces = set(self.client.list_namespaces())
+        for ns in self._namespaces:
             for t in self.client.list_tables(ns):
                 res = self.client.load_table(ns, t)
                 meta = metadata_from_dict(
@@ -511,11 +568,34 @@ class RestCatalog(SqlSurface):
                 )
                 self._mirror[f"{ns}.{t}"] = IcebergTable(meta)
                 self._locations[f"{ns}.{t}"] = res.get("metadata-location", "")
+            for v in self.client.list_views(ns):
+                res = self.client.load_view(ns, v)
+                from datafusion_iceberg_spark.iceberg.view import IcebergView
+
+                self._mirror[f"{ns}.{v}"] = IcebergView(
+                    res["metadata"], res.get("metadata-location", "")
+                )
+                self._locations[f"{ns}.{v}"] = res.get("metadata-location", "")
 
     # -- read surface -------------------------------------------------------
 
     def namespaces(self) -> list[str]:
-        return sorted({k.rsplit(".", 1)[0] for k in self._mirror})
+        return sorted(
+            self._namespaces | {k.rsplit(".", 1)[0] for k in self._mirror}
+        )
+
+    def create_namespace(self, ns: str) -> None:
+        """CREATE NAMESPACE through the service (POST /v1/namespaces),
+        remote first — the cached set updates only on success."""
+        self.client.create_namespace(ns)
+        self._namespaces.add(ns)
+
+    def drop_namespace(self, ns: str) -> None:
+        """DROP NAMESPACE through the service (DELETE
+        /v1/namespaces/{ns}); the service enforces RESTRICT (409 while
+        tables remain)."""
+        self.client.drop_namespace(ns)
+        self._namespaces.discard(ns)
 
     def table_names(self, ns: Optional[str] = None) -> list[str]:
         keys = sorted(self._mirror)
@@ -544,10 +624,30 @@ class RestCatalog(SqlSurface):
         return table
 
     def drop(self, ident: str) -> None:
+        from datafusion_iceberg_spark.iceberg.view import IcebergView
+
         ns, name = ident.rsplit(".", 1)
-        self.client.drop_table(ns, name)  # remote FIRST, then mirror —
-        self._mirror.pop(ident, None)  # never a mirror/remote split-brain
+        if isinstance(self._mirror.get(ident), IcebergView):
+            self.client.drop_view(ns, name)  # remote FIRST, then mirror —
+        else:
+            self.client.drop_table(ns, name)  # never a split-brain
+        self._mirror.pop(ident, None)
         self._locations.pop(ident, None)
+
+    def create_view(self, ident: str, sql: str):
+        """CREATE VIEW committed THROUGH the service (CreateViewRequest);
+        the mirror holds the returned metadata, and a fresh client sees
+        the view (reference parity: Relation::View through the mirror,
+        mirror.rs:34,67-78 via table.rs:102-112)."""
+        from datafusion_iceberg_spark.iceberg.view import IcebergView
+
+        ns, name = ident.split(".", 1)
+        self.client.create_namespace(ns)
+        self._namespaces.add(ns)
+        res = self.client.create_view(ns, name, sql)
+        view = IcebergView(res["metadata"], res.get("metadata-location", ""))
+        self._mirror[ident] = view
+        return view
 
     # -- write-through commits (service-owned metadata) ---------------------
 
@@ -617,9 +717,14 @@ class RestCatalog(SqlSurface):
                     raise
                 self._refresh(ident)
 
-    def append(self, ident: str, spark: SparkSession, df: DataFrame) -> int:
+    def append(
+        self, ident: str, spark: SparkSession, df: DataFrame, merge_schema=None
+    ) -> int:
         return self._commit_op(
-            ident, lambda: self.writer(ident).append(spark, df)
+            ident,
+            lambda: self.writer(ident).append(
+                spark, df, merge_schema=merge_schema
+            ),
         )
 
     def overwrite(
@@ -657,6 +762,7 @@ class RestCatalog(SqlSurface):
         insert_not_matched: bool = True,
         when_matched_delete: bool = False,
         clauses=None,
+        merge_schema=None,
     ) -> int:
         return self._commit_op(
             ident,
@@ -668,6 +774,7 @@ class RestCatalog(SqlSurface):
                 insert_not_matched,
                 when_matched_delete,
                 clauses=clauses,
+                merge_schema=merge_schema,
             ),
         )
 
@@ -730,10 +837,18 @@ class RestCatalog(SqlSurface):
         return self.writer(ident).table_stats()
 
     def upsert(
-        self, ident: str, spark: SparkSession, df: DataFrame, on=None
+        self,
+        ident: str,
+        spark: SparkSession,
+        df: DataFrame,
+        on=None,
+        merge_schema=None,
     ) -> int:
         return self._commit_op(
-            ident, lambda: self.writer(ident).upsert(spark, df, on)
+            ident,
+            lambda: self.writer(ident).upsert(
+                spark, df, on, merge_schema=merge_schema
+            ),
         )
 
     def update_where_mor(
@@ -841,6 +956,9 @@ class LocalRestServer:
         self._catalog = Catalog(warehouse)
         self._registered: dict[str, str] = {}  # ident -> metadata-location
         self._dropped: set[str] = set()
+        self._extra_namespaces: set[str] = set()  # created empty via POST
+        self._dropped_namespaces: set[str] = set()  # tombstones (files stay)
+        self._extra_views: set[str] = set()  # created after the mirror walk
         # auth: when credential ("id:secret") is set, the tokens endpoint
         # exchanges it for a bearer token and every other endpoint
         # requires one (401 otherwise)
@@ -917,6 +1035,22 @@ class LocalRestServer:
                     ns = urllib.parse.unquote(parts[1])
                     res = outer._load(f"{ns}.{parts[3]}")
                     return self._send(200, res) if res else self._send(404)
+                if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "views":
+                    ns = urllib.parse.unquote(parts[1])
+                    return self._send(
+                        200,
+                        self._page(
+                            [
+                                {"namespace": [ns], "name": t.split(".", 1)[1]}
+                                for t in outer._views(ns)
+                            ],
+                            "identifiers",
+                        ),
+                    )
+                if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "views":
+                    ns = urllib.parse.unquote(parts[1])
+                    res = outer._load_view(f"{ns}.{parts[3]}")
+                    return self._send(200, res) if res else self._send(404)
                 return self._send(404)
 
             def do_POST(self):
@@ -943,7 +1077,16 @@ class LocalRestServer:
                         return self._send(409, {"error": str(e)})
                     return self._send(200, res)
                 if parts == ["namespaces"]:
-                    return self._send(200, {"namespace": body.get("namespace")})
+                    ns = ".".join(body.get("namespace") or [])
+                    if not ns:
+                        return self._send(400, {"error": "empty namespace"})
+                    if ns in outer._namespaces():
+                        return self._send(
+                            409, {"error": f"namespace exists: {ns}"}
+                        )
+                    outer._extra_namespaces.add(ns)
+                    outer._dropped_namespaces.discard(ns)
+                    return self._send(200, {"namespace": body["namespace"]})
                 if (
                     len(parts) == 3
                     and parts[0] == "namespaces"
@@ -955,6 +1098,17 @@ class LocalRestServer:
                     outer._registered[ident] = loc
                     outer._dropped.discard(ident)
                     return self._send(200, outer._load(ident))
+                if (
+                    len(parts) == 3
+                    and parts[0] == "namespaces"
+                    and parts[2] == "views"
+                ):  # CreateViewRequest
+                    ns = urllib.parse.unquote(parts[1])
+                    try:
+                        res = outer._create_view(ns, body)
+                    except FileExistsError as e:
+                        return self._send(409, {"error": str(e)})
+                    return self._send(200, res)
                 if (
                     len(parts) == 3
                     and parts[0] == "namespaces"
@@ -1009,6 +1163,29 @@ class LocalRestServer:
                     ns = urllib.parse.unquote(parts[1])
                     outer._dropped.add(f"{ns}.{parts[3]}")
                     return self._send(204)
+                if len(parts) == 4 and parts[0] == "namespaces" and parts[2] == "views":
+                    ns = urllib.parse.unquote(parts[1])
+                    ident = f"{ns}.{parts[3]}"
+                    if outer._load_view(ident) is None:
+                        return self._send(404, {"error": f"no such view: {ident}"})
+                    outer._dropped.add(ident)
+                    return self._send(204)
+                if len(parts) == 2 and parts[0] == "namespaces":
+                    ns = urllib.parse.unquote(parts[1])
+                    if ns not in outer._namespaces():
+                        return self._send(
+                            404, {"error": f"no such namespace: {ns}"}
+                        )
+                    if outer._tables(ns):
+                        return self._send(
+                            409, {"error": f"namespace not empty: {ns}"}
+                        )
+                    outer._extra_namespaces.discard(ns)
+                    # tombstone, not rmtree: drop_table is soft on this
+                    # double (files stay for audit), so the dir may
+                    # legitimately still hold dropped tables' data
+                    outer._dropped_namespaces.add(ns)
+                    return self._send(204)
                 return self._send(404)
 
         self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
@@ -1021,7 +1198,8 @@ class LocalRestServer:
     def _namespaces(self) -> list[str]:
         ns = set(self._catalog.namespaces())
         ns |= {k.rsplit(".", 1)[0] for k in self._registered}
-        return sorted(ns)
+        ns |= self._extra_namespaces
+        return sorted(ns - self._dropped_namespaces)
 
     def _tables(self, ns: str) -> list[str]:
         names = {
@@ -1054,6 +1232,55 @@ class LocalRestServer:
             return None
         meta = load_table_metadata(rel.metadata.root)
         return {"metadata-location": meta.root, "metadata": meta.raw}
+
+    def _views(self, ns: str) -> list[str]:
+        from datafusion_iceberg_spark.iceberg.view import IcebergView
+
+        names = {
+            k
+            for k in self._catalog.table_names(ns)
+            if isinstance(self._catalog.load(k), IcebergView)
+        }
+        names |= {k for k in self._extra_views if k.startswith(ns + ".")}
+        return sorted(names - self._dropped)
+
+    def _load_view(self, ident: str) -> Optional[dict]:
+        from datafusion_iceberg_spark.iceberg.view import IcebergView
+
+        if ident in self._dropped:
+            return None
+        if not self._catalog.table_exists(ident):
+            # pick up views created since the catalog mirror was built
+            ns, name = ident.split(".", 1)
+            root = os.path.join(self._warehouse, ns, name)
+            if IcebergView.is_view(root):
+                view = IcebergView.load(root)
+                return {"metadata-location": view.root, "metadata": view.raw}
+            return None
+        rel = self._catalog.load(ident)
+        if not isinstance(rel, IcebergView):
+            return None
+        return {"metadata-location": rel.root, "metadata": rel.raw}
+
+    def _create_view(self, ns: str, body: dict) -> dict:
+        from datafusion_iceberg_spark.iceberg.view import IcebergView
+
+        name = body["name"]
+        ident = f"{ns}.{name}"
+        if self._load_view(ident) is not None or self._load(ident) is not None:
+            raise FileExistsError(f"relation already exists: {ident}")
+        reps = (body.get("view-version") or {}).get("representations") or []
+        sql_rep = next((r for r in reps if r.get("type") == "sql"), None)
+        if sql_rep is None:
+            raise FileExistsError("CreateViewRequest needs a sql representation")
+        root = os.path.join(self._warehouse, ns, name)
+        os.makedirs(os.path.join(self._warehouse, ns), exist_ok=True)
+        view = IcebergView.create(
+            root, sql_rep["sql"], dialect=sql_rep.get("dialect", "spark")
+        )
+        self._dropped.discard(ident)
+        self._extra_views.add(ident)
+        return {"metadata-location": view.root, "metadata": view.raw}
 
     # -- service-owned metadata writes --------------------------------------
 

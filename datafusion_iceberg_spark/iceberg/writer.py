@@ -623,6 +623,18 @@ def _stat_parquet_footer(
     }
 
 
+def _carry_identifier_fields(cur: dict, new_schema: dict, dropped=()) -> None:
+    """Schema evolutions produce a NEW schema object; identifier-field-ids
+    (the upsert/row-identity keys) live ON the schema, so every evolution
+    must carry them forward or an ADD COLUMN would silently wipe the
+    table's upsert keys (r9 regression find).  ``dropped`` removes the
+    ids of dropped fields (a dropped identifier column stops identifying
+    rows, matching the spec's requirement that ids reference live fields)."""
+    ids = [i for i in cur.get("identifier-field-ids", []) if i not in set(dropped)]
+    if ids:
+        new_schema["identifier-field-ids"] = ids
+
+
 class IcebergWriter:
     """Create/append/commit for one table root."""
 
@@ -910,8 +922,12 @@ class IcebergWriter:
         _allow_empty: bool = False,
         stage_branch: Optional[str] = None,
         _expected_parent=_UNCHECKED,
+        merge_schema: Optional[bool] = None,
     ) -> int:
         """Write df as parquet data files + commit an append snapshot.
+        ``merge_schema=True`` (or the ``write.spark.accept-any-schema``
+        table property) evolves the schema to accept source columns the
+        table lacks — see :meth:`merge_source_schema`.
         ``stage_branch`` stages the snapshot for write-audit-publish: it
         is committed to the snapshot list under a branch ref of that
         name, but ``main`` (current-snapshot-id, snapshot-log) does not
@@ -921,6 +937,7 @@ class IcebergWriter:
         :meth:`compact`); ``_extra_entries`` (DataFile objects) are
         surviving files included verbatim in the new manifest (used by
         :meth:`delete` for copy-on-write)."""
+        self._maybe_merge_schema(df, merge_schema)
         snap_id = int(time.time() * 1000) * 1000 + (int.from_bytes(os.urandom(2), "big") % 1000)
         files = self._write_data_files(df, snap_id)
         return self._commit_file_stats(
@@ -1590,6 +1607,7 @@ class IcebergWriter:
                 }
             ],
         }
+        _carry_identifier_fields(cur, new_schema)
         if default is not None and int(meta.get("format-version", 2)) < 3:
             meta["format-version"] = 3  # default values are a v3 feature
         meta["schemas"] = meta["schemas"] + [new_schema]
@@ -1634,6 +1652,7 @@ class IcebergWriter:
                 for f in cur["fields"]
             ],
         }
+        _carry_identifier_fields(cur, new_schema)
         meta["schemas"] = meta["schemas"] + [new_schema]
         meta["current-schema-id"] = new_schema["schema-id"]
         meta["schema"] = new_schema  # v1 single-schema compat
@@ -1651,6 +1670,86 @@ class IcebergWriter:
         self.iceberg_types[new] = self.iceberg_types.pop(old)
 
     _WIDENINGS = {("int", "long"), ("float", "double")}
+
+    # -- schema evolution on write (mergeSchema) ---------------------------
+
+    def _merge_schema_enabled(self) -> bool:
+        """True when the table opted into write-side schema evolution via
+        the ``write.spark.accept-any-schema`` property (Spark-Iceberg's
+        name for the same switch)."""
+        props = self._load_current().get("properties", {}) or {}
+        return str(
+            props.get("write.spark.accept-any-schema", "")
+        ).lower() == "true"
+
+    def _source_schema_delta(self, df: DataFrame) -> tuple[list, list]:
+        """(new_fields, widen_fields) the table schema needs to accept
+        ``df``.  Internal lineage/positional columns never count."""
+        new, widen = [], []
+        for f in df.schema.fields:
+            if f.name in (ROW_ID_COL, LAST_UPD_COL) or f.name.startswith(
+                "_ice_"
+            ):
+                continue
+            if f.name not in self.field_ids:
+                new.append(f)
+                continue
+            old_t = self.iceberg_types.get(f.name)
+            new_t = spark_type_to_iceberg(f.dataType, lambda: 0)
+            if (
+                isinstance(old_t, str)
+                and isinstance(new_t, str)
+                and (old_t, new_t) in self._WIDENINGS
+            ):
+                widen.append(f)
+        return new, widen
+
+    def merge_source_schema(self, df: DataFrame) -> dict:
+        """Evolve the table schema to ACCEPT ``df``: source columns absent
+        from the table are auto-ADDed (optional — files written before the
+        column existed read as NULL), and source columns whose type is an
+        Iceberg-legal promotion of the table type (int→long, float→double)
+        auto-widen.  Anything else (narrowing, incompatible types, missing
+        required columns) still raises downstream — evolution must never
+        lose data.  Returns ``{"added": [...], "widened": [...]}``.
+
+        The schema update commits before the data snapshot (one metadata
+        version per evolution step via :meth:`add_column` /
+        :meth:`widen_column` — the same path SQL ALTER uses, so REST
+        catalogs ship it as an ``add-schema`` update through the commit
+        protocol).  A crash between the schema commit and the data commit
+        leaves only an extra optional column: harmless and idempotent on
+        retry.  Reference parity anchor: the reference pins one scan schema
+        (table.rs:81-87) and has no write path; the field-id-keyed column
+        mapping here is what makes mid-stream adds resolve correctly
+        across old and new files."""
+        new, widen = self._source_schema_delta(df)
+        for f in new:
+            self.add_column(f.name, f.dataType)
+        for f in widen:
+            self.widen_column(f.name, f.dataType)
+        return {
+            "added": [f.name for f in new],
+            "widened": [f.name for f in widen],
+        }
+
+    def _maybe_merge_schema(
+        self, df: DataFrame, merge_schema: Optional[bool]
+    ) -> None:
+        """Write-path hook: evolve-to-accept when the caller forced
+        ``merge_schema=True`` or the table property opted in (checked
+        only when the source actually deviates — no metadata read on the
+        hot path)."""
+        if merge_schema is False:
+            return
+        new, widen = self._source_schema_delta(df)
+        if not new and not widen:
+            return
+        if merge_schema or self._merge_schema_enabled():
+            for f in new:
+                self.add_column(f.name, f.dataType)
+            for f in widen:
+                self.widen_column(f.name, f.dataType)
 
     def widen_column(self, name: str, new_type: T.DataType) -> None:
         """ALTER COLUMN TYPE widening (Iceberg-legal promotions only:
@@ -1682,6 +1781,7 @@ class IcebergWriter:
                 for f in cur["fields"]
             ],
         }
+        _carry_identifier_fields(cur, new_schema)
         meta["schemas"] = meta["schemas"] + [new_schema]
         meta["current-schema-id"] = new_schema["schema-id"]
         meta["schema"] = new_schema
@@ -1722,6 +1822,9 @@ class IcebergWriter:
             "schema-id": max(s.get("schema-id", 0) for s in meta["schemas"]) + 1,
             "fields": [dict(f) for f in cur["fields"] if f["name"] != name],
         }
+        _carry_identifier_fields(
+            cur, new_schema, dropped=(self.field_ids[name],)
+        )
         meta["schemas"] = meta["schemas"] + [new_schema]
         meta["current-schema-id"] = new_schema["schema-id"]
         meta["schema"] = new_schema  # v1 single-schema compat
@@ -4201,6 +4304,7 @@ class IcebergWriter:
         spark: SparkSession,
         df: DataFrame,
         on: Optional[list] = None,
+        merge_schema: Optional[bool] = None,
     ) -> int:
         """Flink-style UPSERT: ONE snapshot carrying an equality-delete
         file on the key columns PLUS the batch's data files.  Keys come
@@ -4212,7 +4316,10 @@ class IcebergWriter:
         the batch's own rows survive.  Cost is O(batch): no scan, no
         rewrite of existing files — the delete flavor Flink CDC sinks
         emit per checkpoint.  Later upserts shadow earlier ones the same
-        way (higher sequence)."""
+        way (higher sequence).  ``merge_schema`` as in :meth:`append`
+        (a key column that auto-adds is legal but matches nothing —
+        pre-existing rows hold NULL in it, so the batch is pure insert)."""
+        self._maybe_merge_schema(df, merge_schema)
         keys = list(on) if on else self.identifier_columns()
         if not keys:
             raise ValueError(
@@ -4680,7 +4787,10 @@ class IcebergWriter:
             expr = None
             for i, cl in reversed(ins_clauses):
                 if cl.insert_cols is None:
-                    e = f"src.{c}"
+                    # INSERT *: table columns the source lacks (schema
+                    # evolved past the source — e.g. a prior mergeSchema
+                    # add) take their write-default, else NULL
+                    e = f"src.{c}" if c in src.columns else None
                 else:
                     e = dict(
                         zip(cl.insert_cols, cl.insert_values or [])
@@ -4709,6 +4819,7 @@ class IcebergWriter:
         insert_not_matched: bool = True,
         when_matched_delete: bool = False,
         clauses: Optional[list] = None,
+        merge_schema: Optional[bool] = None,
     ) -> int:
         """MERGE INTO target USING source ON <key equality>, full SQL
         clause surface (r8): any number of ``WHEN MATCHED [AND cond]
@@ -4734,6 +4845,11 @@ class IcebergWriter:
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
         from pyspark.sql import functions as F
 
+        # schema evolution first so INSERT * / the rewrite frame see the
+        # new columns (with accept-any-schema on, EVERY source column is
+        # taken as a table column by design — CDC meta/op columns must be
+        # dropped from the source first, same contract as Spark-Iceberg)
+        self._maybe_merge_schema(source, merge_schema)
         keys = _normalize_merge_on(on)
         tkeys = [t for t, _ in keys]
         skeys = [sk for _, sk in keys]
@@ -4908,6 +5024,7 @@ class IcebergWriter:
         insert_not_matched: bool = True,
         when_matched_delete: bool = False,
         clauses: Optional[list] = None,
+        merge_schema: Optional[bool] = None,
     ) -> int:
         """Merge-on-read MERGE (``write.merge.mode='merge-on-read'``):
         the same clause semantics as :meth:`merge` (conditional WHEN
@@ -4926,6 +5043,7 @@ class IcebergWriter:
 
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
+        self._maybe_merge_schema(source, merge_schema)
         keys = _normalize_merge_on(on)
         tkeys = [t for t, _ in keys]
         skeys = [sk for _, sk in keys]

@@ -275,10 +275,19 @@ class IcebergPyStreamReader(DataSourceStreamReader):
     bounded, documented, and never a correctness issue because offsets
     live in the checkpoint."""
 
-    def __init__(self, root: str, schema, max_snapshots_per_batch=None):
+    def __init__(
+        self,
+        root: str,
+        schema,
+        max_snapshots_per_batch=None,
+        overwrite_diff_buckets=None,
+    ):
         self._root = root
         self._schema = schema
         self._max_snaps = max_snapshots_per_batch
+        # cdc mode: parallelism of the overwrite net-diff (each bucket
+        # re-reads the changed files, keeps 1/n of the rows)
+        self._ow_buckets = int(overwrite_diff_buckets or 4)
         self._seen: Optional[int] = None  # highest ordinal planned/committed
 
     def _load(self):
@@ -434,6 +443,47 @@ class IcebergCdcEqDeletePartition(InputPartition):
         self.first_row_id = first_row_id
 
 
+class IcebergCdcOverwriteDiffPartition(InputPartition):
+    """One hash bucket of a file-REMOVING overwrite snapshot's net row
+    diff (r9 — closes the last CDC fence): the executor reads the
+    REMOVED files (masked by the prior snapshot's delete coverage so
+    already-dead rows don't resurface) and the ADDED files, computes the
+    multiset difference per canonical row key, and emits
+    removed−added as ``delete`` rows and added−removed as ``insert``
+    rows — carried rows cancel exactly, the same EXCEPT-ALL math as the
+    batch ``changelog_df`` overwrite legs (iceberg/table.py:755).
+
+    Bucketing: every bucket reads all changed files but keeps only rows
+    whose deterministic key hash lands in its bucket, trading
+    ``n_buckets``× read amplification for n-way parallelism and a
+    1/n-size hash map — the knob (``overwrite_diff_buckets``) exists
+    because a DataSource planner cannot run a distributed EXCEPT ALL;
+    histories dominated by huge overwrites belong on the batch
+    changelog."""
+
+    def __init__(
+        self,
+        removed,        # [(localized_path, raw_path, file_seq)]
+        added,          # [localized_path]
+        attach_delete: dict,
+        attach_insert: dict,
+        prior_parquet,  # localized prior position-delete files
+        prior_dv_by_raw,  # raw target -> (puffin, off, len)
+        prior_eq,       # [((localized eq file, [key cols]), seq)]
+        bucket: int,
+        n_buckets: int,
+    ):
+        self.removed = removed
+        self.added = added
+        self.attach_delete = attach_delete
+        self.attach_insert = attach_insert
+        self.prior_parquet = prior_parquet
+        self.prior_dv_by_raw = prior_dv_by_raw
+        self.prior_eq = prior_eq
+        self.bucket = bucket
+        self.n_buckets = n_buckets
+
+
 class IcebergPyCdcStreamReader(IcebergPyStreamReader):
     """CDC flavor of the stream reader (``mode=cdc``): each micro-batch
     emits the ROW-LEVEL diff of its snapshot range with ``_change_type``
@@ -454,10 +504,14 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
     - equality-delete snapshots (incl. UPSERT commits) → per candidate
       strictly-older data file, the rows whose key tuples null-safe
       match the fresh key files, minus rows already deleted (r8);
-    - file-REMOVING overwrites → rejected with a precise error: their
-      net diff needs EXCEPT ALL over both scan legs, which a
-      DataSource reader cannot express — use the batch
-      ``changelog_df`` for such histories.
+    - file-REMOVING overwrites (COW DELETE/UPDATE/MERGE, INSERT
+      OVERWRITE) → the net row diff, computed executor-side per hash
+      bucket (``overwrite_diff_buckets`` partitions re-read the changed
+      files and keep 1/n of the rows each): removed rows masked by the
+      prior snapshot's delete coverage, multiset-EXCEPT the added rows —
+      the same math as ``changelog_df``'s overwrite legs (r9; the one
+      remaining fence is ``_row_id`` over such snapshots, whose keyed
+      update pairing is a distributed join — batch changelog there).
 
     On a v3 ROW-LINEAGE table the feed also carries ``_row_id``
     (resolved per row: the file's materialized column when present,
@@ -564,14 +618,97 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
             fresh_parquet = [
                 d for d in fresh if d.referenced_data_file is None
             ]
+            if removed_files and not (fresh or fresh_eq):
+                # file-REMOVING overwrite (COW DELETE/UPDATE/MERGE,
+                # INSERT OVERWRITE): net row diff executor-side.  With
+                # no fresh delete files in the commit, the added files
+                # are necessarily clean (prior delete files cannot
+                # reference files that did not exist), so the diff is
+                # removed-masked-by-prior-coverage vs added.
+                if lineage:
+                    raise ValueError(
+                        "iceberg_py cdc stream: _row_id over a "
+                        "file-removing overwrite needs the batch "
+                        "changelog (changelog_df with_row_lineage) — "
+                        "the keyed update_before/after pairing is a "
+                        "distributed join"
+                    )
+                from datafusion_iceberg_spark.iceberg.table import (
+                    _file_seq,
+                )
+
+                names_by_id = {
+                    v: k for k, v in meta.field_ids_by_name().items()
+                }
+                seqs = meta.snapshot_sequences()
+                prior_parquet3 = [
+                    meta.localize(d.path)
+                    for d in old_pos
+                    if d.referenced_data_file is None
+                ]
+                prior_dv_by_raw = {
+                    d.referenced_data_file: (
+                        meta.localize(d.path),
+                        int(d.content_offset or 0),
+                        int(d.content_size_in_bytes or 0),
+                    )
+                    for d in old_pos
+                    if d.referenced_data_file is not None
+                }
+                prior_eq3 = [
+                    (
+                        (
+                            meta.localize(d.path),
+                            [names_by_id[i] for i in sorted(d.equality_ids)],
+                        ),
+                        _file_seq(seqs, d, 1 << 31),
+                    )
+                    for d in (
+                        table.equality_delete_files(snapshot_id=prev_sid)
+                        if prev_sid is not None
+                        else []
+                    )
+                ]
+                prev_by_path = {
+                    f.path: f
+                    for f in (
+                        table.files(snapshot_id=prev_sid)
+                        if prev_sid is not None
+                        else []
+                    )
+                }
+                removed_specs = [
+                    (
+                        meta.localize(p),
+                        p,
+                        _file_seq(seqs, prev_by_path[p], -1),
+                    )
+                    for p in sorted(removed_files)
+                ]
+                added_paths = [meta.localize(p) for p in sorted(added_files)]
+                n_buckets = max(1, int(self._ow_buckets))
+                for b in range(n_buckets):
+                    parts.append(
+                        IcebergCdcOverwriteDiffPartition(
+                            removed_specs,
+                            added_paths,
+                            {**attach, "_change_type": "delete"},
+                            {**attach, "_change_type": "insert"},
+                            prior_parquet3,
+                            prior_dv_by_raw,
+                            prior_eq3,
+                            b,
+                            n_buckets,
+                        )
+                    )
+                continue
             streamable = not removed_files and (fresh or fresh_eq)
             if not streamable:
                 raise ValueError(
                     "iceberg_py cdc stream: snapshot "
-                    f"{sid} ({op!r}) is not an append, a "
-                    "deletion-vector / parquet-position / equality "
-                    "delete, or a MOR row-delta — read this history "
-                    "with the batch changelog (changelog_df) instead"
+                    f"{sid} ({op!r}) mixes file removal with fresh "
+                    "delete files — read this history with the batch "
+                    "changelog (changelog_df) instead"
                 )
             if added_files:
                 # row-delta replacement/insert files stream as inserts
@@ -736,6 +873,9 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
         if isinstance(partition, IcebergCdcEqDeletePartition):
             yield from self._read_eq_delete(partition, arrow_schema)
             return
+        if isinstance(partition, IcebergCdcOverwriteDiffPartition):
+            yield from self._read_overwrite_diff(partition, arrow_schema)
+            return
         if not isinstance(partition, IcebergCdcDeletePartition):
             if not lineage:
                 yield from super().read(partition)
@@ -762,6 +902,143 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
             partition.first_row_id,
             arrow_schema,
         )
+
+    def _read_overwrite_diff(self, partition, arrow_schema):
+        """Overwrite-snapshot CDC: multiset net diff of the removed vs
+        added files, restricted to this partition's hash bucket.  Rows
+        of removed files already dead at the prior snapshot (position
+        deletes, DV blobs, strictly-newer equality deletes) are masked
+        out first — they were reported deleted at their own ordinal.
+        Keys are canonical reprs (process-stable CRC32 bucketing; the
+        builtin hash is salted per worker), so carried rows cancel
+        bit-exactly."""
+        import zlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from datafusion_iceberg_spark.iceberg.puffin import (
+            read_dv_positions,
+        )
+
+        table_fields = [
+            f
+            for f in arrow_schema
+            if f.name not in ("_change_type", "_change_ordinal")
+        ]
+        cols = [f.name for f in table_fields]
+
+        def _key(row: tuple) -> str:
+            # canonicalize NaN (NaN != NaN would stop carried rows from
+            # cancelling); everything else reprs stably
+            return repr(
+                tuple(
+                    "__nan__" if isinstance(v, float) and v != v else v
+                    for v in row
+                )
+            )
+
+        def _rows(path, alive=None):
+            pf = pq.ParquetFile(path)
+            have = [c for c in cols if c in set(pf.schema_arrow.names)]
+            tbl = pf.read(columns=have)
+            data = {c: tbl.column(c).to_pylist() for c in have}
+            n = tbl.num_rows
+            for i in range(n):
+                if alive is not None and not alive[i]:
+                    continue
+                yield tuple(data[c][i] if c in data else None for c in cols)
+
+        def _alive_mask(path, raw, fseq):
+            n = pq.ParquetFile(path).metadata.num_rows
+            alive = np.ones(n, dtype=bool)
+            for p in partition.prior_parquet:
+                try:
+                    t2 = pq.read_table(
+                        p,
+                        columns=["file_path", "pos"],
+                        filters=[("file_path", "==", raw)],
+                    )
+                except Exception:
+                    continue  # expired prior delete file
+                for pos in t2.column("pos").to_pylist():
+                    if 0 <= pos < n:
+                        alive[pos] = False
+            blob = partition.prior_dv_by_raw.get(raw)
+            if blob is not None:
+                for pos in read_dv_positions(*blob):
+                    if 0 <= pos < n:
+                        alive[pos] = False
+            eq_specs = [
+                (p, kcols)
+                for (p, kcols), sq in partition.prior_eq
+                if sq > fseq
+            ]
+            if eq_specs:
+                pf = pq.ParquetFile(path)
+                have = set(pf.schema_arrow.names)
+                for p, kcols in eq_specs:
+                    if not all(c in have for c in kcols):
+                        continue
+                    keys = pq.read_table(p, columns=kcols)
+                    keyset = set(
+                        zip(*(keys.column(c).to_pylist() for c in kcols))
+                    )
+                    data = pf.read(columns=kcols)
+                    vals = list(
+                        zip(*(data.column(c).to_pylist() for c in kcols))
+                    )
+                    for i, v in enumerate(vals):
+                        if v in keyset:
+                            alive[i] = False
+            return alive
+
+        counts: dict[str, list] = {}  # key -> [net, row]
+        for path, raw, fseq in partition.removed:
+            alive = _alive_mask(path, raw, fseq)
+            for row in _rows(path, alive):
+                k = _key(row)
+                if zlib.crc32(k.encode()) % partition.n_buckets != partition.bucket:
+                    continue
+                e = counts.setdefault(k, [0, row])
+                e[0] += 1
+        for path in partition.added:
+            for row in _rows(path):
+                k = _key(row)
+                if zlib.crc32(k.encode()) % partition.n_buckets != partition.bucket:
+                    continue
+                e = counts.setdefault(k, [0, row])
+                e[0] -= 1
+
+        def _emit(rows: list, attach: dict):
+            if not rows:
+                return
+            arrays = []
+            for field in arrow_schema:
+                if field.name in ("_change_type", "_change_ordinal"):
+                    arrays.append(
+                        pa.array(
+                            [attach.get(field.name)] * len(rows),
+                            type=field.type,
+                        )
+                    )
+                else:
+                    idx = cols.index(field.name)
+                    arrays.append(
+                        pa.array([r[idx] for r in rows], type=field.type)
+                    )
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+        deletes, inserts = [], []
+        for k in sorted(counts):
+            net, row = counts[k]
+            if net > 0:
+                deletes.extend([row] * net)
+            elif net < 0:
+                inserts.extend([row] * (-net))
+        yield from _emit(deletes, partition.attach_delete)
+        yield from _emit(inserts, partition.attach_insert)
 
     def _read_pos_delete(self, partition, arrow_schema):
         """Parquet position-delete CDC: read the fresh delete file,
@@ -1285,6 +1562,7 @@ class IcebergPyDataSource(DataSource):
             self.options.get("path"),
             schema,
             max_snapshots_per_batch=self.options.get("max_snapshots_per_batch"),
+            overwrite_diff_buckets=self.options.get("overwrite_diff_buckets"),
         )
 
     def _check_writable(self, schema) -> str:

@@ -211,6 +211,18 @@ class Call(Statement):
 
 
 @dataclass
+class CreateNamespace(Statement):
+    if_not_exists: bool
+    namespace: str
+
+
+@dataclass
+class DropNamespace(Statement):
+    if_exists: bool
+    namespace: str
+
+
+@dataclass
 class ShowNamespaces(Statement):
     pass
 

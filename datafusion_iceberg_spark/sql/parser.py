@@ -156,6 +156,19 @@ class _P:
             raise _NotOurs()
         return parts[1], parts[2]
 
+    def namespace_target(self) -> str:
+        """``<catalog>.<ns>`` or :class:`_NotOurs` — the 2-part form of
+        :meth:`catalog_target` for namespace DDL."""
+        t = self.peek()
+        if t.kind not in (IDENT, QIDENT):
+            raise _NotOurs()
+        start = self.i
+        parts = self.dotted_name()
+        if len(parts) != 2 or parts[0].lower() != self.catalog.lower():
+            self.i = start
+            raise _NotOurs()
+        return parts[1]
+
     # ---- spans ----------------------------------------------------------
     def span(self, start_tok: int, end_tok: Optional[int] = None) -> str:
         """Source text from token index ``start_tok`` up to (excluding)
@@ -566,6 +579,16 @@ def _tblproperties(p: _P) -> dict[str, str]:
 
 def _parse_create(p: _P) -> A.Statement:
     p.expect_kw("CREATE")
+    if p.at_kw("NAMESPACE") or p.at_kw("SCHEMA"):
+        p.advance()
+        if_not_exists = False
+        if p.accept_kw("IF"):
+            p.expect_kw("NOT")
+            p.expect_kw("EXISTS")
+            if_not_exists = True
+        ns = p.namespace_target()
+        p.expect_end()
+        return A.CreateNamespace(if_not_exists, ns)
     replace = False
     if p.accept_kw("OR"):
         p.expect_kw("REPLACE")
@@ -639,6 +662,15 @@ def _parse_create(p: _P) -> A.Statement:
 
 def _parse_drop(p: _P) -> A.Statement:
     p.expect_kw("DROP")
+    if p.at_kw("NAMESPACE") or p.at_kw("SCHEMA"):
+        p.advance()
+        if_exists = False
+        if p.accept_kw("IF"):
+            p.expect_kw("EXISTS")
+            if_exists = True
+        ns = p.namespace_target()
+        p.expect_end()
+        return A.DropNamespace(if_exists, ns)
     kind = p.expect_kw("TABLE", "VIEW").upper()
     if_exists = False
     if p.accept_kw("IF"):

@@ -812,3 +812,86 @@ def test_cdc_stream_checkpoint_restart(spark, tmp_path):
     assert sorted(by[(1, "insert")]) == [10, 11, 12, 13, 14]
     assert sorted(by[(2, "delete")]) == [1, 12]
     assert rows.count() == 10 + 5 + 2  # exactly once across both runs
+
+
+def test_cdc_stream_file_removing_overwrites(spark, tmp_path):
+    """r9 — the last CDC fence falls: a history of COW DELETE (file-
+    removing overwrite snapshots) and INSERT OVERWRITE streams in
+    mode=cdc, each snapshot's NET row diff computed executor-side per
+    hash bucket, byte-equal to the batch changelog's EXCEPT-ALL legs."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="cdow")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 9)], "k long, v long"
+    )
+    cat.create_table("c.t", df.schema)
+    cat.append("c.t", spark, df)                      # ordinal 0
+    cat.sql(spark, "DELETE FROM cdow.c.t WHERE k IN (2, 5)")   # COW: removes+rewrites
+    cat.sql(spark, "UPDATE cdow.c.t SET v = v + 1 WHERE k = 7")  # COW update
+    cat.overwrite(                                    # INSERT OVERWRITE
+        "c.t",
+        spark,
+        spark.createDataFrame([(100, 1), (101, 2)], "k long, v long"),
+    )
+    rows = _cdc_stream_rows(
+        spark,
+        str(tmp_path / "wh" / "c" / "t"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    log = cat.load("c.t").changelog_df(spark)
+    key = lambda d: sorted(
+        (r["k"], r["v"], r["_change_type"], r["_change_ordinal"])
+        for r in d.collect()
+    )
+    assert key(rows) == key(log)
+    # spot-check semantics: the COW delete emits ONLY the 2 deleted rows
+    # (carried rows cancel), the update a delete+insert pair
+    o1 = [r for r in rows.collect() if r["_change_ordinal"] == 1]
+    assert sorted((r["k"], r["_change_type"]) for r in o1) == [
+        (2, "delete"), (5, "delete"),
+    ]
+    o2 = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in rows.collect()
+        if r["_change_ordinal"] == 2
+    )
+    assert o2 == [(7, 70, "delete"), (7, 71, "insert")]
+
+
+def test_cdc_stream_overwrite_respects_prior_mor_coverage(spark, tmp_path):
+    """A COW overwrite folding outstanding MOR deletes must NOT
+    resurrect already-dead rows as CDC deletes: rows the prior
+    snapshot's DV/position/equality deletes had killed were reported at
+    their own ordinal."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="cdow2")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 7)], "k long, v long"
+    )
+    cat.create_table("c.t", df.schema)
+    cat.append("c.t", spark, df)
+    # MOR equality delete on k=3 (ordinal 1), then a COW delete on k=4
+    # (ordinal 2) whose rewrite folds the eq-delete coverage
+    cat.delete_where_eq(
+        "c.t", spark, spark.createDataFrame([(3,)], "k long")
+    )
+    cat.delete_where("c.t", spark, "k = 4")
+    rows = _cdc_stream_rows(
+        spark,
+        str(tmp_path / "wh" / "c" / "t"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    log = cat.load("c.t").changelog_df(spark)
+    key = lambda d: sorted(
+        (r["k"], r["v"], r["_change_type"], r["_change_ordinal"])
+        for r in d.collect()
+    )
+    assert key(rows) == key(log)
+    o2 = [r for r in rows.collect() if r["_change_ordinal"] == 2]
+    assert sorted((r["k"], r["_change_type"]) for r in o2) == [(4, "delete")]
