@@ -87,6 +87,10 @@ HEADLINE = [
     "sim_sq_topk",
     "sample_dsir_importance",
     "ts_ewma_features",
+    # round-9 additions
+    "iceberg_merge_schema_scan",
+    "iceberg_rest_view_scan",
+    "iceberg_namespace_ddl_scan",
 ]
 
 
