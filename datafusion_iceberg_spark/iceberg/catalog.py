@@ -408,6 +408,44 @@ class Catalog(SqlSurface):
     def create_namespace(self, ns: str) -> None:
         os.makedirs(os.path.join(self.warehouse, ns), exist_ok=True)
 
+    def _ns_props_path(self, ns: str) -> str:
+        return os.path.join(self.warehouse, ns, ".namespace_properties.json")
+
+    def namespace_properties(self, ns: str) -> dict:
+        if not os.path.isdir(os.path.join(self.warehouse, ns)):
+            raise KeyError(f"no such namespace: {ns}")
+        try:
+            with open(self._ns_props_path(ns)) as fh:
+                import json as _json
+
+                return _json.load(fh)
+        except OSError:
+            return {}
+
+    def update_namespace_properties(
+        self, ns: str, updates: dict, removals: Optional[list] = None
+    ) -> dict:
+        """REST-spec shaped: returns {"updated": [...], "removed": [...],
+        "missing": [...]} — removals absent from the current properties
+        report as missing, matching UpdateNamespacePropertiesResponse."""
+        props = self.namespace_properties(ns)
+        removed, missing = [], []
+        for k in removals or []:
+            (removed if k in props else missing).append(k)
+            props.pop(k, None)
+        props.update({str(k): str(v) for k, v in (updates or {}).items()})
+        import json as _json
+
+        tmp = self._ns_props_path(ns) + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(props, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._ns_props_path(ns))
+        return {
+            "updated": sorted((updates or {}).keys()),
+            "removed": sorted(removed),
+            "missing": sorted(missing),
+        }
+
     def drop_namespace(self, ns: str) -> None:
         """DROP NAMESPACE: refuses a namespace that still holds tables
         or views (standard RESTRICT semantics — no cascading deletes of

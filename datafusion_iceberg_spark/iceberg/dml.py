@@ -643,6 +643,31 @@ def _exec_drop_namespace(surface, spark, s: A.DropNamespace) -> DataFrame:
     return _result(spark, "drop_namespace", s.namespace, None)
 
 
+def _exec_alter_namespace(surface, spark, s: A.AlterNamespace) -> DataFrame:
+    _need(surface, "update_namespace_properties")
+    if s.namespace not in surface.namespaces():
+        raise KeyError(f"no such namespace: {s.namespace}")
+    surface.update_namespace_properties(s.namespace, s.updates, s.removals)
+    return _result(spark, "alter_namespace", s.namespace, None)
+
+
+def _exec_describe_namespace(
+    surface, spark, s: A.DescribeNamespace
+) -> DataFrame:
+    _need(surface, "namespace_properties")
+    props = surface.namespace_properties(s.namespace)
+    rows = [("namespace", s.namespace)] + sorted(props.items())
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("info_name", T.StringType(), False),
+                T.StructField("info_value", T.StringType(), True),
+            ]
+        ),
+    )
+
+
 def _exec_show_namespaces(surface, spark, s: A.ShowNamespaces) -> DataFrame:
     return spark.createDataFrame(
         [(ns,) for ns in surface.namespaces()],
@@ -779,6 +804,8 @@ _EXEC = {
     A.Refresh: _exec_refresh,
     A.Analyze: _exec_analyze,
     A.Call: _exec_call,
+    A.AlterNamespace: _exec_alter_namespace,
+    A.DescribeNamespace: _exec_describe_namespace,
     A.CreateNamespace: _exec_create_namespace,
     A.DropNamespace: _exec_drop_namespace,
     A.ShowNamespaces: _exec_show_namespaces,

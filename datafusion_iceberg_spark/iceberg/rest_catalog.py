@@ -168,6 +168,23 @@ class RestCatalogClient:
         ns = urllib.parse.quote(namespace, safe="")
         self._request("DELETE", f"/namespaces/{ns}")
 
+    def load_namespace(self, namespace: str) -> dict:
+        """GET /v1/namespaces/{ns} → {"namespace": [...], "properties": {}}"""
+        ns = urllib.parse.quote(namespace, safe="")
+        return self._request("GET", f"/namespaces/{ns}")
+
+    def update_namespace_properties(
+        self, namespace: str, updates: dict, removals=None
+    ) -> dict:
+        """POST /v1/namespaces/{ns}/properties
+        (UpdateNamespacePropertiesRequest → {updated, removed, missing})."""
+        ns = urllib.parse.quote(namespace, safe="")
+        return self._request(
+            "POST",
+            f"/namespaces/{ns}/properties",
+            {"removals": list(removals or []), "updates": dict(updates or {})},
+        )
+
     def register_table(
         self, namespace: str, name: str, metadata_location: str
     ) -> dict:
@@ -597,6 +614,14 @@ class RestCatalog(SqlSurface):
         self.client.drop_namespace(ns)
         self._namespaces.discard(ns)
 
+    def namespace_properties(self, ns: str) -> dict:
+        return self.client.load_namespace(ns).get("properties", {})
+
+    def update_namespace_properties(
+        self, ns: str, updates: dict, removals=None
+    ) -> dict:
+        return self.client.update_namespace_properties(ns, updates, removals)
+
     def table_names(self, ns: Optional[str] = None) -> list[str]:
         keys = sorted(self._mirror)
         return keys if ns is None else [k for k in keys if k.startswith(ns + ".")]
@@ -1019,6 +1044,21 @@ class LocalRestServer:
                             "namespaces",
                         ),
                     )
+                if len(parts) == 2 and parts[0] == "namespaces":
+                    ns = urllib.parse.unquote(parts[1])
+                    if ns not in outer._namespaces():
+                        return self._send(
+                            404, {"error": f"no such namespace: {ns}"}
+                        )
+                    return self._send(
+                        200,
+                        {
+                            "namespace": ns.split("."),
+                            "properties": outer._catalog.namespace_properties(ns)
+                            if os.path.isdir(os.path.join(outer._warehouse, ns))
+                            else {},
+                        },
+                    )
                 if len(parts) == 3 and parts[0] == "namespaces" and parts[2] == "tables":
                     ns = urllib.parse.unquote(parts[1])
                     return self._send(
@@ -1098,6 +1138,25 @@ class LocalRestServer:
                     outer._registered[ident] = loc
                     outer._dropped.discard(ident)
                     return self._send(200, outer._load(ident))
+                if (
+                    len(parts) == 3
+                    and parts[0] == "namespaces"
+                    and parts[2] == "properties"
+                ):  # UpdateNamespacePropertiesRequest
+                    ns = urllib.parse.unquote(parts[1])
+                    if ns not in outer._namespaces():
+                        return self._send(
+                            404, {"error": f"no such namespace: {ns}"}
+                        )
+                    os.makedirs(
+                        os.path.join(outer._warehouse, ns), exist_ok=True
+                    )
+                    res = outer._catalog.update_namespace_properties(
+                        ns,
+                        body.get("updates") or {},
+                        body.get("removals") or [],
+                    )
+                    return self._send(200, res)
                 if (
                     len(parts) == 3
                     and parts[0] == "namespaces"

@@ -1682,10 +1682,27 @@ class IcebergWriter:
             props.get("write.spark.accept-any-schema", "")
         ).lower() == "true"
 
-    def _source_schema_delta(self, df: DataFrame) -> tuple[list, list]:
-        """(new_fields, widen_fields) the table schema needs to accept
-        ``df``.  Internal lineage/positional columns never count."""
-        new, widen = [], []
+    @staticmethod
+    def _strip_ids(t):
+        """Iceberg type with every field-id key removed, for structural
+        comparison (fresh allocations never match recorded ids)."""
+        if isinstance(t, dict):
+            return {
+                k: IcebergWriter._strip_ids(v)
+                for k, v in t.items()
+                if k not in ("id", "element-id", "key-id", "value-id", "field-id")
+            }
+        if isinstance(t, list):
+            return [IcebergWriter._strip_ids(x) for x in t]
+        return t
+
+    def _source_schema_delta(self, df: DataFrame) -> tuple[list, list, list]:
+        """(new_fields, widen_fields, conflict_fields) the table schema
+        needs to accept ``df``.  Internal lineage/positional columns
+        never count.  ``conflicts`` are nested-type drifts mergeSchema
+        cannot express (e.g. a source struct with an extra subfield) —
+        raised only when evolution is actually requested."""
+        new, widen, conflicts = [], [], []
         for f in df.schema.fields:
             if f.name in (ROW_ID_COL, LAST_UPD_COL) or f.name.startswith(
                 "_ice_"
@@ -1702,7 +1719,11 @@ class IcebergWriter:
                 and (old_t, new_t) in self._WIDENINGS
             ):
                 widen.append(f)
-        return new, widen
+            elif not isinstance(old_t, str) and self._strip_ids(
+                old_t
+            ) != self._strip_ids(new_t):
+                conflicts.append((f.name, old_t, new_t))
+        return new, widen, conflicts
 
     def merge_source_schema(self, df: DataFrame) -> dict:
         """Evolve the table schema to ACCEPT ``df``: source columns absent
@@ -1723,7 +1744,14 @@ class IcebergWriter:
         (table.rs:81-87) and has no write path; the field-id-keyed column
         mapping here is what makes mid-stream adds resolve correctly
         across old and new files."""
-        new, widen = self._source_schema_delta(df)
+        new, widen, conflicts = self._source_schema_delta(df)
+        if conflicts:
+            name, old_t, new_t = conflicts[0]
+            raise ValueError(
+                f"mergeSchema cannot evolve nested column {name!r} "
+                f"({old_t} -> source {new_t}): ALTER the nested type "
+                "explicitly before writing"
+            )
         for f in new:
             self.add_column(f.name, f.dataType)
         for f in widen:
@@ -1742,10 +1770,17 @@ class IcebergWriter:
         hot path)."""
         if merge_schema is False:
             return
-        new, widen = self._source_schema_delta(df)
-        if not new and not widen:
+        new, widen, conflicts = self._source_schema_delta(df)
+        if not new and not widen and not conflicts:
             return
         if merge_schema or self._merge_schema_enabled():
+            if conflicts:
+                name, old_t, new_t = conflicts[0]
+                raise ValueError(
+                    f"mergeSchema cannot evolve nested column {name!r} "
+                    f"({old_t} -> source {new_t}): ALTER the nested type "
+                    "explicitly before writing"
+                )
             for f in new:
                 self.add_column(f.name, f.dataType)
             for f in widen:

@@ -223,6 +223,18 @@ class DropNamespace(Statement):
 
 
 @dataclass
+class AlterNamespace(Statement):
+    namespace: str
+    updates: "dict[str, str]"
+    removals: "list[str]"
+
+
+@dataclass
+class DescribeNamespace(Statement):
+    namespace: str
+
+
+@dataclass
 class ShowNamespaces(Statement):
     pass
 

@@ -729,6 +729,30 @@ def _partition_entry(p: _P) -> str:
 
 def _parse_alter(p: _P) -> A.Statement:
     p.expect_kw("ALTER")
+    if p.at_kw("NAMESPACE") or p.at_kw("SCHEMA"):
+        p.advance()
+        ns = p.namespace_target()
+        if p.accept_kw("SET"):
+            p.expect_kw("PROPERTIES", "TBLPROPERTIES", "DBPROPERTIES")
+            updates = _tblproperties(p)
+            p.expect_end()
+            return A.AlterNamespace(ns, updates, [])
+        p.expect_kw("UNSET")
+        p.expect_kw("PROPERTIES", "TBLPROPERTIES", "DBPROPERTIES")
+        p.expect_op("(")
+        removals = []
+        while True:
+            t = p.peek()
+            if t.kind != STRING:
+                raise p.error("UNSET PROPERTIES keys are string literals")
+            p.advance()
+            removals.append(t.value)
+            if p.accept_op(","):
+                continue
+            p.expect_op(")")
+            break
+        p.expect_end()
+        return A.AlterNamespace(ns, {}, removals)
     p.expect_kw("TABLE")
     ns, tbl = p.catalog_target()
     if p.accept_kw("CREATE") or p.at_kw("REPLACE"):
@@ -966,6 +990,12 @@ def _parse_show(p: _P) -> A.Statement:
 
 def _parse_describe(p: _P) -> A.Statement:
     p.expect_kw("DESCRIBE", "DESC")
+    if p.at_kw("NAMESPACE") or p.at_kw("SCHEMA"):
+        p.advance()
+        p.accept_kw("EXTENDED")
+        ns = p.namespace_target()
+        p.expect_end()
+        return A.DescribeNamespace(ns)
     p.accept_kw("TABLE")
     ns, tbl = p.catalog_target()
     p.expect_end()

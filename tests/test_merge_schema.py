@@ -297,3 +297,29 @@ def test_merge_schema_fuzzer(spark, scratch):
             k: {c: r.get(c) for c in schema_cols} for k, r in model.items()
         }
         assert got == want, f"step {step} ({op}) diverged"
+
+
+def test_nested_type_conflict_refuses_cleanly(spark, scratch):
+    """A source struct with an extra subfield is neither an add nor a
+    legal widening — mergeSchema must refuse explicitly (silently
+    passing the source struct through would land subfields the schema
+    doesn't know).  Without evolution requested, the append keeps the
+    old contract (projection by table schema)."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    base = spark.createDataFrame(
+        [(1, (10, "a"))], "k long, s struct<x: long, y: string>"
+    )
+    cat.create_table("ns.t", base.schema)
+    cat.append("ns.t", spark, base)
+    drifted = spark.createDataFrame(
+        [(2, (20, "b", 5))],
+        "k long, s struct<x: long, y: string, z: long>",
+    )
+    with pytest.raises(ValueError, match="nested column 's'"):
+        cat.append("ns.t", spark, drifted, merge_schema=True)
+    # identical nested type (ids aside) is NOT a conflict
+    same = spark.createDataFrame(
+        [(3, (30, "c"))], "k long, s struct<x: long, y: string>"
+    )
+    cat.append("ns.t", spark, same, merge_schema=True)
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM iceberg.ns.t").collect()[0].n == 2

@@ -102,3 +102,75 @@ def test_rest_namespace_roundtrip(spark, scratch):
         assert "sales" not in fresh2.namespaces()
     finally:
         server.stop()
+
+
+def test_local_namespace_properties(spark, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    cat.sql(spark, "CREATE NAMESPACE iceberg.sales")
+    cat.sql(
+        spark,
+        "ALTER NAMESPACE iceberg.sales SET PROPERTIES"
+        " ('owner' = 'data-eng', 'retention' = '30d')",
+    )
+    rows = {
+        r["info_name"]: r["info_value"]
+        for r in cat.sql(spark, "DESCRIBE NAMESPACE iceberg.sales").collect()
+    }
+    assert rows == {
+        "namespace": "sales", "owner": "data-eng", "retention": "30d",
+    }
+    # UNSET removes; missing keys report through the API shape
+    cat.sql(
+        spark, "ALTER NAMESPACE iceberg.sales UNSET PROPERTIES ('retention')"
+    )
+    res = cat.update_namespace_properties(
+        "sales", {}, ["retention", "owner"]
+    )
+    assert res == {"updated": [], "removed": ["owner"], "missing": ["retention"]}
+    rows = {
+        r["info_name"]
+        for r in cat.sql(spark, "DESCRIBE NAMESPACE iceberg.sales").collect()
+    }
+    assert rows == {"namespace"}
+    # SCHEMA synonym parses too
+    cat.sql(
+        spark,
+        "ALTER SCHEMA iceberg.sales SET PROPERTIES ('x' = '1')",
+    )
+    assert cat.namespace_properties("sales") == {"x": "1"}
+
+
+def test_rest_namespace_properties(spark, scratch):
+    from datafusion_iceberg_spark.iceberg.rest_catalog import (
+        LocalRestServer,
+        RestCatalog,
+        RestCatalogClient,
+    )
+
+    root = os.path.join(scratch, "whrest")
+    os.makedirs(root, exist_ok=True)
+    server = LocalRestServer(root)
+    try:
+        base = server.start()
+        rest = RestCatalog(RestCatalogClient(base), name="r")
+        rest.sql(spark, "CREATE NAMESPACE r.ops")
+        rest.sql(
+            spark,
+            "ALTER NAMESPACE r.ops SET PROPERTIES ('tier' = 'hot')",
+        )
+        # spec endpoint shape via a raw client
+        res = RestCatalogClient(base).load_namespace("ops")
+        assert res["properties"] == {"tier": "hot"}
+        # DESCRIBE resolves through the service
+        rows = {
+            r["info_name"]: r["info_value"]
+            for r in rest.sql(spark, "DESCRIBE NAMESPACE r.ops").collect()
+        }
+        assert rows == {"namespace": "ops", "tier": "hot"}
+        out = RestCatalogClient(base).update_namespace_properties(
+            "ops", {"tier": "cold"}, ["nope"]
+        )
+        assert out["updated"] == ["tier"] and out["missing"] == ["nope"]
+        assert rest.namespace_properties("ops") == {"tier": "cold"}
+    finally:
+        server.stop()
