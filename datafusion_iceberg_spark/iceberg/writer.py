@@ -1572,7 +1572,15 @@ class IcebergWriter:
         metadata commit IS the migration).  Returns the new field id.
         (RENAME and DROP live in :meth:`rename_column` /
         :meth:`drop_column`; scans resolve columns by PARQUET:field_id,
-        so all three evolutions are metadata-only.)"""
+        so all three evolutions are metadata-only.)  A dotted ``name``
+        (``s.z``) adds a NESTED struct field via
+        :meth:`add_nested_field`."""
+        if "." in name:
+            if default is not None:
+                raise NotImplementedError(
+                    "DEFAULT on a nested field add is not supported"
+                )
+            return self.add_nested_field(name, dtype)
         if name in self.field_ids:
             raise ValueError(f"column already exists: {name}")
         meta = self._load_current()
@@ -1620,6 +1628,91 @@ class IcebergWriter:
         self.schema = self.schema.add(T.StructField(name, dtype, True))
         self.field_ids[name] = new_id
         self.iceberg_types[name] = new_type
+        self.last_column_id = consumed_last
+        return new_id
+
+    def add_nested_field(self, path: str, dtype: T.DataType) -> int:
+        """ADD a field INSIDE a struct column (``s.z``, arbitrary struct
+        depth): a new schema version where the parent struct's type
+        gains one optional trailing field with a fresh id — metadata
+        only.  Files written before the add lack the field; scans
+        request the evolved struct (top-level resolved by field id,
+        nested members by name — Spark's parquet reader fills missing
+        nested members with NULL, verified in tests), so old rows
+        surface as NULL.  Structs inside arrays/maps are refused (their
+        element schemas are positional in the vectorized reader).
+        Returns the new field id."""
+        parts = path.split(".")
+        top, rest = parts[0], parts[1:]
+        if top not in self.field_ids:
+            raise ValueError(f"no such column: {top}")
+        if not rest:
+            raise ValueError("add_nested_field needs a dotted path")
+        meta = self._load_current()
+        new_id = int(meta["last-column-id"]) + 1
+        counter = iter(range(new_id + 1, 1 << 30))
+        new_type = spark_type_to_iceberg(dtype, lambda: next(counter))
+        consumed_last = next(counter) - 1
+        cur_id = meta.get("current-schema-id", 0)
+        cur = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_id
+        )
+        import copy as _copy
+
+        new_schema = _copy.deepcopy(cur)
+        new_schema["schema-id"] = (
+            max(s.get("schema-id", 0) for s in meta["schemas"]) + 1
+        )
+        node = next(f for f in new_schema["fields"] if f["name"] == top)
+        for seg in rest[:-1]:
+            t = node["type"]
+            if not (isinstance(t, dict) and t.get("type") == "struct"):
+                raise ValueError(
+                    f"{path!r}: {node['name']!r} is not a struct"
+                )
+            node = next(
+                (f for f in t["fields"] if f["name"] == seg), None
+            )
+            if node is None:
+                raise ValueError(f"{path!r}: no such nested field {seg!r}")
+        t = node["type"]
+        if not (isinstance(t, dict) and t.get("type") == "struct"):
+            raise ValueError(f"{path!r}: {node['name']!r} is not a struct")
+        leaf = rest[-1]
+        if any(f["name"] == leaf for f in t["fields"]):
+            raise ValueError(f"nested field already exists: {path}")
+        t["fields"] = t["fields"] + [
+            {"id": new_id, "name": leaf, "required": False, "type": new_type}
+        ]
+        _carry_identifier_fields(cur, new_schema)
+        meta["schemas"] = meta["schemas"] + [new_schema]
+        meta["current-schema-id"] = new_schema["schema-id"]
+        meta["schema"] = new_schema
+        meta["last-column-id"] = consumed_last
+        meta["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(meta)
+        # refresh writer state from the committed schema (top-level type
+        # changed shape)
+        from datafusion_iceberg_spark.iceberg.metadata import (
+            iceberg_type_to_spark,
+        )
+
+        top_field = next(
+            f for f in new_schema["fields"] if f["name"] == top
+        )
+        self.iceberg_types[top] = top_field["type"]
+        self.schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    iceberg_type_to_spark(top_field["type"])
+                    if f.name == top
+                    else f.dataType,
+                    f.nullable,
+                )
+                for f in self.schema.fields
+            ]
+        )
         self.last_column_id = consumed_last
         return new_id
 
@@ -1696,13 +1789,47 @@ class IcebergWriter:
             return [IcebergWriter._strip_ids(x) for x in t]
         return t
 
-    def _source_schema_delta(self, df: DataFrame) -> tuple[list, list, list]:
-        """(new_fields, widen_fields, conflict_fields) the table schema
-        needs to accept ``df``.  Internal lineage/positional columns
-        never count.  ``conflicts`` are nested-type drifts mergeSchema
-        cannot express (e.g. a source struct with an extra subfield) —
-        raised only when evolution is actually requested."""
-        new, widen, conflicts = [], [], []
+    @staticmethod
+    def _struct_delta(prefix, old_st, new_st, nested, conflicts) -> None:
+        """Recursive struct comparison (Spark types): source fields
+        missing from the table struct become nested adds; shared fields
+        must match exactly or both be structs (recurse); the SOURCE
+        lacking a table field is fine (parquet fills NULL).  Anything
+        else is a conflict."""
+        old_by = {f.name: f for f in old_st.fields}
+        for f in new_st.fields:
+            o = old_by.get(f.name)
+            if o is None:
+                nested.append((prefix + f.name, f.dataType))
+            elif o.dataType == f.dataType:
+                continue
+            elif isinstance(o.dataType, T.StructType) and isinstance(
+                f.dataType, T.StructType
+            ):
+                IcebergWriter._struct_delta(
+                    prefix + f.name + ".",
+                    o.dataType,
+                    f.dataType,
+                    nested,
+                    conflicts,
+                )
+            else:
+                conflicts.append((prefix + f.name, o.dataType, f.dataType))
+
+    def _source_schema_delta(
+        self, df: DataFrame
+    ) -> tuple[list, list, list, list]:
+        """(new_fields, widen_fields, nested_adds, conflicts) the table
+        schema needs to accept ``df``.  Internal lineage/positional
+        columns never count.  ``nested_adds`` are struct-member adds
+        (``s.z``) applied via :meth:`add_nested_field`; ``conflicts``
+        are type drifts mergeSchema cannot express — raised only when
+        evolution is actually requested."""
+        from datafusion_iceberg_spark.iceberg.metadata import (
+            iceberg_type_to_spark,
+        )
+
+        new, widen, nested, conflicts = [], [], [], []
         for f in df.schema.fields:
             if f.name in (ROW_ID_COL, LAST_UPD_COL) or f.name.startswith(
                 "_ice_"
@@ -1722,8 +1849,16 @@ class IcebergWriter:
             elif not isinstance(old_t, str) and self._strip_ids(
                 old_t
             ) != self._strip_ids(new_t):
-                conflicts.append((f.name, old_t, new_t))
-        return new, widen, conflicts
+                old_spark = iceberg_type_to_spark(old_t)
+                if isinstance(old_spark, T.StructType) and isinstance(
+                    f.dataType, T.StructType
+                ):
+                    self._struct_delta(
+                        f.name + ".", old_spark, f.dataType, nested, conflicts
+                    )
+                else:
+                    conflicts.append((f.name, old_t, new_t))
+        return new, widen, nested, conflicts
 
     def merge_source_schema(self, df: DataFrame) -> dict:
         """Evolve the table schema to ACCEPT ``df``: source columns absent
@@ -1744,20 +1879,22 @@ class IcebergWriter:
         (table.rs:81-87) and has no write path; the field-id-keyed column
         mapping here is what makes mid-stream adds resolve correctly
         across old and new files."""
-        new, widen, conflicts = self._source_schema_delta(df)
+        new, widen, nested, conflicts = self._source_schema_delta(df)
         if conflicts:
             name, old_t, new_t = conflicts[0]
             raise ValueError(
-                f"mergeSchema cannot evolve nested column {name!r} "
-                f"({old_t} -> source {new_t}): ALTER the nested type "
+                f"mergeSchema cannot evolve column {name!r} "
+                f"({old_t} -> source {new_t}): ALTER the type "
                 "explicitly before writing"
             )
         for f in new:
             self.add_column(f.name, f.dataType)
         for f in widen:
             self.widen_column(f.name, f.dataType)
+        for path, dtype in nested:
+            self.add_nested_field(path, dtype)
         return {
-            "added": [f.name for f in new],
+            "added": [f.name for f in new] + [p for p, _ in nested],
             "widened": [f.name for f in widen],
         }
 
@@ -1770,21 +1907,23 @@ class IcebergWriter:
         hot path)."""
         if merge_schema is False:
             return
-        new, widen, conflicts = self._source_schema_delta(df)
-        if not new and not widen and not conflicts:
+        new, widen, nested, conflicts = self._source_schema_delta(df)
+        if not new and not widen and not nested and not conflicts:
             return
         if merge_schema or self._merge_schema_enabled():
             if conflicts:
                 name, old_t, new_t = conflicts[0]
                 raise ValueError(
-                    f"mergeSchema cannot evolve nested column {name!r} "
-                    f"({old_t} -> source {new_t}): ALTER the nested type "
+                    f"mergeSchema cannot evolve column {name!r} "
+                    f"({old_t} -> source {new_t}): ALTER the type "
                     "explicitly before writing"
                 )
             for f in new:
                 self.add_column(f.name, f.dataType)
             for f in widen:
                 self.widen_column(f.name, f.dataType)
+            for path, dtype in nested:
+                self.add_nested_field(path, dtype)
 
     def widen_column(self, name: str, new_type: T.DataType) -> None:
         """ALTER COLUMN TYPE widening (Iceberg-legal promotions only:

@@ -788,6 +788,8 @@ def _parse_alter(p: _P) -> A.Statement:
         p.expect_kw("COLUMN", "COLUMNS")
         wrapped = p.accept_op("(")
         col = p.ident("column name")
+        while p.accept_op("."):  # nested struct field: ADD COLUMN s.z BIGINT
+            col += "." + p.ident("nested field name")
         type_ddl = _type_ddl(p)
         default: Any = None
         if p.accept_kw("DEFAULT"):

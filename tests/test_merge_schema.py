@@ -299,12 +299,11 @@ def test_merge_schema_fuzzer(spark, scratch):
         assert got == want, f"step {step} ({op}) diverged"
 
 
-def test_nested_type_conflict_refuses_cleanly(spark, scratch):
-    """A source struct with an extra subfield is neither an add nor a
-    legal widening — mergeSchema must refuse explicitly (silently
-    passing the source struct through would land subfields the schema
-    doesn't know).  Without evolution requested, the append keeps the
-    old contract (projection by table schema)."""
+def test_merge_schema_adds_nested_struct_field(spark, scratch):
+    """A source struct with an extra subfield auto-ADDs the nested
+    field (add_nested_field: fresh id, optional, metadata-only); files
+    written before the add read the member as NULL; a genuinely
+    conflicting subfield type still refuses."""
     cat = Catalog(os.path.join(scratch, "wh"))
     base = spark.createDataFrame(
         [(1, (10, "a"))], "k long, s struct<x: long, y: string>"
@@ -315,11 +314,59 @@ def test_nested_type_conflict_refuses_cleanly(spark, scratch):
         [(2, (20, "b", 5))],
         "k long, s struct<x: long, y: string, z: long>",
     )
-    with pytest.raises(ValueError, match="nested column 's'"):
-        cat.append("ns.t", spark, drifted, merge_schema=True)
-    # identical nested type (ids aside) is NOT a conflict
+    cat.append("ns.t", spark, drifted, merge_schema=True)
+    got = sorted(
+        (r.k, r.s.x, r.s.y, r.s.z)
+        for r in cat.sql(spark, "SELECT k, s FROM iceberg.ns.t").collect()
+    )
+    assert got == [(1, 10, "a", None), (2, 20, "b", 5)]
+    # the nested add allocated a real field id in metadata
+    sfield = next(
+        f
+        for f in cat.load("ns.t").metadata.current_schema["fields"]
+        if f["name"] == "s"
+    )
+    z = next(f for f in sfield["type"]["fields"] if f["name"] == "z")
+    assert z["id"] > 3 and z["required"] is False
+    # identical nested type (ids aside) is NOT a delta
     same = spark.createDataFrame(
-        [(3, (30, "c"))], "k long, s struct<x: long, y: string>"
+        [(3, (30, "c", None))],
+        "k long, s struct<x: long, y: string, z: long>",
     )
     cat.append("ns.t", spark, same, merge_schema=True)
-    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM iceberg.ns.t").collect()[0].n == 2
+    # a subfield TYPE CHANGE is a real conflict and refuses
+    bad = spark.createDataFrame(
+        [(4, (40, 9, 9))], "k long, s struct<x: long, y: long, z: long>"
+    )
+    with pytest.raises(ValueError, match="cannot evolve column 's.y'"):
+        cat.append("ns.t", spark, bad, merge_schema=True)
+
+
+def test_sql_add_nested_column(spark, scratch):
+    """ALTER TABLE ... ADD COLUMN s.z BIGINT routes to
+    add_nested_field through the parser's dotted path."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    base = spark.createDataFrame(
+        [(1, (10, "a"))], "k long, s struct<x: long, y: string>"
+    )
+    cat.create_table("ns.t", base.schema)
+    cat.append("ns.t", spark, base)
+    cat.sql(spark, "ALTER TABLE iceberg.ns.t ADD COLUMN s.z BIGINT")
+    row = cat.sql(spark, "SELECT s.z AS z FROM iceberg.ns.t").collect()[0]
+    assert row.z is None
+    cat.append(
+        "ns.t",
+        spark,
+        spark.createDataFrame(
+            [(2, (20, "b", 7))],
+            "k long, s struct<x: long, y: string, z: long>",
+        ),
+    )
+    got = {r.k: r.z for r in cat.sql(
+        spark, "SELECT k, s.z AS z FROM iceberg.ns.t"
+    ).collect()}
+    assert got == {1: None, 2: 7}
+    with pytest.raises(ValueError, match="already exists"):
+        cat.sql(spark, "ALTER TABLE iceberg.ns.t ADD COLUMN s.z BIGINT")
+    with pytest.raises(ValueError, match="not a struct"):
+        cat.sql(spark, "ALTER TABLE iceberg.ns.t ADD COLUMN k.sub BIGINT")
