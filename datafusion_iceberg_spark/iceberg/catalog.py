@@ -1204,6 +1204,16 @@ class Catalog(SqlSurface):
         self._mirror[ident] = view
         return view
 
+    def replace_view(self, ident: str, sql: str) -> IcebergView:
+        """CREATE OR REPLACE VIEW as a NEW VIEW VERSION (Iceberg view
+        spec): the version log keeps every prior SQL body; readers of
+        old metadata versions still see their SQL."""
+        view = self._mirror[ident]
+        assert isinstance(view, IcebergView), f"{ident} is not a view"
+        view.replace(sql)
+        self._mirror[ident] = view
+        return view
+
     def rename_table(self, src: str, dst: str) -> None:
         """Move a table to a new identifier: one directory rename inside
         the warehouse.  Recorded metadata paths keep resolving because

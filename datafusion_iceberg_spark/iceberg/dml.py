@@ -283,6 +283,15 @@ def _exec_create_view(surface, spark, s: A.CreateView) -> DataFrame:
                 f"TABLE_OR_VIEW_ALREADY_EXISTS: {ident} "
                 "(use CREATE OR REPLACE VIEW)"
             )
+        from datafusion_iceberg_spark.iceberg.view import IcebergView
+
+        if isinstance(surface.load(ident), IcebergView) and hasattr(
+            surface, "replace_view"
+        ):
+            # Iceberg view-spec versioning: REPLACE commits a NEW view
+            # version (version-log preserved) instead of drop+create
+            surface.replace_view(ident, surface.resolve_names(s.query_sql))
+            return _result(spark, "replace_view", ident, None)
         surface.drop(ident)
     # store with catalog names resolved to the flat view spelling —
     # view SQL replays through plain spark.sql at scan time

@@ -240,6 +240,34 @@ class RestCatalogClient:
         ns = urllib.parse.quote(namespace, safe="")
         self._request("DELETE", f"/namespaces/{ns}/views/{name}")
 
+    def commit_view(
+        self, namespace: str, name: str, sql: str, dialect: str = "spark"
+    ) -> dict:
+        """POST /v1/namespaces/{ns}/views/{view} — CommitViewRequest
+        carrying add-view-version + set-current-view-version (-1 = the
+        version just added, per spec), so REPLACE VIEW is a versioned
+        commit, not a drop+create."""
+        ns = urllib.parse.quote(namespace, safe="")
+        body = {
+            "identifier": {"namespace": namespace.split("."), "name": name},
+            "requirements": [],
+            "updates": [
+                {
+                    "action": "add-view-version",
+                    "view-version": {
+                        "schema-id": 0,
+                        "summary": {"operation": "replace"},
+                        "representations": [
+                            {"type": "sql", "sql": sql, "dialect": dialect}
+                        ],
+                        "default-namespace": [namespace],
+                    },
+                },
+                {"action": "set-current-view-version", "view-version-id": -1},
+            ],
+        }
+        return self._request("POST", f"/namespaces/{ns}/views/{name}", body)
+
     # -- service-owned writes (CreateTableRequest / CommitTableRequest) ----
 
     def create_table(
@@ -658,6 +686,18 @@ class RestCatalog(SqlSurface):
             self.client.drop_table(ns, name)  # never a split-brain
         self._mirror.pop(ident, None)
         self._locations.pop(ident, None)
+
+    def replace_view(self, ident: str, sql: str):
+        """REPLACE VIEW as a versioned commit THROUGH the service
+        (CommitViewRequest add-view-version) — prior versions stay in
+        the service-side version log."""
+        from datafusion_iceberg_spark.iceberg.view import IcebergView
+
+        ns, name = ident.split(".", 1)
+        res = self.client.commit_view(ns, name, sql)
+        view = IcebergView(res["metadata"], res.get("metadata-location", ""))
+        self._mirror[ident] = view
+        return view
 
     def create_view(self, ident: str, sql: str):
         """CREATE VIEW committed THROUGH the service (CreateViewRequest);
@@ -1182,6 +1222,42 @@ class LocalRestServer:
                 if (
                     len(parts) == 4
                     and parts[0] == "namespaces"
+                    and parts[2] == "views"
+                ):  # CommitViewRequest (add-view-version + set-current)
+                    ns = urllib.parse.unquote(parts[1])
+                    ident = f"{ns}.{parts[3]}"
+                    if outer._load_view(ident) is None:
+                        return self._send(
+                            404, {"error": f"no such view: {ident}"}
+                        )
+                    from datafusion_iceberg_spark.iceberg.view import (
+                        IcebergView,
+                    )
+
+                    root = os.path.join(outer._warehouse, ns, parts[3])
+                    view = IcebergView.load(root)
+                    adds = [
+                        u
+                        for u in body.get("updates", [])
+                        if u.get("action") == "add-view-version"
+                    ]
+                    if not adds:
+                        return self._send(
+                            400, {"error": "no add-view-version update"}
+                        )
+                    rep = next(
+                        r
+                        for r in adds[-1]["view-version"]["representations"]
+                        if r.get("type") == "sql"
+                    )
+                    view.replace(rep["sql"], rep.get("dialect", "spark"))
+                    return self._send(
+                        200,
+                        {"metadata-location": view.root, "metadata": view.raw},
+                    )
+                if (
+                    len(parts) == 4
+                    and parts[0] == "namespaces"
                     and parts[2] == "tables"
                 ):  # CommitTableRequest
                     from datafusion_iceberg_spark.iceberg.rest_commit import (
@@ -1308,13 +1384,15 @@ class LocalRestServer:
 
         if ident in self._dropped:
             return None
+        # disk first: the catalog mirror caches the view metadata as of
+        # server start, so a replaced view would otherwise serve its
+        # stale version; the metadata files on disk are the truth
+        ns, name = ident.split(".", 1)
+        root = os.path.join(self._warehouse, ns, name)
+        if IcebergView.is_view(root):
+            view = IcebergView.load(root)
+            return {"metadata-location": view.root, "metadata": view.raw}
         if not self._catalog.table_exists(ident):
-            # pick up views created since the catalog mirror was built
-            ns, name = ident.split(".", 1)
-            root = os.path.join(self._warehouse, ns, name)
-            if IcebergView.is_view(root):
-                view = IcebergView.load(root)
-                return {"metadata-location": view.root, "metadata": view.raw}
             return None
         rel = self._catalog.load(ident)
         if not isinstance(rel, IcebergView):

@@ -91,3 +91,46 @@ def test_view_name_collision_with_table_409(spark, server):
     _seed(spark, rest)
     with pytest.raises(Exception, match="409|exists"):
         RestCatalogClient(server).create_view("ns", "t", "SELECT 1 AS x")
+
+
+def test_replace_view_is_versioned_commit(spark, server):
+    """REPLACE commits a NEW view version through CommitViewRequest —
+    the service-side version log keeps the prior SQL (no drop+create)."""
+    rest = RestCatalog(RestCatalogClient(server), name="r")
+    _seed(spark, rest)
+    rest.sql(spark, "CREATE VIEW r.ns.vv AS SELECT k FROM r.ns.t WHERE k = 1")
+    rest.sql(
+        spark,
+        "CREATE OR REPLACE VIEW r.ns.vv AS SELECT k FROM r.ns.t WHERE k >= 3",
+    )
+    meta = RestCatalogClient(server).load_view("ns", "vv")["metadata"]
+    assert meta["current-version-id"] == 2
+    assert len(meta["versions"]) == 2
+    assert len(meta["version-log"]) == 2
+    # query resolves the NEW version; uuid unchanged (same view object)
+    assert {
+        r["k"] for r in rest.sql(spark, "SELECT k FROM r.ns.vv").collect()
+    } == {3, 4}
+
+
+def test_local_replace_view_is_versioned(spark, tmp_path):
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(os.path.join(str(tmp_path), "wh"))
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    cat.create_table("ns.t", df.schema)
+    cat.append("ns.t", spark, df)
+    cat.sql(spark, "CREATE VIEW iceberg.ns.w AS SELECT k FROM iceberg.ns.t")
+    cat.sql(
+        spark,
+        "CREATE OR REPLACE VIEW iceberg.ns.w AS"
+        " SELECT k FROM iceberg.ns.t WHERE k = 2",
+    )
+    view = cat.load("ns.w")
+    assert view.raw["current-version-id"] == 2
+    assert len(view.raw["version-log"]) == 2
+    assert {
+        r["k"] for r in cat.sql(spark, "SELECT k FROM iceberg.ns.w").collect()
+    } == {2}
