@@ -531,8 +531,11 @@ class Catalog(SqlSurface):
         spark: SparkSession,
         df: DataFrame,
         merge_schema=None,
+        wap_id=None,
     ) -> int:
-        snap = self.writer(ident).append(spark, df, merge_schema=merge_schema)
+        snap = self.writer(ident).append(
+            spark, df, merge_schema=merge_schema, wap_id=wap_id
+        )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)  # refresh snapshot view
         self._maybe_auto_maintain(ident, spark)
@@ -809,6 +812,15 @@ class Catalog(SqlSurface):
         """Apply a staged append snapshot onto current main
         (writer.cherrypick_snapshot) + mirror refresh."""
         snap = self.writer(ident).cherrypick_snapshot(int(snapshot_id))
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        return snap
+
+    def publish_changes(self, ident: str, wap_id) -> int:
+        """``CALL publish_changes``: cherry-pick the staged snapshot
+        carrying this wap.id onto main (writer.publish_changes) + mirror
+        refresh."""
+        snap = self.writer(ident).publish_changes(str(wap_id))
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
         self._mirror[ident] = IcebergTable.load(root)
         return snap

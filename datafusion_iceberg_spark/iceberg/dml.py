@@ -132,6 +132,19 @@ def _exec_insert(surface, spark, s: A.Insert) -> DataFrame:
         src, st, s.columns, defaults=table.metadata.write_defaults()
     )
     if s.mode == "INTO":
+        # Spark-Iceberg WAP: with write.wap.enabled on the table and a
+        # session spark.wap.id set, INSERT stages the snapshot (summary
+        # wap.id, main unmoved) for a later CALL publish_changes
+        wap_id = None
+        props = table.metadata.properties
+        if str(props.get("write.wap.enabled", "")).lower() == "true":
+            try:
+                wap_id = spark.conf.get("spark.wap.id", None)
+            except Exception:
+                wap_id = None
+        if wap_id:
+            snap = surface.append(ident, spark, aligned, wap_id=wap_id)
+            return _result(spark, "stage_wap", ident, snap)
         snap = surface.append(ident, spark, aligned)
         return _result(spark, "append", ident, snap)
     snap = surface.overwrite(ident, spark, aligned)
@@ -553,6 +566,7 @@ _PROCEDURES = {
     "set_current_snapshot": "set_current_snapshot",
     "fast_forward": "fast_forward",
     "cherrypick_snapshot": "cherrypick_snapshot",
+    "publish_changes": "publish_changes",
     "create_tag": "create_tag",
     "create_branch": "create_branch",
     "drop_ref": "drop_ref",

@@ -923,11 +923,15 @@ class IcebergWriter:
         stage_branch: Optional[str] = None,
         _expected_parent=_UNCHECKED,
         merge_schema: Optional[bool] = None,
+        wap_id: Optional[str] = None,
     ) -> int:
         """Write df as parquet data files + commit an append snapshot.
         ``merge_schema=True`` (or the ``write.spark.accept-any-schema``
         table property) evolves the schema to accept source columns the
         table lacks — see :meth:`merge_source_schema`.
+        ``wap_id`` stages the snapshot Spark-Iceberg-style (summary
+        ``wap.id``, in the snapshot list, NO ref, main unmoved) for a
+        later ``CALL publish_changes(wap_id)``.
         ``stage_branch`` stages the snapshot for write-audit-publish: it
         is committed to the snapshot list under a branch ref of that
         name, but ``main`` (current-snapshot-id, snapshot-log) does not
@@ -949,6 +953,8 @@ class IcebergWriter:
             _allow_empty,
             stage_branch,
             _expected_parent,
+            _extra_summary={"wap.id": wap_id} if wap_id else None,
+            _staged_only=bool(wap_id),
         )
 
     def _write_data_files(self, df: DataFrame, snap_id: int) -> list[dict]:
@@ -1309,6 +1315,7 @@ class IcebergWriter:
         _expected_parent=_UNCHECKED,
         _extra_summary: Optional[dict] = None,
         _extra_manifest_rows: Optional[list] = None,
+        _staged_only: bool = False,
     ) -> int:
         """Manifest build + snapshot commit for per-file stats dicts
         (the post-write half of :meth:`append`, shared with
@@ -1397,6 +1404,7 @@ class IcebergWriter:
                     _expected_parent,
                     _extra_summary,
                     _extra_manifest_rows,
+                    _staged_only=_staged_only,
                 )
             except RewriteConflict:
                 # the manifest was built from a now-stale file set: a
@@ -1423,6 +1431,7 @@ class IcebergWriter:
         _expected_parent=_UNCHECKED,
         _extra_summary: Optional[dict] = None,
         _extra_manifest_rows: Optional[list] = None,
+        _staged_only: bool = False,
     ) -> int:
         """The read-validate-commit section of append, re-entrant for the
         optimistic-concurrency retry: re-reads current metadata (so the
@@ -1539,7 +1548,12 @@ class IcebergWriter:
             "schema-id": 0,
         }
         meta["snapshots"] = meta.get("snapshots", []) + [snapshot]
-        if _stage_branch is None:
+        if _staged_only:
+            # wap.id staging (Spark-Iceberg spark.wap.id parity): the
+            # snapshot exists in the list for a later publish_changes /
+            # cherrypick, but neither main nor any ref moves
+            pass
+        elif _stage_branch is None:
             meta["current-snapshot-id"] = snap_id
             meta["snapshot-log"] = meta.get("snapshot-log", []) + [
                 {"timestamp-ms": now, "snapshot-id": snap_id}
@@ -5379,6 +5393,27 @@ class IcebergWriter:
             )
         finally:
             scanned.unpersist()
+
+    def publish_changes(self, wap_id: str) -> int:
+        """``CALL publish_changes(wap_id)`` (Spark-Iceberg WAP parity):
+        find the staged snapshot whose summary carries this ``wap.id``
+        and cherry-pick it onto current main (re-sequencing if main has
+        advanced; double-publish guarded by cherrypick's ancestry
+        check).  Returns the published snapshot id."""
+        meta = self._load_current()
+        matches = [
+            s
+            for s in meta.get("snapshots", [])
+            if (s.get("summary") or {}).get("wap.id") == str(wap_id)
+        ]
+        if not matches:
+            raise KeyError(f"no snapshot with wap.id={wap_id!r}")
+        if len(matches) > 1:
+            raise ValueError(
+                f"wap.id={wap_id!r} is ambiguous: "
+                f"{[s['snapshot-id'] for s in matches]}"
+            )
+        return self.cherrypick_snapshot(int(matches[0]["snapshot-id"]))
 
     def cherrypick_snapshot(self, snapshot_id: int) -> int:
         """Iceberg ``cherrypick_snapshot`` (append snapshots only): apply

@@ -192,3 +192,56 @@ def test_cherrypick_not_diverged_publishes(spark, sf_dir, tmp_path):
     assert {r["key"]: r["value"] for r in out}["result"] == str(staged)
     assert cat.load("d.n").metadata.current_snapshot_id == staged
     assert cat.load("d.n").to_df(spark).count() == 7
+
+
+def test_wap_id_staging_and_publish_changes(spark, tmp_path):
+    """Spark-Iceberg WAP parity (r9): with write.wap.enabled and a
+    session spark.wap.id, INSERT stages the snapshot (summary wap.id,
+    main unmoved, NO ref); CALL publish_changes(wap_id) cherry-picks it
+    onto main — including after main advanced; double-publish and
+    unknown/ambiguous ids refuse."""
+    import os
+
+    import pytest
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(os.path.join(str(tmp_path), "wh"), name="wap")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    cat.create_table("ns.t", df.schema)
+    cat.append("ns.t", spark, df)
+    cat.set_properties("ns.t", {"write.wap.enabled": "true"})
+    spark.conf.set("spark.wap.id", "audit-1")
+    try:
+        out = cat.sql(
+            spark, "INSERT INTO wap.ns.t VALUES (3, 30), (4, 40)"
+        ).first()
+        assert out.operation == "stage_wap"
+        # main unmoved, no ref created, snapshot staged with the summary
+        meta = cat.load("ns.t").metadata
+        staged = [
+            s
+            for s in meta.raw["snapshots"]
+            if (s.get("summary") or {}).get("wap.id") == "audit-1"
+        ]
+        assert len(staged) == 1
+        assert meta.raw["current-snapshot-id"] != staged[0]["snapshot-id"]
+        assert "refs" not in meta.raw or all(
+            r.get("snapshot-id") != staged[0]["snapshot-id"]
+            for r in meta.raw.get("refs", {}).values()
+        )
+        assert {
+            r.k for r in cat.sql(spark, "SELECT k FROM wap.ns.t").collect()
+        } == {1, 2}
+    finally:
+        spark.conf.unset("spark.wap.id")
+    # main advances independently, then the audit publishes
+    cat.append("ns.t", spark, spark.createDataFrame([(9, 90)], "k long, v long"))
+    cat.sql(spark, "CALL wap.system.publish_changes('ns.t', 'audit-1')")
+    assert {
+        r.k for r in cat.sql(spark, "SELECT k FROM wap.ns.t").collect()
+    } == {1, 2, 3, 4, 9}
+    with pytest.raises(Exception):  # double publish refuses (ancestry guard)
+        cat.publish_changes("ns.t", "audit-1")
+    with pytest.raises(KeyError):
+        cat.publish_changes("ns.t", "nope")
