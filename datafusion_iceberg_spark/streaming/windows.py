@@ -24,6 +24,55 @@ from datafusion_iceberg_spark.tables import load_table, table_path
 _counter = 0
 
 
+def iceberg_upsert_sink(
+    cat,
+    ident: str,
+    order_by: list,
+    on=None,
+    merge_schema=None,
+):
+    """Reusable foreachBatch body for a Flink-style streaming UPSERT
+    sink: each micro-batch dedups to the newest record per identifier
+    key (``order_by`` descending breaks ties) and lands as ONE
+    equality-delete + append snapshot — O(batch) per checkpoint, no
+    table scan.  ``merge_schema`` forwards to the writer: a RESTARTED
+    stream whose source grew columns auto-evolves the table on its
+    first batch (a single running query's schema is fixed by Spark, so
+    evolution happens across restarts — exactly the CDC-pipeline shape).
+
+    Usage::
+
+        q = (df.writeStream
+               .foreachBatch(iceberg_upsert_sink(cat, "ns.t", ["ts"]))
+               .option("checkpointLocation", ckpt).start())
+    """
+    from pyspark.sql import Window as W
+
+    def _apply(bdf, batch_id):
+        if not bdf.take(1):
+            return
+        keys = list(on) if on else None
+        if keys is None:
+            keys = cat.writer(ident).identifier_columns()
+        w = W.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_by]
+        )
+        latest = (
+            bdf.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        cat.upsert(
+            ident,
+            latest.sparkSession,
+            latest,
+            on=on,
+            merge_schema=merge_schema,
+        )
+
+    return _apply
+
+
 def run_stream(stream_df, name: str, mode: str = "complete") -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink and
     return the materialized result."""

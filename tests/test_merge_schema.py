@@ -370,3 +370,72 @@ def test_sql_add_nested_column(spark, scratch):
         cat.sql(spark, "ALTER TABLE iceberg.ns.t ADD COLUMN s.z BIGINT")
     with pytest.raises(ValueError, match="not a struct"):
         cat.sql(spark, "ALTER TABLE iceberg.ns.t ADD COLUMN k.sub BIGINT")
+
+
+def test_streaming_upsert_sink_evolves_on_restart(spark, scratch):
+    """The reusable streaming upsert sink (iceberg_upsert_sink) with
+    merge_schema=True: a RESTARTED stream whose source grew a column
+    auto-evolves the table on its first batch — the CDC-pipeline shape
+    (one running query's schema is fixed, evolution happens across
+    restarts)."""
+    import os
+
+    from datafusion_iceberg_spark.streaming.windows import (
+        iceberg_upsert_sink,
+    )
+
+    src_a = os.path.join(scratch, "src_a")
+    src_b = os.path.join(scratch, "src_b")
+    spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (1, 200, 11)], "k long, ts long, v long"
+    ).write.parquet(src_a)
+    spark.createDataFrame(
+        [(2, 300, 21, "eu"), (3, 100, 30, "us")],
+        "k long, ts long, v long, region string",
+    ).write.parquet(src_b)
+
+    cat = Catalog(os.path.join(scratch, "wh"))
+    cat.create_table(
+        "ns.t",
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]),
+    )
+    cat.set_identifier_fields("ns.t", ["k"])
+
+    def _run(path, schema_ddl):
+        q = (
+            spark.readStream.schema(schema_ddl)
+            .parquet(path)
+            .writeStream.foreachBatch(
+                iceberg_upsert_sink(cat, "ns.t", ["ts"], merge_schema=True)
+            )
+            .option(
+                "checkpointLocation", os.path.join(scratch, "ckpt", path[-1])
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _run(src_a, "k long, ts long, v long")
+    got = {
+        r.k: (r.ts, r.v)
+        for r in cat.sql(spark, "SELECT k, ts, v FROM iceberg.ns.t").collect()
+    }
+    assert got == {1: (200, 11), 2: (100, 20)}
+    # restart with the WIDER source: region auto-adds; old rows NULL
+    _run(src_b, "k long, ts long, v long, region string")
+    got = {
+        r.k: (r.ts, r.v, r.region)
+        for r in cat.sql(
+            spark, "SELECT k, ts, v, region FROM iceberg.ns.t"
+        ).collect()
+    }
+    assert got == {
+        1: (200, 11, None),
+        2: (300, 21, "eu"),
+        3: (100, 30, "us"),
+    }
