@@ -702,6 +702,7 @@ class Catalog(SqlSurface):
         when_matched_delete: bool = False,
         clauses=None,
         merge_schema=None,
+        extra_summary=None,
     ) -> int:
         """MERGE INTO (writer.merge; ``on`` may be a composite key list)
         + mirror refresh; re-plans on concurrent-commit conflicts.
@@ -728,6 +729,11 @@ class Catalog(SqlSurface):
                 when_matched_delete,
                 clauses=clauses,
                 merge_schema=merge_schema,
+                **(
+                    {"extra_summary": extra_summary}
+                    if method == "merge" and extra_summary
+                    else {}
+                ),
             ),
         )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]

@@ -21,12 +21,14 @@ Mechanics:
 - the refreshed-through snapshot id is recorded in the MV's table
   properties (``mv.source-snapshot-id``).
 
-Consistency note (documented limitation): a refresh is merge + zero-trim
-+ property stamp — three commits, not one.  A crash between them leaves
-the marker behind the applied deltas; re-running the refresh would then
-double-apply the window.  Production hardening would stamp the marker in
-the MERGE snapshot's own summary (single atomic commit); the seam is
-noted here rather than hidden.
+Consistency (r9 hardening): a refresh is ONE atomic commit — the MERGE
+folds the zero-trim in as a conditional ``WHEN MATCHED AND t.cnt +
+src.cnt = 0 THEN DELETE`` clause (net-zero NEW groups are skipped by a
+conditional insert), and the refreshed-through snapshot id is stamped in
+that MERGE snapshot's own summary (``mv.source-snapshot-id``).  A crash
+leaves either the old state or the fully-applied new state; re-running
+reads the marker from the snapshot summaries (falling back to the
+creation-time table property), so the window can never double-apply.
 """
 
 from __future__ import annotations
@@ -74,16 +76,43 @@ def create_aggregate_mv(
     return None
 
 
+def _refreshed_through(mv_meta, src_meta) -> int:
+    """The SOURCE snapshot id the MV has applied through: candidates are
+    every MERGE snapshot summary carrying ``mv.source-snapshot-id`` (the
+    atomic r9 marker) plus the table property (creation default -1;
+    re-stamped only on no-op refreshes).  Recency is decided by the
+    marker's position in the SOURCE's own history (ordinals) — a stale
+    property can never shadow a newer merge marker or vice versa.
+    Markers whose snapshot has been expired from the source are ignored
+    (the next refresh replays from the newest surviving marker, and
+    delta application is idempotent per window)."""
+    candidates = []
+    for s in mv_meta.raw.get("snapshots", []):
+        v = (s.get("summary") or {}).get("mv.source-snapshot-id")
+        if v is not None:
+            candidates.append(int(v))
+    prop = mv_meta.properties.get("mv.source-snapshot-id")
+    if prop is not None and int(prop) != -1:
+        candidates.append(int(prop))
+    ords = src_meta.snapshot_ordinals()
+    live = [c for c in candidates if c in ords]
+    if not live:
+        return -1
+    return max(live, key=lambda c: ords[c])
+
+
 def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     """Apply the source changelog since the last refresh.  Returns
     {"applied_rows", "from_snapshot", "to_snapshot"} (no-op when the
     source has not advanced)."""
-    props = cat.load(mv_ident).metadata.properties
+    mv_meta = cat.load(mv_ident).metadata
+    props = mv_meta.properties
     source_ident = props["mv.source"]
     group_cols = props["mv.group-cols"].split(",")
     value_col = props["mv.value-col"]
-    last = int(props.get("mv.source-snapshot-id", "-1"))
-    src = cat.load(source_ident)
+    src_rel = cat.load(source_ident)
+    last = _refreshed_through(mv_meta, src_rel.metadata)
+    src = src_rel
     cur = src.metadata.current_snapshot_id
     if cur is None or cur == last:
         return {"applied_rows": 0, "from_snapshot": last, "to_snapshot": cur}
@@ -117,20 +146,38 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     deltas = deltas.cache()  # one changelog scan feeds count AND merge
     applied = deltas.count()
     if applied:
+        from datafusion_iceberg_spark.iceberg.writer import MergeClause
+
+        # ONE commit: conditional zero-trim rides the MERGE as a clause,
+        # net-zero NEW groups skip the insert, and the refreshed-through
+        # marker stamps the snapshot summary itself — atomic, idempotent
         cat.merge_into(
             mv_ident,
             spark,
             deltas,
             group_cols if len(group_cols) > 1 else group_cols[0],
-            when_matched_set={
-                "sum_micros": "t.sum_micros + src.sum_micros",
-                "cnt": "t.cnt + src.cnt",
-            },
-            insert_not_matched=True,
+            clauses=[
+                MergeClause(
+                    "matched", "t.cnt + src.cnt = 0", "delete"
+                ),
+                MergeClause(
+                    "matched",
+                    None,
+                    "update",
+                    assignments={
+                        "sum_micros": "t.sum_micros + src.sum_micros",
+                        "cnt": "t.cnt + src.cnt",
+                    },
+                ),
+                MergeClause("not_matched", "src.cnt <> 0", "insert"),
+            ],
+            extra_summary={"mv.source-snapshot-id": str(cur)},
         )
-        cat.delete_where(mv_ident, spark, ("=", "cnt", 0))
+    else:
+        # source advanced with no logical change (e.g. replace-only
+        # snapshots): nothing to apply, so a property stamp is safe
+        cat.set_properties(mv_ident, {"mv.source-snapshot-id": str(cur)})
     deltas.unpersist()
-    cat.set_properties(mv_ident, {"mv.source-snapshot-id": str(cur)})
     return {"applied_rows": applied, "from_snapshot": last, "to_snapshot": cur}
 
 

@@ -924,6 +924,7 @@ class IcebergWriter:
         _expected_parent=_UNCHECKED,
         merge_schema: Optional[bool] = None,
         wap_id: Optional[str] = None,
+        extra_summary: Optional[dict] = None,
     ) -> int:
         """Write df as parquet data files + commit an append snapshot.
         ``merge_schema=True`` (or the ``write.spark.accept-any-schema``
@@ -953,7 +954,11 @@ class IcebergWriter:
             _allow_empty,
             stage_branch,
             _expected_parent,
-            _extra_summary={"wap.id": wap_id} if wap_id else None,
+            _extra_summary={
+                **(extra_summary or {}),
+                **({"wap.id": wap_id} if wap_id else {}),
+            }
+            or None,
             _staged_only=bool(wap_id),
         )
 
@@ -5008,6 +5013,7 @@ class IcebergWriter:
         when_matched_delete: bool = False,
         clauses: Optional[list] = None,
         merge_schema: Optional[bool] = None,
+        extra_summary: Optional[dict] = None,
     ) -> int:
         """MERGE INTO target USING source ON <key equality>, full SQL
         clause surface (r8): any number of ``WHEN MATCHED [AND cond]
@@ -5201,6 +5207,7 @@ class IcebergWriter:
             _extra_entries=untouched,
             _allow_empty=True,
             _expected_parent=table.metadata.current_snapshot_id,
+            extra_summary=extra_summary,
         )
 
     def merge_mor(

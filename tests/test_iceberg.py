@@ -4141,3 +4141,56 @@ def test_rollback_to_timestamp_and_set_current(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="no snapshot"):
         cat.rollback_to_timestamp("d.n", 1)
+
+
+def test_mv_refresh_is_one_atomic_commit(spark, tmp_path):
+    """r9 hardening: an applied MV refresh is ONE snapshot on the MV —
+    the zero-trim rides the MERGE as a conditional DELETE clause,
+    net-zero new groups skip the insert, and the refreshed-through
+    marker lives in that snapshot's own summary, so a re-run applies
+    nothing (idempotent) and no crash window can double-apply."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.mv import (
+        create_aggregate_mv,
+        mv_df,
+        refresh_aggregate_mv,
+    )
+
+    cat = Catalog(os.path.join(str(tmp_path), "wh"), name="mvat")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)],
+        "id long, g string, x double",
+    )
+    cat.create_table("m.src", df.schema)
+    cat.append("m.src", spark, df)
+    create_aggregate_mv(cat, spark, "m.mv", "m.src", ["g"], "x")
+    n0 = len(cat.load("m.mv").metadata.raw["snapshots"])
+    # delete ALL of group b (cnt hits 0 -> trimmed INSIDE the merge) and
+    # append a net-zero new group? (insert+delete in one window nets 0)
+    cat.delete_where("m.src", spark, ("=", "g", "b"))
+    out = refresh_aggregate_mv(cat, spark, "m.mv")
+    assert out["applied_rows"] == 1
+    mv_meta = cat.load("m.mv").metadata
+    snaps = mv_meta.raw["snapshots"]
+    assert len(snaps) == n0 + 1  # ONE commit for merge + trim + marker
+    assert (snaps[-1]["summary"] or {}).get("mv.source-snapshot-id") == str(
+        cat.load("m.src").metadata.current_snapshot_id
+    )
+    rows = {r.g: (r.sum_micros, r.cnt) for r in mv_df(cat, spark, "m.mv").collect()}
+    assert "b" not in rows and rows["a"] == (15_000_000, 2)
+    # idempotent: a re-run reads the summary marker and applies nothing
+    out = refresh_aggregate_mv(cat, spark, "m.mv")
+    assert out["applied_rows"] == 0
+    assert len(cat.load("m.mv").metadata.raw["snapshots"]) == n0 + 1
+    # a group that nets to zero WITHIN the window is never inserted
+    cat.append(
+        "m.src",
+        spark,
+        spark.createDataFrame([(9, "z", 1.0)], "id long, g string, x double"),
+    )
+    cat.delete_where("m.src", spark, ("=", "g", "z"))
+    out = refresh_aggregate_mv(cat, spark, "m.mv")
+    rows = {r.g for r in mv_df(cat, spark, "m.mv").collect()}
+    assert "z" not in rows
