@@ -24,10 +24,12 @@ atomic Iceberg snapshot (append, or a replace snapshot for
 directory — unpublished files were never visible.  Partitioned/sorted
 tables refuse (their transforms run in the catalog append path).
 
-Scope fence (documented, enforced): snapshots carrying position or
-equality delete files refuse the fast path — correct MOR application
-needs the anti-joins in ``IcebergTable.to_df``; a DataSource partition
-reader can't see other files.  Filters push down for PRUNING only
+MOR reads (r9): snapshots carrying position/DV/equality delete files
+READ on the fast path too — the planner ships each file's delete
+coverage with its partition and the executor masks dead rows (position
+deletes filtered by path, DV blobs decoded, equality keys matched under
+the strictly-newer sequence rule) using the same kernels as the CDC
+stream; batch results match ``IcebergTable.to_df`` exactly.  Filters push down for PRUNING only
 (file skip); Spark re-applies every filter exactly, so correctness
 never depends on stats.
 """
@@ -68,11 +70,23 @@ class IcebergFilePartition(InputPartition):
     files coalesce into one task, large files split at row-group
     boundaries — so parallelism tracks bytes, not file count."""
 
-    def __init__(self, path: str = "", attach: Optional[dict] = None, chunks=None):
+    def __init__(
+        self,
+        path: str = "",
+        attach: Optional[dict] = None,
+        chunks=None,
+        mor: Optional[dict] = None,
+    ):
         if chunks is not None:
             self.chunks = chunks
         else:
             self.chunks = [(path, attach or {}, None)] if path else []
+        # MOR delete coverage (r9): {"pos_parquet": [paths],
+        # "eq_specs": [((path, key_cols), seq)], "files":
+        # {localized_path: {"raw", "fseq", "dv"}}} — present only when
+        # the snapshot carries delete files and the caller asked the
+        # reader to apply them executor-side
+        self.mor = mor
 
 
 def _translate_filters(filters):
@@ -124,6 +138,112 @@ def _read_file(
         yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 
+def _dead_positions(path: str, entry: dict, mor: dict) -> set:
+    """File-absolute row positions deleted under the snapshot's MOR
+    coverage: parquet position deletes filtered to this file's recorded
+    path (row-group pruning applies via the file_path filter), the
+    file's DV blob, and equality-delete key files with sequence
+    STRICTLY above the file's (the same rule as the batch anti-joins,
+    table._apply_equality_deletes)."""
+    import pyarrow.parquet as pq
+
+    from datafusion_iceberg_spark.iceberg.puffin import read_dv_positions
+
+    dead: set = set()
+    raw = entry["raw"]
+    for p in mor["pos_parquet"]:
+        try:
+            t2 = pq.read_table(
+                p,
+                columns=["file_path", "pos"],
+                filters=[("file_path", "==", raw)],
+            )
+        except Exception:
+            continue  # expired delete file: nothing to apply
+        dead.update(int(x) for x in t2.column("pos").to_pylist())
+    if entry.get("dv") is not None:
+        dead.update(read_dv_positions(*entry["dv"]))
+    eq = [
+        (p, kcols)
+        for (p, kcols), sq in mor["eq_specs"]
+        if sq > entry["fseq"]
+    ]
+    if eq:
+        pf = pq.ParquetFile(path)
+        have = set(pf.schema_arrow.names)
+        for p, kcols in eq:
+            if not all(c in have for c in kcols):
+                continue
+            keys = pq.read_table(p, columns=kcols)
+            keyset = set(
+                zip(*(keys.column(c).to_pylist() for c in kcols))
+            )
+            data = pf.read(columns=kcols)
+            vals = list(
+                zip(*(data.column(c).to_pylist() for c in kcols))
+            )
+            for i, v in enumerate(vals):
+                if v in keyset:
+                    dead.add(i)
+    return dead
+
+
+def _read_file_masked(
+    path: str, attach: dict, arrow_schema, row_groups, dead: set
+) -> Iterator["pa.RecordBatch"]:
+    """:func:`_read_file` minus the rows at ``dead`` file-absolute
+    positions.  Row-group slices map batch rows to absolute positions
+    via the footer's per-group row counts, so a large file split across
+    partitions masks each slice correctly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    starts, acc = [], 0
+    for i in range(md.num_row_groups):
+        starts.append(acc)
+        acc += md.row_group(i).num_rows
+    rgs = (
+        list(row_groups)
+        if row_groups is not None
+        else list(range(md.num_row_groups))
+    )
+    slice_abs = np.concatenate(
+        [
+            np.arange(
+                starts[i], starts[i] + md.row_group(i).num_rows, dtype=np.int64
+            )
+            for i in rgs
+        ]
+    ) if rgs else np.empty(0, dtype=np.int64)
+    dead_arr = np.fromiter(dead, dtype=np.int64) if dead else None
+    file_cols = set(pf.schema_arrow.names)
+    want = [n for n in arrow_schema.names if n in file_cols]
+    done = 0
+    for batch in pf.iter_batches(columns=want, batch_size=262144, row_groups=rgs):
+        n = batch.num_rows
+        abs_pos = slice_abs[done:done + n]
+        done += n
+        if dead_arr is not None:
+            keep = ~np.isin(abs_pos, dead_arr)
+            if not keep.all():
+                batch = batch.take(pa.array(np.nonzero(keep)[0]))
+        if batch.num_rows == 0:
+            continue
+        cols = []
+        for field in arrow_schema:
+            if field.name in file_cols:
+                cols.append(batch.column(field.name).cast(field.type))
+            else:
+                val = attach.get(field.name)
+                cols.append(
+                    pa.array([val] * batch.num_rows, type=field.type)
+                )
+        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
+
+
 _OPEN_COST_BYTES = 4 * 1024 * 1024  # Spark's filesOpenCostInBytes default
 _MAX_SPLIT_BYTES = 128 * 1024 * 1024  # Spark's maxPartitionBytes default
 
@@ -139,26 +259,68 @@ def _split_target_bytes(total_bytes: int, n_files: int) -> int:
 
 
 def _plan_files(
-    table, filters, snapshot_id=None, from_snapshot_id=None, _added_only=False
+    table,
+    filters,
+    snapshot_id=None,
+    from_snapshot_id=None,
+    _added_only=False,
+    apply_deletes=False,
 ):
     """Driver-side planning shared by batch and streaming: pruned file
     list (optionally the incremental diff) → bin-packed partitions.
     Small files coalesce up to the split target; files larger than the
     target split at row-group boundaries (one driver footer read per
     LARGE file only — small files plan purely from manifest stats).
-    Refuses MOR snapshots (delete files need the anti-join scan path) —
-    except under ``_added_only`` (the CDC append diff): deletes bind to
-    file paths that existed when they committed, so files ADDED by this
-    snapshot cannot be targeted and read clean."""
-    if not _added_only and (
-        table.position_delete_files(snapshot_id)
-        or table.equality_delete_files(snapshot_id)
-    ):
-        raise ValueError(
-            "iceberg_py: snapshot has delete files; use IcebergTable.to_df "
-            "(MOR anti-joins are not expressible in a per-file reader)"
-        )
+    MOR snapshots (r9): with ``apply_deletes`` the partitions carry the
+    snapshot's delete coverage and the executor masks dead rows per file
+    (parquet position deletes filtered by path, DV blobs, equality
+    deletes with sequence > the file's — the same kernels the CDC
+    stream uses); without it they refuse (the streaming append tail
+    passes ``_added_only``: deletes bind to file paths that existed
+    when they committed, so files ADDED by a snapshot read clean)."""
     meta = table.metadata
+    mor = None
+    if not _added_only:
+        pos = table.position_delete_files(snapshot_id)
+        eqs = table.equality_delete_files(snapshot_id)
+        if pos or eqs:
+            if not apply_deletes:
+                raise ValueError(
+                    "iceberg_py: snapshot has delete files; use "
+                    "IcebergTable.to_df or a reader planned with "
+                    "apply_deletes"
+                )
+            from datafusion_iceberg_spark.iceberg.table import _file_seq
+
+            seqs = meta.snapshot_sequences()
+            names_by_id = {v: k for k, v in meta.field_ids_by_name().items()}
+            mor = {
+                "pos_parquet": [
+                    meta.localize(d.path)
+                    for d in pos
+                    if d.referenced_data_file is None
+                ],
+                "dv_by_raw": {
+                    d.referenced_data_file: (
+                        meta.localize(d.path),
+                        int(d.content_offset or 0),
+                        int(d.content_size_in_bytes or 0),
+                    )
+                    for d in pos
+                    if d.referenced_data_file is not None
+                },
+                "eq_specs": [
+                    (
+                        (
+                            meta.localize(d.path),
+                            [names_by_id[i] for i in sorted(d.equality_ids)],
+                        ),
+                        _file_seq(seqs, d, 1 << 31),
+                    )
+                    for d in eqs
+                ],
+                "files": {},
+            }
     files = table.files(filters, snapshot_id=snapshot_id)
     if from_snapshot_id is not None:
         old = {f.path for f in table.files(filters, snapshot_id=from_snapshot_id)}
@@ -172,6 +334,17 @@ def _plan_files(
     # row-group slices of large ones
     import pyarrow.parquet as pq
 
+    if mor is not None:
+        from datafusion_iceberg_spark.iceberg.table import _file_seq
+
+        seqs2 = meta.snapshot_sequences()
+        for f in files:
+            lp = meta.localize(f.path)
+            mor["files"][lp] = {
+                "raw": f.path,
+                "fseq": _file_seq(seqs2, f, -1),
+                "dv": mor["dv_by_raw"].get(f.path),
+            }
     chunks = []
     for f, size in zip(files, sizes):
         path = meta.localize(f.path)
@@ -223,12 +396,12 @@ def _plan_files(
     parts, cur, cur_b = [], [], 0
     for path, attach, rgs, b in chunks:
         if cur and cur_b + b > target:
-            parts.append(IcebergFilePartition(chunks=cur))
+            parts.append(IcebergFilePartition(chunks=cur, mor=mor))
             cur, cur_b = [], 0
         cur.append((path, attach, rgs))
         cur_b += b
     if cur:
-        parts.append(IcebergFilePartition(chunks=cur))
+        parts.append(IcebergFilePartition(chunks=cur, mor=mor))
     return parts
 
 
@@ -245,7 +418,7 @@ class IcebergPyReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        parts = _plan_files(self._table, self._pred)
+        parts = _plan_files(self._table, self._pred, apply_deletes=True)
         if not parts:
             # Spark requires >= 1 partition; an empty file emits no batches
             return [IcebergFilePartition("", {})]
@@ -255,8 +428,18 @@ class IcebergPyReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(self._schema)
+        mor = getattr(partition, "mor", None)
         for path, attach, rgs in partition.chunks:
-            yield from _read_file(path, attach, arrow_schema, row_groups=rgs)
+            entry = (mor or {}).get("files", {}).get(path)
+            if entry is not None:
+                dead = _dead_positions(path, entry, mor)
+                yield from _read_file_masked(
+                    path, attach, arrow_schema, rgs, dead
+                )
+            else:
+                yield from _read_file(
+                    path, attach, arrow_schema, row_groups=rgs
+                )
 
 
 class IcebergPyStreamReader(DataSourceStreamReader):

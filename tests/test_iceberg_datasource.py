@@ -895,3 +895,85 @@ def test_cdc_stream_overwrite_respects_prior_mor_coverage(spark, tmp_path):
     assert key(rows) == key(log)
     o2 = [r for r in rows.collect() if r["_change_ordinal"] == 2]
     assert sorted((r["k"], r["_change_type"]) for r in o2) == [(4, "delete")]
+
+
+def test_batch_read_applies_mor_deletes(spark, tmp_path):
+    """r9 — the DS batch fence falls: a table with outstanding parquet
+    position deletes, DV deletes, AND equality deletes reads through
+    format('iceberg_py') with executor-side masking, matching
+    IcebergTable.to_df exactly."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="morls")
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table("c.n", nation.schema)
+    cat.append("c.n", spark, nation)
+    # parquet position deletes
+    cat.delete_where_mor("c.n", spark, ("<", "n_nationkey", 3))
+    # equality deletes
+    cat.delete_where_eq(
+        "c.n", spark, spark.createDataFrame([(7,), (9,)], "n_nationkey int")
+    )
+    via_ds = (
+        spark.read.format("iceberg_py")
+        .option("path", str(tmp_path / "wh" / "c" / "n"))
+        .load()
+    )
+    want = sorted(
+        r.n_nationkey for r in cat.load("c.n").to_df(spark).collect()
+    )
+    got = sorted(r.n_nationkey for r in via_ds.collect())
+    assert got == want
+    assert all(k >= 3 and k not in (7, 9) for k in got)
+
+
+def test_batch_read_applies_dv_deletes_with_rg_splits(spark, tmp_path):
+    """DV coverage + a file large enough to split at row-group
+    boundaries: masked positions stay file-absolute per slice."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="mordv")
+    df = spark.range(0, 50_000).selectExpr(
+        "id AS k", "id * 2 AS v"
+    ).coalesce(1)
+    cat.create_table(
+        "c.t", df.schema,
+        properties={"write.delete.mode": "deletion-vector"},
+    )
+    cat.append("c.t", spark, df)
+    cat.sql(spark, "DELETE FROM mordv.c.t WHERE k % 1000 = 7")
+    via_ds = (
+        spark.read.format("iceberg_py")
+        .option("path", str(tmp_path / "wh" / "c" / "t"))
+        .load()
+    )
+    assert via_ds.count() == 50_000 - 50
+    assert via_ds.filter("k % 1000 = 7").count() == 0
+    # aggregate equality against the anti-join path
+    a = cat.load("c.t").to_df(spark).agg({"v": "sum"}).collect()[0][0]
+    b = via_ds.agg({"v": "sum"}).collect()[0][0]
+    assert a == b
+
+
+def test_batch_read_eq_delete_respects_sequence_rule(spark, tmp_path):
+    """A row re-inserted AFTER an equality delete survives the DS read
+    (the delete applies only to strictly-older files)."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="morseq")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    cat.create_table("c.t", df.schema)
+    cat.append("c.t", spark, df)
+    cat.delete_where_eq("c.t", spark, spark.createDataFrame([(1,)], "k long"))
+    cat.append("c.t", spark, spark.createDataFrame([(1, 111)], "k long, v long"))
+    via_ds = (
+        spark.read.format("iceberg_py")
+        .option("path", str(tmp_path / "wh" / "c" / "t"))
+        .load()
+    )
+    got = {(r.k, r.v) for r in via_ds.collect()}
+    assert got == {(1, 111), (2, 20)}
