@@ -91,6 +91,7 @@ HEADLINE = [
     "iceberg_merge_schema_scan",
     "iceberg_rest_view_scan",
     "iceberg_namespace_ddl_scan",
+    "iceberg_pyds_mor_scan",
 ]
 
 

@@ -3819,6 +3819,71 @@ def iceberg_rest_view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             server.stop()
 
 
+@register(
+    "iceberg_pyds_mor_scan",
+    oracle="""
+    WITH live AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey % 5 <> 0           -- position-deleted
+          AND o_orderkey % 7 <> 3           -- equality-deleted
+    )
+    SELECT st AS o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM live GROUP BY st ORDER BY st
+    """,
+)
+def iceberg_pyds_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR table through the Python DataSource (r9 — the DS batch fence
+    falls): outstanding parquet position deletes AND equality deletes
+    apply EXECUTOR-SIDE in the per-file reader (coverage shipped with
+    each partition; dead positions masked with file-absolute mapping),
+    so `spark.read.format('iceberg_py')` matches `to_df`'s anti-joins.
+    The reference's TableProvider never reads delete files at all
+    (SURVEY §2C)."""
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        register_iceberg_datasource,
+    )
+
+    register_iceberg_datasource(spark)
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_pydsmor")
+        marker = os.path.join(root, "_COMPLETE")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            base = load_table(spark, sf_dir, "orders").selectExpr(
+                "o_orderkey AS k",
+                "o_orderstatus AS st",
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            )
+            cat.create_table("m.orders", base.schema)
+            cat.append("m.orders", spark, base)
+            cat.delete_where_mor("m.orders", spark, "k % 5 = 0")
+            cat.delete_where_eq(
+                "m.orders",
+                spark,
+                base.filter("k % 7 = 3").select("k"),
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table_root = os.path.join(root, "m", "orders")
+    df = spark.read.format("iceberg_py").option("path", table_root).load()
+    return (
+        df.groupBy("st")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+        .selectExpr("st AS o_orderstatus", "n_orders", "cents_sum")
+        .orderBy("o_orderstatus")
+    )
+
+
 def _kmv_oracle_leg(col: str, k: int = 256, domain: int = 1 << 60) -> str:
     """DuckDB replay of one column's KMV sketch (writer.py
     compute_table_stats): 60-bit md5-prefix hash → distinct → k minima →
