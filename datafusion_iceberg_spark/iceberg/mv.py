@@ -97,6 +97,16 @@ def _refreshed_through(mv_meta, src_meta) -> int:
     ords = src_meta.snapshot_ordinals()
     live = [c for c in candidates if c in ords]
     if not live:
+        if candidates:
+            # every marker predates the source's retained history: a
+            # silent -1 would REPLAY the full changelog over existing
+            # MV state (double-apply) — refuse loudly instead
+            raise ValueError(
+                "MV refresh markers all reference expired source "
+                f"snapshots ({sorted(set(candidates))}); the delta "
+                "window is unrecoverable — rebuild the MV (drop + "
+                "create_aggregate_mv)"
+            )
         return -1
     return max(live, key=lambda c: ords[c])
 

@@ -4194,3 +4194,33 @@ def test_mv_refresh_is_one_atomic_commit(spark, tmp_path):
     out = refresh_aggregate_mv(cat, spark, "m.mv")
     rows = {r.g for r in mv_df(cat, spark, "m.mv").collect()}
     assert "z" not in rows
+
+
+def test_mv_refresh_refuses_after_marker_expiry(spark, tmp_path):
+    """If every refresh marker references an expired source snapshot,
+    refresh must refuse (a silent full-changelog replay over existing
+    MV state would double-apply) and direct the user to rebuild."""
+    import os
+
+    import pytest
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.mv import (
+        create_aggregate_mv,
+        refresh_aggregate_mv,
+    )
+
+    cat = Catalog(os.path.join(str(tmp_path), "wh"), name="mvex")
+    df = spark.createDataFrame([(1, "a", 1.0)], "id long, g string, x double")
+    cat.create_table("m.src", df.schema)
+    cat.append("m.src", spark, df)
+    create_aggregate_mv(cat, spark, "m.mv", "m.src", ["g"], "x")
+    # advance the source and expire everything but the newest snapshot,
+    # so the MV's marker points at retired history
+    cat.append("m.src", spark, spark.createDataFrame(
+        [(2, "b", 2.0)], "id long, g string, x double"))
+    cat.append("m.src", spark, spark.createDataFrame(
+        [(3, "c", 3.0)], "id long, g string, x double"))
+    cat.expire_snapshots("m.src", keep_last=1)
+    with pytest.raises(ValueError, match="expired source snapshots"):
+        refresh_aggregate_mv(cat, spark, "m.mv")
