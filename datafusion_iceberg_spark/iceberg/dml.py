@@ -284,6 +284,25 @@ def _exec_merge(surface, spark, s: A.Merge) -> DataFrame:
 # ---- DDL -------------------------------------------------------------------
 
 
+def _exec_create_mv(
+    surface, spark, s: A.CreateMaterializedView
+) -> DataFrame:
+    from datafusion_iceberg_spark.iceberg.mv import create_aggregate_mv
+
+    ident = f"{s.namespace}.{s.table}"
+    if surface.table_exists(ident):
+        raise ValueError(f"TABLE_OR_VIEW_ALREADY_EXISTS: {ident}")
+    create_aggregate_mv(
+        surface,
+        spark,
+        ident,
+        f"{s.source_namespace}.{s.source_table}",
+        list(s.group_cols),
+        s.value_col,
+    )
+    return _result(spark, "create_materialized_view", ident, None)
+
+
 def _exec_create_view(surface, spark, s: A.CreateView) -> DataFrame:
     ident = f"{s.namespace}.{s.table}"
     _need(surface, "create_view")
@@ -829,6 +848,7 @@ _EXEC = {
     A.Call: _exec_call,
     A.AlterNamespace: _exec_alter_namespace,
     A.DescribeNamespace: _exec_describe_namespace,
+    A.CreateMaterializedView: _exec_create_mv,
     A.CreateNamespace: _exec_create_namespace,
     A.DropNamespace: _exec_drop_namespace,
     A.ShowNamespaces: _exec_show_namespaces,

@@ -223,6 +223,16 @@ class DropNamespace(Statement):
 
 
 @dataclass
+class CreateMaterializedView(Statement):
+    namespace: str
+    table: str
+    source_namespace: str
+    source_table: str
+    group_cols: "list[str]"
+    value_col: str
+
+
+@dataclass
 class AlterNamespace(Statement):
     namespace: str
     updates: "dict[str, str]"

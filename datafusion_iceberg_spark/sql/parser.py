@@ -593,6 +593,52 @@ def _parse_create(p: _P) -> A.Statement:
     if p.accept_kw("OR"):
         p.expect_kw("REPLACE")
         replace = True
+    if p.at_kw("MATERIALIZED"):
+        if replace:
+            raise p.error(
+                "CREATE OR REPLACE MATERIALIZED VIEW is not supported — "
+                "DROP it and recreate (the MV is a real Iceberg table)"
+            )
+        p.advance()
+        p.expect_kw("VIEW")
+        ns, tbl = p.catalog_target()
+        p.expect_kw("AS")
+        p.expect_kw("SELECT")
+        # constrained aggregate shape: SELECT g1[, g2...], SUM(v) FROM
+        # <cat.ns.t> GROUP BY g1[, g2...] — anything else is refused
+        # with the shape spelled out (the MV maintains exactly this)
+        sel_cols: list[str] = []
+        value_col = None
+        while True:
+            if p.accept_kw("SUM"):
+                p.expect_op("(")
+                value_col = p.ident("measure column")
+                p.expect_op(")")
+                if p.accept_kw("AS"):
+                    p.ident("alias")
+                break
+            sel_cols.append(p.ident("group column"))
+            if not p.accept_op(","):
+                break
+        if value_col is None:
+            raise p.error(
+                "CREATE MATERIALIZED VIEW supports exactly "
+                "SELECT <group cols...>, SUM(<col>) FROM t GROUP BY "
+                "<group cols...>"
+            )
+        p.expect_kw("FROM")
+        sns, stbl = p.catalog_target()
+        p.expect_kw("GROUP")
+        p.expect_kw("BY")
+        gb: list[str] = [p.ident("group column")]
+        while p.accept_op(","):
+            gb.append(p.ident("group column"))
+        p.expect_end()
+        if sorted(sel_cols) != sorted(gb):
+            raise p.error(
+                f"MV SELECT columns {sel_cols} must equal GROUP BY {gb}"
+            )
+        return A.CreateMaterializedView(ns, tbl, sns, stbl, gb, value_col)
     if p.accept_kw("VIEW"):
         ns, tbl = p.catalog_target()
         p.expect_kw("AS")

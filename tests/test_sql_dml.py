@@ -976,3 +976,59 @@ def test_create_changelog_view_procedure(spark, sf_dir, tmp_path):
     ).collect()
     got = {r["_change_type"]: r["n"] for r in rows}
     assert got == {"insert": 5, "delete": 2}
+
+
+def test_create_materialized_view_sql(spark, tmp_path):
+    """r9: CREATE MATERIALIZED VIEW (constrained SELECT g..., SUM(v)
+    FROM t GROUP BY g... shape) builds the changelog-maintained
+    aggregate MV; CALL refresh_mv applies deltas; unsupported shapes
+    refuse with the contract spelled out."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(os.path.join(str(tmp_path), "mvsql"), name="mq")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)],
+        "id long, g string, x double",
+    )
+    cat.create_table("m.src", df.schema)
+    cat.append("m.src", spark, df)
+    out = cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mq.m.mv AS"
+        " SELECT g, SUM(x) FROM mq.m.src GROUP BY g",
+    ).first()
+    assert out.operation == "create_materialized_view"
+    rows = {
+        r.g: r.sum_micros
+        for r in cat.sql(
+            spark, "SELECT g, sum_micros FROM mq.m.mv"
+        ).collect()
+    }
+    assert rows == {"a": 15_000_000, "b": 7_000_000}
+    # deltas apply through the registered procedure
+    cat.append(
+        "m.src",
+        spark,
+        spark.createDataFrame([(4, "b", 3.0)], "id long, g string, x double"),
+    )
+    cat.sql(spark, "CALL mq.system.refresh_mv('m.mv')")
+    rows = {
+        r.g: r.sum_micros
+        for r in cat.sql(spark, "SELECT g, sum_micros FROM mq.m.mv").collect()
+    }
+    assert rows["b"] == 10_000_000
+    # unsupported shapes refuse with the contract
+    with pytest.raises(Exception, match="SUM"):
+        cat.sql(
+            spark,
+            "CREATE MATERIALIZED VIEW mq.m.bad AS"
+            " SELECT g, AVG(x) FROM mq.m.src GROUP BY g",
+        )
+    with pytest.raises(Exception, match="must equal GROUP BY"):
+        cat.sql(
+            spark,
+            "CREATE MATERIALIZED VIEW mq.m.bad AS"
+            " SELECT g, SUM(x) FROM mq.m.src GROUP BY id",
+        )
