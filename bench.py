@@ -92,6 +92,7 @@ HEADLINE = [
     "iceberg_rest_view_scan",
     "iceberg_namespace_ddl_scan",
     "iceberg_pyds_mor_scan",
+    "stream_cdc_overwrite",
 ]
 
 

@@ -511,6 +511,102 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_cdc_overwrite",
+    oracle="""
+    SELECT 1 AS change_ordinal, 'delete' AS change_type,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows,
+           (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM orders
+             WHERE o_orderkey % 3 = 0) AS key_sum
+    UNION ALL
+    SELECT 2, 'delete',
+           (SELECT COUNT(*) FROM orders
+             WHERE o_orderkey % 3 <> 0 AND o_orderkey % 4 = 1),
+           (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM orders
+             WHERE o_orderkey % 3 <> 0 AND o_orderkey % 4 = 1)
+    UNION ALL
+    SELECT 2, 'insert',
+           (SELECT COUNT(*) FROM orders
+             WHERE o_orderkey % 3 <> 0 AND o_orderkey % 4 = 1),
+           (SELECT CAST(SUM(o_custkey + 1000000) AS BIGINT) FROM orders
+             WHERE o_orderkey % 3 <> 0 AND o_orderkey % 4 = 1)
+    ORDER BY change_ordinal, change_type
+    """,
+)
+def stream_cdc_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC over FILE-REMOVING overwrites (r9 — the last CDC
+    fence): a COW DELETE then a COW UPDATE, each a snapshot that removes
+    and rewrites files; the stream computes their NET row diff
+    executor-side in hash-bucketed partitions (removed rows masked by
+    prior delete coverage, multiset-EXCEPT the added rows), so carried
+    rows cancel exactly: the delete emits ONLY dead rows, the update a
+    delete+insert pair per changed row.  Oracle replays the expected
+    diff relationally; ordinal 0 (the initial insert flood) is filtered
+    out to keep the gate focused on the overwrite diffs."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH, _lock
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        register_iceberg_datasource,
+    )
+
+    register_iceberg_datasource(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(SCRATCH, f"wh_{tag}_cdcow")
+    out_dir = os.path.join(root, "_cdc_rows")
+    marker = os.path.join(root, "_COMPLETE")
+    with _lock:
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="cow")
+            orders = load_table(spark, sf_dir, "orders").selectExpr(
+                "o_orderkey", "o_custkey"
+            )
+            cat.create_table("c.orders", orders.schema)
+            cat.append("c.orders", spark, orders)
+            # COW DELETE: removes + rewrites candidate files
+            cat.sql(spark, "DELETE FROM cow.c.orders WHERE o_orderkey % 3 = 0")
+            # COW UPDATE: delete+insert pair per changed row
+            cat.sql(
+                spark,
+                "UPDATE cow.c.orders SET o_custkey = o_custkey + 1000000"
+                " WHERE o_orderkey % 4 = 1",
+            )
+            table_root = os.path.join(root, "c", "orders")
+            q = (
+                spark.readStream.format("iceberg_py")
+                .option("path", table_root)
+                .option("mode", "cdc")
+                .load()
+                .select("o_custkey", "_change_type", "_change_ordinal")
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option(
+                    "checkpointLocation", os.path.join(root, "_checkpoint")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    out = spark.read.parquet(out_dir).filter(F.col("_change_ordinal") > 0)
+    return (
+        out.groupBy(
+            F.col("_change_ordinal").alias("change_ordinal"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("change_ordinal", "change_type")
+    )
+
+
+@register(
     "stream_cdc_changelog",
     oracle="""
     SELECT 0 AS change_ordinal, 'insert' AS change_type,
