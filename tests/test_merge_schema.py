@@ -439,3 +439,79 @@ def test_streaming_upsert_sink_evolves_on_restart(spark, scratch):
         2: (300, 21, "eu"),
         3: (100, 30, "us"),
     }
+
+
+def test_nested_add_fuzzer(spark, scratch):
+    """Random program over a struct column: appends (sometimes carrying
+    a NEW struct subfield via merge_schema, sometimes narrower than the
+    table), SQL nested ADD COLUMN, and COW deletes — verified against a
+    dict model after every step.  Old rows must read new subfields as
+    NULL; narrower sources must read their missing subfields as NULL."""
+    rng = random.Random(424242)
+    cat = Catalog(os.path.join(scratch, "wh"))
+    subs = ["x"]  # evolving subfield list of struct s
+    cat.create_table(
+        "ns.t",
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField(
+                "s", T.StructType([T.StructField("x", T.LongType())])
+            ),
+        ]),
+    )
+    cat.set_properties("ns.t", {"write.spark.accept-any-schema": "true"})
+    model: dict[int, dict] = {}
+    next_key = 0
+    next_sub = 0
+
+    def _append(cols):
+        nonlocal next_key
+        rows = []
+        for _ in range(rng.randrange(1, 4)):
+            next_key += 1
+            vals = {c: rng.randrange(100) for c in cols}
+            rows.append((next_key, tuple(vals[c] for c in cols)))
+            model[next_key] = vals
+        st = T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField(
+                "s",
+                T.StructType([T.StructField(c, T.LongType()) for c in cols]),
+            ),
+        ])
+        cat.append("ns.t", spark, spark.createDataFrame(rows, st))
+
+    for step in range(10):
+        op = rng.choice(
+            ["append", "append_new_sub", "append_narrow", "alter_add", "delete"]
+        )
+        if op == "append_new_sub":
+            next_sub += 1
+            subs.append(f"c{next_sub}")
+            _append(subs)  # merge_schema via table property auto-adds
+        elif op == "append_narrow" and len(subs) > 1:
+            _append(subs[: rng.randrange(1, len(subs))])
+        elif op == "alter_add":
+            next_sub += 1
+            subs.append(f"c{next_sub}")
+            cat.sql(
+                spark,
+                f"ALTER TABLE iceberg.ns.t ADD COLUMN s.c{next_sub} BIGINT",
+            )
+        elif op == "delete" and model:
+            victim = rng.choice(sorted(model))
+            cat.delete_where("ns.t", spark, f"k = {victim}")
+            del model[victim]
+        else:
+            _append(subs)
+        sel = ", ".join(f"s.{c} AS {c}" for c in subs)
+        got = {
+            r.k: {c: r[c] for c in subs}
+            for r in cat.sql(
+                spark, f"SELECT k, {sel} FROM iceberg.ns.t"
+            ).collect()
+        }
+        want = {
+            k: {c: v.get(c) for c in subs} for k, v in model.items()
+        }
+        assert got == want, f"step {step} ({op}) diverged"
