@@ -955,6 +955,17 @@ class RestCatalog(SqlSurface):
             ident, lambda: self.writer(ident).fast_forward(branch)
         )
 
+    def cherrypick_snapshot(self, ident: str, snapshot_id: int) -> int:
+        return self._commit_op(
+            ident,
+            lambda: self.writer(ident).cherrypick_snapshot(int(snapshot_id)),
+        )
+
+    def publish_changes(self, ident: str, wap_id) -> int:
+        return self._commit_op(
+            ident, lambda: self.writer(ident).publish_changes(str(wap_id))
+        )
+
     def drop_ref(self, ident: str, name: str) -> None:
         self._commit_op(ident, lambda: self.writer(ident).drop_ref(name))
 

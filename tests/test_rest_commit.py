@@ -664,3 +664,42 @@ def test_random_txn_program_matches_duckdb(spark, scratch, seed):
                     f"rest={got}\nduck={want}"
                 )
         con.close()
+
+
+def test_rest_wap_publish_changes(spark, tmp_path):
+    """WAP by wap.id rides the REST commit protocol: the staged-only
+    snapshot and the publish both go through CommitTableRequest on the
+    service; a fresh client sees main move only after publish."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.rest_catalog import (
+        LocalRestServer,
+        RestCatalog,
+        RestCatalogClient,
+    )
+
+    root = os.path.join(str(tmp_path), "wh")
+    os.makedirs(root, exist_ok=True)
+    server = LocalRestServer(root)
+    try:
+        base = server.start()
+        rest = RestCatalog(RestCatalogClient(base), name="rw")
+        df = spark.createDataFrame([(1, 10)], "k long, v long")
+        rest.create_table("ns.t", df.schema)
+        rest.append("ns.t", spark, df)
+        # stage through the service
+        rest._commit_op(
+            "ns.t",
+            lambda: rest.writer("ns.t").append(
+                spark,
+                spark.createDataFrame([(2, 20)], "k long, v long"),
+                wap_id="audit-9",
+            ),
+        )
+        fresh = RestCatalog(RestCatalogClient(base), name="rw2")
+        assert {r.k for r in fresh.load("ns.t").to_df(spark).collect()} == {1}
+        rest.publish_changes("ns.t", "audit-9")
+        fresh2 = RestCatalog(RestCatalogClient(base), name="rw3")
+        assert {r.k for r in fresh2.load("ns.t").to_df(spark).collect()} == {1, 2}
+    finally:
+        server.stop()
