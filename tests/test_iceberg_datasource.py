@@ -83,12 +83,17 @@ def test_snapshot_and_ref_pins(spark, fx):
     assert n2 == n1
 
 
-def test_mor_snapshot_refuses_fast_path(spark, fx):
+def test_mor_snapshot_refuses_without_apply_deletes(spark, fx):
+    """Direct _plan_files callers must OPT IN to MOR masking
+    (apply_deletes) — the default refuses so a caller that cannot mask
+    (e.g. a plain file lister) never silently over-reads; the batch
+    READER path opts in (see test_batch_read_applies_mor_deletes)."""
     from datafusion_iceberg_spark.iceberg.queries import _cdc_fixture
 
     cdc = _cdc_fixture(spark, SF_DIR).load("cdc.orders")
     with pytest.raises(Exception, match="delete files"):
         _plan_files(cdc, None)
+    assert _plan_files(cdc, None, apply_deletes=True)  # plans fine
 
 
 def test_streaming_tail_with_checkpoint(spark, fx, tmp_path):
