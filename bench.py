@@ -93,6 +93,7 @@ HEADLINE = [
     "iceberg_namespace_ddl_scan",
     "iceberg_pyds_mor_scan",
     "stream_cdc_overwrite",
+    "iceberg_dynamic_overwrite_scan",
 ]
 
 

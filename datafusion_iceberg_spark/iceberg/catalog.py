@@ -550,6 +550,20 @@ class Catalog(SqlSurface):
         self._maybe_auto_maintain(ident, spark)
         return snap
 
+    def overwrite_partitions(
+        self, ident: str, spark: SparkSession, df: DataFrame
+    ) -> int:
+        """Dynamic partition overwrite (writer.overwrite_partitions:
+        one snapshot replaces only the partitions present in df) +
+        mirror refresh; re-plans on concurrent-commit conflicts."""
+        snap = self._replan(
+            ident, lambda: self.writer(ident).overwrite_partitions(spark, df)
+        )
+        root = self._mirror[ident].metadata.root  # type: ignore[union-attr]
+        self._mirror[ident] = IcebergTable.load(root)
+        self._maybe_auto_maintain(ident, spark)
+        return snap
+
     def _replan(self, ident: str, fn, attempts: int = 3) -> int:
         """Run a rewrite operation, re-planning on RewriteConflict (the
         writer refuses to commit a rewrite planned against a superseded

@@ -147,6 +147,24 @@ def _exec_insert(surface, spark, s: A.Insert) -> DataFrame:
             return _result(spark, "stage_wap", ident, snap)
         snap = surface.append(ident, spark, aligned)
         return _result(spark, "append", ident, snap)
+    dynamic = False
+    if table.metadata.partition_spec_entries():
+        props = table.metadata.properties
+        mode = str(props.get("write.overwrite.mode", "")).lower()
+        if not mode:
+            try:
+                mode = str(
+                    spark.conf.get(
+                        "spark.sql.sources.partitionOverwriteMode", ""
+                    )
+                ).lower()
+            except Exception:
+                mode = ""
+        dynamic = mode == "dynamic"
+    if dynamic:
+        _need(surface, "overwrite_partitions")
+        snap = surface.overwrite_partitions(ident, spark, aligned)
+        return _result(spark, "overwrite_partitions", ident, snap)
     snap = surface.overwrite(ident, spark, aligned)
     return _result(spark, "overwrite", ident, snap)
 

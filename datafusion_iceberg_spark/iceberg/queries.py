@@ -3884,6 +3884,66 @@ def iceberg_pyds_mor_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "iceberg_dynamic_overwrite_scan",
+    oracle="""
+    WITH cur AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_orderstatus <> 'O'
+        UNION ALL
+        SELECT o_orderkey AS k, 'O' AS st,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 2 AS cents
+        FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0
+    )
+    SELECT st AS o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS cents_sum
+    FROM cur GROUP BY st ORDER BY st
+    """,
+)
+def iceberg_dynamic_overwrite_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite (r9): the backfill write shape — one
+    atomic snapshot replaces ONLY the partitions present in the incoming
+    frame (here the 'O' status partition gets half its rows at doubled
+    cents), while the other partitions' files carry by reference, never
+    rewritten.  Iceberg-Spark parity: INSERT OVERWRITE with
+    partitionOverwriteMode=dynamic; the reference has no write path.
+    Oracle: relational replay of the partial replacement."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_dynow")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            base = load_table(spark, sf_dir, "orders").selectExpr(
+                "o_orderkey AS k",
+                "o_orderstatus AS st",
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            )
+            cat.create_table("dw.orders", base.schema, partition_by=["st"])
+            cat.append("dw.orders", spark, base)
+            cat.overwrite_partitions(
+                "dw.orders",
+                spark,
+                base.filter("st = 'O' AND k % 2 = 0").selectExpr(
+                    "k", "st", "cents * 2 AS cents"
+                ),
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT st AS o_orderstatus, COUNT(*) AS n_orders,"
+        " CAST(SUM(cents) AS BIGINT) AS cents_sum"
+        " FROM iceberg.dw.orders GROUP BY st ORDER BY st",
+    )
+
+
 def _kmv_oracle_leg(col: str, k: int = 256, domain: int = 1 << 60) -> str:
     """DuckDB replay of one column's KMV sketch (writer.py
     compute_table_stats): 60-bit md5-prefix hash → distinct → k minima →

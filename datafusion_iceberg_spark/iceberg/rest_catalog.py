@@ -804,6 +804,14 @@ class RestCatalog(SqlSurface):
             ident, lambda: self.writer(ident).delete(spark, pred)
         )
 
+    def overwrite_partitions(
+        self, ident: str, spark: SparkSession, df: DataFrame
+    ) -> int:
+        return self._commit_op(
+            ident,
+            lambda: self.writer(ident).overwrite_partitions(spark, df),
+        )
+
     def delete_where_dv(self, ident: str, spark: SparkSession, pred) -> int:
         return self._commit_op(
             ident, lambda: self.writer(ident).delete_where_dv(spark, pred)

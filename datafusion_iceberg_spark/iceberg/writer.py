@@ -4918,6 +4918,81 @@ class IcebergWriter:
             _allow_empty=True,
         )
 
+    def overwrite_partitions(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        merge_schema: Optional[bool] = None,
+    ) -> int:
+        """DYNAMIC partition overwrite (Iceberg-Spark's INSERT OVERWRITE
+        with partitionOverwriteMode=dynamic): ONE atomic snapshot in
+        which every partition PRESENT IN ``df`` is replaced by df's rows
+        and every other partition is untouched — the idempotent daily-
+        backfill write shape at 100 TB (re-running a day replaces that
+        day only; a full `overwrite` would wipe the table).  Untouched
+        files carry verbatim; untouched files targeted by outstanding
+        MOR deletes fold them by rewriting (the new snapshot carries no
+        delete manifests, same rule as MERGE).  Replaced partitions are
+        computed from df through the table's own spec transforms, so
+        bucket/truncate/date specs all work."""
+        from datafusion_iceberg_spark.iceberg.transforms import spark_expr
+        from pyspark.sql import functions as F
+
+        if not self.spec_entries:
+            raise ValueError(
+                "dynamic partition overwrite needs a partitioned table "
+                "(unpartitioned: use overwrite)"
+            )
+        self._maybe_merge_schema(df, merge_schema)
+        exprs = [
+            (
+                F.col(source)
+                if transform == "identity"
+                else spark_expr(transform, source)
+            ).alias(fname)
+            for source, transform, fname in self.spec_entries
+        ]
+        replaced = {tuple(r) for r in df.select(*exprs).distinct().collect()}
+        table = self._load_table()
+        all_files = table.files()
+        fnames = [fname for _, _, fname in self.spec_entries]
+
+        def ptuple(f):
+            return tuple((f.partition or {}).get(n) for n in fnames)
+
+        survivors = [f for f in all_files if ptuple(f) not in replaced]
+        dead = table.files_targeted_by_deletes()
+        rewrite = [
+            f
+            for f in survivors
+            if table.metadata.localize(f.path) in dead
+        ]
+        carried = [
+            f
+            for f in survivors
+            if table.metadata.localize(f.path) not in dead
+        ]
+        out = df
+        if rewrite:
+            lineage = _lineage_on(table.metadata.raw)
+            scan = (
+                self._lineage_scan(spark, table, rewrite)
+                if lineage
+                else table._scan_files(spark, rewrite, None)
+            )
+            # new rows lack the lineage columns: they union as NULL and
+            # take fresh ids at read time (standard insert semantics)
+            out = scan.unionByName(df, allowMissingColumns=True)
+        return self.append(
+            spark,
+            out,
+            _carry=False,
+            _operation="overwrite",
+            _extra_entries=carried,
+            _allow_empty=True,
+            _expected_parent=table.metadata.current_snapshot_id,
+        )
+
     def _merge_insert_frame(
         self,
         src: DataFrame,
