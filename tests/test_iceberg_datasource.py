@@ -982,3 +982,47 @@ def test_batch_read_eq_delete_respects_sequence_rule(spark, tmp_path):
     )
     got = {(r.k, r.v) for r in via_ds.collect()}
     assert got == {(1, 111), (2, 20)}
+
+
+def test_columns_option_projects_reader_schema(spark, tmp_path):
+    """r9: .option('columns', 'a,b') narrows the DataSource schema —
+    the explicit projection-pushdown knob (pyspark's DS API has no
+    pruning hook), so executors read only those parquet columns."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="proj")
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table("c.n", nation.schema)
+    cat.append("c.n", spark, nation)
+    df = (
+        spark.read.format("iceberg_py")
+        .option("path", str(tmp_path / "wh" / "c" / "n"))
+        .option("columns", "n_nationkey, n_name")
+        .load()
+    )
+    assert df.columns == ["n_nationkey", "n_name"]
+    assert df.count() == nation.count()
+    # unknown columns refuse with the schema contract
+    with pytest.raises(Exception, match="not in table schema"):
+        (
+            spark.read.format("iceberg_py")
+            .option("path", str(tmp_path / "wh" / "c" / "n"))
+            .option("columns", "nope")
+            .load()
+            .count()
+        )
+    # composes with MOR masking (key columns may be outside the
+    # projection: coverage reads them independently from the file)
+    cat.delete_where_eq(
+        "c.n", spark, spark.createDataFrame([(1,), (2,)], "n_nationkey int")
+    )
+    got = (
+        spark.read.format("iceberg_py")
+        .option("path", str(tmp_path / "wh" / "c" / "n"))
+        .option("columns", "n_name")
+        .load()
+        .count()
+    )
+    assert got == nation.count() - 2
