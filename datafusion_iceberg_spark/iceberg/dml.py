@@ -754,6 +754,25 @@ def _exec_show_tables(surface, spark, s: A.ShowTables) -> DataFrame:
     )
 
 
+def _exec_show_views(surface, spark, s: A.ShowViews) -> DataFrame:
+    from datafusion_iceberg_spark.iceberg.view import IcebergView
+
+    rows = []
+    for key in surface.table_names(s.namespace):
+        if isinstance(surface.load(key), IcebergView):
+            ns, bare = key.split(".", 1)
+            rows.append((ns, bare))
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("namespace", T.StringType(), False),
+                T.StructField("viewName", T.StringType(), False),
+            ]
+        ),
+    )
+
+
 def _exec_show_partitions(surface, spark, s: A.ShowPartitions) -> DataFrame:
     from datafusion_iceberg_spark.iceberg.inspect import metadata_df
 
@@ -871,6 +890,7 @@ _EXEC = {
     A.DropNamespace: _exec_drop_namespace,
     A.ShowNamespaces: _exec_show_namespaces,
     A.ShowTables: _exec_show_tables,
+    A.ShowViews: _exec_show_views,
     A.ShowPartitions: _exec_show_partitions,
     A.ShowTblProperties: _exec_show_tblproperties,
     A.ShowCreateTable: _exec_show_create_table,

@@ -255,6 +255,11 @@ class ShowTables(Statement):
 
 
 @dataclass
+class ShowViews(Statement):
+    namespace: Optional[str]
+
+
+@dataclass
 class ShowPartitions(Statement):
     namespace: str
     table: str

@@ -1020,6 +1020,17 @@ def _parse_show(p: _P) -> A.Statement:
             ns = p.ident("namespace")
         p.expect_end()
         return A.ShowTables(ns)
+    if p.accept_kw("VIEWS"):
+        p.expect_kw("IN")
+        t = p.peek()
+        if t.kind not in (IDENT, QIDENT) or t.value.lower() != p.catalog.lower():
+            raise _NotOurs()
+        p.advance()
+        ns = None
+        if p.accept_op("."):
+            ns = p.ident("namespace")
+        p.expect_end()
+        return A.ShowViews(ns)
     if p.accept_kw("PARTITIONS"):
         ns, tbl = p.catalog_target()
         p.expect_end()

@@ -174,3 +174,22 @@ def test_rest_namespace_properties(spark, scratch):
         assert rest.namespace_properties("ops") == {"tier": "cold"}
     finally:
         server.stop()
+
+
+def test_show_views(spark, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame([(1,)], "k long")
+    cat.create_table("a.t", df.schema)
+    cat.append("a.t", spark, df)
+    cat.sql(spark, "CREATE VIEW iceberg.a.v1 AS SELECT k FROM iceberg.a.t")
+    cat.sql(spark, "CREATE VIEW iceberg.b.v2 AS SELECT k FROM iceberg.a.t")
+    rows = {
+        (r.namespace, r.viewName)
+        for r in cat.sql(spark, "SHOW VIEWS IN iceberg").collect()
+    }
+    assert rows == {("a", "v1"), ("b", "v2")}
+    rows = {
+        r.viewName
+        for r in cat.sql(spark, "SHOW VIEWS IN iceberg.a").collect()
+    }
+    assert rows == {"v1"}
