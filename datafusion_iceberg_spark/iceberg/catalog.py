@@ -363,6 +363,171 @@ class SqlSurface:
         return spark.sql("".join(rewritten))
 
 
+class _StagedLocalWriter(IcebergWriter):
+    """An :class:`IcebergWriter` participating in a LOCAL multi-table
+    transaction: reads chain through the transaction's pending metadata
+    (a 2nd op on the same table sees the 1st's staged commit, incl.
+    mid-txn DDL) and ``_commit_metadata`` stages instead of writing —
+    :meth:`LocalTransaction.commit` validates every table's version and
+    lands all final metadata files together."""
+
+    def __init__(self, txn: "LocalTransaction", ident: str, **kw):
+        super().__init__(**kw)
+        self._txn = txn
+        self._ident = ident
+
+    def _load_current(self) -> dict:
+        import copy as _copy
+
+        if self._ident in self._txn._pending:
+            return _copy.deepcopy(self._txn._pending[self._ident])
+        meta = super()._load_current()
+        self._txn._base_version.setdefault(
+            self._ident, getattr(self, "_loaded_version", None)
+        )
+        return meta
+
+    def _load_table(self) -> IcebergTable:
+        import copy as _copy
+
+        if self._ident in self._txn._pending:
+            from datafusion_iceberg_spark.iceberg.metadata import (
+                metadata_from_dict,
+            )
+
+            pend = self._txn._pending[self._ident]
+            return IcebergTable(
+                metadata_from_dict(
+                    _copy.deepcopy(pend), pend.get("location", self.root)
+                )
+            )
+        return super()._load_table()
+
+    def _commit_metadata(self, meta: dict) -> None:
+        import copy as _copy
+
+        if self._ident not in self._txn._base_version:
+            # first mutation read through pending only (possible after
+            # a prior op): base version was already recorded then
+            self._txn._base_version[self._ident] = self._current_version()
+        self._txn._pending[self._ident] = _copy.deepcopy(meta)
+
+
+class LocalTransaction:
+    """Atomic multi-table transaction on the FILESYSTEM catalog — the
+    local mirror of :class:`rest_catalog.RestTransaction`: every staged
+    operation's DATA files write eagerly through the normal path, the
+    METADATA commits stage, and :meth:`commit` first validates that no
+    table advanced since the transaction read it (conflict anywhere →
+    CommitConflict, NOTHING lands), then writes each table's single
+    folded metadata version.  Consistency note (documented): a local
+    filesystem cannot land N files atomically — a crash mid-commit
+    leaves earlier tables committed; the validation window is the
+    commit loop itself (each write still uses the exclusive-create
+    version link, so concurrent writers can never be clobbered)."""
+
+    def __init__(self, catalog: "Catalog"):
+        self._cat = catalog
+        self._pending: dict[str, dict] = {}
+        self._base_version: dict[str, Optional[int]] = {}
+        self._done = False
+
+    def writer(self, ident: str) -> _StagedLocalWriter:
+        import copy as _copy
+
+        if ident in self._pending:
+            from datafusion_iceberg_spark.iceberg.metadata import (
+                metadata_from_dict,
+            )
+
+            pend = self._pending[ident]
+            meta = metadata_from_dict(
+                _copy.deepcopy(pend), pend.get("location", "")
+            )
+        else:
+            rel = self._cat._mirror[ident]
+            assert isinstance(rel, IcebergTable), f"{ident} is not a table"
+            meta = rel.metadata
+        from datafusion_iceberg_spark.iceberg.rest_catalog import (
+            _writer_kwargs,
+        )
+
+        return _StagedLocalWriter(self, ident, **_writer_kwargs(meta))
+
+    # staged operation surface (data now, metadata at commit)
+    def append(self, ident: str, spark, df, merge_schema=None) -> int:
+        return self.writer(ident).append(spark, df, merge_schema=merge_schema)
+
+    def overwrite(self, ident: str, spark, df) -> int:
+        return self.writer(ident).overwrite(spark, df)
+
+    def overwrite_partitions(self, ident: str, spark, df) -> int:
+        return self.writer(ident).overwrite_partitions(spark, df)
+
+    def delete_where(self, ident: str, spark, pred) -> int:
+        return self.writer(ident).delete(spark, pred)
+
+    def update_where(self, ident: str, spark, pred, set_exprs: dict) -> int:
+        return self.writer(ident).update(spark, pred, set_exprs)
+
+    def merge_into(self, ident: str, spark, source, on, **kw) -> int:
+        return self.writer(ident).merge(spark, source, on, **kw)
+
+    def upsert(self, ident: str, spark, df, on=None, merge_schema=None) -> int:
+        return self.writer(ident).upsert(spark, df, on, merge_schema=merge_schema)
+
+    def add_column(self, ident: str, name: str, dtype, default=None) -> int:
+        return self.writer(ident).add_column(name, dtype, default)
+
+    def set_properties(self, ident: str, props: dict) -> None:
+        self.writer(ident).set_properties(props)
+
+    def commit(self) -> None:
+        from datafusion_iceberg_spark.iceberg.writer import CommitConflict
+
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        self._done = True
+        if not self._pending:
+            return
+        # phase 1: validate EVERY table before touching any (the
+        # all-or-nothing property up to crash tolerance)
+        plain: dict[str, IcebergWriter] = {}
+        for ident in sorted(self._pending):
+            w = self._cat.writer(ident)
+            cur = w._current_version()
+            base = self._base_version.get(ident)
+            if base is not None and cur != base:
+                raise CommitConflict(
+                    f"transaction conflict: {ident} advanced to metadata "
+                    f"version {cur} (read at {base}) — nothing committed"
+                )
+            w._loaded_version = base if base is not None else cur
+            plain[ident] = w
+        # phase 2: land the folded metadata, one version per table
+        for ident in sorted(self._pending):
+            plain[ident]._commit_metadata(self._pending[ident])
+        for ident in sorted(self._pending):
+            rel = self._cat._mirror.get(ident)
+            if isinstance(rel, IcebergTable):
+                self._cat._mirror[ident] = IcebergTable.load(
+                    rel.metadata.root
+                )
+
+    def abort(self) -> None:
+        self._done = True
+        self._pending.clear()
+
+    def __enter__(self) -> "LocalTransaction":
+        return self
+
+    def __exit__(self, exc_type, *exc) -> None:
+        if exc_type is not None:
+            self.abort()
+        elif not self._done:
+            self.commit()
+
+
 class Catalog(SqlSurface):
     """Filesystem-warehouse catalog with a dict mirror."""
 
@@ -563,6 +728,11 @@ class Catalog(SqlSurface):
         self._mirror[ident] = IcebergTable.load(root)
         self._maybe_auto_maintain(ident, spark)
         return snap
+
+    def transaction(self) -> "LocalTransaction":
+        """Atomic multi-table transaction (see LocalTransaction) —
+        the filesystem mirror of RestCatalog.transaction()."""
+        return LocalTransaction(self)
 
     def _replan(self, ident: str, fn, attempts: int = 3) -> int:
         """Run a rewrite operation, re-planning on RewriteConflict (the

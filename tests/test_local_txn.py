@@ -1,0 +1,100 @@
+"""Local multi-table transactions (r9): the filesystem mirror of the
+REST catalog's /v1/transactions/commit — data files write eagerly,
+metadata commits stage, commit validates EVERY table's version before
+landing anything (conflict anywhere → CommitConflict, nothing lands)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_iceberg_spark.iceberg.catalog import Catalog
+from datafusion_iceberg_spark.iceberg.writer import CommitConflict
+
+
+@pytest.fixture()
+def scratch(tmp_path):
+    return str(tmp_path)
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v long")
+
+
+def _state(cat, spark, ident):
+    return {
+        r.k: r.v
+        for r in cat.load(ident).to_df(spark).collect()
+    }
+
+
+def test_two_table_move_commits_atomically(spark, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = _rows(spark, [(1, 10), (2, 20), (3, 30)])
+    cat.create_table("t.hot", df.schema)
+    cat.create_table("t.archive", df.schema)
+    cat.append("t.hot", spark, df)
+    with cat.transaction() as txn:
+        txn.append("t.archive", spark, _rows(spark, [(2, 20)]))
+        txn.delete_where("t.hot", spark, "k = 2")
+        # pre-commit: NOTHING is visible outside the transaction
+        assert _state(cat, spark, "t.hot") == {1: 10, 2: 20, 3: 30}
+        assert _state(cat, spark, "t.archive") == {}
+    assert _state(cat, spark, "t.hot") == {1: 10, 3: 30}
+    assert _state(cat, spark, "t.archive") == {2: 20}
+
+
+def test_chained_reads_see_staged_state(spark, scratch):
+    """A 2nd op on the same table inside the txn sees the 1st's staged
+    commit — including mid-txn DDL."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = _rows(spark, [(1, 10)])
+    cat.create_table("t.a", df.schema)
+    cat.append("t.a", spark, df)
+    with cat.transaction() as txn:
+        txn.add_column("t.a", "tag", __import__("pyspark").sql.types.StringType())
+        txn.append(
+            "t.a",
+            spark,
+            spark.createDataFrame([(2, 20, "x")], "k long, v long, tag string"),
+        )
+    got = {
+        (r.k, r.v, r.tag)
+        for r in cat.load("t.a").to_df(spark).collect()
+    }
+    assert got == {(1, 10, None), (2, 20, "x")}
+    # ONE metadata landing folded both mutations: schema v2 + snapshot
+    meta = cat.load("t.a").metadata
+    assert "tag" in meta.field_ids_by_name()
+
+
+def test_conflict_anywhere_publishes_nothing(spark, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = _rows(spark, [(1, 10)])
+    cat.create_table("t.a", df.schema)
+    cat.create_table("t.b", df.schema)
+    cat.append("t.a", spark, df)
+    cat.append("t.b", spark, df)
+    txn = cat.transaction()
+    txn.append("t.a", spark, _rows(spark, [(5, 50)]))
+    txn.append("t.b", spark, _rows(spark, [(6, 60)]))
+    # an external writer advances t.b between stage and commit
+    cat.append("t.b", spark, _rows(spark, [(7, 70)]))
+    with pytest.raises(CommitConflict, match="t.b advanced"):
+        txn.commit()
+    # NOTHING landed — not even the non-conflicting t.a commit
+    assert _state(cat, spark, "t.a") == {1: 10}
+    assert _state(cat, spark, "t.b") == {1: 10, 7: 70}
+
+
+def test_abort_on_exception(spark, scratch):
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = _rows(spark, [(1, 10)])
+    cat.create_table("t.a", df.schema)
+    cat.append("t.a", spark, df)
+    with pytest.raises(RuntimeError, match="boom"):
+        with cat.transaction() as txn:
+            txn.append("t.a", spark, _rows(spark, [(9, 90)]))
+            raise RuntimeError("boom")
+    assert _state(cat, spark, "t.a") == {1: 10}
