@@ -94,6 +94,7 @@ HEADLINE = [
     "iceberg_pyds_mor_scan",
     "stream_cdc_overwrite",
     "iceberg_dynamic_overwrite_scan",
+    "iceberg_local_txn_scan",
 ]
 
 

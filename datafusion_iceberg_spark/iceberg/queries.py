@@ -3944,6 +3944,63 @@ def iceberg_dynamic_overwrite_scan(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "iceberg_local_txn_scan",
+    oracle="""
+    SELECT side, n_orders, cents_sum FROM (
+        SELECT 'kept' AS side, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
+        FROM orders WHERE o_orderkey % 11 <> 0
+        UNION ALL
+        SELECT 'moved' AS side, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_sum
+        FROM orders WHERE o_orderkey % 11 = 0
+    ) ORDER BY side
+    """,
+)
+def iceberg_local_txn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL multi-table transaction (r9 — the filesystem mirror of
+    ``iceberg_rest_txn_scan``): an archive move (append to one table +
+    delete from another) stages both metadata commits and lands them
+    together after validating both tables' versions — a conflict
+    anywhere publishes nothing.  Oracle: the post-move split."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_localtxn")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders").selectExpr(
+                "o_orderkey",
+                "o_orderstatus",
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            )
+            cat.create_table("tx.hot", orders.schema)
+            cat.create_table("tx.archive", orders.schema)
+            cat.append("tx.hot", spark, orders)
+            moved = orders.filter("o_orderkey % 11 = 0")
+            with cat.transaction() as txn:
+                txn.append("tx.archive", spark, moved)
+                txn.delete_where("tx.hot", spark, "o_orderkey % 11 = 0")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT side, n_orders, cents_sum FROM ("
+        " SELECT 'kept' AS side, COUNT(*) AS n_orders,"
+        "        CAST(SUM(cents) AS BIGINT) AS cents_sum FROM iceberg.tx.hot"
+        " UNION ALL"
+        " SELECT 'moved' AS side, COUNT(*) AS n_orders,"
+        "        CAST(SUM(cents) AS BIGINT) AS cents_sum FROM iceberg.tx.archive"
+        ") ORDER BY side",
+    )
+
+
 def _kmv_oracle_leg(col: str, k: int = 256, domain: int = 1 << 60) -> str:
     """DuckDB replay of one column's KMV sketch (writer.py
     compute_table_stats): 60-bit md5-prefix hash → distinct → k minima →
