@@ -185,16 +185,28 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    line = json.dumps(result)
-    # The stdout line is the driver contract, but tail-capture truncates
-    # once the query map grows past a few KB — persist the same JSON to a
-    # file so the artifact stays auditable regardless of line length.
+    # Full result (with the complete per-query map) goes to a file; the
+    # stdout contract line must stay under the driver's 2000-char tail
+    # capture or `parsed` comes back null (BENCH_r08/r09).  Print a compact
+    # line LAST: totals + the slowest handful, and a pointer to the file.
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
         "w",
     ) as fh:
-        fh.write(line + "\n")
-    print(line)
+        fh.write(json.dumps(result) + "\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_file": "bench_result.json",
+        "sf": sf,
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

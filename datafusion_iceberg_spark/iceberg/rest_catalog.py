@@ -693,7 +693,7 @@ class RestCatalog(SqlSurface):
         the service-side version log."""
         from datafusion_iceberg_spark.iceberg.view import IcebergView
 
-        ns, name = ident.split(".", 1)
+        ns, name = ident.rsplit(".", 1)
         res = self.client.commit_view(ns, name, sql)
         view = IcebergView(res["metadata"], res.get("metadata-location", ""))
         self._mirror[ident] = view
@@ -706,7 +706,7 @@ class RestCatalog(SqlSurface):
         mirror.rs:34,67-78 via table.rs:102-112)."""
         from datafusion_iceberg_spark.iceberg.view import IcebergView
 
-        ns, name = ident.split(".", 1)
+        ns, name = ident.rsplit(".", 1)
         self.client.create_namespace(ns)
         self._namespaces.add(ns)
         res = self.client.create_view(ns, name, sql)
@@ -1124,7 +1124,7 @@ class LocalRestServer:
                         200,
                         self._page(
                             [
-                                {"namespace": [ns], "name": t.split(".", 1)[1]}
+                                {"namespace": [ns], "name": t[len(ns) + 1 :]}
                                 for t in outer._tables(ns)
                             ],
                             "identifiers",
@@ -1140,7 +1140,7 @@ class LocalRestServer:
                         200,
                         self._page(
                             [
-                                {"namespace": [ns], "name": t.split(".", 1)[1]}
+                                {"namespace": [ns], "name": t[len(ns) + 1 :]}
                                 for t in outer._views(ns)
                             ],
                             "identifiers",
@@ -1406,7 +1406,7 @@ class LocalRestServer:
         # disk first: the catalog mirror caches the view metadata as of
         # server start, so a replaced view would otherwise serve its
         # stale version; the metadata files on disk are the truth
-        ns, name = ident.split(".", 1)
+        ns, name = ident.rsplit(".", 1)
         root = os.path.join(self._warehouse, ns, name)
         if IcebergView.is_view(root):
             view = IcebergView.load(root)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import time
 import uuid as uuidlib
 from dataclasses import dataclass
@@ -535,8 +536,29 @@ def _stat_parquet_footer(
                 nulls[fid] = nulls.get(fid, 0) + st.null_count
             if st is None or not st.has_min_max:
                 no_minmax.add(name)
-            elif isinstance(st.min, float) and (
-                st.min != st.min or st.max != st.max
+                continue
+            try:
+                st_min, st_max = st.min, st.max
+            except Exception:
+                # pyarrow's _cast_statistics cannot decode some logical
+                # types (INT32/INT64-backed DECIMAL as Spark writes
+                # decimal(p,s<=18)); the raw physical values are still in
+                # the footer — rescale the unscaled ints ourselves, else
+                # conservatively emit no bound
+                t = iceberg_types.get(name, "")
+                m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+                if m is not None and isinstance(st.min_raw, int):
+                    from decimal import Decimal as _Dec
+
+                    scale = int(m.group(2))
+                    q = _Dec(1).scaleb(-scale)
+                    st_min = _Dec(st.min_raw).scaleb(-scale).quantize(q)
+                    st_max = _Dec(st.max_raw).scaleb(-scale).quantize(q)
+                else:
+                    no_minmax.add(name)
+                    continue
+            if isinstance(st_min, float) and (
+                st_min != st_min or st_max != st_max
             ):
                 # NaN bound (parquet writers may emit them for
                 # NaN-bearing pages): every comparison with NaN is
@@ -544,7 +566,7 @@ def _stat_parquet_footer(
                 # — treat the column as stats-less instead
                 no_minmax.add(name)
             else:
-                mn, mx = st.min, st.max
+                mn, mx = st_min, st_max
                 if name not in mins or mn < mins[name]:
                     mins[name] = mn
                 if name not in maxs or mx > maxs[name]:
@@ -2967,6 +2989,53 @@ class IcebergWriter:
 
         return unquote(raw)
 
+    def _to_manifest_domain(self, col: str, value: Any) -> Any:
+        """Normalize a Python value collect()ed from a Spark partition
+        expression into the manifest partition-value domain that
+        ``_parse_partition_value`` produces (date→epoch days,
+        timestamp→epoch micros, int/long→int, float/double→float,
+        decimal/other→string) so set-intersection against manifest
+        tuples is exact."""
+        if value is None:
+            return None
+        t = self.iceberg_types.get(col)
+        if t is None:
+            for source, transform, fname in self.spec_entries:
+                if fname == col:
+                    t = self._part_result_type(source, transform)
+                    break
+            else:
+                t = "string"
+        import datetime as _datetime
+
+        if t == "date":
+            from datafusion_iceberg_spark.iceberg.stats import EPOCH_DATE
+
+            if isinstance(value, _datetime.datetime):
+                value = value.date()
+            if isinstance(value, _datetime.date):
+                return (value - EPOCH_DATE).days
+            return int(value)
+        if isinstance(t, str) and t.startswith("timestamp"):
+            from datafusion_iceberg_spark.iceberg.stats import EPOCH_TS
+
+            if isinstance(value, _datetime.datetime):
+                if value.tzinfo is not None:
+                    value = value.astimezone(
+                        _datetime.timezone.utc
+                    ).replace(tzinfo=None)
+                delta = value - EPOCH_TS
+                return (
+                    delta.days * 86_400 + delta.seconds
+                ) * 1_000_000 + delta.microseconds
+            return int(value)
+        if t in ("int", "long"):
+            return int(value)
+        if t in ("float", "double"):
+            return float(value)
+        if t == "boolean":
+            return bool(value)
+        return str(value)
 
     def delete(self, spark: SparkSession, pred) -> int:
         """Copy-on-write DELETE WHERE pred (pred = the pruning tuple AST,
@@ -4952,7 +5021,39 @@ class IcebergWriter:
             ).alias(fname)
             for source, transform, fname in self.spec_entries
         ]
-        replaced = {tuple(r) for r in df.select(*exprs).distinct().collect()}
+        distinct_parts = df.select(*exprs).distinct()
+        # Explosion guard: the replaced set is collect()ed to the driver
+        # and diffed against the manifest, so a frame spanning 10⁶
+        # partitions would build a 10⁶-tuple set and drop nearly every
+        # file — almost certainly a mis-specified backfill, and at best
+        # a job `overwrite()` does in one manifest swap.  Count first
+        # (one agg, no wide collect) and refuse above the cap.
+        cap = int(
+            self._load_current()
+            .get("properties", {})
+            .get("write.overwrite.dynamic.max-partitions", 4096)
+        )
+        n_parts = distinct_parts.count()
+        if n_parts > cap:
+            raise ValueError(
+                f"dynamic partition overwrite would replace {n_parts} "
+                f"partitions (> write.overwrite.dynamic.max-partitions="
+                f"{cap}); use overwrite() for a full-table replace or "
+                "raise the table property"
+            )
+        # Collected identity values arrive in Python types (datetime.date,
+        # datetime.datetime, Decimal…) while manifest partition values
+        # live in the Avro domain (_parse_partition_value: date→epoch
+        # days, timestamp→epoch micros, decimal→string).  Normalize into
+        # the manifest domain or the replaced-set intersection is empty
+        # and the overwrite silently appends (r9 ADVICE, high).
+        replaced = {
+            tuple(
+                self._to_manifest_domain(fname, v)
+                for (_, _, fname), v in zip(self.spec_entries, r)
+            )
+            for r in distinct_parts.collect()
+        }
         table = self._load_table()
         all_files = table.files()
         fnames = [fname for _, _, fname in self.spec_entries]

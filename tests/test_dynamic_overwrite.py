@@ -142,3 +142,94 @@ def test_sql_insert_overwrite_dynamic_mode(spark, scratch):
     ).first()
     assert out.operation == "overwrite"
     assert {(r.k, r.dt) for r in cat3.sql(spark, "SELECT * FROM dyn3.ns.t").collect()} == {(7, "d9")}
+
+
+def test_date_identity_partition_replaced(spark, scratch):
+    """Identity date partitions: collect() returns datetime.date while the
+    manifest stores epoch-days ints — the replaced set must normalize into
+    the manifest domain or the overwrite silently appends (r9 ADVICE)."""
+    import datetime
+
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame(
+        [
+            (1, datetime.date(2024, 1, 1), 10),
+            (2, datetime.date(2024, 1, 2), 20),
+        ],
+        "k long, d date, v long",
+    )
+    cat.create_table("ns.t", df.schema, partition_by=["d"])
+    cat.append("ns.t", spark, df)
+    backfill = spark.createDataFrame(
+        [(9, datetime.date(2024, 1, 1), 90)], "k long, d date, v long"
+    )
+    cat.overwrite_partitions("ns.t", spark, backfill)
+    got = {
+        (r.k, r.d, r.v)
+        for r in cat.load("ns.t").to_df(spark).collect()
+    }
+    assert got == {
+        (9, datetime.date(2024, 1, 1), 90),
+        (2, datetime.date(2024, 1, 2), 20),
+    }
+    # idempotent re-run (the daily-backfill contract)
+    cat.overwrite_partitions("ns.t", spark, backfill)
+    assert {
+        (r.k, r.d, r.v) for r in cat.load("ns.t").to_df(spark).collect()
+    } == got
+
+
+def test_timestamp_and_decimal_identity_partitions(spark, scratch):
+    import datetime
+    from decimal import Decimal
+
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 12, 0, 0), Decimal("1.50"), 10),
+            (2, datetime.datetime(2024, 1, 2, 12, 0, 0), Decimal("2.50"), 20),
+        ],
+        "k long, ts timestamp, price decimal(10,2), v long",
+    )
+    cat.create_table("ns.ts_t", df.schema, partition_by=["ts"])
+    cat.append("ns.ts_t", spark, df)
+    cat.overwrite_partitions(
+        "ns.ts_t",
+        spark,
+        spark.createDataFrame(
+            [(9, datetime.datetime(2024, 1, 1, 12, 0, 0), Decimal("9.99"), 90)],
+            df.schema,
+        ),
+    )
+    got = {(r.k, r.v) for r in cat.load("ns.ts_t").to_df(spark).collect()}
+    assert got == {(9, 90), (2, 20)}
+
+    cat.create_table("ns.dec_t", df.schema, partition_by=["price"])
+    cat.append("ns.dec_t", spark, df)
+    cat.overwrite_partitions(
+        "ns.dec_t",
+        spark,
+        spark.createDataFrame(
+            [(8, datetime.datetime(2024, 3, 1), Decimal("1.50"), 80)], df.schema
+        ),
+    )
+    got = {(r.k, r.v) for r in cat.load("ns.dec_t").to_df(spark).collect()}
+    assert got == {(8, 80), (2, 20)}
+
+
+def test_partition_explosion_guard(spark, scratch):
+    """A frame spanning more partitions than
+    write.overwrite.dynamic.max-partitions refuses with a clear message
+    instead of collecting a huge replaced set (r9 VERDICT #6)."""
+    cat = Catalog(os.path.join(scratch, "wh"))
+    df = _mk(spark, [(i, f"d{i}", i) for i in range(20)])
+    cat.create_table(
+        "ns.t", df.schema, partition_by=["dt"],
+        properties={"write.overwrite.dynamic.max-partitions": "10"},
+    )
+    cat.append("ns.t", spark, _mk(spark, [(1, "d1", 10)]))
+    with pytest.raises(ValueError, match="max-partitions"):
+        cat.overwrite_partitions("ns.t", spark, df)
+    # under the cap still works
+    cat.overwrite_partitions("ns.t", spark, _mk(spark, [(5, "d1", 50)]))
+    assert {(r.k, r.v) for r in cat.load("ns.t").to_df(spark).collect()} == {(5, 50)}
