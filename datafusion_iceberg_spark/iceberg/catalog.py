@@ -913,11 +913,10 @@ class Catalog(SqlSurface):
                 when_matched_delete,
                 clauses=clauses,
                 merge_schema=merge_schema,
-                **(
-                    {"extra_summary": extra_summary}
-                    if method == "merge" and extra_summary
-                    else {}
-                ),
+                # both COW merge and merge_mor accept extra_summary —
+                # dropping it on the MOR route lost refresh_aggregate_mv's
+                # mv.source-snapshot-id marker (r9 ADVICE, medium)
+                **({"extra_summary": extra_summary} if extra_summary else {}),
             ),
         )
         root = self._mirror[ident].metadata.root  # type: ignore[union-attr]

@@ -498,8 +498,12 @@ class RestTransaction:
 
     # the staged operation surface (each writes data files now, stages
     # the metadata commit)
-    def append(self, ident: str, spark, df, merge_schema=None) -> int:
-        return self.writer(ident).append(spark, df, merge_schema=merge_schema)
+    def append(
+        self, ident: str, spark, df, merge_schema=None, wap_id=None
+    ) -> int:
+        return self.writer(ident).append(
+            spark, df, merge_schema=merge_schema, wap_id=wap_id
+        )
 
     def overwrite(self, ident: str, spark, df) -> int:
         return self.writer(ident).overwrite(spark, df)
@@ -783,13 +787,35 @@ class RestCatalog(SqlSurface):
                 self._refresh(ident)
 
     def append(
-        self, ident: str, spark: SparkSession, df: DataFrame, merge_schema=None
+        self,
+        ident: str,
+        spark: SparkSession,
+        df: DataFrame,
+        merge_schema=None,
+        wap_id=None,
     ) -> int:
+        """Append; ``wap_id`` stages the snapshot WAP-style — the diff
+        commit sends add-snapshot WITHOUT set-snapshot-ref, so the
+        service's main ref stays put until publish_changes."""
         return self._commit_op(
             ident,
             lambda: self.writer(ident).append(
-                spark, df, merge_schema=merge_schema
+                spark, df, merge_schema=merge_schema, wap_id=wap_id
             ),
+        )
+
+    def publish_changes(self, ident: str, wap_id) -> int:
+        """``CALL publish_changes``: cherry-pick the staged wap.id
+        snapshot onto main, committed through the service."""
+        return self._commit_op(
+            ident,
+            lambda: self.writer(ident).publish_changes(str(wap_id)),
+        )
+
+    def cherrypick_snapshot(self, ident: str, snapshot_id: int) -> int:
+        return self._commit_op(
+            ident,
+            lambda: self.writer(ident).cherrypick_snapshot(int(snapshot_id)),
         )
 
     def overwrite(

@@ -3327,6 +3327,7 @@ class IcebergWriter:
         new_rows: Optional[DataFrame],
         cur,
         use_dv: bool = False,
+        extra_summary: Optional[dict] = None,
     ) -> int:
         """Write + commit one atomic row-delta snapshot: the matched
         rows' deletes — a position-delete parquet, or deletion vectors
@@ -3353,6 +3354,7 @@ class IcebergWriter:
                 cur,
                 new_rows=new_rows,
                 _operation="overwrite",
+                extra_summary=extra_summary,
             )
         else:
             snap_id = int(time.time() * 1000) * 1000 + (
@@ -3457,6 +3459,7 @@ class IcebergWriter:
                     _drop_manifest_paths=drop_paths,
                     _operation="overwrite",
                     _data_manifest=data_manifest,
+                    _extra_summary=extra_summary,
                 )
             except RewriteConflict:
                 raise
@@ -3619,6 +3622,7 @@ class IcebergWriter:
         cur,
         new_rows=None,
         _operation: str = "delete",
+        extra_summary: Optional[dict] = None,
     ) -> int:
         """Build-and-commit loop shared by :meth:`delete_where_dv` and
         the DV mode of the row-delta commit (MOR UPDATE / MERGE).
@@ -3710,6 +3714,7 @@ class IcebergWriter:
                     _data_manifest=data_manifest,
                     _existing_entries=(n_existing, existing_rows, min_seq),
                     _expected_seq=expected_seq,
+                    _extra_summary=extra_summary,
                 )
             except RewriteConflict:
                 raise
@@ -4696,6 +4701,7 @@ class IcebergWriter:
         _data_manifest: Optional[tuple] = None,
         _existing_entries: Optional[tuple] = None,
         _expected_seq: Optional[int] = None,
+        _extra_summary: Optional[dict] = None,
     ) -> int:
         """Read-validate-commit section of delete_where_mor /
         delete_where_eq, re-entrant for the optimistic-concurrency
@@ -4863,6 +4869,7 @@ class IcebergWriter:
                 "total-records": str(prev_total),
                 "total-data-files": str(prev_files),
                 **extra_sum,
+                **(_extra_summary or {}),
             },
             "manifest-list": manifest_list_path,
             "schema-id": 0,
@@ -5396,6 +5403,7 @@ class IcebergWriter:
         when_matched_delete: bool = False,
         clauses: Optional[list] = None,
         merge_schema: Optional[bool] = None,
+        extra_summary: Optional[dict] = None,
     ) -> int:
         """Merge-on-read MERGE (``write.merge.mode='merge-on-read'``):
         the same clause semantics as :meth:`merge` (conditional WHEN
@@ -5474,7 +5482,12 @@ class IcebergWriter:
                     *(cols + [F.lit(None).cast("long").alias("_row_id")])
                 )
             return self._commit_row_delta(
-                spark, del_rows, new_rows, cur, use_dv=_prefers_dv(table)
+                spark,
+                del_rows,
+                new_rows,
+                cur,
+                use_dv=_prefers_dv(table),
+                extra_summary=extra_summary,
             )
         scanned = table._scan_files(
             spark,
@@ -5572,7 +5585,12 @@ class IcebergWriter:
                 for p in parts[1:]:
                     new_rows = new_rows.unionByName(p)
             return self._commit_row_delta(
-                spark, del_rows, new_rows, cur, use_dv=_prefers_dv(table)
+                spark,
+                del_rows,
+                new_rows,
+                cur,
+                use_dv=_prefers_dv(table),
+                extra_summary=extra_summary,
             )
         finally:
             scanned.unpersist()

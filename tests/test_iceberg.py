@@ -4224,3 +4224,59 @@ def test_mv_refresh_refuses_after_marker_expiry(spark, tmp_path):
     cat.expire_snapshots("m.src", keep_last=1)
     with pytest.raises(ValueError, match="expired source snapshots"):
         refresh_aggregate_mv(cat, spark, "m.mv")
+
+
+def test_mv_refresh_marker_survives_mor_merge_mode(spark, tmp_path):
+    """An MV table with write.merge.mode='merge-on-read' must still stamp
+    mv.source-snapshot-id on the refresh MERGE snapshot — dropping it on
+    the MOR route made the next refresh double-apply the delta window
+    (r9 ADVICE, medium)."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.mv import (
+        create_aggregate_mv,
+        mv_df,
+        refresh_aggregate_mv,
+    )
+
+    cat = Catalog(os.path.join(str(tmp_path), "wh"))
+    src = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, g string, x double",
+    )
+    cat.create_table("m.src", src.schema)
+    cat.append("m.src", spark, src)
+    create_aggregate_mv(cat, spark, "m.mv", "m.src", ["g"], "x")
+    # route subsequent refresh MERGEs through merge_mor
+    cat.set_properties("m.mv", {"write.merge.mode": "merge-on-read"})
+    cat.append(
+        "m.src",
+        spark,
+        spark.createDataFrame([(4, "b", 40.0)], src.schema),
+    )
+    out = refresh_aggregate_mv(cat, spark, "m.mv")
+    assert out["applied_rows"] > 0
+    # the marker must ride the MOR snapshot summary
+    snaps = cat.load("m.mv").metadata.raw["snapshots"]
+    assert any(
+        (s.get("summary") or {}).get("mv.source-snapshot-id")
+        == str(out["to_snapshot"])
+        for s in snaps
+    )
+    want = {("a", 30.0, 2), ("b", 70.0, 2)}
+
+    def got():
+        return {
+            (r.g, r.total, r.cnt) for r in mv_df(cat, spark, "m.mv").collect()
+        }
+
+    assert got() == want
+    # an idle refresh is a no-op, and a further delta applies ONCE
+    assert refresh_aggregate_mv(cat, spark, "m.mv")["applied_rows"] == 0
+    assert got() == want
+    cat.append(
+        "m.src", spark, spark.createDataFrame([(5, "a", 5.0)], src.schema)
+    )
+    refresh_aggregate_mv(cat, spark, "m.mv")
+    assert got() == {("a", 35.0, 3), ("b", 70.0, 2)}

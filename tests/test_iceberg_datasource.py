@@ -134,10 +134,11 @@ def test_streaming_tail_with_checkpoint(spark, fx, tmp_path):
     assert got.select("n_nationkey").distinct().count() == 25
 
 
-def test_rename_evolution_refuses_name_reader(spark, fx, tmp_path):
-    """Files written under an old column name must be refused (the
-    name-resolving pyarrow reader would silently null the column) and
-    directed to the field-id-mapping to_df path."""
+def test_rename_evolution_reads_by_field_id(spark, fx, tmp_path):
+    """Files written under an old column name read correctly through the
+    DS (columns resolve by PARQUET:field_id, r10 — the r2-r9 reader
+    refused these tables outright); a column no file can resolve (added
+    after the write, initial-default territory) still refuses."""
     import shutil
 
     from datafusion_iceberg_spark.iceberg.catalog import Catalog
@@ -151,10 +152,29 @@ def test_rename_evolution_refuses_name_reader(spark, fx, tmp_path):
     cat.append("t.n", spark, nation)
     cat.rename_column("t.n", "n_name", "nation_name")
     t = cat.load("t.n")
-    with pytest.raises(ValueError, match="field id"):
-        _plan_files(t, None)
-    # the id-mapping scan still reads the old files fine
-    assert t.to_df(spark).select("nation_name").count() == 25
+    parts = _plan_files(t, None)
+    assert parts and all(p.fids for p in parts)
+    register_iceberg_datasource(spark)
+    via_ds = (
+        spark.read.format("iceberg_py")
+        .option("path", os.path.join(root, "t", "n"))
+        .load()
+    )
+    want = sorted(
+        (r.n_nationkey, r.nation_name)
+        for r in t.to_df(spark).select("n_nationkey", "nation_name").collect()
+    )
+    got = sorted(
+        (r.n_nationkey, r.nation_name)
+        for r in via_ds.select("n_nationkey", "nation_name").collect()
+    )
+    assert got == want and len(got) == 25
+    # a post-write ADD COLUMN still refuses (default-fill lives in to_df)
+    from pyspark.sql import types as _T
+
+    cat.add_column("t.n", "extra", _T.IntegerType())
+    with pytest.raises(ValueError, match="lacks column"):
+        _plan_files(cat.load("t.n"), None)
 
 
 # -- write path -----------------------------------------------------------
@@ -1026,3 +1046,36 @@ def test_columns_option_projects_reader_schema(spark, tmp_path):
         .count()
     )
     assert got == nation.count() - 2
+
+
+def test_batch_read_eq_delete_after_rename_column(spark, tmp_path):
+    """Equality deletes must keep applying through the DS fast path
+    after a RENAME COLUMN: files written before the rename store the
+    OLD parquet name, so key columns resolve by PARQUET:field_id —
+    name lookups silently skipped the delete file and resurrected
+    deleted rows, diverging from IcebergTable.to_df (r9 ADVICE)."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="morren")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    )
+    cat.create_table("c.t", df.schema)
+    cat.append("c.t", spark, df)  # data files carry name 'k'
+    cat.rename_column("c.t", "k", "key")
+    # delete by the NEW name; the delete parquet carries 'key', the
+    # data parquet carries 'k' — both resolve to field id 1
+    cat.delete_where_eq(
+        "c.t", spark, spark.createDataFrame([(2,)], "key long")
+    )
+    via_ds = (
+        spark.read.format("iceberg_py")
+        .option("path", str(tmp_path / "wh" / "c" / "t"))
+        .load()
+    )
+    want = sorted(
+        (r.key, r.v) for r in cat.load("c.t").to_df(spark).collect()
+    )
+    got = sorted((r.key, r.v) for r in via_ds.collect())
+    assert got == want == [(1, 10), (3, 30)]

@@ -703,3 +703,43 @@ def test_rest_wap_publish_changes(spark, tmp_path):
         assert {r.k for r in fresh2.load("ns.t").to_df(spark).collect()} == {1, 2}
     finally:
         server.stop()
+
+
+def test_wap_insert_and_publish_through_service(spark, scratch):
+    """INSERT INTO a WAP-enabled REST table stages the snapshot through
+    the service (add-snapshot without set-snapshot-ref — main unmoved)
+    and CALL publish_changes lands it; previously this path crashed with
+    TypeError because RestCatalog.append had no wap_id (r9 ADVICE)."""
+    with LocalRestServer(os.path.join(scratch, "wh")) as base:
+        client = RestCatalogClient(base)
+        rest = RestCatalog(client, name="rcw")
+        rest.create_table(
+            "ns.t",
+            _rows(spark).schema,
+            properties={"write.wap.enabled": "true"},
+        )
+        rest.append("ns.t", spark, _rows(spark, 4))
+        spark.conf.set("spark.wap.id", "audit-1")
+        try:
+            out = rest.sql(
+                spark, "INSERT INTO rcw.ns.t VALUES (99, 990)"
+            ).first()
+            assert out.operation == "stage_wap"
+            # main unmoved: readers see only the first append
+            assert rest.sql(spark, "SELECT COUNT(*) AS n FROM rcw.ns.t").first().n == 4
+            served = client.load_table("ns", "t")["metadata"]
+            assert len(served["snapshots"]) == 2  # staged snapshot IS in metadata
+            staged = [
+                s for s in served["snapshots"]
+                if (s.get("summary") or {}).get("wap.id") == "audit-1"
+            ]
+            assert len(staged) == 1
+            assert served["current-snapshot-id"] != staged[0]["snapshot-id"]
+            # publish via CALL, committed through the service
+            rest.sql(spark, "CALL rcw.system.publish_changes('ns.t', 'audit-1')")
+            assert rest.sql(spark, "SELECT COUNT(*) AS n FROM rcw.ns.t").first().n == 5
+            # a FRESH mirror (new client walk) sees the published rows
+            rest2 = RestCatalog(RestCatalogClient(base), name="rcw2")
+            assert rest2.sql(spark, "SELECT COUNT(*) AS n FROM rcw2.ns.t").first().n == 5
+        finally:
+            spark.conf.unset("spark.wap.id")
