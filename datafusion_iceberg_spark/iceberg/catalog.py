@@ -35,6 +35,49 @@ class SqlSurface:
     tables.  Hosts need: ``self.name``, ``self._mirror``,
     ``self.namespaces()``, ``self.attach(spark)``."""
 
+    def _relation_keys(self) -> list:
+        """Every known relation ident.  A lazy catalog (REST mirror)
+        overrides this to list names WITHOUT loading metadata."""
+        return list(self._mirror)
+
+    def _rel(self, key: str):
+        """Resolve one relation by ident (lazy catalogs load on demand)."""
+        return self._mirror[key]
+
+    def _referenced_keys(self, query: str) -> list[str]:
+        """Conservative superset of the catalog relations ``query`` can
+        touch — matched by flattened ``ns_bare``, dotted ``ns.bare`` /
+        ``cat.ns.bare``, or bare-name spellings — plus, to a fixpoint,
+        relations referenced from matched VIEWS' stored SQL.  attach()
+        then builds DataFrames only for these instead of every relation
+        in the catalog (r10: attach cost now tracks the statement, not
+        the warehouse); sql() falls back to one full attach if an exotic
+        spelling slips past the matcher."""
+        import re
+
+        # backticks are only quoting — strip them so `ns_t`, ns.`t` and
+        # bare spellings all match one pattern
+        texts = [query.replace("`", "")]
+        seen: set[str] = set()
+        i = 0
+        while i < len(texts):
+            text = texts[i]
+            i += 1
+            for key in self._relation_keys():
+                if key in seen:
+                    continue
+                ns, bare = key.split(".", 1)
+                pat = (
+                    rf"(?<!\w)(?:{re.escape(ns)}[._]{re.escape(bare)}"
+                    rf"|{re.escape(bare)})(?!\w)"
+                )
+                if re.search(pat, text, flags=re.IGNORECASE):
+                    seen.add(key)
+                    rel = self._rel(key)
+                    if isinstance(rel, IcebergView):
+                        texts.append(rel.sql().replace("`", ""))
+        return sorted(seen)
+
     @staticmethod
     def _split_sql_literals(query: str) -> list[tuple[bool, str]]:
         """Split a SQL string into (is_code, text) spans so name rewriting
@@ -110,18 +153,21 @@ class SqlSurface:
             return any(a <= pos < b for a, b in code_mask)
 
         edits: list[tuple[int, int, str]] = []
-        for key, rel in self._mirror.items():
-            if not isinstance(rel, IcebergTable):
-                continue
+        for key in self._relation_keys():
             ns, bare = key.split(".", 1)
             pat = (
                 rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\.{seg(bare)}"
                 r"\s+FOR\s+(?:SYSTEM_)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
                 r"('(?:[^']|'')*'|\d+)"
             )
+            rel = None
             for m in re.finditer(pat, query, flags=re.IGNORECASE):
                 if not in_code(m.start()):
                     continue
+                if rel is None:
+                    rel = self._rel(key)  # resolve only on a match (lazy)
+                if not isinstance(rel, IcebergTable):
+                    break
                 kind, val = m.group(1).upper(), m.group(2)
                 if kind == "VERSION":
                     if val.startswith("'"):
@@ -177,18 +223,21 @@ class SqlSurface:
 
         kinds = "|".join(sorted(METADATA_TABLES))
         edits: list[tuple[int, int, str]] = []
-        for key, rel in self._mirror.items():
-            if not isinstance(rel, IcebergTable):
-                continue
+        for key in self._relation_keys():
             ns, bare = key.split(".", 1)
             pat = (
                 rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\."
                 rf"(?:`{re.escape(bare)}\$({kinds})`|{re.escape(bare)}\$({kinds}))"
                 r"(?![\w`$])"
             )
+            rel = None
             for m in re.finditer(pat, query, flags=re.IGNORECASE):
                 if not in_code(m.start()):
                     continue
+                if rel is None:
+                    rel = self._rel(key)  # resolve only on a match (lazy)
+                if not isinstance(rel, IcebergTable):
+                    break
                 kind = (m.group(1) or m.group(2)).lower()
                 view = f"{ns}_{bare}__meta_{kind}"
                 metadata_df(rel, spark, kind).createOrReplaceTempView(view)
@@ -228,7 +277,7 @@ class SqlSurface:
         out: list[str] = []
         for is_code, text in self._split_sql_literals(query):
             if is_code:
-                for key in self._mirror:
+                for key in self._relation_keys():
                     ns, bare = key.split(".", 1)
                     text = re.sub(
                         rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\.{seg(bare)}(?![\w`])",
@@ -278,7 +327,7 @@ class SqlSurface:
         out = dml.try_execute(self, spark, query)
         if out is not None:
             return out
-        self.attach(spark)
+        self.attach(spark, keys=self._referenced_keys(query))
         query = self._rewrite_metadata_tables(spark, query)
         query = self._rewrite_time_travel(spark, query)
 
@@ -296,7 +345,7 @@ class SqlSurface:
                 # Spark identifiers are case-insensitive by default, so
                 # MY_CATALOG.ns.tbl must rewrite (and be caught) the same
                 # as my_catalog.ns.tbl (ADVICE r3).
-                for key in self._mirror:
+                for key in self._relation_keys():
                     ns, bare = key.split(".", 1)
                     text = re.sub(
                         rf"(?<![\w`.]){seg(self.name)}\.{seg(ns)}\.{seg(bare)}(?![\w`])",
@@ -318,7 +367,7 @@ class SqlSurface:
                     flags=re.IGNORECASE,
                 )
                 if tbl_pos:
-                    known = ", ".join(sorted(self._mirror))
+                    known = ", ".join(sorted(self._relation_keys()))
                     raise ValueError(
                         f"unresolved catalog reference "
                         f"{tbl_pos.group(0).split(None, 1)[1]!r}: no table "
@@ -352,7 +401,7 @@ class SqlSurface:
                     ):
                         mid = lm.group(1).strip("`").lower()
                         if any(ns.lower() == mid for ns in self.namespaces()):
-                            known = ", ".join(sorted(self._mirror))
+                            known = ", ".join(sorted(self._relation_keys()))
                             raise ValueError(
                                 f"unresolved catalog reference "
                                 f"{lm.group(0)!r}: no such table in namespace "
@@ -360,7 +409,17 @@ class SqlSurface:
                                 f"{self.name!r} (known: {known})"
                             )
             rewritten.append(text)
-        return spark.sql("".join(rewritten))
+        final = "".join(rewritten)
+        try:
+            return spark.sql(final)
+        except Exception as e:
+            # referenced-only attach is a conservative superset, but a
+            # truly exotic spelling could slip past the matcher: fall
+            # back to a FULL attach once before surfacing the error
+            if "TABLE_OR_VIEW_NOT_FOUND" not in str(e):
+                raise
+            self.attach(spark)
+            return spark.sql(final)
 
 
 class _StagedLocalWriter(IcebergWriter):
@@ -504,9 +563,24 @@ class LocalTransaction:
                 )
             w._loaded_version = base if base is not None else cur
             plain[ident] = w
+        # phase 1.5: INTENT LOG (VERDICT r9 #7) — one atomically-renamed
+        # manifest naming every table's staged metadata and target
+        # version, written BEFORE the first table commits; a crash (or
+        # late conflict) between table commits rolls FORWARD on the next
+        # Catalog() load, restoring all-or-nothing across the loop.
+        txn_path = self._cat._write_txn_intent(
+            {
+                ident: {
+                    "target_version": plain[ident]._loaded_version + 1,
+                    "metadata": self._pending[ident],
+                }
+                for ident in sorted(self._pending)
+            }
+        )
         # phase 2: land the folded metadata, one version per table
         for ident in sorted(self._pending):
             plain[ident]._commit_metadata(self._pending[ident])
+        os.remove(txn_path)  # every table landed: intent fulfilled
         for ident in sorted(self._pending):
             rel = self._cat._mirror.get(ident)
             if isinstance(rel, IcebergTable):
@@ -541,6 +615,98 @@ class Catalog(SqlSurface):
         # "pre-existing session view" from "view we made last attach")
         self._bare_views: set[str] = set()
         self._load_mirror()
+        if self._recover_txn_intents():
+            self._load_mirror()  # recovered tables re-read at their new tip
+
+    # -- multi-table transaction intent log (VERDICT r9 #7) ------------------
+
+    def _txn_dir(self) -> str:
+        return os.path.join(self.warehouse, ".txn")
+
+    def _write_txn_intent(self, tables: dict) -> str:
+        """Persist one transaction manifest {ident: {target_version,
+        metadata}} atomically (tmp + rename: a half-written intent never
+        recovers).  Returns the manifest path; the commit loop removes
+        it once every table landed."""
+        import json as _json
+        import uuid as _uuid
+
+        os.makedirs(self._txn_dir(), exist_ok=True)
+        path = os.path.join(self._txn_dir(), f"txn-{_uuid.uuid4()}.json")
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"tables": tables}, fh)
+        os.replace(tmp, path)
+        return path
+
+    def _recover_txn_intents(self) -> bool:
+        """Roll FORWARD any interrupted multi-table transaction: for each
+        surviving intent manifest, commit every table whose target
+        metadata version is still missing (exclusive-create, same as the
+        live commit loop); a target version that landed with IDENTICAL
+        content is treated as done.  A target taken by a FOREIGN commit
+        leaves the manifest in place and raises — partial state needs a
+        human decision, silently dropping the intent would un-do the
+        all-or-nothing contract.  Returns True when anything rolled
+        forward."""
+        import glob as _glob
+        import json as _json
+
+        from datafusion_iceberg_spark.iceberg.writer import CommitConflict
+
+        recovered = False
+        for path in sorted(
+            _glob.glob(os.path.join(self._txn_dir(), "txn-*.json"))
+        ):
+            try:
+                with open(path) as fh:
+                    manifest = _json.load(fh)
+            except (OSError, ValueError):
+                continue
+            for ident, entry in sorted(manifest.get("tables", {}).items()):
+                target = int(entry["target_version"])
+                staged = entry["metadata"]
+                w = self.writer(ident)
+                meta_dir = os.path.join(w.root, "metadata")
+                existing = None
+                for spelling in (
+                    f"v{target}.metadata.json",
+                    f"v{target}.gz.metadata.json",
+                ):
+                    p = os.path.join(meta_dir, spelling)
+                    if os.path.exists(p):
+                        existing = p
+                        break
+                if existing is not None:
+                    if existing.endswith(".gz.metadata.json"):
+                        import gzip as _gzip
+
+                        with _gzip.open(existing, "rt") as fh:
+                            landed = _json.load(fh)
+                    else:
+                        with open(existing) as fh:
+                            landed = _json.load(fh)
+                    if _json.dumps(landed, sort_keys=True) == _json.dumps(
+                        staged, sort_keys=True
+                    ):
+                        continue  # this table already landed pre-crash
+                    raise RuntimeError(
+                        f"transaction recovery: {ident} metadata v{target} "
+                        f"was taken by a foreign commit; resolve manually "
+                        f"and delete {path}"
+                    )
+                w._loaded_version = target - 1
+                try:
+                    w._commit_metadata(staged)
+                    recovered = True
+                except CommitConflict:
+                    raise RuntimeError(
+                        f"transaction recovery: {ident} metadata v{target} "
+                        f"raced during roll-forward; re-open the catalog "
+                        f"(manifest kept at {path})"
+                    )
+            os.remove(path)
+        return recovered
 
     # -- mirror build (A15) -------------------------------------------------
 
@@ -568,6 +734,7 @@ class Catalog(SqlSurface):
             d
             for d in os.listdir(self.warehouse)
             if os.path.isdir(os.path.join(self.warehouse, d))
+            and not d.startswith(".")  # .txn intent dir is not a namespace
         )
 
     def create_namespace(self, ns: str) -> None:
@@ -1448,19 +1615,32 @@ class Catalog(SqlSurface):
     # broadcast even when the SQL author writes no hint.
     BROADCAST_BYTES = 64 * 1024 * 1024
 
-    def attach(self, spark: SparkSession, snapshot_id: Optional[int] = None) -> None:
-        """Register every relation as a temp view ``<ns>_<table>`` (and the
+    def attach(
+        self,
+        spark: SparkSession,
+        snapshot_id: Optional[int] = None,
+        keys: Optional[list] = None,
+    ) -> None:
+        """Register relations as temp views ``<ns>_<table>`` (and the
         bare table name when unambiguous) so SQL can address the catalog —
         the flattened-name analogue of 3-part resolution
         (catalog.rs:114-117).  Tables whose manifest-stat footprint is
-        under BROADCAST_BYTES register with a broadcast hint."""
+        under BROADCAST_BYTES register with a broadcast hint.  ``keys``
+        restricts registration to those idents (sql() passes the
+        statement's referenced superset, r10 — attach cost tracks the
+        statement, not the warehouse); None registers everything."""
         bare_counts: dict[str, int] = {}
-        for key in self._mirror:
+        for key in self._relation_keys():
             bare = key.split(".", 1)[1]
             bare_counts[bare] = bare_counts.get(bare, 0) + 1
         # tables first, then views (a view's SQL may reference the tables)
+        wanted = (
+            self._mirror.items()
+            if keys is None
+            else [(k, self._rel(k)) for k in keys]
+        )
         items = sorted(
-            self._mirror.items(), key=lambda kv: isinstance(kv[1], IcebergView)
+            wanted, key=lambda kv: isinstance(kv[1], IcebergView)
         )
         for key, rel in items:
             ns, bare = key.split(".", 1)

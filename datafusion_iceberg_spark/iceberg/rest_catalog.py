@@ -599,38 +599,64 @@ class RestCatalog(SqlSurface):
         self._mirror: dict[str, IcebergTable] = {}
         self._locations: dict[str, str] = {}
         self._namespaces: set[str] = set()
+        self._known: dict[str, str] = {}  # ident -> "table" | "view"
         self.refresh()
 
     def refresh(self, ident: Optional[str] = None) -> None:
-        """Full mirror rebuild, or one table (REFRESH TABLE ident)."""
+        """Mirror rebuild, or one table (REFRESH TABLE ident).  The walk
+        is LAZY (r10, VERDICT r9 #2): only the namespace/table/view
+        LISTINGS load here; metadata GETs happen on first reference via
+        :meth:`_resolve` — a catalog with 10⁴ tables costs 10⁴ paged
+        list rows at attach, not 10⁴ LoadTableResult round-trips."""
         if ident is not None:
             self._refresh(ident)
             return
         self._mirror.clear()
         self._locations.clear()
+        self._known.clear()
         self._namespaces = set(self.client.list_namespaces())
         for ns in self._namespaces:
             for t in self.client.list_tables(ns):
-                res = self.client.load_table(ns, t)
-                meta = metadata_from_dict(
-                    res["metadata"], res.get("metadata-location", "")
-                )
-                self._mirror[f"{ns}.{t}"] = IcebergTable(meta)
-                self._locations[f"{ns}.{t}"] = res.get("metadata-location", "")
+                self._known[f"{ns}.{t}"] = "table"
             for v in self.client.list_views(ns):
-                res = self.client.load_view(ns, v)
-                from datafusion_iceberg_spark.iceberg.view import IcebergView
+                self._known[f"{ns}.{v}"] = "view"
 
-                self._mirror[f"{ns}.{v}"] = IcebergView(
-                    res["metadata"], res.get("metadata-location", "")
-                )
-                self._locations[f"{ns}.{v}"] = res.get("metadata-location", "")
+    def _resolve(self, ident: str):
+        """The relation for ``ident``, loading metadata over the wire on
+        first reference and caching it in the mirror."""
+        rel = self._mirror.get(ident)
+        if rel is not None:
+            return rel
+        if ident not in self._known:
+            raise KeyError(ident)
+        ns, name = ident.rsplit(".", 1)
+        if self._known[ident] == "view":
+            from datafusion_iceberg_spark.iceberg.view import IcebergView
+
+            res = self.client.load_view(ns, name)
+            rel = IcebergView(res["metadata"], res.get("metadata-location", ""))
+        else:
+            res = self.client.load_table(ns, name)
+            meta = metadata_from_dict(
+                res["metadata"], res.get("metadata-location", "")
+            )
+            rel = IcebergTable(meta)
+        self._mirror[ident] = rel
+        self._locations[ident] = res.get("metadata-location", "")
+        return rel
+
+    def _relation_keys(self) -> list:
+        return sorted(set(self._known) | set(self._mirror))
+
+    def _rel(self, key: str):
+        return self._resolve(key)
 
     # -- read surface -------------------------------------------------------
 
     def namespaces(self) -> list[str]:
         return sorted(
-            self._namespaces | {k.rsplit(".", 1)[0] for k in self._mirror}
+            self._namespaces
+            | {k.rsplit(".", 1)[0] for k in self._relation_keys()}
         )
 
     def create_namespace(self, ns: str) -> None:
@@ -655,16 +681,17 @@ class RestCatalog(SqlSurface):
         return self.client.update_namespace_properties(ns, updates, removals)
 
     def table_names(self, ns: Optional[str] = None) -> list[str]:
-        keys = sorted(self._mirror)
+        keys = self._relation_keys()
         return keys if ns is None else [k for k in keys if k.startswith(ns + ".")]
 
     def table_exists(self, ident: str) -> bool:
-        return ident in self._mirror
+        return ident in self._known or ident in self._mirror
 
     def load(self, ident: str) -> IcebergTable:
-        return self._mirror[ident]
+        return self._resolve(ident)
 
     def metadata_location(self, ident: str) -> str:
+        self._resolve(ident)
         return self._locations[ident]
 
     # -- synchronous write-back (A16 with reference bug #3 fixed) -----------
@@ -677,6 +704,7 @@ class RestCatalog(SqlSurface):
         )
         table = IcebergTable(meta)
         self._mirror[ident] = table
+        self._known[ident] = "table"
         self._locations[ident] = res.get("metadata-location", metadata_location)
         return table
 
@@ -684,11 +712,17 @@ class RestCatalog(SqlSurface):
         from datafusion_iceberg_spark.iceberg.view import IcebergView
 
         ns, name = ident.rsplit(".", 1)
-        if isinstance(self._mirror.get(ident), IcebergView):
+        kind = (
+            "view"
+            if isinstance(self._mirror.get(ident), IcebergView)
+            else self._known.get(ident, "table")
+        )
+        if kind == "view":
             self.client.drop_view(ns, name)  # remote FIRST, then mirror —
         else:
             self.client.drop_table(ns, name)  # never a split-brain
         self._mirror.pop(ident, None)
+        self._known.pop(ident, None)
         self._locations.pop(ident, None)
 
     def replace_view(self, ident: str, sql: str):
@@ -701,6 +735,7 @@ class RestCatalog(SqlSurface):
         res = self.client.commit_view(ns, name, sql)
         view = IcebergView(res["metadata"], res.get("metadata-location", ""))
         self._mirror[ident] = view
+        self._known[ident] = "view"
         return view
 
     def create_view(self, ident: str, sql: str):
@@ -716,6 +751,7 @@ class RestCatalog(SqlSurface):
         res = self.client.create_view(ns, name, sql)
         view = IcebergView(res["metadata"], res.get("metadata-location", ""))
         self._mirror[ident] = view
+        self._known[ident] = "view"
         return view
 
     # -- write-through commits (service-owned metadata) ---------------------
@@ -727,6 +763,7 @@ class RestCatalog(SqlSurface):
             res["metadata"], res.get("metadata-location", "")
         )
         self._mirror[ident] = IcebergTable(meta)
+        self._known[ident] = "table"
         self._locations[ident] = res.get("metadata-location", "")
 
     def create_table(
@@ -766,7 +803,7 @@ class RestCatalog(SqlSurface):
         """A writer whose commits go through the REST commit endpoint —
         same construction as :class:`Catalog.writer`, REST lifecycle."""
         ns, name = ident.rsplit(".", 1)
-        meta = self._mirror[ident].metadata
+        meta = self._resolve(ident).metadata
         return RestCommitWriter(
             self.client, ns, name, **_writer_kwargs(meta)
         )
@@ -1034,10 +1071,16 @@ class RestCatalog(SqlSurface):
 
     # -- Spark integration --------------------------------------------------
 
-    def attach(self, spark: SparkSession) -> None:
-        for key, table in self._mirror.items():
+    def attach(self, spark: SparkSession, keys=None) -> None:
+        from datafusion_iceberg_spark.iceberg.view import IcebergView
+
+        wanted = self._relation_keys() if keys is None else list(keys)
+        # tables first, then views (a view's SQL references the tables)
+        wanted.sort(key=lambda k: self._known.get(k) == "view")
+        for key in wanted:
+            rel = self._resolve(key)
             ns, bare = key.rsplit(".", 1)
-            table.to_df(spark).createOrReplaceTempView(f"{ns}_{bare}")
+            rel.to_df(spark).createOrReplaceTempView(f"{ns}_{bare}")
 
     # sql() comes from SqlSurface (3-part rewrite, time travel, $meta)
 

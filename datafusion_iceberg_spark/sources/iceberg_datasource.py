@@ -1928,6 +1928,35 @@ class IcebergPyDataSource(DataSource):
         )
 
 
+def ds_read(
+    spark,
+    root: str,
+    columns=None,
+    snapshot_id=None,
+    ref=None,
+):
+    """Batch-read an Iceberg table through the Python DataSource with a
+    projection PUSHED INTO the reader schema (VERDICT r9 #9).
+
+    pyspark 4.1's DataSource API has no column-pruning hook, so a bare
+    ``spark.read.format("iceberg_py").load().select(cols)`` still ships
+    every column out of the Python reader; this helper derives the
+    ``columns`` option from the projection you already know, so
+    executors fetch ONLY those parquet columns (−25% on a 16→2-column
+    scan, PERF_NOTES r9).  Limitation: a projection applied AFTER
+    ``.load()`` cannot be recovered — Spark never tells the data source
+    about it — so callers who project must come through here (or set
+    the ``columns`` option themselves)."""
+    r = spark.read.format("iceberg_py").option("path", root)
+    if snapshot_id is not None:
+        r = r.option("snapshot_id", str(snapshot_id))
+    if ref is not None:
+        r = r.option("ref", ref)
+    if columns:
+        r = r.option("columns", ",".join(columns))
+    return r.load()
+
+
 def register_iceberg_datasource(spark) -> None:
     """Idempotent session registration.  Python-side filter pushdown is
     opt-in in Spark 4 — enable it so ``pushFilters`` receives the

@@ -98,3 +98,87 @@ def test_abort_on_exception(spark, scratch):
             txn.append("t.a", spark, _rows(spark, [(9, 90)]))
             raise RuntimeError("boom")
     assert _state(cat, spark, "t.a") == {1: 10}
+
+
+def test_crash_between_commits_rolls_forward_on_reload(spark, scratch):
+    """VERDICT r9 #7: an intent manifest written before the commit loop
+    makes a crash between table commits recoverable — the next
+    Catalog() load rolls the missing tables FORWARD to the staged
+    metadata, restoring all-or-nothing."""
+    wh = os.path.join(scratch, "wh")
+    cat = Catalog(wh)
+    cat.create_table("ns.a", _rows(spark, [(1, 10)]).schema)
+    cat.create_table("ns.b", _rows(spark, [(1, 10)]).schema)
+    cat.append("ns.a", spark, _rows(spark, [(1, 10)]))
+    cat.append("ns.b", spark, _rows(spark, [(2, 20)]))
+
+    txn = cat.transaction()
+    txn.append("ns.a", spark, _rows(spark, [(3, 30)]))
+    txn.append("ns.b", spark, _rows(spark, [(4, 40)]))
+    # simulate a crash AFTER table a commits but BEFORE table b:
+    # run phase 1 + intent write + first commit by hand
+    plain = {}
+    for ident in sorted(txn._pending):
+        w = cat.writer(ident)
+        base = txn._base_version.get(ident)
+        w._loaded_version = base if base is not None else w._current_version()
+        plain[ident] = w
+    txn_path = cat._write_txn_intent(
+        {
+            ident: {
+                "target_version": plain[ident]._loaded_version + 1,
+                "metadata": txn._pending[ident],
+            }
+            for ident in sorted(txn._pending)
+        }
+    )
+    plain["ns.a"]._commit_metadata(txn._pending["ns.a"])  # crash here
+    assert os.path.exists(txn_path)
+
+    # a fresh catalog load recovers: BOTH tables show the transaction
+    cat2 = Catalog(wh)
+    assert _state(cat2, spark, "ns.a") == {1: 10, 3: 30}
+    assert _state(cat2, spark, "ns.b") == {2: 20, 4: 40}
+    assert not os.path.exists(txn_path)  # intent consumed
+    # idempotent: loading again changes nothing
+    cat3 = Catalog(wh)
+    assert _state(cat3, spark, "ns.b") == {2: 20, 4: 40}
+    # .txn never leaks into the namespace listing
+    assert ".txn" not in cat3.namespaces()
+
+
+def test_completed_txn_leaves_no_intent(spark, scratch):
+    wh = os.path.join(scratch, "wh")
+    cat = Catalog(wh)
+    cat.create_table("ns.a", _rows(spark, [(1, 10)]).schema)
+    cat.append("ns.a", spark, _rows(spark, [(1, 10)]))
+    with cat.transaction() as txn:
+        txn.append("ns.a", spark, _rows(spark, [(5, 50)]))
+    import glob
+
+    assert not glob.glob(os.path.join(wh, ".txn", "txn-*.json"))
+    assert _state(cat, spark, "ns.a") == {1: 10, 5: 50}
+
+
+def test_foreign_commit_blocks_roll_forward(spark, scratch):
+    """A foreign writer taking the target version post-crash cannot be
+    silently clobbered: recovery raises, names the manifest, and keeps
+    it for a human decision."""
+    import json
+
+    wh = os.path.join(scratch, "wh")
+    cat = Catalog(wh)
+    cat.create_table("ns.a", _rows(spark, [(1, 10)]).schema)
+    cat.append("ns.a", spark, _rows(spark, [(1, 10)]))
+    staged = json.loads(
+        json.dumps(cat.load("ns.a").metadata.raw)
+    )  # any full metadata dict works as a stand-in
+    staged["last-updated-ms"] = 1  # differs from whatever lands
+    v = cat.writer("ns.a")._current_version()
+    cat._write_txn_intent(
+        {"ns.a": {"target_version": v + 1, "metadata": staged}}
+    )
+    # foreign commit takes v+1 first
+    cat.append("ns.a", spark, _rows(spark, [(9, 90)]))
+    with pytest.raises(RuntimeError, match="foreign commit"):
+        Catalog(wh)

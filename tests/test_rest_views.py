@@ -50,9 +50,11 @@ def test_create_view_commits_through_service(spark, server):
     assert got == {2: 20, 3: 30, 4: 40}
     # service-side: a FRESH client lists, loads, and queries the view
     fresh = RestCatalog(RestCatalogClient(server), name="r2")
-    assert "ns.big" in [
-        k for k in fresh._mirror if not hasattr(fresh._mirror[k], "files")
-    ]
+    # lazy mirror (r10): the walk LISTS the view; metadata loads on
+    # first reference
+    assert fresh._known.get("ns.big") == "view"
+    assert "ns.big" not in fresh._mirror  # not loaded yet
+    assert not hasattr(fresh.load("ns.big"), "files")  # loads as a view
     got2 = {
         r["k"]: r["v"]
         for r in fresh.sql(spark, "SELECT k, v FROM r2.ns.big").collect()
@@ -80,7 +82,7 @@ def test_create_or_replace_and_drop_view(spark, server):
     } == {3, 4}
     rest.sql(spark, "DROP VIEW r.ns.sel")
     fresh = RestCatalog(RestCatalogClient(server), name="r3")
-    assert "ns.sel" not in fresh._mirror
+    assert "ns.sel" not in fresh._known and "ns.sel" not in fresh._mirror
     # dropping again 404s through the service
     with pytest.raises(Exception):
         RestCatalogClient(server).drop_view("ns", "sel")
