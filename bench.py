@@ -95,6 +95,9 @@ HEADLINE = [
     "stream_cdc_overwrite",
     "iceberg_dynamic_overwrite_scan",
     "iceberg_local_txn_scan",
+    # round-10 additions
+    "iceberg_mv_where_count_scan",
+    "stream_cdc_lineage_overwrite",
 ]
 
 

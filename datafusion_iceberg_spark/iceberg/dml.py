@@ -317,6 +317,12 @@ def _exec_create_mv(
         f"{s.source_namespace}.{s.source_table}",
         list(s.group_cols),
         s.value_col,
+        aggs=list(getattr(s, "aggs", ()) or ()) or None,
+        where=(
+            surface.resolve_names(s.where)
+            if getattr(s, "where", None)
+            else None
+        ),
     )
     return _result(spark, "create_materialized_view", ident, None)
 

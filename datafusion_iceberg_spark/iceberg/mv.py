@@ -46,31 +46,60 @@ def create_aggregate_mv(
     mv_ident: str,
     source_ident: str,
     group_cols: list,
-    value_col: str,
+    value_col: Optional[str] = None,
     refresh: bool = True,
+    where: Optional[str] = None,
+    aggs: Optional[list] = None,
 ) -> Optional[dict]:
-    """Create (and optionally immediately refresh) a SUM/COUNT MV."""
+    """Create (and optionally immediately refresh) an aggregate MV.
+
+    ``aggs`` ⊆ {"sum", "count", "min", "max"} (default ["sum", "count"]
+    when ``value_col`` is given, else ["count"]).  ``where`` filters the
+    SOURCE rows (and every later delta window) with a SQL predicate —
+    the canonical "daily revenue for shipped orders" shape.  SUM/COUNT
+    refresh as signed integer deltas (cost ∝ changed rows); MIN/MAX
+    merge incrementally on insert-only windows and fall back to a
+    per-touched-group recompute when the window RETRACTS rows (a
+    retracted row may have carried the group's extremum — no sketch
+    recovers it; VERDICT r9 #4)."""
+    aggs = list(aggs) if aggs else (["sum", "count"] if value_col else ["count"])
+    unknown = [a for a in aggs if a not in ("sum", "count", "min", "max")]
+    if unknown:
+        raise ValueError(
+            f"MV aggregates {unknown} are not incrementally maintainable "
+            "here — supported: SUM(col), COUNT(*), MIN(col), MAX(col)"
+        )
+    if any(a in aggs for a in ("sum", "min", "max")) and not value_col:
+        raise ValueError("SUM/MIN/MAX need a measure column")
     src_meta = cat.load(source_ident).metadata
     by_name = {f.name: f for f in src_meta.struct_type().fields}
-    missing = [c for c in list(group_cols) + [value_col] if c not in by_name]
+    need = list(group_cols) + ([value_col] if value_col else [])
+    missing = [c for c in need if c not in by_name]
     if missing:
         raise ValueError(f"MV columns not in source schema: {missing}")
     fields = [
         T.StructField(c, by_name[c].dataType, True) for c in group_cols
-    ] + [
-        T.StructField("sum_micros", T.LongType(), True),
-        T.StructField("cnt", T.LongType(), True),
     ]
-    cat.create_table(
-        mv_ident,
-        T.StructType(fields),
-        properties={
-            "mv.source": source_ident,
-            "mv.group-cols": ",".join(group_cols),
-            "mv.value-col": value_col,
-            "mv.source-snapshot-id": "-1",
-        },
-    )
+    if "sum" in aggs:
+        fields.append(T.StructField("sum_micros", T.LongType(), True))
+    # cnt ALWAYS stored: the zero-trim (group disappears when its last
+    # row retracts) rides it regardless of the requested aggregates
+    fields.append(T.StructField("cnt", T.LongType(), True))
+    if "min" in aggs:
+        fields.append(T.StructField("min_v", by_name[value_col].dataType, True))
+    if "max" in aggs:
+        fields.append(T.StructField("max_v", by_name[value_col].dataType, True))
+    props = {
+        "mv.source": source_ident,
+        "mv.group-cols": ",".join(group_cols),
+        "mv.aggs": ",".join(aggs),
+        "mv.source-snapshot-id": "-1",
+    }
+    if value_col:
+        props["mv.value-col"] = value_col
+    if where:
+        props["mv.where"] = where
+    cat.create_table(mv_ident, T.StructType(fields), properties=props)
     if refresh:
         return refresh_aggregate_mv(cat, spark, mv_ident)
     return None
@@ -119,7 +148,9 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     props = mv_meta.properties
     source_ident = props["mv.source"]
     group_cols = props["mv.group-cols"].split(",")
-    value_col = props["mv.value-col"]
+    value_col = props.get("mv.value-col")
+    aggs = props.get("mv.aggs", "sum,count").split(",")
+    where = props.get("mv.where")
     src_rel = cat.load(source_ident)
     last = _refreshed_through(mv_meta, src_rel.metadata)
     src = src_rel
@@ -130,34 +161,110 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     log = src.changelog_df(
         spark, from_snapshot_id=(last if last != -1 else None)
     )
+    if where:
+        # the MV aggregates only rows satisfying the predicate, so the
+        # delta window filters the same way — a row UPDATEd across the
+        # boundary surfaces as its delete/insert pair, of which exactly
+        # the in-predicate image survives (correct signed delta)
+        log = log.filter(F.expr(where))
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
-    micros = (
-        F.floor(F.col(value_col) * 1000000 + 0.5).cast("long")
-        if isinstance(
-            src.metadata.struct_type()[value_col].dataType,
-            (T.DoubleType, T.FloatType),
+    agg_exprs = [F.sum(sign).alias("cnt")]
+    if "sum" in aggs:
+        micros = (
+            F.floor(F.col(value_col) * 1000000 + 0.5).cast("long")
+            if isinstance(
+                src.metadata.struct_type()[value_col].dataType,
+                (T.DoubleType, T.FloatType),
+            )
+            else F.col(value_col).cast("long") * 1000000
         )
-        else F.col(value_col).cast("long") * 1000000
-    )
-    deltas = (
-        log.groupBy(*group_cols)
-        .agg(
-            F.sum(sign * micros).alias("sum_micros"),
-            F.sum(sign).alias("d_cnt"),
+        agg_exprs.append(F.sum(sign * micros).alias("sum_micros"))
+    minmax = [a for a in aggs if a in ("min", "max")]
+    if minmax:
+        # window extrema over INSERTED rows merge incrementally;
+        # retraction anywhere in a group forces that group's recompute
+        ins_val = F.when(F.col("_change_type") == "insert", F.col(value_col))
+        if "min" in aggs:
+            agg_exprs.append(F.min(ins_val).alias("min_v"))
+        if "max" in aggs:
+            agg_exprs.append(F.max(ins_val).alias("max_v"))
+        agg_exprs.append(
+            F.max(
+                F.when(F.col("_change_type") != "insert", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_retracted")
         )
-        .select(
-            *group_cols,
-            F.col("sum_micros").cast("long").alias("sum_micros"),
-            F.col("d_cnt").cast("long").alias("cnt"),
+    deltas = log.groupBy(*group_cols).agg(*agg_exprs)
+    sel = [F.col(c) for c in group_cols] + [F.col("cnt").cast("long").alias("cnt")]
+    if "sum" in aggs:
+        sel.insert(len(group_cols), F.col("sum_micros").cast("long").alias("sum_micros"))
+    for c in ("min_v", "max_v"):
+        if c in deltas.columns:
+            sel.append(F.col(c))
+    if minmax:
+        sel.append(F.col("_retracted"))
+    deltas = deltas.select(*sel)
+    if minmax:
+        # recompute-on-retraction fallback (VERDICT r9 #4): groups whose
+        # window retracted rows get their TRUE extrema from the current
+        # source, restricted to exactly those groups (broadcast-sized
+        # semi set per window) — insert-only groups never pay this
+        src_df = src.to_df(spark)
+        if where:
+            src_df = src_df.filter(F.expr(where))
+        re_aggs = []
+        if "min" in aggs:
+            re_aggs.append(F.min(value_col).alias("_re_min"))
+        if "max" in aggs:
+            re_aggs.append(F.max(value_col).alias("_re_max"))
+        touched = deltas.filter(F.col("_retracted") == 1).select(*group_cols)
+        recomputed = (
+            src_df.join(F.broadcast(touched), on=group_cols, how="left_semi")
+            .groupBy(*group_cols)
+            .agg(*re_aggs)
         )
-    )
+        deltas = deltas.join(recomputed, on=group_cols, how="left")
+        if "min" in aggs:
+            deltas = deltas.withColumn(
+                "min_v",
+                F.when(F.col("_retracted") == 1, F.col("_re_min")).otherwise(
+                    F.col("min_v")
+                ),
+            ).drop("_re_min")
+        if "max" in aggs:
+            deltas = deltas.withColumn(
+                "max_v",
+                F.when(F.col("_retracted") == 1, F.col("_re_max")).otherwise(
+                    F.col("max_v")
+                ),
+            ).drop("_re_max")
     deltas = deltas.cache()  # one changelog scan feeds count AND merge
     applied = deltas.count()
     if applied:
         from datafusion_iceberg_spark.iceberg.writer import MergeClause
 
+        assignments = {"cnt": "t.cnt + src.cnt"}
+        if "sum" in aggs:
+            assignments["sum_micros"] = "t.sum_micros + src.sum_micros"
+        if "min" in aggs:
+            # absolute on retraction (recomputed), else fold the window
+            # extremum in (LEAST skips NULL: an insert-free window keeps
+            # the stored value)
+            assignments["min_v"] = (
+                "CASE WHEN src._retracted = 1 THEN src.min_v "
+                "ELSE LEAST(t.min_v, src.min_v) END"
+            )
+        if "max" in aggs:
+            assignments["max_v"] = (
+                "CASE WHEN src._retracted = 1 THEN src.max_v "
+                "ELSE GREATEST(t.max_v, src.max_v) END"
+            )
+        mv_cols = [
+            f.name for f in cat.load(mv_ident).metadata.struct_type().fields
+        ]
         # ONE commit: conditional zero-trim rides the MERGE as a clause,
         # net-zero NEW groups skip the insert, and the refreshed-through
         # marker stamps the snapshot summary itself — atomic, idempotent
@@ -170,16 +277,14 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
                 MergeClause(
                     "matched", "t.cnt + src.cnt = 0", "delete"
                 ),
+                MergeClause("matched", None, "update", assignments=assignments),
                 MergeClause(
-                    "matched",
-                    None,
-                    "update",
-                    assignments={
-                        "sum_micros": "t.sum_micros + src.sum_micros",
-                        "cnt": "t.cnt + src.cnt",
-                    },
+                    "not_matched",
+                    "src.cnt <> 0",
+                    "insert",
+                    insert_cols=mv_cols,
+                    insert_values=[f"src.{c}" for c in mv_cols],
                 ),
-                MergeClause("not_matched", "src.cnt <> 0", "insert"),
             ],
             extra_summary={"mv.source-snapshot-id": str(cur)},
         )
@@ -192,8 +297,10 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
 
 
 def mv_df(cat, spark: SparkSession, mv_ident: str) -> DataFrame:
-    """The MV contents with the measure rescaled back to its unit."""
+    """The MV contents, SUM rescaled back to its unit when present."""
     df = cat.load(mv_ident).to_df(spark)
-    return df.withColumn(
-        "total", (F.col("sum_micros").cast("double") / 1000000)
-    )
+    if "sum_micros" in df.columns:
+        df = df.withColumn(
+            "total", (F.col("sum_micros").cast("double") / 1000000)
+        )
+    return df

@@ -3450,6 +3450,7 @@ def iceberg_rest_commit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             rest = RestCatalog(
                 RestCatalogClient(base, credential="gate:s3cr3t"),
                 name="restc",
+                eager=True,  # queried after server.stop(): cache now
             )
         finally:
             server.stop()
@@ -3507,7 +3508,9 @@ def iceberg_rest_txn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         server = LocalRestServer(root)
         try:
             base = server.start()
-            rest = RestCatalog(RestCatalogClient(base), name="rtx")
+            rest = RestCatalog(
+                RestCatalogClient(base), name="rtx", eager=True
+            )
             if first:
                 orders = load_table(spark, sf_dir, "orders").selectExpr(
                     "o_orderkey",
@@ -3524,6 +3527,7 @@ def iceberg_rest_txn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 with open(marker, "w") as fh:
                     fh.write("ok")
                 rest.refresh()
+                rest.prefetch()  # queried after server.stop()
         finally:
             server.stop()
     return rest.sql(
@@ -4459,3 +4463,64 @@ def iceberg_cherrypick_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(marker, "w") as fh:
                 fh.write("ok")
     return cat.load("s.n").to_df(spark).orderBy("n_nationkey")
+
+
+@register(
+    "iceberg_mv_where_count_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS cnt,
+           MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS min_v,
+           MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS max_v
+    FROM orders
+    WHERE o_orderkey % 7 <> 0 AND o_orderkey % 10 <> 3
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_mv_where_count_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MV with a WHERE filter and
+    COUNT(*)/MIN/MAX aggregates (r10, VERDICT r9 #4): created over half
+    the source via ``CREATE MATERIALIZED VIEW ... WHERE ... GROUP BY``,
+    then refreshed through an insert-only window (extrema fold in, no
+    source rescan) and a RETRACTION window (a COW DELETE removes rows —
+    the touched groups' MIN/MAX recompute from the live source, others
+    never pay).  The oracle recomputes the final state relationally —
+    matching it proves the delta windows composed exactly.  Beyond
+    reference scope (read-only, SURVEY §2C)."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_mvwc")
+        marker = os.path.join(root, "_COMPLETE")
+        cat = Catalog(root, name="mvq")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="mvq")
+            orders = load_table(spark, sf_dir, "orders").selectExpr(
+                "o_orderkey",
+                "o_orderstatus",
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            )
+            cat.create_table("m.src", orders.schema)
+            cat.append("m.src", spark, orders.filter("o_orderkey % 2 = 0"))
+            cat.sql(
+                spark,
+                "CREATE MATERIALIZED VIEW mvq.m.agg AS "
+                "SELECT o_orderstatus, COUNT(*), MIN(cents), MAX(cents) "
+                "FROM mvq.m.src WHERE o_orderkey % 7 <> 0 "
+                "GROUP BY o_orderstatus",
+            )
+            # insert-only window: extrema merge without a source rescan
+            cat.append("m.src", spark, orders.filter("o_orderkey % 2 <> 0"))
+            cat.sql(spark, "CALL mvq.system.refresh_mv('m.agg')")
+            # retraction window: COW DELETE; touched groups recompute
+            cat.sql(spark, "DELETE FROM mvq.m.src WHERE o_orderkey % 10 = 3")
+            cat.sql(spark, "CALL mvq.system.refresh_mv('m.agg')")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT o_orderstatus, cnt, min_v, max_v FROM mvq.m.agg "
+        "ORDER BY o_orderstatus",
+    )

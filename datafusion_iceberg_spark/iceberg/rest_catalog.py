@@ -593,7 +593,12 @@ class RestCatalog(SqlSurface):
     the shared :class:`SqlSurface` mixin, 3-part names, time travel
     (``FOR VERSION/TIMESTAMP AS OF``, refs) and ``$``-metadata tables."""
 
-    def __init__(self, client: RestCatalogClient, name: str = "rest"):
+    def __init__(
+        self,
+        client: RestCatalogClient,
+        name: str = "rest",
+        eager: bool = False,
+    ):
         self.client = client
         self.name = name
         self._mirror: dict[str, IcebergTable] = {}
@@ -601,6 +606,15 @@ class RestCatalog(SqlSurface):
         self._namespaces: set[str] = set()
         self._known: dict[str, str] = {}  # ident -> "table" | "view"
         self.refresh()
+        if eager:
+            self.prefetch()
+
+    def prefetch(self) -> None:
+        """Resolve EVERY listed relation now (the r2-r9 behavior, and
+        the reference's Mirror::new walk): callers that query after the
+        service goes away need the metadata cached up front."""
+        for ident in self._relation_keys():
+            self._resolve(ident)
 
     def refresh(self, ident: Optional[str] = None) -> None:
         """Mirror rebuild, or one table (REFRESH TABLE ident).  The walk

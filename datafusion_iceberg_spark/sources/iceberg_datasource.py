@@ -740,6 +740,7 @@ class IcebergCdcOverwriteDiffPartition(InputPartition):
         prior_eq,       # [((eq file, [key field ids], [cur names]), seq)]
         bucket: int,
         n_buckets: int,
+        frid_map=None,  # localized path -> first_row_id (lineage tables)
     ):
         self.removed = removed
         self.added = added
@@ -750,6 +751,7 @@ class IcebergCdcOverwriteDiffPartition(InputPartition):
         self.prior_eq = prior_eq
         self.bucket = bucket
         self.n_buckets = n_buckets
+        self.frid_map = frid_map or {}
 
 
 class IcebergPyCdcStreamReader(IcebergPyStreamReader):
@@ -777,14 +779,15 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
       bucket (``overwrite_diff_buckets`` partitions re-read the changed
       files and keep 1/n of the rows each): removed rows masked by the
       prior snapshot's delete coverage, multiset-EXCEPT the added rows —
-      the same math as ``changelog_df``'s overwrite legs (r9; the one
-      remaining fence is ``_row_id`` over such snapshots, whose keyed
-      update pairing is a distributed join — batch changelog there).
+      the same math as ``changelog_df``'s overwrite legs (r9).
 
     On a v3 ROW-LINEAGE table the feed also carries ``_row_id``
     (resolved per row: the file's materialized column when present,
-    else ``first_row_id`` + position) — the keyed CDC stream downstream
-    MERGE consumers apply by identity.
+    else ``first_row_id`` + position) and overwrite snapshots pair a
+    delete+insert sharing one id into ``update_before``/``update_after``
+    (r10 — buckets partition by id, so the pairing is bucket-local; no
+    fences remain) — the keyed CDC stream downstream MERGE consumers
+    apply by identity.
     """
 
     def partitions(self, start: dict, end: dict):
@@ -893,14 +896,6 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                 # are necessarily clean (prior delete files cannot
                 # reference files that did not exist), so the diff is
                 # removed-masked-by-prior-coverage vs added.
-                if lineage:
-                    raise ValueError(
-                        "iceberg_py cdc stream: _row_id over a "
-                        "file-removing overwrite needs the batch "
-                        "changelog (changelog_df with_row_lineage) — "
-                        "the keyed update_before/after pairing is a "
-                        "distributed join"
-                    )
                 from datafusion_iceberg_spark.iceberg.table import (
                     _file_seq,
                 )
@@ -955,6 +950,15 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                     for p in sorted(removed_files)
                 ]
                 added_paths = [meta.localize(p) for p in sorted(added_files)]
+                # lineage: ship first_row_id for BOTH sides (removed
+                # files resolve through the PREVIOUS snapshot's
+                # manifests; frid_map above covers the new side)
+                frid_all = dict(frid_map)
+                if lineage:
+                    for p in removed_files:
+                        frid_all[meta.localize(p)] = prev_by_path[
+                            p
+                        ].first_row_id
                 n_buckets = max(1, int(self._ow_buckets))
                 for b in range(n_buckets):
                     parts.append(
@@ -968,6 +972,7 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                             prior_eq3,
                             b,
                             n_buckets,
+                            frid_map=frid_all if lineage else None,
                         )
                     )
                 continue
@@ -1233,16 +1238,42 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                     alive[i] = False
             return alive
 
-        def _read_aligned(pf, mask):
+        lineage = "_row_id" in arrow_schema.names
+
+        def _read_aligned(pf, mask, path):
             """One file as an Arrow table in the full column order
-            (missing columns null-filled, all cast to the plan types)."""
+            (missing columns null-filled, all cast to the plan types).
+            On lineage tables ``_row_id`` RESOLVES here — materialized
+            value when the file stores one, else first_row_id +
+            file-absolute position (same rule as attach_row_lineage) —
+            so carried rows cancel on identical ids and an update's
+            pre/post images share one."""
             names = set(pf.schema_arrow.names)
             tbl = pf.read(columns=[c for c in cols if c in names])
+            n = tbl.num_rows
+            pos = np.arange(n, dtype=np.int64)
             if mask is not None and not mask.all():
                 tbl = tbl.filter(pa.array(mask))
+                pos = pos[mask]
             arrays = []
             for f in table_fields:
-                if f.name in names:
+                if f.name == "_row_id" and lineage:
+                    frid = partition.frid_map.get(path)
+                    if frid is None:
+                        raise ValueError(
+                            f"row lineage: data file {path} has no "
+                            "first_row_id (written before "
+                            "write.row-lineage.enabled?)"
+                        )
+                    computed = pa.array(pos + int(frid), pa.int64())
+                    if f.name in names:
+                        mat = tbl.column(f.name).combine_chunks().cast(
+                            pa.int64()
+                        )
+                        arrays.append(pc.coalesce(mat, computed))
+                    else:
+                        arrays.append(computed)
+                elif f.name in names:
                     arrays.append(tbl.column(f.name).cast(f.type))
                 else:
                     arrays.append(pa.nulls(tbl.num_rows, f.type))
@@ -1297,12 +1328,12 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
         tables, signs = [], []
         for path, raw, fseq in partition.removed:
             pf = pq.ParquetFile(path)
-            t = _read_aligned(pf, _alive_mask(pf, raw, fseq))
+            t = _read_aligned(pf, _alive_mask(pf, raw, fseq), path)
             if t.num_rows:
                 tables.append(t)
                 signs.append(np.ones(t.num_rows, dtype=np.int64))
         for path in partition.added:
-            t = _read_aligned(pq.ParquetFile(path), None)
+            t = _read_aligned(pq.ParquetFile(path), None, path)
             if t.num_rows:
                 tables.append(t)
                 signs.append(-np.ones(t.num_rows, dtype=np.int64))
@@ -1311,10 +1342,18 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
         big = pa.concat_tables(tables)
         sign = np.concatenate(signs)
         keys = _canon_keys(big)
+        # bucket hash: full canonical row normally; the _row_id ALONE on
+        # lineage tables, so an update's pre/post images (same id,
+        # different values) land in ONE bucket and can pair
+        bucket_keys = (
+            [str(v) for v in big.column("_row_id").to_pylist()]
+            if lineage
+            else keys
+        )
         crc = np.fromiter(
-            (zlib.crc32(k.encode()) for k in keys),
+            (zlib.crc32(k.encode()) for k in bucket_keys),
             dtype=np.uint32,
-            count=len(keys),
+            count=len(bucket_keys),
         )
         idx = np.nonzero((crc % partition.n_buckets) == partition.bucket)[0]
         if idx.size == 0:
@@ -1325,8 +1364,6 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
         first = np.full(len(uniq), idx.size, dtype=np.int64)
         np.minimum.at(first, inv, np.arange(idx.size))
         rep = idx[first]  # one representative row position per key
-        del_take = np.repeat(rep, np.where(net > 0, net, 0))
-        ins_take = np.repeat(rep, np.where(net < 0, -net, 0))
 
         def _emit(take, attach):
             if take.size == 0:
@@ -1353,8 +1390,45 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                 schema=arrow_schema,
             )
 
-        yield from _emit(del_take, partition.attach_delete)
-        yield from _emit(ins_take, partition.attach_insert)
+        del_rep = np.where(net > 0, net, 0)
+        ins_rep = np.where(net < 0, -net, 0)
+        if lineage:
+            # a delete+insert pair sharing one _row_id at this snapshot
+            # is an UPDATE: rename into before/after images — the same
+            # rule as changelog_df's keyed window (table.py), decided
+            # bucket-locally because buckets partition by id
+            rep_ids = np.array(
+                big.column("_row_id").take(pa.array(rep, pa.int64()))
+                .to_pylist(),
+                dtype=object,
+            )
+            both = set(rep_ids[del_rep > 0]) & set(rep_ids[ins_rep > 0])
+            in_both = np.array(
+                [i in both for i in rep_ids], dtype=bool
+            )
+            yield from _emit(
+                np.repeat(rep, np.where(in_both, 0, del_rep)),
+                partition.attach_delete,
+            )
+            yield from _emit(
+                np.repeat(rep, np.where(in_both, del_rep, 0)),
+                {**partition.attach_delete, "_change_type": "update_before"},
+            )
+            yield from _emit(
+                np.repeat(rep, np.where(in_both, 0, ins_rep)),
+                partition.attach_insert,
+            )
+            yield from _emit(
+                np.repeat(rep, np.where(in_both, ins_rep, 0)),
+                {**partition.attach_insert, "_change_type": "update_after"},
+            )
+        else:
+            yield from _emit(
+                np.repeat(rep, del_rep), partition.attach_delete
+            )
+            yield from _emit(
+                np.repeat(rep, ins_rep), partition.attach_insert
+            )
 
     def _read_pos_delete(self, partition, arrow_schema):
         """Parquet position-delete CDC: read the fresh delete file,

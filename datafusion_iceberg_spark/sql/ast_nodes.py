@@ -229,7 +229,9 @@ class CreateMaterializedView(Statement):
     source_namespace: str
     source_table: str
     group_cols: "list[str]"
-    value_col: str
+    value_col: "str | None"
+    aggs: "tuple[str, ...]" = ("sum", "count")
+    where: "str | None" = None
 
 
 @dataclass
