@@ -563,6 +563,17 @@ class IcebergPyStreamReader(DataSourceStreamReader):
 
         return IcebergTable.load(self._root)
 
+    def _fids(self) -> dict:
+        """current top-level column name -> Iceberg field id, for
+        executor-side column resolution (pre-RENAME files store old
+        names).  One metadata load per deserialized reader, cached —
+        Python workers are reused across tasks."""
+        m = getattr(self, "_fids_cache", None)
+        if m is None:
+            m = self._load().metadata.field_ids_by_name()
+            self._fids_cache = m
+        return m
+
     def _ordinal_to_snapshot(self, table, ordinal: int) -> Optional[int]:
         for sid, o in table.metadata.snapshot_ordinals().items():
             if o == ordinal:
@@ -604,8 +615,11 @@ class IcebergPyStreamReader(DataSourceStreamReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(self._schema)
+        fids = getattr(partition, "fids", None)
         for path, attach, rgs in partition.chunks:
-            yield from _read_file(path, attach, arrow_schema, row_groups=rgs)
+            yield from _read_file(
+                path, attach, arrow_schema, row_groups=rgs, fids=fids
+            )
 
     def commit(self, end: dict) -> None:
         pass
@@ -1248,8 +1262,10 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
             file-absolute position (same rule as attach_row_lineage) —
             so carried rows cancel on identical ids and an update's
             pre/post images share one."""
-            names = set(pf.schema_arrow.names)
-            tbl = pf.read(columns=[c for c in cols if c in names])
+            cmap = _data_col_map(pf, cols, self._fids())
+            tbl = pf.read(
+                columns=sorted({v for v in cmap.values() if v is not None})
+            )
             n = tbl.num_rows
             pos = np.arange(n, dtype=np.int64)
             if mask is not None and not mask.all():
@@ -1266,15 +1282,15 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                             "write.row-lineage.enabled?)"
                         )
                     computed = pa.array(pos + int(frid), pa.int64())
-                    if f.name in names:
-                        mat = tbl.column(f.name).combine_chunks().cast(
+                    if cmap.get(f.name) is not None:
+                        mat = tbl.column(cmap[f.name]).combine_chunks().cast(
                             pa.int64()
                         )
                         arrays.append(pc.coalesce(mat, computed))
                     else:
                         arrays.append(computed)
-                elif f.name in names:
-                    arrays.append(tbl.column(f.name).cast(f.type))
+                elif cmap.get(f.name) is not None:
+                    arrays.append(tbl.column(cmap[f.name]).cast(f.type))
                 else:
                     arrays.append(pa.nulls(tbl.num_rows, f.type))
             return pa.Table.from_arrays(arrays, names=cols)
@@ -1546,15 +1562,16 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
     ):
         """Materialize the OLD images of ``delta`` positions from one
         target data file, with change columns and (on lineage tables)
-        per-row ``_row_id``."""
+        per-row ``_row_id``.  Data columns resolve by PARQUET:field_id
+        (r10 — pre-RENAME files read correctly, parity with to_df)."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         lineage = "_row_id" in arrow_schema.names
         pf = pq.ParquetFile(target_path)
-        file_cols = set(pf.schema_arrow.names)
-        want = [n for n in arrow_schema.names if n in file_cols]
+        cmap = _data_col_map(pf, arrow_schema.names, self._fids())
+        want = sorted({v for v in cmap.values() if v is not None})
         tbl = pf.read(columns=want).take(delta)
         cols = []
         for field in arrow_schema:
@@ -1567,18 +1584,20 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                     if first_row_id is not None
                     else pa.nulls(tbl.num_rows, pa.int64())
                 )
-                if "_row_id" in file_cols:
+                if cmap.get("_row_id") is not None:
                     # materialized id wins; positional fallback fills
                     # the file's fresh-insert null slots
-                    mat = tbl.column("_row_id").combine_chunks().cast(
+                    mat = tbl.column(cmap["_row_id"]).combine_chunks().cast(
                         pa.int64()
                     )
                     cols.append(pc.coalesce(mat, computed))
                 else:
                     cols.append(computed)
-            elif field.name in file_cols:
+            elif cmap.get(field.name) is not None:
                 cols.append(
-                    tbl.column(field.name).combine_chunks().cast(field.type)
+                    tbl.column(cmap[field.name])
+                    .combine_chunks()
+                    .cast(field.type)
                 )
             else:
                 val = attach.get(field.name)
@@ -1618,8 +1637,8 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
             for i, n in enumerate(rg_rows):
                 starts.append(acc)
                 acc += n
-            file_cols = set(pf.schema_arrow.names)
-            want = [n for n in arrow_schema.names if n in file_cols]
+            cmap = _data_col_map(pf, arrow_schema.names, self._fids())
+            want = sorted({v for v in cmap.values() if v is not None})
             for i in sel:
                 tbl = pf.read_row_group(i, columns=want)
                 base = starts[i]
@@ -1640,14 +1659,16 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                                 if frid is not None
                                 else pa.nulls(n, pa.int64())
                             )
-                            if "_row_id" in file_cols:
-                                mat = batch.column("_row_id").cast(pa.int64())
+                            if cmap.get("_row_id") is not None:
+                                mat = batch.column(cmap["_row_id"]).cast(
+                                    pa.int64()
+                                )
                                 cols.append(pc.coalesce(mat, computed))
                             else:
                                 cols.append(computed)
-                        elif field.name in file_cols:
+                        elif cmap.get(field.name) is not None:
                             cols.append(
-                                batch.column(field.name).cast(field.type)
+                                batch.column(cmap[field.name]).cast(field.type)
                             )
                         else:
                             val = attach.get(field.name)

@@ -1170,3 +1170,36 @@ def test_cdc_stream_lineage_over_cow_update(spark, tmp_path):
     # the DELETE stays a plain delete with its stable id
     dels = [r for r in rows.collect() if r["_change_type"] == "delete"]
     assert [(r["k"], r["v"]) for r in dels] == [(5, 50)]
+
+
+def test_cdc_stream_reads_renamed_history_by_field_id(spark, tmp_path):
+    """CDC old-image and diff reads resolve data columns by field id:
+    files written before RENAME COLUMN stream with the CURRENT name
+    (r10 — the same rule as batch to_df)."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    register_iceberg_datasource(spark)
+    cat = Catalog(str(tmp_path / "wh"), name="cdrn")
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k long, v long"
+    )
+    cat.create_table("c.t", df.schema)
+    cat.append("c.t", spark, df)           # files store 'v'
+    cat.rename_column("c.t", "v", "val")   # current name 'val'
+    cat.sql(spark, "DELETE FROM cdrn.c.t WHERE k = 2")  # COW overwrite diff
+    rows = _cdc_stream_rows(
+        spark,
+        str(tmp_path / "wh" / "c" / "t"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    got = {
+        (r["k"], r["val"], r["_change_type"], r["_change_ordinal"])
+        for r in rows.collect()
+    }
+    assert got == {
+        (1, 10, "insert", 0),
+        (2, 20, "insert", 0),
+        (3, 30, "insert", 0),
+        (2, 20, "delete", 1),
+    }
