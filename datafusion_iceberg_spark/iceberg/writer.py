@@ -824,7 +824,18 @@ class IcebergWriter:
                 "write.metadata.compression-codec", "none"
             )
         ).lower()
-        tmp = os.path.join(meta_dir, f".v{v}.metadata.json.{os.getpid()}.tmp")
+        # tmp name must be unique per THREAD, not just per process: two
+        # in-process writers racing on the same version would share a
+        # pid-only name — the winner's cleanup removes the loser's
+        # freshly-written tmp and the loser's os.link dies with
+        # FileNotFoundError instead of the CommitConflict retry (r10
+        # flake find: test_concurrent_append_optimistic_concurrency)
+        import threading as _threading
+
+        tmp = os.path.join(
+            meta_dir,
+            f".v{v}.metadata.json.{os.getpid()}.{_threading.get_ident()}.tmp",
+        )
         if codec == "gzip":
             import gzip
 
@@ -861,7 +872,10 @@ class IcebergWriter:
                 pass
         # version-hint last: readers see the new version only after the
         # metadata file is fully in place (single-FS atomic commit)
-        hint_tmp = os.path.join(meta_dir, f".version-hint.{os.getpid()}.tmp")
+        hint_tmp = os.path.join(
+            meta_dir,
+            f".version-hint.{os.getpid()}.{_threading.get_ident()}.tmp",
+        )
         with open(hint_tmp, "w") as fh:
             fh.write(str(v))
         os.rename(hint_tmp, os.path.join(meta_dir, "version-hint.text"))

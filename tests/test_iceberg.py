@@ -1434,8 +1434,10 @@ def test_concurrent_append_optimistic_concurrency(spark, sf_dir, scratch):
     def go(w, df):
         try:
             w.append(spark, df)
-        except Exception as e:  # pragma: no cover - diagnostic
-            errs.append(e)
+        except Exception:  # pragma: no cover - diagnostic
+            import traceback
+
+            errs.append(traceback.format_exc())
 
     t1 = threading.Thread(target=go, args=(w1, half1))
     t2 = threading.Thread(target=go, args=(w2, half2))
