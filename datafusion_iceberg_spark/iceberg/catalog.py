@@ -27,6 +27,36 @@ from datafusion_iceberg_spark.iceberg.writer import IcebergWriter
 Relation = Union[IcebergTable, IcebergView]
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except (OverflowError, ValueError, OSError):
+        return False
+    return True
+
+
+def _rel_token(rel) -> tuple:
+    """Cheap version identity for a relation: changes whenever the
+    table/view advances (snapshot, schema, view version).  Used to
+    re-register temp views whose backing relation moved since the last
+    attach (statement-scoped attach must not serve stale plans through
+    indirectly-referencing session views)."""
+    raw = getattr(getattr(rel, "metadata", None), "raw", None)
+    if raw is None:
+        raw = getattr(rel, "raw", {}) or {}
+    return (
+        raw.get("current-snapshot-id"),
+        raw.get("last-updated-ms"),
+        raw.get("last-sequence-number"),
+        raw.get("current-schema-id"),
+        raw.get("current-version-id"),
+    )
+
+
 class SqlSurface:
     """SQL entry shared by every catalog flavor (filesystem Catalog and
     the REST mirror): 3-part name rewriting with literal/comment safety,
@@ -327,7 +357,25 @@ class SqlSurface:
         out = dml.try_execute(self, spark, query)
         if out is not None:
             return out
-        self.attach(spark, keys=self._referenced_keys(query))
+        keys = set(self._referenced_keys(query))
+        # ALSO re-register any previously-attached relation whose backing
+        # version moved since its registration: a session view derived
+        # from ns_t (CREATE TEMP VIEW x AS SELECT ... FROM ns_t) carries
+        # no token matching ns.t, so the reference matcher alone would
+        # leave x resolving against the file list frozen at the earlier
+        # attach (r10 review find)
+        known = None
+        for k, tok in list(getattr(self, "_attached_tokens", {}).items()):
+            if k in keys:
+                continue
+            rel = self._mirror.get(k)
+            if rel is not None and _rel_token(rel) == tok:
+                continue  # unchanged since registration
+            if known is None:
+                known = set(self._relation_keys())
+            if k in known:
+                keys.add(k)  # changed (or lazily evicted): refresh it
+        self.attach(spark, keys=sorted(keys))
         query = self._rewrite_metadata_tables(spark, query)
         query = self._rewrite_time_travel(spark, query)
 
@@ -577,9 +625,39 @@ class LocalTransaction:
                 for ident in sorted(self._pending)
             }
         )
-        # phase 2: land the folded metadata, one version per table
-        for ident in sorted(self._pending):
-            plain[ident]._commit_metadata(self._pending[ident])
+        # phase 2: land the folded metadata, one version per table.  A
+        # LIVE failure cleans up its own intent: nothing landed → the
+        # manifest is removed and the conflict surfaces as a clean abort
+        # (no poisoned warehouse, r10 review find); some landed → the
+        # manifest is REWRITTEN to the unfinished tail so the next
+        # catalog load rolls the genuinely torn remainder forward.
+        landed: list[str] = []
+        try:
+            for ident in sorted(self._pending):
+                plain[ident]._commit_metadata(self._pending[ident])
+                landed.append(ident)
+        except BaseException:
+            if not landed:
+                os.remove(txn_path)
+            else:
+                remaining = {
+                    ident: {
+                        "target_version": plain[ident]._loaded_version + 1,
+                        "metadata": self._pending[ident],
+                    }
+                    for ident in sorted(self._pending)
+                    if ident not in landed
+                }
+                new_path = self._cat._write_txn_intent(remaining)
+                os.remove(txn_path)
+                import warnings
+
+                warnings.warn(
+                    f"multi-table transaction tore after {landed}: the "
+                    f"unfinished tail is recorded in {new_path} and rolls "
+                    "forward on the next catalog load"
+                )
+            raise
         os.remove(txn_path)  # every table landed: intent fulfilled
         for ident in sorted(self._pending):
             rel = self._cat._mirror.get(ident)
@@ -631,11 +709,20 @@ class Catalog(SqlSurface):
         import json as _json
         import uuid as _uuid
 
+        import time as _time
+
         os.makedirs(self._txn_dir(), exist_ok=True)
         path = os.path.join(self._txn_dir(), f"txn-{_uuid.uuid4()}.json")
         tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w") as fh:
-            _json.dump({"tables": tables}, fh)
+            _json.dump(
+                {
+                    "tables": tables,
+                    "pid": os.getpid(),
+                    "created-ms": int(_time.time() * 1000),
+                },
+                fh,
+            )
         os.replace(tmp, path)
         return path
 
@@ -662,6 +749,16 @@ class Catalog(SqlSurface):
                 with open(path) as fh:
                     manifest = _json.load(fh)
             except (OSError, ValueError):
+                continue
+            # ownership/liveness: a manifest whose writing PROCESS is
+            # still alive belongs to an in-flight transaction — rolling
+            # it forward would make a mere reader commit another
+            # process's data and the live committer report failure (r10
+            # review find).  Same-host check (the filesystem catalog is
+            # single-host by construction); a reused pid delays recovery
+            # to the next load, it never corrupts.
+            pid = manifest.get("pid")
+            if pid is not None and _pid_alive(int(pid)):
                 continue
             for ident, entry in sorted(manifest.get("tables", {}).items()):
                 target = int(entry["target_version"])
@@ -1642,6 +1739,8 @@ class Catalog(SqlSurface):
         items = sorted(
             wanted, key=lambda kv: isinstance(kv[1], IcebergView)
         )
+        if not hasattr(self, "_attached_tokens"):
+            self._attached_tokens: dict = {}
         for key, rel in items:
             ns, bare = key.split(".", 1)
             df = rel.to_df(spark)
@@ -1650,6 +1749,7 @@ class Catalog(SqlSurface):
                 if 0 < stats.get("total_bytes", 0) < self.BROADCAST_BYTES:
                     df = df.hint("broadcast")
             df.createOrReplaceTempView(f"{ns}_{bare}")
+            self._attached_tokens[key] = _rel_token(rel)
             # bare-name convenience view ONLY when it would not shadow an
             # existing temp view: the session may already expose a base
             # table under this name (the harness does for every testdata

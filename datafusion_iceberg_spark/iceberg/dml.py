@@ -323,6 +323,7 @@ def _exec_create_mv(
             if getattr(s, "where", None)
             else None
         ),
+        colnames=list(getattr(s, "agg_aliases", ()) or ()) or None,
     )
     return _result(spark, "create_materialized_view", ident, None)
 

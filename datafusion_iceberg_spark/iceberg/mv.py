@@ -50,6 +50,7 @@ def create_aggregate_mv(
     refresh: bool = True,
     where: Optional[str] = None,
     aggs: Optional[list] = None,
+    colnames: Optional[list] = None,
 ) -> Optional[dict]:
     """Create (and optionally immediately refresh) an aggregate MV.
 
@@ -71,6 +72,16 @@ def create_aggregate_mv(
         )
     if any(a in aggs for a in ("sum", "min", "max")) and not value_col:
         raise ValueError("SUM/MIN/MAX need a measure column")
+    # per-aggregate stored column names: SQL aliases override the
+    # defaults (an accepted-then-dropped alias would strand the user's
+    # follow-up SELECT <alias>, r10 review find)
+    names = _agg_colnames(aggs, colnames)
+    collide = set(names.values()) & set(group_cols)
+    if collide or len(set(names.values())) != len(names):
+        raise ValueError(
+            f"MV aggregate column names must be distinct from each other "
+            f"and from the group columns (got {sorted(names.values())})"
+        )
     src_meta = cat.load(source_ident).metadata
     by_name = {f.name: f for f in src_meta.struct_type().fields}
     need = list(group_cols) + ([value_col] if value_col else [])
@@ -81,18 +92,23 @@ def create_aggregate_mv(
         T.StructField(c, by_name[c].dataType, True) for c in group_cols
     ]
     if "sum" in aggs:
-        fields.append(T.StructField("sum_micros", T.LongType(), True))
+        fields.append(T.StructField(names["sum"], T.LongType(), True))
     # cnt ALWAYS stored: the zero-trim (group disappears when its last
     # row retracts) rides it regardless of the requested aggregates
-    fields.append(T.StructField("cnt", T.LongType(), True))
+    fields.append(T.StructField(names["count"], T.LongType(), True))
     if "min" in aggs:
-        fields.append(T.StructField("min_v", by_name[value_col].dataType, True))
+        fields.append(
+            T.StructField(names["min"], by_name[value_col].dataType, True)
+        )
     if "max" in aggs:
-        fields.append(T.StructField("max_v", by_name[value_col].dataType, True))
+        fields.append(
+            T.StructField(names["max"], by_name[value_col].dataType, True)
+        )
     props = {
         "mv.source": source_ident,
         "mv.group-cols": ",".join(group_cols),
         "mv.aggs": ",".join(aggs),
+        "mv.colnames": ",".join(names[a] for a in aggs),
         "mv.source-snapshot-id": "-1",
     }
     if value_col:
@@ -103,6 +119,26 @@ def create_aggregate_mv(
     if refresh:
         return refresh_aggregate_mv(cat, spark, mv_ident)
     return None
+
+
+_DEFAULT_COLNAMES = {
+    "sum": "sum_micros",
+    "count": "cnt",
+    "min": "min_v",
+    "max": "max_v",
+}
+
+
+def _agg_colnames(aggs: list, colnames: Optional[list] = None) -> dict:
+    """agg -> stored MV column name.  ``colnames`` aligns positionally
+    with ``aggs`` (None entries keep the default).  ``count`` always has
+    a name even when not requested — the zero-trim needs the row count."""
+    out = dict(_DEFAULT_COLNAMES)
+    for i, a in enumerate(aggs):
+        alias = colnames[i] if colnames and i < len(colnames) else None
+        if alias:
+            out[a] = alias
+    return out
 
 
 def _refreshed_through(mv_meta, src_meta) -> int:
@@ -150,6 +186,10 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     group_cols = props["mv.group-cols"].split(",")
     value_col = props.get("mv.value-col")
     aggs = props.get("mv.aggs", "sum,count").split(",")
+    stored = props.get("mv.colnames")
+    names = _agg_colnames(aggs, stored.split(",") if stored else None)
+    c_sum, c_cnt = names["sum"], names["count"]
+    c_min, c_max = names["min"], names["max"]
     where = props.get("mv.where")
     src_rel = cat.load(source_ident)
     last = _refreshed_through(mv_meta, src_rel.metadata)
@@ -170,7 +210,7 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
-    agg_exprs = [F.sum(sign).alias("cnt")]
+    agg_exprs = [F.sum(sign).alias(c_cnt)]
     if "sum" in aggs:
         micros = (
             F.floor(F.col(value_col) * 1000000 + 0.5).cast("long")
@@ -180,16 +220,16 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
             )
             else F.col(value_col).cast("long") * 1000000
         )
-        agg_exprs.append(F.sum(sign * micros).alias("sum_micros"))
+        agg_exprs.append(F.sum(sign * micros).alias(c_sum))
     minmax = [a for a in aggs if a in ("min", "max")]
     if minmax:
         # window extrema over INSERTED rows merge incrementally;
         # retraction anywhere in a group forces that group's recompute
         ins_val = F.when(F.col("_change_type") == "insert", F.col(value_col))
         if "min" in aggs:
-            agg_exprs.append(F.min(ins_val).alias("min_v"))
+            agg_exprs.append(F.min(ins_val).alias(c_min))
         if "max" in aggs:
-            agg_exprs.append(F.max(ins_val).alias("max_v"))
+            agg_exprs.append(F.max(ins_val).alias(c_max))
         agg_exprs.append(
             F.max(
                 F.when(F.col("_change_type") != "insert", F.lit(1)).otherwise(
@@ -198,10 +238,14 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
             ).alias("_retracted")
         )
     deltas = log.groupBy(*group_cols).agg(*agg_exprs)
-    sel = [F.col(c) for c in group_cols] + [F.col("cnt").cast("long").alias("cnt")]
+    sel = [F.col(c) for c in group_cols] + [
+        F.col(c_cnt).cast("long").alias(c_cnt)
+    ]
     if "sum" in aggs:
-        sel.insert(len(group_cols), F.col("sum_micros").cast("long").alias("sum_micros"))
-    for c in ("min_v", "max_v"):
+        sel.insert(
+            len(group_cols), F.col(c_sum).cast("long").alias(c_sum)
+        )
+    for c in (c_min, c_max):
         if c in deltas.columns:
             sel.append(F.col(c))
     if minmax:
@@ -229,16 +273,16 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
         deltas = deltas.join(recomputed, on=group_cols, how="left")
         if "min" in aggs:
             deltas = deltas.withColumn(
-                "min_v",
+                c_min,
                 F.when(F.col("_retracted") == 1, F.col("_re_min")).otherwise(
-                    F.col("min_v")
+                    F.col(c_min)
                 ),
             ).drop("_re_min")
         if "max" in aggs:
             deltas = deltas.withColumn(
-                "max_v",
+                c_max,
                 F.when(F.col("_retracted") == 1, F.col("_re_max")).otherwise(
-                    F.col("max_v")
+                    F.col(c_max)
                 ),
             ).drop("_re_max")
     deltas = deltas.cache()  # one changelog scan feeds count AND merge
@@ -246,21 +290,21 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     if applied:
         from datafusion_iceberg_spark.iceberg.writer import MergeClause
 
-        assignments = {"cnt": "t.cnt + src.cnt"}
+        assignments = {c_cnt: f"t.{c_cnt} + src.{c_cnt}"}
         if "sum" in aggs:
-            assignments["sum_micros"] = "t.sum_micros + src.sum_micros"
+            assignments[c_sum] = f"t.{c_sum} + src.{c_sum}"
         if "min" in aggs:
             # absolute on retraction (recomputed), else fold the window
             # extremum in (LEAST skips NULL: an insert-free window keeps
             # the stored value)
-            assignments["min_v"] = (
-                "CASE WHEN src._retracted = 1 THEN src.min_v "
-                "ELSE LEAST(t.min_v, src.min_v) END"
+            assignments[c_min] = (
+                f"CASE WHEN src._retracted = 1 THEN src.{c_min} "
+                f"ELSE LEAST(t.{c_min}, src.{c_min}) END"
             )
         if "max" in aggs:
-            assignments["max_v"] = (
-                "CASE WHEN src._retracted = 1 THEN src.max_v "
-                "ELSE GREATEST(t.max_v, src.max_v) END"
+            assignments[c_max] = (
+                f"CASE WHEN src._retracted = 1 THEN src.{c_max} "
+                f"ELSE GREATEST(t.{c_max}, src.{c_max}) END"
             )
         mv_cols = [
             f.name for f in cat.load(mv_ident).metadata.struct_type().fields
@@ -275,12 +319,12 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
             group_cols if len(group_cols) > 1 else group_cols[0],
             clauses=[
                 MergeClause(
-                    "matched", "t.cnt + src.cnt = 0", "delete"
+                    "matched", f"t.{c_cnt} + src.{c_cnt} = 0", "delete"
                 ),
                 MergeClause("matched", None, "update", assignments=assignments),
                 MergeClause(
                     "not_matched",
-                    "src.cnt <> 0",
+                    f"src.{c_cnt} <> 0",
                     "insert",
                     insert_cols=mv_cols,
                     insert_values=[f"src.{c}" for c in mv_cols],
@@ -298,9 +342,14 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
 
 def mv_df(cat, spark: SparkSession, mv_ident: str) -> DataFrame:
     """The MV contents, SUM rescaled back to its unit when present."""
-    df = cat.load(mv_ident).to_df(spark)
-    if "sum_micros" in df.columns:
+    rel = cat.load(mv_ident)
+    props = rel.metadata.properties
+    aggs = props.get("mv.aggs", "sum,count").split(",")
+    stored = props.get("mv.colnames")
+    c_sum = _agg_colnames(aggs, stored.split(",") if stored else None)["sum"]
+    df = rel.to_df(spark)
+    if c_sum in df.columns:
         df = df.withColumn(
-            "total", (F.col("sum_micros").cast("double") / 1000000)
+            "total", (F.col(c_sum).cast("double") / 1000000)
         )
     return df

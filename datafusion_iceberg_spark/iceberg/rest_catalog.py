@@ -855,20 +855,6 @@ class RestCatalog(SqlSurface):
             ),
         )
 
-    def publish_changes(self, ident: str, wap_id) -> int:
-        """``CALL publish_changes``: cherry-pick the staged wap.id
-        snapshot onto main, committed through the service."""
-        return self._commit_op(
-            ident,
-            lambda: self.writer(ident).publish_changes(str(wap_id)),
-        )
-
-    def cherrypick_snapshot(self, ident: str, snapshot_id: int) -> int:
-        return self._commit_op(
-            ident,
-            lambda: self.writer(ident).cherrypick_snapshot(int(snapshot_id)),
-        )
-
     def overwrite(
         self, ident: str, spark: SparkSession, df: DataFrame
     ) -> int:
@@ -1047,6 +1033,8 @@ class RestCatalog(SqlSurface):
         )
 
     def publish_changes(self, ident: str, wap_id) -> int:
+        """``CALL publish_changes``: cherry-pick the staged wap.id
+        snapshot onto main, committed through the service."""
         return self._commit_op(
             ident, lambda: self.writer(ident).publish_changes(str(wap_id))
         )
@@ -1086,15 +1074,18 @@ class RestCatalog(SqlSurface):
     # -- Spark integration --------------------------------------------------
 
     def attach(self, spark: SparkSession, keys=None) -> None:
-        from datafusion_iceberg_spark.iceberg.view import IcebergView
+        from datafusion_iceberg_spark.iceberg.catalog import _rel_token
 
         wanted = self._relation_keys() if keys is None else list(keys)
         # tables first, then views (a view's SQL references the tables)
         wanted.sort(key=lambda k: self._known.get(k) == "view")
+        if not hasattr(self, "_attached_tokens"):
+            self._attached_tokens = {}
         for key in wanted:
             rel = self._resolve(key)
             ns, bare = key.rsplit(".", 1)
             rel.to_df(spark).createOrReplaceTempView(f"{ns}_{bare}")
+            self._attached_tokens[key] = _rel_token(rel)
 
     # sql() comes from SqlSurface (3-part rewrite, time travel, $meta)
 

@@ -5054,12 +5054,12 @@ class IcebergWriter:
             .get("properties", {})
             .get("write.overwrite.dynamic.max-partitions", 4096)
         )
-        n_parts = distinct_parts.count()
-        if n_parts > cap:
+        collected = distinct_parts.limit(cap + 1).collect()
+        if len(collected) > cap:
             raise ValueError(
-                f"dynamic partition overwrite would replace {n_parts} "
-                f"partitions (> write.overwrite.dynamic.max-partitions="
-                f"{cap}); use overwrite() for a full-table replace or "
+                f"dynamic partition overwrite would replace more than "
+                f"write.overwrite.dynamic.max-partitions={cap} distinct "
+                "partitions; use overwrite() for a full-table replace or "
                 "raise the table property"
             )
         # Collected identity values arrive in Python types (datetime.date,
@@ -5073,7 +5073,7 @@ class IcebergWriter:
                 self._to_manifest_domain(fname, v)
                 for (_, _, fname), v in zip(self.spec_entries, r)
             )
-            for r in distinct_parts.collect()
+            for r in collected
         }
         table = self._load_table()
         all_files = table.files()

@@ -193,17 +193,19 @@ def _resolve_key_cols(pf, kids, knames) -> list:
     return [n if n in names else None for n in knames]
 
 
-def _eq_dead_positions(pf, specs) -> set:
+def _eq_dead_positions(pf, specs, column_cache=None) -> set:
     """Row positions in ``pf`` matched by the equality-delete specs
     ``[(path, key_field_ids, current_key_names)]`` — key columns
     resolved per-file by field id on BOTH sides (the delete parquet too:
     it carries the names current at ITS write time).  Matching is
-    null-safe Python tuple equality, same as the batch anti-join."""
+    null-safe Python tuple equality, same as the batch anti-join.
+    ``column_cache`` (dict) shares decoded data columns across calls so
+    a caller probing prior AND fresh specs reads each column once."""
     import pyarrow.parquet as pq
 
     out: set = set()
     resolved = []
-    union_cols: dict = {}
+    cache = column_cache if column_cache is not None else {}
     for spec_path, kids, knames in specs:
         data_cols = _resolve_key_cols(pf, kids, knames)
         if any(c is None for c in data_cols):
@@ -220,12 +222,15 @@ def _eq_dead_positions(pf, specs) -> set:
             continue
         keyset = set(zip(*(keys.column(c).to_pylist() for c in del_cols)))
         resolved.append((data_cols, keyset))
-        for c in data_cols:
-            union_cols[c] = None
     if not resolved:
         return out
-    data = pf.read(columns=list(union_cols))
-    cache = {c: data.column(c).to_pylist() for c in union_cols}
+    missing = sorted(
+        {c for data_cols, _ in resolved for c in data_cols} - set(cache)
+    )
+    if missing:
+        data = pf.read(columns=missing)
+        for c in missing:
+            cache[c] = data.column(c).to_pylist()
     for data_cols, keyset in resolved:
         for i, v in enumerate(zip(*(cache[c] for c in data_cols))):
             if v in keyset:
@@ -1538,12 +1543,15 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                 if 0 <= pos < n:
                     alive[pos] = False
         # key columns resolve per-file by PARQUET:field_id on both the
-        # data and the delete parquet (pre-RENAME files store old names)
-        for i in _eq_dead_positions(pf, partition.prior_eq):
+        # data and the delete parquet (pre-RENAME files store old names);
+        # the shared cache reads each data key column ONCE across the
+        # prior and fresh passes
+        col_cache: dict = {}
+        for i in _eq_dead_positions(pf, partition.prior_eq, col_cache):
             if i < n:
                 alive[i] = False
         matched = np.zeros(n, dtype=bool)
-        for i in _eq_dead_positions(pf, partition.fresh_specs):
+        for i in _eq_dead_positions(pf, partition.fresh_specs, col_cache):
             if i < n and alive[i]:
                 matched[i] = True
         delta = [int(i) for i in np.nonzero(matched)[0]]

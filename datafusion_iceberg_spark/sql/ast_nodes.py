@@ -232,6 +232,7 @@ class CreateMaterializedView(Statement):
     value_col: "str | None"
     aggs: "tuple[str, ...]" = ("sum", "count")
     where: "str | None" = None
+    agg_aliases: "tuple" = ()
 
 
 @dataclass

@@ -612,6 +612,7 @@ def _parse_create(p: _P) -> A.Statement:
         sel_cols: list[str] = []
         value_col = None
         aggs: list[str] = []
+        aliases: list = []
         while True:
             matched_agg = None
             for kw in ("SUM", "COUNT", "MIN", "MAX"):
@@ -631,8 +632,12 @@ def _parse_create(p: _P) -> A.Statement:
                         )
                     value_col = col
                 p.expect_op(")")
-                if p.accept_kw("AS"):
-                    p.ident("alias")
+                # an alias names the STORED MV column (default
+                # sum_micros/cnt/min_v/max_v) — accepted-and-dropped
+                # would strand the user's follow-up SELECT <alias>
+                aliases.append(
+                    p.ident("alias") if p.accept_kw("AS") else None
+                )
                 aggs.append(matched_agg)
             else:
                 if aggs:
@@ -664,7 +669,15 @@ def _parse_create(p: _P) -> A.Statement:
                 f"MV SELECT columns {sel_cols} must equal GROUP BY {gb}"
             )
         return A.CreateMaterializedView(
-            ns, tbl, sns, stbl, gb, value_col, aggs=tuple(aggs), where=where
+            ns,
+            tbl,
+            sns,
+            stbl,
+            gb,
+            value_col,
+            aggs=tuple(aggs),
+            where=where,
+            agg_aliases=tuple(aliases),
         )
     if p.accept_kw("VIEW"):
         ns, tbl = p.catalog_target()

@@ -100,6 +100,22 @@ def test_abort_on_exception(spark, scratch):
     assert _state(cat, spark, "t.a") == {1: 10}
 
 
+def _mark_dead_owner(txn_path):
+    """Recovery skips manifests whose owner pid is alive; a simulated
+    crash must therefore rewrite the pid to one that is DEAD (a reaped
+    child's)."""
+    import json
+    import subprocess
+
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    with open(txn_path) as fh:
+        m = json.load(fh)
+    m["pid"] = proc.pid
+    with open(txn_path, "w") as fh:
+        json.dump(m, fh)
+
+
 def test_crash_between_commits_rolls_forward_on_reload(spark, scratch):
     """VERDICT r9 #7: an intent manifest written before the commit loop
     makes a crash between table commits recoverable — the next
@@ -134,6 +150,7 @@ def test_crash_between_commits_rolls_forward_on_reload(spark, scratch):
     )
     plain["ns.a"]._commit_metadata(txn._pending["ns.a"])  # crash here
     assert os.path.exists(txn_path)
+    _mark_dead_owner(txn_path)  # the "crashed" process is gone
 
     # a fresh catalog load recovers: BOTH tables show the transaction
     cat2 = Catalog(wh)
@@ -175,10 +192,36 @@ def test_foreign_commit_blocks_roll_forward(spark, scratch):
     )  # any full metadata dict works as a stand-in
     staged["last-updated-ms"] = 1  # differs from whatever lands
     v = cat.writer("ns.a")._current_version()
-    cat._write_txn_intent(
+    p = cat._write_txn_intent(
         {"ns.a": {"target_version": v + 1, "metadata": staged}}
     )
     # foreign commit takes v+1 first
     cat.append("ns.a", spark, _rows(spark, [(9, 90)]))
+    # while the owner process is ALIVE the manifest is skipped (it may
+    # be an in-flight transaction) — reads keep working
+    assert Catalog(wh).load("ns.a") is not None
+    _mark_dead_owner(p)
     with pytest.raises(RuntimeError, match="foreign commit"):
         Catalog(wh)
+
+
+def test_live_conflict_cleans_up_intent(spark, scratch):
+    """A CommitConflict in the live commit loop with NOTHING landed
+    removes the intent manifest — the warehouse stays loadable and the
+    conflict surfaces as a clean abort (r10 review find)."""
+    import glob
+
+    wh = os.path.join(scratch, "wh")
+    cat = Catalog(wh)
+    cat.create_table("ns.a", _rows(spark, [(1, 10)]).schema)
+    cat.append("ns.a", spark, _rows(spark, [(1, 10)]))
+    txn = cat.transaction()
+    txn.append("ns.a", spark, _rows(spark, [(2, 20)]))
+    # concurrent writer advances the table between validation and commit:
+    # monkey-steal the version by committing through a second catalog
+    Catalog(wh).append("ns.a", spark, _rows(spark, [(9, 90)]))
+    with pytest.raises(CommitConflict):
+        txn.commit()
+    assert not glob.glob(os.path.join(wh, ".txn", "txn-*.json"))
+    # warehouse loads fine; the foreign append survived, the txn didn't
+    assert _state(Catalog(wh), spark, "ns.a") == {1: 10, 9: 90}

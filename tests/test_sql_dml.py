@@ -1058,8 +1058,9 @@ def test_mv_where_count_sql(spark, tmp_path):
     )
 
     def got():
+        # the alias in the MV SQL names the stored column (r10)
         return {
-            (r.g, r.cnt)
+            (r.g, r.n)
             for r in cat.load("m.big").to_df(spark).collect()
         }
 
@@ -1145,3 +1146,27 @@ def test_mv_sql_shape_refusals(spark, tmp_path):
             "CREATE MATERIALIZED VIEW mvr.m.bad AS "
             "SELECT g, AVG(x) FROM mvr.m.src GROUP BY g",
         )
+
+
+def test_derived_session_view_sees_catalog_writes(spark, tmp_path):
+    """Statement-scoped attach must re-register a previously-attached
+    relation whose backing version moved: a session view derived from
+    ns_t carries no token matching ns.t, so without the staleness check
+    it would serve the file list frozen at the first attach (r10 review
+    find)."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(os.path.join(str(tmp_path), "wh"), name="stale")
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    cat.create_table("ns.t", df.schema)
+    cat.append("ns.t", spark, df)
+    assert cat.sql(spark, "SELECT COUNT(*) AS n FROM stale.ns.t").first().n == 1
+    # derived session view referencing only the FLAT name
+    spark.sql("CREATE OR REPLACE TEMP VIEW derived AS SELECT * FROM ns_t")
+    cat.append("ns.t", spark, spark.createDataFrame([(2, 20)], df.schema))
+    # 'derived' contains no ns.t-shaped token -> the staleness check, not
+    # the reference matcher, must trigger the re-attach
+    got = cat.sql(spark, "SELECT COUNT(*) AS n FROM derived").first().n
+    assert got == 2
