@@ -251,42 +251,51 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     if minmax:
         sel.append(F.col("_retracted"))
     deltas = deltas.select(*sel)
-    if minmax:
+    deltas = deltas.cache()  # one changelog scan feeds count AND merge
+    applied = deltas.count()
+    if minmax and applied:
         # recompute-on-retraction fallback (VERDICT r9 #4): groups whose
         # window retracted rows get their TRUE extrema from the current
         # source, restricted to exactly those groups (broadcast-sized
-        # semi set per window) — insert-only groups never pay this
-        src_df = src.to_df(spark)
-        if where:
-            src_df = src_df.filter(F.expr(where))
-        re_aggs = []
-        if "min" in aggs:
-            re_aggs.append(F.min(value_col).alias("_re_min"))
-        if "max" in aggs:
-            re_aggs.append(F.max(value_col).alias("_re_max"))
+        # semi set per window).  Insert-only windows skip the branch
+        # ENTIRELY — no source scan even in the plan (the probe rides
+        # the cached deltas, one metadata-cheap job)
         touched = deltas.filter(F.col("_retracted") == 1).select(*group_cols)
-        recomputed = (
-            src_df.join(F.broadcast(touched), on=group_cols, how="left_semi")
-            .groupBy(*group_cols)
-            .agg(*re_aggs)
-        )
-        deltas = deltas.join(recomputed, on=group_cols, how="left")
-        if "min" in aggs:
-            deltas = deltas.withColumn(
-                c_min,
-                F.when(F.col("_retracted") == 1, F.col("_re_min")).otherwise(
-                    F.col(c_min)
-                ),
-            ).drop("_re_min")
-        if "max" in aggs:
-            deltas = deltas.withColumn(
-                c_max,
-                F.when(F.col("_retracted") == 1, F.col("_re_max")).otherwise(
-                    F.col(c_max)
-                ),
-            ).drop("_re_max")
-    deltas = deltas.cache()  # one changelog scan feeds count AND merge
-    applied = deltas.count()
+        if touched.limit(1).count():
+            src_df = src.to_df(spark)
+            if where:
+                src_df = src_df.filter(F.expr(where))
+            re_aggs = []
+            if "min" in aggs:
+                re_aggs.append(F.min(value_col).alias("_re_min"))
+            if "max" in aggs:
+                re_aggs.append(F.max(value_col).alias("_re_max"))
+            recomputed = (
+                src_df.join(
+                    F.broadcast(touched), on=group_cols, how="left_semi"
+                )
+                .groupBy(*group_cols)
+                .agg(*re_aggs)
+            )
+            enriched = deltas.join(recomputed, on=group_cols, how="left")
+            if "min" in aggs:
+                enriched = enriched.withColumn(
+                    c_min,
+                    F.when(
+                        F.col("_retracted") == 1, F.col("_re_min")
+                    ).otherwise(F.col(c_min)),
+                ).drop("_re_min")
+            if "max" in aggs:
+                enriched = enriched.withColumn(
+                    c_max,
+                    F.when(
+                        F.col("_retracted") == 1, F.col("_re_max")
+                    ).otherwise(F.col(c_max)),
+                ).drop("_re_max")
+            old_deltas = deltas
+            deltas = enriched.cache()
+            deltas.count()  # materialize before dropping the input cache
+            old_deltas.unpersist()
     if applied:
         from datafusion_iceberg_spark.iceberg.writer import MergeClause
 
