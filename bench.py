@@ -98,6 +98,8 @@ HEADLINE = [
     # round-10 additions
     "iceberg_mv_where_count_scan",
     "stream_cdc_lineage_overwrite",
+    "iceberg_ds_projected_scan",
+    "iceberg_pyds_rename_scan",
 ]
 
 
