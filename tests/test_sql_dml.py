@@ -1170,3 +1170,22 @@ def test_derived_session_view_sees_catalog_writes(spark, tmp_path):
     # the reference matcher, must trigger the re-attach
     got = cat.sql(spark, "SELECT COUNT(*) AS n FROM derived").first().n
     assert got == 2
+
+
+def test_attach_fallback_recovers_matcher_miss(spark, tmp_path, monkeypatch):
+    """If a spelling ever slips past the reference matcher, the one-shot
+    full-attach fallback on TABLE_OR_VIEW_NOT_FOUND must still resolve
+    the statement (simulated by blanking the matcher)."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(os.path.join(str(tmp_path), "wh"), name="fb")
+    df = spark.createDataFrame([(1, 10)], "k long, v long")
+    cat.create_table("fbns.fbt", df.schema)
+    cat.append("fbns.fbt", spark, df)
+    monkeypatch.setattr(
+        type(cat), "_referenced_keys", lambda self, q: []
+    )
+    got = cat.sql(spark, "SELECT COUNT(*) AS n FROM fbns_fbt").first().n
+    assert got == 1
