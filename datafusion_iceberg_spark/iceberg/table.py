@@ -1077,6 +1077,12 @@ class IcebergTable:
         return out
 
 
+# delete-position count below which the anti-join's delete side
+# broadcasts (manifest-known cardinality; ~100 bytes/row worst case →
+# ≲100 MB broadcast, well under executor memory at cluster scale)
+_DELETE_BROADCAST_ROWS = 1_000_000
+
+
 def _apply_position_deletes(
     spark: SparkSession,
     meta: TableMetadata,
@@ -1086,10 +1092,18 @@ def _apply_position_deletes(
 ) -> DataFrame:
     """Anti-join the scan against position-delete rows on (file, pos).
     Paths normalize to scheme-less absolutes on both sides (_metadata
-    yields file:// URIs; manifests record localized paths).  No explicit
-    broadcast hint: the delete side's size is known to Spark from its
-    parquet footprint, so AQE/autoBroadcast picks broadcast for the
-    common small-delete case and a shuffle join when deletes are huge.
+    yields file:// URIs; manifests record localized paths).
+
+    Join strategy (r10): parquet-backed delete sides carry stats, but a
+    DECODED DV frame is a mapInPandas RDD Spark sizes as unknown — the
+    planner then SHUFFLES the whole fact side into a sort-merge anti
+    join (measured: the dominant cost of a 1.5M-row DV-masked scan).
+    The manifests already know the exact delete cardinality
+    (record_count per delete entry = DV cardinality for v3 blobs), so
+    when the summed count is under ``_DELETE_BROADCAST_ROWS`` the delete
+    side gets an explicit broadcast hint: zero fact-side shuffle, the
+    plan a 1000-executor cluster wants for CDC-scale deletes.  Unknown
+    or huge counts keep the shuffle join (correct for massive purges).
 
     Sequence fidelity (v2 spec): a position delete applies only to data
     files whose data sequence number is <= the delete's.  Path equality
@@ -1147,6 +1161,14 @@ def _apply_position_deletes(
         )
     else:
         pos = pos.select("_del_file", "_del_pos")
+    total_rows = 0
+    for d in deletes:
+        if d.record_count is None:
+            total_rows = None
+            break
+        total_rows += int(d.record_count)
+    if total_rows is not None and total_rows <= _DELETE_BROADCAST_ROWS:
+        pos = F.broadcast(pos)
     cond = (
         F.regexp_replace(df["_ice_file"], "^file:/*", "/") == pos["_del_file"]
     ) & (df["_ice_pos"] == pos["_del_pos"])
