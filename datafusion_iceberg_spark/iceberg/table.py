@@ -997,6 +997,18 @@ class IcebergTable:
                     _with_row_meta=True,
                     _extra_cols=_lin_extra if with_row_lineage else None,
                 )
+                # the decoded delta frame has no Spark stats (mapInPandas
+                # RDD) — broadcast it when the manifests bound its size,
+                # else the semi join shuffles the whole scanned side (the
+                # same r10 fix as _apply_position_deletes)
+                fresh_rows = 0
+                for f in fresh_pos:
+                    if f.record_count is None:
+                        fresh_rows = None
+                        break
+                    fresh_rows += int(f.record_count)
+                if fresh_rows is not None and fresh_rows <= _DELETE_BROADCAST_ROWS:
+                    delta = F.broadcast(delta)
                 cond = (
                     F.regexp_replace(sub["_ice_file"], "^file:/*", "/")
                     == delta["_del_file"]
