@@ -1180,3 +1180,98 @@ register_sql(
     ORDER BY c_custkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTEs, lateral joins, reshape (round 11)
+#
+# The reference inherits all three from DataFusion's SQL frontend (stock
+# SessionContext, table.rs:325-332); here they are Catalyst-native.  Scale
+# notes: a recursive CTE executes as iterated joins — each step is a fresh
+# Spark job over ONLY the frontier rows (the UNION ALL accumulates results,
+# the join input is the previous step), so depth-d recursion over a b-ary
+# hierarchy touches O(d) stages of O(frontier) rows, never re-scanning the
+# accumulated closure.  LATERAL correlated subqueries de-correlate in the
+# optimizer (DomainJoin rewrite) into a ranked window over one shuffle of
+# the probe side — the same plan the hand-written window_topk_per_group
+# produces, written declaratively.
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "cte_recursive_tree",
+    """
+    WITH RECURSIVE tree AS (
+      SELECT CAST(0 AS BIGINT) AS k, 0 AS depth
+      UNION ALL
+      SELECT c.c_custkey, t.depth + 1
+      FROM customer c
+      JOIN tree t ON CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) = t.k
+      WHERE c.c_custkey > 0 AND t.depth < 20
+    )
+    SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(k) AS BIGINT) AS key_sum
+    FROM tree GROUP BY depth ORDER BY depth
+    """,
+)
+
+register_sql(
+    "cte_recursive_spine",
+    f"""
+    WITH RECURSIVE months(m) AS (
+      SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT m.m AS month,
+           COALESCE({_fixed_point_sum('o.o_totalprice')} / {_MONEY_SCALE},
+                    0.0) AS revenue,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM months m
+    LEFT JOIN orders o
+      ON CAST(EXTRACT(MONTH FROM o.o_orderdate) AS INT) = m.m
+     AND EXTRACT(YEAR FROM o.o_orderdate) = 1996
+    GROUP BY m.m ORDER BY m.m
+    """,
+)
+
+register_sql(
+    "join_lateral_topk",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o ON TRUE
+    WHERE c.c_custkey < 120
+    ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    SELECT p_partkey, measure, value FROM (
+      SELECT p_partkey, 'retailprice' AS measure,
+             CAST(p_retailprice AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
+    ) ORDER BY p_partkey, measure
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native ``DataFrame.unpivot`` (Spark's
+    melt): each input row emits one row per measure column WITHOUT a
+    shuffle — the expand is a per-partition Generate, so a 100 TB wide
+    fact unpivots map-side and only the downstream agg (if any)
+    shuffles.  The UNION ALL oracle spells the same semantics
+    relationally (two scans; the operator does it in one)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+            F.col("p_size").cast("double").alias("size"),
+        )
+        .unpivot("p_partkey", ["retailprice", "size"], "measure", "value")
+        .orderBy("p_partkey", "measure")
+    )
