@@ -449,3 +449,45 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(100)
     )
+
+
+@register(
+    "sample_temperature_mixture",
+    oracle="""
+    WITH mass AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, chars,
+           ROUND(POWER(chars, 0.5) / SUM(POWER(chars, 0.5)) OVER (), 6)
+             AS weight
+    FROM mass ORDER BY source
+    """,
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (the multilingual/multi-domain
+    sampling rule of mBERT/XLM-R and T5: p_i ∝ mass_i^alpha with
+    alpha=0.5): per-source character mass from ONE scan's partial agg,
+    then the normalizing sum over the per-DOMAIN frame — which has one
+    row per source, so the unpartitioned window runs on tens of rows no
+    matter how many petabytes the corpus holds.  The weights feed
+    sample_mixture / stratified sampling as keep-fractions."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    mass = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    scaled = F.pow(F.col("chars").cast("double"), F.lit(0.5))
+    return (
+        mass.withColumn(
+            "weight",
+            F.round(
+                scaled / F.sum(scaled).over(Window.partitionBy()), 6
+            ),
+        )
+        .select("source", "n_docs", "chars", "weight")
+        .orderBy("source")
+    )

@@ -1380,3 +1380,56 @@ def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("est").desc(), "tok")
         .limit(25)
     )
+
+
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH freq AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM freq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(regr_slope(LN(CAST(cnt AS DOUBLE)),
+                            LN(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+           ROUND(regr_r2(LN(CAST(cnt AS DOUBLE)),
+                         LN(CAST(rnk AS DOUBLE))), 6) AS r2
+    FROM ranked WHERE rnk <= 100
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus naturalness check: OLS slope of log(freq) vs log(rank) over
+    the top-100 vocabulary — natural language sits near -1 (Zipf), word
+    salad and boilerplate drift off it.  Scale shape: the vocabulary agg
+    is a partial-combined explode→groupBy; the top-100 cut is a TopK
+    (TakeOrderedAndProject — no global sort of |vocab|), and ranking +
+    regression run on exactly 100 rows.  regr_slope/regr_r2 are
+    JVM-side aggregates on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    top = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(100)
+    )
+    ranked = top.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy().orderBy(F.col("cnt").desc(), "tok")
+        ),
+    )
+    lf = F.log(F.col("cnt").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )
