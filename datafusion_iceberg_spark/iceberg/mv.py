@@ -54,24 +54,28 @@ def create_aggregate_mv(
 ) -> Optional[dict]:
     """Create (and optionally immediately refresh) an aggregate MV.
 
-    ``aggs`` ⊆ {"sum", "count", "min", "max"} (default ["sum", "count"]
-    when ``value_col`` is given, else ["count"]).  ``where`` filters the
-    SOURCE rows (and every later delta window) with a SQL predicate —
-    the canonical "daily revenue for shipped orders" shape.  SUM/COUNT
-    refresh as signed integer deltas (cost ∝ changed rows); MIN/MAX
-    merge incrementally on insert-only windows and fall back to a
-    per-touched-group recompute when the window RETRACTS rows (a
+    ``aggs`` ⊆ {"sum", "count", "min", "max", "avg"} (default ["sum",
+    "count"] when ``value_col`` is given, else ["count"]).  ``where``
+    filters the SOURCE rows (and every later delta window) with a SQL
+    predicate — the canonical "daily revenue for shipped orders" shape.
+    SUM/COUNT refresh as signed integer deltas (cost ∝ changed rows);
+    AVG is self-maintaining THROUGH them (the MV stores the exact
+    fixed-point sum — internally when AVG alone is requested — and every
+    MERGE derives avg = new_sum / new_cnt, so no recompute ever);
+    MIN/MAX merge incrementally on insert-only windows and fall back to
+    a per-touched-group recompute when the window RETRACTS rows (a
     retracted row may have carried the group's extremum — no sketch
     recovers it; VERDICT r9 #4)."""
     aggs = list(aggs) if aggs else (["sum", "count"] if value_col else ["count"])
-    unknown = [a for a in aggs if a not in ("sum", "count", "min", "max")]
+    unknown = [a for a in aggs if a not in ("sum", "count", "min", "max", "avg")]
     if unknown:
         raise ValueError(
             f"MV aggregates {unknown} are not incrementally maintainable "
-            "here — supported: SUM(col), COUNT(*), MIN(col), MAX(col)"
+            "here — supported: SUM(col), COUNT(*), MIN(col), MAX(col), "
+            "AVG(col)"
         )
-    if any(a in aggs for a in ("sum", "min", "max")) and not value_col:
-        raise ValueError("SUM/MIN/MAX need a measure column")
+    if any(a in aggs for a in ("sum", "min", "max", "avg")) and not value_col:
+        raise ValueError("SUM/MIN/MAX/AVG need a measure column")
     # per-aggregate stored column names: SQL aliases override the
     # defaults (an accepted-then-dropped alias would strand the user's
     # follow-up SELECT <alias>, r10 review find)
@@ -91,7 +95,9 @@ def create_aggregate_mv(
     fields = [
         T.StructField(c, by_name[c].dataType, True) for c in group_cols
     ]
-    if "sum" in aggs:
+    if "sum" in aggs or "avg" in aggs:
+        # AVG rides the exact fixed-point sum: stored (under its default
+        # name) even when the user asked only for AVG
         fields.append(T.StructField(names["sum"], T.LongType(), True))
     # cnt ALWAYS stored: the zero-trim (group disappears when its last
     # row retracts) rides it regardless of the requested aggregates
@@ -104,6 +110,8 @@ def create_aggregate_mv(
         fields.append(
             T.StructField(names["max"], by_name[value_col].dataType, True)
         )
+    if "avg" in aggs:
+        fields.append(T.StructField(names["avg"], T.DoubleType(), True))
     props = {
         "mv.source": source_ident,
         "mv.group-cols": ",".join(group_cols),
@@ -126,6 +134,7 @@ _DEFAULT_COLNAMES = {
     "count": "cnt",
     "min": "min_v",
     "max": "max_v",
+    "avg": "avg_v",
 }
 
 
@@ -210,8 +219,9 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
+    need_sum = "sum" in aggs or "avg" in aggs
     agg_exprs = [F.sum(sign).alias(c_cnt)]
-    if "sum" in aggs:
+    if need_sum:
         micros = (
             F.floor(F.col(value_col) * 1000000 + 0.5).cast("long")
             if isinstance(
@@ -241,7 +251,7 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     sel = [F.col(c) for c in group_cols] + [
         F.col(c_cnt).cast("long").alias(c_cnt)
     ]
-    if "sum" in aggs:
+    if need_sum:
         sel.insert(
             len(group_cols), F.col(c_sum).cast("long").alias(c_sum)
         )
@@ -251,6 +261,14 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     if minmax:
         sel.append(F.col("_retracted"))
     deltas = deltas.select(*sel)
+    if "avg" in aggs:
+        # only consumed by the not-matched INSERT (a new group's window
+        # IS its whole history); matched groups derive avg from the
+        # folded totals inside the MERGE itself
+        deltas = deltas.withColumn(
+            names["avg"],
+            (F.col(c_sum).cast("double") / 1000000) / F.col(c_cnt),
+        )
     deltas = deltas.cache()  # one changelog scan feeds count AND merge
     applied = deltas.count()
     if minmax and applied:
@@ -300,8 +318,15 @@ def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
         from datafusion_iceberg_spark.iceberg.writer import MergeClause
 
         assignments = {c_cnt: f"t.{c_cnt} + src.{c_cnt}"}
-        if "sum" in aggs:
+        if need_sum:
             assignments[c_sum] = f"t.{c_sum} + src.{c_sum}"
+        if "avg" in aggs:
+            # the zero-trim DELETE clause runs first, so the divisor
+            # here is never 0
+            assignments[names["avg"]] = (
+                f"CAST(t.{c_sum} + src.{c_sum} AS DOUBLE) / 1000000 "
+                f"/ (t.{c_cnt} + src.{c_cnt})"
+            )
         if "min" in aggs:
             # absolute on retraction (recomputed), else fold the window
             # extremum in (LEAST skips NULL: an insert-free window keeps

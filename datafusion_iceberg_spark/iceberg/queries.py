@@ -4648,3 +4648,65 @@ def iceberg_pyds_rename_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@register(
+    "iceberg_mv_avg_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                      AS DOUBLE) / COUNT(*), 4) AS avg_cents
+    FROM orders
+    WHERE o_orderkey % 5 <> 0 AND o_orderkey % 9 <> 2
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_mv_avg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG in an incrementally-maintained MV (r11): unlike MIN/MAX, AVG
+    never needs a recompute — the MV stores the exact fixed-point sum
+    and row count, and every refresh MERGE derives ``avg = (t.sum +
+    src.sum) / (t.cnt + src.cnt)``, so BOTH the insert-only window and
+    the retraction window below maintain it from the folded totals (the
+    retraction subtracts from sum/cnt; refresh cost stays ∝ changed
+    rows at any source size).  The oracle recomputes the final state
+    relationally.  Beyond reference scope (read-only, SURVEY §2C)."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_mvavg")
+        marker = os.path.join(root, "_COMPLETE")
+        cat = Catalog(root, name="mva")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="mva")
+            orders = load_table(spark, sf_dir, "orders").selectExpr(
+                "o_orderkey",
+                "o_orderstatus",
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            )
+            cat.create_table("m.src", orders.schema)
+            cat.append("m.src", spark, orders.filter("o_orderkey % 2 = 0"))
+            cat.sql(
+                spark,
+                "CREATE MATERIALIZED VIEW mva.m.agg AS "
+                "SELECT o_orderstatus, COUNT(*) AS n_rows, "
+                "AVG(cents) AS avg_cents "
+                "FROM mva.m.src WHERE o_orderkey % 5 <> 0 "
+                "GROUP BY o_orderstatus",
+            )
+            # insert-only window: avg re-derives from the folded totals
+            cat.append("m.src", spark, orders.filter("o_orderkey % 2 <> 0"))
+            cat.sql(spark, "CALL mva.system.refresh_mv('m.agg')")
+            # retraction window: COW DELETE subtracts from sum and cnt —
+            # avg stays exact with NO source rescan (contrast MIN/MAX)
+            cat.sql(spark, "DELETE FROM mva.m.src WHERE o_orderkey % 9 = 2")
+            cat.sql(spark, "CALL mva.system.refresh_mv('m.agg')")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT o_orderstatus, n_rows, ROUND(avg_cents, 4) AS avg_cents "
+        "FROM mva.m.agg ORDER BY o_orderstatus",
+    )

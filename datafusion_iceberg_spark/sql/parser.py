@@ -605,17 +605,18 @@ def _parse_create(p: _P) -> A.Statement:
         p.expect_kw("AS")
         p.expect_kw("SELECT")
         # incrementally-maintainable aggregate shape (r10, VERDICT r9
-        # #4): SELECT g..., {SUM(v) | COUNT(*) | MIN(v) | MAX(v)}...
-        # FROM <cat.ns.t> [WHERE pred] GROUP BY g... — anything else is
-        # refused with the shape spelled out (the MV maintains exactly
-        # this; MIN/MAX recompute per touched group on retraction)
+        # #4; r11 adds AVG): SELECT g..., {SUM(v) | COUNT(*) | MIN(v) |
+        # MAX(v) | AVG(v)}... FROM <cat.ns.t> [WHERE pred] GROUP BY g...
+        # — anything else is refused with the shape spelled out (the MV
+        # maintains exactly this; MIN/MAX recompute per touched group on
+        # retraction; AVG derives from the maintained sum+count)
         sel_cols: list[str] = []
         value_col = None
         aggs: list[str] = []
         aliases: list = []
         while True:
             matched_agg = None
-            for kw in ("SUM", "COUNT", "MIN", "MAX"):
+            for kw in ("SUM", "COUNT", "MIN", "MAX", "AVG"):
                 if p.accept_kw(kw):
                     matched_agg = kw.lower()
                     break
@@ -627,7 +628,7 @@ def _parse_create(p: _P) -> A.Statement:
                     col = p.ident("measure column")
                     if value_col is not None and col != value_col:
                         raise p.error(
-                            "MV SUM/MIN/MAX must share ONE measure "
+                            "MV SUM/MIN/MAX/AVG must share ONE measure "
                             f"column (got {value_col!r} and {col!r})"
                         )
                     value_col = col
@@ -644,13 +645,21 @@ def _parse_create(p: _P) -> A.Statement:
                     raise p.error(
                         "MV group columns must precede the aggregates"
                     )
-                sel_cols.append(p.ident("group column"))
+                name = p.ident("group column")
+                if p.at_op("("):
+                    raise p.error(
+                        f"MV aggregate {name.upper()} is not incrementally "
+                        "maintainable — CREATE MATERIALIZED VIEW supports "
+                        "exactly {SUM(c)|COUNT(*)|MIN(c)|MAX(c)|AVG(c)}"
+                    )
+                sel_cols.append(name)
             if not p.accept_op(","):
                 break
         if not aggs:
             raise p.error(
                 "CREATE MATERIALIZED VIEW supports exactly "
-                "SELECT <group cols...>, {SUM(c)|COUNT(*)|MIN(c)|MAX(c)}... "
+                "SELECT <group cols...>, "
+                "{SUM(c)|COUNT(*)|MIN(c)|MAX(c)|AVG(c)}... "
                 "FROM t [WHERE pred] GROUP BY <group cols...>"
             )
         p.expect_kw("FROM")

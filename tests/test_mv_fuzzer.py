@@ -1,7 +1,7 @@
 """Differential fuzzer for the incremental aggregate MV (r10): random
 append/COW-delete/MOR-delete sequences against a source table, refresh
 after every step, and the MV must equal a from-scratch recompute of
-SELECT g, SUM, COUNT, MIN, MAX FROM source WHERE pred GROUP BY g —
+SELECT g, SUM, COUNT, MIN, MAX, AVG FROM source WHERE pred GROUP BY g —
 covering WHERE-boundary updates, retraction-driven MIN/MAX recompute,
 zero-trimmed groups, and marker idempotency."""
 
@@ -24,22 +24,24 @@ def _recompute(cat, spark, where):
     src = cat.load("m.src").to_df(spark)
     if where:
         src = src.filter(where)
+    agged = src.groupBy("g").agg(
+        (F.sum(F.col("v").cast("long") * 1000000)).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
     return {
-        (r.g, r.s, r.c, r.mn, r.mx)
-        for r in src.groupBy("g")
-        .agg(
-            (F.sum(F.col("v").cast("long") * 1000000)).alias("s"),
-            F.count(F.lit(1)).alias("c"),
-            F.min("v").alias("mn"),
-            F.max("v").alias("mx"),
-        )
-        .collect()
+        (r.g, r.s, r.c, r.mn, r.mx, r.av)
+        for r in agged.withColumn(
+            # the EXACT operation order the MV's MERGE derives avg with
+            "av", (F.col("s").cast("double") / 1000000) / F.col("c")
+        ).collect()
     }
 
 
 def _mv_state(cat, spark):
     return {
-        (r.g, r.sum_micros, r.cnt, r.min_v, r.max_v)
+        (r.g, r.sum_micros, r.cnt, r.min_v, r.max_v, r.avg_v)
         for r in cat.load("m.mv").to_df(spark).collect()
     }
 
@@ -56,7 +58,7 @@ def test_mv_refresh_matches_recompute(spark, tmp_path, seed):
     where = "v % 10 <> 3"  # WHERE on the source
     create_aggregate_mv(
         cat, spark, "m.mv", "m.src", ["g"], "v",
-        aggs=["sum", "count", "min", "max"], where=where,
+        aggs=["sum", "count", "min", "max", "avg"], where=where,
     )
     next_id = 1
     live_ids = [0]

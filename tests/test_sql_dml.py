@@ -1019,13 +1019,19 @@ def test_create_materialized_view_sql(spark, tmp_path):
         for r in cat.sql(spark, "SELECT g, sum_micros FROM mq.m.mv").collect()
     }
     assert rows["b"] == 10_000_000
+    # AVG-only MV (r11): the exact fixed-point sum is stored internally
+    # and avg derives from the folded totals in every MERGE
+    cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW mq.m.avgmv AS"
+        " SELECT g, AVG(x) AS mean_x FROM mq.m.src GROUP BY g",
+    )
+    rows = {
+        r.g: r.mean_x
+        for r in cat.sql(spark, "SELECT g, mean_x FROM mq.m.avgmv").collect()
+    }
+    assert rows == {"a": 7.5, "b": 5.0}
     # unsupported shapes refuse with the contract
-    with pytest.raises(Exception, match="SUM"):
-        cat.sql(
-            spark,
-            "CREATE MATERIALIZED VIEW mq.m.bad AS"
-            " SELECT g, AVG(x) FROM mq.m.src GROUP BY g",
-        )
     with pytest.raises(Exception, match="must equal GROUP BY"):
         cat.sql(
             spark,
@@ -1139,12 +1145,12 @@ def test_mv_sql_shape_refusals(spark, tmp_path):
             "CREATE MATERIALIZED VIEW mvr.m.bad AS "
             "SELECT g, SUM(x), MIN(id) FROM mvr.m.src GROUP BY g",
         )
-    # AVG & friends are refused with the supported shape spelled out
-    with pytest.raises(Exception, match="SUM|COUNT|shape|supports"):
+    # non-maintainable aggregates are refused with the shape spelled out
+    with pytest.raises(Exception, match="not incrementally maintainable"):
         cat.sql(
             spark,
             "CREATE MATERIALIZED VIEW mvr.m.bad AS "
-            "SELECT g, AVG(x) FROM mvr.m.src GROUP BY g",
+            "SELECT g, STDDEV(x) FROM mvr.m.src GROUP BY g",
         )
 
 
