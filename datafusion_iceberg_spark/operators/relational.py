@@ -1275,3 +1275,64 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("p_partkey", ["retailprice", "size"], "measure", "value")
         .orderBy("p_partkey", "measure")
     )
+
+
+register_sql(
+    "agg_filter_clause",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 100000)
+             AS big_custs,
+           BOOL_OR(o_totalprice > 400000) AS any_huge,
+           BOOL_AND(o_totalprice > 1000) AS all_over_1k
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the warehouse (round 11)
+#
+# Iterative numeric fixpoints (PageRank and friends) are a training-data
+# staple (site-importance priors for crawl filtering, Common-Crawl-style
+# host ranking).  The iteration is UNROLLED into the declarative plan —
+# each step is one join + one partial-combined aggregate over the edge
+# list, so Catalyst sees the whole pipeline and AQE sizes every shuffle;
+# at 100 TB of edges each iteration is the same self-join a hand-written
+# Pregel superstep would shuffle anyway, with no driver-side loop state.
+# Convergence-style loops (iterate-until-delta) belong in a driver loop
+# over this same step (see extensions/similarity.py's k-means kernel).
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "graph_pagerank_2iter",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+    r1 AS (
+      SELECT n.id, 0.15 + 0.85 * COALESCE(SUM(r0.r / deg.d), 0.0) AS r
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.id
+      LEFT JOIN r0 ON r0.id = e.src
+      LEFT JOIN deg ON deg.src = e.src
+      GROUP BY n.id
+    ),
+    r2 AS (
+      SELECT n.id, 0.15 + 0.85 * COALESCE(SUM(r1.r / deg.d), 0.0) AS r
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.id
+      LEFT JOIN r1 ON r1.id = e.src
+      LEFT JOIN deg ON deg.src = e.src
+      GROUP BY n.id
+    )
+    SELECT id, ROUND(r, 6) AS rank
+    FROM r2 ORDER BY rank DESC, id LIMIT 20
+    """,
+)
