@@ -100,6 +100,13 @@ HEADLINE = [
     "stream_cdc_lineage_overwrite",
     "iceberg_ds_projected_scan",
     "iceberg_pyds_rename_scan",
+    # round-11 additions
+    "cte_recursive_tree",
+    "join_lateral_topk",
+    "reshape_unpivot",
+    "graph_pagerank_2iter",
+    "text_zipf_slope",
+    "iceberg_mv_avg_scan",
 ]
 
 
