@@ -326,3 +326,53 @@ def fn_array_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "udtf_python_bigrams",
+    oracle="""
+    SELECT doc_id, pos, bigram FROM (
+      SELECT doc_id, p - 1 AS pos,
+             tok || ' ' || LEAD(tok) OVER (
+               PARTITION BY doc_id ORDER BY p) AS bigram
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS p
+        FROM documents WHERE doc_id < 30
+      )
+    ) WHERE bigram IS NOT NULL
+    ORDER BY doc_id, pos
+    """,
+)
+def udtf_python_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined TABLE function in Python (Spark 4 ``@udtf``), joined
+    laterally: one input row fans out to N output rows computed by
+    arbitrary Python — the extension point for tokenizers/chunkers the
+    built-in generators can't express.  Scale note: a Python UDTF is
+    row-at-a-time (the slow path) — this demo bounds the input and the
+    package's hot-path equivalents stay with explode/posexplode
+    (udtf_posexplode_tokens) or Arrow-batched mapInPandas
+    (text_chunk_documents); reach for @udtf only when per-row Python
+    state is genuinely required."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class _Bigrams:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("py_bigrams", _Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.bigram
+        FROM documents d, LATERAL py_bigrams(d.text) t
+        WHERE d.doc_id < 30
+        ORDER BY d.doc_id, t.pos
+        """
+    )

@@ -194,3 +194,46 @@ def ts_ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_resample_ohlc",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 2) AS low, ROUND(MAX(value), 2) AS high,
+           ROUND(arg_min(value, LPAD(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || LPAD(CAST(event_id AS VARCHAR), 12, '0')), 2) AS open,
+           ROUND(arg_max(value, LPAD(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || LPAD(CAST(event_id AS VARCHAR), 12, '0')), 2) AS close
+    FROM events GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample an event stream to hourly OHLC bars per series — the
+    classic resample: open/close via MIN_BY/MAX_BY on a total ordering
+    key (zero-padded epoch-micros ++ event_id breaks timestamp ties
+    deterministically), high/low/count in the SAME single-pass
+    partial-combined aggregate.  One shuffle of |buckets×series| rows
+    regardless of event count — the window-function spelling
+    (FIRST_VALUE over each bucket) would shuffle every EVENT into a
+    sorted window instead."""
+    ev = load_table(spark, sf_dir, "events")
+    okey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("HOUR", "ts").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min_by("value", okey), 2).alias("open"),
+            F.round(F.max_by("value", okey), 2).alias("close"),
+        )
+        .orderBy("event_type", "bucket")
+    )
