@@ -347,6 +347,7 @@ def _plan_files(
     from_snapshot_id=None,
     _added_only=False,
     apply_deletes=False,
+    file_filter=None,
 ):
     """Driver-side planning shared by batch and streaming: pruned file
     list (optionally the incremental diff) → bin-packed partitions.
@@ -408,6 +409,10 @@ def _plan_files(
     if from_snapshot_id is not None:
         old = {f.path for f in table.files(filters, snapshot_id=from_snapshot_id)}
         files = [f for f in files if f.path not in old]
+    if file_filter is not None:
+        # rate-limited streaming: keep only the offset window's path
+        # slice (mid-snapshot boundaries, max_files_per_batch)
+        files = [f for f in files if f.path in file_filter]
     if not files:
         return []
     sizes = [f.file_size_in_bytes or 0 for f in files]
@@ -546,7 +551,18 @@ class IcebergPyStreamReader(DataSourceStreamReader):
     to -1, which can cost up to ``backlog/max`` EMPTY catch-up batches
     (eo <= checkpointed start plans nothing) before the cap re-syncs —
     bounded, documented, and never a correctness issue because offsets
-    live in the checkpoint."""
+    live in the checkpoint.
+
+    ``max_files_per_batch`` (option, r11) rate-limits at FILE
+    granularity: offsets become ``{"ordinal": o, "file": f}`` — all
+    snapshots ≤ o consumed plus the first f added-files (path-sorted,
+    so the slice is deterministic) of the snapshot at o+1 — so ONE
+    backfill commit that added 10⁴ files drains as 10⁴/max bounded
+    micro-batches instead of a single giant first batch.  A snapshot's
+    added set is immutable once committed, which makes the mid-snapshot
+    offset replayable from any checkpoint.  Old ``{"ordinal"}``-only
+    checkpoints read as f=0 (snapshot boundary) — upgrading a running
+    stream is safe."""
 
     def __init__(
         self,
@@ -554,14 +570,22 @@ class IcebergPyStreamReader(DataSourceStreamReader):
         schema,
         max_snapshots_per_batch=None,
         overwrite_diff_buckets=None,
+        max_files_per_batch=None,
     ):
         self._root = root
         self._schema = schema
         self._max_snaps = max_snapshots_per_batch
+        self._max_files = (
+            int(max_files_per_batch) if max_files_per_batch else None
+        )
+        if self._max_files is not None and self._max_files < 1:
+            raise ValueError("max_files_per_batch must be >= 1")
         # cdc mode: parallelism of the overwrite net-diff (each bucket
         # re-reads the changed files, keeps 1/n of the rows)
         self._ow_buckets = int(overwrite_diff_buckets or 4)
-        self._seen: Optional[int] = None  # highest ordinal planned/committed
+        # highest (ordinal, file) planned/committed — the rate-limit base
+        self._seen: Optional[tuple] = None
+        self._added_cache: dict = {}  # ordinal -> path-sorted added files
 
     def _load(self):
         from datafusion_iceberg_spark.iceberg.table import IcebergTable
@@ -585,27 +609,90 @@ class IcebergPyStreamReader(DataSourceStreamReader):
                 return sid
         return None
 
+    def _added_paths(self, table, ordinal: int) -> list:
+        """Path-sorted RAW paths added by the snapshot at ``ordinal``
+        (live files there minus live files one ordinal back).  Immutable
+        once committed, so cached per reader."""
+        hit = self._added_cache.get(ordinal)
+        if hit is not None:
+            return hit
+        cur = {f.path for f in table.files(
+            None, snapshot_id=self._ordinal_to_snapshot(table, ordinal)
+        )}
+        if ordinal > 0:
+            prev = {f.path for f in table.files(
+                None,
+                snapshot_id=self._ordinal_to_snapshot(table, ordinal - 1),
+            )}
+            cur -= prev
+        out = sorted(cur)
+        self._added_cache[ordinal] = out
+        return out
+
     def initialOffset(self) -> dict:
         return {"ordinal": -1}
+
+    @staticmethod
+    def _off(d: dict) -> tuple:
+        return (d["ordinal"], d.get("file", 0))
 
     def latestOffset(self) -> dict:
         table = self._load()
         ords = table.metadata.snapshot_ordinals()
         latest = max(ords.values()) if ords else -1
+        base_o, base_f = (-1, 0) if self._seen is None else self._seen
         if self._max_snaps:
-            base = -1 if self._seen is None else self._seen
-            latest = min(latest, base + int(self._max_snaps))
-        self._seen = latest
-        return {"ordinal": latest}
+            latest = min(latest, base_o + int(self._max_snaps))
+        if self._max_files is None:
+            # no file cap: consume to the (snapshot-capped) tip in one
+            # batch — a partial offset left by a previously file-capped
+            # run finishes along the way
+            end = (latest, 0) if latest > base_o else (base_o, base_f)
+        else:
+            o, f, budget = base_o, base_f, self._max_files
+            while o < latest and budget > 0:
+                rem = len(self._added_paths(table, o + 1)) - f
+                if rem <= budget:
+                    budget -= rem
+                    o, f = o + 1, 0
+                else:
+                    f += budget
+                    budget = 0
+            end = (o, f)
+        if self._seen is None or end > self._seen:
+            self._seen = end
+        return {"ordinal": end[0], **({"file": end[1]} if end[1] else {})}
 
     def partitions(self, start: dict, end: dict):
-        so, eo = start["ordinal"], end["ordinal"]
-        resync = max(so, eo)
+        (so, sf), (eo, ef) = self._off(start), self._off(end)
+        resync = max((so, sf), (eo, ef))
         if self._seen is None or resync > self._seen:
             self._seen = resync  # restart replay: resync the cap base
-        if eo <= so:
+        if (eo, ef) <= (so, sf):
             return [IcebergFilePartition("", {})]
         table = self._load()
+        file_filter = None
+        if sf or ef:
+            # mid-snapshot boundaries: keep only the allowed path slice
+            # of each partially-consumed snapshot (full snapshots in
+            # between pass through)
+            hi = eo + 1 if ef else eo
+            allowed: set = set()
+            for o in range(so + 1, hi + 1):
+                paths = self._added_paths(table, o)
+                lo_i = sf if o == so + 1 else 0
+                hi_i = ef if (ef and o == eo + 1) else len(paths)
+                allowed.update(paths[lo_i:hi_i])
+            parts = _plan_files(
+                table,
+                None,
+                snapshot_id=self._ordinal_to_snapshot(table, hi),
+                from_snapshot_id=(
+                    self._ordinal_to_snapshot(table, so) if so >= 0 else None
+                ),
+                file_filter=allowed,
+            )
+            return parts or [IcebergFilePartition("", {})]
         parts = _plan_files(
             table,
             None,
@@ -811,7 +898,7 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
 
     def partitions(self, start: dict, end: dict):
         so, eo = start["ordinal"], end["ordinal"]
-        resync = max(so, eo)
+        resync = (max(so, eo), 0)
         if self._seen is None or resync > self._seen:
             self._seen = resync
         if eo <= so:
@@ -1981,11 +2068,21 @@ class IcebergPyDataSource(DataSource):
             if self.options.get("mode") == "cdc"
             else IcebergPyStreamReader
         )
+        if (
+            self.options.get("mode") == "cdc"
+            and self.options.get("max_files_per_batch") is not None
+        ):
+            raise ValueError(
+                "max_files_per_batch applies to the append-tail stream "
+                "only — CDC offsets are snapshot-granular (a net diff "
+                "is not separable per file); use max_snapshots_per_batch"
+            )
         return cls(
             self.options.get("path"),
             schema,
             max_snapshots_per_batch=self.options.get("max_snapshots_per_batch"),
             overwrite_diff_buckets=self.options.get("overwrite_diff_buckets"),
+            max_files_per_batch=self.options.get("max_files_per_batch"),
         )
 
     def _check_writable(self, schema) -> str:

@@ -1203,3 +1203,128 @@ def test_cdc_stream_reads_renamed_history_by_field_id(spark, tmp_path):
         (3, 30, "insert", 0),
         (2, 20, "delete", 1),
     }
+
+
+def test_stream_file_rate_limit_offsets_walk(spark, tmp_path):
+    """max_files_per_batch (r11): offsets advance at FILE granularity
+    through a single multi-file commit — {"ordinal", "file"} mid-snapshot
+    boundaries, deterministic path-sorted slices, and the union of the
+    capped windows covers every row exactly once."""
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        IcebergPyStreamReader,
+    )
+    from datafusion_iceberg_spark.tables import load_table
+
+    root = str(tmp_path / "wh_frate")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table("t.n", nation.schema)
+    cat.append("t.n", spark, nation.repartition(5))  # ONE 5-file snapshot
+    table = cat.load("t.n")
+    assert len(table.files()) == 5
+    reader = IcebergPyStreamReader(
+        table.metadata.root, table.to_df(spark).schema,
+        max_files_per_batch=2,
+    )
+    offs = [reader.initialOffset()]
+    for _ in range(10):
+        nxt = reader.latestOffset()
+        if nxt == offs[-1]:
+            break
+        offs.append(nxt)
+    # 5 files at <=2/batch: -1 -> (0,2) -> (0,4) -> (1? no 2nd snapshot)
+    assert offs == [
+        {"ordinal": -1},
+        {"ordinal": -1, "file": 2},
+        {"ordinal": -1, "file": 4},
+        {"ordinal": 0},
+    ]
+    seen = 0
+    for s, e in zip(offs, offs[1:]):
+        parts = reader.partitions(s, e)
+        n_files = sum(len(p.chunks) for p in parts)
+        assert n_files <= 2
+        # count rows through the executor read path
+        for p in parts:
+            for b in reader.read(p):
+                seen += b.num_rows
+    assert seen == 25
+
+
+def test_stream_file_rate_limit_end_to_end(spark, tmp_path):
+    """The same cap through a real readStream: one 5-file commit drains
+    in >=3 data-carrying micro-batches, no batch sees the whole table,
+    every row arrives exactly once."""
+    import shutil
+    import time
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    root = str(tmp_path / "wh_frate2")
+    ckpt = str(tmp_path / "ckpt_frate2")
+    for d in (root, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    cat = Catalog(root)
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table("t.n", nation.schema)
+    cat.append("t.n", spark, nation.repartition(5))
+    troot = cat.load("t.n").metadata.root
+
+    batch_rows = []
+
+    def sink(df, batch_id):
+        batch_rows.append(df.count())
+
+    q = (
+        spark.readStream.format("iceberg_py")
+        .option("path", troot)
+        .option("max_files_per_batch", "2")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while sum(batch_rows) < 25 and time.time() < deadline:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert sum(batch_rows) == 25
+    nonzero = [b for b in batch_rows if b > 0]
+    assert len(nonzero) >= 3
+    assert max(nonzero) < 25
+
+
+def test_cdc_stream_refuses_file_rate_limit(spark, tmp_path):
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    register_iceberg_datasource(spark)
+    root = str(tmp_path / "wh_frate3")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table("t.n", nation.schema)
+    cat.append("t.n", spark, nation)
+    troot = cat.load("t.n").metadata.root
+    with pytest.raises(Exception, match="max_files_per_batch"):
+        (
+            spark.readStream.format("iceberg_py")
+            .option("path", troot)
+            .option("mode", "cdc")
+            .option("max_files_per_batch", "2")
+            .load()
+            .writeStream.format("noop")
+            .start()
+            .processAllAvailable()
+        )
