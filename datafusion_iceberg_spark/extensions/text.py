@@ -1433,3 +1433,78 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),
     )
+
+
+@register(
+    "text_dup_ngram_mass",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS p
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, gram FROM (
+        SELECT doc_id, source,
+               tok || ' ' || LEAD(tok, 1) OVER w || ' '
+                   || LEAD(tok, 2) OVER w AS gram
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+      ) WHERE gram IS NOT NULL
+    ),
+    spread AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram
+    )
+    SELECT g.source,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_grams,
+           ROUND(CAST(SUM(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM grams g JOIN spread s ON g.gram = s.gram
+    GROUP BY g.source ORDER BY g.source
+    """,
+)
+def text_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-text mass (the RefinedWeb/Dolma corpus
+    health metric): fraction of each source's token 3-grams that also
+    appear in ANOTHER document.  Two shuffles total — grams hash to
+    their spread count (|distinct grams|, partial-combined), then one
+    narrow (gram → nd) join back; no doc×doc pairing ever materializes,
+    which is what keeps it linear at 100 TB where pairwise dedup is
+    quadratic."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("p", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    gram = F.concat(
+        F.col("tok"),
+        F.lit(" "),
+        F.lead("tok", 1).over(w),
+        F.lit(" "),
+        F.lead("tok", 2).over(w),
+    )
+    grams = toks.select(
+        "doc_id", "source", gram.alias("gram")
+    ).filter(F.col("gram").isNotNull())
+    spread = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        grams.join(spread, "gram")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(dup).cast("long").alias("dup_grams"),
+            F.round(
+                F.sum(dup).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
