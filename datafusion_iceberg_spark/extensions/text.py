@@ -1489,9 +1489,12 @@ def text_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" "),
         F.lead("tok", 2).over(w),
     )
-    grams = toks.select(
-        "doc_id", "source", gram.alias("gram")
-    ).filter(F.col("gram").isNotNull())
+    grams = (
+        toks.select("doc_id", "source", gram.alias("gram"))
+        .filter(F.col("gram").isNotNull())
+        .cache()  # feeds BOTH the spread agg and the join probe — the
+        # r11 plan audit showed the explode+window subtree built twice
+    )
     spread = grams.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("nd")
     )

@@ -1297,18 +1297,19 @@ register_sql(
 #
 # Iterative numeric fixpoints (PageRank and friends) are a training-data
 # staple (site-importance priors for crawl filtering, Common-Crawl-style
-# host ranking).  The iteration is UNROLLED into the declarative plan —
-# each step is one join + one partial-combined aggregate over the edge
-# list, so Catalyst sees the whole pipeline and AQE sizes every shuffle;
-# at 100 TB of edges each iteration is the same self-join a hand-written
-# Pregel superstep would shuffle anyway, with no driver-side loop state.
-# Convergence-style loops (iterate-until-delta) belong in a driver loop
-# over this same step (see extensions/similarity.py's k-means kernel).
+# host ranking).  The Spark shape is a DRIVER LOOP over a cached edge
+# frame — each superstep is one join + one partial-combined aggregate,
+# and the expensive edge build runs ONCE (Spark inlines WITH-CTEs, so
+# the unrolled-SQL spelling recomputes the edge join per reference; the
+# r11 plan audit counted it 6× — the oracle keeps that spelling, the
+# engine caches).  At 100 TB the cached frame becomes a checkpointed
+# table between supersteps; the loop structure is identical.
 # ---------------------------------------------------------------------------
 
-register_sql(
+
+@register(
     "graph_pagerank_2iter",
-    """
+    oracle="""
     WITH edges AS (
       SELECT DISTINCT l.l_suppkey AS src, o.o_custkey + 1000000 AS dst
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1336,3 +1337,52 @@ register_sql(
     FROM r2 ORDER BY rank DESC, id LIMIT 20
     """,
 )
+def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, 2 supersteps, damping 0.85 over the supplier→customer
+    order graph.  The edge list (with out-degrees attached) is built
+    once and cached; each iteration joins current ranks to it and
+    re-aggregates — identical math to the oracle's unrolled CTEs
+    (division before the sum, COALESCE(…, 0) for dangling targets)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(deg, "src").cache()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    r = nodes.withColumn("r", F.lit(1.0))
+    for _ in range(2):
+        contrib = (
+            ed.join(r, ed["src"] == r["id"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("s"))
+        )
+        r = nodes.join(
+            contrib, nodes["id"] == contrib["dst"], "left"
+        ).select(
+            "id",
+            (
+                F.lit(0.15)
+                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("r"),
+        )
+    return (
+        r.select("id", F.round("r", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "id")
+        .limit(20)
+    )
