@@ -562,7 +562,16 @@ class IcebergPyStreamReader(DataSourceStreamReader):
     added set is immutable once committed, which makes the mid-snapshot
     offset replayable from any checkpoint.  Old ``{"ordinal"}``-only
     checkpoints read as f=0 (snapshot boundary) — upgrading a running
-    stream is safe."""
+    stream is safe.
+
+    Trigger interaction (both caps): ``availableNow`` runs take ONE
+    capped window per invocation — pyspark's DataSource stream wrapper
+    has no ``SupportsTriggerAvailableNow`` hook, so Spark captures a
+    single ``latestOffset`` as the run's target (measured r11).  The
+    checkpoint carries the offset, so repeated availableNow runs drain
+    a backlog incrementally (the scheduled-job shape); a continuously
+    TRIGGERED stream (processingTime) drains it fully in bounded
+    batches."""
 
     def __init__(
         self,

@@ -1105,3 +1105,96 @@ def stream_cdc_lineage_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_type.unionByName(paired).orderBy("change_type")
+
+
+@register(
+    "stream_rate_limited_tail",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def stream_rate_limited_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-granular rate-limited streaming (r11): one Iceberg commit of
+    SIX data files tails through ``max_files_per_batch=2`` — the
+    backfill shape where a single giant commit must not become a single
+    giant micro-batch.  Offsets advance mid-snapshot ({ordinal, file}
+    over the path-sorted added set), the fixture asserts ≥3
+    data-carrying batches with no batch seeing the whole table, and the
+    oracle checks the union of the capped windows delivered every row
+    exactly once."""
+    import os
+    import time
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH, _lock
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        register_iceberg_datasource,
+    )
+
+    register_iceberg_datasource(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(SCRATCH, f"wh_{tag}_ratetail")
+    out_dir = os.path.join(root, "_rows")
+    marker = os.path.join(root, "_COMPLETE")
+    with _lock:
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="rt")
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus"
+            )
+            total = orders.count()
+            cat.create_table("r.orders", orders.schema)
+            cat.append("r.orders", spark, orders.repartition(6))
+            table_root = os.path.join(root, "r", "orders")
+            assert len(cat.load("r.orders").files()) == 6
+            batch_rows = []
+
+            def _sink(df, _bid):
+                n = df.count()
+                if n:
+                    df.write.mode("append").parquet(out_dir)
+                # count is recorded AFTER the write lands: the driver
+                # stops the query once the counts reach the total, and
+                # stopping mid-batch must never strand a counted-but-
+                # unwritten batch (r11 find: q.stop() killed the last
+                # foreachBatch between count and write)
+                batch_rows.append(n)
+
+            q = (
+                spark.readStream.format("iceberg_py")
+                .option("path", table_root)
+                .option("max_files_per_batch", "2")
+                .load()
+                .writeStream.foreachBatch(_sink)
+                .option(
+                    "checkpointLocation", os.path.join(root, "_checkpoint")
+                )
+                .trigger(processingTime="1 seconds")
+                .start()
+            )
+            try:
+                deadline = time.time() + 240
+                while sum(batch_rows) < total and time.time() < deadline:
+                    time.sleep(0.5)
+            finally:
+                q.stop()
+            nonzero = [b for b in batch_rows if b]
+            assert sum(batch_rows) == total, batch_rows
+            assert len(nonzero) >= 3 and max(nonzero) < total, batch_rows
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
