@@ -491,3 +491,81 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", "chars", "weight")
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_shard_plan",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             SUM(toks) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT CAST(FLOOR((cum - toks) / 4096.0) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS shard_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY shard ORDER BY shard
+    """,
+)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing: assign docs (in stable doc_id order) to
+    ~4096-token shards by GLOBAL running token count — the plan that
+    turns a curated corpus into equal-budget tokenizer shards.
+
+    The oracle's unpartitioned running-sum window would drag every row
+    into ONE partition on Spark (the classic global-cumsum trap), so
+    this side computes the SAME cumsum with the scalable two-phase
+    prefix sum: range-partition by doc_id, per-partition running sums
+    in parallel windows, then per-partition TOTALS (one tiny row per
+    partition) prefix-folded on the driver and broadcast-joined back as
+    offsets.  Shard boundaries are invariant to where the range splits
+    land, so the sampled partitioning never changes the answer."""
+    from pyspark.sql.window import Window
+
+    from datafusion_iceberg_spark.session import cpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("toks")
+    )
+    parts = docs.repartitionByRange(cpus(), "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    parts = parts.cache()
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = parts.withColumn("lcum", F.sum("toks").over(w))
+    totals = sorted(
+        (r.pid, r.tot)
+        for r in parts.groupBy("pid")
+        .agg(F.sum("toks").alias("tot"))
+        .collect()
+    )
+    offset, offsets = 0, {}
+    for pid, tot in totals:
+        offsets[pid] = offset
+        offset += tot
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "pid int, off long"
+    )
+    cum = local.join(F.broadcast(off_df), "pid").withColumn(
+        "cum", F.col("lcum") + F.col("off")
+    )
+    shard = F.floor(
+        (F.col("cum") - F.col("toks")) / F.lit(4096.0)
+    ).cast("long")
+    return (
+        cum.groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
