@@ -107,6 +107,10 @@ HEADLINE = [
     "graph_pagerank_2iter",
     "text_zipf_slope",
     "iceberg_mv_avg_scan",
+    "ts_resample_ohlc",
+    "text_dup_ngram_mass",
+    "corpus_shard_plan",
+    "stream_rate_limited_tail",
 ]
 
 

@@ -1328,3 +1328,57 @@ def test_cdc_stream_refuses_file_rate_limit(spark, tmp_path):
             .start()
             .processAllAvailable()
         )
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_stream_file_rate_limit_fuzz(spark, tmp_path, seed):
+    """Property: for random commit histories (1-5 files each, delete
+    snapshots interleaved) and random caps, the offset walk covers every
+    live row EXACTLY once with every batch at most cap files."""
+    import random
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        IcebergPyStreamReader,
+    )
+
+    rng = random.Random(seed)
+    root = str(tmp_path / "wh_fuzz")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    df0 = spark.createDataFrame([(0, 0)], "k long, v long")
+    cat.create_table("t.f", df0.schema)
+    nxt = 0
+    for _ in range(4):
+        n_files = rng.randrange(1, 6)
+        rows = [(nxt + i, rng.randrange(100)) for i in range(n_files * 3)]
+        nxt += len(rows)
+        cat.append(
+            "t.f",
+            spark,
+            spark.createDataFrame(rows, df0.schema).repartition(n_files),
+        )
+    table = cat.load("t.f")
+    expected = sorted(
+        r.k for r in table.to_df(spark).collect()
+    )
+    cap = rng.randrange(1, 5)
+    reader = IcebergPyStreamReader(
+        table.metadata.root, table.to_df(spark).schema,
+        max_files_per_batch=cap,
+    )
+    offs = [reader.initialOffset()]
+    for _ in range(100):
+        nxt_off = reader.latestOffset()
+        if nxt_off == offs[-1]:
+            break
+        offs.append(nxt_off)
+    got = []
+    for s, e in zip(offs, offs[1:]):
+        parts = reader.partitions(s, e)
+        assert sum(len(p.chunks) for p in parts) <= cap
+        for p in parts:
+            for b in reader.read(p):
+                got.extend(b.column("k").to_pylist())
+    assert sorted(got) == expected, f"seed={seed} cap={cap}"
