@@ -1198,3 +1198,38 @@ def stream_rate_limited_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY user_id, event_type ORDER BY user_id, event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming dedup with BOUNDED state
+    (``dropDuplicatesWithinWatermark``): duplicate keys are suppressed
+    while their event-time stays inside the watermark, and the key's
+    state is EVICTED once the watermark passes — the property that lets
+    the dedup run forever, unlike plain dropDuplicates whose state only
+    grows.  (The custom-logic flavor of streaming dedup lives in
+    stream_dedup_stateful via applyInPandasWithState;
+    transformWithStateInPandas — Spark 4's richer stateful API — is
+    environment-blocked here: its state-server protocol needs protobuf,
+    absent in this container.)  Output projects ONLY the dedup key so
+    the result is arrival-order independent."""
+    stream, _ = _events_stream(spark, sf_dir)
+    sel = (
+        stream.withWatermark("ts", "1 day")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_stream(sel, "dedupww", mode="append")
+    return (
+        out.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id", "event_type")
+    )
