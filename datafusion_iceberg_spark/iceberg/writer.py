@@ -1088,6 +1088,21 @@ class IcebergWriter:
         writer = out.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
+        try:
+            props = self._load_current().get("properties", {})
+        except (OSError, ValueError, FileNotFoundError):
+            props = {}
+        codec = str(
+            props.get("write.parquet.compression-codec", "")
+        ).lower()
+        if codec:
+            # Iceberg write property: zstd/gzip/snappy/lz4/uncompressed —
+            # forwarded to the parquet writer per data file (metadata and
+            # puffin have their own codec properties)
+            writer = writer.option(
+                "compression",
+                "uncompressed" if codec == "none" else codec,
+            )
         writer.parquet(data_dir)
         return self._collect_file_stats(data_dir)
 

@@ -239,3 +239,72 @@ def corpus_export_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "source_json_corrupt_records",
+    oracle="""
+    SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 0)
+             AS n_good,
+           5 AS n_corrupt,
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+             WHERE o_orderkey % 11 = 0) AS good_key_sum
+    """,
+)
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fault-tolerant ingestion: a JSONL batch containing 5 malformed
+    lines reads under PERMISSIVE mode — good rows parse, bad lines land
+    whole in ``_corrupt_record`` (no job failure, no silent drop), and
+    the counts reconcile exactly.  The production pattern: route the
+    corrupt column to a quarantine sink and keep the pipeline flowing;
+    FAILFAST is one option away when corruption must abort."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH, _lock
+    from datafusion_iceberg_spark.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    stage = os.path.join(SCRATCH, f"corrupt_json_{tag}")
+    done = os.path.join(stage, "_COMPLETE")
+    with _lock:
+        if not os.path.exists(done):
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
+            os.makedirs(stage, exist_ok=True)
+            rows = (
+                load_table(spark, sf_dir, "orders")
+                .filter("o_orderkey % 11 = 0")
+                .select("o_orderkey", "o_custkey", "o_orderstatus")
+            )
+            rows.write.mode("overwrite").json(os.path.join(stage, "good"))
+            with open(os.path.join(stage, "good", "bad.json"), "w") as fh:
+                for i in range(5):
+                    fh.write(f'{{"o_orderkey": {i}, "o_custkey": BOOM\n')
+            with open(done, "w") as fh:
+                fh.write("ok")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(os.path.join(stage, "good"))
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return df.agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("int").alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("o_orderkey"))).cast("long").alias(
+            "good_key_sum"
+        ),
+    )

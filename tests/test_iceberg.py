@@ -4282,3 +4282,35 @@ def test_mv_refresh_marker_survives_mor_merge_mode(spark, tmp_path):
     )
     refresh_aggregate_mv(cat, spark, "m.mv")
     assert got() == {("a", 35.0, 3), ("b", 70.0, 2)}
+
+
+def test_write_parquet_compression_codec_property(spark, tmp_path):
+    """write.parquet.compression-codec routes to the data-file writer:
+    zstd files read back exactly and the footer records the codec."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    cat = Catalog(os.path.join(str(tmp_path), "wh"), name="zc")
+    nation = load_table(spark, SF_DIR, "nation")
+    cat.create_table(
+        "z.n",
+        nation.schema,
+        properties={"write.parquet.compression-codec": "zstd"},
+    )
+    cat.append("z.n", spark, nation)
+    t = cat.load("z.n")
+    files = t.files()
+    assert files
+    for f in files:
+        md = pq.ParquetFile(t.metadata.localize(f.path)).metadata
+        codecs = {
+            md.row_group(i).column(0).compression
+            for i in range(md.num_row_groups)
+        }
+        assert codecs == {"ZSTD"}
+    assert t.to_df(spark).count() == nation.count()
