@@ -4710,3 +4710,53 @@ def iceberg_mv_avg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderstatus, n_rows, ROUND(avg_cents, 4) AS avg_cents "
         "FROM mva.m.agg ORDER BY o_orderstatus",
     )
+
+
+@register(
+    "iceberg_zstd_codec_scan",
+    oracle="""
+    SELECT n_regionkey AS region, COUNT(*) AS n,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey ORDER BY region
+    """,
+)
+def iceberg_zstd_codec_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data files written under ``write.parquet.compression-codec=zstd``
+    (r11: the Iceberg write property routes to the parquet writer; the
+    footer is asserted ZSTD) scan back value-exact — codec choice is a
+    storage/CPU trade with zero correctness surface.  Beyond reference
+    scope (read-only, SURVEY §2C)."""
+    import pyarrow.parquet as pq
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_zstd")
+        marker = os.path.join(root, "_COMPLETE")
+        cat = Catalog(root, name="zs")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="zs")
+            nation = load_table(spark, sf_dir, "nation")
+            cat.create_table(
+                "z.n",
+                nation.schema,
+                properties={"write.parquet.compression-codec": "zstd"},
+            )
+            cat.append("z.n", spark, nation)
+            t = cat.load("z.n")
+            for f in t.files():
+                md = pq.ParquetFile(t.metadata.localize(f.path)).metadata
+                assert {
+                    md.row_group(i).column(0).compression
+                    for i in range(md.num_row_groups)
+                } == {"ZSTD"}
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT n_regionkey AS region, COUNT(*) AS n, "
+        "CAST(SUM(n_nationkey) AS BIGINT) AS key_sum "
+        "FROM zs.z.n GROUP BY n_regionkey ORDER BY region",
+    )
