@@ -376,3 +376,48 @@ def udtf_python_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+@register(
+    "fn_higher_order_bank",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '),
+                           x -> length(x) > 4)) AS n_long,
+           array_to_string(list_transform(string_split(text, ' ')[1:3],
+                           x -> upper(x)), '|') AS upper3,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                           x -> length(x))) AS BIGINT) AS total_chars,
+           CAST(len(list_filter(string_split(text, ' '),
+                           x -> length(x) > 6)) > 0 AS INTEGER) AS any_gt6
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def fn_higher_order_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order lambda functions over arrays (filter / transform /
+    aggregate / exists) — all Catalyst expressions inside whole-stage
+    codegen, the JVM-side alternative to a Python UDF for per-element
+    logic.  DuckDB spells them list_filter/list_transform/list_sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (
+        docs.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias(
+                "n_long"
+            ),
+            F.array_join(
+                F.transform(F.slice(toks, 1, 3), lambda t: F.upper(t)), "|"
+            ).alias("upper3"),
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + F.length(t).cast("long"),
+            ).alias("total_chars"),
+            F.exists(toks, lambda t: F.length(t) > 6)
+            .cast("int")
+            .alias("any_gt6"),
+        )
+        .orderBy("doc_id")
+    )

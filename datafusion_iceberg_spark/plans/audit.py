@@ -119,6 +119,14 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "text_pack_sequences": "cumsum over per-chunk totals (rows/1000 frame)",
     "window_ntile": "cumsum over per-value-chunk counts (tiny offsets frame)",
     "sim_hybrid_rrf": "rank windows over the two <=50-row post-limit legs",
+    "sample_temperature_mixture": (
+        "normalizing sum over ONE ROW PER SOURCE DOMAIN (tens of rows at "
+        "any corpus size; the per-doc scan is aggregated before the window)"
+    ),
+    "text_zipf_slope": (
+        "row_number over the 100-row TopK output (limit cuts before the "
+        "window; the vocabulary agg is partial-combined upstream)"
+    ),
 }
 
 
