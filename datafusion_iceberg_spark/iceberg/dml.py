@@ -545,6 +545,28 @@ def _exec_alter(surface, spark, s: A.Alter) -> DataFrame:
             ident, [e for e in cur if e != a.entry]
         )
         return _result(spark, "drop_partition_field", ident, None)
+    if isinstance(a, A.ReplacePartitionField):
+        # ONE spec evolution (not drop+add = two): the replacement takes
+        # the old field's position, existing files keep their spec and
+        # scan through the multi-spec read path unchanged
+        _need(surface, "evolve_partition_spec")
+        cur = surface.load(ident).metadata.partition_spec_entries()
+        if a.old not in cur:
+            raise ValueError(
+                f"partition field not in current spec: {a.old} "
+                f"(spec: {cur})"
+            )
+        if a.new in cur:
+            raise ValueError(f"partition field already present: {a.new}")
+        surface.evolve_partition_spec(
+            ident, [a.new if e == a.old else e for e in cur]
+        )
+        return _result(spark, "replace_partition_field", ident, None)
+    if isinstance(a, A.SetDistributionMode):
+        surface.set_properties(
+            ident, {"write.distribution-mode": a.mode}
+        )
+        return _result(spark, "set_distribution_mode", ident, None)
     raise ValueError(f"unsupported ALTER TABLE action: {a!r}")
 
 

@@ -167,6 +167,17 @@ class DropPartitionField:
 
 
 @dataclass
+class ReplacePartitionField:
+    old: str                         # current spec entry
+    new: str                         # its replacement (one evolution)
+
+
+@dataclass
+class SetDistributionMode:
+    mode: str                        # 'hash' (WRITE DISTRIBUTED BY PARTITION)
+
+
+@dataclass
 class Alter(Statement):
     namespace: str
     table: str

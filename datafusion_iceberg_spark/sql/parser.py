@@ -850,7 +850,9 @@ def _parse_alter(p: _P) -> A.Statement:
         return A.AlterNamespace(ns, {}, removals)
     p.expect_kw("TABLE")
     ns, tbl = p.catalog_target()
-    if p.accept_kw("CREATE") or p.at_kw("REPLACE"):
+    if p.accept_kw("CREATE") or (
+        p.at_kw("REPLACE") and p.peek(1).is_kw("TAG", "BRANCH")
+    ):
         replace = p.accept_kw("REPLACE")
         rt = "tag" if p.accept_kw("TAG") else (
             "branch" if p.accept_kw("BRANCH") else None
@@ -944,9 +946,24 @@ def _parse_alter(p: _P) -> A.Statement:
         type_ddl = _type_ddl(p)
         p.expect_end()
         return A.Alter(ns, tbl, A.AlterColumnType(col, type_ddl))
+    if p.accept_kw("REPLACE"):
+        # Spark-Iceberg: ALTER TABLE t REPLACE PARTITION FIELD a WITH b
+        p.expect_kw("PARTITION")
+        p.expect_kw("FIELD")
+        old = _partition_entry(p)
+        p.expect_kw("WITH")
+        new = _partition_entry(p)
+        p.expect_end()
+        return A.Alter(ns, tbl, A.ReplacePartitionField(old, new))
     if p.accept_kw("WRITE"):
-        # Spark-Iceberg: ALTER TABLE t WRITE ORDERED BY c [, ...] and
-        # ALTER TABLE t WRITE UNORDERED
+        # Spark-Iceberg: ALTER TABLE t WRITE ORDERED BY c [, ...],
+        # ALTER TABLE t WRITE UNORDERED, and
+        # ALTER TABLE t WRITE DISTRIBUTED BY PARTITION
+        if p.accept_kw("DISTRIBUTED"):
+            p.expect_kw("BY")
+            p.expect_kw("PARTITION")
+            p.expect_end()
+            return A.Alter(ns, tbl, A.SetDistributionMode("hash"))
         if p.accept_kw("UNORDERED"):
             p.expect_end()
             return A.Alter(ns, tbl, A.SetSortOrder([]))

@@ -1195,3 +1195,66 @@ def test_attach_fallback_recovers_matcher_miss(spark, tmp_path, monkeypatch):
     )
     got = cat.sql(spark, "SELECT COUNT(*) AS n FROM fbns_fbt").first().n
     assert got == 1
+
+
+def test_replace_partition_field_sql(spark, tmp_path):
+    """ALTER TABLE ... REPLACE PARTITION FIELD a WITH b: one spec
+    evolution, old-spec files still scan, new writes land under the
+    replacement transform."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(os.path.join(str(tmp_path), "wh"), name="rp")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", i * 10) for i in range(30)],
+        "id long, g string, v long",
+    )
+    cat.sql(
+        spark,
+        "CREATE TABLE rp.p.t (id BIGINT, g STRING, v BIGINT) "
+        "PARTITIONED BY (g)",
+    )
+    cat.append("p.t", spark, df)
+    cat.sql(
+        spark,
+        "ALTER TABLE rp.p.t REPLACE PARTITION FIELD g WITH bucket(4, id)",
+    )
+    entries = cat.load("p.t").metadata.partition_spec_entries()
+    assert entries == ["bucket(4, id)"]
+    cat.append("p.t", spark, df.withColumn("id", F.col("id") + 100))
+    got = cat.sql(spark, "SELECT COUNT(*) AS n FROM rp.p.t").first().n
+    assert got == 60  # both spec generations scan together
+    # bad replacements refuse
+    with pytest.raises(Exception, match="not in current spec"):
+        cat.sql(
+            spark,
+            "ALTER TABLE rp.p.t REPLACE PARTITION FIELD g WITH day(id)",
+        )
+
+
+def test_write_distributed_by_partition_sql(spark, tmp_path):
+    """ALTER TABLE ... WRITE DISTRIBUTED BY PARTITION sets
+    write.distribution-mode=hash: an N-task append lands ONE file per
+    partition instead of tasks x partitions."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(os.path.join(str(tmp_path), "wh"), name="wd")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", i * 10) for i in range(300)],
+        "id long, g string, v long",
+    ).repartition(8)
+    cat.sql(
+        spark,
+        "CREATE TABLE wd.p.t (id BIGINT, g STRING, v BIGINT) "
+        "PARTITIONED BY (g)",
+    )
+    cat.sql(spark, "ALTER TABLE wd.p.t WRITE DISTRIBUTED BY PARTITION")
+    assert (
+        cat.load("p.t").metadata.properties["write.distribution-mode"]
+        == "hash"
+    )
+    cat.append("p.t", spark, df)
+    assert len(cat.load("p.t").files()) == 3  # one per g-partition
