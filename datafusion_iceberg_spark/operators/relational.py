@@ -1205,7 +1205,7 @@ register_sql(
       UNION ALL
       SELECT c.c_custkey, t.depth + 1
       FROM customer c
-      JOIN tree t ON CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) = t.k
+      JOIN tree t ON CAST(FLOOR(c.c_custkey / 4.0) AS BIGINT) = t.k
       WHERE c.c_custkey > 0 AND t.depth < 20
     )
     SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(k) AS BIGINT) AS key_sum
