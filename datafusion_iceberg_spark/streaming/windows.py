@@ -1233,3 +1233,101 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("user_id", "event_type")
     )
+
+
+@register(
+    "stream_incremental_mv_pipeline",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def stream_incremental_mv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental pipeline (r11 capstone): a rate-limited
+    stream tails an Iceberg source table, each micro-batch lands in a
+    mirror table via foreachBatch, and the mirror's changelog-maintained
+    MV refreshes INSIDE the same batch hook — so the rollup is never
+    more than one micro-batch behind and each refresh costs ∝ that
+    batch's rows (the changelog delta), not the table.  The oracle
+    recomputes the final rollup from scratch; matching it proves the
+    per-batch delta applications composed exactly."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.mv import (
+        create_aggregate_mv,
+        refresh_aggregate_mv,
+    )
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH, _lock
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        register_iceberg_datasource,
+    )
+
+    register_iceberg_datasource(spark)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(SCRATCH, f"wh_{tag}_mvpipe")
+    marker = os.path.join(root, "_COMPLETE")
+    with _lock:
+        cat = Catalog(root, name="mp") if os.path.exists(root) else None
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="mp")
+            orders = load_table(spark, sf_dir, "orders").selectExpr(
+                "o_orderkey",
+                "o_orderstatus",
+                "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            )
+            cat.create_table("m.src", orders.schema)
+            cat.append("m.src", spark, orders.repartition(4))
+            cat.create_table("m.mirror", orders.schema)
+            create_aggregate_mv(
+                cat, spark, "m.rollup", "m.mirror",
+                ["o_orderstatus"], "cents", aggs=["sum", "count"],
+            )
+
+            def _sink(bdf, _bid):
+                if not bdf.take(1):
+                    return
+                cat.append("m.mirror", bdf.sparkSession, bdf)
+                refresh_aggregate_mv(cat, bdf.sparkSession, "m.rollup")
+
+            q = (
+                spark.readStream.format("iceberg_py")
+                .option("path", os.path.join(root, "m", "src"))
+                .option("max_files_per_batch", "2")
+                .load()
+                .writeStream.foreachBatch(_sink)
+                .option(
+                    "checkpointLocation", os.path.join(root, "_checkpoint")
+                )
+                .trigger(processingTime="1 seconds")
+                .start()
+            )
+            import time
+
+            total = orders.count()
+            try:
+                deadline = time.time() + 240
+                while (
+                    cat.load("m.mirror").to_df(spark).count() < total
+                    and time.time() < deadline
+                ):
+                    time.sleep(0.5)
+            finally:
+                q.stop()
+            # stopping can strand the LAST batch between append and
+            # refresh: one final refresh converges (idempotent)
+            refresh_aggregate_mv(cat, spark, "m.rollup")
+            assert cat.load("m.mirror").to_df(spark).count() == total
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT o_orderstatus, CAST(sum_micros / 1000000 AS BIGINT) "
+        "AS cents_sum, cnt FROM mp.m.rollup ORDER BY o_orderstatus",
+    )
