@@ -111,6 +111,8 @@ HEADLINE = [
     "text_dup_ngram_mass",
     "corpus_shard_plan",
     "stream_rate_limited_tail",
+    "fn_higher_order_bank",
+    "stream_incremental_mv_pipeline",
 ]
 
 
