@@ -74,3 +74,45 @@ def test_random_aggregates_agree(spark, duck, sf_dir, seed):
         except Exception as e:  # generator bug, not an engine diff
             raise AssertionError(f"oracle rejected {sql!r}: {e}") from e
         compare(sdf, rel, f"seed={seed} q{i}: {sql}")
+
+
+_JOIN_AGGS = [
+    "COUNT(*) AS n",
+    "CAST(SUM(o.o_orderkey) AS BIGINT) AS key_sum",
+    "COUNT(DISTINCT c.c_nationkey) AS nd_nat",
+    "MIN(c.c_custkey) AS c_min",
+]
+
+
+def _gen_join(rng: random.Random) -> str:
+    groups = rng.sample(
+        ["c.c_mktsegment", "o.o_orderstatus", "CAST(c.c_nationkey AS BIGINT)"],
+        rng.randrange(1, 3),
+    )
+    aggs = rng.sample(_JOIN_AGGS, rng.randrange(1, 4))
+    sel = [f"{g} AS g{i}" for i, g in enumerate(groups)] + aggs
+    how = rng.choice(["JOIN", "LEFT JOIN"])
+    sql = (
+        f"SELECT {', '.join(sel)} FROM customer c {how} orders o "
+        "ON o.o_custkey = c.c_custkey"
+    )
+    where = []
+    if rng.random() < 0.6:
+        where.append(f"c.c_custkey % {rng.choice([2, 5, 9])} = 0")
+    if rng.random() < 0.4 and how == "JOIN":
+        where.append(f"o.o_totalprice > {rng.choice([20_000, 200_000])}")
+    if where:
+        sql += " WHERE " + " AND ".join(where)
+    sql += " GROUP BY " + ", ".join(groups)
+    sql += " ORDER BY " + ", ".join(f"g{i}" for i in range(len(groups)))
+    return sql
+
+
+@pytest.mark.parametrize("seed", [5, 99])
+def test_random_joins_agree(spark, duck, sf_dir, seed):
+    rng = random.Random(seed)
+    for i in range(10):
+        sql = _gen_join(rng)
+        sdf = sql_query(spark, sf_dir, sql)
+        rel = duck.sql(sql)
+        compare(sdf, rel, f"seed={seed} j{i}: {sql}")
