@@ -569,3 +569,44 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "sample_balanced_cap",
+    oracle="""
+    SELECT source, COUNT(*) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_key_sum
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 15
+    GROUP BY source ORDER BY source
+    """,
+)
+def sample_balanced_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-domain downsampling: keep AT MOST k docs per source,
+    chosen by a deterministic hash order (md5 of the key — seedless,
+    reproducible across runs and engines) so the cap is an unbiased
+    pseudo-random draw, not head-of-file bias.  One shuffle on source;
+    the rank never leaves its partition.  The over-represented-domain
+    equalizer that runs before mixture weighting at corpus scale."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("kept_key_sum"),
+        )
+        .orderBy("source")
+    )
