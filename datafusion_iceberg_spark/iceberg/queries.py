@@ -4760,3 +4760,58 @@ def iceberg_zstd_codec_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(n_nationkey) AS BIGINT) AS key_sum "
         "FROM zs.z.n GROUP BY n_regionkey ORDER BY region",
     )
+
+
+@register(
+    "iceberg_sketch_rollup_scan",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS exact_custs,
+           (SELECT COUNT(DISTINCT o_orderstatus) FROM orders)
+             AS n_sketches,
+           TRUE AS within_bound
+    FROM orders
+    """,
+)
+def iceberg_sketch_rollup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED cardinality sketches (r11): per-status HLL sketches are
+    written as a BINARY column of an Iceberg table in one job, then a
+    SEPARATE read unions the stored sketches into the global
+    distinct-customer estimate — the nightly-rollup shape where sketch
+    state outlives the job that built it (vs agg_hll_sketch_union's
+    in-query union).  Estimate fenced in-query against the exact count
+    recomputed from the source."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_sketch")
+        marker = os.path.join(root, "_COMPLETE")
+        cat = Catalog(root, name="sk")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="sk")
+            orders = load_table(spark, sf_dir, "orders")
+            sketches = orders.groupBy("o_orderstatus").agg(
+                F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk")
+            )
+            cat.create_table("s.daily", sketches.schema)
+            cat.append("s.daily", spark, sketches)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    stored = cat.load("s.daily").to_df(spark)
+    fused = stored.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+        F.count(F.lit(1)).alias("n_sketches"),
+    )
+    exact = load_table(spark, sf_dir, "orders").agg(
+        F.count_distinct("o_custkey").alias("exact_custs")
+    )
+    return exact.crossJoin(fused).select(
+        "exact_custs",
+        "n_sketches",
+        (
+            F.abs(F.col("_est") - F.col("exact_custs"))
+            / F.col("exact_custs")
+            <= F.lit(0.025)
+        ).alias("within_bound"),
+    )
