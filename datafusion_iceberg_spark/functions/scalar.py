@@ -421,3 +421,51 @@ def fn_higher_order_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "fn_try_arithmetic_bank",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 3) END AS safe_div,
+           CAST(NULL AS BIGINT) AS overflow_add,
+           CAST(o_orderkey + 1 AS BIGINT) AS ok_add,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE NULL END AS parsed
+    FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+    """,
+)
+def fn_try_arithmetic_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety valves: Spark 4 runs with ANSI ON, so division
+    by zero / long overflow / bad casts ERROR by default — the ``try_*``
+    family returns NULL instead, per expression, without giving up
+    strictness everywhere else.  try_divide(x, 0) → NULL,
+    try_add(Long.MAX, 1) → NULL (the plain + would raise),
+    try_to_number on a non-numeric string → NULL.  The oracle spells
+    the same semantics with CASE/NULL literals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.try_divide(
+                F.col("o_totalprice"), F.col("o_orderkey") % 3
+            ).alias("safe_div"),
+            F.try_add(
+                F.lit(9223372036854775807).cast("long"),
+                (F.col("o_orderkey") * 0 + 1).cast("long"),
+            ).alias("overflow_add"),
+            F.try_add(F.col("o_orderkey"), F.lit(1)).cast("long").alias(
+                "ok_add"
+            ),
+            F.try_to_number(
+                F.when(F.col("o_orderstatus") == "F", F.lit("1")).otherwise(
+                    F.lit("x")
+                ),
+                F.lit("9"),
+            )
+            .cast("int")
+            .alias("parsed"),
+        )
+        .orderBy("o_orderkey")
+    )
