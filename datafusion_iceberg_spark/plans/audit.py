@@ -106,6 +106,10 @@ NESTED_LOOP_OK = frozenset(
         "window_ntile",
         # 1-row bigram-total broadcast (constant-attach)
         "text_pmi_pairs",
+        # 1-row exact-count frame x 1-row fused-sketch frame: both sides
+        # are global aggregates, the BNLJ attaches two constants
+        "agg_hll_sketch_union",
+        "iceberg_sketch_rollup_scan",
     }
 )
 
