@@ -1438,3 +1438,44 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS norm
+      FROM documents
+    ) GROUP BY norm ORDER BY keep_doc_id
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup AFTER canonicalization (casefold, strip punctuation,
+    collapse whitespace) — the normalization every production pipeline
+    applies before hashing, catching re-encodes and case-variant copies
+    that byte-exact dedup (dedup_exact) misses.  Same one-shuffle
+    groupBy; the normalization is codegen'd string ops, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", norm.alias("norm"))
+        .groupBy("norm")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .select("keep_doc_id", "n_copies", "n_docs")
+        .orderBy("keep_doc_id")
+    )

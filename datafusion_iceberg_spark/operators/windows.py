@@ -425,3 +425,45 @@ def window_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cents_30m,
+           COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+           ) AS n_30m
+    FROM events WHERE user_id < 200 ORDER BY user_id, event_id
+    """,
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame: each event's rolling 30-minute sum /
+    count over ITS OWN trailing window — value-based bounds, so ties in
+    ts land in one frame regardless of row order (deterministic where a
+    ROWS frame would not be).  One shuffle on user_id; frames never
+    cross partitions.  The rolling-feature shape of fraud/abuse scoring
+    at event-stream scale."""
+    from datafusion_iceberg_spark.tables import sql_query
+
+    return sql_query(
+        spark,
+        sf_dir,
+        """
+        SELECT user_id, event_id,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cents_30m,
+               COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+               ) AS n_30m
+        FROM events WHERE user_id < 200 ORDER BY user_id, event_id
+        """,
+    )
