@@ -469,3 +469,45 @@ def fn_try_arithmetic_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "fn_url_bank",
+    oracle="""
+    SELECT source AS site, COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY source ORDER BY site
+    """,
+)
+def fn_url_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing (the crawl-curation entry point: host/path/query
+    extraction feed domain filters, dedup keys, and per-site quotas).
+    Documents get deterministic synthetic URLs; ``parse_url`` splits
+    them JVM-side and the per-host rollup must reconstruct exactly the
+    per-source stats the oracle computes from the raw columns — a
+    parse–reassemble round trip, not a tautology."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&utm_source=feed"),
+    )
+    parsed = docs.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("qlang"),
+    )
+    return (
+        parsed.groupBy(
+            F.regexp_replace("host", "\\.example\\.com$", "").alias("site")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("qlang").alias("n_langs"),
+        )
+        .orderBy("site")
+    )
