@@ -4815,3 +4815,41 @@ def iceberg_sketch_rollup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.025)
         ).alias("within_bound"),
     )
+
+
+@register(
+    "iceberg_ds_incremental_scan",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 2 <> 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_ds_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch read through the Python DataSource (r11):
+    ``.option("incremental_from", snap)`` plans ONLY the files added
+    after that snapshot (metadata-only diff; pushed filters still prune
+    within the added set) — the 'give me what landed since my last run'
+    pull that batch ETL schedules against a warehouse table."""
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        register_iceberg_datasource,
+    )
+
+    register_iceberg_datasource(spark)
+    fx = fixture(spark, sf_dir)
+    inc = (
+        spark.read.format("iceberg_py")
+        .option("path", fx.orders.metadata.root)
+        .option("incremental_from", str(fx.snap1))
+        .option("snapshot_id", str(fx.snap2))
+        .load()
+    )
+    return (
+        inc.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_custkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -2061,10 +2061,27 @@ class IcebergPyDataSource(DataSource):
     def reader(self, schema) -> IcebergPyReader:
         table, snapshot_id = self._table()
         reader = IcebergPyReader(table, schema)
+        inc_from = self.options.get("incremental_from")
+        if inc_from is not None:
+            # incremental BATCH read (r11): only the files added in
+            # (incremental_from, snapshot_id-or-current] — the DS face
+            # of IcebergTable.incremental_df, for batch pipelines that
+            # pull "what's new since my last run" by snapshot id
+            # (pushed filters still prune within the added set)
+            from_sid = int(inc_from)
+
+            def pinned_inc():
+                return _plan_files(
+                    table,
+                    reader._pred,
+                    snapshot_id=snapshot_id,
+                    from_snapshot_id=from_sid,
+                )
+
+            reader.partitions = pinned_inc  # type: ignore[method-assign]
+            return reader
         if snapshot_id is not None:
             # pin every planning call to the requested snapshot
-            orig = reader.partitions
-
             def pinned():
                 return _plan_files(table, reader._pred, snapshot_id=snapshot_id)
 

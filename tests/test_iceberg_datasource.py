@@ -1382,3 +1382,31 @@ def test_stream_file_rate_limit_fuzz(spark, tmp_path, seed):
             for b in reader.read(p):
                 got.extend(b.column("k").to_pylist())
     assert sorted(got) == expected, f"seed={seed} cap={cap}"
+
+
+def test_ds_incremental_batch_read(spark, fx):
+    """incremental_from (r11): the DS batch read plans only the files
+    added after the given snapshot — matching incremental_df — and
+    composes with a snapshot_id upper pin."""
+    root = fx.orders.metadata.root
+    inc = (
+        spark.read.format("iceberg_py")
+        .option("path", root)
+        .option("incremental_from", str(fx.snap1))
+        .load()
+    )
+    ref = fx.orders.incremental_df(spark, fx.snap1)
+    assert inc.count() == ref.count()
+    a = sorted(r.o_orderkey for r in inc.select("o_orderkey").collect())
+    b = sorted(r.o_orderkey for r in ref.select("o_orderkey").collect())
+    assert a == b
+    # upper pin: (snap1, snap2] window
+    win = (
+        spark.read.format("iceberg_py")
+        .option("path", root)
+        .option("incremental_from", str(fx.snap1))
+        .option("snapshot_id", str(fx.snap2))
+        .load()
+    )
+    ref2 = fx.orders.incremental_df(spark, fx.snap1, fx.snap2)
+    assert win.count() == ref2.count()
