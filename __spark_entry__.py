@@ -26,9 +26,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so a
     budget-limited correctness sweep reaches every subsystem: Iceberg
     stack first, then extensions/windows/setops/streaming/sources, with
-    the relational surface last (driver-verified in round 1)."""
+    the relational surface last (driver-verified in round 1).
+
+    Each callable first releases the PREVIOUS gate's scoped caches
+    (builders that cache an intermediate shared by two consumers in the
+    returned plan register it via
+    :func:`datafusion_iceberg_spark.caching.scoped_cache`) — so a
+    274-gate single-session sweep holds at most one gate's cache blocks
+    instead of accumulating them all."""
     registry.load_all_modules()
-    return {name: registry.QUERIES[name] for name in registry.ordered_names()}
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from datafusion_iceberg_spark.caching import release_scoped_caches
+
+            release_scoped_caches()
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        run.__doc__ = fn.__doc__
+        run.__module__ = fn.__module__
+        run.__wrapped__ = fn
+        return run
+
+    return {name: wrap(registry.QUERIES[name]) for name in registry.ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:

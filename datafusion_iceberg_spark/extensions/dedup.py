@@ -902,23 +902,27 @@ def token_jaccard_components(docs: DataFrame) -> DataFrame:
         )
         .select("u", "v")
     )
-    edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).cache()
+    from datafusion_iceberg_spark.caching import scoped_cache
+
+    edges = scoped_cache(
+        pairs.unionByName(
+            pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    prev = None
     for _round in range(20):
         prop = (
             edges.join(labels, edges["v"] == labels["node"])
             .groupBy(edges["u"].alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        updated = (
-            labels.join(prop, "node", "left")
-            .select(
+        updated = scoped_cache(
+            labels.join(prop, "node", "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
@@ -928,8 +932,15 @@ def token_jaccard_components(docs: DataFrame) -> DataFrame:
                     < F.col("label")
                 ).alias("chg"),
             )
-        ).cache()
+        )
         n_changed = updated.filter("chg").count()
+        # the count materialized this round's cache; the previous
+        # round's blocks are now dead weight — drop them immediately so
+        # the iteration holds at most one round in memory (ADVICE r11
+        # #4: the old code accumulated up to 20 cached frames)
+        if prev is not None:
+            prev.unpersist()
+        prev = updated
         labels = updated.select("node", "label")
         if n_changed == 0:
             break

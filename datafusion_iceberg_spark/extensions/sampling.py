@@ -535,7 +535,9 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = docs.repartitionByRange(cpus(), "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )
-    parts = parts.cache()
+    from datafusion_iceberg_spark.caching import scoped_cache
+
+    parts = scoped_cache(parts)
     w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

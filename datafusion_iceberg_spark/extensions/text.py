@@ -1489,11 +1489,15 @@ def text_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" "),
         F.lead("tok", 2).over(w),
     )
-    grams = (
-        toks.select("doc_id", "source", gram.alias("gram"))
-        .filter(F.col("gram").isNotNull())
-        .cache()  # feeds BOTH the spread agg and the join probe — the
-        # r11 plan audit showed the explode+window subtree built twice
+    from datafusion_iceberg_spark.caching import scoped_cache
+
+    grams = scoped_cache(
+        # feeds BOTH the spread agg and the join probe — the r11 plan
+        # audit showed the explode+window subtree built twice; scoped so
+        # the next gate's invocation frees the blocks (ADVICE r11 #4)
+        toks.select("doc_id", "source", gram.alias("gram")).filter(
+            F.col("gram").isNotNull()
+        )
     )
     spread = grams.groupBy("gram").agg(
         F.countDistinct("doc_id").alias("nd")

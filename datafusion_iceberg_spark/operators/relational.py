@@ -1357,13 +1357,14 @@ def graph_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from datafusion_iceberg_spark.caching import scoped_cache
+
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ed = edges.join(deg, "src").cache()
-    nodes = (
+    ed = scoped_cache(edges.join(deg, "src"))
+    nodes = scoped_cache(
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .cache()
     )
     r = nodes.withColumn("r", F.lit(1.0))
     for _ in range(2):

@@ -2067,23 +2067,38 @@ class IcebergPyDataSource(DataSource):
             # (incremental_from, snapshot_id-or-current] — the DS face
             # of IcebergTable.incremental_df, for batch pipelines that
             # pull "what's new since my last run" by snapshot id
-            # (pushed filters still prune within the added set)
+            # (pushed filters still prune within the added set).
+            # apply_deletes=True: the end snapshot's delete coverage
+            # masks rows within the added-file set (a file added AND
+            # partially deleted inside the window reads its live rows,
+            # matching incremental_df / the JVM incremental scan).
             from_sid = int(inc_from)
 
             def pinned_inc():
-                return _plan_files(
+                parts = _plan_files(
                     table,
                     reader._pred,
                     snapshot_id=snapshot_id,
                     from_snapshot_id=from_sid,
+                    apply_deletes=True,
                 )
+                # empty diff (caught-up caller, or filters pruned every
+                # added file) is the steady state — Spark needs >= 1
+                # partition and read("") emits no batches
+                return parts or [IcebergFilePartition("", {})]
 
             reader.partitions = pinned_inc  # type: ignore[method-assign]
             return reader
         if snapshot_id is not None:
             # pin every planning call to the requested snapshot
             def pinned():
-                return _plan_files(table, reader._pred, snapshot_id=snapshot_id)
+                parts = _plan_files(
+                    table,
+                    reader._pred,
+                    snapshot_id=snapshot_id,
+                    apply_deletes=True,
+                )
+                return parts or [IcebergFilePartition("", {})]
 
             reader.partitions = pinned  # type: ignore[method-assign]
         return reader

@@ -1219,10 +1219,14 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     transformWithStateInPandas — Spark 4's richer stateful API — is
     environment-blocked here: its state-server protocol needs protobuf,
     absent in this container.)  Output projects ONLY the dedup key so
-    the result is arrival-order independent."""
+    the result is arrival-order independent.  The watermark (40 days)
+    deliberately covers the whole events fixture span (~30 days): the
+    oracle is a plain DISTINCT, so the gate must not evict key state
+    mid-run even when the source drains over multiple micro-batches —
+    a shorter watermark only matched under single-batch execution."""
     stream, _ = _events_stream(spark, sf_dir)
     sel = (
-        stream.withWatermark("ts", "1 day")
+        stream.withWatermark("ts", "40 days")
         .select("user_id", "event_type", "ts")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")

@@ -35,6 +35,18 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _release_scoped_caches():
+    """Free any scoped-cache blocks a gate builder registered, after the
+    test that consumed them finishes — mirrors what
+    ``__spark_entry__.queries()`` does for the driver sweep, so an
+    880-test session doesn't accumulate cached frames (ADVICE r11 #4)."""
+    yield
+    from datafusion_iceberg_spark.caching import release_scoped_caches
+
+    release_scoped_caches()
+
+
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()

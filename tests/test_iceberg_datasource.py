@@ -1410,3 +1410,55 @@ def test_ds_incremental_batch_read(spark, fx):
     )
     ref2 = fx.orders.incremental_df(spark, fx.snap1, fx.snap2)
     assert win.count() == ref2.count()
+
+
+def test_ds_incremental_empty_diff_reads_zero_rows(spark, fx):
+    """ADVICE r12 (high): incremental_from at the CURRENT snapshot — the
+    steady state of a caught-up 'what landed since my last run' poller —
+    must return an empty frame, not crash on pyspark's [None]
+    empty-partition substitution.  Same guard for a pinned read whose
+    pushed filter prunes every file."""
+    root = fx.orders.metadata.root
+    head = fx.orders.metadata.current_snapshot_id
+    caught_up = (
+        spark.read.format("iceberg_py")
+        .option("path", root)
+        .option("incremental_from", str(head))
+        .load()
+    )
+    assert caught_up.count() == 0
+    pruned_all = (
+        spark.read.format("iceberg_py")
+        .option("path", root)
+        .option("snapshot_id", str(fx.snap1))
+        .load()
+        .filter("o_orderstatus = 'ZZ'")  # matches no partition
+    )
+    assert pruned_all.count() == 0
+
+
+def test_ds_incremental_applies_mor_deletes(spark, fx):
+    """ADVICE r12 (low): the incremental window plans with MOR masking —
+    an end snapshot carrying delete files must not raise, and files
+    added INSIDE the window read with the end snapshot's delete
+    coverage applied (parity with incremental_df)."""
+    from datafusion_iceberg_spark.iceberg.queries import _cdc_fixture
+
+    cdc = _cdc_fixture(spark, SF_DIR).load("cdc.orders")
+    snaps = sorted(s.snapshot_id for s in cdc.metadata.snapshots)
+    hist = sorted(
+        cdc.metadata.snapshots, key=lambda s: s.sequence_number or 0
+    )
+    first = hist[0].snapshot_id
+    inc = (
+        spark.read.format("iceberg_py")
+        .option("path", cdc.metadata.root)
+        .option("incremental_from", str(first))
+        .load()
+    )
+    ref = cdc.incremental_df(spark, first)
+    assert inc.count() == ref.count()
+    a = sorted(r.o_orderkey for r in inc.select("o_orderkey").collect())
+    b = sorted(r.o_orderkey for r in ref.select("o_orderkey").collect())
+    assert a == b
+    assert snaps  # history sanity
