@@ -1201,6 +1201,86 @@ def stream_rate_limited_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_available_now_drain",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def stream_available_now_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow over a RATE-CAPPED backlog (r12): pyspark's
+    Python DataSource wrapper lacks SupportsTriggerAvailableNow, so a
+    plain availableNow run over iceberg_py drains only ONE capped window
+    (measured r11).  ``drain_available_now`` re-runs capped availableNow
+    windows from the same checkpoint until the committed offset reaches
+    the head captured at entry — the scheduled-job contract the JVM
+    Iceberg source gets from composing streaming-max-files-per-micro-batch
+    with availableNow.  Fixture: a 4-commit backlog drains in one helper
+    invocation at max_snapshots_per_batch=1 (4 bounded rounds, no batch
+    sees the whole table); the oracle checks the union of the windows
+    delivered every row exactly once."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH, _lock
+    from datafusion_iceberg_spark.streaming.drain import drain_available_now
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(SCRATCH, f"wh_{tag}_andrain")
+    out_dir = os.path.join(root, "_rows")
+    marker = os.path.join(root, "_COMPLETE")
+    with _lock:
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="an")
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus"
+            )
+            total = orders.count()
+            cat.create_table("a.orders", orders.schema)
+            for m in range(4):  # 4-commit backlog
+                cat.append(
+                    "a.orders",
+                    spark,
+                    orders.filter(F.col("o_orderkey") % 4 == m),
+                )
+            table_root = os.path.join(root, "a", "orders")
+            batch_rows = []
+
+            def _sink(df, _bid):
+                n = df.count()
+                if n:
+                    df.write.mode("append").parquet(out_dir)
+                    batch_rows.append(n)
+
+            report = drain_available_now(
+                spark,
+                table_root,
+                os.path.join(root, "_checkpoint"),
+                options={"max_snapshots_per_batch": "1"},
+                foreach_batch=_sink,
+            )
+            assert report["caught_up"] and report["rounds"] == 4, report
+            assert sum(batch_rows) == total, batch_rows
+            assert max(batch_rows) < total, batch_rows
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "stream_dedup_within_watermark",
     oracle="""
     SELECT user_id, event_type, COUNT(*) AS n
