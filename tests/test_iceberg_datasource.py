@@ -1462,3 +1462,57 @@ def test_ds_incremental_applies_mor_deletes(spark, fx):
     b = sorted(r.o_orderkey for r in ref.select("o_orderkey").collect())
     assert a == b
     assert snaps  # history sanity
+
+
+def test_ds_sql_statement_driven_projection(spark, tmp_path):
+    """ds_sql (r12): a SELECT of 2 of 16 columns through the DS path
+    reads a reader schema of just the referenced columns (selected +
+    WHERE), while COUNT(*) is not a projection star and SELECT * falls
+    back to the full schema."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+
+    root = str(tmp_path / "wh_dssql")
+    cat = Catalog(root, name="dsq")
+    base = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    wide = base
+    for i in range(12):  # pad to a 16-column table
+        wide = wide.withColumn(f"pad_{i:02d}", F.col("o_orderkey") + i)
+    cat.create_table("w.orders", wide.schema)
+    cat.append("w.orders", spark, wide)
+    assert len(cat.load("w.orders").metadata.struct_type().fields) == 16
+
+    out = cat.ds_sql(
+        spark,
+        "SELECT o_orderstatus, SUM(o_totalprice) AS rev FROM "
+        "dsq.w.orders WHERE o_custkey % 2 = 0 GROUP BY o_orderstatus",
+    )
+    # the registered DS view carries ONLY the statement's columns
+    ds_view_cols = spark.table("w_orders__ds").columns
+    assert set(ds_view_cols) == {"o_orderstatus", "o_totalprice", "o_custkey"}
+    ref = (
+        wide.filter("o_custkey % 2 = 0")
+        .groupBy("o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    a = {(r.o_orderstatus, round(r.rev, 2)) for r in out.collect()}
+    b = {(r.o_orderstatus, round(r.rev, 2)) for r in ref.collect()}
+    assert a == b
+
+    # COUNT(*) is not a projection star: reader schema stays minimal
+    n = cat.ds_sql(
+        spark, "SELECT COUNT(*) AS n FROM dsq.w.orders WHERE o_custkey > 0"
+    ).collect()[0].n
+    assert n == wide.filter("o_custkey > 0").count()
+    assert spark.table("w_orders__ds").columns == ["o_custkey"]
+
+    # SELECT * reads the full 16-column schema
+    star = cat.ds_sql(spark, "SELECT * FROM dsq.w.orders")
+    assert len(spark.table("w_orders__ds").columns) == 16
+    assert star.count() == wide.count()
+
+    # non-SELECT statements refuse
+    with pytest.raises(ValueError, match="SELECT"):
+        cat.ds_sql(spark, "DELETE FROM dsq.w.orders WHERE o_custkey = 1")
