@@ -347,9 +347,50 @@ class SqlSurface:
 
         stmts = self._split_statements(query)
         if len(stmts) > 1:
+            # Script isolation (r12, VERDICT r11 #8): REPEATABLE READ —
+            # every table the script references is pinned to its
+            # snapshot AT SCRIPT ENTRY, so a concurrent commit between
+            # statements never changes what statement N+1 reads.  The
+            # script's OWN DML advances the pin for its target (later
+            # statements see earlier statements' writes), mirroring how
+            # LocalTransaction chains staged metadata for writes.
+            own_pins = not hasattr(self, "_script_pins")
+            if own_pins:
+                self._script_pins = {}
+                for k in self._referenced_keys(query):
+                    try:
+                        rel = self._rel(k)
+                    except KeyError:
+                        continue
+                    if isinstance(rel, IcebergTable):
+                        self._script_pins[k] = (
+                            rel.metadata.current_snapshot_id
+                        )
             out: Optional[DataFrame] = None
-            for st in stmts:
-                out = self.sql(spark, st)
+            try:
+                for st in stmts:
+                    handled = dml.try_execute(self, spark, st)
+                    if handled is not None:
+                        out = handled
+                        if own_pins:
+                            row = out.collect()[0]
+                            tgt = row.target
+                            try:
+                                rel = self._rel(tgt)
+                            except KeyError:
+                                rel = None
+                            if (
+                                tgt in self._script_pins
+                                and isinstance(rel, IcebergTable)
+                            ):
+                                self._script_pins[tgt] = (
+                                    rel.metadata.current_snapshot_id
+                                )
+                        continue
+                    out = self.sql(spark, st)
+            finally:
+                if own_pins:
+                    del self._script_pins
             if out is None:
                 raise ValueError("empty SQL script")
             return out
@@ -1829,15 +1870,31 @@ class Catalog(SqlSurface):
         )
         if not hasattr(self, "_attached_tokens"):
             self._attached_tokens: dict = {}
+        pins = getattr(self, "_script_pins", None)
         for key, rel in items:
             ns, bare = key.split(".", 1)
-            df = rel.to_df(spark)
+            pinned = (
+                pins is not None
+                and key in pins
+                and isinstance(rel, IcebergTable)
+            )
+            if pinned and pins[key] is not None:
+                # multi-statement script: REPEATABLE READ — every
+                # statement reads the snapshot captured at script entry
+                # (own writes re-pin via sql()'s script loop)
+                df = rel.to_df(spark, snapshot_id=pins[key])
+            else:
+                df = rel.to_df(spark)
             if isinstance(rel, IcebergTable):
                 stats = rel.statistics()
                 if 0 < stats.get("total_bytes", 0) < self.BROADCAST_BYTES:
                     df = df.hint("broadcast")
             df.createOrReplaceTempView(f"{ns}_{bare}")
-            self._attached_tokens[key] = _rel_token(rel)
+            # a pinned registration records a sentinel token so the
+            # FIRST post-script sql() always re-attaches the live view
+            self._attached_tokens[key] = (
+                ("script-pin", pins[key]) if pinned else _rel_token(rel)
+            )
             # bare-name convenience view ONLY when it would not shadow an
             # existing temp view: the session may already expose a base
             # table under this name (the harness does for every testdata
