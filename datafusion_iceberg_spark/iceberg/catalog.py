@@ -372,11 +372,14 @@ class SqlSurface:
                     handled = dml.try_execute(self, spark, st)
                     if handled is not None:
                         out = handled
-                        if own_pins:
-                            row = out.collect()[0]
-                            tgt = row.target
+                        # advance the pin for the statement's OWN write
+                        # target; SHOW/DESCRIBE/CALL results carry no
+                        # ``target`` column and advance nothing
+                        if own_pins and "target" in out.columns:
+                            rows = out.collect()
+                            tgt = rows[0].target if rows else None
                             try:
-                                rel = self._rel(tgt)
+                                rel = self._rel(tgt) if tgt else None
                             except KeyError:
                                 rel = None
                             if (
