@@ -113,6 +113,11 @@ HEADLINE = [
     "stream_rate_limited_tail",
     "fn_higher_order_bank",
     "stream_incremental_mv_pipeline",
+    # round-12 additions
+    "stream_available_now_drain",
+    "iceberg_ds_sql_projected_scan",
+    "iceberg_theta_stats_scan",
+    "iceberg_foreign_kitchen_sink_scan",
 ]
 
 
@@ -171,6 +176,7 @@ def main() -> None:
     # rather than back-to-back repeats — give the compile queue a whole
     # pass worth of settle time; the first pass is effectively a rehearsal.
     timings: dict[str, float] = {}
+    load_start = os.getloadavg()[0]
     bench_start = time.perf_counter()
     # Soft wall-clock budget: finish the pass in flight but start no new
     # pass beyond it — a loaded host (this VM shows 10-30x jitter under
@@ -196,11 +202,17 @@ def main() -> None:
                 timings[name] = round(min(timings.get(name, dt), dt), 3)
 
     total = round(sum(timings.values()), 3)
+    # Host-contention stamp (VERDICT r11 #7): round-over-round totals have
+    # smeared 1.1-1.35x purely with host loadavg; recording the 1-min load
+    # at start and end lets the reader normalize a noisy recording instead
+    # of misreading it as a regression.
+    loadavg = [round(load_start, 2), round(os.getloadavg()[0], 2)]
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "loadavg": loadavg,
         "sf": sf,
     }
     # Full result (with the complete per-query map) goes to a file; the
@@ -221,6 +233,7 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
+        "loadavg": loadavg,
         "queries_file": "bench_result.json",
         "sf": sf,
     }

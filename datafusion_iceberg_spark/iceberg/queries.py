@@ -4976,3 +4976,346 @@ def iceberg_ds_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "iceberg_foreign_kitchen_sink_scan",
+    oracle="""
+    WITH b AS (
+      SELECT n_nationkey, n_name, n_regionkey FROM nation
+      WHERE n_regionkey IN (0, 1) AND n_nationkey < 10
+    ),
+    b0 AS (SELECT MIN(n_nationkey) AS k FROM b WHERE n_regionkey = 0)
+    SELECT n_nationkey, n_name, n_regionkey,
+           1704067200000000000 + CAST(n_nationkey AS BIGINT) * 1000000007 AS tns
+    FROM nation WHERE n_nationkey <> 7
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey,
+           1704067200000000000 + CAST(n_nationkey AS BIGINT) * 1000000007 AS tns
+    FROM b
+    WHERE n_nationkey <> 7
+      AND NOT (n_regionkey = 0 AND n_nationkey = (SELECT k FROM b0))
+    """,
+)
+def iceberg_foreign_kitchen_sink_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Foreign-interop UNION regression (VERDICT r11 #9): ONE hand-built
+    v3 table whose single history composes every adversarial surface the
+    per-feature foreign gates exercise separately —
+
+    - MULTI-SPEC manifests: file A committed under spec 0
+      (unpartitioned), files B0/B1 under spec 1 (identity on
+      n_regionkey) whose parquet OMITS the partition column
+      (directory-only partition values, attached native-typed from the
+      manifest — reference bug #4 territory; the reference assumes the
+      default spec for every file, table.rs:233-238);
+    - an EQUALITY DELETE (field-id 1 = n_nationkey = 7) at sequence 3:
+      kills key 7 in A (seq 1) AND would kill it in B (seq 2) — a reader
+      applying eq-deletes only to same-spec files resurrects it;
+    - a DELETION VECTOR (puffin) on B0 at sequence 4 deleting position
+      0 — B0's minimum key; a reader that misses cross-spec DV targeting
+      or applies the DV to A resurrects/kills the wrong row;
+    - GZIP-COMPRESSED metadata JSON (``v1.gz.metadata.json``,
+      ``write.metadata.compression-codec=gzip`` spelling);
+    - a v3 ``timestamp_ns`` column (raw int64 nanos domain — micros
+      truncation anywhere shifts every value);
+    - the snapshot array is COMMIT-ORDER SCRAMBLED (ordinal fallback
+      flips sequence reasoning).
+
+    The reference reads none of this: no v3, no deletes
+    (table.rs:139-145), single-spec assumption."""
+    import gzip as _gzip
+    import json
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from datafusion_iceberg_spark.iceberg.avro import write_avro_file
+    from datafusion_iceberg_spark.iceberg.puffin import dv_blob, write_puffin
+    from datafusion_iceberg_spark.iceberg.writer import (
+        _MANIFEST_LIST_SCHEMA,
+        _manifest_schema,
+    )
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_kitchensink", "kst")
+        marker = os.path.join(root, "_COMPLETE")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            data_dir = os.path.join(root, "data")
+            meta_dir = os.path.join(root, "metadata")
+            os.makedirs(data_dir)
+            os.makedirs(meta_dir)
+
+            nation = (
+                load_table(spark, sf_dir, "nation")
+                .select("n_nationkey", "n_name", "n_regionkey")
+                .orderBy("n_nationkey")
+                .collect()  # 25 rows, fixture construction only
+            )
+
+            def _tns(k: int) -> int:
+                return 1704067200000000000 + k * 1000000007
+
+            def _write(path, rows, with_region=True):
+                cols = {
+                    "n_nationkey": pa.array(
+                        [int(r["n_nationkey"]) for r in rows], pa.int64()
+                    ),
+                    "n_name": pa.array(
+                        [r["n_name"] for r in rows], pa.string()
+                    ),
+                }
+                if with_region:
+                    cols["n_regionkey"] = pa.array(
+                        [int(r["n_regionkey"]) for r in rows], pa.int64()
+                    )
+                cols["tns"] = pa.array(
+                    [_tns(int(r["n_nationkey"])) for r in rows], pa.int64()
+                )
+                papq.write_table(pa.table(cols), path)
+
+            # file A: spec 0, every column physical
+            file_a = os.path.join(data_dir, "a.parquet")
+            _write(file_a, nation)
+            # files B0/B1: spec 1, parquet OMITS n_regionkey
+            b_rows = [
+                r
+                for r in nation
+                if int(r["n_regionkey"]) in (0, 1)
+                and int(r["n_nationkey"]) < 10
+            ]
+            b_by_region = {
+                rk: sorted(
+                    (r for r in b_rows if int(r["n_regionkey"]) == rk),
+                    key=lambda r: int(r["n_nationkey"]),
+                )
+                for rk in (0, 1)
+            }
+            b_files = {}
+            for rk in (0, 1):
+                p = os.path.join(data_dir, f"b{rk}.parquet")
+                _write(p, b_by_region[rk], with_region=False)
+                b_files[rk] = p
+            # equality delete: n_nationkey = 7 (field id 1), sequence 3
+            eq_del = os.path.join(data_dir, "eqdel.parquet")
+            papq.write_table(
+                pa.table({"n_nationkey": pa.array([7], pa.int64())}), eq_del
+            )
+            # deletion vector on B0 position 0, sequence 4
+            blob = dv_blob(
+                [0], b_files[0], snapshot_id=1004, sequence_number=4
+            )
+            puffin_path = os.path.join(data_dir, "dv.puffin")
+            write_puffin(puffin_path, [blob])
+            psize = os.path.getsize(puffin_path)
+
+            def _df(path, nrows, partition=None, content=0, eq_ids=None,
+                    dv=None):
+                d = {
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": partition or {},
+                    "record_count": nrows,
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "block_size_in_bytes": 67108864,
+                }
+                if content:
+                    d["content"] = content
+                if eq_ids:
+                    d["equality_ids"] = eq_ids
+                if dv is not None:
+                    d["file_format"] = "PUFFIN"
+                    d["file_size_in_bytes"] = psize
+                    d["referenced_data_file"] = dv.properties[
+                        "referenced-data-file"
+                    ]
+                    d["content_offset"] = dv.offset
+                    d["content_size_in_bytes"] = dv.length
+                return d
+
+            schema0 = _manifest_schema([])
+            schema1 = _manifest_schema(
+                [{"name": "n_regionkey", "avro_type": "long"}]
+            )
+            m_a = os.path.join(meta_dir, "m-a.avro")
+            write_avro_file(
+                m_a,
+                schema0,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": 1001,
+                        "sequence_number": 1,
+                        "data_file": _df(file_a, len(nation)),
+                    }
+                ],
+            )
+            m_b = os.path.join(meta_dir, "m-b.avro")
+            write_avro_file(
+                m_b,
+                schema1,
+                [
+                    {
+                        # null sequence -> inherits 2 from the list row
+                        "status": 1,
+                        "snapshot_id": 1002,
+                        "data_file": _df(
+                            b_files[rk],
+                            len(b_by_region[rk]),
+                            partition={"n_regionkey": rk},
+                        ),
+                    }
+                    for rk in (0, 1)
+                ],
+            )
+            m_eq = os.path.join(meta_dir, "m-eq.avro")
+            write_avro_file(
+                m_eq,
+                schema0,
+                [
+                    {
+                        "status": 1,
+                        "snapshot_id": 1003,
+                        "sequence_number": 3,
+                        "data_file": _df(eq_del, 1, content=2, eq_ids=[1]),
+                    }
+                ],
+            )
+            m_dv = os.path.join(meta_dir, "m-dv.avro")
+            write_avro_file(
+                m_dv,
+                schema1,
+                [
+                    {
+                        # null sequence -> inherits 4 from the list row
+                        "status": 1,
+                        "snapshot_id": 1004,
+                        "data_file": _df(
+                            puffin_path,
+                            1,
+                            partition={"n_regionkey": 0},
+                            content=1,
+                            dv=blob,
+                        ),
+                    }
+                ],
+            )
+            ml = os.path.join(meta_dir, "snap-1004-1-ml.avro")
+
+            def _ml_row(path, seq, sid, spec, content, nfiles, nrows):
+                return {
+                    "manifest_path": path,
+                    "manifest_length": os.path.getsize(path),
+                    "partition_spec_id": spec,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": sid,
+                    "added_data_files_count": nfiles,
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                    "partitions": None,
+                    "added_rows_count": nrows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "content": content,
+                }
+
+            write_avro_file(
+                ml,
+                _MANIFEST_LIST_SCHEMA,
+                [
+                    _ml_row(m_a, 1, 1001, 0, 0, 1, len(nation)),
+                    _ml_row(m_b, 2, 1002, 1, 0, 2, len(b_rows)),
+                    _ml_row(m_eq, 3, 1003, 0, 1, 1, 1),
+                    _ml_row(m_dv, 4, 1004, 1, 1, 1, 1),
+                ],
+            )
+            now = int(_time.time() * 1000)
+
+            def _snap(sid, seq):
+                return {
+                    "snapshot-id": sid,
+                    "sequence-number": seq,
+                    "timestamp-ms": now,
+                    "summary": {"operation": "append"},
+                    "manifest-list": ml,
+                    "schema-id": 0,
+                }
+
+            meta = {
+                "format-version": 3,
+                "table-uuid": str(_uuid.uuid4()),
+                "location": root,
+                "last-updated-ms": now,
+                "last-column-id": 4,
+                "last-sequence-number": 4,
+                "schemas": [
+                    {
+                        "type": "struct",
+                        "schema-id": 0,
+                        "fields": [
+                            {"id": 1, "name": "n_nationkey",
+                             "required": False, "type": "long"},
+                            {"id": 2, "name": "n_name",
+                             "required": False, "type": "string"},
+                            {"id": 3, "name": "n_regionkey",
+                             "required": False, "type": "long"},
+                            {"id": 4, "name": "tns",
+                             "required": False, "type": "timestamp_ns"},
+                        ],
+                    }
+                ],
+                "current-schema-id": 0,
+                "partition-specs": [
+                    {"spec-id": 0, "fields": []},
+                    {
+                        "spec-id": 1,
+                        "fields": [
+                            {
+                                "name": "n_regionkey",
+                                "transform": "identity",
+                                "source-id": 3,
+                                "field-id": 1000,
+                            }
+                        ],
+                    },
+                ],
+                "default-spec-id": 1,
+                "last-partition-id": 1000,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "default-sort-order-id": 0,
+                "properties": {
+                    "write.metadata.compression-codec": "gzip"
+                },
+                "current-snapshot-id": 1004,
+                # COMMIT-ORDER SCRAMBLED: ordinal fallback flips results
+                "snapshots": [
+                    _snap(1003, 3),
+                    _snap(1001, 1),
+                    _snap(1004, 4),
+                    _snap(1002, 2),
+                ],
+                "snapshot-log": [
+                    {"timestamp-ms": now, "snapshot-id": 1004}
+                ],
+                "metadata-log": [],
+            }
+            with open(
+                os.path.join(meta_dir, "v1.gz.metadata.json"), "wb"
+            ) as fh:
+                fh.write(
+                    _gzip.compress(json.dumps(meta).encode("utf-8"))
+                )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = IcebergTable.load(root)
+    return table.to_df(spark).select(
+        "n_nationkey", "n_name", "n_regionkey", "tns"
+    )

@@ -215,3 +215,46 @@ def test_write_puffin_compression_codec_property(spark, sf_dir, tmp_path):
     ]
     blobs2, _ = read_puffin(t2.metadata.localize(dvs2[0].path))
     assert all(b.compression_codec == "zstd" for b in blobs2)
+
+
+def test_kitchen_sink_fixture_is_structurally_adversarial(spark, sf_dir):
+    """The union regression gate only means something if the fixture
+    really composes the adversarial surfaces: spec-1 parquet must OMIT
+    the partition column, the metadata must be gzip-bytes on disk, and
+    the history must span two specs plus eq-delete plus DV manifests."""
+    import glob
+    import gzip
+    import os
+
+    import pyarrow.parquet as papq
+
+    from datafusion_iceberg_spark.iceberg.queries import (
+        SCRATCH,
+        iceberg_foreign_kitchen_sink_scan,
+    )
+
+    iceberg_foreign_kitchen_sink_scan(spark, sf_dir)  # builds the fixture
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(SCRATCH, f"wh_{tag}_kitchensink", "kst")
+    # gzip metadata on disk (not a plain-JSON file with a .gz name)
+    [mpath] = glob.glob(os.path.join(root, "metadata", "v*.gz.metadata.json"))
+    with open(mpath, "rb") as fh:
+        head = fh.read(2)
+    assert head == b"\x1f\x8b"
+    with gzip.open(mpath) as fh:
+        import json
+
+        meta = json.loads(fh.read())
+    assert meta["format-version"] == 3
+    assert {s["spec-id"] for s in meta["partition-specs"]} == {0, 1}
+    assert any(
+        f["type"] == "timestamp_ns"
+        for f in meta["schemas"][0]["fields"]
+    )
+    # spec-1 data files omit the partition column; spec-0 file has it
+    a_cols = papq.read_schema(os.path.join(root, "data", "a.parquet")).names
+    b_cols = papq.read_schema(os.path.join(root, "data", "b0.parquet")).names
+    assert "n_regionkey" in a_cols and "n_regionkey" not in b_cols
+    # both delete flavors present
+    assert os.path.exists(os.path.join(root, "data", "eqdel.parquet"))
+    assert os.path.exists(os.path.join(root, "data", "dv.puffin"))
