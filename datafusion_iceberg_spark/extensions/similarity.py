@@ -907,10 +907,14 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product quantization (PQ) ANN — the memory-compressed scale path
 # ---------------------------------------------------------------------------
 
-_PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+_PQ_M = 16  # subspaces (64 dims -> 16 x 4); M=8 loses the true top-5
+#            inside dense 4k-vector clusters at N=10^5 (measured:
+#            2-4/5 shortlist hits vs 5/5 at M=16 — test_ann_scale_recall)
 _PQ_K = 16  # codebook size per subspace (4-bit codes)
 _PQ_TOPK = 5
-_PQ_SHORTLIST = 200
+_PQ_SHORTLIST = 200  # floor; the gate scales it to max(200, N/100) so a
+#                      fixed-depth shortlist cannot silently decay as
+#                      cluster populations grow with corpus size
 
 
 def _pq_train_codebooks(sample: np.ndarray) -> np.ndarray:
@@ -971,10 +975,10 @@ def _pq_train_codebooks(sample: np.ndarray) -> np.ndarray:
     """,
 )
 def embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: 64-dim float vectors compress to 8
+    """Product-quantization ANN: 64-dim float vectors compress to 16
     4-bit codes (64x smaller than float64) and approximate scores come
     from a per-query lookup table over the codes (ADC).  The 100 TB
-    memory path: the corpus working set is CODES + norms (9
+    memory path: the corpus working set is CODES + norms (16
     bytes/vector); only the ADC shortlist would ever touch full vectors.
 
     Spark shape: codebooks train on a deterministic hash-sample on the
@@ -1067,10 +1071,16 @@ def embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("approx", adc_score("query_id", "codes", "cnorm"))
         .select("query_id", "cand_id", "approx")
     )
+    # N-scaled shortlist: quantization distortion is constant but the
+    # number of near-duplicate competitors grows with the corpus, so a
+    # fixed depth decays (measured at N=10^5: 1-4/5 hits at depth 200,
+    # 5/5 at N/100 — tests/test_ann_scale_recall.py).  N/100 keeps the
+    # shortlist a vanishing fraction of the corpus at any scale.
+    depth = max(_PQ_SHORTLIST, emb.count() // 100)
     w = W.partitionBy("query_id").orderBy(F.col("approx").desc(), "cand_id")
     shortlist = (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _PQ_SHORTLIST)
+        .filter(F.col("rnk") <= depth)
         .select("query_id", "cand_id")
     )
     # exact top-5 (the hash-verified half of the contract)
