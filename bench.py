@@ -118,6 +118,8 @@ HEADLINE = [
     "iceberg_ds_sql_projected_scan",
     "iceberg_theta_stats_scan",
     "iceberg_foreign_kitchen_sink_scan",
+    "sim_mmr_rerank",
+    "fn_sql_udf_bank",
 ]
 
 

@@ -1284,3 +1284,182 @@ def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification re-rank
+# ---------------------------------------------------------------------------
+
+_MMR_CAND = 20  # shortlist handed to the re-ranker (the ANN stage's top-N)
+_MMR_K = 5  # results per query after diversification
+_MMR_LAMBDA = 0.7  # relevance weight; (1-lambda) penalizes redundancy
+
+
+@register(
+    "sim_mmr_rerank",
+    oracle=f"""
+    WITH RECURSIVE
+    ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ev GROUP BY vec_id),
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.v * c.v) AS dot
+        FROM ev q JOIN ev c ON q.i = c.i
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT query_id, cand_id, rel FROM (
+            SELECT query_id, cand_id,
+                   ROUND(dot / (nq.nrm * nc.nrm), 4) AS rel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id
+                     ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 4) DESC,
+                              cand_id) AS rn
+            FROM dots
+            JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nc ON nc.vec_id = cand_id
+        ) WHERE rn <= {_MMR_CAND}
+    ),
+    cdots AS (
+        SELECT a.query_id, a.cand_id AS a, b.cand_id AS b, SUM(va.v * vb.v) AS dot
+        FROM cand a
+        JOIN cand b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+        JOIN ev va ON va.vec_id = a.cand_id
+        JOIN ev vb ON vb.vec_id = b.cand_id AND vb.i = va.i
+        GROUP BY 1, 2, 3
+    ),
+    pair AS (
+        SELECT query_id, a, b, ROUND(dot / (na.nrm * nb.nrm), 4) AS sim
+        FROM cdots JOIN norms na ON na.vec_id = a JOIN norms nb ON nb.vec_id = b
+    ),
+    sel AS (
+        SELECT query_id, [cand_id] AS chosen, cand_id, rel, 1 AS step
+        FROM (SELECT query_id, cand_id, rel,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY rel DESC, cand_id) AS rn
+              FROM cand) WHERE rn = 1
+        UNION ALL
+        SELECT query_id, list_append(chosen, cand_id), cand_id, rel, step + 1
+        FROM (
+            SELECT s.query_id, s.chosen, s.step, c.cand_id, c.rel,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY s.query_id
+                     ORDER BY {_MMR_LAMBDA} * c.rel
+                              - {1 - _MMR_LAMBDA:.1f} * MAX(p.sim) DESC,
+                              c.cand_id) AS rn
+            FROM sel s
+            JOIN cand c ON c.query_id = s.query_id
+             AND NOT list_contains(s.chosen, c.cand_id)
+            JOIN pair p ON p.query_id = s.query_id AND p.a = c.cand_id
+             AND list_contains(s.chosen, p.b)
+            GROUP BY s.query_id, s.chosen, s.step, c.cand_id, c.rel
+        ) WHERE rn = 1 AND step < {_MMR_K}
+    )
+    SELECT query_id, cand_id, rel, step AS mmr_rank
+    FROM sel ORDER BY query_id, mmr_rank
+    """,
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank: diversify each query's ANN
+    shortlist by greedily picking argmax(lambda*rel - (1-lambda)*
+    max_sim_to_selected) — the standard redundancy-removal step between
+    retrieval and a context window (RAG) or between near-dup scoring and
+    sampling (corpus curation).
+
+    Spark shape for 100 TB: the GLOBAL search stays with the ANN gates
+    (LSH/IVF/PQ); MMR touches only each query's bounded shortlist
+    ({_MMR_CAND} candidates), so the pair space is {_MMR_CAND}^2 per
+    query built by a query-local self-join, and the greedy loop runs
+    vectorized per group inside one ``applyInPandas`` over
+    (query_id)-partitioned pairs — k*N_c work on kilobytes of state,
+    never a corpus-sized shuffle.  Relevance and pair similarities are
+    rounded to 4 dp BEFORE the greedy loop on both engines, so the
+    DuckDB recursive-CTE replay (list-state greedy, same tie-break:
+    score DESC then cand_id) is bit-deterministic."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .withColumn("rel", F.round(cosine_sim("qv", "v"), 4))
+        .select("query_id", F.col("vec_id").alias("cand_id"), "v", "rel")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_CAND)
+        .select("query_id", "cand_id", "v", "rel")
+    )
+    a = cand.select(
+        "query_id",
+        F.col("cand_id").alias("a"),
+        F.col("v").alias("av"),
+        F.col("rel").alias("rel_a"),
+    )
+    b = cand.select(
+        "query_id", F.col("cand_id").alias("b"), F.col("v").alias("bv")
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("sim", F.round(cosine_sim("av", "bv"), 4))
+        .select("query_id", "a", "b", "rel_a", "sim")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("cand_id", T.LongType()),
+            T.StructField("rel", T.DoubleType()),
+            T.StructField("mmr_rank", T.IntegerType()),
+        ]
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        cands = (
+            pdf[["a", "rel_a"]].drop_duplicates().sort_values("a")
+        )
+        ids = cands["a"].to_numpy(dtype=np.int64)
+        rels = cands["rel_a"].to_numpy(dtype=np.float64)
+        n = len(ids)
+        pos = {int(c): i for i, c in enumerate(ids)}
+        S = np.zeros((n, n))
+        S[
+            pdf["a"].map(pos).to_numpy(),
+            pdf["b"].map(pos).to_numpy(),
+        ] = pdf["sim"].to_numpy(dtype=np.float64)
+        chosen: list[int] = []
+        # step 1: pure relevance (ties -> smaller cand_id via lexsort)
+        order = np.lexsort((ids, -rels))
+        chosen.append(int(order[0]))
+        for _ in range(min(_MMR_K, n) - 1):
+            score = _MMR_LAMBDA * rels - (1 - _MMR_LAMBDA) * S[
+                :, chosen
+            ].max(axis=1)
+            score[chosen] = -np.inf
+            order = np.lexsort((ids, -score))
+            chosen.append(int(order[0]))
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "cand_id": ids[chosen],
+                "rel": rels[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+            }
+        )
+
+    return (
+        pairs.groupBy("query_id")
+        .applyInPandas(_greedy, out_schema)
+        .orderBy("query_id", "mmr_rank")
+    )

@@ -511,3 +511,124 @@ def fn_url_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("site")
     )
+
+
+@register(
+    "fn_sql_udf_bank",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CASE WHEN l_quantity < 10 THEN 'low'
+                  WHEN l_quantity < 30 THEN 'mid'
+                  ELSE 'high' END AS band,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(CAST(FLOOR(
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000
+               + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000
+               AS net_sum
+      FROM lineitem
+      GROUP BY 1, 2
+    )
+    SELECT l_returnflag, band, n, net_sum, i
+    FROM agg CROSS JOIN (SELECT 1 AS i UNION ALL SELECT 2 AS i)
+    ORDER BY l_returnflag, band, i
+    """,
+)
+def fn_sql_udf_bank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs (SQL-language functions, SPARK-46246 family):
+    a SCALAR function (``CREATE TEMPORARY FUNCTION ... RETURNS <type>
+    RETURN <expr>``) and a TABLE function (``RETURNS TABLE(...) RETURN
+    SELECT ...``) consumed via lateral join.  Both are declarative
+    bodies, so Catalyst INLINES them into the plan (whole-stage codegen,
+    predicate pushdown through the call) — the opposite of an opaque
+    Python UDF; the 100 TB cost is identical to writing the expression
+    inline.  DataFusion ships `CREATE FUNCTION` at the SQL layer too,
+    so this is the Spark spelling of that surface.
+
+    The oracle inlines the same expressions (DuckDB macros would also
+    work; inlining keeps the fixed-point money-sum convention of
+    operators/relational.py::_fixed_point_sum visible)."""
+    from datafusion_iceberg_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_val("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1 - d) * (1 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN q < 10 THEN 'low' "
+        "WHEN q < 30 THEN 'mid' ELSE 'high' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION dup_rows(n INT) "
+        "RETURNS TABLE(i INT) RETURN SELECT explode(sequence(1, n))"
+    )
+    return spark.sql(
+        """
+        WITH agg AS (
+          SELECT l_returnflag, qty_band(l_quantity) AS band,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(CAST(FLOOR(
+                   net_val(l_extendedprice, l_discount, l_tax) * 1000000
+                   + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000
+                   AS net_sum
+          FROM lineitem
+          GROUP BY 1, 2
+        )
+        SELECT l_returnflag, band, n, net_sum, i
+        FROM agg, LATERAL dup_rows(2)
+        ORDER BY l_returnflag, band, i
+        """
+    )
+
+
+@register(
+    "agg_collated_group",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment)
+                  ELSE LOWER(c_mktsegment) END AS seg,
+             c_acctbal
+      FROM customer
+    )
+    SELECT LOWER(seg) AS seg_norm, COUNT(*) AS n,
+           CAST(SUM(CAST(CAST(FLOOR(c_acctbal * 1000000 + 0.5) AS BIGINT)
+             AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS bal_sum
+    FROM mixed
+    GROUP BY LOWER(seg)
+    ORDER BY seg_norm
+    """,
+)
+def agg_collated_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string COLLATIONS: grouping under ``UTF8_LCASE`` merges
+    case-variant keys ENGINE-SIDE — no lower() rewrite of the data, and
+    comparisons/joins on the collated column stay codegen'd.  The input
+    deliberately case-splits c_mktsegment by key parity so a binary
+    (UTF8_BINARY) grouping would return 2x the groups; the oracle
+    normalizes with LOWER() (DuckDB has no collation-typed GROUP BY) and
+    the output projects a lower-cased key because the collated group's
+    REPRESENTATIVE value is engine-dependent (either case may win)."""
+    from datafusion_iceberg_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN c_custkey % 2 = 0 THEN UPPER(c_mktsegment)
+                      ELSE LOWER(c_mktsegment) END AS seg,
+                 c_acctbal
+          FROM customer
+        )
+        SELECT LOWER(k) AS seg_norm, n, bal_sum FROM (
+          SELECT COLLATE(seg, 'UTF8_LCASE') AS k, COUNT(*) AS n,
+                 CAST(SUM(CAST(CAST(FLOOR(c_acctbal * 1000000 + 0.5)
+                   AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000
+                   AS bal_sum
+          FROM mixed
+          GROUP BY COLLATE(seg, 'UTF8_LCASE')
+        )
+        ORDER BY seg_norm
+        """
+    )

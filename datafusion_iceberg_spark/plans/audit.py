@@ -110,6 +110,11 @@ NESTED_LOOP_OK = frozenset(
         # are global aggregates, the BNLJ attaches two constants
         "agg_hll_sketch_union",
         "iceberg_sketch_rollup_scan",
+        # MMR re-rank: relevance stage is corpus x (5-row broadcast query
+        # set) theta join — the sim_topk_bruteforce bounded-build-side
+        # class; the pair stage and greedy loop are query-local over the
+        # 20-candidate shortlist, never corpus-sized
+        "sim_mmr_rerank",
     }
 )
 
