@@ -120,6 +120,8 @@ HEADLINE = [
     "iceberg_foreign_kitchen_sink_scan",
     "sim_mmr_rerank",
     "fn_sql_udf_bank",
+    "iceberg_mv_join_scan",
+    "stream_join_left_outer",
 ]
 
 

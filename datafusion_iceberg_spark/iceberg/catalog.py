@@ -1716,9 +1716,16 @@ class Catalog(SqlSurface):
         return out
 
     def refresh_mv(self, ident: str, spark: SparkSession) -> dict:
-        """Refresh a changelog-maintained aggregate MV (iceberg/mv.py)."""
-        from datafusion_iceberg_spark.iceberg.mv import refresh_aggregate_mv
+        """Refresh a changelog-maintained MV (iceberg/mv.py) — routes on
+        the MV's kind: join MVs take the fact-delta/dim-rebuild path."""
+        from datafusion_iceberg_spark.iceberg.mv import (
+            refresh_aggregate_mv,
+            refresh_join_mv,
+        )
 
+        props = self.load(ident).metadata.properties
+        if props.get("mv.kind") == "join":
+            return refresh_join_mv(self, spark, ident)
         return refresh_aggregate_mv(self, spark, ident)
 
     def rewrite_position_deletes(self, ident: str, spark: SparkSession) -> dict:

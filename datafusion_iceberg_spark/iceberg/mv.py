@@ -150,22 +150,16 @@ def _agg_colnames(aggs: list, colnames: Optional[list] = None) -> dict:
     return out
 
 
-def _refreshed_through(mv_meta, src_meta) -> int:
-    """The SOURCE snapshot id the MV has applied through: candidates are
-    every MERGE snapshot summary carrying ``mv.source-snapshot-id`` (the
-    atomic r9 marker) plus the table property (creation default -1;
-    re-stamped only on no-op refreshes).  Recency is decided by the
-    marker's position in the SOURCE's own history (ordinals) — a stale
-    property can never shadow a newer merge marker or vice versa.
-    Markers whose snapshot has been expired from the source are ignored
-    (the next refresh replays from the newest surviving marker, and
-    delta application is idempotent per window)."""
+def _marker_through(mv_meta, src_meta, key: str) -> int:
+    """Generalized refresh marker: the ``key``-stamped snapshot id the MV
+    has applied through, decided by the marker's position in the given
+    source's own history (see _refreshed_through for the semantics)."""
     candidates = []
     for s in mv_meta.raw.get("snapshots", []):
-        v = (s.get("summary") or {}).get("mv.source-snapshot-id")
+        v = (s.get("summary") or {}).get(key)
         if v is not None:
             candidates.append(int(v))
-    prop = mv_meta.properties.get("mv.source-snapshot-id")
+    prop = mv_meta.properties.get(key)
     if prop is not None and int(prop) != -1:
         candidates.append(int(prop))
     ords = src_meta.snapshot_ordinals()
@@ -183,6 +177,19 @@ def _refreshed_through(mv_meta, src_meta) -> int:
             )
         return -1
     return max(live, key=lambda c: ords[c])
+
+
+def _refreshed_through(mv_meta, src_meta) -> int:
+    """The SOURCE snapshot id the MV has applied through: candidates are
+    every MERGE snapshot summary carrying ``mv.source-snapshot-id`` (the
+    atomic r9 marker) plus the table property (creation default -1;
+    re-stamped only on no-op refreshes).  Recency is decided by the
+    marker's position in the SOURCE's own history (ordinals) — a stale
+    property can never shadow a newer merge marker or vice versa.
+    Markers whose snapshot has been expired from the source are ignored
+    (the next refresh replays from the newest surviving marker, and
+    delta application is idempotent per window)."""
+    return _marker_through(mv_meta, src_meta, "mv.source-snapshot-id")
 
 
 def refresh_aggregate_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
@@ -387,3 +394,225 @@ def mv_df(cat, spark: SparkSession, mv_ident: str) -> DataFrame:
             "total", (F.col(c_sum).cast("double") / 1000000)
         )
     return df
+
+
+# ---------------------------------------------------------------------------
+# Join MVs: fact x dim rollups, fact-delta incremental
+# ---------------------------------------------------------------------------
+
+
+def _micros_expr(meta, value_col):
+    """Exact fixed-point micros for the measure (the repo's money rule):
+    doubles scale via FLOOR(x*1e6+0.5); integer measures scale exactly."""
+    if isinstance(
+        meta.struct_type()[value_col].dataType, (T.DoubleType, T.FloatType)
+    ):
+        return F.floor(F.col(value_col) * 1000000 + 0.5).cast("long")
+    return F.col(value_col).cast("long") * 1000000
+
+
+def _join_mv_full(cat, spark, props) -> DataFrame:
+    """Full recompute frame for a join MV: fact x broadcast dim,
+    grouped, exact fixed-point SUM + COUNT."""
+    fact = cat.load(props["mv.source"])
+    dim = cat.load(props["mv.join-dim"])
+    fact_key, dim_key = props["mv.fact-key"], props["mv.dim-key"]
+    g_dim = [c for c in props["mv.group-cols-dim"].split(",") if c]
+    g_fact = [c for c in props["mv.group-cols-fact"].split(",") if c]
+    value_col = props["mv.value-col"]
+    dim_df = dim.to_df(spark).select(dim_key, *g_dim)
+    joined = fact.to_df(spark).join(
+        F.broadcast(dim_df), F.col(fact_key) == F.col(dim_key)
+    )
+    return joined.groupBy(*(g_dim + g_fact)).agg(
+        F.sum(_micros_expr(fact.metadata, value_col)).alias("sum_micros"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def create_join_mv(
+    cat,
+    spark: SparkSession,
+    mv_ident: str,
+    fact_ident: str,
+    dim_ident: str,
+    fact_key: str,
+    dim_key: str,
+    group_cols_dim: list,
+    value_col: str,
+    group_cols_fact: Optional[list] = None,
+    refresh: bool = True,
+) -> Optional[dict]:
+    """Create a JOIN materialized view: ``SELECT <dim/fact group cols>,
+    SUM(fact.value), COUNT(*) FROM fact JOIN dim ON fact_key = dim_key
+    GROUP BY ...`` stored as its own Iceberg table.
+
+    Maintenance contract (the 100 TB trade):
+
+    - FACT deltas are incremental: each refresh joins only the fact's
+      changelog window (signed rows) against the CURRENT dim —
+      broadcast-sized build side, cost ∝ changed fact rows;
+    - DIM movement triggers a FULL REBUILD: a changed dim attribute
+      silently re-labels history (every fact row that ever joined the
+      changed dim row moves groups), which no fact-side delta can see.
+      Dims change rarely and are small by definition, so the rebuild is
+      one fact scan — the honest cost, taken loudly (``rebuilt: True``)
+      rather than serving wrong groups.  Both applied-through markers
+      (``mv.source-snapshot-id``, ``mv.dim-snapshot-id``) stamp each
+      refresh commit's summary, so crash recovery replays exactly like
+      the single-table MV.
+    - Fact rows with NO dim match are excluded (inner-join semantics,
+      the standard FK rollup)."""
+    fact_meta = cat.load(fact_ident).metadata
+    dim_meta = cat.load(dim_ident).metadata
+    group_cols_fact = list(group_cols_fact or [])
+    f_by = {f.name: f for f in fact_meta.struct_type().fields}
+    d_by = {f.name: f for f in dim_meta.struct_type().fields}
+    missing = (
+        [c for c in [fact_key, value_col] + group_cols_fact if c not in f_by]
+        + [c for c in [dim_key] + list(group_cols_dim) if c not in d_by]
+    )
+    if missing:
+        raise ValueError(f"join-MV columns not in their schema: {missing}")
+    fields = [
+        T.StructField(c, d_by[c].dataType, True) for c in group_cols_dim
+    ] + [T.StructField(c, f_by[c].dataType, True) for c in group_cols_fact]
+    fields += [
+        T.StructField("sum_micros", T.LongType(), True),
+        T.StructField("cnt", T.LongType(), True),
+    ]
+    props = {
+        "mv.kind": "join",
+        "mv.source": fact_ident,
+        "mv.join-dim": dim_ident,
+        "mv.fact-key": fact_key,
+        "mv.dim-key": dim_key,
+        "mv.group-cols-dim": ",".join(group_cols_dim),
+        "mv.group-cols-fact": ",".join(group_cols_fact),
+        # single-table-MV conventions so mv_df()/SELECT surfaces reuse:
+        "mv.group-cols": ",".join(list(group_cols_dim) + group_cols_fact),
+        "mv.aggs": "sum,count",
+        "mv.value-col": value_col,
+        "mv.source-snapshot-id": "-1",
+        "mv.dim-snapshot-id": "-1",
+    }
+    cat.create_table(mv_ident, T.StructType(fields), properties=props)
+    if refresh:
+        return refresh_join_mv(cat, spark, mv_ident)
+    return None
+
+
+def refresh_join_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
+    """Refresh a join MV: fact-delta incremental, full rebuild when the
+    dim moved (see create_join_mv).  Returns {"applied_rows",
+    "from_snapshot", "to_snapshot", "rebuilt"}."""
+    mv_meta = cat.load(mv_ident).metadata
+    props = mv_meta.properties
+    fact = cat.load(props["mv.source"])
+    dim = cat.load(props["mv.join-dim"])
+    fact_key, dim_key = props["mv.fact-key"], props["mv.dim-key"]
+    g_dim = [c for c in props["mv.group-cols-dim"].split(",") if c]
+    g_fact = [c for c in props["mv.group-cols-fact"].split(",") if c]
+    group_cols = g_dim + g_fact
+    value_col = props["mv.value-col"]
+    cur_f = fact.metadata.current_snapshot_id
+    cur_d = dim.metadata.current_snapshot_id
+    last_f = _marker_through(mv_meta, fact.metadata, "mv.source-snapshot-id")
+    last_d = _marker_through(mv_meta, dim.metadata, "mv.dim-snapshot-id")
+    stamps = {
+        "mv.source-snapshot-id": str(cur_f),
+        "mv.dim-snapshot-id": str(cur_d),
+    }
+    if cur_d != last_d:
+        # dim moved (or first refresh): full rebuild, idempotent — a
+        # crash between the overwrite and the property stamp only costs
+        # one extra rebuild on the next call
+        full = _join_mv_full(cat, spark, props)
+        applied = cat_overwrite_rows(cat, spark, mv_ident, full)
+        cat.set_properties(mv_ident, stamps)
+        return {
+            "applied_rows": applied,
+            "from_snapshot": last_f,
+            "to_snapshot": cur_f,
+            "rebuilt": True,
+        }
+    if cur_f is None or cur_f == last_f:
+        return {
+            "applied_rows": 0,
+            "from_snapshot": last_f,
+            "to_snapshot": cur_f,
+            "rebuilt": False,
+        }
+    log = fact.changelog_df(
+        spark, from_snapshot_id=(last_f if last_f != -1 else None)
+    )
+    dim_df = dim.to_df(spark).select(dim_key, *g_dim)
+    joined = log.join(F.broadcast(dim_df), F.col(fact_key) == F.col(dim_key))
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    deltas = (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.sum(sign * _micros_expr(fact.metadata, value_col)).alias(
+                "sum_micros"
+            ),
+            F.sum(sign).cast("long").alias("cnt"),
+        )
+        .select(
+            *group_cols,
+            F.col("sum_micros").cast("long").alias("sum_micros"),
+            "cnt",
+        )
+    )
+    deltas = deltas.cache()
+    applied = deltas.count()
+    if applied:
+        from datafusion_iceberg_spark.iceberg.writer import MergeClause
+
+        mv_cols = group_cols + ["sum_micros", "cnt"]
+        cat.merge_into(
+            mv_ident,
+            spark,
+            deltas,
+            group_cols if len(group_cols) > 1 else group_cols[0],
+            clauses=[
+                MergeClause("matched", "t.cnt + src.cnt = 0", "delete"),
+                MergeClause(
+                    "matched",
+                    None,
+                    "update",
+                    assignments={
+                        "sum_micros": "t.sum_micros + src.sum_micros",
+                        "cnt": "t.cnt + src.cnt",
+                    },
+                ),
+                MergeClause(
+                    "not_matched",
+                    "src.cnt <> 0",
+                    "insert",
+                    insert_cols=mv_cols,
+                    insert_values=[f"src.{c}" for c in mv_cols],
+                ),
+            ],
+            extra_summary=stamps,
+        )
+    else:
+        cat.set_properties(mv_ident, stamps)
+    deltas.unpersist()
+    return {
+        "applied_rows": applied,
+        "from_snapshot": last_f,
+        "to_snapshot": cur_f,
+        "rebuilt": False,
+    }
+
+
+def cat_overwrite_rows(cat, spark: SparkSession, mv_ident: str, df) -> int:
+    """Overwrite the MV contents aligned to its stored schema (order the
+    grouped frame's columns to the table's field order)."""
+    cols = [f.name for f in cat.load(mv_ident).metadata.struct_type().fields]
+    df = df.select(*cols)
+    n = df.count()
+    cat.overwrite(mv_ident, spark, df)
+    return n

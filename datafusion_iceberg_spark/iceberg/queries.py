@@ -5319,3 +5319,75 @@ def iceberg_foreign_kitchen_sink_scan(
     return table.to_df(spark).select(
         "n_nationkey", "n_name", "n_regionkey", "tns"
     )
+
+
+@register(
+    "iceberg_mv_join_scan",
+    oracle="""
+    SELECT n_name, COUNT(*) AS cnt,
+           CAST(SUM(CAST(CAST(FLOOR(c_acctbal * 1000000 + 0.5) AS BIGINT)
+             AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS bal_sum
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey % 10 <> 3
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def iceberg_mv_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN materialized view (r12): ``SUM(fact.measure), COUNT(*) per
+    dim attribute`` over fact JOIN dim, stored as its own Iceberg table
+    and maintained from the FACT table's changelog — each refresh joins
+    only the delta window (signed rows) against the broadcast dim, so
+    refresh cost tracks changed fact rows, never the fact's size; a dim
+    change triggers a loud full rebuild (create_join_mv docstring).
+    History exercised: half-fact initial build, an insert-only window,
+    then a retraction window (COW DELETE); the oracle recomputes the
+    final rollup relationally, so any window that mis-composed (wrong
+    sign, missed group, stale dim) hash-fails.  The reference has no
+    MVs at all; DataFusion has none either — classic warehouse surface
+    on Iceberg primitives."""
+    from datafusion_iceberg_spark.iceberg.mv import create_join_mv
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_mvjoin")
+        marker = os.path.join(root, "_COMPLETE")
+        cat = Catalog(root, name="mvj")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="mvj")
+            nation = load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_name"
+            )
+            cust = load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_nationkey", "c_acctbal"
+            )
+            cat.create_table("m.nation", nation.schema)
+            cat.append("m.nation", spark, nation)
+            cat.create_table("m.cust", cust.schema)
+            cat.append("m.cust", spark, cust.filter("c_custkey % 2 = 0"))
+            create_join_mv(
+                cat,
+                spark,
+                "m.rev",
+                fact_ident="m.cust",
+                dim_ident="m.nation",
+                fact_key="c_nationkey",
+                dim_key="n_nationkey",
+                group_cols_dim=["n_name"],
+                value_col="c_acctbal",
+            )
+            # insert-only fact window
+            cat.append("m.cust", spark, cust.filter("c_custkey % 2 <> 0"))
+            cat.sql(spark, "CALL mvj.system.refresh_mv('m.rev')")
+            # retraction window (COW DELETE)
+            cat.sql(spark, "DELETE FROM mvj.m.cust WHERE c_custkey % 10 = 3")
+            cat.sql(spark, "CALL mvj.system.refresh_mv('m.rev')")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT n_name, cnt, CAST(sum_micros AS DOUBLE) / 1000000 "
+        "AS bal_sum FROM mvj.m.rev ORDER BY n_name",
+    )

@@ -1415,3 +1415,138 @@ def stream_incremental_mv_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
         "SELECT o_orderstatus, CAST(sum_micros / 1000000 AS BIGINT) "
         "AS cents_sum, cnt FROM mp.m.rollup ORDER BY o_orderstatus",
     )
+
+
+@register(
+    "stream_join_left_outer",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matched pairs emit
+    eagerly; UNMATCHED clicks emit null-padded only when the watermark
+    proves no in-window purchase can still arrive (state eviction — the
+    semantics inner joins never exercise).  Outer emission is
+    WATERMARK-DRIVEN, so the staged source carries a flush sentinel one
+    file after the data (ts = max + 40 days, user_id = -1, one row per
+    side): the sentinel batch advances both stream watermarks past every
+    real row, the engine's no-data batch evicts all remaining click
+    state, and the sink then holds the COMPLETE outer result — making a
+    plain batch LEFT JOIN the oracle.  Without the sentinel the last
+    day's unmatched clicks would sit in state forever (exactly the
+    behavior this gate documents).  State stays bounded by the interval
+    condition + watermark, same as the inner-join gate."""
+    import os
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH, _lock
+
+    batch = load_table(spark, sf_dir, "events")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    stage = os.path.join(SCRATCH, f"stream_events_flush_{tag}")
+    marker = os.path.join(stage, "_COMPLETE")
+    with _lock:
+        if not os.path.exists(marker):
+            shutil.rmtree(stage, ignore_errors=True)
+            os.makedirs(stage)
+            try:
+                os.symlink(
+                    table_path(sf_dir, "events"),
+                    os.path.join(stage, "events.parquet"),
+                )
+            except (OSError, NotImplementedError):
+                shutil.copyfile(
+                    table_path(sf_dir, "events"),
+                    os.path.join(stage, "events.parquet"),
+                )
+            # flush sentinel: one click + one purchase 40 days past the
+            # data, written with the RAW file schema so the staged dir
+            # stays homogeneous (ts as micros-long when the fixture is
+            # nanos-long; see _events_stream's ts normalization)
+            raw = spark.read.parquet(table_path(sf_dir, "events"))
+            import pyarrow as pa
+            import pyarrow.parquet as papq
+
+            hi = batch.agg(F.max("ts").alias("m")).first()["m"]
+            import datetime as _dt
+
+            flush_ts = hi + _dt.timedelta(days=40)
+            raw_ts_type = dict(raw.dtypes)["ts"]
+            one = batch.limit(1).first()
+            cols = {}
+            for f in raw.schema.fields:
+                name = f.name
+                if name == "ts":
+                    if raw_ts_type == "bigint":
+                        v = int(flush_ts.timestamp() * 1_000_000) * 1000
+                        cols[name] = pa.array([v, v], pa.int64())
+                    else:
+                        cols[name] = pa.array(
+                            [flush_ts, flush_ts],
+                            pa.timestamp("us"),
+                        )
+                elif name == "event_type":
+                    cols[name] = pa.array(["click", "purchase"])
+                elif name == "user_id":
+                    cols[name] = pa.array([-1, -1], pa.int64())
+                else:
+                    v = one[name]
+                    cols[name] = pa.array([v, v])
+            papq.write_table(
+                pa.table(cols), os.path.join(stage, "zz_flush.parquet")
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    elif dict(stream.dtypes)["ts"] == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 day")
+    )
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "1 day")
+    )
+    joined = c.join(
+        p,
+        F.expr(
+            "p_user = c_user AND p_ts >= c_ts"
+            " AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "left_outer",
+    )
+    sink = run_stream(joined, "stream_lo_join", mode="append")
+    return (
+        sink.filter(F.col("c_user") >= 0)  # drop the flush sentinel
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("p_ts").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_unmatched"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,153 @@
+"""Join materialized views (iceberg/mv.py::create_join_mv): fact-delta
+incremental maintenance, dim-movement full rebuild, FK drop semantics,
+and crash-marker behavior — the join flavor of the aggregate-MV suite."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.iceberg.catalog import Catalog
+from datafusion_iceberg_spark.iceberg.mv import create_join_mv, refresh_join_mv
+from datafusion_iceberg_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    d = tmp_path / "jmv_wh"
+    yield Catalog(str(d), name="jmv")
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _setup(spark, cat, fact_filter="c_custkey % 2 = 0"):
+    nation = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    cat.create_table("m.nation", nation.schema)
+    cat.append("m.nation", spark, nation)
+    cat.create_table("m.cust", cust.schema)
+    cat.append("m.cust", spark, cust.filter(fact_filter))
+    return cust
+
+
+def _recompute(cat, spark):
+    f = cat.load("m.cust").to_df(spark)
+    d = cat.load("m.nation").to_df(spark)
+    return {
+        r["n_name"]: (r["cnt"], r["s"])
+        for r in f.join(d, f.c_nationkey == d.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(
+                F.floor(F.col("c_acctbal") * 1000000 + 0.5).cast("long")
+            ).alias("s"),
+        )
+        .collect()
+    }
+
+
+def _mv_state(cat, spark):
+    return {
+        r["n_name"]: (r["cnt"], r["sum_micros"])
+        for r in cat.load("m.rev").to_df(spark).collect()
+    }
+
+
+def _create(cat, spark):
+    return create_join_mv(
+        cat,
+        spark,
+        "m.rev",
+        fact_ident="m.cust",
+        dim_ident="m.nation",
+        fact_key="c_nationkey",
+        dim_key="n_nationkey",
+        group_cols_dim=["n_name"],
+        value_col="c_acctbal",
+    )
+
+
+def test_join_mv_incremental_windows_compose(spark, cat):
+    cust = _setup(spark, cat)
+    rep = _create(cat, spark)
+    assert rep["rebuilt"]  # first refresh builds from scratch
+    assert _mv_state(cat, spark) == _recompute(cat, spark)
+    # insert-only window: incremental (NOT a rebuild)
+    cat.append("m.cust", spark, cust.filter("c_custkey % 2 <> 0"))
+    rep = refresh_join_mv(cat, spark, "m.rev")
+    assert not rep["rebuilt"] and rep["applied_rows"] > 0
+    assert _mv_state(cat, spark) == _recompute(cat, spark)
+    # retraction window (COW DELETE): signed deltas subtract
+    cat.sql(spark, "DELETE FROM jmv.m.cust WHERE c_custkey % 10 = 3")
+    rep = refresh_join_mv(cat, spark, "m.rev")
+    assert not rep["rebuilt"]
+    assert _mv_state(cat, spark) == _recompute(cat, spark)
+    # no-op refresh
+    rep = refresh_join_mv(cat, spark, "m.rev")
+    assert rep["applied_rows"] == 0 and not rep["rebuilt"]
+
+
+def test_join_mv_dim_change_full_rebuild(spark, cat):
+    _setup(spark, cat)
+    _create(cat, spark)
+    # dim attribute change re-labels history: must trigger a rebuild
+    cat.sql(
+        spark,
+        "UPDATE jmv.m.nation SET n_name = 'RENAMED' WHERE n_nationkey = 0",
+    )
+    rep = refresh_join_mv(cat, spark, "m.rev")
+    assert rep["rebuilt"]
+    state = _mv_state(cat, spark)
+    assert "RENAMED" in state
+    assert state == _recompute(cat, spark)
+    # subsequent fact-only window goes back to the incremental path
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    cat.append("m.cust", spark, cust.filter("c_custkey % 2 <> 0"))
+    rep = refresh_join_mv(cat, spark, "m.rev")
+    assert not rep["rebuilt"]
+    assert _mv_state(cat, spark) == _recompute(cat, spark)
+
+
+def test_join_mv_unmatched_fact_rows_drop(spark, cat):
+    """Inner-join semantics: fact rows whose key has no dim row do not
+    appear in the MV (and do not crash the delta window)."""
+    cust = _setup(spark, cat)
+    _create(cat, spark)
+    nk_type = dict(cust.dtypes)["c_nationkey"]
+    orphan = cust.filter("c_custkey % 2 <> 0").withColumn(
+        "c_nationkey", F.lit(9999).cast(nk_type)
+    )
+    cat.append("m.cust", spark, orphan)
+    rep = refresh_join_mv(cat, spark, "m.rev")
+    assert not rep["rebuilt"] and rep["applied_rows"] == 0
+    assert _mv_state(cat, spark) == _recompute(cat, spark)
+
+
+def test_join_mv_group_disappears_on_full_retraction(spark, cat):
+    _setup(spark, cat)
+    _create(cat, spark)
+    # remove EVERY fact row of one nation: the group must zero-trim away
+    gone = (
+        cat.load("m.cust")
+        .to_df(spark)
+        .select("c_nationkey")
+        .first()["c_nationkey"]
+    )
+    cat.sql(
+        spark, f"DELETE FROM jmv.m.cust WHERE c_nationkey = {gone}"
+    )
+    refresh_join_mv(cat, spark, "m.rev")
+    state = _mv_state(cat, spark)
+    assert state == _recompute(cat, spark)
+    dim_name = {
+        r["n_nationkey"]: r["n_name"]
+        for r in cat.load("m.nation").to_df(spark).collect()
+    }[gone]
+    assert dim_name not in state
