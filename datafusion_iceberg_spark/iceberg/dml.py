@@ -305,11 +305,51 @@ def _exec_merge(surface, spark, s: A.Merge) -> DataFrame:
 def _exec_create_mv(
     surface, spark, s: A.CreateMaterializedView
 ) -> DataFrame:
-    from datafusion_iceberg_spark.iceberg.mv import create_aggregate_mv
+    from datafusion_iceberg_spark.iceberg.mv import (
+        create_aggregate_mv,
+        create_join_mv,
+    )
 
     ident = f"{s.namespace}.{s.table}"
     if surface.table_exists(ident):
         raise ValueError(f"TABLE_OR_VIEW_ALREADY_EXISTS: {ident}")
+    if getattr(s, "join_table", None):
+        # FROM fact JOIN dim ON l = r — resolve key sides and group-col
+        # ownership by schema membership (dim columns win a tie for
+        # grouping; keys must be unambiguous)
+        fact_ident = f"{s.source_namespace}.{s.source_table}"
+        dim_ident = f"{s.join_namespace}.{s.join_table}"
+        f_cols = {
+            f.name for f in surface.load(fact_ident).metadata.struct_type().fields
+        }
+        d_cols = {
+            f.name for f in surface.load(dim_ident).metadata.struct_type().fields
+        }
+        l, r = s.join_left_key, s.join_right_key
+        if l in f_cols and r in d_cols:
+            fact_key, dim_key = l, r
+        elif r in f_cols and l in d_cols:
+            fact_key, dim_key = r, l
+        else:
+            raise ValueError(
+                f"join-MV ON keys ({l}, {r}) must map one to the fact "
+                f"({fact_ident}) and one to the dim ({dim_ident})"
+            )
+        g_dim = [c for c in s.group_cols if c in d_cols]
+        g_fact = [c for c in s.group_cols if c not in d_cols]
+        create_join_mv(
+            surface,
+            spark,
+            ident,
+            fact_ident=fact_ident,
+            dim_ident=dim_ident,
+            fact_key=fact_key,
+            dim_key=dim_key,
+            group_cols_dim=g_dim,
+            value_col=s.value_col,
+            group_cols_fact=g_fact,
+        )
+        return _result(spark, "create_materialized_view", ident, None)
     create_aggregate_mv(
         surface,
         spark,

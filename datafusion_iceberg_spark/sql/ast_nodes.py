@@ -244,6 +244,11 @@ class CreateMaterializedView(Statement):
     aggs: "tuple[str, ...]" = ("sum", "count")
     where: "str | None" = None
     agg_aliases: "tuple" = ()
+    # join-MV form (FROM fact JOIN dim ON fkey = dkey); None = single-table
+    join_namespace: "str | None" = None
+    join_table: "str | None" = None
+    join_left_key: "str | None" = None
+    join_right_key: "str | None" = None
 
 
 @dataclass

@@ -664,8 +664,31 @@ def _parse_create(p: _P) -> A.Statement:
             )
         p.expect_kw("FROM")
         sns, stbl = p.catalog_target()
+        # join-MV form: FROM <fact> JOIN <dim> ON key = key (bare or
+        # qualified keys; the executor resolves which side is which by
+        # schema membership).  Maintained fact-delta incrementally with
+        # a dim-movement full rebuild (iceberg/mv.py::create_join_mv).
+        jns = jtbl = jl = jr = None
+        if p.accept_kw("JOIN"):
+            jns, jtbl = p.catalog_target()
+            p.expect_kw("ON")
+
+            def _key() -> str:
+                name = p.ident("join key")
+                while p.accept_op("."):
+                    name = p.ident("join key")
+                return name  # qualifier stripped: last segment is the col
+
+            jl = _key()
+            p.expect_op("=")
+            jr = _key()
         where = None
         if p.accept_kw("WHERE"):
+            if jtbl is not None:
+                raise p.error(
+                    "join MVs do not support WHERE (filter the fact "
+                    "into a staging table, or use a single-table MV)"
+                )
             where = p.expr_span(lambda t: t.is_kw("GROUP"))
         p.expect_kw("GROUP")
         p.expect_kw("BY")
@@ -677,6 +700,13 @@ def _parse_create(p: _P) -> A.Statement:
             raise p.error(
                 f"MV SELECT columns {sel_cols} must equal GROUP BY {gb}"
             )
+        if jtbl is not None and (
+            set(aggs) - {"sum", "count"} or "sum" not in aggs or any(aliases)
+        ):
+            raise p.error(
+                "join MVs maintain exactly SUM(c) [+ COUNT(*)] under "
+                "their default column names (sum_micros/cnt)"
+            )
         return A.CreateMaterializedView(
             ns,
             tbl,
@@ -687,6 +717,10 @@ def _parse_create(p: _P) -> A.Statement:
             aggs=tuple(aggs),
             where=where,
             agg_aliases=tuple(aliases),
+            join_namespace=jns,
+            join_table=jtbl,
+            join_left_key=jl,
+            join_right_key=jr,
         )
     if p.accept_kw("VIEW"):
         ns, tbl = p.catalog_target()

@@ -151,3 +151,54 @@ def test_join_mv_group_disappears_on_full_retraction(spark, cat):
         for r in cat.load("m.nation").to_df(spark).collect()
     }[gone]
     assert dim_name not in state
+
+
+def test_join_mv_sql_surface(spark, cat):
+    """CREATE MATERIALIZED VIEW ... FROM fact JOIN dim ON k = k routes
+    to create_join_mv; CALL refresh_mv routes on mv.kind."""
+    _setup(spark, cat)
+    cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW jmv.m.rev AS "
+        "SELECT n_name, SUM(c_acctbal), COUNT(*) "
+        "FROM jmv.m.cust JOIN jmv.m.nation "
+        "ON c_nationkey = n_nationkey GROUP BY n_name",
+    )
+    assert cat.load("m.rev").metadata.properties["mv.kind"] == "join"
+    assert _mv_state(cat, spark) == _recompute(cat, spark)
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    cat.append("m.cust", spark, cust.filter("c_custkey % 2 <> 0"))
+    cat.sql(spark, "CALL jmv.system.refresh_mv('m.rev')")
+    assert _mv_state(cat, spark) == _recompute(cat, spark)
+    # reversed ON order also resolves
+    cat.sql(
+        spark,
+        "CREATE MATERIALIZED VIEW jmv.m.rev2 AS "
+        "SELECT n_name, SUM(c_acctbal) "
+        "FROM jmv.m.cust JOIN jmv.m.nation "
+        "ON n_nationkey = c_nationkey GROUP BY n_name",
+    )
+    assert cat.load("m.rev2").metadata.properties["mv.kind"] == "join"
+
+
+def test_join_mv_sql_rejects_unsupported_shapes(spark, cat):
+    _setup(spark, cat)
+    with pytest.raises(ValueError, match="join MVs"):
+        cat.sql(
+            spark,
+            "CREATE MATERIALIZED VIEW jmv.m.bad AS "
+            "SELECT n_name, MIN(c_acctbal) "
+            "FROM jmv.m.cust JOIN jmv.m.nation "
+            "ON c_nationkey = n_nationkey GROUP BY n_name",
+        )
+    with pytest.raises(ValueError, match="WHERE"):
+        cat.sql(
+            spark,
+            "CREATE MATERIALIZED VIEW jmv.m.bad AS "
+            "SELECT n_name, SUM(c_acctbal) "
+            "FROM jmv.m.cust JOIN jmv.m.nation "
+            "ON c_nationkey = n_nationkey "
+            "WHERE c_custkey > 0 GROUP BY n_name",
+        )
