@@ -122,6 +122,7 @@ HEADLINE = [
     "fn_sql_udf_bank",
     "iceberg_mv_join_scan",
     "stream_join_left_outer",
+    "agg_bitmap_distinct",
 ]
 
 

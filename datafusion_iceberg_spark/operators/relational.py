@@ -1431,3 +1431,32 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.025)
         ).alias("within_bound"),
     )
+
+
+register_sql(
+    "agg_bitmap_distinct",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(bitmap_count(b)) AS BIGINT) AS n_customers
+    FROM (
+      SELECT o_orderstatus, bitmap_bucket_number(o_custkey) AS bk,
+             bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS b
+      FROM orders GROUP BY 1, 2
+    )
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+# ^ Spark 4 bitmap aggregates: EXACT distinct counting via mergeable
+# fixed-width bitmaps — keys partition into 32k-bit buckets
+# (bitmap_bucket_number), each bucket ORs map-side into a <=4 KiB binary
+# (bitmap_construct_agg is partial-aggregable), and per-bucket counts SUM
+# to the exact distinct.  At 100 TB the shuffle carries (group, bucket,
+# bitmap) — dense key ranges compress thousands of rows into one blob,
+# and stored per-bucket bitmaps roll up across days via bitmap_or_agg
+# without re-touching raw data (the exact-sketch sibling of
+# agg_hll_sketch_union's approximate path; oracle = COUNT(DISTINCT)).
