@@ -1393,8 +1393,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rel", F.round(cosine_sim("qv", "v"), 4))
         .select("query_id", F.col("vec_id").alias("cand_id"), "v", "rel")
     )
+    from datafusion_iceberg_spark.caching import scoped_cache
+
     w = W.partitionBy("query_id").orderBy(F.col("rel").desc(), "cand_id")
-    cand = (
+    # cached: the pair self-join would otherwise recompute the full
+    # brute-force relevance scan on BOTH sides (N_QUERIES * _MMR_CAND
+    # rows — kilobytes at any corpus size)
+    cand = scoped_cache(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MMR_CAND)
         .select("query_id", "cand_id", "v", "rel")
