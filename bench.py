@@ -123,6 +123,7 @@ HEADLINE = [
     "iceberg_mv_join_scan",
     "stream_join_left_outer",
     "agg_bitmap_distinct",
+    "iceberg_sql_txn_scan",
 ]
 
 

@@ -367,8 +367,77 @@ class SqlSurface:
                             rel.metadata.current_snapshot_id
                         )
             out: Optional[DataFrame] = None
+            txn = None
+            txn_surface = None
             try:
                 for st in stmts:
+                    from datafusion_iceberg_spark.sql import ast_nodes as _A
+                    from datafusion_iceberg_spark.sql.parser import (
+                        parse_statement,
+                    )
+
+                    head = st.strip().split(None, 1)
+                    headkw = head[0].upper() if head else ""
+                    if headkw in ("BEGIN", "COMMIT", "ROLLBACK"):
+                        # SQL transactions (r12): statements between
+                        # BEGIN and COMMIT route their WRITES through a
+                        # LocalTransaction (staged metadata, one
+                        # all-or-nothing publish at COMMIT); reads keep
+                        # the script-entry pins — snapshot isolation.
+                        node = parse_statement(st.strip(), self.name)
+                        if isinstance(node, _A.BeginTransaction):
+                            if txn is not None:
+                                raise ValueError(
+                                    "nested BEGIN TRANSACTION"
+                                )
+                            txn = LocalTransaction(self)
+                            txn_surface = _TxnSqlSurface(self, txn)
+                            op = "begin_transaction"
+                        elif isinstance(node, _A.CommitTransaction):
+                            if txn is None:
+                                raise ValueError(
+                                    "COMMIT outside a transaction"
+                                )
+                            touched = sorted(txn._pending)
+                            txn.commit()
+                            # read-your-writes after COMMIT: advance
+                            # the pins for every table the txn landed
+                            if own_pins:
+                                for k in touched:
+                                    if k in self._script_pins:
+                                        self._script_pins[k] = self._rel(
+                                            k
+                                        ).metadata.current_snapshot_id
+                            txn = txn_surface = None
+                            op = "commit_transaction"
+                        else:
+                            if txn is None:
+                                raise ValueError(
+                                    "ROLLBACK outside a transaction"
+                                )
+                            txn = txn_surface = None  # staged state drops
+                            op = "rollback_transaction"
+                        out = dml._result(spark, op, self.name, None)
+                        continue
+                    if txn is not None:
+                        node = parse_statement(
+                            st.strip().rstrip(";").strip(), self.name
+                        )
+                        if node is not None and not isinstance(
+                            node,
+                            (_A.Insert, _A.Delete, _A.Update, _A.Merge),
+                        ):
+                            raise ValueError(
+                                "only INSERT/DELETE/UPDATE/MERGE (and "
+                                "reads) are allowed inside BEGIN/COMMIT "
+                                f"— got {type(node).__name__}"
+                            )
+                        handled = dml.try_execute(txn_surface, spark, st)
+                        if handled is not None:
+                            out = handled
+                            continue
+                        out = self.sql(spark, st)  # read: entry snapshot
+                        continue
                     handled = dml.try_execute(self, spark, st)
                     if handled is not None:
                         out = handled
@@ -394,6 +463,11 @@ class SqlSurface:
             finally:
                 if own_pins:
                     del self._script_pins
+            if txn is not None:
+                raise ValueError(
+                    "script ended inside a transaction — close it with "
+                    "COMMIT or ROLLBACK (nothing was committed)"
+                )
             if out is None:
                 raise ValueError("empty SQL script")
             return out
@@ -650,6 +724,59 @@ class _StagedLocalWriter(IcebergWriter):
             # a prior op): base version was already recorded then
             self._txn._base_version[self._ident] = self._current_version()
         self._txn._pending[self._ident] = _copy.deepcopy(meta)
+
+
+class _TxnSqlSurface:
+    """The SQL face of a :class:`LocalTransaction` inside a
+    ``BEGIN TRANSACTION ... COMMIT`` script: the copy-on-write DML
+    methods route to the transaction (data now, metadata staged for one
+    all-or-nothing publish), everything else — ``load``, ``sql``,
+    ``name``, name resolution — delegates to the catalog, so reads
+    inside the transaction see the script-entry snapshot (snapshot
+    isolation).  The MOR write variants are deliberately ABSENT: a
+    merge-on-read DELETE/UPDATE cannot be staged here, and delegating
+    them would commit OUTSIDE the transaction — ``_need`` fails them
+    closed instead."""
+
+    _TXN_METHODS = frozenset(
+        {
+            "append",
+            "overwrite",
+            "overwrite_partitions",
+            "delete_where",
+            "update_where",
+            "merge_into",
+            "upsert",
+        }
+    )
+    _BLOCKED = frozenset(
+        {
+            "delete_where_mor",
+            "delete_where_eq",
+            "delete_where_dv",
+            "update_where_mor",
+        }
+    )
+
+    def __init__(self, cat: "Catalog", txn: "LocalTransaction"):
+        self._cat = cat
+        self._txn = txn
+
+    @property
+    def name(self) -> str:
+        # MUST be the catalog's own name: statement dispatch matches
+        # 3-part targets against it (a decorated name would silently
+        # un-handle every statement and bypass the transaction)
+        return self._cat.name
+
+    def __getattr__(self, attr):
+        if attr in _TxnSqlSurface._TXN_METHODS:
+            return getattr(self._txn, attr)
+        if attr in _TxnSqlSurface._BLOCKED:
+            raise AttributeError(
+                f"{attr} is not available inside a transaction"
+            )
+        return getattr(self._cat, attr)
 
 
 class LocalTransaction:

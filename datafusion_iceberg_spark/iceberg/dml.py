@@ -939,6 +939,15 @@ def _exec_describe(surface, spark, s: A.Describe) -> DataFrame:
     )
 
 
+def _exec_txn_stmt(surface, spark, s) -> DataFrame:
+    """BEGIN/COMMIT/ROLLBACK reach here only OUTSIDE a script — the
+    multi-statement loop in catalog.sql intercepts them in context."""
+    raise ValueError(
+        "BEGIN TRANSACTION / COMMIT / ROLLBACK are only valid inside a "
+        "multi-statement sql() script"
+    )
+
+
 _EXEC = {
     A.Insert: _exec_insert,
     A.Delete: _exec_delete,
@@ -964,4 +973,7 @@ _EXEC = {
     A.ShowTblProperties: _exec_show_tblproperties,
     A.ShowCreateTable: _exec_show_create_table,
     A.Describe: _exec_describe,
+    A.BeginTransaction: _exec_txn_stmt,
+    A.CommitTransaction: _exec_txn_stmt,
+    A.RollbackTransaction: _exec_txn_stmt,
 }

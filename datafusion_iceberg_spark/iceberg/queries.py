@@ -5391,3 +5391,71 @@ def iceberg_mv_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT n_name, cnt, CAST(sum_micros AS DOUBLE) / 1000000 "
         "AS bal_sum FROM mvj.m.rev ORDER BY n_name",
     )
+
+
+@register(
+    "iceberg_sql_txn_scan",
+    oracle="""
+    SELECT 'hot' AS tier, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 5 <> 0
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'archive' AS tier, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_orderkey % 5 = 0
+    GROUP BY o_orderstatus
+    ORDER BY tier, o_orderstatus
+    """,
+)
+def iceberg_sql_txn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL multi-table transactions (r12): a ``BEGIN TRANSACTION ...
+    COMMIT`` script moves cold rows from a hot table to an archive —
+    the INSERT and the DELETE stage through ONE LocalTransaction and
+    publish all-or-nothing at COMMIT (intent-logged, conflict-validated
+    per table); reads inside the transaction keep the script-entry
+    snapshot (snapshot isolation, riding the r12 script pins).  The
+    oracle recomputes both tiers from the original orders — a row lost,
+    duplicated, or moved by only ONE of the two statements hash-fails.
+    The reference is read-only; DataFusion has no transactions."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_sqltxn")
+        marker = os.path.join(root, "_COMPLETE")
+        cat = Catalog(root, name="txg")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="txg")
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_custkey"
+            )
+            cat.create_table("t.hot", orders.schema)
+            cat.create_table("t.archive", orders.schema)
+            cat.append("t.hot", spark, orders)
+            cat.sql(
+                spark,
+                """
+                BEGIN TRANSACTION;
+                INSERT INTO txg.t.archive
+                  SELECT * FROM txg.t.hot WHERE o_orderkey % 5 = 0;
+                DELETE FROM txg.t.hot WHERE o_orderkey % 5 = 0;
+                COMMIT
+                """,
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        """
+        SELECT 'hot' AS tier, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+        FROM txg.t.hot GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'archive' AS tier, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+        FROM txg.t.archive GROUP BY o_orderstatus
+        ORDER BY tier, o_orderstatus
+        """,
+    )

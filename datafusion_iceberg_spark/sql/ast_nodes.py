@@ -300,3 +300,18 @@ class ShowCreateTable(Statement):
 class Describe(Statement):
     namespace: str
     table: str
+
+
+@dataclass
+class BeginTransaction(Statement):
+    pass
+
+
+@dataclass
+class CommitTransaction(Statement):
+    pass
+
+
+@dataclass
+class RollbackTransaction(Statement):
+    pass

@@ -1161,6 +1161,25 @@ def _parse_describe(p: _P) -> A.Statement:
     return A.Describe(ns, tbl)
 
 
+def _parse_begin(p: _P) -> A.Statement:
+    p.expect_kw("BEGIN")
+    p.accept_kw("TRANSACTION")
+    p.expect_end()
+    return A.BeginTransaction()
+
+
+def _parse_commit(p: _P) -> A.Statement:
+    p.expect_kw("COMMIT")
+    p.expect_end()
+    return A.CommitTransaction()
+
+
+def _parse_rollback(p: _P) -> A.Statement:
+    p.expect_kw("ROLLBACK")
+    p.expect_end()
+    return A.RollbackTransaction()
+
+
 _DISPATCH: dict[str, Callable[[_P], A.Statement]] = {
     "INSERT": _parse_insert,
     "DELETE": _parse_delete,
@@ -1176,4 +1195,7 @@ _DISPATCH: dict[str, Callable[[_P], A.Statement]] = {
     "SHOW": _parse_show,
     "DESCRIBE": _parse_describe,
     "DESC": _parse_describe,
+    "BEGIN": _parse_begin,
+    "COMMIT": _parse_commit,
+    "ROLLBACK": _parse_rollback,
 }
