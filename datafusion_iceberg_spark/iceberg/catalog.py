@@ -390,7 +390,9 @@ class SqlSurface:
                                 raise ValueError(
                                     "nested BEGIN TRANSACTION"
                                 )
-                            txn = LocalTransaction(self)
+                            # flavor-routed: Catalog -> LocalTransaction,
+                            # RestCatalog -> RestTransaction (same shape)
+                            txn = self.transaction()
                             txn_surface = _TxnSqlSurface(self, txn)
                             op = "begin_transaction"
                         elif isinstance(node, _A.CommitTransaction):
@@ -738,27 +740,29 @@ class _TxnSqlSurface:
     them would commit OUTSIDE the transaction — ``_need`` fails them
     closed instead."""
 
-    _TXN_METHODS = frozenset(
+    # every write-shaped method the DML executors may route: the ones
+    # the transaction flavor implements stage through it; the rest fail
+    # closed (hasattr False -> _need's clean refusal) instead of
+    # delegating to the catalog, which would commit OUTSIDE the txn.
+    # RestTransaction stages DV deletes; LocalTransaction does not —
+    # the lookup below is flavor-correct automatically.
+    _WRITE_SHAPED = frozenset(
         {
             "append",
             "overwrite",
             "overwrite_partitions",
             "delete_where",
+            "delete_where_mor",
+            "delete_where_eq",
+            "delete_where_dv",
             "update_where",
+            "update_where_mor",
             "merge_into",
             "upsert",
         }
     )
-    _BLOCKED = frozenset(
-        {
-            "delete_where_mor",
-            "delete_where_eq",
-            "delete_where_dv",
-            "update_where_mor",
-        }
-    )
 
-    def __init__(self, cat: "Catalog", txn: "LocalTransaction"):
+    def __init__(self, cat, txn):
         self._cat = cat
         self._txn = txn
 
@@ -770,12 +774,8 @@ class _TxnSqlSurface:
         return self._cat.name
 
     def __getattr__(self, attr):
-        if attr in _TxnSqlSurface._TXN_METHODS:
-            return getattr(self._txn, attr)
-        if attr in _TxnSqlSurface._BLOCKED:
-            raise AttributeError(
-                f"{attr} is not available inside a transaction"
-            )
+        if attr in _TxnSqlSurface._WRITE_SHAPED:
+            return getattr(self._txn, attr)  # AttributeError if absent
         return getattr(self._cat, attr)
 
 

@@ -193,3 +193,38 @@ def test_sql_txn_conflict_publishes_nothing(spark, cat, monkeypatch):
     monkeypatch.setattr(dml_mod, "try_execute", real)
     hot, arc = _counts(cat, spark)
     assert (hot, arc) == (3, 0)  # external insert landed; txn did not
+
+
+def test_sql_txn_on_rest_catalog(spark, tmp_path):
+    """BEGIN/COMMIT on the REST mirror routes through RestTransaction
+    (one /v1/transactions/commit — all-or-nothing server-side)."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.rest_catalog import (
+        LocalRestServer,
+        RestCatalog,
+        RestCatalogClient,
+    )
+
+    with LocalRestServer(os.path.join(str(tmp_path), "wh")) as base:
+        rest = RestCatalog(RestCatalogClient(base), name="rc")
+        rest.sql(spark, "CREATE TABLE rc.t.hot (k BIGINT, v BIGINT)")
+        rest.sql(spark, "CREATE TABLE rc.t.archive (k BIGINT, v BIGINT)")
+        rest.sql(spark, "INSERT INTO rc.t.hot VALUES (1, 10), (2, 20)")
+        rest.sql(
+            spark,
+            """
+            BEGIN TRANSACTION;
+            INSERT INTO rc.t.archive
+              SELECT * FROM rc.t.hot WHERE k = 2;
+            DELETE FROM rc.t.hot WHERE k = 2;
+            COMMIT
+            """,
+        )
+        hot = rest.sql(
+            spark, "SELECT COUNT(*) AS n FROM rc.t.hot"
+        ).first()["n"]
+        arc = rest.sql(
+            spark, "SELECT COUNT(*) AS n FROM rc.t.archive"
+        ).first()["n"]
+        assert (hot, arc) == (1, 1)
