@@ -1579,3 +1579,54 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _last_committed_batch_id(meta) -> "int | None":
+    """Newest ``stream-batch-id`` stamped in the table's snapshot
+    summaries (None = no stamped commits yet)."""
+    ids = [
+        int(v)
+        for s in meta.raw.get("snapshots", [])
+        if (v := (s.get("summary") or {}).get("stream-batch-id"))
+        is not None
+    ]
+    return max(ids) if ids else None
+
+
+def iceberg_append_sink(cat, ident: str):
+    """Replay-safe foreachBatch APPEND into an Iceberg table.
+
+    Structured Streaming's contract is at-least-once INTO foreachBatch:
+    a crash between the sink's commit and the checkpoint write re-runs
+    the batch, and a plain append would duplicate it.  This sink stamps
+    each micro-batch's ``batch_id`` into its snapshot summary
+    (``stream-batch-id``) and SKIPS any batch at-or-below the newest
+    stamped id — commit-then-checkpoint replays become no-ops, giving
+    exactly-once table contents without any external ledger (the table
+    IS the ledger; the same protocol as the Python DataSource streaming
+    writer's ``pyds-stream-batch-id``, and Spark-Iceberg's JVM sink).
+
+    Usage::
+
+        q = (df.writeStream
+               .foreachBatch(iceberg_append_sink(cat, "ns.t"))
+               .option("checkpointLocation", ckpt).start())
+    """
+
+    def _apply(bdf, batch_id):
+        last = _last_committed_batch_id(cat.load(ident).metadata)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already committed
+        if not bdf.take(1):
+            return
+        from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+        cat.writer(ident).append(
+            bdf.sparkSession,
+            bdf,
+            extra_summary={"stream-batch-id": str(batch_id)},
+        )
+        # keep the catalog mirror current (cat.append does this too)
+        cat._mirror[ident] = IcebergTable.load(cat.load(ident).metadata.root)
+
+    return _apply
