@@ -376,7 +376,17 @@ class SqlSurface:
                         parse_statement,
                     )
 
-                    head = st.strip().split(None, 1)
+                    import re as _re
+
+                    # head keyword AFTER any leading comments (the
+                    # splitter keeps them attached to their statement)
+                    lead = _re.sub(
+                        r"^(\s*(--[^\n]*(\n|$)|/\*.*?\*/))*",
+                        "",
+                        st,
+                        flags=_re.S,
+                    ).strip()
+                    head = lead.split(None, 1)
                     headkw = head[0].upper() if head else ""
                     if headkw in ("BEGIN", "COMMIT", "ROLLBACK"):
                         # SQL transactions (r12): statements between
@@ -423,8 +433,25 @@ class SqlSurface:
                         continue
                     if txn is not None:
                         node = parse_statement(
-                            st.strip().rstrip(";").strip(), self.name
+                            lead.rstrip(";").strip(), self.name
                         )
+                        if isinstance(
+                            node,
+                            (
+                                _A.ShowTables,
+                                _A.ShowViews,
+                                _A.ShowNamespaces,
+                                _A.ShowPartitions,
+                                _A.ShowTblProperties,
+                                _A.ShowCreateTable,
+                                _A.Describe,
+                                _A.DescribeNamespace,
+                            ),
+                        ):
+                            # read-only statements: fine inside a txn,
+                            # answered from the catalog (entry state)
+                            out = dml.try_execute(self, spark, st)
+                            continue
                         if node is not None and not isinstance(
                             node,
                             (_A.Insert, _A.Delete, _A.Update, _A.Merge),

@@ -228,3 +228,36 @@ def test_sql_txn_on_rest_catalog(spark, tmp_path):
             spark, "SELECT COUNT(*) AS n FROM rc.t.archive"
         ).first()["n"]
         assert (hot, arc) == (1, 1)
+
+
+def test_sql_txn_comment_prefixed_control_statements(spark, cat):
+    out = cat.sql(
+        spark,
+        """
+        -- archive the cold rows
+        BEGIN TRANSACTION;
+        /* staged move */ INSERT INTO txc.t.archive
+          SELECT * FROM txc.t.hot WHERE k = 2;
+        DELETE FROM txc.t.hot WHERE k = 2;
+        -- publish
+        COMMIT;
+        SELECT COUNT(*) AS n FROM txc.t.archive
+        """,
+    ).first()
+    assert out["n"] == 1
+    assert _counts(cat, spark) == (1, 1)
+
+
+def test_sql_txn_allows_show_and_describe_inside(spark, cat):
+    out = cat.sql(
+        spark,
+        """
+        BEGIN TRANSACTION;
+        INSERT INTO txc.t.hot VALUES (5, 50);
+        SHOW CREATE TABLE txc.t.hot;
+        DESCRIBE txc.t.hot;
+        COMMIT;
+        SELECT COUNT(*) AS n FROM txc.t.hot
+        """,
+    ).first()
+    assert out["n"] == 3
