@@ -124,6 +124,7 @@ HEADLINE = [
     "stream_join_left_outer",
     "agg_bitmap_distinct",
     "iceberg_sql_txn_scan",
+    "iceberg_constraint_scan",
 ]
 
 

@@ -518,6 +518,37 @@ def _exec_alter(surface, spark, s: A.Alter) -> DataFrame:
         _need(surface, "drop_column")
         surface.drop_column(ident, a.column)
         return _result(spark, "drop_column", ident, None)
+    if isinstance(a, A.AddConstraint):
+        # Delta-style CHECK constraint: validate EXISTING data first
+        # (so later rewrites can never fail on pre-existing rows), then
+        # persist as a table property the writer enforces on every
+        # append/overwrite (writer._enforce_check_constraints)
+        _need(surface, "set_properties", "load")
+        from pyspark.sql import functions as F
+
+        expr = F.expr(a.check_sql)
+        bad = (
+            surface.load(ident)
+            .to_df(spark)
+            .filter(~expr | expr.isNull())
+            .take(1)
+        )
+        if bad:
+            raise ValueError(
+                f"cannot ADD CONSTRAINT {a.name!r}: existing row violates "
+                f"CHECK ({a.check_sql}) — e.g. {bad[0].asDict()}"
+            )
+        surface.set_properties(
+            ident, {f"constraints.{a.name}": a.check_sql}
+        )
+        return _result(spark, "add_constraint", ident, None)
+    if isinstance(a, A.DropConstraint):
+        _need(surface, "set_properties", "load")
+        key = f"constraints.{a.name}"
+        if key not in surface.load(ident).metadata.properties:
+            raise KeyError(f"no such constraint on {ident}: {a.name}")
+        surface.set_properties(ident, {}, removes=[key])
+        return _result(spark, "drop_constraint", ident, None)
     if isinstance(a, A.RefDdl):
         if a.op == "drop":
             _need(surface, "drop_ref")

@@ -979,6 +979,11 @@ class IcebergWriter:
         surviving files included verbatim in the new manifest (used by
         :meth:`delete` for copy-on-write)."""
         self._maybe_merge_schema(df, merge_schema)
+        if _operation in ("append", "overwrite"):
+            # CHECK constraints guard NEW data; "replace"/"delete"
+            # snapshots rewrite rows that already passed (ADD CONSTRAINT
+            # validated pre-existing data, so this can't fail spuriously)
+            self._enforce_check_constraints(df)
         snap_id = int(time.time() * 1000) * 1000 + (int.from_bytes(os.urandom(2), "big") % 1000)
         files = self._write_data_files(df, snap_id)
         return self._commit_file_stats(
@@ -997,6 +1002,36 @@ class IcebergWriter:
             or None,
             _staged_only=bool(wap_id),
         )
+
+    def _enforce_check_constraints(self, df: DataFrame) -> None:
+        """Delta-style CHECK constraints (``constraints.<name>`` table
+        properties, managed by ALTER TABLE ADD/DROP CONSTRAINT): every
+        incoming row must satisfy each expression — NULL counts as a
+        violation (SQL CHECK must be TRUE).  Cost: one codegen'd filter
+        + LIMIT 1 probe per constraint per write, no shuffle; beyond
+        both the reference and the Iceberg spec (which has no CHECK)."""
+        try:
+            props = self._load_current().get("properties", {})
+        except Exception:
+            return  # table being created: nothing to enforce yet
+        cons = {
+            k[len("constraints."):]: v
+            for k, v in props.items()
+            if k.startswith("constraints.")
+        }
+        if not cons:
+            return
+        from pyspark.sql import functions as _F
+
+        for cname in sorted(cons):
+            expr = _F.expr(cons[cname])
+            bad = df.filter(~expr | expr.isNull()).take(1)
+            if bad:
+                raise ValueError(
+                    f"CHECK constraint {cname!r} violated: "
+                    f"({cons[cname]}) is not TRUE for row "
+                    f"{bad[0].asDict()} — nothing was written"
+                )
 
     def _write_data_files(self, df: DataFrame, snap_id: int) -> list[dict]:
         """The write half of :meth:`append`: field-id-stamped parquet

@@ -173,6 +173,17 @@ class ReplacePartitionField:
 
 
 @dataclass
+class AddConstraint:
+    name: str
+    check_sql: str                   # CHECK (<expr>) body, verbatim span
+
+
+@dataclass
+class DropConstraint:
+    name: str
+
+
+@dataclass
 class SetDistributionMode:
     mode: str                        # 'hash' (WRITE DISTRIBUTED BY PARTITION)
 

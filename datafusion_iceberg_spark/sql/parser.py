@@ -916,6 +916,14 @@ def _parse_alter(p: _P) -> A.Statement:
             entry = _partition_entry(p)
             p.expect_end()
             return A.Alter(ns, tbl, A.AddPartitionField(entry))
+        if p.accept_kw("CONSTRAINT"):
+            cname = p.ident("constraint name")
+            p.expect_kw("CHECK")
+            expr = p.paren_span().strip()
+            if not expr:
+                raise p.error("empty CHECK expression")
+            p.expect_end()
+            return A.Alter(ns, tbl, A.AddConstraint(cname, expr))
         p.expect_kw("COLUMN", "COLUMNS")
         wrapped = p.accept_op("(")
         col = p.ident("column name")
@@ -969,6 +977,10 @@ def _parse_alter(p: _P) -> A.Statement:
             entry = _partition_entry(p)
             p.expect_end()
             return A.Alter(ns, tbl, A.DropPartitionField(entry))
+        if p.accept_kw("CONSTRAINT"):
+            cname = p.ident("constraint name")
+            p.expect_end()
+            return A.Alter(ns, tbl, A.DropConstraint(cname))
         p.expect_kw("COLUMN")
         col = p.ident("column name")
         p.expect_end()
