@@ -3501,6 +3501,10 @@ class IcebergWriter:
         UPDATE and MERGE."""
         from pyspark.sql import functions as F
 
+        if new_rows is not None:
+            # CHECK constraints guard the NEW row images of MOR
+            # UPDATE/MERGE/upsert too (append() guards the COW paths)
+            self._enforce_check_constraints(new_rows)
         drop_paths: Optional[set] = None
         if use_dv:
             from datafusion_iceberg_spark.iceberg.table import IcebergTable

@@ -114,3 +114,24 @@ def test_compaction_skips_enforcement(spark, cat):
     cat.sql(spark, "INSERT INTO cnc.c.t VALUES (3, 5.0, 'c')")
     cat.sql(spark, "CALL cnc.system.rewrite_data_files('c.t')")
     assert cat.load("c.t").to_df(spark).count() == 3
+
+
+def test_mor_update_and_merge_respect_constraints(spark, cat):
+    """The MOR row-delta path (_commit_row_delta) enforces constraints
+    on the NEW row images, same as the COW append path."""
+    cat.sql(
+        spark,
+        "ALTER TABLE cnc.c.t SET TBLPROPERTIES "
+        "('write.update.mode' = 'merge-on-read', "
+        " 'write.merge.mode' = 'merge-on-read')",
+    )
+    cat.sql(
+        spark, "ALTER TABLE cnc.c.t ADD CONSTRAINT pos_bal CHECK (bal >= 0)"
+    )
+    with pytest.raises(ValueError, match="pos_bal"):
+        cat.sql(spark, "UPDATE cnc.c.t SET bal = -3.0 WHERE k = 2")
+    assert cat.load("c.t").to_df(spark).filter("bal < 0").count() == 0
+    cat.sql(spark, "UPDATE cnc.c.t SET bal = 3.0 WHERE k = 2")
+    assert (
+        cat.load("c.t").to_df(spark).filter("k = 2").first()["bal"] == 3.0
+    )
