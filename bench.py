@@ -125,6 +125,7 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "iceberg_sql_txn_scan",
     "iceberg_constraint_scan",
+    "text_bigram_perplexity",
 ]
 
 

@@ -1515,3 +1515,113 @@ def text_dup_ngram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS a, t[i+1] AS b
+      FROM toks, UNNEST(generate_series(1, n - 1)) AS u(i)
+    ),
+    big AS (SELECT a, b, COUNT(*) AS c FROM bg GROUP BY a, b),
+    ctx AS (SELECT a, SUM(c) AS cc FROM big GROUP BY a),
+    v AS (
+      SELECT COUNT(DISTINCT tk) AS vs FROM (
+        SELECT unnest(string_split(text, ' ')) AS tk FROM documents
+      )
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             AVG(-ln((big.c + 0.5) / (ctx.cc + 0.5 * v.vs))) AS nll,
+             COUNT(*) AS n_bigrams
+      FROM bg
+      JOIN big ON bg.a = big.a AND bg.b = big.b
+      JOIN ctx ON bg.a = ctx.a, v
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, ROUND(nll, 4) AS avg_nll,
+           ROUND(EXP(ROUND(nll, 4)), 4) AS ppl,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CASE WHEN ROW_NUMBER() OVER (
+                  ORDER BY ROUND(nll, 4) DESC, doc_id) <= 20
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM scored ORDER BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring — one rung up from
+    text_unigram_surprise toward the KenLM filter CCNet-style pipelines
+    run: P(cur|prev) with add-0.5 smoothing over corpus bigram counts,
+    per-doc score = avg -ln P over the doc's bigrams, perplexity =
+    exp(score); top-20 most-perplexing docs flagged (the rank cut, not
+    a float threshold — deterministic on any corpus).
+
+    Scale shape: bigrams generate MAP-SIDE from each doc's token array
+    (no window shuffle for adjacency); the model is two
+    vocabulary-sized aggregates — (prev, cur) counts and per-prev
+    context totals, both partial-aggregated before their shuffle; the
+    vocabulary size V rides a 1-row broadcast; scoring joins the doc
+    bigrams against the two count tables on token keys (AQE picks the
+    strategy from measured sizes — corpus vocabularies are unbounded,
+    so no broadcast hint).  The -ln/AVG/EXP are computed identically on
+    both engines and rounded to 4 dp (the unigram-surprise precedent;
+    the per-doc AVG is over hundreds of terms, far inside double
+    stability at 4 dp)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", " ")) >= 2
+    )
+    bg = docs.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS a, t[i+1] AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.a", "p.b")
+    big = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    ctx = big.groupBy("a").agg(F.sum("c").alias("cc"))
+    v = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tk"))
+        .agg(F.countDistinct("tk").alias("vs"))
+    )
+    scored = (
+        bg.join(big, ["a", "b"])
+        .join(ctx, "a")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.avg(
+                -F.log(
+                    (F.col("c") + 0.5) / (F.col("cc") + 0.5 * F.col("vs"))
+                )
+            ).alias("nll"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    top = (
+        scored.select("doc_id", F.round("nll", 4).alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.lit(1).alias("flag"))
+    )
+    return (
+        scored.join(F.broadcast(top), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round("nll", 4).alias("avg_nll"),
+            F.round(F.exp(F.round("nll", 4)), 4).alias("ppl"),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.coalesce("flag", F.lit(0)).alias("is_outlier"),
+        )
+        .orderBy("doc_id")
+    )

@@ -102,6 +102,10 @@ NESTED_LOOP_OK = frozenset(
         "sim_hybrid_rrf",
         # 1-row vocab-total broadcast (constant-attach)
         "text_unigram_surprise",
+        # 1-row vocabulary-size broadcast (constant-attach; appears
+        # twice because the scored frame feeds both the top-20 cut and
+        # the final projection)
+        "text_bigram_perplexity",
         # 1-row total-row-count broadcast for the NTILE bucket arithmetic
         "window_ntile",
         # 1-row bigram-total broadcast (constant-attach)
