@@ -126,6 +126,8 @@ HEADLINE = [
     "iceberg_sql_txn_scan",
     "iceberg_constraint_scan",
     "text_bigram_perplexity",
+    "sample_soft_dedup_weights",
+    "sim_matryoshka_truncated",
 ]
 
 

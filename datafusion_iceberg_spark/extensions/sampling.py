@@ -612,3 +612,52 @@ def sample_balanced_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "sample_soft_dedup_weights",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS d, COUNT(*) AS n_copies FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT doc_id, n_copies,
+             ROUND(1.0 / n_copies, 6) AS weight
+      FROM documents JOIN g ON md5(text) = g.d
+    )
+    SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies, weight,
+           CAST((SELECT COUNT(*) FROM g) AS BIGINT) AS n_unique
+    FROM w ORDER BY doc_id
+    """,
+)
+def sample_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of dropping duplicates, every copy stays and
+    gets sampling weight 1/n_copies — the duplicate CLUSTER contributes
+    one document's worth of probability mass to training (the
+    soft-dedup alternative used when hard dropping loses wanted
+    distributional signal; composes with temperature/DSIR weighting
+    downstream).  ``n_unique`` (the corpus' effective size under these
+    weights, since sum(weight) = #clusters) rides along for the mixture
+    planner.
+
+    Scale shape: identical to dedup_exact_hash — the shuffle carries
+    16-byte digests + counts, the weight attaches by a digest-keyed
+    join back to the docs (AQE-planned), and the one global n_unique is
+    a 1-row broadcast constant-attach."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    nu = g.agg(F.count(F.lit(1)).alias("n_unique"))  # 1-row attach
+    return (
+        docs.select("doc_id", F.md5("text").alias("d"))
+        .join(g, "d")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "doc_id",
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.round(1.0 / F.col("n_copies"), 6).alias("weight"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1468,3 +1468,119 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_greedy, out_schema)
         .orderBy("query_id", "mmr_rank")
     )
+
+
+@register(
+    "sim_matryoshka_truncated",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms64 AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ev GROUP BY vec_id),
+    ev16 AS (SELECT vec_id, i, v FROM ev WHERE i <= 16),
+    norms16 AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ev16 GROUP BY vec_id),
+    d16 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.v * c.v) AS dot
+        FROM ev16 q JOIN ev16 c ON q.i = c.i
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    s16 AS (
+        SELECT query_id, cand_id,
+               ROUND(dot / (nq.nrm * nc.nrm), 4) AS cos16,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 4) DESC,
+                          cand_id) AS rnk
+        FROM d16
+        JOIN norms16 nq ON nq.vec_id = query_id
+        JOIN norms16 nc ON nc.vec_id = cand_id
+    ),
+    d64 AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.v * c.v) AS dot
+        FROM ev q JOIN ev c ON q.i = c.i
+        WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    full_top AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id
+                     ORDER BY ROUND(dot / (nq.nrm * nc.nrm), 4) DESC,
+                              cand_id) AS rnk
+            FROM d64
+            JOIN norms64 nq ON nq.vec_id = query_id
+            JOIN norms64 nc ON nc.vec_id = cand_id
+        ) WHERE rnk <= {TOP_K}
+    )
+    SELECT s16.query_id, s16.cand_id, s16.cos16, s16.rnk,
+           CASE WHEN ft.cand_id IS NOT NULL THEN 1 ELSE 0 END AS in_full_topk
+    FROM s16
+    LEFT JOIN full_top ft
+      ON ft.query_id = s16.query_id AND ft.cand_id = s16.cand_id
+    WHERE s16.rnk <= {TOP_K}
+    ORDER BY s16.query_id, s16.rnk
+    """,
+)
+def sim_matryoshka_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style PREFIX search: score with only the first 16 of
+    64 dimensions (MRL-trained embeddings concentrate information in
+    the prefix, so a 4x-cheaper first pass ranks well), and annotate
+    each truncated-top-k hit with whether the FULL-dimension top-k
+    agrees (``in_full_topk`` — the re-rank budget signal).  Unlike
+    PQ/SQ this needs no trained model state at all: the index is the
+    stored vector's prefix, so the same stored column serves every
+    precision tier.
+
+    Scale shape: both passes are the brute-force-baseline plan
+    (broadcast bounded query set x corpus — the oracle-able reference
+    leg; the production path composes the prefix scoring with the
+    IVF/LSH bucketing of the other gates); the 16-dim leg moves 1/4 the
+    bytes through the cosine kernel.  4-dp rounding on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = emb.select("vec_id", _as_double("embedding").alias("v"))
+    trunc = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(slice(embedding, 1, 16), x -> CAST(x AS DOUBLE))"
+        ).alias("v"),
+    )
+
+    def topk(vecs, k, score_name):
+        from pyspark.sql import Window as W
+
+        q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        scored = (
+            vecs.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+            .withColumn(score_name, F.round(cosine_sim("qv", "v"), 4))
+            .select(
+                "query_id", F.col("vec_id").alias("cand_id"), score_name
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col(score_name).desc(), "cand_id"
+        )
+        return scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= k
+        )
+
+    t16 = topk(trunc, TOP_K, "cos16")
+    t64 = topk(full, TOP_K, "cos64").select(
+        "query_id", "cand_id", F.lit(1).alias("in_full_topk")
+    )
+    return (
+        t16.join(F.broadcast(t64), ["query_id", "cand_id"], "left")
+        .select(
+            "query_id",
+            "cand_id",
+            "cos16",
+            "rnk",
+            F.coalesce("in_full_topk", F.lit(0)).alias("in_full_topk"),
+        )
+        .orderBy("query_id", "rnk")
+    )

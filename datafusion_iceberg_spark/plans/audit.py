@@ -119,6 +119,12 @@ NESTED_LOOP_OK = frozenset(
         # class; the pair stage and greedy loop are query-local over the
         # 20-candidate shortlist, never corpus-sized
         "sim_mmr_rerank",
+        # both legs are corpus x (5-row broadcast query set) theta joins
+        # (the sim_topk_bruteforce class); the prefix leg moves 1/4 the
+        # vector bytes
+        "sim_matryoshka_truncated",
+        # 1-row n_unique broadcast (constant-attach)
+        "sample_soft_dedup_weights",
     }
 )
 
