@@ -128,6 +128,7 @@ HEADLINE = [
     "text_bigram_perplexity",
     "sample_soft_dedup_weights",
     "sim_matryoshka_truncated",
+    "window_rolling_distinct_users",
 ]
 
 

@@ -467,3 +467,62 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE user_id < 200 ORDER BY user_id, event_id
         """,
     )
+
+
+@register(
+    "window_rolling_distinct_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT event_type, d FROM daily)
+    SELECT days.event_type, CAST(days.d AS TIMESTAMP) AS day_ts,
+           CAST(COUNT(DISTINCT daily.user_id) AS BIGINT) AS u7
+    FROM days
+    JOIN daily ON daily.event_type = days.event_type
+              AND daily.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def window_rolling_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT trailing-7-day distinct users per event type — the DAU/WAU
+    family Spark's window aggregates don't provide directly
+    (count_distinct is unsupported over windows; approx_count_distinct
+    is lossy).  Shape: dedup to (type, day, user) grain FIRST — the
+    shuffle carries one row per active user-day, not per event — then
+    ``size(collect_set(user))`` over a day-RANGE frame gives the exact
+    rolling union cardinality (daily distincts cannot be summed: users
+    overlap across days).  At 100 TB the set state is bounded by one
+    window's distinct users per partition key; when that itself is too
+    wide, the same query composes with the bitmap rollup
+    (agg_bitmap_distinct) — per-day bitmaps OR-merge across the frame
+    instead of materializing sets.  The DuckDB oracle replays via the
+    interval self-join (portable exact semantics)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.to_date("ts").alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.withColumn(
+            "u7", F.size(F.collect_set("user_id").over(w)).cast("long")
+        )
+        .select(
+            "event_type",
+            F.col("d").cast("timestamp").alias("day_ts"),
+            "u7",
+        )
+        .distinct()
+        .orderBy("event_type", "day_ts")
+    )
