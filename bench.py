@@ -129,6 +129,7 @@ HEADLINE = [
     "sample_soft_dedup_weights",
     "sim_matryoshka_truncated",
     "window_rolling_distinct_users",
+    "iceberg_view_version_travel",
 ]
 
 

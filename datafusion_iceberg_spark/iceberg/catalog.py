@@ -105,7 +105,15 @@ class SqlSurface:
                     seen.add(key)
                     rel = self._rel(key)
                     if isinstance(rel, IcebergView):
-                        texts.append(rel.sql().replace("`", ""))
+                        # EVERY version's SQL: view time travel may
+                        # expand an old version referencing tables the
+                        # current one dropped
+                        for v in rel.raw.get("versions", []):
+                            for r in v.get("representations", []):
+                                if r.get("type") == "sql":
+                                    texts.append(
+                                        r["sql"].replace("`", "")
+                                    )
         return sorted(seen)
 
     @staticmethod
@@ -196,9 +204,39 @@ class SqlSurface:
                     continue
                 if rel is None:
                     rel = self._rel(key)  # resolve only on a match (lazy)
-                if not isinstance(rel, IcebergTable):
-                    break
                 kind, val = m.group(1).upper(), m.group(2)
+                if isinstance(rel, IcebergView):
+                    # VIEW time travel: resolve the requested VERSION
+                    # (or the version current AS OF the timestamp) and
+                    # expand THAT stored SQL — yesterday's report
+                    # definition stays queryable after REPLACE VIEW
+                    if kind == "VERSION":
+                        if val.startswith("'"):
+                            raise ValueError(
+                                "view VERSION AS OF takes a version id"
+                            )
+                        vid = int(val)
+                    else:
+                        if val.isdigit():
+                            ts_ms = int(val)
+                        else:
+                            from datetime import (
+                                datetime as _dt,
+                                timezone as _tz,
+                            )
+
+                            d = _dt.fromisoformat(
+                                val[1:-1].replace("''", "'")
+                            )
+                            if d.tzinfo is None:
+                                d = d.replace(tzinfo=_tz.utc)
+                            ts_ms = int(d.timestamp() * 1000)
+                        vid = rel.version_at_timestamp(ts_ms)
+                    df = spark.sql(rel.sql_at(vid))
+                    view = f"{ns}_{bare}__vv{vid}"
+                    df.createOrReplaceTempView(view)
+                    edits.append((m.start(), m.end(), f"`{view}`"))
+                    continue
                 if kind == "VERSION":
                     if val.startswith("'"):
                         # quoted ref name (Spark/Iceberg: VERSION AS OF

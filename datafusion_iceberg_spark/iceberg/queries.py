@@ -5513,3 +5513,58 @@ def iceberg_constraint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT n_regionkey, COUNT(*) AS n, MIN(n_nationkey) AS min_key "
         "FROM cng.c.t GROUP BY n_regionkey ORDER BY n_regionkey",
     )
+
+
+@register(
+    "iceberg_view_version_travel",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def iceberg_view_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIEW time travel (r12): a view is REPLACEd (new version, old
+    retained in the version log, spec format-version 1), and ``FOR
+    VERSION AS OF 1`` expands the ORIGINAL stored SQL — the current
+    version computes something else entirely, so serving the wrong
+    version hash-fails.  Tables got this in r2; views complete the
+    surface (the reference re-parses only the current representation,
+    table.rs:102-112)."""
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_viewtt")
+        marker = os.path.join(root, "_COMPLETE")
+        cat = Catalog(root, name="vtg")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="vtg")
+            nation = load_table(spark, sf_dir, "nation").select(
+                "n_nationkey", "n_regionkey"
+            )
+            cat.create_table("v.nation", nation.schema)
+            cat.append("v.nation", spark, nation)
+            cat.sql(
+                spark,
+                "CREATE VIEW vtg.v.rpt AS "
+                "SELECT n_regionkey, COUNT(*) AS n_nations, "
+                "SUM(n_nationkey) AS key_sum "
+                "FROM vtg.v.nation GROUP BY n_regionkey",
+            )
+            # REPLACE changes the view's meaning entirely
+            cat.sql(
+                spark,
+                "CREATE OR REPLACE VIEW vtg.v.rpt AS "
+                "SELECT n_regionkey, MIN(n_nationkey) AS n_nations, "
+                "MAX(n_nationkey) AS key_sum "
+                "FROM vtg.v.nation GROUP BY n_regionkey",
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    return cat.sql(
+        spark,
+        "SELECT n_regionkey, n_nations, CAST(key_sum AS BIGINT) AS key_sum "
+        "FROM vtg.v.rpt FOR VERSION AS OF 1 ORDER BY n_regionkey",
+    )

@@ -137,10 +137,26 @@ class IcebergView:
     # -- expansion (A11) ----------------------------------------------------
 
     def sql(self, dialect: str = "spark") -> str:
-        vid = self.raw["current-version-id"]
+        return self.sql_at(self.raw["current-version-id"], dialect)
+
+    def sql_at(self, version_id: int, dialect: str = "spark") -> str:
+        """The stored SQL of a SPECIFIC view version — view time travel
+        (``FOR VERSION AS OF <version-id>`` on a view): versions are
+        retained like table snapshots, so yesterday's report definition
+        stays queryable after a REPLACE."""
         version = next(
-            v for v in self.raw["versions"] if v["version-id"] == vid
+            (
+                v
+                for v in self.raw["versions"]
+                if v["version-id"] == version_id
+            ),
+            None,
         )
+        if version is None:
+            raise KeyError(
+                f"view has no version {version_id} (have "
+                f"{[v['version-id'] for v in self.raw['versions']]})"
+            )
         reps = version["representations"]
         for r in reps:
             if r["type"] == "sql" and r.get("dialect", "spark") == dialect:
@@ -149,6 +165,21 @@ class IcebergView:
             if r["type"] == "sql":
                 return r["sql"]
         raise ValueError("view has no SQL representation")
+
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """The view version current AS OF the given epoch millis (the
+        version-log walk tables do for TIMESTAMP AS OF)."""
+        best = None
+        for e in self.raw.get("version-log", []):
+            if e["timestamp-ms"] <= ts_ms and (
+                best is None or e["timestamp-ms"] >= best[0]
+            ):
+                best = (e["timestamp-ms"], e["version-id"])
+        if best is None:
+            raise ValueError(
+                f"no view version at or before timestamp {ts_ms}"
+            )
+        return best[1]
 
     def declared_schema(self) -> Optional[dict]:
         """The view's declared Iceberg schema JSON, if one was persisted

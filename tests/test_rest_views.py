@@ -136,3 +136,60 @@ def test_local_replace_view_is_versioned(spark, tmp_path):
     assert {
         r["k"] for r in cat.sql(spark, "SELECT k FROM iceberg.ns.w").collect()
     } == {2}
+
+
+def test_view_time_travel_versions(spark, tmp_path):
+    """FOR VERSION AS OF on a VIEW expands that version's stored SQL;
+    TIMESTAMP AS OF walks the version log (view time travel, r12)."""
+    import shutil
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    d = tmp_path / "vtt_wh"
+    cat = Catalog(str(d), name="vtt")
+    nation = load_table(spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cat.create_table("v.nation", nation.schema)
+    cat.append("v.nation", spark, nation)
+    cat.sql(
+        spark,
+        "CREATE VIEW vtt.v.rpt AS "
+        "SELECT n_regionkey, COUNT(*) AS n FROM vtt.v.nation "
+        "GROUP BY n_regionkey",
+    )
+    cat.sql(
+        spark,
+        "CREATE OR REPLACE VIEW vtt.v.rpt AS "
+        "SELECT n_regionkey, MIN(n_nationkey) AS n FROM vtt.v.nation "
+        "GROUP BY n_regionkey",
+    )
+    cur = {
+        r["n_regionkey"]: r["n"]
+        for r in cat.sql(
+            spark, "SELECT * FROM vtt.v.rpt"
+        ).collect()
+    }
+    v1 = {
+        r["n_regionkey"]: r["n"]
+        for r in cat.sql(
+            spark, "SELECT * FROM vtt.v.rpt FOR VERSION AS OF 1"
+        ).collect()
+    }
+    # v1 = counts (5 per region at any sf), current = min keys
+    assert set(v1.values()) != set(cur.values()) or v1 != cur
+    assert all(v == 5 for v in v1.values())
+    # TIMESTAMP AS OF far future resolves to the current version
+    far = cat.sql(
+        spark,
+        "SELECT * FROM vtt.v.rpt FOR TIMESTAMP AS OF 99999999999999",
+    ).collect()
+    assert {r["n_regionkey"]: r["n"] for r in far} == cur
+    # unknown version errors loudly
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError, match="no version"):
+        cat.sql(spark, "SELECT * FROM vtt.v.rpt FOR VERSION AS OF 9")
+    shutil.rmtree(d, ignore_errors=True)
