@@ -130,6 +130,7 @@ HEADLINE = [
     "sim_matryoshka_truncated",
     "window_rolling_distinct_users",
     "iceberg_view_version_travel",
+    "sample_epoch_shuffle_plan",
 ]
 
 

@@ -661,3 +661,77 @@ def sample_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "sample_epoch_shuffle_plan",
+    oracle="""
+    WITH e AS (SELECT 0 AS epoch UNION ALL SELECT 1 UNION ALL SELECT 2),
+    perm AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CONCAT('epoch-', CAST(e.epoch AS VARCHAR), ':',
+                        CAST(d.doc_id AS VARCHAR))) AS ord_key
+      FROM documents d CROSS JOIN e
+    ),
+    ranked AS (
+      SELECT epoch, doc_id, ord_key,
+             ROW_NUMBER() OVER (PARTITION BY epoch
+                                ORDER BY ord_key, doc_id) AS pos
+      FROM perm
+    )
+    SELECT epoch,
+           CAST(FLOOR((pos - 1) / 100.0) AS BIGINT) AS batch,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM ranked
+    GROUP BY epoch, batch
+    ORDER BY epoch, batch
+    """,
+)
+def sample_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training-order plan: each epoch gets its OWN
+    deterministic permutation (order by md5(epoch:doc_id) — different
+    every epoch, reproducible on any engine, no stored RNG state), cut
+    into fixed-size batches.  The property that matters for training:
+    batch composition decorrelates across epochs while the whole plan
+    stays a pure function of (corpus, epoch) — a resumed or re-run job
+    rebuilds byte-identical order.
+
+    Scale shape: the permutation key is computed map-side; the per-epoch
+    rank is a window partitioned BY EPOCH — at real scale the batch
+    boundary uses the same two-phase prefix-sum trick as
+    corpus_shard_plan (count rows below each range split), but the
+    output here aggregates per batch, so the window's sort IS the
+    shuffle Spark would pay to write epoch-ordered shards anyway —
+    nothing is driver-side."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.createDataFrame([(0,), (1,), (2,)], "epoch int")
+    perm = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit("epoch-"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("ord_key"),
+    )
+    w = W.partitionBy("epoch").orderBy("ord_key", "doc_id")
+    ranked = perm.withColumn("pos", F.row_number().over(w))
+    return (
+        ranked.groupBy(
+            "epoch",
+            F.floor((F.col("pos") - 1) / 100.0).cast("long").alias("batch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("epoch", "batch")
+    )

@@ -125,6 +125,9 @@ NESTED_LOOP_OK = frozenset(
         "sim_matryoshka_truncated",
         # 1-row n_unique broadcast (constant-attach)
         "sample_soft_dedup_weights",
+        # 3-row epoch-list broadcast (the deliberate corpus x epochs
+        # expansion; epoch count is a training config, never data-sized)
+        "sample_epoch_shuffle_plan",
     }
 )
 
