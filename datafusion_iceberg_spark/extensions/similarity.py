@@ -1292,7 +1292,11 @@ def sim_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MMR_CAND = 20  # shortlist handed to the re-ranker (the ANN stage's top-N)
 _MMR_K = 5  # results per query after diversification
-_MMR_LAMBDA = 0.7  # relevance weight; (1-lambda) penalizes redundancy
+_MMR_LAMBDA = 0.7  # relevance weight
+_MMR_MU = 0.3  # redundancy weight — a LITERAL, not (1 - _MMR_LAMBDA):
+#               0.3 parses to the same double on both engines, while
+#               (1 - 0.7) = 0.30000000000000004 would break tie
+#               determinism against the oracle's literal
 
 
 @register(
@@ -1349,7 +1353,7 @@ _MMR_LAMBDA = 0.7  # relevance weight; (1-lambda) penalizes redundancy
                    ROW_NUMBER() OVER (
                      PARTITION BY s.query_id
                      ORDER BY {_MMR_LAMBDA} * c.rel
-                              - {1 - _MMR_LAMBDA:.1f} * MAX(p.sim) DESC,
+                              - {_MMR_MU} * MAX(p.sim) DESC,
                               c.cand_id) AS rn
             FROM sel s
             JOIN cand c ON c.query_id = s.query_id
@@ -1417,7 +1421,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "query_id")
         .filter(F.col("a") != F.col("b"))
         .withColumn("sim", F.round(cosine_sim("av", "bv"), 4))
-        .select("query_id", "a", "b", "rel_a", "sim")
+        .select("query_id", "a", "b", "sim")
+    )
+    # LEFT join: a query whose shortlist holds exactly ONE candidate has
+    # no pairs, but its group must still reach the greedy (the oracle
+    # seeds step 1 from candidates, not pairs)
+    grouped = a.select("query_id", "a", "rel_a").join(
+        pairs, ["query_id", "a"], "left"
     )
 
     out_schema = T.StructType(
@@ -1439,18 +1449,19 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(ids)
         pos = {int(c): i for i, c in enumerate(ids)}
         S = np.zeros((n, n))
+        pp = pdf.dropna(subset=["b"])  # pair rows (left-join nulls out)
         S[
-            pdf["a"].map(pos).to_numpy(),
-            pdf["b"].map(pos).to_numpy(),
-        ] = pdf["sim"].to_numpy(dtype=np.float64)
+            pp["a"].map(pos).to_numpy(dtype=np.int64),
+            pp["b"].map(pos).to_numpy(dtype=np.int64),
+        ] = pp["sim"].to_numpy(dtype=np.float64)
         chosen: list[int] = []
         # step 1: pure relevance (ties -> smaller cand_id via lexsort)
         order = np.lexsort((ids, -rels))
         chosen.append(int(order[0]))
         for _ in range(min(_MMR_K, n) - 1):
-            score = _MMR_LAMBDA * rels - (1 - _MMR_LAMBDA) * S[
-                :, chosen
-            ].max(axis=1)
+            score = _MMR_LAMBDA * rels - _MMR_MU * S[:, chosen].max(
+                axis=1
+            )
             score[chosen] = -np.inf
             order = np.lexsort((ids, -score))
             chosen.append(int(order[0]))
@@ -1464,7 +1475,7 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        pairs.groupBy("query_id")
+        grouped.groupBy("query_id")
         .applyInPandas(_greedy, out_schema)
         .orderBy("query_id", "mmr_rank")
     )

@@ -465,7 +465,15 @@ class SqlSurface:
                                 raise ValueError(
                                     "ROLLBACK outside a transaction"
                                 )
-                            txn = txn_surface = None  # staged state drops
+                            # abort marks the txn finished and clears
+                            # staged metadata; eagerly-written data
+                            # files become orphans (remove_orphan_files
+                            # reclaims them — the documented semantics
+                            # of context-manager discard too)
+                            abort = getattr(txn, "abort", None)
+                            if abort is not None:
+                                abort()
+                            txn = txn_surface = None
                             op = "rollback_transaction"
                         out = dml._result(spark, op, self.name, None)
                         continue

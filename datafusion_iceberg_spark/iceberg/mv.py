@@ -420,9 +420,10 @@ def _join_mv_full(cat, spark, props) -> DataFrame:
     g_dim = [c for c in props["mv.group-cols-dim"].split(",") if c]
     g_fact = [c for c in props["mv.group-cols-fact"].split(",") if c]
     value_col = props["mv.value-col"]
-    dim_df = dim.to_df(spark).select(dim_key, *g_dim)
-    joined = fact.to_df(spark).join(
-        F.broadcast(dim_df), F.col(fact_key) == F.col(dim_key)
+    dim_df = dim.to_df(spark).select(dim_key, *g_dim).alias("d")
+    joined = fact.to_df(spark).alias("f").join(
+        F.broadcast(dim_df),
+        F.col(f"f.{fact_key}") == F.col(f"d.{dim_key}"),
     )
     return joined.groupBy(*(g_dim + g_fact)).agg(
         F.sum(_micros_expr(fact.metadata, value_col)).alias("sum_micros"),
@@ -520,8 +521,10 @@ def refresh_join_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     last_f = _marker_through(mv_meta, fact.metadata, "mv.source-snapshot-id")
     last_d = _marker_through(mv_meta, dim.metadata, "mv.dim-snapshot-id")
     stamps = {
-        "mv.source-snapshot-id": str(cur_f),
-        "mv.dim-snapshot-id": str(cur_d),
+        # -1 = "no snapshot yet" (the creation sentinel); str(None)
+        # would wedge every later _marker_through int() parse
+        "mv.source-snapshot-id": str(cur_f if cur_f is not None else -1),
+        "mv.dim-snapshot-id": str(cur_d if cur_d is not None else -1),
     }
     if cur_d != last_d:
         # dim moved (or first refresh): full rebuild, idempotent — a
@@ -546,8 +549,11 @@ def refresh_join_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
     log = fact.changelog_df(
         spark, from_snapshot_id=(last_f if last_f != -1 else None)
     )
-    dim_df = dim.to_df(spark).select(dim_key, *g_dim)
-    joined = log.join(F.broadcast(dim_df), F.col(fact_key) == F.col(dim_key))
+    dim_df = dim.to_df(spark).select(dim_key, *g_dim).alias("d")
+    joined = log.alias("f").join(
+        F.broadcast(dim_df),
+        F.col(f"f.{fact_key}") == F.col(f"d.{dim_key}"),
+    )
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
@@ -610,9 +616,13 @@ def refresh_join_mv(cat, spark: SparkSession, mv_ident: str) -> dict:
 
 def cat_overwrite_rows(cat, spark: SparkSession, mv_ident: str, df) -> int:
     """Overwrite the MV contents aligned to its stored schema (order the
-    grouped frame's columns to the table's field order)."""
+    grouped frame's columns to the table's field order).  Cached across
+    the count and the write — the rebuild join/aggregation runs ONCE."""
     cols = [f.name for f in cat.load(mv_ident).metadata.struct_type().fields]
-    df = df.select(*cols)
-    n = df.count()
-    cat.overwrite(mv_ident, spark, df)
+    df = df.select(*cols).cache()
+    try:
+        n = df.count()
+        cat.overwrite(mv_ident, spark, df)
+    finally:
+        df.unpersist()
     return n

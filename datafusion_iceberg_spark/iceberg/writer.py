@@ -1012,8 +1012,11 @@ class IcebergWriter:
         both the reference and the Iceberg spec (which has no CHECK)."""
         try:
             props = self._load_current().get("properties", {})
-        except Exception:
-            return  # table being created: nothing to enforce yet
+        except FileNotFoundError:
+            return  # table being created: no committed metadata yet
+        # any OTHER metadata read error must surface — silently skipping
+        # enforcement on e.g. a truncated metadata file would let
+        # violating rows through
         cons = {
             k[len("constraints."):]: v
             for k, v in props.items()

@@ -1581,19 +1581,24 @@ def stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _last_committed_batch_id(meta) -> "int | None":
-    """Newest ``stream-batch-id`` stamped in the table's snapshot
-    summaries (None = no stamped commits yet)."""
+def _last_committed_batch_id(meta, query_tag: str) -> "int | None":
+    """Newest ``stream-batch-id`` stamped by THIS query (matching
+    ``stream-query-tag``) in the table's snapshot summaries (None = no
+    stamped commits yet).  Scoping by tag matters: batch ids restart at
+    0 for every new checkpoint, so a second query appending to the same
+    table must not have its early batches mistaken for replays."""
     ids = [
         int(v)
         for s in meta.raw.get("snapshots", [])
         if (v := (s.get("summary") or {}).get("stream-batch-id"))
         is not None
+        and (s.get("summary") or {}).get("stream-query-tag", "")
+        == query_tag
     ]
     return max(ids) if ids else None
 
 
-def iceberg_append_sink(cat, ident: str):
+def iceberg_append_sink(cat, ident: str, query_tag: str = ""):
     """Replay-safe foreachBatch APPEND into an Iceberg table.
 
     Structured Streaming's contract is at-least-once INTO foreachBatch:
@@ -1606,15 +1611,26 @@ def iceberg_append_sink(cat, ident: str):
     IS the ledger; the same protocol as the Python DataSource streaming
     writer's ``pyds-stream-batch-id``, and Spark-Iceberg's JVM sink).
 
+    ``query_tag`` scopes the ledger to ONE logical streaming query
+    (Spark-Iceberg scopes by queryId for the same reason): batch ids
+    restart at 0 with every fresh checkpoint, so two queries — or a
+    restart with a NEW checkpoint directory — appending to the same
+    table need distinct tags or the later one's early batches read as
+    replays and silently drop.  Tie the tag to the checkpoint (e.g. its
+    path) and keep it stable across restarts FROM that checkpoint.
+
     Usage::
 
         q = (df.writeStream
-               .foreachBatch(iceberg_append_sink(cat, "ns.t"))
+               .foreachBatch(iceberg_append_sink(cat, "ns.t",
+                                                 query_tag=ckpt))
                .option("checkpointLocation", ckpt).start())
     """
 
     def _apply(bdf, batch_id):
-        last = _last_committed_batch_id(cat.load(ident).metadata)
+        last = _last_committed_batch_id(
+            cat.load(ident).metadata, query_tag
+        )
         if last is not None and batch_id <= last:
             return  # replayed batch: already committed
         if not bdf.take(1):
@@ -1624,7 +1640,10 @@ def iceberg_append_sink(cat, ident: str):
         cat.writer(ident).append(
             bdf.sparkSession,
             bdf,
-            extra_summary={"stream-batch-id": str(batch_id)},
+            extra_summary={
+                "stream-batch-id": str(batch_id),
+                "stream-query-tag": query_tag,
+            },
         )
         # keep the catalog mirror current (cat.append does this too)
         cat._mirror[ident] = IcebergTable.load(cat.load(ident).metadata.root)

@@ -41,7 +41,7 @@ def test_replayed_batch_is_skipped(spark, cat):
     df = cat.load("s.t").to_df(spark)
     assert df.count() == 6
     assert df.groupBy("k").count().filter("count > 1").count() == 0
-    assert _last_committed_batch_id(cat.load("s.t").metadata) == 1
+    assert _last_committed_batch_id(cat.load("s.t").metadata, "") == 1
     # progress resumes after the replays
     sink(_rows(spark, 6, 2), 2)
     assert cat.load("s.t").to_df(spark).count() == 8
@@ -50,7 +50,7 @@ def test_replayed_batch_is_skipped(spark, cat):
 def test_empty_batch_commits_nothing(spark, cat):
     sink = iceberg_append_sink(cat, "s.t")
     sink(_rows(spark, 0, 0), 0)
-    assert _last_committed_batch_id(cat.load("s.t").metadata) is None
+    assert _last_committed_batch_id(cat.load("s.t").metadata, "") is None
     assert cat.load("s.t").to_df(spark).count() == 0
 
 
@@ -71,6 +71,23 @@ def test_end_to_end_stream_then_replay(spark, cat, tmp_path):
     q.stop()
     n1 = cat.load("s.t").to_df(spark).count()
     assert n1 == 10
-    last = _last_committed_batch_id(cat.load("s.t").metadata)
+    last = _last_committed_batch_id(cat.load("s.t").metadata, "")
     sink(_rows(spark, 0, 10), last)  # replayed final batch
     assert cat.load("s.t").to_df(spark).count() == n1
+
+
+def test_second_query_with_fresh_checkpoint_is_not_mistaken_for_replay(
+    spark, cat
+):
+    """Batch ids restart at 0 per checkpoint: a DIFFERENT query tag must
+    not have its early batches dropped by the first query's ledger."""
+    a = iceberg_append_sink(cat, "s.t", query_tag="ckpt-a")
+    a(_rows(spark, 0, 3), 0)
+    a(_rows(spark, 3, 3), 1)
+    b = iceberg_append_sink(cat, "s.t", query_tag="ckpt-b")
+    b(_rows(spark, 6, 3), 0)  # batch 0 of query B: must land
+    assert cat.load("s.t").to_df(spark).count() == 9
+    # and each tag's OWN replays still dedup
+    a(_rows(spark, 0, 3), 0)
+    b(_rows(spark, 6, 3), 0)
+    assert cat.load("s.t").to_df(spark).count() == 9

@@ -202,3 +202,99 @@ def test_join_mv_sql_rejects_unsupported_shapes(spark, cat):
             "ON c_nationkey = n_nationkey "
             "WHERE c_custkey > 0 GROUP BY n_name",
         )
+
+
+def test_join_mv_same_named_keys(spark, cat):
+    """Fact and dim key columns sharing one name must not hit Spark's
+    AMBIGUOUS_REFERENCE (review find: the join now aliases both sides)."""
+    from pyspark.sql import types as T
+
+    cat.create_table(
+        "m.d2",
+        T.StructType(
+            [
+                T.StructField("nationkey", T.LongType()),
+                T.StructField("label", T.StringType()),
+            ]
+        ),
+    )
+    cat.append(
+        "m.d2",
+        spark,
+        spark.createDataFrame(
+            [(0, "zero"), (1, "one")], "nationkey long, label string"
+        ),
+    )
+    cat.create_table(
+        "m.f2",
+        T.StructType(
+            [
+                T.StructField("nationkey", T.LongType()),
+                T.StructField("v", T.LongType()),
+            ]
+        ),
+    )
+    cat.append(
+        "m.f2",
+        spark,
+        spark.createDataFrame(
+            [(0, 10), (0, 20), (1, 5)], "nationkey long, v long"
+        ),
+    )
+    create_join_mv(
+        cat,
+        spark,
+        "m.rev2",
+        fact_ident="m.f2",
+        dim_ident="m.d2",
+        fact_key="nationkey",
+        dim_key="nationkey",
+        group_cols_dim=["label"],
+        value_col="v",
+    )
+    state = {
+        r["label"]: (r["cnt"], r["sum_micros"])
+        for r in cat.load("m.rev2").to_df(spark).collect()
+    }
+    assert state == {"zero": (2, 30_000_000), "one": (1, 5_000_000)}
+    # incremental window over the same-named key
+    cat.append(
+        "m.f2",
+        spark,
+        spark.createDataFrame([(1, 7)], "nationkey long, v long"),
+    )
+    rep = refresh_join_mv(cat, spark, "m.rev2")
+    assert not rep["rebuilt"]
+    state = {
+        r["label"]: (r["cnt"], r["sum_micros"])
+        for r in cat.load("m.rev2").to_df(spark).collect()
+    }
+    assert state["one"] == (2, 12_000_000)
+
+
+def test_join_mv_empty_fact_does_not_wedge_markers(spark, cat):
+    """Creating a join MV before the fact has ANY snapshot must not
+    stamp str(None) markers (review find: later refreshes int()-parse
+    them)."""
+    nation = load_table(spark, SF_DIR, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    cat.create_table("m.nation", nation.schema)
+    cat.append("m.nation", spark, nation)
+    cust_schema = (
+        load_table(spark, SF_DIR, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .schema
+    )
+    cat.create_table("m.cust", cust_schema)  # NO append: no snapshot
+    _create(cat, spark)
+    # refresh again on the still-empty fact: no crash, no rows
+    rep = refresh_join_mv(cat, spark, "m.rev")
+    assert cat.load("m.rev").to_df(spark).count() == 0
+    # first real data flows through a later refresh
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    cat.append("m.cust", spark, cust)
+    refresh_join_mv(cat, spark, "m.rev")
+    assert _mv_state(cat, spark) == _recompute(cat, spark)
