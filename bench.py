@@ -131,6 +131,7 @@ HEADLINE = [
     "window_rolling_distinct_users",
     "iceberg_view_version_travel",
     "sample_epoch_shuffle_plan",
+    "query_skyline_pareto",
 ]
 
 

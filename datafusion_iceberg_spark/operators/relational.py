@@ -1460,3 +1460,83 @@ register_sql(
 # and stored per-bucket bitmaps roll up across days via bitmap_or_agg
 # without re-touching raw data (the exact-sketch sibling of
 # agg_hll_sketch_union's approximate path; oracle = COUNT(DISTINCT)).
+
+
+@register(
+    "query_skyline_pareto",
+    oracle="""
+    SELECT a.p_partkey, a.p_retailprice, CAST(a.p_size AS INT) AS p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice
+        AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    ORDER BY a.p_partkey
+    """,
+)
+def query_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto-optimal set): parts no other part dominates —
+    cheaper-or-equal AND bigger-or-equal, strictly better somewhere
+    (minimize p_retailprice, maximize p_size).  Spark has no skyline
+    operator; the EDBT 2023 "Integration of Skyline Queries into Spark
+    SQL" line of work motivates exactly this composition:
+
+    1. LOCAL skyline per partition (``mapInPandas``, vectorized
+       pairwise dominance inside each Arrow batch) — the candidate set
+       collapses to O(skyline) per partition, which for d=2 is tiny
+       relative to the data (the global skyline of n random points has
+       ~H(n) ≈ ln n expected members per price ordering);
+    2. GLOBAL merge over the union of local skylines — by construction
+       a by-orders-of-magnitude-reduced set, finished in one
+       single-group pass (the same bounded-final-merge shape as the
+       two-phase prefix sum in corpus_shard_plan).
+
+    The DuckDB oracle is the textbook NOT EXISTS dominance anti-join
+    (quadratic, fine at oracle scale; the Spark side never materializes
+    a pair space over the full input).  No arithmetic is performed on
+    the values, so the hash compare is exact."""
+    import pandas as pd
+
+    from datafusion_iceberg_spark.tables import scale_out
+
+    part = scale_out(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_retailprice", "p_size"
+        )
+    )
+
+    def _sky(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        price = pdf["p_retailprice"].to_numpy(dtype=np.float64)
+        size = pdf["p_size"].to_numpy(dtype=np.int64)
+        # dominated[i] iff EXISTS j: price_j <= price_i AND size_j >=
+        # size_i AND strictly better somewhere — vectorized pairwise
+        # (bounded: Arrow batch in phase 1, reduced candidates in 2)
+        le = price[:, None] <= price[None, :]
+        ge = size[:, None] >= size[None, :]
+        strict = (price[:, None] < price[None, :]) | (
+            size[:, None] > size[None, :]
+        )
+        dominated = (le & ge & strict).any(axis=0)
+        return pdf[~dominated]
+
+    def _local(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _sky(pdf)
+
+    candidates = part.mapInPandas(_local, part.schema)
+
+    def _final(_key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return _sky(pdf.drop(columns=["_g"]))
+
+    return (
+        candidates.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(_final, part.schema)
+        .select("p_partkey", "p_retailprice", F.col("p_size").cast("int"))
+        .orderBy("p_partkey")
+    )
