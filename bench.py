@@ -132,6 +132,7 @@ HEADLINE = [
     "iceberg_view_version_travel",
     "sample_epoch_shuffle_plan",
     "query_skyline_pareto",
+    "join_string_similarity",
 ]
 
 

@@ -1540,3 +1540,68 @@ def query_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", F.col("p_size").cast("int"))
         .orderBy("p_partkey")
     )
+
+
+@register(
+    "join_string_similarity",
+    oracle="""
+    WITH d AS (SELECT DISTINCT p_name AS s FROM part)
+    SELECT a.s AS name_a, b.s AS name_b,
+           CAST(levenshtein(a.s, b.s) AS INT) AS dist
+    FROM d a JOIN d b
+      ON a.s < b.s AND levenshtein(a.s, b.s) <= 2
+    ORDER BY name_a, name_b
+    """,
+)
+def join_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity JOIN (edit distance <= 2 over distinct part
+    names) via the q-gram filtering scheme of the compressed-index
+    similarity-join line (ICDE 2022, PAPERS.md): candidates must share
+    at least one BIGRAM and differ in length by <= k — provably
+    COMPLETE here (ed <= k strings of length m share >= m-1-2k bigrams;
+    with name lengths 7..12 and k=2 that bound stays positive) — then
+    the exact Levenshtein runs JVM-side only on the candidate pairs.
+
+    Scale shape: the join runs over DISTINCT values (the realistic
+    usage: huge tables, modest key vocabularies); the shuffle carries
+    (bigram, name) inverted-index rows, candidate pairs are bounded by
+    gram co-occurrence, and the quadratic cross product never forms on
+    the Spark side (the DuckDB oracle IS the quadratic form — fine at
+    oracle scale)."""
+    d = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("s"))
+        .distinct()
+    )
+    grams = d.select(
+        "s",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(s) - 1),"
+                " i -> substring(s, i, 2))"
+            )
+        ).alias("g"),
+    ).distinct()
+    a = grams.select(F.col("s").alias("name_a"), "g")
+    b = grams.select(F.col("s").alias("name_b"), "g")
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(
+                    F.length("name_a") - F.length("name_b")
+                )
+                <= 2
+            )
+        )
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("int")
+        )
+        .filter(F.col("dist") <= 2)
+        .orderBy("name_a", "name_b")
+    )
