@@ -133,6 +133,7 @@ HEADLINE = [
     "sample_epoch_shuffle_plan",
     "query_skyline_pareto",
     "join_string_similarity",
+    "agg_grouping_markers",
 ]
 
 

@@ -1605,3 +1605,26 @@ def join_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 2)
         .orderBy("name_a", "name_b")
     )
+
+
+register_sql(
+    "agg_grouping_markers",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS rf,
+           COALESCE(l_linestatus, '<all>') AS ls,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, rf, ls
+    """,
+)
+# ^ GROUPING() markers over CUBE: the bit that disambiguates a REAL
+# NULL group key from a rollup subtotal row (COALESCE alone cannot),
+# and the canonical way BI layers pivot cube output.  Same SQL text on
+# both engines; map-side partial aggregation applies to every grouping
+# set, so the shuffle carries one row per (set, group), not per input
+# row.
