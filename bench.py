@@ -134,6 +134,7 @@ HEADLINE = [
     "query_skyline_pareto",
     "join_string_similarity",
     "agg_grouping_markers",
+    "agg_linear_regression",
 ]
 
 

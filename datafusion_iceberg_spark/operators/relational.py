@@ -1628,3 +1628,40 @@ register_sql(
 # both engines; map-side partial aggregation applies to every grouping
 # set, so the shuffle carries one row per (set, group), not per input
 # row.
+
+
+register_sql(
+    "agg_linear_regression",
+    """
+    SELECT event_type,
+           ROUND(regr_slope(value,
+             datediff(CAST(ts AS DATE), DATE '2024-01-01')), 6) AS slope,
+           ROUND(regr_intercept(value,
+             datediff(CAST(ts AS DATE), DATE '2024-01-01')), 4) AS icept,
+           ROUND(regr_r2(value,
+             datediff(CAST(ts AS DATE), DATE '2024-01-01')), 6) AS r2,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    oracle="""
+    SELECT event_type,
+           ROUND(regr_slope(value,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))), 6)
+             AS slope,
+           ROUND(regr_intercept(value,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))), 4)
+             AS icept,
+           ROUND(regr_r2(value,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE))), 6)
+             AS r2,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+# ^ SQL:2016 linear-regression aggregates (regr_slope / regr_intercept
+# / regr_r2): per-type value-vs-day trend in ONE partial-aggregable
+# pass (the sufficient statistics — sums, squares, cross products —
+# combine map-side like any sum; no per-group iteration, no window).
+# The x axis is integer DAYS from a fixed epoch so slopes land at
+# human scale and both engines compute from identical integer inputs;
+# results rounded to the transcendental-tolerance convention.
