@@ -135,6 +135,8 @@ HEADLINE = [
     "join_string_similarity",
     "agg_grouping_markers",
     "agg_linear_regression",
+    "ts_anomaly_zscore",
+    "text_language_mix_entropy",
 ]
 
 

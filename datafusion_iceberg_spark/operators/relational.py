@@ -1665,3 +1665,52 @@ register_sql(
 # The x axis is integer DAYS from a fixed epoch so slopes land at
 # human scale and both engines compute from identical integer inputs;
 # results rounded to the transcendental-tolerance convention.
+
+
+register_sql(
+    "ts_anomaly_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type
+    ),
+    flagged AS (
+      SELECT e.event_id, e.event_type,
+             ROUND((e.value - s.mu) / s.sd, 4) AS z
+      FROM events e JOIN stats s ON e.event_type = s.event_type
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           ROUND(MAX(ABS(z)), 4) AS max_abs_z
+    FROM flagged GROUP BY event_type ORDER BY event_type
+    """,
+)
+# ^ Z-score anomaly screening per series: the two-pass shape (per-group
+# moments, then a group-keyed join back) keeps both passes
+# partial-aggregable — no window, no sort; the |z|>3 count and the max
+# are what a monitoring rollup stores.  Same SQL both engines; the
+# division rounds to 4 dp before aggregation so the flag set is
+# engine-stable.
+
+
+register_sql(
+    "text_language_mix_entropy",
+    """
+    WITH counts AS (
+      SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT source, SUM(c) AS n FROM counts GROUP BY source)
+    SELECT counts.source,
+           COUNT(*) AS n_langs,
+           ROUND(SUM(-(c * 1.0 / n) * LN(c * 1.0 / n)), 4) AS lang_entropy
+    FROM counts JOIN tot ON counts.source = tot.source
+    GROUP BY counts.source
+    ORDER BY counts.source
+    """,
+)
+# ^ Language-mix entropy per source — the corpus-diversity diagnostic a
+# mixture planner reads before setting sampling weights (entropy 0 =
+# monolingual source; ln(k) = uniform over k languages).  Two narrow
+# aggregates; the per-(source,lang) distribution is vocabulary-sized.
