@@ -137,10 +137,25 @@ HEADLINE = [
     "agg_linear_regression",
     "ts_anomaly_zscore",
     "text_language_mix_entropy",
+    # round-13 additions
+    "iceberg_bucket_join_scan",
+    "iceberg_orc_scan",
+    "meta_registry_consistency",
 ]
 
 
 def main() -> None:
+    # Quiet-host protocol (VERDICT r12 #6): recordings taken at loadavg
+    # 3-5 smear totals 1.1-1.35x vs a quiet host, which reads as a
+    # regression it isn't.  Wait (bounded) for the 1-min load to settle
+    # below 2 before starting; if it never does, proceed — the loadavg
+    # stamp in the output lets the reader normalize.
+    settle_deadline = time.monotonic() + float(
+        os.environ.get("SPARK_GRAFT_BENCH_SETTLE_S", "90")
+    )
+    while os.getloadavg()[0] >= 2.0 and time.monotonic() < settle_deadline:
+        time.sleep(5)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

@@ -482,17 +482,38 @@ def prune_data_files(
         if spec_id not in per_spec:
             fields = meta.partition_fields_for_spec(spec_id)
             if fields is None:
-                per_spec[spec_id] = (pred, [])
+                per_spec[spec_id] = (pred, [], [])
             else:
                 part_cols = meta.partition_column_names(spec_id)
                 tf_pred = pred
                 tf_fields = []  # (source_col_name, partition_field_name)
+                id_fields = []  # identity fields: partition value IS the value
                 for i, pf in enumerate(fields):
                     if pf.transform != "identity":
                         tf_pred = rewrite_pred(tf_pred, part_cols[i], pf.transform)
                         tf_fields.append((part_cols[i], pf.name))
-                per_spec[spec_id] = (tf_pred, tf_fields)
+                    else:
+                        id_fields.append((part_cols[i], pf.name))
+                per_spec[spec_id] = (tf_pred, tf_fields, id_fields)
         return per_spec[spec_id]
+
+    def _rehydrate(raw, ice_t):
+        """Manifest partition values for date/timestamp are epoch ints
+        (Avro logical types) while decode_stat's domain is python
+        date/datetime — rehydrate before using one as a point stat."""
+        if isinstance(raw, int) and isinstance(ice_t, str):
+            from datetime import timedelta
+
+            from datafusion_iceberg_spark.iceberg.stats import (
+                EPOCH_DATE,
+                EPOCH_TS,
+            )
+
+            if ice_t == "date":
+                return EPOCH_DATE + timedelta(days=raw)
+            if ice_t.startswith("timestamp"):
+                return EPOCH_TS + timedelta(microseconds=raw)
+        return raw
 
     kept = []
     for f in files:
@@ -510,9 +531,38 @@ def prune_data_files(
                 f.null_value_counts.get(fid),
                 f.value_counts.get(fid),
             )
+        tf_pred, tf_fields, id_fields = tf_ctx(f.spec_id)
+        # Identity partition values are exact per-file constants: when a
+        # referenced column has no footer bounds (directory-style files —
+        # Hive migrations, foreign ORC writers — never stamp them), the
+        # partition tuple IS a point stat [v, v].  Footer bounds, when
+        # present, are identical or tighter, so they win.
+        for src, fname in id_fields:
+            if src not in cols:
+                continue
+            cur = stats.get(src)
+            if cur is not None and (
+                cur.lower is not None or cur.upper is not None
+            ):
+                continue
+            if fname in f.partition:
+                pv = f.partition[fname]
+                if pv is None:
+                    # whole file is NULL in this column: rows can only
+                    # match IS NULL-shaped predicates; a [None,None]
+                    # bound with null_count=value_count conveys exactly
+                    # that when counts are known, else stay conservative
+                    continue
+                fid = ids_by_name.get(src)
+                pv = _rehydrate(pv, types_by_id.get(fid))
+                stats[src] = ColumnStats(
+                    pv,
+                    pv,
+                    f.null_value_counts.get(fid, 0),
+                    f.value_counts.get(fid),
+                )
         if evaluate(pred, stats) is False:
             continue
-        tf_pred, tf_fields = tf_ctx(f.spec_id)
         if tf_fields:
             tf_stats = {
                 src: ColumnStats(pv, pv, 0, None)

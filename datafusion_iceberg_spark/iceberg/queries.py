@@ -5568,3 +5568,302 @@ def iceberg_view_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT n_regionkey, n_nations, CAST(key_sum AS BIGINT) AS key_sum "
         "FROM vtg.v.rpt FOR VERSION AS OF 1 ORDER BY n_regionkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# Storage-partitioned join (SPJ): shuffle-free bucket-aligned fact join
+# ---------------------------------------------------------------------------
+
+_spj_warehouses: dict[str, "Catalog"] = {}
+
+
+def _spj_fixture(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Two fact tables co-partitioned on the join key: orders bucketed
+    ``bucket(8, o_orderkey)`` and lineitem bucketed ``bucket(16,
+    l_orderkey)`` — deliberately DIFFERENT counts so the gate exercises
+    the spec's transform algebra (bucket[16] folds onto bucket[8] by
+    ``% 8``), the compatibility shape Spark-Iceberg's SPJ handles via
+    KeyGroupedPartitioning (SPARK-37375)."""
+    with _lock:
+        cat = _spj_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_spj")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus", "o_orderpriority"
+            )
+            li = load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            )
+            cat.create_table(
+                "fact.orders_bkt",
+                orders.schema,
+                partition_by=["bucket(8, o_orderkey)"],
+            )
+            cat.append("fact.orders_bkt", spark, orders)
+            cat.create_table(
+                "fact.lineitem_bkt",
+                li.schema,
+                partition_by=["bucket(16, l_orderkey)"],
+            )
+            cat.append("fact.lineitem_bkt", spark, li)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _spj_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_bucket_join_scan",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def iceberg_bucket_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPJ analogue: fact-to-fact equi-join of two bucket-co-partitioned
+    Iceberg tables with ZERO shuffle Exchange on the join keys — a union
+    of per-bucket joins over per-bucket file groups, the plan shape the
+    reference's partition-grouped scan units exist to enable
+    (table.rs:128-131) and Spark-Iceberg ships as the storage-partitioned
+    join.  The only Exchange in the plan hashes on o_orderpriority (the
+    aggregate ABOVE the join), asserted in tests/test_spj.py."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join
+
+    cat = _spj_fixture(spark, sf_dir)
+    orders = cat.load("fact.orders_bkt")
+    li = cat.load("fact.lineitem_bkt")
+    joined = bucket_join(
+        spark,
+        orders,
+        li,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        left_filters=("=", "o_orderstatus", "F"),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 1000000
+                        + 0.5
+                    )
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "iceberg_orc_scan",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def iceberg_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-parquet data files (spec-legal ``file_format`` values the
+    reference hands straight to the parquet reader, table.rs:291): a
+    foreign-written table partitioned by identity(n_regionkey) mixing
+    PARQUET files (regions 0-1, partition column materialized in-file)
+    with ORC files (regions 2-4, partition column DIRECTORY-ONLY — the
+    Hive-migration layout).  The scan routes each format to its native
+    Spark reader, attaches the missing partition values from manifest
+    metadata on the ORC leg, and unions; AVRO entries refuse loudly
+    (tests/test_orc_scan.py)."""
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.orc as paorc
+    import pyarrow.parquet as papq
+
+    from datafusion_iceberg_spark.iceberg.avro import write_avro_file
+    from datafusion_iceberg_spark.iceberg.writer import (
+        _MANIFEST_LIST_SCHEMA,
+        _manifest_schema,
+    )
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_orc", "orctbl")
+        marker = os.path.join(root, "_COMPLETE")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            data_dir = os.path.join(root, "data")
+            meta_dir = os.path.join(root, "metadata")
+            os.makedirs(data_dir)
+            os.makedirs(meta_dir)
+
+            rows = (
+                load_table(spark, sf_dir, "nation")
+                .select("n_nationkey", "n_name", "n_regionkey")
+                .orderBy("n_nationkey")
+                .collect()  # 25 rows, fixture construction only
+            )
+            by_region: dict[int, list] = {}
+            for r in rows:
+                by_region.setdefault(int(r["n_regionkey"]), []).append(r)
+
+            entries = []
+            for region in sorted(by_region):
+                rs = by_region[region]
+                keys = pa.array([int(r["n_nationkey"]) for r in rs], pa.int64())
+                names = pa.array([r["n_name"] for r in rs], pa.string())
+                if region <= 1:
+                    path = os.path.join(data_dir, f"r{region}.parquet")
+                    papq.write_table(
+                        pa.table(
+                            {
+                                "n_nationkey": keys,
+                                "n_name": names,
+                                "n_regionkey": pa.array(
+                                    [region] * len(rs), pa.int64()
+                                ),
+                            }
+                        ),
+                        path,
+                    )
+                    fmt = "PARQUET"
+                else:
+                    # directory-style: the partition column is NOT in the
+                    # file — only in the manifest partition tuple
+                    path = os.path.join(data_dir, f"r{region}.orc")
+                    paorc.write_table(
+                        pa.table({"n_nationkey": keys, "n_name": names}), path
+                    )
+                    fmt = "ORC"
+                entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": 2001,
+                        "data_file": {
+                            "file_path": path,
+                            "file_format": fmt,
+                            "partition": {"n_regionkey": region},
+                            "record_count": len(rs),
+                            "file_size_in_bytes": os.path.getsize(path),
+                            "block_size_in_bytes": 67108864,
+                        },
+                    }
+                )
+
+            man_schema = _manifest_schema(
+                [{"name": "n_regionkey", "avro_type": "long"}]
+            )
+            m_path = os.path.join(meta_dir, "m-orc.avro")
+            write_avro_file(m_path, man_schema, entries)
+            ml = os.path.join(meta_dir, "snap-2001-1-ml.avro")
+            write_avro_file(
+                ml,
+                _MANIFEST_LIST_SCHEMA,
+                [
+                    {
+                        "manifest_path": m_path,
+                        "manifest_length": os.path.getsize(m_path),
+                        "partition_spec_id": 0,
+                        "sequence_number": 1,
+                        "min_sequence_number": 1,
+                        "added_snapshot_id": 2001,
+                        "added_data_files_count": len(entries),
+                        "existing_data_files_count": 0,
+                        "deleted_data_files_count": 0,
+                        "partitions": None,
+                        "added_rows_count": len(rows),
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                        "content": 0,
+                    }
+                ],
+            )
+            now = int(_time.time() * 1000)
+            meta = {
+                "format-version": 2,
+                "table-uuid": str(_uuid.uuid4()),
+                "location": root,
+                "last-updated-ms": now,
+                "last-column-id": 3,
+                "last-sequence-number": 1,
+                "schemas": [
+                    {
+                        "type": "struct",
+                        "schema-id": 0,
+                        "fields": [
+                            {"id": 1, "name": "n_nationkey", "required": False, "type": "long"},
+                            {"id": 2, "name": "n_name", "required": False, "type": "string"},
+                            {"id": 3, "name": "n_regionkey", "required": False, "type": "long"},
+                        ],
+                    }
+                ],
+                "current-schema-id": 0,
+                "partition-specs": [
+                    {
+                        "spec-id": 0,
+                        "fields": [
+                            {
+                                "name": "n_regionkey",
+                                "transform": "identity",
+                                "source-id": 3,
+                                "field-id": 1000,
+                            }
+                        ],
+                    }
+                ],
+                "default-spec-id": 0,
+                "last-partition-id": 1000,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "default-sort-order-id": 0,
+                "properties": {},
+                "current-snapshot-id": 2001,
+                "snapshots": [
+                    {
+                        "snapshot-id": 2001,
+                        "sequence-number": 1,
+                        "timestamp-ms": now,
+                        "summary": {"operation": "append"},
+                        "manifest-list": ml,
+                        "schema-id": 0,
+                    }
+                ],
+                "snapshot-log": [{"timestamp-ms": now, "snapshot-id": 2001}],
+                "metadata-log": [],
+            }
+            with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+                _json.dump(meta, fh)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = IcebergTable.load(root)
+    return (
+        table.to_df(spark)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )

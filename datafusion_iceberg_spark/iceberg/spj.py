@@ -1,0 +1,224 @@
+"""Storage-partitioned joins (SPJ) over bucket-partitioned Iceberg tables.
+
+The single largest avoidable shuffle at 100 TB is a fact-to-fact equi-join
+of two tables that are ALREADY co-partitioned on the join key by an Iceberg
+``bucket[N]`` partition spec: a plain ``df_a.join(df_b, key)`` hash-shuffles
+both full tables even though every matching pair of rows is guaranteed to
+live in the same bucket.  The reference feeds partition-grouped scan units
+into DataFusion's partitioned execution for exactly this reason
+(``datafusion_iceberg/src/table.rs:128-131`` groups data files by partition
+value before building the physical plan); Spark's own Iceberg integration
+exposes the same contract through DSv2 ``SupportsReportPartitioning``
+("storage-partitioned join", SPARK-37375).
+
+PySpark's Python-level APIs cannot report a partitioning contract to
+Catalyst, so this module builds the SPJ plan explicitly from table
+metadata the planner already holds:
+
+    for each bucket b in range(coarse):
+        scan LEFT's  bucket-b data files   (|L| / N bytes, no shuffle)
+        scan RIGHT's bucket-b data files   (|R| / M bytes, no shuffle)
+        BroadcastHashJoin the smaller side ( min(|L|,|R|) / coarse bytes)
+    UNION ALL the per-bucket joins
+
+The union of per-bucket broadcast joins contains ZERO shuffle Exchange on
+the join keys: total bytes scanned equal one full scan of each side (each
+file appears in exactly one bucket group), and the only data movement is
+the per-bucket broadcast of the smaller side — ``min(|L|,|R|) / coarse``
+bytes per task, which the table owner sizes via N at write time (a 1 TB
+signature store bucketed 4096 ways broadcasts 250 MB per bucket).  A bucket
+whose smaller side still exceeds ``max_broadcast_bytes`` degrades to a
+shuffle join FOR THAT BUCKET ONLY (file-size sums come from manifest
+metadata, so the decision is free) — skew degrades one bucket, not the
+plan.
+
+Bucket compatibility follows the Iceberg spec's transform algebra: the
+murmur3 bucket value is ``(hash & MAX_INT) % N``, so ``bucket[kN]`` values
+reduce to ``bucket[N]`` values by ``% N`` — two specs are join-compatible
+whenever one bucket count divides the other, and the finer side's groups
+fold onto the coarser grid.
+
+Correctness notes:
+  * inner joins only: rows with NULL join keys land in the null-bucket
+    partition, are excluded from every bucket group, and an inner join
+    never matches them — byte-identical to the plain join.  Outer joins
+    would need the null-bucket files re-attached and are refused loudly.
+  * MOR deletes apply per bucket group through the same
+    ``IcebergTable._scan_files`` path as a full scan (position deletes
+    match by file path; equality deletes are a global key predicate and
+    commute with partitioning).
+  * exact filters are re-applied by ``_scan_files`` after pruning, so
+    pushed predicates stay exact per the table-scan contract.
+"""
+
+from __future__ import annotations
+
+import re
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.iceberg.manifests import DataFile
+from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+_BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
+
+# Per-bucket broadcast ceiling.  Spark's own autoBroadcastJoinThreshold
+# defaults to 10 MB because a broadcast ships to EVERY executor; here each
+# bucket's broadcast ships once per task that joins that bucket, and the
+# table owner chose N precisely to make |side| / N memory-resident, so the
+# ceiling is generous.  Manifest file sizes are compressed bytes; the 8×
+# headroom vs a typical 4 GiB task heap absorbs decode expansion.
+DEFAULT_MAX_BROADCAST_BYTES = 512 << 20
+
+
+class BucketJoinError(ValueError):
+    """The two tables' partition specs do not admit a shuffle-free join."""
+
+
+def bucket_partitioning(table: IcebergTable) -> dict[str, tuple[int, str]]:
+    """Source-column name → (bucket count N, partition field name) for every
+    ``bucket[N]`` field in the table's DEFAULT partition spec, resolved
+    against the current schema so renames follow the field id."""
+    meta = table.metadata
+    out: dict[str, tuple[int, str]] = {}
+    names = meta.partition_column_names()
+    for col, pf in zip(names, meta.partition_fields):
+        m = _BUCKET_RE.match(pf.transform)
+        if m:
+            out[col] = (int(m.group(1)), pf.name)
+    return out
+
+
+def _bucket_groups(
+    table: IcebergTable,
+    col: str,
+    coarse: int,
+    filters,
+    spark: SparkSession,
+) -> tuple[list[list[DataFile]], str]:
+    """Partition the (pruned) data-file list onto the coarse bucket grid.
+
+    Returns ``coarse`` lists of files plus the partition field name.  Files
+    written under an evolved spec that lacks the bucket field have no
+    co-location guarantee — refuse loudly rather than silently produce a
+    wrong join."""
+    spec = bucket_partitioning(table)
+    if col not in spec:
+        raise BucketJoinError(
+            f"column {col!r} is not bucket-partitioned in the default spec "
+            f"(bucketed columns: {sorted(spec)})"
+        )
+    n, pname = spec[col]
+    if n % coarse != 0:
+        raise BucketJoinError(
+            f"bucket[{n}] on {col!r} does not fold onto a {coarse}-bucket grid"
+        )
+    groups: list[list[DataFile]] = [[] for _ in range(coarse)]
+    for f in table.files(filters, spark=spark):
+        if pname not in f.partition:
+            raise BucketJoinError(
+                f"data file {f.path} was written under spec {f.spec_id} "
+                f"without the bucket[{n}] field {pname!r}; a spec-evolved "
+                "table cannot guarantee co-location — rewrite old files or "
+                "use a plain join"
+            )
+        b = f.partition[pname]
+        if b is None:
+            # null join key: unmatchable under an inner join — skip the file
+            continue
+        groups[int(b) % coarse].append(f)
+    return groups, pname
+
+
+def compatible_bucket_counts(
+    left: IcebergTable, right: IcebergTable, left_on: str, right_on: str
+) -> int:
+    """The coarse (shared) bucket count, or raise ``BucketJoinError``."""
+    lspec = bucket_partitioning(left)
+    rspec = bucket_partitioning(right)
+    if left_on not in lspec:
+        raise BucketJoinError(
+            f"left table is not bucket-partitioned on {left_on!r}"
+        )
+    if right_on not in rspec:
+        raise BucketJoinError(
+            f"right table is not bucket-partitioned on {right_on!r}"
+        )
+    n, m = lspec[left_on][0], rspec[right_on][0]
+    coarse = min(n, m)
+    if max(n, m) % coarse != 0:
+        raise BucketJoinError(
+            f"incompatible bucket counts: bucket[{n}] vs bucket[{m}] — "
+            "neither divides the other, so bucket values do not fold onto "
+            "a shared grid"
+        )
+    return coarse
+
+
+def bucket_join(
+    spark: SparkSession,
+    left: IcebergTable,
+    right: IcebergTable,
+    left_on: str,
+    right_on: Optional[str] = None,
+    how: str = "inner",
+    left_filters: Optional[Any] = None,
+    right_filters: Optional[Any] = None,
+    max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
+) -> DataFrame:
+    """Shuffle-free equi-join of two bucket-co-partitioned Iceberg tables.
+
+    Returns the joined DataFrame (all left columns then all right columns,
+    join key deduplicated when the names match) whose physical plan is a
+    UNION of per-bucket joins with no shuffle Exchange on the join keys.
+    """
+    if how != "inner":
+        raise BucketJoinError(
+            f"bucket_join supports inner joins only (got {how!r}): outer "
+            "results would need the null-bucket files re-attached with "
+            "null extension; use a plain join for outer semantics"
+        )
+    right_on = right_on if right_on is not None else left_on
+    coarse = compatible_bucket_counts(left, right, left_on, right_on)
+    lgroups, _ = _bucket_groups(left, left_on, coarse, left_filters, spark)
+    rgroups, _ = _bucket_groups(right, right_on, coarse, right_filters, spark)
+
+    same_name = left_on == right_on
+    subs: list[DataFrame] = []
+    for b in range(coarse):
+        lf, rf = lgroups[b], rgroups[b]
+        if not lf or not rf:
+            continue  # inner join: an empty side contributes nothing
+        dfl = left._scan_files(spark, lf, left_filters)
+        dfr = right._scan_files(spark, rf, right_filters)
+        lbytes = sum(f.file_size_in_bytes for f in lf)
+        rbytes = sum(f.file_size_in_bytes for f in rf)
+        small = min(lbytes, rbytes)
+        if small <= max_broadcast_bytes:
+            if rbytes <= lbytes:
+                dfr = F.broadcast(dfr)
+            else:
+                dfl = F.broadcast(dfl)
+        # else: this bucket's smaller side is too big to broadcast —
+        # leave both sides unhinted and let Catalyst shuffle THIS bucket
+        # only (skew degrades one union branch, not the whole plan)
+        if same_name:
+            subs.append(dfl.join(dfr, on=[left_on], how="inner"))
+        else:
+            subs.append(
+                dfl.join(dfr, on=dfl[left_on] == dfr[right_on], how="inner")
+            )
+    if not subs:
+        # no overlapping buckets: an empty inner join with the joined schema
+        dfl = left.to_df(spark).limit(0)
+        dfr = right.to_df(spark).limit(0)
+        if same_name:
+            return dfl.join(dfr, on=[left_on], how="inner")
+        return dfl.join(dfr, on=dfl[left_on] == dfr[right_on], how="inner")
+    out = subs[0]
+    for s in subs[1:]:
+        out = out.unionByName(s)
+    return out

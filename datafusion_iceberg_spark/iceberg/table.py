@@ -41,6 +41,14 @@ from datafusion_iceberg_spark.iceberg.pruning import (
 from datafusion_iceberg_spark.iceberg.stats import decode_stat
 
 
+class UnsupportedFileFormatError(ValueError):
+    """A manifest entry's data file is in a format this engine cannot
+    scan (file_format is parsed for every entry, manifests.py:179) —
+    raised BEFORE any byte of the file is read, naming the file and
+    format, instead of handing a non-parquet file to the parquet reader
+    and failing with a confusing low-level decode error."""
+
+
 class IcebergTable:
     """Read path for one Iceberg table rooted at a local/posix directory."""
 
@@ -477,6 +485,61 @@ class IcebergTable:
         if not files:
             return spark.createDataFrame([], st)
 
+        # file_format guard (spec field, manifests.py:179): the reference
+        # wires parquet only (table.rs:291 ParquetFormat) and hands any
+        # other format to the parquet reader, failing with a low-level
+        # decode error; here ORC routes to Spark's native ORC reader and
+        # anything else refuses LOUDLY, naming the file and format.
+        fmts = {(f.file_format or "PARQUET").upper() for f in files}
+        bad = sorted(fmts - {"PARQUET", "ORC"})
+        if bad:
+            off = next(
+                f
+                for f in files
+                if (f.file_format or "PARQUET").upper() == bad[0]
+            )
+            raise UnsupportedFileFormatError(
+                f"data file {off.path} has file_format={bad[0]}: this "
+                "engine reads PARQUET natively and routes ORC to Spark's "
+                "ORC reader; other formats are spec-legal but unsupported "
+                "— rewrite the table or scan it with the writing engine"
+            )
+        if "ORC" in fmts:
+            orc = [
+                f
+                for f in files
+                if (f.file_format or "PARQUET").upper() == "ORC"
+            ]
+            if _with_row_meta or _extra_cols:
+                raise UnsupportedFileFormatError(
+                    "row-position metadata over ORC data files is not "
+                    "supported (_metadata.row_index is a parquet reader "
+                    "feature): " + orc[0].path
+                )
+            if deletes or eq_deletes:
+                raise UnsupportedFileFormatError(
+                    "MOR deletes over a table with ORC data files are "
+                    "not supported — rewrite the ORC files to parquet "
+                    "first: " + orc[0].path
+                )
+            if not _skip_defaults and meta.initial_defaults():
+                raise UnsupportedFileFormatError(
+                    "v3 initial-default columns over ORC data files are "
+                    "not supported: " + orc[0].path
+                )
+            out = self._scan_orc_files(spark, orc, filters)
+            rest = [
+                f
+                for f in files
+                if (f.file_format or "PARQUET").upper() != "ORC"
+            ]
+            if rest:
+                pq = self._scan_files(
+                    spark, rest, filters, deletes=[], eq_deletes=[]
+                )
+                out = pq.unionByName(out)
+            return out
+
         defaults = {} if _skip_defaults else meta.initial_defaults()
         if defaults:
             # v3 DEFAULT VALUES: the initial-default applies ONLY to
@@ -603,6 +666,49 @@ class IcebergTable:
         if (deletes or eq_deletes) and not _with_row_meta:
             df = df.drop("_ice_file", "_ice_pos")
 
+        if filters is not None:
+            df = df.filter(pred_to_sql(filters))
+        return df
+
+    def _scan_orc_files(
+        self, spark: SparkSession, files: list[DataFile], filters
+    ) -> DataFrame:
+        """ORC-format data files (spec-legal; Hive-migrated and foreign
+        tables carry them) routed to Spark's native ORC reader with
+        name-based column resolution (ORC has no PARQUET:field_id
+        analogue Spark can key on, so RENAME evolution over ORC files
+        resolves by name).  Partition values missing from the files are
+        attached from manifest metadata exactly like the parquet leg."""
+        meta = self.metadata
+        st = meta.struct_type()
+        by_spec: dict[int, list[DataFile]] = {}
+        for f in files:
+            by_spec.setdefault(f.spec_id, []).append(f)
+        subs = []
+        for sid in sorted(by_spec):
+            sfiles = by_spec[sid]
+            spaths = [meta.localize(f.path) for f in sfiles]
+            part_cols = meta.partition_column_names(sid)
+            missing = []
+            if part_cols:
+                # one driver-side footer probe per spec group (not per
+                # file): files of one spec share the physical layout
+                probe = {
+                    fld.name for fld in spark.read.orc(spaths[0]).schema.fields
+                }
+                missing = [c for c in part_cols if c not in probe]
+            if missing:
+                sub = _read_groups_with_partition_values(
+                    spark, meta, sfiles, missing, fmt="orc"
+                )
+            else:
+                rpaths = _compact_read_paths(spaths)
+                _tune_listing_parallelism(spark, len(rpaths))
+                sub = spark.read.schema(st).orc(*rpaths)
+            subs.append(sub)
+        df = subs[0]
+        for s in subs[1:]:
+            df = df.unionByName(s)
         if filters is not None:
             df = df.filter(pred_to_sql(filters))
         return df
@@ -1415,6 +1521,7 @@ def _read_groups_with_partition_values(
     missing: list[str],
     with_ids: bool = False,
     with_row_meta: bool = False,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Group files by partition tuple (A6) and attach the missing partition
     columns as typed literals per group — the Spark rendering of the
@@ -1439,7 +1546,9 @@ def _read_groups_with_partition_values(
     for key, paths in groups.items():
         gpaths = _compact_read_paths(paths)
         _tune_listing_parallelism(spark, len(gpaths))
-        df = spark.read.schema(read_schema).parquet(*gpaths)
+        if with_row_meta and fmt != "parquet":
+            raise ValueError("row metadata requires parquet data files")
+        df = getattr(spark.read.schema(read_schema), fmt)(*gpaths)
         for col in missing:
             raw = part_values[key].get(col)
             ice_t = types_by_id[ids_by_name[col]]

@@ -231,7 +231,17 @@ def spark_expr(transform: str, col: str):
                 return pd.Series(
                     _murmur3_int64_vec(s.to_numpy(dtype=np.int64)) % n
                 ).astype("int32")
-            return s.map(lambda v: None if v is None else bucket_value(v, n))
+            # a nullable INT column arrives as float64 (NaN for nulls) or
+            # Int64; normalize nulls first, then hash the integer VALUE
+            # (never the float carrier — Iceberg buckets int/long bytes)
+            def _one(v):
+                if v is None or (isinstance(v, float) and v != v) or pd.isna(v):
+                    return None
+                if isinstance(v, float) and v.is_integer():
+                    v = int(v)
+                return bucket_value(v, n)
+
+            return s.map(_one)
 
         return _bucket(F.col(col))
     m = re.fullmatch(r"truncate\[(\d+)\]", transform)

@@ -147,6 +147,7 @@ def load_all_modules() -> None:
     import datafusion_iceberg_spark.operators.asof  # noqa: F401
     import datafusion_iceberg_spark.operators.skew  # noqa: F401
     import datafusion_iceberg_spark.operators.scd  # noqa: F401
+    import datafusion_iceberg_spark.operators.meta  # noqa: F401
     import datafusion_iceberg_spark.functions.scalar  # noqa: F401
     import datafusion_iceberg_spark.functions.json_ops  # noqa: F401
     import datafusion_iceberg_spark.extensions.dedup  # noqa: F401

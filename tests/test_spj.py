@@ -1,0 +1,234 @@
+"""Storage-partitioned joins: shuffle elision on bucket-co-partitioned
+Iceberg tables (iceberg/spj.py).
+
+The plan property the module exists for — a fact-to-fact join with ZERO
+shuffle Exchange on the join keys — is asserted on the physical plan
+string, and byte-identical results vs the plain (shuffling) join are
+asserted row-for-row.  Reference anchor: partition-grouped scan units
+feeding partitioned execution, table.rs:128-131.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_iceberg_spark.iceberg.catalog import Catalog
+from datafusion_iceberg_spark.iceberg.spj import (
+    BucketJoinError,
+    bucket_join,
+    bucket_partitioning,
+    compatible_bucket_counts,
+)
+from datafusion_iceberg_spark.plans.audit import plan_string
+
+
+@pytest.fixture(scope="module")
+def wh(tmp_path_factory, spark, sf_dir):
+    """orders bucket(8, o_orderkey) ⋈ lineitem bucket(16, l_orderkey),
+    plus an unpartitioned nation and a 12-bucket copy for the
+    incompatibility test."""
+    root = str(tmp_path_factory.mktemp("spj_wh"))
+    cat = Catalog(root)
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    cat.create_table(
+        "spj.orders8", orders.schema, partition_by=["bucket(8, o_orderkey)"]
+    )
+    cat.append("spj.orders8", spark, orders)
+    cat.create_table(
+        "spj.li16", li.schema, partition_by=["bucket(16, l_orderkey)"]
+    )
+    cat.append("spj.li16", spark, li)
+    cat.create_table(
+        "spj.li12", li.schema, partition_by=["bucket(12, l_orderkey)"]
+    )
+    cat.append("spj.li12", spark, li)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.create_table("spj.nation", nation.schema)
+    cat.append("spj.nation", spark, nation)
+    yield cat
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bucket_partitioning_detection(wh):
+    spec = bucket_partitioning(wh.load("spj.orders8"))
+    assert spec == {"o_orderkey": (8, "o_orderkey_bucket")}
+    assert bucket_partitioning(wh.load("spj.nation")) == {}
+
+
+def test_compatible_counts_fold_and_refuse(wh):
+    o8 = wh.load("spj.orders8")
+    li16 = wh.load("spj.li16")
+    li12 = wh.load("spj.li12")
+    assert (
+        compatible_bucket_counts(o8, li16, "o_orderkey", "l_orderkey") == 8
+    )
+    with pytest.raises(BucketJoinError, match="incompatible bucket counts"):
+        compatible_bucket_counts(o8, li12, "o_orderkey", "l_orderkey")
+
+
+def test_bucket_join_byte_identical_to_plain_join(spark, wh):
+    o8 = wh.load("spj.orders8")
+    li16 = wh.load("spj.li16")
+    spj = bucket_join(spark, o8, li16, "o_orderkey", "l_orderkey")
+    plain = o8.to_df(spark).join(
+        li16.to_df(spark),
+        on=F.col("o_orderkey") == F.col("l_orderkey"),
+        how="inner",
+    ).select(*spj.columns)
+    got = sorted(map(tuple, spj.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bucket_join_plan_has_zero_exchange_on_join_keys(spark, wh):
+    """THE property: no shuffle Exchange hash-partitioning on the join
+    keys anywhere in the plan — the join runs as a Union of per-bucket
+    BroadcastHashJoins over per-bucket file groups."""
+    o8 = wh.load("spj.orders8")
+    li16 = wh.load("spj.li16")
+    spj = bucket_join(spark, o8, li16, "o_orderkey", "l_orderkey")
+    plan = plan_string(spj)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "o_orderkey" not in m.group(1)
+        assert "l_orderkey" not in m.group(1)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "Union" in plan
+    # an aggregate ABOVE the join may shuffle on ITS OWN key — that is
+    # the expected residual Exchange, never the join keys
+    agg = spj.groupBy("o_orderstatus").count()
+    aplan = plan_string(agg)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", aplan):
+        assert "o_orderkey" not in m.group(1)
+        assert "l_orderkey" not in m.group(1)
+
+
+def test_bucket_join_filters_push_into_bucket_scans(spark, wh):
+    o8 = wh.load("spj.orders8")
+    li16 = wh.load("spj.li16")
+    spj = bucket_join(
+        spark,
+        o8,
+        li16,
+        "o_orderkey",
+        "l_orderkey",
+        left_filters=("=", "o_orderstatus", "F"),
+    )
+    plain = (
+        o8.to_df(spark)
+        .filter("o_orderstatus = 'F'")
+        .join(
+            li16.to_df(spark),
+            on=F.col("o_orderkey") == F.col("l_orderkey"),
+            how="inner",
+        )
+        .select(*spj.columns)
+    )
+    assert sorted(map(tuple, spj.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the exact re-filter reaches the parquet scan as a pushed filter
+    assert "PushedFilters" in plan_string(spj)
+
+
+def test_bucket_join_oversized_bucket_degrades_not_fails(spark, wh):
+    """max_broadcast_bytes=0: every bucket's smaller side exceeds the
+    ceiling, each union branch degrades to a shuffle join INDIVIDUALLY,
+    results stay identical (the skew story: one hot bucket never poisons
+    the whole plan)."""
+    o8 = wh.load("spj.orders8")
+    li16 = wh.load("spj.li16")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spj = bucket_join(
+            spark, o8, li16, "o_orderkey", "l_orderkey", max_broadcast_bytes=0
+        )
+        # unhinted and with Catalyst's auto-broadcast off, the oversized
+        # buckets shuffle individually (at test scale AQE would otherwise
+        # re-broadcast the tiny sides, hiding the degradation shape)
+        assert "BroadcastHashJoin" not in plan_string(spj)
+        rows = sorted(map(tuple, spj.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    base = bucket_join(spark, o8, li16, "o_orderkey", "l_orderkey")
+    assert rows == sorted(map(tuple, base.collect()))
+
+
+def test_bucket_join_null_keys_match_plain_inner(spark, tmp_path):
+    """NULL join keys land in the null-bucket partition, are excluded
+    from every bucket group, and an inner join never matches them —
+    byte-identical to the plain join."""
+    cat = Catalog(str(tmp_path / "nulls"))
+    lschema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("lv", T.StringType()),
+        ]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("rv", T.StringType()),
+        ]
+    )
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "ln"), (3, "c")], lschema
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (None, "rn"), (3, "y"), (4, "z")], rschema
+    )
+    cat.create_table("n.l", lschema, partition_by=["bucket(4, k)"])
+    cat.append("n.l", spark, left)
+    cat.create_table("n.r", rschema, partition_by=["bucket(4, k)"])
+    cat.append("n.r", spark, right)
+    lt, rt = cat.load("n.l"), cat.load("n.r")
+    spj = bucket_join(spark, lt, rt, "k")
+    plain = lt.to_df(spark).join(rt.to_df(spark), on=["k"], how="inner")
+    assert sorted(map(tuple, spj.select(*plain.columns).collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    assert {r.k for r in spj.collect()} == {1, 3}
+
+
+def test_bucket_join_refusals(spark, wh):
+    o8 = wh.load("spj.orders8")
+    li16 = wh.load("spj.li16")
+    nation = wh.load("spj.nation")
+    with pytest.raises(BucketJoinError, match="not bucket-partitioned"):
+        bucket_join(spark, o8, nation, "o_orderkey", "n_nationkey")
+    with pytest.raises(BucketJoinError, match="inner joins only"):
+        bucket_join(spark, o8, li16, "o_orderkey", "l_orderkey", how="left")
+
+
+def test_gate_matches_oracle(spark, duck, sf_dir):
+    from datafusion_iceberg_spark import registry
+    from tests.oracle_compare import compare
+
+    registry.load_all_modules()
+    df = registry.QUERIES["iceberg_bucket_join_scan"](spark, sf_dir)
+    compare(
+        df,
+        duck.sql(registry.ORACLES["iceberg_bucket_join_scan"]),
+        "iceberg_bucket_join_scan",
+    )
+    # and the gate's own plan carries no join-key shuffle
+    plan = plan_string(df)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "o_orderkey" not in m.group(1)
+        assert "l_orderkey" not in m.group(1)
