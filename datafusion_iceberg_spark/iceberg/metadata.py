@@ -271,6 +271,14 @@ class TableMetadata:
     def field_ids_by_name(self) -> dict[str, int]:
         return {f["name"]: f["id"] for f in self.current_schema["fields"]}
 
+    def identifier_field_names(self) -> list[str]:
+        """Current-schema names of the schema's identifier-field-ids
+        (the spec's declared row-identity key, e.g. set by
+        writer.set_identifier_fields) — empty when none declared."""
+        ids = self.current_schema.get("identifier-field-ids") or []
+        by_id = {f["id"]: f["name"] for f in self.current_schema["fields"]}
+        return [by_id[i] for i in ids if i in by_id]
+
     def initial_defaults(self) -> dict:
         """Iceberg v3 DEFAULT VALUES: {column name: (initial-default
         value, Spark type)} for current-schema fields that declare one.

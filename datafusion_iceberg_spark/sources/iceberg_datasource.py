@@ -415,6 +415,18 @@ def _plan_files(
         files = [f for f in files if f.path in file_filter]
     if not files:
         return []
+    for f in files:
+        if (f.file_format or "PARQUET").upper() != "PARQUET":
+            from datafusion_iceberg_spark.iceberg.table import (
+                UnsupportedFileFormatError,
+            )
+
+            raise UnsupportedFileFormatError(
+                f"iceberg_py datasource: data file {f.path} has "
+                f"file_format={f.file_format}; the executor read path is "
+                "parquet-only (row-group splits, _metadata row positions) "
+                "— scan ORC tables through IcebergTable.to_df instead"
+            )
     sizes = [f.file_size_in_bytes or 0 for f in files]
     target = _split_target_bytes(sum(sizes), len(files))
 
@@ -580,9 +592,19 @@ class IcebergPyStreamReader(DataSourceStreamReader):
         max_snapshots_per_batch=None,
         overwrite_diff_buckets=None,
         max_files_per_batch=None,
+        pair_keys=None,
     ):
         self._root = root
         self._schema = schema
+        # cdc mode, opt-in (``cdc_pair_keys``): pair an overwrite's
+        # delete+insert rows sharing the schema's identifier-field tuple
+        # into update_before/update_after — the v2-table analogue of the
+        # row-lineage pairing (which needs no opt-in: _row_id is exact)
+        self._pair_keys = str(pair_keys).strip().lower() in (
+            "1",
+            "true",
+            "yes",
+        )
         self._max_snaps = max_snapshots_per_batch
         self._max_files = (
             int(max_files_per_batch) if max_files_per_batch else None
@@ -856,7 +878,9 @@ class IcebergCdcOverwriteDiffPartition(InputPartition):
         bucket: int,
         n_buckets: int,
         frid_map=None,  # localized path -> first_row_id (lineage tables)
+        key_cols=None,  # identifier-field names: keyed update pairing
     ):
+        self.key_cols = key_cols
         self.removed = removed
         self.added = added
         self.attach_delete = attach_delete
@@ -1074,6 +1098,16 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                         frid_all[meta.localize(p)] = prev_by_path[
                             p
                         ].first_row_id
+                key_cols = None
+                if self._pair_keys and not lineage:
+                    key_cols = meta.identifier_field_names()
+                    if not key_cols:
+                        raise ValueError(
+                            "cdc_pair_keys: the table declares no "
+                            "identifier-field-ids — set them "
+                            "(set_identifier_fields) or enable row "
+                            "lineage for exact pairing"
+                        )
                 n_buckets = max(1, int(self._ow_buckets))
                 for b in range(n_buckets):
                     parts.append(
@@ -1088,6 +1122,7 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                             b,
                             n_buckets,
                             frid_map=frid_all if lineage else None,
+                            key_cols=key_cols,
                         )
                     )
                 continue
@@ -1396,16 +1431,17 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                     arrays.append(pa.nulls(tbl.num_rows, f.type))
             return pa.Table.from_arrays(arrays, names=cols)
 
-        def _canon_keys(tbl):
+        def _canon_keys(tbl, kcols=None):
             """One canonical string per row: per-cell length-prefixed
             strings (prefix-free vs the null sentinel) joined with a
             unit separator; float NaN canonicalized so carried NaN rows
             cancel.  Arrow casts are shortest-round-trip, so distinct
-            values stay distinct."""
+            values stay distinct.  ``kcols`` restricts the canon to the
+            identifier columns (keyed update pairing)."""
             if tbl.num_rows == 0:
                 return []
             parts = []
-            for c in cols:
+            for c in kcols or cols:
                 col = tbl.column(c).combine_chunks()
                 try:
                     st = pc.cast(col, pa.string())
@@ -1460,13 +1496,16 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
         sign = np.concatenate(signs)
         keys = _canon_keys(big)
         # bucket hash: full canonical row normally; the _row_id ALONE on
-        # lineage tables, so an update's pre/post images (same id,
+        # lineage tables — or the identifier-field tuple when keyed
+        # pairing is on — so an update's pre/post images (same identity,
         # different values) land in ONE bucket and can pair
-        bucket_keys = (
-            [str(v) for v in big.column("_row_id").to_pylist()]
-            if lineage
-            else keys
-        )
+        key_cols = getattr(partition, "key_cols", None)
+        if lineage:
+            bucket_keys = [str(v) for v in big.column("_row_id").to_pylist()]
+        elif key_cols:
+            bucket_keys = _canon_keys(big, key_cols)
+        else:
+            bucket_keys = keys
         crc = np.fromiter(
             (zlib.crc32(k.encode()) for k in bucket_keys),
             dtype=np.uint32,
@@ -1509,15 +1548,15 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
 
         del_rep = np.where(net > 0, net, 0)
         ins_rep = np.where(net < 0, -net, 0)
-        if lineage:
-            # a delete+insert pair sharing one _row_id at this snapshot
-            # is an UPDATE: rename into before/after images — the same
-            # rule as changelog_df's keyed window (table.py), decided
-            # bucket-locally because buckets partition by id
+        if lineage or key_cols:
+            # a delete+insert pair sharing one identity (the _row_id on
+            # lineage tables; the identifier-field tuple under keyed
+            # pairing) at this snapshot is an UPDATE: rename into
+            # before/after images — the same rule as changelog_df's
+            # keyed window (table.py), decided bucket-locally because
+            # buckets partition by that identity
             rep_ids = np.array(
-                big.column("_row_id").take(pa.array(rep, pa.int64()))
-                .to_pylist(),
-                dtype=object,
+                [bucket_keys[i] for i in rep], dtype=object
             )
             both = set(rep_ids[del_rep > 0]) & set(rep_ids[ins_rep > 0])
             in_both = np.array(
@@ -2124,6 +2163,7 @@ class IcebergPyDataSource(DataSource):
             max_snapshots_per_batch=self.options.get("max_snapshots_per_batch"),
             overwrite_diff_buckets=self.options.get("overwrite_diff_buckets"),
             max_files_per_batch=self.options.get("max_files_per_batch"),
+            pair_keys=self.options.get("cdc_pair_keys"),
         )
 
     def _check_writable(self, schema) -> str:
