@@ -141,6 +141,8 @@ HEADLINE = [
     "iceberg_bucket_join_scan",
     "iceberg_orc_scan",
     "meta_registry_consistency",
+    "dedup_bucketed_store_join",
+    "stream_cdc_keyed_update_pairs",
 ]
 
 

@@ -1490,3 +1490,165 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_doc_id", "n_copies", "n_docs")
         .orderBy("keep_doc_id")
     )
+
+
+# --- bucketed signature store: shuffle-free incremental dedup joins --------
+
+
+def _bucketed_sig_oracle_sql() -> str:
+    """Per-SIDE bucket caps (each side's count is stamped into its table
+    at write time, so the scan-time join needs no counting pass), then
+    the standard exact-Jaccard verify."""
+    return (
+        _minhash_common_ctes()
+        + """,
+    c AS (SELECT doc_id, band_id, band_hash FROM bandrows WHERE doc_id % 10 != 0),
+    b AS (SELECT doc_id, band_id, band_hash FROM bandrows WHERE doc_id % 10 = 0),
+    csz AS (SELECT band_id, band_hash, COUNT(*) AS bc FROM c GROUP BY band_id, band_hash),
+    bsz2 AS (SELECT band_id, band_hash, COUNT(*) AS bc FROM b GROUP BY band_id, band_hash),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS corpus_id, b.doc_id AS batch_id
+      FROM c JOIN b USING (band_id, band_hash)
+      JOIN csz USING (band_id, band_hash)
+      JOIN bsz2 USING (band_id, band_hash)
+      WHERE csz.bc <= 1000 AND bsz2.bc <= 1000
+    ),
+    scored AS (
+      SELECT corpus_id, batch_id,
+             len(list_intersect(sa.sh, sb.sh))
+               / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+      FROM cand
+      JOIN shg sa ON sa.doc_id = corpus_id
+      JOIN shg sb ON sb.doc_id = batch_id
+    )
+    SELECT batch_id AS doc_id, MIN(corpus_id) AS dup_of,
+           COUNT(*) AS n_matches
+    FROM scored WHERE jaccard >= 0.8
+    GROUP BY batch_id ORDER BY doc_id
+    """
+    )
+
+
+def _bucketed_sig_tables(spark: SparkSession, sf_dir: str):
+    """Signature store AND the ingestion batch's staging table, both
+    Iceberg tables partitioned ``bucket(8, band_hash)`` at the EXPLODED
+    grain (one row per band hash) with the side's bucket count stamped
+    per row at write time — the physical design that makes every later
+    ingestion join shuffle-free (VERDICT r12 #7): matching band hashes
+    are guaranteed co-located by the murmur3 bucket transform, so the
+    join is a union of per-bucket file-group joins with zero Exchange,
+    and the cap filter is a pushable column predicate instead of a
+    counting subquery."""
+    from pyspark.sql import Window as W
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    scratch = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        ".scratch",
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(scratch, f"wh_{tag}_sigbkt")
+    with _SIG_LOCK:
+        cat = Catalog(root, name="sigb")
+        if not cat.table_exists("dd2.sig_store"):
+            docs = load_table(spark, sf_dir, "documents")
+            store = (
+                minhash_band_hashes(docs.filter(F.col("doc_id") % 10 != 0))
+                .select(
+                    F.col("doc_id").alias("corpus_id"),
+                    F.posexplode("band_hashes").alias(
+                        "c_band_id", "band_hash"
+                    ),
+                )
+                .withColumn(
+                    "store_bc",
+                    F.count(F.lit(1)).over(
+                        W.partitionBy("c_band_id", "band_hash")
+                    ),
+                )
+            )
+            cat.create_table(
+                "dd2.sig_store",
+                store.schema,
+                partition_by=["bucket(8, band_hash)"],
+            )
+            cat.append("dd2.sig_store", spark, store)
+            batch = (
+                minhash_band_hashes(docs.filter(F.col("doc_id") % 10 == 0))
+                .select(
+                    F.col("doc_id").alias("batch_id"),
+                    F.posexplode("band_hashes").alias(
+                        "b_band_id", "band_hash"
+                    ),
+                )
+                .withColumn(
+                    "batch_bc",
+                    F.count(F.lit(1)).over(
+                        W.partitionBy("b_band_id", "band_hash")
+                    ),
+                )
+            )
+            cat.create_table(
+                "dd2.sig_batch",
+                batch.schema,
+                partition_by=["bucket(8, band_hash)"],
+            )
+            cat.append("dd2.sig_batch", spark, batch)
+        return cat.load("dd2.sig_store"), cat.load("dd2.sig_batch")
+
+
+@register("dedup_bucketed_store_join", oracle=_bucketed_sig_oracle_sql())
+def dedup_bucketed_store_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingestion with a SHUFFLE-FREE candidate join
+    (VERDICT r12 #7, composing the SPJ machinery with the pipeline):
+    both the persisted corpus signature store and the landed ingestion
+    batch are bucket(8, band_hash)-partitioned Iceberg tables, so the
+    band-collision join runs as a union of per-bucket joins with ZERO
+    shuffle Exchange on band_hash — at 100 TB the store never moves; the
+    only shuffles left are the candidate DISTINCT and the final verify,
+    both O(collisions), not O(store).  Degenerate-bucket caps ride as
+    per-row columns stamped at write (store_bc/batch_bc), turning the
+    cap from a counting subquery into a pushable predicate.  Same
+    output contract as dedup_incremental_minhash; asserted
+    zero-Exchange in tests/test_spj.py."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join
+
+    store, stag = _bucketed_sig_tables(spark, sf_dir)
+    cand = (
+        bucket_join(spark, store, stag, "band_hash")
+        .filter(
+            (F.col("c_band_id") == F.col("b_band_id"))
+            & (F.col("store_bc") <= 1000)
+            & (F.col("batch_bc") <= 1000)
+        )
+        .select("corpus_id", "batch_id")
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    ta = docs.select(
+        F.col("doc_id").alias("corpus_id"), F.col("text").alias("text_a")
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("batch_id"), F.col("text").alias("text_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(ta, "corpus_id")
+        .join(tb, "batch_id")
+        .withColumn("sh_a", F.expr(_shingles("text_a")))
+        .withColumn("sh_b", F.expr(_shingles("text_b")))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .groupBy("batch_id")
+        .agg(
+            F.min("corpus_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_matches"),
+        )
+        .select(F.col("batch_id").alias("doc_id"), "dup_of", "n_matches")
+        .orderBy("doc_id")
+    )

@@ -232,3 +232,48 @@ def test_gate_matches_oracle(spark, duck, sf_dir):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "o_orderkey" not in m.group(1)
         assert "l_orderkey" not in m.group(1)
+
+
+def test_bucketed_sig_store_join_zero_exchange_on_band_hash(spark, sf_dir):
+    """The pipeline composition (VERDICT r12 #7): the incremental-dedup
+    candidate join over the bucket-partitioned signature store carries
+    NO shuffle Exchange on band_hash — only the candidate DISTINCT and
+    verify stages shuffle, on their own keys."""
+    from datafusion_iceberg_spark.extensions.dedup import (
+        _bucketed_sig_tables,
+    )
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join
+
+    store, stag = _bucketed_sig_tables(spark, sf_dir)
+    j = bucket_join(spark, store, stag, "band_hash")
+    plan = plan_string(j)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "band_hash" not in m.group(1)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bucketed_sig_gate_matches_incremental_gate(spark, sf_dir):
+    """Same duplicate report as the shuffling incremental gate (the cap
+    rule differs formally — per-side vs union — but no sf0.001 bucket is
+    anywhere near 1000, so the candidate sets coincide and the verified
+    output must be identical row-for-row)."""
+    from datafusion_iceberg_spark import registry
+
+    registry.load_all_modules()
+    a = sorted(
+        map(
+            tuple,
+            registry.QUERIES["dedup_bucketed_store_join"](
+                spark, sf_dir
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            registry.QUERIES["dedup_incremental_minhash"](
+                spark, sf_dir
+            ).collect(),
+        )
+    )
+    assert a == b
