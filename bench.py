@@ -143,6 +143,8 @@ HEADLINE = [
     "meta_registry_consistency",
     "dedup_bucketed_store_join",
     "stream_cdc_keyed_update_pairs",
+    "iceberg_bucket_outer_join_scan",
+    "text_pii_redact",
 ]
 
 

@@ -1595,3 +1595,129 @@ def sim_matryoshka_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: partition-pruned ANN over an Iceberg table
+# ---------------------------------------------------------------------------
+
+import threading as _threading
+
+_IVF_LOCK = _threading.Lock()
+
+
+def _ivf_store(spark: SparkSession, sf_dir: str):
+    """The IVF index AT REST: cluster assignments + vectors persisted as
+    an Iceberg table partitioned by identity(cent_id) — the FAISS-style
+    on-disk inverted-file layout expressed as table partitioning, built
+    once (same deterministic seeded assignment as ``sim_ivf_topk``) and
+    probed forever.  Manifest partition values then prune every
+    non-probed cluster's files at PLANNING time."""
+    import os as _os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    scratch = _os.path.join(
+        _os.path.dirname(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        ),
+        ".scratch",
+    )
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    root = _os.path.join(scratch, f"wh_{tag}_ivf")
+    with _IVF_LOCK:
+        cat = Catalog(root, name="ivf")
+        if not cat.table_exists("ann.ivf"):
+            from pyspark.sql import Window as W
+
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", _as_double("embedding").alias("v")
+            )
+            cent = emb.filter(
+                (F.col("vec_id") >= _CENT_LO) & (F.col("vec_id") <= _CENT_HI)
+            ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+            ccos = (
+                emb.withColumnRenamed("v", "qv")
+                .join(F.broadcast(cent))
+                .withColumn("ccos", F.round(cosine_sim("qv", "cv"), 6))
+                .select("vec_id", "qv", "cent_id", "ccos")
+            )
+            wv = W.partitionBy("vec_id").orderBy(
+                F.col("ccos").desc(), "cent_id"
+            )
+            assign = (
+                ccos.withColumn("rn", F.row_number().over(wv))
+                .filter(F.col("rn") == 1)
+                .select(
+                    F.col("vec_id").alias("cand_id"),
+                    "cent_id",
+                    F.col("qv").alias("v"),
+                )
+            )
+            cat.create_table(
+                "ann.ivf", assign.schema, partition_by=["cent_id"]
+            )
+            cat.append("ann.ivf", spark, assign)
+        return cat.load("ann.ivf")
+
+
+from datafusion_iceberg_spark import registry as _registry
+
+
+@register(
+    "sim_ivf_persisted_topk",
+    # same algorithm, same replay: the persisted store holds exactly the
+    # assignment the oracle recomputes
+    oracle=_registry.ORACLES["sim_ivf_topk"],
+)
+def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the index AT REST: probes hit a PERSISTED Iceberg IVF
+    table partitioned by cluster id, so the scan opens ONLY the probed
+    clusters' files — manifest partition pruning does the inverted-file
+    lookup (at 100 TB with 4096 clusters and nprobe=4, planning keeps
+    ~0.1% of the corpus bytes; here 20 ints of driver state carry the
+    probe list).  Same algorithm and oracle as ``sim_ivf_topk``; what
+    changes is WHERE the assignment lives — in table layout instead of
+    a per-query recomputation (the write-once/probe-forever shape).
+    File-count pruning asserted in tests/test_spj.py."""
+    from pyspark.sql import Window as W
+
+    store = _ivf_store(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cent = emb.filter(
+        (F.col("vec_id") >= _CENT_LO) & (F.col("vec_id") <= _CENT_HI)
+    ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).withColumnRenamed(
+        "v", "qv"
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.col("ccos").desc(), "cent_id")
+    probe = (
+        queries.join(F.broadcast(cent))
+        .withColumn("ccos", F.round(cosine_sim("qv", "cv"), 6))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "qv", "cent_id")
+    )
+    # the probe list: N_QUERIES * N_PROBE ints of driver state (bounded,
+    # same class as the runtime-filter IN-lists) — it IS the pruning
+    # predicate, so the Iceberg scan plans only the probed partitions
+    probed = sorted(
+        {int(r["cent_id"]) for r in probe.select("cent_id").collect()}
+    )
+    lists = store.to_df(spark, filters=("in", "cent_id", probed))
+    cand = (
+        F.broadcast(probe)
+        .join(lists, "cent_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine_sim("qv", "v"), 4)
+    ).select("query_id", "cand_id", "cos_sim")
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
+    )

@@ -5867,3 +5867,58 @@ def iceberg_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "iceberg_bucket_outer_join_scan",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           COUNT(l_orderkey) AS n_matched,
+           CAST(SUM(CAST(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders LEFT JOIN (
+      SELECT * FROM lineitem WHERE l_extendedprice > 50000
+    ) l ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def iceberg_bucket_outer_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPJ LEFT OUTER flavor: orders preserved against a filtered
+    lineitem side, still with zero shuffle Exchange on the join keys —
+    per-bucket LEFT joins broadcast the non-preserved side, match-less
+    buckets and NULL-key files re-attach null-extended (iceberg/spj.py).
+    COUNT(l_orderkey) vs COUNT(*) proves the unmatched rows survive."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join
+
+    cat = _spj_fixture(spark, sf_dir)
+    orders = cat.load("fact.orders_bkt")
+    li = cat.load("fact.lineitem_bkt")
+    joined = bucket_join(
+        spark,
+        orders,
+        li,
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        how="left",
+        right_filters=(">", "l_extendedprice", 50000),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("l_orderkey").alias("n_matched"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 1000000
+                        + 0.5
+                    )
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 1000000
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -39,10 +39,11 @@ whenever one bucket count divides the other, and the finer side's groups
 fold onto the coarser grid.
 
 Correctness notes:
-  * inner joins only: rows with NULL join keys land in the null-bucket
-    partition, are excluded from every bucket group, and an inner join
-    never matches them — byte-identical to the plain join.  Outer joins
-    would need the null-bucket files re-attached and are refused loudly.
+  * rows with NULL join keys land in the null-bucket partition and are
+    excluded from every bucket group (no equi-join can match them);
+    preserved sides of LEFT/RIGHT/FULL joins re-attach those files
+    null-extended, along with buckets whose other side is empty — see
+    ``bucket_join``'s docstring for the outer-join decompositions.
   * MOR deletes apply per bucket group through the same
     ``IcebergTable._scan_files`` path as a full scan (position deletes
     match by file path; equality deletes are a global key predicate and
@@ -98,11 +99,13 @@ def _bucket_groups(
     coarse: int,
     filters,
     spark: SparkSession,
-) -> tuple[list[list[DataFile]], str]:
+) -> tuple[list[list[DataFile]], list[DataFile], str]:
     """Partition the (pruned) data-file list onto the coarse bucket grid.
 
-    Returns ``coarse`` lists of files plus the partition field name.  Files
-    written under an evolved spec that lacks the bucket field have no
+    Returns ``coarse`` lists of files, the NULL-key files (partition
+    value null — their rows can never equi-match, but outer joins must
+    still preserve them), and the partition field name.  Files written
+    under an evolved spec that lacks the bucket field have no
     co-location guarantee — refuse loudly rather than silently produce a
     wrong join."""
     spec = bucket_partitioning(table)
@@ -117,6 +120,7 @@ def _bucket_groups(
             f"bucket[{n}] on {col!r} does not fold onto a {coarse}-bucket grid"
         )
     groups: list[list[DataFile]] = [[] for _ in range(coarse)]
+    null_files: list[DataFile] = []
     for f in table.files(filters, spark=spark):
         if pname not in f.partition:
             raise BucketJoinError(
@@ -127,10 +131,12 @@ def _bucket_groups(
             )
         b = f.partition[pname]
         if b is None:
-            # null join key: unmatchable under an inner join — skip the file
+            # null join key: unmatchable by any equi-join; preserved
+            # sides of outer joins re-attach these null-extended
+            null_files.append(f)
             continue
         groups[int(b) % coarse].append(f)
-    return groups, pname
+    return groups, null_files, pname
 
 
 def compatible_bucket_counts(
@@ -174,51 +180,170 @@ def bucket_join(
     Returns the joined DataFrame (all left columns then all right columns,
     join key deduplicated when the names match) whose physical plan is a
     UNION of per-bucket joins with no shuffle Exchange on the join keys.
+
+    ``how``: inner | left | right | full.  Outer flavors stay
+    broadcast-only by DECOMPOSITION — Spark's BroadcastHashJoin cannot
+    build on the preserved side, and supports no full-outer at all, so:
+
+    * left  = per-bucket ``LEFT OUTER`` (right side broadcast) + the
+      left NULL-key files null-extended + left buckets with no right
+      files null-extended (no probe needed — nothing can match);
+    * right = symmetric;
+    * full  = per-bucket ``inner ∪ left-anti ∪ right-anti`` (each leg a
+      BroadcastHashJoin; anti legs null-extended) + both sides'
+      unmatched-by-construction files — each side is scanned twice in
+      the anti decomposition, the price of keeping every leg
+      broadcastable instead of shuffling per-bucket SortMergeJoins.
     """
-    if how != "inner":
+    if how not in ("inner", "left", "right", "full"):
         raise BucketJoinError(
-            f"bucket_join supports inner joins only (got {how!r}): outer "
-            "results would need the null-bucket files re-attached with "
-            "null extension; use a plain join for outer semantics"
+            f"bucket_join supports inner/left/right/full (got {how!r})"
         )
     right_on = right_on if right_on is not None else left_on
     coarse = compatible_bucket_counts(left, right, left_on, right_on)
-    lgroups, _ = _bucket_groups(left, left_on, coarse, left_filters, spark)
-    rgroups, _ = _bucket_groups(right, right_on, coarse, right_filters, spark)
+    lgroups, lnull, _ = _bucket_groups(
+        left, left_on, coarse, left_filters, spark
+    )
+    rgroups, rnull, _ = _bucket_groups(
+        right, right_on, coarse, right_filters, spark
+    )
 
     same_name = left_on == right_on
+    keep_left = how in ("left", "full")
+    keep_right = how in ("right", "full")
+    lfields = [
+        f
+        for f in left.metadata.struct_type().fields
+        if not (same_name and f.name == left_on)
+    ]
+    rfields = [
+        f
+        for f in right.metadata.struct_type().fields
+        if not (same_name and f.name == right_on)
+    ]
+
+    def _extend(df: DataFrame, other_fields) -> DataFrame:
+        for f in other_fields:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df
+
+    def _cond(dfl, dfr):
+        return [left_on] if same_name else dfl[left_on] == dfr[right_on]
+
     subs: list[DataFrame] = []
     for b in range(coarse):
         lf, rf = lgroups[b], rgroups[b]
-        if not lf or not rf:
-            continue  # inner join: an empty side contributes nothing
+        if lf and not rf:
+            if keep_left:
+                subs.append(
+                    _extend(left._scan_files(spark, lf, left_filters), rfields)
+                )
+            continue
+        if rf and not lf:
+            if keep_right:
+                subs.append(
+                    _extend(
+                        right._scan_files(spark, rf, right_filters), lfields
+                    )
+                )
+            continue
+        if not lf and not rf:
+            continue
         dfl = left._scan_files(spark, lf, left_filters)
         dfr = right._scan_files(spark, rf, right_filters)
         lbytes = sum(f.file_size_in_bytes for f in lf)
         rbytes = sum(f.file_size_in_bytes for f in rf)
         small = min(lbytes, rbytes)
-        if small <= max_broadcast_bytes:
-            if rbytes <= lbytes:
-                dfr = F.broadcast(dfr)
+        fits = small <= max_broadcast_bytes
+        if how == "inner":
+            if fits:
+                if rbytes <= lbytes:
+                    dfr = F.broadcast(dfr)
+                else:
+                    dfl = F.broadcast(dfl)
+            # else: leave unhinted — Catalyst shuffles THIS bucket only
+            # (skew degrades one union branch, not the whole plan)
+            subs.append(dfl.join(dfr, on=_cond(dfl, dfr), how="inner"))
+        elif how == "left":
+            # build side must be the non-preserved (right) side
+            bdfr = F.broadcast(dfr) if rbytes <= max_broadcast_bytes else dfr
+            subs.append(dfl.join(bdfr, on=_cond(dfl, bdfr), how="left"))
+        elif how == "right":
+            # build side must be the non-preserved (left) side
+            bdfl = F.broadcast(dfl) if lbytes <= max_broadcast_bytes else dfl
+            subs.append(bdfl.join(dfr, on=_cond(bdfl, dfr), how="right"))
+        else:  # full: inner ∪ left-anti ∪ right-anti, every leg BHJ-able
+            bl = F.broadcast(dfl) if lbytes <= max_broadcast_bytes else dfl
+            br = F.broadcast(dfr) if rbytes <= max_broadcast_bytes else dfr
+            if fits:
+                inner = (
+                    dfl.join(br, on=_cond(dfl, br), how="inner")
+                    if rbytes <= lbytes
+                    else bl.join(dfr, on=_cond(bl, dfr), how="inner")
+                )
             else:
-                dfl = F.broadcast(dfl)
-        # else: this bucket's smaller side is too big to broadcast —
-        # leave both sides unhinted and let Catalyst shuffle THIS bucket
-        # only (skew degrades one union branch, not the whole plan)
-        if same_name:
-            subs.append(dfl.join(dfr, on=[left_on], how="inner"))
-        else:
+                inner = dfl.join(dfr, on=_cond(dfl, dfr), how="inner")
+            subs.append(inner)
             subs.append(
-                dfl.join(dfr, on=dfl[left_on] == dfr[right_on], how="inner")
+                _extend(
+                    dfl.join(br, on=_cond(dfl, br), how="left_anti"), rfields
+                )
             )
+            subs.append(
+                _extend(
+                    dfr.join(bl, on=_cond(bl, dfr), how="left_anti"), lfields
+                )
+            )
+    if keep_left and lnull:
+        subs.append(
+            _extend(left._scan_files(spark, lnull, left_filters), rfields)
+        )
+    if keep_right and rnull:
+        subs.append(
+            _extend(right._scan_files(spark, rnull, right_filters), lfields)
+        )
     if not subs:
-        # no overlapping buckets: an empty inner join with the joined schema
+        # no contributing buckets: empty frame with the joined schema
         dfl = left.to_df(spark).limit(0)
         dfr = right.to_df(spark).limit(0)
-        if same_name:
-            return dfl.join(dfr, on=[left_on], how="inner")
-        return dfl.join(dfr, on=dfl[left_on] == dfr[right_on], how="inner")
+        return dfl.join(dfr, on=_cond(dfl, dfr), how="inner")
     out = subs[0]
     for s in subs[1:]:
         out = out.unionByName(s)
     return out
+
+
+def catalog_bucket_join(
+    catalog,
+    spark: SparkSession,
+    left_ident: str,
+    right_ident: str,
+    left_on: str,
+    right_on: Optional[str] = None,
+    how: str = "inner",
+    fallback: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """Catalog-level entry: resolve ``ns.table`` identifiers and join
+    shuffle-free when the specs allow.  With ``fallback=True`` an
+    incompatible pair degrades to the plain (shuffling) DataFrame join
+    instead of raising — the planner shape a query layer wants: SPJ when
+    the storage contract holds, correct either way."""
+    left = catalog.load(left_ident)
+    right = catalog.load(right_ident)
+    if not isinstance(left, IcebergTable) or not isinstance(
+        right, IcebergTable
+    ):
+        raise BucketJoinError("bucket_join joins TABLES, not views")
+    try:
+        return bucket_join(
+            spark, left, right, left_on, right_on, how=how, **kwargs
+        )
+    except BucketJoinError:
+        if not fallback:
+            raise
+        r_on = right_on if right_on is not None else left_on
+        dfl, dfr = left.to_df(spark), right.to_df(spark)
+        if left_on == r_on:
+            return dfl.join(dfr, on=[left_on], how=how)
+        return dfl.join(dfr, on=dfl[left_on] == dfr[r_on], how=how)

@@ -79,6 +79,10 @@ NESTED_LOOP_OK = frozenset(
         "join_non_equi",
         "sim_topk_bruteforce",
         "sim_ivf_topk",
+        # probe-building leg only: 5-row query set x 16-row broadcast
+        # centroid table (the corpus-sized list scan is a partition-
+        # pruned equi-join on cent_id, never a nested loop)
+        "sim_ivf_persisted_topk",
         # int8-code search: corpus x (5-row broadcast query set) theta
         # join, the same bounded-build-side class as sim_topk_bruteforce
         "sim_sq_topk",

@@ -212,8 +212,41 @@ def test_bucket_join_refusals(spark, wh):
     nation = wh.load("spj.nation")
     with pytest.raises(BucketJoinError, match="not bucket-partitioned"):
         bucket_join(spark, o8, nation, "o_orderkey", "n_nationkey")
-    with pytest.raises(BucketJoinError, match="inner joins only"):
-        bucket_join(spark, o8, li16, "o_orderkey", "l_orderkey", how="left")
+    with pytest.raises(BucketJoinError, match="inner/left/right/full"):
+        bucket_join(spark, o8, li16, "o_orderkey", "l_orderkey", how="cross")
+
+
+@pytest.mark.parametrize("how", ["left", "right", "full"])
+def test_bucket_outer_joins_match_plain(spark, tmp_path, how):
+    """Outer flavors: NULL-key files and match-less buckets re-attach
+    null-extended; every leg stays a BroadcastHashJoin (full outer
+    decomposes to inner ∪ anti ∪ anti) — byte-identical to the plain
+    shuffling outer join."""
+    cat = Catalog(str(tmp_path / "outer"))
+    lschema = "k long, lv string"
+    rschema = "k long, rv string"
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "ln"), (3, "c"), (7, "g")], lschema
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (None, "rn"), (3, "y"), (4, "z"), (3, "y2")], rschema
+    )
+    cat.create_table("o.l", left.schema, partition_by=["bucket(4, k)"])
+    cat.append("o.l", spark, left)
+    cat.create_table("o.r", right.schema, partition_by=["bucket(8, k)"])
+    cat.append("o.r", spark, right)
+    lt, rt = cat.load("o.l"), cat.load("o.r")
+    spj = bucket_join(spark, lt, rt, "k", how=how)
+    plain = lt.to_df(spark).join(rt.to_df(spark), on=["k"], how=how)
+    got = sorted(map(tuple, spj.select(*plain.columns).collect()),
+                 key=lambda t: tuple((v is None, v) for v in t))
+    want = sorted(map(tuple, plain.collect()),
+                  key=lambda t: tuple((v is None, v) for v in t))
+    assert got == want
+    plan = plan_string(spj)
+    assert "SortMergeJoin" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "k#" not in m.group(1)
 
 
 def test_gate_matches_oracle(spark, duck, sf_dir):
@@ -277,3 +310,39 @@ def test_bucketed_sig_gate_matches_incremental_gate(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_catalog_bucket_join_resolves_and_falls_back(spark, wh):
+    from datafusion_iceberg_spark.iceberg.spj import catalog_bucket_join
+
+    df = catalog_bucket_join(
+        wh, spark, "spj.orders8", "spj.li16", "o_orderkey", "l_orderkey"
+    )
+    assert df.count() > 0
+    # incompatible counts: raises without fallback, joins with it
+    with pytest.raises(BucketJoinError):
+        catalog_bucket_join(
+            wh, spark, "spj.orders8", "spj.li12", "o_orderkey", "l_orderkey"
+        )
+    fb = catalog_bucket_join(
+        wh,
+        spark,
+        "spj.orders8",
+        "spj.li12",
+        "o_orderkey",
+        "l_orderkey",
+        fallback=True,
+    )
+    assert fb.count() == df.count()
+
+
+def test_persisted_ivf_probe_prunes_partitions(spark, sf_dir):
+    """The inverted-file lookup IS manifest partition pruning: a probe
+    list of cluster ids plans only those clusters' files."""
+    from datafusion_iceberg_spark.extensions.similarity import _ivf_store
+
+    store = _ivf_store(spark, sf_dir)
+    n_all = len(store.files())
+    pruned = store.files(("in", "cent_id", [5, 6]))
+    assert 0 < len(pruned) < n_all
+    assert {f.partition["cent_id"] for f in pruned} <= {5, 6}
