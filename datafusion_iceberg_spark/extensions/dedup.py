@@ -1551,9 +1551,16 @@ def _bucketed_sig_tables(spark: SparkSession, sf_dir: str):
     )
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join(scratch, f"wh_{tag}_sigbkt")
+    marker = os.path.join(root, "_COMPLETE")
     with _SIG_LOCK:
-        cat = Catalog(root, name="sigb")
-        if not cat.table_exists("dd2.sig_store"):
+        if not os.path.exists(marker):
+            # marker-gated like _spj_fixture: a crash between the two
+            # tables' builds must trigger a full rebuild, never a
+            # half-fixture that silently dedups against an empty store
+            import shutil as _shutil
+
+            _shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="sigb")
             docs = load_table(spark, sf_dir, "documents")
             store = (
                 minhash_band_hashes(docs.filter(F.col("doc_id") % 10 != 0))
@@ -1597,6 +1604,10 @@ def _bucketed_sig_tables(spark: SparkSession, sf_dir: str):
                 partition_by=["bucket(8, band_hash)"],
             )
             cat.append("dd2.sig_batch", spark, batch)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        else:
+            cat = Catalog(root, name="sigb")
         return cat.load("dd2.sig_store"), cat.load("dd2.sig_batch")
 
 

@@ -1625,9 +1625,15 @@ def _ivf_store(spark: SparkSession, sf_dir: str):
     )
     tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
     root = _os.path.join(scratch, f"wh_{tag}_ivf")
+    marker = _os.path.join(root, "_COMPLETE")
     with _IVF_LOCK:
-        cat = Catalog(root, name="ivf")
-        if not cat.table_exists("ann.ivf"):
+        if not _os.path.exists(marker):
+            # marker-gated: a crash between create_table and append must
+            # rebuild, never serve an EMPTY index (silently wrong ANN)
+            import shutil as _shutil
+
+            _shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="ivf")
             from pyspark.sql import Window as W
 
             emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1658,6 +1664,10 @@ def _ivf_store(spark: SparkSession, sf_dir: str):
                 "ann.ivf", assign.schema, partition_by=["cent_id"]
             )
             cat.append("ann.ivf", spark, assign)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        else:
+            cat = Catalog(root, name="ivf")
         return cat.load("ann.ivf")
 
 

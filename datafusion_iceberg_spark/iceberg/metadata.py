@@ -274,10 +274,20 @@ class TableMetadata:
     def identifier_field_names(self) -> list[str]:
         """Current-schema names of the schema's identifier-field-ids
         (the spec's declared row-identity key, e.g. set by
-        writer.set_identifier_fields) — empty when none declared."""
+        writer.set_identifier_fields) — empty when none declared.
+        STRICT like dml.py's equality-delete key resolution: an id
+        missing from the current schema raises instead of silently
+        shrinking the identity tuple (pairing/deleting on a partial key
+        would be wrong, not approximate)."""
         ids = self.current_schema.get("identifier-field-ids") or []
         by_id = {f["id"]: f["name"] for f in self.current_schema["fields"]}
-        return [by_id[i] for i in ids if i in by_id]
+        missing = [i for i in ids if i not in by_id]
+        if missing:
+            raise ValueError(
+                f"identifier-field-ids {missing} not in the current "
+                "schema — the declared row identity is broken"
+            )
+        return [by_id[i] for i in ids]
 
     def initial_defaults(self) -> dict:
         """Iceberg v3 DEFAULT VALUES: {column name: (initial-default

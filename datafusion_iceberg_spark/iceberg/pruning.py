@@ -502,7 +502,7 @@ def prune_data_files(
         (Avro logical types) while decode_stat's domain is python
         date/datetime — rehydrate before using one as a point stat."""
         if isinstance(raw, int) and isinstance(ice_t, str):
-            from datetime import timedelta
+            from datetime import timedelta, timezone
 
             from datafusion_iceberg_spark.iceberg.stats import (
                 EPOCH_DATE,
@@ -511,6 +511,13 @@ def prune_data_files(
 
             if ice_t == "date":
                 return EPOCH_DATE + timedelta(days=raw)
+            if ice_t.startswith("timestamptz"):
+                # decode_stat's timestamptz domain is tz-AWARE — a naive
+                # point stat would TypeError against aware predicate
+                # literals and the evaluator would keep every file
+                return EPOCH_TS.replace(tzinfo=timezone.utc) + timedelta(
+                    microseconds=raw
+                )
             if ice_t.startswith("timestamp"):
                 return EPOCH_TS + timedelta(microseconds=raw)
         return raw

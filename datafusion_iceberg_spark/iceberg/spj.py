@@ -108,35 +108,73 @@ def _bucket_groups(
     under an evolved spec that lacks the bucket field have no
     co-location guarantee — refuse loudly rather than silently produce a
     wrong join."""
+    meta = table.metadata
     spec = bucket_partitioning(table)
     if col not in spec:
         raise BucketJoinError(
             f"column {col!r} is not bucket-partitioned in the default spec "
             f"(bucketed columns: {sorted(spec)})"
         )
-    n, pname = spec[col]
-    if n % coarse != 0:
+    if spec[col][0] % coarse != 0:
         raise BucketJoinError(
-            f"bucket[{n}] on {col!r} does not fold onto a {coarse}-bucket grid"
+            f"bucket[{spec[col][0]}] on {col!r} does not fold onto a "
+            f"{coarse}-bucket grid"
         )
+
+    # Per-FILE spec resolution: a spec-evolved table mixes files written
+    # under different specs, and only the file's OWN spec says how its
+    # partition value folds.  A file under bucket[4] cannot fold onto an
+    # 8-bucket grid (h%8 is not derivable from h%4) — checking only the
+    # field NAME here would group such files by a wrong grid and the
+    # join would silently drop matching rows, so each file's spec must
+    # carry a bucket transform on the column with a count the coarse
+    # grid divides.
+    by_id = {f["id"]: f["name"] for f in meta.current_schema["fields"]}
+    spec_cache: dict[int, Optional[tuple[int, str]]] = {}
+
+    def _spec_bucket(spec_id: int) -> Optional[tuple[int, str]]:
+        if spec_id not in spec_cache:
+            fields = meta.partition_fields_for_spec(spec_id)
+            ent = None
+            for pf in fields or []:
+                m = _BUCKET_RE.match(pf.transform)
+                if m and by_id.get(pf.source_id) == col:
+                    ent = (int(m.group(1)), pf.name)
+                    break
+            spec_cache[spec_id] = ent
+        return spec_cache[spec_id]
+
     groups: list[list[DataFile]] = [[] for _ in range(coarse)]
     null_files: list[DataFile] = []
     for f in table.files(filters, spark=spark):
-        if pname not in f.partition:
+        ent = _spec_bucket(f.spec_id)
+        if ent is None:
             raise BucketJoinError(
-                f"data file {f.path} was written under spec {f.spec_id} "
-                f"without the bucket[{n}] field {pname!r}; a spec-evolved "
-                "table cannot guarantee co-location — rewrite old files or "
-                "use a plain join"
+                f"data file {f.path} was written under spec {f.spec_id}, "
+                f"which has no bucket transform on {col!r} — no "
+                "co-location guarantee; rewrite old files or use a "
+                "plain join"
             )
-        b = f.partition[pname]
+        n_f, pname_f = ent
+        if n_f % coarse != 0:
+            raise BucketJoinError(
+                f"data file {f.path} was written under bucket[{n_f}], "
+                f"which does not fold onto the {coarse}-bucket grid — "
+                "rewrite old files or use a plain join"
+            )
+        if pname_f not in f.partition:
+            raise BucketJoinError(
+                f"data file {f.path} carries no partition value for "
+                f"{pname_f!r} — rewrite old files or use a plain join"
+            )
+        b = f.partition[pname_f]
         if b is None:
             # null join key: unmatchable by any equi-join; preserved
             # sides of outer joins re-attach these null-extended
             null_files.append(f)
             continue
         groups[int(b) % coarse].append(f)
-    return groups, null_files, pname
+    return groups, null_files, spec[col][1]
 
 
 def compatible_bucket_counts(
@@ -211,6 +249,19 @@ def bucket_join(
     same_name = left_on == right_on
     keep_left = how in ("left", "full")
     keep_right = how in ("right", "full")
+    # hoist the delete-file listing: _scan_files(deletes=None) would
+    # re-read every delete manifest PER BUCKET GROUP (4x coarse Avro
+    # reads on a 4096-bucket join); list once per table and pass down
+    ldel, leq = left.position_delete_files(), left.equality_delete_files()
+    rdel, req = right.position_delete_files(), right.equality_delete_files()
+
+    def _scan_l(fl, filt):
+        return left._scan_files(spark, fl, filt, deletes=ldel, eq_deletes=leq)
+
+    def _scan_r(fl, filt):
+        return right._scan_files(
+            spark, fl, filt, deletes=rdel, eq_deletes=req
+        )
     lfields = [
         f
         for f in left.metadata.struct_type().fields
@@ -235,22 +286,16 @@ def bucket_join(
         lf, rf = lgroups[b], rgroups[b]
         if lf and not rf:
             if keep_left:
-                subs.append(
-                    _extend(left._scan_files(spark, lf, left_filters), rfields)
-                )
+                subs.append(_extend(_scan_l(lf, left_filters), rfields))
             continue
         if rf and not lf:
             if keep_right:
-                subs.append(
-                    _extend(
-                        right._scan_files(spark, rf, right_filters), lfields
-                    )
-                )
+                subs.append(_extend(_scan_r(rf, right_filters), lfields))
             continue
         if not lf and not rf:
             continue
-        dfl = left._scan_files(spark, lf, left_filters)
-        dfr = right._scan_files(spark, rf, right_filters)
+        dfl = _scan_l(lf, left_filters)
+        dfr = _scan_r(rf, right_filters)
         lbytes = sum(f.file_size_in_bytes for f in lf)
         rbytes = sum(f.file_size_in_bytes for f in rf)
         small = min(lbytes, rbytes)
@@ -295,13 +340,9 @@ def bucket_join(
                 )
             )
     if keep_left and lnull:
-        subs.append(
-            _extend(left._scan_files(spark, lnull, left_filters), rfields)
-        )
+        subs.append(_extend(_scan_l(lnull, left_filters), rfields))
     if keep_right and rnull:
-        subs.append(
-            _extend(right._scan_files(spark, rnull, right_filters), lfields)
-        )
+        subs.append(_extend(_scan_r(rnull, right_filters), lfields))
     if not subs:
         # no contributing buckets: empty frame with the joined schema
         dfl = left.to_df(spark).limit(0)

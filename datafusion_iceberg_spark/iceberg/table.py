@@ -535,7 +535,12 @@ class IcebergTable:
             ]
             if rest:
                 pq = self._scan_files(
-                    spark, rest, filters, deletes=[], eq_deletes=[]
+                    spark,
+                    rest,
+                    filters,
+                    deletes=[],
+                    eq_deletes=[],
+                    _skip_defaults=_skip_defaults,
                 )
                 out = pq.unionByName(out)
             return out

@@ -183,8 +183,14 @@ def apply(transform: str, value: Any) -> Any:
     raise ValueError(f"unknown transform: {transform}")
 
 
-def spark_expr(transform: str, col: str):
-    """The same transform as a Spark Column (write path)."""
+def spark_expr(transform: str, col: str, dtype=None):
+    """The same transform as a Spark Column (write path).  ``dtype`` —
+    the source column's Spark type when the caller knows it — routes
+    integral columns through an EXACT vectorized bucket path even when
+    the batch carries nulls (without it, Arrow→pandas upcasts a
+    nullable int64 batch to float64, which silently rounds values above
+    2^53 and would bucket snowflake-scale ids into the wrong
+    partition)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -218,6 +224,33 @@ def spark_expr(transform: str, col: str):
     if m:
         n = int(m.group(1))
 
+        if dtype is not None and dtype.typeName() in (
+            "long",
+            "integer",
+            "short",
+            "byte",
+        ):
+            # exact + always-vectorized integral path: nulls are masked
+            # JVM-side (coalesce to 0 keeps the batch int64 end-to-end,
+            # so no float carrier ever touches the values) and restored
+            # from the companion null-mask column
+            @F.pandas_udf(T.IntegerType())
+            def _bucket_int(s, isnull):
+                import numpy as np
+                import pandas as pd
+
+                vals = _murmur3_int64_vec(s.to_numpy(dtype=np.int64)) % n
+                out = pd.Series(vals).astype("Int32")
+                mask = isnull.to_numpy(dtype=bool)
+                if mask.any():
+                    out[mask] = None
+                return out
+
+            return _bucket_int(
+                F.coalesce(F.col(col), F.lit(0)).cast("long"),
+                F.col(col).isNull(),
+            )
+
         @F.pandas_udf(T.IntegerType())
         def _bucket(s):
             import numpy as np
@@ -238,6 +271,15 @@ def spark_expr(transform: str, col: str):
                 if v is None or (isinstance(v, float) and v != v) or pd.isna(v):
                     return None
                 if isinstance(v, float) and v.is_integer():
+                    # float carrier from a nullable int batch: exact only
+                    # below 2^53 — beyond that the upcast already rounded
+                    # the value, refuse rather than bucket it wrongly
+                    if abs(v) > 2**53:
+                        raise ValueError(
+                            "nullable int64 batch upcast to float64 lost "
+                            f"precision at {v!r}; pass the column dtype to "
+                            "spark_expr for the exact path"
+                        )
                     v = int(v)
                 return bucket_value(v, n)
 

@@ -1095,7 +1095,12 @@ class IcebergWriter:
         # from the data files, same as identity)
         for source, transform, fname in self.spec_entries:
             if transform != "identity":
-                out = out.withColumn(fname, spark_expr(transform, source))
+                out = out.withColumn(
+                    fname,
+                    spark_expr(
+                        transform, source, dtype=out.schema[source].dataType
+                    ),
+                )
         if self.sort_by:
             # table sort order: range-partition on the sort key so files
             # cover DISJOINT key ranges (per-file min/max bounds become
@@ -5195,7 +5200,9 @@ class IcebergWriter:
             (
                 F.col(source)
                 if transform == "identity"
-                else spark_expr(transform, source)
+                else spark_expr(
+                    transform, source, dtype=df.schema[source].dataType
+                )
             ).alias(fname)
             for source, transform, fname in self.spec_entries
         ]

@@ -1108,6 +1108,15 @@ class IcebergPyCdcStreamReader(IcebergPyStreamReader):
                             "(set_identifier_fields) or enable row "
                             "lineage for exact pairing"
                         )
+                    plan_cols = {f.name for f in self._schema.fields}
+                    missing = [c for c in key_cols if c not in plan_cols]
+                    if missing:
+                        raise ValueError(
+                            "cdc_pair_keys: identifier column(s) "
+                            f"{missing} are not in the stream's "
+                            "projected schema — the executor pairs "
+                            "images by that tuple, so select them"
+                        )
                 n_buckets = max(1, int(self._ow_buckets))
                 for b in range(n_buckets):
                     parts.append(

@@ -346,3 +346,45 @@ def test_persisted_ivf_probe_prunes_partitions(spark, sf_dir):
     pruned = store.files(("in", "cent_id", [5, 6]))
     assert 0 < len(pruned) < n_all
     assert {f.partition["cent_id"] for f in pruned} <= {5, 6}
+
+
+def test_spec_evolved_bucket_count_refuses(spark, tmp_path):
+    """Review finding: a file written under bucket(4, k) cannot fold onto
+    an 8-bucket grid (h%8 is not derivable from h%4) — after evolving the
+    spec to bucket(8, k), joining must refuse loudly on the OLD files
+    instead of silently dropping matches."""
+    cat = Catalog(str(tmp_path / "ev"))
+    left = spark.createDataFrame([(i, f"v{i}") for i in range(64)], "k long, lv string")
+    right = spark.createDataFrame([(i, f"w{i}") for i in range(64)], "k long, rv string")
+    cat.create_table("e.l", left.schema, partition_by=["bucket(4, k)"])
+    cat.append("e.l", spark, left)
+    cat.evolve_partition_spec("e.l", ["bucket(8, k)"])
+    cat.append("e.l", spark, left)  # new files under bucket(8)
+    cat.create_table("e.r", right.schema, partition_by=["bucket(8, k)"])
+    cat.append("e.r", spark, right)
+    with pytest.raises(BucketJoinError, match="bucket\\[4\\]"):
+        bucket_join(spark, cat.load("e.l"), cat.load("e.r"), "k").collect()
+
+
+def test_bucket_write_exact_for_big_longs_with_nulls(spark, tmp_path):
+    """Review finding: a nullable int64 batch upcasts to float64 in the
+    pandas bridge, rounding values above 2^53 — the writer now routes
+    integral columns through an exact masked path, so snowflake-scale
+    ids bucket correctly even in null-carrying batches."""
+    from datafusion_iceberg_spark.iceberg.transforms import bucket_value
+
+    big = (1 << 62) + 12345  # NOT representable in float64
+    cat = Catalog(str(tmp_path / "big"))
+    df = spark.createDataFrame(
+        [(big, "a"), (None, "n"), (7, "b")], "k long, v string"
+    )
+    cat.create_table("b.t", df.schema, partition_by=["bucket(8, k)"])
+    cat.append("b.t", spark, df)
+    t = cat.load("b.t")
+    by_bucket = {
+        f.partition["k_bucket"]: f.record_count for f in t.files()
+    }
+    assert by_bucket.get(bucket_value(big, 8), 0) >= 1
+    # and the pruned point-lookup finds the row
+    rows = t.to_df(spark, filters=("=", "k", big)).collect()
+    assert [r.v for r in rows] == ["a"]
