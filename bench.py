@@ -144,7 +144,6 @@ HEADLINE = [
     "dedup_bucketed_store_join",
     "stream_cdc_keyed_update_pairs",
     "iceberg_bucket_outer_join_scan",
-    "text_pii_redact",
     "sim_ivf_persisted_topk",
 ]
 

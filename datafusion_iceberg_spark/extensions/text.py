@@ -1626,137 +1626,3 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
 
-
-# --- PII scrubbing ----------------------------------------------------------
-
-# Pattern bank shared by the Spark plan and the DuckDB oracle: written in
-# the dialect intersection of Java regex and RE2 — explicit classes (no
-# \d/\b shorthand divergence), no backreferences, no lookaround.  Order
-# matters: EMAIL first so its digits never half-match as a phone.
-_PII_PATTERNS = [
-    (
-        "email",
-        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
-        "<EMAIL>",
-    ),
-    (
-        "phone",
-        "[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}",
-        "<PHONE>",
-    ),
-    (
-        "ipv4",
-        "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
-        "<IP>",
-    ),
-]
-
-
-def pii_redact(col):
-    """Chained codegen'd regexp_replace over the pattern bank — the
-    scrub stays JVM-side and whole-stage-codegen'd; per-pattern match
-    counts ride along for the audit report."""
-    red = col
-    for _, pat, token in _PII_PATTERNS:
-        red = F.regexp_replace(red, pat, token)
-    return red
-
-
-def _pii_fixture_sql(col: str) -> str:
-    """Deterministic PII injection, identical in both engines: the
-    synthetic corpus carries no digits at all, so the gate plants
-    engine-replayable PII on a doc_id schedule (every 3rd doc an email,
-    every 5th a phone, every 7th an IP — overlaps exercise multi-kind
-    docs)."""
-    return (
-        f"concat({col}, "
-        f" CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now') ELSE '' END,"
-        f" CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 010 4242 today' ELSE '' END,"
-        f" CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.42.7 logged' ELSE '' END)"
-    )
-
-
-@register(
-    "text_pii_redact",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, source,
-             concat(text,
-               CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com now') ELSE '' END,
-               CASE WHEN doc_id % 5 = 0 THEN ' call +1 555 010 4242 today' ELSE '' END,
-               CASE WHEN doc_id % 7 = 0 THEN ' host 10.0.42.7 logged' ELSE '' END) AS txt
-      FROM documents
-    ),
-    r AS (
-      SELECT doc_id, source,
-             len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+')) AS n_email,
-             len(regexp_extract_all(txt, '[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}')) AS n_phone,
-             len(regexp_extract_all(txt, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS n_ipv4,
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(txt,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
-                 '[+][0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}', '<PHONE>', 'g'),
-               '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g') AS red
-      FROM t
-    )
-    SELECT source,
-           COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
-           CAST(SUM(n_email) AS BIGINT) AS n_email,
-           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
-           CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
-           CAST(SUM(('0x' || substr(md5(red), 1, 8))::BIGINT) AS BIGINT) AS red_hash
-    FROM r GROUP BY source ORDER BY source
-    """,
-)
-def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing — the redaction stage every shipped training corpus
-    passes through: a pattern bank (email/phone/IPv4 here; extend in
-    place) scans each document ONCE map-side, counts per-kind matches
-    for the audit report, and rewrites matches to typed tokens.  All
-    codegen'd ``regexp_replace``/``regexp_extract_all`` — no Python in
-    the scan, shuffle carries only (source, counts).  The red_hash
-    column md5s every REDACTED text and sums per source, so the oracle
-    verifies the replacement output byte-exactly, not just the match
-    counts.  The corpus carries no organic digits, so the gate injects
-    deterministic PII on a doc_id schedule replayed identically in the
-    DuckDB oracle (overlapping schedules exercise multi-kind docs)."""
-    docs = scale_out(load_table(spark, sf_dir, "documents"))
-    t = docs.select(
-        "doc_id",
-        "source",
-        F.expr(_pii_fixture_sql("text")).alias("txt"),
-    )
-    counts = [
-        F.expr(f"size(regexp_extract_all(txt, '{pat}', 0))").alias(
-            f"n_{kind}"
-        )
-        for kind, pat, _ in _PII_PATTERNS
-    ]
-    r = t.select(
-        "doc_id",
-        "source",
-        *counts,
-        pii_redact(F.col("txt")).alias("red"),
-    )
-    total = sum(F.col(f"n_{k}") for k, _, _ in _PII_PATTERNS)
-    return (
-        r.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(total > 0, 1).otherwise(0))
-            .cast("long")
-            .alias("n_docs_with_pii"),
-            *[
-                F.sum(f"n_{k}").cast("long").alias(f"n_{k}")
-                for k, _, _ in _PII_PATTERNS
-            ],
-            F.sum(
-                F.conv(F.substring(F.md5("red"), 1, 8), 16, 10).cast("long")
-            )
-            .cast("long")
-            .alias("red_hash"),
-        )
-        .orderBy("source")
-    )
