@@ -145,6 +145,7 @@ HEADLINE = [
     "stream_cdc_keyed_update_pairs",
     "iceberg_bucket_outer_join_scan",
     "sim_ivf_persisted_topk",
+    "join_interval_overlap",
 ]
 
 

@@ -237,3 +237,122 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# --- interval overlap join (bucketed temporal join) -------------------------
+
+# Bucket width for the interval expansion: sized near the typical session
+# span so an interval expands to a handful of buckets (expansion factor =
+# span/W + 1; the shuffle carries (bucket, interval bounds), never event
+# payloads).  At 100 TB, W is the knob that trades expansion rows against
+# per-bucket candidate density — same role as Databricks' range-join bin
+# size hint.
+_OVERLAP_BUCKET_US = 3_600_000_000  # 1 hour
+
+
+def _overlap_sql(micros: str, seq: str) -> str:
+    """One SQL text, two engines: ``micros`` = epoch-microseconds fn,
+    ``seq`` = inclusive integer-range table function applied as
+    '<seq-open>lo, hi<seq-close>' via format placeholders."""
+    return f"""
+    WITH s0 AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              + INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    s1 AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM s0
+    ),
+    sess AS (
+        SELECT user_id, session_id,
+               MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM s1 GROUP BY user_id, session_id
+        HAVING COUNT(*) >= 2
+    ),
+    sb AS (
+        SELECT user_id, session_id, s_start, s_end, bucket
+        FROM sess {seq.format(lo=f"{micros}(s_start) DIV {_OVERLAP_BUCKET_US}",
+                              hi=f"{micros}(s_end) DIV {_OVERLAP_BUCKET_US}")}
+    ),
+    pts AS (
+        SELECT event_id, ts,
+               {micros}(ts) DIV {_OVERLAP_BUCKET_US} AS bucket
+        FROM events WHERE event_type = 'error'
+    ),
+    cand AS (
+        SELECT DISTINCT p.event_id, s.user_id, s.session_id
+        FROM pts p JOIN sb s
+          ON p.bucket = s.bucket
+         AND p.ts >= s.s_start AND p.ts <= s.s_end
+    )
+    SELECT event_id, COUNT(*) AS n_active,
+           CAST(MIN(user_id) AS BIGINT) AS min_user
+    FROM cand GROUP BY event_id ORDER BY event_id
+    """
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH s0 AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                              + INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    s1 AS (
+        SELECT user_id, ts,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_id
+        FROM s0
+    ),
+    sess AS (
+        SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM s1 GROUP BY user_id, session_id
+        HAVING COUNT(*) >= 2
+    ),
+    pts AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+    cand AS (
+        SELECT DISTINCT p.event_id, s.user_id, s.session_id
+        FROM pts p JOIN sess s
+          ON p.ts >= s.s_start AND p.ts <= s.s_end
+    )
+    SELECT event_id, COUNT(*) AS n_active,
+           CAST(MIN(user_id) AS BIGINT) AS min_user
+    FROM cand GROUP BY event_id ORDER BY event_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP JOIN, distributed: which user sessions (derived
+    gap>30min intervals, >=2 events) were ACTIVE at each error event —
+    the temporal containment join (point IN [start, end]) that a naive
+    plan executes as a theta-join cartesian.  The scale pattern: expand
+    each interval to the 1-hour buckets it covers (``sequence`` +
+    ``explode`` — expansion rows carry only bounds and ids), map each
+    point to ITS bucket, hash-join on the bucket, exact-filter the
+    containment, DISTINCT away multi-bucket double-hits.  Shuffle =
+    points + interval-bucket expansions, never the pair space; the
+    bucket width is the bin-size knob (Databricks' range-join hint
+    plays the same role).  The DuckDB oracle is the textbook theta
+    join — fine at oracle scale, the thing this plan exists to avoid
+    at 100 TB."""
+    from datafusion_iceberg_spark.operators.relational import sql_query
+
+    return sql_query(
+        spark,
+        sf_dir,
+        _overlap_sql(
+            "unix_micros",
+            "LATERAL VIEW explode(sequence({lo}, {hi})) b AS bucket",
+        ),
+    )
