@@ -388,3 +388,32 @@ def test_bucket_write_exact_for_big_longs_with_nulls(spark, tmp_path):
     # and the pruned point-lookup finds the row
     rows = t.to_df(spark, filters=("=", "k", big)).collect()
     assert [r.v for r in rows] == ["a"]
+
+
+def test_bucket_join_applies_mor_deletes(spark, tmp_path):
+    """The hoisted delete listing must still MASK deleted rows in every
+    per-bucket scan: a MOR position delete on the left side disappears
+    from the join output exactly as it does from a plain scan."""
+    cat = Catalog(str(tmp_path / "mor"))
+    left = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(32)], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(32)], "k long, rv string"
+    )
+    cat.create_table("m.l", left.schema, partition_by=["bucket(4, k)"])
+    cat.append("m.l", spark, left)
+    cat.create_table("m.r", right.schema, partition_by=["bucket(4, k)"])
+    cat.append("m.r", spark, right)
+    cat.delete_where_mor("m.l", spark, ("<", "k", 5))
+    lt, rt = cat.load("m.l"), cat.load("m.r")
+    spj = bucket_join(spark, lt, rt, "k")
+    keys = sorted(r.k for r in spj.collect())
+    assert keys == list(range(5, 32))
+    # outer flavor: deleted left rows are gone, unmatched RIGHT rows
+    # (none here) and the mask agree with the plain join
+    full = bucket_join(spark, lt, rt, "k", how="full")
+    fkeys = sorted(r.k for r in full.collect())
+    assert fkeys == list(range(0, 32))  # rows 0-4 survive via RIGHT side
+    rv_null = {r.k for r in full.collect() if r.lv is None}
+    assert rv_null == {0, 1, 2, 3, 4}
