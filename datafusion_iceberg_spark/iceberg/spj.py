@@ -99,6 +99,7 @@ def _bucket_groups(
     coarse: int,
     filters,
     spark: SparkSession,
+    snapshot_id: Optional[int] = None,
 ) -> tuple[list[list[DataFile]], list[DataFile], str]:
     """Partition the (pruned) data-file list onto the coarse bucket grid.
 
@@ -146,7 +147,7 @@ def _bucket_groups(
 
     groups: list[list[DataFile]] = [[] for _ in range(coarse)]
     null_files: list[DataFile] = []
-    for f in table.files(filters, spark=spark):
+    for f in table.files(filters, snapshot_id=snapshot_id, spark=spark):
         ent = _spec_bucket(f.spec_id)
         if ent is None:
             raise BucketJoinError(
@@ -212,6 +213,8 @@ def bucket_join(
     left_filters: Optional[Any] = None,
     right_filters: Optional[Any] = None,
     max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
+    left_snapshot_id: Optional[int] = None,
+    right_snapshot_id: Optional[int] = None,
 ) -> DataFrame:
     """Shuffle-free equi-join of two bucket-co-partitioned Iceberg tables.
 
@@ -240,10 +243,10 @@ def bucket_join(
     right_on = right_on if right_on is not None else left_on
     coarse = compatible_bucket_counts(left, right, left_on, right_on)
     lgroups, lnull, _ = _bucket_groups(
-        left, left_on, coarse, left_filters, spark
+        left, left_on, coarse, left_filters, spark, left_snapshot_id
     )
     rgroups, rnull, _ = _bucket_groups(
-        right, right_on, coarse, right_filters, spark
+        right, right_on, coarse, right_filters, spark, right_snapshot_id
     )
 
     same_name = left_on == right_on
@@ -252,8 +255,12 @@ def bucket_join(
     # hoist the delete-file listing: _scan_files(deletes=None) would
     # re-read every delete manifest PER BUCKET GROUP (4x coarse Avro
     # reads on a 4096-bucket join); list once per table and pass down
-    ldel, leq = left.position_delete_files(), left.equality_delete_files()
-    rdel, req = right.position_delete_files(), right.equality_delete_files()
+    # snapshot-scoped: a pinned side masks with ITS snapshot's deletes,
+    # exactly like to_df's time travel
+    ldel = left.position_delete_files(left_snapshot_id)
+    leq = left.equality_delete_files(left_snapshot_id)
+    rdel = right.position_delete_files(right_snapshot_id)
+    req = right.equality_delete_files(right_snapshot_id)
 
     def _scan_l(fl, filt):
         return left._scan_files(spark, fl, filt, deletes=ldel, eq_deletes=leq)

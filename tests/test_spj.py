@@ -417,3 +417,35 @@ def test_bucket_join_applies_mor_deletes(spark, tmp_path):
     assert fkeys == list(range(0, 32))  # rows 0-4 survive via RIGHT side
     rv_null = {r.k for r in full.collect() if r.lv is None}
     assert rv_null == {0, 1, 2, 3, 4}
+
+
+def test_bucket_join_snapshot_pins(spark, tmp_path):
+    """Time travel through the SPJ: a pinned side joins ITS snapshot's
+    files and delete coverage, like to_df(snapshot_id=...)."""
+    cat = Catalog(str(tmp_path / "tt"))
+    left = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(16)], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(16)], "k long, rv string"
+    )
+    cat.create_table("t.l", left.schema, partition_by=["bucket(4, k)"])
+    cat.append("t.l", spark, left)
+    cat.create_table("t.r", right.schema, partition_by=["bucket(4, k)"])
+    cat.append("t.r", spark, right)
+    lt = cat.load("t.l")
+    snap1 = lt.metadata.current_snapshot_id
+    # second commit doubles the left side's rows for keys >= 8
+    cat.append(
+        "t.l",
+        spark,
+        spark.createDataFrame(
+            [(i, f"x{i}") for i in range(8, 16)], "k long, lv string"
+        ),
+    )
+    lt = cat.load("t.l")
+    rt = cat.load("t.r")
+    pinned = bucket_join(spark, lt, rt, "k", left_snapshot_id=snap1)
+    assert pinned.count() == 16  # pre-append view: one row per key
+    current = bucket_join(spark, lt, rt, "k")
+    assert current.count() == 24  # 16 + the 8 duplicated keys
