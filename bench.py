@@ -146,6 +146,7 @@ HEADLINE = [
     "iceberg_bucket_outer_join_scan",
     "sim_ivf_persisted_topk",
     "join_interval_overlap",
+    "sample_weighted_no_replacement",
 ]
 
 

@@ -735,3 +735,55 @@ def sample_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch", "batch")
     )
+
+
+# --- weighted sampling without replacement ---------------------------------
+
+_WSAMPLE_K = 100
+
+
+@register(
+    "sample_weighted_no_replacement",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             greatest(n_chars, 1) AS w,
+             ROUND(
+               -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                   / 4294967297.0)
+               / greatest(n_chars, 1), 9) AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(w AS BIGINT) AS w, sample_key
+    FROM keyed ORDER BY sample_key, doc_id LIMIT {_WSAMPLE_K}
+    """,
+)
+def sample_weighted_no_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k WEIGHTED sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each doc draws key = -ln(u)/w from a DETERMINISTIC
+    md5-derived uniform u (no RNG state — reproducible on any engine,
+    any partitioning, any retry) and the global k smallest keys are the
+    sample; P(selection) follows the weights (here ``n_chars``: longer
+    docs proportionally likelier), the distributional contract
+    bernoulli/hash-fraction sampling cannot give.  One map-side pass +
+    a top-k (Spark plans TakeOrderedAndProject — per-partition heaps,
+    no global sort Exchange); at 100 TB the only data movement is k
+    rows per partition.  Keys round to 9 dp on both engines before
+    ranking (the repo's transcendental-portability rule), doc_id breaks
+    ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    key = F.round(-F.log((h + 1) / F.lit(4294967297.0)) / w, 9)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            w.cast("long").alias("w"),
+            key.alias("sample_key"),
+        )
+        .orderBy("sample_key", "doc_id")
+        .limit(_WSAMPLE_K)
+    )
