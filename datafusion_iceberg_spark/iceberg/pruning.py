@@ -511,6 +511,12 @@ def prune_data_files(
 
             if ice_t == "date":
                 return EPOCH_DATE + timedelta(days=raw)
+            if ice_t in ("timestamp_ns", "timestamptz_ns"):
+                # v3 ns-timestamps: decode_stat deliberately leaves the
+                # raw int64 nanos undecoded (stats.py) — the predicate
+                # domain is the integer, so the partition value must
+                # stay raw too (mirrors decode_stat's dispatch order).
+                return raw
             if ice_t.startswith("timestamptz"):
                 # decode_stat's timestamptz domain is tz-AWARE — a naive
                 # point stat would TypeError against aware predicate

@@ -692,25 +692,42 @@ class IcebergTable:
         subs = []
         for sid in sorted(by_spec):
             sfiles = by_spec[sid]
-            spaths = [meta.localize(f.path) for f in sfiles]
             part_cols = meta.partition_column_names(sid)
-            missing = []
+            # Probe EVERY file's footer for partition-column presence —
+            # "files of one spec share the physical layout" is an
+            # assumption, not an Iceberg guarantee, and Spark's ORC
+            # reader silently fills absent columns with NULL: a spec
+            # group mixing in-file and directory-only layouts would
+            # yield NULL partition values for the unprobed files.  Files
+            # are then grouped by their missing-column set so each
+            # layout reads on its correct path (mirrors the per-file
+            # _file_has_column probe the parquet v3-defaults leg uses).
+            by_missing: dict[frozenset, list[DataFile]] = {}
             if part_cols:
-                # one driver-side footer probe per spec group (not per
-                # file): files of one spec share the physical layout
-                probe = {
-                    fld.name for fld in spark.read.orc(spaths[0]).schema.fields
-                }
-                missing = [c for c in part_cols if c not in probe]
-            if missing:
-                sub = _read_groups_with_partition_values(
-                    spark, meta, sfiles, missing, fmt="orc"
-                )
+                for f in sfiles:
+                    probe = {
+                        fld.name
+                        for fld in spark.read.orc(
+                            meta.localize(f.path)
+                        ).schema.fields
+                    }
+                    miss = frozenset(c for c in part_cols if c not in probe)
+                    by_missing.setdefault(miss, []).append(f)
             else:
-                rpaths = _compact_read_paths(spaths)
-                _tune_listing_parallelism(spark, len(rpaths))
-                sub = spark.read.schema(st).orc(*rpaths)
-            subs.append(sub)
+                by_missing[frozenset()] = list(sfiles)
+            for miss in sorted(by_missing, key=sorted):
+                gfiles = by_missing[miss]
+                if miss:
+                    sub = _read_groups_with_partition_values(
+                        spark, meta, gfiles, sorted(miss), fmt="orc"
+                    )
+                else:
+                    rpaths = _compact_read_paths(
+                        [meta.localize(f.path) for f in gfiles]
+                    )
+                    _tune_listing_parallelism(spark, len(rpaths))
+                    sub = spark.read.schema(st).orc(*rpaths)
+                subs.append(sub)
         df = subs[0]
         for s in subs[1:]:
             df = df.unionByName(s)

@@ -23,9 +23,9 @@ _REPO_ROOT = os.path.dirname(
 )
 
 # Queries ALLOWED to run under the driver's weaker rows-only check (no
-# oracle).  Empty today — 298/298 gates carry DuckDB oracles; a future
-# genuinely non-SQL-expressible op must be listed HERE, by name, to pass
-# this gate without one.
+# oracle).  Empty today — every registered gate carries a DuckDB oracle;
+# a future genuinely non-SQL-expressible op must be listed HERE, by
+# name, to pass this gate without one.
 ROWS_ONLY_ALLOWED: frozenset[str] = frozenset()
 
 
@@ -41,10 +41,18 @@ def registry_violations() -> list[tuple[str, str]]:
 
     # every bench headline name must be a registered query (a renamed
     # gate would otherwise crash bench.py at driver time, or — worse — a
-    # deleted one silently shrink the recorded surface)
+    # deleted one silently shrink the recorded surface).  bench.py lives
+    # at the repo root, which is NOT guaranteed to be on sys.path (the
+    # gate may run from another CWD or an installed package) — load it
+    # by file path.
     try:
-        import bench
+        import importlib.util
 
+        _spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(_REPO_ROOT, "bench.py")
+        )
+        bench = importlib.util.module_from_spec(_spec)
+        _spec.loader.exec_module(bench)
         headline = list(bench.HEADLINE)
     except Exception:
         headline = []

@@ -24,6 +24,21 @@ from datafusion_iceberg_spark.tables import load_table, table_path
 _counter = 0
 
 
+def _drain_and_mark(q, marker: str) -> None:
+    """Await an availableNow drain and stamp the fixture marker ONLY on
+    a complete drain — a timed-out run leaves truncated output that an
+    unconditional marker would cache forever (ADVICE r13; mirrors
+    drain.py's guard)."""
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "availableNow drain did not complete within 300s; "
+            "no fixture marker written"
+        )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
 def iceberg_upsert_sink(
     cat,
     ident: str,
@@ -359,9 +374,7 @@ def stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
-            with open(marker, "w") as fh:
-                fh.write("ok")
+            _drain_and_mark(q, marker)
     table = cat.load("stream.events_sink")
     assert isinstance(table, IcebergTable)
     return (
@@ -493,9 +506,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
-            with open(marker, "w") as fh:
-                fh.write("ok")
+            _drain_and_mark(q, marker)
     table = cat.load("stream.user_state")
     assert isinstance(table, IcebergTable)
     return (
@@ -589,9 +600,7 @@ def stream_cdc_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
-            with open(marker, "w") as fh:
-                fh.write("ok")
+            _drain_and_mark(q, marker)
     out = spark.read.parquet(out_dir).filter(F.col("_change_ordinal") > 0)
     return (
         out.groupBy(
@@ -688,9 +697,7 @@ def stream_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
-            with open(marker, "w") as fh:
-                fh.write("ok")
+            _drain_and_mark(q, marker)
     return (
         spark.read.parquet(out_dir)
         .groupBy("_change_ordinal", "_change_type")
@@ -820,9 +827,7 @@ def stream_upsert_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
-            with open(marker, "w") as fh:
-                fh.write("ok")
+            _drain_and_mark(q, marker)
     table = cat.load("stream.user_state_eq")
     assert isinstance(table, IcebergTable)
     return (
@@ -993,9 +998,7 @@ def stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
-            with open(marker, "w") as fh:
-                fh.write("ok")
+            _drain_and_mark(q, marker)
     table = cat.load("stream.user_dim")
     assert isinstance(table, IcebergTable)
     return table.to_df(spark).orderBy("user_id", "valid_from")
@@ -1077,9 +1080,7 @@ def stream_cdc_lineage_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
-            with open(marker, "w") as fh:
-                fh.write("ok")
+            _drain_and_mark(q, marker)
     out = spark.read.parquet(out_dir).filter(F.col("_change_ordinal") > 0)
     per_type = out.groupBy(
         F.col("_change_type").alias("change_type")
@@ -1731,9 +1732,7 @@ def stream_cdc_keyed_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
-            with open(marker, "w") as fh:
-                fh.write("ok")
+            _drain_and_mark(q, marker)
     out = spark.read.parquet(out_dir).filter(F.col("_change_ordinal") > 0)
     per_type = out.groupBy(
         F.col("_change_type").alias("change_type")
