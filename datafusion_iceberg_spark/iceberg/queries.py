@@ -5922,3 +5922,289 @@ def iceberg_bucket_outer_join_scan(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: SPJ hardening — composite keys, bounded plan width, SPA,
+# runtime-filter composition (VERDICT r13 #1, #2, #8)
+# ---------------------------------------------------------------------------
+
+def _rev_micros():
+    """Exact-integer-micros revenue aggregate (lazy: building a Column
+    needs an active SparkContext, and this module imports before the
+    bench CLI starts its session)."""
+    return (
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .cast("decimal(18,0)")
+        ).cast("double")
+        / 1000000
+    )
+
+
+@register(
+    "iceberg_bucket_agg_scan",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM lineitem GROUP BY l_orderkey
+    HAVING COUNT(*) >= 7 ORDER BY l_orderkey
+    """,
+)
+def iceberg_bucket_agg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-partitioned AGGREGATION (VERDICT r13 #2): groupBy on the
+    bucket source column of a ``bucket(16, l_orderkey)`` table runs as a
+    union of per-branch single-partition aggregations — each bucket
+    holds ALL rows for its keys, so no final combine Exchange exists
+    anywhere in the plan (asserted in tests/test_spj.py: zero Exchange
+    of any kind below the HAVING sort).  The shuffle real SPJ
+    aggregation elides via KeyGroupedPartitioning (SPARK-32709); the
+    reference's partition-grouped scan units enable the same shape
+    (table.rs:128-131)."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_agg
+
+    cat = _spj_fixture(spark, sf_dir)
+    li = cat.load("fact.lineitem_bkt")
+    agg = bucket_agg(
+        spark,
+        li,
+        ["l_orderkey"],
+        [
+            F.count(F.lit(1)).alias("n_items"),
+            _rev_micros().alias("revenue"),
+        ],
+        max_branches=16,
+    )
+    return agg.filter(F.col("n_items") >= 7).orderBy("l_orderkey")
+
+
+_spjc_warehouses: dict[str, "Catalog"] = {}
+
+
+def _spj_composite_fixture(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Two lineitem projections co-partitioned on the COMPOSITE key
+    (l_orderkey, l_linenumber): ``bucket(16, l_orderkey) +
+    identity(l_linenumber)`` on the left vs ``bucket(8, ...) +
+    identity(...)`` on the right — the production layout Spark-Iceberg's
+    SPJ handles via KeyGroupedPartitioning (SPARK-37375), with
+    deliberately different counts so the bucket position folds 16 → 8
+    while the identity position groups by exact value."""
+    with _lock:
+        cat = _spjc_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_spjc")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            li = load_table(spark, sf_dir, "lineitem")
+            lt = li.select("l_orderkey", "l_linenumber", "l_quantity")
+            rt = li.select(
+                "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+            )
+            cat.create_table(
+                "comp.li_qty",
+                lt.schema,
+                partition_by=["bucket(16, l_orderkey)", "l_linenumber"],
+            )
+            cat.append("comp.li_qty", spark, lt)
+            cat.create_table(
+                "comp.li_price",
+                rt.schema,
+                partition_by=["bucket(8, l_orderkey)", "l_linenumber"],
+            )
+            cat.append("comp.li_price", spark, rt)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _spjc_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_bucket_composite_join_scan",
+    oracle="""
+    SELECT a.l_linenumber AS l_linenumber, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(FLOOR(a.l_quantity * 100 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS qty_sum,
+           CAST(SUM(CAST(CAST(FLOOR((b.l_extendedprice * (1 - b.l_discount)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+    GROUP BY a.l_linenumber ORDER BY l_linenumber
+    """,
+)
+def iceberg_bucket_composite_join_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOSITE-key SPJ (VERDICT r13 #1a): join on (l_orderkey,
+    l_linenumber) where the first position is bucketed (16 folds onto 8)
+    and the second is identity-partitioned — files group by the full
+    partition tuple, the per-tuple groups pack into ≤16 union branches,
+    and the plan carries zero shuffle Exchange on either join key
+    (tests/test_spj.py)."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join
+
+    cat = _spj_composite_fixture(spark, sf_dir)
+    joined = bucket_join(
+        spark,
+        cat.load("comp.li_qty"),
+        cat.load("comp.li_price"),
+        left_on=["l_orderkey", "l_linenumber"],
+        max_branches=16,
+    )
+    return (
+        joined.groupBy("l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(
+                    F.floor(F.col("l_quantity") * 100 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 100
+            ).alias("qty_sum"),
+            _rev_micros().alias("revenue"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+_spjw_warehouses: dict[str, "Catalog"] = {}
+
+
+def _spj_wide_fixture(spark: SparkSession, sf_dir: str) -> Catalog:
+    """A WIDE bucket layout — orders self-join sides bucketed 256 and
+    512 ways — to prove the r13 docstring's own sizing example: without
+    branch coalescing this join would build a 256-branch Catalyst plan
+    (the known plan-analysis cost cliff); with ``max_branches`` the 256
+    occupied bucket groups pack into ≤32 union branches."""
+    with _lock:
+        cat = _spjw_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_spjw")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders")
+            lt = orders.select("o_orderkey", "o_totalprice")
+            rt = orders.select("o_orderkey", "o_orderstatus")
+            cat.create_table(
+                "wide.o_price",
+                lt.schema,
+                partition_by=["bucket(256, o_orderkey)"],
+            )
+            cat.append("wide.o_price", spark, lt)
+            cat.create_table(
+                "wide.o_status",
+                rt.schema,
+                partition_by=["bucket(512, o_orderkey)"],
+            )
+            cat.append("wide.o_status", spark, rt)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _spjw_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_bucket_wide_join_scan",
+    oracle="""
+    SELECT b.o_orderstatus AS o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(FLOOR(a.o_totalprice * 100 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS total
+    FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey
+    GROUP BY b.o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def iceberg_bucket_wide_join_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BOUNDED-WIDTH SPJ (VERDICT r13 #1b): 256 bucket groups
+    (bucket[512] folds onto the 256 grid) coalesce into ≤32 union
+    branches via LPT bin-packing on manifest byte sums — packing whole
+    groups is correctness-free because the partition tuple is a function
+    of the join key, so cross-group rows can never equi-match.  Plan
+    width and planning wall-time are asserted in tests/test_spj.py."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join
+
+    cat = _spj_wide_fixture(spark, sf_dir)
+    joined = bucket_join(
+        spark,
+        cat.load("wide.o_price"),
+        cat.load("wide.o_status"),
+        left_on="o_orderkey",
+        max_branches=32,
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 100
+            ).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "iceberg_bucket_join_pruned_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'P' AND o_orderpriority = '1-URGENT'
+    """,
+)
+def iceberg_bucket_join_pruned_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SPJ × runtime file pruning (VERDICT r13 #8): the selectively
+    filtered orders side is scanned once for its surviving join keys,
+    the derived IN-list folds through the bucket transform
+    (transforms.py::rewrite_pred), and lineitem buckets holding none of
+    those keys are PRUNED FROM THE FILE LISTING before branches form —
+    dynamic partition pruning composed with the shuffle-free join.
+    Inner-only: the derived predicate is implied by the join.  File-count
+    reduction and the preserved zero-Exchange property are asserted in
+    tests/test_spj.py."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join
+
+    cat = _spj_fixture(spark, sf_dir)
+    joined = bucket_join(
+        spark,
+        cat.load("fact.orders_bkt"),
+        cat.load("fact.lineitem_bkt"),
+        left_on="o_orderkey",
+        right_on="l_orderkey",
+        left_filters=(
+            "and",
+            ("=", "o_orderstatus", "P"),
+            ("=", "o_orderpriority", "1-URGENT"),
+        ),
+        runtime_prune="right",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _rev_micros().alias("revenue"),
+    )

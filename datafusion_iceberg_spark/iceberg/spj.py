@@ -1,4 +1,5 @@
-"""Storage-partitioned joins (SPJ) over bucket-partitioned Iceberg tables.
+"""Storage-partitioned joins and aggregation (SPJ) over bucket-partitioned
+Iceberg tables.
 
 The single largest avoidable shuffle at 100 TB is a fact-to-fact equi-join
 of two tables that are ALREADY co-partitioned on the join key by an Iceberg
@@ -15,50 +16,72 @@ PySpark's Python-level APIs cannot report a partitioning contract to
 Catalyst, so this module builds the SPJ plan explicitly from table
 metadata the planner already holds:
 
-    for each bucket b in range(coarse):
-        scan LEFT's  bucket-b data files   (|L| / N bytes, no shuffle)
-        scan RIGHT's bucket-b data files   (|R| / M bytes, no shuffle)
-        BroadcastHashJoin the smaller side ( min(|L|,|R|) / coarse bytes)
-    UNION ALL the per-bucket joins
+    group each side's (pruned) data files by partition tuple
+    pack the occupied tuples into <= max_branches branches (LPT bin-pack
+        on the broadcast-side bytes, from manifest metadata -- free)
+    for each branch:
+        scan LEFT's  branch files   (no shuffle)
+        scan RIGHT's branch files   (no shuffle)
+        BroadcastHashJoin the smaller side
+    UNION ALL the per-branch joins
 
-The union of per-bucket broadcast joins contains ZERO shuffle Exchange on
-the join keys: total bytes scanned equal one full scan of each side (each
-file appears in exactly one bucket group), and the only data movement is
-the per-bucket broadcast of the smaller side — ``min(|L|,|R|) / coarse``
-bytes per task, which the table owner sizes via N at write time (a 1 TB
-signature store bucketed 4096 ways broadcasts 250 MB per bucket).  A bucket
-whose smaller side still exceeds ``max_broadcast_bytes`` degrades to a
-shuffle join FOR THAT BUCKET ONLY (file-size sums come from manifest
-metadata, so the decision is free) — skew degrades one bucket, not the
+The union contains ZERO shuffle Exchange on the join keys: total bytes
+scanned equal one full scan of each side (each file appears in exactly one
+partition group, each group in exactly one branch), and the only data
+movement is the per-branch broadcast of the smaller side.  Packing multiple
+groups into a branch is correctness-free: the partition tuple is a FUNCTION
+of the join key, so rows from different groups can never equi-match -- a
+branch-level join equals the union of its groups' joins.  Bounding the
+branch count keeps the Catalyst plan small (a 4096-bucket table yields a
+64-branch plan, not 4096 subtrees -- plan analysis at that width is a known
+Catalyst cost cliff) at the price of a larger per-branch broadcast; the
+LPT packing keeps branches within ~4/3 of the optimal load.
+
+Composite keys (the common production layout, e.g. ``bucket(N, k)`` +
+``identity(region)``): every key position must be partition-backed on both
+sides -- bucket positions fold onto the shared coarse grid (``bucket[kN]``
+values reduce to ``bucket[N]`` by ``% N``; two specs are join-compatible
+whenever one count divides the other), identity positions group by the
+exact partition value.  At least one position must be bucketed.  This is
+the KeyGroupedPartitioning compatibility shape of Spark-Iceberg's SPJ
+(SPARK-37375).
+
+A branch whose smaller side exceeds ``max_broadcast_bytes`` degrades to a
+shuffle join FOR THAT BRANCH ONLY (file-size sums come from manifest
+metadata, so the decision is free) -- skew degrades one branch, not the
 plan.
 
-Bucket compatibility follows the Iceberg spec's transform algebra: the
-murmur3 bucket value is ``(hash & MAX_INT) % N``, so ``bucket[kN]`` values
-reduce to ``bucket[N]`` values by ``% N`` — two specs are join-compatible
-whenever one bucket count divides the other, and the finer side's groups
-fold onto the coarser grid.
-
 Correctness notes:
-  * rows with NULL join keys land in the null-bucket partition and are
-    excluded from every bucket group (no equi-join can match them);
+  * rows with NULL in any join-key position land in a null partition and
+    are excluded from every branch (no equi-join can match them);
     preserved sides of LEFT/RIGHT/FULL joins re-attach those files
-    null-extended, along with buckets whose other side is empty — see
-    ``bucket_join``'s docstring for the outer-join decompositions.
-  * MOR deletes apply per bucket group through the same
+    null-extended, along with branch sides whose other side is empty --
+    see ``bucket_join``'s docstring for the outer-join decompositions.
+  * MOR deletes apply per branch through the same
     ``IcebergTable._scan_files`` path as a full scan (position deletes
     match by file path; equality deletes are a global key predicate and
     commute with partitioning).
   * exact filters are re-applied by ``_scan_files`` after pruning, so
     pushed predicates stay exact per the table-scan contract.
+
+``bucket_agg`` extends the same elision to the other big shuffle: a
+``groupBy`` whose keys INCLUDE the bucket source column needs no final
+Exchange -- each bucket holds every row for its keys, so a branch read as
+ONE partition aggregates its keys completely.  ``coalesce(1)`` makes the
+branch report ``SinglePartition``, which satisfies the aggregation's
+ClusteredDistribution, and Catalyst plans partial+final HashAggregate
+back-to-back with no Exchange (the plan real SPJ aggregation produces via
+KeyGroupedPartitioning, SPARK-32709).
 """
 
 from __future__ import annotations
 
+import heapq
 import re
 
-from typing import Any, Optional
+from typing import Any, Optional, Sequence, Union
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_iceberg_spark.iceberg.manifests import DataFile
@@ -66,13 +89,22 @@ from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
 _BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
 
-# Per-bucket broadcast ceiling.  Spark's own autoBroadcastJoinThreshold
+# Per-branch broadcast ceiling.  Spark's own autoBroadcastJoinThreshold
 # defaults to 10 MB because a broadcast ships to EVERY executor; here each
-# bucket's broadcast ships once per task that joins that bucket, and the
+# branch's broadcast ships once per task that joins that branch, and the
 # table owner chose N precisely to make |side| / N memory-resident, so the
-# ceiling is generous.  Manifest file sizes are compressed bytes; the 8×
+# ceiling is generous.  Manifest file sizes are compressed bytes; the 8x
 # headroom vs a typical 4 GiB task heap absorbs decode expansion.
 DEFAULT_MAX_BROADCAST_BYTES = 512 << 20
+
+# Plan-width ceiling: the union is capped at this many branches however
+# many buckets the table has.  64 branches saturate a 64-slot stage while
+# keeping the Catalyst tree and the number of broadcast stages bounded;
+# raise it when the per-branch broadcast (|small side| / branches) must
+# shrink below max_broadcast_bytes.
+DEFAULT_MAX_BRANCHES = 64
+
+KeySpec = Union[str, Sequence[str]]
 
 
 class BucketJoinError(ValueError):
@@ -93,95 +125,77 @@ def bucket_partitioning(table: IcebergTable) -> dict[str, tuple[int, str]]:
     return out
 
 
-def _bucket_groups(
-    table: IcebergTable,
-    col: str,
-    coarse: int,
-    filters,
-    spark: SparkSession,
-    snapshot_id: Optional[int] = None,
-) -> tuple[list[list[DataFile]], list[DataFile], str]:
-    """Partition the (pruned) data-file list onto the coarse bucket grid.
+def _as_cols(on: KeySpec, side: str) -> list[str]:
+    if isinstance(on, str):
+        return [on]
+    cols = list(on)
+    if not cols:
+        raise BucketJoinError(f"empty {side} join-key list")
+    return cols
 
-    Returns ``coarse`` lists of files, the NULL-key files (partition
-    value null — their rows can never equi-match, but outer joins must
-    still preserve them), and the partition field name.  Files written
-    under an evolved spec that lacks the bucket field have no
-    co-location guarantee — refuse loudly rather than silently produce a
-    wrong join."""
-    meta = table.metadata
-    spec = bucket_partitioning(table)
-    if col not in spec:
+
+def compatible_partitioning(
+    left: IcebergTable,
+    right: IcebergTable,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> list[tuple]:
+    """Per-position partitioning contract for a composite SPJ key.
+
+    Returns one descriptor per key position: ``("bucket", coarse)`` when
+    both sides carry ``bucket[..]`` on that column (coarse = the shared
+    grid both counts fold onto), ``("identity",)`` when neither does
+    (verified identity-partitioned per FILE later).  Raises
+    :class:`BucketJoinError` on incompatible counts, on a position
+    bucketed on one side only, or when no position is bucketed at all.
+    """
+    if len(left_cols) != len(right_cols):
         raise BucketJoinError(
-            f"column {col!r} is not bucket-partitioned in the default spec "
-            f"(bucketed columns: {sorted(spec)})"
+            f"join-key arity mismatch: {left_cols} vs {right_cols}"
         )
-    if spec[col][0] % coarse != 0:
+    lspec = bucket_partitioning(left)
+    rspec = bucket_partitioning(right)
+    kinds: list[tuple] = []
+    for lc, rc in zip(left_cols, right_cols):
+        lb, rb = lspec.get(lc), rspec.get(rc)
+        if lb is not None and rb is not None:
+            n, m = lb[0], rb[0]
+            coarse = min(n, m)
+            if max(n, m) % coarse != 0:
+                raise BucketJoinError(
+                    f"incompatible bucket counts: bucket[{n}] vs "
+                    f"bucket[{m}] — neither divides the other, so bucket "
+                    "values do not fold onto a shared grid"
+                )
+            kinds.append(("bucket", coarse))
+        elif lb is None and rb is None:
+            kinds.append(("identity",))
+        else:
+            side, col = ("left", lc) if lb is None else ("right", rc)
+            raise BucketJoinError(
+                f"{side} table is not bucket-partitioned on {col!r} while "
+                "the other side is — a bucket/identity mix on one key "
+                "position has no co-location guarantee"
+            )
+    if not any(k[0] == "bucket" for k in kinds):
+        if len(left_cols) == 1:
+            raise BucketJoinError(
+                f"left table is not bucket-partitioned on {left_cols[0]!r} "
+                f"(and right is not on {right_cols[0]!r})"
+            )
         raise BucketJoinError(
-            f"bucket[{spec[col][0]}] on {col!r} does not fold onto a "
-            f"{coarse}-bucket grid"
+            "no position of the composite join key is bucket-partitioned "
+            "on both sides — add the bucket field that drives file "
+            "co-location, or use a plain join"
         )
-
-    # Per-FILE spec resolution: a spec-evolved table mixes files written
-    # under different specs, and only the file's OWN spec says how its
-    # partition value folds.  A file under bucket[4] cannot fold onto an
-    # 8-bucket grid (h%8 is not derivable from h%4) — checking only the
-    # field NAME here would group such files by a wrong grid and the
-    # join would silently drop matching rows, so each file's spec must
-    # carry a bucket transform on the column with a count the coarse
-    # grid divides.
-    by_id = {f["id"]: f["name"] for f in meta.current_schema["fields"]}
-    spec_cache: dict[int, Optional[tuple[int, str]]] = {}
-
-    def _spec_bucket(spec_id: int) -> Optional[tuple[int, str]]:
-        if spec_id not in spec_cache:
-            fields = meta.partition_fields_for_spec(spec_id)
-            ent = None
-            for pf in fields or []:
-                m = _BUCKET_RE.match(pf.transform)
-                if m and by_id.get(pf.source_id) == col:
-                    ent = (int(m.group(1)), pf.name)
-                    break
-            spec_cache[spec_id] = ent
-        return spec_cache[spec_id]
-
-    groups: list[list[DataFile]] = [[] for _ in range(coarse)]
-    null_files: list[DataFile] = []
-    for f in table.files(filters, snapshot_id=snapshot_id, spark=spark):
-        ent = _spec_bucket(f.spec_id)
-        if ent is None:
-            raise BucketJoinError(
-                f"data file {f.path} was written under spec {f.spec_id}, "
-                f"which has no bucket transform on {col!r} — no "
-                "co-location guarantee; rewrite old files or use a "
-                "plain join"
-            )
-        n_f, pname_f = ent
-        if n_f % coarse != 0:
-            raise BucketJoinError(
-                f"data file {f.path} was written under bucket[{n_f}], "
-                f"which does not fold onto the {coarse}-bucket grid — "
-                "rewrite old files or use a plain join"
-            )
-        if pname_f not in f.partition:
-            raise BucketJoinError(
-                f"data file {f.path} carries no partition value for "
-                f"{pname_f!r} — rewrite old files or use a plain join"
-            )
-        b = f.partition[pname_f]
-        if b is None:
-            # null join key: unmatchable by any equi-join; preserved
-            # sides of outer joins re-attach these null-extended
-            null_files.append(f)
-            continue
-        groups[int(b) % coarse].append(f)
-    return groups, null_files, spec[col][1]
+    return kinds
 
 
 def compatible_bucket_counts(
     left: IcebergTable, right: IcebergTable, left_on: str, right_on: str
 ) -> int:
-    """The coarse (shared) bucket count, or raise ``BucketJoinError``."""
+    """The coarse (shared) bucket count for a single-column key, or raise
+    ``BucketJoinError``."""
     lspec = bucket_partitioning(left)
     rspec = bucket_partitioning(right)
     if left_on not in lspec:
@@ -192,71 +206,246 @@ def compatible_bucket_counts(
         raise BucketJoinError(
             f"right table is not bucket-partitioned on {right_on!r}"
         )
-    n, m = lspec[left_on][0], rspec[right_on][0]
-    coarse = min(n, m)
-    if max(n, m) % coarse != 0:
-        raise BucketJoinError(
-            f"incompatible bucket counts: bucket[{n}] vs bucket[{m}] — "
-            "neither divides the other, so bucket values do not fold onto "
-            "a shared grid"
-        )
-    return coarse
+    kinds = compatible_partitioning(left, right, [left_on], [right_on])
+    return kinds[0][1]
+
+
+def _partition_groups(
+    table: IcebergTable,
+    cols: list[str],
+    kinds: list[tuple],
+    filters,
+    spark: SparkSession,
+    snapshot_id: Optional[int] = None,
+) -> tuple[dict[tuple, list[DataFile]], list[DataFile]]:
+    """Group the (pruned) data-file list by its join-key partition tuple.
+
+    Returns ``{key_tuple: files}`` plus the NULL-key files (some position's
+    partition value is null — their rows can never equi-match, but outer
+    joins must still preserve them).  Per-FILE spec resolution: a
+    spec-evolved table mixes files written under different specs, and only
+    the file's OWN spec says how its partition value folds — a file under
+    ``bucket[4]`` cannot fold onto an 8-bucket grid (h%8 is not derivable
+    from h%4), and a file whose spec lacks an identity field for a key
+    position carries no co-location guarantee for it.  Such files refuse
+    loudly rather than silently produce a wrong join."""
+    meta = table.metadata
+    by_id = {f["id"]: f["name"] for f in meta.current_schema["fields"]}
+    spec_cache: dict[int, list[tuple]] = {}
+
+    def _resolve(spec_id: int) -> list[tuple]:
+        """Per key position: ("bucket", coarse, pname) | ("identity",
+        None, pname) under THIS spec, or raise."""
+        if spec_id in spec_cache:
+            return spec_cache[spec_id]
+        fields = meta.partition_fields_for_spec(spec_id) or []
+        ents: list[tuple] = []
+        for col, kind in zip(cols, kinds):
+            ent = None
+            for pf in fields:
+                if by_id.get(pf.source_id) != col:
+                    continue
+                m = _BUCKET_RE.match(pf.transform)
+                if kind[0] == "bucket" and m:
+                    n_f = int(m.group(1))
+                    if n_f % kind[1] != 0:
+                        raise BucketJoinError(
+                            f"spec {spec_id} was written under "
+                            f"bucket[{n_f}] on {col!r}, which does not "
+                            f"fold onto the {kind[1]}-bucket grid — "
+                            "rewrite old files or use a plain join"
+                        )
+                    ent = ("bucket", kind[1], pf.name)
+                    break
+                if kind[0] == "identity" and pf.transform == "identity":
+                    ent = ("identity", None, pf.name)
+                    break
+            if ent is None:
+                want = "bucket" if kind[0] == "bucket" else "identity"
+                raise BucketJoinError(
+                    f"spec {spec_id} has no {want} transform on {col!r} — "
+                    "no co-location guarantee; rewrite old files or use a "
+                    "plain join"
+                )
+            ents.append(ent)
+        spec_cache[spec_id] = ents
+        return ents
+
+    groups: dict[tuple, list[DataFile]] = {}
+    null_files: list[DataFile] = []
+    for f in table.files(filters, snapshot_id=snapshot_id, spark=spark):
+        try:
+            ents = _resolve(f.spec_id)
+        except BucketJoinError as e:
+            raise BucketJoinError(f"data file {f.path}: {e}") from None
+        key: list[Any] = []
+        has_null = False
+        for kind, coarse, pname in ents:
+            if pname not in f.partition:
+                raise BucketJoinError(
+                    f"data file {f.path} carries no partition value for "
+                    f"{pname!r} — rewrite old files or use a plain join"
+                )
+            v = f.partition[pname]
+            if v is None:
+                has_null = True
+                break
+            key.append(int(v) % coarse if kind == "bucket" else v)
+        if has_null:
+            null_files.append(f)
+            continue
+        groups.setdefault(tuple(key), []).append(f)
+    return groups, null_files
+
+
+def _pack_branches(
+    keys_loads: list[tuple[tuple, int]], max_branches: int
+) -> list[list[tuple]]:
+    """LPT bin-packing of partition groups into ≤ ``max_branches``
+    branches: heaviest group first onto the least-loaded branch — the
+    classic bound keeps every branch within 4/3 of the optimal load, so
+    the per-branch broadcast stays predictable.  Deterministic (size
+    then key-repr order) so plans are stable across runs."""
+    ordered = sorted(keys_loads, key=lambda kl: (-kl[1], repr(kl[0])))
+    if len(ordered) <= max_branches:
+        return [[k] for k, _ in ordered]
+    heap: list[tuple[int, int]] = [(0, i) for i in range(max_branches)]
+    heapq.heapify(heap)
+    branches: list[list[tuple]] = [[] for _ in range(max_branches)]
+    for k, load in ordered:
+        tot, i = heapq.heappop(heap)
+        branches[i].append(k)
+        heapq.heappush(heap, (tot + load, i))
+    return [b for b in branches if b]
 
 
 def bucket_join(
     spark: SparkSession,
     left: IcebergTable,
     right: IcebergTable,
-    left_on: str,
-    right_on: Optional[str] = None,
+    left_on: KeySpec,
+    right_on: Optional[KeySpec] = None,
     how: str = "inner",
     left_filters: Optional[Any] = None,
     right_filters: Optional[Any] = None,
     max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
     left_snapshot_id: Optional[int] = None,
     right_snapshot_id: Optional[int] = None,
+    max_branches: int = DEFAULT_MAX_BRANCHES,
+    runtime_prune: Optional[str] = None,
 ) -> DataFrame:
     """Shuffle-free equi-join of two bucket-co-partitioned Iceberg tables.
 
     Returns the joined DataFrame (all left columns then all right columns,
-    join key deduplicated when the names match) whose physical plan is a
-    UNION of per-bucket joins with no shuffle Exchange on the join keys.
+    join keys deduplicated when the names match) whose physical plan is a
+    UNION of ≤ ``max_branches`` per-branch joins with no shuffle Exchange
+    on the join keys.
+
+    ``left_on``/``right_on`` accept a single column or a composite key
+    list: one-plus positions bucketed (compatible counts fold onto the
+    shared grid), the rest identity-partitioned — the production layout
+    Spark-Iceberg's SPJ handles (SPARK-37375).
 
     ``how``: inner | left | right | full.  Outer flavors stay
     broadcast-only by DECOMPOSITION — Spark's BroadcastHashJoin cannot
     build on the preserved side, and supports no full-outer at all, so:
 
-    * left  = per-bucket ``LEFT OUTER`` (right side broadcast) + the
-      left NULL-key files null-extended + left buckets with no right
+    * left  = per-branch ``LEFT OUTER`` (right side broadcast) + the
+      left NULL-key files null-extended + left branches with no right
       files null-extended (no probe needed — nothing can match);
     * right = symmetric;
-    * full  = per-bucket ``inner ∪ left-anti ∪ right-anti`` (each leg a
+    * full  = per-branch ``inner ∪ left-anti ∪ right-anti`` (each leg a
       BroadcastHashJoin; anti legs null-extended) + both sides'
       unmatched-by-construction files — each side is scanned twice in
       the anti decomposition, the price of keeping every leg
-      broadcastable instead of shuffling per-bucket SortMergeJoins.
+      broadcastable instead of shuffling per-branch SortMergeJoins.
+
+    ``runtime_prune`` ("left" | "right", inner-only) composes the SPJ
+    with metadata-level runtime file pruning (runtime_filter.py): the
+    OTHER side — typically a selectively filtered dim — is scanned once
+    for its distinct join keys, and the named side's file listing is
+    pruned by the derived IN-list/interval predicate BEFORE branches
+    form, so a filtered dim skips fact files inside every bucket group.
     """
     if how not in ("inner", "left", "right", "full"):
         raise BucketJoinError(
             f"bucket_join supports inner/left/right/full (got {how!r})"
         )
-    right_on = right_on if right_on is not None else left_on
-    coarse = compatible_bucket_counts(left, right, left_on, right_on)
-    lgroups, lnull, _ = _bucket_groups(
-        left, left_on, coarse, left_filters, spark, left_snapshot_id
+    lcols = _as_cols(left_on, "left")
+    rcols = _as_cols(right_on, "right") if right_on is not None else list(
+        lcols
     )
-    rgroups, rnull, _ = _bucket_groups(
-        right, right_on, coarse, right_filters, spark, right_snapshot_id
-    )
+    kinds = compatible_partitioning(left, right, lcols, rcols)
 
-    same_name = left_on == right_on
+    same_name = lcols == rcols
     keep_left = how in ("left", "full")
     keep_right = how in ("right", "full")
+
+    def _cond(dfl, dfr):
+        if same_name:
+            return list(lcols)
+        c: Column = dfl[lcols[0]] == dfr[rcols[0]]
+        for lc, rc in zip(lcols[1:], rcols[1:]):
+            c = c & (dfl[lc] == dfr[rc])
+        return c
+
+    def _empty_join() -> DataFrame:
+        dfl = left.to_df(spark).limit(0)
+        dfr = right.to_df(spark).limit(0)
+        return dfl.join(dfr, on=_cond(dfl, dfr), how="inner")
+
+    if runtime_prune is not None:
+        if runtime_prune not in ("left", "right"):
+            raise BucketJoinError(
+                "runtime_prune names the side whose FILES get pruned: "
+                f"'left' or 'right' (got {runtime_prune!r})"
+            )
+        if how != "inner":
+            raise BucketJoinError(
+                "runtime_prune is inner-only: the derived key predicate "
+                "would drop rows an outer join must keep"
+            )
+        from datafusion_iceberg_spark.iceberg.runtime_filter import (
+            runtime_key_pred,
+        )
+
+        bidx = next(i for i, kd in enumerate(kinds) if kd[0] == "bucket")
+        if runtime_prune == "right":
+            dim = left.to_df(
+                spark, filters=left_filters, snapshot_id=left_snapshot_id
+            )
+            pred = runtime_key_pred(dim, lcols[bidx], rcols[bidx])
+            if pred is None:
+                return _empty_join()
+            right_filters = (
+                ("and", right_filters, pred)
+                if right_filters is not None
+                else pred
+            )
+        else:
+            dim = right.to_df(
+                spark, filters=right_filters, snapshot_id=right_snapshot_id
+            )
+            pred = runtime_key_pred(dim, rcols[bidx], lcols[bidx])
+            if pred is None:
+                return _empty_join()
+            left_filters = (
+                ("and", left_filters, pred)
+                if left_filters is not None
+                else pred
+            )
+
+    lgroups, lnull = _partition_groups(
+        left, lcols, kinds, left_filters, spark, left_snapshot_id
+    )
+    rgroups, rnull = _partition_groups(
+        right, rcols, kinds, right_filters, spark, right_snapshot_id
+    )
+
     # hoist the delete-file listing: _scan_files(deletes=None) would
-    # re-read every delete manifest PER BUCKET GROUP (4x coarse Avro
-    # reads on a 4096-bucket join); list once per table and pass down
-    # snapshot-scoped: a pinned side masks with ITS snapshot's deletes,
-    # exactly like to_df's time travel
+    # re-read every delete manifest PER BRANCH (4x branches Avro reads);
+    # list once per table and pass down snapshot-scoped: a pinned side
+    # masks with ITS snapshot's deletes, exactly like to_df's time travel
     ldel = left.position_delete_files(left_snapshot_id)
     leq = left.equality_delete_files(left_snapshot_id)
     rdel = right.position_delete_files(right_snapshot_id)
@@ -269,15 +458,17 @@ def bucket_join(
         return right._scan_files(
             spark, fl, filt, deletes=rdel, eq_deletes=req
         )
+
+    joined_names = set(lcols) if same_name else set()
     lfields = [
         f
         for f in left.metadata.struct_type().fields
-        if not (same_name and f.name == left_on)
+        if f.name not in joined_names
     ]
     rfields = [
         f
         for f in right.metadata.struct_type().fields
-        if not (same_name and f.name == right_on)
+        if f.name not in joined_names
     ]
 
     def _extend(df: DataFrame, other_fields) -> DataFrame:
@@ -285,12 +476,34 @@ def bucket_join(
             df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         return df
 
-    def _cond(dfl, dfr):
-        return [left_on] if same_name else dfl[left_on] == dfr[right_on]
+    # keys contributing to the result under this join type; groups on
+    # the dropped side of an inner/one-sided outer join can never
+    # produce output rows, so their files are never scanned
+    if how == "inner":
+        keys = set(lgroups) & set(rgroups)
+    elif how == "left":
+        keys = set(lgroups)
+    elif how == "right":
+        keys = set(rgroups)
+    else:
+        keys = set(lgroups) | set(rgroups)
+
+    def _bytes(groups, k) -> int:
+        return sum(f.file_size_in_bytes for f in groups.get(k, ()))
+
+    keys_loads = []
+    for k in keys:
+        lb, rb = _bytes(lgroups, k), _bytes(rgroups, k)
+        # branch load = what gets broadcast: the smaller side when both
+        # are present, else whatever must be scanned for null-extension
+        load = min(lb, rb) if (k in lgroups and k in rgroups) else lb + rb
+        keys_loads.append((k, load))
+    branches = _pack_branches(keys_loads, max_branches)
 
     subs: list[DataFrame] = []
-    for b in range(coarse):
-        lf, rf = lgroups[b], rgroups[b]
+    for branch in branches:
+        lf = [f for k in branch for f in lgroups.get(k, ())]
+        rf = [f for k in branch for f in rgroups.get(k, ())]
         if lf and not rf:
             if keep_left:
                 subs.append(_extend(_scan_l(lf, left_filters), rfields))
@@ -313,7 +526,7 @@ def bucket_join(
                     dfr = F.broadcast(dfr)
                 else:
                     dfl = F.broadcast(dfl)
-            # else: leave unhinted — Catalyst shuffles THIS bucket only
+            # else: leave unhinted — Catalyst shuffles THIS branch only
             # (skew degrades one union branch, not the whole plan)
             subs.append(dfl.join(dfr, on=_cond(dfl, dfr), how="inner"))
         elif how == "left":
@@ -351,10 +564,88 @@ def bucket_join(
     if keep_right and rnull:
         subs.append(_extend(_scan_r(rnull, right_filters), lfields))
     if not subs:
-        # no contributing buckets: empty frame with the joined schema
-        dfl = left.to_df(spark).limit(0)
-        dfr = right.to_df(spark).limit(0)
-        return dfl.join(dfr, on=_cond(dfl, dfr), how="inner")
+        # no contributing branches: empty frame with the joined schema
+        return _empty_join()
+    out = subs[0]
+    for s in subs[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def bucket_agg(
+    spark: SparkSession,
+    table: IcebergTable,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    filters: Optional[Any] = None,
+    snapshot_id: Optional[int] = None,
+    max_branches: int = DEFAULT_MAX_BRANCHES,
+) -> DataFrame:
+    """Storage-partitioned aggregation: ``groupBy(group_cols).agg(aggs)``
+    on a bucket-partitioned table with ZERO shuffle Exchange anywhere.
+
+    Requires some ``group_cols`` member to be the table's bucket source
+    column — then the full group key FUNCTIONALLY DETERMINES the bucket,
+    every bucket holds all rows for its keys, and a branch (a set of
+    whole buckets) aggregated as ONE partition is complete: no combine
+    across branches is ever needed.  ``coalesce(1)`` makes each branch
+    report ``SinglePartition`` to Catalyst, which satisfies the
+    aggregate's ClusteredDistribution, so the plan is partial+final
+    HashAggregate back-to-back with NO Exchange — the plan real SPJ
+    aggregation produces via KeyGroupedPartitioning (SPARK-32709); the
+    reference's partition-grouped scan units exist to enable the same
+    shape (table.rs:128-131).
+
+    Parallelism = ``max_branches`` single-partition tasks, each reading
+    |T| / branches bytes — the table owner sizes N (and the caller
+    ``max_branches``) so a branch fits one task, exactly the SPJ-join
+    contract.  Rows with a NULL bucket key form their own branch (SQL
+    GROUP BY keeps the NULL group).  MOR deletes mask per branch through
+    the same ``_scan_files`` path as a full scan.
+    """
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise BucketJoinError("bucket_agg needs at least one group column")
+    spec = bucket_partitioning(table)
+    bcol = next((c for c in group_cols if c in spec), None)
+    if bcol is None:
+        raise BucketJoinError(
+            f"no group column of {group_cols} is bucket-partitioned "
+            f"(bucketed columns: {sorted(spec)}) — the group key must "
+            "determine the bucket for a shuffle-free aggregation"
+        )
+    coarse = spec[bcol][0]
+    groups, null_files = _partition_groups(
+        table, [bcol], [("bucket", coarse)], filters, spark, snapshot_id
+    )
+    deletes = table.position_delete_files(snapshot_id)
+    eq_deletes = table.equality_delete_files(snapshot_id)
+
+    def _scan(fl) -> DataFrame:
+        return table._scan_files(
+            spark, fl, filters, deletes=deletes, eq_deletes=eq_deletes
+        )
+
+    keys_loads = [
+        (k, sum(f.file_size_in_bytes for f in fl)) for k, fl in groups.items()
+    ]
+    branches = _pack_branches(keys_loads, max_branches)
+    subs: list[DataFrame] = []
+    for branch in branches:
+        fl = [f for k in branch for f in groups[k]]
+        subs.append(
+            _scan(fl).coalesce(1).groupBy(*group_cols).agg(*aggs)
+        )
+    if null_files:
+        # all rows of these files have NULL in the bucket column — one
+        # complete branch of their own (GROUP BY keeps the NULL group)
+        subs.append(
+            _scan(null_files).coalesce(1).groupBy(*group_cols).agg(*aggs)
+        )
+    if not subs:
+        return (
+            table.to_df(spark).limit(0).groupBy(*group_cols).agg(*aggs)
+        )
     out = subs[0]
     for s in subs[1:]:
         out = out.unionByName(s)
@@ -366,8 +657,8 @@ def catalog_bucket_join(
     spark: SparkSession,
     left_ident: str,
     right_ident: str,
-    left_on: str,
-    right_on: Optional[str] = None,
+    left_on: KeySpec,
+    right_on: Optional[KeySpec] = None,
     how: str = "inner",
     fallback: bool = False,
     **kwargs,
@@ -390,8 +681,14 @@ def catalog_bucket_join(
     except BucketJoinError:
         if not fallback:
             raise
-        r_on = right_on if right_on is not None else left_on
+        lcols = _as_cols(left_on, "left")
+        rcols = (
+            _as_cols(right_on, "right") if right_on is not None else lcols
+        )
         dfl, dfr = left.to_df(spark), right.to_df(spark)
-        if left_on == r_on:
-            return dfl.join(dfr, on=[left_on], how=how)
-        return dfl.join(dfr, on=dfl[left_on] == dfr[r_on], how=how)
+        if lcols == rcols:
+            return dfl.join(dfr, on=lcols, how=how)
+        cond = dfl[lcols[0]] == dfr[rcols[0]]
+        for lc, rc in zip(lcols[1:], rcols[1:]):
+            cond = cond & (dfl[lc] == dfr[rc])
+        return dfl.join(dfr, on=cond, how=how)

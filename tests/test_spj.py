@@ -449,3 +449,336 @@ def test_bucket_join_snapshot_pins(spark, tmp_path):
     assert pinned.count() == 16  # pre-append view: one row per key
     current = bucket_join(spark, lt, rt, "k")
     assert current.count() == 24  # 16 + the 8 duplicated keys
+
+
+# ---------------------------------------------------------------------------
+# Round 14: composite keys, bounded plan width, bucket_agg, runtime_prune
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def comp_wh(tmp_path_factory, spark):
+    """Composite-key layout: bucket(8, k) + identity(g) vs bucket(4, k) +
+    identity(g) — the bucket position folds 8 → 4, the identity position
+    groups by exact value."""
+    root = str(tmp_path_factory.mktemp("spj_comp"))
+    cat = Catalog(root)
+    left = spark.createDataFrame(
+        [(i, i % 3, f"l{i}") for i in range(200)] + [(None, 1, "lnull")],
+        "k long, g long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(150)]
+        + [(7, None, "rnull"), (7, 1, "rdup")],
+        "k long, g long, rv string",
+    )
+    cat.create_table(
+        "c.l", left.schema, partition_by=["bucket(8, k)", "g"]
+    )
+    cat.append("c.l", spark, left)
+    cat.create_table(
+        "c.r", right.schema, partition_by=["bucket(4, k)", "g"]
+    )
+    cat.append("c.r", spark, right)
+    yield cat
+    shutil.rmtree(root, ignore_errors=True)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
+def test_composite_key_join_matches_plain(spark, comp_wh, how):
+    """Composite (bucket + identity) SPJ is byte-identical to the plain
+    shuffling join for every flavor, including NULL keys on either
+    position (unmatchable; preserved sides re-attach null-extended)."""
+    lt, rt = comp_wh.load("c.l"), comp_wh.load("c.r")
+    spj = bucket_join(spark, lt, rt, ["k", "g"], how=how)
+    plain = lt.to_df(spark).join(rt.to_df(spark), on=["k", "g"], how=how)
+    got = sorted(
+        map(tuple, spj.select(*plain.columns).collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    want = sorted(
+        map(tuple, plain.collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    assert got == want
+    assert len(want) > 0
+
+
+def test_composite_key_join_zero_exchange_on_keys(spark, comp_wh):
+    lt, rt = comp_wh.load("c.l"), comp_wh.load("c.r")
+    spj = bucket_join(spark, lt, rt, ["k", "g"])
+    plan = plan_string(spj)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "k#" not in m.group(1)
+        assert "g#" not in m.group(1)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_composite_key_position_bucketed_one_side_refuses(spark, comp_wh, tmp_path):
+    """A position bucketed on one side but identity on the other has no
+    co-location guarantee — refuse loudly."""
+    cat = Catalog(str(tmp_path / "mixpos"))
+    df = spark.createDataFrame([(1, 2, "x")], "k long, g long, v string")
+    cat.create_table(
+        "m.t", df.schema, partition_by=["bucket(4, k)", "bucket(4, g)"]
+    )
+    cat.append("m.t", spark, df)
+    lt = comp_wh.load("c.l")  # bucket(8, k) + identity(g)
+    with pytest.raises(BucketJoinError, match="bucket/identity mix"):
+        bucket_join(spark, lt, cat.load("m.t"), ["k", "g"])
+
+
+def test_composite_key_missing_identity_in_old_spec_refuses(spark, tmp_path):
+    """Spec evolution: files written before the identity field joined
+    the spec carry no per-file value for it — no co-location guarantee
+    for the composite key; refuse instead of silently mis-grouping."""
+    cat = Catalog(str(tmp_path / "evc"))
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(40)], "k long, g long, v string"
+    )
+    cat.create_table("e.l", df.schema, partition_by=["bucket(4, k)"])
+    cat.append("e.l", spark, df)
+    cat.evolve_partition_spec("e.l", ["bucket(4, k)", "g"])
+    cat.append("e.l", spark, df)
+    cat.create_table("e.r", df.schema, partition_by=["bucket(4, k)", "g"])
+    cat.append("e.r", spark, df)
+    with pytest.raises(BucketJoinError, match="no identity transform"):
+        bucket_join(spark, cat.load("e.l"), cat.load("e.r"), ["k", "g"])
+
+
+def test_wide_join_bounded_branches_and_planning_time(spark, tmp_path):
+    """The r13 docstring's own sizing example, now tested: a 256-bucket
+    join packs into ≤ max_branches union branches (LPT on manifest byte
+    sums), planning stays fast, the zero-Exchange property holds, and
+    rows match the plain join."""
+    import time
+
+    cat = Catalog(str(tmp_path / "wide"))
+    n = 4096
+    left = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(n)], "k long, lv string"
+    ).coalesce(1)
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(n)], "k long, rv string"
+    ).coalesce(1)
+    cat.create_table("w.l", left.schema, partition_by=["bucket(256, k)"])
+    cat.append("w.l", spark, left)
+    cat.create_table("w.r", right.schema, partition_by=["bucket(256, k)"])
+    cat.append("w.r", spark, right)
+    lt, rt = cat.load("w.l"), cat.load("w.r")
+    assert len(lt.files()) == 256  # every bucket occupied
+    t0 = time.time()
+    spj = bucket_join(spark, lt, rt, "k", max_branches=32)
+    plan = plan_string(spj)  # forces full analysis + physical planning
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"planning took {elapsed:.1f}s"
+    assert plan.count("BroadcastHashJoin") <= 32
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "k#" not in m.group(1)
+    got = sorted(map(tuple, spj.collect()))
+    want = sorted(
+        map(
+            tuple,
+            lt.to_df(spark)
+            .join(rt.to_df(spark), on=["k"], how="inner")
+            .select(*spj.columns)
+            .collect(),
+        )
+    )
+    assert got == want
+    assert len(got) == n
+
+
+def test_bucket_agg_zero_exchange_and_matches_plain(spark, wh):
+    """Storage-partitioned aggregation: groupBy on the bucket source
+    column plans with ZERO Exchange of any kind — each branch reads
+    whole buckets as one partition (SinglePartition satisfies the
+    aggregate's ClusteredDistribution), so partial+final HashAggregate
+    run back-to-back in one stage."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_agg
+
+    o8 = wh.load("spj.orders8")
+    agg = bucket_agg(
+        spark,
+        o8,
+        ["o_orderkey"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+                "cents"
+            ),
+        ],
+        max_branches=8,
+    )
+    plan = plan_string(agg)
+    assert "Exchange" not in plan
+    got = sorted(map(tuple, agg.collect()))
+    want = sorted(
+        map(
+            tuple,
+            o8.to_df(spark)
+            .groupBy("o_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                ).alias("cents"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_bucket_agg_null_keys_and_extra_group_cols(spark, tmp_path):
+    """NULL bucket keys form their own complete branch (SQL GROUP BY
+    keeps the NULL group); extra group columns only refine within-bucket
+    groups and stay shuffle-free."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_agg
+
+    cat = Catalog(str(tmp_path / "aggnull"))
+    df = spark.createDataFrame(
+        [(i % 5 if i % 7 else None, i % 2, i) for i in range(300)],
+        "k long, tag long, v long",
+    )
+    cat.create_table("a.t", df.schema, partition_by=["bucket(4, k)"])
+    cat.append("a.t", spark, df)
+    t = cat.load("a.t")
+    agg = bucket_agg(
+        spark, t, ["k", "tag"], [F.sum("v").alias("s"), F.count("v").alias("n")]
+    )
+    assert "Exchange" not in plan_string(agg)
+    got = sorted(
+        map(tuple, agg.collect()),
+        key=lambda r: tuple((x is None, x) for x in r),
+    )
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy("k", "tag")
+            .agg(F.sum("v").alias("s"), F.count("v").alias("n"))
+            .collect(),
+        ),
+        key=lambda r: tuple((x is None, x) for x in r),
+    )
+    assert got == want
+    assert any(r[0] is None for r in got)  # the NULL group survived
+
+
+def test_bucket_agg_applies_mor_deletes(spark, tmp_path):
+    from datafusion_iceberg_spark.iceberg.spj import bucket_agg
+
+    cat = Catalog(str(tmp_path / "aggmor"))
+    df = spark.createDataFrame(
+        [(i % 8, i) for i in range(64)], "k long, v long"
+    )
+    cat.create_table("a.t", df.schema, partition_by=["bucket(4, k)"])
+    cat.append("a.t", spark, df)
+    cat.delete_where_mor("a.t", spark, ("<", "v", 32))
+    t = cat.load("a.t")
+    agg = bucket_agg(spark, t, ["k"], [F.count(F.lit(1)).alias("n")])
+    assert sorted(map(tuple, agg.collect())) == [(k, 4) for k in range(8)]
+
+
+def test_bucket_agg_refuses_without_bucket_group_col(spark, wh):
+    from datafusion_iceberg_spark.iceberg.spj import bucket_agg
+
+    o8 = wh.load("spj.orders8")
+    with pytest.raises(BucketJoinError, match="bucket-partitioned"):
+        bucket_agg(spark, o8, ["o_orderstatus"], [F.count(F.lit(1)).alias("n")])
+
+
+def test_runtime_prune_skips_fact_files_inside_bucket_groups(spark, tmp_path):
+    """SPJ × runtime filter: a selective dim filter derives an IN-list
+    that folds through the bucket transform and PRUNES whole fact bucket
+    groups from the file listing — the composed plan scans fewer files
+    and still carries no join-key Exchange."""
+    from datafusion_iceberg_spark.iceberg.transforms import bucket_value
+
+    cat = Catalog(str(tmp_path / "rtp"))
+    dim = spark.createDataFrame(
+        [(i, "hot" if i == 5 else "cold") for i in range(64)],
+        "k long, tag string",
+    )
+    fact = spark.createDataFrame(
+        [(i % 64, i) for i in range(2048)], "k long, v long"
+    )
+    cat.create_table("r.dim", dim.schema, partition_by=["bucket(16, k)"])
+    cat.append("r.dim", spark, dim.coalesce(1))
+    cat.create_table("r.fact", fact.schema, partition_by=["bucket(16, k)"])
+    cat.append("r.fact", spark, fact.coalesce(1))
+    dt, ft = cat.load("r.dim"), cat.load("r.fact")
+    n_all = len(ft.files())
+    assert n_all >= 8  # murmur3 spread: most of the 16 buckets occupied
+    spj = bucket_join(
+        spark,
+        dt,
+        ft,
+        "k",
+        left_filters=("=", "tag", "hot"),
+        runtime_prune="right",
+    )
+    # only the hot key's bucket group survives on the fact side: the
+    # branch count collapses to 1 join
+    plan = plan_string(spj)
+    assert plan.count("BroadcastHashJoin") == 1
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "k#" not in m.group(1)
+    rows = spj.collect()
+    assert {r.k for r in rows} == {5}
+    assert len(rows) == 2048 // 64
+    # file-count evidence at the metadata layer, like pruned_file_count
+    pruned = ft.files(("in", "k", [5]))
+    assert len(pruned) == 1
+    assert {f.partition["k_bucket"] for f in pruned} == {bucket_value(5, 16)}
+
+
+def test_runtime_prune_empty_dim_short_circuits(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "rte"))
+    dim = spark.createDataFrame([(1, "a")], "k long, tag string")
+    fact = spark.createDataFrame([(1, 10)], "k long, v long")
+    cat.create_table("r.dim", dim.schema, partition_by=["bucket(4, k)"])
+    cat.append("r.dim", spark, dim)
+    cat.create_table("r.fact", fact.schema, partition_by=["bucket(4, k)"])
+    cat.append("r.fact", spark, fact)
+    spj = bucket_join(
+        spark,
+        cat.load("r.dim"),
+        cat.load("r.fact"),
+        "k",
+        left_filters=("=", "tag", "nomatch"),
+        runtime_prune="right",
+    )
+    assert spj.count() == 0
+
+
+def test_runtime_prune_refuses_outer(spark, wh):
+    o8 = wh.load("spj.orders8")
+    li16 = wh.load("spj.li16")
+    with pytest.raises(BucketJoinError, match="inner-only"):
+        bucket_join(
+            spark,
+            o8,
+            li16,
+            "o_orderkey",
+            "l_orderkey",
+            how="left",
+            left_filters=("=", "o_orderstatus", "F"),
+            runtime_prune="right",
+        )
+
+
+def test_new_gates_match_oracles(spark, duck, sf_dir):
+    from datafusion_iceberg_spark import registry
+    from tests.oracle_compare import compare
+
+    registry.load_all_modules()
+    for name in (
+        "iceberg_bucket_agg_scan",
+        "iceberg_bucket_composite_join_scan",
+        "iceberg_bucket_wide_join_scan",
+        "iceberg_bucket_join_pruned_scan",
+    ):
+        df = registry.QUERIES[name](spark, sf_dir)
+        compare(df, duck.sql(registry.ORACLES[name]), name)
