@@ -886,6 +886,7 @@ class IcebergTable:
         from_snapshot_id: Optional[int] = None,
         to_snapshot_id: Optional[int] = None,
         with_row_lineage: bool = False,
+        pair_keys: bool = False,
     ) -> DataFrame:
         """Row-level CDC stream over the snapshot range ``(from, to]``:
         table columns plus ``_change_type`` (``'insert'``/``'delete'``)
@@ -898,6 +899,15 @@ class IcebergTable:
         delete+insert pairs sharing an id into ``update_before`` /
         ``update_after`` images — the keyed CDC feed downstream MERGE
         consumers want, impossible without row identity.
+
+        ``pair_keys`` gives v2 tables (no row lineage) the same upgrade
+        on the schema's ``identifier-field-ids`` tuple: a same-ordinal
+        delete+insert pair sharing the identifier tuple is an UPDATE —
+        exactly the rule the streaming CDC source applies bucket-locally
+        under its ``cdc_pair_keys`` option, so batch and stream
+        consumers see identical feeds.  Requires declared identifier
+        fields; mutually exclusive with ``with_row_lineage`` (the row id
+        is the stronger identity — use it when the table has one).
 
         Per-snapshot cost model (the part that matters at 100 TB):
 
@@ -912,6 +922,22 @@ class IcebergTable:
           widens the diff to all retained files — conservative, correct.
         """
         meta = self.metadata
+        key_cols: list[str] = []
+        if pair_keys:
+            if with_row_lineage:
+                raise ValueError(
+                    "pair_keys and with_row_lineage are mutually "
+                    "exclusive: a row-lineage table pairs on the stable "
+                    "_row_id, which subsumes identifier-field pairing"
+                )
+            key_cols = meta.identifier_field_names()
+            if not key_cols:
+                raise ValueError(
+                    "pair_keys: the table declares no "
+                    "identifier-field-ids — set them "
+                    "(set_identifier_fields) or use the unpaired "
+                    "changelog"
+                )
         ords = meta.snapshot_ordinals()
         main = meta.main_ancestry_ids()
         # staged WAP snapshots (in `snapshots`, not in the log) are not
@@ -1194,13 +1220,17 @@ class IcebergTable:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        if with_row_lineage:
+        if with_row_lineage or pair_keys:
             from pyspark.sql import Window
 
-            # a delete+insert pair at ONE ordinal sharing ONE row id is
-            # an UPDATE: rename into before/after images (keyed window —
-            # partitions by row id, no global shuffle hot spot)
-            w = Window.partitionBy("_row_id", "_change_ordinal")
+            # a delete+insert pair at ONE ordinal sharing ONE identity —
+            # the _row_id on lineage tables, the identifier-field tuple
+            # under keyed pairing — is an UPDATE: rename into
+            # before/after images (keyed window — partitions by the
+            # identity, no global shuffle hot spot; same rule the
+            # streaming CDC source applies bucket-locally)
+            ident = ["_row_id"] if with_row_lineage else key_cols
+            w = Window.partitionBy(*ident, "_change_ordinal")
             both = F.size(F.collect_set("_change_type").over(w)) == 2
             out = out.withColumn(
                 "_change_type",

@@ -116,3 +116,87 @@ def test_without_opt_in_unpaired(spark, wh, tmp_path):
     ).collect()
     types = {r["_change_type"] for r in rows}
     assert types == {"delete", "insert"}
+
+
+# ---------------------------------------------------------------------------
+# Round 14: keyed pairing on the BATCH changelog face (VERDICT r13 #5)
+# ---------------------------------------------------------------------------
+
+
+def test_batch_changelog_pair_keys_upgrades_updates(spark, tmp_path):
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "bkp"), name="bkp")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k long, v long"
+    )
+    cat.create_table("c.t", df.schema)
+    cat.set_identifier_fields("c.t", ["k"])
+    cat.append("c.t", spark, df)
+    cat.sql(spark, "UPDATE bkp.c.t SET v = v + 1 WHERE k % 5 = 0")
+    t = cat.load("c.t")
+    log = t.changelog_df(spark, pair_keys=True)
+    rows = log.filter("(_change_ordinal) > 0").collect()
+    before = sorted((r.k, r.v) for r in rows if r._change_type == "update_before")
+    after = sorted((r.k, r.v) for r in rows if r._change_type == "update_after")
+    assert before == [(k, k * 10) for k in range(0, 20, 5)]
+    assert after == [(k, k * 10 + 1) for k in range(0, 20, 5)]
+    # nothing left unpaired at the update ordinal
+    assert not [r for r in rows if r._change_type in ("insert", "delete")]
+    # the initial append stays a plain insert (no delete partner)
+    ins = log.filter("_change_ordinal = 0").collect()
+    assert {r._change_type for r in ins} == {"insert"}
+    assert len(ins) == 20
+
+
+def test_batch_changelog_pair_keys_mixed_ops_stay_unpaired(spark, tmp_path):
+    """A DELETE-only commit and an INSERT-only commit must NOT upgrade:
+    pairing requires both faces at ONE ordinal for ONE key."""
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "bkm"), name="bkm")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(10)], "k long, v long"
+    )
+    cat.create_table("c.t", df.schema)
+    cat.set_identifier_fields("c.t", ["k"])
+    cat.append("c.t", spark, df)
+    cat.sql(spark, "DELETE FROM bkm.c.t WHERE k = 3")
+    cat.append(
+        "c.t", spark, spark.createDataFrame([(3, 999)], "k long, v long")
+    )
+    t = cat.load("c.t")
+    rows = t.changelog_df(spark, pair_keys=True).filter(
+        "_change_ordinal > 0"
+    ).collect()
+    kinds = sorted((r._change_ordinal, r._change_type, r.v) for r in rows)
+    assert kinds == [(1, "delete", 30), (2, "insert", 999)]
+
+
+def test_batch_changelog_pair_keys_refusals(spark, tmp_path):
+    import pytest
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "bkr"), name="bkr")
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    cat.create_table("c.t", df.schema)
+    cat.append("c.t", spark, df)
+    t = cat.load("c.t")
+    with pytest.raises(ValueError, match="identifier-field-ids"):
+        t.changelog_df(spark, pair_keys=True)
+    with pytest.raises(ValueError, match="mutually"):
+        t.changelog_df(spark, pair_keys=True, with_row_lineage=True)
+
+
+def test_keyed_changelog_gate_matches_oracle(spark, duck, sf_dir):
+    from datafusion_iceberg_spark import registry
+    from tests.oracle_compare import compare
+
+    registry.load_all_modules()
+    name = "iceberg_keyed_changelog_scan"
+    compare(
+        registry.QUERIES[name](spark, sf_dir),
+        duck.sql(registry.ORACLES[name]),
+        name,
+    )

@@ -782,3 +782,25 @@ def test_new_gates_match_oracles(spark, duck, sf_dir):
     ):
         df = registry.QUERIES[name](spark, sf_dir)
         compare(df, duck.sql(registry.ORACLES[name]), name)
+
+
+def test_ivf_append_preserves_probe_pruning(spark, sf_dir):
+    """Incremental appends land in identity(cent_id) partitions, so the
+    planning-time inverted-file lookup keeps pruning: a probe list opens
+    only the probed clusters' files, base AND appended."""
+    from datafusion_iceberg_spark.extensions.similarity import (
+        _ivf_append_fixture,
+    )
+
+    store = _ivf_append_fixture(spark, sf_dir).load("ann.ivfa")
+    n_all = len(store.files())
+    pruned = store.files(("in", "cent_id", [5, 6]))
+    assert 0 < len(pruned) < n_all
+    assert {f.partition["cent_id"] for f in pruned} <= {5, 6}
+    # appended files exist in the pruned listing's clusters too: the
+    # store has base + appended files per occupied cluster
+    per_cluster: dict = {}
+    for f in store.files():
+        per_cluster.setdefault(f.partition["cent_id"], 0)
+        per_cluster[f.partition["cent_id"]] += 1
+    assert max(per_cluster.values()) >= 2  # base file + appended file
