@@ -154,6 +154,9 @@ HEADLINE = [
     "iceberg_bucket_join_pruned_scan",
     "iceberg_keyed_changelog_scan",
     "sim_ivf_append_drift",
+    "iceberg_bucket_anti_join_scan",
+    "iceberg_bucket_distinct_scan",
+    "iceberg_bucket_window_scan",
 ]
 
 

@@ -6286,3 +6286,127 @@ def iceberg_keyed_changelog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@register(
+    "iceberg_bucket_anti_join_scan",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'anti' AS leg, COUNT(*) AS n_orders,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey NOT IN
+        (SELECT l_orderkey FROM lineitem WHERE l_extendedprice > 80000)
+      UNION ALL
+      SELECT 'semi' AS leg, COUNT(*) AS n_orders,
+             CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+      FROM orders WHERE o_orderkey IN
+        (SELECT l_orderkey FROM lineitem WHERE l_extendedprice > 80000)
+    ) ORDER BY leg
+    """,
+)
+def iceberg_bucket_anti_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPJ semi/anti flavors: existence probes over bucket-co-partitioned
+    tables with zero shuffle Exchange on the join keys — per-branch the
+    right side is a broadcast probe, anti additionally keeps match-less
+    branches as plain scans.  This is the shuffle-free NOVELTY FILTER of
+    an incremental dedup pipeline: 'batch rows whose signature is NOT in
+    the store' without the store ever moving (iceberg/spj.py)."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join
+
+    cat = _spj_fixture(spark, sf_dir)
+    orders = cat.load("fact.orders_bkt")
+    li = cat.load("fact.lineitem_bkt")
+    legs = []
+    for leg in ("anti", "semi"):
+        j = bucket_join(
+            spark,
+            orders,
+            li,
+            left_on="o_orderkey",
+            right_on="l_orderkey",
+            how=f"left_{leg}",
+            right_filters=(">", "l_extendedprice", 80000.0),
+        )
+        legs.append(
+            j.agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("o_orderkey").cast("long").alias("key_sum"),
+            ).select(F.lit(leg).alias("leg"), "n_orders", "key_sum")
+        )
+    return legs[0].unionByName(legs[1]).orderBy("leg")
+
+
+@register(
+    "iceberg_bucket_distinct_scan",
+    oracle="""
+    SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey
+    """,
+)
+def iceberg_bucket_distinct_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free DISTINCT over the bucket source column: every
+    duplicate of a key lives in one bucket, so per-branch distinct is
+    globally exact — exact dedup over a hash-bucketed corpus with zero
+    Exchange below the output sort (the plain dropDuplicates path
+    shuffles the full table).  Plan asserted in tests/test_spj.py."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_distinct
+
+    cat = _spj_fixture(spark, sf_dir)
+    li = cat.load("fact.lineitem_bkt")
+    return bucket_distinct(spark, li, ["l_orderkey"], max_branches=16).orderBy(
+        "l_orderkey"
+    )
+
+
+@register(
+    "iceberg_bucket_window_scan",
+    oracle="""
+    SELECT rn, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS price_sum
+    FROM (
+      SELECT l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC,
+                                         l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn <= 2
+    GROUP BY rn ORDER BY rn
+    """,
+)
+def iceberg_bucket_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free WINDOW over a bucketed table (bucket_apply): top-2
+    lines per order computed branch-locally — SinglePartition satisfies
+    the window's ClusteredDistribution, so the rank sorts in-partition
+    with zero Exchange below the final 7-row rollup.  The generic
+    per-key operator shape: windows, sessionization, per-key top-k all
+    run on whole buckets read as one partition."""
+    from pyspark.sql import Window as W
+
+    from datafusion_iceberg_spark.iceberg.spj import bucket_apply
+
+    cat = _spj_composite_fixture(spark, sf_dir)
+    rt = cat.load("comp.li_price")
+
+    def topk(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("l_orderkey").orderBy(
+            F.col("l_extendedprice").desc(), "l_linenumber"
+        )
+        return df.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= 2
+        )
+
+    res = bucket_apply(spark, rt, "l_orderkey", topk, max_branches=16)
+    return (
+        res.groupBy("rn")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 100
+            ).alias("price_sum"),
+        )
+        .orderBy("rn")
+    )

@@ -346,7 +346,12 @@ def bucket_join(
     shared grid), the rest identity-partitioned — the production layout
     Spark-Iceberg's SPJ handles (SPARK-37375).
 
-    ``how``: inner | left | right | full.  Outer flavors stay
+    ``how``: inner | left | right | full | left_semi | left_anti.
+    Semi/anti return LEFT columns only: per-branch the right side is a
+    broadcast existence probe; anti additionally keeps whole branches
+    with no right files (plain scans, no probe) and the NULL-key left
+    files (an equi-key NULL never matches) — the shuffle-free novelty
+    filter an incremental dedup store wants.  Outer flavors stay
     broadcast-only by DECOMPOSITION — Spark's BroadcastHashJoin cannot
     build on the preserved side, and supports no full-outer at all, so:
 
@@ -367,10 +372,19 @@ def bucket_join(
     pruned by the derived IN-list/interval predicate BEFORE branches
     form, so a filtered dim skips fact files inside every bucket group.
     """
-    if how not in ("inner", "left", "right", "full"):
+    if how not in (
+        "inner",
+        "left",
+        "right",
+        "full",
+        "left_semi",
+        "left_anti",
+    ):
         raise BucketJoinError(
-            f"bucket_join supports inner/left/right/full (got {how!r})"
+            "bucket_join supports inner/left/right/full/left_semi/"
+            f"left_anti (got {how!r})"
         )
+    semi_anti = how in ("left_semi", "left_anti")
     lcols = _as_cols(left_on, "left")
     rcols = _as_cols(right_on, "right") if right_on is not None else list(
         lcols
@@ -391,6 +405,8 @@ def bucket_join(
 
     def _empty_join() -> DataFrame:
         dfl = left.to_df(spark).limit(0)
+        if semi_anti:
+            return dfl
         dfr = right.to_df(spark).limit(0)
         return dfl.join(dfr, on=_cond(dfl, dfr), how="inner")
 
@@ -400,10 +416,20 @@ def bucket_join(
                 "runtime_prune names the side whose FILES get pruned: "
                 f"'left' or 'right' (got {runtime_prune!r})"
             )
-        if how != "inner":
+        _prune_ok = {
+            "inner": {"left", "right"},
+            "left_semi": {"left", "right"},
+            # anti preserves unmatched LEFT rows: pruning left files
+            # would drop them; pruning the right (probe) side only
+            # removes rows that match nothing — safe
+            "left_anti": {"right"},
+        }
+        if runtime_prune not in _prune_ok.get(how, set()):
             raise BucketJoinError(
-                "runtime_prune is inner-only: the derived key predicate "
-                "would drop rows an outer join must keep"
+                f"runtime_prune={runtime_prune!r} is unsafe for "
+                f"how={how!r}: the derived key predicate would drop rows "
+                "this join must keep (inner/semi: either side; anti: "
+                "right only)"
             )
         from datafusion_iceberg_spark.iceberg.runtime_filter import (
             runtime_key_pred,
@@ -479,9 +505,9 @@ def bucket_join(
     # keys contributing to the result under this join type; groups on
     # the dropped side of an inner/one-sided outer join can never
     # produce output rows, so their files are never scanned
-    if how == "inner":
+    if how in ("inner", "left_semi"):
         keys = set(lgroups) & set(rgroups)
-    elif how == "left":
+    elif how in ("left", "left_anti"):
         keys = set(lgroups)
     elif how == "right":
         keys = set(rgroups)
@@ -504,6 +530,24 @@ def bucket_join(
     for branch in branches:
         lf = [f for k in branch for f in lgroups.get(k, ())]
         rf = [f for k in branch for f in rgroups.get(k, ())]
+        if semi_anti:
+            # output schema = left columns only; the right side is a
+            # broadcast existence probe (BroadcastHashJoin builds on the
+            # right for both LeftSemi and LeftAnti)
+            if not lf:
+                continue
+            if not rf:
+                # nothing can match: anti keeps the whole branch as a
+                # plain scan (no probe needed), semi drops it
+                if how == "left_anti":
+                    subs.append(_scan_l(lf, left_filters))
+                continue
+            dfl = _scan_l(lf, left_filters)
+            dfr = _scan_r(rf, right_filters)
+            rbytes = sum(f.file_size_in_bytes for f in rf)
+            bdfr = F.broadcast(dfr) if rbytes <= max_broadcast_bytes else dfr
+            subs.append(dfl.join(bdfr, on=_cond(dfl, bdfr), how=how))
+            continue
         if lf and not rf:
             if keep_left:
                 subs.append(_extend(_scan_l(lf, left_filters), rfields))
@@ -563,6 +607,9 @@ def bucket_join(
         subs.append(_extend(_scan_l(lnull, left_filters), rfields))
     if keep_right and rnull:
         subs.append(_extend(_scan_r(rnull, right_filters), lfields))
+    if how == "left_anti" and lnull:
+        # NULL join keys never equi-match, so an anti join KEEPS them
+        subs.append(_scan_l(lnull, left_filters))
     if not subs:
         # no contributing branches: empty frame with the joined schema
         return _empty_join()
@@ -650,6 +697,100 @@ def bucket_agg(
     for s in subs[1:]:
         out = out.unionByName(s)
     return out
+
+
+def bucket_apply(
+    spark: SparkSession,
+    table: IcebergTable,
+    key_col: str,
+    fn,
+    filters: Optional[Any] = None,
+    snapshot_id: Optional[int] = None,
+    max_branches: int = DEFAULT_MAX_BRANCHES,
+) -> DataFrame:
+    """Generic storage-partitioned per-key operator: apply ``fn`` to each
+    branch of whole buckets read as ONE partition, union the results.
+
+    ``fn`` MUST be key-local: its output over any row set that is closed
+    under the bucket column's values must depend only on those rows —
+    ``groupBy``/``Window.partitionBy`` on keys that include ``key_col``,
+    ``dropDuplicates``/``distinct`` over such keys, per-key sorts and
+    top-k.  Because each bucket holds ALL rows for its keys and a branch
+    reports ``SinglePartition`` (``coalesce(1)``), Catalyst satisfies
+    any ClusteredDistribution on those keys locally: aggregations plan
+    partial+final back-to-back, windows sort in-partition — ZERO
+    Exchange anywhere (asserted per use in tests/test_spj.py).
+    ``bucket_agg`` is the aggregation specialization; this is the shape
+    for windows, distinct, and sessionization over a bucketed table.
+    """
+    spec = bucket_partitioning(table)
+    if key_col not in spec:
+        raise BucketJoinError(
+            f"{key_col!r} is not bucket-partitioned "
+            f"(bucketed columns: {sorted(spec)})"
+        )
+    coarse = spec[key_col][0]
+    groups, null_files = _partition_groups(
+        table, [key_col], [("bucket", coarse)], filters, spark, snapshot_id
+    )
+    deletes = table.position_delete_files(snapshot_id)
+    eq_deletes = table.equality_delete_files(snapshot_id)
+
+    def _scan(fl) -> DataFrame:
+        return table._scan_files(
+            spark, fl, filters, deletes=deletes, eq_deletes=eq_deletes
+        )
+
+    keys_loads = [
+        (k, sum(f.file_size_in_bytes for f in fl)) for k, fl in groups.items()
+    ]
+    branches = _pack_branches(keys_loads, max_branches)
+    subs = [
+        fn(_scan([f for k in branch for f in groups[k]]).coalesce(1))
+        for branch in branches
+    ]
+    if null_files:
+        # all rows of these files share a NULL key — one complete branch
+        subs.append(fn(_scan(null_files).coalesce(1)))
+    if not subs:
+        return fn(table.to_df(spark).limit(0))
+    out = subs[0]
+    for s in subs[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def bucket_distinct(
+    spark: SparkSession,
+    table: IcebergTable,
+    cols: Sequence[str],
+    filters: Optional[Any] = None,
+    snapshot_id: Optional[int] = None,
+    max_branches: int = DEFAULT_MAX_BRANCHES,
+) -> DataFrame:
+    """Shuffle-free DISTINCT over columns that include the bucket source
+    column: every duplicate of a projected tuple lives in one bucket, so
+    per-branch ``distinct`` is globally exact — exact dedup over a
+    content-hash-bucketed corpus with zero Exchange, the plan the plain
+    ``dropDuplicates`` path shuffles the whole table to produce."""
+    cols = list(cols)
+    spec = bucket_partitioning(table)
+    key_col = next((c for c in cols if c in spec), None)
+    if key_col is None:
+        raise BucketJoinError(
+            f"no projected column of {cols} is bucket-partitioned "
+            f"(bucketed columns: {sorted(spec)}) — duplicates would "
+            "straddle buckets"
+        )
+    return bucket_apply(
+        spark,
+        table,
+        key_col,
+        lambda df: df.select(*cols).distinct(),
+        filters=filters,
+        snapshot_id=snapshot_id,
+        max_branches=max_branches,
+    )
 
 
 def catalog_bucket_join(

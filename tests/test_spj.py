@@ -212,7 +212,7 @@ def test_bucket_join_refusals(spark, wh):
     nation = wh.load("spj.nation")
     with pytest.raises(BucketJoinError, match="not bucket-partitioned"):
         bucket_join(spark, o8, nation, "o_orderkey", "n_nationkey")
-    with pytest.raises(BucketJoinError, match="inner/left/right/full"):
+    with pytest.raises(BucketJoinError, match="left_anti"):
         bucket_join(spark, o8, li16, "o_orderkey", "l_orderkey", how="cross")
 
 
@@ -756,7 +756,7 @@ def test_runtime_prune_empty_dim_short_circuits(spark, tmp_path):
 def test_runtime_prune_refuses_outer(spark, wh):
     o8 = wh.load("spj.orders8")
     li16 = wh.load("spj.li16")
-    with pytest.raises(BucketJoinError, match="inner-only"):
+    with pytest.raises(BucketJoinError, match="unsafe"):
         bucket_join(
             spark,
             o8,
@@ -804,3 +804,142 @@ def test_ivf_append_preserves_probe_pruning(spark, sf_dir):
         per_cluster.setdefault(f.partition["cent_id"], 0)
         per_cluster[f.partition["cent_id"]] += 1
     assert max(per_cluster.values()) >= 2  # base file + appended file
+
+
+@pytest.mark.parametrize("how", ["left_semi", "left_anti"])
+def test_bucket_semi_anti_match_plain(spark, tmp_path, how):
+    """Semi/anti SPJ is byte-identical to the plain shuffling semi/anti
+    join, including NULL keys (anti KEEPS them — they match nothing) and
+    keys with no right-side files."""
+    cat = Catalog(str(tmp_path / "sa"))
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "ln"), (3, "c"), (7, "g")],
+        "k long, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x"), (None, "rn"), (3, "y"), (3, "y2"), (4, "z")],
+        "k long, rv string",
+    )
+    cat.create_table("s.l", left.schema, partition_by=["bucket(4, k)"])
+    cat.append("s.l", spark, left)
+    cat.create_table("s.r", right.schema, partition_by=["bucket(8, k)"])
+    cat.append("s.r", spark, right)
+    lt, rt = cat.load("s.l"), cat.load("s.r")
+    spj = bucket_join(spark, lt, rt, "k", how=how)
+    assert spj.columns == ["k", "lv"]  # left columns only
+    plain = lt.to_df(spark).join(rt.to_df(spark), on=["k"], how=how)
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    assert sorted(map(tuple, spj.collect()), key=key) == sorted(
+        map(tuple, plain.collect()), key=key
+    )
+    plan = plan_string(spj)
+    assert "SortMergeJoin" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "k#" not in m.group(1)
+
+
+def test_bucket_anti_runtime_prune_safe_and_left_refused(spark, tmp_path):
+    from datafusion_iceberg_spark.iceberg.spj import BucketJoinError
+
+    cat = Catalog(str(tmp_path / "sarp"))
+    left = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(32)], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(i, "hot" if i < 4 else "cold") for i in range(32)],
+        "k long, tag string",
+    )
+    cat.create_table("s.l", left.schema, partition_by=["bucket(4, k)"])
+    cat.append("s.l", spark, left)
+    cat.create_table("s.r", right.schema, partition_by=["bucket(4, k)"])
+    cat.append("s.r", spark, right)
+    lt, rt = cat.load("s.l"), cat.load("s.r")
+    anti = bucket_join(
+        spark,
+        lt,
+        rt,
+        "k",
+        how="left_anti",
+        right_filters=("=", "tag", "hot"),
+        runtime_prune="right",
+    )
+    assert sorted(r.k for r in anti.collect()) == list(range(4, 32))
+    with pytest.raises(BucketJoinError, match="unsafe"):
+        bucket_join(
+            spark, lt, rt, "k", how="left_anti", runtime_prune="left"
+        )
+
+
+def test_bucket_distinct_zero_exchange_and_exact(spark, tmp_path):
+    from datafusion_iceberg_spark.iceberg.spj import (
+        BucketJoinError,
+        bucket_distinct,
+    )
+
+    cat = Catalog(str(tmp_path / "bd"))
+    df = spark.createDataFrame(
+        [(i % 10, i % 3) for i in range(200)] + [(None, 0)],
+        "k long, g long",
+    )
+    cat.create_table("d.t", df.schema, partition_by=["bucket(4, k)"])
+    cat.append("d.t", spark, df)
+    t = cat.load("d.t")
+    out = bucket_distinct(spark, t, ["k", "g"])
+    assert "Exchange" not in plan_string(out)
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    got = sorted(map(tuple, out.collect()), key=key)
+    want = sorted(
+        map(tuple, df.select("k", "g").distinct().collect()), key=key
+    )
+    assert got == want
+    assert (None, 0) in got  # the NULL-key tuple survives
+    with pytest.raises(BucketJoinError, match="straddle"):
+        bucket_distinct(spark, t, ["g"])
+
+
+def test_bucket_apply_window_zero_exchange(spark, tmp_path):
+    """bucket_apply with a per-key window: rank computes branch-locally
+    (SinglePartition satisfies the ClusteredDistribution), zero Exchange
+    in the plan, results match the plain shuffling window."""
+    from pyspark.sql import Window as W
+
+    from datafusion_iceberg_spark.iceberg.spj import bucket_apply
+
+    cat = Catalog(str(tmp_path / "bw"))
+    df = spark.createDataFrame(
+        [(i % 20, i, float(i % 7)) for i in range(400)],
+        "k long, seq long, score double",
+    )
+    cat.create_table("w.t", df.schema, partition_by=["bucket(4, k)"])
+    cat.append("w.t", spark, df)
+    t = cat.load("w.t")
+
+    def topk(d):
+        w = W.partitionBy("k").orderBy(F.col("score").desc(), "seq")
+        return d.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= 3
+        )
+
+    out = bucket_apply(spark, t, "k", topk)
+    assert "Exchange" not in plan_string(out)
+    w = W.partitionBy("k").orderBy(F.col("score").desc(), "seq")
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want))
+
+
+def test_semi_anti_distinct_window_gates_match_oracles(spark, duck, sf_dir):
+    from datafusion_iceberg_spark import registry
+    from tests.oracle_compare import compare
+
+    registry.load_all_modules()
+    for name in (
+        "iceberg_bucket_anti_join_scan",
+        "iceberg_bucket_distinct_scan",
+        "iceberg_bucket_window_scan",
+    ):
+        df = registry.QUERIES[name](spark, sf_dir)
+        compare(df, duck.sql(registry.ORACLES[name]), name)
