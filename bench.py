@@ -157,6 +157,7 @@ HEADLINE = [
     "iceberg_bucket_anti_join_scan",
     "iceberg_bucket_distinct_scan",
     "iceberg_bucket_window_scan",
+    "iceberg_bucket_merge_scan",
 ]
 
 

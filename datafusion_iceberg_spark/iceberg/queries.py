@@ -6410,3 +6410,104 @@ def iceberg_bucket_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+_bmrg_warehouses: dict[str, "Catalog"] = {}
+
+
+def _bucket_merge_fixture(spark: SparkSession, sf_dir: str) -> Catalog:
+    """A bucket(8, o_orderkey) orders table upserted once via
+    ``bucket_merge``: keys %5==0 replaced with +1000 prices, plus
+    synthetic inserts (key + 10M) for keys %1000==1 — the continuous-
+    ingest MERGE that rewrites only the buckets the batch touches."""
+    with _lock:
+        cat = _bmrg_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_bmrg")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            from datafusion_iceberg_spark.iceberg.spj import bucket_merge
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_totalprice"
+            )
+            cat.create_table(
+                "bm.orders",
+                orders.schema,
+                partition_by=["bucket(8, o_orderkey)"],
+            )
+            cat.append("bm.orders", spark, orders)
+            updates = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+                "o_orderkey",
+                (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+            )
+            inserts = orders.filter(F.col("o_orderkey") % 1000 == 1).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+            bucket_merge(
+                spark,
+                cat,
+                "bm.orders",
+                updates.unionByName(inserts),
+                "o_orderkey",
+            )
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _bmrg_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_bucket_merge_scan",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN k >= 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inserted,
+           CAST(SUM(CAST(FLOOR(p * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
+                  ELSE o_totalprice END AS p
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS k, o_totalprice AS p
+      FROM orders WHERE o_orderkey % 1000 = 1
+    )
+    """,
+)
+def iceberg_bucket_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-wise copy-on-write MERGE (upsert): the plain merge's
+    [min, max] candidate pruning is useless under hash bucketing (every
+    file spans the key range → whole-table rewrite), so ``bucket_merge``
+    selects candidate FILE GROUPS by the source's bucket values (≤ N
+    ints of driver state), runs one broadcast anti join per branch (the
+    target never shuffles), carries untouched buckets as metadata
+    entries, and commits one overwrite snapshot.  At 100 TB with
+    bucket(4096) and a batch touching 200 buckets the rewrite scans
+    200/4096 of the table.  Untouched-file carry-over and the
+    zero-Exchange rewrite plan are asserted in tests/test_spj.py."""
+    cat = _bucket_merge_fixture(spark, sf_dir)
+    t = cat.load("bm.orders")
+    return t.to_df(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderkey") >= 10000000, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_inserted"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        )
+        .cast("long")
+        .alias("total_cents"),
+    )

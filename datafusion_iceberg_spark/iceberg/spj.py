@@ -793,6 +793,185 @@ def bucket_distinct(
     )
 
 
+def _bucket_merge_frame(
+    spark: SparkSession,
+    table: IcebergTable,
+    source: DataFrame,
+    key: str,
+    insert_not_matched: bool,
+    max_branches: int,
+):
+    """(rewrite frame, untouched entries, expected parent) for
+    :func:`bucket_merge` — split out so tests can plan-assert the
+    rewrite before it commits."""
+    from datafusion_iceberg_spark.iceberg.transforms import spark_expr
+
+    spec = bucket_partitioning(table)
+    if key not in spec:
+        raise BucketJoinError(
+            f"bucket_merge target is not bucket-partitioned on {key!r} "
+            f"(bucketed columns: {sorted(spec)}) — use the plain merge"
+        )
+    n = spec[key][0]
+    cols = [f.name for f in table.metadata.struct_type().fields]
+    missing = [c for c in cols if c not in source.columns]
+    if missing:
+        raise BucketJoinError(
+            f"bucket_merge source lacks table columns {missing}: the "
+            "matched row is REPLACED by the source row, so the source "
+            "must carry every table column"
+        )
+    src = source.select(*cols)
+    dup = src.filter(F.col(key).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(key).alias("nd"),
+    ).collect()[0]
+    if dup.n != dup.nd:
+        raise BucketJoinError(
+            f"bucket_merge source has duplicate keys on {key!r}: "
+            f"{dup.n} rows, {dup.nd} distinct — keep the latest row per "
+            "key before merging"
+        )
+    kdt = next(f.dataType for f in src.schema.fields if f.name == key)
+    src_b = src.withColumn("__b", spark_expr(f"bucket[{n}]", key, kdt))
+    # affected buckets: <= N ints of driver state, the merge's whole
+    # coordination footprint
+    affected = sorted(
+        r["__b"]
+        for r in src_b.select("__b").distinct().collect()
+        if r["__b"] is not None
+    )
+    groups, null_files = _partition_groups(
+        table, [key], [("bucket", n)], None, spark
+    )
+    cand_groups = {b: groups[(b,)] for b in affected if (b,) in groups}
+    untouched = [
+        f
+        for k, fl in groups.items()
+        if k not in {(b,) for b in affected}
+        for f in fl
+    ] + list(null_files)
+    deletes = table.position_delete_files()
+    eq_deletes = table.equality_delete_files()
+    # the rewrite commits with _carry=False (no delete manifests ride
+    # along), so every delete-targeted file OUTSIDE the affected buckets
+    # must also rewrite — masked pass-through — or its deletes would
+    # silently un-apply on the untouched copy (same rule as merge)
+    dead = table.files_targeted_by_deletes()
+    extra = [
+        f for f in untouched if table.metadata.localize(f.path) in dead
+    ]
+    if extra:
+        extra_paths = {f.path for f in extra}
+        untouched = [f for f in untouched if f.path not in extra_paths]
+
+    def _scan(fl):
+        return table._scan_files(
+            spark, fl, None, deletes=deletes, eq_deletes=eq_deletes
+        )
+
+    keys_loads = [
+        (b, sum(f.file_size_in_bytes for f in fl))
+        for b, fl in cand_groups.items()
+    ]
+    branches = _pack_branches(keys_loads, max_branches)
+    subs: list[DataFrame] = []
+    matched_buckets = set(cand_groups)
+    for branch in branches:
+        bl = list(branch)  # keys here are bare bucket ints, not tuples
+        fl = [f for b in bl for f in cand_groups[b]]
+        s_b = F.broadcast(
+            src_b.filter(F.col("__b").isin([int(b) for b in bl])).drop("__b")
+        )
+        tgt = _scan(fl)
+        # matched rows are REPLACED by the source row: keep target rows
+        # whose key has no source partner, add every source row of the
+        # branch (match → replacement, no match → insert) — one
+        # broadcast anti join per branch, the target never shuffles
+        survivors = tgt.join(s_b, on=[key], how="left_anti")
+        out = survivors.unionByName(s_b) if insert_not_matched else (
+            survivors.unionByName(
+                s_b.join(tgt.select(key), on=[key], how="left_semi")
+            )
+        )
+        subs.append(out)
+    # source rows in buckets the target does not populate are pure
+    # inserts; NULL-key source rows never equi-match and insert likewise
+    if insert_not_matched:
+        if matched_buckets:
+            rest = src_b.filter(
+                ~F.col("__b").isin([int(b) for b in matched_buckets])
+                | F.col("__b").isNull()
+            ).drop("__b")
+        else:
+            rest = src_b.drop("__b")
+        subs.append(rest)
+    for f_extra in ([extra] if extra else []):
+        subs.append(_scan(f_extra))
+    frame = subs[0] if subs else src.limit(0)
+    for s in subs[1:]:
+        frame = frame.unionByName(s)
+    return frame, untouched, table.metadata.current_snapshot_id
+
+
+def bucket_merge(
+    spark: SparkSession,
+    catalog,
+    ident: str,
+    source: DataFrame,
+    key: str,
+    insert_not_matched: bool = True,
+    max_branches: int = DEFAULT_MAX_BRANCHES,
+) -> int:
+    """Copy-on-write UPSERT into a bucket-partitioned table that never
+    shuffles the target: matched rows are replaced by the source row,
+    unmatched source rows insert, and ONLY the buckets the source
+    touches rewrite.
+
+    The plain ``merge`` prunes candidate files by the source keys'
+    [min, max] span — useless under hash bucketing, where every file
+    spans the key range, so a continuous-ingest MERGE rewrites the
+    whole table.  Here the source's bucket values (≤ N ints of driver
+    state) select candidate FILE GROUPS exactly, each branch is a
+    broadcast anti join (target side never moves), untouched buckets
+    carry over as metadata entries, and delete-targeted files outside
+    the affected buckets rewrite masked (the `_carry=False` rule the
+    plain merge applies).  At 100 TB with bucket(4096) and a batch
+    touching 200 buckets, the rewrite scans 200/4096 of the table and
+    shuffles nothing but the batch.
+
+    Duplicate source keys refuse (SQL MERGE cardinality rule).  Row-
+    lineage (v3) tables refuse — use ``merge``, which threads _row_id.
+    """
+    from datafusion_iceberg_spark.iceberg.writer import _lineage_on
+
+    writer = catalog.writer(ident)
+    table = catalog.load(ident)
+    if not isinstance(table, IcebergTable):
+        raise BucketJoinError("bucket_merge targets TABLES, not views")
+    if _lineage_on(table.metadata.raw):
+        raise BucketJoinError(
+            "bucket_merge does not thread v3 row lineage through the "
+            "rewrite — use merge() on lineage tables"
+        )
+    frame, untouched, parent = _bucket_merge_frame(
+        spark, table, source, key, insert_not_matched, max_branches
+    )
+    snap = writer.append(
+        spark,
+        frame,
+        _carry=False,
+        _operation="overwrite",
+        _extra_entries=untouched,
+        _allow_empty=True,
+        _expected_parent=parent,
+    )
+    # the catalog serves an eager mirror: refresh it so the next load
+    # sees this commit (same rule as Catalog.append)
+    catalog._mirror[ident] = IcebergTable.load(table.metadata.root)
+    return snap
+
+
 def catalog_bucket_join(
     catalog,
     spark: SparkSession,

@@ -943,3 +943,120 @@ def test_semi_anti_distinct_window_gates_match_oracles(spark, duck, sf_dir):
     ):
         df = registry.QUERIES[name](spark, sf_dir)
         compare(df, duck.sql(registry.ORACLES[name]), name)
+
+
+def test_bucket_merge_semantics_and_file_carry(spark, tmp_path):
+    """Upsert semantics (replace matched, insert unmatched, keep the
+    rest), only the source-touched buckets rewrite (untouched files
+    carry by PATH), and the rewrite frame carries no join-key Exchange."""
+    from datafusion_iceberg_spark.iceberg.spj import (
+        _bucket_merge_frame,
+        bucket_merge,
+    )
+    from datafusion_iceberg_spark.iceberg.transforms import bucket_value
+
+    cat = Catalog(str(tmp_path / "bm"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}", float(i)) for i in range(100)],
+        "k long, name string, val double",
+    ).coalesce(1)
+    cat.create_table("m.t", base.schema, partition_by=["bucket(8, k)"])
+    cat.append("m.t", spark, base)
+    before = {f.path: f.partition["k_bucket"] for f in cat.load("m.t").files()}
+    src = spark.createDataFrame(
+        [
+            (0, "u0", 100.0),
+            (5, "u5", 105.0),
+            (200, "n200", 200.0),
+            (None, "nn", -1.0),
+        ],
+        "k long, name string, val double",
+    )
+    frame, untouched, _ = _bucket_merge_frame(
+        spark, cat.load("m.t"), src, "k", True, 64
+    )
+    for m in re.finditer(
+        r"Exchange hashpartitioning\(([^)]*)\)", plan_string(frame)
+    ):
+        assert "k#" not in m.group(1)
+    bucket_merge(spark, cat, "m.t", src, "k")
+    t1 = cat.load("m.t")
+    rows = {r.k: (r.name, r.val) for r in t1.to_df(spark).collect() if r.k is not None}
+    assert rows[0] == ("u0", 100.0) and rows[5] == ("u5", 105.0)
+    assert rows[200] == ("n200", 200.0)
+    assert rows[1] == ("v1", 1.0) and len(rows) == 101
+    nulls = [r for r in t1.to_df(spark).collect() if r.k is None]
+    assert len(nulls) == 1 and nulls[0].name == "nn"
+    after = {f.path: f.partition["k_bucket"] for f in t1.files()}
+    carried = set(before) & set(after)
+    touched = {bucket_value(k, 8) for k in (0, 5, 200)}
+    assert carried and all(before[p] not in touched for p in carried)
+
+
+def test_bucket_merge_update_only_and_refusals(spark, tmp_path):
+    from datafusion_iceberg_spark.iceberg.spj import bucket_merge
+
+    cat = Catalog(str(tmp_path / "bmr"))
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k long, v long"
+    )
+    cat.create_table("m.t", base.schema, partition_by=["bucket(4, k)"])
+    cat.append("m.t", spark, base)
+    # update-only: unmatched source keys do NOT insert
+    src = spark.createDataFrame([(3, 999), (500, 1)], "k long, v long")
+    bucket_merge(spark, cat, "m.t", src, "k", insert_not_matched=False)
+    rows = {r.k: r.v for r in cat.load("m.t").to_df(spark).collect()}
+    assert rows[3] == 999 and 500 not in rows and len(rows) == 20
+    # duplicate source keys refuse (SQL MERGE cardinality rule)
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "k long, v long")
+    with pytest.raises(BucketJoinError, match="duplicate"):
+        bucket_merge(spark, cat, "m.t", dup, "k")
+    # unbucketed target refuses
+    flat = spark.createDataFrame([(1, 1)], "k long, v long")
+    cat.create_table("m.flat", flat.schema)
+    cat.append("m.flat", spark, flat)
+    with pytest.raises(BucketJoinError, match="not bucket-partitioned"):
+        bucket_merge(spark, cat, "m.flat", src, "k")
+
+
+def test_bucket_merge_folds_outstanding_mor_deletes(spark, tmp_path):
+    """A MOR delete targeting an UNTOUCHED bucket's file must rewrite
+    masked (the _carry=False rule): the deleted rows stay gone after the
+    merge commit."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_merge
+    from datafusion_iceberg_spark.iceberg.transforms import bucket_value
+
+    cat = Catalog(str(tmp_path / "bmd"))
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(64)], "k long, v long"
+    ).coalesce(1)
+    cat.create_table("m.t", base.schema, partition_by=["bucket(8, k)"])
+    cat.append("m.t", spark, base)
+    # delete a key that lives in a bucket the merge source won't touch
+    tgt_bucket = bucket_value(7, 8)
+    victim = next(
+        k for k in range(8, 64) if bucket_value(k, 8) != tgt_bucket
+    )
+    cat.delete_where_mor("m.t", spark, ("=", "k", victim))
+    src = spark.createDataFrame([(7, 777)], "k long, v long")
+    bucket_merge(spark, cat, "m.t", src, "k")
+    rows = {r.k: r.v for r in cat.load("m.t").to_df(spark).collect()}
+    assert victim not in rows
+    assert rows[7] == 777
+    assert len(rows) == 63
+    # and the new snapshot carries no delete manifests at all
+    t1 = cat.load("m.t")
+    assert not t1.position_delete_files()
+
+
+def test_bucket_merge_gate_matches_oracle(spark, duck, sf_dir):
+    from datafusion_iceberg_spark import registry
+    from tests.oracle_compare import compare
+
+    registry.load_all_modules()
+    name = "iceberg_bucket_merge_scan"
+    compare(
+        registry.QUERIES[name](spark, sf_dir),
+        duck.sql(registry.ORACLES[name]),
+        name,
+    )
