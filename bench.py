@@ -158,6 +158,7 @@ HEADLINE = [
     "iceberg_bucket_distinct_scan",
     "iceberg_bucket_window_scan",
     "iceberg_bucket_merge_scan",
+    "stream_bucket_merge_apply",
 ]
 
 

@@ -800,6 +800,7 @@ def _bucket_merge_frame(
     key: str,
     insert_not_matched: bool,
     max_branches: int,
+    order_by: Optional[Sequence[str]] = None,
 ):
     """(rewrite frame, untouched entries, expected parent) for
     :func:`bucket_merge` — split out so tests can plan-assert the
@@ -884,16 +885,47 @@ def _bucket_merge_frame(
             src_b.filter(F.col("__b").isin([int(b) for b in bl])).drop("__b")
         )
         tgt = _scan(fl)
-        # matched rows are REPLACED by the source row: keep target rows
-        # whose key has no source partner, add every source row of the
-        # branch (match → replacement, no match → insert) — one
-        # broadcast anti join per branch, the target never shuffles
-        survivors = tgt.join(s_b, on=[key], how="left_anti")
-        out = survivors.unionByName(s_b) if insert_not_matched else (
-            survivors.unionByName(
-                s_b.join(tgt.select(key), on=[key], how="left_semi")
+        if order_by:
+            # conflict rule "greatest (order_by) tuple wins" (source
+            # wins ties): union the branch's target rows with its
+            # source rows and keep one row per key by a KEY-LOCAL
+            # window — the branch is one partition (coalesce(1) →
+            # SinglePartition satisfies the window's distribution), so
+            # this stays shuffle-free like the anti-join path.  The
+            # out-of-order-batch safety a streaming apply needs: an
+            # older source row LOSES to newer target state.
+            if not insert_not_matched:
+                s_use = s_b.join(
+                    tgt.select(key), on=[key], how="left_semi"
+                )
+            else:
+                s_use = s_b
+            both = tgt.withColumn("__src", F.lit(0)).unionByName(
+                s_use.withColumn("__src", F.lit(1))
             )
-        )
+            from pyspark.sql import Window as _W
+
+            w = _W.partitionBy(key).orderBy(
+                *[F.col(c).desc() for c in order_by], F.col("__src").desc()
+            )
+            out = (
+                both.coalesce(1)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__src")
+            )
+        else:
+            # matched rows are REPLACED by the source row: keep target
+            # rows whose key has no source partner, add every source
+            # row of the branch (match → replacement, no match →
+            # insert) — one broadcast anti join per branch, the target
+            # never shuffles
+            survivors = tgt.join(s_b, on=[key], how="left_anti")
+            out = survivors.unionByName(s_b) if insert_not_matched else (
+                survivors.unionByName(
+                    s_b.join(tgt.select(key), on=[key], how="left_semi")
+                )
+            )
         subs.append(out)
     # source rows in buckets the target does not populate are pure
     # inserts; NULL-key source rows never equi-match and insert likewise
@@ -922,6 +954,7 @@ def bucket_merge(
     key: str,
     insert_not_matched: bool = True,
     max_branches: int = DEFAULT_MAX_BRANCHES,
+    order_by: Optional[Sequence[str]] = None,
 ) -> int:
     """Copy-on-write UPSERT into a bucket-partitioned table that never
     shuffles the target: matched rows are replaced by the source row,
@@ -940,6 +973,13 @@ def bucket_merge(
     touching 200 buckets, the rewrite scans 200/4096 of the table and
     shuffles nothing but the batch.
 
+    ``order_by`` changes the conflict rule from "source replaces" to
+    "greatest (order_by…) tuple wins, source wins ties" — the
+    out-of-order-batch safety a streaming CDC apply needs: an older
+    row arriving late cannot regress newer state.  Implemented as a
+    key-local window over the branch (still one partition, still no
+    Exchange).
+
     Duplicate source keys refuse (SQL MERGE cardinality rule).  Row-
     lineage (v3) tables refuse — use ``merge``, which threads _row_id.
     """
@@ -955,7 +995,8 @@ def bucket_merge(
             "rewrite — use merge() on lineage tables"
         )
     frame, untouched, parent = _bucket_merge_frame(
-        spark, table, source, key, insert_not_matched, max_branches
+        spark, table, source, key, insert_not_matched, max_branches,
+        order_by=order_by,
     )
     snap = writer.append(
         spark,

@@ -1758,3 +1758,136 @@ def stream_cdc_keyed_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return per_type.unionByName(paired).orderBy("change_type")
+
+
+@register(
+    "stream_bucket_merge_apply",
+    oracle="""
+    SELECT last_event_type AS event_type, COUNT(*) AS n_users,
+           CAST(SUM(CAST(FLOOR(last_value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_micros
+    FROM (
+      SELECT event_type AS last_event_type, value AS last_value
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ) GROUP BY last_event_type ORDER BY event_type
+    """,
+)
+def stream_bucket_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply into a BUCKETED state table via per-batch
+    ``bucket_merge`` (r14): same latest-state-per-user workload as
+    ``stream_cdc_upsert``, but the state table is ``bucket(8, user_id)``
+    and each micro-batch rewrites ONLY the buckets its keys touch — the
+    plain merge's [min, max] candidate pruning never excludes a file
+    under hash bucketing, so its per-batch rewrite is table-sized while
+    this one is batch-buckets-sized (the direct same-workload
+    measurement, like dedup_bucketed_store_join vs the shuffling
+    incremental gate).  ``order_by=[ts, event_id]`` is the conflict
+    rule: an out-of-order batch cannot regress newer state (key-local
+    window, still zero Exchange).  Exactly-once via checkpoint +
+    Iceberg atomic commits; the oracle is the global latest-per-key,
+    which only holds if every batch applied exactly once in a
+    regression-safe order."""
+    import os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+    from datafusion_iceberg_spark.iceberg.queries import SCRATCH, _lock
+    from datafusion_iceberg_spark.iceberg.spj import bucket_merge
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(SCRATCH, f"wh_{tag}_bmups")
+    marker = os.path.join(root, "_COMPLETE")
+    with _lock:
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            import pyarrow.parquet as pq
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            stage = os.path.join(root, "_stage")
+            os.makedirs(stage, exist_ok=True)
+            tbl = pq.read_table(table_path(sf_dir, "events"))
+            n = tbl.num_rows
+            step = (n + 3) // 4
+            for i in range(4):
+                chunk = tbl.slice(i * step, step)
+                if chunk.num_rows:
+                    pq.write_table(
+                        chunk, os.path.join(stage, f"chunk_{i}.parquet")
+                    )
+            raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+            stream = (
+                spark.readStream.schema(raw_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            ts_dtype = dict(stream.dtypes)["ts"]
+            if ts_dtype == "bigint":
+                stream = stream.withColumn(
+                    "ts",
+                    F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"),
+                )
+            elif ts_dtype == "timestamp_ntz":
+                stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            typed = stream.select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            cat.create_table(
+                "stream.user_state_bm",
+                typed.schema,
+                partition_by=["bucket(8, user_id)"],
+            )
+
+            def _apply(bdf, batch_id):
+                from pyspark.sql import Window as W
+
+                if not bdf.take(1):
+                    return
+                w = W.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+                latest = (
+                    bdf.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .drop("rn")
+                )
+                bucket_merge(
+                    spark,
+                    cat,
+                    "stream.user_state_bm",
+                    latest,
+                    "user_id",
+                    order_by=["ts", "event_id"],
+                )
+
+            q = (
+                typed.writeStream.foreachBatch(_apply)
+                .option(
+                    "checkpointLocation", os.path.join(root, "_checkpoint")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain_and_mark(q, marker)
+    table = cat.load("stream.user_state_bm")
+    assert isinstance(table, IcebergTable)
+    return (
+        table.to_df(spark)
+        .groupBy(F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("value_micros"),
+        )
+        .orderBy("event_type")
+    )

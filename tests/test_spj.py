@@ -1060,3 +1060,44 @@ def test_bucket_merge_gate_matches_oracle(spark, duck, sf_dir):
         duck.sql(registry.ORACLES[name]),
         name,
     )
+
+
+def test_bucket_merge_order_by_out_of_order_safe(spark, tmp_path):
+    """order_by conflict rule: an OLDER source row cannot regress newer
+    target state; ties go to the source; the rewrite frame stays
+    Exchange-free (key-local window over a single-partition branch)."""
+    from datafusion_iceberg_spark.iceberg.spj import (
+        _bucket_merge_frame,
+        bucket_merge,
+    )
+
+    cat = Catalog(str(tmp_path / "bmo"))
+    base = spark.createDataFrame(
+        [(i, 100, f"v{i}") for i in range(20)], "k long, ts long, name string"
+    ).coalesce(1)
+    cat.create_table("m.t", base.schema, partition_by=["bucket(4, k)"])
+    cat.append("m.t", spark, base)
+    src = spark.createDataFrame(
+        [(3, 200, "new3"), (5, 50, "old5"), (99, 10, "n99")],
+        "k long, ts long, name string",
+    )
+    frame, _, _ = _bucket_merge_frame(
+        spark, cat.load("m.t"), src, "k", True, 64, order_by=["ts"]
+    )
+    assert "Exchange" not in plan_string(frame)
+    bucket_merge(spark, cat, "m.t", src, "k", order_by=["ts"])
+    rows = {r.k: (r.ts, r.name) for r in cat.load("m.t").to_df(spark).collect()}
+    assert rows[3] == (200, "new3")   # newer source won
+    assert rows[5] == (100, "v5")     # older source lost
+    assert rows[99] == (10, "n99")    # insert
+    assert len(rows) == 21
+    bucket_merge(
+        spark,
+        cat,
+        "m.t",
+        spark.createDataFrame([(3, 200, "tie3")], "k long, ts long, name string"),
+        "k",
+        order_by=["ts"],
+    )
+    rows = {r.k: r.name for r in cat.load("m.t").to_df(spark).collect()}
+    assert rows[3] == "tie3"  # tie -> source wins
