@@ -1101,3 +1101,31 @@ def test_bucket_merge_order_by_out_of_order_safe(spark, tmp_path):
     )
     rows = {r.k: r.name for r in cat.load("m.t").to_df(spark).collect()}
     assert rows[3] == "tie3"  # tie -> source wins
+
+
+def test_hive_discovery_fast_path_matches_per_group_reads(spark, tmp_path, monkeypatch):
+    """Directory-only identity layouts read via ONE partition-discovery
+    call (fast path) — byte-identical to the per-group literal-attach
+    path, which stays the fallback for anything the fast path cannot
+    prove."""
+    from datafusion_iceberg_spark.iceberg import table as tbl_mod
+
+    cat = Catalog(str(tmp_path / "hd"))
+    df = spark.createDataFrame(
+        [(i, i % 5, f"v{i}") for i in range(100)], "k long, g int, s string"
+    ).coalesce(1)
+    cat.create_table("h.t", df.schema, partition_by=["bucket(4, k)", "g"])
+    cat.append("h.t", spark, df)
+    t = cat.load("h.t")
+    fast = sorted(map(tuple, t.to_df(spark).collect()))
+    monkeypatch.setattr(
+        tbl_mod, "_hive_discovery_read", lambda *a, **k: None
+    )
+    slow = sorted(map(tuple, t.to_df(spark).collect()))
+    assert fast == slow
+    assert len(fast) == 100
+    # filters still exact through the fast path
+    got = sorted(
+        r.k for r in t.to_df(spark, filters=("=", "g", 3)).collect()
+    )
+    assert got == [i for i in range(100) if i % 5 == 3]
