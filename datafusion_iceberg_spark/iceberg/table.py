@@ -1661,6 +1661,10 @@ def _hive_discovery_read(
     )
     while "=" in os.path.basename(base):
         base = os.path.dirname(base)
+    # leaf-directory compaction still applies (whole-dir reads where the
+    # listing is exactly the selected files): partition components live
+    # ABOVE the leaf, so discovery parses them from dir paths unchanged
+    paths = _compact_read_paths(paths)
     _tune_listing_parallelism(spark, len(paths))
     df = getattr(
         spark.read.schema(st).option("basePath", base), fmt
