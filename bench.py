@@ -159,6 +159,7 @@ HEADLINE = [
     "iceberg_bucket_window_scan",
     "iceberg_bucket_merge_scan",
     "stream_bucket_merge_apply",
+    "sim_ivf_recluster_report",
 ]
 
 

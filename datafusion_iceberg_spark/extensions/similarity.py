@@ -1956,3 +1956,229 @@ def sim_ivf_append_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cent_id")
     )
+
+
+def ivf_recluster(spark: SparkSession, catalog, ident: str, max_branches: int = 16):
+    """One exact-integer Lloyd step over a persisted IVF store — the
+    re-clustering ``ivf_drift``'s ``hot`` flag recommends.
+
+    New centroids are the per-cluster element-wise means of the CURRENT
+    members, computed in micros fixed-point over the store's
+    ``identity(cent_id)`` partitioning with ZERO Exchange (the r14
+    identity-keyed SPA: a branch of whole clusters aggregates its keys
+    completely); division truncates toward zero (engine-portable: both
+    Python here and the oracle's ``//`` truncate).  Every vector then
+    reassigns to the nearest new centroid by exact-integer squared L2
+    (ties → lowest cent_id, the k-means kernel's rule) and the store
+    rewrites in place — partition pruning keeps working because the
+    layout is still ``identity(cent_id)``.  Driver state: k×dim ints.
+    L2 on micros equals cosine for normalized vectors; for unnormalized
+    corpora this is the k-means objective, documented as such."""
+    store = catalog.load(ident)
+
+    def _sums(df: DataFrame) -> DataFrame:
+        e = df.select(
+            "cent_id",
+            F.posexplode(
+                F.expr(
+                    "transform(v, x -> "
+                    "CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT))"
+                )
+            ).alias("dim", "mv"),
+        )
+        return e.groupBy("cent_id", "dim").agg(
+            F.sum("mv").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+
+    from datafusion_iceberg_spark.iceberg.spj import bucket_apply
+
+    rows = bucket_apply(
+        spark, store, "cent_id", _sums, max_branches=max_branches
+    ).collect()
+    by_c: dict[int, dict[int, tuple[int, int]]] = {}
+    for r in rows:
+        by_c.setdefault(int(r.cent_id), {})[int(r.dim)] = (
+            int(r.s),
+            int(r.n),
+        )
+    cents: dict[int, list[int]] = {}
+    for c, dims in sorted(by_c.items()):
+        vec = []
+        for d in range(len(dims)):
+            s, n = dims[d]
+            q = abs(s) // n
+            vec.append(-q if s < 0 else q)  # trunc toward zero (= SQL //)
+        cents[c] = vec
+    cids = sorted(cents)
+    mv = store.to_df(spark).select(
+        "cand_id",
+        "v",
+        F.expr(
+            "transform(v, x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT))"
+        ).alias("mv"),
+    )
+    dist_cols = [
+        F.expr(
+            "aggregate(zip_with(mv, array("
+            + ",".join(f"{x}L" for x in cents[c])
+            + "), (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+        ).alias(f"d{c}")
+        for c in cids
+    ]
+    best = F.expr(
+        "array_min(array("
+        + ",".join(f"struct(d{c} AS d, {c} AS cid)" for c in cids)
+        + "))"
+    )
+    assign = (
+        mv.select("cand_id", "v", *dist_cols)
+        .withColumn("__b", best)
+        .select("cand_id", F.col("__b.cid").alias("cent_id"), "v")
+    )
+    catalog.overwrite(ident, spark, assign)
+    return cents
+
+
+_ivfr_lock = _threading.Lock()
+
+
+def _ivf_recluster_fixture(spark: SparkSession, sf_dir: str):
+    """An IVF store built with the fixed seed centroids, then ONE
+    ``ivf_recluster`` Lloyd step applied — the maintenance cycle
+    (build → drift → recluster) at rest."""
+    import os as _os
+
+    from datafusion_iceberg_spark.iceberg.catalog import Catalog
+
+    scratch = _os.path.join(
+        _os.path.dirname(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        ),
+        ".scratch",
+    )
+    tag = _os.path.basename(_os.path.normpath(sf_dir)) or "sf"
+    root = _os.path.join(scratch, f"wh_{tag}_ivfr")
+    marker = _os.path.join(root, "_COMPLETE")
+    with _ivfr_lock:
+        if not _os.path.exists(marker):
+            import shutil as _shutil
+
+            _shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root, name="ivfr")
+            from pyspark.sql import Window as W
+
+            emb = load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", _as_double("embedding").alias("v")
+            )
+            cent = emb.filter(
+                (F.col("vec_id") >= _CENT_LO) & (F.col("vec_id") <= _CENT_HI)
+            ).select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+            ccos = (
+                emb.withColumnRenamed("v", "qv")
+                .join(F.broadcast(cent))
+                .withColumn("ccos", F.round(cosine_sim("qv", "cv"), 6))
+            )
+            wv = W.partitionBy("vec_id").orderBy(
+                F.col("ccos").desc(), "cent_id"
+            )
+            assign = (
+                ccos.withColumn("rn", F.row_number().over(wv))
+                .filter(F.col("rn") == 1)
+                .select(
+                    F.col("vec_id").alias("cand_id"),
+                    "cent_id",
+                    F.col("qv").alias("v"),
+                )
+            )
+            cat.create_table(
+                "ann.ivfr", assign.schema, partition_by=["cent_id"]
+            )
+            cat.append("ann.ivfr", spark, assign)
+            ivf_recluster(spark, cat, "ann.ivfr")
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        else:
+            cat = Catalog(root, name="ivfr")
+        return cat
+
+
+@register(
+    "sim_ivf_recluster_report",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ev GROUP BY vec_id),
+    cdots AS (
+        SELECT a.vec_id AS vid, c.vec_id AS cent_id, SUM(a.v * c.v) AS dot
+        FROM ev a JOIN ev c ON a.i = c.i
+        WHERE c.vec_id BETWEEN {_CENT_LO} AND {_CENT_HI}
+        GROUP BY 1, 2
+    ),
+    ccos AS (
+        SELECT vid, cent_id,
+               ROUND(dot / (na.nrm * nc.nrm), 6) AS ccos
+        FROM cdots
+        JOIN norms na ON na.vec_id = vid
+        JOIN norms nc ON nc.vec_id = cent_id
+    ),
+    assign0 AS (
+        SELECT vid, cent_id FROM (
+            SELECT vid, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vid
+                                      ORDER BY ccos DESC, cent_id) AS rn
+            FROM ccos
+        ) WHERE rn = 1
+    ),
+    mv AS (
+        SELECT vec_id, i,
+               CAST(FLOOR(v * 1000000 + 0.5) AS BIGINT) AS m
+        FROM ev
+    ),
+    sums AS (
+        SELECT a.cent_id, m.i, SUM(m.m) AS s, COUNT(*) AS n
+        FROM assign0 a JOIN mv m ON m.vec_id = a.vid
+        GROUP BY 1, 2
+    ),
+    cents AS (SELECT cent_id, i, CAST(s AS BIGINT) // CAST(n AS BIGINT) AS cm FROM sums),
+    dists AS (
+        SELECT m.vec_id, c.cent_id,
+               SUM((m.m - c.cm) * (m.m - c.cm)) AS d
+        FROM mv m JOIN cents c ON c.i = m.i
+        GROUP BY 1, 2
+    ),
+    re AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d, cent_id) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    )
+    SELECT cent_id, COUNT(*) AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum
+    FROM re GROUP BY cent_id ORDER BY cent_id
+    """,
+)
+def sim_ivf_recluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF maintenance cycle closed (drift → RECLUSTER): one
+    exact-integer Lloyd step over the persisted store — per-cluster
+    micro-mean centroids via the identity-keyed SPA (zero Exchange),
+    integer-L2 reassignment, in-place rewrite preserving the
+    identity(cent_id) probe-pruning layout.  Every arithmetic step is
+    integer (micros fixed-point, truncating division), so the DuckDB
+    oracle replays the full build → recluster pipeline bit-identically —
+    the same determinism contract as embed_kmeans."""
+    cat = _ivf_recluster_fixture(spark, sf_dir)
+    store = cat.load("ann.ivfr")
+    return (
+        store.to_df(spark)
+        .groupBy("cent_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("cand_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("cent_id")
+    )

@@ -111,6 +111,38 @@ class BucketJoinError(ValueError):
     """The two tables' partition specs do not admit a shuffle-free join."""
 
 
+def identity_partitioning(table: IcebergTable) -> dict[str, str]:
+    """Source-column name → partition field name for every ``identity``
+    field in the DEFAULT spec (the other partition-backed key kind —
+    a date- or region-partitioned table co-locates those keys exactly
+    like a bucketed one co-locates hashes)."""
+    meta = table.metadata
+    out: dict[str, str] = {}
+    for col, pf in zip(meta.partition_column_names(), meta.partition_fields):
+        if pf.transform == "identity":
+            out[col] = pf.name
+    return out
+
+
+def _partition_backed_key(table: IcebergTable, cols) -> tuple[str, tuple]:
+    """(key column, kind descriptor) for the first partition-backed
+    column among ``cols`` — bucket preferred (bounded group count),
+    identity accepted (date/region layouts) — or raise."""
+    bspec = bucket_partitioning(table)
+    ispec = identity_partitioning(table)
+    bcol = next((c for c in cols if c in bspec), None)
+    if bcol is not None:
+        return bcol, ("bucket", bspec[bcol][0])
+    icol = next((c for c in cols if c in ispec), None)
+    if icol is not None:
+        return icol, ("identity",)
+    raise BucketJoinError(
+        f"no column of {list(cols)} is bucket- or identity-partitioned "
+        f"(bucketed: {sorted(bspec)}, identity: {sorted(ispec)}) — the "
+        "key must determine the partition for a shuffle-free operator"
+    )
+
+
 def bucket_partitioning(table: IcebergTable) -> dict[str, tuple[int, str]]:
     """Source-column name → (bucket count N, partition field name) for every
     ``bucket[N]`` field in the table's DEFAULT partition spec, resolved
@@ -653,17 +685,9 @@ def bucket_agg(
     group_cols = list(group_cols)
     if not group_cols:
         raise BucketJoinError("bucket_agg needs at least one group column")
-    spec = bucket_partitioning(table)
-    bcol = next((c for c in group_cols if c in spec), None)
-    if bcol is None:
-        raise BucketJoinError(
-            f"no group column of {group_cols} is bucket-partitioned "
-            f"(bucketed columns: {sorted(spec)}) — the group key must "
-            "determine the bucket for a shuffle-free aggregation"
-        )
-    coarse = spec[bcol][0]
+    kcol, kind = _partition_backed_key(table, group_cols)
     groups, null_files = _partition_groups(
-        table, [bcol], [("bucket", coarse)], filters, spark, snapshot_id
+        table, [kcol], [kind], filters, spark, snapshot_id
     )
     deletes = table.position_delete_files(snapshot_id)
     eq_deletes = table.equality_delete_files(snapshot_id)
@@ -723,15 +747,9 @@ def bucket_apply(
     ``bucket_agg`` is the aggregation specialization; this is the shape
     for windows, distinct, and sessionization over a bucketed table.
     """
-    spec = bucket_partitioning(table)
-    if key_col not in spec:
-        raise BucketJoinError(
-            f"{key_col!r} is not bucket-partitioned "
-            f"(bucketed columns: {sorted(spec)})"
-        )
-    coarse = spec[key_col][0]
+    _, kind = _partition_backed_key(table, [key_col])
     groups, null_files = _partition_groups(
-        table, [key_col], [("bucket", coarse)], filters, spark, snapshot_id
+        table, [key_col], [kind], filters, spark, snapshot_id
     )
     deletes = table.position_delete_files(snapshot_id)
     eq_deletes = table.equality_delete_files(snapshot_id)
@@ -774,14 +792,10 @@ def bucket_distinct(
     content-hash-bucketed corpus with zero Exchange, the plan the plain
     ``dropDuplicates`` path shuffles the whole table to produce."""
     cols = list(cols)
-    spec = bucket_partitioning(table)
-    key_col = next((c for c in cols if c in spec), None)
-    if key_col is None:
-        raise BucketJoinError(
-            f"no projected column of {cols} is bucket-partitioned "
-            f"(bucketed columns: {sorted(spec)}) — duplicates would "
-            "straddle buckets"
-        )
+    try:
+        key_col, _ = _partition_backed_key(table, cols)
+    except BucketJoinError as e:
+        raise BucketJoinError(f"{e} — duplicates would straddle partitions") from None
     return bucket_apply(
         spark,
         table,

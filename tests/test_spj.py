@@ -1169,3 +1169,74 @@ def test_bucket_merge_differential_vs_plain_merge(spark, tmp_path):
     b = sorted(map(tuple, cat.load("d.plain").to_df(spark).collect()))
     assert a == b
     assert len(a) == 205
+
+
+def test_identity_keyed_spa_zero_exchange(spark, tmp_path):
+    """r14 generalization: bucket_agg / bucket_distinct accept an
+    IDENTITY-partitioned key (date/region layouts) — same zero-Exchange
+    plan, groups keyed by the exact partition value."""
+    from datafusion_iceberg_spark.iceberg.spj import (
+        bucket_agg,
+        bucket_distinct,
+    )
+
+    cat = Catalog(str(tmp_path / "idspa"))
+    df = spark.createDataFrame(
+        [(i % 6, i, i % 4) for i in range(300)], "region long, v long, tag long"
+    )
+    cat.create_table("i.t", df.schema, partition_by=["region"])
+    cat.append("i.t", spark, df)
+    t = cat.load("i.t")
+    agg = bucket_agg(
+        spark, t, ["region"], [F.sum("v").alias("s"), F.count("v").alias("n")]
+    )
+    assert "Exchange" not in plan_string(agg)
+    got = sorted(map(tuple, agg.collect()))
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy("region")
+            .agg(F.sum("v").alias("s"), F.count("v").alias("n"))
+            .collect(),
+        )
+    )
+    assert got == want
+    d = bucket_distinct(spark, t, ["region", "tag"])
+    assert "Exchange" not in plan_string(d)
+    assert sorted(map(tuple, d.collect())) == sorted(
+        map(tuple, df.select("region", "tag").distinct().collect())
+    )
+
+
+def test_ivf_recluster_preserves_pruning_and_balances(spark, sf_dir):
+    """After the Lloyd step the store still prunes by cent_id at
+    planning time, holds every vector exactly once, and the gate's
+    oracle replays the full build -> recluster pipeline."""
+    from datafusion_iceberg_spark import registry
+    from datafusion_iceberg_spark.extensions.similarity import (
+        _ivf_recluster_fixture,
+    )
+
+    registry.load_all_modules()
+    cat = _ivf_recluster_fixture(spark, sf_dir)
+    store = cat.load("ann.ivfr")
+    n_all = len(store.files())
+    probed = sorted({f.partition["cent_id"] for f in store.files()})[:2]
+    pruned = store.files(("in", "cent_id", probed))
+    assert 0 < len(pruned) < n_all
+    assert {f.partition["cent_id"] for f in pruned} <= set(probed)
+    df = store.to_df(spark)
+    assert df.count() == df.select("cand_id").distinct().count()
+
+
+def test_ivf_recluster_gate_matches_oracle(spark, duck, sf_dir):
+    from datafusion_iceberg_spark import registry
+    from tests.oracle_compare import compare
+
+    registry.load_all_modules()
+    name = "sim_ivf_recluster_report"
+    compare(
+        registry.QUERIES[name](spark, sf_dir),
+        duck.sql(registry.ORACLES[name]),
+        name,
+    )
