@@ -160,6 +160,7 @@ HEADLINE = [
     "iceberg_bucket_merge_scan",
     "stream_bucket_merge_apply",
     "sim_ivf_recluster_report",
+    "iceberg_avro_scan",
 ]
 
 

@@ -236,6 +236,22 @@ def _resolve_named(schema: Any, types: dict[str, Any]) -> Any:
     return schema
 
 
+def read_avro_schema(path: str) -> Any:
+    """Header-only read → parsed schema JSON (no block decode) — the
+    cheap per-file presence probe the scan's partition-column attach
+    rule needs (one small ranged read, not the whole file)."""
+    from datafusion_iceberg_spark.iceberg.io import get_io
+
+    data = get_io(path).read_bytes(path)
+    r = Reader(data)
+    if r.read(4) != MAGIC:
+        raise ValueError(f"{path}: not an Avro container file")
+    meta = _decode({"type": "map", "values": "bytes"}, r)
+    return _resolve_named(
+        json.loads(meta["avro.schema"].decode("utf-8")), {}
+    )
+
+
 def read_avro_file(path: str) -> tuple[Any, list[Any]]:
     """Read an Avro container file → (parsed schema JSON, list of records).
     IO routes through the scheme-keyed FileIO registry (io.py) — the

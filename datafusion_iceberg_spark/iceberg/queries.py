@@ -6511,3 +6511,212 @@ def iceberg_bucket_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+@register(
+    "iceberg_avro_scan",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def iceberg_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVRO data files (the third spec-legal format the reference hands
+    to its parquet reader, table.rs:291): a foreign-written table mixing
+    PARQUET files (regions 0-1, partition column in-file) with AVRO
+    files (regions 2-4, partition column DIRECTORY-ONLY), scanned by
+    routing the AVRO leg through the repo's own pure-Python container
+    codec EXECUTOR-SIDE (one task per file — the spark-avro jar is an
+    external module absent here), attaching the missing partition
+    values from manifest metadata, and unioning with the native parquet
+    leg.  Same oracle shape as iceberg_orc_scan — what changes is the
+    format router (iceberg/table.py::_scan_avro_files)."""
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from datafusion_iceberg_spark.iceberg.avro import write_avro_file
+    from datafusion_iceberg_spark.iceberg.writer import (
+        _MANIFEST_LIST_SCHEMA,
+        _manifest_schema,
+    )
+
+    with _lock:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_avro", "avtbl")
+        marker = os.path.join(root, "_COMPLETE")
+        if not os.path.exists(marker):
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            data_dir = os.path.join(root, "data")
+            meta_dir = os.path.join(root, "metadata")
+            os.makedirs(data_dir)
+            os.makedirs(meta_dir)
+            rows = (
+                load_table(spark, sf_dir, "nation")
+                .select("n_nationkey", "n_name", "n_regionkey")
+                .orderBy("n_nationkey")
+                .collect()  # 25 rows, fixture construction only
+            )
+            by_region: dict[int, list] = {}
+            for r in rows:
+                by_region.setdefault(int(r["n_regionkey"]), []).append(r)
+            rec_schema = {
+                "type": "record",
+                "name": "nation",
+                "fields": [
+                    {"name": "n_nationkey", "type": ["null", "long"]},
+                    {"name": "n_name", "type": ["null", "string"]},
+                ],
+            }
+            entries = []
+            for region in sorted(by_region):
+                rs = by_region[region]
+                if region <= 1:
+                    path = os.path.join(data_dir, f"r{region}.parquet")
+                    papq.write_table(
+                        pa.table(
+                            {
+                                "n_nationkey": pa.array(
+                                    [int(r["n_nationkey"]) for r in rs],
+                                    pa.int64(),
+                                ),
+                                "n_name": pa.array(
+                                    [r["n_name"] for r in rs], pa.string()
+                                ),
+                                "n_regionkey": pa.array(
+                                    [region] * len(rs), pa.int64()
+                                ),
+                            }
+                        ),
+                        path,
+                    )
+                    fmt = "PARQUET"
+                else:
+                    # directory-style: the partition column is NOT in
+                    # the file — only in the manifest partition tuple
+                    path = os.path.join(data_dir, f"r{region}.avro")
+                    write_avro_file(
+                        path,
+                        rec_schema,
+                        [
+                            {
+                                "n_nationkey": int(r["n_nationkey"]),
+                                "n_name": r["n_name"],
+                            }
+                            for r in rs
+                        ],
+                    )
+                    fmt = "AVRO"
+                entries.append(
+                    {
+                        "status": 1,
+                        "snapshot_id": 4001,
+                        "data_file": {
+                            "file_path": path,
+                            "file_format": fmt,
+                            "partition": {"n_regionkey": region},
+                            "record_count": len(rs),
+                            "file_size_in_bytes": os.path.getsize(path),
+                            "block_size_in_bytes": 67108864,
+                        },
+                    }
+                )
+            man_schema = _manifest_schema(
+                [{"name": "n_regionkey", "avro_type": "long"}]
+            )
+            m_path = os.path.join(meta_dir, "m-av.avro")
+            write_avro_file(m_path, man_schema, entries)
+            ml = os.path.join(meta_dir, "snap-4001-1-ml.avro")
+            write_avro_file(
+                ml,
+                _MANIFEST_LIST_SCHEMA,
+                [
+                    {
+                        "manifest_path": m_path,
+                        "manifest_length": os.path.getsize(m_path),
+                        "partition_spec_id": 0,
+                        "sequence_number": 1,
+                        "min_sequence_number": 1,
+                        "added_snapshot_id": 4001,
+                        "added_data_files_count": len(entries),
+                        "existing_data_files_count": 0,
+                        "deleted_data_files_count": 0,
+                        "partitions": None,
+                        "added_rows_count": len(rows),
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                        "content": 0,
+                    }
+                ],
+            )
+            now = int(_time.time() * 1000)
+            meta_json = {
+                "format-version": 2,
+                "table-uuid": str(_uuid.uuid4()),
+                "location": root,
+                "last-updated-ms": now,
+                "last-column-id": 3,
+                "last-sequence-number": 1,
+                "schemas": [
+                    {
+                        "type": "struct",
+                        "schema-id": 0,
+                        "fields": [
+                            {"id": 1, "name": "n_nationkey", "required": False, "type": "long"},
+                            {"id": 2, "name": "n_name", "required": False, "type": "string"},
+                            {"id": 3, "name": "n_regionkey", "required": False, "type": "long"},
+                        ],
+                    }
+                ],
+                "current-schema-id": 0,
+                "partition-specs": [
+                    {
+                        "spec-id": 0,
+                        "fields": [
+                            {
+                                "name": "n_regionkey",
+                                "transform": "identity",
+                                "source-id": 3,
+                                "field-id": 1000,
+                            }
+                        ],
+                    }
+                ],
+                "default-spec-id": 0,
+                "last-partition-id": 1000,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "default-sort-order-id": 0,
+                "snapshots": [
+                    {
+                        "snapshot-id": 4001,
+                        "timestamp-ms": now,
+                        "sequence-number": 1,
+                        "manifest-list": ml,
+                        "summary": {"operation": "append"},
+                        "schema-id": 0,
+                    }
+                ],
+                "current-snapshot-id": 4001,
+                "snapshot-log": [{"snapshot-id": 4001, "timestamp-ms": now}],
+                "metadata-log": [],
+            }
+            with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+                _json.dump(meta_json, fh)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+    table = IcebergTable.load(root)
+    return (
+        table.to_df(spark)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )

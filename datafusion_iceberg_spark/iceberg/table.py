@@ -491,7 +491,7 @@ class IcebergTable:
         # decode error; here ORC routes to Spark's native ORC reader and
         # anything else refuses LOUDLY, naming the file and format.
         fmts = {(f.file_format or "PARQUET").upper() for f in files}
-        bad = sorted(fmts - {"PARQUET", "ORC"})
+        bad = sorted(fmts - {"PARQUET", "ORC", "AVRO"})
         if bad:
             off = next(
                 f
@@ -500,10 +500,52 @@ class IcebergTable:
             )
             raise UnsupportedFileFormatError(
                 f"data file {off.path} has file_format={bad[0]}: this "
-                "engine reads PARQUET natively and routes ORC to Spark's "
-                "ORC reader; other formats are spec-legal but unsupported "
+                "engine reads PARQUET natively, routes ORC to Spark's "
+                "ORC reader, and decodes AVRO with its own container "
+                "codec; other formats are spec-legal but unsupported "
                 "— rewrite the table or scan it with the writing engine"
             )
+        if "AVRO" in fmts:
+            av = [
+                f
+                for f in files
+                if (f.file_format or "PARQUET").upper() == "AVRO"
+            ]
+            if _with_row_meta or _extra_cols:
+                raise UnsupportedFileFormatError(
+                    "row-position metadata over AVRO data files is not "
+                    "supported (_metadata.row_index is a parquet reader "
+                    "feature): " + av[0].path
+                )
+            if deletes or eq_deletes:
+                raise UnsupportedFileFormatError(
+                    "MOR deletes over a table with AVRO data files are "
+                    "not supported — rewrite the AVRO files to parquet "
+                    "first: " + av[0].path
+                )
+            if not _skip_defaults and meta.initial_defaults():
+                raise UnsupportedFileFormatError(
+                    "v3 initial-default columns over AVRO data files are "
+                    "not supported: " + av[0].path
+                )
+            out = self._scan_avro_files(spark, av, filters)
+            rest = [
+                f
+                for f in files
+                if (f.file_format or "PARQUET").upper() != "AVRO"
+            ]
+            if rest:
+                out = out.unionByName(
+                    self._scan_files(
+                        spark,
+                        rest,
+                        filters,
+                        deletes=deletes,
+                        eq_deletes=eq_deletes,
+                        _skip_defaults=_skip_defaults,
+                    )
+                )
+            return out
         if "ORC" in fmts:
             orc = [
                 f
@@ -745,6 +787,87 @@ class IcebergTable:
         df = subs[0]
         for s in subs[1:]:
             df = df.unionByName(s)
+        if filters is not None:
+            df = df.filter(pred_to_sql(filters))
+        return df
+
+    def _scan_avro_files(
+        self, spark: SparkSession, files: list[DataFile], filters
+    ) -> DataFrame:
+        """AVRO data files (spec-legal; the reference hands them to the
+        parquet reader, table.rs:291): decoded EXECUTOR-SIDE by the same
+        pure-Python container codec that decodes manifests
+        (iceberg/avro.py) — the spark-avro jar is an external module
+        absent in this deployment, so the codec distributes as one task
+        per file through the SparkContext; at 100 TB AVRO data files
+        are a migration tail, and each task streams one file.  Column
+        resolution is by NAME (Avro carries no Iceberg field-id footer
+        contract Spark could key on); partition values missing from a
+        file attach from its manifest tuple, probed per FILE via a
+        header-only schema read (same mixed-layout rule as the
+        parquet/ORC legs).  Primitive columns only — nested or
+        temporal-typed table schemas refuse loudly rather than decode
+        into the wrong Spark type."""
+        meta = self.metadata
+        st = meta.struct_type()
+        for f_ in st.fields:
+            if not isinstance(
+                f_.dataType,
+                (
+                    T.LongType,
+                    T.IntegerType,
+                    T.DoubleType,
+                    T.FloatType,
+                    T.StringType,
+                    T.BooleanType,
+                    T.BinaryType,
+                ),
+            ):
+                raise UnsupportedFileFormatError(
+                    f"AVRO data-file scan supports primitive columns; "
+                    f"column {f_.name!r} is {f_.dataType.simpleString()} "
+                    "— rewrite the files to parquet"
+                )
+        from datafusion_iceberg_spark.iceberg.avro import read_avro_schema
+
+        names = [f_.name for f_ in st.fields]
+        payload = []
+        for f in files:
+            p = meta.localize(f.path)
+            sch = read_avro_schema(p)
+            ffields = {
+                fd["name"] for fd in (sch.get("fields") or [])
+            } if isinstance(sch, dict) else set()
+            part_cols = meta.partition_column_names(f.spec_id)
+            pf_by_col = dict(
+                zip(part_cols, meta.partition_fields_for_spec(f.spec_id) or [])
+            )
+            attach = {}
+            for c in part_cols:
+                if c in ffields:
+                    continue
+                pf = pf_by_col.get(c)
+                if pf is None or pf.transform != "identity":
+                    raise UnsupportedFileFormatError(
+                        f"AVRO data file {p} lacks column {c!r}, whose "
+                        "partition transform is not identity — no value "
+                        "to attach; rewrite the file"
+                    )
+                attach[c] = f.partition.get(pf.name)
+            payload.append((p, attach))
+
+        def _rows(item):
+            from datafusion_iceberg_spark.iceberg.avro import read_avro_file
+
+            path, attach = item
+            _, records = read_avro_file(path)
+            for rec in records:
+                yield tuple(
+                    attach[c] if c in attach else rec.get(c) for c in names
+                )
+
+        rdd = spark.sparkContext.parallelize(payload, max(len(payload), 1))
+        df = spark.createDataFrame(rdd.flatMap(_rows), st)
         if filters is not None:
             df = df.filter(pred_to_sql(filters))
         return df
