@@ -1756,8 +1756,7 @@ def _hive_discovery_read(
     for col in missing:
         if types_by_id.get(ids_by_name.get(col)) not in ("int", "long"):
             return None
-    paths: list[str] = []
-    bases: set[str] = set()
+    by_base: dict[str, list[str]] = {}
     for f in files:
         p = meta.localize(f.path)
         if "://" in p:
@@ -1777,28 +1776,32 @@ def _hive_discovery_read(
                     return None
             except (TypeError, ValueError):
                 return None
-        bases.add(cur)
-        paths.append(p)
-    base = (
-        os.path.commonpath(list(bases)) if len(bases) > 1 else next(iter(bases))
-    )
-    while "=" in os.path.basename(base):
-        base = os.path.dirname(base)
-    # leaf-directory compaction still applies (whole-dir reads where the
-    # listing is exactly the selected files): partition components live
-    # ABOVE the leaf, so discovery parses them from dir paths unchanged
-    paths = _compact_read_paths(paths)
-    _tune_listing_parallelism(spark, len(paths))
-    df = getattr(
-        spark.read.schema(st).option("basePath", base), fmt
-    )(*paths)
+        by_base.setdefault(cur, []).append(p)
     cols = [f.name for f in st.fields]
     if with_row_meta:
-        cols += [
+        cols = cols + [
             F.col("_metadata.file_path").alias("_ice_file"),
             F.col("_metadata.row_index").alias("_ice_pos"),
         ]
-    return df.select(*cols)
+    # ONE read per non-partition base (= per contributing snapshot dir):
+    # Spark's discovery refuses paths whose partition components start at
+    # different ancestors (CONFLICTING_DIRECTORY_STRUCTURES), so a
+    # multi-snapshot table unions per-base reads — #bases is bounded by
+    # the live snapshot dirs, far below the per-partition-tuple fanout
+    # this fast path replaces.  Leaf-directory compaction still applies
+    # (partition components live ABOVE the leaf).
+    subs = []
+    for base in sorted(by_base):
+        paths = _compact_read_paths(by_base[base])
+        _tune_listing_parallelism(spark, len(paths))
+        df = getattr(
+            spark.read.schema(st).option("basePath", base), fmt
+        )(*paths)
+        subs.append(df.select(*cols))
+    out = subs[0]
+    for s in subs[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 def _read_groups_with_partition_values(

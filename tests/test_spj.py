@@ -685,7 +685,7 @@ def test_bucket_agg_refuses_without_bucket_group_col(spark, wh):
     from datafusion_iceberg_spark.iceberg.spj import bucket_agg
 
     o8 = wh.load("spj.orders8")
-    with pytest.raises(BucketJoinError, match="bucket-partitioned"):
+    with pytest.raises(BucketJoinError, match="bucket- or identity-partitioned"):
         bucket_agg(spark, o8, ["o_orderstatus"], [F.count(F.lit(1)).alias("n")])
 
 
