@@ -161,6 +161,7 @@ HEADLINE = [
     "stream_bucket_merge_apply",
     "sim_ivf_recluster_report",
     "iceberg_avro_scan",
+    "iceberg_identity_agg_scan",
 ]
 
 

@@ -6720,3 +6720,76 @@ def iceberg_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+_idagg_warehouses: dict[str, "Catalog"] = {}
+
+
+def _identity_agg_fixture(spark: SparkSession, sf_dir: str) -> Catalog:
+    """events persisted as an identity(event_type)-partitioned table —
+    the date/region-style layout whose per-key rollups need no shuffle."""
+    with _lock:
+        cat = _idagg_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_idagg")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            ev = load_table(spark, sf_dir, "events").select(
+                "event_id", "user_id", "event_type", "value"
+            )
+            cat.create_table(
+                "ia.events", ev.schema, partition_by=["event_type"]
+            )
+            cat.append("ia.events", spark, ev)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _idagg_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_identity_agg_scan",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_micros
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def iceberg_identity_agg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity-keyed storage-partitioned aggregation (the r14
+    generalization of bucket_agg): a per-event-type rollup over an
+    identity(event_type)-partitioned table runs as a union of
+    single-partition branch aggregations with ZERO Exchange — including
+    the COUNT(DISTINCT user_id), which is key-local and therefore exact
+    per branch.  The date/region layout every warehouse has, given the
+    same shuffle elision as bucketed keys (iceberg/spj.py::bucket_agg,
+    plan asserted in tests/test_spj.py)."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_agg
+
+    cat = _identity_agg_fixture(spark, sf_dir)
+    t = cat.load("ia.events")
+    agg = bucket_agg(
+        spark,
+        t,
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * 1000000 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("value_micros"),
+        ],
+    )
+    return agg.orderBy("event_type")

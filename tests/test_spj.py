@@ -1240,3 +1240,18 @@ def test_ivf_recluster_gate_matches_oracle(spark, duck, sf_dir):
         duck.sql(registry.ORACLES[name]),
         name,
     )
+
+
+def test_identity_agg_gate_matches_oracle_and_plan(spark, duck, sf_dir):
+    from datafusion_iceberg_spark import registry
+    from tests.oracle_compare import compare
+
+    registry.load_all_modules()
+    name = "iceberg_identity_agg_scan"
+    df = registry.QUERIES[name](spark, sf_dir)
+    compare(df, duck.sql(registry.ORACLES[name]), name)
+    # zero Exchange hashpartitioning on the group key anywhere (the
+    # orderBy's rangepartitioning over ~5 rows is the only residual)
+    plan = plan_string(df)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "event_type" not in m.group(1)
