@@ -88,6 +88,7 @@ from datafusion_iceberg_spark.iceberg.manifests import DataFile
 from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
 _BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
+_TRUNC_RE = re.compile(r"^truncate\[(\d+)\]$")
 
 # Per-branch broadcast ceiling.  Spark's own autoBroadcastJoinThreshold
 # defaults to 10 MB because a broadcast ships to EVERY executor; here each
@@ -157,6 +158,25 @@ def bucket_partitioning(table: IcebergTable) -> dict[str, tuple[int, str]]:
     return out
 
 
+def truncate_partitioning(table: IcebergTable) -> dict[str, tuple[int, str]]:
+    """Source-column name → (width W, partition field name) for every
+    ``truncate[W]`` field in the DEFAULT spec."""
+    meta = table.metadata
+    out: dict[str, tuple[int, str]] = {}
+    for col, pf in zip(meta.partition_column_names(), meta.partition_fields):
+        m = _TRUNC_RE.match(pf.transform)
+        if m:
+            out[col] = (int(m.group(1)), pf.name)
+    return out
+
+
+def _col_iceberg_type(table: IcebergTable, col: str) -> Optional[str]:
+    meta = table.metadata
+    fid = meta.field_ids_by_name().get(col)
+    t = meta.types_by_field_id().get(fid)
+    return t if isinstance(t, str) else None
+
+
 def _as_cols(on: KeySpec, side: str) -> list[str]:
     if isinstance(on, str):
         return [on]
@@ -187,9 +207,12 @@ def compatible_partitioning(
         )
     lspec = bucket_partitioning(left)
     rspec = bucket_partitioning(right)
+    ltr = truncate_partitioning(left)
+    rtr = truncate_partitioning(right)
     kinds: list[tuple] = []
     for lc, rc in zip(left_cols, right_cols):
         lb, rb = lspec.get(lc), rspec.get(rc)
+        lt_, rt_ = ltr.get(lc), rtr.get(rc)
         if lb is not None and rb is not None:
             n, m = lb[0], rb[0]
             coarse = min(n, m)
@@ -200,16 +223,44 @@ def compatible_partitioning(
                     "values do not fold onto a shared grid"
                 )
             kinds.append(("bucket", coarse))
-        elif lb is None and rb is None:
-            kinds.append(("identity",))
-        else:
-            side, col = ("left", lc) if lb is None else ("right", rc)
+        elif lt_ is not None and rt_ is not None:
+            # truncate positions: string prefixes fold to the SHORTER
+            # width (any pair); integer truncation folds to the COARSER
+            # grid only when the finer width divides it — trunc_Wf(x)
+            # pins x inside one Wc block exactly when Wf | Wc
+            w1, w2 = lt_[0], rt_[0]
+            t = _col_iceberg_type(left, lc) or ""
+            if t in ("int", "long"):
+                lo, hi = sorted((w1, w2))
+                if hi % lo != 0:
+                    raise BucketJoinError(
+                        f"incompatible truncate widths on {lc!r}: "
+                        f"truncate[{w1}] vs truncate[{w2}] — neither "
+                        "divides the other, so integer-truncated values "
+                        "do not fold onto a shared grid"
+                    )
+                kinds.append(("truncate", hi, True))
+            elif t in ("string", "binary"):
+                kinds.append(("truncate", min(w1, w2), False))
+            else:
+                raise BucketJoinError(
+                    f"truncate-partitioned join key {lc!r} has type "
+                    f"{t!r}: only int/long/string/binary truncation "
+                    "folds onto a shared grid"
+                )
+        elif (lb is None) != (rb is None) or (lt_ is None) != (rt_ is None):
+            side, col = (
+                ("left", lc) if (lb is None and lt_ is None) else ("right", rc)
+            )
             raise BucketJoinError(
                 f"{side} table is not bucket-partitioned on {col!r} while "
-                "the other side is — a bucket/identity mix on one key "
-                "position has no co-location guarantee"
+                "the other side carries a bucket/truncate transform — a "
+                "transform mix on one key position has no co-location "
+                "guarantee"
             )
-    if not any(k[0] == "bucket" for k in kinds):
+        else:
+            kinds.append(("identity",))
+    if not any(k[0] in ("bucket", "truncate") for k in kinds):
         if len(left_cols) == 1:
             raise BucketJoinError(
                 f"left table is not bucket-partitioned on {left_cols[0]!r} "
@@ -278,6 +329,7 @@ def _partition_groups(
                 if by_id.get(pf.source_id) != col:
                     continue
                 m = _BUCKET_RE.match(pf.transform)
+                mt = _TRUNC_RE.match(pf.transform)
                 if kind[0] == "bucket" and m:
                     n_f = int(m.group(1))
                     if n_f % kind[1] != 0:
@@ -288,6 +340,21 @@ def _partition_groups(
                             "rewrite old files or use a plain join"
                         )
                     ent = ("bucket", kind[1], pf.name)
+                    break
+                if kind[0] == "truncate" and mt:
+                    w_f = int(mt.group(1))
+                    is_int = kind[2]
+                    ok = (
+                        kind[1] % w_f == 0 if is_int else w_f >= kind[1]
+                    )
+                    if not ok:
+                        raise BucketJoinError(
+                            f"spec {spec_id} was written under "
+                            f"truncate[{w_f}] on {col!r}, which does not "
+                            f"fold onto the truncate[{kind[1]}] grid — "
+                            "rewrite old files or use a plain join"
+                        )
+                    ent = ("truncate", (kind[1], is_int), pf.name)
                     break
                 if kind[0] == "identity" and pf.transform == "identity":
                     ent = ("identity", None, pf.name)
@@ -322,7 +389,21 @@ def _partition_groups(
             if v is None:
                 has_null = True
                 break
-            key.append(int(v) % coarse if kind == "bucket" else v)
+            if kind == "bucket":
+                key.append(int(v) % coarse)
+            elif kind == "truncate":
+                wc, is_int = coarse
+                if is_int:
+                    # Iceberg int truncate: v - (v mod W), mod >= 0
+                    key.append(int(v) - (int(v) % wc))
+                else:
+                    key.append(
+                        v[:wc]
+                        if isinstance(v, str)
+                        else bytes(v)[:wc]
+                    )
+            else:
+                key.append(v)
         if has_null:
             null_files.append(f)
             continue

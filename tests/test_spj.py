@@ -525,7 +525,7 @@ def test_composite_key_position_bucketed_one_side_refuses(spark, comp_wh, tmp_pa
     )
     cat.append("m.t", spark, df)
     lt = comp_wh.load("c.l")  # bucket(8, k) + identity(g)
-    with pytest.raises(BucketJoinError, match="bucket/identity mix"):
+    with pytest.raises(BucketJoinError, match="transform mix"):
         bucket_join(spark, lt, cat.load("m.t"), ["k", "g"])
 
 
@@ -1255,3 +1255,70 @@ def test_identity_agg_gate_matches_oracle_and_plan(spark, duck, sf_dir):
     plan = plan_string(df)
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "event_type" not in m.group(1)
+
+
+@pytest.mark.parametrize(
+    "lw,rw",
+    [(100, 100), (100, 200)],  # same width; finer folds onto coarser
+)
+def test_truncate_int_spj_matches_plain(spark, tmp_path, lw, rw):
+    """Integer truncate[W] positions: values fold onto the coarser grid
+    when the finer width divides it — shuffle-free join over
+    truncate-partitioned tables, byte-identical to the plain join."""
+    cat = Catalog(str(tmp_path / f"tr{lw}_{rw}"))
+    left = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(0, 1000, 7)], "k long, lv string"
+    ).coalesce(1)
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(0, 1000, 3)], "k long, rv string"
+    ).coalesce(1)
+    cat.create_table(
+        "t.l", left.schema, partition_by=[f"truncate({lw}, k)"]
+    )
+    cat.append("t.l", spark, left)
+    cat.create_table(
+        "t.r", right.schema, partition_by=[f"truncate({rw}, k)"]
+    )
+    cat.append("t.r", spark, right)
+    lt, rt = cat.load("t.l"), cat.load("t.r")
+    spj = bucket_join(spark, lt, rt, "k")
+    plain = lt.to_df(spark).join(rt.to_df(spark), on=["k"], how="inner")
+    assert sorted(map(tuple, spj.select(*plain.columns).collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    plan = plan_string(spj)
+    assert "SortMergeJoin" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "k#" not in m.group(1)
+
+
+def test_truncate_string_spj_and_incompatible_int_refuses(spark, tmp_path):
+    from datafusion_iceberg_spark.iceberg.spj import BucketJoinError
+
+    cat = Catalog(str(tmp_path / "trs"))
+    words = ["alpha", "alpine", "beta", "bet", "gamma", "go", "golang"]
+    left = spark.createDataFrame(
+        [(w, f"l{w}") for w in words], "k string, lv string"
+    )
+    right = spark.createDataFrame(
+        [(w, f"r{w}") for w in words + ["delta"]], "k string, rv string"
+    )
+    cat.create_table("s.l", left.schema, partition_by=["truncate(2, k)"])
+    cat.append("s.l", spark, left)
+    cat.create_table("s.r", right.schema, partition_by=["truncate(3, k)"])
+    cat.append("s.r", spark, right)
+    lt, rt = cat.load("s.l"), cat.load("s.r")
+    spj = bucket_join(spark, lt, rt, "k")
+    plain = lt.to_df(spark).join(rt.to_df(spark), on=["k"], how="inner")
+    assert sorted(map(tuple, spj.select(*plain.columns).collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # integer widths that divide neither way refuse
+    ints_l = spark.createDataFrame([(1, "a")], "k long, lv string")
+    ints_r = spark.createDataFrame([(1, "b")], "k long, rv string")
+    cat.create_table("s.il", ints_l.schema, partition_by=["truncate(100, k)"])
+    cat.append("s.il", spark, ints_l)
+    cat.create_table("s.ir", ints_r.schema, partition_by=["truncate(150, k)"])
+    cat.append("s.ir", spark, ints_r)
+    with pytest.raises(BucketJoinError, match="incompatible truncate"):
+        bucket_join(spark, cat.load("s.il"), cat.load("s.ir"), "k")
