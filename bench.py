@@ -179,7 +179,13 @@ def main() -> None:
     )
     while os.getloadavg()[0] >= 2.0 and time.monotonic() < settle_deadline:
         time.sleep(5)
-    contended = os.getloadavg()[0] >= 2.0
+    # Stamp the PRE-WARM-UP load: once the session starts, the warm-up
+    # itself drives the 1-min load past 2 on any local[N] run — r13's
+    # recordings read as "hot host" (start 3.35) when the host was
+    # quiet and the load was self-inflicted.  This is the number the
+    # settle loop gated on, so it is the honest ambient-contention stamp.
+    load_start = os.getloadavg()[0]
+    contended = load_start >= 2.0
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -235,7 +241,6 @@ def main() -> None:
     # rather than back-to-back repeats — give the compile queue a whole
     # pass worth of settle time; the first pass is effectively a rehearsal.
     timings: dict[str, float] = {}
-    load_start = os.getloadavg()[0]
     bench_start = time.perf_counter()
     # Soft wall-clock budget: finish the pass in flight but start no new
     # pass beyond it — a loaded host (this VM shows 10-30x jitter under
