@@ -158,6 +158,52 @@ def bucket_partitioning(table: IcebergTable) -> dict[str, tuple[int, str]]:
     return out
 
 
+# Temporal transforms are monotonic functions of the key: equal keys
+# share a partition value, and the hierarchy folds finer → coarser
+# (hour → day → month → year), so two specs are join-compatible whenever
+# one's granularity contains the other's.
+_TEMPORAL_RANK = {"hour": 0, "day": 1, "month": 2, "year": 3}
+
+
+def _temporal_fold(value: int, src: str, dst: str) -> int:
+    """Fold a temporal partition value from granularity ``src`` onto the
+    coarser ``dst`` grid (identity when equal).  Domains per the spec:
+    hours/days/months/years from epoch."""
+    if src == dst:
+        return int(value)
+    v = int(value)
+    if src == "hour":
+        v = v // 24  # python // floors, matching the epoch-day domain
+        src = "day"
+        if src == dst:
+            return v
+    if src == "day":
+        from datetime import date, timedelta
+
+        d = date(1970, 1, 1) + timedelta(days=v)
+        v = (d.year - 1970) * 12 + d.month - 1
+        src = "month"
+        if src == dst:
+            return v
+    if src == "month":
+        v = v // 12  # floor: month -24..-13 → year -2
+        src = "year"
+        if src == dst:
+            return v
+    raise BucketJoinError(f"cannot fold {src} onto {dst}")
+
+
+def temporal_partitioning(table: IcebergTable) -> dict[str, tuple[str, str]]:
+    """Source-column name → (transform name, partition field name) for
+    every hour/day/month/year field in the DEFAULT spec."""
+    meta = table.metadata
+    out: dict[str, tuple[str, str]] = {}
+    for col, pf in zip(meta.partition_column_names(), meta.partition_fields):
+        if pf.transform in _TEMPORAL_RANK:
+            out[col] = (pf.transform, pf.name)
+    return out
+
+
 def truncate_partitioning(table: IcebergTable) -> dict[str, tuple[int, str]]:
     """Source-column name → (width W, partition field name) for every
     ``truncate[W]`` field in the DEFAULT spec."""
@@ -209,10 +255,13 @@ def compatible_partitioning(
     rspec = bucket_partitioning(right)
     ltr = truncate_partitioning(left)
     rtr = truncate_partitioning(right)
+    ltm = temporal_partitioning(left)
+    rtm = temporal_partitioning(right)
     kinds: list[tuple] = []
     for lc, rc in zip(left_cols, right_cols):
         lb, rb = lspec.get(lc), rspec.get(rc)
         lt_, rt_ = ltr.get(lc), rtr.get(rc)
+        lm_, rm_ = ltm.get(lc), rtm.get(rc)
         if lb is not None and rb is not None:
             n, m = lb[0], rb[0]
             coarse = min(n, m)
@@ -248,19 +297,33 @@ def compatible_partitioning(
                     f"{t!r}: only int/long/string/binary truncation "
                     "folds onto a shared grid"
                 )
-        elif (lb is None) != (rb is None) or (lt_ is None) != (rt_ is None):
+        elif lm_ is not None and rm_ is not None:
+            # temporal positions: monotonic functions of the key — equal
+            # keys share a value, and hour → day → month → year folds
+            # finer onto coarser, so the COARSER granularity is the grid
+            coarse = max(
+                lm_[0], rm_[0], key=lambda t: _TEMPORAL_RANK[t]
+            )
+            kinds.append(("temporal", coarse))
+        elif (
+            (lb is None) != (rb is None)
+            or (lt_ is None) != (rt_ is None)
+            or (lm_ is None) != (rm_ is None)
+        ):
             side, col = (
-                ("left", lc) if (lb is None and lt_ is None) else ("right", rc)
+                ("left", lc)
+                if (lb is None and lt_ is None and lm_ is None)
+                else ("right", rc)
             )
             raise BucketJoinError(
                 f"{side} table is not bucket-partitioned on {col!r} while "
-                "the other side carries a bucket/truncate transform — a "
-                "transform mix on one key position has no co-location "
-                "guarantee"
+                "the other side carries a bucket/truncate/temporal "
+                "transform — a transform mix on one key position has no "
+                "co-location guarantee"
             )
         else:
             kinds.append(("identity",))
-    if not any(k[0] in ("bucket", "truncate") for k in kinds):
+    if not any(k[0] in ("bucket", "truncate", "temporal") for k in kinds):
         if len(left_cols) == 1:
             raise BucketJoinError(
                 f"left table is not bucket-partitioned on {left_cols[0]!r} "
@@ -356,6 +419,22 @@ def _partition_groups(
                         )
                     ent = ("truncate", (kind[1], is_int), pf.name)
                     break
+                if (
+                    kind[0] == "temporal"
+                    and pf.transform in _TEMPORAL_RANK
+                ):
+                    if (
+                        _TEMPORAL_RANK[pf.transform]
+                        > _TEMPORAL_RANK[kind[1]]
+                    ):
+                        raise BucketJoinError(
+                            f"spec {spec_id} was written under "
+                            f"{pf.transform}({col}) — coarser than the "
+                            f"{kind[1]} grid, so values cannot fold; "
+                            "rewrite old files or use a plain join"
+                        )
+                    ent = ("temporal", (pf.transform, kind[1]), pf.name)
+                    break
                 if kind[0] == "identity" and pf.transform == "identity":
                     ent = ("identity", None, pf.name)
                     break
@@ -391,6 +470,9 @@ def _partition_groups(
                 break
             if kind == "bucket":
                 key.append(int(v) % coarse)
+            elif kind == "temporal":
+                src, dst = coarse
+                key.append(_temporal_fold(v, src, dst))
             elif kind == "truncate":
                 wc, is_int = coarse
                 if is_int:

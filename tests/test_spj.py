@@ -1322,3 +1322,52 @@ def test_truncate_string_spj_and_incompatible_int_refuses(spark, tmp_path):
     cat.append("s.ir", spark, ints_r)
     with pytest.raises(BucketJoinError, match="incompatible truncate"):
         bucket_join(spark, cat.load("s.il"), cat.load("s.ir"), "k")
+
+
+def test_temporal_spj_day_vs_month_matches_plain(spark, tmp_path):
+    """Temporal positions: day(ts) on one side folds onto month(ts) on
+    the other — a timestamp-keyed join over date-partitioned tables
+    with zero shuffle Exchange on the key."""
+    import datetime as dt
+
+    cat = Catalog(str(tmp_path / "tmp1"))
+    stamps = [
+        dt.datetime(2024, m, d, h)
+        for m in (1, 2, 3)
+        for d in (1, 15, 28)
+        for h in (0, 12)
+    ]
+    left = spark.createDataFrame(
+        [(t, f"l{i}") for i, t in enumerate(stamps)], "ts timestamp, lv string"
+    ).coalesce(1)
+    right = spark.createDataFrame(
+        [(t, f"r{i}") for i, t in enumerate(stamps[::2])],
+        "ts timestamp, rv string",
+    ).coalesce(1)
+    cat.create_table("t.l", left.schema, partition_by=["day(ts)"])
+    cat.append("t.l", spark, left)
+    cat.create_table("t.r", right.schema, partition_by=["month(ts)"])
+    cat.append("t.r", spark, right)
+    lt, rt = cat.load("t.l"), cat.load("t.r")
+    spj = bucket_join(spark, lt, rt, "ts")
+    plain = lt.to_df(spark).join(rt.to_df(spark), on=["ts"], how="inner")
+    assert sorted(map(tuple, spj.select(*plain.columns).collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    assert len(plain.collect()) > 0
+    plan = plan_string(spj)
+    assert "SortMergeJoin" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "ts#" not in m.group(1)
+
+
+def test_temporal_fold_hierarchy_exact():
+    from datafusion_iceberg_spark.iceberg.spj import _temporal_fold
+
+    # 2024-02-15 is day 19768 from epoch; month index (2024-1970)*12+1
+    assert _temporal_fold(19768, "day", "month") == (2024 - 1970) * 12 + 1
+    assert _temporal_fold(19768, "day", "year") == 54
+    assert _temporal_fold(19768 * 24 + 7, "hour", "day") == 19768
+    assert _temporal_fold(-1, "hour", "day") == -1  # pre-epoch floors
+    assert _temporal_fold((2024 - 1970) * 12 + 1, "month", "year") == 54
+    assert _temporal_fold(-13, "month", "year") == -2
