@@ -137,8 +137,22 @@ def _partition_backed_key(table: IcebergTable, cols) -> tuple[str, tuple]:
     icol = next((c for c in cols if c in ispec), None)
     if icol is not None:
         return icol, ("identity",)
+    # temporal and truncate transforms are FUNCTIONS of the key: all
+    # rows for one key value live in one partition, so per-key operators
+    # over them are branch-local too (groupBy(ts) on a day(ts) layout)
+    tspec = temporal_partitioning(table)
+    tcol = next((c for c in cols if c in tspec), None)
+    if tcol is not None:
+        g = tspec[tcol][0]
+        return tcol, ("temporal", g)
+    trspec = truncate_partitioning(table)
+    rcol = next((c for c in cols if c in trspec), None)
+    if rcol is not None:
+        t = _col_iceberg_type(table, rcol) or ""
+        return rcol, ("truncate", trspec[rcol][0], t in ("int", "long"))
     raise BucketJoinError(
         f"no column of {list(cols)} is bucket- or identity-partitioned "
+        "(nor temporal/truncate-transformed) "
         f"(bucketed: {sorted(bspec)}, identity: {sorted(ispec)}) — the "
         "key must determine the partition for a shuffle-free operator"
     )

@@ -1371,3 +1371,35 @@ def test_temporal_fold_hierarchy_exact():
     assert _temporal_fold(-1, "hour", "day") == -1  # pre-epoch floors
     assert _temporal_fold((2024 - 1970) * 12 + 1, "month", "year") == 54
     assert _temporal_fold(-13, "month", "year") == -2
+
+
+def test_temporal_backed_spa_zero_exchange(spark, tmp_path):
+    """groupBy(ts) over a day(ts)-partitioned table: the transform is a
+    function of the key, so per-key aggregation is branch-local — the
+    date-partitioned fact-table rollup with zero Exchange."""
+    import datetime as dt
+
+    from datafusion_iceberg_spark.iceberg.spj import bucket_agg
+
+    cat = Catalog(str(tmp_path / "tspa"))
+    rows = [
+        (dt.datetime(2024, 1, 1 + (i % 9), i % 24), i) for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v long")
+    cat.create_table("t.t", df.schema, partition_by=["day(ts)"])
+    cat.append("t.t", spark, df)
+    t = cat.load("t.t")
+    agg = bucket_agg(
+        spark, t, ["ts"], [F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")]
+    )
+    assert "Exchange" not in plan_string(agg)
+    got = sorted(map(tuple, agg.collect()))
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy("ts")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .collect(),
+        )
+    )
+    assert got == want
