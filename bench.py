@@ -162,6 +162,7 @@ HEADLINE = [
     "sim_ivf_recluster_report",
     "iceberg_avro_scan",
     "iceberg_identity_agg_scan",
+    "iceberg_temporal_join_scan",
 ]
 
 

@@ -6793,3 +6793,84 @@ def iceberg_identity_agg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return agg.orderBy("event_type")
+
+
+_tmpj_warehouses: dict[str, "Catalog"] = {}
+
+
+def _temporal_join_fixture(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Two event projections co-partitioned by day(ts) — the
+    date-partitioned fact layout every warehouse has; equal timestamps
+    are guaranteed co-located because day() is a function of ts."""
+    with _lock:
+        cat = _tmpj_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_tmpj")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            ev = load_table(spark, sf_dir, "events")
+            ts_dtype = dict(ev.dtypes)["ts"]
+            if ts_dtype == "bigint":
+                ev = ev.withColumn(
+                    "ts",
+                    F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"),
+                )
+            elif ts_dtype == "timestamp_ntz":
+                ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+            left = ev.select("ts", "event_id", "event_type", "value")
+            right = ev.select("ts", "user_id")
+            cat.create_table("tj.l", left.schema, partition_by=["day(ts)"])
+            cat.append("tj.l", spark, left)
+            cat.create_table("tj.r", right.schema, partition_by=["day(ts)"])
+            cat.append("tj.r", spark, right)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _tmpj_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_temporal_join_scan",
+    oracle="""
+    SELECT l.event_type AS event_type, COUNT(*) AS n_rows,
+           CAST(SUM(l.event_id + r.user_id) AS BIGINT) AS mix_sum
+    FROM events l JOIN events r ON l.ts = r.ts
+    GROUP BY l.event_type ORDER BY event_type
+    """,
+)
+def iceberg_temporal_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal SPJ (the r14 transform-algebra completion): a
+    timestamp-keyed join of two day(ts)-partitioned tables runs as a
+    union of per-day-branch BroadcastHashJoins with zero shuffle
+    Exchange on ts — day() is a monotonic function of the key, so equal
+    timestamps are co-located by layout; hour/day/month/year fold finer
+    onto coarser (tests/test_spj.py).  The date-partitioned fact join
+    every warehouse runs daily, shuffle-free (iceberg/spj.py)."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join
+
+    cat = _temporal_join_fixture(spark, sf_dir)
+    joined = bucket_join(
+        spark,
+        cat.load("tj.l"),
+        cat.load("tj.r"),
+        left_on="ts",
+        max_branches=16,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("event_id") + F.col("user_id"))
+            .cast("long")
+            .alias("mix_sum"),
+        )
+        .orderBy("event_type")
+    )
