@@ -163,6 +163,7 @@ HEADLINE = [
     "iceberg_avro_scan",
     "iceberg_identity_agg_scan",
     "iceberg_temporal_join_scan",
+    "iceberg_truncate_join_scan",
 ]
 
 

@@ -6874,3 +6874,91 @@ def iceberg_temporal_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_trj_warehouses: dict[str, "Catalog"] = {}
+
+
+def _truncate_join_fixture(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Two part projections partitioned truncate(500, p_partkey) and
+    truncate(1000, p_partkey) — integer truncation folds onto the
+    coarser grid because 500 | 1000."""
+    with _lock:
+        cat = _trj_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_trj")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            part = load_table(spark, sf_dir, "part")
+            left = part.select("p_partkey", "p_brand", "p_retailprice")
+            right = part.select("p_partkey", "p_size")
+            cat.create_table(
+                "tr.l", left.schema, partition_by=["truncate(500, p_partkey)"]
+            )
+            cat.append("tr.l", spark, left)
+            cat.create_table(
+                "tr.r",
+                right.schema,
+                partition_by=["truncate(1000, p_partkey)"],
+            )
+            cat.append("tr.r", spark, right)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _trj_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_truncate_join_scan",
+    oracle="""
+    SELECT l.p_brand AS p_brand, COUNT(*) AS n_parts,
+           CAST(SUM(l.p_partkey + r.p_size) AS BIGINT) AS mix_sum,
+           CAST(SUM(CAST(CAST(FLOOR(l.p_retailprice * 100 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 100 AS price_sum
+    FROM part l JOIN part r ON l.p_partkey = r.p_partkey
+    GROUP BY l.p_brand ORDER BY p_brand
+    """,
+)
+def iceberg_truncate_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncate-transform SPJ: a key join over truncate(500) vs
+    truncate(1000) integer-partitioned tables runs shuffle-free — the
+    finer width divides the coarser, so trunc_500(k) pins k inside one
+    1000-block and the file groups fold exactly (iceberg/spj.py; with
+    bucket/identity/temporal this completes the KeyGroupedPartitioning
+    transform algebra, SPARK-37375).  Zero p_partkey Exchange asserted
+    in tests/test_spj.py."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join
+
+    cat = _truncate_join_fixture(spark, sf_dir)
+    joined = bucket_join(
+        spark,
+        cat.load("tr.l"),
+        cat.load("tr.r"),
+        left_on="p_partkey",
+        max_branches=16,
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_partkey") + F.col("p_size"))
+            .cast("long")
+            .alias("mix_sum"),
+            (
+                F.sum(
+                    F.floor(F.col("p_retailprice") * 100 + 0.5)
+                    .cast("long")
+                    .cast("decimal(18,0)")
+                ).cast("double")
+                / 100
+            ).alias("price_sum"),
+        )
+        .orderBy("p_brand")
+    )

@@ -1416,3 +1416,16 @@ def test_temporal_join_gate_matches_oracle(spark, duck, sf_dir):
     plan = plan_string(df)
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "ts#" not in m.group(1)
+
+
+def test_truncate_join_gate_matches_oracle(spark, duck, sf_dir):
+    from datafusion_iceberg_spark import registry
+    from tests.oracle_compare import compare
+
+    registry.load_all_modules()
+    name = "iceberg_truncate_join_scan"
+    df = registry.QUERIES[name](spark, sf_dir)
+    compare(df, duck.sql(registry.ORACLES[name]), name)
+    plan = plan_string(df)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "p_partkey" not in m.group(1)
