@@ -39,12 +39,22 @@ LPT packing keeps branches within ~4/3 of the optimal load.
 
 Composite keys (the common production layout, e.g. ``bucket(N, k)`` +
 ``identity(region)``): every key position must be partition-backed on both
-sides -- bucket positions fold onto the shared coarse grid (``bucket[kN]``
-values reduce to ``bucket[N]`` by ``% N``; two specs are join-compatible
-whenever one count divides the other), identity positions group by the
-exact partition value.  At least one position must be bucketed.  This is
-the KeyGroupedPartitioning compatibility shape of Spark-Iceberg's SPJ
-(SPARK-37375).
+sides.  The FULL transform algebra of Spark-Iceberg's
+KeyGroupedPartitioning (SPARK-37375) is supported:
+
+* ``bucket[N]`` positions fold onto the shared coarse grid (``bucket[kN]``
+  values reduce to ``bucket[N]`` by ``% N``; compatible whenever one
+  count divides the other);
+* ``truncate[W]`` positions fold string/binary prefixes to the shorter
+  width, and integer truncation to the coarser grid exactly when the
+  finer width divides it;
+* temporal positions (hour/day/month/year) fold finer onto coarser via
+  calendar-exact epoch arithmetic (day(ts) joins month(ts));
+* ``identity`` positions group by the exact partition value.
+
+At least one position must carry a non-identity transform for
+``bucket_join``; the per-key operators (``bucket_agg``/``bucket_apply``/
+``bucket_distinct``) accept any single partition-backed key.
 
 A branch whose smaller side exceeds ``max_broadcast_bytes`` degrades to a
 shuffle join FOR THAT BRANCH ONLY (file-size sums come from manifest
