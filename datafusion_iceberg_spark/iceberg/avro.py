@@ -239,17 +239,36 @@ def _resolve_named(schema: Any, types: dict[str, Any]) -> Any:
 def read_avro_schema(path: str) -> Any:
     """Header-only read → parsed schema JSON (no block decode) — the
     cheap per-file presence probe the scan's partition-column attach
-    rule needs (one small ranged read, not the whole file)."""
+    rule needs.  Reads a bounded PREFIX (headers are schema JSON +
+    codec, kilobytes) and falls back to the full file only if the
+    header somehow exceeds it — planning over large AVRO data files
+    never pulls their byte volume onto the driver."""
     from datafusion_iceberg_spark.iceberg.io import get_io
 
-    data = get_io(path).read_bytes(path)
-    r = Reader(data)
-    if r.read(4) != MAGIC:
-        raise ValueError(f"{path}: not an Avro container file")
-    meta = _decode({"type": "map", "values": "bytes"}, r)
-    return _resolve_named(
-        json.loads(meta["avro.schema"].decode("utf-8")), {}
-    )
+    io = get_io(path)
+    try:
+        with io.open_read(path) as fh:
+            prefix = fh.read(1 << 20)
+    except Exception:
+        prefix = io.read_bytes(path)
+    for data in (prefix, None):
+        if data is None:
+            data = io.read_bytes(path)  # header larger than the prefix
+        try:
+            r = Reader(data)
+            if r.read(4) != MAGIC:
+                raise ValueError(f"{path}: not an Avro container file")
+            meta = _decode({"type": "map", "values": "bytes"}, r)
+            return _resolve_named(
+                json.loads(meta["avro.schema"].decode("utf-8")), {}
+            )
+        except ValueError:
+            raise
+        except Exception:
+            if len(data) < (1 << 20):
+                raise  # full file was already in hand — a real error
+            continue
+    raise ValueError(f"{path}: could not parse Avro header")
 
 
 def read_avro_file(path: str) -> tuple[Any, list[Any]]:

@@ -584,8 +584,9 @@ def bucket_join(
       the anti decomposition, the price of keeping every leg
       broadcastable instead of shuffling per-branch SortMergeJoins.
 
-    ``runtime_prune`` ("left" | "right", inner-only) composes the SPJ
-    with metadata-level runtime file pruning (runtime_filter.py): the
+    ``runtime_prune`` ("left" | "right" — inner/semi either side, anti
+    right-only, outer refused) composes the SPJ with metadata-level
+    runtime file pruning (runtime_filter.py): the
     OTHER side — typically a selectively filtered dim — is scanned once
     for its distinct join keys, and the named side's file listing is
     pruned by the derived IN-list/interval predicate BEFORE branches
@@ -654,13 +655,28 @@ def bucket_join(
             runtime_key_pred,
         )
 
-        bidx = next(i for i, kd in enumerate(kinds) if kd[0] == "bucket")
+        # any position's key derives a pruning predicate — rewrite_pred
+        # folds it through bucket/truncate/temporal transforms and an
+        # identity value prunes directly; prefer a transformed position
+        # (the primary key), falling back to the first
+        bidx = next(
+            (i for i, kd in enumerate(kinds) if kd[0] != "identity"), 0
+        )
         if runtime_prune == "right":
             dim = left.to_df(
                 spark, filters=left_filters, snapshot_id=left_snapshot_id
             )
             pred = runtime_key_pred(dim, lcols[bidx], rcols[bidx])
             if pred is None:
+                if how == "left_anti":
+                    # the (filtered) left side has no non-null keys, so
+                    # NO right row can match — an anti join keeps EVERY
+                    # left row, it does not go empty
+                    return left.to_df(
+                        spark,
+                        filters=left_filters,
+                        snapshot_id=left_snapshot_id,
+                    )
                 return _empty_join()
             right_filters = (
                 ("and", right_filters, pred)
@@ -1088,20 +1104,28 @@ def _bucket_merge_frame(
         tgt = _scan(fl)
         if order_by:
             # conflict rule "greatest (order_by) tuple wins" (source
-            # wins ties): union the branch's target rows with its
-            # source rows and keep one row per key by a KEY-LOCAL
-            # window — the branch is one partition (coalesce(1) →
-            # SinglePartition satisfies the window's distribution), so
-            # this stays shuffle-free like the anti-join path.  The
-            # out-of-order-batch safety a streaming apply needs: an
-            # older source row LOSES to newer target state.
+            # wins ties): union the branch's SOURCE-TOUCHED target rows
+            # with its source rows and keep one row per key by a
+            # KEY-LOCAL window — the branch is one partition
+            # (coalesce(1) → SinglePartition satisfies the window's
+            # distribution), so this stays shuffle-free like the
+            # anti-join path.  The out-of-order-batch safety a
+            # streaming apply needs: an older source row LOSES to
+            # newer target state.  Target rows whose key the batch
+            # never touches pass through UNCHANGED — only
+            # source-touched keys enter the window, so legitimate
+            # duplicate-key target rows on untouched keys survive
+            # (on touched keys both modes collapse to one winner, the
+            # keyed-upsert contract).
             if not insert_not_matched:
                 s_use = s_b.join(
                     tgt.select(key), on=[key], how="left_semi"
                 )
             else:
                 s_use = s_b
-            both = tgt.withColumn("__src", F.lit(0)).unionByName(
+            tgt_hit = tgt.join(s_b.select(key), on=[key], how="left_semi")
+            tgt_miss = tgt.join(s_b.select(key), on=[key], how="left_anti")
+            both = tgt_hit.withColumn("__src", F.lit(0)).unionByName(
                 s_use.withColumn("__src", F.lit(1))
             )
             from pyspark.sql import Window as _W
@@ -1114,6 +1138,7 @@ def _bucket_merge_frame(
                 .withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn", "__src")
+                .unionByName(tgt_miss)
             )
         else:
             # matched rows are REPLACED by the source row: keep target

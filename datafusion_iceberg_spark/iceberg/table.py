@@ -761,12 +761,7 @@ class IcebergTable:
             by_missing: dict[frozenset, list[DataFile]] = {}
             if part_cols:
                 for f in sfiles:
-                    probe = {
-                        fld.name
-                        for fld in spark.read.orc(
-                            meta.localize(f.path)
-                        ).schema.fields
-                    }
+                    probe = _orc_footer_names(meta.localize(f.path))
                     miss = frozenset(c for c in part_cols if c not in probe)
                     by_missing.setdefault(miss, []).append(f)
             else:
@@ -1665,7 +1660,7 @@ def _apply_equality_deletes(
 # path's (names, field-ids) never changes — per-FILE presence probes
 # (the mixed-layout correctness rule, ADVICE r13) stay O(1) after the
 # first scan of a table instead of re-reading footers every plan.
-_FOOTER_PROBE_CACHE: dict[str, tuple[frozenset, frozenset]] = {}
+_FOOTER_PROBE_CACHE: dict = {}  # parquet: path → (names, ids); orc: ("orc", path) → names
 _FOOTER_PROBE_CACHE_MAX = 262_144
 
 
@@ -1687,6 +1682,23 @@ def _footer_probe(path: str) -> tuple[frozenset, frozenset]:
         _FOOTER_PROBE_CACHE.clear()
     _FOOTER_PROBE_CACHE[path] = out
     return out
+
+
+def _orc_footer_names(path: str) -> frozenset:
+    """Top-level column names of an ORC footer — pyarrow driver-side
+    (no py4j round-trip) and memoized like the parquet probe: data
+    files are immutable, so a 1,000-file table pays the footer reads
+    once per session, not once per plan."""
+    hit = _FOOTER_PROBE_CACHE.get(("orc", path))
+    if hit is not None:
+        return hit
+    import pyarrow.orc as paorc
+
+    names = frozenset(paorc.ORCFile(path).schema.names)
+    if len(_FOOTER_PROBE_CACHE) >= _FOOTER_PROBE_CACHE_MAX:
+        _FOOTER_PROBE_CACHE.clear()
+    _FOOTER_PROBE_CACHE[("orc", path)] = names
+    return names
 
 
 def _file_has_column(path: str, col: str, meta=None, with_ids: bool = False) -> bool:

@@ -1084,7 +1084,10 @@ def test_bucket_merge_order_by_out_of_order_safe(spark, tmp_path):
     frame, _, _ = _bucket_merge_frame(
         spark, cat.load("m.t"), src, "k", True, 64, order_by=["ts"]
     )
-    assert "Exchange" not in plan_string(frame)
+    # broadcast exchanges (the source-key probes) are fine; the claim
+    # is no SHUFFLE exchange anywhere
+    assert "Exchange hashpartitioning" not in plan_string(frame)
+    assert "Exchange rangepartitioning" not in plan_string(frame)
     bucket_merge(spark, cat, "m.t", src, "k", order_by=["ts"])
     rows = {r.k: (r.ts, r.name) for r in cat.load("m.t").to_df(spark).collect()}
     assert rows[3] == (200, "new3")   # newer source won
@@ -1429,3 +1432,96 @@ def test_truncate_join_gate_matches_oracle(spark, duck, sf_dir):
     plan = plan_string(df)
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "p_partkey" not in m.group(1)
+
+
+def test_runtime_prune_on_temporal_only_key(spark, tmp_path):
+    """Review fix: runtime_prune over a key with NO bucket position
+    (temporal/truncate-only SPJ) must prune via that transform, not
+    crash with StopIteration."""
+    import datetime as dt
+
+    cat = Catalog(str(tmp_path / "rtt"))
+    stamps = [dt.datetime(2024, 1, d, 6) for d in range(1, 11)]
+    left = spark.createDataFrame(
+        [(t, "hot" if t.day == 3 else "cold") for t in stamps],
+        "ts timestamp, tag string",
+    ).coalesce(1)
+    right = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(stamps)], "ts timestamp, v long"
+    ).coalesce(1)
+    cat.create_table("t.l", left.schema, partition_by=["day(ts)"])
+    cat.append("t.l", spark, left)
+    cat.create_table("t.r", right.schema, partition_by=["day(ts)"])
+    cat.append("t.r", spark, right)
+    lt, rt = cat.load("t.l"), cat.load("t.r")
+    spj = bucket_join(
+        spark,
+        lt,
+        rt,
+        "ts",
+        left_filters=("=", "tag", "hot"),
+        runtime_prune="right",
+    )
+    rows = spj.collect()
+    assert len(rows) == 1 and rows[0].v == 2
+    # catalog fallback path also survives (no bare StopIteration)
+    from datafusion_iceberg_spark.iceberg.spj import catalog_bucket_join
+
+    df = catalog_bucket_join(
+        cat, spark, "t.l", "t.r", "ts", fallback=True,
+        left_filters=("=", "tag", "hot"), runtime_prune="right",
+    )
+    assert df.count() == 1
+
+
+def test_runtime_prune_anti_all_null_left_keeps_rows(spark, tmp_path):
+    """Review fix: left_anti + runtime_prune with an all-NULL-key left
+    side keeps EVERY left row (nothing can match), instead of returning
+    an empty frame."""
+    cat = Catalog(str(tmp_path / "rtn"))
+    left = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "k long, lv string"
+    )
+    right = spark.createDataFrame([(1, "x")], "k long, rv string")
+    cat.create_table("n.l", left.schema, partition_by=["bucket(4, k)"])
+    cat.append("n.l", spark, left)
+    cat.create_table("n.r", right.schema, partition_by=["bucket(4, k)"])
+    cat.append("n.r", spark, right)
+    anti = bucket_join(
+        spark,
+        cat.load("n.l"),
+        cat.load("n.r"),
+        "k",
+        how="left_anti",
+        runtime_prune="right",
+    )
+    assert sorted(r.lv for r in anti.collect()) == ["a", "b"]
+
+
+def test_bucket_merge_order_by_preserves_untouched_duplicate_keys(
+    spark, tmp_path
+):
+    """Review fix: with order_by, legitimate duplicate-key target rows
+    whose key the batch never touches pass through UNCHANGED; on a
+    source-touched key both modes collapse to the single winner (the
+    keyed-upsert contract)."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_merge
+
+    cat = Catalog(str(tmp_path / "bmdup"))
+    base = spark.createDataFrame(
+        [(1, 100, "a1"), (1, 100, "a2"), (2, 100, "b"), (3, 100, "c")],
+        "k long, ts long, name string",
+    ).coalesce(1)
+    cat.create_table("m.t", base.schema, partition_by=["bucket(2, k)"])
+    cat.append("m.t", spark, base)
+    src = spark.createDataFrame([(3, 200, "c2")], "k long, ts long, name string")
+    bucket_merge(spark, cat, "m.t", src, "k", order_by=["ts"])
+    rows = sorted(
+        (r.k, r.ts, r.name) for r in cat.load("m.t").to_df(spark).collect()
+    )
+    assert rows == [
+        (1, 100, "a1"),
+        (1, 100, "a2"),  # untouched duplicate-key rows both survive
+        (2, 100, "b"),
+        (3, 200, "c2"),
+    ]
