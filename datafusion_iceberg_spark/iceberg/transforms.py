@@ -183,19 +183,61 @@ def apply(transform: str, value: Any) -> Any:
     raise ValueError(f"unknown transform: {transform}")
 
 
-def spark_expr(transform: str, col: str, dtype=None):
+def spark_expr(transform: str, col: str, dtype=None, iceberg_type=None):
     """The same transform as a Spark Column (write path).  ``dtype`` —
     the source column's Spark type when the caller knows it — routes
     integral columns through an EXACT vectorized bucket path even when
     the batch carries nulls (without it, Arrow→pandas upcasts a
     nullable int64 batch to float64, which silently rounds values above
     2^53 and would bucket snowflake-scale ids into the wrong
-    partition)."""
+    partition).
+
+    ``iceberg_type`` — the declared Iceberg type, when the caller knows
+    it: v3 ``timestamp_ns``/``timestamptz_ns`` columns are carried as
+    raw int64 NANOS in Spark (no ns timestamp type exists), so temporal
+    transforms on an integral column scale the nanos domain with exact
+    integer floor-division before folding to hours/days (and tz-free
+    DATE arithmetic for months/years); an integral column WITHOUT a ns
+    declaration refuses loudly — ``day(some_long)`` has no epoch domain
+    and the naive path would raise Spark's opaque CAST_INVALID_INPUT
+    mid-write."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     if transform == "identity":
         return F.col(col)
+    if (
+        transform in ("day", "month", "year", "hour")
+        and dtype is not None
+        and dtype.typeName() in ("long", "integer", "short", "byte")
+    ):
+        if iceberg_type not in ("timestamp_ns", "timestamptz_ns"):
+            raise ValueError(
+                f"temporal transform {transform!r} on integral column "
+                f"{col!r} (iceberg type "
+                f"{iceberg_type or dtype.typeName()!r}): only v3 "
+                "timestamp_ns/timestamptz_ns longs carry a nanosecond "
+                "epoch domain this transform can fold"
+            )
+
+        def _floor_div(d: int):
+            # exact for the full int64 range: (c - pmod(c, d)) is a
+            # multiple of d, and the quotient (epoch hours/days) is far
+            # below 2^53, so the double division is lossless
+            c = F.col(col)
+            return ((c - F.pmod(c, F.lit(d))) / F.lit(d)).cast("int")
+
+        if transform == "hour":
+            return _floor_div(3_600_000_000_000)
+        days = _floor_div(86_400_000_000_000)
+        if transform == "day":
+            return days
+        # months/years via DATE arithmetic — tz-free, unlike F.year on a
+        # TimestampType column which renders in the session timezone
+        dcol = F.date_add(F.to_date(F.lit("1970-01-01")), days)
+        if transform == "month":
+            return (F.year(dcol) - 1970) * 12 + F.month(dcol) - 1
+        return F.year(dcol) - 1970
     if transform == "day":
         return F.datediff(F.to_date(F.col(col)), F.lit("1970-01-01"))
     if transform == "month":

@@ -1098,7 +1098,10 @@ class IcebergWriter:
                 out = out.withColumn(
                     fname,
                     spark_expr(
-                        transform, source, dtype=out.schema[source].dataType
+                        transform,
+                        source,
+                        dtype=out.schema[source].dataType,
+                        iceberg_type=self.iceberg_types.get(source),
                     ),
                 )
         if self.sort_by:
@@ -5201,7 +5204,10 @@ class IcebergWriter:
                 F.col(source)
                 if transform == "identity"
                 else spark_expr(
-                    transform, source, dtype=df.schema[source].dataType
+                    transform,
+                    source,
+                    dtype=df.schema[source].dataType,
+                    iceberg_type=self.iceberg_types.get(source),
                 )
             ).alias(fname)
             for source, transform, fname in self.spec_entries

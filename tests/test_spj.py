@@ -1525,3 +1525,70 @@ def test_bucket_merge_order_by_preserves_untouched_duplicate_keys(
         (2, 100, "b"),
         (3, 200, "c2"),
     ]
+
+
+def test_timestamp_ns_temporal_spj_folds_and_refuses(spark, tmp_path):
+    """VERDICT r14 #8: v3 timestamp_ns columns are carried as raw int64
+    nanos, so temporal partition transforms must SCALE the nanos domain
+    before folding (exact integer floor-division — no double carrier).
+    A day-partitioned ns table joins a month-partitioned ns pair
+    shuffle-free and byte-identical to the plain join (day folds onto
+    month through negative pre-epoch values too); a temporal transform
+    on a NON-ns integral column refuses with the type named instead of
+    surfacing Spark's opaque CAST_INVALID_INPUT mid-write."""
+    from pyspark.sql import types as T
+
+    DAY = 86_400_000_000_000
+    cat = Catalog(str(tmp_path / "nswh"))
+    sa = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ts", T.LongType())]
+    )
+    cat.create_table(
+        "ns.a", sa, partition_by=["day(ts)"], iceberg_types={"ts": "timestamp_ns"}
+    )
+    cat.append(
+        "ns.a",
+        spark,
+        spark.createDataFrame(
+            [(1, DAY + 5), (2, 2 * DAY + 7), (3, -DAY + 3), (4, 40 * DAY)], sa
+        ),
+    )
+    sb = T.StructType(
+        [T.StructField("ts", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    cat.create_table(
+        "ns.b", sb, partition_by=["month(ts)"], iceberg_types={"ts": "timestamp_ns"}
+    )
+    cat.append(
+        "ns.b",
+        spark,
+        spark.createDataFrame(
+            [(DAY + 5, 100), (40 * DAY, 200), (-DAY + 3, 300)], sb
+        ),
+    )
+    ta, tb = cat.load("ns.a"), cat.load("ns.b")
+    # write path produced day-domain ints (incl. the floored pre-epoch day)
+    days = sorted(f.partition["ts_day"] for f in ta.files(None, spark=spark))
+    assert days == [-1, 1, 2, 40]
+    months = sorted(f.partition["ts_month"] for f in tb.files(None, spark=spark))
+    assert months == [-1, 0, 1]
+    j = bucket_join(spark, ta, tb, "ts", "ts")
+    plain = (
+        ta.to_df(spark)
+        .join(
+            tb.to_df(spark).withColumnRenamed("ts", "ts2"),
+            F.col("ts") == F.col("ts2"),
+        )
+        .select(*j.columns)
+    )
+    got = sorted(map(tuple, j.collect()))
+    assert got == sorted(map(tuple, plain.collect()))
+    assert len(got) == 3
+    plan = plan_string(j)
+    assert "Exchange hashpartitioning" not in plan
+    # non-ns integral refusal, type named
+    cat.create_table("ns.bad", sa, partition_by=["day(id)"])
+    with pytest.raises(ValueError, match="iceberg type 'long'"):
+        cat.append(
+            "ns.bad", spark, spark.createDataFrame([(1, DAY)], sa)
+        )
