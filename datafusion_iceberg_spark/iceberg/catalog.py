@@ -550,6 +550,21 @@ class SqlSurface:
         out = dml.try_execute(self, spark, query)
         if out is not None:
             return out
+        # SPJ routing (VERDICT r14 #1): an equi-join of two attached
+        # Iceberg tables with SPJ-compatible specs — or a single-table
+        # GROUP BY on a partition-backed key — runs shuffle-free from
+        # the SAME SQL text, with silent fallback to the plain plan on
+        # any refusal.  Skipped inside multi-statement scripts: routing
+        # reads the CURRENT snapshot, while scripts pin REPEATABLE READ
+        # snapshots at entry.
+        if getattr(self, "enable_spj_sql", True) and not hasattr(
+            self, "_script_pins"
+        ):
+            from datafusion_iceberg_spark.iceberg.spj_sql import try_spj_sql
+
+            routed = try_spj_sql(self, spark, query)
+            if routed is not None:
+                return routed
         keys = set(self._referenced_keys(query))
         # ALSO re-register any previously-attached relation whose backing
         # version moved since its registration: a session view derived

@@ -5676,6 +5676,71 @@ def iceberg_bucket_join_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_spj_sql_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def iceberg_spj_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface SPJ (r15, VERDICT r14 #1): the SAME SQL text a user
+    writes against the catalog — ``SELECT ... FROM cat.ns.a JOIN
+    cat.ns.b ON a.k = b.k`` — routes through the zero-Exchange
+    bucket_join automatically (iceberg/spj_sql.py); the reference's
+    catalog surface IS its query surface (catalog.rs:114-117), and
+    Spark-Iceberg users get this from KeyGroupedPartitioning
+    (SPARK-37375) without changing query text.  Plan-asserted in
+    tests/test_spj_sql.py: Union of per-bucket BroadcastHashJoins,
+    zero shuffle Exchange on the join keys, silent fallback to the
+    plain plan on any spec incompatibility."""
+    cat = _spj_fixture(spark, sf_dir)
+    return cat.sql(
+        spark,
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+        FROM iceberg.fact.orders_bkt AS o JOIN iceberg.fact.lineitem_bkt AS l
+        ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+    )
+
+
+@register(
+    "iceberg_spj_sql_agg",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 4
+    ORDER BY l_orderkey LIMIT 500
+    """,
+)
+def iceberg_spj_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface storage-partitioned AGGREGATION (r15): a single-table
+    GROUP BY whose key is the table's bucket source column runs the
+    statement's SELECT/WHERE/GROUP BY/HAVING per SPJ branch (each branch
+    holds ALL rows for its keys, so per-branch SQL is globally exact and
+    plans partial+final HashAggregate with ZERO Exchange anywhere),
+    ORDER BY/LIMIT lifted above the union — the zero-shuffle SPA of
+    ``bucket_agg`` from unchanged SQL text."""
+    cat = _spj_fixture(spark, sf_dir)
+    return cat.sql(
+        spark,
+        """
+        SELECT l.l_orderkey, COUNT(*) AS n_items,
+               SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM iceberg.fact.lineitem_bkt AS l
+        GROUP BY l.l_orderkey HAVING COUNT(*) >= 4
+        ORDER BY l_orderkey LIMIT 500
+        """,
+    )
+
+
+@register(
     "iceberg_orc_scan",
     oracle="""
     SELECT n_regionkey, COUNT(*) AS n_nations,

@@ -392,7 +392,26 @@ def _partition_groups(
 
     Returns ``{key_tuple: files}`` plus the NULL-key files (some position's
     partition value is null — their rows can never equi-match, but outer
-    joins must still preserve them).  Per-FILE spec resolution: a
+    joins must still preserve them)."""
+    return group_data_files(
+        table,
+        table.files(filters, snapshot_id=snapshot_id, spark=spark),
+        cols,
+        kinds,
+    )
+
+
+def group_data_files(
+    table: IcebergTable,
+    files,
+    cols: list[str],
+    kinds: list[tuple],
+) -> tuple[dict[tuple, list[DataFile]], list[DataFile]]:
+    """Group a caller-supplied data-file list by its join-key partition
+    tuple (the splittable core of :func:`_partition_groups`, also used
+    by the grouped DataSource planner in sources/iceberg_datasource.py).
+
+    Per-FILE spec resolution: a
     spec-evolved table mixes files written under different specs, and only
     the file's OWN spec says how its partition value folds — a file under
     ``bucket[4]`` cannot fold onto an 8-bucket grid (h%8 is not derivable
@@ -475,7 +494,7 @@ def _partition_groups(
 
     groups: dict[tuple, list[DataFile]] = {}
     null_files: list[DataFile] = []
-    for f in table.files(filters, snapshot_id=snapshot_id, spark=spark):
+    for f in files:
         try:
             ents = _resolve(f.spec_id)
         except BucketJoinError as e:
@@ -924,6 +943,201 @@ def bucket_agg(
     for s in subs[1:]:
         out = out.unionByName(s)
     return out
+
+
+GROUPED_AGG_FNS = ("count", "sum", "min", "max", "avg")
+
+
+def bucket_agg_grouped(
+    spark: SparkSession,
+    table: IcebergTable,
+    group_cols: Sequence[str],
+    aggs: "dict[str, tuple[str, Optional[str]]]",
+    filter_expr: Optional[Union[str, Column]] = None,
+    snapshot_id: Optional[int] = None,
+) -> DataFrame:
+    """Storage-partitioned aggregation over the GROUPED DataSource scan:
+    one plan subtree however many partition groups the table has, one
+    task per group, zero Exchange anywhere.
+
+    :func:`bucket_agg` builds a UNION of per-branch ``coalesce(1)``
+    aggregations — correct and zero-Exchange, but its plan width (and
+    driver-side py4j build cost, ~30 ms/branch measured r15) is linear
+    in ``max_branches``, and each branch is ONE task scanning
+    |T|/branches bytes.  At 100 TB with bucket(4096) the union shape
+    must choose between a 4096-subtree plan and 64 tasks of 1.6 TB.
+    This variant moves the partition-group alignment INTO the scan: the
+    Python DataSource plans one InputPartition per occupied group
+    (``group_partitions_by``, sources/iceberg_datasource.py), so the
+    plan is Scan -> [Filter] -> MapInArrow — constant build cost, task
+    parallelism = number of groups — and the aggregation runs
+    per-partition with pyarrow's hash group_by (incremental partial
+    combine per Arrow batch, so task memory is bounded by the group's
+    DISTINCT KEYS, not its rows).  Each task holds ALL rows for its
+    keys (the bucket co-location contract), so per-partition results
+    are globally exact with no final combine — the same contract the
+    reference's partition-grouped scan units feed to DataFusion
+    (table.rs:128-131).
+
+    ``aggs``: ``{output_name: (fn, source_col)}`` with fn one of
+    count/sum/min/max/avg (``("count", None)`` = COUNT(*)).  The
+    restricted, decomposable set is what the incremental Arrow combine
+    can re-aggregate exactly; arbitrary Column aggregates stay on
+    :func:`bucket_agg`.  ``filter_expr`` (SQL string or Column) applies
+    between scan and aggregation — a narrow op, partition alignment is
+    preserved, and simple predicates push into the reader for file
+    pruning.  Decimal sources refuse (Arrow sum precision semantics
+    differ from Spark's).  Output columns: group_cols then agg names.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        register_iceberg_datasource,
+    )
+
+    group_cols = list(group_cols)
+    if not group_cols:
+        raise BucketJoinError("bucket_agg_grouped needs a group column")
+    kcol, _ = _partition_backed_key(table, group_cols)
+    fields = {f.name: f for f in table.metadata.struct_type().fields}
+    need: list[str] = list(group_cols)
+    spec: list[tuple[str, str, Optional[str]]] = []
+    for name, (fn, col) in aggs.items():
+        if fn not in GROUPED_AGG_FNS:
+            raise BucketJoinError(
+                f"bucket_agg_grouped supports {GROUPED_AGG_FNS}, got "
+                f"{fn!r} — use bucket_agg for arbitrary Column aggregates"
+            )
+        if fn == "count" and col is None:
+            spec.append((name, fn, None))
+            continue
+        if col is None or col not in fields:
+            raise BucketJoinError(
+                f"aggregate {name!r}: unknown column {col!r}"
+            )
+        dt = fields[col].dataType
+        if isinstance(dt, T.DecimalType) and fn in ("sum", "avg"):
+            raise BucketJoinError(
+                f"aggregate {name!r}: {fn} over DECIMAL column {col!r} — "
+                "Arrow sum precision semantics differ from Spark's; use "
+                "bucket_agg"
+            )
+        if col not in need:
+            need.append(col)
+        spec.append((name, fn, col))
+    if not spec:
+        raise BucketJoinError("bucket_agg_grouped needs at least one aggregate")
+
+    def _out_type(fn: str, col: Optional[str]):
+        if fn == "count":
+            return T.LongType()
+        if fn == "avg":
+            return T.DoubleType()
+        dt = fields[col].dataType
+        if fn == "sum":
+            if isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                return T.LongType()
+            return T.DoubleType()
+        return dt  # min/max keep the source type
+
+    out_schema = T.StructType(
+        [T.StructField(c, fields[c].dataType) for c in group_cols]
+        + [
+            T.StructField(name, _out_type(fn, col))
+            for name, fn, col in spec
+        ]
+    )
+    arrow_out = to_arrow_schema(out_schema)
+    gcols = list(group_cols)
+    agg_spec = list(spec)
+
+    def agg_partition(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # per-fn partial aggregates and their combine re-aggregates
+        partial_aggs: list[tuple] = []
+        for name, fn, col in agg_spec:
+            if fn == "count" and col is None:
+                partial_aggs.append(([], "count_all"))
+            elif fn == "count":
+                partial_aggs.append((col, "count"))
+            elif fn == "avg":
+                partial_aggs.append((col, "sum"))
+                partial_aggs.append((col, "count"))
+            else:
+                partial_aggs.append((col, fn))
+        # deduplicate identical partials, remember arrow output names
+        seen: dict[str, tuple] = {}
+        for p in partial_aggs:
+            pname = "count_all" if p[1] == "count_all" else f"{p[0]}_{p[1]}"
+            seen.setdefault(pname, p)
+        plist = list(seen.values())
+        combine_fn = {"count_all": "sum", "count": "sum", "sum": "sum",
+                      "min": "min", "max": "max"}
+
+        acc = None
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            part = t.group_by(gcols, use_threads=False).aggregate(plist)
+            if acc is None:
+                acc = part
+            else:
+                both = pa.concat_tables(
+                    [acc, part], promote_options="permissive"
+                )
+                re_aggs = []
+                rename = {}
+                for pname, p in seen.items():
+                    cf = combine_fn[p[1]]
+                    re_aggs.append((pname, cf))
+                    rename[f"{pname}_{cf}"] = pname
+                acc = both.group_by(gcols, use_threads=False).aggregate(
+                    re_aggs
+                )
+                acc = acc.rename_columns(
+                    [rename.get(c, c) for c in acc.column_names]
+                )
+        if acc is None or acc.num_rows == 0:
+            return
+        cols = [acc.column(c) for c in gcols]
+        for name, fn, col in agg_spec:
+            if fn == "count" and col is None:
+                cols.append(acc.column("count_all"))
+            elif fn == "avg":
+                s = acc.column(f"{col}_sum")
+                n = acc.column(f"{col}_count")
+                cols.append(
+                    pc.if_else(
+                        pc.equal(n, 0),
+                        pa.nulls(acc.num_rows, pa.float64()),
+                        pc.divide(
+                            pc.cast(s, pa.float64()),
+                            pc.cast(n, pa.float64()),
+                        ),
+                    )
+                )
+            else:
+                cols.append(acc.column(f"{col}_{fn}"))
+        out = pa.table(cols, names=[*gcols, *[s0[0] for s0 in agg_spec]])
+        yield from out.cast(arrow_out).to_batches()
+
+    register_iceberg_datasource(spark)
+    reader = (
+        spark.read.format("iceberg_py")
+        .option("path", table.metadata.root)
+        .option("group_partitions_by", kcol)
+        .option("columns", ",".join(need))
+    )
+    if snapshot_id is not None:
+        reader = reader.option("snapshot_id", str(snapshot_id))
+    df = reader.load()
+    if filter_expr is not None:
+        df = df.filter(filter_expr)
+    return df.mapInArrow(agg_partition, out_schema)
 
 
 def bucket_apply(

@@ -1,0 +1,576 @@
+"""SQL-surface SPJ routing: the SAME SQL text that plans a shuffling
+join or aggregation today runs shuffle-free when the storage contract
+allows, with SILENT fallback to the plain plan on any refusal.
+
+The reference's whole point is that the catalog surface IS the query
+surface (``datafusion_iceberg/src/catalog.rs:114-117`` — a user writes
+``SELECT ... FROM my_catalog.ns.a JOIN my_catalog.ns.b ON a.k = b.k``
+and DataFusion plans over the partition-grouped scan units of
+``table.rs:128-131`` without any API call).  Spark-Iceberg users get the
+same transparency from Catalyst's KeyGroupedPartitioning (SPARK-37375).
+Until round 14 this repo's zero-Exchange plans required calling
+``spj.bucket_join``/``bucket_agg`` by hand; this module closes that gap
+for ``Catalog.sql()``:
+
+* an equi-JOIN of two attached Iceberg tables whose default specs are
+  SPJ-compatible routes through :func:`spj.bucket_join`, and the REST of
+  the statement (SELECT list, WHERE, GROUP BY, HAVING, ORDER BY, LIMIT)
+  executes VERBATIM over the joined frame — registered as a temp view
+  aliased with the left table's alias, right-alias qualifiers rewritten
+  to it token-by-token;
+* a single-table GROUP BY whose keys include a partition-backed column
+  routes through :func:`spj.bucket_apply` with the statement's
+  SELECT/WHERE/GROUP BY/HAVING executed PER BRANCH (each branch is a
+  complete set of whole partition groups read as one Spark partition,
+  so the per-branch SQL is globally exact and plans partial+final
+  HashAggregate with zero Exchange), ORDER BY/LIMIT lifted above the
+  union.
+
+Safety model — the router must never be WRONG, only absent:
+
+* the statement is recognized with the repo's span-preserving lexer
+  (``sql/lexer.py``), never regex over raw text, so literals/comments
+  cannot be mistaken for structure;
+* the grammar is a conservative allow-list: any depth-0 set operator,
+  outer/cross/natural/semi/anti join, USING clause, DISTINCT, WITH,
+  LATERAL, TABLESAMPLE, PIVOT, OFFSET, window clause, subquery
+  (a SELECT anywhere past token 0), window function (OVER anywhere), or
+  time-travel/metadata suffix fails recognition and falls back;
+* both join tables must carry EXPLICIT aliases (without one, qualified
+  references in the plain path resolve against the flat view name, and
+  accepting them here would widen the accepted dialect);
+* a non-key column name shared by both sides falls back (the joined
+  view could not hold both);
+* any exception while routing falls back silently — the plain path
+  re-executes the statement and surfaces ITS error, so error behavior
+  is identical to the un-routed surface.
+
+The routed plan is byte-identical to the plain one by construction
+(bucket_join/bucket_apply correctness contracts, tests/test_spj.py) and
+asserted per statement in tests/test_spj_sql.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.sql.lexer import (
+    IDENT,
+    NUMBER,
+    OP,
+    QIDENT,
+    Token,
+    tokenize,
+)
+
+# depth-0 keywords outside the recognized dialect: set ops, CTEs, other
+# join flavors, sampling, windows, pagination.  FOR catches time travel.
+_REFUSE_DEPTH0 = {
+    "UNION",
+    "INTERSECT",
+    "EXCEPT",
+    "MINUS",
+    "WITH",
+    "LATERAL",
+    "SORT",
+    "CLUSTER",
+    "DISTRIBUTE",
+    "WINDOW",
+    "OFFSET",
+    "QUALIFY",
+    "USING",
+    "NATURAL",
+    "CROSS",
+    "LEFT",
+    "RIGHT",
+    "FULL",
+    "SEMI",
+    "ANTI",
+    "TABLESAMPLE",
+    "PIVOT",
+    "UNPIVOT",
+    "VALUES",
+    "FOR",
+}
+
+_CLAUSES = ("SELECT", "FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT")
+
+_view_counter = itertools.count()
+
+
+def _quote(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+class _NoRoute(Exception):
+    """Internal: statement is outside the recognized dialect."""
+
+
+def _clause_ranges(toks: list[Token]) -> dict[str, tuple[int, int]]:
+    """Split the token stream at depth-0 clause keywords.  Returns
+    ``{clause: (first_body_token, one_past_last)}`` — body EXCLUDES the
+    clause keyword itself (both tokens for two-word clauses).  Raises
+    :class:`_NoRoute` on anything outside the dialect."""
+    if not toks or not toks[0].is_kw("SELECT"):
+        raise _NoRoute
+    if len(toks) > 1 and toks[1].is_kw("DISTINCT", "ALL"):
+        raise _NoRoute
+    marks: list[tuple[str, int, int]] = [("SELECT", 0, 1)]
+    depth = 0
+    for i in range(1, len(toks)):
+        t = toks[i]
+        if t.kind == OP:
+            if t.value == "(":
+                depth += 1
+            elif t.value == ")":
+                depth -= 1
+                if depth < 0:
+                    raise _NoRoute
+            elif t.value == ";":
+                raise _NoRoute
+            continue
+        if t.kind != IDENT:
+            continue
+        u = t.upper()
+        if u in ("SELECT", "OVER"):
+            # subquery / window function anywhere (any depth)
+            raise _NoRoute
+        if depth:
+            continue
+        if u in _REFUSE_DEPTH0:
+            raise _NoRoute
+        if u == "FROM":
+            marks.append(("FROM", i, i + 1))
+        elif u == "WHERE":
+            marks.append(("WHERE", i, i + 1))
+        elif u == "GROUP":
+            if not toks[i + 1].is_kw("BY"):
+                raise _NoRoute
+            marks.append(("GROUP BY", i, i + 2))
+        elif u == "HAVING":
+            marks.append(("HAVING", i, i + 1))
+        elif u == "ORDER":
+            if not toks[i + 1].is_kw("BY"):
+                raise _NoRoute
+            marks.append(("ORDER BY", i, i + 2))
+        elif u == "LIMIT":
+            marks.append(("LIMIT", i, i + 1))
+    if depth:
+        raise _NoRoute
+    names = [m[0] for m in marks]
+    if len(set(names)) != len(names) or "FROM" not in names:
+        raise _NoRoute
+    if names != [c for c in _CLAUSES if c in names]:
+        raise _NoRoute  # clauses out of canonical order
+    end = len(toks) - 1  # EOF token index
+    out: dict[str, tuple[int, int]] = {}
+    for j, (name, _kw_at, body) in enumerate(marks):
+        stop = marks[j + 1][1] if j + 1 < len(marks) else end
+        if body >= stop:
+            raise _NoRoute  # empty clause body
+        out[name] = (body, stop)
+    return out
+
+
+def _name_tok(t: Token) -> Optional[str]:
+    return t.value if t.kind in (IDENT, QIDENT) else None
+
+
+def _is_dot(t: Token) -> bool:
+    return t.kind == OP and t.value == "."
+
+
+def _parse_table(
+    toks: list[Token], i: int, stop: int, catalog
+) -> tuple[str, Optional[str], int]:
+    """Parse ``<catalog>.<ns>.<table> [AS] alias`` at ``toks[i:stop]``.
+    Returns (relation key, alias or None, next index)."""
+    if i + 4 >= stop:
+        raise _NoRoute
+    cat = _name_tok(toks[i])
+    if cat is None or cat.lower() != catalog.name.lower():
+        raise _NoRoute
+    if not (_is_dot(toks[i + 1]) and _is_dot(toks[i + 3])):
+        raise _NoRoute
+    ns = _name_tok(toks[i + 2])
+    bare = _name_tok(toks[i + 4])
+    if ns is None or bare is None:
+        raise _NoRoute
+    want = f"{ns}.{bare}".lower()
+    key = next(
+        (k for k in catalog._relation_keys() if k.lower() == want), None
+    )
+    if key is None:
+        raise _NoRoute
+    i += 5
+    alias: Optional[str] = None
+    if i < stop and toks[i].is_kw("AS"):
+        if i + 1 < stop and toks[i + 1].kind in (IDENT, QIDENT):
+            alias = toks[i + 1].value
+            i += 2
+        else:
+            raise _NoRoute
+    elif i < stop and (
+        toks[i].kind == QIDENT
+        or (toks[i].kind == IDENT and not toks[i].is_kw("JOIN", "INNER", "ON"))
+    ):
+        alias = toks[i].value
+        i += 1
+    return key, alias, i
+
+
+def _resolve_cols(table, cols: Sequence[str]) -> list[str]:
+    """Case-insensitive resolution of referenced column names to the
+    table's actual field names; raises _NoRoute on a miss."""
+    actual = {f.name.lower(): f.name for f in table.metadata.struct_type().fields}
+    out = []
+    for c in cols:
+        r = actual.get(c.lower())
+        if r is None:
+            raise _NoRoute
+        out.append(r)
+    return out
+
+
+def _qualifier_positions(
+    toks: list[Token], ranges, skip: tuple[int, int]
+) -> list[int]:
+    """Indices k (outside ``skip``) where ``toks[k]`` is a name token
+    qualifying a reference (``name . member``)."""
+    out = []
+    for k in range(len(toks) - 2):
+        if skip[0] <= k < skip[1]:
+            continue
+        if (
+            toks[k].kind in (IDENT, QIDENT)
+            and _is_dot(toks[k + 1])
+            # not itself the member of an outer qualification (x.y.z)
+            and not (k >= 1 and _is_dot(toks[k - 1]))
+        ):
+            out.append(k)
+    return out
+
+
+def _route_join(
+    catalog, spark: SparkSession, query: str, toks: list[Token], ranges
+) -> Optional[DataFrame]:
+    """FROM <t1> AS a JOIN <t2> AS b ON a.k = b.k [AND ...] — route the
+    join through bucket_join, register the result as a temp view aliased
+    ``a``, rewrite ``b.``-qualified references to ``a.``, execute the
+    otherwise-verbatim statement over it."""
+    from datafusion_iceberg_spark.iceberg.spj import (
+        bucket_join,
+        compatible_partitioning,
+    )
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+    lo, hi = ranges["FROM"]
+    lkey, la, i = _parse_table(toks, lo, hi, catalog)
+    if i < hi and toks[i].is_kw("INNER"):
+        i += 1
+    if not (i < hi and toks[i].is_kw("JOIN")):
+        raise _NoRoute
+    rkey, ra, i = _parse_table(toks, i + 1, hi, catalog)
+    if la is None or ra is None or la.lower() == ra.lower():
+        # explicit, distinct aliases only: without them the plain path
+        # resolves qualifiers against flat view names, and accepting
+        # bare-table qualifiers here would WIDEN the dialect
+        raise _NoRoute
+    if not (i < hi and toks[i].is_kw("ON")):
+        raise _NoRoute
+    i += 1
+    # ON body: conjunction of qualified equalities, nothing else
+    lcols: list[str] = []
+    rcols: list[str] = []
+    while i < hi:
+        refs = []
+        for _ in range(2):
+            q = _name_tok(toks[i]) if i < hi else None
+            if (
+                q is None
+                or i + 2 >= hi + 1
+                or not _is_dot(toks[i + 1])
+                or _name_tok(toks[i + 2]) is None
+            ):
+                raise _NoRoute
+            refs.append((q, toks[i + 2].value))
+            i += 3
+            if len(refs) == 1:
+                if not (i < hi and toks[i].kind == OP and toks[i].value == "="):
+                    raise _NoRoute
+                i += 1
+        side = {la.lower(): "l", ra.lower(): "r"}
+        tagged = {side.get(q.lower()): c for q, c in refs}
+        if set(tagged) != {"l", "r"}:
+            raise _NoRoute
+        lcols.append(tagged["l"])
+        rcols.append(tagged["r"])
+        if i < hi:
+            if not toks[i].is_kw("AND"):
+                raise _NoRoute
+            i += 1
+    if not lcols:
+        raise _NoRoute
+    left = catalog._rel(lkey)
+    right = catalog._rel(rkey)
+    if not isinstance(left, IcebergTable) or not isinstance(
+        right, IcebergTable
+    ):
+        raise _NoRoute
+    lcols = _resolve_cols(left, lcols)
+    rcols = _resolve_cols(right, rcols)
+    if len(set(lcols)) != len(lcols) or len(set(rcols)) != len(rcols):
+        raise _NoRoute
+    try:
+        compatible_partitioning(left, right, lcols, rcols)
+    except Exception:
+        raise _NoRoute from None
+    same_name = lcols == rcols
+    lnames = {f.name.lower() for f in left.metadata.struct_type().fields}
+    rnames = {f.name.lower() for f in right.metadata.struct_type().fields}
+    joined_keys = {c.lower() for c in lcols} if same_name else set()
+    if (lnames & rnames) - joined_keys:
+        raise _NoRoute  # shared non-key column: the view cannot hold both
+    # qualifier audit outside the FROM clause: every `x.y` must qualify
+    # by one of the two aliases; `a.*` / `b.*` never route (the view
+    # star is BOTH sides)
+    aliases = {la.lower(), ra.lower()}
+    rb_positions: list[int] = []
+    for k in _qualifier_positions(toks, ranges, skip=(lo - 1, hi)):
+        q = toks[k].value.lower()
+        if q not in aliases:
+            raise _NoRoute
+        if toks[k + 2].kind == OP and toks[k + 2].value == "*":
+            raise _NoRoute
+        if q == ra.lower():
+            rb_positions.append(k)
+    if same_name:
+        # bare projection star: the view deduplicates same-name keys but
+        # plain SQL keeps both sides' copies — refuse; with distinct key
+        # names the view is exactly left-then-right, same as plain *
+        sel_lo, sel_hi = ranges["SELECT"]
+        depth = 0
+        for k in range(sel_lo, sel_hi):
+            t = toks[k]
+            if t.kind == OP and t.value == "(":
+                depth += 1
+            elif t.kind == OP and t.value == ")":
+                depth -= 1
+            elif (
+                t.kind == OP
+                and t.value == "*"
+                and depth == 0
+                and (
+                    k == sel_lo
+                    or (toks[k - 1].kind == OP and toks[k - 1].value == ",")
+                )
+            ):
+                raise _NoRoute
+    joined = bucket_join(spark, left, right, lcols, rcols, how="inner")
+    view = f"__spj_sql_join_{next(_view_counter)}"
+    joined.createOrReplaceTempView(view)
+    # splice: FROM section -> view AS left-alias; rb.-qualifiers -> la.
+    # the FROM keyword sits at body-1; the last ON token is toks[hi-1]
+    edits = [
+        (
+            toks[ranges["FROM"][0] - 1].start,
+            toks[hi - 1].end,
+            f"FROM {_quote(view)} AS {_quote(la)}",
+        )
+    ]
+    for k in rb_positions:
+        edits.append((toks[k].start, toks[k].end, _quote(la)))
+    out_text = query
+    for a, b, repl in sorted(edits, reverse=True):
+        out_text = out_text[:a] + repl + out_text[b:]
+    return spark.sql(out_text)
+
+
+def _split_depth0_commas(
+    toks: list[Token], lo: int, hi: int
+) -> list[tuple[int, int]]:
+    items = []
+    depth, start = 0, lo
+    for k in range(lo, hi):
+        t = toks[k]
+        if t.kind == OP and t.value == "(":
+            depth += 1
+        elif t.kind == OP and t.value == ")":
+            depth -= 1
+        elif t.kind == OP and t.value == "," and depth == 0:
+            items.append((start, k))
+            start = k + 1
+    items.append((start, hi))
+    if any(a >= b for a, b in items):
+        raise _NoRoute
+    return items
+
+
+def _route_agg(
+    catalog, spark: SparkSession, query: str, toks: list[Token], ranges
+) -> Optional[DataFrame]:
+    """Single-table GROUP BY on a partition-backed key: run the
+    statement's SELECT/WHERE/GROUP BY/HAVING per SPJ branch (exact —
+    every branch holds ALL rows for its keys), lift ORDER BY/LIMIT
+    above the union."""
+    from datafusion_iceberg_spark.iceberg.spj import (
+        _partition_backed_key,
+        bucket_apply,
+    )
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+    lo, hi = ranges["FROM"]
+    key, alias, i = _parse_table(toks, lo, hi, catalog)
+    if i != hi:
+        raise _NoRoute
+    table = catalog._rel(key)
+    if not isinstance(table, IcebergTable):
+        raise _NoRoute
+    # group keys: bare or alias-qualified plain columns
+    gcols: list[str] = []
+    glo, ghi = ranges["GROUP BY"]
+    for a, b in _split_depth0_commas(toks, glo, ghi):
+        item = toks[a:b]
+        if len(item) == 1 and _name_tok(item[0]) is not None:
+            gcols.append(item[0].value)
+        elif (
+            len(item) == 3
+            and alias is not None
+            and _name_tok(item[0]) is not None
+            and item[0].value.lower() == alias.lower()
+            and _is_dot(item[1])
+            and _name_tok(item[2]) is not None
+        ):
+            gcols.append(item[2].value)
+        else:
+            raise _NoRoute
+    gcols = _resolve_cols(table, gcols)
+    try:
+        _partition_backed_key(table, gcols)
+    except Exception:
+        raise _NoRoute from None
+    # qualifier audit: only the table alias may qualify references
+    allowed = {alias.lower()} if alias is not None else set()
+    for k in _qualifier_positions(toks, ranges, skip=(lo - 1, hi)):
+        if toks[k].value.lower() not in allowed:
+            raise _NoRoute
+        if toks[k + 2].kind == OP and toks[k + 2].value == "*":
+            raise _NoRoute
+    # ORDER BY: bare output names / positional ints, optional direction
+    order_items: list[tuple[Any, bool, Optional[str]]] = []
+    if "ORDER BY" in ranges:
+        olo, ohi = ranges["ORDER BY"]
+        for a, b in _split_depth0_commas(toks, olo, ohi):
+            item = list(toks[a:b])
+            nulls: Optional[str] = None
+            if (
+                len(item) >= 2
+                and item[-2].is_kw("NULLS")
+                and item[-1].is_kw("FIRST", "LAST")
+            ):
+                nulls = item[-1].upper()
+                item = item[:-2]
+            asc = True
+            if item and item[-1].is_kw("ASC", "DESC"):
+                asc = item[-1].upper() == "ASC"
+                item = item[:-1]
+            if len(item) != 1:
+                raise _NoRoute
+            t = item[0]
+            if t.kind == NUMBER and t.value.isdigit():
+                order_items.append((int(t.value), asc, nulls))
+            elif _name_tok(t) is not None:
+                order_items.append((t.value, asc, nulls))
+            else:
+                raise _NoRoute
+    limit_n: Optional[int] = None
+    if "LIMIT" in ranges:
+        llo, lhi = ranges["LIMIT"]
+        if lhi - llo != 1 or toks[llo].kind != NUMBER or not toks[
+            llo
+        ].value.isdigit():
+            raise _NoRoute
+        limit_n = int(toks[llo].value)
+
+    def _slice(name: str) -> Optional[str]:
+        if name not in ranges:
+            return None
+        a, b = ranges[name]
+        return query[toks[a].start : toks[b - 1].end]
+
+    sel = _slice("SELECT")
+    where = _slice("WHERE")
+    gb = _slice("GROUP BY")
+    having = _slice("HAVING")
+    qid = next(_view_counter)
+    branch_counter = itertools.count()
+
+    def fn(df: DataFrame) -> DataFrame:
+        vname = f"__spa_sql_{qid}_b{next(branch_counter)}"
+        df.createOrReplaceTempView(vname)
+        rel = _quote(vname) + (f" AS {_quote(alias)}" if alias else "")
+        inner = f"SELECT {sel} FROM {rel}"
+        if where:
+            inner += f" WHERE {where}"
+        inner += f" GROUP BY {gb}"
+        if having:
+            inner += f" HAVING {having}"
+        return spark.sql(inner)
+
+    kcol, _ = _partition_backed_key(table, gcols)
+    out = bucket_apply(spark, table, kcol, fn)
+    if order_items:
+        cols = []
+        for ref, asc, nulls in order_items:
+            if isinstance(ref, int):
+                if not (1 <= ref <= len(out.columns)):
+                    raise _NoRoute
+                name = out.columns[ref - 1]
+            else:
+                lower = {c.lower(): c for c in out.columns}
+                name = lower.get(ref.lower())
+                if name is None:
+                    raise _NoRoute
+            c = F.col(name)
+            if asc:
+                c = c.asc_nulls_first() if nulls != "LAST" else c.asc_nulls_last()
+            else:
+                c = (
+                    c.desc_nulls_last()
+                    if nulls != "FIRST"
+                    else c.desc_nulls_first()
+                )
+            cols.append(c)
+        out = out.orderBy(*cols)
+    if limit_n is not None:
+        out = out.limit(limit_n)
+    return out
+
+
+def try_spj_sql(catalog, spark: SparkSession, query: str) -> Optional[DataFrame]:
+    """Route one SELECT statement through the SPJ planner when the
+    storage contract allows; return None (silent fallback) otherwise.
+    Never raises: any exception during recognition or plan construction
+    falls back — the plain path re-executes the statement and surfaces
+    its own error, so error behavior matches the un-routed surface."""
+    try:
+        toks = tokenize(query)
+        ranges = _clause_ranges(toks)
+        lo, hi = ranges["FROM"]
+        has_join = any(
+            toks[k].is_kw("JOIN") for k in range(lo, hi)
+        )
+        if has_join:
+            return _route_join(catalog, spark, query, toks, ranges)
+        if "GROUP BY" in ranges:
+            return _route_agg(catalog, spark, query, toks, ranges)
+        return None
+    except _NoRoute:
+        return None
+    except Exception:
+        return None

@@ -348,6 +348,7 @@ def _plan_files(
     _added_only=False,
     apply_deletes=False,
     file_filter=None,
+    group_by=None,
 ):
     """Driver-side planning shared by batch and streaming: pruned file
     list (optionally the incremental diff) → bin-packed partitions.
@@ -360,7 +361,17 @@ def _plan_files(
     deletes with sequence > the file's — the same kernels the CDC
     stream uses); without it they refuse (the streaming append tail
     passes ``_added_only``: deletes bind to file paths that existed
-    when they committed, so files ADDED by a snapshot read clean)."""
+    when they committed, so files ADDED by a snapshot read clean).
+
+    ``group_by`` (r15): a partition-backed source column — partitions
+    are then aligned to the table's PARTITION GROUPS (one InputPartition
+    per occupied group, NULL-key files pooled into one more) instead of
+    bin-packed by size.  Every task holds ALL rows for its group's key
+    values, so a per-partition operator keyed on that column
+    (mapInArrow aggregation, per-key dedup) is globally exact — the
+    storage-partitioned execution contract (table.rs:128-131,
+    SPARK-37375) delivered through the DataSource split handoff with
+    ONE plan subtree however many groups the table has."""
     meta = table.metadata
     mor = None
     if not _added_only:
@@ -495,6 +506,36 @@ def _plan_files(
             "which fills initial-defaults"
         )
 
+    if group_by is not None:
+        # partition-group-aligned planning: one InputPartition per
+        # occupied group (chunks of a group stay together; row-group
+        # splits of a large file land in the SAME partition, preserving
+        # key completeness), NULL-key files pooled into one partition
+        from datafusion_iceberg_spark.iceberg.spj import (
+            _partition_backed_key,
+            group_data_files,
+        )
+
+        _, kind = _partition_backed_key(table, [group_by])
+        groups, null_files = group_data_files(
+            table, files, [group_by], [kind]
+        )
+        gid_by_path = {}
+        for key, fl in groups.items():
+            for f in fl:
+                gid_by_path[meta.localize(f.path)] = key
+        for f in null_files:
+            gid_by_path[meta.localize(f.path)] = ("__null__",)
+        by_group: dict = {}
+        for path, attach, rgs, _b in chunks:
+            by_group.setdefault(gid_by_path[path], []).append(
+                (path, attach, rgs)
+            )
+        return [
+            IcebergFilePartition(chunks=by_group[k], mor=mor, fids=fid_map)
+            for k in sorted(by_group, key=repr)
+        ]
+
     # greedy bin-pack into partitions of ~target bytes (Spark's
     # FilePartition.getFilePartitions shape)
     parts, cur, cur_b = [], [], 0
@@ -512,10 +553,12 @@ def _plan_files(
 
 
 class IcebergPyReader(DataSourceReader):
-    def __init__(self, table, schema):
+    def __init__(self, table, schema, group_by=None, file_filter=None):
         self._table = table
         self._schema = schema
         self._pred = None
+        self._group_by = group_by
+        self._file_filter = file_filter
 
     def pushFilters(self, filters):
         self._pred = _translate_filters(filters)
@@ -524,7 +567,13 @@ class IcebergPyReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        parts = _plan_files(self._table, self._pred, apply_deletes=True)
+        parts = _plan_files(
+            self._table,
+            self._pred,
+            apply_deletes=True,
+            group_by=self._group_by,
+            file_filter=self._file_filter,
+        )
         if not parts:
             # Spark requires >= 1 partition; an empty file emits no batches
             return [IcebergFilePartition("", {})]
@@ -2108,7 +2157,16 @@ class IcebergPyDataSource(DataSource):
 
     def reader(self, schema) -> IcebergPyReader:
         table, snapshot_id = self._table()
-        reader = IcebergPyReader(table, schema)
+        group_by = self.options.get("group_partitions_by")
+        file_paths = self.options.get("file_paths")
+        ffilter = None
+        if file_paths:
+            import json as _json
+
+            ffilter = set(_json.loads(file_paths))
+        reader = IcebergPyReader(
+            table, schema, group_by=group_by, file_filter=ffilter
+        )
         inc_from = self.options.get("incremental_from")
         if inc_from is not None:
             # incremental BATCH read (r11): only the files added in
@@ -2129,6 +2187,8 @@ class IcebergPyDataSource(DataSource):
                     snapshot_id=snapshot_id,
                     from_snapshot_id=from_sid,
                     apply_deletes=True,
+                    group_by=group_by,
+                    file_filter=ffilter,
                 )
                 # empty diff (caught-up caller, or filters pruned every
                 # added file) is the steady state — Spark needs >= 1
@@ -2145,6 +2205,8 @@ class IcebergPyDataSource(DataSource):
                     reader._pred,
                     snapshot_id=snapshot_id,
                     apply_deletes=True,
+                    group_by=group_by,
+                    file_filter=ffilter,
                 )
                 return parts or [IcebergFilePartition("", {})]
 

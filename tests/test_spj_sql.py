@@ -1,0 +1,273 @@
+"""SQL-surface SPJ routing (iceberg/spj_sql.py): the SAME SQL text that
+plans a shuffling join/aggregation runs shuffle-free when the storage
+contract allows, byte-identical to the plain plan, with silent fallback
+on every refusal.  Reference anchor: the catalog surface IS the query
+surface (catalog.rs:114-117); Spark-Iceberg users get this from
+KeyGroupedPartitioning (SPARK-37375) without changing query text.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from datafusion_iceberg_spark.iceberg.catalog import Catalog
+from datafusion_iceberg_spark.plans.audit import plan_string
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _plain(cat, spark, q):
+    cat.enable_spj_sql = False
+    try:
+        return cat.sql(spark, q)
+    finally:
+        cat.enable_spj_sql = True
+
+
+def _key_exchanges(df, *keys):
+    plan = plan_string(df)
+    hits = []
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        if any(k in m.group(1) for k in keys):
+            hits.append(m.group(1))
+    return hits
+
+
+@pytest.fixture(scope="module")
+def wh(tmp_path_factory, spark, sf_dir):
+    """orders bucket(8) ⋈ lineitem bucket(16) (compatible), lineitem
+    bucket(12) (incompatible), an unpartitioned nation, and a VIEW —
+    the full routing/fallback matrix."""
+    root = str(tmp_path_factory.mktemp("spj_sql_wh"))
+    cat = Catalog(root, name="spjcat")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    cat.create_table(
+        "f.orders8", orders.schema, partition_by=["bucket(8, o_orderkey)"]
+    )
+    cat.append("f.orders8", spark, orders)
+    cat.create_table(
+        "f.li16", li.schema, partition_by=["bucket(16, l_orderkey)"]
+    )
+    cat.append("f.li16", spark, li)
+    cat.create_table(
+        "f.li12", li.schema, partition_by=["bucket(12, l_orderkey)"]
+    )
+    cat.append("f.li12", spark, li)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.create_table("f.nation", nation.schema)
+    cat.append("f.nation", spark, nation)
+    cat.create_view(
+        "f.ordview", "SELECT o_orderkey, o_totalprice FROM f_orders8"
+    )
+    yield cat
+    shutil.rmtree(root, ignore_errors=True)
+
+
+JOIN_Q = (
+    "SELECT o.o_orderstatus, COUNT(*) AS n, "
+    "SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents "
+    "FROM spjcat.f.orders8 AS o JOIN spjcat.f.li16 AS l "
+    "ON o.o_orderkey = l.l_orderkey "
+    "WHERE l.l_quantity > 10 "
+    "GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus"
+)
+
+
+def test_join_routes_zero_exchange_and_byte_identical(spark, wh):
+    routed = wh.sql(spark, JOIN_Q)
+    plan = plan_string(routed)
+    assert "Union" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert not _key_exchanges(routed, "o_orderkey", "l_orderkey")
+    # WHERE pushes into the branch parquet scans through the Union
+    assert "PushedFilters" in plan
+    got = _rows(routed)
+    want = _rows(_plain(wh, spark, JOIN_Q))
+    assert got == want and len(got) > 0
+
+
+def test_join_same_name_keys_and_qualified_select(spark, wh, sf_dir):
+    """Same-name key columns dedup in the view; references through
+    EITHER alias resolve to it (b-alias rewritten to a-alias)."""
+    li2 = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey"), F.col("l_discount")
+    )
+    if "f.li16b" not in wh._relation_keys():
+        wh.create_table(
+            "f.li16b", li2.schema, partition_by=["bucket(16, l_orderkey)"]
+        )
+        wh.append("f.li16b", spark, li2)
+    q = (
+        "SELECT a.l_orderkey, b.l_orderkey AS k2, a.l_extendedprice, "
+        "b.l_discount "
+        "FROM spjcat.f.li16 AS a JOIN spjcat.f.li16b AS b "
+        "ON a.l_orderkey = b.l_orderkey LIMIT 20"
+    )
+    routed = wh.sql(spark, q)
+    assert not _key_exchanges(routed, "l_orderkey")
+    assert routed.columns == ["l_orderkey", "k2", "l_extendedprice", "l_discount"]
+    assert routed.count() == 20
+
+
+def test_agg_routes_zero_exchange_and_byte_identical(spark, wh):
+    q = (
+        "SELECT l.l_orderkey, COUNT(*) AS n, "
+        "SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM spjcat.f.li16 AS l WHERE l.l_quantity > 5 "
+        "GROUP BY l.l_orderkey HAVING COUNT(*) >= 2 "
+        "ORDER BY l_orderkey LIMIT 100"
+    )
+    routed = wh.sql(spark, q)
+    plan = plan_string(routed)
+    # ZERO hash Exchange anywhere: per-branch partial+final HashAggregate
+    assert "Exchange hashpartitioning" not in plan
+    assert "Union" in plan
+    got = _rows(routed)
+    want = _rows(_plain(wh, spark, q))
+    assert got == want and len(got) == 100
+
+
+def test_agg_unaliased_and_positional_order(spark, wh):
+    q = (
+        "SELECT l_orderkey, MAX(l_quantity) AS mq FROM spjcat.f.li16 "
+        "GROUP BY l_orderkey ORDER BY 2 DESC, 1 ASC LIMIT 10"
+    )
+    routed = wh.sql(spark, q)
+    assert "Exchange hashpartitioning" not in plan_string(routed)
+    assert _rows(routed) == _rows(_plain(wh, spark, q))
+
+
+FALLBACKS = [
+    # incompatible bucket counts (8 vs 12): specs refuse, plain join runs
+    (
+        "incompatible-specs",
+        "SELECT o.o_orderkey, l.l_extendedprice FROM spjcat.f.orders8 AS o "
+        "JOIN spjcat.f.li12 AS l ON o.o_orderkey = l.l_orderkey LIMIT 5",
+    ),
+    # one side is a VIEW, not a table
+    (
+        "view-side",
+        "SELECT v.o_totalprice, l.l_extendedprice FROM spjcat.f.ordview AS v "
+        "JOIN spjcat.f.li16 AS l ON v.o_orderkey = l.l_orderkey LIMIT 5",
+    ),
+    # unpartitioned side
+    (
+        "unpartitioned",
+        "SELECT n.n_name, o.o_orderkey FROM spjcat.f.nation AS n "
+        "JOIN spjcat.f.orders8 AS o ON n.n_nationkey = o.o_orderkey LIMIT 5",
+    ),
+    # outer join flavor
+    (
+        "left-join",
+        "SELECT o.o_orderkey, l.l_extendedprice FROM spjcat.f.orders8 AS o "
+        "LEFT JOIN spjcat.f.li16 AS l ON o.o_orderkey = l.l_orderkey LIMIT 5",
+    ),
+    # non-equi ON
+    (
+        "non-equi",
+        "SELECT o.o_orderkey, l.l_orderkey FROM spjcat.f.orders8 AS o "
+        "JOIN spjcat.f.li16 AS l ON o.o_orderkey < l.l_orderkey LIMIT 5",
+    ),
+    # subquery
+    (
+        "subquery",
+        "SELECT t.o_orderkey FROM (SELECT o_orderkey FROM spjcat.f.orders8) "
+        "AS t LIMIT 5",
+    ),
+    # window function over a GROUP BY shape
+    (
+        "window-fn",
+        "SELECT l_orderkey, RANK() OVER (ORDER BY COUNT(*)) AS r "
+        "FROM spjcat.f.li16 GROUP BY l_orderkey LIMIT 5",
+    ),
+    # GROUP BY on a non-partition-backed key
+    (
+        "non-backed-key",
+        "SELECT l_quantity, COUNT(*) AS n FROM spjcat.f.li16 "
+        "GROUP BY l_quantity ORDER BY l_quantity LIMIT 5",
+    ),
+    # set operation
+    (
+        "union",
+        "SELECT o_orderkey FROM spjcat.f.orders8 UNION ALL "
+        "SELECT l_orderkey FROM spjcat.f.li16 LIMIT 5",
+    ),
+    # time travel suffix (snapshot id substituted by the test)
+    (
+        "time-travel",
+        "SELECT o_orderkey, COUNT(*) AS n FROM spjcat.f.orders8 "
+        "FOR VERSION AS OF {snap} GROUP BY o_orderkey LIMIT 5",
+    ),
+]
+
+
+@pytest.mark.parametrize("label,q", FALLBACKS, ids=[f[0] for f in FALLBACKS])
+def test_fallback_matrix_runs_plain_and_matches(spark, wh, label, q):
+    """Every refusal shape executes the PLAIN plan — never an error, and
+    identical rows to the explicitly-disabled path."""
+    if label == "time-travel":
+        snap = wh.load("f.orders8").metadata.current_snapshot_id
+        q = q.format(snap=snap)
+    got = wh.sql(spark, q)
+    want = _plain(wh, spark, q)
+    assert got.count() == want.count()
+
+
+def test_fallback_unknown_column_error_matches_plain(spark, wh):
+    """Errors surface from the PLAIN path: a typo'd column in a
+    routable-looking statement raises Spark's normal analysis error,
+    not a router internal."""
+    q = (
+        "SELECT l.nope, COUNT(*) AS n FROM spjcat.f.li16 AS l "
+        "GROUP BY l.nope"
+    )
+    with pytest.raises(Exception) as e:
+        wh.sql(spark, q)
+    assert "nope" in str(e.value) or "UNRESOLVED" in str(e.value).upper()
+
+
+def test_script_and_dml_paths_unaffected(spark, wh):
+    """Multi-statement scripts skip routing (REPEATABLE READ pins);
+    DML keeps dispatching to the write path."""
+    out = wh.sql(
+        spark,
+        "SELECT COUNT(*) AS n FROM spjcat.f.orders8; "
+        "SELECT o.o_orderstatus, COUNT(*) AS n FROM spjcat.f.orders8 AS o "
+        "JOIN spjcat.f.li16 AS l ON o.o_orderkey = l.l_orderkey "
+        "GROUP BY o.o_orderstatus",
+    )
+    assert out.count() > 0
+
+
+def test_registered_gates_actually_route(spark, sf_dir):
+    """The driver gates' SQL text must ROUTE, not silently fall back:
+    the join gate plans a Union of BroadcastHashJoins with zero
+    join-key Exchange, the agg gate plans zero hash Exchange anywhere."""
+    from datafusion_iceberg_spark.iceberg.queries import (
+        iceberg_spj_sql_agg,
+        iceberg_spj_sql_join,
+    )
+
+    j = iceberg_spj_sql_join(spark, sf_dir)
+    jp = plan_string(j)
+    assert "Union" in jp and jp.count("BroadcastHashJoin") >= 2
+    assert not _key_exchanges(j, "o_orderkey", "l_orderkey")
+    assert j.count() > 0
+
+    a = iceberg_spj_sql_agg(spark, sf_dir)
+    ap = plan_string(a)
+    assert "Exchange hashpartitioning" not in ap
+    assert "Union" in ap
+    assert a.count() > 0
