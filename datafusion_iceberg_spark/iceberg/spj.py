@@ -1125,6 +1125,18 @@ def bucket_agg_grouped(
         out = pa.table(cols, names=[*gcols, *[s0[0] for s0 in agg_spec]])
         yield from out.cast(arrow_out).to_batches()
 
+    if filter_expr is not None:
+        if isinstance(filter_expr, str):
+            # conservative superset: any identifier token matching a
+            # table column joins the reader projection (same rule as
+            # catalog.ds_sql's statement-driven projection)
+            for m in re.finditer(r"[A-Za-z_]\w*", filter_expr):
+                if m.group(0) in fields and m.group(0) not in need:
+                    need.append(m.group(0))
+        else:
+            # an opaque Column's references are not inspectable from
+            # Python — read the full schema rather than under-project
+            need = [f.name for f in table.metadata.struct_type().fields]
     register_iceberg_datasource(spark)
     reader = (
         spark.read.format("iceberg_py")
