@@ -6047,6 +6047,111 @@ def iceberg_bucket_agg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.filter(F.col("n_items") >= 7).orderBy("l_orderkey")
 
 
+_spjch_warehouses: dict[str, "Catalog"] = {}
+
+
+def _spj_chain_fixture(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Three tables co-partitioned on the order key with DISTINCT bucket
+    counts — orders bucket(8), lineitem bucket(16), a clerk dim
+    bucket(4) — all folding onto the shared 4-bucket grid, the
+    star/chain warehouse layout."""
+    with _lock:
+        cat = _spjch_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_spjch")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus"
+            )
+            li = load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            )
+            clerk = load_table(spark, sf_dir, "orders").select(
+                F.col("o_orderkey").alias("c_orderkey"),
+                F.col("o_orderpriority").alias("c_priority"),
+            )
+            cat.create_table(
+                "chain.orders8",
+                orders.schema,
+                partition_by=["bucket(8, o_orderkey)"],
+            )
+            cat.append("chain.orders8", spark, orders)
+            cat.create_table(
+                "chain.li16",
+                li.schema,
+                partition_by=["bucket(16, l_orderkey)"],
+            )
+            cat.append("chain.li16", spark, li)
+            cat.create_table(
+                "chain.clerk4",
+                clerk.schema,
+                partition_by=["bucket(4, c_orderkey)"],
+            )
+            cat.append("chain.clerk4", spark, clerk)
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _spjch_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_bucket_chain_join_scan",
+    oracle="""
+    SELECT o_orderstatus, c_priority, COUNT(*) AS n_items,
+           CAST(SUM(CAST(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1000000 AS revenue
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN (SELECT o_orderkey AS c_orderkey, o_orderpriority AS c_priority FROM orders) c
+      ON l_orderkey = c_orderkey
+    GROUP BY o_orderstatus, c_priority
+    ORDER BY o_orderstatus, c_priority
+    """,
+)
+def iceberg_bucket_chain_join_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-way SPJ (r15, VERDICT r14 #5): a 3-table star/chain join —
+    orders bucket(8) ⋈ lineitem bucket(16) ⋈ clerk-dim bucket(4), all
+    folding onto the shared 4-bucket grid — planned over ONE branch
+    decomposition (``bucket_join_chain``): per branch, all three sides'
+    file groups join with the accumulated frame streamed and later
+    sides broadcast, then a single union.  Zero join-key Exchange
+    anywhere (asserted in tests/test_spj.py); chaining pairwise
+    bucket_join calls would shuffle the second join, because a union
+    result carries no file-group metadata.  The reference's
+    partition-grouped scan units exist so downstream operators compose
+    exactly this way (table.rs:128-131)."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join_chain
+
+    cat = _spj_chain_fixture(spark, sf_dir)
+    j = bucket_join_chain(
+        spark,
+        [
+            cat.load("chain.orders8"),
+            cat.load("chain.li16"),
+            cat.load("chain.clerk4"),
+        ],
+        ["o_orderkey", "l_orderkey", "c_orderkey"],
+    )
+    return (
+        j.groupBy("o_orderstatus", "c_priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _rev_micros().alias("revenue"),
+        )
+        .orderBy("o_orderstatus", "c_priority")
+    )
+
+
 _spag_warehouses: dict[str, "Catalog"] = {}
 
 

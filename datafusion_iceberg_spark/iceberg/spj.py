@@ -873,6 +873,264 @@ def bucket_join(
     return out
 
 
+def compatible_partitioning_multi(
+    tables: Sequence[IcebergTable],
+    cols_per_side: Sequence[list[str]],
+) -> list[tuple]:
+    """Per-position partitioning contract for an N-way SPJ key: the
+    multi-table generalization of :func:`compatible_partitioning`.
+    Every side must carry the SAME transform family on each position,
+    folding onto one shared grid: bucket counts fold to the minimum
+    (which every count must divide evenly onto), integer truncate
+    widths to the maximum (each must divide it), string truncate to the
+    shortest prefix, temporal granularities to the coarsest.  Raises
+    :class:`BucketJoinError` when any side breaks the family or the
+    fold."""
+    if len(tables) < 2:
+        raise BucketJoinError("a chain join needs at least two tables")
+    arity = len(cols_per_side[0])
+    if any(len(c) != arity for c in cols_per_side):
+        raise BucketJoinError(
+            f"join-key arity mismatch across sides: {cols_per_side}"
+        )
+    specs = [
+        (
+            bucket_partitioning(t),
+            truncate_partitioning(t),
+            temporal_partitioning(t),
+        )
+        for t in tables
+    ]
+    kinds: list[tuple] = []
+    for j in range(arity):
+        buckets, truncs, temps, idents = [], [], [], 0
+        for i, ((bs, trs, tms), cols) in enumerate(
+            zip(specs, cols_per_side)
+        ):
+            c = cols[j]
+            if c in bs:
+                buckets.append(bs[c][0])
+            elif c in trs:
+                truncs.append(
+                    (trs[c][0], _col_iceberg_type(tables[i], c) or "")
+                )
+            elif c in tms:
+                temps.append(tms[c][0])
+            else:
+                idents += 1
+        n = len(tables)
+        if len(buckets) == n:
+            coarse = min(buckets)
+            bad = [b for b in buckets if b % coarse != 0]
+            if bad:
+                raise BucketJoinError(
+                    f"incompatible bucket counts at key position {j}: "
+                    f"{buckets} do not all fold onto the {coarse}-bucket "
+                    "grid"
+                )
+            kinds.append(("bucket", coarse))
+        elif len(truncs) == n:
+            types = {t for _, t in truncs}
+            widths = [w for w, _ in truncs]
+            if types <= {"int", "long"}:
+                coarse = max(widths)
+                if any(coarse % w != 0 for w in widths):
+                    raise BucketJoinError(
+                        f"incompatible truncate widths at position {j}: "
+                        f"{widths} do not all divide truncate[{coarse}]"
+                    )
+                kinds.append(("truncate", coarse, True))
+            elif types <= {"string", "binary"}:
+                kinds.append(("truncate", min(widths), False))
+            else:
+                raise BucketJoinError(
+                    f"mixed/unsupported truncate source types {types} at "
+                    f"key position {j}"
+                )
+        elif len(temps) == n:
+            coarse = max(temps, key=lambda t: _TEMPORAL_RANK[t])
+            kinds.append(("temporal", coarse))
+        elif idents == n:
+            kinds.append(("identity",))
+        else:
+            raise BucketJoinError(
+                f"key position {j} mixes transform families across sides "
+                "— no shared co-location grid exists"
+            )
+    if not any(k[0] in ("bucket", "truncate", "temporal") for k in kinds):
+        raise BucketJoinError(
+            "no position of the chain key carries a bucket/truncate/"
+            "temporal transform on every side — add the transform that "
+            "drives file co-location, or use plain joins"
+        )
+    return kinds
+
+
+def bucket_join_chain(
+    spark: SparkSession,
+    tables: Sequence[IcebergTable],
+    keys: Sequence[KeySpec],
+    filters: Optional[Sequence[Any]] = None,
+    snapshot_ids: Optional[Sequence[Optional[int]]] = None,
+    max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
+    max_branches: int = DEFAULT_MAX_BRANCHES,
+) -> DataFrame:
+    """Shuffle-free INNER equi-join of N co-partitioned Iceberg tables
+    over ONE shared branch decomposition (VERDICT r14 #5).
+
+    A star/chain warehouse query joins three-plus co-partitioned tables
+    (fact ⋈ fact ⋈ dim); chaining pairwise ``bucket_join`` calls would
+    materialize each pair's union before the next join re-plans from
+    scratch — and the second join SHUFFLES, because the union result no
+    longer carries file-group metadata.  Here every side's (pruned)
+    file list folds onto the SAME coarse grid
+    (:func:`compatible_partitioning_multi`), branch keys are the
+    intersection across all sides (inner join: a key missing anywhere
+    produces nothing), and each branch joins all N sides' file groups
+    left-to-right with the accumulated frame streamed and each later
+    side broadcast when it fits — then one UNION of branches.  Zero
+    shuffle Exchange on the join keys anywhere; the reference's
+    partition-grouped scan units exist precisely so downstream
+    operators compose this way (table.rs:128-131).
+
+    ``keys[i]`` is table i's key column (or composite list); all sides
+    must share arity.  Join condition: consecutive-pair equality
+    (t0.k = t1.k AND t1.k = t2.k ...), the chain shape — equivalent to
+    any other pairing for an inner equi-join.  Output columns: t0's
+    columns, then each later side's columns, with a later side's key
+    dropped when it is name-identical to t0's (Spark's same-name
+    ``on=[names]`` dedup); duplicate NON-key names across sides refuse
+    (the union could not address them).  NULL-key files drop (no inner
+    equi-match).  MOR deletes apply per side through the same hoisted
+    delete listing as :func:`bucket_join`.
+    """
+    n = len(tables)
+    if n < 2:
+        raise BucketJoinError("bucket_join_chain needs >= 2 tables")
+    cols_per_side = [_as_cols(k, f"side {i}") for i, k in enumerate(keys)]
+    if len(cols_per_side) != n:
+        raise BucketJoinError("one key spec per table required")
+    kinds = compatible_partitioning_multi(tables, cols_per_side)
+    filters = list(filters) if filters is not None else [None] * n
+    snapshot_ids = (
+        list(snapshot_ids) if snapshot_ids is not None else [None] * n
+    )
+    if len(filters) != n or len(snapshot_ids) != n:
+        raise BucketJoinError(
+            "filters/snapshot_ids must align with tables when given"
+        )
+    # resolve columns + duplicate-name audit
+    resolved: list[list[str]] = []
+    for t, cols in zip(tables, cols_per_side):
+        actual = {f.name for f in t.metadata.struct_type().fields}
+        miss = [c for c in cols if c not in actual]
+        if miss:
+            raise BucketJoinError(
+                f"key columns {miss} not in table at {t.metadata.root}"
+            )
+        resolved.append(list(cols))
+    # name audit + per-side join mode: a side either name-matches the
+    # accumulated frame's key on EVERY position (Spark's on=[names]
+    # dedup) or on NONE (condition join, all columns kept); a partial
+    # match — or any other repeated column name — refuses, because the
+    # chained result could not address the duplicates
+    base_cols = [f.name for f in tables[0].metadata.struct_type().fields]
+    seen_names = {c.lower() for c in base_cols}
+    prev_names = list(resolved[0])
+    dedup: list[bool] = [False]
+    join_left: list[list[str]] = [list(prev_names)]
+    for i in range(1, n):
+        side_cols = [f.name for f in tables[i].metadata.struct_type().fields]
+        matches = [c == p for c, p in zip(resolved[i], prev_names)]
+        if any(matches) and not all(matches):
+            raise BucketJoinError(
+                f"side {i} key {resolved[i]} name-matches the chain key "
+                f"{prev_names} on some positions but not all — project "
+                "to uniform names first"
+            )
+        same = set(resolved[i]) if all(matches) else set()
+        dup = [
+            c
+            for c in side_cols
+            if c.lower() in seen_names and c not in same
+        ]
+        if dup:
+            raise BucketJoinError(
+                f"side {i} repeats column names {dup} — the chained "
+                "result could not address them; project them away first"
+            )
+        seen_names |= {c.lower() for c in side_cols}
+        dedup.append(all(matches))
+        join_left.append(list(prev_names))  # left key names for THIS link
+        if not all(matches):
+            prev_names = list(resolved[i])
+
+    per_side_groups = []
+    for t, cols, filt, sid in zip(tables, resolved, filters, snapshot_ids):
+        groups, _nulls = _partition_groups(t, cols, kinds, filt, spark, sid)
+        per_side_groups.append(groups)
+    keys_common = set(per_side_groups[0])
+    for g in per_side_groups[1:]:
+        keys_common &= set(g)
+
+    dels = [
+        (t.position_delete_files(sid), t.equality_delete_files(sid))
+        for t, sid in zip(tables, snapshot_ids)
+    ]
+
+    def _scan(i, fl):
+        return tables[i]._scan_files(
+            spark, fl, filters[i], deletes=dels[i][0], eq_deletes=dels[i][1]
+        )
+
+    def _bytes(i, k) -> int:
+        return sum(
+            f.file_size_in_bytes for f in per_side_groups[i].get(k, ())
+        )
+
+    keys_loads = []
+    for k in keys_common:
+        sizes = [_bytes(i, k) for i in range(n)]
+        keys_loads.append((k, sum(sizes) - max(sizes)))
+    branches = _pack_branches(keys_loads, max_branches)
+
+    def _link(df: DataFrame, side: DataFrame, i: int) -> DataFrame:
+        if dedup[i]:
+            return df.join(side, on=list(resolved[i]), how="inner")
+        cond = df[join_left[i][0]] == side[resolved[i][0]]
+        for a, b in zip(join_left[i][1:], resolved[i][1:]):
+            cond = cond & (df[a] == side[b])
+        return df.join(side, on=cond, how="inner")
+
+    def _empty() -> DataFrame:
+        df = tables[0].to_df(spark).limit(0)
+        for i in range(1, n):
+            df = _link(df, tables[i].to_df(spark).limit(0), i)
+        return df
+
+    subs: list[DataFrame] = []
+    for branch in branches:
+        fls = [
+            [f for k in branch for f in per_side_groups[i].get(k, ())]
+            for i in range(n)
+        ]
+        if any(not fl for fl in fls):
+            continue
+        df = _scan(0, fls[0])
+        for i in range(1, n):
+            dfr = _scan(i, fls[i])
+            rbytes = sum(f.file_size_in_bytes for f in fls[i])
+            side = F.broadcast(dfr) if rbytes <= max_broadcast_bytes else dfr
+            df = _link(df, side, i)
+        subs.append(df)
+    if not subs:
+        return _empty()
+    out = subs[0]
+    for s in subs[1:]:
+        out = out.unionByName(s)
+    return out
+
+
 def bucket_agg(
     spark: SparkSession,
     table: IcebergTable,

@@ -1592,3 +1592,106 @@ def test_timestamp_ns_temporal_spj_folds_and_refuses(spark, tmp_path):
         cat.append(
             "ns.bad", spark, spark.createDataFrame([(1, DAY)], sa)
         )
+
+
+def test_bucket_join_chain_three_way(spark, wh, sf_dir, tmp_path):
+    """Multi-way SPJ (VERDICT r14 #5): three co-partitioned tables with
+    distinct bucket counts (8, 16, 4 — all fold onto the 4-grid) join
+    over ONE shared branch decomposition: zero join-key Exchange,
+    byte-identical to the plain chained join."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join_chain
+
+    cat = Catalog(str(tmp_path / "chain"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    third = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("r_orderkey"),
+        F.col("o_orderpriority").alias("r_pri"),
+    )
+    cat.create_table(
+        "c.o8", orders.schema, partition_by=["bucket(8, o_orderkey)"]
+    )
+    cat.append("c.o8", spark, orders)
+    cat.create_table(
+        "c.l16", li.schema, partition_by=["bucket(16, l_orderkey)"]
+    )
+    cat.append("c.l16", spark, li)
+    cat.create_table(
+        "c.r4", third.schema, partition_by=["bucket(4, r_orderkey)"]
+    )
+    cat.append("c.r4", spark, third)
+    t0, t1, t2 = cat.load("c.o8"), cat.load("c.l16"), cat.load("c.r4")
+    j = bucket_join_chain(
+        spark, [t0, t1, t2], ["o_orderkey", "l_orderkey", "r_orderkey"]
+    )
+    plan = plan_string(j)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "orderkey" not in m.group(1)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # 2 joins x >= 2 branches
+    plain = (
+        t0.to_df(spark)
+        .join(t1.to_df(spark), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t2.to_df(spark), F.col("l_orderkey") == F.col("r_orderkey"))
+        .select(*j.columns)
+    )
+    got = sorted(map(tuple, j.collect()))
+    assert got == sorted(map(tuple, plain.collect()))
+    assert len(got) > 0
+
+
+def test_bucket_join_chain_same_name_dedup_and_refusals(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join_chain
+
+    cat = Catalog(str(tmp_path / "chain2"))
+    mk = lambda name, vcol, n, rows: (
+        cat.create_table(
+            name,
+            T.StructType(
+                [
+                    T.StructField("k", T.LongType()),
+                    T.StructField(vcol, T.LongType()),
+                ]
+            ),
+            partition_by=[f"bucket({n}, k)"],
+        ),
+        cat.append(
+            name, spark, spark.createDataFrame(rows, f"k long, {vcol} long")
+        ),
+    )
+    mk("c.s1", "v1", 4, [(1, 10), (2, 20), (3, 30)])
+    mk("c.s2", "v2", 8, [(1, 100), (3, 300)])
+    mk("c.s3", "v3", 2, [(1, 1000), (3, 3000), (4, 4)])
+    js = bucket_join_chain(
+        spark,
+        [cat.load("c.s1"), cat.load("c.s2"), cat.load("c.s3")],
+        ["k", "k", "k"],
+    )
+    assert js.columns == ["k", "v1", "v2", "v3"]  # same-name keys dedup
+    assert sorted(map(tuple, js.collect())) == [
+        (1, 10, 100, 1000),
+        (3, 30, 300, 3000),
+    ]
+    assert "Exchange hashpartitioning" not in plan_string(js)
+    # counts that do not all fold onto the minimum refuse: (4, 8, 3)
+    mk("c.s4", "v4", 3, [(1, 5)])
+    with pytest.raises(BucketJoinError, match="incompatible bucket counts"):
+        bucket_join_chain(
+            spark,
+            [cat.load("c.s1"), cat.load("c.s2"), cat.load("c.s4")],
+            ["k", "k", "k"],
+        )
+    # duplicate non-key column name refuses
+    mk("c.s5", "v1", 4, [(1, 7)])
+    with pytest.raises(BucketJoinError, match="repeats column names"):
+        bucket_join_chain(
+            spark,
+            [cat.load("c.s1"), cat.load("c.s5")],
+            ["k", "k"],
+        )
