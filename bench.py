@@ -164,6 +164,12 @@ HEADLINE = [
     "iceberg_identity_agg_scan",
     "iceberg_temporal_join_scan",
     "iceberg_truncate_join_scan",
+    # round-15 additions
+    "iceberg_spj_sql_join",
+    "iceberg_spj_sql_agg",
+    "iceberg_bucket_agg_grouped_scan",
+    "iceberg_bucket_chain_join_scan",
+    "text_quality_classifier",
 ]
 
 

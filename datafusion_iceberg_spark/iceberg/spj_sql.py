@@ -259,100 +259,158 @@ def _qualifier_positions(
 def _route_join(
     catalog, spark: SparkSession, query: str, toks: list[Token], ranges
 ) -> Optional[DataFrame]:
-    """FROM <t1> AS a JOIN <t2> AS b ON a.k = b.k [AND ...] — route the
-    join through bucket_join, register the result as a temp view aliased
-    ``a``, rewrite ``b.``-qualified references to ``a.``, execute the
+    """FROM <t1> AS a JOIN <t2> AS b ON a.k = b.k [AND ...] [JOIN <t3>
+    AS c ON ...]* — route through bucket_join (two sides, composite
+    keys allowed) or bucket_join_chain (three+, single-column keys),
+    register the result as a temp view aliased by the FIRST table's
+    alias, rewrite the other aliases' qualifiers to it, execute the
     otherwise-verbatim statement over it."""
     from datafusion_iceberg_spark.iceberg.spj import (
         bucket_join,
+        bucket_join_chain,
         compatible_partitioning,
     )
     from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
     lo, hi = ranges["FROM"]
-    lkey, la, i = _parse_table(toks, lo, hi, catalog)
-    if i < hi and toks[i].is_kw("INNER"):
-        i += 1
-    if not (i < hi and toks[i].is_kw("JOIN")):
-        raise _NoRoute
-    rkey, ra, i = _parse_table(toks, i + 1, hi, catalog)
-    if la is None or ra is None or la.lower() == ra.lower():
-        # explicit, distinct aliases only: without them the plain path
-        # resolves qualifiers against flat view names, and accepting
-        # bare-table qualifiers here would WIDEN the dialect
-        raise _NoRoute
-    if not (i < hi and toks[i].is_kw("ON")):
-        raise _NoRoute
-    i += 1
-    # ON body: conjunction of qualified equalities, nothing else
-    lcols: list[str] = []
-    rcols: list[str] = []
+    key0, alias0, i = _parse_table(toks, lo, hi, catalog)
+    sides: list[tuple[str, Optional[str]]] = [(key0, alias0)]
+    ons: list[list[tuple[tuple[str, str], tuple[str, str]]]] = []
     while i < hi:
-        refs = []
-        for _ in range(2):
-            q = _name_tok(toks[i]) if i < hi else None
-            if (
-                q is None
-                or i + 2 >= hi + 1
-                or not _is_dot(toks[i + 1])
-                or _name_tok(toks[i + 2]) is None
-            ):
-                raise _NoRoute
-            refs.append((q, toks[i + 2].value))
-            i += 3
-            if len(refs) == 1:
-                if not (i < hi and toks[i].kind == OP and toks[i].value == "="):
-                    raise _NoRoute
-                i += 1
-        side = {la.lower(): "l", ra.lower(): "r"}
-        tagged = {side.get(q.lower()): c for q, c in refs}
-        if set(tagged) != {"l", "r"}:
-            raise _NoRoute
-        lcols.append(tagged["l"])
-        rcols.append(tagged["r"])
-        if i < hi:
-            if not toks[i].is_kw("AND"):
-                raise _NoRoute
+        if toks[i].is_kw("INNER"):
             i += 1
-    if not lcols:
+        if not (i < hi and toks[i].is_kw("JOIN")):
+            raise _NoRoute
+        skey, salias, i = _parse_table(toks, i + 1, hi, catalog)
+        if not (i < hi and toks[i].is_kw("ON")):
+            raise _NoRoute
+        i += 1
+        pairs: list[tuple[tuple[str, str], tuple[str, str]]] = []
+        while i < hi:
+            refs = []
+            for _ in range(2):
+                q = _name_tok(toks[i]) if i < hi else None
+                if (
+                    q is None
+                    or i + 2 >= hi + 1
+                    or not _is_dot(toks[i + 1])
+                    or _name_tok(toks[i + 2]) is None
+                ):
+                    raise _NoRoute
+                refs.append((q, toks[i + 2].value))
+                i += 3
+                if len(refs) == 1:
+                    if not (
+                        i < hi
+                        and toks[i].kind == OP
+                        and toks[i].value == "="
+                    ):
+                        raise _NoRoute
+                    i += 1
+            pairs.append((refs[0], refs[1]))
+            if i < hi and toks[i].is_kw("AND"):
+                i += 1
+                continue
+            break
+        if not pairs:
+            raise _NoRoute
+        sides.append((skey, salias))
+        ons.append(pairs)
+    if not ons:
         raise _NoRoute
-    left = catalog._rel(lkey)
-    right = catalog._rel(rkey)
-    if not isinstance(left, IcebergTable) or not isinstance(
-        right, IcebergTable
-    ):
+    # explicit, pairwise-distinct aliases only: without one the plain
+    # path resolves qualifiers against flat view names, and accepting
+    # bare-table qualifiers here would WIDEN the dialect
+    aliases = [a for _, a in sides]
+    if any(a is None for a in aliases) or len(
+        {a.lower() for a in aliases}
+    ) != len(aliases):
         raise _NoRoute
-    lcols = _resolve_cols(left, lcols)
-    rcols = _resolve_cols(right, rcols)
-    if len(set(lcols)) != len(lcols) or len(set(rcols)) != len(rcols):
+    tables = [catalog._rel(k) for k, _ in sides]
+    if not all(isinstance(t, IcebergTable) for t in tables):
         raise _NoRoute
-    try:
-        compatible_partitioning(left, right, lcols, rcols)
-    except Exception:
-        raise _NoRoute from None
-    same_name = lcols == rcols
-    lnames = {f.name.lower() for f in left.metadata.struct_type().fields}
-    rnames = {f.name.lower() for f in right.metadata.struct_type().fields}
-    joined_keys = {c.lower() for c in lcols} if same_name else set()
-    if (lnames & rnames) - joined_keys:
-        raise _NoRoute  # shared non-key column: the view cannot hold both
+    alias_idx = {a.lower(): j for j, (_, a) in enumerate(sides)}
+    n = len(sides)
+
+    if n == 2:
+        la, ra = aliases
+        lcols: list[str] = []
+        rcols: list[str] = []
+        for (q1, c1), (q2, c2) in ons[0]:
+            side = {la.lower(): "l", ra.lower(): "r"}
+            tagged = {side.get(q1.lower()): c1}
+            tagged[side.get(q2.lower())] = c2
+            if set(tagged) != {"l", "r"}:
+                raise _NoRoute
+            lcols.append(tagged["l"])
+            rcols.append(tagged["r"])
+        left, right = tables
+        lcols = _resolve_cols(left, lcols)
+        rcols = _resolve_cols(right, rcols)
+        if len(set(lcols)) != len(lcols) or len(set(rcols)) != len(rcols):
+            raise _NoRoute
+        try:
+            compatible_partitioning(left, right, lcols, rcols)
+        except Exception:
+            raise _NoRoute from None
+        same_name = lcols == rcols
+        lnames = {f.name.lower() for f in left.metadata.struct_type().fields}
+        rnames = {f.name.lower() for f in right.metadata.struct_type().fields}
+        joined_keys = {c.lower() for c in lcols} if same_name else set()
+        if (lnames & rnames) - joined_keys:
+            raise _NoRoute  # shared non-key column: view cannot hold both
+        star_ok = not same_name
+        builder = lambda: bucket_join(  # noqa: E731
+            spark, left, right, lcols, rcols, how="inner"
+        )
+    else:
+        # N-way chain: each ON is ONE single-column equality pairing the
+        # NEW side against one PREVIOUS side's established key column
+        keys: list[Optional[str]] = [None] * n
+        for j, pairs in enumerate(ons, start=1):
+            if len(pairs) != 1:
+                raise _NoRoute
+            (q1, c1), (q2, c2) = pairs[0]
+            i1, i2 = alias_idx.get(q1.lower()), alias_idx.get(q2.lower())
+            if i1 is None or i2 is None:
+                raise _NoRoute
+            if i1 == j and i2 < j:
+                new_col, prev_i, prev_col = c1, i2, c2
+            elif i2 == j and i1 < j:
+                new_col, prev_i, prev_col = c2, i1, c1
+            else:
+                raise _NoRoute
+            if keys[prev_i] is None:
+                keys[prev_i] = prev_col
+            elif keys[prev_i].lower() != prev_col.lower():
+                raise _NoRoute  # references a different column of that side
+            keys[j] = new_col
+        if any(k is None for k in keys):
+            raise _NoRoute
+        keys = [
+            _resolve_cols(t, [k])[0] for t, k in zip(tables, keys)
+        ]
+        star_ok = False
+        builder = lambda: bucket_join_chain(  # noqa: E731
+            spark, tables, keys
+        )
+
     # qualifier audit outside the FROM clause: every `x.y` must qualify
-    # by one of the two aliases; `a.*` / `b.*` never route (the view
-    # star is BOTH sides)
-    aliases = {la.lower(), ra.lower()}
-    rb_positions: list[int] = []
+    # by one of the join aliases; `alias.*` never routes
+    allowed = set(alias_idx)
+    rewrite_positions: list[int] = []
     for k in _qualifier_positions(toks, ranges, skip=(lo - 1, hi)):
         q = toks[k].value.lower()
-        if q not in aliases:
+        if q not in allowed:
             raise _NoRoute
         if toks[k + 2].kind == OP and toks[k + 2].value == "*":
             raise _NoRoute
-        if q == ra.lower():
-            rb_positions.append(k)
-    if same_name:
+        if q != alias0.lower():
+            rewrite_positions.append(k)
+    if not star_ok:
         # bare projection star: the view deduplicates same-name keys but
-        # plain SQL keeps both sides' copies — refuse; with distinct key
-        # names the view is exactly left-then-right, same as plain *
+        # plain SQL keeps every side's copy — refuse; a 2-way join with
+        # distinct key names is exactly left-then-right, same as plain *
         sel_lo, sel_hi = ranges["SELECT"]
         depth = 0
         for k in range(sel_lo, sel_hi):
@@ -371,20 +429,20 @@ def _route_join(
                 )
             ):
                 raise _NoRoute
-    joined = bucket_join(spark, left, right, lcols, rcols, how="inner")
+    joined = builder()
     view = f"__spj_sql_join_{next(_view_counter)}"
     joined.createOrReplaceTempView(view)
-    # splice: FROM section -> view AS left-alias; rb.-qualifiers -> la.
-    # the FROM keyword sits at body-1; the last ON token is toks[hi-1]
+    # splice: FROM section -> view AS first-alias; other qualifiers -> it
+    # (the FROM keyword sits at body-1; the last ON token is toks[hi-1])
     edits = [
         (
             toks[ranges["FROM"][0] - 1].start,
             toks[hi - 1].end,
-            f"FROM {_quote(view)} AS {_quote(la)}",
+            f"FROM {_quote(view)} AS {_quote(alias0)}",
         )
     ]
-    for k in rb_positions:
-        edits.append((toks[k].start, toks[k].end, _quote(la)))
+    for k in rewrite_positions:
+        edits.append((toks[k].start, toks[k].end, _quote(alias0)))
     out_text = query
     for a, b, repl in sorted(edits, reverse=True):
         out_text = out_text[:a] + repl + out_text[b:]

@@ -271,3 +271,37 @@ def test_registered_gates_actually_route(spark, sf_dir):
     assert "Exchange hashpartitioning" not in ap
     assert "Union" in ap
     assert a.count() > 0
+
+
+def test_three_way_chain_routes(spark, wh, sf_dir):
+    """A 3-table FROM (two JOINs) routes through bucket_join_chain:
+    zero join-key Exchange, byte-identical to the plain chained join."""
+    third = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("c_orderkey"),
+        F.col("o_orderpriority").alias("c_pri"),
+    )
+    if "f.clerk4" not in wh._relation_keys():
+        wh.create_table(
+            "f.clerk4", third.schema, partition_by=["bucket(4, c_orderkey)"]
+        )
+        wh.append("f.clerk4", spark, third)
+    q = (
+        "SELECT o.o_orderstatus, c.c_pri, COUNT(*) AS n "
+        "FROM spjcat.f.orders8 AS o "
+        "JOIN spjcat.f.li16 AS l ON o.o_orderkey = l.l_orderkey "
+        "JOIN spjcat.f.clerk4 AS c ON l.l_orderkey = c.c_orderkey "
+        "GROUP BY o.o_orderstatus, c.c_pri ORDER BY o_orderstatus, c_pri"
+    )
+    routed = wh.sql(spark, q)
+    plan = plan_string(routed)
+    assert not _key_exchanges(routed, "orderkey")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    got = _rows(routed)
+    want = _rows(_plain(wh, spark, q))
+    assert got == want and len(got) > 0
+    # star form (both later sides referencing the FIRST alias) routes too
+    q_star = q.replace(
+        "ON l.l_orderkey = c.c_orderkey", "ON o.o_orderkey = c.c_orderkey"
+    )
+    assert _rows(wh.sql(spark, q_star)) == want
