@@ -5741,6 +5741,44 @@ def iceberg_spj_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_spj_sql_join_agg",
+    oracle="""
+    SELECT l_orderkey, o_orderstatus, COUNT(*) AS n_items,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_discount > 0.02
+    GROUP BY l_orderkey, o_orderstatus HAVING COUNT(*) >= 2
+    ORDER BY l_orderkey LIMIT 500
+    """,
+)
+def iceberg_spj_sql_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface join + branch-local aggregation (r15): when the
+    GROUP BY of a routed two-table join covers the join key (either
+    side's copy — inner rows satisfy l.k = r.k, so grouping by either
+    name pins each group to one SPJ branch on BOTH sides), the whole
+    statement's SELECT/WHERE/GROUP BY/HAVING runs per branch via
+    ``bucket_join(branch_fn=...)``: join AND aggregation plan with ZERO
+    shuffle Exchange end-to-end (each branch coalesced to one partition,
+    so SinglePartition satisfies the aggregate's distribution), ORDER
+    BY/LIMIT lifted above the union.  This is what Spark-Iceberg's
+    KeyGroupedPartitioning gives a ``fact ⋈ fact GROUP BY key`` rollup
+    for free; plan-asserted in tests/test_spj_sql.py."""
+    cat = _spj_fixture(spark, sf_dir)
+    return cat.sql(
+        spark,
+        """
+        SELECT l.l_orderkey, o.o_orderstatus, COUNT(*) AS n_items,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS cents
+        FROM iceberg.fact.orders_bkt AS o JOIN iceberg.fact.lineitem_bkt AS l
+        ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_discount > 0.02
+        GROUP BY l.l_orderkey, o.o_orderstatus HAVING COUNT(*) >= 2
+        ORDER BY l_orderkey LIMIT 500
+        """,
+    )
+
+
+@register(
     "iceberg_orc_scan",
     oracle="""
     SELECT n_regionkey, COUNT(*) AS n_nations,

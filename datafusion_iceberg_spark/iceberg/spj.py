@@ -572,8 +572,21 @@ def bucket_join(
     max_branches: int = DEFAULT_MAX_BRANCHES,
     runtime_prune: Optional[str] = None,
     via_ds: bool = False,
+    branch_fn=None,
 ) -> DataFrame:
     """Shuffle-free equi-join of two bucket-co-partitioned Iceberg tables.
+
+    ``branch_fn`` (inner joins only): a key-local operator applied to
+    each branch's JOINED frame before the union — the join analogue of
+    :func:`bucket_apply`.  The function receives the branch join
+    (all left columns then all right columns, same-name keys deduped)
+    and must be key-local over the join keys: a ``groupBy`` whose keys
+    include a transformed join-key position aggregates completely
+    inside the branch (every row for those key values lives in this
+    branch on BOTH sides), so ``branch_fn(df.coalesce(1))``-style
+    shapes plan join AND aggregation with zero Exchange end-to-end.
+    The empty-join fallback threads through ``branch_fn`` too, so the
+    output schema is stable.
 
     Returns the joined DataFrame (all left columns then all right columns,
     join keys deduplicated when the names match) whose physical plan is a
@@ -635,6 +648,12 @@ def bucket_join(
             "bucket_join supports inner/left/right/full/left_semi/"
             f"left_anti (got {how!r})"
         )
+    if branch_fn is not None and how != "inner":
+        raise BucketJoinError(
+            "branch_fn is key-local over INNER branches only (outer "
+            "flavors add null-extended legs the fn never sees) — got "
+            f"how={how!r}"
+        )
     semi_anti = how in ("left_semi", "left_anti")
     lcols = _as_cols(left_on, "left")
     rcols = _as_cols(right_on, "right") if right_on is not None else list(
@@ -659,7 +678,8 @@ def bucket_join(
         if semi_anti:
             return dfl
         dfr = right.to_df(spark).limit(0)
-        return dfl.join(dfr, on=_cond(dfl, dfr), how="inner")
+        out = dfl.join(dfr, on=_cond(dfl, dfr), how="inner")
+        return branch_fn(out) if branch_fn is not None else out
 
     if runtime_prune is not None:
         if runtime_prune not in ("left", "right"):
@@ -880,7 +900,8 @@ def bucket_join(
                     dfl = F.broadcast(dfl)
             # else: leave unhinted — Catalyst shuffles THIS branch only
             # (skew degrades one union branch, not the whole plan)
-            subs.append(dfl.join(dfr, on=_cond(dfl, dfr), how="inner"))
+            bj = dfl.join(dfr, on=_cond(dfl, dfr), how="inner")
+            subs.append(branch_fn(bj) if branch_fn is not None else bj)
         elif how == "left":
             # build side must be the non-preserved (right) side
             bdfr = F.broadcast(dfr) if rbytes <= max_broadcast_bytes else dfr

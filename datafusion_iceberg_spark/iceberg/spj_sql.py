@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import itertools
 
+from collections import Counter
 from typing import Any, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -396,17 +397,51 @@ def _route_join(
         )
 
     # qualifier audit outside the FROM clause: every `x.y` must qualify
-    # by one of the join aliases; `alias.*` never routes
+    # by one of the join aliases AND name a column of THAT side's table
+    # (the rewritten view would happily resolve `b.c` for a left-side c
+    # the plain path rejects — the router must be absent, never wider);
+    # `alias.*` never routes
     allowed = set(alias_idx)
+    side_fields = [
+        {f.name.lower() for f in t.metadata.struct_type().fields}
+        for t in tables
+    ]
     rewrite_positions: list[int] = []
     for k in _qualifier_positions(toks, ranges, skip=(lo - 1, hi)):
         q = toks[k].value.lower()
         if q not in allowed:
             raise _NoRoute
-        if toks[k + 2].kind == OP and toks[k + 2].value == "*":
+        nxt = toks[k + 2]
+        if nxt.kind == OP and nxt.value == "*":
+            raise _NoRoute
+        member = _name_tok(nxt)
+        if member is None or member.lower() not in side_fields[alias_idx[q]]:
             raise _NoRoute
         if q != alias0.lower():
             rewrite_positions.append(k)
+    # bare-reference audit: a name-deduplicated join key has ONE column
+    # in the routed view but TWO in the plain scope, so a bare reference
+    # the view resolves is AMBIGUOUS_REFERENCE in plain SQL — refuse
+    # every un-qualified occurrence of a deduped key name outside FROM
+    # (ORDER BY included: plain only disambiguates there when the select
+    # list exports the name, which this audit doesn't try to prove)
+    if n == 2:
+        amb = {c.lower() for c in lcols} if same_name else set()
+    else:
+        cnt = Counter(k.lower() for k in keys)
+        amb = {k_ for k_, c in cnt.items() if c > 1}
+    if amb:
+        for cname, (a, b) in ranges.items():
+            if cname == "FROM":
+                continue
+            for k in range(a, b):
+                t = toks[k]
+                if (
+                    t.kind in (IDENT, QIDENT)
+                    and t.value.lower() in amb
+                    and not (k > 0 and _is_dot(toks[k - 1]))
+                ):
+                    raise _NoRoute
     if not star_ok:
         # bare projection star: the view deduplicates same-name keys but
         # plain SQL keeps every side's copy — refuse; a 2-way join with
@@ -429,6 +464,31 @@ def _route_join(
                 )
             ):
                 raise _NoRoute
+    if "GROUP BY" in ranges and n == 2:
+        # Branch-local aggregation: when the GROUP BY keys cover the
+        # join key (either side's copy — inner output rows satisfy
+        # l.k = r.k, so grouping by EITHER name pins the group to one
+        # branch), every group lives wholly inside a single branch on
+        # both sides and the statement's SELECT/WHERE/GROUP BY/HAVING
+        # runs per branch: join AND aggregation plan zero-Exchange
+        # end-to-end, ORDER BY/LIMIT lifted above the union.  Any
+        # _NoRoute inside the attempt degrades to the splice path
+        # below — the join still routes, only the aggregation shuffles.
+        try:
+            return _join_branch_agg(
+                spark,
+                query,
+                toks,
+                ranges,
+                tables,
+                lcols,
+                rcols,
+                alias_idx,
+                alias0,
+                rewrite_positions,
+            )
+        except _NoRoute:
+            pass
     joined = builder()
     view = f"__spj_sql_join_{next(_view_counter)}"
     joined.createOrReplaceTempView(view)
@@ -467,6 +527,166 @@ def _split_depth0_commas(
     if any(a >= b for a, b in items):
         raise _NoRoute
     return items
+
+
+def _parse_order_limit(toks, ranges):
+    """Conservative ORDER BY/LIMIT parse for shapes whose aggregation
+    runs per branch (output = the select list's names): ORDER BY items
+    must be bare output names or positional ints with optional
+    ASC/DESC/NULLS FIRST|LAST; LIMIT a bare int.  Raises _NoRoute."""
+    order_items: list[tuple[Any, bool, Optional[str]]] = []
+    if "ORDER BY" in ranges:
+        olo, ohi = ranges["ORDER BY"]
+        for a, b in _split_depth0_commas(toks, olo, ohi):
+            item = list(toks[a:b])
+            nulls: Optional[str] = None
+            if (
+                len(item) >= 2
+                and item[-2].is_kw("NULLS")
+                and item[-1].is_kw("FIRST", "LAST")
+            ):
+                nulls = item[-1].upper()
+                item = item[:-2]
+            asc = True
+            if item and item[-1].is_kw("ASC", "DESC"):
+                asc = item[-1].upper() == "ASC"
+                item = item[:-1]
+            if len(item) != 1:
+                raise _NoRoute
+            t = item[0]
+            if t.kind == NUMBER and t.value.isdigit():
+                order_items.append((int(t.value), asc, nulls))
+            elif _name_tok(t) is not None:
+                order_items.append((t.value, asc, nulls))
+            else:
+                raise _NoRoute
+    limit_n: Optional[int] = None
+    if "LIMIT" in ranges:
+        llo, lhi = ranges["LIMIT"]
+        if lhi - llo != 1 or toks[llo].kind != NUMBER or not toks[
+            llo
+        ].value.isdigit():
+            raise _NoRoute
+        limit_n = int(toks[llo].value)
+    return order_items, limit_n
+
+
+def _apply_order_limit(out: DataFrame, order_items, limit_n) -> DataFrame:
+    if order_items:
+        cols = []
+        for ref, asc, nulls in order_items:
+            if isinstance(ref, int):
+                if not (1 <= ref <= len(out.columns)):
+                    raise _NoRoute
+                name = out.columns[ref - 1]
+            else:
+                lower = {c.lower(): c for c in out.columns}
+                name = lower.get(ref.lower())
+                if name is None:
+                    raise _NoRoute
+            c = F.col(name)
+            if asc:
+                c = c.asc_nulls_first() if nulls != "LAST" else c.asc_nulls_last()
+            else:
+                c = (
+                    c.desc_nulls_last()
+                    if nulls != "FIRST"
+                    else c.desc_nulls_first()
+                )
+            cols.append(c)
+        out = out.orderBy(*cols)
+    if limit_n is not None:
+        out = out.limit(limit_n)
+    return out
+
+
+def _clause_text(query, toks, ranges, name, rewrites=(), alias0=None):
+    """Verbatim source slice of a clause body, with the given qualifier
+    token positions rewritten to ``alias0``."""
+    if name not in ranges:
+        return None
+    a, b = ranges[name]
+    start, end = toks[a].start, toks[b - 1].end
+    text = query[start:end]
+    edits = [
+        (toks[k].start, toks[k].end)
+        for k in rewrites
+        if a <= k < b
+    ]
+    for s, e in sorted(edits, reverse=True):
+        text = text[: s - start] + _quote(alias0) + text[e - start :]
+    return text
+
+
+def _join_branch_agg(
+    spark: SparkSession,
+    query: str,
+    toks: list[Token],
+    ranges,
+    tables,
+    lcols: list[str],
+    rcols: list[str],
+    alias_idx,
+    alias0: str,
+    rewrite_positions: list[int],
+) -> DataFrame:
+    """Two-table routed join whose GROUP BY covers the join key: run
+    SELECT/WHERE/GROUP BY/HAVING per SPJ branch via
+    ``bucket_join(branch_fn=...)`` — exact because the joined view's
+    column names are unique by construction (shared non-key names were
+    refused), so a group-key name equal to a join-key name IS that key
+    column, and every key value's rows live in one branch on both
+    sides.  Raises :class:`_NoRoute` when the GROUP BY shape or the
+    ORDER BY/LIMIT tail is outside the per-branch dialect."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join
+
+    left, right = tables
+    gset: set[str] = set()
+    glo, ghi = ranges["GROUP BY"]
+    for a, b in _split_depth0_commas(toks, glo, ghi):
+        item = toks[a:b]
+        if len(item) == 1 and _name_tok(item[0]) is not None:
+            gset.add(item[0].value.lower())
+        elif (
+            len(item) == 3
+            and _name_tok(item[0]) is not None
+            and item[0].value.lower() in alias_idx
+            and _is_dot(item[1])
+            and _name_tok(item[2]) is not None
+        ):
+            gset.add(item[2].value.lower())
+        else:
+            raise _NoRoute
+    for lk, rk in zip(lcols, rcols):
+        if lk.lower() not in gset and rk.lower() not in gset:
+            raise _NoRoute
+    order_items, limit_n = _parse_order_limit(toks, ranges)
+    rw = rewrite_positions
+    sel = _clause_text(query, toks, ranges, "SELECT", rw, alias0)
+    where = _clause_text(query, toks, ranges, "WHERE", rw, alias0)
+    gb = _clause_text(query, toks, ranges, "GROUP BY", rw, alias0)
+    having = _clause_text(query, toks, ranges, "HAVING", rw, alias0)
+    qid = next(_view_counter)
+    branch_counter = itertools.count()
+
+    def fn(df: DataFrame) -> DataFrame:
+        vname = f"__spj_sql_jagg_{qid}_b{next(branch_counter)}"
+        # SinglePartition satisfies the group-by's ClusteredDistribution,
+        # so the per-branch aggregate plans one-phase with no Exchange
+        # (same trade as bucket_agg: parallelism = branch count)
+        df.coalesce(1).createOrReplaceTempView(vname)
+        inner = f"SELECT {sel} FROM {_quote(vname)} AS {_quote(alias0)}"
+        if where:
+            inner += f" WHERE {where}"
+        inner += f" GROUP BY {gb}"
+        if having:
+            inner += f" HAVING {having}"
+        return spark.sql(inner)
+
+    out = bucket_join(
+        spark, left, right, lcols, rcols, how="inner", branch_fn=fn
+    )
+    return _apply_order_limit(out, order_items, limit_n)
 
 
 def _route_agg(
@@ -520,51 +740,12 @@ def _route_agg(
         if toks[k + 2].kind == OP and toks[k + 2].value == "*":
             raise _NoRoute
     # ORDER BY: bare output names / positional ints, optional direction
-    order_items: list[tuple[Any, bool, Optional[str]]] = []
-    if "ORDER BY" in ranges:
-        olo, ohi = ranges["ORDER BY"]
-        for a, b in _split_depth0_commas(toks, olo, ohi):
-            item = list(toks[a:b])
-            nulls: Optional[str] = None
-            if (
-                len(item) >= 2
-                and item[-2].is_kw("NULLS")
-                and item[-1].is_kw("FIRST", "LAST")
-            ):
-                nulls = item[-1].upper()
-                item = item[:-2]
-            asc = True
-            if item and item[-1].is_kw("ASC", "DESC"):
-                asc = item[-1].upper() == "ASC"
-                item = item[:-1]
-            if len(item) != 1:
-                raise _NoRoute
-            t = item[0]
-            if t.kind == NUMBER and t.value.isdigit():
-                order_items.append((int(t.value), asc, nulls))
-            elif _name_tok(t) is not None:
-                order_items.append((t.value, asc, nulls))
-            else:
-                raise _NoRoute
-    limit_n: Optional[int] = None
-    if "LIMIT" in ranges:
-        llo, lhi = ranges["LIMIT"]
-        if lhi - llo != 1 or toks[llo].kind != NUMBER or not toks[
-            llo
-        ].value.isdigit():
-            raise _NoRoute
-        limit_n = int(toks[llo].value)
+    order_items, limit_n = _parse_order_limit(toks, ranges)
 
-    def _slice(name: str) -> Optional[str]:
-        if name not in ranges:
-            return None
-        a, b = ranges[name]
-        return query[toks[a].start : toks[b - 1].end]
-
-    sel = _slice("SELECT")
-    where = _slice("WHERE")
-    gb = _slice("GROUP BY")
-    having = _slice("HAVING")
+    sel = _clause_text(query, toks, ranges, "SELECT")
+    where = _clause_text(query, toks, ranges, "WHERE")
+    gb = _clause_text(query, toks, ranges, "GROUP BY")
+    having = _clause_text(query, toks, ranges, "HAVING")
     qid = next(_view_counter)
     branch_counter = itertools.count()
 
@@ -582,32 +763,7 @@ def _route_agg(
 
     kcol, _ = _partition_backed_key(table, gcols)
     out = bucket_apply(spark, table, kcol, fn)
-    if order_items:
-        cols = []
-        for ref, asc, nulls in order_items:
-            if isinstance(ref, int):
-                if not (1 <= ref <= len(out.columns)):
-                    raise _NoRoute
-                name = out.columns[ref - 1]
-            else:
-                lower = {c.lower(): c for c in out.columns}
-                name = lower.get(ref.lower())
-                if name is None:
-                    raise _NoRoute
-            c = F.col(name)
-            if asc:
-                c = c.asc_nulls_first() if nulls != "LAST" else c.asc_nulls_last()
-            else:
-                c = (
-                    c.desc_nulls_last()
-                    if nulls != "FIRST"
-                    else c.desc_nulls_first()
-                )
-            cols.append(c)
-        out = out.orderBy(*cols)
-    if limit_n is not None:
-        out = out.limit(limit_n)
-    return out
+    return _apply_order_limit(out, order_items, limit_n)
 
 
 def try_spj_sql(catalog, spark: SparkSession, query: str) -> Optional[DataFrame]:

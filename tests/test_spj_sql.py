@@ -273,6 +273,90 @@ def test_registered_gates_actually_route(spark, sf_dir):
     assert a.count() > 0
 
 
+JOIN_AGG_Q = (
+    "SELECT l.l_orderkey, o.o_orderstatus, COUNT(*) AS n, "
+    "SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents "
+    "FROM spjcat.f.orders8 AS o JOIN spjcat.f.li16 AS l "
+    "ON o.o_orderkey = l.l_orderkey "
+    "WHERE l.l_quantity > 10 "
+    "GROUP BY l.l_orderkey, o.o_orderstatus HAVING COUNT(*) >= 2 "
+    "ORDER BY l_orderkey, o_orderstatus LIMIT 200"
+)
+
+
+def test_join_group_by_key_aggregates_per_branch(spark, wh):
+    """GROUP BY covering the join key (either side's copy) runs the
+    whole statement per branch: join AND aggregation plan with ZERO
+    hash Exchange anywhere, byte-identical to the plain plan."""
+    routed = wh.sql(spark, JOIN_AGG_Q)
+    plan = plan_string(routed)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Union" in plan and plan.count("BroadcastHashJoin") >= 2
+    got = _rows(routed)
+    want = _rows(_plain(wh, spark, JOIN_AGG_Q))
+    assert got == want and len(got) > 0
+
+
+def test_join_group_by_other_side_key_and_same_name(spark, wh, sf_dir):
+    """Coverage via the LEFT side's key name; and the same-name-key pair
+    (deduped view column) grouped through the a-alias."""
+    q = (
+        "SELECT o.o_orderkey, COUNT(*) AS n "
+        "FROM spjcat.f.orders8 AS o JOIN spjcat.f.li16 AS l "
+        "ON o.o_orderkey = l.l_orderkey GROUP BY o.o_orderkey"
+    )
+    routed = wh.sql(spark, q)
+    assert "Exchange hashpartitioning" not in plan_string(routed)
+    assert _rows(routed) == _rows(_plain(wh, spark, q))
+    q2 = (
+        "SELECT a.l_orderkey, COUNT(*) AS n, SUM(b.l_discount) AS d "
+        "FROM spjcat.f.li16 AS a JOIN spjcat.f.li16b AS b "
+        "ON a.l_orderkey = b.l_orderkey GROUP BY a.l_orderkey"
+    )
+    routed2 = wh.sql(spark, q2)
+    assert "Exchange hashpartitioning" not in plan_string(routed2)
+    assert _rows(routed2) == _rows(_plain(wh, spark, q2))
+
+
+def test_join_group_by_nonkey_still_routes_join_only(spark, wh):
+    """GROUP BY not covering the join key degrades to the splice path:
+    join shuffle-free, aggregation shuffles above the union (JOIN_Q's
+    plan shape) — never a refusal."""
+    routed = wh.sql(spark, JOIN_Q)
+    plan = plan_string(routed)
+    assert not _key_exchanges(routed, "o_orderkey", "l_orderkey")
+    assert "Exchange hashpartitioning" in plan  # the agg, by design
+
+
+def test_qualified_ref_to_wrong_side_errors_like_plain(spark, wh):
+    """`b.c` where c is the OTHER side's column must surface plain
+    SQL's unresolved-column error, not silently resolve through the
+    rewritten view (the router is absent, never wider)."""
+    q = (
+        "SELECT b.l_extendedprice FROM spjcat.f.li16 AS a "
+        "JOIN spjcat.f.li16b AS b ON a.l_orderkey = b.l_orderkey LIMIT 5"
+    )
+    with pytest.raises(Exception) as e:
+        wh.sql(spark, q)
+    s = str(e.value).upper()
+    assert "L_EXTENDEDPRICE" in s or "UNRESOLVED" in s
+
+
+def test_bare_deduped_key_ref_errors_like_plain(spark, wh):
+    """A bare reference to a same-name join key is AMBIGUOUS_REFERENCE
+    in plain SQL (both sides in scope) even though the deduped view
+    would resolve it — the router must fall back and surface the
+    plain error."""
+    q = (
+        "SELECT l_orderkey, COUNT(*) AS n FROM spjcat.f.li16 AS a "
+        "JOIN spjcat.f.li16b AS b ON a.l_orderkey = b.l_orderkey "
+        "GROUP BY l_orderkey"
+    )
+    with pytest.raises(Exception) as e:
+        wh.sql(spark, q)
+    assert "AMBIGUOUS" in str(e.value).upper()
+
+
 def test_three_way_chain_routes(spark, wh, sf_dir):
     """A 3-table FROM (two JOINs) routes through bucket_join_chain:
     zero join-key Exchange, byte-identical to the plain chained join."""
