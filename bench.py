@@ -168,6 +168,7 @@ HEADLINE = [
     "iceberg_spj_sql_join",
     "iceberg_spj_sql_agg",
     "iceberg_spj_sql_join_agg",
+    "iceberg_spj_sql_distinct",
     "iceberg_bucket_agg_grouped_scan",
     "iceberg_bucket_chain_join_scan",
     "text_quality_classifier",

@@ -5741,6 +5741,37 @@ def iceberg_spj_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "iceberg_spj_sql_distinct",
+    oracle="""
+    SELECT DISTINCT l_orderkey, l_discount
+    FROM lineitem WHERE l_discount > 0.05
+    ORDER BY l_orderkey, l_discount LIMIT 500
+    """,
+)
+def iceberg_spj_sql_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface shuffle-free DISTINCT (r15): ``SELECT DISTINCT``
+    whose column set contains the partition-backed key runs per SPJ
+    branch — every distinct tuple carries its key, so the tuples for a
+    key value live wholly inside that key's branch and per-branch
+    DISTINCT is globally exact, planning with ZERO Exchange (plain
+    Spark shuffles the full projection for the same text).  The dedup
+    analogue of ``iceberg_spj_sql_agg``; COUNT(DISTINCT) inside routed
+    per-branch aggregations is likewise exact and zero-Exchange where
+    plain Spark plans a two-shuffle distinct-aggregate expansion
+    (tests/test_spj_sql.py)."""
+    cat = _spj_fixture(spark, sf_dir)
+    return cat.sql(
+        spark,
+        """
+        SELECT DISTINCT l.l_orderkey, l.l_discount
+        FROM iceberg.fact.lineitem_bkt AS l
+        WHERE l.l_discount > 0.05
+        ORDER BY l_orderkey, l_discount LIMIT 500
+        """,
+    )
+
+
+@register(
     "iceberg_spj_sql_join_agg",
     oracle="""
     SELECT l_orderkey, o_orderstatus, COUNT(*) AS n_items,

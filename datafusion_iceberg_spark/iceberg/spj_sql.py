@@ -32,10 +32,14 @@ Safety model — the router must never be WRONG, only absent:
   (``sql/lexer.py``), never regex over raw text, so literals/comments
   cannot be mistaken for structure;
 * the grammar is a conservative allow-list: any depth-0 set operator,
-  outer/cross/natural/semi/anti join, USING clause, DISTINCT, WITH,
+  outer/cross/natural/semi/anti join, USING clause, WITH,
   LATERAL, TABLESAMPLE, PIVOT, OFFSET, window clause, subquery
-  (a SELECT anywhere past token 0), window function (OVER anywhere), or
-  time-travel/metadata suffix fails recognition and falls back;
+  (a SELECT anywhere past token 0), window function (OVER anywhere),
+  statement-scoped/nondeterministic functions (CURRENT_TIMESTAMP, RAND,
+  UUID, ... — per-branch re-execution would compute them more than
+  once), or time-travel/metadata suffix fails recognition and falls
+  back; ``SELECT DISTINCT`` routes per branch when its column set
+  covers the partition-backed/join key and falls back otherwise;
 * both join tables must carry EXPLICIT aliases (without one, qualified
   references in the plain path resolve against the flat view name, and
   accepting them here would widen the accepted dialect);
@@ -101,6 +105,30 @@ _REFUSE_DEPTH0 = {
 
 _CLAUSES = ("SELECT", "FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT")
 
+# statement-scoped or nondeterministic functions: the routed agg paths
+# re-execute the statement once PER BRANCH, so a value the plain path
+# computes once per statement would diverge across branches — refuse at
+# recognition (any depth; matching a user column of the same name only
+# narrows the router, never widens it)
+_REFUSE_NONDETERMINISTIC = {
+    "CURRENT_TIMESTAMP",
+    "CURRENT_DATE",
+    "CURRENT_TIME",
+    "CURRENT_TIMEZONE",
+    "LOCALTIMESTAMP",
+    "NOW",
+    "RAND",
+    "RANDN",
+    "RANDOM",
+    "UUID",
+    "SHUFFLE",
+    "MONOTONICALLY_INCREASING_ID",
+    "SPARK_PARTITION_ID",
+    "INPUT_FILE_NAME",
+    "INPUT_FILE_BLOCK_START",
+    "INPUT_FILE_BLOCK_LENGTH",
+}
+
 _view_counter = itertools.count()
 
 
@@ -119,11 +147,15 @@ def _clause_ranges(toks: list[Token]) -> dict[str, tuple[int, int]]:
     :class:`_NoRoute` on anything outside the dialect."""
     if not toks or not toks[0].is_kw("SELECT"):
         raise _NoRoute
-    if len(toks) > 1 and toks[1].is_kw("DISTINCT", "ALL"):
+    if len(toks) > 1 and toks[1].is_kw("ALL"):
         raise _NoRoute
-    marks: list[tuple[str, int, int]] = [("SELECT", 0, 1)]
+    # SELECT DISTINCT is recognized (routed by _route_distinct /
+    # _join_branch_distinct when the distinct set covers the key; the
+    # join SPLICE path also handles it verbatim) — body starts after it
+    sel_body = 2 if len(toks) > 1 and toks[1].is_kw("DISTINCT") else 1
+    marks: list[tuple[str, int, int]] = [("SELECT", 0, sel_body)]
     depth = 0
-    for i in range(1, len(toks)):
+    for i in range(sel_body, len(toks)):
         t = toks[i]
         if t.kind == OP:
             if t.value == "(":
@@ -140,6 +172,8 @@ def _clause_ranges(toks: list[Token]) -> dict[str, tuple[int, int]]:
         u = t.upper()
         if u in ("SELECT", "OVER"):
             # subquery / window function anywhere (any depth)
+            raise _NoRoute
+        if u in _REFUSE_NONDETERMINISTIC:
             raise _NoRoute
         if depth:
             continue
@@ -464,7 +498,8 @@ def _route_join(
                 )
             ):
                 raise _NoRoute
-    if "GROUP BY" in ranges and n == 2:
+    distinct = _is_distinct(toks)
+    if "GROUP BY" in ranges and n == 2 and not distinct:
         # Branch-local aggregation: when the GROUP BY keys cover the
         # join key (either side's copy — inner output rows satisfy
         # l.k = r.k, so grouping by EITHER name pins the group to one
@@ -474,8 +509,35 @@ def _route_join(
         # end-to-end, ORDER BY/LIMIT lifted above the union.  Any
         # _NoRoute inside the attempt degrades to the splice path
         # below — the join still routes, only the aggregation shuffles.
+        # (DISTINCT over a grouped output never runs per branch: the
+        # rebuilt inner statement would drop the DISTINCT — the splice
+        # path executes it verbatim instead.)
         try:
             return _join_branch_agg(
+                spark,
+                query,
+                toks,
+                ranges,
+                tables,
+                lcols,
+                rcols,
+                alias_idx,
+                alias0,
+                rewrite_positions,
+            )
+        except _NoRoute:
+            pass
+    if (
+        distinct
+        and n == 2
+        and "GROUP BY" not in ranges
+        and "HAVING" not in ranges
+    ):
+        # Branch-local DISTINCT: exact when the distinct column set
+        # contains a join-key column (tuples pin to branches); refusal
+        # degrades to the splice path — join routed, dedup shuffles.
+        try:
+            return _join_branch_distinct(
                 spark,
                 query,
                 toks,
@@ -689,6 +751,140 @@ def _join_branch_agg(
     return _apply_order_limit(out, order_items, limit_n)
 
 
+def _join_branch_distinct(
+    spark: SparkSession,
+    query: str,
+    toks: list[Token],
+    ranges,
+    tables,
+    lcols: list[str],
+    rcols: list[str],
+    alias_idx,
+    alias0: str,
+    rewrite_positions: list[int],
+) -> DataFrame:
+    """Two-table routed join under ``SELECT DISTINCT`` whose column set
+    contains a join-key column (either side's copy — inner rows satisfy
+    l.k = r.k, so each distinct tuple pins to one branch on both
+    sides): the whole statement runs per branch via
+    ``bucket_join(branch_fn=...)`` — join AND dedup plan zero-Exchange
+    end-to-end, ORDER BY/LIMIT lifted above the union."""
+    from datafusion_iceberg_spark.iceberg.spj import bucket_join
+
+    left, right = tables
+    names = _select_item_names(toks, ranges, set(alias_idx))
+    keyset = {c.lower() for c in lcols} | {c.lower() for c in rcols}
+    if not any(nm.lower() in keyset for nm in names):
+        raise _NoRoute
+    order_items, limit_n = _parse_order_limit(toks, ranges)
+    rw = rewrite_positions
+    sel = _clause_text(query, toks, ranges, "SELECT", rw, alias0)
+    where = _clause_text(query, toks, ranges, "WHERE", rw, alias0)
+    qid = next(_view_counter)
+    branch_counter = itertools.count()
+
+    def fn(df: DataFrame) -> DataFrame:
+        vname = f"__spj_sql_jd_{qid}_b{next(branch_counter)}"
+        # SinglePartition satisfies the dedup's ClusteredDistribution,
+        # so the per-branch DISTINCT plans with no Exchange
+        df.coalesce(1).createOrReplaceTempView(vname)
+        inner = f"SELECT DISTINCT {sel} FROM {_quote(vname)} AS {_quote(alias0)}"
+        if where:
+            inner += f" WHERE {where}"
+        return spark.sql(inner)
+
+    out = bucket_join(
+        spark, left, right, lcols, rcols, how="inner", branch_fn=fn
+    )
+    return _apply_order_limit(out, order_items, limit_n)
+
+
+def _is_distinct(toks: list[Token]) -> bool:
+    return len(toks) > 1 and toks[1].is_kw("DISTINCT")
+
+
+def _select_item_names(
+    toks: list[Token], ranges, allowed_quals: set[str]
+) -> list[str]:
+    """Member names of a SELECT list whose every item is a plain column
+    reference — bare ``name`` or ``qual.name`` with ``qual`` in
+    ``allowed_quals`` (lowercased).  Aliases, expressions, and stars
+    raise :class:`_NoRoute`."""
+    names: list[str] = []
+    slo, shi = ranges["SELECT"]
+    for a, b in _split_depth0_commas(toks, slo, shi):
+        item = toks[a:b]
+        if len(item) == 1 and _name_tok(item[0]) is not None:
+            names.append(item[0].value)
+        elif (
+            len(item) == 3
+            and _name_tok(item[0]) is not None
+            and item[0].value.lower() in allowed_quals
+            and _is_dot(item[1])
+            and _name_tok(item[2]) is not None
+        ):
+            names.append(item[2].value)
+        else:
+            raise _NoRoute
+    return names
+
+
+def _route_distinct(
+    catalog, spark: SparkSession, query: str, toks: list[Token], ranges
+) -> DataFrame:
+    """Single-table ``SELECT DISTINCT`` whose column set contains a
+    partition-backed key: every distinct tuple carries its key, so the
+    tuples for a key value live wholly inside that key's SPJ branch and
+    per-branch DISTINCT is globally exact — the statement runs per
+    branch (SinglePartition, so the dedup plans with zero Exchange),
+    ORDER BY/LIMIT lifted above the union.  Plain Spark plans a full
+    hashpartitioning shuffle for the same text."""
+    from datafusion_iceberg_spark.iceberg.spj import (
+        _partition_backed_key,
+        bucket_apply,
+    )
+    from datafusion_iceberg_spark.iceberg.table import IcebergTable
+
+    if "GROUP BY" in ranges or "HAVING" in ranges:
+        raise _NoRoute
+    lo, hi = ranges["FROM"]
+    key, alias, i = _parse_table(toks, lo, hi, catalog)
+    if i != hi:
+        raise _NoRoute
+    table = catalog._rel(key)
+    if not isinstance(table, IcebergTable):
+        raise _NoRoute
+    quals = {alias.lower()} if alias is not None else set()
+    dcols = _resolve_cols(table, _select_item_names(toks, ranges, quals))
+    try:
+        _partition_backed_key(table, dcols)
+    except Exception:
+        raise _NoRoute from None
+    for k in _qualifier_positions(toks, ranges, skip=(lo - 1, hi)):
+        if toks[k].value.lower() not in quals:
+            raise _NoRoute
+        if toks[k + 2].kind == OP and toks[k + 2].value == "*":
+            raise _NoRoute
+    order_items, limit_n = _parse_order_limit(toks, ranges)
+    sel = _clause_text(query, toks, ranges, "SELECT")
+    where = _clause_text(query, toks, ranges, "WHERE")
+    qid = next(_view_counter)
+    branch_counter = itertools.count()
+
+    def fn(df: DataFrame) -> DataFrame:
+        vname = f"__spa_sql_d_{qid}_b{next(branch_counter)}"
+        df.createOrReplaceTempView(vname)
+        rel = _quote(vname) + (f" AS {_quote(alias)}" if alias else "")
+        inner = f"SELECT DISTINCT {sel} FROM {rel}"
+        if where:
+            inner += f" WHERE {where}"
+        return spark.sql(inner)
+
+    kcol, _ = _partition_backed_key(table, dcols)
+    out = bucket_apply(spark, table, kcol, fn)
+    return _apply_order_limit(out, order_items, limit_n)
+
+
 def _route_agg(
     catalog, spark: SparkSession, query: str, toks: list[Token], ranges
 ) -> Optional[DataFrame]:
@@ -781,6 +977,8 @@ def try_spj_sql(catalog, spark: SparkSession, query: str) -> Optional[DataFrame]
         )
         if has_join:
             return _route_join(catalog, spark, query, toks, ranges)
+        if _is_distinct(toks):
+            return _route_distinct(catalog, spark, query, toks, ranges)
         if "GROUP BY" in ranges:
             return _route_agg(catalog, spark, query, toks, ranges)
         return None

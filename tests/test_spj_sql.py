@@ -389,3 +389,94 @@ def test_three_way_chain_routes(spark, wh, sf_dir):
         "ON l.l_orderkey = c.c_orderkey", "ON o.o_orderkey = c.c_orderkey"
     )
     assert _rows(wh.sql(spark, q_star)) == want
+
+
+def test_select_distinct_single_table_routes(spark, wh):
+    """SELECT DISTINCT whose column set contains the partition-backed
+    key runs per branch: zero Exchange (plain shuffles for the dedup),
+    byte-identical; WHERE + ORDER BY/LIMIT handled."""
+    q = (
+        "SELECT DISTINCT l.l_orderkey, l.l_quantity FROM spjcat.f.li16 AS l "
+        "WHERE l.l_quantity > 40 ORDER BY l_orderkey, l_quantity LIMIT 100"
+    )
+    routed = wh.sql(spark, q)
+    plan = plan_string(routed)
+    assert "Union" in plan
+    assert "Exchange hashpartitioning" not in plan
+    got = _rows(routed)
+    want = _rows(_plain(wh, spark, q))
+    assert got == want and len(got) > 0
+
+
+def test_select_distinct_not_covering_key_falls_back(spark, wh):
+    """DISTINCT set without the key cannot pin tuples to branches —
+    silent fallback to the plain plan."""
+    q = "SELECT DISTINCT l.l_quantity FROM spjcat.f.li16 AS l"
+    routed = wh.sql(spark, q)
+    assert "Union" not in plan_string(routed)
+    assert _rows(routed) == _rows(_plain(wh, spark, q))
+
+
+def test_join_select_distinct_routes_and_degrades(spark, wh):
+    """Join + SELECT DISTINCT covering a join-key copy: zero Exchange
+    end-to-end.  Not covering: join still routes (splice), dedup
+    shuffles above the union."""
+    q = (
+        "SELECT DISTINCT l.l_orderkey, o.o_orderstatus "
+        "FROM spjcat.f.orders8 AS o JOIN spjcat.f.li16 AS l "
+        "ON o.o_orderkey = l.l_orderkey"
+    )
+    routed = wh.sql(spark, q)
+    plan = plan_string(routed)
+    assert "Union" in plan and "Exchange hashpartitioning" not in plan
+    assert _rows(routed) == _rows(_plain(wh, spark, q))
+    q2 = (
+        "SELECT DISTINCT o.o_orderstatus "
+        "FROM spjcat.f.orders8 AS o JOIN spjcat.f.li16 AS l "
+        "ON o.o_orderkey = l.l_orderkey"
+    )
+    routed2 = wh.sql(spark, q2)
+    plan2 = plan_string(routed2)
+    assert "Union" in plan2  # join routed via splice
+    assert not _key_exchanges(routed2, "o_orderkey", "l_orderkey")
+    assert "Exchange hashpartitioning" in plan2  # the dedup, by design
+    assert _rows(routed2) == _rows(_plain(wh, spark, q2))
+
+
+def test_count_distinct_aggregates_zero_exchange(spark, wh):
+    """Distinct AGGREGATES inside routed per-branch statements are
+    exact (groups are branch-local) and plan zero-Exchange — plain
+    Spark expands COUNT(DISTINCT) into a two-shuffle plan."""
+    q = (
+        "SELECT l.l_orderkey, COUNT(DISTINCT l.l_quantity) AS nq "
+        "FROM spjcat.f.li16 AS l GROUP BY l.l_orderkey"
+    )
+    routed = wh.sql(spark, q)
+    plan = plan_string(routed)
+    assert "Union" in plan and "Exchange hashpartitioning" not in plan
+    assert _rows(routed) == _rows(_plain(wh, spark, q))
+    q2 = (
+        "SELECT l.l_orderkey, COUNT(DISTINCT l.l_quantity) AS nq "
+        "FROM spjcat.f.orders8 AS o JOIN spjcat.f.li16 AS l "
+        "ON o.o_orderkey = l.l_orderkey GROUP BY l.l_orderkey"
+    )
+    routed2 = wh.sql(spark, q2)
+    plan2 = plan_string(routed2)
+    assert "Union" in plan2 and "Exchange hashpartitioning" not in plan2
+    assert _rows(routed2) == _rows(_plain(wh, spark, q2))
+
+
+def test_nondeterministic_functions_never_route(spark, wh):
+    """Statement-scoped/nondeterministic functions (CURRENT_DATE, RAND)
+    would be computed once per BRANCH if routed — the fence refuses at
+    recognition and the plain path executes."""
+    q = (
+        "SELECT l.l_orderkey, COUNT(*) AS n, CURRENT_DATE AS d "
+        "FROM spjcat.f.li16 AS l GROUP BY l.l_orderkey"
+    )
+    assert "Union" not in plan_string(wh.sql(spark, q))
+    q2 = (
+        "SELECT DISTINCT l.l_orderkey, RAND() AS r "
+        "FROM spjcat.f.li16 AS l"
+    )
+    assert "Union" not in plan_string(wh.sql(spark, q2))
