@@ -1049,9 +1049,18 @@ def bucket_join_chain(
     snapshot_ids: Optional[Sequence[Optional[int]]] = None,
     max_broadcast_bytes: int = DEFAULT_MAX_BROADCAST_BYTES,
     max_branches: int = DEFAULT_MAX_BRANCHES,
+    branch_fn=None,
 ) -> DataFrame:
     """Shuffle-free INNER equi-join of N co-partitioned Iceberg tables
     over ONE shared branch decomposition (VERDICT r14 #5).
+
+    ``branch_fn``: key-local operator applied to each branch's joined
+    frame before the union — same contract as :func:`bucket_join`'s
+    (inner chain joins only, which is all this function builds): a
+    ``groupBy``/dedup whose keys include a chain-key position runs
+    completely inside the branch, so join AND aggregation plan with
+    zero Exchange end-to-end.  The empty fallback threads through it
+    for schema stability.
 
     A star/chain warehouse query joins three-plus co-partitioned tables
     (fact ⋈ fact ⋈ dim); chaining pairwise ``bucket_join`` calls would
@@ -1181,7 +1190,7 @@ def bucket_join_chain(
         df = tables[0].to_df(spark).limit(0)
         for i in range(1, n):
             df = _link(df, tables[i].to_df(spark).limit(0), i)
-        return df
+        return branch_fn(df) if branch_fn is not None else df
 
     subs: list[DataFrame] = []
     for branch in branches:
@@ -1197,7 +1206,7 @@ def bucket_join_chain(
             rbytes = sum(f.file_size_in_bytes for f in fls[i])
             side = F.broadcast(dfr) if rbytes <= max_broadcast_bytes else dfr
             df = _link(df, side, i)
-        subs.append(df)
+        subs.append(branch_fn(df) if branch_fn is not None else df)
     if not subs:
         return _empty()
     out = subs[0]

@@ -398,6 +398,12 @@ def _route_join(
         builder = lambda: bucket_join(  # noqa: E731
             spark, left, right, lcols, rcols, how="inner"
         )
+        key_alternatives = [
+            {lc.lower(), rc.lower()} for lc, rc in zip(lcols, rcols)
+        ]
+        make_branch_join = lambda fn: bucket_join(  # noqa: E731
+            spark, left, right, lcols, rcols, how="inner", branch_fn=fn
+        )
     else:
         # N-way chain: each ON is ONE single-column equality pairing the
         # NEW side against one PREVIOUS side's established key column
@@ -428,6 +434,10 @@ def _route_join(
         star_ok = False
         builder = lambda: bucket_join_chain(  # noqa: E731
             spark, tables, keys
+        )
+        key_alternatives = [{k.lower() for k in keys}]
+        make_branch_join = lambda fn: bucket_join_chain(  # noqa: E731
+            spark, tables, keys, branch_fn=fn
         )
 
     # qualifier audit outside the FROM clause: every `x.y` must qualify
@@ -499,42 +509,37 @@ def _route_join(
             ):
                 raise _NoRoute
     distinct = _is_distinct(toks)
-    if "GROUP BY" in ranges and n == 2 and not distinct:
-        # Branch-local aggregation: when the GROUP BY keys cover the
-        # join key (either side's copy — inner output rows satisfy
-        # l.k = r.k, so grouping by EITHER name pins the group to one
-        # branch), every group lives wholly inside a single branch on
-        # both sides and the statement's SELECT/WHERE/GROUP BY/HAVING
-        # runs per branch: join AND aggregation plan zero-Exchange
-        # end-to-end, ORDER BY/LIMIT lifted above the union.  Any
-        # _NoRoute inside the attempt degrades to the splice path
-        # below — the join still routes, only the aggregation shuffles.
-        # (DISTINCT over a grouped output never runs per branch: the
-        # rebuilt inner statement would drop the DISTINCT — the splice
-        # path executes it verbatim instead.)
+    if "GROUP BY" in ranges and not distinct:
+        # Branch-local aggregation: when the GROUP BY keys cover every
+        # join-key position (any side's copy — inner output rows
+        # satisfy the key equalities, so grouping by ANY copy pins the
+        # group to one branch), every group lives wholly inside a
+        # single branch on all sides and the statement's
+        # SELECT/WHERE/GROUP BY/HAVING runs per branch: join AND
+        # aggregation plan zero-Exchange end-to-end, ORDER BY/LIMIT
+        # lifted above the union.  Any _NoRoute inside the attempt
+        # degrades to the splice path below — the join still routes,
+        # only the aggregation shuffles.  (DISTINCT over a grouped
+        # output never runs per branch: the rebuilt inner statement
+        # would drop the DISTINCT — the splice path executes it
+        # verbatim instead.)
         try:
             return _join_branch_agg(
                 spark,
                 query,
                 toks,
                 ranges,
-                tables,
-                lcols,
-                rcols,
+                key_alternatives,
                 alias_idx,
                 alias0,
                 rewrite_positions,
+                make_branch_join,
             )
         except _NoRoute:
             pass
-    if (
-        distinct
-        and n == 2
-        and "GROUP BY" not in ranges
-        and "HAVING" not in ranges
-    ):
+    if distinct and "GROUP BY" not in ranges and "HAVING" not in ranges:
         # Branch-local DISTINCT: exact when the distinct column set
-        # contains a join-key column (tuples pin to branches); refusal
+        # covers the join key (tuples pin to branches); refusal
         # degrades to the splice path — join routed, dedup shuffles.
         try:
             return _join_branch_distinct(
@@ -542,12 +547,11 @@ def _route_join(
                 query,
                 toks,
                 ranges,
-                tables,
-                lcols,
-                rcols,
+                key_alternatives,
                 alias_idx,
                 alias0,
                 rewrite_positions,
+                make_branch_join,
             )
         except _NoRoute:
             pass
@@ -685,24 +689,23 @@ def _join_branch_agg(
     query: str,
     toks: list[Token],
     ranges,
-    tables,
-    lcols: list[str],
-    rcols: list[str],
+    key_alternatives: Sequence[set[str]],
     alias_idx,
     alias0: str,
     rewrite_positions: list[int],
+    make_join,
 ) -> DataFrame:
-    """Two-table routed join whose GROUP BY covers the join key: run
-    SELECT/WHERE/GROUP BY/HAVING per SPJ branch via
-    ``bucket_join(branch_fn=...)`` — exact because the joined view's
-    column names are unique by construction (shared non-key names were
-    refused), so a group-key name equal to a join-key name IS that key
-    column, and every key value's rows live in one branch on both
-    sides.  Raises :class:`_NoRoute` when the GROUP BY shape or the
-    ORDER BY/LIMIT tail is outside the per-branch dialect."""
-    from datafusion_iceberg_spark.iceberg.spj import bucket_join
-
-    left, right = tables
+    """Routed join (two-table or chain) whose GROUP BY covers every
+    join-key position (any side's copy per position — inner output rows
+    satisfy the key equalities, so grouping by ANY copy pins the group
+    to one branch): run SELECT/WHERE/GROUP BY/HAVING per SPJ branch via
+    the ``make_join(branch_fn)`` builder — exact because the joined
+    view's column names are unique by construction (shared non-key
+    names were refused), so a group-key name equal to a join-key name
+    IS that key column.  ``key_alternatives[p]`` is the lowercased name
+    set accepted for key position p.  Raises :class:`_NoRoute` when the
+    GROUP BY shape or the ORDER BY/LIMIT tail is outside the per-branch
+    dialect."""
     gset: set[str] = set()
     glo, ghi = ranges["GROUP BY"]
     for a, b in _split_depth0_commas(toks, glo, ghi):
@@ -719,8 +722,8 @@ def _join_branch_agg(
             gset.add(item[2].value.lower())
         else:
             raise _NoRoute
-    for lk, rk in zip(lcols, rcols):
-        if lk.lower() not in gset and rk.lower() not in gset:
+    for alts in key_alternatives:
+        if not (alts & gset):
             raise _NoRoute
     order_items, limit_n = _parse_order_limit(toks, ranges)
     rw = rewrite_positions
@@ -745,10 +748,7 @@ def _join_branch_agg(
             inner += f" HAVING {having}"
         return spark.sql(inner)
 
-    out = bucket_join(
-        spark, left, right, lcols, rcols, how="inner", branch_fn=fn
-    )
-    return _apply_order_limit(out, order_items, limit_n)
+    return _apply_order_limit(make_join(fn), order_items, limit_n)
 
 
 def _join_branch_distinct(
@@ -756,26 +756,25 @@ def _join_branch_distinct(
     query: str,
     toks: list[Token],
     ranges,
-    tables,
-    lcols: list[str],
-    rcols: list[str],
+    key_alternatives: Sequence[set[str]],
     alias_idx,
     alias0: str,
     rewrite_positions: list[int],
+    make_join,
 ) -> DataFrame:
-    """Two-table routed join under ``SELECT DISTINCT`` whose column set
-    contains a join-key column (either side's copy — inner rows satisfy
-    l.k = r.k, so each distinct tuple pins to one branch on both
-    sides): the whole statement runs per branch via
-    ``bucket_join(branch_fn=...)`` — join AND dedup plan zero-Exchange
+    """Routed join (two-table or chain) under ``SELECT DISTINCT`` whose
+    column set covers every join-key position (any side's copy — inner
+    rows satisfy the key equalities, so each distinct tuple pins to one
+    branch on all sides): the whole statement runs per branch via the
+    ``make_join(branch_fn)`` builder — join AND dedup plan zero-Exchange
     end-to-end, ORDER BY/LIMIT lifted above the union."""
-    from datafusion_iceberg_spark.iceberg.spj import bucket_join
-
-    left, right = tables
-    names = _select_item_names(toks, ranges, set(alias_idx))
-    keyset = {c.lower() for c in lcols} | {c.lower() for c in rcols}
-    if not any(nm.lower() in keyset for nm in names):
-        raise _NoRoute
+    names = {
+        nm.lower()
+        for nm in _select_item_names(toks, ranges, set(alias_idx))
+    }
+    for alts in key_alternatives:
+        if not (alts & names):
+            raise _NoRoute
     order_items, limit_n = _parse_order_limit(toks, ranges)
     rw = rewrite_positions
     sel = _clause_text(query, toks, ranges, "SELECT", rw, alias0)
@@ -793,10 +792,7 @@ def _join_branch_distinct(
             inner += f" WHERE {where}"
         return spark.sql(inner)
 
-    out = bucket_join(
-        spark, left, right, lcols, rcols, how="inner", branch_fn=fn
-    )
-    return _apply_order_limit(out, order_items, limit_n)
+    return _apply_order_limit(make_join(fn), order_items, limit_n)
 
 
 def _is_distinct(toks: list[Token]) -> bool:

@@ -480,3 +480,58 @@ def test_nondeterministic_functions_never_route(spark, wh):
         "FROM spjcat.f.li16 AS l"
     )
     assert "Union" not in plan_string(wh.sql(spark, q2))
+
+
+def test_chain_group_by_key_aggregates_per_branch(spark, wh, sf_dir):
+    """3-table chain whose GROUP BY covers the chain key (any side's
+    copy): the whole statement runs per branch over ONE shared branch
+    decomposition — join AND aggregation zero-Exchange end-to-end."""
+    third = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("c_orderkey"),
+        F.col("o_orderpriority").alias("c_pri"),
+    )
+    if "f.clerk4" not in wh._relation_keys():
+        wh.create_table(
+            "f.clerk4", third.schema, partition_by=["bucket(4, c_orderkey)"]
+        )
+        wh.append("f.clerk4", spark, third)
+    q = (
+        "SELECT c.c_orderkey, COUNT(*) AS n, "
+        "SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents "
+        "FROM spjcat.f.orders8 AS o "
+        "JOIN spjcat.f.li16 AS l ON o.o_orderkey = l.l_orderkey "
+        "JOIN spjcat.f.clerk4 AS c ON l.l_orderkey = c.c_orderkey "
+        "GROUP BY c.c_orderkey ORDER BY c_orderkey LIMIT 300"
+    )
+    routed = wh.sql(spark, q)
+    plan = plan_string(routed)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Union" in plan and plan.count("BroadcastHashJoin") >= 4
+    got = _rows(routed)
+    want = _rows(_plain(wh, spark, q))
+    assert got == want and len(got) > 0
+
+
+def test_chain_select_distinct_per_branch(spark, wh, sf_dir):
+    """3-table chain under SELECT DISTINCT covering the chain key:
+    zero-Exchange dedup over the shared decomposition."""
+    third = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("c_orderkey"),
+        F.col("o_orderpriority").alias("c_pri"),
+    )
+    if "f.clerk4" not in wh._relation_keys():
+        wh.create_table(
+            "f.clerk4", third.schema, partition_by=["bucket(4, c_orderkey)"]
+        )
+        wh.append("f.clerk4", spark, third)
+    q = (
+        "SELECT DISTINCT o.o_orderkey, c.c_pri "
+        "FROM spjcat.f.orders8 AS o "
+        "JOIN spjcat.f.li16 AS l ON o.o_orderkey = l.l_orderkey "
+        "JOIN spjcat.f.clerk4 AS c ON o.o_orderkey = c.c_orderkey"
+    )
+    routed = wh.sql(spark, q)
+    plan = plan_string(routed)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Union" in plan
+    assert _rows(routed) == _rows(_plain(wh, spark, q))
