@@ -1663,3 +1663,183 @@ def dedup_bucketed_store_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("batch_id").alias("doc_id"), "dup_of", "n_matches")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring deduplication (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_substring",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words >= 8
+                  THEN list_transform(range(1, n_words - 6),
+                                      i -> array_to_string(w[i:i+7], ' '))
+                  ELSE [] END AS grams
+      FROM w
+    ),
+    occ AS (
+      SELECT doc_id, n_words,
+             generate_subscripts(grams, 1) AS p,
+             unnest(grams) AS gram
+      FROM g
+    ),
+    occ2 AS (
+      SELECT doc_id, n_words, p,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h,
+             doc_id * 1048576 + p AS packed
+      FROM occ
+    ),
+    spread AS (
+      SELECT h, COUNT(*) AS cnt, MIN(packed) AS keep FROM occ2 GROUP BY h
+    ),
+    rem AS (
+      SELECT o.doc_id, o.n_words, o.p AS s, o.p + 7 AS e
+      FROM occ2 o JOIN spread sp ON o.h = sp.h
+      WHERE sp.cnt > 1 AND o.packed != sp.keep
+    ),
+    flagged AS (
+      SELECT doc_id, n_words, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_grp
+      FROM rem
+    ),
+    grp AS (
+      SELECT doc_id, n_words, s, e,
+             SUM(new_grp) OVER (PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp_id
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, n_words, grp_id, MIN(s) AS s, MAX(e) AS e
+      FROM grp GROUP BY doc_id, n_words, grp_id
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_words,
+           ROUND(CAST(n_words - SUM(e - s + 1) AS DOUBLE) / n_words, 6)
+             AS keep_frac
+    FROM spans GROUP BY doc_id, n_words ORDER BY doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the ExactSubstr pass
+    production pipelines run AFTER near-dup document removal): find
+    every word position whose 8-word window also occurs elsewhere in
+    the corpus, keep the globally-first occurrence (min (doc_id, pos)
+    — deterministic survivor, like ``dedup_exact``), merge the
+    remaining duplicated windows into maximal per-document spans, and
+    report per document how many words a span-cut would remove.
+
+    Spark-first shape, linear where suffix arrays don't distribute:
+
+    - shingling is IN-MAPPER (``transform(sequence(...))`` over the
+      split array — no window shuffle; ``text_dup_ngram_mass`` pays a
+      per-doc window for the same step),
+    - the only wide stages carry ``(h, packed)`` — a 60-bit md5-derived
+      window hash and a ``doc_id*2^20 + pos`` packed locator, 16 bytes
+      per occurrence; text never shuffles,
+    - global spread = one partial-combined groupBy on ``h`` (count +
+      min packed — the canonical-occurrence rule is an aggregate, not
+      a sort), one narrow join back, and the interval merge runs per
+      doc over DUPLICATED occurrences only.
+
+    The DuckDB oracle replays the identical hash algorithm (md5-hex
+    substring), so the result — including any 60-bit collision — is
+    hash-verified, not approximated.  ``packed`` requires pos < 2^20
+    (a 1M-word document; the corpus max is ~10^2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(docs).orderBy("doc_id")
+
+
+def exact_substring_spans(docs: DataFrame, width: int = 8) -> DataFrame:
+    """Core of :func:`dedup_exact_substring`, parameterized on the
+    input frame (``doc_id``, ``text``) and window width.  Returns one
+    row per document holding at least one non-canonical duplicated
+    ``width``-word window: ``(doc_id, n_words, n_dup_spans, dup_words,
+    keep_frac)``, overlapping windows merged into maximal spans."""
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    )
+    grams = words.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(w) >= {width} THEN "
+                f"transform(sequence(1, size(w) - {width - 1}), "
+                f"i -> concat_ws(' ', slice(w, i, {width}))) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("p0", "gram"),
+    )
+    occ = grams.select(
+        "doc_id",
+        "n_words",
+        (F.col("p0") + 1).alias("p"),
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).withColumn(
+        "packed", F.col("doc_id") * F.lit(1048576) + F.col("p")
+    )
+    spread = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("packed").alias("keep")
+    )
+    rem = (
+        occ.join(spread, "h")
+        .filter((F.col("cnt") > 1) & (F.col("packed") != F.col("keep")))
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("p").alias("s"),
+            (F.col("p") + (width - 1)).alias("e"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy("s")
+    prev_e = F.max("e").over(
+        win.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = rem.withColumn(
+        "new_grp",
+        F.when(prev_e.isNull() | (F.col("s") > prev_e), 1).otherwise(0),
+    )
+    grp = flagged.withColumn(
+        "grp_id",
+        F.sum("new_grp").over(
+            win.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = grp.groupBy("doc_id", "n_words", "grp_id").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    dup_words = F.sum(F.col("e") - F.col("s") + 1)
+    return (
+        spans.groupBy("doc_id", "n_words")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            dup_words.cast("long").alias("dup_words"),
+            F.round(
+                (F.col("n_words") - dup_words).cast("double")
+                / F.col("n_words"),
+                6,
+            ).alias("keep_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -540,3 +540,31 @@ def test_kmeans_kernel_custom_seeds(spark, sf_dir):
 
     with pytest.raises(ValueError, match="seed_ids"):
         kmeans_assignments(spark, sf_dir, k=3, iters=1, seed_ids=[1, 2])
+
+
+def test_exact_substring_spans_planted(spark):
+    """Planted corpus: a 10-word run shared by docs 1 and 2 (two
+    overlapping 8-word windows -> ONE merged 10-word span in the
+    non-canonical doc), plus a short doc below the window width."""
+    from datafusion_iceberg_spark.extensions.dedup import (
+        exact_substring_spans,
+    )
+
+    run = " ".join(f"w{i}" for i in range(10))  # 10 shared words
+    rows = [
+        (1, "alpha " + run + " beta gamma"),      # canonical (min doc_id)
+        (2, "x y " + run + " z"),                 # duplicate occurrence
+        (3, "totally unrelated words here only"),  # < 8 words
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in exact_substring_spans(docs).collect()
+    }
+    # doc 1 holds the canonical (globally-first) occurrence: no spans
+    assert 1 not in got and 3 not in got
+    # doc 2: the run occupies word positions 3..12, so the duplicated
+    # 8-windows start at 3,4,5 and merge to the single span [3, 12]
+    assert got[2]["n_dup_spans"] == 1
+    assert got[2]["dup_words"] == 10
+    assert got[2]["n_words"] == 13
