@@ -1797,7 +1797,16 @@ def exact_substring_spans(docs: DataFrame, width: int = 8) -> DataFrame:
         .cast("long")
         .alias("h"),
     ).withColumn(
-        "packed", F.col("doc_id") * F.lit(1048576) + F.col("p")
+        # loud refusal past the packing width: a position >= 2^20 would
+        # overflow into the doc_id field and silently elect a canonical
+        # survivor from the wrong document
+        "packed",
+        F.expr(
+            "CASE WHEN p < 1048576 THEN doc_id * 1048576 + p "
+            "ELSE raise_error('exact_substring_spans: word position >= "
+            "2^20 overflows the packed (doc_id, pos) locator — split "
+            "documents above 1M words first') END"
+        ),
     )
     spread = occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"), F.min("packed").alias("keep")

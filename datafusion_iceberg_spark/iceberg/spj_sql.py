@@ -572,7 +572,11 @@ def _route_join(
     out_text = query
     for a, b, repl in sorted(edits, reverse=True):
         out_text = out_text[:a] + repl + out_text[b:]
-    return spark.sql(out_text)
+    res = spark.sql(out_text)
+    # eager analysis inlined the view; drop it so routed statements
+    # don't leak one catalog entry each
+    spark.catalog.dropTempView(view)
+    return res
 
 
 def _split_depth0_commas(
@@ -635,6 +639,50 @@ def _parse_order_limit(toks, ranges):
             raise _NoRoute
         limit_n = int(toks[llo].value)
     return order_items, limit_n
+
+
+def _output_names(toks, ranges) -> tuple[set[str], int]:
+    """Bare-identifier-addressable output names of the SELECT list
+    (``AS`` aliases and plain column references; expression items
+    without an alias contribute no name) plus the item count — the
+    PREFLIGHT resolution scope for ORDER BY, checked before any branch
+    plan is built so a name miss degrades cheaply instead of throwing
+    away a fully-constructed join (auto-generated expression names are
+    not bare identifiers, so this never widens what
+    :func:`_apply_order_limit` would accept)."""
+    names: set[str] = set()
+    count = 0
+    slo, shi = ranges["SELECT"]
+    for a, b in _split_depth0_commas(toks, slo, shi):
+        count += 1
+        item = toks[a:b]
+        if (
+            len(item) >= 2
+            and item[-2].is_kw("AS")
+            and _name_tok(item[-1]) is not None
+        ):
+            names.add(item[-1].value.lower())
+        elif len(item) == 1 and _name_tok(item[0]) is not None:
+            names.add(item[0].value.lower())
+        elif (
+            len(item) == 3
+            and _name_tok(item[0]) is not None
+            and _is_dot(item[1])
+            and _name_tok(item[2]) is not None
+        ):
+            names.add(item[2].value.lower())
+    return names, count
+
+
+def _preflight_order(order_items, names: set[str], count: int) -> None:
+    """Raise :class:`_NoRoute` for any ORDER BY item that could not
+    resolve against the parsed output names — BEFORE the branch build."""
+    for ref, _asc, _nulls in order_items:
+        if isinstance(ref, int):
+            if not (1 <= ref <= count):
+                raise _NoRoute
+        elif ref.lower() not in names:
+            raise _NoRoute
 
 
 def _apply_order_limit(out: DataFrame, order_items, limit_n) -> DataFrame:
@@ -726,6 +774,7 @@ def _join_branch_agg(
         if not (alts & gset):
             raise _NoRoute
     order_items, limit_n = _parse_order_limit(toks, ranges)
+    _preflight_order(order_items, *_output_names(toks, ranges))
     rw = rewrite_positions
     sel = _clause_text(query, toks, ranges, "SELECT", rw, alias0)
     where = _clause_text(query, toks, ranges, "WHERE", rw, alias0)
@@ -746,7 +795,12 @@ def _join_branch_agg(
         inner += f" GROUP BY {gb}"
         if having:
             inner += f" HAVING {having}"
-        return spark.sql(inner)
+        out = spark.sql(inner)
+        # sql() analyzes eagerly (the view subtree is inlined into the
+        # plan), so dropping the per-branch view immediately avoids
+        # accumulating one session-catalog entry per branch forever
+        spark.catalog.dropTempView(vname)
+        return out
 
     return _apply_order_limit(make_join(fn), order_items, limit_n)
 
@@ -776,6 +830,7 @@ def _join_branch_distinct(
         if not (alts & names):
             raise _NoRoute
     order_items, limit_n = _parse_order_limit(toks, ranges)
+    _preflight_order(order_items, *_output_names(toks, ranges))
     rw = rewrite_positions
     sel = _clause_text(query, toks, ranges, "SELECT", rw, alias0)
     where = _clause_text(query, toks, ranges, "WHERE", rw, alias0)
@@ -790,7 +845,9 @@ def _join_branch_distinct(
         inner = f"SELECT DISTINCT {sel} FROM {_quote(vname)} AS {_quote(alias0)}"
         if where:
             inner += f" WHERE {where}"
-        return spark.sql(inner)
+        out = spark.sql(inner)
+        spark.catalog.dropTempView(vname)
+        return out
 
     return _apply_order_limit(make_join(fn), order_items, limit_n)
 
@@ -862,6 +919,7 @@ def _route_distinct(
         if toks[k + 2].kind == OP and toks[k + 2].value == "*":
             raise _NoRoute
     order_items, limit_n = _parse_order_limit(toks, ranges)
+    _preflight_order(order_items, *_output_names(toks, ranges))
     sel = _clause_text(query, toks, ranges, "SELECT")
     where = _clause_text(query, toks, ranges, "WHERE")
     qid = next(_view_counter)
@@ -874,7 +932,9 @@ def _route_distinct(
         inner = f"SELECT DISTINCT {sel} FROM {rel}"
         if where:
             inner += f" WHERE {where}"
-        return spark.sql(inner)
+        out = spark.sql(inner)
+        spark.catalog.dropTempView(vname)
+        return out
 
     kcol, _ = _partition_backed_key(table, dcols)
     out = bucket_apply(spark, table, kcol, fn)
@@ -933,6 +993,7 @@ def _route_agg(
             raise _NoRoute
     # ORDER BY: bare output names / positional ints, optional direction
     order_items, limit_n = _parse_order_limit(toks, ranges)
+    _preflight_order(order_items, *_output_names(toks, ranges))
 
     sel = _clause_text(query, toks, ranges, "SELECT")
     where = _clause_text(query, toks, ranges, "WHERE")
@@ -951,7 +1012,12 @@ def _route_agg(
         inner += f" GROUP BY {gb}"
         if having:
             inner += f" HAVING {having}"
-        return spark.sql(inner)
+        out = spark.sql(inner)
+        # sql() analyzes eagerly (the view subtree is inlined into the
+        # plan), so dropping the per-branch view immediately avoids
+        # accumulating one session-catalog entry per branch forever
+        spark.catalog.dropTempView(vname)
+        return out
 
     kcol, _ = _partition_backed_key(table, gcols)
     out = bucket_apply(spark, table, kcol, fn)

@@ -568,3 +568,19 @@ def test_exact_substring_spans_planted(spark):
     assert got[2]["n_dup_spans"] == 1
     assert got[2]["dup_words"] == 10
     assert got[2]["n_words"] == 13
+
+
+def test_exact_substring_refuses_mega_documents(spark):
+    """A document whose word positions exceed the 2^20 packing width
+    must refuse loudly, not silently corrupt the canonical-survivor
+    election."""
+    import pytest
+
+    from datafusion_iceberg_spark.extensions.dedup import (
+        exact_substring_spans,
+    )
+
+    big = " ".join("x" for _ in range(1_048_600))
+    docs = spark.createDataFrame([(1, big), (2, big)], ["doc_id", "text"])
+    with pytest.raises(Exception, match="packed"):
+        exact_substring_spans(docs).collect()

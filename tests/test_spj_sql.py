@@ -98,9 +98,9 @@ def test_join_routes_zero_exchange_and_byte_identical(spark, wh):
     assert got == want and len(got) > 0
 
 
-def test_join_same_name_keys_and_qualified_select(spark, wh, sf_dir):
-    """Same-name key columns dedup in the view; references through
-    EITHER alias resolve to it (b-alias rewritten to a-alias)."""
+def _ensure_li16b(wh, spark, sf_dir):
+    """Create the same-key-name lineitem copy on demand — called by
+    every test that references it, so each runs in isolation."""
     li2 = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         F.col("l_orderkey"), F.col("l_discount")
     )
@@ -109,6 +109,12 @@ def test_join_same_name_keys_and_qualified_select(spark, wh, sf_dir):
             "f.li16b", li2.schema, partition_by=["bucket(16, l_orderkey)"]
         )
         wh.append("f.li16b", spark, li2)
+
+
+def test_join_same_name_keys_and_qualified_select(spark, wh, sf_dir):
+    """Same-name key columns dedup in the view; references through
+    EITHER alias resolve to it (b-alias rewritten to a-alias)."""
+    _ensure_li16b(wh, spark, sf_dir)
     q = (
         "SELECT a.l_orderkey, b.l_orderkey AS k2, a.l_extendedprice, "
         "b.l_discount "
@@ -300,6 +306,7 @@ def test_join_group_by_key_aggregates_per_branch(spark, wh):
 def test_join_group_by_other_side_key_and_same_name(spark, wh, sf_dir):
     """Coverage via the LEFT side's key name; and the same-name-key pair
     (deduped view column) grouped through the a-alias."""
+    _ensure_li16b(wh, spark, sf_dir)
     q = (
         "SELECT o.o_orderkey, COUNT(*) AS n "
         "FROM spjcat.f.orders8 AS o JOIN spjcat.f.li16 AS l "
@@ -328,10 +335,11 @@ def test_join_group_by_nonkey_still_routes_join_only(spark, wh):
     assert "Exchange hashpartitioning" in plan  # the agg, by design
 
 
-def test_qualified_ref_to_wrong_side_errors_like_plain(spark, wh):
+def test_qualified_ref_to_wrong_side_errors_like_plain(spark, wh, sf_dir):
     """`b.c` where c is the OTHER side's column must surface plain
     SQL's unresolved-column error, not silently resolve through the
     rewritten view (the router is absent, never wider)."""
+    _ensure_li16b(wh, spark, sf_dir)
     q = (
         "SELECT b.l_extendedprice FROM spjcat.f.li16 AS a "
         "JOIN spjcat.f.li16b AS b ON a.l_orderkey = b.l_orderkey LIMIT 5"
@@ -342,11 +350,12 @@ def test_qualified_ref_to_wrong_side_errors_like_plain(spark, wh):
     assert "L_EXTENDEDPRICE" in s or "UNRESOLVED" in s
 
 
-def test_bare_deduped_key_ref_errors_like_plain(spark, wh):
+def test_bare_deduped_key_ref_errors_like_plain(spark, wh, sf_dir):
     """A bare reference to a same-name join key is AMBIGUOUS_REFERENCE
     in plain SQL (both sides in scope) even though the deduped view
     would resolve it — the router must fall back and surface the
     plain error."""
+    _ensure_li16b(wh, spark, sf_dir)
     q = (
         "SELECT l_orderkey, COUNT(*) AS n FROM spjcat.f.li16 AS a "
         "JOIN spjcat.f.li16b AS b ON a.l_orderkey = b.l_orderkey "
