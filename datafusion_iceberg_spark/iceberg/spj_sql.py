@@ -37,9 +37,15 @@ Safety model — the router must never be WRONG, only absent:
   (a SELECT anywhere past token 0), window function (OVER anywhere),
   statement-scoped/nondeterministic functions (CURRENT_TIMESTAMP, RAND,
   UUID, ... — per-branch re-execution would compute them more than
-  once), or time-travel/metadata suffix fails recognition and falls
-  back; ``SELECT DISTINCT`` routes per branch when its column set
-  covers the partition-backed/join key and falls back otherwise;
+  once), or metadata-table suffix fails recognition and falls back;
+  ``SELECT DISTINCT`` routes per branch when its column set covers the
+  partition-backed/join key and falls back otherwise; ``FOR
+  [SYSTEM_]VERSION/TIMESTAMP AS OF`` pins resolve to snapshot ids and
+  route through the snapshot-parameterized SPJ readers (same grammar
+  position as the plain path: after the dotted name, before the alias)
+  UNLESS the snapshot was written under a different schema id — the
+  router's audits resolve against the current schema, so
+  schema-evolved history takes the plain path;
 * both join tables must carry EXPLICIT aliases (without one, qualified
   references in the plain path resolve against the flat view name, and
   accepting them here would widen the accepted dialect);
@@ -69,12 +75,17 @@ from datafusion_iceberg_spark.sql.lexer import (
     NUMBER,
     OP,
     QIDENT,
+    STRING,
     Token,
     tokenize,
 )
 
 # depth-0 keywords outside the recognized dialect: set ops, CTEs, other
-# join flavors, sampling, windows, pagination.  FOR catches time travel.
+# join flavors, sampling, windows, pagination.  FOR is NOT here: the
+# FROM parser consumes legal `FOR [SYSTEM_]VERSION/TIMESTAMP AS OF`
+# time-travel suffixes (routed via snapshot-parameterized SPJ) and any
+# other FOR placement fails a route parse or errors identically to the
+# plain path through the verbatim splice.
 _REFUSE_DEPTH0 = {
     "UNION",
     "INTERSECT",
@@ -100,7 +111,6 @@ _REFUSE_DEPTH0 = {
     "PIVOT",
     "UNPIVOT",
     "VALUES",
-    "FOR",
 }
 
 _CLAUSES = ("SELECT", "FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT")
@@ -222,9 +232,11 @@ def _is_dot(t: Token) -> bool:
 
 def _parse_table(
     toks: list[Token], i: int, stop: int, catalog
-) -> tuple[str, Optional[str], int]:
-    """Parse ``<catalog>.<ns>.<table> [AS] alias`` at ``toks[i:stop]``.
-    Returns (relation key, alias or None, next index)."""
+) -> tuple[str, Optional[str], int, Optional[tuple[str, Token]]]:
+    """Parse ``<catalog>.<ns>.<table> [AS] alias [FOR [SYSTEM_]VERSION|
+    TIMESTAMP AS OF <literal>]`` at ``toks[i:stop]``.  Returns
+    (relation key, alias or None, next index, time-travel spec or None
+    as ``(kind, literal token)`` with kind VERSION|TIMESTAMP)."""
     if i + 4 >= stop:
         raise _NoRoute
     cat = _name_tok(toks[i])
@@ -243,6 +255,28 @@ def _parse_table(
     if key is None:
         raise _NoRoute
     i += 5
+    # time travel comes BEFORE the alias, matching the plain grammar
+    # (`_rewrite_time_travel` matches `<name> FOR ...` immediately after
+    # the dotted name — an alias in between is a plain-path parse error)
+    tt: Optional[tuple[str, Token]] = None
+    if i < stop and toks[i].is_kw("FOR"):
+        j = i + 1
+        if j < stop and toks[j].is_kw(
+            "VERSION", "TIMESTAMP", "SYSTEM_VERSION", "SYSTEM_TIMESTAMP"
+        ):
+            kind = toks[j].upper().replace("SYSTEM_", "")
+            j += 1
+        else:
+            raise _NoRoute
+        if not (
+            j + 1 < stop and toks[j].is_kw("AS") and toks[j + 1].is_kw("OF")
+        ):
+            raise _NoRoute
+        j += 2
+        if j >= stop or toks[j].kind not in (NUMBER, STRING):
+            raise _NoRoute
+        tt = (kind, toks[j])
+        i = j + 1
     alias: Optional[str] = None
     if i < stop and toks[i].is_kw("AS"):
         if i + 1 < stop and toks[i + 1].kind in (IDENT, QIDENT):
@@ -252,11 +286,56 @@ def _parse_table(
             raise _NoRoute
     elif i < stop and (
         toks[i].kind == QIDENT
-        or (toks[i].kind == IDENT and not toks[i].is_kw("JOIN", "INNER", "ON"))
+        or (
+            toks[i].kind == IDENT
+            and not toks[i].is_kw("JOIN", "INNER", "ON", "FOR")
+        )
     ):
         alias = toks[i].value
         i += 1
-    return key, alias, i
+    return key, alias, i, tt
+
+
+def _resolve_time_travel(table, tt: Optional[tuple[str, Token]]):
+    """Snapshot id for a parsed time-travel spec (None = current).
+    Mirrors ``Catalog._rewrite_time_travel``'s resolution exactly:
+    VERSION takes a snapshot id or a quoted branch/tag ref; TIMESTAMP
+    takes epoch millis or an ISO timestamp (naive = UTC).  Resolution
+    errors propagate — ``try_spj_sql`` falls back and the plain path
+    surfaces ITS error for the same bad spec."""
+    if tt is None:
+        return None
+    kind, tok = tt
+    if kind == "VERSION":
+        if tok.kind == NUMBER:
+            if not tok.value.isdigit():
+                raise _NoRoute
+            sid = int(tok.value)
+        else:
+            sid = table.metadata.resolve_ref(tok.value)
+        snap = table.metadata.snapshot(snapshot_id=sid)  # existence check
+    else:
+        if tok.kind == NUMBER:
+            if not tok.value.isdigit():
+                raise _NoRoute
+            ts_ms = int(tok.value)
+        else:
+            from datetime import datetime, timezone
+
+            d = datetime.fromisoformat(tok.value)
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=timezone.utc)
+            ts_ms = int(d.timestamp() * 1000)
+        snap = table.metadata.snapshot(as_of_timestamp_ms=ts_ms)
+        if snap is None:
+            raise _NoRoute  # pre-history timestamp: plain path decides
+    # schema-evolution fence: the router's column audits resolve against
+    # the CURRENT schema; a snapshot written under a different schema id
+    # must take the plain path (which reads the snapshot's own schema)
+    cur = table.metadata.current_schema.get("schema-id", 0)
+    if snap.schema_id is not None and snap.schema_id != cur:
+        raise _NoRoute
+    return snap.snapshot_id
 
 
 def _resolve_cols(table, cols: Sequence[str]) -> list[str]:
@@ -308,15 +387,17 @@ def _route_join(
     from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
     lo, hi = ranges["FROM"]
-    key0, alias0, i = _parse_table(toks, lo, hi, catalog)
+    key0, alias0, i, tt0 = _parse_table(toks, lo, hi, catalog)
     sides: list[tuple[str, Optional[str]]] = [(key0, alias0)]
+    tts: list[Optional[tuple[str, Token]]] = [tt0]
     ons: list[list[tuple[tuple[str, str], tuple[str, str]]]] = []
     while i < hi:
         if toks[i].is_kw("INNER"):
             i += 1
         if not (i < hi and toks[i].is_kw("JOIN")):
             raise _NoRoute
-        skey, salias, i = _parse_table(toks, i + 1, hi, catalog)
+        skey, salias, i, stt = _parse_table(toks, i + 1, hi, catalog)
+        tts.append(stt)
         if not (i < hi and toks[i].is_kw("ON")):
             raise _NoRoute
         i += 1
@@ -395,14 +476,31 @@ def _route_join(
         if (lnames & rnames) - joined_keys:
             raise _NoRoute  # shared non-key column: view cannot hold both
         star_ok = not same_name
+        s0 = _resolve_time_travel(left, tts[0])
+        s1 = _resolve_time_travel(right, tts[1])
         builder = lambda: bucket_join(  # noqa: E731
-            spark, left, right, lcols, rcols, how="inner"
+            spark,
+            left,
+            right,
+            lcols,
+            rcols,
+            how="inner",
+            left_snapshot_id=s0,
+            right_snapshot_id=s1,
         )
         key_alternatives = [
             {lc.lower(), rc.lower()} for lc, rc in zip(lcols, rcols)
         ]
         make_branch_join = lambda fn: bucket_join(  # noqa: E731
-            spark, left, right, lcols, rcols, how="inner", branch_fn=fn
+            spark,
+            left,
+            right,
+            lcols,
+            rcols,
+            how="inner",
+            left_snapshot_id=s0,
+            right_snapshot_id=s1,
+            branch_fn=fn,
         )
     else:
         # N-way chain: each ON is ONE single-column equality pairing the
@@ -432,12 +530,15 @@ def _route_join(
             _resolve_cols(t, [k])[0] for t, k in zip(tables, keys)
         ]
         star_ok = False
+        snap_ids = [
+            _resolve_time_travel(t, tt) for t, tt in zip(tables, tts)
+        ]
         builder = lambda: bucket_join_chain(  # noqa: E731
-            spark, tables, keys
+            spark, tables, keys, snapshot_ids=snap_ids
         )
         key_alternatives = [{k.lower() for k in keys}]
         make_branch_join = lambda fn: bucket_join_chain(  # noqa: E731
-            spark, tables, keys, branch_fn=fn
+            spark, tables, keys, snapshot_ids=snap_ids, branch_fn=fn
         )
 
     # qualifier audit outside the FROM clause: every `x.y` must qualify
@@ -901,7 +1002,7 @@ def _route_distinct(
     if "GROUP BY" in ranges or "HAVING" in ranges:
         raise _NoRoute
     lo, hi = ranges["FROM"]
-    key, alias, i = _parse_table(toks, lo, hi, catalog)
+    key, alias, i, tt = _parse_table(toks, lo, hi, catalog)
     if i != hi:
         raise _NoRoute
     table = catalog._rel(key)
@@ -937,7 +1038,9 @@ def _route_distinct(
         return out
 
     kcol, _ = _partition_backed_key(table, dcols)
-    out = bucket_apply(spark, table, kcol, fn)
+    out = bucket_apply(
+        spark, table, kcol, fn, snapshot_id=_resolve_time_travel(table, tt)
+    )
     return _apply_order_limit(out, order_items, limit_n)
 
 
@@ -955,7 +1058,7 @@ def _route_agg(
     from datafusion_iceberg_spark.iceberg.table import IcebergTable
 
     lo, hi = ranges["FROM"]
-    key, alias, i = _parse_table(toks, lo, hi, catalog)
+    key, alias, i, tt = _parse_table(toks, lo, hi, catalog)
     if i != hi:
         raise _NoRoute
     table = catalog._rel(key)
@@ -1020,7 +1123,9 @@ def _route_agg(
         return out
 
     kcol, _ = _partition_backed_key(table, gcols)
-    out = bucket_apply(spark, table, kcol, fn)
+    out = bucket_apply(
+        spark, table, kcol, fn, snapshot_id=_resolve_time_travel(table, tt)
+    )
     return _apply_order_limit(out, order_items, limit_n)
 
 

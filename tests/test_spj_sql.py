@@ -210,12 +210,6 @@ FALLBACKS = [
         "SELECT o_orderkey FROM spjcat.f.orders8 UNION ALL "
         "SELECT l_orderkey FROM spjcat.f.li16 LIMIT 5",
     ),
-    # time travel suffix (snapshot id substituted by the test)
-    (
-        "time-travel",
-        "SELECT o_orderkey, COUNT(*) AS n FROM spjcat.f.orders8 "
-        "FOR VERSION AS OF {snap} GROUP BY o_orderkey LIMIT 5",
-    ),
 ]
 
 
@@ -223,9 +217,6 @@ FALLBACKS = [
 def test_fallback_matrix_runs_plain_and_matches(spark, wh, label, q):
     """Every refusal shape executes the PLAIN plan — never an error, and
     identical rows to the explicitly-disabled path."""
-    if label == "time-travel":
-        snap = wh.load("f.orders8").metadata.current_snapshot_id
-        q = q.format(snap=snap)
     got = wh.sql(spark, q)
     want = _plain(wh, spark, q)
     assert got.count() == want.count()
@@ -543,4 +534,83 @@ def test_chain_select_distinct_per_branch(spark, wh, sf_dir):
     plan = plan_string(routed)
     assert "Exchange hashpartitioning" not in plan
     assert "Union" in plan
+    assert _rows(routed) == _rows(_plain(wh, spark, q))
+
+
+def test_time_travel_routes_at_snapshot(spark, wh, sf_dir):
+    """FOR VERSION AS OF on a routable GROUP BY runs the statement per
+    branch AT THE SNAPSHOT (snapshot-parameterized SPJ): zero Exchange,
+    byte-identical to the plain time-travel path, and genuinely
+    historical (an append after the pin must not leak in)."""
+    t = wh.load("f.li12")
+    snap0 = t.metadata.current_snapshot_id
+    extra = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice", "l_quantity")
+        .limit(100)
+    )
+    wh.append("f.li12", spark, extra)
+    q = (
+        "SELECT l.l_orderkey, COUNT(*) AS n FROM spjcat.f.li12 "
+        f"FOR VERSION AS OF {snap0} AS l "
+        "GROUP BY l.l_orderkey ORDER BY l_orderkey LIMIT 50"
+    )
+    routed = wh.sql(spark, q)
+    plan = plan_string(routed)
+    assert "Union" in plan and "Exchange hashpartitioning" not in plan
+    assert _rows(routed) == _rows(_plain(wh, spark, q))
+    # the pin is real: total counts then vs now differ by the append
+    n_then = _rows(
+        _plain(
+            wh,
+            spark,
+            f"SELECT COUNT(*) AS n FROM spjcat.f.li12 FOR VERSION AS OF {snap0}",
+        )
+    )[0][0]
+    n_now = _rows(
+        _plain(wh, spark, "SELECT COUNT(*) AS n FROM spjcat.f.li12")
+    )[0][0]
+    assert n_now == n_then + 100
+
+
+def test_time_travel_schema_evolution_falls_back(spark, wh, sf_dir):
+    """A snapshot written under a DIFFERENT schema id must not route:
+    the router's audits resolve against the current schema, so the
+    plain path (which reads the snapshot's own schema) executes."""
+    if "f.evo" not in wh._relation_keys():
+        li = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_orderkey", "l_quantity")
+            .limit(500)
+        )
+        wh.create_table(
+            "f.evo", li.schema, partition_by=["bucket(4, l_orderkey)"]
+        )
+        wh.append("f.evo", spark, li)
+        wh.sql(spark, "ALTER TABLE spjcat.f.evo ADD COLUMN extra INT")
+    snaps = wh.load("f.evo").metadata.snapshots
+    snap0 = snaps[0].snapshot_id
+    q = (
+        "SELECT l.l_orderkey, COUNT(*) AS n FROM spjcat.f.evo "
+        f"FOR VERSION AS OF {snap0} AS l GROUP BY l.l_orderkey "
+        "ORDER BY l_orderkey LIMIT 20"
+    )
+    routed = wh.sql(spark, q)
+    assert "Union" not in plan_string(routed)  # fence fired
+    assert _rows(routed) == _rows(_plain(wh, spark, q))
+
+
+def test_time_travel_join_routes(spark, wh):
+    """A routed JOIN with a FOR VERSION AS OF pin on one side resolves
+    the pin into the snapshot-parameterized bucket_join."""
+    s_o = wh.load("f.orders8").metadata.current_snapshot_id
+    q = (
+        f"SELECT o.o_orderstatus, COUNT(*) AS n "
+        f"FROM spjcat.f.orders8 FOR VERSION AS OF {s_o} AS o "
+        "JOIN spjcat.f.li16 AS l ON o.o_orderkey = l.l_orderkey "
+        "GROUP BY o.o_orderstatus ORDER BY o_orderstatus"
+    )
+    routed = wh.sql(spark, q)
+    assert "Union" in plan_string(routed)
+    assert not _key_exchanges(routed, "o_orderkey", "l_orderkey")
     assert _rows(routed) == _rows(_plain(wh, spark, q))
