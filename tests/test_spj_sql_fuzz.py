@@ -44,7 +44,8 @@ def fwh(tmp_path_factory, spark, sf_dir):
     cat.create_table(
         "f.li16", li.schema, partition_by=["bucket(16, l_orderkey)"]
     )
-    cat.append("f.li16", spark, li)
+    cat.append("f.li16", spark, li.limit(3000))
+    cat.append("f.li16", spark, li.subtract(li.limit(3000)))
     cat.create_table(
         "f.li16b", li_b.schema, partition_by=["bucket(16, l_orderkey)"]
     )
@@ -84,7 +85,18 @@ def _fmt(t, rng):
     )
 
 
-def _gen_single(rng: random.Random) -> str:
+def _li_pin(rng: random.Random, fwh) -> str:
+    """Sometimes pin the lineitem side to a historical snapshot — the
+    routed plan must read AT the pin, byte-identical to plain time
+    travel (including the fuzzer's two-snapshot history)."""
+    if rng.random() < 0.25:
+        snaps = fwh.load("f.li16").metadata.snapshots
+        sid = rng.choice(snaps).snapshot_id
+        return f" FOR VERSION AS OF {sid}"
+    return ""
+
+
+def _gen_single(rng: random.Random, pin: str = "") -> str:
     distinct = rng.random() < 0.35
     group = (not distinct) and rng.random() < 0.6
     if distinct:
@@ -98,7 +110,7 @@ def _gen_single(rng: random.Random) -> str:
     else:
         items = rng.sample(_L_ITEMS, rng.randrange(1, 4))
         sel = ", ".join(items)
-    q = f"SELECT {'DISTINCT ' if distinct else ''}{sel} FROM fz.f.li16 AS l"
+    q = f"SELECT {'DISTINCT ' if distinct else ''}{sel} FROM fz.f.li16{pin} AS l"
     wh = [_fmt(t, rng) for t in rng.sample(_WHERES, rng.randrange(0, 3))]
     if wh:
         q += " WHERE " + " AND ".join(wh)
@@ -116,7 +128,7 @@ def _gen_single(rng: random.Random) -> str:
     return q
 
 
-def _gen_join(rng: random.Random) -> str:
+def _gen_join(rng: random.Random, pin: str = "") -> str:
     distinct = rng.random() < 0.3
     group = (not distinct) and rng.random() < 0.6
     if distinct:
@@ -135,7 +147,7 @@ def _gen_join(rng: random.Random) -> str:
         )
     q = (
         f"SELECT {'DISTINCT ' if distinct else ''}{sel} "
-        "FROM fz.f.orders8 AS o JOIN fz.f.li16 AS l "
+        f"FROM fz.f.orders8 AS o JOIN fz.f.li16{pin} AS l "
         "ON o.o_orderkey = l.l_orderkey"
     )
     wh = [
@@ -176,7 +188,12 @@ def test_routed_and_plain_agree(spark, fwh, seed):
     rng = random.Random(seed)
     routed_count = 0
     for i in range(24):
-        q = _gen_join(rng) if rng.random() < 0.5 else _gen_single(rng)
+        pin = _li_pin(rng, fwh)
+        q = (
+            _gen_join(rng, pin)
+            if rng.random() < 0.5
+            else _gen_single(rng, pin)
+        )
         (r_rows, r_err), (p_rows, p_err) = _run_both(fwh, spark, q)
         if p_err is not None:
             assert r_err is not None, (
