@@ -169,6 +169,7 @@ HEADLINE = [
     "iceberg_spj_sql_agg",
     "iceberg_spj_sql_join_agg",
     "iceberg_spj_sql_distinct",
+    "iceberg_spj_sql_time_travel",
     "dedup_exact_substring",
     "iceberg_bucket_agg_grouped_scan",
     "iceberg_bucket_chain_join_scan",

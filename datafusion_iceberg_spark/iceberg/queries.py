@@ -5740,6 +5740,76 @@ def iceberg_spj_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_spj_tt_warehouses: dict[str, "Catalog"] = {}
+
+
+def _spj_tt_fixture(spark: SparkSession, sf_dir: str) -> "Catalog":
+    """A bucket(8, l_orderkey) lineitem with TWO snapshots: the full
+    selection, then a 700-row duplicate append — so a query pinned to
+    the first snapshot has a plain-SQL oracle over the original table
+    while the current snapshot would double-count."""
+    with _lock:
+        cat = _spj_tt_warehouses.get(sf_dir)
+        if cat is not None:
+            return cat
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        root = os.path.join(SCRATCH, f"wh_{tag}_spjtt")
+        marker = os.path.join(root, "_COMPLETE")
+        if os.path.exists(marker):
+            cat = Catalog(root)
+        else:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            cat = Catalog(root)
+            li = load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_quantity"
+            )
+            cat.create_table(
+                "fact.li_tt",
+                li.schema,
+                partition_by=["bucket(8, l_orderkey)"],
+            )
+            cat.append("fact.li_tt", spark, li)
+            cat.append("fact.li_tt", spark, li.limit(700))
+            with open(marker, "w") as fh:
+                fh.write("ok")
+        _spj_tt_warehouses[sf_dir] = cat
+        return cat
+
+
+@register(
+    "iceberg_spj_sql_time_travel",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum
+    FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 500
+    """,
+)
+def iceberg_spj_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface time travel through the SPJ router (r15): a ``FOR
+    VERSION AS OF`` pin on a routed GROUP BY resolves to a snapshot id
+    and flows into the snapshot-parameterized ``bucket_apply`` — the
+    historical statement runs per branch with ZERO Exchange, exactly as
+    the current-snapshot form does.  The fixture's table carries a
+    second, duplicating append, so the pin is load-bearing: reading the
+    current snapshot would double-count 700 rows and hash-mismatch the
+    oracle (which replays the FIRST snapshot's content as plain SQL
+    over the source table).  Schema-evolved history falls back to the
+    plain path (tests/test_spj_sql.py)."""
+    cat = _spj_tt_fixture(spark, sf_dir)
+    sid = cat.load("fact.li_tt").metadata.snapshots[0].snapshot_id
+    return cat.sql(
+        spark,
+        f"""
+        SELECT l.l_orderkey, COUNT(*) AS n,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qsum
+        FROM iceberg.fact.li_tt FOR VERSION AS OF {sid} AS l
+        GROUP BY l.l_orderkey ORDER BY l_orderkey LIMIT 500
+        """,
+    )
+
+
 @register(
     "iceberg_spj_sql_distinct",
     oracle="""
