@@ -1406,6 +1406,8 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_assignments,
     )
 
+    from datafusion_iceberg_spark.caching import scoped_cache
+
     win, _cents = kmeans_assignments(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -1413,7 +1415,11 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "nrm", F.expr("sqrt(aggregate(x, 0D, (acc, v) -> acc + v * v))")
     )
-    docs = emb.join(win.select("vec_id", "cid"), "vec_id")
+    # (vec_id, cid, x, nrm) feeds THREE consumers of the returned plan
+    # (both self-join sides and the final rollup); uncached, the scan +
+    # k-means assignment expression is recomputed per consumer —
+    # scoped_cache computes it once (released by the next gate)
+    docs = scoped_cache(emb.join(win.select("vec_id", "cid"), "vec_id"))
     a = docs.select(
         "cid",
         F.col("vec_id").alias("ida"),

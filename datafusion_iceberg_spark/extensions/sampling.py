@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import window as W
 
 from datafusion_iceberg_spark.registry import register
+from datafusion_iceberg_spark.session import local_df
 from datafusion_iceberg_spark.tables import load_table
 
 
@@ -552,7 +553,7 @@ def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid, tot in totals:
         offsets[pid] = offset
         offset += tot
-    off_df = spark.createDataFrame(
+    off_df = local_df(spark, 
         [(int(p), int(o)) for p, o in offsets.items()], "pid int, off long"
     )
     cum = local.join(F.broadcast(off_df), "pid").withColumn(
@@ -708,7 +709,7 @@ def sample_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    epochs = spark.createDataFrame([(0,), (1,), (2,)], "epoch int")
+    epochs = local_df(spark, [(0,), (1,), (2,)], "epoch int")
     perm = docs.crossJoin(F.broadcast(epochs)).select(
         "epoch",
         "doc_id",

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datafusion_iceberg_spark.registry import register
+from datafusion_iceberg_spark.session import local_df
 from datafusion_iceberg_spark.tables import load_table, scale_out
 
 TOP_K = 10
@@ -881,7 +882,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, k=KMEANS_K, iters=KMEANS_ITERS
     )
     checksums = [(c, sum(cents[c])) for c in range(KMEANS_K)]
-    cs_df = spark.createDataFrame(
+    cs_df = local_df(spark, 
         checksums, "cid INT, centroid_checksum BIGINT"
     )
     return (
@@ -1063,7 +1064,7 @@ def embed_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[mask] = approx_dot / (qnorms[int(q)] * cnorm.to_numpy()[mask])
         return pd.Series(out)
 
-    qids = spark.createDataFrame(
+    qids = local_df(spark, 
         [(int(r["query_id"]),) for r in qrows], "query_id int"
     )
     scored = (

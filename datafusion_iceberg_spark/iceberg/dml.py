@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 
 from datafusion_iceberg_spark.sql import ast_nodes as A
 from datafusion_iceberg_spark.sql.parser import parse_statement
+from datafusion_iceberg_spark.session import local_df
 
 _RESULT_SCHEMA = T.StructType(
     [
@@ -48,7 +49,7 @@ _RESULT_SCHEMA = T.StructType(
 def _result(
     spark: SparkSession, op: str, target: str, snap: Optional[int]
 ) -> DataFrame:
-    return spark.createDataFrame([(op, target, snap)], _RESULT_SCHEMA)
+    return local_df(spark, [(op, target, snap)], _RESULT_SCHEMA)
 
 
 def _align(
@@ -174,7 +175,7 @@ def _exec_delete(surface, spark, s: A.Delete) -> DataFrame:
     if s.where_sql is None:
         _need(surface, "overwrite", "load")
         st = surface.load(ident).metadata.struct_type()
-        snap = surface.overwrite(ident, spark, spark.createDataFrame([], st))
+        snap = surface.overwrite(ident, spark, local_df(spark, [], st))
         return _result(spark, "delete", ident, snap)
     # subqueries in the predicate may reference catalog tables: attach
     # the flat views and rewrite 3-part names (plain predicates pass
@@ -658,7 +659,7 @@ def _exec_truncate(surface, spark, s: A.Truncate) -> DataFrame:
     ident = f"{s.namespace}.{s.table}"
     _need(surface, "overwrite", "load")
     st = surface.load(ident).metadata.struct_type()
-    snap = surface.overwrite(ident, spark, spark.createDataFrame([], st))
+    snap = surface.overwrite(ident, spark, local_df(spark, [], st))
     return _result(spark, "truncate", ident, snap)
 
 
@@ -675,7 +676,7 @@ def _exec_analyze(surface, spark, s: A.Analyze) -> DataFrame:
         ("num_snapshots", str(len(table.metadata.snapshots))),
         ("num_manifests", str(len(table.manifests()))),
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         T.StructType(
             [
@@ -767,7 +768,7 @@ def _exec_call(surface, spark, s: A.Call) -> DataFrame:
         rows = [(k, str(v)) for k, v in sorted(out.items())]
     else:
         rows = [("result", str(out))]
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         T.StructType(
             [
@@ -817,7 +818,7 @@ def _exec_describe_namespace(
     _need(surface, "namespace_properties")
     props = surface.namespace_properties(s.namespace)
     rows = [("namespace", s.namespace)] + sorted(props.items())
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         T.StructType(
             [
@@ -829,7 +830,7 @@ def _exec_describe_namespace(
 
 
 def _exec_show_namespaces(surface, spark, s: A.ShowNamespaces) -> DataFrame:
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(ns,) for ns in surface.namespaces()],
         T.StructType([T.StructField("namespace", T.StringType(), False)]),
     )
@@ -842,7 +843,7 @@ def _exec_show_tables(surface, spark, s: A.ShowTables) -> DataFrame:
         rel = surface.load(key)
         is_view = not hasattr(rel, "files")
         rows.append((k_ns, bare, is_view))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         T.StructType(
             [
@@ -862,7 +863,7 @@ def _exec_show_views(surface, spark, s: A.ShowViews) -> DataFrame:
         if isinstance(surface.load(key), IcebergView):
             ns, bare = key.split(".", 1)
             rows.append((ns, bare))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         T.StructType(
             [
@@ -900,7 +901,7 @@ def _exec_show_tblproperties(
 ) -> DataFrame:
     ident = f"{s.namespace}.{s.table}"
     props = surface.load(ident).metadata.properties
-    return spark.createDataFrame(
+    return local_df(spark, 
         sorted(props.items()) or [("", "")][:0],
         T.StructType(
             [
@@ -928,7 +929,7 @@ def _exec_show_create_table(
     if props:
         kv = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(props.items()))
         stmt += f"\nTBLPROPERTIES ({kv})"
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(stmt,)],
         T.StructType(
             [T.StructField("createtab_stmt", T.StringType(), False)]
@@ -940,7 +941,7 @@ def _exec_describe(surface, spark, s: A.Describe) -> DataFrame:
     ident = f"{s.namespace}.{s.table}"
     table = surface.load(ident)
     if not hasattr(table, "metadata"):  # an Iceberg VIEW
-        return spark.createDataFrame(
+        return local_df(spark, 
             [("# view sql", table.sql(), None)],
             T.StructType(
                 [
@@ -958,7 +959,7 @@ def _exec_describe(surface, spark, s: A.Describe) -> DataFrame:
     ]
     for spec in meta.partition_spec_entries():
         rows.append(("# partitioned by", spec, None))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows,
         T.StructType(
             [

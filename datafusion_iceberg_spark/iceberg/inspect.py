@@ -25,6 +25,7 @@ from typing import TYPE_CHECKING, Iterator, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from datafusion_iceberg_spark.session import local_df
 
 if TYPE_CHECKING:  # pragma: no cover
     from datafusion_iceberg_spark.iceberg.table import IcebergTable
@@ -185,7 +186,7 @@ class Inspect:
                 )
             )
             prev = s.snapshot_id
-        return spark.createDataFrame(rows, _SNAPSHOTS_SCHEMA)
+        return local_df(spark, rows, _SNAPSHOTS_SCHEMA)
 
     def history(self, spark: SparkSession) -> DataFrame:
         meta = self._t.metadata
@@ -203,7 +204,7 @@ class Inspect:
             )
             for e in log
         ]
-        return spark.createDataFrame(rows, _HISTORY_SCHEMA)
+        return local_df(spark, rows, _HISTORY_SCHEMA)
 
     def manifests(
         self, spark: SparkSession, snapshot_id: Optional[int] = None
@@ -226,7 +227,7 @@ class Inspect:
                         len(mf.partitions),
                     )
                 )
-        return spark.createDataFrame(rows, _MANIFESTS_SCHEMA)
+        return local_df(spark, rows, _MANIFESTS_SCHEMA)
 
     def refs(self, spark: SparkSession) -> DataFrame:
         meta = self._t.metadata
@@ -250,7 +251,7 @@ class Inspect:
                     ordinals.get(meta.current_snapshot_id, -1),
                 )
             )
-        return spark.createDataFrame(sorted(rows), _REFS_SCHEMA)
+        return local_df(spark, sorted(rows), _REFS_SCHEMA)
 
     # -- files: the one that scales with the data (distributed) --------
 
@@ -290,7 +291,7 @@ class Inspect:
                 )
             )
         if not manifests:
-            return spark.createDataFrame([], _FILES_SCHEMA)
+            return local_df(spark, [], _FILES_SCHEMA)
 
         id_to_name = {v: k for k, v in meta.field_ids_by_name().items()}
         types_by_id = {
@@ -344,7 +345,7 @@ class Inspect:
                     rows, columns=[fld.name for fld in _FILES_SCHEMA.fields]
                 )
 
-        inp = spark.createDataFrame(
+        inp = local_df(spark, 
             manifests, "path string, spec_id int, added_snapshot_id long"
         )
         n_parts = max(1, min(len(manifests), 64))
@@ -392,7 +393,7 @@ class Inspect:
         the driver ships (manifest path, inherited sequence) pairs, Avro
         parsing runs in executors."""
         if not manifests:
-            return spark.createDataFrame([], _ENTRIES_SCHEMA)
+            return local_df(spark, [], _ENTRIES_SCHEMA)
 
         def parse(batches) -> Iterator["pd.DataFrame"]:
             import pandas as pd
@@ -421,7 +422,7 @@ class Inspect:
                     rows, columns=[fld.name for fld in _ENTRIES_SCHEMA.fields]
                 )
 
-        inp = spark.createDataFrame(manifests, "path string, inherit long")
+        inp = local_df(spark, manifests, "path string, inherit long")
         n_parts = max(1, min(len(manifests), 64))
         return inp.repartition(n_parts).mapInPandas(parse, _ENTRIES_SCHEMA)
 
@@ -449,7 +450,7 @@ class Inspect:
                         ordinals.get(s.snapshot_id, -1),
                     )
                 )
-        return spark.createDataFrame(rows, _ALL_MANIFESTS_SCHEMA)
+        return local_df(spark, rows, _ALL_MANIFESTS_SCHEMA)
 
     def all_files(self, spark: SparkSession) -> DataFrame:
         """Every data/delete file referenced by ANY snapshot, deduped by
@@ -503,7 +504,7 @@ class Inspect:
                     ("position", meta.localize(d.path), 0, 0, None)
                 )
         if not entries:
-            return spark.createDataFrame([], _POSITION_DELETES_SCHEMA)
+            return local_df(spark, [], _POSITION_DELETES_SCHEMA)
 
         def parse(batches) -> Iterator["pd.DataFrame"]:
             import pandas as pd
@@ -531,7 +532,7 @@ class Inspect:
                         )
                 yield pd.DataFrame(rows, columns=cols)
 
-        inp = spark.createDataFrame(
+        inp = local_df(spark, 
             entries, "kind string, path string, off long, ln long, tgt string"
         )
         n_parts = max(1, min(len(entries), 64))
@@ -610,7 +611,7 @@ class Inspect:
                 ),
             ]
         )
-        return spark.createDataFrame(rows, schema)
+        return local_df(spark, rows, schema)
 
     def all_entries(self, spark: SparkSession) -> DataFrame:
         """``$all_entries``: manifest entries across EVERY snapshot
@@ -691,7 +692,7 @@ class Inspect:
                     else int(snap.get("sequence-number", 0) or 0),
                 )
             )
-        return spark.createDataFrame(rows, _METADATA_LOG_SCHEMA)
+        return local_df(spark, rows, _METADATA_LOG_SCHEMA)
 
 
 METADATA_TABLES = {

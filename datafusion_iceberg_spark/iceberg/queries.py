@@ -20,6 +20,7 @@ from datafusion_iceberg_spark.iceberg.catalog import Catalog
 from datafusion_iceberg_spark.iceberg.table import IcebergTable
 from datafusion_iceberg_spark.registry import register
 from datafusion_iceberg_spark.tables import load_table
+from datafusion_iceberg_spark.session import local_df
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
 
@@ -240,7 +241,7 @@ def iceberg_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed file counts)."""
     fx = fixture(spark, sf_dir)
     stats = fx.orders.statistics()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(stats["num_rows"],)], "num_rows bigint"
     )
 
@@ -618,7 +619,7 @@ def iceberg_merge_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             upd = nation.filter(F.col("n_nationkey") < 5).withColumn(
                 "n_name", F.concat(F.lit("UP_"), "n_name")
             )
-            ins = spark.createDataFrame(
+            ins = local_df(spark, 
                 [(200 + i, f"UP_INSERTED_{i}", i) for i in range(3)],
                 nation.schema,
             )
@@ -1420,7 +1421,7 @@ def iceberg_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdc = _cdc_fixture(spark, sf_dir).load("cdc.orders")
     assert isinstance(cdc, IcebergTable)
     n_after_mor = cdc.count_star(spark)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(n_full, n_tagged, n_after_mor)],
         "n_full bigint, n_tagged bigint, n_after_mor bigint",
     )
@@ -1451,7 +1452,7 @@ def iceberg_orphan_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
             fh.write(b"PAR1 not a real file")
     out = w.remove_orphan_files()
     n_rows = cat.load("maint.orders").to_df(spark).count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(out["orphan_files"], n_rows)], "n_orphans int, n_rows bigint"
     )
 
@@ -3110,7 +3111,7 @@ def iceberg_metadata_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table.count_star()
     k_lo, k_hi = table.metadata_min_max("o_orderkey")
     t_lo, t_hi = table.metadata_min_max("o_totalprice")
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(int(n), int(k_lo), int(k_hi), float(t_lo), float(t_hi))],
         "n_rows long, min_key long, max_key long,"
         " min_total double, max_total double",
@@ -4066,7 +4067,7 @@ def iceberg_table_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.write("ok")
         stats = cat.table_stats("st.orders")
     rows = sorted(stats.items())
-    return spark.createDataFrame(rows, "column_name string, ndv long")
+    return local_df(spark, rows, "column_name string, ndv long")
 
 
 @register(
@@ -4136,7 +4137,7 @@ def iceberg_theta_stats_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     est == int(b.properties["ndv"]),
                 )
             )
-    return spark.createDataFrame(
+    return local_df(spark, 
         sorted(rows),
         "column_name string, exact_ndv long, within_bound boolean,"
         " payload_consistent boolean",

@@ -87,6 +87,7 @@ KeyGroupedPartitioning, SPARK-32709).
 from __future__ import annotations
 
 import heapq
+import os
 import re
 
 from typing import Any, Optional, Sequence, Union
@@ -116,6 +117,35 @@ DEFAULT_MAX_BROADCAST_BYTES = 512 << 20
 DEFAULT_MAX_BRANCHES = 64
 
 KeySpec = Union[str, Sequence[str]]
+
+# Driver threads used to BUILD branch subtrees concurrently.  Each branch
+# costs ~30 ms of py4j round-trips + JVM-side FileIndex construction
+# (PERF_NOTES r15) and branches are independent plans, so construction
+# parallelizes across driver threads (py4j opens one JVM connection per
+# Python thread; Dataset construction is thread-safe).  Measured on the
+# 32-branch wide-join gate (min of 3, sf0.1): build 2.36 s serial →
+# 1.24 s at 16 threads (the knee; 32 is flat — the residue is a JVM-side
+# lock, not Python).  Scale-independent (driver planning cost, not
+# data): the same default is right on a cluster.
+# SPARK_GRAFT_PLAN_THREADS=1 restores serial.
+PLAN_THREADS = max(1, int(os.environ.get("SPARK_GRAFT_PLAN_THREADS", "16")))
+
+
+def _parallel_branches(build_one, branches: Sequence) -> list:
+    """Run ``build_one(branch) -> list[DataFrame]`` over every branch,
+    concurrently when it pays, and return the flattened results in
+    BRANCH ORDER (the union shape stays deterministic).  Exceptions
+    propagate exactly as in the serial loop."""
+    if len(branches) <= 1 or PLAN_THREADS <= 1:
+        nested = [build_one(b) for b in branches]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(PLAN_THREADS, len(branches))
+        ) as pool:
+            nested = list(pool.map(build_one, branches))
+    return [df for sub in nested for df in sub]
 
 
 class BucketJoinError(ValueError):
@@ -854,8 +884,7 @@ def bucket_join(
         keys_loads.append((k, load))
     branches = _pack_branches(keys_loads, max_branches)
 
-    subs: list[DataFrame] = []
-    for branch in branches:
+    def _build_branch(branch) -> list[DataFrame]:
         lf = [f for k in branch for f in lgroups.get(k, ())]
         rf = [f for k in branch for f in rgroups.get(k, ())]
         if semi_anti:
@@ -863,29 +892,28 @@ def bucket_join(
             # broadcast existence probe (BroadcastHashJoin builds on the
             # right for both LeftSemi and LeftAnti)
             if not lf:
-                continue
+                return []
             if not rf:
                 # nothing can match: anti keeps the whole branch as a
                 # plain scan (no probe needed), semi drops it
                 if how == "left_anti":
-                    subs.append(_scan_l(lf, left_filters))
-                continue
+                    return [_scan_l(lf, left_filters)]
+                return []
             dfl = _scan_l(lf, left_filters)
             dfr = _scan_r(rf, right_filters)
             rbytes = sum(f.file_size_in_bytes for f in rf)
             bdfr = F.broadcast(dfr) if rbytes <= max_broadcast_bytes else dfr
-            subs.append(dfl.join(bdfr, on=_cond(dfl, bdfr), how=how))
-            continue
+            return [dfl.join(bdfr, on=_cond(dfl, bdfr), how=how)]
         if lf and not rf:
             if keep_left:
-                subs.append(_extend(_scan_l(lf, left_filters), rfields))
-            continue
+                return [_extend(_scan_l(lf, left_filters), rfields)]
+            return []
         if rf and not lf:
             if keep_right:
-                subs.append(_extend(_scan_r(rf, right_filters), lfields))
-            continue
+                return [_extend(_scan_r(rf, right_filters), lfields)]
+            return []
         if not lf and not rf:
-            continue
+            return []
         dfl = _scan_l(lf, left_filters)
         dfr = _scan_r(rf, right_filters)
         lbytes = sum(f.file_size_in_bytes for f in lf)
@@ -901,37 +929,37 @@ def bucket_join(
             # else: leave unhinted — Catalyst shuffles THIS branch only
             # (skew degrades one union branch, not the whole plan)
             bj = dfl.join(dfr, on=_cond(dfl, dfr), how="inner")
-            subs.append(branch_fn(bj) if branch_fn is not None else bj)
-        elif how == "left":
+            return [branch_fn(bj) if branch_fn is not None else bj]
+        if how == "left":
             # build side must be the non-preserved (right) side
             bdfr = F.broadcast(dfr) if rbytes <= max_broadcast_bytes else dfr
-            subs.append(dfl.join(bdfr, on=_cond(dfl, bdfr), how="left"))
-        elif how == "right":
+            return [dfl.join(bdfr, on=_cond(dfl, bdfr), how="left")]
+        if how == "right":
             # build side must be the non-preserved (left) side
             bdfl = F.broadcast(dfl) if lbytes <= max_broadcast_bytes else dfl
-            subs.append(bdfl.join(dfr, on=_cond(bdfl, dfr), how="right"))
-        else:  # full: inner ∪ left-anti ∪ right-anti, every leg BHJ-able
-            bl = F.broadcast(dfl) if lbytes <= max_broadcast_bytes else dfl
-            br = F.broadcast(dfr) if rbytes <= max_broadcast_bytes else dfr
-            if fits:
-                inner = (
-                    dfl.join(br, on=_cond(dfl, br), how="inner")
-                    if rbytes <= lbytes
-                    else bl.join(dfr, on=_cond(bl, dfr), how="inner")
-                )
-            else:
-                inner = dfl.join(dfr, on=_cond(dfl, dfr), how="inner")
-            subs.append(inner)
-            subs.append(
-                _extend(
-                    dfl.join(br, on=_cond(dfl, br), how="left_anti"), rfields
-                )
+            return [bdfl.join(dfr, on=_cond(bdfl, dfr), how="right")]
+        # full: inner ∪ left-anti ∪ right-anti, every leg BHJ-able
+        bl = F.broadcast(dfl) if lbytes <= max_broadcast_bytes else dfl
+        br = F.broadcast(dfr) if rbytes <= max_broadcast_bytes else dfr
+        if fits:
+            inner = (
+                dfl.join(br, on=_cond(dfl, br), how="inner")
+                if rbytes <= lbytes
+                else bl.join(dfr, on=_cond(bl, dfr), how="inner")
             )
-            subs.append(
-                _extend(
-                    dfr.join(bl, on=_cond(bl, dfr), how="left_anti"), lfields
-                )
-            )
+        else:
+            inner = dfl.join(dfr, on=_cond(dfl, dfr), how="inner")
+        return [
+            inner,
+            _extend(
+                dfl.join(br, on=_cond(dfl, br), how="left_anti"), rfields
+            ),
+            _extend(
+                dfr.join(bl, on=_cond(bl, dfr), how="left_anti"), lfields
+            ),
+        ]
+
+    subs = _parallel_branches(_build_branch, branches)
     if keep_left and lnull:
         subs.append(_extend(_scan_l(lnull, left_filters), rfields))
     if keep_right and rnull:
@@ -1192,21 +1220,22 @@ def bucket_join_chain(
             df = _link(df, tables[i].to_df(spark).limit(0), i)
         return branch_fn(df) if branch_fn is not None else df
 
-    subs: list[DataFrame] = []
-    for branch in branches:
+    def _build_branch(branch) -> list[DataFrame]:
         fls = [
             [f for k in branch for f in per_side_groups[i].get(k, ())]
             for i in range(n)
         ]
         if any(not fl for fl in fls):
-            continue
+            return []
         df = _scan(0, fls[0])
         for i in range(1, n):
             dfr = _scan(i, fls[i])
             rbytes = sum(f.file_size_in_bytes for f in fls[i])
             side = F.broadcast(dfr) if rbytes <= max_broadcast_bytes else dfr
             df = _link(df, side, i)
-        subs.append(branch_fn(df) if branch_fn is not None else df)
+        return [branch_fn(df) if branch_fn is not None else df]
+
+    subs = _parallel_branches(_build_branch, branches)
     if not subs:
         return _empty()
     out = subs[0]
@@ -1265,12 +1294,15 @@ def bucket_agg(
         (k, sum(f.file_size_in_bytes for f in fl)) for k, fl in groups.items()
     ]
     branches = _pack_branches(keys_loads, max_branches)
-    subs: list[DataFrame] = []
-    for branch in branches:
-        fl = [f for k in branch for f in groups[k]]
-        subs.append(
-            _scan(fl).coalesce(1).groupBy(*group_cols).agg(*aggs)
-        )
+    subs = _parallel_branches(
+        lambda branch: [
+            _scan([f for k in branch for f in groups[k]])
+            .coalesce(1)
+            .groupBy(*group_cols)
+            .agg(*aggs)
+        ],
+        branches,
+    )
     if null_files:
         # all rows of these files have NULL in the bucket column — one
         # complete branch of their own (GROUP BY keeps the NULL group)
@@ -1534,10 +1566,12 @@ def bucket_apply(
         (k, sum(f.file_size_in_bytes for f in fl)) for k, fl in groups.items()
     ]
     branches = _pack_branches(keys_loads, max_branches)
-    subs = [
-        fn(_scan([f for k in branch for f in groups[k]]).coalesce(1))
-        for branch in branches
-    ]
+    subs = _parallel_branches(
+        lambda branch: [
+            fn(_scan([f for k in branch for f in groups[k]]).coalesce(1))
+        ],
+        branches,
+    )
     if null_files:
         # all rows of these files share a NULL key — one complete branch
         subs.append(fn(_scan(null_files).coalesce(1)))

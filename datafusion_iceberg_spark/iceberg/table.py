@@ -39,6 +39,7 @@ from datafusion_iceberg_spark.iceberg.pruning import (
     prune_manifests,
 )
 from datafusion_iceberg_spark.iceberg.stats import decode_stat
+from datafusion_iceberg_spark.session import local_df as _local_df
 
 
 class UnsupportedFileFormatError(ValueError):
@@ -1245,7 +1246,6 @@ class IcebergTable:
                             int(f.content_offset or 0),
                             int(f.content_size_in_bytes or 0),
                             tgt,
-                            0,
                         )
                     )
                     prior = old_dv.get(tgt)
@@ -1256,17 +1256,12 @@ class IcebergTable:
                                 int(prior.content_offset or 0),
                                 int(prior.content_size_in_bytes or 0),
                                 tgt,
-                                0,
                             )
                         )
-                delta = _decode_dv_frame(spark, new_dv_rows).select(
-                    "_del_file", "_del_pos"
-                )
+                delta = _decode_dv_frame(spark, new_dv_rows)
                 if old_dv_rows:
                     delta = delta.exceptAll(
-                        _decode_dv_frame(spark, old_dv_rows).select(
-                            "_del_file", "_del_pos"
-                        )
+                        _decode_dv_frame(spark, old_dv_rows)
                     )
                 tgt_paths = {r[3] for r in new_dv_rows}
                 tfs = [
@@ -1412,59 +1407,89 @@ def _apply_position_deletes(
     makes this moot for linear histories (a future file can't be named
     by an older delete), but branch/rollback/WAP histories CAN surface a
     same-path file at a later sequence — so delete files that are newer
-    than NO scanned data file they could target are filtered here, by
-    pairing each delete row with its target file's sequence."""
+    than NO scanned data file they could target are filtered out, by
+    pairing each delete row with its target file's sequence.
+
+    DV legs resolve BOTH rules driver-side (r15): a deletion vector
+    names its target (``referenced_data_file``) and both sequence
+    numbers are manifest state, so target-not-scanned and
+    newer-data-file vectors are dropped before any plan is built, and
+    the surviving vectors need no sequence join at all — a branch scan
+    (SPJ union, changelog leg) decodes only ITS files' vectors, and
+    across a union every vector is decoded exactly once.  Path-named
+    parquet delete files keep the executed sequence filter, against a
+    BROADCAST (path, seq) map — a local-list frame has no size
+    estimate, so the planner otherwise sorts and shuffles both sides
+    into a SortMergeJoin (3 Exchanges + 2 Sorts per scan, measured on
+    the DV gates at sf0.1)."""
     seqs = meta.snapshot_sequences()
     file_seq = (
         {meta.localize(f.path): _file_seq(seqs, f, -1) for f in files}
         if files
         else {}
     )
-    sides = []
+    pq_sides = []
     dv_rows = []
+    kept: list[DataFile] = []
     for d in deletes:
         if d.referenced_data_file is not None:
             # v3 deletion vector: one puffin blob per target data file,
             # decoded in executors (one task per DV batch) — the ranged
             # read shape a reader at scale uses
+            tgt = meta.localize(d.referenced_data_file)
+            dseq = _file_seq(seqs, d, 1 << 31)
+            if files:
+                fseq = file_seq.get(tgt)
+                if fseq is None:
+                    continue  # targets a file outside this scan
+                if fseq > dseq:
+                    continue  # data file is newer than the delete
             dv_rows.append(
                 (
                     meta.localize(d.path),
                     int(d.content_offset or 0),
                     int(d.content_size_in_bytes or 0),
-                    meta.localize(d.referenced_data_file),
-                    _file_seq(seqs, d, 1 << 31),
+                    tgt,
                 )
             )
+            kept.append(d)
             continue
         one = spark.read.parquet(meta.localize(d.path)).select(
             F.regexp_replace(F.col("file_path"), "^file:/*", "/").alias("_del_file"),
             F.col("pos").alias("_del_pos"),
             F.lit(_file_seq(seqs, d, 1 << 31)).cast("long").alias("_del_seq"),
         )
-        sides.append(one)
-    if dv_rows:
-        sides.append(_decode_dv_frame(spark, dv_rows))
-    pos = sides[0]
-    for s in sides[1:]:
-        pos = pos.unionByName(s)
-    if file_seq:
-        # metadata-sized map: one (path, seq) row per scanned data file
-        fs = spark.createDataFrame(
-            list(file_seq.items()), "_fs_path: string, _fs_seq: long"
-        )
-        pos = (
-            pos.join(fs, pos["_del_file"] == fs["_fs_path"], "left")
-            .filter(
-                F.col("_fs_seq").isNull()  # unknown target: conservative
-                | (F.col("_fs_seq") <= F.col("_del_seq"))
+        pq_sides.append(one)
+        kept.append(d)
+    if not dv_rows and not pq_sides:
+        return df
+    pos = None
+    if pq_sides:
+        pos = pq_sides[0]
+        for s in pq_sides[1:]:
+            pos = pos.unionByName(s)
+        if file_seq:
+            # metadata-sized map: one (path, seq) row per scanned file
+            fs = F.broadcast(
+                _local_df(
+                    spark,
+                    list(file_seq.items()),
+                    "_fs_path: string, _fs_seq: long",
+                )
             )
-            .select("_del_file", "_del_pos")
-        )
-    else:
+            pos = (
+                pos.join(fs, pos["_del_file"] == fs["_fs_path"], "left")
+                .filter(
+                    F.col("_fs_seq").isNull()  # unknown target: conservative
+                    | (F.col("_fs_seq") <= F.col("_del_seq"))
+                )
+            )
         pos = pos.select("_del_file", "_del_pos")
+    if dv_rows:
+        dv = _decode_dv_frame(spark, dv_rows)
+        pos = dv if pos is None else pos.unionByName(dv)
     total_rows = 0
-    for d in deletes:
+    for d in kept:
         if d.record_count is None:
             total_rows = None
             break
@@ -1497,11 +1522,15 @@ def _tune_listing_parallelism(spark: SparkSession, n_paths: int) -> None:
         pass
 
 
+
+
 def _decode_dv_frame(spark: SparkSession, dv_rows: list[tuple]) -> DataFrame:
-    """(puffin_path, offset, length, target_file, seq) rows → the
-    (_del_file, _del_pos, _del_seq) frame position-delete application
-    anti-joins against.  Blob decode runs in executors via mapInPandas —
-    the driver ships only the metadata-scale DV list."""
+    """(puffin_path, offset, length, target_file) rows → the
+    (_del_file, _del_pos) frame position-delete application anti-joins
+    against.  Blob decode runs in executors via mapInPandas — the driver
+    ships only the metadata-scale DV list.  Sequence filtering happened
+    driver-side (a DV names its target, so both seqs are known before
+    planning)."""
 
     def decode(batches):
         import pandas as pd
@@ -1512,19 +1541,17 @@ def _decode_dv_frame(spark: SparkSession, dv_rows: list[tuple]) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for p, off, ln, tgt, seq in pdf.itertuples(index=False):
+            for p, off, ln, tgt in pdf.itertuples(index=False):
                 for pos in read_dv_positions(p, int(off), int(ln)):
-                    rows.append((tgt, pos, int(seq)))
-            yield pd.DataFrame(
-                rows, columns=["_del_file", "_del_pos", "_del_seq"]
-            )
+                    rows.append((tgt, pos))
+            yield pd.DataFrame(rows, columns=["_del_file", "_del_pos"])
 
-    inp = spark.createDataFrame(
-        dv_rows, "p string, o long, l long, tgt string, seq long"
-    )
-    return inp.repartition(max(1, min(len(dv_rows), 64))).mapInPandas(
-        decode, "_del_file string, _del_pos long, _del_seq long"
-    )
+    inp = _local_df(spark, dv_rows, "p string, o long, l long, tgt string")
+    if len(dv_rows) > 1:
+        # spread blob decodes one-per-task; a single vector skips the
+        # round-robin Exchange (one fewer stage per scan)
+        inp = inp.repartition(min(len(dv_rows), 64))
+    return inp.mapInPandas(decode, "_del_file string, _del_pos long")
 
 
 def _compact_read_paths(paths: list[str], threshold: int = 64) -> list[str]:
@@ -1621,7 +1648,7 @@ def _apply_equality_deletes(
         (meta.localize(f.path), _file_seq(seqs, f, -1)) for f in files
     ]
     seq_df = F.broadcast(
-        spark.createDataFrame(seq_rows, "_seq_path: string, _ice_seq: long")
+        _local_df(spark, seq_rows, "_seq_path: string, _ice_seq: long")
     )
     df = df.join(
         seq_df,

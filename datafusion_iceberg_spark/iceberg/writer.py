@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from datafusion_iceberg_spark.iceberg.avro import write_avro_file
 from datafusion_iceberg_spark.iceberg.metadata import spark_type_to_iceberg
 from datafusion_iceberg_spark.iceberg.stats import encode_stat
+from datafusion_iceberg_spark.session import local_df
 
 # --- Avro schemas for manifest + manifest list (Iceberg v1 spec layout,
 # required fields only — our reader and the spec's optional-field rules
@@ -3102,7 +3103,7 @@ class IcebergWriter:
 
         n_slices = min(len(all_paths), 4 * (spark.sparkContext.defaultParallelism or 8))
         rows = (
-            spark.createDataFrame([(p,) for p in all_paths], "path string")
+            local_df(spark, [(p,) for p in all_paths], "path string")
             .repartition(n_slices)
             .mapInPandas(stat_batches, "path string, stats binary")
             .collect()
@@ -4115,7 +4116,7 @@ class IcebergWriter:
         # live-path set as a (metadata-sized) frame, not an isin literal
         # list — a 100k-file table would otherwise inline 100k strings
         # into one expression
-        live_df = spark.createDataFrame(
+        live_df = local_df(spark, 
             [(meta.localize(f.path),) for f in table.files()],
             "file_path: string",
         )
@@ -5657,7 +5658,7 @@ class IcebergWriter:
         if not candidates:
             # nothing can match: the whole merge is the insert branch
             # (still clause-routed: conditions + explicit column lists)
-            del_rows = spark.createDataFrame([], "file_path string, pos long")
+            del_rows = local_df(spark, [], "file_path string, pos long")
             new_rows = self._merge_insert_frame(
                 src, clauses, dtypes_map, cols
             )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from datafusion_iceberg_spark.registry import ORACLES, QUERIES, register
+from datafusion_iceberg_spark.session import local_df
 
 _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -99,4 +100,4 @@ def meta_registry_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_iceberg_spark import registry
 
     registry.load_all_modules()
-    return spark.createDataFrame(registry_violations(), _VIOLATION_SCHEMA)
+    return local_df(spark, registry_violations(), _VIOLATION_SCHEMA)

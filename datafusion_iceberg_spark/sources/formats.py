@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from datafusion_iceberg_spark.iceberg.queries import SCRATCH
 from datafusion_iceberg_spark.registry import register
 from datafusion_iceberg_spark.tables import load_table
+from datafusion_iceberg_spark.session import local_df
 
 _lock = threading.Lock()
 
@@ -177,7 +178,7 @@ def source_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = [r.asDict() for r in nation.collect()]
             write_avro_file(path, schema, rows)
     _, records = read_avro_file(path)
-    df = spark.createDataFrame(records, schema=nation.schema)
+    df = local_df(spark, records, schema=nation.schema)
     return (
         df.groupBy("n_regionkey")
         .agg(
