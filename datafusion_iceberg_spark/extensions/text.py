@@ -454,6 +454,9 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach the aggregation.  Shuffling full n-gram strings of the corpus
     is never needed in the intended regime."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOT cached (r15): materializing the exploded shingle frame costs
+    # more than re-running the codegen explode per consumer (measured:
+    # 2.1 s -> 3.5 s with a scoped cache at sf0.1)
     ngrams = docs.select(
         "doc_id",
         F.explode(
@@ -1160,49 +1163,66 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("ts"),
         F.size(F.split("text", " ")).alias("n"),
     )
-    quality = base.select(
-        "doc_id",
+    quality_col = (
         F.when(
             F.col("n").between(10, 1000)
             & (F.size(F.array_distinct("ts")) * 1.0 / F.col("n") > 0.05),
             1,
         )
         .otherwise(0)
-        .alias("q"),
+        .alias("q")
     )
 
-    def grams(k: int) -> DataFrame:
-        return base.filter(F.col("n") >= k).select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(ts) - {k}), "
-                    f"i -> concat_ws(' ', {', '.join(f'ts[i+{j}]' for j in range(k))}))"
-                )
-            ).alias("g"),
+    # Per-doc repetition stats are LOCAL to each document's row, so the
+    # former explode → groupBy(doc_id, gram) → groupBy(doc_id) → join
+    # pipeline (two corpus-wide shuffles of full gram STRINGS, guide
+    # §2.3/§2.4) collapses to map-side sorted-run folds: sort the doc's
+    # k-gram array, then one aggregate() pass computes the max
+    # multiplicity (run length) and the duplicated-gram mass.  Results
+    # are identical by construction — equal strings sort adjacent, so a
+    # run IS a gram's count.
+    def _gram_arr(k: int) -> str:
+        parts = ", ".join(f"ts[i+{j}]" for j in range(k))
+        return (
+            f"IF(size(ts) >= {k},"
+            f" array_sort(transform(sequence(0, size(ts) - {k}),"
+            f" i -> concat_ws(' ', {parts}))),"
+            " array())"
         )
 
-    c2 = grams(2).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    top2 = c2.groupBy("doc_id").agg(F.max("c").alias("mx"))
-    c3 = grams(3).groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-    dup3 = c3.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_n"),
-        F.sum("c").alias("tot_n"),
-    )
-    rep = (
-        base.select("doc_id", "n")
-        .join(top2, "doc_id")
-        .join(dup3, "doc_id")
-        .select(
-            "doc_id",
-            F.when(
-                (F.col("mx") * 2.0 / F.col("n") <= 0.20)
-                & (F.col("dup_n") * 1.0 / F.col("tot_n") <= 0.30),
-                1,
-            )
-            .otherwise(0)
-            .alias("r"),
+    def _run_fold(col: str):
+        # fold positions 1..m-1 of the sorted gram COLUMN (bound once
+        # per row — inlining the sort into the lambda would re-sort per
+        # element access), tracking current run, max run and duplicated
+        # mass; the finisher flushes the last run.  m <= 1 has no fold
+        # steps (sequence(1, 0) counts DOWN in Spark, so guard it).
+        fold = (
+            f"aggregate(sequence(1, size({col}) - 1),"
+            " named_struct('run', 1L, 'mx', 1L, 'dup', 0L),"
+            f" (acc, i) -> IF({col}[i] = {col}[i-1],"
+            "   named_struct('run', acc.run + 1L,"
+            "                'mx', greatest(acc.mx, acc.run + 1L),"
+            "                'dup', acc.dup),"
+            "   named_struct('run', 1L, 'mx', acc.mx,"
+            "                'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L))),"
+            " acc -> named_struct("
+            "   'mx', acc.mx,"
+            "   'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L)))"
         )
+        return (
+            f"IF(size({col}) > 1, {fold},"
+            " named_struct('mx', 1L, 'dup', 0L))"
+        )
+
+    rep_col = (
+        F.when(
+            (F.col("n") >= 3)
+            & (F.col("_rs2")["mx"] * 2.0 / F.col("n") <= 0.20)
+            & (F.col("_rs3")["dup"] * 1.0 / (F.col("n") - 2) <= 0.30),
+            1,
+        )
+        .otherwise(0)
+        .alias("r")
     )
     sh = docs.select(
         "doc_id",
@@ -1251,10 +1271,15 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_cont", F.lit(1))
     )
+    # quality and repetition are per-row columns now — only the two
+    # genuinely cross-document stages (boilerplate spans, benchmark
+    # contamination) remain joins
     flags = (
-        base.select("doc_id", "text")
-        .join(quality, "doc_id")
-        .join(rep, "doc_id", "left")
+        base.withColumn("_gs2", F.expr(_gram_arr(2)))
+        .withColumn("_gs3", F.expr(_gram_arr(3)))
+        .withColumn("_rs2", F.expr(_run_fold("_gs2")))
+        .withColumn("_rs3", F.expr(_run_fold("_gs3")))
+        .select("doc_id", "text", quality_col, rep_col)
         .join(boil, "doc_id", "left")
         .join(contaminated, "doc_id", "left")
         .select(

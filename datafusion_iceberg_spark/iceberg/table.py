@@ -484,7 +484,7 @@ class IcebergTable:
         if eq_deletes is None:
             eq_deletes = self.equality_delete_files()
         if not files:
-            return spark.createDataFrame([], st)
+            return _local_df(spark, [], st)
 
         # file_format guard (spec field, manifests.py:179): the reference
         # wires parquet only (table.rs:291 ParquetFormat) and hands any
@@ -906,8 +906,8 @@ class IcebergTable:
             spellings.append((p, first, seq))
             spellings.append((f"file://{p}", first, seq))
             spellings.append((f"file:{p}", first, seq))
-        lin = spark.createDataFrame(
-            spellings, "_lin_path string, _lin_first long, _lin_seq long"
+        lin = _local_df(
+            spark, spellings, "_lin_path string, _lin_first long, _lin_seq long"
         )
         out = df.join(
             F.broadcast(lin), df["_ice_file"] == lin["_lin_path"], "left"
@@ -1343,7 +1343,7 @@ class IcebergTable:
                     T.StructField("_change_ordinal", T.IntegerType()),
                 ]
             )
-            return spark.createDataFrame([], st)
+            return _local_df(spark, [], st)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
@@ -1358,7 +1358,11 @@ class IcebergTable:
             # streaming CDC source applies bucket-locally)
             ident = ["_row_id"] if with_row_lineage else key_cols
             w = Window.partitionBy(*ident, "_change_ordinal")
-            both = F.size(F.collect_set("_change_type").over(w)) == 2
+            # only 'insert'/'delete' exist at this point, so "both kinds
+            # present" is min != max — no per-row set materialization
+            both = (
+                F.min("_change_type").over(w) != F.max("_change_type").over(w)
+            )
             out = out.withColumn(
                 "_change_type",
                 F.when(
