@@ -1189,9 +1189,17 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("corpus_id"),
         F.posexplode("band_hashes").alias("band_id", "band_hash"),
     )
-    b_bands = minhash_band_hashes(batch).select(
-        F.col("doc_id").alias("batch_id"),
-        F.posexplode("band_hashes").alias("band_id", "band_hash"),
+    from datafusion_iceberg_spark.caching import scoped_cache
+
+    # the batch signature kernel (md5 per shingle × 8 permutations)
+    # feeds both the bucket-cap union and the candidate join; the band
+    # frame is three numeric columns, so caching it is cheaper than a
+    # second kernel pass
+    b_bands = scoped_cache(
+        minhash_band_hashes(batch).select(
+            F.col("doc_id").alias("batch_id"),
+            F.posexplode("band_hashes").alias("band_id", "band_hash"),
+        )
     )
     # bucket cap over the union of both sides (same fence as the
     # standalone LSH: a degenerate bucket cannot go quadratic)
@@ -1814,6 +1822,14 @@ def exact_substring_spans(docs: DataFrame, width: int = 8) -> DataFrame:
             "documents above 1M words first') END"
         ),
     )
+    # occ feeds BOTH the spread aggregate and the join probe; it is
+    # narrow (five numeric columns — the gram string never leaves the
+    # mapper), so caching it is cheap and saves the second full
+    # shingle+md5 pass (unlike the funnel's exploded STRING frames,
+    # where materialization cost more than recompute — PERF_NOTES r15)
+    from datafusion_iceberg_spark.caching import scoped_cache
+
+    occ = scoped_cache(occ)
     spread = occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"), F.min("packed").alias("keep")
     )
