@@ -151,6 +151,24 @@ _MINHASH_A = (_rng.randint(1, 2**31, size=NUM_HASHES).astype(_np.uint64) * 2 + 1
 _MASK61 = _np.uint64((1 << 61) - 1)
 
 
+# Worker-resident token-hash cache (guide §4.5): the md5 token hash is
+# pure, vocabularies repeat heavily across batches, and reused Python
+# workers (spark.python.worker.reuse, default on) keep module globals —
+# so hash each distinct token once per WORKER, not once per Arrow batch.
+# PID-guarded: a forked worker must not inherit a parent's dict object
+# mid-mutation.  Bounded so a pathological vocabulary cannot grow RSS.
+_TOK_CACHE: dict = {"pid": None, "map": {}}
+_TOK_CACHE_MAX = 1 << 20
+
+
+def _worker_tok_cache() -> dict:
+    pid = os.getpid()
+    if _TOK_CACHE["pid"] != pid or len(_TOK_CACHE["map"]) > _TOK_CACHE_MAX:
+        _TOK_CACHE["pid"] = pid
+        _TOK_CACHE["map"] = {}
+    return _TOK_CACHE["map"]
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _minhash_bands(texts: pd.Series) -> pd.Series:
     """One Arrow-batched pass per document: shingle → hash (md5-derived,
@@ -163,7 +181,7 @@ def _minhash_bands(texts: pd.Series) -> pd.Series:
     interpreted per element, while this runs one (K × n_shingles) numpy
     broadcast per doc.
     """
-    tok_cache: dict[str, int] = {}
+    tok_cache = _worker_tok_cache()
     out = []
     _P = _np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mix constant
     for text in texts:
@@ -535,7 +553,7 @@ def simhash64(texts: pd.Series) -> pd.Series:
     corpora)."""
     import numpy as np
 
-    cache: dict[str, int] = {}
+    cache = _worker_tok_cache()
     shifts = np.arange(64, dtype=np.uint64)
     out = []
     for text in texts:
