@@ -257,8 +257,13 @@ def main() -> None:
     # Soft wall-clock budget: finish the pass in flight but start no new
     # pass beyond it — a loaded host (this VM shows 10-30x jitter under
     # contention, PERF_NOTES.md) must degrade to fewer passes, not a
-    # harness timeout with no output at all.
-    BUDGET_S = 420.0
+    # harness timeout with no output at all.  Scaled with the headline
+    # count (VERDICT r15 #3: the fixed 420 s fit 138 queries x 3 passes
+    # but silently degraded min-of-3 to min-of-1/2 once the set grew to
+    # 147 under load): ~3.5 s/query covers three ~1.1 s/query passes
+    # with slack.  n_passes below makes any remaining degradation loud.
+    BUDGET_S = max(420.0, 3.5 * len(HEADLINE))
+    n_passes = 0
     for _pass in range(3):
         if _pass > 0 and time.perf_counter() - bench_start > BUDGET_S:
             break
@@ -276,6 +281,7 @@ def main() -> None:
                 timings.setdefault(name, round(dt, 3))
             else:
                 timings[name] = round(min(timings.get(name, dt), dt), 3)
+        n_passes = _pass + 1
 
     total = round(sum(timings.values()), 3)
     # Host-contention stamp (VERDICT r11 #7): round-over-round totals have
@@ -288,6 +294,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n_passes": n_passes,
         "loadavg": loadavg,
         "contended": contended,
         "sf": sf,
@@ -310,6 +317,7 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
+        "n_passes": n_passes,
         "loadavg": loadavg,
         "contended": contended,
         "queries_file": "bench_result.json",
