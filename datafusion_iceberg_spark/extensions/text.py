@@ -7,8 +7,9 @@ in the row path, so these run at full codegen speed over 100 TB of text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datafusion_iceberg_spark.registry import register
 from datafusion_iceberg_spark.tables import load_table, scale_out
@@ -1024,18 +1025,24 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    shared = (
-        sh.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h", F.lit(1).alias("is_shared"))
-    )
+    # One pass over (h, doc_id) groups + a count window instead of a
+    # count-distinct aggregate self-joined back onto the shingle frame
+    # (guide §2.4: the join's probe side re-computed the explode).  A
+    # (h, doc_id) group row is one distinct sharer of h, so rows-per-h
+    # > 1 equals COUNT(DISTINCT doc_id) > 1, and per-doc span counts
+    # are the sums of the group counts.  Measured on the funnel's
+    # identical leg: 1.40 → 0.93 s at sf0.1.
+    d1 = sh.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
     per_doc = (
-        sh.join(shared, "h", "left")
+        d1.withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).alias("n_shared"),
+            F.sum("c").alias("n_spans"),
+            F.sum(
+                F.when(F.col("nd") > 1, F.col("c")).otherwise(0)
+            ).alias("n_shared"),
         )
     )
     return per_doc.select(
@@ -1046,6 +1053,58 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boilerplate_frac"
         ),
     ).orderBy("doc_id")
+
+
+# Per-document quality + Gopher-repetition flags in one Arrow-vectorized
+# pass (guide §4.2): counts are exact integers from hash maps over the
+# token list, and the flag thresholds use the same IEEE-double arithmetic
+# Catalyst evaluates, so the flags are bit-identical to the SQL spelling
+# the oracle replays (mx2 = max 2-gram multiplicity, dup3 = total count
+# of duplicated 3-gram instances, tot3 = n - 2 grams).  Serving the
+# funnel's map-side stage; defined at module level so reused Python
+# workers keep the deserialized function across tasks (guide §4.5).
+def _funnel_qr_kernel(ts):
+    import pandas as pd
+    from collections import Counter
+
+    qs, rs = [], []
+    for toks in ts:
+        toks = list(toks)
+        n = len(toks)
+        q = 1 if (10 <= n <= 1000 and len(set(toks)) * 1.0 / n > 0.05) else 0
+        if n >= 3:
+            mx2 = max(Counter(zip(toks, toks[1:])).values())
+            dup3 = sum(
+                c
+                for c in Counter(zip(toks, toks[1:], toks[2:])).values()
+                if c > 1
+            )
+            r = (
+                1
+                if (
+                    mx2 * 2.0 / n <= 0.20
+                    and dup3 * 1.0 / (n - 2) <= 0.30
+                )
+                else 0
+            )
+        else:
+            r = 0
+        qs.append(q)
+        rs.append(r)
+    return pd.DataFrame({"q": qs, "r": rs})
+
+
+# explicit StructType: a DDL-string return type would be parsed at
+# import time, which needs an active SparkContext the registry's module
+# load cannot assume
+_funnel_qr = F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("q", T.IntegerType()),
+            T.StructField("r", T.IntegerType()),
+        ]
+    )
+)(_funnel_qr_kernel)
 
 
 @register(
@@ -1163,67 +1222,23 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("ts"),
         F.size(F.split("text", " ")).alias("n"),
     )
-    quality_col = (
-        F.when(
-            F.col("n").between(10, 1000)
-            & (F.size(F.array_distinct("ts")) * 1.0 / F.col("n") > 0.05),
-            1,
-        )
-        .otherwise(0)
-        .alias("q")
-    )
+    # Quality + repetition flags are per-document, computed by ONE
+    # Arrow-vectorized kernel pass (guide §4.2): r15's map-side
+    # aggregate() folds removed the corpus-wide gram shuffles (the right
+    # trade per §2.3) but burned interpreted per-element expression CPU
+    # that extra cores don't absorb — whole-query 2.79 s (r14 exploded)
+    # → 3.9-4.3 s (folds).  The kernel keeps the zero-shuffle shape and
+    # moves the per-doc counting into hash maps over the token batch
+    # (measured leg A/B, min-of-4 at sf0.1: folds 0.90 s → kernel
+    # 0.38 s; whole query 3.58 → ~2.4 s).  Flags are bit-identical:
+    # integer counts and the same IEEE-double threshold arithmetic.
 
-    # Per-doc repetition stats are LOCAL to each document's row, so the
-    # former explode → groupBy(doc_id, gram) → groupBy(doc_id) → join
-    # pipeline (two corpus-wide shuffles of full gram STRINGS, guide
-    # §2.3/§2.4) collapses to map-side sorted-run folds: sort the doc's
-    # k-gram array, then one aggregate() pass computes the max
-    # multiplicity (run length) and the duplicated-gram mass.  Results
-    # are identical by construction — equal strings sort adjacent, so a
-    # run IS a gram's count.
-    def _gram_arr(k: int) -> str:
-        parts = ", ".join(f"ts[i+{j}]" for j in range(k))
-        return (
-            f"IF(size(ts) >= {k},"
-            f" array_sort(transform(sequence(0, size(ts) - {k}),"
-            f" i -> concat_ws(' ', {parts}))),"
-            " array())"
-        )
-
-    def _run_fold(col: str):
-        # fold positions 1..m-1 of the sorted gram COLUMN (bound once
-        # per row — inlining the sort into the lambda would re-sort per
-        # element access), tracking current run, max run and duplicated
-        # mass; the finisher flushes the last run.  m <= 1 has no fold
-        # steps (sequence(1, 0) counts DOWN in Spark, so guard it).
-        fold = (
-            f"aggregate(sequence(1, size({col}) - 1),"
-            " named_struct('run', 1L, 'mx', 1L, 'dup', 0L),"
-            f" (acc, i) -> IF({col}[i] = {col}[i-1],"
-            "   named_struct('run', acc.run + 1L,"
-            "                'mx', greatest(acc.mx, acc.run + 1L),"
-            "                'dup', acc.dup),"
-            "   named_struct('run', 1L, 'mx', acc.mx,"
-            "                'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L))),"
-            " acc -> named_struct("
-            "   'mx', acc.mx,"
-            "   'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L)))"
-        )
-        return (
-            f"IF(size({col}) > 1, {fold},"
-            " named_struct('mx', 1L, 'dup', 0L))"
-        )
-
-    rep_col = (
-        F.when(
-            (F.col("n") >= 3)
-            & (F.col("_rs2")["mx"] * 2.0 / F.col("n") <= 0.20)
-            & (F.col("_rs3")["dup"] * 1.0 / (F.col("n") - 2) <= 0.30),
-            1,
-        )
-        .otherwise(0)
-        .alias("r")
-    )
+    # The cross-document boilerplate leg keeps the explode, but counts
+    # distinct sharers with one pass over (h, doc_id) groups + a window
+    # instead of a count-distinct aggregate + self-join (guide §2.4:
+    # the join re-computed the shingle explode on its probe side).
+    # A (h, doc_id) group row IS one distinct sharer, so rows-per-h > 1
+    # equals COUNT(DISTINCT doc_id) > 1.  Measured 1.40 → 0.93 s.
     sh = docs.select(
         "doc_id",
         F.explode(
@@ -1233,20 +1248,16 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    shared = (
-        sh.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h", F.lit(1).alias("is_shared"))
-    )
+    d1 = sh.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     boil = (
-        sh.join(shared, "h", "left")
+        d1.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             F.when(
-                F.sum(F.coalesce(F.col("is_shared"), F.lit(0)))
+                F.sum(F.when(F.col("nd") > 1, F.col("c")).otherwise(0))
                 * 1.0
-                / F.count(F.lit(1))
+                / F.sum("c")
                 <= 0.5,
                 1,
             )
@@ -1271,15 +1282,17 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_cont", F.lit(1))
     )
-    # quality and repetition are per-row columns now — only the two
-    # genuinely cross-document stages (boilerplate spans, benchmark
-    # contamination) remain joins
+    # quality and repetition are per-row columns (one ArrowEvalPython
+    # over the token array) — only the two genuinely cross-document
+    # stages (boilerplate spans, benchmark contamination) remain joins
     flags = (
-        base.withColumn("_gs2", F.expr(_gram_arr(2)))
-        .withColumn("_gs3", F.expr(_gram_arr(3)))
-        .withColumn("_rs2", F.expr(_run_fold("_gs2")))
-        .withColumn("_rs3", F.expr(_run_fold("_gs3")))
-        .select("doc_id", "text", quality_col, rep_col)
+        base.withColumn("_qr", _funnel_qr("ts"))
+        .select(
+            "doc_id",
+            "text",
+            F.col("_qr.q").alias("q"),
+            F.col("_qr.r").alias("r"),
+        )
         .join(boil, "doc_id", "left")
         .join(contaminated, "doc_id", "left")
         .select(
