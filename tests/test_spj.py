@@ -94,10 +94,12 @@ def test_bucket_join_byte_identical_to_plain_join(spark, wh):
     assert len(got) > 0
 
 
-def test_bucket_join_plan_has_zero_exchange_on_join_keys(spark, wh):
+def test_bucket_join_plan_has_zero_exchange_on_join_keys(spark, wh, monkeypatch):
     """THE property: no shuffle Exchange hash-partitioning on the join
-    keys anywhere in the plan — the join runs as a Union of per-bucket
-    BroadcastHashJoins over per-bucket file groups."""
+    keys anywhere in the plan — the union path (collapse forced off)
+    runs as a Union of per-bucket BroadcastHashJoins over per-bucket
+    file groups."""
+    monkeypatch.setenv("SPARK_GRAFT_SPJ_COLLAPSE", "0")
     o8 = wh.load("spj.orders8")
     li16 = wh.load("spj.li16")
     spj = bucket_join(spark, o8, li16, "o_orderkey", "l_orderkey")
@@ -116,6 +118,35 @@ def test_bucket_join_plan_has_zero_exchange_on_join_keys(spark, wh):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", aplan):
         assert "o_orderkey" not in m.group(1)
         assert "l_orderkey" not in m.group(1)
+
+
+def test_bucket_join_collapses_to_single_broadcast_join(spark, wh):
+    """r16 whole-side broadcast collapse (guide §3.1): when one side's
+    ENTIRE participating file set fits under the broadcast ceiling, the
+    union of per-branch joins collapses to ONE BroadcastHashJoin — same
+    rows, zero Exchange on the join keys, |branches|× fewer broadcast
+    jobs."""
+    o8 = wh.load("spj.orders8")
+    li16 = wh.load("spj.li16")
+    spj = bucket_join(spark, o8, li16, "o_orderkey", "l_orderkey")
+    plan = plan_string(spj)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "Union" not in plan
+    assert "SortMergeJoin" not in plan
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "o_orderkey" not in m.group(1)
+        assert "l_orderkey" not in m.group(1)
+    # row-identical to the forced union path
+    import os as _os
+
+    _os.environ["SPARK_GRAFT_SPJ_COLLAPSE"] = "0"
+    try:
+        union = bucket_join(spark, o8, li16, "o_orderkey", "l_orderkey")
+        assert sorted(map(tuple, spj.collect())) == sorted(
+            map(tuple, union.collect())
+        )
+    finally:
+        _os.environ.pop("SPARK_GRAFT_SPJ_COLLAPSE", None)
 
 
 def test_bucket_join_filters_push_into_bucket_scans(spark, wh):
@@ -282,7 +313,9 @@ def test_bucketed_sig_store_join_zero_exchange_on_band_hash(spark, sf_dir):
     plan = plan_string(j)
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "band_hash" not in m.group(1)
-    assert plan.count("BroadcastHashJoin") >= 2
+    # r16: whole-side collapse yields ONE BroadcastHashJoin when a side
+    # fits the ceiling; the union shape survives behind the env switch
+    assert plan.count("BroadcastHashJoin") >= 1
 
 
 def test_bucketed_sig_gate_matches_incremental_gate(spark, sf_dir):
@@ -504,7 +537,8 @@ def test_composite_key_join_matches_plain(spark, comp_wh, how):
     assert len(want) > 0
 
 
-def test_composite_key_join_zero_exchange_on_keys(spark, comp_wh):
+def test_composite_key_join_zero_exchange_on_keys(spark, comp_wh, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SPJ_COLLAPSE", "0")
     lt, rt = comp_wh.load("c.l"), comp_wh.load("c.r")
     spj = bucket_join(spark, lt, rt, ["k", "g"])
     plan = plan_string(spj)

@@ -85,13 +85,29 @@ JOIN_Q = (
 )
 
 
-def test_join_routes_zero_exchange_and_byte_identical(spark, wh):
+def test_join_routes_zero_exchange_and_byte_identical(spark, wh, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SPJ_COLLAPSE", "0")
     routed = wh.sql(spark, JOIN_Q)
     plan = plan_string(routed)
     assert "Union" in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert not _key_exchanges(routed, "o_orderkey", "l_orderkey")
     # WHERE pushes into the branch parquet scans through the Union
+    assert "PushedFilters" in plan
+    got = _rows(routed)
+    want = _rows(_plain(wh, spark, JOIN_Q))
+    assert got == want and len(got) > 0
+
+
+def test_join_routes_collapsed_by_default(spark, wh):
+    """r16 whole-side broadcast collapse: the routed join defaults to a
+    single BroadcastHashJoin (no Union) when a side fits the ceiling —
+    rows byte-identical to plain Spark, zero Exchange on the keys."""
+    routed = wh.sql(spark, JOIN_Q)
+    plan = plan_string(routed)
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "Union" not in plan
+    assert not _key_exchanges(routed, "o_orderkey", "l_orderkey")
     assert "PushedFilters" in plan
     got = _rows(routed)
     want = _rows(_plain(wh, spark, JOIN_Q))
@@ -250,8 +266,10 @@ def test_script_and_dml_paths_unaffected(spark, wh):
 
 def test_registered_gates_actually_route(spark, sf_dir):
     """The driver gates' SQL text must ROUTE, not silently fall back:
-    the join gate plans a Union of BroadcastHashJoins with zero
-    join-key Exchange, the agg gate plans zero hash Exchange anywhere."""
+    the join gate plans a broadcast join with zero join-key Exchange
+    (collapsed to ONE BroadcastHashJoin by default, a Union of them
+    when collapse is off), the agg gate plans zero hash Exchange
+    anywhere."""
     from datafusion_iceberg_spark.iceberg.queries import (
         iceberg_spj_sql_agg,
         iceberg_spj_sql_join,
@@ -259,7 +277,8 @@ def test_registered_gates_actually_route(spark, sf_dir):
 
     j = iceberg_spj_sql_join(spark, sf_dir)
     jp = plan_string(j)
-    assert "Union" in jp and jp.count("BroadcastHashJoin") >= 2
+    assert jp.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in jp
     assert not _key_exchanges(j, "o_orderkey", "l_orderkey")
     assert j.count() > 0
 
@@ -437,7 +456,8 @@ def test_join_select_distinct_routes_and_degrades(spark, wh):
     )
     routed2 = wh.sql(spark, q2)
     plan2 = plan_string(routed2)
-    assert "Union" in plan2  # join routed via splice
+    # join routed via splice (collapsed to one BroadcastHashJoin)
+    assert plan2.count("BroadcastHashJoin") >= 1
     assert not _key_exchanges(routed2, "o_orderkey", "l_orderkey")
     assert "Exchange hashpartitioning" in plan2  # the dedup, by design
     assert _rows(routed2) == _rows(_plain(wh, spark, q2))
@@ -611,6 +631,7 @@ def test_time_travel_join_routes(spark, wh):
         "GROUP BY o.o_orderstatus ORDER BY o_orderstatus"
     )
     routed = wh.sql(spark, q)
-    assert "Union" in plan_string(routed)
+    # collapsed by default: one BroadcastHashJoin, no join-key Exchange
+    assert plan_string(routed).count("BroadcastHashJoin") >= 1
     assert not _key_exchanges(routed, "o_orderkey", "l_orderkey")
     assert _rows(routed) == _rows(_plain(wh, spark, q))
