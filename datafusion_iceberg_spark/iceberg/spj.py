@@ -1431,6 +1431,35 @@ def bucket_agg(
 
 GROUPED_AGG_FNS = ("count", "sum", "min", "max", "avg")
 
+_SIMPLE_CMP_RE = re.compile(
+    r"^\s*([A-Za-z_]\w*)\s*(>=|<=|!=|<>|==|=|>|<)\s*"
+    r"(-?\d+\.\d+|-?\d+|'[^']*')\s*$"
+)
+
+
+def _parse_simple_pred(sql: str, fields: dict) -> "Optional[list[tuple]]":
+    """SQL filter text → conjunctive (col, op, literal) tuples when the
+    filter is a plain AND of column-vs-literal comparisons over known
+    columns; None for anything else (the caller falls back to the exact
+    JVM filter).  SQL comparison semantics are preserved: NULL compares
+    to NULL and is dropped, which is exactly pyarrow's filter default."""
+    if re.search(r"[()]|\bOR\b|\bNOT\b|\bIN\b|\bLIKE\b", sql, re.I):
+        return None
+    out: list[tuple] = []
+    for part in re.split(r"\bAND\b", sql, flags=re.I):
+        m = _SIMPLE_CMP_RE.match(part)
+        if m is None or m.group(1) not in fields:
+            return None
+        raw = m.group(3)
+        if raw.startswith("'"):
+            val: Any = raw[1:-1]
+        elif "." in raw:
+            val = float(raw)
+        else:
+            val = int(raw)
+        out.append((m.group(1), m.group(2), val))
+    return out or None
+
 
 def bucket_agg_grouped(
     spark: SparkSession,
@@ -1539,75 +1568,13 @@ def bucket_agg_grouped(
     agg_spec = list(spec)
 
     def agg_partition(batches):
-        import pyarrow as pa
-        import pyarrow.compute as pc
+        from datafusion_iceberg_spark.sources.iceberg_datasource import (
+            _arrow_grouped_agg,
+        )
 
-        # per-fn partial aggregates and their combine re-aggregates
-        partial_aggs: list[tuple] = []
-        for name, fn, col in agg_spec:
-            if fn == "count" and col is None:
-                partial_aggs.append(([], "count_all"))
-            elif fn == "count":
-                partial_aggs.append((col, "count"))
-            elif fn == "avg":
-                partial_aggs.append((col, "sum"))
-                partial_aggs.append((col, "count"))
-            else:
-                partial_aggs.append((col, fn))
-        # deduplicate identical partials, remember arrow output names
-        seen: dict[str, tuple] = {}
-        for p in partial_aggs:
-            pname = "count_all" if p[1] == "count_all" else f"{p[0]}_{p[1]}"
-            seen.setdefault(pname, p)
-        plist = list(seen.values())
-        combine_fn = {"count_all": "sum", "count": "sum", "sum": "sum",
-                      "min": "min", "max": "max"}
-
-        acc = None
-        for batch in batches:
-            t = pa.Table.from_batches([batch])
-            part = t.group_by(gcols, use_threads=False).aggregate(plist)
-            if acc is None:
-                acc = part
-            else:
-                both = pa.concat_tables(
-                    [acc, part], promote_options="permissive"
-                )
-                re_aggs = []
-                rename = {}
-                for pname, p in seen.items():
-                    cf = combine_fn[p[1]]
-                    re_aggs.append((pname, cf))
-                    rename[f"{pname}_{cf}"] = pname
-                acc = both.group_by(gcols, use_threads=False).aggregate(
-                    re_aggs
-                )
-                acc = acc.rename_columns(
-                    [rename.get(c, c) for c in acc.column_names]
-                )
-        if acc is None or acc.num_rows == 0:
-            return
-        cols = [acc.column(c) for c in gcols]
-        for name, fn, col in agg_spec:
-            if fn == "count" and col is None:
-                cols.append(acc.column("count_all"))
-            elif fn == "avg":
-                s = acc.column(f"{col}_sum")
-                n = acc.column(f"{col}_count")
-                cols.append(
-                    pc.if_else(
-                        pc.equal(n, 0),
-                        pa.nulls(acc.num_rows, pa.float64()),
-                        pc.divide(
-                            pc.cast(s, pa.float64()),
-                            pc.cast(n, pa.float64()),
-                        ),
-                    )
-                )
-            else:
-                cols.append(acc.column(f"{col}_{fn}"))
-        out = pa.table(cols, names=[*gcols, *[s0[0] for s0 in agg_spec]])
-        yield from out.cast(arrow_out).to_batches()
+        yield from _arrow_grouped_agg(
+            batches, gcols, agg_spec, None, arrow_out
+        )
 
     if filter_expr is not None:
         if isinstance(filter_expr, str):
@@ -1626,11 +1593,46 @@ def bucket_agg_grouped(
         spark.read.format("iceberg_py")
         .option("path", table.metadata.root)
         .option("group_partitions_by", kcol)
-        .option("columns", ",".join(need))
     )
     if snapshot_id is not None:
         reader = reader.option("snapshot_id", str(snapshot_id))
-    df = reader.load()
+
+    # Fused path (guide §4, r16): when the filter is absent or a simple
+    # conjunction of column-vs-literal comparisons, the whole
+    # filter+aggregate runs INSIDE the DataSource reader — every fact
+    # row crosses the JVM↔Python boundary once (in the source read)
+    # instead of twice (source read out, mapInArrow back in), and only
+    # the aggregated groups ever reach the JVM.  Measured: gate 1.47 →
+    # see OPTIMIZATION_r16.md.  Complex filters keep the JVM filter +
+    # mapInArrow spelling below.
+    filt_tuples = (
+        _parse_simple_pred(filter_expr, fields)
+        if isinstance(filter_expr, str)
+        else None
+    )
+    if filter_expr is None or filt_tuples is not None:
+        import json as _json
+
+        fused = reader.option(
+            "agg_schema", _json.dumps(out_schema.jsonValue())
+        ).option(
+            "agg_json",
+            _json.dumps(
+                {
+                    "group_cols": gcols,
+                    "spec": [list(s) for s in agg_spec],
+                    "filter": (
+                        [list(f) for f in filt_tuples]
+                        if filt_tuples
+                        else None
+                    ),
+                    "read_cols": need,
+                }
+            ),
+        )
+        return fused.load()
+
+    df = reader.option("columns", ",".join(need)).load()
     if filter_expr is not None:
         df = df.filter(filter_expr)
     return df.mapInArrow(agg_partition, out_schema)

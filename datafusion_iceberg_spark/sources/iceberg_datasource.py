@@ -552,13 +552,131 @@ def _plan_files(
     return parts
 
 
+_PRED_OPS = {
+    ">": "greater",
+    ">=": "greater_equal",
+    "<": "less",
+    "<=": "less_equal",
+    "=": "equal",
+    "==": "equal",
+    "!=": "not_equal",
+    "<>": "not_equal",
+}
+
+
+def _apply_simple_pred(t, filt):
+    """Filter a pyarrow Table by conjunctive (col, op, literal) tuples —
+    SQL comparison semantics (NULL compares to NULL, filtered out, which
+    is pyarrow's default null_selection_behavior='drop')."""
+    import pyarrow.compute as pc
+
+    mask = None
+    for col, op, val in filt:
+        m = getattr(pc, _PRED_OPS[op])(t.column(col), val)
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    return t.filter(mask) if mask is not None else t
+
+
+def _arrow_grouped_agg(batches, gcols, agg_spec, filt, arrow_out):
+    """Per-partition pyarrow hash aggregation with incremental partial
+    combine (task memory bounded by the partition's distinct keys, not
+    its rows).  ``agg_spec``: [(out_name, fn, source_col_or_None), ...]
+    with fn in count/sum/min/max/avg; ``filt``: optional conjunctive
+    (col, op, literal) tuples applied per batch before aggregation.
+    Shared by the fused DataSource aggregate (one Python crossing) and
+    spj.bucket_agg_grouped's mapInArrow fallback."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # per-fn partial aggregates and their combine re-aggregates
+    partial_aggs: list[tuple] = []
+    for name, fn, col in agg_spec:
+        if fn == "count" and col is None:
+            partial_aggs.append(([], "count_all"))
+        elif fn == "count":
+            partial_aggs.append((col, "count"))
+        elif fn == "avg":
+            partial_aggs.append((col, "sum"))
+            partial_aggs.append((col, "count"))
+        else:
+            partial_aggs.append((col, fn))
+    seen: dict[str, tuple] = {}
+    for p in partial_aggs:
+        pname = "count_all" if p[1] == "count_all" else f"{p[0]}_{p[1]}"
+        seen.setdefault(pname, p)
+    plist = list(seen.values())
+    combine_fn = {
+        "count_all": "sum",
+        "count": "sum",
+        "sum": "sum",
+        "min": "min",
+        "max": "max",
+    }
+
+    acc = None
+    for batch in batches:
+        t = pa.Table.from_batches([batch])
+        if filt:
+            t = _apply_simple_pred(t, filt)
+        if t.num_rows == 0:
+            continue
+        part = t.group_by(gcols, use_threads=False).aggregate(plist)
+        if acc is None:
+            acc = part
+        else:
+            both = pa.concat_tables([acc, part], promote_options="permissive")
+            re_aggs = []
+            rename = {}
+            for pname, p in seen.items():
+                cf = combine_fn[p[1]]
+                re_aggs.append((pname, cf))
+                rename[f"{pname}_{cf}"] = pname
+            acc = both.group_by(gcols, use_threads=False).aggregate(re_aggs)
+            acc = acc.rename_columns(
+                [rename.get(c, c) for c in acc.column_names]
+            )
+    if acc is None or acc.num_rows == 0:
+        return
+    cols = [acc.column(c) for c in gcols]
+    for name, fn, col in agg_spec:
+        if fn == "count" and col is None:
+            cols.append(acc.column("count_all"))
+        elif fn == "avg":
+            s = acc.column(f"{col}_sum")
+            n = acc.column(f"{col}_count")
+            cols.append(
+                pc.if_else(
+                    pc.equal(n, 0),
+                    pa.nulls(acc.num_rows, pa.float64()),
+                    pc.divide(
+                        pc.cast(s, pa.float64()),
+                        pc.cast(n, pa.float64()),
+                    ),
+                )
+            )
+        else:
+            cols.append(acc.column(f"{col}_{fn}"))
+    out = pa.table(cols, names=[*gcols, *[s0[0] for s0 in agg_spec]])
+    yield from out.cast(arrow_out).to_batches()
+
+
 class IcebergPyReader(DataSourceReader):
-    def __init__(self, table, schema, group_by=None, file_filter=None):
+    def __init__(
+        self, table, schema, group_by=None, file_filter=None, agg=None
+    ):
         self._table = table
         self._schema = schema
         self._pred = None
         self._group_by = group_by
         self._file_filter = file_filter
+        # fused per-partition aggregation (guide §4: the mapInArrow
+        # spelling ships every fact row JVM→Python a SECOND time after
+        # the Python source already produced it — aggregating inside the
+        # reader crosses the boundary once, with only the aggregated
+        # groups ever reaching the JVM): dict with group_cols, spec,
+        # filter (conjunctive tuples or None) and read_st (the scan
+        # schema; self._schema is the AGGREGATED output schema then)
+        self._agg = agg
 
     def pushFilters(self, filters):
         self._pred = _translate_filters(filters)
@@ -579,10 +697,7 @@ class IcebergPyReader(DataSourceReader):
             return [IcebergFilePartition("", {})]
         return parts
 
-    def read(self, partition: IcebergFilePartition):
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        arrow_schema = to_arrow_schema(self._schema)
+    def _scan_batches(self, partition: IcebergFilePartition, arrow_schema):
         mor = getattr(partition, "mor", None)
         fids = getattr(partition, "fids", None)
         for path, attach, rgs in partition.chunks:
@@ -596,6 +711,24 @@ class IcebergPyReader(DataSourceReader):
                 yield from _read_file(
                     path, attach, arrow_schema, row_groups=rgs, fids=fids
                 )
+
+    def read(self, partition: IcebergFilePartition):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        if self._agg is not None:
+            yield from _arrow_grouped_agg(
+                self._scan_batches(
+                    partition, to_arrow_schema(self._agg["read_st"])
+                ),
+                self._agg["group_cols"],
+                self._agg["spec"],
+                self._agg.get("filter"),
+                to_arrow_schema(self._schema),
+            )
+            return
+        yield from self._scan_batches(
+            partition, to_arrow_schema(self._schema)
+        )
 
 
 class IcebergPyStreamReader(DataSourceStreamReader):
@@ -2134,6 +2267,15 @@ class IcebergPyDataSource(DataSource):
                     T.StructField("_change_ordinal", T.IntegerType()),
                 ]
             )
+        agg_schema = self.options.get("agg_schema")
+        if agg_schema:
+            # fused per-partition aggregation: the source's output IS the
+            # aggregated frame (schema supplied by bucket_agg_grouped)
+            import json as _json
+
+            from pyspark.sql import types as T
+
+            return T.StructType.fromJson(_json.loads(agg_schema))
         cols = self.options.get("columns")
         if cols:
             # explicit projection pushdown: pyspark 4.1's DataSource API
@@ -2164,8 +2306,30 @@ class IcebergPyDataSource(DataSource):
             import json as _json
 
             ffilter = set(_json.loads(file_paths))
+        agg = None
+        agg_json = self.options.get("agg_json")
+        if agg_json:
+            import json as _json
+
+            from pyspark.sql import types as T
+
+            spec = _json.loads(agg_json)
+            st = table.metadata.struct_type()
+            by_name = {f.name: f for f in st.fields}
+            agg = {
+                "group_cols": spec["group_cols"],
+                "spec": [tuple(s) for s in spec["spec"]],
+                "filter": (
+                    [tuple(f) for f in spec["filter"]]
+                    if spec.get("filter")
+                    else None
+                ),
+                "read_st": T.StructType(
+                    [by_name[c] for c in spec["read_cols"]]
+                ),
+            }
         reader = IcebergPyReader(
-            table, schema, group_by=group_by, file_filter=ffilter
+            table, schema, group_by=group_by, file_filter=ffilter, agg=agg
         )
         inc_from = self.options.get("incremental_from")
         if inc_from is not None:
